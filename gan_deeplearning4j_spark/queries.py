@@ -1,0 +1,709 @@
+"""Query registry backing __spark_entry__.py and bench.py.
+
+One entry per implemented operator family from SURVEY.md §2 plus the
+north-star LLM-data-pipeline operators. Each entry is a (builder, oracle_sql)
+pair; the builder takes (spark, sf_dir) → DataFrame, the oracle is equivalent
+ANSI SQL for DuckDB over the same parquet tables. Entries with oracle=None are
+non-SQL-expressible (driver records a rows-only check).
+
+Cross-engine determinism rules (these make the driver's value-hash match):
+- Every computed float column is ROUND()ed to a fixed scale in BOTH engines
+  (Spark round and DuckDB round are both half-away-from-zero).
+- Monetary sums round to 2; ratios/means to 6.
+- array<float> is widened to array<double> before any fold.
+- Timestamps never surface raw: formatted in UTC (`ensure_engine_conf` pins
+  session tz) or cast to date.
+- "random" orderings use a Lehmer key (id*48271 % 65537) both sides — the
+  DuckDB oracle cannot replay Spark's rand(seed) stream.
+- ORDER BY ... LIMIT ties are always broken by a unique id.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .session import ensure_engine_conf
+from .io import load_table
+from .functions.elementwise import clip, sigmoid
+from .functions.vector import argmax_index, as_double, cosine_similarity
+from .functions import text as TX
+from .operators.aggregates import (
+    batchnorm_stats,
+    binary_xent,
+    categorical_xent,
+    parameter_average_sql,
+)
+from .operators.dedup import exact_dedup, minhash_dedup
+from .operators.relational import (
+    deterministic_key,
+    stratified_sample_exact,
+    top_k_per_group,
+    vstack,
+)
+from .operators.similarity import brute_force_topk, lsh_bucketed_topk
+from .operators.weights import copy_weights
+from .functions.random import latent_grid
+
+
+@dataclass
+class Query:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    headline: bool = False  # included in bench.py
+    doc: str = ""
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None = None, headline: bool = False,
+             doc: str = ""):
+    def deco(fn):
+        REGISTRY[name] = Query(fn=fn, oracle=oracle, headline=headline, doc=doc)
+        return fn
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# M0 flagship — scan → agg → project → argmax → accuracy (SURVEY §7 M0;
+# operators W1 + A4 + P1 family in one query)
+# ---------------------------------------------------------------------------
+
+@register(
+    "argmax_accuracy",
+    oracle="""
+    SELECT label,
+           COUNT(*) AS n,
+           SUM(CASE WHEN list_indexof(embedding, list_aggregate(embedding, 'max')) - 1 = label
+                    THEN 1 ELSE 0 END) AS n_correct,
+           ROUND(SUM(CASE WHEN list_indexof(embedding, list_aggregate(embedding, 'max')) - 1 = label
+                          THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS acc
+    FROM embeddings
+    GROUP BY label
+    """,
+    headline=True,
+    doc="W1 argmax + A4 accuracy (gan.ipynb raw 405-408) per label over embeddings",
+)
+def q_argmax_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    pred = argmax_index(F.col("embedding"))
+    return (
+        emb.groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((pred == F.col("label")).cast("long")).alias("n_correct"),
+        )
+        .withColumn("acc", F.round(F.col("n_correct") * 1.0 / F.col("n"), 6))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Element-wise layer (P1, P5, P8, K6)
+# ---------------------------------------------------------------------------
+
+@register(
+    "minmax_normalize",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND((l_extendedprice - mn) / (mx - mn), 6) AS price_norm
+    FROM lineitem,
+         (SELECT MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx FROM lineitem)
+    """,
+    doc="P1 min-max normalize (gan.ipynb raw 81-84 general form): agg → broadcast → project",
+)
+def q_minmax_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    stats = li.agg(
+        F.min("l_extendedprice").alias("mn"), F.max("l_extendedprice").alias("mx")
+    )
+    return li.crossJoin(F.broadcast(stats)).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            (F.col("l_extendedprice") - F.col("mn")) / (F.col("mx") - F.col("mn")), 6
+        ).alias("price_norm"),
+    )
+
+
+@register(
+    "elementwise_chain",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_discount * 2 - 1, 6) AS disc_rescaled,
+           ROUND((exp(2 * (l_discount * 2 - 1)) - 1) / (exp(2 * (l_discount * 2 - 1)) + 1), 6) AS disc_tanh,
+           ROUND(1.0 / (1.0 + exp(-(l_discount * 2 - 1))), 6) AS disc_sigmoid,
+           ROUND(GREATEST(LEAST(l_tax * 30 - 1.5, 1.0), -1.0), 6) AS tax_clipped
+    FROM lineitem
+    """,
+    doc="P5 affine rescale + K6 tanh/sigmoid + P8/K9 clip, one codegen'd projection",
+)
+def q_elementwise_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_discount") * 2 - 1
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(x, 6).alias("disc_rescaled"),
+        F.round(F.tanh(x), 6).alias("disc_tanh"),
+        F.round(sigmoid(x), 6).alias("disc_sigmoid"),
+        F.round(clip(F.col("l_tax") * 30 - 1.5), 6).alias("tax_clipped"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Random / deterministic generation (R3, R4)
+# ---------------------------------------------------------------------------
+
+@register(
+    "grid_linspace",
+    oracle="""
+    SELECT i AS grid_id, i // 10 AS gi, i % 10 AS gj,
+           ROUND(-1.0 + (i // 10) * (2.0 / 9), 6) AS zi,
+           ROUND(-1.0 + (i % 10) * (2.0 / 9), 6) AS zj
+    FROM range(100) t(i)
+    """,
+    doc="R3 latent grid: linspace(-1,1,10)⊗linspace(-1,1,10), row-major grid_id (java:382-389)",
+)
+def q_grid_linspace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = latent_grid(spark, 10)
+    return g.select(
+        "grid_id", "gi", "gj",
+        F.round("zi", 6).alias("zi"),
+        F.round("zj", 6).alias("zj"),
+    )
+
+
+@register(
+    "stratified_sample",
+    oracle="""
+    SELECT vec_id, label FROM (
+      SELECT vec_id, label,
+             ROW_NUMBER() OVER (PARTITION BY label
+                                ORDER BY (vec_id * 48271) % 65537, vec_id) AS rn
+      FROM embeddings
+    ) WHERE rn <= 20
+    """,
+    doc="R4 exact k-per-stratum sample (gan.ipynb raw 122-143), Lehmer key for cross-engine determinism",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return stratified_sample_exact(emb, "label", 20, id_col="vec_id").select(
+        "vec_id", "label"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (A1, A2, A3, A5)
+# ---------------------------------------------------------------------------
+
+@register(
+    "param_average",
+    oracle="""
+    WITH exploded AS (
+      SELECT label,
+             CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS value
+      FROM embeddings
+    )
+    SELECT label, pos, ROUND(AVG(value), 6) AS avg_value
+    FROM exploded GROUP BY label, pos
+    """,
+    headline=True,
+    doc="A1 synchronous parameter averaging, posexplode/avg SQL form (java:324-330)",
+)
+def q_param_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    out = parameter_average_sql(emb, "embedding", ["label"])
+    return out.select("label", "pos", F.round("avg_value", 6).alias("avg_value"))
+
+
+@register(
+    "batchnorm_stats",
+    oracle="""
+    WITH exploded AS (
+      SELECT label,
+             CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS value
+      FROM embeddings
+    )
+    SELECT label, pos, ROUND(AVG(value), 6) AS mean, ROUND(VAR_SAMP(value), 6) AS var
+    FROM exploded GROUP BY label, pos
+    """,
+    doc="A5 batch-norm training statistics: per-element mean/var per group (java:132-134)",
+)
+def q_batchnorm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    out = batchnorm_stats(emb, "embedding", ["label"])
+    return out.select(
+        "label", "pos",
+        F.round("mean", 6).alias("mean"),
+        F.round("var", 6).alias("var"),
+    )
+
+
+@register(
+    "binary_xent",
+    oracle="""
+    SELECT COUNT(*) AS n,
+           ROUND(AVG(-(y * ln(p) + (1 - y) * ln(1 - p))), 6) AS xent
+    FROM (
+      SELECT 1.0 / (1.0 + exp(-(l_discount * 10 - 0.5))) AS p,
+             CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+      FROM lineitem
+    )
+    """,
+    doc="A2 mean binary cross-entropy (XENT+sigmoid head, java:159-163)",
+)
+def q_binary_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = sigmoid(F.col("l_discount") * 10 - 0.5)
+    y = F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0)
+    scored = li.select(binary_xent(p, y).alias("loss"))
+    return scored.agg(
+        F.count("*").alias("n"), F.round(F.avg("loss"), 6).alias("xent")
+    )
+
+
+@register(
+    "mcxent_loss",
+    oracle="""
+    SELECT label,
+           ROUND(AVG(
+             ln(list_sum(list_transform(embedding[1:10], x -> exp(CAST(x AS DOUBLE)))))
+             - CAST(embedding[label + 1] AS DOUBLE)
+           ), 6) AS avg_ce
+    FROM embeddings
+    GROUP BY label
+    """,
+    doc="A3 categorical cross-entropy from logits (MCXENT+softmax head, java:357-363)",
+)
+def q_mcxent_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    logits = F.expr("transform(slice(embedding, 1, 10), v -> cast(v as double))")
+    ce = categorical_xent(logits, F.col("label"))
+    return emb.select("label", ce.alias("ce")).groupBy("label").agg(
+        F.round(F.avg("ce"), 6).alias("avg_ce")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins / weights (J1), unions (P4), windows (W2)
+# ---------------------------------------------------------------------------
+
+@register(
+    "weight_copy_join",
+    oracle="""
+    WITH avg_w AS (
+      SELECT label,
+             CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS value
+      FROM embeddings
+    ), src AS (
+      SELECT 'dis_layer_' || CAST(label AS VARCHAR) AS layer, 'W' AS param,
+             pos, AVG(value) AS value
+      FROM avg_w GROUP BY label, pos
+    ), dst AS (
+      SELECT DISTINCT 'gan_layer_' || CAST(label AS VARCHAR) AS layer,
+             'W' AS param, pos, 0.0 AS value
+      FROM avg_w
+    )
+    SELECT d.layer, d.param, d.pos,
+           ROUND(COALESCE(s.value, d.value), 6) AS value
+    FROM dst d
+    LEFT JOIN src s
+      ON 'gan_layer_' || SUBSTR(s.layer, 11) = d.layer
+     AND s.param = d.param AND s.pos = d.pos
+    """,
+    doc="J1 parameter copy by layer-name key: broadcast equi-join + literal name map (java:429-460)",
+)
+def q_weight_copy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    avg_w = parameter_average_sql(emb, "embedding", ["label"])
+    src = avg_w.select(
+        F.concat(F.lit("dis_layer_"), F.col("label").cast("string")).alias("layer"),
+        F.lit("W").alias("param"),
+        "pos",
+        F.col("avg_value").alias("value"),
+    )
+    dst = avg_w.select(
+        F.concat(F.lit("gan_layer_"), F.col("label").cast("string")).alias("layer"),
+        F.lit("W").alias("param"),
+        "pos",
+        F.lit(0.0).alias("value"),
+    ).distinct()
+    labels = [r["label"] for r in emb.select("label").distinct().collect()]
+    layer_map = {f"dis_layer_{l}": f"gan_layer_{l}" for l in labels}
+    out = copy_weights(dst, src, layer_map)
+    return out.select(
+        "layer", "param", "pos", F.round("value", 6).alias("value")
+    )
+
+
+@register(
+    "union_vstack",
+    oracle="""
+    SELECT side, COUNT(*) AS n, ROUND(SUM(acctbal), 2) AS sum_bal,
+           ROUND(AVG(acctbal), 6) AS avg_bal
+    FROM (
+      SELECT 'customer' AS side, c_acctbal AS acctbal FROM customer
+      UNION ALL
+      SELECT 'supplier' AS side, s_acctbal AS acctbal FROM supplier
+    )
+    GROUP BY side
+    """,
+    doc="P4 vstack (Nd4j.vstack java:551,581) as UNION ALL + aggregate",
+)
+def q_union_vstack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("side"), F.col("c_acctbal").alias("acctbal")
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("side"), F.col("s_acctbal").alias("acctbal")
+    )
+    return vstack(cust, supp).groupBy("side").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("acctbal"), 2).alias("sum_bal"),
+        F.round(F.avg("acctbal"), 6).alias("avg_bal"),
+    )
+
+
+@register(
+    "topk_per_group",
+    oracle="""
+    SELECT c_mktsegment, rn, o_orderkey, ROUND(o_totalprice, 2) AS total
+    FROM (
+      SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
+                                ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
+      FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    ) WHERE rn <= 10
+    """,
+    headline=True,
+    doc="W2 per-group top-k via row_number window (gan.ipynb raw 122-143 pattern)",
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    j = cust.join(orders, cust.c_custkey == orders.o_custkey)
+    out = top_k_per_group(
+        j, ["c_mktsegment"], [F.desc("o_totalprice"), F.col("o_orderkey")], 10
+    )
+    return out.select(
+        "c_mktsegment", "rn", "o_orderkey", F.round("o_totalprice", 2).alias("total")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped relational benchmarks (bench headliners)
+# ---------------------------------------------------------------------------
+
+@register(
+    "tpch_q1_pricing",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 6) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 6) AS avg_price,
+           ROUND(AVG(l_discount), 6) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    headline=True,
+    doc="TPC-H Q1 shape: the canonical scan→filter→agg pricing summary",
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_engine_conf(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "tpch_q3_shipping",
+    oracle="""
+    SELECT o_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1998-06-01'
+      AND l_shipdate > TIMESTAMP '1998-06-01'
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+    headline=True,
+    doc="TPC-H Q3 shape: 3-way join + agg + top-10; dims broadcast, fact scans pruned",
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_engine_conf(spark)
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp")
+    )
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    )
+    return (
+        j.groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "o_orderkey", "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q5_volume",
+    oracle="""
+    SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1999-01-01'
+    GROUP BY n_name
+    """,
+    headline=True,
+    doc="TPC-H Q5 shape: 6-way star join; all dims broadcast, single fact shuffle",
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_engine_conf(spark)
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), (orders.o_custkey == cust.c_custkey)
+              & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+    )
+    return j.groupBy("n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming-shaped (tumbling window over events) — batch form here; the
+# streaming facade lives in streaming/windows.py
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_tumbling",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           event_type, COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS sum_value,
+           ROUND(AVG(value), 6) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    headline=True,
+    doc="Tumbling 1h window aggregate over events (Structured-Streaming-shaped, batch semantics)",
+)
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_engine_conf(spark)
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# North-star: text analysis, dedup, similarity
+# ---------------------------------------------------------------------------
+
+@register(
+    "doc_stats",
+    oracle="""
+    SELECT doc_id, n_chars,
+           length(text) AS len_chars,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_distinct,
+           ROUND(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a')))
+                 * 1.0 / len(string_split(text, ' ')), 6) AS stopword_ratio,
+           ROUND(len(list_distinct(string_split(text, ' ')))
+                 * 1.0 / len(string_split(text, ' ')), 6) AS distinct_ratio
+    FROM documents
+    """,
+    headline=True,
+    doc="North-star text analysis: token counts, vocabulary diversity, stopword ratio",
+)
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks)
+    n_dis = F.size(F.array_distinct(toks))
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin("the", "a")))
+    return docs.select(
+        "doc_id", "n_chars",
+        F.length("text").alias("len_chars"),
+        n_tok.alias("n_tokens"),
+        n_dis.alias("n_distinct"),
+        F.round(stop_hits * 1.0 / n_tok, 6).alias("stopword_ratio"),
+        F.round(n_dis * 1.0 / n_tok, 6).alias("distinct_ratio"),
+    )
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS dups
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    doc="North-star exact dedup: hash-groupBy on content, min-id survivor",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5(F.col("text").cast("binary")).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("dups"))
+    )
+
+
+@register(
+    "cosine_topk",
+    oracle="""
+    WITH q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+    )
+    SELECT vec_id,
+           ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), 6) AS cos_sim
+    FROM embeddings, q
+    WHERE vec_id <> 0
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 10
+    """,
+    headline=True,
+    doc="North-star ANN baseline: brute-force cosine top-k, query side broadcast",
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        as_double(F.col("embedding")).alias("qv")
+    )
+    sim = F.round(
+        cosine_similarity(as_double(F.col("embedding")), F.col("qv")), 6
+    )
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", sim.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )
+
+
+# --- rows-only checks (no sane ANSI-SQL oracle) ---------------------------
+
+@register(
+    "minhash_dedup",
+    oracle=None,
+    doc="North-star MinHash+LSH near-dedup: shingle→minhash→band→bucket-join→Jaccard verify",
+)
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_dedup(docs, "text", "doc_id", threshold=0.8).select(
+        "doc_id", "lang", "source"
+    )
+
+
+@register(
+    "lsh_topk",
+    oracle=None,
+    doc="North-star LSH-bucketed ANN: hyperplane signatures, bucket-local exact rerank",
+)
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_bucketed_topk(
+        emb, queries, "embedding", "vec_id", "query_id", dim=64, k=5, bits=8
+    ).select("query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+@register(
+    "lang_detect",
+    oracle=None,
+    doc="North-star language-ID heuristic (stopword hit-rate argmax) vs labeled lang",
+)
+def q_lang_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", TX.lang_id(F.col("text")).alias("pred_lang")
+    )
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: q.fn for name, q in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle}
+
+
+def headline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: q.fn for name, q in REGISTRY.items() if q.headline}
