@@ -656,6 +656,187 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Relational widening: predicates, set ops, rollup, window lag/as-of,
+# sessionization, softmax projection
+# ---------------------------------------------------------------------------
+
+@register(
+    "filter_predicate",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           SUM(CASE WHEN l_discount BETWEEN 0.05 AND 0.07 THEN 1 ELSE 0 END) AS n_mid_disc,
+           SUM(CASE WHEN l_quantity < 10 THEN 1 ELSE 0 END) AS n_small_qty
+    FROM lineitem
+    WHERE l_extendedprice > 1000 AND l_linestatus = 'F'
+    GROUP BY l_returnflag
+    """,
+    doc="P11/P12 predicates: filter pushdown + boolean-compare-as-int projections",
+)
+def q_filter_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_extendedprice") > 1000) & (F.col("l_linestatus") == "F"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.col("l_discount").between(0.05, 0.07).cast("long")
+            ).alias("n_mid_disc"),
+            F.sum((F.col("l_quantity") < 10).cast("long")).alias("n_small_qty"),
+        )
+    )
+
+
+@register(
+    "set_ops",
+    oracle="""
+    SELECT 'intersect' AS op, COUNT(*) AS n FROM (
+      SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders
+    )
+    UNION ALL
+    SELECT 'except' AS op, COUNT(*) AS n FROM (
+      SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders
+    )
+    """,
+    doc="Set ops (engine scope beyond reference §2.7): INTERSECT / EXCEPT on keys",
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    inter = cust.intersect(orders).agg(F.count("*").alias("n")).select(
+        F.lit("intersect").alias("op"), "n"
+    )
+    exc = cust.exceptAll(orders.distinct()).distinct().agg(
+        F.count("*").alias("n")
+    ).select(F.lit("except").alias("op"), "n")
+    return vstack(inter, exc)
+
+
+@register(
+    "rollup_agg",
+    oracle="""
+    SELECT COALESCE(l_returnflag, '∅') AS returnflag,
+           COALESCE(l_linestatus, '∅') AS linestatus,
+           COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="Grouping-sets surface (free from Spark, §2.4 note): ROLLUP with sentinel for nulls",
+)
+def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("∅")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("∅")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+@register(
+    "window_lag_rolling",
+    oracle="""
+    SELECT event_id, user_id,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER w AS micros_since_prev,
+           ROUND(AVG(value) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS rolling_avg
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    """,
+    doc="W-family beyond reference: lag + rolling frame (as-of-previous semantics per user). "
+        "Microsecond precision on both sides: DuckDB's parquet scan truncates "
+        "TIMESTAMP(NANOS) to µs, so nanos would drift off-by-one.",
+)
+def q_window_lag_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts_nanos div 1000")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    wf = w.rowsBetween(-2, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.col("ts_us") - F.lag("ts_us").over(w)).alias("micros_since_prev"),
+        F.round(F.avg("value").over(wf), 6).alias("rolling_avg"),
+    )
+
+
+@register(
+    "sessionize",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, event_id, epoch_us(ts) AS tus, value,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  OR lag(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ), sess AS (
+      SELECT user_id, event_id, value,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM gaps
+    )
+    SELECT user_id, session_seq, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+    FROM sess GROUP BY user_id, session_seq
+    """,
+    doc="Sessionization (streaming session-window semantics in batch): 30-min gap rule via lag + running sum",
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn("ts_us", F.expr("ts_nanos div 1000"))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap_us = 1800 * 1_000_000
+    prev = F.lag("ts_us").over(w)
+    new_sess = F.when(
+        prev.isNull() | ((F.col("ts_us") - prev) > gap_us), 1
+    ).otherwise(0)
+    sess = ev.withColumn("new_sess", new_sess).withColumn(
+        "session_seq",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@register(
+    "softmax_project",
+    oracle="""
+    WITH sm AS (
+      SELECT vec_id, label,
+             list_transform(embedding[1:10], x -> exp(CAST(x AS DOUBLE) - mx)) AS exps
+      FROM (
+        SELECT vec_id, label, embedding,
+               list_aggregate(list_transform(embedding[1:10], x -> CAST(x AS DOUBLE)), 'max') AS mx
+        FROM embeddings
+      )
+    )
+    SELECT vec_id, label,
+           ROUND(exps[1] / list_sum(exps), 6) AS p0,
+           ROUND(exps[CAST(label AS INTEGER) + 1] / list_sum(exps), 6) AS p_label
+    FROM sm
+    """,
+    doc="K6 softmax head (java:362) as max-subtracted array projection; p0 and p[label] surfaced",
+)
+def q_softmax_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.elementwise import softmax_arr
+
+    emb = _t(spark, sf_dir, "embeddings")
+    logits = F.expr("transform(slice(embedding, 1, 10), v -> cast(v as double))")
+    sm = softmax_arr(logits)
+    return emb.select(
+        "vec_id",
+        "label",
+        F.round(F.element_at(sm, 1), 6).alias("p0"),
+        F.round(F.element_at(sm, F.col("label") + 1), 6).alias("p_label"),
+    )
+
+
 # --- rows-only checks (no sane ANSI-SQL oracle) ---------------------------
 
 @register(
