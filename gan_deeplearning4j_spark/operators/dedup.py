@@ -17,6 +17,7 @@ Scale design (100 TB of documents):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -131,6 +132,44 @@ def ngram_jaccard(df_pairs: DataFrame, docs: DataFrame, text_col: str,
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     return j.select("id_a", "id_b", (inter / union).alias("jaccard"))
+
+
+def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """SimHash near-dup signature: 64-bit weighted-bit-vote over token hashes.
+
+    The bit-vote loop is not sanely SQL-expressible → Arrow-batched pandas
+    UDF (the engine's sanctioned Python path). Deterministic: blake2b token
+    hashes, no RNG. Returns (id, simhash, band16_0..3) where the 16-bit bands
+    are the LSH bucketing keys (near-dups share ≥1 band with high prob)."""
+    import hashlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _simhash(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            votes = [0] * 64
+            for tok in (t or "").lower().split():
+                h = int.from_bytes(
+                    hashlib.blake2b(tok.encode(), digest_size=8).digest(), "little"
+                )
+                for b in range(64):
+                    votes[b] += 1 if (h >> b) & 1 else -1
+            sig = 0
+            for b in range(64):
+                if votes[b] > 0:
+                    sig |= 1 << b
+            # int64: fold the sign bit
+            out.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
+        return pd.Series(out)
+
+    sig = df.select(F.col(id_col), _simhash(F.col(text_col)).alias("simhash"))
+    bands = [
+        (F.shiftrightunsigned("simhash", 16 * i) % F.lit(1 << 16)).alias(f"band16_{i}")
+        for i in range(4)
+    ]
+    return sig.select(id_col, "simhash", *bands)
 
 
 def minhash_dedup(

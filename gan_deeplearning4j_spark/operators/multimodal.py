@@ -1,0 +1,158 @@
+"""Multimodal columns (north-star scope, BASELINE.json): image/audio/video as
+opaque ``binary`` columns with typed metadata.
+
+The Spark-side plumbing — schema, partitioning, Arrow batch shape, UDF
+signatures — is real and tested. The actual codec step is STUBBED: this
+container ships no image/audio libraries, so ``decode_image`` raises
+``NotImplementedError`` unless a real decoder import succeeds, and the
+deterministic fake decoder (``fake=True``) synthesizes pixel tensors from the
+content hash so downstream stages (resize, feature extraction, frame
+sampling) are exercised end-to-end.
+
+Scale notes (100 TB of media):
+- Binary payloads stay OFF the shuffle path: metadata-only plans (filter on
+  width/height/codec) prune before any decode.
+- Decode/resize runs in ``mapInPandas`` so one task streams Arrow batches —
+  bounded memory regardless of per-file size skew; batch size is controlled
+  by ``spark.sql.execution.arrow.maxRecordsPerBatch``.
+- Frame sampling emits (media_id, frame_no) rows — an explode whose
+  cardinality is declared up-front, not a hidden blow-up.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+try:  # pragma: no cover - not installed in this container
+    from PIL import Image  # noqa: F401
+
+    _HAVE_PIL = True
+except Exception:
+    _HAVE_PIL = False
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),        # image | audio | video
+        T.StructField("content", T.BinaryType()),      # opaque payload
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),       # typed metadata ↓
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+    ]
+)
+
+
+def synth_media_df(spark, n: int = 64, kind: str = "image") -> DataFrame:
+    """Deterministic fixture: binary payloads derived from media_id."""
+    rows = []
+    for i in range(n):
+        payload = hashlib.sha256(f"media-{kind}-{i}".encode()).digest() * 8
+        rows.append((i, kind, bytearray(payload), f"{kind}/x-fake", 16, 16,
+                     8 if kind == "video" else 1, 16000 if kind == "audio" else None))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _fake_decode(content: bytes, width: int, height: int) -> np.ndarray:
+    """Deterministic fake decoder: hash → uint8 pixel tensor (H, W)."""
+    h = hashlib.sha256(content).digest()
+    rng = np.random.default_rng(int.from_bytes(h[:8], "little"))
+    return rng.integers(0, 256, (height, width), dtype=np.uint8)
+
+
+def decode_image(content: bytes, width: int, height: int, fake: bool = False) -> np.ndarray:
+    """STUB: real decode needs an image library not present here."""
+    if fake:
+        return _fake_decode(content, width, height)
+    if not _HAVE_PIL:
+        raise NotImplementedError(
+            "image decode requires an image library (e.g. Pillow); "
+            "use fake=True for the deterministic test decoder"
+        )
+    raise NotImplementedError("real decoder wiring is deferred until a codec lib ships")
+
+
+def decode_features(
+    df: DataFrame, out_dim: int = 32, fake: bool = True,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """decode → normalize → flatten → fixed-dim feature vector, as one
+    mapInPandas stage (no shuffle; binary column never leaves the scan task).
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("feature", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for content, w, h in zip(pdf["content"], pdf["width"], pdf["height"]):
+                img = decode_image(bytes(content), int(w), int(h), fake=fake)
+                flat = (img.astype(np.float32) / 255.0).ravel()
+                # fold into out_dim buckets (stand-in feature extractor)
+                pad = (-len(flat)) % out_dim
+                flat = np.pad(flat, (0, pad))
+                feats.append(flat.reshape(-1, out_dim).mean(axis=0))
+            yield pd.DataFrame({id_col: pdf[id_col], "feature": [list(map(float, f)) for f in feats]})
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def resize_images(df: DataFrame, out_w: int = 8, out_h: int = 8,
+                  fake: bool = True) -> DataFrame:
+    """decode → nearest-neighbor resize (the K5 kernel family applied to a
+    media column) → re-encode as array<int> pixels."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("pixels", T.ArrayType(T.IntegerType())),
+            T.StructField("out_w", T.IntegerType()),
+            T.StructField("out_h", T.IntegerType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for content, w, h in zip(pdf["content"], pdf["width"], pdf["height"]):
+                img = decode_image(bytes(content), int(w), int(h), fake=fake)
+                ys = (np.arange(out_h) * h // out_h)
+                xs = (np.arange(out_w) * w // out_w)
+                small = img[np.ix_(ys, xs)]
+                out.append([int(v) for v in small.ravel()])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "pixels": out,
+                    "out_w": out_w,
+                    "out_h": out_h,
+                }
+            )
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def sample_frames(df: DataFrame, every: int = 2) -> DataFrame:
+    """Frame sampling for video rows: explode declared frame counts into
+    (media_id, frame_no) — pure Catalyst, no decode needed to *plan* the
+    sample; the decode of chosen frames reuses decode_features."""
+    return (
+        df.filter(F.col("kind") == "video")
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every))
+            ).alias("frame_no"),
+        )
+    )

@@ -867,6 +867,55 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "simhash_bands",
+    oracle=None,
+    doc="North-star SimHash near-dup: 64-bit bit-vote signature + 16-bit LSH bands (pandas UDF)",
+)
+def q_simhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash64
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash64(docs, "text", "doc_id")
+
+
+@register(
+    "gan_grid_inference",
+    oracle=None,
+    doc="O5/K10/R3/W3: latent grid → generator forward via distributed mapInPandas, "
+        "row-major order preserved (java:550-570)",
+)
+def q_gan_grid_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline import GanPipeline
+
+    p = GanPipeline(feature_dim=16, latent_dim=2, dis_hidden=[16],
+                    gen_hidden=[16], n_classes=10, seed=666)
+    out = p.generate_grid(spark, side=10)
+    return out.select(
+        "grid_id",
+        F.round(F.element_at("output", 1).cast("double"), 6).alias("px0"),
+        F.round(F.element_at("output", 2).cast("double"), 6).alias("px1"),
+    )
+
+
+@register(
+    "multimodal_features",
+    oracle=None,
+    doc="North-star multimodal: binary media column → decode (deterministic fake codec) "
+        "→ feature vector via mapInPandas; schema/batching plumbing is real",
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import decode_features, synth_media_df
+
+    media = synth_media_df(spark, n=64)
+    feats = decode_features(media, out_dim=8)
+    return feats.select(
+        "media_id",
+        F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"),
+        F.size("feature").alias("dim"),
+    )
+
+
+@register(
     "lang_detect",
     oracle=None,
     doc="North-star language-ID heuristic (stopword hit-rate argmax) vs labeled lang",

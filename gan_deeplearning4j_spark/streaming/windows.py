@@ -1,0 +1,98 @@
+"""Streaming window aggregates over the events stream.
+
+Batch/stream-unified: the same transformation function is applied to a batch
+DataFrame (what the DuckDB-oracled ``events_tumbling`` query checks) or to a
+``readStream`` DataFrame (what these helpers wire up, with watermarks for late
+data). Structured Streaming's incremental execution of a
+``groupBy(window(...))`` is Spark's native re-expression of a streaming
+rollup at scale: state is partitioned by (window, keys) and aged out by the
+watermark, so state size is bounded regardless of stream length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def tumbling_agg(events: DataFrame, width: str = "1 hour",
+                 watermark: str = "2 hours") -> DataFrame:
+    """Tumbling-window count/sum/avg per event_type. On a streaming input the
+    watermark bounds state; on a batch input it is a no-op."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return (
+        src.groupBy(F.window("ts", width).alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+            "avg_value",
+        )
+    )
+
+
+def sliding_agg(events: DataFrame, width: str = "1 hour", slide: str = "15 minutes",
+                watermark: str = "2 hours") -> DataFrame:
+    """Sliding-window variant (each event lands in width/slide windows)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", width, slide).alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def read_events_stream(spark: SparkSession, path: str,
+                       max_files_per_trigger: int = 1) -> DataFrame:
+    """File-source stream over micro-precision event parquet files.
+
+    (The driver's events table is TIMESTAMP_NANOS which the streaming parquet
+    source rejects; producers of streaming input should write µs timestamps —
+    see tests/test_streaming.py for the re-materialization pattern.)
+    """
+    return (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def run_stream_to_memory(stream_df: DataFrame, query_name: str,
+                         timeout_sec: int = 60) -> None:
+    """Drive a streaming aggregate to completion into an in-memory sink
+    (test/dev harness; production uses a real sink + checkpointLocation)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    q.stop()
