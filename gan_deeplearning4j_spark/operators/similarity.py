@@ -91,6 +91,42 @@ def lsh_bucketed_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame, queries: DataFrame, vec_col: str, id_col: str,
+    query_id: str, k: int = 10, n_centroids: int = 16, nprobe: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k: assign corpus to coarse centroids once, then
+    each query searches only its nprobe nearest inverted lists.
+
+    Scale shape: centroid table broadcast (tiny); corpus assignment is one
+    map-side argmin (no shuffle); the probe join keys on centroid_id so a
+    query touches nprobe/n_centroids of the corpus.
+    """
+    assigned, cents = ivf_assign(corpus, vec_col, id_col, n_centroids)
+    q = queries.select(F.col(query_id), as_double(F.col(vec_col)).alias("__qv"))
+    # nprobe nearest centroids per query
+    qc = q.crossJoin(F.broadcast(cents)).select(
+        query_id, "__qv", "centroid_id",
+        cosine_similarity(F.col("__qv"), F.col("__cent")).alias("__cs"),
+    )
+    wq = Window.partitionBy(query_id).orderBy(F.desc("__cs"), F.col("centroid_id"))
+    probes = (
+        qc.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select(query_id, "__qv", "centroid_id")
+    )
+    scored = assigned.join(F.broadcast(probes), "centroid_id").select(
+        query_id, id_col,
+        cosine_similarity(F.col("__cv"), F.col("__qv")).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("cos_sim"), F.col(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
 def ivf_assign(corpus: DataFrame, vec_col: str, id_col: str,
                n_centroids: int = 16, sample_stride: int = 37) -> tuple[DataFrame, DataFrame]:
     """IVF coarse quantizer: centroids = deterministic sample of corpus rows

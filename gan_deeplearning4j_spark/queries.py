@@ -867,6 +867,59 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "random_tensors",
+    oracle=None,
+    doc="R1/R2/R5: seeded rand/randn generation with pinned single-partition "
+        "layout for bitwise reproducibility (java:75 seed discipline)",
+)
+def q_random_tensors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.random import random_vector, seeded_rand, seeded_randn
+
+    # partition pinning (repartition(1)) makes Spark's per-partition RNG
+    # streams reproducible regardless of the session's default parallelism
+    base = spark.range(256).repartition(1)
+    return base.select(
+        F.col("id"),
+        F.round(seeded_rand(666), 6).alias("u"),
+        F.round(seeded_rand(666) * 2 - 1, 6).alias("u_rescaled"),
+        F.round(seeded_randn(666), 6).alias("g"),
+        F.round(F.lit(1.0) + seeded_randn(667) * 0.05, 6).alias("label_smoothed"),
+    )
+
+
+@register(
+    "ivf_topk",
+    oracle=None,
+    doc="North-star ANN scale path: IVF coarse quantizer, nprobe inverted-list probe",
+)
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(emb, queries, "embedding", "vec_id", "query_id",
+                   k=5, n_centroids=8, nprobe=3)
+    return out.select("query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+@register(
+    "ngram_jaccard_verify",
+    oracle=None,
+    doc="North-star near-dup verification: exact n-gram Jaccard over LSH candidate pairs",
+)
+def q_ngram_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import minhash_lsh_candidates, ngram_jaccard
+
+    docs = _t(spark, sf_dir, "documents")
+    cands = minhash_lsh_candidates(docs, "text", "doc_id", num_hashes=16, bands=8)
+    return ngram_jaccard(cands, docs, "text", "doc_id").select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+@register(
     "simhash_bands",
     oracle=None,
     doc="North-star SimHash near-dup: 64-bit bit-vote signature + 16-bit LSH bands (pandas UDF)",

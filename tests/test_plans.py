@@ -1,0 +1,118 @@
+"""Plan-shape regression tests: the performance contract, enforced on the
+optimizer output (SURVEY §4.2 'free vs custom' — verify we actually GET the
+free things: pushdown, pruning, broadcast, no stray shuffles)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gan_deeplearning4j_spark.plans.explain import (
+    count_operator,
+    formatted_plan,
+    has_broadcast_join,
+    pushed_filters,
+    read_columns,
+)
+from gan_deeplearning4j_spark.queries import REGISTRY
+
+
+def test_q1_filter_pushed_to_scan(spark, sf_dir):
+    df = REGISTRY["tpch_q1_pricing"].fn(spark, sf_dir)
+    pf = pushed_filters(df)
+    assert any("l_shipdate" in f for f in pf), pf
+
+
+def test_q1_column_pruning(spark, sf_dir):
+    df = REGISTRY["tpch_q1_pricing"].fn(spark, sf_dir)
+    cols = read_columns(df)[0]
+    # 11-column table, only the 7 needed columns read
+    assert "l_orderkey" not in cols and "l_partkey" not in cols, cols
+    assert "l_quantity" in cols
+
+
+def test_q3_all_dims_broadcast(spark, sf_dir):
+    df = REGISTRY["tpch_q3_shipping"].fn(spark, sf_dir)
+    assert count_operator(df, "BroadcastHashJoin") == 2
+    assert count_operator(df, "SortMergeJoin") == 0
+    # top-10 compiles to TakeOrderedAndProject, not a global Sort
+    assert count_operator(df, "TakeOrderedAndProject") == 1
+
+
+def test_q5_single_fact_scan_all_broadcast(spark, sf_dir):
+    df = REGISTRY["tpch_q5_volume"].fn(spark, sf_dir)
+    assert count_operator(df, "BroadcastHashJoin") == 5
+    assert count_operator(df, "SortMergeJoin") == 0
+    # exactly one data shuffle: the final groupBy
+    from gan_deeplearning4j_spark.plans.explain import plan_tree
+
+    tree = plan_tree(df)
+    data_exchanges = tree.count("- Exchange")
+    assert data_exchanges <= 1, tree
+
+
+def test_q1_partial_aggregation(spark, sf_dir):
+    """Map-side combine: two HashAggregates around one Exchange."""
+    df = REGISTRY["tpch_q1_pricing"].fn(spark, sf_dir)
+    assert count_operator(df, "HashAggregate") == 2
+
+
+def test_minmax_stats_broadcast_not_window(spark, sf_dir):
+    df = REGISTRY["minmax_normalize"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_topk_no_global_sort(spark, sf_dir):
+    df = REGISTRY["topk_per_group"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    # rank pushdown: WindowGroupLimit prunes per partition before the full window
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_inference_is_shuffle_free(spark):
+    """K10 distributed inference must be a single narrow stage."""
+    import numpy as np
+
+    from gan_deeplearning4j_spark.kernels import LayerSpec, apply_network, init_weights
+
+    specs = [LayerSpec("d1", "dense", {"units": 4, "activation": "tanh"})]
+    w = init_weights(specs, 8, 666)
+    df = spark.createDataFrame(
+        [(i, [float(i)] * 8) for i in range(10)], "id: long, features: array<float>"
+    )
+    plan = formatted_plan(apply_network(df, specs, w))
+    assert "Exchange" not in plan, plan
+
+
+def test_mllib_pipeline_composes_and_fuses(spark, sf_dir):
+    """Pipeline stages must fuse into one Catalyst plan (no materialization
+    boundaries between stages)."""
+    from pyspark.ml import Pipeline
+
+    from gan_deeplearning4j_spark.io import load_table
+    from gan_deeplearning4j_spark.plans.transformers import (
+        ClipTransformer,
+        MinMaxNormalize,
+        TextStats,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    pipe = Pipeline(
+        stages=[
+            MinMaxNormalize("l_extendedprice", "price_norm"),
+            ClipTransformer("price_norm", "price_clipped", 0.1, 0.9),
+        ]
+    )
+    out = pipe.fit(li).transform(li)
+    pdf = out.limit(5).toPandas()
+    assert "price_clipped" in pdf.columns
+    assert (pdf["price_clipped"] >= 0.1).all()
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = TextStats().transform(docs)
+    row = stats.select("n_tokens", "distinct_ratio", "lang_pred").first()
+    assert row["n_tokens"] > 0
