@@ -71,6 +71,23 @@ def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
     assert all(r["count"] == 5 for r in counts)
 
 
+def test_param_average_two_forms_agree(spark, sf_dir):
+    """A1 equivalence (SURVEY §7 M3): posexplode/avg SQL form vs array-fold
+    form must produce identical means."""
+    from gan_deeplearning4j_spark.operators.aggregates import (
+        parameter_average_arrays,
+        parameter_average_sql,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    long_form = parameter_average_sql(emb, "embedding", ["label"]).collect()
+    arr_form = parameter_average_arrays(emb, "embedding", ["label"]).collect()
+    want = {(r["label"], r["pos"]): r["avg_value"] for r in long_form}
+    for r in arr_form:
+        for pos, v in enumerate(r["avg_vec"]):
+            assert abs(want[(r["label"], pos)] - v) < 1e-9
+
+
 def test_weights_long_form_roundtrip(spark):
     from gan_deeplearning4j_spark.operators.weights import (
         long_to_vectors,
