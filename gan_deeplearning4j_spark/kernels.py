@@ -151,13 +151,221 @@ def clip_grad(g: np.ndarray, threshold: float = 1.0) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# backward kernels (the training-side halves of K1-K5; RMSProp/clip K8/K9
+# live in pipeline.py)
+# ---------------------------------------------------------------------------
+
+def _col2im(dcols: np.ndarray, x_shape, kh: int, kw: int, stride: int, pad: int) -> np.ndarray:
+    """Scatter-add inverse of _im2col. dcols: (n, oh, ow, c*kh*kw)."""
+    n, c, h, w = x_shape
+    oh, ow = dcols.shape[1], dcols.shape[2]
+    dxp = np.zeros((n, c, h + 2 * pad, w + 2 * pad), dtype=dcols.dtype)
+    d6 = dcols.reshape(n, oh, ow, c, kh, kw)
+    for i in range(kh):
+        for j in range(kw):
+            dxp[:, :, i : i + oh * stride : stride, j : j + ow * stride : stride] += (
+                d6[:, :, :, :, i, j].transpose(0, 3, 1, 2)
+            )
+    return dxp[:, :, pad : pad + h, pad : pad + w] if pad else dxp
+
+
+def conv2d_backward(dy: np.ndarray, cache: dict) -> tuple[np.ndarray, dict]:
+    """K2 backward. dy: (n, out_c, oh, ow) gradient wrt post-activation."""
+    cols, W, y, stride, pad, x_shape, activation = (
+        cache["cols"], cache["W"], cache["y"], cache["stride"], cache["pad"],
+        cache["x_shape"], cache["activation"],
+    )
+    out_c = W.shape[0]
+    dpre = (dy * act_grad(y, activation)).transpose(0, 2, 3, 1)  # (n, oh, ow, oc)
+    dW = (
+        dpre.reshape(-1, out_c).T @ cols.reshape(-1, cols.shape[-1])
+    ).reshape(W.shape)
+    db = dpre.sum(axis=(0, 1, 2))
+    dcols = dpre @ W.reshape(out_c, -1)
+    dx = _col2im(dcols, x_shape, W.shape[2], W.shape[3], stride, pad)
+    return dx, {"W": dW, "b": db}
+
+
+def maxpool_backward(dy: np.ndarray, cache: dict) -> np.ndarray:
+    """K3 backward: route gradient to the (first) max element per window."""
+    cols, x_shape, kernel, stride = (
+        cache["cols"], cache["x_shape"], cache["kernel"], cache["stride"]
+    )
+    n, c, h, w = x_shape
+    oh, ow = dy.shape[2], dy.shape[3]
+    flat = cols.reshape(n * c, oh, ow, kernel * kernel)
+    am = flat.argmax(axis=-1)
+    dcols = np.zeros_like(flat)
+    np.put_along_axis(
+        dcols, am[..., None], dy.reshape(n * c, oh, ow, 1), axis=-1
+    )
+    dx = _col2im(dcols, (n * c, 1, h, w), kernel, kernel, stride, 0)
+    return dx.reshape(n, c, h, w)
+
+
+def upsample_backward(dy: np.ndarray, factor: int) -> np.ndarray:
+    """K5 backward: sum-pool the gradient over each f×f block."""
+    n, c, H, W = dy.shape
+    h, w = H // factor, W // factor
+    return dy.reshape(n, c, h, factor, w, factor).sum(axis=(3, 5))
+
+
+def batchnorm_forward_train(x: np.ndarray, gamma, beta, eps: float = 1e-5):
+    """A5 training mode: batch statistics (per-channel for NCHW)."""
+    if x.ndim == 4:
+        axes, shp = (0, 2, 3), (1, -1, 1, 1)
+    else:
+        axes, shp = (0,), (1, -1)
+    mu = x.mean(axis=axes)
+    var = x.var(axis=axes)
+    xhat = (x - mu.reshape(shp)) / np.sqrt(var.reshape(shp) + eps)
+    y = xhat * gamma.reshape(shp) + beta.reshape(shp)
+    cache = {"xhat": xhat, "var": var, "gamma": gamma, "eps": eps,
+             "axes": axes, "shp": shp, "m": int(np.prod([x.shape[a] for a in axes]))}
+    return y, cache, mu, var
+
+
+def batchnorm_backward(dy: np.ndarray, cache: dict) -> tuple[np.ndarray, dict]:
+    xhat, var, gamma, eps, axes, shp, m = (
+        cache["xhat"], cache["var"], cache["gamma"], cache["eps"],
+        cache["axes"], cache["shp"], cache["m"],
+    )
+    dgamma = (dy * xhat).sum(axis=axes)
+    dbeta = dy.sum(axis=axes)
+    dxhat = dy * gamma.reshape(shp)
+    inv_std = 1.0 / np.sqrt(var.reshape(shp) + eps)
+    dx = (
+        inv_std / m
+        * (m * dxhat - dxhat.sum(axis=axes).reshape(shp)
+           - xhat * (dxhat * xhat).sum(axis=axes).reshape(shp))
+    )
+    return dx, {"gamma": dgamma, "beta": dbeta}
+
+
+def forward_cached(
+    x: np.ndarray, specs: list[LayerSpec], weights: Weights, training: bool = True
+) -> tuple[np.ndarray, list]:
+    """K10 forward with per-layer caches for backward. In training mode,
+    batchnorm uses batch statistics (the reference's BN layers train on
+    batch stats and keep running averages — A5)."""
+    out = x.astype(np.float32)
+    caches: list = []
+    for spec in specs:
+        w = weights.get(spec.name, {})
+        if spec.kind == "dense":
+            in_shape = out.shape
+            if out.ndim > 2:
+                out = out.reshape(out.shape[0], -1)
+            activation = spec.cfg.get("activation", "tanh")
+            pre = k_dense(out, w["W"], w["b"])
+            y = act(pre, activation)
+            caches.append({"kind": "dense", "x": out, "y": y, "W": w["W"],
+                           "activation": activation, "in_shape": in_shape})
+            out = y
+        elif spec.kind == "conv2d":
+            stride, pad = spec.cfg.get("stride", 1), spec.cfg.get("pad", 0)
+            activation = spec.cfg.get("activation", "tanh")
+            out_c, in_c, kh, kw = w["W"].shape
+            cols, oh, ow = _im2col(out, kh, kw, stride, pad)
+            pre = (cols @ w["W"].reshape(out_c, -1).T + w["b"]).transpose(0, 3, 1, 2)
+            y = act(pre, activation)
+            caches.append({"kind": "conv2d", "cols": cols, "W": w["W"], "y": y,
+                           "stride": stride, "pad": pad, "x_shape": out.shape,
+                           "activation": activation})
+            out = y
+        elif spec.kind == "maxpool":
+            kernel, stride = spec.cfg.get("kernel", 2), spec.cfg.get("stride", 1)
+            n, c, h, w_ = out.shape
+            cols, oh, ow = _im2col(out.reshape(n * c, 1, h, w_), kernel, kernel, stride, 0)
+            caches.append({"kind": "maxpool", "cols": cols, "x_shape": out.shape,
+                           "kernel": kernel, "stride": stride})
+            out = cols.max(axis=-1).reshape(n, c, oh, ow)
+        elif spec.kind == "upsample":
+            f = spec.cfg.get("factor", 2)
+            caches.append({"kind": "upsample", "factor": f})
+            out = k_upsample(out, f)
+        elif spec.kind == "batchnorm":
+            if training:
+                y, cache, mu, var = batchnorm_forward_train(
+                    out, w["gamma"], w["beta"], spec.cfg.get("eps", 1e-5)
+                )
+                cache["kind"] = "batchnorm"
+                cache["batch_mu"], cache["batch_var"] = mu, var
+                caches.append(cache)
+                out = y
+            else:
+                caches.append({"kind": "batchnorm_eval"})
+                out = k_batchnorm(out, w["gamma"], w["beta"], w["mean"], w["var"],
+                                  spec.cfg.get("eps", 1e-5))
+        elif spec.kind == "reshape":
+            caches.append({"kind": "reshape", "in_shape": out.shape})
+            out = out.reshape(out.shape[0], *spec.cfg["shape"])
+        elif spec.kind == "flatten":
+            caches.append({"kind": "flatten", "in_shape": out.shape})
+            out = out.reshape(out.shape[0], -1)
+        else:
+            raise ValueError(spec.kind)
+    return out, caches
+
+
+def backward(
+    dout: np.ndarray, specs: list[LayerSpec], weights: Weights, caches: list
+) -> tuple[Weights, np.ndarray]:
+    """Reverse sweep. ``dout`` is dL/d(post-activation of the last layer) for
+    non-dense tails, or dL/dpre when the caller already folded the
+    activation+loss pair (dense sigmoid-XENT / softmax-MCXENT — pass
+    ``dout_is_dpre=True`` semantics by pre-multiplying)."""
+    grads: Weights = {}
+    d = dout
+    for i in range(len(specs) - 1, -1, -1):
+        spec, cache = specs[i], caches[i]
+        kind = cache["kind"]
+        if kind == "dense":
+            # d is dL/dpre for the output layer (set by loss pairing) or
+            # dL/dy for hidden layers — callers of net_grads handle this by
+            # multiplying act_grad before recursing; here we expect dL/dpre.
+            dW = cache["x"].T @ d
+            db = d.sum(axis=0)
+            grads[spec.name] = {"W": dW, "b": db}
+            d = d @ cache["W"].T
+            if len(cache["in_shape"]) > 2:
+                d = d.reshape(cache["in_shape"])
+        elif kind == "conv2d":
+            d, g = conv2d_backward(d, cache)
+            grads[spec.name] = g
+        elif kind == "maxpool":
+            d = maxpool_backward(d, cache)
+        elif kind == "upsample":
+            d = upsample_backward(d, cache["factor"])
+        elif kind == "batchnorm":
+            d, g = batchnorm_backward(d, cache)
+            grads[spec.name] = g
+        elif kind == "batchnorm_eval":
+            raise RuntimeError("cannot backprop through eval-mode batchnorm")
+        elif kind == "reshape":
+            d = d.reshape(cache["in_shape"])
+        elif kind == "flatten":
+            d = d.reshape(cache["in_shape"])
+        # convention: dense layers receive dL/dpre. After stepping past a
+        # layer, if the earlier layer is dense, convert dL/dy → dL/dpre via
+        # its activation (conv layers fold their own act_grad internally).
+        if i > 0 and specs[i - 1].kind == "dense":
+            prev_cache = caches[i - 1]
+            d = d * act_grad(prev_cache["y"], prev_cache["activation"])
+    return grads, d
+
+
+# ---------------------------------------------------------------------------
 # network forward (K10)
 # ---------------------------------------------------------------------------
 
-def init_weights(specs: list[LayerSpec], input_dim: int, seed: int = DEFAULT_SEED) -> Weights:
-    """Xavier init (java:127), deterministic per (seed, layer index)."""
+def init_weights(
+    specs: list[LayerSpec], input_dim: int | tuple, seed: int = DEFAULT_SEED
+) -> Weights:
+    """Xavier init (java:127), deterministic per (seed, layer index).
+    ``input_dim``: flat feature count, or an (C, H, W) shape for conv input."""
     weights: Weights = {}
-    dim: tuple = (input_dim,)
+    dim: tuple = (input_dim,) if isinstance(input_dim, int) else tuple(input_dim)
     for i, spec in enumerate(specs):
         rng = np.random.default_rng(seed + i * 1009)
         if spec.kind == "dense":

@@ -49,7 +49,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from . import DEFAULT_SEED
-from .kernels import LayerSpec, Weights, act, act_grad, clip_grad, forward, init_weights
+from .kernels import LayerSpec, Weights, clip_grad, forward, init_weights
 
 
 # ---------------------------------------------------------------------------
@@ -87,38 +87,47 @@ def build_mlp(
 # local training step: dense backprop + RMSProp (K8) + clip (K9)
 # ---------------------------------------------------------------------------
 
-def mlp_grads(
-    x: np.ndarray, y: np.ndarray, specs: list[LayerSpec], weights: Weights
+def net_grads(
+    x: np.ndarray,
+    y: np.ndarray,
+    specs: list[LayerSpec],
+    weights: Weights,
+    bn_momentum: float = 0.9,
 ) -> tuple[Weights, float]:
-    """Backprop through a dense stack. Output-layer loss pairing follows the
-    reference: sigmoid→XENT (java:159-163), softmax→MCXENT (:357-363); both
-    give dpre = (p - y)/n."""
-    acts = [x.astype(np.float32)]
-    for spec in specs:
-        w = weights[spec.name]
-        acts.append(act(acts[-1] @ w["W"] + w["b"], spec.cfg.get("activation", "tanh")))
-    p = acts[-1]
+    """Backprop through an arbitrary layer stack (dense/conv2d/maxpool/
+    upsample/batchnorm/reshape/flatten) via kernels.forward_cached +
+    kernels.backward.
+
+    Output-layer loss pairing follows the reference: sigmoid→XENT
+    (java:159-163), softmax→MCXENT (:357-363); both give dL/dpre = (p - y)/n,
+    which is the convention kernels.backward expects for a dense last layer.
+
+    Side effect: batchnorm running mean/var in ``weights`` are updated with
+    the batch statistics (momentum ``bn_momentum``) — the A5 running-average
+    contract.
+    """
+    from .kernels import backward, forward_cached
+
+    x = x.astype(np.float32)
+    p, caches = forward_cached(x, specs, weights, training=True)
     eps = 1e-7
     out_act = specs[-1].cfg.get("activation")
     if out_act == "softmax":
         loss = float(-(y * np.log(p + eps)).sum(axis=1).mean())
     else:
         loss = float(-(y * np.log(p + eps) + (1 - y) * np.log(1 - p + eps)).mean())
-    n = x.shape[0]
-    grads: Weights = {}
-    delta = (p - y) / n  # dL/dpre for both sigmoid-XENT and softmax-MCXENT
-    for i in range(len(specs) - 1, -1, -1):
-        spec = specs[i]
-        w = weights[spec.name]
-        grads[spec.name] = {
-            "W": acts[i].T @ delta,
-            "b": delta.sum(axis=0),
-        }
-        if i > 0:
-            delta = (delta @ w["W"].T) * act_grad(
-                acts[i], specs[i - 1].cfg.get("activation", "tanh")
-            )
+    dout = (p - y) / x.shape[0]
+    grads, _ = backward(dout, specs, weights, caches)
+    for spec, cache in zip(specs, caches):
+        if cache.get("kind") == "batchnorm":
+            w = weights[spec.name]
+            w["mean"] = (bn_momentum * w["mean"] + (1 - bn_momentum) * cache["batch_mu"]).astype(np.float32)
+            w["var"] = (bn_momentum * w["var"] + (1 - bn_momentum) * cache["batch_var"]).astype(np.float32)
     return grads, loss
+
+
+# dense-only call sites and tests use the same generic implementation
+mlp_grads = net_grads
 
 
 def rmsprop_update(
@@ -191,6 +200,8 @@ def copy_weights_dict(dst: Weights, src: Weights, layer_map: dict[str, str]) -> 
     join form is operators.weights.copy_weights; at weight scale (MB) the
     driver dict is the faster physical plan."""
     for src_layer, dst_layer in layer_map.items():
+        if src_layer not in src:
+            continue  # parameterless layer (reshape/flatten/pool/upsample)
         dst[dst_layer] = {k: v.copy() for k, v in src[src_layer].items()}
 
 
@@ -334,6 +345,74 @@ class GanPipeline:
         )
         self.cv: Network | None = None
         self.history: list[dict] = []
+
+    @classmethod
+    def dcgan(
+        cls,
+        side: int = 28,
+        latent_dim: int = 2,
+        base_filters: int = 64,
+        n_classes: int = 10,
+        dis_lr: float = 0.002,
+        gen_lr: float = 0.004,
+        seed: int = DEFAULT_SEED,
+    ) -> "GanPipeline":
+        """The reference's conv topology family (dl4jGANComputerVision.java):
+
+        dis: (1,S,S) → conv5×5/2 F → conv5×5/2 2F → flatten → dense 1024 →
+             sigmoid(1)                                   (java:118-165)
+        gen: latent → dense 2F·(S/4)² → reshape (2F,S/4,S/4) → up×2 →
+             conv5×5 F → up×2 → conv5×5 1 sigmoid → flatten (java:173-221)
+
+        (BatchNorm layers of the reference are representable via
+        LayerSpec("...", "batchnorm"); kept out of the default topology for
+        step-time economy — add them to the spec lists to match exactly.)
+        """
+        assert side % 4 == 0, "side must be divisible by 4 (two stride/upsample 2s)"
+        f = base_filters
+        dis_specs = [
+            LayerSpec("dis_reshape", "reshape", {"shape": (1, side, side)}),
+            LayerSpec("dis_conv2d_0", "conv2d", {"filters": f, "kernel": 5, "stride": 2, "pad": 2, "activation": "tanh"}),
+            LayerSpec("dis_conv2d_1", "conv2d", {"filters": 2 * f, "kernel": 5, "stride": 2, "pad": 2, "activation": "tanh"}),
+            LayerSpec("dis_flat", "flatten"),
+            LayerSpec("dis_dense_0", "dense", {"units": 256, "activation": "tanh"}),
+            LayerSpec("dis_output", "dense", {"units": 1, "activation": "sigmoid"}),
+        ]
+        q = side // 4
+        gen_specs = [
+            LayerSpec("gen_dense_0", "dense", {"units": 2 * f * q * q, "activation": "tanh"}),
+            LayerSpec("gen_reshape", "reshape", {"shape": (2 * f, q, q)}),
+            LayerSpec("gen_up_0", "upsample", {"factor": 2}),
+            LayerSpec("gen_conv2d_0", "conv2d", {"filters": f, "kernel": 5, "stride": 1, "pad": 2, "activation": "tanh"}),
+            LayerSpec("gen_up_1", "upsample", {"factor": 2}),
+            LayerSpec("gen_conv2d_1", "conv2d", {"filters": 1, "kernel": 5, "stride": 1, "pad": 2, "activation": "sigmoid"}),
+            LayerSpec("gen_flat", "flatten"),
+        ]
+        self = cls.__new__(cls)
+        self.feature_dim = side * side
+        self.latent_dim = latent_dim
+        self.n_classes = n_classes
+        self.seed = seed
+        self.dis = Network(
+            dis_specs, init_weights(dis_specs, (1, side, side), seed),
+            {s.name: dis_lr for s in dis_specs},
+        )
+        self.gen = Network(
+            gen_specs, init_weights(gen_specs, latent_dim, seed + 1),
+            {s.name: gen_lr for s in gen_specs},
+        )
+        gan_specs = gen_specs + dis_specs
+        gan_weights = {
+            **{k: {p: a.copy() for p, a in v.items()} for k, v in self.gen.weights.items()},
+            **{k: {p: a.copy() for p, a in v.items()} for k, v in self.dis.weights.items()},
+        }
+        self.gan = Network(
+            gan_specs, gan_weights,
+            {**{s.name: gen_lr for s in gen_specs}, **{s.name: 0.0 for s in dis_specs}},
+        )
+        self.cv = None
+        self.history = []
+        return self
 
     # -- O4 steps -----------------------------------------------------------
 
