@@ -71,6 +71,50 @@ def vstack(*dfs: DataFrame) -> DataFrame:
     return out
 
 
+def asof_previous(
+    df: DataFrame,
+    partition: str,
+    order: str,
+    value_when: Column,
+    out_col: str = "asof_value",
+) -> DataFrame:
+    """As-of join, self form: for each row, the most recent preceding value of
+    ``value_when`` (a conditional column, null when not applicable) within the
+    partition. One window pass — no join at all, which is the cheapest as-of
+    physical plan when the probe and build sides share a table.
+
+    Two-table as-of joins reduce to this shape via unionByName + this window
+    (tag the sides, take value from the build side) — one shuffle total.
+    """
+    w = (
+        Window.partitionBy(partition)
+        .orderBy(order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return df.withColumn(out_col, F.last(value_when, ignorenulls=True).over(w))
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigated equi-join: explode the (small) right side into `salt`
+    replicas, scatter the left side across them. Turns one hot key's single
+    straggler partition into `salt` parallel partitions.
+
+    Use when AQE's skew splitting isn't available (e.g. the skew is in a
+    broadcast-ineligible mid-size table). Correctness-equivalent to a plain
+    join on ``key``.
+    """
+    l = left.withColumn("__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt)))
+    r = right.withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+    out = l.join(r, [key, "__salt"], how)
+    return out.drop("__salt")
+
+
 def positional_join(left: DataFrame, right: DataFrame) -> DataFrame:
     """J2: row-i ↔ row-i alignment via explicit monotonically-increasing ids.
 

@@ -535,6 +535,86 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "asof_last_purchase",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           last_value(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                   ROWS UNBOUNDED PRECEDING) AS last_purchase_us
+    FROM events
+    """,
+    doc="As-of join (self form): most recent preceding purchase timestamp per user — "
+        "one window pass, no join (custom operator per north-star scope)",
+)
+def q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import asof_previous
+
+    ev = _t(spark, sf_dir, "events").withColumn("ts_us", F.expr("ts_nanos div 1000"))
+    out = asof_previous(
+        ev, "user_id", "ts_us",
+        F.when(F.col("event_type") == "purchase", F.col("ts_us")),
+        out_col="last_purchase_us",
+    )
+    return out.select("event_id", "user_id", "event_type", "last_purchase_us")
+
+
+@register(
+    "range_join_ship_lag",
+    oracle="""
+    SELECT o.o_orderkey,
+           COUNT(*) AS n_shipped_30d,
+           ROUND(SUM(l.l_extendedprice), 2) AS val_shipped_30d
+    FROM orders o JOIN lineitem l
+      ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY
+    GROUP BY o.o_orderkey
+    """,
+    doc="Range join: equi-key + time-band predicate (lineitems shipped within 30 days "
+        "of order date); the band is evaluated post-equi-join, no quadratic blowup",
+)
+def q_range_join_ship_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_engine_conf(spark)
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cond = (
+        (li.l_orderkey == orders.o_orderkey)
+        & (li.l_shipdate >= orders.o_orderdate)
+        & (li.l_shipdate < orders.o_orderdate + F.expr("INTERVAL 30 DAYS"))
+    )
+    return (
+        orders.join(li, cond)
+        .groupBy("o_orderkey")
+        .agg(
+            F.count("*").alias("n_shipped_30d"),
+            F.round(F.sum("l_extendedprice"), 2).alias("val_shipped_30d"),
+        )
+    )
+
+
+@register(
+    "quantiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+           COUNT(DISTINCT l_suppkey) AS n_suppliers
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Exact interpolated percentiles + count-distinct per group (engine surface "
+        "beyond reference §2.4 note)",
+)
+def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5D)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9D)"), 4).alias("p90"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Streaming-shaped (tumbling window over events) — batch form here; the
 # streaming facade lives in streaming/windows.py

@@ -88,6 +88,24 @@ def test_param_average_two_forms_agree(spark, sf_dir):
             assert abs(want[(r["label"], pos)] - v) < 1e-9
 
 
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    """Skew salting must be correctness-transparent."""
+    from gan_deeplearning4j_spark.operators.relational import salted_join
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    plain = orders.join(li, "o_orderkey").groupBy().agg(
+        F.count("*").alias("n"), F.sum("l_quantity").alias("q")
+    ).first()
+    salted = salted_join(li, orders, "o_orderkey", salt=4).groupBy().agg(
+        F.count("*").alias("n"), F.sum("l_quantity").alias("q")
+    ).first()
+    assert plain["n"] == salted["n"]
+    assert abs(plain["q"] - salted["q"]) < 1e-6
+
+
 def test_weights_long_form_roundtrip(spark):
     from gan_deeplearning4j_spark.operators.weights import (
         long_to_vectors,
