@@ -49,9 +49,15 @@ def shingles(text: Column, n: int = 3) -> Column:
 
 
 def minhash_signature(text: Column, num_hashes: int = 32, shingle_n: int = 3) -> Column:
-    """MinHash signature: for hash j, min over shingles of
-    (a_j * h(s) + b_j) mod p  — a standard universal-hash MinHash family.
-    Deterministic (fixed a_j/b_j derived from j)."""
+    """MinHash signature as a single column expression: for hash j, min over
+    shingles of (a_j*h(s)+b_j) mod p — a universal-hash MinHash family,
+    deterministic (fixed a_j/b_j derived from j).
+
+    NOTE: expression form only for single-column composition. Catalyst's
+    project-collapse re-inlines the shared shingle-hash subexpression into
+    each of the num_hashes branches (O(num_hashes × shingles) hashing per
+    row). The table-scale path is ``minhash_signatures_df``, which hashes
+    each shingle exactly once."""
     sh = shingles(text, shingle_n)
     base = F.transform(sh, lambda s: F.abs(F.xxhash64(s)) % F.lit(_P))
 
@@ -65,6 +71,34 @@ def minhash_signature(text: Column, num_hashes: int = 32, shingle_n: int = 3) ->
         hashed = F.transform(base, perm(2 * j + 1, 9973 * (j + 1)))
         sigs.append(F.array_min(hashed))
     return F.array(*sigs)
+
+
+def minhash_signatures_df(
+    df: DataFrame, text_col: str, id_col: str,
+    num_hashes: int = 32, shingle_n: int = 3,
+) -> DataFrame:
+    """Scalable MinHash: explode distinct shingles → xxhash64 ONCE per
+    shingle → groupBy(id) with num_hashes cheap min-aggregates (map-side
+    partial aggregation ⇒ the shuffle carries num_hashes longs per doc, not
+    the shingles). Returns (id, __sig array<long>).
+
+    At 100 TB: rows after explode = total shingles, a narrow long column;
+    the aggregate is the same shape as any big groupBy — AQE-coalesced,
+    skew-safe (hot docs don't exist: one group per doc_id)."""
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("__sh"),
+    ).select(
+        id_col, (F.abs(F.xxhash64("__sh")) % F.lit(_P)).alias("__h")
+    )
+    aggs = [
+        F.min((F.col("__h") * (2 * j + 1) + 9973 * (j + 1)) % F.lit(_P)).alias(f"__m{j}")
+        for j in range(num_hashes)
+    ]
+    per_doc = exploded.groupBy(id_col).agg(*aggs)
+    return per_doc.select(
+        id_col, F.array(*[f"__m{j}" for j in range(num_hashes)]).alias("__sig")
+    )
 
 
 def minhash_lsh_candidates(
@@ -82,9 +116,8 @@ def minhash_lsh_candidates(
     documents) whose quadratic blowup would dominate at scale.
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("__id"),
-        minhash_signature(F.col(text_col), num_hashes).alias("__sig"),
+    sig = minhash_signatures_df(df, text_col, id_col, num_hashes).select(
+        F.col(id_col).alias("__id"), "__sig"
     )
     banded = sig.select(
         "__id",
