@@ -91,6 +91,100 @@ def lsh_bucketed_topk(
     )
 
 
+def embedding_neardup(
+    df: DataFrame, vec_col: str, id_col: str, threshold: float = 0.4,
+    round_to: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, exact form: every (id_a < id_b)
+    pair with round(cosine, round_to) >= threshold.
+
+    This is the oracle baseline (quadratic — DuckDB-checkable at small sf).
+    The scale path is ``embedding_neardup_lsh``: same output contract, but
+    candidates come from banded hyperplane-LSH buckets so the pair join is
+    bucket-local instead of all-pairs.
+    """
+    v = df.select(F.col(id_col), as_double(F.col(vec_col)).alias("__v"))
+    a = v.select(F.col(id_col).alias("id_a"), F.col("__v").alias("__va"))
+    b = v.select(F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"))
+    sim = F.round(cosine_similarity(F.col("__va"), F.col("__vb")), round_to)
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def hyperplane_bits(vec: Column, dim: int, bits: int = 16) -> Column:
+    """Array of sign bits (0/1) against `bits` deterministic pseudo-random
+    hyperplanes — the banded form of ``hyperplane_signature``."""
+    def plane(b: int) -> Column:
+        comps = [
+            F.element_at(vec, i + 1)
+            * ((F.lit((hash((b, i)) % 2000) / 1000.0) - 1.0))
+            for i in range(dim)
+        ]
+        s = comps[0]
+        for c in comps[1:]:
+            s = s + c
+        return F.when(s >= 0, F.lit(1)).otherwise(F.lit(0))
+
+    return F.array(*[plane(b) for b in range(bits)])
+
+
+def embedding_neardup_lsh(
+    df: DataFrame, vec_col: str, id_col: str, dim: int,
+    threshold: float = 0.4, bands: int = 4, rows_per_band: int = 4,
+    round_to: int = 6, max_bucket: int = 10_000,
+) -> DataFrame:
+    """Banded hyperplane-LSH near-dup: vectors sharing ANY band of sign bits
+    become candidates; candidates get the exact cosine verify.
+
+    Same output contract as ``embedding_neardup`` (recall < 1 by design —
+    banding sets the recall/cost point: P(candidate) = 1-(1-p^r)^b where
+    p = 1 - angle/pi). Scale shape mirrors MinHash LSH: the join key is
+    (band_id, band_val) — a shuffle on buckets, never an all-pairs product;
+    ``max_bucket`` caps degenerate buckets (e.g. all-zero vectors).
+    """
+    bits = bands * rows_per_band
+    v = df.select(F.col(id_col), as_double(F.col(vec_col)).alias("__v"))
+    sig = v.withColumn("__bits", hyperplane_bits(F.col("__v"), dim, bits))
+    banded = sig.select(
+        id_col, "__v",
+        F.posexplode(
+            F.array(*[
+                # pack the band's bits into one int join key
+                F.aggregate(
+                    F.slice("__bits", b * rows_per_band + 1, rows_per_band),
+                    F.lit(0), lambda acc, x: acc * 2 + x,
+                )
+                for b in range(bands)
+            ])
+        ).alias("band_id", "band_val"),
+    )
+    sized = banded.withColumn(
+        "__bs", F.count("*").over(Window.partitionBy("band_id", "band_val"))
+    ).filter(F.col("__bs") <= max_bucket).drop("__bs")
+    a = sized.select(
+        F.col(id_col).alias("id_a"), F.col("__v").alias("__va"),
+        "band_id", "band_val",
+    )
+    b = sized.select(
+        F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"),
+        "band_id", "band_val",
+    )
+    cand = (
+        a.join(b, ["band_id", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__va", "__vb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sim = F.round(cosine_similarity(F.col("__va"), F.col("__vb")), round_to)
+    return (
+        cand.select("id_a", "id_b", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def ivf_topk(
     corpus: DataFrame, queries: DataFrame, vec_col: str, id_col: str,
     query_id: str, k: int = 10, n_centroids: int = 16, nprobe: int = 4,

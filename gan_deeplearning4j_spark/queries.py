@@ -1012,6 +1012,42 @@ def q_simhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_neardup",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+    """,
+    doc="North-star embedding-cosine near-dup: exact pair baseline (oracled); "
+        "banded-LSH scale path is embedding_neardup_lsh",
+)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import embedding_neardup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_neardup(emb, "embedding", "vec_id", threshold=0.4)
+
+
+@register(
+    "embedding_neardup_lsh",
+    oracle=None,
+    doc="North-star embedding near-dup at scale: banded hyperplane-LSH candidates "
+        "(bucket-keyed join, never all-pairs) + exact cosine verify",
+)
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import embedding_neardup_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_neardup_lsh(
+        emb, "embedding", "vec_id", dim=64, threshold=0.35,
+        bands=4, rows_per_band=4,
+    )
+
+
+@register(
     "gan_grid_inference",
     oracle=None,
     doc="O5/K10/R3/W3: latent grid → generator forward via distributed mapInPandas, "
@@ -1050,8 +1086,31 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "lang_detect",
-    oracle=None,
-    doc="North-star language-ID heuristic (stopword hit-rate argmax) vs labeled lang",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents
+    ), scores AS (
+      SELECT doc_id, lang,
+        len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is'))) AS s_en,
+        len(list_filter(t, x -> x IN ('der','die','das','und','ist','ein'))) AS s_de,
+        len(list_filter(t, x -> x IN ('le','la','les','et','est','un'))) AS s_fr,
+        len(list_filter(t, x -> x IN ('el','la','los','y','es','un'))) AS s_es,
+        len(list_filter(t, x -> x IN ('的','是','了','在'))) AS s_zh
+      FROM toks
+    )
+    SELECT doc_id, lang,
+      CASE WHEN greatest(s_en,s_de,s_fr,s_es,s_zh) <= 0 THEN 'und'
+           WHEN s_en = greatest(s_en,s_de,s_fr,s_es,s_zh) THEN 'en'
+           WHEN s_de = greatest(s_en,s_de,s_fr,s_es,s_zh) THEN 'de'
+           WHEN s_fr = greatest(s_en,s_de,s_fr,s_es,s_zh) THEN 'fr'
+           WHEN s_es = greatest(s_en,s_de,s_fr,s_es,s_zh) THEN 'es'
+           WHEN s_zh = greatest(s_en,s_de,s_fr,s_es,s_zh) THEN 'zh'
+           ELSE 'und' END AS pred_lang
+    FROM scores
+    """,
+    doc="North-star language-ID heuristic (stopword hit-rate argmax) vs labeled lang; "
+        "tie-break = first language in STOPWORDS order, mirrored in the CASE chain",
 )
 def q_lang_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")

@@ -1,0 +1,155 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``.
+
+The reference's only "state" is driver-held model weights between epochs
+(dl4jGANComputerVision.java:408-621, a bounded batch loop); Structured
+Streaming's arbitrary-stateful operator is the engine's scale-path analogue:
+per-key state lives in the executor state store (partitioned by group key,
+checkpointed, RocksDB-backed on a real cluster), so state size scales with
+#keys across the cluster, never with stream length or driver memory.
+
+Two operators:
+- ``running_user_totals`` — unbounded per-key running aggregates (count /
+  sum / max event time), emitted once per micro-batch per active key.
+- ``stateful_sessionize`` — gap-based sessionization where the session
+  accumulator is explicit state; closed sessions are emitted when a later
+  event for the same key arrives past the gap. (The batch-form equivalent —
+  the DuckDB-oracled ``sessionize`` query — is the correctness anchor; the
+  stream-vs-batch test pins the two to each other.)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql import types as T
+
+RUNNING_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+        T.StructField("last_ts", T.TimestampType()),
+        T.StructField("emit_seq", T.LongType()),
+    ]
+)
+
+RUNNING_STATE = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+        T.StructField("last_ts", T.TimestampType()),
+        T.StructField("seq", T.LongType()),
+    ]
+)
+
+
+def _running_fn(
+    key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    n, total, last_ts, seq = (
+        state.get if state.exists else (0, 0.0, None, 0)
+    )
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        batch_max = pdf["ts"].max()
+        if last_ts is None or batch_max > last_ts:
+            last_ts = batch_max
+    seq += 1
+    state.update((n, total, last_ts, seq))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "sum_value": [total],
+            "last_ts": [last_ts],
+            "emit_seq": [seq],
+        }
+    )
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Per-user running (count, sum(value), max ts), maintained in GroupState
+    across micro-batches. Emits the updated totals for every key touched by a
+    batch (output mode: update); ``emit_seq`` orders a key's emissions so a
+    downstream consumer (or test) can take the latest.
+
+    Scale: one state row per user, hash-partitioned by user_id across the
+    cluster's state store — the shuffle is the same groupBy shuffle the batch
+    aggregate pays, amortized over the stream's lifetime.
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _running_fn,
+        outputStructType=RUNNING_OUTPUT,
+        stateStructType=RUNNING_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+SESSION_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+SESSION_STATE = T.StructType(
+    [
+        T.StructField("start", T.TimestampType()),
+        T.StructField("end", T.TimestampType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def _session_fn_factory(gap_seconds: int):
+    gap = pd.Timedelta(seconds=gap_seconds)
+
+    def fn(
+        key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        start, end, n = state.get if state.exists else (None, None, 0)
+        closed: list[tuple] = []
+        # a key's batch slice may arrive as several Arrow chunks; order the
+        # whole slice by time before applying the gap rule (one key's batch
+        # fits in memory — that is the applyInPandasWithState contract).
+        # Cross-batch order is the source's responsibility (per-key ordered
+        # ingest, e.g. keyed Kafka partitions); out-of-order-across-batch
+        # events need the event-time-timeout variant, out of round-1 scope.
+        all_ts = pd.concat([pdf["ts"] for pdf in pdfs])
+        for ts in all_ts.sort_values():
+            if start is None:
+                start, end, n = ts, ts, 1
+            elif ts - end <= gap:
+                end, n = max(end, ts), n + 1
+            else:
+                closed.append((key[0], start, end, n))
+                start, end, n = ts, ts, 1
+        state.update((start, end, n))
+        yield pd.DataFrame(
+            closed, columns=["user_id", "session_start", "session_end", "n_events"]
+        )
+
+    return fn
+
+
+def stateful_sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Gap-based sessionization with explicit GroupState: a key's open session
+    is the state; a new event past the gap closes and emits it. The final
+    still-open session per key stays in state (a production job ages it out
+    with an event-time timeout; the batch-form ``sessionize`` query is the
+    bounded-input equivalent that also emits the last session).
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _session_fn_factory(gap_seconds),
+        outputStructType=SESSION_OUTPUT,
+        stateStructType=SESSION_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -84,13 +84,17 @@ def read_events_stream(spark: SparkSession, path: str,
 
 
 def run_stream_to_memory(stream_df: DataFrame, query_name: str,
-                         timeout_sec: int = 60) -> None:
+                         timeout_sec: int = 60,
+                         output_mode: str = "complete") -> None:
     """Drive a streaming aggregate to completion into an in-memory sink
-    (test/dev harness; production uses a real sink + checkpointLocation)."""
+    (test/dev harness; production uses a real sink + checkpointLocation).
+    Stateful applyInPandasWithState operators pass their own mode
+    ("update"/"append"); in those modes the memory sink appends each
+    trigger's emissions, so consumers take the latest row per key."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

@@ -71,6 +71,41 @@ def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
     assert all(r["count"] == 5 for r in counts)
 
 
+def test_embedding_neardup_lsh_finds_planted_dups(spark):
+    """Banded hyperplane-LSH near-dup must recover planted jittered copies
+    (cos ≈ 0.999) with high recall, and the exact form must find all of them."""
+    from gan_deeplearning4j_spark.operators.similarity import (
+        embedding_neardup,
+        embedding_neardup_lsh,
+    )
+
+    rng = np.random.default_rng(666)
+    dim = 16
+    base = rng.normal(size=(20, dim))
+    rows = [(i, base[i].tolist()) for i in range(20)]
+    # plant: ids 100+i are tiny perturbations of ids 0..9
+    for i in range(10):
+        rows.append((100 + i, (base[i] + rng.normal(scale=0.01, size=dim)).tolist()))
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+
+    planted = {(i, 100 + i) for i in range(10)}
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup(df, "vec", "id", threshold=0.9).collect()
+    }
+    assert planted <= exact
+
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_lsh(
+            df, "vec", "id", dim=dim, threshold=0.9, bands=4, rows_per_band=4
+        ).collect()
+    }
+    # every approx pair is a true pair; recall >= 0.8 on near-identical copies
+    assert approx <= exact
+    assert len(approx & planted) >= 8, approx
+
+
 def test_param_average_two_forms_agree(spark, sf_dir):
     """A1 equivalence (SURVEY §7 M3): posexplode/avg SQL form vs array-fold
     form must produce identical means."""

@@ -37,3 +37,92 @@ def test_tumbling_stream_matches_batch(spark, sf_dir, tmp_path):
     assert len(got_s) == len(want_s)
     assert (got_s["n"].to_numpy() == want_s["n"].to_numpy()).all()
     assert abs(got_s["sum_value"].to_numpy() - want_s["sum_value"].to_numpy()).max() < 1e-6
+
+
+def test_stateful_running_totals_match_batch(spark, sf_dir, tmp_path):
+    """applyInPandasWithState running totals: the latest emission per user
+    (max emit_seq) must equal the batch groupBy aggregate."""
+    from gan_deeplearning4j_spark.streaming.stateful import running_user_totals
+
+    ev = load_events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    src = str(tmp_path / "events_state")
+    ev.repartition(4).write.parquet(src)
+
+    stream = read_events_stream(spark, src, max_files_per_trigger=2)
+    out = running_user_totals(stream)
+    run_stream_to_memory(out, "running_totals_test", timeout_sec=120,
+                         output_mode="update")
+
+    got = spark.sql(
+        """select user_id, n_events, sum_value from (
+             select *, row_number() over (partition by user_id
+                                          order by emit_seq desc) rn
+             from running_totals_test) where rn = 1"""
+    ).toPandas().sort_values("user_id").reset_index(drop=True)
+    want = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .toPandas().sort_values("user_id").reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert (got["n_events"].to_numpy() == want["n_events"].to_numpy()).all()
+    assert abs(got["sum_value"].to_numpy() - want["sum_value"].to_numpy()).max() < 1e-6
+
+
+def test_stateful_sessionize_matches_batch(spark, sf_dir, tmp_path):
+    """Gap-sessionization with explicit GroupState: closed sessions emitted by
+    the stream must be exactly the batch sessionize result minus each user's
+    final (still-open) session."""
+    from gan_deeplearning4j_spark.streaming.stateful import stateful_sessionize
+
+    ev = load_events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    # cross-batch per-key order: sort by ts and write range-partitioned files
+    src = str(tmp_path / "events_sess")
+    (ev.repartitionByRange(4, "ts").sortWithinPartitions("ts")
+       .write.parquet(src))
+    # FileStreamSource orders micro-batches by file mtime; the four part
+    # files land within the same millisecond, so pin ascending mtimes to make
+    # "per-key ordered ingest" (the operator's contract) actually hold
+    import glob as _glob
+    import os as _os
+    import time as _time
+    base = _time.time()
+    for i, f in enumerate(sorted(_glob.glob(src + "/part-*"))):
+        _os.utime(f, (base + 10 * i, base + 10 * i))
+
+    stream = read_events_stream(spark, src, max_files_per_trigger=1)
+    out = stateful_sessionize(stream, gap_seconds=1800)
+    run_stream_to_memory(out, "sessionize_test", timeout_sec=120,
+                         output_mode="append")
+    got = spark.sql(
+        "select user_id, session_start, n_events from sessionize_test"
+    ).toPandas()
+
+    # batch truth: same gap rule via lag + running sum
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy("ts")
+    prev = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev.isNull()
+        | (F.col("ts").cast("double") - prev.cast("double") > 1800), 1
+    ).otherwise(0)
+    sess = (
+        ev.withColumn("new_sess", new_sess)
+        .withColumn("session_seq", F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "session_seq")
+        .agg(F.min("ts").alias("session_start"), F.count("*").alias("n_events"))
+    )
+    want = sess.toPandas()
+    # drop each user's last (still-open) session — the stream keeps it in state
+    last_seq = want.groupby("user_id")["session_seq"].transform("max")
+    want_closed = want[want["session_seq"] != last_seq]
+
+    gk = {(r.user_id, r.session_start, r.n_events) for r in got.itertuples()}
+    wk = {(r.user_id, r.session_start, r.n_events)
+          for r in want_closed.itertuples()}
+    assert gk == wk, (sorted(gk - wk)[:5], sorted(wk - gk)[:5])
