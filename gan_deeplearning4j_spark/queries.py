@@ -1119,6 +1119,140 @@ def q_lang_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Relational widening 2: semi/anti joins, correlated scalar subquery,
+# cube, distinct aggregates (full join/agg surface the engine exposes)
+# ---------------------------------------------------------------------------
+
+@register(
+    "semi_anti_join",
+    oracle="""
+    SELECT o_orderpriority, 'has_return' AS kind, COUNT(*) AS n
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    UNION ALL
+    SELECT o_orderpriority, 'no_return' AS kind, COUNT(*) AS n
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+    doc="left_semi / left_anti joins (EXISTS / NOT EXISTS): orders with vs "
+        "without returned lineitems, counted per priority",
+)
+def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    returned = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+    )
+    semi = (
+        orders.join(returned, "o_orderkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .withColumn("kind", F.lit("has_return"))
+    )
+    anti = (
+        orders.join(returned, "o_orderkey", "left_anti")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .withColumn("kind", F.lit("no_return"))
+    )
+    return vstack(semi, anti).select("o_orderpriority", "kind", "n")
+
+
+@register(
+    "scalar_subquery_avg",
+    oracle="""
+    SELECT l_partkey, ROUND(SUM(l_extendedprice), 2) AS small_order_revenue
+    FROM lineitem l,
+         (SELECT l_partkey AS pk, 0.5 * AVG(l_quantity) AS lim
+          FROM lineitem GROUP BY l_partkey) a
+    WHERE l.l_partkey = a.pk AND l.l_quantity < a.lim
+    GROUP BY l_partkey
+    """,
+    doc="Correlated scalar subquery (TPC-H q17 shape): lineitems below half "
+        "their part's average quantity. Spark plan: partial agg on l_partkey "
+        "reused via shuffle join — no per-row subquery execution",
+)
+def q_scalar_subquery_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    lim = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.avg("l_quantity") * 0.5).alias("lim")
+    )
+    return (
+        li.join(lim, li.l_partkey == lim.pk)
+        .filter(F.col("l_quantity") < F.col("lim"))
+        .groupBy("l_partkey")
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("small_order_revenue"))
+    )
+
+
+@register(
+    "cube_agg",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="CUBE over two dimensions (grouping-sets family; rollup_agg covers "
+        "ROLLUP). Map-side partial agg per grouping set, one shuffle",
+)
+def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+@register(
+    "distinct_agg",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="COUNT(DISTINCT) aggregates (expand + two-phase agg in Spark); the "
+        "sketch form is approx_distinct",
+)
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "approx_distinct",
+    oracle=None,
+    doc="HyperLogLog++ approx_count_distinct — the 100 TB-scale form of "
+        "distinct_agg (sketches merge map-side; no expand, rsd=0.02). "
+        "Accuracy pinned vs exact in tests/test_operators.py",
+)
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_suppkey", rsd=0.02).alias("approx_supps"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 

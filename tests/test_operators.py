@@ -155,3 +155,13 @@ def test_weights_long_form_roundtrip(spark):
     got = {(r["layer"], r["param"]): r["vec"] for r in back}
     assert got[("l1", "W")] == [1.0, 2.0, 3.0]
     assert got[("l2", "W")] == [9.0, 8.0]
+
+
+def test_approx_distinct_within_rsd(spark, sf_dir):
+    """HLL++ sketch counts must sit within ~3× the declared rsd of exact."""
+    approx = REGISTRY["approx_distinct"].fn(spark, sf_dir).toPandas()
+    exact = REGISTRY["distinct_agg"].fn(spark, sf_dir).toPandas()
+    m = approx.merge(exact, on="l_returnflag")
+    for a, e in [("approx_parts", "n_parts"), ("approx_supps", "n_supps")]:
+        rel = (m[a] - m[e]).abs() / m[e]
+        assert rel.max() < 0.06, (a, m[[("l_returnflag"), a, e]])
