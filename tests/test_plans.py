@@ -116,3 +116,45 @@ def test_mllib_pipeline_composes_and_fuses(spark, sf_dir):
     stats = TextStats().transform(docs)
     row = stats.select("n_tokens", "distinct_ratio", "lang_pred").first()
     assert row["n_tokens"] > 0
+
+
+def test_semi_anti_joins_broadcast(spark, sf_dir):
+    """EXISTS/NOT EXISTS compile to broadcast semi/anti hash joins (the
+    returned-orderkeys build side is small after the 'R' filter)."""
+    df = REGISTRY["semi_anti_join"].fn(spark, sf_dir)
+    assert count_operator(df, "BroadcastHashJoin") == 2
+    assert count_operator(df, "SortMergeJoin") == 0
+    pf = pushed_filters(df)
+    assert any("l_returnflag" in f for f in pf), pf
+
+
+def test_scalar_subquery_two_phase_agg(spark, sf_dir):
+    """The q17-shape avg-limit rewrite: partial aggregation on both the limit
+    build and the final revenue agg (4 HashAggregates), no nested-loop."""
+    df = REGISTRY["scalar_subquery_avg"].fn(spark, sf_dir)
+    assert count_operator(df, "HashAggregate") == 4
+    assert count_operator(df, "BroadcastNestedLoopJoin") == 0
+
+
+def test_cube_partial_aggregation(spark, sf_dir):
+    """CUBE expands grouping sets map-side then two-phase aggregates — one
+    shuffle, not one per grouping set."""
+    df = REGISTRY["cube_agg"].fn(spark, sf_dir)
+    assert count_operator(df, "Expand") >= 1
+    assert count_operator(df, "HashAggregate") == 2
+    from gan_deeplearning4j_spark.plans.explain import plan_tree
+    assert plan_tree(df).count("- Exchange") == 1
+
+
+def test_minhash_signature_single_shingle_hash(spark, sf_dir):
+    """The table-scale MinHash path hashes each shingle once: exactly one
+    xxhash64 of the shingle column in the plan (not num_hashes copies)."""
+    from gan_deeplearning4j_spark.operators.dedup import minhash_signatures_df
+    from gan_deeplearning4j_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = minhash_signatures_df(docs, "text", "doc_id", num_hashes=16)
+    tree = formatted_plan(df)
+    assert tree.count("xxhash64") <= 2, tree[:2000]
+    # and the per-doc aggregate is two-phase (map-side partial min)
+    assert count_operator(df, "HashAggregate") == 2
