@@ -39,13 +39,41 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def shingles(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingle set (distinct) from a text column."""
+    """Word n-gram shingle set (distinct) from a text column.
+
+    Built by zip_with over shifted slices — each array input is evaluated
+    once per row. (The tempting transform(sequence(...), i ->
+    array_join(slice(toks, i, n))) form re-evaluates the token array inside
+    the lambda for every index — O(tokens²) per document.)"""
     toks = F.split(F.trim(F.lower(text)), r"\s+")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    grams = F.transform(
-        idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
-    )
-    return F.array_distinct(grams)
+    nn = F.size(toks)
+    z = toks
+    for k in range(1, n):
+        z = F.zip_with(
+            z,
+            F.slice(toks, k + 1, F.greatest(nn - k, F.lit(1))),
+            lambda x, y: F.concat_ws(" ", x, y),  # concat_ws skips the
+        )                                          # null padding on short docs
+    return F.array_distinct(F.slice(z, 1, F.greatest(nn - (n - 1), F.lit(1))))
+
+
+def shingle_hashes(text: Column, n: int = 3) -> Column:
+    """Distinct n-gram hashes in [0, P): tokens hashed ONCE with xxhash64,
+    consecutive hashes combined arithmetically (h1·a + h2 mod P rolling) —
+    no shingle strings are ever materialized, and every step is linear in
+    document length. This is the scale form backing MinHash."""
+    toks = F.split(F.trim(F.lower(text)), r"\s+")
+    th = F.transform(toks, lambda s: F.abs(F.xxhash64(s)) % F.lit(_P))
+    nn = F.size(th)
+    z = th
+    for k in range(1, n):
+        z = F.zip_with(
+            z,
+            F.slice(th, k + 1, F.greatest(nn - k, F.lit(1))),
+            # coalesce: short docs keep a partial-gram hash instead of null
+            lambda x, y: (x * 524287 + F.coalesce(y, F.lit(0))) % F.lit(_P),
+        )
+    return F.array_distinct(F.slice(z, 1, F.greatest(nn - (n - 1), F.lit(1))))
 
 
 def minhash_signature(text: Column, num_hashes: int = 32, shingle_n: int = 3) -> Column:
@@ -53,13 +81,12 @@ def minhash_signature(text: Column, num_hashes: int = 32, shingle_n: int = 3) ->
     shingles of (a_j*h(s)+b_j) mod p — a universal-hash MinHash family,
     deterministic (fixed a_j/b_j derived from j).
 
-    NOTE: expression form only for single-column composition. Catalyst's
-    project-collapse re-inlines the shared shingle-hash subexpression into
-    each of the num_hashes branches (O(num_hashes × shingles) hashing per
-    row). The table-scale path is ``minhash_signatures_df``, which hashes
-    each shingle exactly once."""
-    sh = shingles(text, shingle_n)
-    base = F.transform(sh, lambda s: F.abs(F.xxhash64(s)) % F.lit(_P))
+    NOTE: expression form only for single-column composition — Catalyst's
+    project-collapse re-inlines the shingle-hash subexpression into each of
+    the num_hashes branches (num_hashes × linear re-evaluations per row).
+    The table-scale path is ``minhash_signatures_df``: one explode + one
+    two-phase aggregate."""
+    base = shingle_hashes(text, shingle_n)
 
     def perm(a: int, b: int):
         # closure factory: a default-arg lambda would change pyspark's
@@ -77,8 +104,9 @@ def minhash_signatures_df(
     df: DataFrame, text_col: str, id_col: str,
     num_hashes: int = 32, shingle_n: int = 3,
 ) -> DataFrame:
-    """Scalable MinHash: explode distinct shingles → xxhash64 ONCE per
-    shingle → groupBy(id) with num_hashes cheap min-aggregates (map-side
+    """Scalable MinHash: ``shingle_hashes`` (tokens hashed once, grams
+    combined arithmetically — no shingle strings) → explode → groupBy(id)
+    with num_hashes cheap min-aggregates (map-side
     partial aggregation ⇒ the shuffle carries num_hashes longs per doc, not
     the shingles). Returns (id, __sig array<long>).
 
@@ -87,9 +115,7 @@ def minhash_signatures_df(
     skew-safe (hot docs don't exist: one group per doc_id)."""
     exploded = df.select(
         F.col(id_col),
-        F.explode(shingles(F.col(text_col), shingle_n)).alias("__sh"),
-    ).select(
-        id_col, (F.abs(F.xxhash64("__sh")) % F.lit(_P)).alias("__h")
+        F.explode(shingle_hashes(F.col(text_col), shingle_n)).alias("__h"),
     )
     aggs = [
         F.min((F.col("__h") * (2 * j + 1) + 9973 * (j + 1)) % F.lit(_P)).alias(f"__m{j}")

@@ -43,25 +43,51 @@ def brute_force_topk(
     )
 
 
-def hyperplane_signature(vec: Column, dim: int, bits: int = 16) -> Column:
-    """Sign pattern against `bits` pseudo-random hyperplanes. The hyperplane
-    matrix is derived deterministically from (bit, dim) via a hash — no RNG
-    state to ship."""
-    def plane(b: int) -> Column:
-        comps = [
-            F.element_at(vec, i + 1)
-            * ((F.lit((hash((b, i)) % 2000) / 1000.0) - 1.0))
-            for i in range(dim)
-        ]
-        s = comps[0]
-        for c in comps[1:]:
-            s = s + c
-        return F.when(s >= 0, F.lit(1)).otherwise(F.lit(0))
+def _planes_lit(dim: int, bits: int) -> Column:
+    """bits×dim hyperplane matrix as a foldable literal (weights derived
+    deterministically from (bit, component) — no RNG state to ship). Constant
+    folding collapses it to one array literal, so the plan carries data, not
+    a dim×bits expression tree."""
+    return F.array(*[
+        F.array(*[
+            F.lit((hash((b, i)) % 2000) / 1000.0 - 1.0) for i in range(dim)
+        ])
+        for b in range(bits)
+    ])
 
-    sig = F.lit(0).cast("long")
-    for b in range(bits):
-        sig = sig * 2 + plane(b)
-    return sig
+
+def hyperplane_bits(vec: Column, dim: int, bits: int = 16) -> Column:
+    """Array of sign bits (0/1) against `bits` deterministic pseudo-random
+    hyperplanes, as zip_with dot products against the literal plane matrix.
+
+    (The unrolled element_at(vec,i)*w_bi sum — dim×bits AST nodes — blows
+    past janino's 64 KB method limit at dim 64 and forces interpreted
+    evaluation; this form stays a tiny loop inside codegen. `vec` should be
+    a plain column reference: higher-order lambdas re-evaluate computed
+    subexpressions per element.)"""
+    planes = _planes_lit(dim, bits)
+    return F.transform(
+        planes,
+        lambda p: F.when(
+            F.aggregate(
+                F.zip_with(vec, p, lambda x, w: x * w),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            >= 0,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+
+
+def hyperplane_signature(vec: Column, dim: int, bits: int = 16) -> Column:
+    """Sign pattern packed into one long (the bucketing key form of
+    ``hyperplane_bits``)."""
+    return F.aggregate(
+        hyperplane_bits(vec, dim, bits),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc * 2 + b,
+    )
 
 
 def lsh_bucketed_topk(
@@ -114,23 +140,6 @@ def embedding_neardup(
     )
 
 
-def hyperplane_bits(vec: Column, dim: int, bits: int = 16) -> Column:
-    """Array of sign bits (0/1) against `bits` deterministic pseudo-random
-    hyperplanes — the banded form of ``hyperplane_signature``."""
-    def plane(b: int) -> Column:
-        comps = [
-            F.element_at(vec, i + 1)
-            * ((F.lit((hash((b, i)) % 2000) / 1000.0) - 1.0))
-            for i in range(dim)
-        ]
-        s = comps[0]
-        for c in comps[1:]:
-            s = s + c
-        return F.when(s >= 0, F.lit(1)).otherwise(F.lit(0))
-
-    return F.array(*[plane(b) for b in range(bits)])
-
-
 def embedding_neardup_lsh(
     df: DataFrame, vec_col: str, id_col: str, dim: int,
     threshold: float = 0.4, bands: int = 4, rows_per_band: int = 4,
@@ -164,23 +173,23 @@ def embedding_neardup_lsh(
     sized = banded.withColumn(
         "__bs", F.count("*").over(Window.partitionBy("band_id", "band_val"))
     ).filter(F.col("__bs") <= max_bucket).drop("__bs")
-    a = sized.select(
-        F.col(id_col).alias("id_a"), F.col("__v").alias("__va"),
-        "band_id", "band_val",
-    )
-    b = sized.select(
-        F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"),
-        "band_id", "band_val",
-    )
+    # candidate ids only through the bucket join + distinct (two longs per
+    # row); vectors re-attach afterwards so no dim-sized payload rides the
+    # candidate shuffles
+    a = sized.select(F.col(id_col).alias("id_a"), "band_id", "band_val")
+    b = sized.select(F.col(id_col).alias("id_b"), "band_id", "band_val")
     cand = (
         a.join(b, ["band_id", "band_val"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "__va", "__vb")
-        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b")
+        .distinct()
     )
+    va = v.select(F.col(id_col).alias("id_a"), F.col("__v").alias("__va"))
+    vb = v.select(F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"))
     sim = F.round(cosine_similarity(F.col("__va"), F.col("__vb")), round_to)
     return (
-        cand.select("id_a", "id_b", sim.alias("cos_sim"))
+        cand.join(va, "id_a").join(vb, "id_b")
+        .select("id_a", "id_b", sim.alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
 
