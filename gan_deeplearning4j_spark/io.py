@@ -95,3 +95,33 @@ def write_headerless_csv(df: DataFrame, path: str, mode: str = "overwrite") -> N
 def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """S10-equivalent artifact sink (weights tables, checkpoints)."""
     df.write.mode(mode).parquet(path)
+
+
+def read_json(spark: SparkSession, path: str,
+              schema: T.StructType | None = None) -> DataFrame:
+    """JSON lines source. Always pass a schema in production: schema
+    inference is a full extra pass over the data (fatal at 100 TB), and an
+    explicit schema keeps column pruning + predicate pushdown effective."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON lines sink (one object per row; splittable when uncompressed or
+    zstd-framed)."""
+    df.write.mode(mode).json(path)
+
+
+def read_orc(spark: SparkSession, path: str,
+             schema: T.StructType | None = None) -> DataFrame:
+    """ORC source — columnar like parquet; pushdown/pruning apply the same."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)

@@ -202,25 +202,39 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     are the LSH bucketing keys (near-dups share ≥1 band with high prob)."""
     import hashlib
 
+    import numpy as np
     from pyspark.sql.functions import pandas_udf
+
+    _weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
 
     @pandas_udf("long")
     def _simhash(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            votes = [0] * 64
-            for tok in (t or "").lower().split():
-                h = int.from_bytes(
-                    hashlib.blake2b(tok.encode(), digest_size=8).digest(), "little"
+        # per-Arrow-batch token cache: real corpora share most of their
+        # vocabulary across documents, so each distinct token is hashed and
+        # bit-unpacked once per batch, and the per-document work is one
+        # vectorized vote sum
+        cache: dict[str, np.ndarray] = {}
+
+        def bits_of(tok: str) -> np.ndarray:
+            b = cache.get(tok)
+            if b is None:
+                h = hashlib.blake2b(tok.encode(), digest_size=8).digest()
+                b = np.unpackbits(
+                    np.frombuffer(h, dtype=np.uint8), bitorder="little"
                 )
-                for b in range(64):
-                    votes[b] += 1 if (h >> b) & 1 else -1
-            sig = 0
-            for b in range(64):
-                if votes[b] > 0:
-                    sig |= 1 << b
-            # int64: fold the sign bit
-            out.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
+                cache[tok] = b
+            return b
+
+        out = np.empty(len(texts), dtype=np.int64)
+        for k, t in enumerate(texts):
+            toks = (t or "").lower().split()
+            if not toks:
+                out[k] = 0
+                continue
+            ones = np.sum([bits_of(tok) for tok in toks], axis=0, dtype=np.int64)
+            # majority vote: +1/-1 sum > 0  ⟺  2·ones > n (ties → bit 0)
+            sig_bits = (2 * ones > len(toks)).astype(np.uint64)
+            out[k] = (sig_bits * _weights).sum().astype(np.uint64).view(np.int64)
         return pd.Series(out)
 
     sig = df.select(F.col(id_col), _simhash(F.col(text_col)).alias("simhash"))

@@ -51,3 +51,35 @@ def test_positional_join_aligns_rows(spark):
     j = positional_join(preds, labels).orderBy("p").collect()
     pairs = {(r["p"], r["y"]) for r in j}
     assert pairs == {(0.9, 1), (0.1, 0), (0.8, 1)}
+
+
+def test_json_roundtrip_with_schema(spark, sf_dir, tmp_path):
+    """JSON source/sink: schema-declared read back equals the written data
+    (arrays survive; no inference pass when schema given)."""
+    from gan_deeplearning4j_spark.io import load_table, read_json, write_json
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    p = str(tmp_path / "emb_json")
+    write_json(emb, p)
+    back = read_json(spark, p, emb.schema)
+    assert back.schema == emb.schema
+    a = sorted(r["vec_id"] for r in back.collect())
+    b = sorted(r["vec_id"] for r in emb.collect())
+    assert a == b
+
+
+def test_orc_roundtrip_and_pushdown(spark, sf_dir, tmp_path):
+    """ORC sink/scan: values round-trip and filters reach the ORC scan."""
+    from gan_deeplearning4j_spark.io import load_table, read_orc, write_orc
+    from gan_deeplearning4j_spark.plans.explain import formatted_plan
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    ).limit(1000)
+    p = str(tmp_path / "li_orc")
+    write_orc(li, p)
+    back = read_orc(spark, p).filter(F.col("l_returnflag") == "R")
+    plan = formatted_plan(back)
+    assert "orc" in plan.lower()
+    assert "l_returnflag" in plan
+    assert back.count() == li.filter(F.col("l_returnflag") == "R").count()

@@ -165,3 +165,25 @@ def test_approx_distinct_within_rsd(spark, sf_dir):
     for a, e in [("approx_parts", "n_parts"), ("approx_supps", "n_supps")]:
         rel = (m[a] - m[e]).abs() / m[e]
         assert rel.max() < 0.06, (a, m[[("l_returnflag"), a, e]])
+
+
+def test_simhash_near_dup_small_hamming(spark):
+    """SimHash: identical texts hash identically; a small edit moves few
+    bits; unrelated text is far (property pins the vectorized bit-vote)."""
+    from gan_deeplearning4j_spark.operators.dedup import simhash64
+
+    words = [f"w{i}" for i in range(60)]
+    base = " ".join(words)
+    near = " ".join(words[:57] + ["a", "b", "c"])
+    far = " ".join(f"q{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(0, base), (1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash64(df, "text", "doc_id").collect()}
+
+    def ham(a, b):
+        return bin((a & (2**64 - 1)) ^ (b & (2**64 - 1))).count("1")
+
+    assert sigs[0] == sigs[1]
+    assert ham(sigs[0], sigs[2]) <= 16
+    assert ham(sigs[0], sigs[3]) >= 20
