@@ -921,6 +921,7 @@ def q_softmax_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "minhash_dedup",
+    headline=True,
     oracle=None,
     doc="North-star MinHash+LSH near-dedup: shingle→minhash→band→bucket-join→Jaccard verify",
 )
@@ -1034,6 +1035,7 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_neardup_lsh",
     oracle=None,
+    headline=True,
     doc="North-star embedding near-dup at scale: banded hyperplane-LSH candidates "
         "(bucket-keyed join, never all-pairs) + exact cosine verify",
 )
@@ -1043,7 +1045,7 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return embedding_neardup_lsh(
         emb, "embedding", "vec_id", dim=64, threshold=0.35,
-        bands=4, rows_per_band=4,
+        bands=4, rows_per_band=8,
     )
 
 

@@ -126,3 +126,42 @@ def test_stateful_sessionize_matches_batch(spark, sf_dir, tmp_path):
     wk = {(r.user_id, r.session_start, r.n_events)
           for r in want_closed.itertuples()}
     assert gk == wk, (sorted(gk - wk)[:5], sorted(wk - gk)[:5])
+
+
+def test_streaming_fit_learns_incrementally(spark, tmp_path):
+    """foreachBatch training facade: one parameter-averaging round per
+    micro-batch over a file stream reduces loss on a separable toy task."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from gan_deeplearning4j_spark.kernels import init_weights
+    from gan_deeplearning4j_spark.pipeline import Network, build_mlp
+    from gan_deeplearning4j_spark.streaming.train import streaming_fit
+
+    rng = np.random.default_rng(666)
+    y = rng.integers(0, 2, 600)
+    centers = rng.uniform(0.2, 0.8, (2, 8))
+    x = (centers[y] + rng.normal(0, 0.05, (600, 8))).clip(0, 1).astype(np.float32)
+    yv = y.reshape(-1, 1).astype(np.float32)
+
+    schema = T.StructType([
+        T.StructField("features", T.ArrayType(T.FloatType())),
+        T.StructField("label_vec", T.ArrayType(T.FloatType())),
+    ])
+    pdf = pd.DataFrame({"features": list(x), "label_vec": list(yv)})
+    src = str(tmp_path / "train_stream")
+    # several files → several micro-batches → several averaging rounds
+    spark.createDataFrame(pdf, schema).repartition(6).write.parquet(src)
+
+    specs = build_mlp("clf", 8, [16], 1, "sigmoid")
+    net = Network(specs, init_weights(specs, 8, 666), {s.name: 0.05 for s in specs})
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    hist = streaming_fit(stream, net, n_workers=2, local_steps=5, batch_size=64)
+    assert len(hist) >= 4, hist
+    losses = [l for _, l in hist]
+    assert losses[-1] < losses[0], losses
