@@ -1255,6 +1255,76 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "jaccard_neardup_pairs",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+               i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS g
+      FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+            FROM documents)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(len(list_intersect(a.g, b.g)) * 1.0 /
+                 len(list_distinct(list_concat(a.g, b.g))), 6) AS jaccard
+    FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+    WHERE ROUND(len(list_intersect(a.g, b.g)) * 1.0 /
+                len(list_distinct(list_concat(a.g, b.g))), 6) >= 0.5
+    """,
+    doc="North-star near-dup ground truth: exact all-pairs 3-gram Jaccard >= "
+        "0.5 (the testdata plants real near-dups). Quadratic oracle baseline; "
+        "minhash_dedup / simhash_bands are the sub-quadratic scale paths whose "
+        "recall is measured against this",
+)
+def q_jaccard_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select(F.col("doc_id"), shingles(F.col("text"), 3).alias("g"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("g").alias("ga"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("g").alias("gb"))
+    inter = F.size(F.array_intersect("ga", "gb")).cast("double")
+    union = F.size(F.array_union("ga", "gb")).cast("double")
+    return (
+        a.join(b, F.col("id_b") > F.col("id_a"))
+        .select("id_a", "id_b", F.round(inter / union, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+@register(
+    "window_rank_family",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           RANK()         OVER w AS rnk,
+           DENSE_RANK()   OVER w AS drnk,
+           NTILE(4)       OVER w AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS prank,
+           ROUND(CUME_DIST()    OVER w, 6) AS cdist
+    FROM orders
+    WHERE o_orderkey < 2000
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    doc="Window rank family: rank/dense_rank/ntile/percent_rank/cume_dist in "
+        "one window pass (single shuffle on the partition key)",
+)
+def q_window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.col("o_orderkey")
+    )
+    return orders.select(
+        "o_orderkey", "o_orderpriority",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 

@@ -187,3 +187,31 @@ def test_simhash_near_dup_small_hamming(spark):
     assert sigs[0] == sigs[1]
     assert ham(sigs[0], sigs[2]) <= 16
     assert ham(sigs[0], sigs[3]) >= 20
+
+
+def test_minhash_lsh_recall_on_testdata_neardups(spark, sf_dir):
+    """The driver's synthetic documents plant real near-dups; the
+    sub-quadratic LSH candidate set must recover >=80% of true pairs with
+    Jaccard >= 0.8 (the exact all-pairs query is the ground truth)."""
+    from gan_deeplearning4j_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        ngram_jaccard,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in REGISTRY["jaccard_neardup_pairs"].fn(spark, sf_dir).collect()
+        if r["jaccard"] >= 0.8
+    }
+    assert truth, "testdata should contain planted near-dups"
+    cands = minhash_lsh_candidates(docs, "text", "doc_id", num_hashes=32, bands=8)
+    verified = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard(cands, docs, "text", "doc_id")
+        .filter(F.col("jaccard") >= 0.8).collect()
+    }
+    recall = len(verified & truth) / len(truth)
+    assert recall >= 0.8, (recall, sorted(truth - verified)[:5])
+    # verified pairs are a subset of true pairs (verify step is exact)
+    assert verified <= truth
