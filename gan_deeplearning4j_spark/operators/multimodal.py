@@ -156,3 +156,55 @@ def sample_frames(df: DataFrame, every: int = 2) -> DataFrame:
             ).alias("frame_no"),
         )
     )
+
+
+def _fake_decode_audio(content: bytes, n_samples: int) -> np.ndarray:
+    """Deterministic fake PCM decoder: hash → float32 waveform in [-1, 1]."""
+    h = hashlib.sha256(content).digest()
+    rng = np.random.default_rng(int.from_bytes(h[8:16], "little"))
+    return (rng.random(n_samples, dtype=np.float32) * 2.0 - 1.0)
+
+
+def audio_frame_energy(
+    df: DataFrame, frame_ms: int = 25, fake: bool = True,
+    duration_ms: int = 200,
+) -> DataFrame:
+    """Audio feature extraction: decode → frame into frame_ms windows → RMS
+    energy per frame, one mapInPandas stage (same shuffle-free shape as
+    decode_features — the waveform never leaves the scan task, only the
+    (media_id, frame_no, rms) rows do).
+
+    The codec is stubbed like the image path: ``fake=True`` synthesizes a
+    deterministic waveform of ``duration_ms`` from the content hash; a real
+    build plugs an audio library into the same signature."""
+    if not fake:
+        raise NotImplementedError(
+            "audio decode requires an audio library; use fake=True for the "
+            "deterministic test decoder"
+        )
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_no", T.IntegerType()),
+            T.StructField("rms", T.FloatType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, frames, rms = [], [], []
+            for mid, content, sr in zip(
+                pdf["media_id"], pdf["content"], pdf["sample_rate"]
+            ):
+                sr = int(sr) if sr is not None and not pd.isna(sr) else 16000
+                wav = _fake_decode_audio(bytes(content), sr * duration_ms // 1000)
+                hop = max(sr * frame_ms // 1000, 1)
+                n_frames = len(wav) // hop
+                w = wav[: n_frames * hop].reshape(n_frames, hop)
+                e = np.sqrt((w * w).mean(axis=1))
+                ids.extend([mid] * n_frames)
+                frames.extend(range(n_frames))
+                rms.extend(float(v) for v in e)
+            yield pd.DataFrame({"media_id": ids, "frame_no": frames, "rms": rms})
+
+    return df.filter(F.col("kind") == "audio").mapInPandas(run, schema=out_schema)

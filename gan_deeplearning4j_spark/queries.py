@@ -1087,6 +1087,22 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "audio_features",
+    oracle=None,
+    doc="North-star multimodal audio: binary column → fake PCM decode → "
+        "per-frame RMS energy rows via mapInPandas (shuffle-free)",
+)
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import audio_frame_energy, synth_media_df
+
+    media = synth_media_df(spark, n=32, kind="audio")
+    out = audio_frame_energy(media, frame_ms=25, duration_ms=200)
+    return out.select(
+        "media_id", "frame_no", F.round(F.col("rms").cast("double"), 6).alias("rms")
+    )
+
+
+@register(
     "lang_detect",
     oracle="""
     WITH toks AS (

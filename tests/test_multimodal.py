@@ -44,3 +44,24 @@ def test_sample_frames_plan_only(spark):
     # 8 frames, every 2nd → 4 per video
     assert len(frames) == 6 * 4
     assert set(frames["frame_no"]) == {0, 2, 4, 6}
+
+
+def test_audio_frame_energy_shape_and_determinism(spark):
+    """Audio path: per-frame RMS rows with the declared cardinality, stable
+    across runs (fake decoder is content-hash-seeded)."""
+    from gan_deeplearning4j_spark.operators.multimodal import (
+        audio_frame_energy,
+        synth_media_df,
+    )
+
+    media = synth_media_df(spark, n=8, kind="audio")
+    out = audio_frame_energy(media, frame_ms=25, duration_ms=200)
+    pdf = out.toPandas()
+    # 200ms / 25ms = 8 frames per clip
+    assert len(pdf) == 8 * 8
+    assert set(pdf["frame_no"]) == set(range(8))
+    assert ((pdf["rms"] > 0) & (pdf["rms"] < 1)).all()
+    pdf2 = audio_frame_energy(media, frame_ms=25, duration_ms=200).toPandas()
+    a = pdf.sort_values(["media_id", "frame_no"])["rms"].to_numpy()
+    b = pdf2.sort_values(["media_id", "frame_no"])["rms"].to_numpy()
+    assert (a == b).all()
