@@ -615,6 +615,83 @@ def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "approx_quantiles",
+    oracle=None,
+    doc="approx_percentile (t-digest-family sketch) — the 100 TB form of the "
+        "exact `quantiles` query: sketches merge map-side, one narrow shuffle. "
+        "Accuracy pinned vs exact in tests/test_operators.py",
+)
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_extendedprice, 0.5D, 1000)").alias("p50"),
+        F.expr("approx_percentile(l_extendedprice, 0.9D, 1000)").alias("p90"),
+    )
+
+
+@register(
+    "tpch_q6_forecast",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H q6 shape: pure filter-aggregate — every predicate pushed to "
+        "the parquet scan, zero joins, one partial+final agg",
+)
+def q_tpch_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+             .alias("revenue"))
+    )
+
+
+@register(
+    "tpch_q18_large_orders",
+    oracle="""
+    SELECT c.c_name, o.o_orderkey, o.o_totalprice, big.sum_qty
+    FROM orders o
+    JOIN (SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING SUM(l_quantity) > 250) big
+      ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+    doc="TPC-H q18 shape: HAVING-filtered fact aggregate drives the join — "
+        "the aggregate shrinks lineitem to a small build side that then "
+        "broadcasts against orders/customer",
+)
+def q_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__raw_qty"))
+        .filter(F.col("__raw_qty") > 250)
+        .select(
+            F.col("l_orderkey").alias("o_orderkey"),
+            F.round("__raw_qty", 2).alias("sum_qty"),
+        )
+    )
+    return (
+        orders.join(F.broadcast(big), "o_orderkey")
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("c_name", "o_orderkey", "o_totalprice", "sum_qty")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Streaming-shaped (tumbling window over events) — batch form here; the
 # streaming facade lives in streaming/windows.py
@@ -645,6 +722,35 @@ def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
             F.round(F.sum("value"), 2).alias("sum_value"),
             F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
+
+
+@register(
+    "events_sliding",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts) - to_hours(k), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+    FROM events, unnest([0, 1]) AS t(k)
+    GROUP BY 1, 2
+    """,
+    doc="Sliding 2h/1h window aggregate over events (each event lands in "
+        "width/slide = 2 windows; Spark's window() does the replicate+group, "
+        "the oracle unnests the two offsets explicitly)",
+)
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_engine_conf(spark)
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type", "n", "sum_value",
         )
     )
 

@@ -215,3 +215,16 @@ def test_minhash_lsh_recall_on_testdata_neardups(spark, sf_dir):
     assert recall >= 0.8, (recall, sorted(truth - verified)[:5])
     # verified pairs are a subset of true pairs (verify step is exact)
     assert verified <= truth
+
+
+def test_approx_quantiles_close_to_exact(spark, sf_dir):
+    """approx_percentile sketch within 2% of the exact interpolated
+    percentile (accuracy=1000)."""
+    approx = {r["l_returnflag"]: (r["p50"], r["p90"])
+              for r in REGISTRY["approx_quantiles"].fn(spark, sf_dir).collect()}
+    exact = {r["l_returnflag"]: (r["p50"], r["p90"])
+             for r in REGISTRY["quantiles"].fn(spark, sf_dir).collect()}
+    for flag, (e50, e90) in exact.items():
+        a50, a90 = approx[flag]
+        assert abs(a50 - e50) / e50 < 0.02, (flag, a50, e50)
+        assert abs(a90 - e90) / e90 < 0.02, (flag, a90, e90)
