@@ -160,3 +160,37 @@ def test_minhash_signature_single_shingle_hash(spark, sf_dir):
     assert tree.count("xxhash64") <= 8, tree[:2000]
     # and the per-doc aggregate is two-phase (map-side partial min)
     assert count_operator(df, "HashAggregate") == 2
+
+
+def test_q6_all_predicates_pushed(spark, sf_dir):
+    """q6 shape: every filter reaches the parquet scan; no join operators."""
+    df = REGISTRY["tpch_q6_forecast"].fn(spark, sf_dir)
+    pf = pushed_filters(df)
+    joined = " ".join(pf)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in joined, pf
+    assert count_operator(df, "Join") == 0
+
+
+def test_q18_having_drives_broadcast(spark, sf_dir):
+    """q18 shape: the HAVING-filtered aggregate becomes a broadcast build
+    side — no sort-merge join anywhere."""
+    df = REGISTRY["tpch_q18_large_orders"].fn(spark, sf_dir)
+    assert count_operator(df, "BroadcastHashJoin") == 2
+    assert count_operator(df, "SortMergeJoin") == 0
+
+
+def test_sql_surface_plans_like_dataframe(spark, sf_dir):
+    """spark.sql over registered views produces the same physical plan shape
+    as the DataFrame form (views are plan fragments, not materializations)."""
+    from gan_deeplearning4j_spark.sql import sql
+
+    df = sql(spark, sf_dir, """
+        SELECT l_returnflag, COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS q
+        FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-01-01'
+        GROUP BY l_returnflag
+    """)
+    pf = pushed_filters(df)
+    assert any("l_shipdate" in f for f in pf), pf
+    assert count_operator(df, "HashAggregate") == 2
+    assert df.count() > 0
