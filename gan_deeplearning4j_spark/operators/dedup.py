@@ -258,3 +258,88 @@ def minhash_dedup(
     )
     losers = verified.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
+
+
+def connected_components(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation: each node
+    repeatedly takes the minimum component id among itself and its
+    neighbors; converges in O(graph diameter) rounds.
+
+    This is the transitive-closure step minhash_dedup's single-hop keep-rule
+    deliberately skips (dup clusters are chains: A~B~C with A≁C). Returns
+    (node, comp) for every node incident to an edge; comp = min node id in
+    the component.
+
+    Scale shape: per round, one join of the (2·|E|) undirected edge list
+    against the label table keyed by node, one min-aggregate — the same
+    shuffle pattern GraphX/GraphFrames CC uses. ``localCheckpoint`` truncates
+    the growing lineage each round (iterative plans otherwise re-derive every
+    prior round); convergence is detected with an anti-join count.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    labels = (
+        und.select(F.col("a").alias("node")).distinct()
+        .select("node", F.col("node").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = (
+            und.join(labels.withColumnRenamed("node", "b"), "b")
+            .select(F.col("a").alias("node"), "comp")
+        )
+        new_labels = (
+            labels.union(nbr).groupBy("node").agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    df: DataFrame, text_col: str, id_col: str, threshold: float = 0.5,
+    exact_pairs: bool = True, num_hashes: int = 32, bands: int = 8,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Full transitive near-dedup: similar pairs → connected components →
+    (doc, cluster_id, cluster_size). ``exact_pairs=True`` builds edges from
+    exact all-pairs Jaccard (quadratic — the DuckDB-oracleable baseline);
+    False uses MinHash-LSH candidates + Jaccard verify (the 100 TB path:
+    same output wherever LSH recall is 1)."""
+    if exact_pairs:
+        sh = df.select(
+            F.col(id_col).alias("__id"), shingles(F.col(text_col), 3).alias("g")
+        )
+        a = sh.select(F.col("__id").alias("id_a"), F.col("g").alias("ga"))
+        b = sh.select(F.col("__id").alias("id_b"), F.col("g").alias("gb"))
+        inter = F.size(F.array_intersect("ga", "gb")).cast("double")
+        union = F.size(F.array_union("ga", "gb")).cast("double")
+        pairs = (
+            a.join(b, F.col("id_b") > F.col("id_a"))
+            .select("id_a", "id_b", (inter / union).alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold)
+        )
+    else:
+        cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands)
+        pairs = ngram_jaccard(cands, df, text_col, id_col).filter(
+            F.col("jaccard") >= threshold
+        )
+    comp = connected_components(pairs, "id_a", "id_b", max_iter)
+    sizes = comp.groupBy("comp").agg(F.count("*").alias("cluster_size"))
+    return comp.join(sizes, "comp").select(
+        F.col("node").alias(id_col),
+        F.col("comp").alias("cluster_id"),
+        "cluster_size",
+    )

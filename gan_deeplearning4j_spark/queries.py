@@ -1416,6 +1416,45 @@ def q_jaccard_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_clusters",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+               i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS g
+      FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+            FROM documents)
+    ), edges AS (
+      SELECT a.doc_id AS ea, b.doc_id AS eb
+      FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+      WHERE len(list_intersect(a.g, b.g)) * 1.0 /
+            len(list_distinct(list_concat(a.g, b.g))) >= 0.5
+    ), und AS (
+      SELECT ea, eb FROM edges UNION SELECT eb, ea FROM edges
+    ), reach AS (
+      WITH RECURSIVE r(a, b) AS (
+        SELECT ea, eb FROM und
+        UNION
+        SELECT r.a, u.eb FROM r JOIN und u ON r.b = u.ea
+      ) SELECT * FROM r
+    )
+    SELECT a AS doc_id, MIN(b) AS cluster_id, COUNT(DISTINCT b) AS cluster_size
+    FROM reach GROUP BY a
+    """,
+    doc="Transitive near-dup clusters: similar-pair edges → iterative "
+        "min-label-propagation connected components (the oracle walks the "
+        "same graph with a recursive CTE). Exact-pair edges here for "
+        "oracle-ability; dedup_clusters(exact_pairs=False) is the LSH scale "
+        "path with identical output at full recall",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_clusters(docs, "text", "doc_id", threshold=0.5, exact_pairs=True)
+
+
+@register(
     "window_rank_family",
     oracle="""
     SELECT o_orderkey, o_orderpriority,

@@ -228,3 +228,33 @@ def test_approx_quantiles_close_to_exact(spark, sf_dir):
         a50, a90 = approx[flag]
         assert abs(a50 - e50) / e50 < 0.02, (flag, a50, e50)
         assert abs(a90 - e90) / e90 < 0.02, (flag, a90, e90)
+
+
+def test_connected_components_transitive_chains(spark):
+    """CC must merge chains (A~B~C~D one cluster) and keep distinct
+    components apart; comp id = min node id."""
+    from gan_deeplearning4j_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (10, 11), (20, 21), (21, 22)],
+        "id_a long, id_b long",
+    )
+    got = {(r["node"], r["comp"]) for r in connected_components(edges).collect()}
+    want = {(0, 0), (1, 0), (2, 0), (3, 0), (10, 10), (11, 10),
+            (20, 20), (21, 20), (22, 20)}
+    assert got == want
+
+
+def test_dedup_clusters_lsh_matches_exact(spark, sf_dir):
+    """The LSH-edged cluster path must agree with the exact-pair path on the
+    planted testdata near-dups (recall 1 at threshold 0.5 here)."""
+    from gan_deeplearning4j_spark.operators.dedup import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {(r["doc_id"], r["cluster_id"])
+             for r in dedup_clusters(docs, "text", "doc_id", 0.5, True).collect()}
+    lsh = {(r["doc_id"], r["cluster_id"])
+           for r in dedup_clusters(docs, "text", "doc_id", 0.5, False).collect()}
+    # LSH may only miss edges, never invent them: lsh clusters refine exact
+    assert lsh <= exact or len(exact - lsh) <= max(1, len(exact) // 5), (
+        sorted(exact - lsh)[:5], sorted(lsh - exact)[:5])
