@@ -792,6 +792,48 @@ def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quality_filter",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tok,
+             len(list_distinct(string_split(text, ' '))) * 1.0
+               / len(string_split(text, ' ')) AS ddr,
+             length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) * 1.0
+               / length(text) AS pr
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN n_tok < 20 THEN 'too_short'
+                WHEN ddr < 0.4 THEN 'low_diversity'
+                WHEN pr > 0.1 THEN 'high_punct'
+                ELSE 'keep' END AS verdict
+    FROM s
+    """,
+    doc="North-star quality scoring as a filter pipeline: token count, "
+        "vocabulary diversity, punctuation ratio → first-failing-rule "
+        "verdict. All scan-stage expressions (no shuffle); the keep subset "
+        "is df.filter(verdict = 'keep')",
+)
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks)
+    ddr = F.size(F.array_distinct(toks)) * 1.0 / n_tok
+    pr = (
+        F.length(F.regexp_replace(F.col("text"), "[a-zA-Z0-9 ]", "")) * 1.0
+        / F.length("text")
+    )
+    verdict = (
+        F.when(n_tok < 20, "too_short")
+        .when(ddr < 0.4, "low_diversity")
+        .when(pr > 0.1, "high_punct")
+        .otherwise("keep")
+    )
+    return docs.select("doc_id", verdict.alias("verdict"))
+
+
+@register(
     "dedup_exact",
     oracle="""
     SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS dups
