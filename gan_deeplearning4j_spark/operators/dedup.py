@@ -193,6 +193,24 @@ def ngram_jaccard(df_pairs: DataFrame, docs: DataFrame, text_col: str,
     return j.select("id_a", "id_b", (inter / union).alias("jaccard"))
 
 
+def ngram_jaccard_hashed(df_pairs: DataFrame, docs: DataFrame, text_col: str,
+                         id_col: str, n: int = 3) -> DataFrame:
+    """Jaccard verify over gram *hashes* (shingle_hashes) instead of gram
+    strings — same set semantics up to a ~n²/2³¹ collision probability, no
+    string materialization. The scale path for verify; ``ngram_jaccard``
+    stays as the exact-string (oracle-matched) form."""
+    sh = docs.select(
+        F.col(id_col).alias("__id"), shingle_hashes(F.col(text_col), n).alias("__sh")
+    )
+    j = (
+        df_pairs.join(sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return j.select("id_a", "id_b", (inter / union).alias("jaccard"))
+
+
 def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """SimHash near-dup signature: 64-bit weighted-bit-vote over token hashes.
 
@@ -250,10 +268,10 @@ def minhash_dedup(
     num_hashes: int = 32, bands: int = 8,
 ) -> DataFrame:
     """Full near-dedup: LSH candidates → Jaccard verify → keep min-id winner
-    per connected pair (single-link, one hop — full transitive closure is an
-    iterative job, out of per-query scope)."""
+    per connected pair (single-link, one hop — ``dedup_clusters`` does the
+    full transitive closure)."""
     cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands)
-    verified = ngram_jaccard(cands, df, text_col, id_col).filter(
+    verified = ngram_jaccard_hashed(cands, df, text_col, id_col).filter(
         F.col("jaccard") >= threshold
     )
     losers = verified.select(F.col("id_b").alias(id_col)).distinct()

@@ -197,6 +197,7 @@ def embedding_neardup_lsh(
 def ivf_topk(
     corpus: DataFrame, queries: DataFrame, vec_col: str, id_col: str,
     query_id: str, k: int = 10, n_centroids: int = 16, nprobe: int = 4,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: assign corpus to coarse centroids once, then
     each query searches only its nprobe nearest inverted lists.
@@ -205,7 +206,8 @@ def ivf_topk(
     map-side argmin (no shuffle); the probe join keys on centroid_id so a
     query touches nprobe/n_centroids of the corpus.
     """
-    assigned, cents = ivf_assign(corpus, vec_col, id_col, n_centroids)
+    assigned, cents = ivf_assign(corpus, vec_col, id_col, n_centroids,
+                                 centroids=centroids)
     q = queries.select(F.col(query_id), as_double(F.col(vec_col)).alias("__qv"))
     # nprobe nearest centroids per query
     qc = q.crossJoin(F.broadcast(cents)).select(
@@ -230,12 +232,67 @@ def ivf_topk(
     )
 
 
-def ivf_assign(corpus: DataFrame, vec_col: str, id_col: str,
-               n_centroids: int = 16, sample_stride: int = 37) -> tuple[DataFrame, DataFrame]:
-    """IVF coarse quantizer: centroids = deterministic sample of corpus rows
-    (id % stride pattern), assignment = argmax cosine against the broadcast
-    centroid table. Returns (assigned_corpus, centroids)."""
+def kmeans_centroids(
+    corpus: DataFrame, vec_col: str, id_col: str,
+    k: int = 16, iters: int = 3, sample_stride: int = 37,
+) -> DataFrame:
+    """Distributed Lloyd iterations refining the IVF coarse quantizer:
+    assign = broadcast-centroids + per-row argmax cosine (map-side only),
+    update = posexplode → groupBy(centroid, pos).avg → re-assemble vector.
+
+    Scale shape per iteration: one narrow crossJoin against the tiny
+    broadcast centroid table, one two-phase aggregate whose key space is
+    k×dim — no all-pairs work, centroids round-trip through the driver
+    (k×dim doubles) as every k-means does. Deterministic init (id % stride
+    sample, seedless); empty clusters drop out (k may shrink).
+    ``localCheckpoint`` truncates the per-iteration lineage."""
+    c = corpus.select(
+        F.col(id_col).alias("__kid"), as_double(F.col(vec_col)).alias("__cv")
+    )
     cents = (
+        corpus.filter((F.col(id_col) % sample_stride) == 0)
+        .limit(k)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            as_double(F.col(vec_col)).alias("__cent"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("__kid").orderBy(F.desc("__cs"), F.col("centroid_id"))
+    for _ in range(iters):
+        assigned = (
+            c.crossJoin(F.broadcast(cents))
+            .select(
+                "__kid", "__cv", "centroid_id",
+                cosine_similarity(F.col("__cv"), F.col("__cent")).alias("__cs"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+        )
+        cents = (
+            assigned.select("centroid_id", F.posexplode("__cv").alias("pos", "v"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("v").alias("v"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                    lambda s: s["v"],
+                ).alias("__cent")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cents
+
+
+def ivf_assign(corpus: DataFrame, vec_col: str, id_col: str,
+               n_centroids: int = 16, sample_stride: int = 37,
+               centroids: DataFrame | None = None) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantizer: centroids = deterministic sample of corpus rows
+    (id % stride pattern) or a precomputed table (e.g. ``kmeans_centroids``),
+    assignment = argmax cosine against the broadcast centroid table.
+    Returns (assigned_corpus, centroids)."""
+    cents = centroids if centroids is not None else (
         corpus.filter((F.col(id_col) % sample_stride) == 0)
         .limit(n_centroids)
         .select(

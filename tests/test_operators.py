@@ -258,3 +258,39 @@ def test_dedup_clusters_lsh_matches_exact(spark, sf_dir):
     # LSH may only miss edges, never invent them: lsh clusters refine exact
     assert lsh <= exact or len(exact - lsh) <= max(1, len(exact) // 5), (
         sorted(exact - lsh)[:5], sorted(lsh - exact)[:5])
+
+
+def test_kmeans_refines_ivf_assignment(spark, sf_dir):
+    """Lloyd iterations must not worsen the quantizer: mean best-centroid
+    cosine after refinement >= the sampled-centroid init."""
+    from gan_deeplearning4j_spark.functions.vector import as_double, cosine_similarity
+    from gan_deeplearning4j_spark.operators.similarity import (
+        ivf_assign,
+        kmeans_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def mean_best_cos(cents):
+        c = emb.select(F.col("vec_id"), as_double(F.col("embedding")).alias("__cv"))
+        scored = c.crossJoin(F.broadcast(cents)).select(
+            "vec_id",
+            cosine_similarity(F.col("__cv"), F.col("__cent")).alias("cs"),
+        )
+        best = scored.groupBy("vec_id").agg(F.max("cs").alias("best"))
+        return best.agg(F.avg("best")).first()[0]
+
+    _, init = ivf_assign(emb, "embedding", "vec_id", n_centroids=8)
+    refined = kmeans_centroids(emb, "embedding", "vec_id", k=8, iters=3)
+    q0, q1 = mean_best_cos(init), mean_best_cos(refined)
+    assert q1 >= q0 - 1e-9, (q0, q1)
+
+    # refined centroids drop into ivf_topk unchanged
+    from gan_deeplearning4j_spark.operators.similarity import ivf_topk
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(emb, queries, "embedding", "vec_id", "query_id",
+                   k=5, nprobe=3, centroids=refined)
+    counts = out.groupBy("query_id").count().collect()
+    assert all(r["count"] == 5 for r in counts)
