@@ -1528,6 +1528,223 @@ def q_window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# TPC-H shape widening: EXISTS-count (q4), conditional agg (q12/q14),
+# disjunctive pushdown (q19), min-per-group join-back (q2), pivot.
+# Schema here lacks shipmode/commitdate/container, so each query keeps the
+# reference shape's plan structure on the columns this dataset has.
+# ---------------------------------------------------------------------------
+
+@register(
+    "tpch_q4_priority_exists",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.06)
+    GROUP BY o.o_orderpriority
+    """,
+    doc="TPC-H q4 shape: date-pruned orders EXISTS-filtered by a lineitem "
+        "predicate (left-semi join; the semi side never materializes "
+        "duplicate matches), then count per priority",
+)
+def q_tpch_q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_discount") > 0.06)
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "tpch_q12_priority_split",
+    oracle="""
+    SELECT l.l_linestatus,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l.l_linestatus
+    """,
+    doc="TPC-H q12 shape: fact-side date filter, join to orders, conditional "
+        "CASE aggregation splitting counts by priority class",
+)
+def q_tpch_q12_priority_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "tpch_q14_promo_share",
+    oracle="""
+    SELECT ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                                  THEN l.l_extendedprice * (1 - l.l_discount)
+                                  ELSE 0 END)
+                 / SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS promo_share
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-10-01'
+    """,
+    doc="TPC-H q14 shape: promo revenue share — broadcast dim join + "
+        "conditional numerator over a shared denominator in one agg pass",
+)
+def q_tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    part = F.broadcast(_t(spark, sf_dir, "part"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("promo_share")
+        )
+    )
+
+
+@register(
+    "tpch_q19_disjunctive",
+    oracle="""
+    SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1'  AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    doc="TPC-H q19 shape: OR-of-ANDs across both join sides. Catalyst "
+        "factors the common subexpressions so the single-table conjuncts "
+        "(brand/size on part, quantity on lineitem) push below the join",
+)
+def q_tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = F.broadcast(_t(spark, sf_dir, "part"))
+    joined = li.join(part, li.l_partkey == part.p_partkey)
+    arm = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, smax)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    return (
+        joined.filter(
+            arm("Brand#1", 15, 1, 11)
+            | arm("Brand#13", 25, 10, 20)
+            | arm("Brand#23", 35, 20, 30)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+    )
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+    WITH unit AS (
+        SELECT l_partkey, l_suppkey,
+               MIN(l_extendedprice / l_quantity) AS unit_price
+        FROM lineitem
+        WHERE l_quantity > 0
+        GROUP BY l_partkey, l_suppkey
+    )
+    SELECT u.l_partkey AS partkey, s.s_name,
+           ROUND(u.unit_price, 4) AS best_price
+    FROM unit u
+    JOIN (SELECT l_partkey, MIN(unit_price) AS best FROM unit
+          GROUP BY l_partkey) m
+      ON m.l_partkey = u.l_partkey AND u.unit_price = m.best
+    JOIN supplier s ON s.s_suppkey = u.l_suppkey
+    WHERE u.l_partkey <= 200
+    """,
+    doc="TPC-H q2 shape: min-per-group join-back — cheapest observed unit "
+        "price per part, re-joined to recover the supplier(s) achieving it. "
+        "Both MIN levels reuse the same (partkey, suppkey) aggregate, and "
+        "the partkey filter prunes before either shuffle",
+)
+def q_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") > 0) & (F.col("l_partkey") <= 200)
+    )
+    unit = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity"))
+             .alias("unit_price"))
+    )
+    best = (
+        unit.groupBy("l_partkey")
+        .agg(F.min("unit_price").alias("best"))
+        .select(F.col("l_partkey").alias("bp_partkey"), "best")
+    )
+    sup = F.broadcast(_t(spark, sf_dir, "supplier"))
+    return (
+        unit.join(
+            best,
+            (F.col("l_partkey") == F.col("bp_partkey"))
+            & (F.col("unit_price") == F.col("best")),
+        )
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("s_name"),
+            F.round(F.col("unit_price"), 4).alias("best_price"),
+        )
+    )
+
+
+@register(
+    "pivot_status_flag",
+    oracle="""
+    SELECT l_linestatus,
+           ROUND(SUM(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS A,
+           ROUND(SUM(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS N,
+           ROUND(SUM(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS R
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+    doc="Pivot: returnflag columns × linestatus rows. Explicit pivot values "
+        "avoid the distinct-discovery job; the plan pre-reduces on "
+        "(status, flag) before pivoting, so the second shuffle moves only "
+        "|groups|×|pivot values| rows regardless of input size",
+)
+def q_pivot_status_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 

@@ -194,3 +194,49 @@ def test_sql_surface_plans_like_dataframe(spark, sf_dir):
     assert any("l_shipdate" in f for f in pf), pf
     assert count_operator(df, "HashAggregate") == 2
     assert df.count() > 0
+
+
+def test_q4_exists_is_semi_join_after_date_prune(spark, sf_dir):
+    """q4 shape: EXISTS compiles to a left-semi broadcast join; the orders
+    date range reaches the scan so the probe side is pruned first."""
+    df = REGISTRY["tpch_q4_priority_exists"].fn(spark, sf_dir)
+    tree = formatted_plan(df)
+    assert "LeftSemi" in tree, tree
+    assert count_operator(df, "SortMergeJoin") == 0
+    pf = " ".join(pushed_filters(df))
+    assert "o_orderdate" in pf and "l_discount" in pf, pf
+
+
+def test_q19_disjunction_factored_below_join(spark, sf_dir):
+    """q19 shape: Catalyst extracts the per-table disjunctions from the
+    OR-of-ANDs, so both scans carry pushed filters and the part side still
+    broadcasts."""
+    df = REGISTRY["tpch_q19_disjunctive"].fn(spark, sf_dir)
+    pf = " ".join(pushed_filters(df))
+    assert "l_quantity" in pf, pf       # lineitem-side OR pushed to fact scan
+    assert "p_brand" in pf, pf          # part-side OR pushed to dim scan
+    assert count_operator(df, "BroadcastHashJoin") == 1
+    assert count_operator(df, "SortMergeJoin") == 0
+
+
+def test_pivot_two_phase_prereduce(spark, sf_dir):
+    """Explicit pivot values → no distinct-discovery job; the plan is a
+    two-phase aggregate where the first phase pre-reduces on
+    (groupBy key, pivot key), so the pivot shuffle moves only
+    |groups|×|values| rows regardless of input size."""
+    df = REGISTRY["pivot_status_flag"].fn(spark, sf_dir)
+    from gan_deeplearning4j_spark.plans.explain import plan_tree
+
+    tree = plan_tree(df)
+    assert tree.count("- Exchange") == 2, tree
+    # partial+final around each of the two exchanges
+    assert count_operator(df, "HashAggregate") == 4, tree
+
+
+def test_q2_min_cost_reuses_unit_aggregate(spark, sf_dir):
+    """q2 shape: the partkey filter prunes at the scan, supplier broadcasts,
+    and the join-back of best-price stays on the aggregated (small) side."""
+    df = REGISTRY["tpch_q2_min_cost_supplier"].fn(spark, sf_dir)
+    pf = " ".join(pushed_filters(df))
+    assert "l_partkey" in pf, pf
+    assert count_operator(df, "BroadcastHashJoin") >= 1
