@@ -1745,6 +1745,155 @@ def q_pivot_status_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# ---------------------------------------------------------------------------
+# Outer joins, grouping sets, range-frame windows, heavy hitters
+# ---------------------------------------------------------------------------
+
+@register(
+    "full_outer_yearly_totals",
+    oracle="""
+    WITH a AS (SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS total_1995
+               FROM orders
+               WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+                 AND o_orderdate <  TIMESTAMP '1996-01-01'
+               GROUP BY o_custkey),
+         b AS (SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS total_1997
+               FROM orders
+               WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+                 AND o_orderdate <  TIMESTAMP '1998-01-01'
+               GROUP BY o_custkey)
+    SELECT COALESCE(a.o_custkey, b.o_custkey) AS custkey,
+           COALESCE(a.total_1995, 0) AS total_1995,
+           COALESCE(b.total_1997, 0) AS total_1997
+    FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+    """,
+    doc="Full outer join of two year-sliced per-customer aggregates with "
+        "COALESCE null-fill — customers active in either year survive. Both "
+        "inputs are already reduced before the join, so the outer join's "
+        "shuffle moves |customers| rows, not |orders|",
+)
+def q_full_outer_yearly_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+
+    def year_slice(y: int, alias: str) -> DataFrame:
+        return (
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
+            )
+            .groupBy("o_custkey")
+            .agg(F.round(F.sum("o_totalprice"), 2).alias(alias))
+            .withColumnRenamed("o_custkey", f"ck_{y}")
+        )
+
+    a, b = year_slice(1995, "total_1995"), year_slice(1997, "total_1997")
+    return (
+        a.join(b, a.ck_1995 == b.ck_1997, "full_outer")
+        .select(
+            F.coalesce(F.col("ck_1995"), F.col("ck_1997")).alias("custkey"),
+            F.coalesce(F.col("total_1995"), F.lit(0.0)).alias("total_1995"),
+            F.coalesce(F.col("total_1997"), F.lit(0.0)).alias("total_1997"),
+        )
+    )
+
+
+@register(
+    "grouping_sets_agg",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           COUNT(*) AS n, ROUND(SUM(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+    doc="Arbitrary GROUPING SETS (finer than rollup/cube: an explicit "
+        "lattice subset) through the SQL surface; expands in a single "
+        "Expand+aggregate pass, one shuffle",
+)
+def q_grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sql import sql as run_sql
+
+    return run_sql(spark, sf_dir, """
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus,
+               COUNT(*) AS n, ROUND(SUM(l_extendedprice), 2) AS sum_price
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """)
+
+
+@register(
+    "events_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(SUM(value) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+               RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW), 2)
+             AS sum_1h
+    FROM events
+    WHERE user_id < 30
+    """,
+    doc="Time-RANGE window frame: per-user trailing-1-hour sum at every "
+        "event. RANGE (not ROWS) so same-second peers aggregate "
+        "identically regardless of intra-second order — deterministic "
+        "without a unique tiebreaker. One shuffle on user_id",
+)
+def q_events_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_engine_conf(spark)
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    es = (F.col("ts_nanos") / F.lit(1_000_000_000)).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(es)
+        .rangeBetween(-3599, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id",
+        F.round(F.sum("value").over(w), 2).alias("sum_1h"),
+    )
+
+
+@register(
+    "heavy_hitters_exact",
+    oracle="""
+    SELECT l_partkey, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_partkey
+    ORDER BY n DESC, l_partkey
+    LIMIT 20
+    """,
+    headline=True,
+    doc="Exact heavy hitters: top-20 most-referenced parts. Partial "
+        "aggregation map-side, then TakeOrderedAndProject — no global sort "
+        "materializes, each task keeps only its local top-20",
+)
+def q_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_partkey")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "l_partkey")
+        .limit(20)
+    )
+
+
+@register(
+    "heavy_hitters_approx",
+    oracle=None,  # single-pass approximate; membership checked by test
+    doc="Approximate heavy hitters in ONE pass: stat.freqItems "
+        "(Karp-Shenker-Papadimitriou counters per partition, merged). At "
+        "100 TB this replaces the full groupBy when only 'which items are "
+        "frequent' matters; tests pin that true top items are recalled",
+)
+def q_heavy_hitters_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    out = li.stat.freqItems(["l_partkey"], support=0.005)
+    return out.select(
+        F.explode(F.col("l_partkey_freqItems")).alias("l_partkey")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 

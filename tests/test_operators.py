@@ -294,3 +294,20 @@ def test_kmeans_refines_ivf_assignment(spark, sf_dir):
                    k=5, nprobe=3, centroids=refined)
     counts = out.groupBy("query_id").count().collect()
     assert all(r["count"] == 5 for r in counts)
+
+
+def test_heavy_hitters_approx_recalls_true_top(spark, sf_dir):
+    """freqItems with support s guarantees every item with frequency > s*n
+    is returned (false positives allowed, false negatives not — KSP
+    invariant). Pin: the exact top-20 keys are all in the approx set."""
+    from gan_deeplearning4j_spark.queries import REGISTRY
+
+    exact = {
+        r.l_partkey
+        for r in REGISTRY["heavy_hitters_exact"].fn(spark, sf_dir).collect()
+    }
+    approx = {
+        r.l_partkey
+        for r in REGISTRY["heavy_hitters_approx"].fn(spark, sf_dir).collect()
+    }
+    assert exact <= approx, exact - approx

@@ -240,3 +240,30 @@ def test_q2_min_cost_reuses_unit_aggregate(spark, sf_dir):
     pf = " ".join(pushed_filters(df))
     assert "l_partkey" in pf, pf
     assert count_operator(df, "BroadcastHashJoin") >= 1
+
+
+def test_heavy_hitters_exact_no_global_sort(spark, sf_dir):
+    """Top-20 compiles to TakeOrderedAndProject over a partial+final agg —
+    no full Sort of the grouped counts."""
+    df = REGISTRY["heavy_hitters_exact"].fn(spark, sf_dir)
+    assert count_operator(df, "TakeOrderedAndProject") == 1
+    assert count_operator(df, "HashAggregate") == 2
+
+
+def test_grouping_sets_single_expand_pass(spark, sf_dir):
+    """GROUPING SETS lowers to one Expand + one aggregate pair — the lattice
+    does not re-scan the input per grouping set."""
+    df = REGISTRY["grouping_sets_agg"].fn(spark, sf_dir)
+    assert count_operator(df, "Expand") == 1
+    from gan_deeplearning4j_spark.plans.explain import plan_tree
+
+    assert plan_tree(df).count("Scan parquet") == 1
+
+
+def test_full_outer_joins_reduced_inputs(spark, sf_dir):
+    """Both sides of the full outer join are pre-aggregated — the join input
+    is |customers|-sized, and each aggregate is partial+final."""
+    df = REGISTRY["full_outer_yearly_totals"].fn(spark, sf_dir)
+    tree = formatted_plan(df)
+    assert "FullOuter" in tree, tree
+    assert count_operator(df, "HashAggregate") == 4
