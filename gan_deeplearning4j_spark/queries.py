@@ -1894,6 +1894,63 @@ def q_heavy_hitters_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, lower(t.term) AS term
+        FROM documents, unnest(string_split(text, ' ')) AS t(term)
+        WHERE t.term <> ''
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+               ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf,
+               ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                  ORDER BY tf.tf DESC, df.df ASC, tf.term)
+                 AS rnk
+        FROM tf JOIN df USING (term), n
+    )
+    SELECT doc_id, term, tf, df, tfidf
+    FROM scored WHERE rnk <= 3 AND doc_id < 200
+    """,
+    doc="TF-IDF top-3 distinctive terms per document. The df branch "
+        "tokenizes the full corpus exactly once; the tf branch gets the "
+        "doc_id<200 output filter pushed to its scan (pruned tokenize); the "
+        "n_docs branch is a doc_id-only columnar count. Ranking keys are "
+        "integers (tf desc, df asc, term) so cross-engine float ulp "
+        "differences in ln() cannot flip row order. For an all-docs "
+        "pipeline, persist the tf aggregate instead of re-deriving it",
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.col("text"), " ")).alias("term"),
+    ).filter(F.col("term") != "").withColumn("term", F.lower(F.col("term")))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(
+        F.countDistinct("doc_id").cast("double").alias("n_docs")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("term")
+    )
+    return (
+        tf.join(df_tbl, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter((F.col("rnk") <= 3) & (F.col("doc_id") < 200))
+        .select("doc_id", "term", "tf", "df", "tfidf")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 

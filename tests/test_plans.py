@@ -267,3 +267,13 @@ def test_full_outer_joins_reduced_inputs(spark, sf_dir):
     tree = formatted_plan(df)
     assert "FullOuter" in tree, tree
     assert count_operator(df, "HashAggregate") == 4
+
+def test_tfidf_tf_branch_pruned(spark, sf_dir):
+    """The doc_id output filter must reach the tf branch's parquet scan
+    (pruned tokenize), while the df branch necessarily scans the corpus —
+    exactly one scan carries the pushed doc_id filter."""
+    df = REGISTRY["tfidf_top_terms"].fn(spark, sf_dir)
+    pf = pushed_filters(df)
+    assert any("doc_id" in f and "LessThan" in f for f in pf), pf
+    # WindowGroupLimit prunes per-partition before the full top-3 window
+    assert "WindowGroupLimit" in formatted_plan(df)
