@@ -1951,6 +1951,130 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "grouped_agg_trimmed_mean",
+    oracle="""
+    WITH r AS (
+        SELECT o_custkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice, o_orderkey) AS rn,
+               COUNT(*) OVER (PARTITION BY o_custkey) AS n
+        FROM orders
+        WHERE o_custkey < 100
+    )
+    SELECT o_custkey, ROUND(AVG(o_totalprice), 4) AS trimmed_mean
+    FROM r
+    WHERE n <= 4 OR (rn > 2 AND rn <= n - 2)
+    GROUP BY o_custkey
+    """,
+    doc="Grouped-aggregate pandas UDF (Arrow-batched UDAF): per-customer "
+        "mean of order totals after dropping the 2 lowest and 2 highest "
+        "(only when >4 orders). Completes the UDF surface: scalar pandas "
+        "UDF, grouped-map, mapInPandas, and now grouped-agg. Equal values "
+        "make the trim choice irrelevant to the sum, so the oracle's "
+        "rank-based trim is value-identical",
+)
+def q_grouped_agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit GROUPED_AGG eval type: `from __future__ import annotations`
+    # stringifies hints, so signature-based inference can't see pd.Series
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def trimmed_mean(v):
+        s = v.sort_values()
+        if len(s) > 4:
+            s = s.iloc[2:-2]
+        return float(s.mean())
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.round(trimmed_mean(F.col("o_totalprice")), 4)
+             .alias("trimmed_mean"))
+    )
+
+
+@register(
+    "bigram_top20",
+    oracle="""
+    WITH s AS (SELECT string_split(text, ' ') AS w FROM documents),
+         b AS (SELECT unnest(list_transform(range(1, len(w)),
+                                            i -> w[i] || ' ' || w[i + 1]))
+                        AS bigram
+               FROM s)
+    SELECT bigram, COUNT(*) AS n
+    FROM b
+    GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 20
+    """,
+    headline=True,
+    doc="Corpus bigram statistics: top-20 adjacent-word pairs. Bigrams are "
+        "built with zip_with over two shifted slices of the token array — "
+        "O(n) per row and a single pass (an index-lambda transform "
+        "re-evaluates the array per element: O(n^2)). Top-20 via "
+        "TakeOrderedAndProject, no global sort",
+)
+def q_bigram_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    n = F.size(w)
+    bigrams = F.zip_with(
+        F.slice(w, 1, n - 1),
+        F.slice(w, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(20)
+    )
+
+
+@register(
+    "interval_join_attribution",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+           p.value AS purchase_value
+    FROM events p
+    JOIN events c
+      ON c.user_id = p.user_id
+     AND epoch_ns(c.ts) >= epoch_ns(p.ts) - 1800000000000
+     AND epoch_ns(c.ts) <= epoch_ns(p.ts)
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    """,
+    doc="Event-time interval join (batch form of the stream-stream join in "
+        "streaming/joins.py): each purchase joined to same-user clicks in "
+        "the preceding 30 min. Compares raw nanosecond timestamps so the "
+        "micro-truncated Spark ts can't disagree with the oracle at "
+        "sub-microsecond boundaries. Equi-key on user_id -> one shuffle; "
+        "the range condition filters inside each hash bucket",
+)
+def q_interval_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts_nanos").alias("p_ns"),
+        "user_id",
+        F.col("value").alias("purchase_value"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("ts_nanos").alias("c_ns"),
+        F.col("user_id").alias("c_user"),
+    )
+    cond = (
+        (p.user_id == c.c_user)
+        & (c.c_ns >= p.p_ns - F.lit(1_800_000_000_000))
+        & (c.c_ns <= p.p_ns)
+    )
+    return p.join(c, cond, "inner").select(
+        "purchase_id", "click_id", "user_id", "purchase_value"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 

@@ -1,0 +1,51 @@
+"""Stream-stream event-time interval join.
+
+The reference has no streaming surface at all (SURVEY §0 — its pipeline is a
+fixed-size batch loop), so this is north-star coverage: the canonical
+"attribute a purchase to the clicks that preceded it" join, expressed once
+and runnable over a batch DataFrame or two Structured-Streaming inputs.
+
+Scale notes: a stream-stream inner join keys state by user_id (the equi
+part); the interval condition plus both watermarks bound how long each
+side's rows are retained, so state is O(events-per-watermark-window), not
+O(stream). On a 1000-executor cluster both sides shuffle-partition on
+user_id — the same single-shuffle layout as the batch join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def purchase_click_attribution(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Join each purchase to every click by the same user in the preceding
+    ``gap``. Batch/stream-unified: on streaming input both sides get
+    watermarks (required for state cleanup in a stream-stream join); on
+    batch input it is the identical interval join without them."""
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+        "user_id",
+        F.col("value").alias("purchase_value"),
+    )
+    c = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+        F.col("user_id").alias("c_user"),
+    )
+    if events.isStreaming:
+        p = p.withWatermark("p_ts", watermark)
+        c = c.withWatermark("c_ts", watermark)
+    cond = (
+        (p.user_id == c.c_user)
+        & (c.c_ts >= p.p_ts - F.expr(f"INTERVAL {gap}"))
+        & (c.c_ts <= p.p_ts)
+    )
+    return p.join(c, cond, "inner").select(
+        "purchase_id", "click_id", "user_id", "purchase_value"
+    )

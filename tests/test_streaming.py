@@ -165,3 +165,31 @@ def test_streaming_fit_learns_incrementally(spark, tmp_path):
     assert len(hist) >= 4, hist
     losses = [l for _, l in hist]
     assert losses[-1] < losses[0], losses
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
+    """The purchase->click interval join emits the same pairs on a real
+    stream (watermarked stream-stream join, availableNow) as in batch."""
+    from gan_deeplearning4j_spark.streaming.joins import (
+        purchase_click_attribution,
+    )
+
+    ev = load_events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    src = str(tmp_path / "events_ssj")
+    ev.repartition(4).write.parquet(src)
+
+    stream = read_events_stream(spark, src, max_files_per_trigger=2)
+    out = purchase_click_attribution(stream, watermark="100 hours")
+    run_stream_to_memory(out, "ssj_test", timeout_sec=180,
+                         output_mode="append")
+
+    got = spark.sql("select * from ssj_test").toPandas()
+    want = purchase_click_attribution(ev).toPandas()
+
+    key = ["purchase_id", "click_id"]
+    got_s = got.sort_values(key).reset_index(drop=True)
+    want_s = want.sort_values(key).reset_index(drop=True)
+    assert len(got_s) == len(want_s) and len(want_s) > 0
+    assert (got_s["user_id"].to_numpy() == want_s["user_id"].to_numpy()).all()
