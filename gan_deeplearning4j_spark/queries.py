@@ -2075,6 +2075,91 @@ def q_interval_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "json_extract_agg",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+           ROUND(AVG(CAST(props->>'$.k' AS BIGINT)), 6) AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Semi-structured JSON surface: parse the props payload with a "
+        "declared schema (from_json — single JVM-side parse, no Python) "
+        "and aggregate the extracted field. Schema-declared parsing beats "
+        "get_json_object when >1 field is read: one parse, N projections",
+)
+def q_json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k BIGINT")["k"]
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+        )
+    )
+
+
+@register(
+    "text_redact",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(text, '\\b(key|hash|vector)\\b', '<MASK>', 'g')
+             AS cleaned,
+           len(regexp_extract_all(text, '\\b(key|hash|vector)\\b'))
+             AS n_masked
+    FROM documents
+    WHERE doc_id < 100
+    """,
+    doc="Pattern redaction (the PII-scrub shape of a training-data "
+        "pipeline): global regexp_replace plus a mask count via "
+        "regexp_extract_all — both JVM-side codegen'd expressions, no UDF. "
+        "Word-boundary pattern is RE2- and Java-regex compatible",
+)
+def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    pat = r"\b(key|hash|vector)\b"
+    return docs.select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), pat, "<MASK>").alias("cleaned"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0)))
+          .alias("n_masked"),
+    )
+
+
+@register(
+    "doc_length_histogram",
+    oracle="""
+    SELECT CAST(floor(n_chars / 200) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="Document length histogram: fixed-width integer bucketing entirely "
+        "in the aggregate key (no second pass to discover bucket bounds). "
+        "At 100 TB this is the profiling query run before choosing quality "
+        "filter thresholds",
+)
+def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(
+            F.floor(F.col("n_chars") / 200).cast("long").alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
