@@ -57,11 +57,12 @@ def shingles(text: Column, n: int = 3) -> Column:
     return F.array_distinct(F.slice(z, 1, F.greatest(nn - (n - 1), F.lit(1))))
 
 
-def shingle_hashes(text: Column, n: int = 3) -> Column:
-    """Distinct n-gram hashes in [0, P): tokens hashed ONCE with xxhash64,
-    consecutive hashes combined arithmetically (h1·a + h2 mod P rolling) —
-    no shingle strings are ever materialized, and every step is linear in
-    document length. This is the scale form backing MinHash."""
+def gram_hash_seq(text: Column, n: int = 3) -> Column:
+    """POSITIONAL n-gram hash sequence in [0, P): tokens hashed ONCE with
+    xxhash64, consecutive hashes combined arithmetically (h1·a + h2 mod P
+    rolling) — no shingle strings are ever materialized, every step linear
+    in document length. Order-preserving (no distinct): position i holds the
+    hash of the gram starting at token i."""
     toks = F.split(F.trim(F.lower(text)), r"\s+")
     th = F.transform(toks, lambda s: F.abs(F.xxhash64(s)) % F.lit(_P))
     nn = F.size(th)
@@ -73,7 +74,88 @@ def shingle_hashes(text: Column, n: int = 3) -> Column:
             # coalesce: short docs keep a partial-gram hash instead of null
             lambda x, y: (x * 524287 + F.coalesce(y, F.lit(0))) % F.lit(_P),
         )
-    return F.array_distinct(F.slice(z, 1, F.greatest(nn - (n - 1), F.lit(1))))
+    return F.slice(z, 1, F.greatest(nn - (n - 1), F.lit(1)))
+
+
+def shingle_hashes(text: Column, n: int = 3) -> Column:
+    """Distinct n-gram hashes (the set form of ``gram_hash_seq``) — the
+    scale form backing MinHash."""
+    return F.array_distinct(gram_hash_seq(text, n))
+
+
+def winnow_fingerprints(text: Column, k: int = 3, w: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, MOSS,
+    SIGMOD'03): the set of minima over every w-gram window of the positional
+    k-gram hash sequence. Guarantee: any shared run of >= w+k-1 tokens
+    between two documents contributes at least one shared fingerprint, while
+    only ~2/(w+1) of grams are kept.
+
+    All codegen: the running window-min is a chain of w-1 zip_with/least
+    passes over shifted slices — O(n·w) per row with each input array
+    evaluated once (an index-lambda form re-evaluates the array per
+    element: O(n²))."""
+    seq = gram_hash_seq(text, k)
+    m = F.size(seq)
+    z = seq
+    for j in range(1, w):
+        z = F.zip_with(
+            z,
+            F.slice(seq, j + 1, F.greatest(m - j, F.lit(1))),
+            lambda x, y: F.least(x, y),  # least skips the null padding
+        )
+    return F.array_distinct(F.slice(z, 1, F.greatest(m - (w - 1), F.lit(1))))
+
+
+def winnow_neardup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    w: int = 4,
+    threshold: float = 0.3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-dup pairs by winnowed-fingerprint Jaccard.
+
+    Sub-quadratic like LSH: candidates come from a self-join on shared
+    fingerprints (bucket keys), never an all-pairs product; ``max_bucket``
+    drops boilerplate fingerprints whose buckets would blow up
+    quadratically. Jaccard over the winnowed SETS approximates gram-set
+    Jaccard (winnowing samples ~2/(w+1) of grams uniformly by hash order).
+    Returns (id_a, id_b, sim), id_a < id_b.
+    """
+    fps = df.select(
+        F.col(id_col).alias("__id"),
+        winnow_fingerprints(F.col(text_col), k, w).alias("__fps"),
+    ).withColumn("__nf", F.size("__fps"))
+    ex = fps.select("__id", "__nf", F.explode("__fps").alias("__fp"))
+    sized = (
+        ex.withColumn("__bs", F.count("*").over(Window.partitionBy("__fp")))
+        .filter(F.col("__bs") <= max_bucket)
+        .drop("__bs")
+    )
+    a, b = sized.alias("a"), sized.alias("b")
+    shared = (
+        a.join(b, "__fp")
+        .filter(F.col("a.__id") < F.col("b.__id"))
+        .groupBy(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__nf").alias("na"),
+            F.col("b.__nf").alias("nb"),
+        )
+        .agg(F.count("*").alias("shared"))  # per-doc fps are distinct
+    )
+    sim = F.round(
+        F.col("shared")
+        / (F.col("na") + F.col("nb") - F.col("shared")).cast("double"),
+        6,
+    )
+    return (
+        shared.withColumn("sim", sim)
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )
 
 
 def minhash_signature(text: Column, num_hashes: int = 32, shingle_n: int = 3) -> Column:

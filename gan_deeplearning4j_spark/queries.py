@@ -1677,7 +1677,7 @@ def q_tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_partkey, l_suppkey
     )
     SELECT u.l_partkey AS partkey, s.s_name,
-           ROUND(u.unit_price, 4) AS best_price
+           CAST(floor(u.unit_price * 10000) AS BIGINT) AS best_price_e4
     FROM unit u
     JOIN (SELECT l_partkey, MIN(unit_price) AS best FROM unit
           GROUP BY l_partkey) m
@@ -1715,7 +1715,11 @@ def q_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("l_partkey").alias("partkey"),
             F.col("s_name"),
-            F.round(F.col("unit_price"), 4).alias("best_price"),
+            # floor(x*1e4) not ROUND(x,4): both engines floor the SAME IEEE
+            # double, while decimal rounding can split at ulp boundaries
+            # (Spark goes through BigDecimal's shortest-repr, DuckDB doesn't)
+            F.floor(F.col("unit_price") * 10000).cast("long")
+             .alias("best_price_e4"),
         )
     )
 
@@ -2158,6 +2162,22 @@ def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").alias("max_chars"),
         )
     )
+
+
+@register(
+    "winnow_neardup",
+    oracle=None,  # order-dependent window-min selection; recall pinned by test
+    doc="Winnowing-fingerprint near-dup (MOSS, SIGMOD'03): positional gram "
+        "hashes -> window minima -> fingerprint-bucket self-join -> set "
+        "Jaccard. The dedup family's 5th member (exact, MinHash+LSH, "
+        "SimHash, n-gram Jaccard, winnowing); recall vs the exact "
+        "all-pairs ground truth is pinned in tests",
+)
+def q_winnow_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import winnow_neardup
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnow_neardup(docs, "text", "doc_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

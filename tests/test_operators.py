@@ -311,3 +311,49 @@ def test_heavy_hitters_approx_recalls_true_top(spark, sf_dir):
         for r in REGISTRY["heavy_hitters_approx"].fn(spark, sf_dir).collect()
     }
     assert exact <= approx, exact - approx
+
+
+def test_winnow_neardup_recalls_ground_truth(spark, sf_dir):
+    """Winnowing guarantee: a shared token run >= w+k-1 yields a shared
+    fingerprint, so true near-dups (exact 3-gram Jaccard >= 0.5, the
+    planted pairs) must all surface at the 0.3 winnowed-set threshold."""
+    from gan_deeplearning4j_spark.queries import REGISTRY
+
+    truth = {
+        (r.id_a, r.id_b)
+        for r in REGISTRY["jaccard_neardup_pairs"].fn(spark, sf_dir).collect()
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in REGISTRY["winnow_neardup"].fn(spark, sf_dir).collect()
+    }
+    assert truth, "ground truth must be non-empty (testdata plants dups)"
+    assert truth <= got, truth - got
+    assert all(a < b for a, b in got)
+
+
+def test_winnow_fingerprints_subset_and_coverage(spark):
+    """Fingerprints are a subset of the doc's gram hashes, and identical
+    docs winnow to identical fingerprint sets."""
+    import pyspark.sql.functions as F
+
+    from gan_deeplearning4j_spark.operators.dedup import (
+        gram_hash_seq,
+        winnow_fingerprints,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "a b c d e f g h i j"),
+         (3, "completely different words here now ok")],
+        "id: long, text: string",
+    )
+    out = df.select(
+        "id",
+        winnow_fingerprints(F.col("text")).alias("fp"),
+        gram_hash_seq(F.col("text")).alias("grams"),
+    ).collect()
+    by_id = {r.id: r for r in out}
+    assert set(by_id[1].fp) == set(by_id[2].fp)
+    for r in out:
+        assert set(r.fp) <= set(r.grams)
+        assert 0 < len(r.fp) <= len(r.grams)
