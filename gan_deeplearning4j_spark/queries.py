@@ -2180,6 +2180,55 @@ def q_winnow_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_neardup(docs, "text", "doc_id")
 
 
+@register(
+    "hash_sample_bernoulli",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE (l_orderkey * 48271 + l_linenumber * 7) % 65537 < 6553
+    """,
+    doc="Deterministic ~10% Bernoulli sample by Lehmer hash of the row key "
+        "— reproducible across engines, runs, and partitionings (rand(seed) "
+        "is partition-layout-dependent; a key hash is not). The predicate "
+        "is a pure row-local filter: no shuffle, scales embarrassingly",
+)
+def q_hash_sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    key = (F.col("l_orderkey") * 48271 + F.col("l_linenumber") * 7) % 65537
+    return li.filter(key < 6553).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+@register(
+    "collect_sorted_years",
+    oracle="""
+    SELECT o_custkey,
+           array_to_string(list_sort(list(DISTINCT year(o_orderdate))), ',')
+             AS years_csv,
+           COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_custkey < 50
+    GROUP BY o_custkey
+    """,
+    doc="Nested-type aggregation: per-customer distinct order years as a "
+        "sorted CSV string (collect_set -> array_sort -> array_join). The "
+        "sort canonicalizes collect_set's arrival order, making a "
+        "set-valued aggregate deterministic and cross-engine comparable",
+)
+def q_collect_sorted_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set(F.year("o_orderdate"))), ","
+            ).alias("years_csv"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
