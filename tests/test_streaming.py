@@ -193,3 +193,32 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
     want_s = want.sort_values(key).reset_index(drop=True)
     assert len(got_s) == len(want_s) and len(want_s) > 0
     assert (got_s["user_id"].to_numpy() == want_s["user_id"].to_numpy()).all()
+
+
+def test_streaming_dedup_matches_batch_key_set(spark, sf_dir, tmp_path):
+    """dropDuplicatesWithinWatermark emits exactly one row per content key
+    when all rows arrive inside the watermark — the surviving key set must
+    equal batch dropDuplicates."""
+    from gan_deeplearning4j_spark.streaming.dedup import dedup_events_stream
+
+    ev = load_events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    src = str(tmp_path / "events_dedup")
+    ev.repartition(4).write.parquet(src)
+
+    stream = read_events_stream(spark, src, max_files_per_trigger=2)
+    out = dedup_events_stream(stream, watermark="100 hours")
+    run_stream_to_memory(out, "sdedup_test", timeout_sec=180,
+                         output_mode="append")
+
+    got = spark.sql(
+        "select user_id, event_type, value from sdedup_test"
+    ).toPandas()
+    want = dedup_events_stream(ev).select(
+        "user_id", "event_type", "value"
+    ).toPandas()
+
+    key = lambda df: set(map(tuple, df.to_numpy().tolist()))  # noqa: E731
+    assert len(got) == len(want)
+    assert key(got) == key(want)
