@@ -82,10 +82,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     oracle="""
     SELECT label,
            COUNT(*) AS n,
-           SUM(CASE WHEN list_indexof(embedding, list_aggregate(embedding, 'max')) - 1 = label
-                    THEN 1 ELSE 0 END) AS n_correct,
-           ROUND(SUM(CASE WHEN list_indexof(embedding, list_aggregate(embedding, 'max')) - 1 = label
-                          THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS acc
+           CAST(SUM(CASE WHEN list_indexof(embedding, list_aggregate(embedding, 'max')) - 1 = label
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+           CAST(SUM(CASE WHEN list_indexof(embedding, list_aggregate(embedding, 'max')) - 1 = label
+                         THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS acc_ppm
     FROM embeddings
     GROUP BY label
     """,
@@ -101,7 +101,10 @@ def q_argmax_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
             F.sum((pred == F.col("label")).cast("long")).alias("n_correct"),
         )
-        .withColumn("acc", F.round(F.col("n_correct") * 1.0 / F.col("n"), 6))
+        # integer ppm, not ROUND(double,6): DuckDB SUM(int) is HUGEINT and
+        # decimal rounding can split at ulp boundaries — pure int arithmetic
+        # hashes identically in both engines (CORRECTNESS_r01 red-row fix)
+        .withColumn("acc_ppm", F.expr("n_correct * 1000000L div n"))
     )
 
 
@@ -397,7 +400,10 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         j, ["c_mktsegment"], [F.desc("o_totalprice"), F.col("o_orderkey")], 10
     )
     return out.select(
-        "c_mktsegment", "rn", "o_orderkey", F.round("o_totalprice", 2).alias("total")
+        "c_mktsegment",
+        F.col("rn").cast("long").alias("rn"),
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("total"),
     )
 
 
@@ -783,9 +789,9 @@ def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop_hits = F.size(F.filter(toks, lambda t: t.isin("the", "a")))
     return docs.select(
         "doc_id", "n_chars",
-        F.length("text").alias("len_chars"),
-        n_tok.alias("n_tokens"),
-        n_dis.alias("n_distinct"),
+        F.length("text").cast("long").alias("len_chars"),
+        n_tok.cast("long").alias("n_tokens"),
+        n_dis.cast("long").alias("n_distinct"),
         F.round(stop_hits * 1.0 / n_tok, 6).alias("stopword_ratio"),
         F.round(n_dis * 1.0 / n_tok, 6).alias("distinct_ratio"),
     )
@@ -894,8 +900,8 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag,
            COUNT(*) AS n,
-           SUM(CASE WHEN l_discount BETWEEN 0.05 AND 0.07 THEN 1 ELSE 0 END) AS n_mid_disc,
-           SUM(CASE WHEN l_quantity < 10 THEN 1 ELSE 0 END) AS n_small_qty
+           CAST(SUM(CASE WHEN l_discount BETWEEN 0.05 AND 0.07 THEN 1 ELSE 0 END) AS BIGINT) AS n_mid_disc,
+           CAST(SUM(CASE WHEN l_quantity < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_small_qty
     FROM lineitem
     WHERE l_extendedprice > 1000 AND l_linestatus = 'F'
     GROUP BY l_returnflag
@@ -1005,11 +1011,12 @@ def q_window_lag_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
     ), sess AS (
       SELECT user_id, event_id, value,
-             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tus, event_id
-                                 ROWS UNBOUNDED PRECEDING) AS session_seq
+             CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
       FROM gaps
     )
-    SELECT user_id, session_seq, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+    SELECT user_id, session_seq, COUNT(*) AS n_events,
+           CAST(floor(SUM(value) * 100) AS BIGINT) AS sum_value_c
     FROM sess GROUP BY user_id, session_seq
     """,
     doc="Sessionization (streaming session-window semantics in batch): 30-min gap rule via lag + running sum",
@@ -1026,9 +1033,11 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "session_seq",
         F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
+    # floor(x*100) not ROUND(x,2): same-IEEE-double floor matches cross-engine
+    # where decimal rounding may not (see best_price_e4 note)
     return sess.groupBy("user_id", "session_seq").agg(
         F.count("*").alias("n_events"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.floor(F.sum("value") * 100).cast("long").alias("sum_value_c"),
     )
 
 
@@ -1520,9 +1529,10 @@ def q_window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return orders.select(
         "o_orderkey", "o_orderpriority",
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
-        F.ntile(4).over(w).alias("quartile"),
+        # long, not int: DuckDB window ranks are BIGINT (strict-dtype parity)
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
         F.round(F.percent_rank().over(w), 6).alias("prank"),
         F.round(F.cume_dist().over(w), 6).alias("cdist"),
     )
@@ -1567,10 +1577,10 @@ def q_tpch_q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q12_priority_split",
     oracle="""
     SELECT l.l_linestatus,
-           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
     WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
       AND l.l_shipdate <  TIMESTAMP '1998-01-01'
@@ -1966,7 +1976,8 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders
         WHERE o_custkey < 100
     )
-    SELECT o_custkey, ROUND(AVG(o_totalprice), 4) AS trimmed_mean
+    SELECT o_custkey,
+           CAST(floor(AVG(o_totalprice) * 100) AS BIGINT) AS trimmed_mean_c
     FROM r
     WHERE n <= 4 OR (rn > 2 AND rn <= n - 2)
     GROUP BY o_custkey
@@ -1991,10 +2002,13 @@ def q_grouped_agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         return float(s.mean())
 
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    # floor(x*100) not ROUND(x,4): the UDF's pandas sum and DuckDB's sum add
+    # in different orders, so the two means differ in the last ulp and
+    # decimal rounding can split at a .00005 boundary (seen at sf0.01)
     return (
         orders.groupBy("o_custkey")
-        .agg(F.round(trimmed_mean(F.col("o_totalprice")), 4)
-             .alias("trimmed_mean"))
+        .agg(F.floor(trimmed_mean(F.col("o_totalprice")) * 100)
+             .cast("long").alias("trimmed_mean_c"))
     )
 
 
@@ -2084,8 +2098,8 @@ def q_interval_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,
-           SUM(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
-           ROUND(AVG(CAST(props->>'$.k' AS BIGINT)), 6) AS avg_k
+           CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(floor(AVG(CAST(props->>'$.k' AS BIGINT)) * 1000000) AS BIGINT) AS avg_k_e6
     FROM events
     GROUP BY event_type
     """,
@@ -2103,7 +2117,7 @@ def q_json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n"),
             F.sum("k").alias("sum_k"),
-            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.floor(F.avg("k") * 1000000).cast("long").alias("avg_k_e6"),
         )
     )
 
@@ -2131,7 +2145,7 @@ def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.regexp_replace(F.col("text"), pat, "<MASK>").alias("cleaned"),
         F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0)))
-          .alias("n_masked"),
+          .cast("long").alias("n_masked"),
     )
 
 
