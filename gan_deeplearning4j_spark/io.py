@@ -45,7 +45,9 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     return df.select(
         "event_id",
-        F.timestamp_micros((F.col("ts") / 1000).cast("long")).alias("ts"),
+        # integer div, not /1000: double division of ~1.7e18-ns longs exceeds
+        # 53-bit mantissa precision and lands ~12% of timestamps 1µs off
+        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
         F.col("ts").alias("ts_nanos"),
         "user_id",
         "event_type",

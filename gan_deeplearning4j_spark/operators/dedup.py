@@ -17,6 +17,8 @@ Scale design (100 TB of documents):
 
 from __future__ import annotations
 
+import warnings
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -386,6 +388,7 @@ def connected_components(
         .select("node", F.col("node").alias("comp"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iter):
         nbr = (
             und.join(labels.withColumnRenamed("node", "b"), "b")
@@ -404,7 +407,18 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # a chain-shaped graph with diameter > max_iter would return split
+        # clusters with no other signal — surface it instead of silence
+        warnings.warn(
+            f"connected_components: not converged after {max_iter} rounds; "
+            "component ids may be split (raise max_iter — rounds needed is "
+            "O(graph diameter))",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 

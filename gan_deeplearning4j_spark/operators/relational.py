@@ -107,8 +107,16 @@ def salted_join(
 
     Use when AQE's skew splitting isn't available (e.g. the skew is in a
     broadcast-ineligible mid-size table). Correctness-equivalent to a plain
-    join on ``key``.
+    join on ``key`` for left-preserving modes only: a right/full outer join
+    would emit every unmatched right row once per replica.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "left_anti", "leftanti", "cross"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} would duplicate unmatched right rows "
+            f"(right side is replicated {salt}x); use one of {sorted(allowed)}"
+        )
     l = left.withColumn("__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt)))
     r = right.withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
     out = l.join(r, [key, "__salt"], how)

@@ -83,14 +83,29 @@ def read_events_stream(spark: SparkSession, path: str,
     )
 
 
+def derive_output_mode(stream_df: DataFrame) -> str:
+    """Pick the output mode Spark will accept for this plan: aggregates run
+    in ``complete`` (valid with or without watermark, and — unlike append —
+    it still emits windows the final watermark hasn't closed, which the
+    stream-equals-batch harness contract needs); everything else (stateless
+    projections, dropDuplicatesWithinWatermark, stream-stream joins,
+    applyInPandasWithState) runs in ``append``."""
+    plan = stream_df._jdf.queryExecution().analyzed().toString()
+    return "complete" if "Aggregate" in plan else "append"
+
+
 def run_stream_to_memory(stream_df: DataFrame, query_name: str,
                          timeout_sec: int = 60,
-                         output_mode: str = "complete") -> None:
+                         output_mode: str | None = None) -> None:
     """Drive a streaming aggregate to completion into an in-memory sink
     (test/dev harness; production uses a real sink + checkpointLocation).
-    Stateful applyInPandasWithState operators pass their own mode
-    ("update"/"append"); in those modes the memory sink appends each
-    trigger's emissions, so consumers take the latest row per key."""
+    Default mode is derived from the plan (a hard-coded 'complete' raised
+    AnalysisException for append/update stateful operators). Stateful
+    applyInPandasWithState operators pass their own mode ("update"/"append");
+    in those modes the memory sink appends each trigger's emissions, so
+    consumers take the latest row per key."""
+    if output_mode is None:
+        output_mode = derive_output_mode(stream_df)
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
