@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint64
+from .relational import assert_small, drop_hot_keys
 
 # Mersenne prime 2^31-1: modulus for the universal-hash family. 31-bit so
 # h*a + b stays well inside int64 (Spark 4 runs ANSI mode: overflow throws).
@@ -131,11 +132,7 @@ def winnow_neardup(
         winnow_fingerprints(F.col(text_col), k, w).alias("__fps"),
     ).withColumn("__nf", F.size("__fps"))
     ex = fps.select("__id", "__nf", F.explode("__fps").alias("__fp"))
-    sized = (
-        ex.withColumn("__bs", F.count("*").over(Window.partitionBy("__fp")))
-        .filter(F.col("__bs") <= max_bucket)
-        .drop("__bs")
-    )
+    sized = drop_hot_keys(ex, ["__fp"], max_bucket)
     a, b = sized.alias("a"), sized.alias("b")
     shared = (
         a.join(b, "__fp")
@@ -246,10 +243,9 @@ def minhash_lsh_candidates(
             ])
         ).alias("band_id", "band_hash"),
     )
-    # cap pathological buckets before the self-join
-    sized = banded.withColumn(
-        "__bs", F.count("*").over(Window.partitionBy("band_id", "band_hash"))
-    ).filter(F.col("__bs") <= max_bucket).drop("__bs")
+    # cap pathological buckets before the self-join (broadcast anti-join of
+    # the tiny hot-bucket list — not a window over every exploded row)
+    sized = drop_hot_keys(banded, ["band_id", "band_hash"], max_bucket)
     a = sized.alias("a")
     b = sized.alias("b")
     pairs = (
@@ -424,15 +420,18 @@ def connected_components(
 
 def dedup_clusters(
     df: DataFrame, text_col: str, id_col: str, threshold: float = 0.5,
-    exact_pairs: bool = True, num_hashes: int = 32, bands: int = 8,
-    max_iter: int = 20,
+    exact_pairs: bool = False, num_hashes: int = 32, bands: int = 8,
+    max_iter: int = 20, max_exact_rows: int = 25_000,
 ) -> DataFrame:
     """Full transitive near-dedup: similar pairs → connected components →
-    (doc, cluster_id, cluster_size). ``exact_pairs=True`` builds edges from
-    exact all-pairs Jaccard (quadratic — the DuckDB-oracleable baseline);
-    False uses MinHash-LSH candidates + Jaccard verify (the 100 TB path:
-    same output wherever LSH recall is 1)."""
+    (doc, cluster_id, cluster_size). Default edges come from MinHash-LSH
+    candidates + exact Jaccard verify (the 100 TB path). ``exact_pairs=True``
+    builds edges from exact all-pairs Jaccard — the DuckDB-oracleable
+    baseline, quadratic, hard-gated by ``max_exact_rows`` so it can never run
+    on a production corpus; output is identical wherever LSH recall is 1
+    (pinned by tests/test_operators.py LSH-vs-exact agreement)."""
     if exact_pairs:
+        assert_small(df, max_exact_rows, "dedup_clusters(exact_pairs=True)")
         sh = df.select(
             F.col(id_col).alias("__id"), shingles(F.col(text_col), 3).alias("g")
         )

@@ -123,6 +123,42 @@ def salted_join(
     return out.drop("__salt")
 
 
+def drop_hot_keys(
+    df: DataFrame, keys: list[str], max_rows: int
+) -> DataFrame:
+    """Drop every row whose key appears more than ``max_rows`` times.
+
+    The LSH/fingerprint bucket-size guard. Shape matters at 100 TB: a
+    ``count() over (partition by key)`` window shuffles EVERY row into key
+    partitions — and the hot keys this guards against are exactly the skew
+    that makes that shuffle hurt. Instead: groupBy(key).count() (map-side
+    partial agg, the hot-key list that emerges is tiny by construction —
+    it's the keys with the most rows) → broadcast anti-join the hot list
+    back. Same semantics, no full-width skewed shuffle.
+    """
+    hot = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > max_rows)
+        .select(*keys)
+    )
+    return df.join(F.broadcast(hot), keys, "left_anti")
+
+
+def assert_small(df: DataFrame, max_rows: int, context: str) -> DataFrame:
+    """Guard for deliberately-quadratic oracle baselines: refuse to run when
+    the input exceeds ``max_rows``. ``limit(n+1).count()`` keeps the guard
+    itself O(max_rows) — it never scans the full table at scale."""
+    n = df.limit(max_rows + 1).count()
+    if n > max_rows:
+        raise ValueError(
+            f"{context}: input exceeds {max_rows} rows — this is a quadratic "
+            "oracle baseline for small scale factors; use the LSH/banded "
+            "scale path instead"
+        )
+    return df
+
+
 def positional_join(left: DataFrame, right: DataFrame) -> DataFrame:
     """J2: row-i ↔ row-i alignment via explicit monotonically-increasing ids.
 

@@ -20,6 +20,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vector import as_double, cosine_similarity, dot
+from .relational import assert_small, drop_hot_keys
 
 
 def brute_force_topk(
@@ -119,16 +120,18 @@ def lsh_bucketed_topk(
 
 def embedding_neardup(
     df: DataFrame, vec_col: str, id_col: str, threshold: float = 0.4,
-    round_to: int = 6,
+    round_to: int = 6, max_rows: int = 25_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, exact form: every (id_a < id_b)
     pair with round(cosine, round_to) >= threshold.
 
     This is the oracle baseline (quadratic — DuckDB-checkable at small sf).
-    The scale path is ``embedding_neardup_lsh``: same output contract, but
-    candidates come from banded hyperplane-LSH buckets so the pair join is
-    bucket-local instead of all-pairs.
+    ``max_rows`` hard-gates it: the BroadcastNestedLoopJoin below must never
+    run on a production corpus. The scale path is ``embedding_neardup_lsh``:
+    same output contract, but candidates come from banded hyperplane-LSH
+    buckets so the pair join is bucket-local instead of all-pairs.
     """
+    assert_small(df, max_rows, "embedding_neardup")
     v = df.select(F.col(id_col), as_double(F.col(vec_col)).alias("__v"))
     a = v.select(F.col(id_col).alias("id_a"), F.col("__v").alias("__va"))
     b = v.select(F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"))
@@ -170,9 +173,7 @@ def embedding_neardup_lsh(
             ])
         ).alias("band_id", "band_val"),
     )
-    sized = banded.withColumn(
-        "__bs", F.count("*").over(Window.partitionBy("band_id", "band_val"))
-    ).filter(F.col("__bs") <= max_bucket).drop("__bs")
+    sized = drop_hot_keys(banded, ["band_id", "band_val"], max_bucket)
     # candidate ids only through the bucket join + distinct (two longs per
     # row); vectors re-attach afterwards so no dim-sized payload rides the
     # candidate shuffles
@@ -244,13 +245,15 @@ def kmeans_centroids(
     broadcast centroid table, one two-phase aggregate whose key space is
     k×dim — no all-pairs work, centroids round-trip through the driver
     (k×dim doubles) as every k-means does. Deterministic init (id % stride
-    sample, seedless); empty clusters drop out (k may shrink).
+    sample, ordered — LIMIT without ORDER BY is partition-layout-dependent);
+    empty clusters drop out (k may shrink).
     ``localCheckpoint`` truncates the per-iteration lineage."""
     c = corpus.select(
         F.col(id_col).alias("__kid"), as_double(F.col(vec_col)).alias("__cv")
     )
     cents = (
         corpus.filter((F.col(id_col) % sample_stride) == 0)
+        .orderBy(id_col)
         .limit(k)
         .select(
             F.col(id_col).alias("centroid_id"),
@@ -289,11 +292,14 @@ def ivf_assign(corpus: DataFrame, vec_col: str, id_col: str,
                n_centroids: int = 16, sample_stride: int = 37,
                centroids: DataFrame | None = None) -> tuple[DataFrame, DataFrame]:
     """IVF coarse quantizer: centroids = deterministic sample of corpus rows
-    (id % stride pattern) or a precomputed table (e.g. ``kmeans_centroids``),
-    assignment = argmax cosine against the broadcast centroid table.
-    Returns (assigned_corpus, centroids)."""
+    (id % stride pattern, ordered — LIMIT without ORDER BY depends on the
+    partition layout, so a repartitioned corpus would silently get different
+    centroids and different ivf_topk results) or a precomputed table (e.g.
+    ``kmeans_centroids``), assignment = argmax cosine against the broadcast
+    centroid table. Returns (assigned_corpus, centroids)."""
     cents = centroids if centroids is not None else (
         corpus.filter((F.col(id_col) % sample_stride) == 0)
+        .orderBy(id_col)
         .limit(n_centroids)
         .select(
             F.col(id_col).alias("centroid_id"),

@@ -1446,14 +1446,18 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                 len(list_distinct(list_concat(a.g, b.g))), 6) >= 0.5
     """,
     doc="North-star near-dup ground truth: exact all-pairs 3-gram Jaccard >= "
-        "0.5 (the testdata plants real near-dups). Quadratic oracle baseline; "
+        "0.5 (the testdata plants real near-dups). Quadratic oracle baseline "
+        "(sf-gated — assert_small refuses corpora past 25k docs); "
         "minhash_dedup / simhash_bands are the sub-quadratic scale paths whose "
         "recall is measured against this",
 )
 def q_jaccard_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import shingles
+    from .operators.relational import assert_small
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = assert_small(
+        _t(spark, sf_dir, "documents"), 25_000, "jaccard_neardup_pairs"
+    )
     sh = docs.select(F.col("doc_id"), shingles(F.col("text"), 3).alias("g"))
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("g").alias("ga"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("g").alias("gb"))
@@ -1492,17 +1496,21 @@ def q_jaccard_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a AS doc_id, MIN(b) AS cluster_id, COUNT(DISTINCT b) AS cluster_size
     FROM reach GROUP BY a
     """,
-    doc="Transitive near-dup clusters: similar-pair edges → iterative "
-        "min-label-propagation connected components (the oracle walks the "
-        "same graph with a recursive CTE). Exact-pair edges here for "
-        "oracle-ability; dedup_clusters(exact_pairs=False) is the LSH scale "
-        "path with identical output at full recall",
+    doc="Transitive near-dup clusters: MinHash-LSH candidate edges + exact "
+        "Jaccard verify → iterative min-label-propagation connected "
+        "components (the oracle walks the exact-pair graph with a recursive "
+        "CTE; LSH output is identical wherever candidate recall is 1 — "
+        "pinned by the LSH-vs-exact agreement test, and by this driver row "
+        "hashing against the exact oracle). The registered form IS the "
+        "100 TB path; dedup_clusters(exact_pairs=True) stays as the "
+        "sf-gated quadratic baseline",
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import dedup_clusters
 
     docs = _t(spark, sf_dir, "documents")
-    return dedup_clusters(docs, "text", "doc_id", threshold=0.5, exact_pairs=True)
+    return dedup_clusters(docs, "text", "doc_id", threshold=0.5,
+                          exact_pairs=False)
 
 
 @register(

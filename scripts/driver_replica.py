@@ -1,0 +1,65 @@
+"""The verify skill's driver-replica correctness gate as a script.
+
+Vanilla SparkSession with a NON-UTC timezone (the driver brings its own
+session, so hidden dependencies on our tuned session conf must fail here),
+every `queries()` entry executed at sf0.01, oracled ones hash-compared
+against DuckDB exactly the way the driver does.
+"""
+
+import math
+import sys
+
+sys.path.insert(0, '/root/repo')
+import duckdb
+from pyspark.sql import SparkSession
+
+import __spark_entry__ as E
+
+
+def main() -> int:
+    spark = (SparkSession.builder.master("local[4]")
+             .config("spark.sql.session.timeZone", "America/New_York")
+             .config("spark.ui.enabled", "false").getOrCreate())
+    assert len(E.entry(spark).collect()) > 0   # sf0.001 smoke
+
+    sf = '/root/testdata/sf0.01'
+    con = duckdb.connect()
+    for t in ['region', 'nation', 'customer', 'supplier', 'part', 'orders',
+              'lineitem', 'events', 'documents', 'embeddings']:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+
+    def canon(df):
+        cols = sorted(df.columns)
+
+        def cell(v):
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                return "N"
+            if isinstance(v, float):
+                if v == int(v) and abs(v) < 1e15:
+                    return f"{int(v)}"
+                return f"{v:.9g}"
+            return str(v)
+
+        return cols, sorted(
+            tuple(cell(x) for x in r) for r in df[cols].itertuples(index=False)
+        )
+
+    qs, oracles = E.queries(), E.oracle_sql()
+    names = sys.argv[1:] or list(qs)
+    fails = []
+    for name in names:
+        sdf = qs[name](spark, sf).toPandas()
+        if name in oracles:
+            sc, sr = canon(sdf)
+            oc, orows = canon(con.sql(oracles[name]).df())
+            if not (sc == oc and sr == orows):
+                fails.append(name)
+        print(name, "MISMATCH" if name in fails else "ok", flush=True)
+    print(f"{len(names) - len(fails)}/{len(names)} pass")
+    if fails:
+        print("FAILED:", " ".join(fails))
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

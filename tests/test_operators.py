@@ -357,3 +357,24 @@ def test_winnow_fingerprints_subset_and_coverage(spark):
     for r in out:
         assert set(r.fp) <= set(r.grams)
         assert 0 < len(r.fp) <= len(r.grams)
+
+
+def test_ivf_topk_stable_under_repartition(spark, sf_dir):
+    """Centroid init must be layout-independent: LIMIT without ORDER BY was
+    partition-order-dependent, silently changing ivf_topk results when the
+    corpus arrived repartitioned."""
+    from gan_deeplearning4j_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def run(corpus):
+        rows = ivf_topk(corpus, queries, "embedding", "vec_id", "query_id",
+                        k=5, n_centroids=8, nprobe=2).collect()
+        return {(r["query_id"], r["vec_id"]) for r in rows}
+
+    base = run(emb)
+    assert run(emb.repartition(7)) == base
+    assert run(emb.repartition(1)) == base
