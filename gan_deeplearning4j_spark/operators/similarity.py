@@ -44,16 +44,23 @@ def brute_force_topk(
     )
 
 
-def _planes_lit(dim: int, bits: int) -> Column:
-    """bits×dim hyperplane matrix as a foldable literal (weights derived
-    deterministically from (bit, component) — no RNG state to ship). Constant
-    folding collapses it to one array literal, so the plan carries data, not
-    a dim×bits expression tree."""
-    return F.array(*[
-        F.array(*[
-            F.lit((hash((b, i)) % 2000) / 1000.0 - 1.0) for i in range(dim)
-        ])
+def plane_values(dim: int, bits: int) -> list[list[float]]:
+    """The deterministic bits×dim hyperplane matrix as plain Python floats
+    (weights derived from hash((bit, component)) — stable across runs: int
+    and int-tuple hashes are unsalted). Exposed so oracle SQL can inline the
+    exact same doubles as literals."""
+    return [
+        [(hash((b, i)) % 2000) / 1000.0 - 1.0 for i in range(dim)]
         for b in range(bits)
+    ]
+
+
+def _planes_lit(dim: int, bits: int) -> Column:
+    """bits×dim hyperplane matrix as a foldable literal (no RNG state to
+    ship). Constant folding collapses it to one array literal, so the plan
+    carries data, not a dim×bits expression tree."""
+    return F.array(*[
+        F.array(*[F.lit(v) for v in row]) for row in plane_values(dim, bits)
     ])
 
 
@@ -81,6 +88,30 @@ def hyperplane_bits(vec: Column, dim: int, bits: int = 16) -> Column:
     )
 
 
+def hyperplane_dots(vec: Column, dim: int, bits: int = 16) -> Column:
+    """Array of signed distances (sequential-fold dot products) against the
+    literal plane matrix — the bit is the sign, |value| is the margin used
+    for multi-probe ordering."""
+    planes = _planes_lit(dim, bits)
+    return F.transform(
+        planes,
+        lambda p: F.aggregate(
+            F.zip_with(vec, p, lambda x, w: x * w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+
+
+def _pack_sign_bits(dots: Column) -> Column:
+    """dots → packed sign-bit signature (plane 0 is the MSB)."""
+    return F.aggregate(
+        F.transform(dots, lambda d: F.when(d >= 0, F.lit(1)).otherwise(F.lit(0))),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc * 2 + b,
+    )
+
+
 def hyperplane_signature(vec: Column, dim: int, bits: int = 16) -> Column:
     """Sign pattern packed into one long (the bucketing key form of
     ``hyperplane_bits``)."""
@@ -94,18 +125,54 @@ def hyperplane_signature(vec: Column, dim: int, bits: int = 16) -> Column:
 def lsh_bucketed_topk(
     corpus: DataFrame, queries: DataFrame, vec_col: str, id_col: str,
     query_id: str, dim: int, k: int = 10, bits: int = 12,
+    probes: int | None = None,
 ) -> DataFrame:
-    """Approximate top-k: only compare vectors sharing the hyperplane-sign
-    bucket. Recall grows with multi-probe (not implemented round 1)."""
+    """Approximate top-k: only compare vectors sharing a hyperplane-sign
+    bucket, with multi-probe (Lv et al., VLDB'07): each query also probes
+    the buckets reached by flipping sign bits, nearest-hyperplane (smallest
+    |dot|) first — the buckets a true neighbor most likely fell into.
+
+    ``probes`` = number of 1-bit-flip buckets per query beyond the home
+    bucket; None probes every 1-bit flip (bits extra buckets). Without
+    multi-probe, recall collapses for vectors near any hyperplane boundary.
+    Probing is on the broadcast query side: bits+1 bucket keys per query,
+    corpus untouched — at scale the corpus shuffle stays one sig-keyed
+    exchange no matter how many probes."""
+    if probes is None:
+        probes = bits
     c = corpus.select(
         F.col(id_col),
         as_double(F.col(vec_col)).alias("__cv"),
     ).withColumn("__sig", hyperplane_signature(F.col("__cv"), dim, bits))
-    q = queries.select(
-        F.col(query_id),
-        as_double(F.col(vec_col)).alias("__qv"),
-    ).withColumn("__sig", hyperplane_signature(F.col("__qv"), dim, bits))
-    joined = c.join(F.broadcast(q), "__sig")
+    q = (
+        queries.select(F.col(query_id), as_double(F.col(vec_col)).alias("__qv"))
+        .withColumn("__dots", hyperplane_dots(F.col("__qv"), dim, bits))
+        .withColumn("__sig", _pack_sign_bits(F.col("__dots")))
+    )
+    if probes > 0:
+        # (margin, flipped-sig) per plane; flipping bit j toggles 2^(bits-1-j)
+        flips = F.zip_with(
+            F.col("__dots"),
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda d, j: F.struct(
+                F.abs(d).alias("m"),
+                F.col("__sig").bitwiseXOR(
+                    F.pow(F.lit(2.0), (F.lit(bits - 1) - j)).cast("long")
+                ).alias("s"),
+            ),
+        )
+        probe_sigs = F.concat(
+            F.array(F.col("__sig")),
+            F.transform(
+                F.slice(F.array_sort(flips), 1, probes), lambda s: s["s"]
+            ),
+        )
+        qx = q.select(
+            query_id, "__qv", F.explode(probe_sigs).alias("__sig")
+        )
+    else:
+        qx = q.select(query_id, "__qv", "__sig")
+    joined = c.join(F.broadcast(qx), "__sig")
     scored = joined.select(
         query_id, id_col,
         cosine_similarity(F.col("__cv"), F.col("__qv")).alias("cos_sim"),

@@ -1079,8 +1079,27 @@ def q_softmax_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "minhash_dedup",
     headline=True,
-    oracle=None,
-    doc="North-star MinHash+LSH near-dedup: shingle→minhash→band→bucket-join→Jaccard verify",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+               i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS g
+      FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+            FROM documents)
+    ), losers AS (
+      SELECT DISTINCT b.doc_id
+      FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+      WHERE len(list_intersect(a.g, b.g)) * 1.0 /
+            len(list_distinct(list_concat(a.g, b.g))) >= 0.8
+    )
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+    """,
+    doc="North-star MinHash+LSH near-dedup: shingle→minhash→band→bucket-join→"
+        "Jaccard verify. The oracle is the exact all-pairs ground truth: the "
+        "driver row hashing green IS the LSH-recall-1 agreement check "
+        "(sub-quadratic survivors == quadratic-baseline survivors)",
 )
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
@@ -1089,10 +1108,50 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_arr(row: list[float]) -> str:
+    return "[" + ", ".join(repr(v) for v in row) + "]::DOUBLE[]"
+
+
+def _lsh_topk_oracle(dim: int = 64, bits: int = 8, k: int = 5) -> str:
+    """DuckDB replica of lsh_bucketed_topk (all-1-bit-flip multi-probe): the
+    exact plane doubles are inlined as literals, so both engines compute the
+    same sequential dot products, the same sign bits, and the same probe
+    set."""
+    from .operators.similarity import plane_values
+
+    planes = plane_values(dim, bits)
+    sig_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(ve, {_sql_arr(planes[j])}) >= 0"
+        f" THEN {1 << (bits - 1 - j)} ELSE 0 END)"
+        for j in range(bits)
+    )
+    probe_list = ", ".join(
+        ["sig"] + [f"xor(sig, {1 << (bits - 1 - j)})" for j in range(bits)]
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+    s AS (SELECT vec_id, ve, CAST({sig_terms} AS BIGINT) AS sig FROM v),
+    q AS (SELECT vec_id AS query_id, ve AS qv, sig FROM s WHERE vec_id < 4),
+    probes AS (SELECT query_id, qv, unnest([{probe_list}]) AS psig FROM q),
+    scored AS (
+      SELECT p.query_id, s.vec_id, list_cosine_similarity(s.ve, p.qv) AS cs
+      FROM s JOIN probes p ON s.sig = p.psig
+    )
+    SELECT query_id, vec_id, ROUND(cs, 6) AS cos_sim
+    FROM (SELECT query_id, vec_id, cs,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cs DESC, vec_id) AS rn
+          FROM scored)
+    WHERE rn <= {k}
+    """
+
+
 @register(
     "lsh_topk",
-    oracle=None,
-    doc="North-star LSH-bucketed ANN: hyperplane signatures, bucket-local exact rerank",
+    oracle=_lsh_topk_oracle(),
+    doc="North-star LSH-bucketed ANN: hyperplane signatures, multi-probe "
+        "(all 1-bit flips), bucket-local exact rerank. Oracled: the plane "
+        "matrix is inlined into the DuckDB SQL as literals",
 )
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
@@ -1104,31 +1163,104 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"))
 
 
+def _lehmer_u_sql(seed: int, stream: int) -> str:
+    """DuckDB expression mirroring functions.random.counter_rand bit-for-bit
+    (pure integer Lehmer chain + one double division)."""
+    c = (seed + 131071 * stream) * 2654435761 % 2147483647
+    return (
+        f"(((((((id + {c}) % 2147483647) * 48271 % 2147483647)"
+        f" * 48271 % 2147483647) * 48271 % 2147483647))"
+        f" / 2147483647.0)"
+    )
+
+
+def _lehmer_g_sql(seed: int, stream: int) -> str:
+    """DuckDB Box-Muller mirroring counter_randn."""
+    u1 = _lehmer_u_sql(seed, stream)
+    u2 = _lehmer_u_sql(seed, stream + 7919)
+    return f"(sqrt(-2.0 * ln(1 - {u1})) * cos(2 * pi() * {u2}))"
+
+
 @register(
     "random_tensors",
-    oracle=None,
-    doc="R1/R2/R5: seeded rand/randn generation with pinned single-partition "
-        "layout for bitwise reproducibility (java:75 seed discipline)",
+    oracle=f"""
+    SELECT id,
+           CAST(floor({_lehmer_u_sql(666, 0)} * 1000000) AS BIGINT) AS u_e6,
+           CAST(floor(({_lehmer_u_sql(666, 0)} * 2 - 1) * 1000000) AS BIGINT)
+             AS u_rescaled_e6,
+           CAST(floor({_lehmer_g_sql(666, 1)} * 1000000) AS BIGINT) AS g_e6,
+           CAST(floor((1.0 + {_lehmer_g_sql(667, 2)} * 0.05) * 1000000) AS BIGINT)
+             AS label_smoothed_e6
+    FROM range(256) t(id)
+    """,
+    doc="R1/R2/R5: counter-based (Salmon et al. SC'11 style) rand/randn — a "
+        "pure function of the row id, so draws are layout-independent, "
+        "shuffle-safe and task-retry-safe (Spark's rand/randn streams are "
+        "per-partition-seeded: same row, different layout, different value). "
+        "Cross-engine exact: integer Lehmer chain + Box-Muller, surfaced as "
+        "floor(x*1e6) integer surrogates",
 )
 def q_random_tensors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .functions.random import random_vector, seeded_rand, seeded_randn
+    from .functions.random import counter_rand, counter_randn
 
-    # partition pinning (repartition(1)) makes Spark's per-partition RNG
-    # streams reproducible regardless of the session's default parallelism
-    base = spark.range(256).repartition(1)
+    # no repartition pinning needed: draws depend only on id
+    base = spark.range(256)
+    u = counter_rand(F.col("id"), 666, 0)
+    g = counter_randn(F.col("id"), 666, 1)
+    g2 = counter_randn(F.col("id"), 667, 2)
     return base.select(
         F.col("id"),
-        F.round(seeded_rand(666), 6).alias("u"),
-        F.round(seeded_rand(666) * 2 - 1, 6).alias("u_rescaled"),
-        F.round(seeded_randn(666), 6).alias("g"),
-        F.round(F.lit(1.0) + seeded_randn(667) * 0.05, 6).alias("label_smoothed"),
+        F.floor(u * 1000000).cast("long").alias("u_e6"),
+        F.floor((u * 2 - 1) * 1000000).cast("long").alias("u_rescaled_e6"),
+        F.floor(g * 1000000).cast("long").alias("g_e6"),
+        F.floor((F.lit(1.0) + g2 * 0.05) * 1000000).cast("long")
+         .alias("label_smoothed_e6"),
     )
 
 
 @register(
     "ivf_topk",
-    oracle=None,
-    doc="North-star ANN scale path: IVF coarse quantizer, nprobe inverted-list probe",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+    cents AS (
+      SELECT vec_id AS centroid_id, ve AS cent FROM v
+      WHERE vec_id % 37 = 0 ORDER BY vec_id LIMIT 8
+    ),
+    assigned AS (
+      SELECT vec_id, ve, centroid_id FROM (
+        SELECT v.vec_id, v.ve, c.centroid_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY list_cosine_similarity(v.ve, c.cent) DESC,
+                          c.centroid_id) AS rn
+        FROM v CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, ve AS qv FROM v WHERE vec_id < 4),
+    probes AS (
+      SELECT query_id, qv, centroid_id FROM (
+        SELECT q.query_id, q.qv, c.centroid_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY list_cosine_similarity(q.qv, c.cent) DESC,
+                          c.centroid_id) AS rn
+        FROM q CROSS JOIN cents c
+      ) WHERE rn <= 3
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id, list_cosine_similarity(a.ve, p.qv) AS cs
+      FROM assigned a JOIN probes p ON a.centroid_id = p.centroid_id
+    )
+    SELECT query_id, vec_id, ROUND(cs, 6) AS cos_sim
+    FROM (SELECT query_id, vec_id, cs,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cs DESC, vec_id) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    """,
+    doc="North-star ANN scale path: IVF coarse quantizer, nprobe "
+        "inverted-list probe. Oracled end-to-end (ordered deterministic "
+        "centroid init makes the whole pipeline SQL-replicable)",
 )
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import ivf_topk
@@ -1144,16 +1276,37 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ngram_jaccard_verify",
-    oracle=None,
-    doc="North-star near-dup verification: exact n-gram Jaccard over LSH candidate pairs",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+               i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS g
+      FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+            FROM documents)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(len(list_intersect(a.g, b.g)) * 1.0 /
+                 len(list_distinct(list_concat(a.g, b.g))), 6) AS jaccard
+    FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+    WHERE len(list_intersect(a.g, b.g)) * 1.0 /
+          len(list_distinct(list_concat(a.g, b.g))) >= 0.7
+    """,
+    doc="North-star near-dup verification: exact n-gram Jaccard over "
+        "MinHash-LSH candidate pairs, thresholded — at candidate recall 1 the "
+        "output equals the quadratic all-pairs ground truth the oracle "
+        "computes, making this a driver-hashable agreement row (32 hashes × "
+        "16 bands of 2 rows: pair-miss prob at j=0.7 is (1-0.49)^16 ≈ 2e-5)",
 )
 def q_ngram_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import minhash_lsh_candidates, ngram_jaccard
 
     docs = _t(spark, sf_dir, "documents")
-    cands = minhash_lsh_candidates(docs, "text", "doc_id", num_hashes=16, bands=8)
-    return ngram_jaccard(cands, docs, "text", "doc_id").select(
-        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    cands = minhash_lsh_candidates(docs, "text", "doc_id",
+                                   num_hashes=32, bands=16)
+    return (
+        ngram_jaccard(cands, docs, "text", "doc_id")
+        .filter(F.col("jaccard") >= 0.7)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
 
 
@@ -1189,12 +1342,45 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup(emb, "embedding", "vec_id", threshold=0.4)
 
 
+def _banded_lsh_neardup_oracle(dim: int = 64, bands: int = 4,
+                               rows_per_band: int = 8,
+                               threshold: float = 0.35) -> str:
+    """DuckDB replica of embedding_neardup_lsh: per-vector band values from
+    the same literal planes, candidate pairs share ANY band, exact cosine
+    verify at the same rounded threshold."""
+    from .operators.similarity import plane_values
+
+    planes = plane_values(dim, bands * rows_per_band)
+    band_cols = []
+    for b in range(bands):
+        terms = " + ".join(
+            f"(CASE WHEN list_dot_product(ve, "
+            f"{_sql_arr(planes[b * rows_per_band + j])}) >= 0"
+            f" THEN {1 << (rows_per_band - 1 - j)} ELSE 0 END)"
+            for j in range(rows_per_band)
+        )
+        band_cols.append(f"({terms}) AS band{b}")
+    band_select = ", ".join(band_cols)
+    any_band = " OR ".join(f"a.band{b} = b.band{b}" for b in range(bands))
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+    s AS (SELECT vec_id, ve, {band_select} FROM v)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.ve, b.ve), 6) AS cos_sim
+    FROM s a JOIN s b ON a.vec_id < b.vec_id AND ({any_band})
+    WHERE ROUND(list_cosine_similarity(a.ve, b.ve), 6) >= {threshold}
+    """
+
+
 @register(
     "embedding_neardup_lsh",
-    oracle=None,
+    oracle=_banded_lsh_neardup_oracle(),
     headline=True,
-    doc="North-star embedding near-dup at scale: banded hyperplane-LSH candidates "
-        "(bucket-keyed join, never all-pairs) + exact cosine verify",
+    doc="North-star embedding near-dup at scale: banded hyperplane-LSH "
+        "candidates (bucket-keyed join, never all-pairs) + exact cosine "
+        "verify. Oracled: DuckDB recomputes the same bands from inlined "
+        "plane literals (its join may be quadratic — it is the oracle, not "
+        "the plan)",
 )
 def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import embedding_neardup_lsh

@@ -12,14 +12,27 @@ from gan_deeplearning4j_spark.queries import REGISTRY
 
 
 def test_random_tensors_deterministic(spark, sf_dir):
-    """R5: same seed + pinned partitioning → identical draws across runs."""
+    """R5: counter-based draws are identical across runs AND layouts."""
     a = REGISTRY["random_tensors"].fn(spark, sf_dir).toPandas()
     b = REGISTRY["random_tensors"].fn(spark, sf_dir).toPandas()
-    assert (a["u"] == b["u"]).all() and (a["g"] == b["g"]).all()
-    # sanity of distributions
-    assert 0.0 <= a["u"].min() and a["u"].max() <= 1.0
-    assert abs(a["g"].mean()) < 0.2
-    assert (a["u_rescaled"].between(-1, 1)).all()
+    assert (a["u_e6"] == b["u_e6"]).all() and (a["g_e6"] == b["g_e6"]).all()
+    # sanity of distributions (e6 integer surrogates)
+    assert 0 <= a["u_e6"].min() and a["u_e6"].max() <= 1_000_000
+    assert abs(a["g_e6"].mean()) < 200_000
+    assert a["u_rescaled_e6"].between(-1_000_000, 1_000_000).all()
+
+
+def test_counter_rand_layout_independent(spark):
+    """The draw for a row depends only on its id, not the partitioning —
+    the property Spark's per-partition-seeded rand() lacks."""
+    from gan_deeplearning4j_spark.functions.random import counter_rand
+
+    def draws(df):
+        rows = df.select("id", counter_rand(F.col("id")).alias("u")).collect()
+        return {r["id"]: r["u"] for r in rows}
+
+    base = spark.range(100)
+    assert draws(base.repartition(13)) == draws(base.coalesce(1))
 
 
 def test_minhash_finds_planted_near_dups(spark):
@@ -378,3 +391,52 @@ def test_ivf_topk_stable_under_repartition(spark, sf_dir):
     base = run(emb)
     assert run(emb.repartition(7)) == base
     assert run(emb.repartition(1)) == base
+
+
+def test_lsh_topk_multiprobe_recall(spark):
+    """Multi-probe (nearest-boundary 1-bit flips) must lift bucket-LSH
+    top-k recall to >= 0.9 vs brute force on a fixture where the true top-k
+    ARE near neighbors (5 jittered copies planted per query); home-bucket-only
+    is strictly worse or equal. A vector near a hyperplane lands on either
+    side under jitter — exactly the case probing repairs."""
+    from gan_deeplearning4j_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_bucketed_topk,
+    )
+
+    rng = np.random.default_rng(666)
+    dim = 64
+    base = rng.normal(size=(220, dim))
+    rows = [(i, base[i].tolist()) for i in range(200)]
+    for i in range(20):
+        for c in range(5):  # 5 near-copies of each query vector
+            rows.append(
+                (1000 + i * 10 + c,
+                 (base[i] + rng.normal(scale=0.02, size=dim)).tolist())
+            )
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(
+        [(i, base[i].tolist()) for i in range(20)],
+        "query_id long, embedding array<double>",
+    )
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_topk(
+            corpus, queries, "embedding", "vec_id", "query_id", k=5
+        ).collect()
+    }
+
+    def recall(probes):
+        got = {
+            (r["query_id"], r["vec_id"])
+            for r in lsh_bucketed_topk(
+                corpus, queries, "embedding", "vec_id", "query_id",
+                dim=dim, k=5, bits=8, probes=probes,
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    multi = recall(None)   # all 1-bit flips
+    none = recall(0)       # home bucket only
+    assert multi >= 0.9, f"multi-probe recall {multi}"
+    assert multi >= none
