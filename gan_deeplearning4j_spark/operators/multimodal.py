@@ -2,12 +2,11 @@
 opaque ``binary`` columns with typed metadata.
 
 The Spark-side plumbing — schema, partitioning, Arrow batch shape, UDF
-signatures — is real and tested. The actual codec step is STUBBED: this
-container ships no image/audio libraries, so ``decode_image`` raises
-``NotImplementedError`` unless a real decoder import succeeds, and the
-deterministic fake decoder (``fake=True``) synthesizes pixel tensors from the
-content hash so downstream stages (resize, feature extraction, frame
-sampling) are exercised end-to-end.
+signatures — is real and tested. Image decode is REAL for PNG and binary
+PGM/PPM via the in-engine pure-stdlib codec (functions/imagecodec.py);
+formats needing an external library (JPEG…) raise ``NotImplementedError``,
+as does audio decode (no audio library in this container) — the
+deterministic fake decoder (``fake=True``) covers those plumbing paths.
 
 Scale notes (100 TB of media):
 - Binary payloads stay OFF the shuffle path: metadata-only plans (filter on
@@ -30,12 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-try:  # pragma: no cover - not installed in this container
-    from PIL import Image  # noqa: F401
-
-    _HAVE_PIL = True
-except Exception:
-    _HAVE_PIL = False
+from ..functions.imagecodec import decode_any, encode_png, to_gray
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -52,11 +46,19 @@ MEDIA_SCHEMA = T.StructType(
 
 
 def synth_media_df(spark, n: int = 64, kind: str = "image") -> DataFrame:
-    """Deterministic fixture: binary payloads derived from media_id."""
+    """Deterministic fixture. Image rows carry REAL PNG payloads (pixels
+    derived from media_id, encoded by the in-engine codec) so the decode
+    path runs un-faked; audio/video payloads stay opaque hash bytes for the
+    fake PCM/frame decoders."""
     rows = []
     for i in range(n):
-        payload = hashlib.sha256(f"media-{kind}-{i}".encode()).digest() * 8
-        rows.append((i, kind, bytearray(payload), f"{kind}/x-fake", 16, 16,
+        if kind == "image":
+            payload = encode_png(_fake_decode(f"media-image-{i}".encode(), 16, 16))
+            mime = "image/png"
+        else:
+            payload = hashlib.sha256(f"media-{kind}-{i}".encode()).digest() * 8
+            mime = f"{kind}/x-fake"
+        rows.append((i, kind, bytearray(payload), mime, 16, 16,
                      8 if kind == "video" else 1, 16000 if kind == "audio" else None))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
@@ -69,15 +71,18 @@ def _fake_decode(content: bytes, width: int, height: int) -> np.ndarray:
 
 
 def decode_image(content: bytes, width: int, height: int, fake: bool = False) -> np.ndarray:
-    """STUB: real decode needs an image library not present here."""
+    """Decode an image payload to a (H, W) uint8 grayscale tensor.
+
+    Real path: the in-engine pure-stdlib codec (PNG via zlib, binary
+    PGM/PPM — functions/imagecodec.py); color images reduce via integer
+    luma. Formats beyond those (JPEG etc.) need an image library this
+    container doesn't ship — they raise NotImplementedError. ``fake=True``
+    keeps the deterministic hash decoder for plumbing tests. The declared
+    width/height metadata is advisory; the decoded header wins.
+    """
     if fake:
         return _fake_decode(content, width, height)
-    if not _HAVE_PIL:
-        raise NotImplementedError(
-            "image decode requires an image library (e.g. Pillow); "
-            "use fake=True for the deterministic test decoder"
-        )
-    raise NotImplementedError("real decoder wiring is deferred until a codec lib ships")
+    return to_gray(decode_any(content))
 
 
 def decode_features(
@@ -127,8 +132,9 @@ def resize_images(df: DataFrame, out_w: int = 8, out_h: int = 8,
             out = []
             for content, w, h in zip(pdf["content"], pdf["width"], pdf["height"]):
                 img = decode_image(bytes(content), int(w), int(h), fake=fake)
-                ys = (np.arange(out_h) * h // out_h)
-                xs = (np.arange(out_w) * w // out_w)
+                ih, iw = img.shape  # decoded dims win over metadata
+                ys = (np.arange(out_h) * ih // out_h)
+                xs = (np.arange(out_w) * iw // out_w)
                 small = img[np.ix_(ys, xs)]
                 out.append([int(v) for v in small.ravel()])
             yield pd.DataFrame(

@@ -1414,14 +1414,15 @@ def q_gan_grid_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_features",
     oracle=None,
-    doc="North-star multimodal: binary media column → decode (deterministic fake codec) "
-        "→ feature vector via mapInPandas; schema/batching plumbing is real",
+    doc="North-star multimodal: binary media column → REAL PNG decode "
+        "(in-engine pure-stdlib codec, zlib inflate + scanline unfilter) "
+        "→ feature vector via mapInPandas",
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.multimodal import decode_features, synth_media_df
 
     media = synth_media_df(spark, n=64)
-    feats = decode_features(media, out_dim=8)
+    feats = decode_features(media, out_dim=8, fake=False)
     return feats.select(
         "media_id",
         F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"),

@@ -132,3 +132,50 @@ def test_checkpoint_roundtrip(spark, tmp_path):
     saved = spark.read.parquet(f"{path}/dis_weights.parquet")
     n_params = sum(a.size for ps in p.dis.weights.values() for a in ps.values())
     assert saved.count() == n_params
+
+
+def test_dcgan_conv_two_epochs_deterministic(spark):
+    """The reference's headline behavior end-to-end: the full adversarial
+    alternation (O4) over the CONV topology (K2 conv, K3 pool-stride, K5
+    upsample) — dis conv stack, gen dense→reshape→upsample→conv stack,
+    transfer-learned conv classifier head — 2 epochs, seed 666, with
+    weight-hash stability across runs (dl4jGANComputerVision.java:408-621).
+    """
+    side, n = 8, 96
+    x, y = _toy_data(n=n, dim=side * side, n_classes=3)
+
+    def run():
+        p = GanPipeline.dcgan(side=side, latent_dim=2, base_filters=2,
+                              n_classes=3, seed=666)
+        hist = p.fit(spark, x, y, epochs=2, batch_rows=48, n_workers=2,
+                     avg_freq=4)
+        return p, hist
+
+    p1, h1 = run()
+    p2, h2 = run()
+    assert len(h1) == 2
+    for h in h1:
+        assert np.isfinite(h["dis_loss"]) and np.isfinite(h["gan_loss"])
+        assert np.isfinite(h["cv_loss"])
+    assert h1 == h2
+    assert _weights_digest(p1.dis.weights) == _weights_digest(p2.dis.weights)
+    assert _weights_digest(p1.gen.weights) == _weights_digest(p2.gen.weights)
+    # training moved the conv weights (not a frozen no-op)
+    p0 = GanPipeline.dcgan(side=side, latent_dim=2, base_filters=2,
+                           n_classes=3, seed=666)
+    assert _weights_digest(p1.dis.weights) != _weights_digest(p0.dis.weights)
+
+    # W3 grid inference through the conv generator: row-major, side² pixels
+    grid = p1.generate_grid(spark, side=3).toPandas()
+    assert list(grid["grid_id"]) == list(range(9))
+    assert len(grid["output"][0]) == side * side
+
+    # transfer-learned conv classifier emits valid probability rows
+    pred = p1.predict(
+        spark.createDataFrame(
+            [(i, [float(v) for v in x[i]]) for i in range(10)],
+            "id: long, features: array<float>",
+        )
+    ).toPandas()
+    probs = np.stack(pred["output"].to_numpy())
+    np.testing.assert_allclose(probs.sum(axis=1), 1.0, rtol=1e-4)
