@@ -208,6 +208,89 @@ def minhash_signatures_df(
     )
 
 
+def minhash_features(
+    df: DataFrame, text_col: str, id_col: str,
+    num_hashes: int = 32, shingle_n: int = 3,
+) -> DataFrame:
+    """(id, __sig array<long>, __sh array<long>) — MinHash signature AND the
+    distinct gram-hash set, computed map-side in ONE Arrow pass (mapInPandas,
+    numpy). No shingle explode, no signature shuffle: the only exchange a
+    downstream LSH pipeline pays is the band-bucket join itself.
+
+    This is the hot-path twin of ``minhash_signatures_df`` (the pure-SQL
+    explode + 32-min-agg form, kept for composition and plan tests). The
+    profile that motivated it: the gram-hash chain is higher-order-function
+    territory (CodegenFallback — interpreted per token), and every branch of
+    the dedup DAG (hot-bucket count, both self-join sides, both verify
+    joins) re-evaluates it; here each batch is one vectorized numpy pass,
+    cheap enough that re-evaluation is noise.
+
+    Hash family: crc32(token) mod P (deterministic across workers — Python's
+    builtin str hash is salted per process and must never be used here),
+    grams = rolling ``h*524287 + h_next mod P`` over ``shingle_n`` tokens,
+    padding 0 past the doc end, min of ``(2j+1)·g + 9973(j+1) mod P`` per
+    hash j — the same universal family as the SQL form (values differ only
+    through the token hash; every consumer is hash-agnostic: Jaccard over
+    any injective-enough gram hash equals Jaccard over gram strings)."""
+    import zlib
+
+    import numpy as np
+
+    n, P = shingle_n, _P
+    schema = f"{id_col} long, __sig array<long>, __sh array<long>"
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cache: dict[str, int] = {}
+
+            def th(t: str) -> int:
+                h = cache.get(t)
+                if h is None:
+                    h = cache[t] = zlib.crc32(t.encode()) % P
+                return h
+
+            tok_rows = [
+                [th(t) for t in (s or "").lower().strip().split()] or [th("")]
+                for s in pdf[text_col]
+            ]
+            lens = np.array([len(r) for r in tok_rows], dtype=np.int64)
+            toks = np.fromiter(
+                (h for r in tok_rows for h in r), dtype=np.int64, count=int(lens.sum())
+            )
+            starts = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            doc_of = np.repeat(np.arange(len(lens)), lens)
+            grams = toks.copy()
+            for k in range(1, n):
+                nxt = np.zeros_like(toks)
+                nxt[:-k] = toks[k:]
+                nxt[:-k][doc_of[k:] != doc_of[:-k]] = 0
+                grams = (grams * 524287 + nxt) % P
+            # first max(len - (n-1), 1) positions of each doc hold its grams
+            keep = (np.arange(len(toks)) - starts[doc_of]) < np.maximum(
+                lens - (n - 1), 1
+            )[doc_of]
+            # distinct (doc, gram) via one sort: gram < 2^31 so the pair
+            # packs into an int64 key
+            key = np.unique((doc_of[keep] << np.int64(31)) | grams[keep])
+            gdoc, g = key >> np.int64(31), key & np.int64((1 << 31) - 1)
+            gstarts = np.searchsorted(gdoc, np.arange(len(lens)))
+            sig = np.empty((len(lens), num_hashes), dtype=np.int64)
+            for j in range(num_hashes):
+                sig[:, j] = np.minimum.reduceat(
+                    (g * (2 * j + 1) + 9973 * (j + 1)) % P, gstarts
+                )
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(),
+                "__sig": list(sig),
+                "__sh": np.split(g, gstarts[1:]),
+            })
+
+    return df.select(id_col, text_col).mapInPandas(gen, schema)
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str,
@@ -215,17 +298,20 @@ def minhash_lsh_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     max_bucket: int = 1000,
+    features: DataFrame | None = None,
 ) -> DataFrame:
     """LSH banding: docs sharing any band signature become candidate pairs.
 
     Returns (id_a, id_b) with id_a < id_b, distinct. The join key is
     (band_id, band_hash); ``max_bucket`` drops degenerate buckets (e.g. empty
     documents) whose quadratic blowup would dominate at scale.
-    """
+
+    ``features`` lets callers share one ``minhash_features`` relation between
+    candidate generation and verification."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures_df(df, text_col, id_col, num_hashes).select(
-        F.col(id_col).alias("__id"), "__sig"
-    )
+    if features is None:
+        features = minhash_features(df, text_col, id_col, num_hashes)
+    sig = features.select(F.col(id_col).alias("__id"), "__sig")
     banded = sig.select(
         "__id",
         F.posexplode(
@@ -349,11 +435,27 @@ def minhash_dedup(
 ) -> DataFrame:
     """Full near-dedup: LSH candidates → Jaccard verify → keep min-id winner
     per connected pair (single-link, one hop — ``dedup_clusters`` does the
-    full transitive closure)."""
-    cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands)
-    verified = ngram_jaccard_hashed(cands, df, text_col, id_col).filter(
-        F.col("jaccard") >= threshold
+    full transitive closure).
+
+    One ``minhash_features`` pass feeds both the band join and the verify
+    joins; the verify reads the already-computed gram-hash sets instead of
+    re-deriving grams from text (``ngram_jaccard_hashed`` stays as the
+    standalone form for externally-supplied pairs)."""
+    feats = minhash_features(df, text_col, id_col, num_hashes)
+    cands = minhash_lsh_candidates(
+        df, text_col, id_col, num_hashes, bands, features=feats
     )
+    sh = feats.select(F.col(id_col).alias("__id"), "__sh")
+    j = (
+        cands
+        .join(sh.withColumnsRenamed({"__id": "id_a", "__sh": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({"__id": "id_b", "__sh": "sh_b"}), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    verified = j.select(
+        "id_a", "id_b", (inter / union).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
     losers = verified.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
 

@@ -16,6 +16,7 @@ Scale design (100 TB / billions of vectors):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -122,6 +123,31 @@ def hyperplane_signature(vec: Column, dim: int, bits: int = 16) -> Column:
     )
 
 
+def hyperplane_bits_udf(dim: int, bits: int = 16):
+    """Vectorized (Arrow-batch BLAS matmul) form of ``hyperplane_bits`` —
+    bit-equal to the SQL form on real data (pinned by test): both compute
+    sign(vec · plane) against the same literal matrix; double summation
+    order differs, but a sign flip needs |dot| at round-off scale (~1e-13 of
+    the term magnitudes), far below the dot-product spread of any non-
+    degenerate corpus.
+
+    Why it exists: the fold form costs bits×dim interpreted lambda evals per
+    row (higher-order functions are CodegenFallback) — the scan-side
+    signature was the top cost of every LSH query profile. The matmul is a
+    single dgemm per Arrow batch."""
+    import numpy as np
+
+    planes_t = np.array(plane_values(dim, bits), dtype=np.float64).T
+
+    def sig(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.array(v.tolist(), dtype=np.float64)
+        return pd.Series(list((mat @ planes_t >= 0).astype(np.int32)))
+
+    return F.pandas_udf(sig, "array<int>")
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame, queries: DataFrame, vec_col: str, id_col: str,
     query_id: str, dim: int, k: int = 10, bits: int = 12,
@@ -210,6 +236,39 @@ def embedding_neardup(
     )
 
 
+def _bucket_cosine_pairs(threshold: float, round_to: int):
+    """applyInPandas kernel: one numpy matmul per LSH bucket emits every
+    (id_a < id_b, round(cos, round_to) >= threshold) pair. Ids are sorted
+    first so pair orientation is deterministic regardless of Arrow batch
+    order; non-finite similarities (zero vectors) are dropped, matching the
+    SQL verify where the filter rejects null/NaN."""
+    import numpy as np
+
+    empty = pd.DataFrame({
+        "id_a": pd.Series(dtype="int64"),
+        "id_b": pd.Series(dtype="int64"),
+        "cos_sim": pd.Series(dtype="float64"),
+    })
+
+    def fn(pdf):
+        if len(pdf) < 2:
+            return empty
+        order = np.argsort(pdf["__id"].to_numpy(), kind="stable")
+        ids = pdf["__id"].to_numpy()[order]
+        mat = np.array(pdf["__v"].tolist(), dtype=np.float64)[order]
+        norms = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = np.round((mat @ mat.T) / np.outer(norms, norms), round_to)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        vals = sims[iu, ju]
+        keep = np.isfinite(vals) & (vals >= threshold)
+        return pd.DataFrame({
+            "id_a": ids[iu[keep]], "id_b": ids[ju[keep]], "cos_sim": vals[keep],
+        })
+
+    return fn
+
+
 def embedding_neardup_lsh(
     df: DataFrame, vec_col: str, id_col: str, dim: int,
     threshold: float = 0.4, bands: int = 4, rows_per_band: int = 4,
@@ -220,15 +279,23 @@ def embedding_neardup_lsh(
 
     Same output contract as ``embedding_neardup`` (recall < 1 by design —
     banding sets the recall/cost point: P(candidate) = 1-(1-p^r)^b where
-    p = 1 - angle/pi). Scale shape mirrors MinHash LSH: the join key is
-    (band_id, band_val) — a shuffle on buckets, never an all-pairs product;
-    ``max_bucket`` caps degenerate buckets (e.g. all-zero vectors).
-    """
+    p = 1 - angle/pi). Scale shape mirrors MinHash LSH: one shuffle keyed on
+    (band_id, band_val) — never an all-pairs product; ``max_bucket`` caps
+    degenerate buckets (e.g. all-zero vectors).
+
+    The verify is bucket-local: each bucket's vectors cross Arrow ONCE and
+    one BLAS matmul scores every in-bucket pair (`_bucket_cosine_pairs`).
+    The previous form joined candidate id-pairs back to the vector table —
+    two extra shuffles and an interpreted 3-fold cosine per pair, which
+    dominated the runtime (pairs ≫ rows). Per-bucket memory is bounded by
+    ``max_bucket``·dim doubles (~5 MB at the defaults). A pair found by
+    several bands scores bit-identically in each (same subset math), and the
+    groupBy(id_a, id_b) min collapses it to one row either way."""
     bits = bands * rows_per_band
     v = df.select(F.col(id_col), as_double(F.col(vec_col)).alias("__v"))
-    sig = v.withColumn("__bits", hyperplane_bits(F.col("__v"), dim, bits))
+    sig = v.withColumn("__bits", hyperplane_bits_udf(dim, bits)(F.col("__v")))
     banded = sig.select(
-        id_col, "__v",
+        F.col(id_col).alias("__id"), "__v",
         F.posexplode(
             F.array(*[
                 # pack the band's bits into one int join key
@@ -241,25 +308,11 @@ def embedding_neardup_lsh(
         ).alias("band_id", "band_val"),
     )
     sized = drop_hot_keys(banded, ["band_id", "band_val"], max_bucket)
-    # candidate ids only through the bucket join + distinct (two longs per
-    # row); vectors re-attach afterwards so no dim-sized payload rides the
-    # candidate shuffles
-    a = sized.select(F.col(id_col).alias("id_a"), "band_id", "band_val")
-    b = sized.select(F.col(id_col).alias("id_b"), "band_id", "band_val")
-    cand = (
-        a.join(b, ["band_id", "band_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    pairs = sized.groupBy("band_id", "band_val").applyInPandas(
+        _bucket_cosine_pairs(threshold, round_to),
+        schema="id_a long, id_b long, cos_sim double",
     )
-    va = v.select(F.col(id_col).alias("id_a"), F.col("__v").alias("__va"))
-    vb = v.select(F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"))
-    sim = F.round(cosine_similarity(F.col("__va"), F.col("__vb")), round_to)
-    return (
-        cand.join(va, "id_a").join(vb, "id_b")
-        .select("id_a", "id_b", sim.alias("cos_sim"))
-        .filter(F.col("cos_sim") >= threshold)
-    )
+    return pairs.groupBy("id_a", "id_b").agg(F.min("cos_sim").alias("cos_sim"))
 
 
 def ivf_topk(

@@ -440,3 +440,68 @@ def test_lsh_topk_multiprobe_recall(spark):
     none = recall(0)       # home bucket only
     assert multi >= 0.9, f"multi-probe recall {multi}"
     assert multi >= none
+
+
+def test_hyperplane_bits_udf_matches_sql_form(spark, sf_dir):
+    """The Arrow/BLAS signature path must be bit-equal to the fold-form SQL
+    expression on real vectors (a sign flip needs |dot| at round-off scale)."""
+    from gan_deeplearning4j_spark.functions.vector import as_double
+    from gan_deeplearning4j_spark.operators.similarity import (
+        hyperplane_bits,
+        hyperplane_bits_udf,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    both = emb.select(
+        "vec_id",
+        hyperplane_bits(as_double(F.col("embedding")), 64, 32).alias("sql_bits"),
+        hyperplane_bits_udf(64, 32)(as_double(F.col("embedding"))).alias("udf_bits"),
+    )
+    diff = both.filter(
+        F.col("sql_bits").cast("array<int>") != F.col("udf_bits")
+    ).count()
+    assert diff == 0
+
+
+def test_minhash_features_consistent_with_sql_signatures(spark, sf_dir):
+    """minhash_features (numpy, crc32 token hash) and minhash_signatures_df
+    (SQL, xxhash64 token hash) differ in hash VALUES by design; everything a
+    consumer observes must agree: per-doc gram-set sizes (same tokenization,
+    same gram structure) and signature length."""
+    from gan_deeplearning4j_spark.operators.dedup import (
+        minhash_features,
+        minhash_signatures_df,
+        shingle_hashes,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    np_sizes = (
+        minhash_features(docs, "text", "doc_id", num_hashes=8)
+        .select("doc_id", F.size("__sh").alias("n"), F.size("__sig").alias("k"))
+        .toPandas()
+        .set_index("doc_id")
+    )
+    sql_sizes = (
+        docs.select(
+            "doc_id", F.size(shingle_hashes(F.col("text"))).alias("n")
+        )
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert (np_sizes["k"] == 8).all()
+    joined = np_sizes.join(sql_sizes, rsuffix="_sql")
+    assert (joined["n"] == joined["n_sql"]).all()
+
+
+def test_minhash_features_deterministic_across_partitionings(spark, sf_dir):
+    """crc32 token hashing is process- and layout-independent (Python's str
+    hash would NOT be) — signatures must not change under repartition."""
+    from gan_deeplearning4j_spark.operators.dedup import minhash_features
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def sigs(df):
+        rows = minhash_features(df, "text", "doc_id", num_hashes=8).collect()
+        return {r["doc_id"]: tuple(r["__sig"]) for r in rows}
+
+    assert sigs(docs.repartition(7)) == sigs(docs.coalesce(1))
