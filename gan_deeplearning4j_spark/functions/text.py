@@ -89,3 +89,21 @@ def fingerprint64(text: Column) -> Column:
     whitespace-collapsed). Cheap exact-dup key at scale."""
     norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
     return F.xxhash64(norm)
+
+
+def portable_hash60(col: Column) -> Column:
+    """Engine-portable 60-bit hash: int(md5(s)[:15 hex], 16).
+
+    md5 is bit-identical everywhere, so this is the one hash family that a
+    DuckDB oracle can replay exactly: Spark ``conv(substr(md5(x),1,15),16,10)``
+    == DuckDB ``('0x' || substr(md5(x),1,15))::BIGINT``. 60 bits keeps every
+    downstream product/sum inside int64 under ANSI mode. Used wherever a
+    hash VALUE must match across engines (SimHash bit-votes, winnowing gram
+    hashes); xxhash64 remains the cheaper JVM-only choice when only
+    hash-agnostic consumers observe the value."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def portable_hash60_sql(expr: str) -> str:
+    """DuckDB twin of ``portable_hash60`` as a SQL fragment."""
+    return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"

@@ -23,7 +23,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import fingerprint64
+from ..functions.text import fingerprint64, portable_hash60
 from .relational import assert_small, drop_hot_keys
 
 # Mersenne prime 2^31-1: modulus for the universal-hash family. 31-bit so
@@ -61,13 +61,14 @@ def shingles(text: Column, n: int = 3) -> Column:
 
 
 def gram_hash_seq(text: Column, n: int = 3) -> Column:
-    """POSITIONAL n-gram hash sequence in [0, P): tokens hashed ONCE with
-    xxhash64, consecutive hashes combined arithmetically (h1·a + h2 mod P
-    rolling) — no shingle strings are ever materialized, every step linear
-    in document length. Order-preserving (no distinct): position i holds the
-    hash of the gram starting at token i."""
+    """POSITIONAL n-gram hash sequence in [0, P): tokens hashed ONCE
+    (portable md5-60 — a DuckDB oracle can replay the exact values),
+    consecutive hashes combined arithmetically (h1·a + h2 mod P rolling) —
+    no shingle strings are ever materialized, every step linear in document
+    length. Order-preserving (no distinct): position i holds the hash of
+    the gram starting at token i."""
     toks = F.split(F.trim(F.lower(text)), r"\s+")
-    th = F.transform(toks, lambda s: F.abs(F.xxhash64(s)) % F.lit(_P))
+    th = F.transform(toks, lambda s: portable_hash60(s) % F.lit(_P))
     nn = F.size(th)
     z = th
     for k in range(1, n):
@@ -117,8 +118,11 @@ def winnow_neardup(
     w: int = 4,
     threshold: float = 0.3,
     max_bucket: int = 1000,
+    round_to: int | None = 6,
 ) -> DataFrame:
     """Near-dup pairs by winnowed-fingerprint Jaccard.
+    ``round_to=None`` returns the raw double (callers deriving an
+    engine-invariant integer surrogate must floor the unrounded value).
 
     Sub-quadratic like LSH: candidates come from a self-join on shared
     fingerprints (bucket keys), never an all-pairs product; ``max_bucket``
@@ -145,11 +149,11 @@ def winnow_neardup(
         )
         .agg(F.count("*").alias("shared"))  # per-doc fps are distinct
     )
-    sim = F.round(
-        F.col("shared")
-        / (F.col("na") + F.col("nb") - F.col("shared")).cast("double"),
-        6,
-    )
+    sim = F.col("shared") / (
+        F.col("na") + F.col("nb") - F.col("shared")
+    ).cast("double")
+    if round_to is not None:
+        sim = F.round(sim, round_to)
     return (
         shared.withColumn("sim", sim)
         .filter(F.col("sim") >= threshold)
@@ -427,6 +431,143 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         for i in range(4)
     ]
     return sig.select(id_col, "simhash", *bands)
+
+
+def winnow_neardup_oracle(
+    k: int = 3, w: int = 4, threshold: float = 0.3,
+) -> str:
+    """DuckDB SQL replaying ``winnow_neardup`` (portable gram hashes →
+    window minima → fingerprint self-join → set Jaccard) with the
+    engine-invariant integer surrogate ``sim_micro = floor(sim * 1e6)``
+    computed on the identical IEEE double in both engines."""
+    P = _P
+    th = (
+        "list_transform(regexp_split_to_array(lower(trim(text)), '\\s+'), "
+        f"t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % {P})"
+    )
+    # rolling gram combine, 0-padded past the doc end (mirrors the
+    # zip_with/slice chain): position i holds hash of tokens i..i+k-1
+    g = "th[i]"
+    for step in range(1, k):
+        g = f"(({g}) * 524287 + coalesce(th[i+{step}], 0)) % {P}"
+    wmin = ", ".join(f"seq[i+{j}]" for j in range(w))
+    return f"""
+    WITH base AS (
+      SELECT doc_id, {th} AS th FROM documents
+    ), g AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(th) - {k - 1}, 1) + 1),
+                            i -> {g}) AS seq
+      FROM base
+    ), f AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(seq) - {w - 1}, 1) + 1),
+               i -> least({wmin}))) AS fps
+      FROM g
+    ), e AS (
+      SELECT doc_id, len(fps) AS nf, unnest(fps) AS fp FROM f
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(floor((COUNT(*) / CAST(a.nf + b.nf - COUNT(*) AS DOUBLE))
+                      * 1000000.0) AS BIGINT) AS sim_micro
+    FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id, a.nf, b.nf
+    HAVING (COUNT(*) / CAST(a.nf + b.nf - COUNT(*) AS DOUBLE)) >= {threshold}
+    """
+
+
+def simhash_portable(
+    df: DataFrame, text_col: str, id_col: str, bits: int = 60, bands: int = 4,
+) -> DataFrame:
+    """SimHash as pure relational algebra — the oracle-able twin of
+    ``simhash64`` (whose blake2b bit-vote loop lives in a pandas UDF that no
+    SQL engine can replay). 60-bit signature from the portable md5 token
+    hash: explode tokens → per-(doc, token) counts → one aggregate with
+    ``bits`` conditional vote-sums (bit b votes +w if set, -w if not) →
+    sign-reassemble. Returns (id, simhash, band15_0..band15_{bands-1}).
+
+    Semantics match simhash64: occurrence-weighted majority vote, strict
+    (ties → 0 bit). Scale shape: two map-side-combinable aggregations keyed
+    by (doc, token) then doc — the shuffle carries token counts, then
+    ``bits`` longs per doc; no Python in the path. Bands are contiguous
+    15-bit slices, the LSH bucket keys."""
+    assert bits % bands == 0
+    bw = bits // bands
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("__tok"),
+    )
+    tw = toks.groupBy(id_col, "__tok").agg(F.count("*").alias("__w"))
+    h = tw.withColumn("__h", portable_hash60(F.col("__tok")))
+    votes = [
+        F.sum(
+            F.when(F.shiftrightunsigned("__h", b) % 2 == 1, F.col("__w"))
+            .otherwise(-F.col("__w"))
+        ).alias(f"__v{b}")
+        for b in range(bits)
+    ]
+    agg = h.groupBy(id_col).agg(*votes)
+    band_exprs = []
+    for i in range(bands):
+        band = None
+        for j in range(bw):
+            term = F.when(
+                F.col(f"__v{i * bw + j}") > 0, F.lit(1 << j)
+            ).otherwise(F.lit(0))
+            band = term if band is None else band + term
+        band_exprs.append(band.cast("long").alias(f"band15_{i}"))
+    sig = agg.select(id_col, *band_exprs)
+    simhash = None
+    for i in range(bands):
+        part = F.col(f"band15_{i}") * F.lit(1 << (bw * i))
+        simhash = part if simhash is None else simhash + part
+    return sig.select(
+        id_col, simhash.cast("long").alias("simhash"),
+        *[f"band15_{i}" for i in range(bands)],
+    )
+
+
+def simhash_portable_oracle(bits: int = 60, bands: int = 4) -> str:
+    """DuckDB SQL replaying ``simhash_portable`` on the documents table."""
+    bw = bits // bands
+    vote_cols = ",\n      ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN w ELSE -w END) AS v{b}"
+        for b in range(bits)
+    )
+    band_cols = ",\n      ".join(
+        "CAST(("
+        + " + ".join(
+            f"(CASE WHEN v{i * bw + j} > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(bw)
+        )
+        + f") AS BIGINT) AS band15_{i}"
+        for i in range(bands)
+    )
+    simhash = " + ".join(f"band15_{i} * {1 << (bw * i)}" for i in range(bands))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+      FROM documents
+    ), tw AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h,
+             COUNT(*) AS w
+      FROM toks GROUP BY doc_id, tok
+    ), votes AS (
+      SELECT doc_id,
+      {vote_cols}
+      FROM tw GROUP BY doc_id
+    ), sig AS (
+      SELECT doc_id,
+      {band_cols}
+      FROM votes
+    )
+    SELECT doc_id, CAST({simhash} AS BIGINT) AS simhash,
+           {", ".join(f"band15_{i}" for i in range(bands))}
+    FROM sig
+    """
 
 
 def minhash_dedup(

@@ -1310,16 +1310,27 @@ def q_ngram_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash_oracle() -> str:
+    from .operators.dedup import simhash_portable_oracle
+
+    return simhash_portable_oracle()
+
+
 @register(
     "simhash_bands",
-    oracle=None,
-    doc="North-star SimHash near-dup: 64-bit bit-vote signature + 16-bit LSH bands (pandas UDF)",
+    oracle=_simhash_oracle(),
+    doc="North-star SimHash near-dup: 60-bit bit-vote signature from the "
+        "portable md5 token hash + 15-bit LSH bands, pure relational "
+        "(two map-side-combinable aggregations, conditional vote-sums). "
+        "Oracled: DuckDB replays the identical hash and votes. The "
+        "blake2b pandas-UDF twin (simhash64) stays as the Python-path "
+        "form, pinned by pytest",
 )
 def q_simhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.dedup import simhash64
+    from .operators.dedup import simhash_portable
 
     docs = _t(spark, sf_dir, "documents")
-    return simhash64(docs, "text", "doc_id")
+    return simhash_portable(docs, "text", "doc_id")
 
 
 @register(
@@ -2373,20 +2384,32 @@ def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _winnow_oracle() -> str:
+    from .operators.dedup import winnow_neardup_oracle
+
+    return winnow_neardup_oracle()
+
+
 @register(
     "winnow_neardup",
-    oracle=None,  # order-dependent window-min selection; recall pinned by test
+    oracle=_winnow_oracle(),
     doc="Winnowing-fingerprint near-dup (MOSS, SIGMOD'03): positional gram "
         "hashes -> window minima -> fingerprint-bucket self-join -> set "
         "Jaccard. The dedup family's 5th member (exact, MinHash+LSH, "
-        "SimHash, n-gram Jaccard, winnowing); recall vs the exact "
-        "all-pairs ground truth is pinned in tests",
+        "SimHash, n-gram Jaccard, winnowing). Oracled: portable md5 gram "
+        "hashes let DuckDB replay the exact fingerprints; similarity "
+        "surfaces as the engine-invariant floor(sim*1e6) integer surrogate; "
+        "recall vs exact all-pairs ground truth additionally pinned in tests",
 )
 def q_winnow_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import winnow_neardup
 
     docs = _t(spark, sf_dir, "documents")
-    return winnow_neardup(docs, "text", "doc_id")
+    pairs = winnow_neardup(docs, "text", "doc_id", round_to=None)
+    return pairs.select(
+        "id_a", "id_b",
+        F.floor(F.col("sim") * 1000000.0).cast("long").alias("sim_micro"),
+    )
 
 
 @register(
