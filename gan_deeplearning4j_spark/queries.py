@@ -798,6 +798,38 @@ def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "token_count",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(list_filter(regexp_split_to_array(trim(text), '[^\w]+'),
+                                x -> x != '')) +
+                length(regexp_replace(trim(text), '[\w\s]', '', 'g'))
+                AS BIGINT) AS n_bpe_tokens,
+           CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                x -> x != '')) AS BIGINT) AS n_ws_tokens
+    FROM documents
+    """,
+    doc="North-star token counting: whitespace tokens plus a BPE-ish "
+        "pre-tokenizer count (word pieces + individual punctuation marks). "
+        "Spark splits on lookaround word boundaries; RE2 (DuckDB) has no "
+        "lookaround, so the oracle counts the identical quantity as "
+        "(maximal word runs) + (non-word non-space chars). Pure codegen "
+        "expressions in the scan stage — no shuffle at any scale",
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.size(F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"),
+        lambda t: F.length(t) > 0,
+    ))
+    return docs.select(
+        "doc_id",
+        TX.token_count_bpe_ish(F.col("text")).cast("long").alias("n_bpe_tokens"),
+        ws.cast("long").alias("n_ws_tokens"),
+    )
+
+
+@register(
     "quality_filter",
     oracle="""
     WITH s AS (

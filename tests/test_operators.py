@@ -505,3 +505,17 @@ def test_minhash_features_deterministic_across_partitionings(spark, sf_dir):
         return {r["doc_id"]: tuple(r["__sig"]) for r in rows}
 
     assert sigs(docs.repartition(7)) == sigs(docs.coalesce(1))
+
+
+def test_bucket_id_pairs_expansion(spark):
+    """Array pair expansion must emit exactly the sorted upper triangle of
+    each bucket, independent of arrival order."""
+    from gan_deeplearning4j_spark.operators.dedup import bucket_id_pairs
+
+    df = spark.createDataFrame(
+        [([3, 1, 2],), ([10, 20],), ([7],), ([],)], "ids: array<long>"
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"]) for r in bucket_id_pairs(df, "ids").collect()
+    )
+    assert got == [(1, 2), (1, 3), (2, 3), (10, 20)]
