@@ -32,30 +32,39 @@ def main() -> None:
 
     headliners = {n: q for n, q in REGISTRY.items() if q.headline}
     # warm the JVM + parquet footers so per-query numbers reflect execution
-    next(iter(headliners.values())).fn(spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    try:
+        next(iter(headliners.values())).fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    except Exception:
+        pass
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     total = 0.0
     for name, q in headliners.items():
         t0 = time.perf_counter()
-        q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        # one broken query must not sink the whole bench run: record the
+        # failure in the JSON line and keep timing the rest
+        try:
+            q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            continue
         dt = round(time.perf_counter() - t0, 3)
         timings[name] = dt
         total += dt
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

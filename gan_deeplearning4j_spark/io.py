@@ -38,17 +38,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events table is written with TIMESTAMP(NANOS), which Spark's
-    parquet reader rejects; read nanos as long (legacy conf) and surface both
-    a micro-precision ``ts`` timestamp and the raw ``ts_nanos``."""
+    """Normalize the events table to ``ts: timestamp`` + ``ts_nanos: bigint``
+    regardless of how the parquet writer encoded time.
+
+    Generations of the test corpus have shipped ``ts`` either as
+    TIMESTAMP(NANOS) (which Spark reads as long under the legacy conf) or as
+    a plain micro-precision TIMESTAMP/TIMESTAMP_NTZ; detect from the physical
+    schema rather than assuming one. Session timezone is UTC (session.py), so
+    the NTZ→TIMESTAMP cast is value-preserving vs a timezone-naive oracle.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.select(
-        "event_id",
+    ts_type = df.schema["ts"].dataType.typeName()
+    if ts_type in ("long", "bigint"):
         # integer div, not /1000: double division of ~1.7e18-ns longs exceeds
         # 53-bit mantissa precision and lands ~12% of timestamps 1µs off
-        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
-        F.col("ts").alias("ts_nanos"),
+        ts = F.timestamp_micros(F.expr("ts div 1000")).alias("ts")
+        ts_nanos = F.col("ts").alias("ts_nanos")
+    else:
+        ts = F.col("ts").cast("timestamp").alias("ts")
+        ts_nanos = (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)).alias(
+            "ts_nanos"
+        )
+    return df.select(
+        "event_id",
+        ts,
+        ts_nanos,
         "user_id",
         "event_type",
         "value",
