@@ -612,8 +612,14 @@ def minhash_dedup(
     One ``minhash_features`` pass feeds both the band join and the verify
     joins; the verify reads the already-computed gram-hash sets instead of
     re-deriving grams from text (``ngram_jaccard_hashed`` stays as the
-    standalone form for externally-supplied pairs)."""
-    feats = minhash_features(df, text_col, id_col, num_hashes)
+    standalone form for externally-supplied pairs).
+
+    The features relation is persisted: three plan branches consume it (the
+    band join and both verify joins), and without a persist each branch
+    re-runs the Arrow featurize pass over the full corpus — Spark only
+    reuses exchanges, not arbitrary subtrees. At cluster scale the same role
+    is played by materializing features to storage once per corpus."""
+    feats = minhash_features(df, text_col, id_col, num_hashes).persist()
     cands = minhash_lsh_candidates(
         df, text_col, id_col, num_hashes, bands, features=feats
     )

@@ -293,7 +293,12 @@ def embedding_neardup_lsh(
     groupBy(id_a, id_b) min collapses it to one row either way."""
     bits = bands * rows_per_band
     v = df.select(F.col(id_col), as_double(F.col(vec_col)).alias("__v"))
-    sig = v.withColumn("__bits", hyperplane_bits_udf(dim, bits)(F.col("__v")))
+    # persisted: drop_hot_keys consumes this subtree twice (bucket counts,
+    # then the data pass) and each evaluation re-runs the signature UDF over
+    # the whole corpus — cache the (id, vec, bits) relation once instead
+    sig = v.withColumn(
+        "__bits", hyperplane_bits_udf(dim, bits)(F.col("__v"))
+    ).persist()
     banded = sig.select(
         F.col(id_col).alias("__id"), "__v",
         F.posexplode(

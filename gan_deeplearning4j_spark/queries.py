@@ -2528,13 +2528,38 @@ _DRIVER_WINDOW_PRIORITY = [
     "winnow_neardup",
     "hash_sample_bernoulli",
     "collect_sorted_years",
-    "approx_distinct",
     # --- red in r02 (events ts schema drift, fixed in io.load_events) ---
     "asof_last_purchase",
     "events_tumbling",
     "events_sliding",
     "window_lag_rolling",
     "sessionize",
+    # --- new this round (queries_ext.py), first-ever verdict needed ---
+    "tpch_q13_order_dist",
+    "tpch_q10_returned_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q22_idle_balance",
+    "tpch_q7_nation_volume",
+    "train_val_test_split",
+    "substring_dup_spans",
+    "contamination_overlap",
+    "domain_mix_weighted",
+    "length_bucket_batches",
+    "unpivot_metrics",
+    "vector_norm_stats",
+    "levenshtein_prefix_pairs",
+    "salted_join_agg",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q11_revenue_share",
+    "tpch_q16_supplier_variety",
+    "tpch_q20_heavy_suppliers",
+    "events_session_window",
+    # approx_distinct / heavy_hitters_approx are rows-only (no oracle) —
+    # heavy_hitters_approx keeps a window slot for its first-ever verdict;
+    # approx_distinct yields its slot to the oracled queries above (pytest
+    # covers it; a rows-only row is the weakest driver signal)
 ]
 
 
@@ -2550,3 +2575,9 @@ def oracle_sql() -> dict[str, str]:
 
 def headline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items() if q.headline}
+
+
+# Populate REGISTRY with the round-3 widening queries (TPC-H shapes +
+# training-data pipeline ops).  Import at module bottom: queries_ext needs
+# ``register``/``_t`` from this module, which are defined above.
+from . import queries_ext  # noqa: E402,F401  (import side effect: registration)

@@ -1,0 +1,1033 @@
+"""Round-3 surface widening: TPC-H query shapes + training-data pipeline ops.
+
+Two families, both first-class per the engine's north-star scope:
+
+1. Relational shapes the reference's users run as ad-hoc analysis around the
+   GAN pipeline (reference analogue: the notebook's pandas slicing/eval
+   cells, gan.ipynb raw 399-438, generalized to the TPC-H patterns those
+   cells degenerate from).
+2. LLM-training-data pipeline operators (split/mix/pack/contamination/
+   substring-dedup) — the 100 TB curation stages that run between raw scans
+   and the tensor kernels.
+
+Every query is registered with a DuckDB oracle unless marked otherwise, and
+every computed column is aliased identically in both engines.  Cross-engine
+float discipline: money → ``CAST(floor(x*100) AS BIGINT)`` cents, ratios →
+``floor(x*1e6)`` ppm, fold-order-sensitive vector math → Spark ``aggregate``
+(left fold) paired with DuckDB ``list_reduce`` (left fold) so the doubles are
+bit-identical before any rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.text import portable_hash60_sql
+from .operators.dedup import _P, shingle_hashes
+from .operators.relational import salted_join
+from .queries import _t, register
+
+# ---------------------------------------------------------------------------
+# DuckDB fragments shared by the gram-hash oracles (replaying
+# operators.dedup.gram_hash_seq / shingle_hashes exactly)
+# ---------------------------------------------------------------------------
+
+_TH_SQL = (
+    "list_transform(regexp_split_to_array(lower(trim(text)), '\\s+'), "
+    f"t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % {_P})"
+)
+
+
+def _gram_seq_sql(k: int) -> str:
+    """DuckDB expression for the positional k-gram hash sequence over a
+    column ``th`` (token hashes), mirroring ``gram_hash_seq``: rolling
+    ``h*524287 + next mod P`` combine, 0-padded past the document end."""
+    g = "th[i]"
+    for step in range(1, k):
+        g = f"(({g}) * 524287 + coalesce(th[i+{step}], 0)) % {_P}"
+    return (
+        f"list_transform(range(1, greatest(len(th) - {k - 1}, 1) + 1), "
+        f"i -> {g})"
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H query-shape widening (q7, q10, q13, q15, q17, q22 adapted to the
+# corpus schema: no partsupp table, no phone/comment columns)
+# ---------------------------------------------------------------------------
+
+@register(
+    "tpch_q13_order_dist",
+    oracle="""
+    SELECT n_orders, COUNT(*) AS n_cust
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+      FROM customer c
+      LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY n_orders
+    """,
+    doc="TPC-H Q13 shape: customer order-count distribution via left outer "
+        "join with a join-side predicate, then a second (tiny) aggregation "
+        "over the counts. Scale: one shuffle join on custkey + one map-side-"
+        "combinable re-agg whose key space is |distinct counts| (~100)",
+)
+def q_tpch_q13_order_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count("*").alias("n_cust"))
+
+
+@register(
+    "tpch_q10_returned_revenue",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS rev_cents
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY rev_cents DESC, c.c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape: top-20 customers by returned-item revenue in a "
+        "quarter. Scale: the orders quarter filter is pushed to the scan, "
+        "the orders↔lineitem fact join shuffles on orderkey, nation "
+        "broadcasts, top-20 via TakeOrderedAndProject (no global sort)",
+)
+def q_tpch_q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1996-04-01")))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+    )
+    # per-row integer cents before the SUM: identical IEEE doubles round
+    # identically in both engines, and the bigint sum is then exact and
+    # summation-order-free (floor(SUM(double)*100) sits one ulp from a
+    # boundary often enough to flake — seen on tpch_q22 at sf0.01)
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    return (
+        j.groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(cents).alias("rev_cents"))
+        .orderBy(F.desc("rev_cents"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.rev_cents
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.rev_cents = (SELECT MAX(rev_cents) FROM rev)
+    """,
+    doc="TPC-H Q15 shape: top supplier by quarterly revenue — aggregate once, "
+        "reuse it both as the join input and the MAX scalar (the view of the "
+        "original). Scale: one fact agg keyed by suppkey (map-side partial), "
+        "the MAX is a scalar broadcast, supplier join broadcasts",
+)
+def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1996-04-01")))
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    rev = li.groupBy("l_suppkey").agg(F.sum(cents).alias("rev_cents"))
+    mx = rev.agg(F.max("rev_cents").alias("mx"))
+    top = rev.join(F.broadcast(mx), rev.rev_cents == F.col("mx")).drop("mx")
+    return (
+        F.broadcast(top)
+        .join(sup, top.l_suppkey == sup.s_suppkey)
+        .select("s_suppkey", "s_name", "rev_cents")
+    )
+
+
+@register(
+    "tpch_q17_small_qty_revenue",
+    oracle="""
+    SELECT CAST(floor(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                      / 7.0) AS BIGINT) AS avg_yearly_cents
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#4'
+      AND l.l_quantity < (
+        SELECT 0.2 * AVG(l2.l_quantity)
+        FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+      )
+    """,
+    doc="TPC-H Q17 shape: small-quantity revenue with a correlated per-part "
+        "AVG subquery, decorrelated as groupBy(partkey).avg + join-back (the "
+        "plan Catalyst would derive from the subquery form). Cross-engine "
+        "exactness: l_quantity values are integral so the AVG numerator is "
+        "an exact double regardless of summation order. Scale: the brand "
+        "filter semi-joins lineitem via broadcast before the avg, so both "
+        "aggregations run over ~1/25 of the fact table",
+)
+def q_tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#4")
+    li = _t(spark, sf_dir, "lineitem")
+    li_b = li.join(
+        F.broadcast(part.select("p_partkey")),
+        li.l_partkey == F.col("p_partkey"),
+    ).drop("p_partkey")
+    lim = li_b.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_lim")
+    )
+    small = li_b.join(F.broadcast(lim), "l_partkey").filter(
+        F.col("l_quantity") < F.col("qty_lim")
+    )
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    return small.agg(
+        F.floor(F.sum(cents) / 7.0).cast("long").alias("avg_yearly_cents")
+    )
+
+
+@register(
+    "tpch_q22_idle_balance",
+    oracle="""
+    SELECT c.c_nationkey, COUNT(*) AS n_cust,
+           CAST(SUM(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS totbal_cents
+    FROM customer c
+    WHERE c.c_acctbal > (
+        SELECT AVG(c2.c_acctbal) FROM customer c2 WHERE c2.c_acctbal > 0
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-06-01'
+      )
+    GROUP BY c.c_nationkey
+    """,
+    doc="TPC-H Q22 shape: above-average-balance customers with no recent "
+        "orders — uncorrelated scalar AVG subquery (broadcast) + anti join "
+        "+ group. Scale: the anti join shuffles on custkey (orders is a fact "
+        "table, pre-filtered by the pushed-down date predicate); the scalar "
+        "is a 1-row broadcast",
+)
+def q_tpch_q22_idle_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.to_timestamp(F.lit("2000-06-01"))
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("ab")
+    )
+    rich = cust.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("ab")
+    )
+    idle = rich.join(
+        orders, rich.c_custkey == orders.o_custkey, "left_anti"
+    )
+    return idle.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_cust"),
+        # per-row integer cents before the SUM: c_acctbal doubles are
+        # ~2-decimal so round(x*100) is engine-invariant, and the bigint sum
+        # is then exact and summation-order-free (a floor(SUM(double)*100)
+        # surrogate hit an ulp boundary across engines at sf0.01)
+        F.sum(F.round(F.col("c_acctbal") * 100, 0).cast("long")).alias(
+            "totbal_cents"
+        ),
+    )
+
+
+@register(
+    "tpch_q7_nation_volume",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+           CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS rev_cents
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+    """,
+    doc="TPC-H Q7 shape: bilateral shipping volume by year — the same nation "
+        "dim joined twice under different roles. Scale: both nation joins "
+        "broadcast (and the nation filter prunes supplier/customer before "
+        "the fact joins); lineitem↔orders is the one big shuffle",
+)
+def q_tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    pair = ["NATION_1", "NATION_2"]
+    n1 = (
+        _t(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(pair))
+        .select(
+            F.col("n_nationkey").alias("s_nkey"),
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    n2 = (
+        _t(spark, sf_dir, "nation")
+        .filter(F.col("n_name").isin(pair))
+        .select(
+            F.col("n_nationkey").alias("c_nkey"),
+            F.col("n_name").alias("cust_nation"),
+        )
+    )
+    sup = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey")
+    )
+    cust = _t(spark, sf_dir, "customer").join(
+        F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey")
+    )
+    j = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    return (
+        j.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.sum(cents).alias("rev_cents"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline operators (split / mix / pack / contamination /
+# substring dedup) — the LLM-curation stages of the north-star scope
+# ---------------------------------------------------------------------------
+
+@register(
+    "train_val_test_split",
+    oracle=f"""
+    SELECT source, split, COUNT(*) AS n_docs,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM (
+      SELECT source, doc_id,
+             CASE WHEN {portable_hash60_sql('CAST(doc_id AS VARCHAR)')} % 100 < 80
+                  THEN 'train'
+                  WHEN {portable_hash60_sql('CAST(doc_id AS VARCHAR)')} % 100 < 90
+                  THEN 'val' ELSE 'test' END AS split
+      FROM documents
+    )
+    GROUP BY source, split
+    """,
+    doc="Deterministic 80/10/10 train/val/test split by md5 of the document "
+        "key — stable under re-partitioning, re-runs, and corpus growth "
+        "(a given doc never migrates between splits), unlike rand()-based "
+        "splits which are partition-layout-dependent. Pure row-local "
+        "projection: no shuffle until the (tiny) audit aggregation",
+)
+def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import portable_hash60
+
+    docs = _t(spark, sf_dir, "documents")
+    b = portable_hash60(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    )
+    return (
+        docs.select("source", "doc_id", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
+@register(
+    "substring_dup_spans",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_TH_SQL} AS th FROM documents
+    ), g AS (
+      SELECT doc_id, list_distinct({_gram_seq_sql(12)}) AS seq
+      FROM (SELECT doc_id, th FROM base)
+    ), e AS (
+      SELECT doc_id, unnest(seq) AS span_hash FROM g
+    )
+    SELECT span_hash, COUNT(*) AS n_docs,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM e
+    GROUP BY span_hash
+    HAVING COUNT(*) >= 2
+    """,
+    doc="Exact-substring duplicate spans (Lee et al. 2022 'Deduplicating "
+        "Training Data Makes Language Models Better', arXiv:2107.06499, "
+        "hashed-window form): 12-token rolling-hash spans shared by >= 2 "
+        "documents. Scale: tokens are hashed once per doc (linear zip_with "
+        "chain, no span strings materialized), the only shuffle carries "
+        "(span_hash, doc_id) pairs with map-side distinct; the group key is "
+        "the 31-bit span hash so skew is bounded by true duplication",
+)
+def q_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    grams = shingle_hashes(F.col("text"), 12)
+    return (
+        docs.select("doc_id", F.explode(grams).alias("span_hash"))
+        .groupBy("span_hash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+@register(
+    "contamination_overlap",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, source, {_TH_SQL} AS th FROM documents
+    ), g AS (
+      SELECT doc_id, source, list_distinct({_gram_seq_sql(8)}) AS grams
+      FROM base
+    ), bench AS (
+      SELECT DISTINCT unnest(grams) AS gh FROM g
+      WHERE source IN ('src0', 'src1', 'src2', 'src3')
+    ), cand AS (
+      SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS gh FROM g
+      WHERE source NOT IN ('src0', 'src1', 'src2', 'src3')
+    ), ov AS (
+      SELECT c.doc_id, c.n_grams, COUNT(*) AS n_overlap
+      FROM cand c JOIN bench b ON c.gh = b.gh
+      GROUP BY c.doc_id, c.n_grams
+    )
+    SELECT d.doc_id, CAST(len(d.grams) AS BIGINT) AS n_grams,
+           COALESCE(o.n_overlap, 0) AS n_overlap,
+           CAST(floor(COALESCE(o.n_overlap, 0) * 1000000.0 / len(d.grams))
+                AS BIGINT) AS contam_ppm
+    FROM g d LEFT JOIN ov o ON o.doc_id = d.doc_id
+    WHERE d.source NOT IN ('src0', 'src1', 'src2', 'src3')
+    """,
+    doc="Benchmark-contamination check (the pre-training hygiene pass): "
+        "fraction of each candidate document's distinct 8-gram hashes that "
+        "appear anywhere in the held-out benchmark sources. Scale: the "
+        "benchmark gram set is small by construction (eval suites are MBs, "
+        "not TBs) so it broadcasts; candidates stream through a broadcast "
+        "hash join with no fact-side shuffle, then aggregate per doc",
+)
+def q_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bench_src = ["src0", "src1", "src2", "src3"]
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", shingle_hashes(F.col("text"), 8).alias("grams")
+    )
+    bench = (
+        docs.filter(F.col("source").isin(bench_src))
+        .select(F.explode("grams").alias("gh"))
+        .distinct()
+    )
+    cand = docs.filter(~F.col("source").isin(bench_src)).select(
+        "doc_id", F.size("grams").cast("long").alias("n_grams"), "grams"
+    )
+    ov = (
+        cand.select("doc_id", "n_grams", F.explode("grams").alias("gh"))
+        .join(F.broadcast(bench), "gh")
+        .groupBy("doc_id", "n_grams")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    return (
+        cand.select("doc_id", "n_grams")
+        .join(ov.select("doc_id", "n_overlap"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+            F.floor(
+                F.coalesce(F.col("n_overlap"), F.lit(0))
+                * 1000000.0
+                / F.col("n_grams")
+            )
+            .cast("long")
+            .alias("contam_ppm"),
+        )
+    )
+
+
+@register(
+    "domain_mix_weighted",
+    oracle="""
+    SELECT doc_id, source
+    FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY (doc_id * 48271) % 65537, doc_id
+             ) AS rn,
+             CASE WHEN CAST(substr(source, 4) AS INT) < 10 THEN 15 ELSE 8 END
+               AS quota
+      FROM documents
+    )
+    WHERE rn <= quota
+    """,
+    doc="Weighted domain mixing: deterministic k-per-source sample with "
+        "per-source quotas (the data-mixture stage of a pretraining "
+        "pipeline). Lehmer-hash order makes the selection reproducible "
+        "across engines and partitionings. Scale: one shuffle keyed by "
+        "source; rank truncation is WindowGroupLimit (top-k per group "
+        "pushdown), so no full per-source sort materializes",
+)
+def q_domain_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    quota = F.when(
+        F.expr("CAST(substring(source, 4) AS INT)") < 10, F.lit(15)
+    ).otherwise(F.lit(8))
+    w = Window.partitionBy("source").orderBy(
+        (F.col("doc_id") * 48271) % 65537, F.col("doc_id")
+    )
+    return (
+        docs.select(
+            "doc_id", "source", F.row_number().over(w).alias("rn"),
+            quota.alias("quota"),
+        )
+        # the redundant literal conjunct (rn <= max quota) matters: Spark's
+        # InferWindowGroupLimit only fires on rank <= LITERAL, so a pure
+        # column bound (rn <= quota) would sort every source group fully;
+        # with the literal cap each partition prunes to 15 rows per source
+        # before the window, and the column bound then trims to the quota
+        .filter((F.col("rn") <= F.lit(15)) & (F.col("rn") <= F.col("quota")))
+        .select("doc_id", "source")
+    )
+
+
+@register(
+    "length_bucket_batches",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(floor(n_chars / 128) AS BIGINT) AS bucket,
+             CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                  x -> x != '')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), packed AS (
+      SELECT bucket, n_tokens,
+             CAST(floor((SUM(n_tokens) OVER (
+                    PARTITION BY bucket
+                    ORDER BY (doc_id * 48271) % 65537, doc_id
+                    ROWS UNBOUNDED PRECEDING) - 1) / 512) AS BIGINT)
+               AS batch_id
+      FROM toks
+    )
+    SELECT bucket, batch_id, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+    FROM packed
+    GROUP BY bucket, batch_id
+    """,
+    doc="Length-bucketed batch packing: documents are bucketed by size class "
+        "then greedily packed into ~512-token batches by running token sum "
+        "(the sequence-packing stage that minimizes padding waste in "
+        "training). Deterministic pack order via Lehmer hash. Scale: one "
+        "shuffle keyed by bucket; the running sum is a single window pass; "
+        "at 100 TB the bucket key would be (bucket, shard) to bound "
+        "partition width",
+)
+def q_length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    n_tokens = F.size(
+        F.filter(
+            F.split(F.trim(F.col("text")), r"\s+"),
+            lambda t: F.length(t) > 0,
+        )
+    ).cast("long")
+    toks = docs.select(
+        "doc_id",
+        F.floor(F.col("n_chars") / 128).cast("long").alias("bucket"),
+        n_tokens.alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy((F.col("doc_id") * 48271) % 65537, F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.select(
+        "bucket",
+        "n_tokens",
+        F.floor((F.sum("n_tokens").over(w) - 1) / 512)
+        .cast("long")
+        .alias("batch_id"),
+    )
+    return packed.groupBy("bucket", "batch_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Array / string / reshape widening
+# ---------------------------------------------------------------------------
+
+@register(
+    "unpivot_metrics",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+           ROUND(l_quantity, 2) AS value
+    FROM lineitem WHERE l_orderkey < 4000
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice', ROUND(l_extendedprice, 2)
+    FROM lineitem WHERE l_orderkey < 4000
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', ROUND(l_discount, 2)
+    FROM lineitem WHERE l_orderkey < 4000
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', ROUND(l_tax, 2)
+    FROM lineitem WHERE l_orderkey < 4000
+    """,
+    doc="Wide→long unpivot (P2 reshape, relational form): four measure "
+        "columns melt to (metric, value) rows. Spark's unpivot is a single "
+        "Expand node — one scan, 4x row fan-out, no shuffle; the oracle "
+        "spells the same thing as UNION ALL",
+)
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 4000)
+    out = li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "metric",
+        "value",
+    )
+    return out.withColumn("value", F.round("value", 2))
+
+
+@register(
+    "vector_norm_stats",
+    oracle="""
+    WITH ed AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    )
+    SELECT vec_id,
+           ROUND(sqrt(list_reduce(list_transform(v, x -> x * x),
+                                  (a, b) -> a + b)), 6) AS l2_norm,
+           ROUND(list_reduce(v, (a, b) -> a + b) / len(v), 6) AS mean_val,
+           ROUND(list_aggregate(list_transform(v, x -> abs(x)), 'max'), 6)
+             AS max_abs
+    FROM ed
+    """,
+    doc="Per-vector norm/mean/max-abs via higher-order array functions — "
+        "embedding hygiene stats (zero-norm and exploding-scale detection "
+        "before ANN indexing). Cross-engine exactness: Spark aggregate() and "
+        "DuckDB list_reduce() are both left folds, so the doubles are "
+        "bit-identical before rounding. Pure projection: no shuffle, "
+        "whole-stage codegen",
+)
+def q_vector_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    ed = emb.select("vec_id", v.alias("v"))
+    sumsq = F.aggregate(
+        F.transform(F.col("v"), lambda x: x * x),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    total = F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x)
+    return ed.select(
+        "vec_id",
+        F.round(F.sqrt(sumsq), 6).alias("l2_norm"),
+        F.round(total / F.size("v"), 6).alias("mean_val"),
+        F.round(
+            F.array_max(F.transform(F.col("v"), F.abs)), 6
+        ).alias("max_abs"),
+    )
+
+
+@register(
+    "levenshtein_prefix_pairs",
+    oracle="""
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40))
+                AS BIGINT) AS edit_dist
+    FROM documents a JOIN documents b
+      ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 3
+    WHERE a.doc_id < 60
+    """,
+    doc="Edit-distance verification on candidate pairs (the fine-grained "
+        "check after hash-based near-dup candidate generation): Levenshtein "
+        "over 40-char prefixes for a bounded band of id pairs. Scale note: "
+        "edit distance is O(len^2) per pair — only ever run it on candidate "
+        "pairs (<< n^2), never as the generator; the banded id predicate "
+        "stands in for an LSH candidate set here",
+)
+def q_levenshtein_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 40).alias("prefix")
+    )
+    a = docs.filter(F.col("doc_id") < 60).select(
+        F.col("doc_id").alias("id_a"), F.col("prefix").alias("pa")
+    )
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("prefix").alias("pb"))
+    pairs = a.join(
+        F.broadcast(b),
+        (F.col("id_b") > F.col("id_a")) & (F.col("id_b") <= F.col("id_a") + 3),
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.levenshtein("pa", "pb").cast("long").alias("edit_dist"),
+    )
+
+
+@register(
+    "salted_join_agg",
+    oracle="""
+    SELECT s.s_name, COUNT(*) AS n_items,
+           CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS rev_cents
+    FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    GROUP BY s.s_name
+    """,
+    doc="Skew-mitigated salted join, result-equivalence form: lineitem ⋈ "
+        "supplier through operators.relational.salted_join (right side "
+        "exploded 8x, left side scattered across salt replicas) must equal "
+        "the plain join the oracle runs. This is the manual fallback for "
+        "skew that AQE can't split (broadcast-ineligible mid-size build "
+        "side); the hash check pins that salting never changes results",
+)
+def q_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier").withColumnRenamed(
+        "s_suppkey", "l_suppkey"
+    )
+    j = salted_join(li, sup, "l_suppkey", salt=8)
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    return j.groupBy("s_name").agg(
+        F.count("*").alias("n_items"),
+        F.sum(cents).alias("rev_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H widening, second batch (q8, q9, q11, q16, q20 adapted) + Spark-native
+# session windows
+# ---------------------------------------------------------------------------
+
+@register(
+    "tpch_q8_market_share",
+    oracle="""
+    WITH flat AS (
+      SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+             CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                  AS BIGINT) AS cents,
+             n1.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey = n2.n_regionkey
+      WHERE r.r_name = 'EUROPE'
+    )
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN cents ELSE 0 END)
+                AS BIGINT) AS nation_cents,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           CAST(floor(SUM(CASE WHEN supp_nation = 'NATION_3' THEN cents
+                               ELSE 0 END) * 1000000.0 / SUM(cents))
+                AS BIGINT) AS share_ppm
+    FROM flat
+    GROUP BY o_year
+    """,
+    doc="TPC-H Q8 shape: one nation's market share of revenue shipped into a "
+        "region, by year — conditional aggregation over a 6-way join. The "
+        "share is a ratio of two exact integer-cents sums, so it is "
+        "summation-order-free in both engines. Scale: region/nation/supplier "
+        "dims broadcast; the customer-side region filter prunes before the "
+        "fact joins; lineitem↔orders is the single big shuffle",
+)
+def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n2 = nat.join(
+        F.broadcast(reg), nat.n_regionkey == reg.r_regionkey
+    ).select(F.col("n_nationkey").alias("c_nkey"))
+    cust = _t(spark, sf_dir, "customer").join(
+        F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey")
+    ).select("c_custkey")
+    sup = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(nat.select(
+            F.col("n_nationkey").alias("s_nkey"),
+            F.col("n_name").alias("supp_nation"),
+        )),
+        F.col("s_nationkey") == F.col("s_nkey"),
+    ).select("s_suppkey", "supp_nation")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    flat = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            cents.alias("cents"),
+            "supp_nation",
+        )
+    )
+    nation_cents = F.sum(
+        F.when(F.col("supp_nation") == "NATION_3", F.col("cents")).otherwise(0)
+    )
+    total_cents = F.sum("cents")
+    return flat.groupBy("o_year").agg(
+        nation_cents.alias("nation_cents"),
+        total_cents.alias("total_cents"),
+        F.floor(nation_cents * 1000000.0 / total_cents)
+        .cast("long")
+        .alias("share_ppm"),
+    )
+
+
+@register(
+    "tpch_q9_product_profit",
+    oracle="""
+    SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CAST(round((l.l_extendedprice * (1 - l.l_discount)
+                                - 0.1 * p.p_retailprice * l.l_quantity) * 100)
+                         AS BIGINT)) AS BIGINT) AS profit_cents
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY n.n_name, year(o.o_orderdate)
+    """,
+    doc="TPC-H Q9 shape: profit by supplier nation and year over a part-name "
+        "substring filter (supply cost adapted to 10% of retail price — the "
+        "corpus has no partsupp table). Scale: part (filtered) and "
+        "supplier+nation broadcast, lineitem↔orders shuffles once; the LIKE "
+        "filter prunes the fact rows via the broadcast join before any "
+        "shuffle",
+)
+def q_tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%widget%")
+    ).select("p_partkey", "p_retailprice")
+    nat = _t(spark, sf_dir, "nation")
+    sup = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(nat),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+    amount_cents = F.round(
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
+        )
+        * 100,
+        0,
+    ).cast("long")
+    flat = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            "nation",
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            amount_cents.alias("cents"),
+        )
+    )
+    return flat.groupBy("nation", "o_year").agg(
+        F.sum("cents").alias("profit_cents")
+    )
+
+
+@register(
+    "tpch_q11_revenue_share",
+    oracle="""
+    WITH by_part AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM lineitem
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey, rev_cents
+    FROM by_part
+    WHERE rev_cents > (SELECT SUM(rev_cents) FROM by_part) * 0.0008
+    """,
+    doc="TPC-H Q11 shape: parts whose revenue exceeds a fraction of the "
+        "global total — aggregate reused as both group rows and the global "
+        "scalar (one pass + a 1-row broadcast; never two fact scans). The "
+        "threshold compares exact bigint cents against a deterministic "
+        "double product",
+)
+def q_tpch_q11_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    by_part = li.groupBy("l_partkey").agg(F.sum(cents).alias("rev_cents"))
+    total = by_part.agg(F.sum("rev_cents").alias("total"))
+    return (
+        by_part.crossJoin(F.broadcast(total))
+        .filter(F.col("rev_cents") > F.col("total") * 0.0008)
+        .select("l_partkey", "rev_cents")
+    )
+
+
+@register(
+    "tpch_q16_supplier_variety",
+    oracle="""
+    SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#4' AND p.p_size IN (1, 2, 3, 4, 5)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+    doc="TPC-H Q16 shape: distinct-supplier variety per (brand, type, size) "
+        "with negated and IN-list dim predicates. Scale: part filters "
+        "broadcast into the fact scan; COUNT(DISTINCT) expands to the "
+        "two-phase distinct aggregate (partial dedup map-side before the "
+        "shuffle)",
+)
+def q_tpch_q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#4") & F.col("p_size").isin(1, 2, 3, 4, 5)
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return (
+        j.groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "tpch_q20_heavy_suppliers",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT l.l_suppkey
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_name LIKE 'red%'
+      GROUP BY l.l_suppkey, l.l_partkey
+      HAVING SUM(l.l_quantity) > 60
+    )
+    """,
+    doc="TPC-H Q20 shape: suppliers that moved heavy volume of any one "
+        "name-filtered part — nested aggregate → HAVING → semi join. Scale: "
+        "the part filter broadcasts; the (supp, part) agg is map-side "
+        "partial; the final semi join is tiny-on-one-side",
+)
+def q_tpch_q20_heavy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = _t(spark, sf_dir, "supplier")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    li = _t(spark, sf_dir, "lineitem")
+    heavy = (
+        li.join(F.broadcast(part.select("p_partkey")),
+                li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 60)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return sup.join(
+        F.broadcast(heavy), sup.s_suppkey == F.col("l_suppkey"), "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+@register(
+    "events_session_window",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, event_id, epoch_us(ts) AS tus, value,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  OR lag(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END
+               AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ), sess AS (
+      SELECT user_id, tus, value,
+             CAST(SUM(new_sess) OVER (PARTITION BY user_id
+                                      ORDER BY tus, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_seq
+      FROM gaps
+    )
+    SELECT user_id, MIN(tus) AS sess_start_us, COUNT(*) AS n_events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_value_c
+    FROM sess
+    GROUP BY user_id, session_seq
+    """,
+    doc="Spark-native session windows: groupBy(session_window(ts, '30 min')) "
+        "— the engine merges gap-connected events into variable-length "
+        "sessions inside the aggregate itself (window.start = first event). "
+        "The oracle replays the same semantics as the lag/cumsum island "
+        "algorithm. This is the batch twin of the streaming "
+        "applyInPandasWithState sessionizer (streaming/stateful.py); "
+        "`sessionize` keeps the explicit-window form",
+)
+def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(cents).alias("sum_value_c"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("sess_start_us"),
+            "n_events",
+            "sum_value_c",
+        )
+    )

@@ -68,6 +68,35 @@ def sliding_agg(events: DataFrame, width: str = "1 hour", slide: str = "15 minut
     )
 
 
+def session_agg(events: DataFrame, gap: str = "30 minutes",
+                watermark: str = "2 hours") -> DataFrame:
+    """Session-window aggregate per user: Spark merges gap-connected events
+    into variable-length sessions inside the aggregate (window.start = first
+    event ts, window.end = last event ts + gap).
+
+    Streaming semantics: session windows require a watermark (state for an
+    open session is held until the watermark passes its close); state size is
+    bounded by |active users| × open sessions. Batch form is the DuckDB-
+    oracled ``events_session_window`` query."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(
+            "user_id", F.session_window("ts", gap).alias("w")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def read_events_stream(spark: SparkSession, path: str,
                        max_files_per_trigger: int = 1) -> DataFrame:
     """File-source stream over micro-precision event parquet files.

@@ -222,3 +222,33 @@ def test_streaming_dedup_matches_batch_key_set(spark, sf_dir, tmp_path):
     key = lambda df: set(map(tuple, df.to_numpy().tolist()))  # noqa: E731
     assert len(got) == len(want)
     assert key(got) == key(want)
+
+
+def test_session_window_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Session windows: streaming (availableNow, watermarked) must emit the
+    same sessions as the batch form once every file is processed."""
+    from gan_deeplearning4j_spark.streaming.windows import session_agg
+
+    ev = load_events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    src = str(tmp_path / "events_sessions")
+    ev.repartition(4).write.parquet(src)
+
+    stream = read_events_stream(spark, src, max_files_per_trigger=2)
+    agg = session_agg(stream, "30 minutes", watermark="10 hours")
+    run_stream_to_memory(agg, "session_test", timeout_sec=120)
+
+    got = spark.sql("select * from session_test").toPandas()
+    want = session_agg(ev, "30 minutes").toPandas()
+
+    key = ["user_id", "session_start"]
+    got_s = got.sort_values(key).reset_index(drop=True)
+    want_s = want.sort_values(key).reset_index(drop=True)
+    assert len(got_s) == len(want_s)
+    assert (got_s["n_events"].to_numpy() == want_s["n_events"].to_numpy()).all()
+    assert (got_s["session_end"].to_numpy() == want_s["session_end"].to_numpy()).all()
+    assert (
+        abs(got_s["sum_value"].to_numpy() - want_s["sum_value"].to_numpy()).max()
+        < 1e-6
+    )
