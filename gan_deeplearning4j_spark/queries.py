@@ -415,38 +415,54 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q1_pricing",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 2) AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           ROUND(AVG(l_quantity), 6) AS avg_qty,
-           ROUND(AVG(l_extendedprice), 6) AS avg_price,
-           ROUND(AVG(l_discount), 6) AS avg_disc,
+           CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_base_price_c,
+           CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS sum_disc_price_c,
+           CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                               * 100) AS BIGINT)) AS BIGINT) AS sum_charge_c,
+           ROUND(SUM(l_quantity) / COUNT(*), 6) AS avg_qty,
+           ROUND(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0
+                 / COUNT(*), 6) AS avg_price,
+           ROUND(SUM(CAST(round(l_discount * 100) AS BIGINT)) / 100.0
+                 / COUNT(*), 6) AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-09-02'
     GROUP BY l_returnflag, l_linestatus
     """,
     headline=True,
-    doc="TPC-H Q1 shape: the canonical scan→filter→agg pricing summary",
+    doc="TPC-H Q1 shape: the canonical scan→filter→agg pricing summary. "
+        "Money aggregates are exact integer cents summed from per-row "
+        "rounds (order-free; a float SUM's accumulation order differs "
+        "between engines and a money-grid total sits ON the floor/round "
+        "boundary); averages divide those exact sums, so every output is a "
+        "deterministic function of exact integers",
 )
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_engine_conf(spark)
     li = _t(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
+    cents = lambda c: F.round(c * 100, 0).cast("long")  # noqa: E731
+    n = F.count("*")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
-            F.count("*").alias("count_order"),
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+            F.sum(cents(F.col("l_extendedprice"))).alias("sum_base_price_c"),
+            F.sum(cents(disc_price)).alias("sum_disc_price_c"),
+            F.sum(cents(charge)).alias("sum_charge_c"),
+            F.round(F.sum("l_quantity") / n, 6).alias("avg_qty"),
+            F.round(
+                F.sum(cents(F.col("l_extendedprice"))) / 100.0 / n, 6
+            ).alias("avg_price"),
+            F.round(
+                F.sum(cents(F.col("l_discount"))) / 100.0 / n, 6
+            ).alias("avg_disc"),
+            n.alias("count_order"),
         )
     )
 
@@ -455,7 +471,8 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q3_shipping",
     oracle="""
     SELECT o_orderkey,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS revenue_c,
            strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority
     FROM customer, orders, lineitem
     WHERE c_mktsegment = 'BUILDING'
@@ -463,7 +480,7 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND o_orderdate < TIMESTAMP '1998-06-01'
       AND l_shipdate > TIMESTAMP '1998-06-01'
     GROUP BY o_orderkey, o_orderdate, o_orderpriority
-    ORDER BY revenue DESC, o_orderkey
+    ORDER BY revenue_c DESC, o_orderkey
     LIMIT 10
     """,
     headline=True,
@@ -482,19 +499,18 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
     )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
     return (
         j.groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(F.sum(cents).alias("revenue_c"))
         .select(
-            "o_orderkey", "revenue",
+            "o_orderkey", "revenue_c",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
             "o_orderpriority",
         )
-        .orderBy(F.desc("revenue"), "o_orderkey")
+        .orderBy(F.desc("revenue_c"), "o_orderkey")
         .limit(10)
     )
 
@@ -502,7 +518,9 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q5_volume",
     oracle="""
-    SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT n_name,
+           CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS revenue_c
     FROM customer, orders, lineitem, supplier, nation, region
     WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
       AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -534,11 +552,10 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
     )
-    return j.groupBy("n_name").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "revenue"
-        )
-    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    return j.groupBy("n_name").agg(F.sum(cents).alias("revenue_c"))
 
 
 @register(
@@ -639,7 +656,8 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q6_forecast",
     oracle="""
-    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+    SELECT CAST(SUM(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT))
+                AS BIGINT) AS revenue_c
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
       AND l_shipdate <  TIMESTAMP '1998-01-01'
@@ -658,8 +676,12 @@ def q_tpch_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("l_discount").between(0.05, 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
-             .alias("revenue"))
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * F.col("l_discount") * 100, 0)
+                .cast("long")
+            ).alias("revenue_c")
+        )
     )
 
 
@@ -1048,7 +1070,8 @@ def q_window_lag_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM gaps
     )
     SELECT user_id, session_seq, COUNT(*) AS n_events,
-           CAST(floor(SUM(value) * 100) AS BIGINT) AS sum_value_c
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_value_c
     FROM sess GROUP BY user_id, session_seq
     """,
     doc="Sessionization (streaming session-window semantics in batch): 30-min gap rule via lag + running sum",
@@ -1065,11 +1088,15 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "session_seq",
         F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
-    # floor(x*100) not ROUND(x,2): same-IEEE-double floor matches cross-engine
-    # where decimal rounding may not (see best_price_e4 note)
+    # per-row integer cents, then an exact bigint sum: event values are
+    # 2-decimal, so a float SUM lands exactly ON the floor(x*100) integer
+    # boundary and the accumulation-order ulp decides the side — this is
+    # the r01 driver-red that "didn't reproduce" locally
     return sess.groupBy("user_id", "session_seq").agg(
         F.count("*").alias("n_events"),
-        F.floor(F.sum("value") * 100).cast("long").alias("sum_value_c"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+            "sum_value_c"
+        ),
     )
 
 
@@ -1847,10 +1874,11 @@ def q_tpch_q12_priority_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q14_promo_share",
     oracle="""
-    SELECT ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
-                                  THEN l.l_extendedprice * (1 - l.l_discount)
-                                  ELSE 0 END)
-                 / SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS promo_share
+    SELECT CAST(floor(1000000.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                     THEN CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                     * 100) AS BIGINT) ELSE 0 END)
+                 / SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                            AS BIGINT))) AS BIGINT) AS promo_share_ppm
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
       AND l.l_shipdate <  TIMESTAMP '1997-10-01'
@@ -1864,16 +1892,23 @@ def q_tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
     )
     part = F.broadcast(_t(spark, sf_dir, "part"))
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev_c = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
     return (
         li.join(part, li.l_partkey == part.p_partkey)
         .agg(
-            F.round(
-                100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
-                / F.sum(rev),
-                6,
-            ).alias("promo_share")
+            F.floor(
+                1000000.0
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", rev_c).otherwise(
+                        F.lit(0)
+                    )
+                )
+                / F.sum(rev_c)
+            )
+            .cast("long")
+            .alias("promo_share_ppm")
         )
     )
 
@@ -1881,7 +1916,8 @@ def q_tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q19_disjunctive",
     oracle="""
-    SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    SELECT CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS revenue_c
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_brand = 'Brand#1'  AND p.p_size BETWEEN 1 AND 15
            AND l.l_quantity BETWEEN 1 AND 11)
@@ -1909,8 +1945,14 @@ def q_tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
             | arm("Brand#13", 25, 10, 20)
             | arm("Brand#23", 35, 20, 30)
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
-             .alias("revenue"))
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100,
+                    0,
+                ).cast("long")
+            ).alias("revenue_c")
+        )
     )
 
 
@@ -2215,7 +2257,8 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE o_custkey < 100
     )
     SELECT o_custkey,
-           CAST(floor(AVG(o_totalprice) * 100) AS BIGINT) AS trimmed_mean_c
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                // COUNT(*) AS BIGINT) AS trimmed_mean_c
     FROM r
     WHERE n <= 4 OR (rn > 2 AND rn <= n - 2)
     GROUP BY o_custkey
@@ -2232,21 +2275,21 @@ def q_grouped_agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # explicit GROUPED_AGG eval type: `from __future__ import annotations`
     # stringifies hints, so signature-based inference can't see pd.Series
-    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
-    def trimmed_mean(v):
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def trimmed_mean_c(v):
         s = v.sort_values()
         if len(s) > 4:
             s = s.iloc[2:-2]
-        return float(s.mean())
+        # exact integer cents + python floordiv: order-free, no float sum
+        # in either engine (the earlier floor(mean*100) sat exactly on an
+        # integer boundary whenever the cent total divides the count)
+        cents = (s * 100).round().astype("int64")
+        return int(cents.sum()) // len(cents)
 
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
-    # floor(x*100) not ROUND(x,4): the UDF's pandas sum and DuckDB's sum add
-    # in different orders, so the two means differ in the last ulp and
-    # decimal rounding can split at a .00005 boundary (seen at sf0.01)
     return (
         orders.groupBy("o_custkey")
-        .agg(F.floor(trimmed_mean(F.col("o_totalprice")) * 100)
-             .cast("long").alias("trimmed_mean_c"))
+        .agg(trimmed_mean_c(F.col("o_totalprice")).alias("trimmed_mean_c"))
     )
 
 
