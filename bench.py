@@ -36,6 +36,12 @@ def main() -> None:
         next(iter(headliners.values())).fn(spark, sf_dir).write.format("noop").mode(
             "overwrite"
         ).save()
+        # warm the Python worker pool too: the first pandas-UDF stage
+        # otherwise pays ~1-2 s of worker forking inside whichever dedup
+        # query happens to run first
+        spark.range(64).repartition(cpus).mapInPandas(
+            lambda it: it, "id long"
+        ).write.format("noop").mode("overwrite").save()
     except Exception:
         pass
 

@@ -634,7 +634,9 @@ def minhash_dedup(
     verified = j.select(
         "id_a", "id_b", (inter / union).alias("jaccard")
     ).filter(F.col("jaccard") >= threshold)
-    losers = verified.select(F.col("id_b").alias(id_col)).distinct()
+    # no distinct on losers: left_anti is set-semantic on the probe side
+    # already, so deduplicating first would only add an exchange
+    losers = verified.select(F.col("id_b").alias(id_col))
     return df.join(losers, id_col, "left_anti")
 
 

@@ -443,3 +443,306 @@ def ivf_assign(corpus: DataFrame, vec_col: str, id_col: str,
         .select(id_col, "__cv", "centroid_id")
     )
     return assigned, cents
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou, Douze, Schmid: "Product Quantization for
+# Nearest Neighbor Search", TPAMI 2011) — the memory-compression scale path
+# of the ANN trio (hyperplane LSH = bucketing, IVF = list pruning, PQ =
+# per-vector compression). A 64-dim float vector (256 B) compresses to
+# m one-byte codes; at 100 TB of embeddings the PQ code table fits in a
+# fraction of cluster RAM where raw vectors cannot.
+# ---------------------------------------------------------------------------
+
+def _l2_normalize(x):
+    """Row-wise L2 normalization (numpy). PQ quantizes in L2 space; on
+    unit vectors squared L2 is 2-2·cos, so ADC ranking matches the cosine
+    ranking every other ANN path in this module uses. Zero vectors pass
+    through unscaled."""
+    import numpy as np
+
+    n = np.linalg.norm(x, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return x / n
+
+
+def pq_train_codebooks(
+    corpus: DataFrame, vec_col: str, id_col: str, dim: int,
+    m: int = 8, k: int = 16, iters: int = 5, sample_rows: int = 2048,
+) -> list[list[list[float]]]:
+    """Train per-subspace codebooks on a bounded deterministic sample.
+
+    Returns ``m`` codebooks of ``k`` centroids × ``dim/m`` components
+    (python floats — broadcast as literals, never a shuffle).
+
+    Sampling to the driver is the standard PQ training recipe (codebooks
+    are a few KB; training data requirements grow with k, not corpus size).
+    The sample is ordered-by-id so repartitioned corpora train identical
+    codebooks; Lloyd iterations are seeded k-means++-free: initial centroids
+    are the first k sample rows per subspace (deterministic), which is
+    adequate for the 4-bit codebooks used here and keeps the whole pipeline
+    rerun-stable."""
+    import numpy as np
+
+    assert dim % m == 0
+    sub = dim // m
+    sample = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(sample_rows)
+    ).toPandas()
+    x = np.asarray([np.asarray(v, dtype=np.float64) for v in sample[vec_col]])
+    x = _l2_normalize(x)
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        xs = x[:, j * sub:(j + 1) * sub]
+        cents = xs[:k].copy()
+        for _ in range(iters):
+            # assign: (n, k) squared L2
+            d = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            a = d.argmin(axis=1)
+            for c in range(k):
+                mask = a == c
+                if mask.any():
+                    cents[c] = xs[mask].mean(axis=0)
+        books.append([[float(v) for v in row] for row in cents])
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame, vec_col: str, id_col: str, dim: int,
+    books: list[list[list[float]]],
+) -> DataFrame:
+    """Encode each vector as ``m`` codebook indices (array<short>).
+
+    Map-side only: codebooks ride to executors as captured literals inside
+    one Arrow-batched pass; no shuffle at any corpus size."""
+    import numpy as np
+
+    m = len(books)
+    sub = dim // m
+    cents = [np.asarray(b, dtype=np.float64) for b in books]
+    schema = f"{id_col} long, __code array<smallint>"
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            x = _l2_normalize(x)
+            codes = np.empty((len(x), m), dtype=np.int16)
+            for j in range(m):
+                xs = x[:, j * sub:(j + 1) * sub]
+                d = ((xs[:, None, :] - cents[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d.argmin(axis=1).astype(np.int16)
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(),
+                                "__code": list(codes)})
+
+    return corpus.select(id_col, vec_col).mapInPandas(gen, schema)
+
+
+def pq_topk(
+    corpus: DataFrame, queries: DataFrame, vec_col: str, id_col: str,
+    query_id: str, dim: int, k: int = 10, m: int = 8, n_codes: int = 16,
+    books: list[list[list[float]]] | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance computation (ADC): the query
+    stays exact, corpus vectors are looked up through their PQ codes.
+
+    Per query a (m × n_codes) distance table is precomputed; scoring a
+    corpus row is m table lookups + adds (numpy gather-sum over the whole
+    Arrow batch at once). Scale shape: codes + query LUTs are map-side
+    (queries broadcast as a literal), the only shuffle is the per-query
+    top-k heap — identical to brute_force_topk's final stage but over
+    8-byte codes instead of 256-byte vectors.
+
+    Returns (query_id, id, adc_dist) — smaller is closer. Vectors are
+    L2-normalized on both sides, so adc_dist approximates 2 - 2·cosine and
+    the ranking agrees with the cosine-based paths (brute force, LSH, IVF).
+    """
+    import numpy as np
+
+    sub = dim // m
+    if books is None:
+        books = pq_train_codebooks(corpus, vec_col, id_col, dim, m, n_codes)
+    if codes is None:
+        codes = pq_encode(corpus, vec_col, id_col, dim, books)
+    cents = [np.asarray(b, dtype=np.float64) for b in books]
+    qrows = (
+        queries.select(query_id, vec_col).orderBy(query_id).toPandas()
+    )
+    qids = qrows[query_id].to_numpy()
+    qvecs = _l2_normalize(np.asarray(
+        [np.asarray(v, dtype=np.float64) for v in qrows[vec_col]]
+    ))
+    # LUT[q, j, c] = ||query_q[sub j] - centroid_c[sub j]||^2
+    luts = np.empty((len(qids), m, len(cents[0])), dtype=np.float64)
+    for j in range(m):
+        qs = qvecs[:, j * sub:(j + 1) * sub]
+        luts[:, j, :] = (
+            (qs[:, None, :] - cents[j][None, :, :]) ** 2
+        ).sum(axis=2)
+
+    schema = f"{query_id} long, {id_col} long, adc_dist double"
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c = np.asarray(list(pdf["__code"]), dtype=np.int64)  # (n, m)
+            ids = pdf[id_col].to_numpy()
+            for qi, qid in enumerate(qids):
+                # gather-sum: dist[i] = sum_j LUT[qi, j, c[i, j]]
+                d = luts[qi][np.arange(m)[None, :], c].sum(axis=1)
+                yield pd.DataFrame({
+                    query_id: np.full(len(ids), qid, dtype=np.int64),
+                    id_col: ids,
+                    "adc_dist": d,
+                })
+
+    scored = codes.mapInPandas(gen, schema)
+    w = Window.partitionBy(query_id).orderBy("adc_dist", F.col(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame, queries: DataFrame, vec_col: str, id_col: str,
+    query_id: str, dim: int, k: int = 10, n_centroids: int = 8,
+    nprobe: int = 3, m: int = 8, n_codes: int = 16,
+    sample_rows: int = 2048,
+) -> DataFrame:
+    """IVF + PQ composition (the FAISS IVFPQ architecture): coarse centroids
+    prune which inverted lists a query scans, PQ codes of the RESIDUAL
+    (vector − its centroid) compress what is scanned.
+
+    Residual encoding matters: residuals concentrate near the origin, so the
+    same 4-bit codebooks quantize them far more finely than raw vectors.
+
+    Scale shape: corpus-side work (assignment + residual + encoding) is one
+    broadcast-centroid map pass producing (id, centroid_id, 8-byte code) —
+    the inverted index. The probe join keys on centroid_id so a query
+    ADC-scans nprobe/n_centroids of the codes; per (query, centroid) the LUT
+    is built from the query's residual against that centroid. Final top-k is
+    the usual per-query heap. Nothing ever shuffles raw vectors.
+    """
+    import numpy as np
+
+    sub = dim // m
+    # coarse quantizer + assignment (deterministic, ordered init)
+    assigned, cents_df = ivf_assign(corpus, vec_col, id_col, n_centroids)
+    cent_rows = cents_df.orderBy("centroid_id").collect()
+    cent_ids = np.asarray([r["centroid_id"] for r in cent_rows], dtype=np.int64)
+    cent_mat = np.asarray([list(r["__cent"]) for r in cent_rows],
+                          dtype=np.float64)
+    cent_of = {int(i): cent_mat[j] for j, i in enumerate(cent_ids)}
+
+    # train PQ codebooks on a bounded sample of residuals
+    sample = (
+        assigned.orderBy(id_col).limit(sample_rows)
+        .select(id_col, "__cv", "centroid_id")
+    ).toPandas()
+    res = np.asarray([
+        np.asarray(v, dtype=np.float64) - cent_of[int(c)]
+        for v, c in zip(sample["__cv"], sample["centroid_id"])
+    ])
+    books = []
+    for j in range(m):
+        xs = res[:, j * sub:(j + 1) * sub]
+        cb = xs[:n_codes].copy()
+        for _ in range(5):
+            d = ((xs[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            a = d.argmin(axis=1)
+            for c in range(n_codes):
+                mask = a == c
+                if mask.any():
+                    cb[c] = xs[mask].mean(axis=0)
+        books.append(cb)
+
+    # encode residuals (map-side; centroids + codebooks ride as literals)
+    code_schema = f"{id_col} long, centroid_id long, __code array<smallint>"
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.asarray([np.asarray(v, dtype=np.float64)
+                            for v in pdf["__cv"]])
+            cs = pdf["centroid_id"].to_numpy()
+            r = x - np.asarray([cent_of[int(c)] for c in cs])
+            codes = np.empty((len(x), m), dtype=np.int16)
+            for j in range(m):
+                xs = r[:, j * sub:(j + 1) * sub]
+                d = ((xs[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d.argmin(axis=1).astype(np.int16)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(),
+                "centroid_id": cs,
+                "__code": list(codes),
+            })
+
+    index = assigned.mapInPandas(encode, code_schema)
+
+    # query side: nprobe nearest centroids, LUT per (query, centroid) from
+    # the query residual against that centroid
+    qrows = queries.select(query_id, vec_col).orderBy(query_id).toPandas()
+    qids = qrows[query_id].to_numpy()
+    qvecs = np.asarray([np.asarray(v, dtype=np.float64)
+                        for v in qrows[vec_col]])
+    qnorm = np.linalg.norm(qvecs, axis=1, keepdims=True)
+    cnorm = np.linalg.norm(cent_mat, axis=1)
+    cos = (qvecs @ cent_mat.T) / np.maximum(qnorm * cnorm[None, :], 1e-12)
+    probe_order = np.argsort(-cos, axis=1)[:, :nprobe]
+
+    luts: dict[tuple[int, int], object] = {}
+    probe_sets: dict[int, set[int]] = {}
+    for qi, qid in enumerate(qids):
+        probe_sets[int(qid)] = set()
+        for pj in probe_order[qi]:
+            cid = int(cent_ids[pj])
+            probe_sets[int(qid)].add(cid)
+            qres = qvecs[qi] - cent_mat[pj]
+            lut = np.empty((m, n_codes), dtype=np.float64)
+            for j in range(m):
+                qs = qres[j * sub:(j + 1) * sub]
+                lut[j] = ((qs[None, :] - books[j]) ** 2).sum(axis=1)
+            luts[(int(qid), cid)] = lut
+
+    out_schema = f"{query_id} long, {id_col} long, adc_dist double"
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c = np.asarray(list(pdf["__code"]), dtype=np.int64)
+            cids = pdf["centroid_id"].to_numpy()
+            ids = pdf[id_col].to_numpy()
+            for qid, cset in probe_sets.items():
+                mask = np.isin(cids, list(cset))
+                if not mask.any():
+                    continue
+                sel_ids, sel_c, sel_cid = ids[mask], c[mask], cids[mask]
+                d = np.empty(len(sel_ids), dtype=np.float64)
+                for cid in cset:
+                    cmask = sel_cid == cid
+                    if not cmask.any():
+                        continue
+                    lut = luts[(qid, cid)]
+                    d[cmask] = lut[np.arange(m)[None, :], sel_c[cmask]].sum(axis=1)
+                yield pd.DataFrame({
+                    query_id: np.full(mask.sum(), qid, dtype=np.int64),
+                    id_col: sel_ids,
+                    "adc_dist": d,
+                })
+
+    scored = index.mapInPandas(score, out_schema)
+    w = Window.partitionBy(query_id).orderBy("adc_dist", F.col(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

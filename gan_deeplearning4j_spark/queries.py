@@ -1167,6 +1167,62 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pq_topk",
+    oracle=None,
+    doc="Product-quantization ANN top-k (Jégou et al., TPAMI'11): per-"
+        "subspace codebooks -> 8-byte codes -> asymmetric-distance scoring "
+        "via per-query lookup tables. Completes the ANN scale trio "
+        "(LSH bucketing, IVF list pruning, PQ compression: 256 B/vector -> "
+        "8 B/vector, the difference between spilling and RAM-resident at "
+        "100 TB). No SQL oracle: codebooks come from numpy Lloyd training "
+        "(driver-side bounded sample); recall >= 0.8 vs brute force and "
+        "repartition-stability are pinned in tests/test_operators.py",
+)
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = pq_topk(
+        emb, q, "embedding", "vec_id", "query_id", dim=64, k=5
+    )
+    return out.select(
+        "query_id", "vec_id",
+        F.floor(F.col("adc_dist") * 10000).cast("long").alias("adc_dist_e4"),
+    )
+
+
+@register(
+    "ivfpq_topk",
+    oracle=None,
+    doc="IVFPQ ANN top-k (FAISS architecture): coarse inverted lists prune "
+        "which codes a query scans, residual product quantization "
+        "compresses what is scanned (residuals concentrate near the origin "
+        "so 4-bit codebooks quantize them finely). The inverted index is "
+        "(id, centroid_id, 8-byte code) — raw vectors never shuffle. No SQL "
+        "oracle (numpy-trained residual codebooks); recall and "
+        "pruning-monotonicity pinned in tests/test_operators.py",
+)
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import ivfpq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivfpq_topk(
+        emb, q, "embedding", "vec_id", "query_id",
+        dim=64, k=5, n_centroids=8, nprobe=3,
+    )
+    return out.select(
+        "query_id", "vec_id",
+        F.floor(F.col("adc_dist") * 10000).cast("long").alias("adc_dist_e4"),
+    )
+
+
 def _sql_arr(row: list[float]) -> str:
     return "[" + ", ".join(repr(v) for v in row) + "]::DOUBLE[]"
 
@@ -2560,7 +2616,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "grouping_sets_agg",
     "events_range_frame",
     "heavy_hitters_exact",
-    "heavy_hitters_approx",
     "tfidf_top_terms",
     "grouped_agg_trimmed_mean",
     "bigram_top20",
@@ -2599,10 +2654,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "tpch_q16_supplier_variety",
     "tpch_q20_heavy_suppliers",
     "events_session_window",
-    # approx_distinct / heavy_hitters_approx are rows-only (no oracle) —
-    # heavy_hitters_approx keeps a window slot for its first-ever verdict;
-    # approx_distinct yields its slot to the oracled queries above (pytest
-    # covers it; a rows-only row is the weakest driver signal)
+    "curation_pipeline",
+    # approx_distinct / heavy_hitters_approx / pq_topk are rows-only (no
+    # oracle) and yield their window slots to oracled queries — a rows-only
+    # row is the weakest driver signal and pytest covers all three
 ]
 
 

@@ -1031,3 +1031,81 @@ def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value_c",
         )
     )
+
+
+@register(
+    "curation_pipeline",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source, lang, text,
+             len(string_split(text, ' ')) AS n_tok,
+             len(list_distinct(string_split(text, ' '))) * 1.0
+               / len(string_split(text, ' ')) AS ddr,
+             length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) * 1.0
+               / length(text) AS pr
+      FROM documents
+    ), kept AS (
+      SELECT * FROM scored
+      WHERE n_tok >= 20 AND ddr >= 0.4 AND pr <= 0.1
+    ), deduped AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                     ORDER BY doc_id) AS rn
+        FROM kept
+      ) WHERE rn = 1
+    ), split AS (
+      SELECT source, lang,
+             CASE WHEN {portable_hash60_sql('CAST(doc_id AS VARCHAR)')} % 100 < 80
+                  THEN 'train'
+                  WHEN {portable_hash60_sql('CAST(doc_id AS VARCHAR)')} % 100 < 90
+                  THEN 'val' ELSE 'test' END AS split,
+             n_tok
+      FROM deduped
+    )
+    SELECT split, lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM split
+    GROUP BY split, lang
+    """,
+    doc="The full curation pipeline as ONE Spark DAG — quality filter (scan-"
+        "stage expressions) → exact dedup (min-id winner per content hash) → "
+        "deterministic train/val/test split (md5) → per-(split, lang) corpus "
+        "audit. This is the integration proof that the stages compose: one "
+        "job, filters before the single content-hash shuffle, split "
+        "assignment shuffle-free, audit agg tiny. At 100 TB this plan is "
+        "scan → one exchange on md5(text) → map-side split → 12-row output",
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from .functions.text import portable_hash60
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks)
+    ddr = F.size(F.array_distinct(toks)) * 1.0 / n_tok
+    pr = (
+        F.length(F.regexp_replace(F.col("text"), "[a-zA-Z0-9 ]", "")) * 1.0
+        / F.length("text")
+    )
+    kept = docs.select(
+        "doc_id", "source", "lang", "text", n_tok.alias("n_tok"),
+        ddr.alias("ddr"), pr.alias("pr"),
+    ).filter(
+        (F.col("n_tok") >= 20) & (F.col("ddr") >= 0.4) & (F.col("pr") <= 0.1)
+    )
+    w = W.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
+    deduped = (
+        kept.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    b = portable_hash60(F.col("doc_id").cast("string")) % 100
+    split = F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    return (
+        deduped.select("source", "lang", split.alias("split"), "n_tok")
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+    )

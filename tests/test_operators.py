@@ -519,3 +519,138 @@ def test_bucket_id_pairs_expansion(spark):
         (r["id_a"], r["id_b"]) for r in bucket_id_pairs(df, "ids").collect()
     )
     assert got == [(1, 2), (1, 3), (2, 3), (10, 20)]
+
+
+def test_pq_topk_recall_on_planted_neighbors(spark):
+    """PQ/ADC recall on a fixture where the true top-k ARE near neighbors
+    (5 jittered copies planted per query): quantization noise is small
+    relative to a real neighbor's margin, so recall@5 >= 0.8 and the
+    self-match must rank first (distance to a vector's own code is the
+    quantization floor).
+
+    (On unstructured random data all pairwise distances concentrate and NO
+    quantizer can rank within the noise floor — planted structure, not the
+    raw random corpus, is the meaningful recall fixture.)"""
+    from gan_deeplearning4j_spark.operators.similarity import (
+        brute_force_topk,
+        pq_topk,
+    )
+
+    rng = np.random.default_rng(666)
+    dim = 64
+    base = rng.normal(size=(220, dim))
+    rows = [(i, base[i].tolist()) for i in range(200)]
+    for i in range(20):
+        for c in range(5):
+            rows.append(
+                (1000 + i * 10 + c,
+                 (base[i] + rng.normal(scale=0.02, size=dim)).tolist())
+            )
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(
+        [(i, base[i].tolist()) for i in range(20)],
+        "query_id long, embedding array<double>",
+    )
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_topk(
+            corpus, queries, "embedding", "vec_id", "query_id", k=5
+        ).collect()
+    }
+    rows_out = pq_topk(corpus, queries, "embedding", "vec_id", "query_id",
+                       dim=dim, k=5).collect()
+    a = {(r["query_id"], r["vec_id"]) for r in rows_out}
+    assert len(a) == 100  # 20 queries x k=5
+    best = {}
+    for r in rows_out:
+        cur = best.get(r["query_id"])
+        if cur is None or r["adc_dist"] < cur[1]:
+            best[r["query_id"]] = (r["vec_id"], r["adc_dist"])
+    for qid, (vid, _) in best.items():
+        assert vid == qid, best
+    recall = len(exact & a) / len(exact)
+    assert recall >= 0.8, (recall, sorted(exact - a)[:10])
+
+
+def test_pq_topk_stable_under_repartition(spark, sf_dir):
+    """Codebook training samples orderBy(id) — results must not depend on
+    the corpus partition layout."""
+    from gan_deeplearning4j_spark.operators.similarity import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def run(corpus):
+        rows = pq_topk(corpus, queries, "embedding", "vec_id", "query_id",
+                       dim=64, k=5).collect()
+        return {(r["query_id"], r["vec_id"]) for r in rows}
+
+    base = run(emb)
+    assert run(emb.repartition(7)) == base
+
+
+def test_pq_codes_compact(spark, sf_dir):
+    """Encoding is m small codes per vector and never shuffles."""
+    from gan_deeplearning4j_spark.operators.similarity import (
+        pq_encode,
+        pq_train_codebooks,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_train_codebooks(emb, "embedding", "vec_id", dim=64, m=8, k=16)
+    assert len(books) == 8 and all(len(b) == 16 for b in books)
+    codes = pq_encode(emb, "embedding", "vec_id", 64, books)
+    plan = codes._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    row = codes.first()
+    assert len(row["__code"]) == 8
+    assert all(0 <= c < 16 for c in row["__code"])
+
+
+def test_ivfpq_topk_recall_and_pruning(spark):
+    """IVFPQ (coarse lists + residual PQ): recall >= 0.75 on the planted
+    fixture at nprobe=half the lists, and probing every list must not be
+    worse — pruning only removes candidates, never adds error."""
+    from gan_deeplearning4j_spark.operators.similarity import (
+        brute_force_topk,
+        ivfpq_topk,
+    )
+
+    rng = np.random.default_rng(666)
+    dim = 64
+    base = rng.normal(size=(220, dim))
+    rows = [(i, base[i].tolist()) for i in range(200)]
+    for i in range(20):
+        for c in range(5):
+            rows.append(
+                (1000 + i * 10 + c,
+                 (base[i] + rng.normal(scale=0.02, size=dim)).tolist())
+            )
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(
+        [(i, base[i].tolist()) for i in range(20)],
+        "query_id long, embedding array<double>",
+    )
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_topk(
+            corpus, queries, "embedding", "vec_id", "query_id", k=5
+        ).collect()
+    }
+
+    def recall(nprobe):
+        got = {
+            (r["query_id"], r["vec_id"])
+            for r in ivfpq_topk(
+                corpus, queries, "embedding", "vec_id", "query_id",
+                dim=dim, k=5, n_centroids=8, nprobe=nprobe,
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    half = recall(4)
+    full = recall(8)
+    assert half >= 0.75, half
+    assert full >= half - 0.05, (full, half)
