@@ -21,7 +21,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vector import as_double, cosine_similarity, dot
-from .relational import assert_small, drop_hot_keys
+from .relational import assert_small
 
 
 def brute_force_topk(
@@ -236,12 +236,16 @@ def embedding_neardup(
     )
 
 
-def _bucket_cosine_pairs(threshold: float, round_to: int):
+def _bucket_cosine_pairs(threshold: float, round_to: int,
+                         max_bucket: int | None = None):
     """applyInPandas kernel: one numpy matmul per LSH bucket emits every
     (id_a < id_b, round(cos, round_to) >= threshold) pair. Ids are sorted
     first so pair orientation is deterministic regardless of Arrow batch
     order; non-finite similarities (zero vectors) are dropped, matching the
-    SQL verify where the filter rejects null/NaN."""
+    SQL verify where the filter rejects null/NaN. ``max_bucket`` drops
+    degenerate hot buckets inside the kernel — the whole group is already
+    here, so a separate count-and-anti-join pass would just re-shuffle the
+    same rows to learn a size the kernel gets for free."""
     import numpy as np
 
     empty = pd.DataFrame({
@@ -251,7 +255,7 @@ def _bucket_cosine_pairs(threshold: float, round_to: int):
     })
 
     def fn(pdf):
-        if len(pdf) < 2:
+        if len(pdf) < 2 or (max_bucket is not None and len(pdf) > max_bucket):
             return empty
         order = np.argsort(pdf["__id"].to_numpy(), kind="stable")
         ids = pdf["__id"].to_numpy()[order]
@@ -293,9 +297,8 @@ def embedding_neardup_lsh(
     groupBy(id_a, id_b) min collapses it to one row either way."""
     bits = bands * rows_per_band
     v = df.select(F.col(id_col), as_double(F.col(vec_col)).alias("__v"))
-    # persisted: drop_hot_keys consumes this subtree twice (bucket counts,
-    # then the data pass) and each evaluation re-runs the signature UDF over
-    # the whole corpus — cache the (id, vec, bits) relation once instead
+    # persisted: the signature UDF is the scan-side cost and downstream
+    # retries/branches should reuse it rather than re-run it over the corpus
     sig = v.withColumn(
         "__bits", hyperplane_bits_udf(dim, bits)(F.col("__v"))
     ).persist()
@@ -312,9 +315,8 @@ def embedding_neardup_lsh(
             ])
         ).alias("band_id", "band_val"),
     )
-    sized = drop_hot_keys(banded, ["band_id", "band_val"], max_bucket)
-    pairs = sized.groupBy("band_id", "band_val").applyInPandas(
-        _bucket_cosine_pairs(threshold, round_to),
+    pairs = banded.groupBy("band_id", "band_val").applyInPandas(
+        _bucket_cosine_pairs(threshold, round_to, max_bucket),
         schema="id_a long, id_b long, cos_sim double",
     )
     return pairs.groupBy("id_a", "id_b").agg(F.min("cos_sim").alias("cos_sim"))

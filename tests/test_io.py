@@ -83,3 +83,35 @@ def test_orc_roundtrip_and_pushdown(spark, sf_dir, tmp_path):
     assert "orc" in plan.lower()
     assert "l_returnflag" in plan
     assert back.count() == li.filter(F.col("l_returnflag") == "R").count()
+
+
+def test_load_events_normalizes_either_ts_encoding(spark, sf_dir, tmp_path):
+    """The corpus has shipped events.ts both as TIMESTAMP(NANOS) (long under
+    the legacy conf) and as micro TIMESTAMP — load_events must yield the
+    same (ts timestamp, ts_nanos bigint) contract from either encoding."""
+    from pyspark.sql import functions as F
+
+    from gan_deeplearning4j_spark.io import load_events
+
+    ev = load_events(spark, sf_dir)
+    types = dict(ev.dtypes)
+    assert types["ts"].startswith("timestamp")
+    assert types["ts_nanos"] == "bigint"
+    # ts and ts_nanos agree at microsecond precision
+    bad = ev.filter(
+        F.unix_micros(F.col("ts").cast("timestamp")) * 1000 != F.col("ts_nanos")
+    ).count()
+    assert bad == 0
+
+    # re-materialize as long nanos (the round-1/2 encoding) and re-load
+    src = str(tmp_path / "events.parquet")
+    ev.select(
+        "event_id",
+        F.col("ts_nanos").alias("ts"),
+        "user_id", "event_type", "value", "props",
+    ).write.parquet(src)
+    ev2 = load_events(spark, str(tmp_path))
+    # same rows, same micro timestamps, regardless of source encoding
+    a = sorted(r["ts_nanos"] for r in ev.select("ts_nanos").collect())
+    b = sorted(r["ts_nanos"] for r in ev2.select("ts_nanos").collect())
+    assert a == b
