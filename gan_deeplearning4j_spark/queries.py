@@ -2646,7 +2646,6 @@ _DRIVER_WINDOW_PRIORITY = [
     "length_bucket_batches",
     "unpivot_metrics",
     "vector_norm_stats",
-    "levenshtein_prefix_pairs",
     "salted_join_agg",
     "tpch_q8_market_share",
     "tpch_q9_product_profit",
@@ -2655,6 +2654,10 @@ _DRIVER_WINDOW_PRIORITY = [
     "tpch_q20_heavy_suppliers",
     "events_session_window",
     "curation_pipeline",
+    "semantic_dedup_clusters",
+    # levenshtein_prefix_pairs rotated to the r04 window (slot 51+): the
+    # composed semantic-dedup row is stronger first-round evidence
+    "levenshtein_prefix_pairs",
     # approx_distinct / heavy_hitters_approx / pq_topk are rows-only (no
     # oracle) and yield their window slots to oracled queries — a rows-only
     # row is the weakest driver signal and pytest covers all three

@@ -1109,3 +1109,60 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").cast("long").alias("n_tokens"),
         )
     )
+
+
+def _semantic_clusters_oracle() -> str:
+    """CC walk (recursive CTE) over the exact DuckDB replica of the banded
+    hyperplane-LSH pair set — the oracle replays the scale path's candidate
+    generation bit-for-bit (inlined plane literals), then closes it
+    transitively the same way the engine's min-label propagation does."""
+    from .queries import _banded_lsh_neardup_oracle
+
+    pairs = _banded_lsh_neardup_oracle(dim=64, bands=4, rows_per_band=8,
+                                       threshold=0.35)
+    return f"""
+    WITH pairs AS ({pairs}),
+    und AS (
+      SELECT id_a AS ea, id_b AS eb FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach AS (
+      WITH RECURSIVE r(a, b) AS (
+        SELECT ea, eb FROM und
+        UNION
+        SELECT r.a, u.eb FROM r JOIN und u ON r.b = u.ea
+      ) SELECT * FROM r
+    )
+    SELECT a AS vec_id, MIN(b) AS cluster_id,
+           COUNT(DISTINCT b) AS cluster_size
+    FROM reach GROUP BY a
+    """
+
+
+@register(
+    "semantic_dedup_clusters",
+    oracle=_semantic_clusters_oracle(),
+    doc="Semantic dedup (SemDeDup-shaped, Abbas et al. 2023 arXiv:2303.09540"
+        " adapted to pairwise form): embedding near-dup pairs from banded "
+        "hyperplane LSH (bucket-keyed, never all-pairs) closed transitively "
+        "by iterative min-label connected components → (vec, cluster, size)."
+        " Cross-family composition proof: the ANN candidate path feeds the "
+        "graph operator unchanged. Scale: the LSH shuffle is band-keyed, CC "
+        "rounds are O(diameter) label joins with localCheckpoint lineage "
+        "truncation; keep-one-per-cluster is a trivial filter on the output",
+)
+def q_semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import connected_components
+    from .operators.similarity import embedding_neardup_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_neardup_lsh(
+        emb, "embedding", "vec_id", dim=64, threshold=0.35,
+        bands=4, rows_per_band=8,
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    sizes = comp.groupBy("comp").agg(F.count("*").alias("cluster_size"))
+    return comp.join(sizes, "comp").select(
+        F.col("node").alias("vec_id"),
+        F.col("comp").alias("cluster_id"),
+        "cluster_size",
+    )
