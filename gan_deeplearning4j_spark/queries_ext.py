@@ -1166,3 +1166,139 @@ def q_semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("comp").alias("cluster_id"),
         "cluster_size",
     )
+
+
+@register(
+    "events_resample_ffill",
+    oracle="""
+    WITH bounds AS (
+      SELECT user_id, date_trunc('hour', MIN(ts)) AS t0,
+             date_trunc('hour', MAX(ts)) AS t1
+      FROM events WHERE user_id < 40 GROUP BY user_id
+    ), grid AS (
+      SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS bar
+      FROM bounds
+    ), hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS bar,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS bar_value_c
+      FROM events WHERE user_id < 40
+      GROUP BY user_id, date_trunc('hour', ts)
+    )
+    SELECT g.user_id, epoch_us(g.bar) AS bar_us,
+           COALESCE(h.bar_value_c,
+             last_value(h.bar_value_c IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.bar
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS value_c,
+           CASE WHEN h.bar_value_c IS NULL THEN 1 ELSE 0 END AS filled
+    FROM grid g LEFT JOIN hourly h
+      ON h.user_id = g.user_id AND h.bar = g.bar
+    """,
+    doc="Time-series resample + forward fill (the gap-filling operator every "
+        "feature pipeline needs): per-user hourly bars over a generated "
+        "dense time grid (sequence/explode), missing bars forward-filled "
+        "with last_value IGNORE NULLS. Scale: the grid is generated, not "
+        "shuffled (sequence per user row); one agg shuffle keyed (user, "
+        "bar); the fill is a single ordered window pass per user. Bar "
+        "values are exact integer cents (order-free sums)",
+)
+def q_events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    hourly = (
+        ev.groupBy(
+            "user_id", F.date_trunc("hour", F.col("ts")).alias("bar")
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+                "bar_value_c"
+            )
+        )
+    )
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("bar"),
+    )
+    j = grid.join(hourly, ["user_id", "bar"], "left")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("bar")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return j.select(
+        "user_id",
+        F.unix_micros(F.col("bar")).alias("bar_us"),
+        F.coalesce(
+            F.col("bar_value_c"),
+            F.last("bar_value_c", ignorenulls=True).over(w),
+        ).alias("value_c"),
+        F.when(F.col("bar_value_c").isNull(), 1).otherwise(0).alias("filled"),
+    )
+
+
+@register(
+    "stats_corr_exact",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+             CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS sy,
+             CAST(SUM(CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxx,
+             SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * CAST(round(l_extendedprice * 100) AS BIGINT)) AS syy,
+             CAST(SUM(CAST(l_quantity AS BIGINT)
+                      * CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           ROUND((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * 1.0)
+                 / sqrt(CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)),
+                 6) AS corr_qty_price
+    FROM s
+    """,
+    doc="Correlation from exact integer moment sums: quantity is integral "
+        "and price converts to cents, so Sx/Sy/Sxx/Sxy are exact bigint "
+        "sums (order-free) and the Pearson formula is a deterministic "
+        "function of them — unlike built-in CORR, whose one-pass float "
+        "moments accumulate in engine-specific order. Syy exceeds int64 "
+        "(cents² × 60k rows) and goes through double on both sides "
+        "identically. Single map-side-combinable aggregate, no shuffle "
+        "beyond the groupBy",
+)
+def q_stats_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("long")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(qty).alias("sx"),
+        F.sum(cents).alias("sy"),
+        F.sum(qty * qty).alias("sxx"),
+        F.sum((cents * cents).cast("decimal(38,0)")).alias("syy"),
+        F.sum(qty * cents).alias("sxy"),
+    )
+    n = F.col("n")
+    syy_term = (
+        n.cast("decimal(38,0)") * F.col("syy")
+        - F.col("sy").cast("decimal(38,0)") * F.col("sy").cast("decimal(38,0)")
+    ).cast("double")
+    corr = (
+        (n * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / F.sqrt((n * F.col("sxx") - F.col("sx") * F.col("sx")) * 1.0)
+        / F.sqrt(syy_term)
+    )
+    return s.select(
+        "l_returnflag", "n", F.round(corr, 6).alias("corr_qty_price")
+    )
