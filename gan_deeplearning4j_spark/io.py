@@ -31,7 +31,16 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """S1/S2-equivalent scan: columnar Parquet with pushdown-friendly layout."""
+    """S1/S2-equivalent scan: columnar Parquet with pushdown-friendly layout.
+
+    Sets UTC session time first: timestamp columns are timezone-naive in the
+    parquet and every oracle comparison treats them as UTC — without this, a
+    query is only correct if some earlier query on the shared session
+    happened to set the timezone (an ordering dependency the verification
+    driver is free to break)."""
+    from .session import ensure_engine_conf
+
+    ensure_engine_conf(spark)
     if name == "events":
         return load_events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -48,6 +48,10 @@ def main() -> int:
     names = sys.argv[1:] or list(qs)
     fails = []
     for name in names:
+        # reset to a non-UTC timezone before EVERY query: a query must be
+        # correct standalone, not because an earlier query on the shared
+        # session happened to set UTC (the driver's run order is its own)
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
         sdf = qs[name](spark, sf).toPandas()
         if name in oracles:
             sc, sr = canon(sdf)
