@@ -1302,3 +1302,77 @@ def q_stats_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "l_returnflag", "n", F.round(corr, 6).alias("corr_qty_price")
     )
+
+
+@register(
+    "doc_repetition_stats",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), g AS (
+      SELECT doc_id,
+             greatest(len(toks) - 2, 1) AS n_grams,
+             len(list_distinct(list_transform(
+               range(1, greatest(len(toks) - 2, 1) + 1),
+               i -> array_to_string(list_slice(toks, i, i + 2), ' '))))
+               AS n_distinct,
+             len(toks) AS n_toks
+      FROM t
+    ), tc AS (
+      SELECT doc_id, MAX(cnt) AS top_cnt FROM (
+        SELECT doc_id, tok, COUNT(*) AS cnt
+        FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+        GROUP BY doc_id, tok
+      ) GROUP BY doc_id
+    )
+    SELECT g.doc_id,
+           CAST(g.n_grams AS BIGINT) AS n_grams,
+           CAST(g.n_distinct AS BIGINT) AS n_distinct,
+           CAST(floor((g.n_grams - g.n_distinct) * 1000000.0 / g.n_grams)
+                AS BIGINT) AS rep_ppm,
+           CAST(floor(tc.top_cnt * 1000000.0 / g.n_toks) AS BIGINT)
+             AS top_token_ppm
+    FROM g JOIN tc ON tc.doc_id = g.doc_id
+    """,
+    doc="Repetition quality signals (the Gopher/MassiveText repetition "
+        "filter family, Rae et al. 2021 arXiv:2112.11446 §A1.1): fraction "
+        "of duplicated 3-gram windows within each document, and the "
+        "most-frequent-token concentration. Both are exact integer ratios "
+        "(ppm) of counts, so the check is engine-invariant. Scale: the gram "
+        "stats are scan-stage array expressions (zip_with shingles, no "
+        "shuffle); the token mode is one map-side-combinable (doc, token) "
+        "count + per-doc max",
+)
+def q_doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    base = docs.select(
+        "doc_id",
+        F.greatest(F.size(toks) - 2, F.lit(1)).cast("long").alias("n_grams"),
+        F.size(shingles(F.col("text"), 3)).cast("long").alias("n_distinct"),
+        F.size(toks).cast("long").alias("n_toks"),
+    )
+    top = (
+        docs.select("doc_id", F.explode(toks).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("top_cnt"))
+    )
+    return base.join(top, "doc_id").select(
+        "doc_id",
+        "n_grams",
+        "n_distinct",
+        F.floor(
+            (F.col("n_grams") - F.col("n_distinct"))
+            * 1000000.0
+            / F.col("n_grams")
+        )
+        .cast("long")
+        .alias("rep_ppm"),
+        F.floor(F.col("top_cnt") * 1000000.0 / F.col("n_toks"))
+        .cast("long")
+        .alias("top_token_ppm"),
+    )
