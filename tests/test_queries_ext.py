@@ -157,3 +157,36 @@ def test_levenshtein_zero_for_identical_prefixes(spark, sf_dir):
     assert rows
     for r in rows:
         assert r.edit_dist >= 0
+
+
+def test_q8_q9_dims_broadcast(spark, sf_dir):
+    """The 6-way q8 join and 5-way q9 join must broadcast every dim — one
+    sort-merge join at most (lineitem↔orders)."""
+    for name in ("tpch_q8_market_share", "tpch_q9_product_profit"):
+        df = REGISTRY[name].fn(spark, sf_dir)
+        assert count_operator(df, "BroadcastHashJoin") >= 3, name
+        assert count_operator(df, "BroadcastNestedLoopJoin") == 0, name
+
+
+def test_substring_dup_spans_single_shuffle(spark, sf_dir):
+    """Gram hashing is scan-stage; the only exchange carries
+    (span_hash, doc_id) into the group-by (plus AQE reads)."""
+    from gan_deeplearning4j_spark.plans.explain import plan_tree
+
+    df = REGISTRY["substring_dup_spans"].fn(spark, sf_dir)
+    tree = plan_tree(df)
+    assert tree.count("- Exchange") <= 1, tree
+
+
+def test_resample_grid_not_shuffled(spark, sf_dir):
+    """The dense time grid comes from sequence/explode over the per-user
+    bounds row — generated, not joined from a materialized calendar."""
+    plan = formatted_plan(REGISTRY["events_resample_ffill"].fn(spark, sf_dir))
+    assert "Generate" in plan and "explode" in plan, plan
+
+
+def test_corr_single_aggregate_pass(spark, sf_dir):
+    """All five moment sums ride one two-phase aggregate (map-side combine),
+    not one pass per moment."""
+    df = REGISTRY["stats_corr_exact"].fn(spark, sf_dir)
+    assert count_operator(df, "HashAggregate") == 2
