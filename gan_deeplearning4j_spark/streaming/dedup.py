@@ -35,3 +35,148 @@ def dedup_events_stream(
     else:
         out = keyed.dropDuplicates(["__fp"])
     return out.drop("__fp")
+
+
+# ---------------------------------------------------------------------------
+# Streaming NEAR-duplicate detection: MinHash signatures + LSH band buckets
+# with explicit per-bucket state (applyInPandasWithState). The streaming twin
+# of operators/dedup.minhash_lsh_candidates: a document is flagged the moment
+# it arrives if any of its band buckets already holds a signature whose
+# estimated Jaccard (fraction of equal minhash components) clears the
+# threshold. First arrival wins — the flag names the earliest surviving doc.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import types as T
+
+NEARDUP_OUTPUT = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("band_id", T.IntegerType()),
+        T.StructField("dup_of", T.LongType()),
+    ]
+)
+
+_NEARDUP_STATE = T.StructType(
+    [
+        T.StructField("ids", T.ArrayType(T.LongType())),
+        T.StructField("sigs", T.ArrayType(T.LongType())),  # flattened
+    ]
+)
+
+
+def _neardup_fn(num_hashes: int, threshold: float, max_state: int):
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            ids, flat = state.get
+            ids = list(ids)
+            sigs = (
+                np.asarray(flat, dtype=np.int64).reshape(-1, num_hashes)
+                if flat else np.empty((0, num_hashes), dtype=np.int64)
+            )
+        else:
+            ids, sigs = [], np.empty((0, num_hashes), dtype=np.int64)
+        out_doc, out_band, out_dup = [], [], []
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            # deterministic arrival order inside the micro-batch
+            pdf = pdf.sort_values(["ts", "doc_id"], kind="stable")
+            for _, row in pdf.iterrows():
+                sig = np.asarray(row["__sig"], dtype=np.int64)
+                dup_of = None
+                if len(ids):
+                    est = (sigs == sig[None, :]).mean(axis=1)
+                    hit = np.nonzero(est >= threshold)[0]
+                    if len(hit):
+                        # earliest stored match wins
+                        dup_of = int(ids[int(hit[0])])
+                if dup_of is not None:
+                    out_doc.append(int(row["doc_id"]))
+                    out_band.append(int(key[0]))
+                    out_dup.append(dup_of)
+                elif len(ids) < max_state:
+                    ids.append(int(row["doc_id"]))
+                    sigs = np.vstack([sigs, sig[None, :]])
+        state.update((ids, [int(v) for v in sigs.reshape(-1)]))
+        if out_doc:
+            yield pd.DataFrame(
+                {"doc_id": out_doc, "band_id": out_band, "dup_of": out_dup}
+            )
+
+    return fn
+
+
+def banded_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """(doc_id, ts, __sig, __band, __bh): MinHash signature + exploded band
+    bucket keys — the stateless scan-side stage of streaming near-dup,
+    shared with the batch replica the stream-vs-batch test replays."""
+    from ..operators.dedup import minhash_signature
+
+    rows_per_band = num_hashes // bands
+    sig = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col("ts"),
+        minhash_signature(F.col(text_col), num_hashes).alias("__sig"),
+    )
+    return sig.select(
+        "doc_id", "ts", "__sig",
+        F.posexplode(
+            F.array(*[
+                F.xxhash64(
+                    F.array_join(
+                        F.transform(
+                            F.slice("__sig", b * rows_per_band + 1, rows_per_band),
+                            lambda v: v.cast("string"),
+                        ),
+                        ",",
+                    )
+                )
+                for b in range(bands)
+            ])
+        ).alias("__band", "__bh"),
+    )
+
+
+def neardup_flags_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.8,
+    max_state: int = 10_000,
+) -> DataFrame:
+    """Streaming near-dup flags: (doc_id, band_id, dup_of) emitted per band
+    bucket that recognizes an arriving document. A document flagged by
+    several bands yields several rows — consumers keep min(dup_of) per doc
+    (the stream-vs-batch test does exactly that); unflagged docs are the
+    keepers.
+
+    Scale: state lives per (band_id, band_hash) bucket in the executor state
+    store — hash-partitioned, never on the driver; each bucket holds at most
+    ``max_state`` (id, signature) pairs, and the signature is num_hashes
+    longs, not the document text. The expensive part (shingle → minhash) is
+    stateless scan-side expression work before the one stateful shuffle.
+    Production streams should age buckets out (event-time timeout against
+    the watermark) the same way dropDuplicatesWithinWatermark does; the cap
+    makes state bounded even without a timeout."""
+    banded = banded_signatures(docs, text_col, id_col, num_hashes, bands)
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return banded.groupBy("__band", "__bh").applyInPandasWithState(
+        _neardup_fn(num_hashes, threshold, max_state),
+        outputStructType=NEARDUP_OUTPUT,
+        stateStructType=_NEARDUP_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

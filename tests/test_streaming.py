@@ -252,3 +252,97 @@ def test_session_window_stream_matches_batch(spark, sf_dir, tmp_path):
         abs(got_s["sum_value"].to_numpy() - want_s["sum_value"].to_numpy()).max()
         < 1e-6
     )
+
+
+def test_streaming_neardup_matches_batch_replay(spark, sf_dir, tmp_path):
+    """Streaming MinHash/LSH near-dup flags must equal a batch replay of the
+    same bucket logic in global (ts, doc_id) arrival order. Exact duplicate
+    documents (identical signatures in every band) MUST be flagged; the
+    keeper is the earliest arrival."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from gan_deeplearning4j_spark.streaming.dedup import (
+        banded_signatures,
+        neardup_flags_stream,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            "doc_id", "text",
+            F.timestamp_micros(F.lit(1_700_000_000_000_000)
+                               + F.col("doc_id") * 1_000_000).alias("ts"),
+        )
+    )
+    # 2 micro-batches in arrival order: files split by doc_id range with
+    # pinned mtimes (FileStreamSource orders files by mtime)
+    src = str(tmp_path / "docs_stream")
+    os.makedirs(src)
+    lo = docs.filter(F.col("doc_id") < 250).coalesce(1)
+    hi = docs.filter(F.col("doc_id") >= 250).coalesce(1)
+    lo.write.parquet(src + "/lo")
+    hi.write.parquet(src + "/hi")
+    files = []
+    for sub in ("lo", "hi"):
+        for f in sorted(os.listdir(f"{src}/{sub}")):
+            if f.endswith(".parquet"):
+                dst = f"{src}/{sub.replace('lo','0').replace('hi','1')}_{f}"
+                os.rename(f"{src}/{sub}/{f}", dst)
+                files.append(dst)
+    for i, f in enumerate(files):
+        os.utime(f, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    flags = neardup_flags_stream(stream, num_hashes=16, bands=4,
+                                 threshold=0.8)
+    run_stream_to_memory(flags, "neardup_stream_test", timeout_sec=180,
+                         output_mode="append")
+    got = spark.sql(
+        "select doc_id, min(dup_of) as dup_of from neardup_stream_test "
+        "group by doc_id"
+    ).collect()
+    got_flags = {r["doc_id"]: r["dup_of"] for r in got}
+
+    # batch replay: same buckets, same threshold, global (ts, doc_id) order
+    banded = banded_signatures(docs, num_hashes=16, bands=4).collect()
+    buckets = {}
+    for r in sorted(banded, key=lambda r: (r["ts"], r["doc_id"])):
+        buckets.setdefault((r["__band"], r["__bh"]), []).append(r)
+    want = {}
+    for key, rows in buckets.items():
+        kept = []
+        for r in rows:
+            sig = tuple(r["__sig"])
+            dup_of = None
+            for kid, ksig in kept:
+                eq = sum(a == b for a, b in zip(sig, ksig)) / len(sig)
+                if eq >= 0.8:
+                    dup_of = kid
+                    break
+            if dup_of is not None:
+                cur = want.get(r["doc_id"])
+                want[r["doc_id"]] = dup_of if cur is None else min(cur, dup_of)
+            else:
+                kept.append((r["doc_id"], sig))
+    assert got_flags == want
+    # sanity: the corpus's exact duplicate texts are flagged
+    dup_losers = {
+        r["l"] for r in docs.alias("a").join(
+            docs.alias("b"),
+            (F.col("a.text") == F.col("b.text"))
+            & (F.col("a.doc_id") > F.col("b.doc_id")),
+        ).select(F.col("a.doc_id").alias("l")).distinct().collect()
+    }
+    assert dup_losers <= set(got_flags), dup_losers - set(got_flags)
