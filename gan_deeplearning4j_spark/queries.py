@@ -342,8 +342,11 @@ def q_weight_copy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pos",
         F.lit(0.0).alias("value"),
     ).distinct()
-    labels = [r["label"] for r in emb.select("label").distinct().collect()]
-    layer_map = {f"dis_layer_{l}": f"gan_layer_{l}" for l in labels}
+    # fixed label domain (MNIST-shaped 0-9, SURVEY §1.2), not a
+    # collect(): deriving the map from data would be a hidden driver-side
+    # action inside query construction — extra labels in the map are
+    # harmless (no matching dst rows)
+    layer_map = {f"dis_layer_{l}": f"gan_layer_{l}" for l in range(10)}
     out = copy_weights(dst, src, layer_map)
     return out.select(
         "layer", "param", "pos", F.round("value", 6).alias("value")

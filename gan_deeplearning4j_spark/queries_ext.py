@@ -1376,3 +1376,69 @@ def q_doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("top_token_ppm"),
     )
+
+
+@register(
+    "doc_chunking",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), c AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(0, CAST(ceil(greatest(len(toks) - 16, 1) / 48.0)
+                             AS BIGINT)),
+               i -> struct_pack(
+                 chunk_id := i,
+                 chunk := array_to_string(
+                   list_slice(toks, i * 48 + 1,
+                              least(i * 48 + 64, len(toks))), ' ')
+               ))) AS ch
+      FROM t
+    )
+    SELECT doc_id, CAST(ch.chunk_id AS BIGINT) AS chunk_id,
+           CAST(len(string_split(ch.chunk, ' ')) AS BIGINT) AS n_tokens,
+           md5(ch.chunk) AS chunk_md5
+    FROM c
+    """,
+    doc="Sliding-window document chunking (width 64 tokens, stride 48 — the "
+        "RAG/pretraining ingestion op): each doc yields ceil((n-overlap)/"
+        "stride) overlapping chunks. Scan-stage only: tokens are split once "
+        "into a projected column and the chunk windows are slices of that "
+        "column reference (an index-lambda over a computed array would "
+        "re-evaluate the split per chunk); no shuffle at any corpus size. "
+        "Chunks surface as md5 so the hash check is content-exact without "
+        "hauling chunk text through the comparison",
+)
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    )
+    n = F.size("toks")
+    n_chunks = F.ceil(F.greatest(n - 16, F.lit(1)) / 48.0).cast("long")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.alias("chunk_id"),
+            F.array_join(
+                F.slice(
+                    F.col("toks"),
+                    i * 48 + 1,
+                    F.least(i * 48 + 64, n) - i * 48,
+                ),
+                " ",
+            ).alias("chunk"),
+        ),
+    )
+    return (
+        toked.select("doc_id", F.explode(chunks).alias("ch"))
+        .select(
+            "doc_id",
+            F.col("ch.chunk_id").cast("long").alias("chunk_id"),
+            F.size(F.split(F.col("ch.chunk"), " ")).cast("long").alias(
+                "n_tokens"
+            ),
+            F.md5(F.col("ch.chunk").cast("binary")).alias("chunk_md5"),
+        )
+    )
