@@ -1442,3 +1442,64 @@ def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.col("ch.chunk").cast("binary")).alias("chunk_md5"),
         )
     )
+
+
+@register(
+    "unigram_surprisal",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), freq AS (
+      SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok
+    ), totals AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM freq
+    ), scored AS (
+      SELECT t.doc_id,
+             CAST(floor(1000000.0 * ln(CAST(tt.total AS DOUBLE) / f.cnt))
+                  AS BIGINT) AS surp_e6
+      FROM tok t JOIN freq f ON f.tok = t.tok CROSS JOIN totals tt
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           CAST(SUM(surp_e6) AS BIGINT) AS total_surprisal_e6,
+           CAST(floor(SUM(surp_e6) * 1.0 / COUNT(*)) AS BIGINT)
+             AS mean_surprisal_e6
+    FROM scored GROUP BY doc_id
+    """,
+    doc="Unigram-LM surprisal quality score (the CCNet/KenLM perplexity "
+        "filter, Wenzek et al. 2020 arXiv:1911.00359, reduced to its "
+        "unigram form): corpus token frequencies become a broadcast LM "
+        "table; each document scores mean -log p(token). Cross-engine "
+        "exactness: per-token surprisal is floored to integer micro-nats "
+        "(identical doubles floor identically) and the per-doc total is an "
+        "exact bigint sum — order-free where a float log-prob sum is not. "
+        "Scale: pass 1 is a map-side-combinable token count; the LM table "
+        "(vocab-sized) broadcasts into pass 2, so the token stream never "
+        "shuffles for the lookup — only the tiny per-doc aggregate does",
+)
+def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    freq = tok.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = freq.agg(F.sum("cnt").cast("long").alias("total"))
+    surp = (
+        tok.join(F.broadcast(freq), "tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.floor(
+                1000000.0
+                * F.log(F.col("total").cast("double") / F.col("cnt"))
+            )
+            .cast("long")
+            .alias("surp_e6"),
+        )
+    )
+    return surp.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum("surp_e6").alias("total_surprisal_e6"),
+        F.floor(F.sum("surp_e6") * 1.0 / F.count("*"))
+        .cast("long")
+        .alias("mean_surprisal_e6"),
+    )
