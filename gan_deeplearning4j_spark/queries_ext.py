@@ -1503,3 +1503,64 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("mean_surprisal_e6"),
     )
+
+
+@register(
+    "token_rle_udtf",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS tok,
+             generate_subscripts(string_split(text, ' '), 1) AS idx
+      FROM documents WHERE doc_id < 50
+    ), marked AS (
+      SELECT doc_id, tok, idx,
+             CASE WHEN lag(tok) OVER (PARTITION BY doc_id ORDER BY idx)
+                       IS DISTINCT FROM tok THEN 1 ELSE 0 END AS new_run
+      FROM t
+    ), runs AS (
+      SELECT doc_id, tok, idx,
+             CAST(SUM(new_run) OVER (PARTITION BY doc_id ORDER BY idx
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS rid
+      FROM marked
+    )
+    SELECT doc_id, CAST(rid - 1 AS INT) AS pos,
+           CAST(COUNT(*) AS INT) AS run_len, MIN(tok) AS tok
+    FROM runs GROUP BY doc_id, rid
+    """,
+    doc="Python UDTF (Spark 4 user-defined TABLE function) demonstration: "
+        "token run-length encoding via LATERAL correlation — one input doc "
+        "row yields a variable number of (pos, run_len, tok) rows from "
+        "imperative generator logic. Completes the UDF surface matrix "
+        "(scalar pandas, grouped-agg, grouped-map, mapInPandas, UDTF). The "
+        "oracle replays RLE relationally (lag + run-id cumsum + group). "
+        "Scale: the UDTF is row-local — no shuffle, parallel per partition; "
+        "use arrow-optimized UDTFs for wide fan-outs",
+)
+def q_token_rle_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, run_len int, tok string")
+    class RunLength:
+        def eval(self, text: str):
+            toks = (text or "").split(" ")
+            i = 0
+            pos = 0
+            while i < len(toks):
+                j = i
+                while j < len(toks) and toks[j] == toks[i]:
+                    j += 1
+                yield (pos, j - i, toks[i])
+                pos += 1
+                i = j
+
+    spark.udtf.register("__run_length", RunLength)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    docs.createOrReplaceTempView("__rle_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, r.pos, r.run_len, r.tok
+        FROM __rle_docs d, LATERAL __run_length(d.text) r
+        """
+    )
