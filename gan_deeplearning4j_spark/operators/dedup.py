@@ -738,3 +738,70 @@ def dedup_clusters(
         F.col("comp").alias("cluster_id"),
         "cluster_size",
     )
+
+
+def prefix_filter_neardup(
+    df: DataFrame, text_col: str, id_col: str,
+    threshold: float = 0.5, shingle_n: int = 3,
+) -> DataFrame:
+    """Set-similarity join by prefix filtering (AllPairs/PPJoin family,
+    Bayardo et al. WWW'07): EXACT sub-quadratic near-dup — recall 1 by
+    construction, unlike the probabilistic MinHash/SimHash paths.
+
+    Guarantee: order every document's shingle set by one global canonical
+    order (ascending corpus frequency, rarest first). If
+    J(A,B) >= t then |A∩B| >= t·|A| — so A and B MUST share a token inside
+    each one's first |s| - ceil(t·|s|) + 1 tokens. Candidates = pairs
+    sharing any prefix token; the exact Jaccard verify then filters.
+
+    Scale shape: token-frequency count (map-side combinable) → per-doc sort
+    by the broadcast-joinable frequency → explode only PREFIX tokens (the
+    rare ones — frequency ordering makes the join buckets small by
+    construction, the opposite of a hot-key problem) → bucket join on the
+    token → verify on pairs ≪ n². String shingles here (bit-compatible
+    with the exact all-pairs oracle); swap in ``shingle_hashes`` at corpus
+    scale for fixed-width keys."""
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        shingles(F.col(text_col), shingle_n).alias("__g"),
+    )
+    tok = sh.select("__id", F.explode("__g").alias("__t"))
+    freq = tok.groupBy("__t").agg(F.count("*").alias("__cnt"))
+    ordered = (
+        tok.join(freq, "__t")
+        .groupBy("__id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("__cnt", "__t"))).alias(
+                "__ord"
+            )
+        )
+    )
+    n = F.size("__ord")
+    plen = (n - F.ceil(n * F.lit(threshold)) + 1).cast("int")
+    prefix = ordered.select(
+        "__id", F.explode(F.slice("__ord", 1, plen)).alias("__p")
+    ).select("__id", F.col("__p.__t").alias("__t"))
+    cands = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.__t") == F.col("b.__t"))
+            & (F.col("b.__id") > F.col("a.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b")
+        )
+        .distinct()
+    )
+    ga = sh.select(F.col("__id").alias("id_a"), F.col("__g").alias("__ga"))
+    gb = sh.select(F.col("__id").alias("id_b"), F.col("__g").alias("__gb"))
+    inter = F.size(F.array_intersect("__ga", "__gb")).cast("double")
+    union = F.size(F.array_union("__ga", "__gb")).cast("double")
+    return (
+        cands.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select(
+            "id_a", "id_b", F.round(inter / union, 6).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1564,3 +1564,35 @@ def q_token_rle_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM __rle_docs d, LATERAL __run_length(d.text) r
         """
     )
+
+
+@register(
+    "prefix_filter_neardup",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+               i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS g
+      FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+            FROM documents)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(len(list_intersect(a.g, b.g)) * 1.0 /
+                 len(list_distinct(list_concat(a.g, b.g))), 6) AS jaccard
+    FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+    WHERE ROUND(len(list_intersect(a.g, b.g)) * 1.0 /
+                len(list_distinct(list_concat(a.g, b.g))), 6) >= 0.5
+    """,
+    doc="Prefix-filtering set-similarity join (AllPairs/PPJoin, Bayardo et "
+        "al. WWW'07): the EXACT sub-quadratic near-dup path — frequency-"
+        "ordered prefixes guarantee recall 1, so this hash check against "
+        "the quadratic all-pairs oracle is an equality, not a recall "
+        "estimate. Completes the dedup candidate-generator set: MinHash/"
+        "SimHash/hyperplane (probabilistic), winnowing (positional), prefix "
+        "filtering (exact)",
+)
+def q_prefix_filter_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import prefix_filter_neardup
+
+    docs = _t(spark, sf_dir, "documents")
+    return prefix_filter_neardup(docs, "text", "doc_id", threshold=0.5)

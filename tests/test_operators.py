@@ -654,3 +654,23 @@ def test_ivfpq_topk_recall_and_pruning(spark):
     full = recall(8)
     assert half >= 0.75, half
     assert full >= half - 0.05, (full, half)
+
+
+def test_prefix_filter_equals_exact_all_pairs(spark, sf_dir):
+    """Prefix filtering guarantees recall 1: its output must EQUAL the
+    quadratic all-pairs baseline at the same threshold, not approximate it."""
+    from gan_deeplearning4j_spark.operators.dedup import prefix_filter_neardup
+    from gan_deeplearning4j_spark.queries import REGISTRY
+
+    docs = load_table(spark, sf_dir, "documents")
+    fast = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in prefix_filter_neardup(
+            docs, "text", "doc_id", threshold=0.5
+        ).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in REGISTRY["jaccard_neardup_pairs"].fn(spark, sf_dir).collect()
+    }
+    assert fast == exact
