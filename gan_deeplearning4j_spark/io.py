@@ -53,9 +53,14 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     Generations of the test corpus have shipped ``ts`` either as
     TIMESTAMP(NANOS) (which Spark reads as long under the legacy conf) or as
     a plain micro-precision TIMESTAMP/TIMESTAMP_NTZ; detect from the physical
-    schema rather than assuming one. Session timezone is UTC (session.py), so
-    the NTZ→TIMESTAMP cast is value-preserving vs a timezone-naive oracle.
+    schema rather than assuming one. The NTZ→TIMESTAMP cast is only
+    value-preserving under a UTC session timezone, so force the engine conf
+    here too — load_table callers already have it, but a direct caller on a
+    non-UTC session would otherwise get shifted ts/ts_nanos.
     """
+    from .session import ensure_engine_conf
+
+    ensure_engine_conf(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     ts_type = df.schema["ts"].dataType.typeName()

@@ -614,12 +614,19 @@ def minhash_dedup(
     re-deriving grams from text (``ngram_jaccard_hashed`` stays as the
     standalone form for externally-supplied pairs).
 
-    The features relation is persisted: three plan branches consume it (the
-    band join and both verify joins), and without a persist each branch
-    re-runs the Arrow featurize pass over the full corpus — Spark only
-    reuses exchanges, not arbitrary subtrees. At cluster scale the same role
-    is played by materializing features to storage once per corpus."""
-    feats = minhash_features(df, text_col, id_col, num_hashes).persist()
+    The features relation is materialized once via ``localCheckpoint``:
+    three plan branches consume it (the band join and both verify joins),
+    and without it each branch re-runs the Arrow featurize pass over the
+    full corpus — Spark only reuses exchanges, not arbitrary subtrees.
+    localCheckpoint over ``.persist()`` because checkpointed RDDs are
+    reclaimed by the ContextCleaner once unreferenced, while DataFrame
+    caches live in the CacheManager until explicitly unpersisted — on a
+    shared session running many queries that's a leak. At cluster scale the
+    same role is played by materializing features to storage once per
+    corpus."""
+    feats = minhash_features(df, text_col, id_col, num_hashes).localCheckpoint(
+        eager=True
+    )
     cands = minhash_lsh_candidates(
         df, text_col, id_col, num_hashes, bands, features=feats
     )

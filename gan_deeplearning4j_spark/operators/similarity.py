@@ -297,11 +297,13 @@ def embedding_neardup_lsh(
     groupBy(id_a, id_b) min collapses it to one row either way."""
     bits = bands * rows_per_band
     v = df.select(F.col(id_col), as_double(F.col(vec_col)).alias("__v"))
-    # persisted: the signature UDF is the scan-side cost and downstream
-    # retries/branches should reuse it rather than re-run it over the corpus
+    # NOT persisted: exactly one plan branch consumes the signatures, so the
+    # UDF runs once per partition in the single pass regardless — a persist
+    # here leaked cache entries across calls on a shared session (Spark's
+    # CacheManager holds DataFrame caches until an explicit unpersist).
     sig = v.withColumn(
         "__bits", hyperplane_bits_udf(dim, bits)(F.col("__v"))
-    ).persist()
+    )
     banded = sig.select(
         F.col(id_col).alias("__id"), "__v",
         F.posexplode(

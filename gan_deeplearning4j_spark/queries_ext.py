@@ -203,13 +203,13 @@ def q_tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#4")
     li = _t(spark, sf_dir, "lineitem")
     li_b = li.join(
-        F.broadcast(part.select("p_partkey")),
+        part.select("p_partkey"),  # part-scale even post-brand-filter: AQE decides
         li.l_partkey == F.col("p_partkey"),
     ).drop("p_partkey")
     lim = li_b.groupBy("l_partkey").agg(
         (F.lit(0.2) * F.avg("l_quantity")).alias("qty_lim")
     )
-    small = li_b.join(F.broadcast(lim), "l_partkey").filter(
+    small = li_b.join(lim, "l_partkey").filter(  # per-partkey agg grows with SF
         F.col("l_quantity") < F.col("qty_lim")
     )
     cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
@@ -316,7 +316,7 @@ def q_tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey")
     )
     j = (
-        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        li.join(sup, li.l_suppkey == sup.s_suppkey)  # supplier-scale: AQE decides
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .filter(F.col("supp_nation") != F.col("cust_nation"))
@@ -467,7 +467,7 @@ def q_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ov = (
         cand.select("doc_id", "n_grams", F.explode("grams").alias("gh"))
-        .join(F.broadcast(bench), "gh")
+        .join(bench, "gh")  # gram set grows with corpus: AQE decides
         .groupBy("doc_id", "n_grams")
         .agg(F.count("*").alias("n_overlap"))
     )
@@ -705,8 +705,11 @@ def q_levenshtein_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("id_a"), F.col("prefix").alias("pa")
     )
     b = docs.select(F.col("doc_id").alias("id_b"), F.col("prefix").alias("pb"))
-    pairs = a.join(
-        F.broadcast(b),
+    # Non-equi band join needs a nested-loop plan; broadcast the BOUNDED side
+    # (id < 60 → ≤60 rows) so the full doc table streams past it — the other
+    # orientation would broadcast a scale-growing relation.
+    pairs = b.join(
+        F.broadcast(a),
         (F.col("id_b") > F.col("id_a")) & (F.col("id_b") <= F.col("id_a") + 3),
     )
     return pairs.select(
@@ -808,7 +811,7 @@ def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     flat = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)  # supplier-scale: AQE decides
         .select(
             F.year("o_orderdate").cast("long").alias("o_year"),
             cents.alias("cents"),
@@ -870,8 +873,8 @@ def q_tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         0,
     ).cast("long")
     flat = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)  # part/supplier-scale: AQE decides
+        .join(sup, li.l_suppkey == sup.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .select(
             "nation",
@@ -938,7 +941,7 @@ def q_tpch_q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_brand") != "Brand#4") & F.col("p_size").isin(1, 2, 3, 4, 5)
     )
     li = _t(spark, sf_dir, "lineitem")
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    j = li.join(part, li.l_partkey == part.p_partkey)  # part-scale: AQE decides
     return (
         j.groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
@@ -968,7 +971,7 @@ def q_tpch_q20_heavy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
     li = _t(spark, sf_dir, "lineitem")
     heavy = (
-        li.join(F.broadcast(part.select("p_partkey")),
+        li.join(part.select("p_partkey"),  # part-scale: AQE decides
                 li.l_partkey == F.col("p_partkey"))
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum("l_quantity").alias("qty"))
@@ -977,8 +980,8 @@ def q_tpch_q20_heavy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return sup.join(
-        F.broadcast(heavy), sup.s_suppkey == F.col("l_suppkey"), "left_semi"
-    ).select("s_suppkey", "s_name")
+        heavy, sup.s_suppkey == F.col("l_suppkey"), "left_semi"
+    ).select("s_suppkey", "s_name")  # HAVING-filtered set grows with SF: AQE decides
 
 
 @register(
@@ -1289,16 +1292,19 @@ def q_stats_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((cents * cents).cast("decimal(38,0)")).alias("syy"),
         F.sum(qty * cents).alias("sxy"),
     )
-    n = F.col("n")
-    syy_term = (
-        n.cast("decimal(38,0)") * F.col("syy")
-        - F.col("sy").cast("decimal(38,0)") * F.col("sy").cast("decimal(38,0)")
-    ).cast("double")
-    corr = (
-        (n * F.col("sxy") - F.col("sx") * F.col("sy"))
-        / F.sqrt((n * F.col("sxx") - F.col("sx") * F.col("sx")) * 1.0)
-        / F.sqrt(syy_term)
-    )
+    # Widen every product to decimal(38,0) before combining: at sf>=1 the
+    # int64 products n*sxy, sx*sy, n*sxx overflow (n~1e6+, sxy~1e15) and
+    # ANSI mode throws. DuckDB's oracle goes through HUGEINT; decimal(38,0)
+    # is the Spark equivalent. Only the final ratio drops to double.
+    nd = F.col("n").cast("decimal(38,0)")
+    sxd = F.col("sx").cast("decimal(38,0)")
+    syd = F.col("sy").cast("decimal(38,0)")
+    sxxd = F.col("sxx").cast("decimal(38,0)")
+    sxyd = F.col("sxy").cast("decimal(38,0)")
+    num = (nd * sxyd - sxd * syd).cast("double")
+    sxx_term = (nd * sxxd - sxd * sxd).cast("double")
+    syy_term = (nd * F.col("syy") - syd * syd).cast("double")
+    corr = num / F.sqrt(sxx_term) / F.sqrt(syy_term)
     return s.select(
         "l_returnflag", "n", F.round(corr, 6).alias("corr_qty_price")
     )
@@ -1484,7 +1490,7 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq = tok.groupBy("tok").agg(F.count("*").alias("cnt"))
     total = freq.agg(F.sum("cnt").cast("long").alias("total"))
     surp = (
-        tok.join(F.broadcast(freq), "tok")
+        tok.join(freq, "tok")  # vocabulary grows with corpus: AQE decides
         .crossJoin(F.broadcast(total))
         .select(
             "doc_id",
