@@ -750,3 +750,326 @@ def ivfpq_topk(
         .filter(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-point PQ: the exactly-verifiable variant of the ADC pipeline.
+#
+# The float PQ path above cannot be hash-compared against a SQL oracle:
+# normalization and distance sums route through numpy pairwise summation,
+# whose ulp placement no sequential SQL re-computation reproduces. This
+# variant makes the WHOLE pipeline integer-exact instead:
+#
+#   quantize   xq[i] = floor(x[i] * 2^20)     (power-of-two scaling is exact
+#                                              on doubles; floor on the same
+#                                              double is engine-invariant)
+#   train      integer Lloyd on the quantized sample (int64 squared L2,
+#              floor-div centroid means) — bit-reproducible anywhere
+#   encode     per-subspace int64 argmin (first-min tie rule = numpy argmin)
+#   ADC        int64 LUT gather-sums
+#
+# Every number after the quantize is an exact int64, so a DuckDB oracle with
+# the trained codebooks inlined as BIGINT literals matches hash-for-hash.
+# The float path stays as the production recall surface (tests pin recall);
+# this is the correctness-evidence surface for the same architecture.
+# ---------------------------------------------------------------------------
+
+FIXED_POINT_SCALE = 1 << 20
+
+
+def quantize_fixed_expr(vec: Column, scale: int = FIXED_POINT_SCALE) -> Column:
+    """array<float> -> array<long> via floor(x * 2^k): JVM-side, exact."""
+    return F.transform(
+        as_double(vec), lambda x: F.floor(x * F.lit(float(scale))).cast("long")
+    )
+
+
+def _quantize_fixed_np(x, scale: int = FIXED_POINT_SCALE):
+    import numpy as np
+
+    return np.floor(np.asarray(x, dtype=np.float64) * scale).astype(np.int64)
+
+
+def pq_train_codebooks_fixed(
+    xq, m: int = 8, k: int = 16, iters: int = 5
+) -> list[list[list[int]]]:
+    """Integer Lloyd per subspace over a quantized sample (int64 exact).
+
+    Initial centroids are the first k sample rows (deterministic, same rule
+    as the float trainer); empty clusters keep their previous centroid.
+    Centroid update is elementwise floor-div mean — still integer, so a
+    re-run anywhere (numpy, plain python, an oracle builder) reproduces the
+    books bit-for-bit."""
+    import numpy as np
+
+    xq = np.asarray(xq, dtype=np.int64)
+    dim = xq.shape[1]
+    assert dim % m == 0
+    sub = dim // m
+    books: list[list[list[int]]] = []
+    for j in range(m):
+        xs = xq[:, j * sub:(j + 1) * sub]
+        cents = xs[:k].copy()
+        for _ in range(iters):
+            d = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            a = d.argmin(axis=1)
+            for c in range(k):
+                mask = a == c
+                if mask.any():
+                    cents[c] = xs[mask].sum(axis=0) // int(mask.sum())
+        books.append([[int(v) for v in row] for row in cents])
+    return books
+
+
+def pq_fixed_reference_books(
+    sf_dir: str | None = None, dim: int = 64, m: int = 8, k: int = 16,
+    sample_rows: int = 2048,
+) -> list[list[list[int]]]:
+    """Canonical codebooks: trained once on the oracle-scale embeddings
+    (first `sample_rows` vec_ids), cached per process.  Both the Spark query
+    and the DuckDB oracle builder call this, so they share identical books
+    by construction — the 'pretrained model artifact' pattern: at cluster
+    scale codebooks are a few KB trained offline and shipped as literals."""
+    import os
+
+    sf_dir = sf_dir or os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    key = (sf_dir, dim, m, k, sample_rows)
+    if key in _PQ_FIXED_BOOK_CACHE:
+        return _PQ_FIXED_BOOK_CACHE[key]
+    import pyarrow.parquet as pq_  # no Spark needed: oracle builder path
+
+    t = pq_.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).to_pandas()
+    t = t.sort_values("vec_id").head(sample_rows)
+    import numpy as np
+
+    xq = _quantize_fixed_np(np.asarray(
+        [np.asarray(v, dtype=np.float64) for v in t["embedding"]]
+    ))
+    books = pq_train_codebooks_fixed(xq, m=m, k=k)
+    _PQ_FIXED_BOOK_CACHE[key] = books
+    return books
+
+
+_PQ_FIXED_BOOK_CACHE: dict = {}
+
+
+def pq_topk_fixed(
+    corpus: DataFrame, queries: DataFrame, vec_col: str, id_col: str,
+    query_id: str, dim: int, k: int = 5, m: int = 8, n_codes: int = 16,
+    books: list[list[list[int]]] | None = None,
+) -> DataFrame:
+    """ADC top-k over fixed-point codes — same scale shape as ``pq_topk``
+    (map-side encode, codes-only shuffle for the per-query top-k heap), but
+    every distance is an exact int64 so results hash-match a SQL oracle.
+
+    Returns (query_id, id, adc_dist bigint); smaller is closer; ties broken
+    by id.  Self-matches are included (dist need not be 0 after
+    quantization-vs-codebook error — the code's centroid is not the vector).
+    """
+    import numpy as np
+
+    sub = dim // m
+    if books is None:
+        books = pq_fixed_reference_books(dim=dim, m=m, k=n_codes)
+    cents = [np.asarray(b, dtype=np.int64) for b in books]
+
+    xq = corpus.select(
+        F.col(id_col), quantize_fixed_expr(F.col(vec_col)).alias("__xq")
+    )
+    code_schema = f"{id_col} long, __code array<smallint>"
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.asarray(list(pdf["__xq"]), dtype=np.int64)
+            codes = np.empty((len(x), m), dtype=np.int16)
+            for j in range(m):
+                xs = x[:, j * sub:(j + 1) * sub]
+                d = ((xs[:, None, :] - cents[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d.argmin(axis=1).astype(np.int16)
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(),
+                                "__code": list(codes)})
+
+    codes = xq.mapInPandas(encode, code_schema)
+
+    qrows = queries.select(query_id, vec_col).orderBy(query_id).toPandas()
+    qids = qrows[query_id].to_numpy()
+    qvq = np.asarray(
+        [_quantize_fixed_np(v) for v in qrows[vec_col]], dtype=np.int64
+    )
+    luts = np.empty((len(qids), m, n_codes), dtype=np.int64)
+    for j in range(m):
+        qs = qvq[:, j * sub:(j + 1) * sub]
+        luts[:, j, :] = ((qs[:, None, :] - cents[j][None, :, :]) ** 2).sum(axis=2)
+
+    out_schema = f"{query_id} long, {id_col} long, adc_dist long"
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c = np.asarray(list(pdf["__code"]), dtype=np.int64)
+            ids = pdf[id_col].to_numpy()
+            for qi, qid in enumerate(qids):
+                d = luts[qi][np.arange(m)[None, :], c].sum(axis=1)
+                yield pd.DataFrame({
+                    query_id: np.full(len(ids), qid, dtype=np.int64),
+                    id_col: ids,
+                    "adc_dist": d,
+                })
+
+    scored = codes.mapInPandas(score, out_schema)
+    w = Window.partitionBy(query_id).orderBy("adc_dist", F.col(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") <= k) & (F.col("rn") <= F.lit(k)))
+        .drop("rn")
+    )
+
+
+def ivfpq_fixed_reference(
+    sf_dir: str | None = None, dim: int = 64, m: int = 8, n_codes: int = 16,
+    n_centroids: int = 8, sample_rows: int = 2048,
+):
+    """Canonical fixed-point IVFPQ model: (coarse centroids, residual
+    codebooks), trained once on the oracle-scale sample and cached.  Coarse
+    quantizer = integer Lloyd over the FULL dim (pq_train_codebooks_fixed
+    with m=1); residual books = integer Lloyd over sample residuals.  Shared
+    verbatim by the Spark query and the oracle builder."""
+    import os
+
+    import numpy as np
+
+    sf_dir = sf_dir or os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    key = ("ivfpq", sf_dir, dim, m, n_codes, n_centroids, sample_rows)
+    if key in _PQ_FIXED_BOOK_CACHE:
+        return _PQ_FIXED_BOOK_CACHE[key]
+    import pyarrow.parquet as pq_
+
+    t = pq_.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).to_pandas().sort_values("vec_id").head(sample_rows)
+    xq = _quantize_fixed_np(np.asarray(
+        [np.asarray(v, dtype=np.float64) for v in t["embedding"]]
+    ))
+    coarse = np.asarray(
+        pq_train_codebooks_fixed(xq, m=1, k=n_centroids)[0], dtype=np.int64
+    )
+    d = ((xq[:, None, :] - coarse[None, :, :]) ** 2).sum(axis=2)
+    res = xq - coarse[d.argmin(axis=1)]
+    books = pq_train_codebooks_fixed(res, m=m, k=n_codes)
+    ref = ([[int(v) for v in row] for row in coarse], books)
+    _PQ_FIXED_BOOK_CACHE[key] = ref
+    return ref
+
+
+def ivfpq_topk_fixed(
+    corpus: DataFrame, queries: DataFrame, vec_col: str, id_col: str,
+    query_id: str, dim: int, k: int = 5, m: int = 8, n_codes: int = 16,
+    n_centroids: int = 8, nprobe: int = 3, ref=None,
+) -> DataFrame:
+    """IVFPQ (coarse list pruning + residual PQ) in the exact int64 domain.
+
+    Same inverted-index scale shape as the float ``ivfpq_topk`` — one
+    map-side pass builds (id, centroid_id, code), queries ADC-scan only
+    their nprobe lists — but every distance is an exact integer, so the
+    DuckDB oracle hash-matches. Probe order ties break on centroid index
+    (stable argsort == ORDER BY d, cid)."""
+    import numpy as np
+
+    sub = dim // m
+    if ref is None:
+        ref = ivfpq_fixed_reference(
+            dim=dim, m=m, n_codes=n_codes, n_centroids=n_centroids
+        )
+    coarse = np.asarray(ref[0], dtype=np.int64)
+    cents = [np.asarray(b, dtype=np.int64) for b in ref[1]]
+
+    xq = corpus.select(
+        F.col(id_col), quantize_fixed_expr(F.col(vec_col)).alias("__xq")
+    )
+    code_schema = f"{id_col} long, centroid_id long, __code array<smallint>"
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.asarray(list(pdf["__xq"]), dtype=np.int64)
+            dc = ((x[:, None, :] - coarse[None, :, :]) ** 2).sum(axis=2)
+            cid = dc.argmin(axis=1)
+            r = x - coarse[cid]
+            codes = np.empty((len(x), m), dtype=np.int16)
+            for j in range(m):
+                xs = r[:, j * sub:(j + 1) * sub]
+                d = ((xs[:, None, :] - cents[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d.argmin(axis=1).astype(np.int16)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(),
+                "centroid_id": cid.astype(np.int64),
+                "__code": list(codes),
+            })
+
+    index = xq.mapInPandas(encode, code_schema)
+
+    qrows = queries.select(query_id, vec_col).orderBy(query_id).toPandas()
+    qids = qrows[query_id].to_numpy()
+    qvq = np.asarray(
+        [_quantize_fixed_np(v) for v in qrows[vec_col]], dtype=np.int64
+    )
+    luts: dict[tuple[int, int], object] = {}
+    probe_sets: dict[int, list[int]] = {}
+    for qi, qid in enumerate(qids):
+        dcent = ((qvq[qi][None, :] - coarse) ** 2).sum(axis=1)
+        order = np.argsort(dcent, kind="stable")[:nprobe]
+        probe_sets[int(qid)] = [int(c) for c in order]
+        for cid in order:
+            qres = qvq[qi] - coarse[cid]
+            lut = np.empty((m, n_codes), dtype=np.int64)
+            for j in range(m):
+                qs = qres[j * sub:(j + 1) * sub]
+                lut[j] = ((qs[None, :] - cents[j]) ** 2).sum(axis=1)
+            luts[(int(qid), int(cid))] = lut
+
+    out_schema = f"{query_id} long, {id_col} long, adc_dist long"
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c = np.asarray(list(pdf["__code"]), dtype=np.int64)
+            cids = pdf["centroid_id"].to_numpy()
+            ids = pdf[id_col].to_numpy()
+            for qid, plist in probe_sets.items():
+                mask = np.isin(cids, plist)
+                if not mask.any():
+                    continue
+                sel_ids, sel_c, sel_cid = ids[mask], c[mask], cids[mask]
+                d = np.empty(len(sel_ids), dtype=np.int64)
+                for cid in plist:
+                    cmask = sel_cid == cid
+                    if not cmask.any():
+                        continue
+                    lut = luts[(qid, cid)]
+                    d[cmask] = lut[
+                        np.arange(m)[None, :], sel_c[cmask]
+                    ].sum(axis=1)
+                yield pd.DataFrame({
+                    query_id: np.full(int(mask.sum()), qid, dtype=np.int64),
+                    id_col: sel_ids,
+                    "adc_dist": d,
+                })
+
+    scored = index.mapInPandas(score, out_schema)
+    w = Window.partitionBy(query_id).orderBy("adc_dist", F.col(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

@@ -1602,3 +1602,204 @@ def q_prefix_filter_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return prefix_filter_neardup(docs, "text", "doc_id", threshold=0.5)
+
+
+def _pq_fixed_oracle(dim: int = 64, m: int = 8, n_codes: int = 16,
+                     k: int = 5, nq: int = 4) -> str | None:
+    """DuckDB replica of the fixed-point ADC pipeline with the trained
+    integer codebooks inlined as BIGINT literals (pq_fixed_reference_books
+    is shared with the Spark query, so both sides hold identical books by
+    construction). All post-quantize math is int64 in both engines — the
+    hash comparison is exact, not ulp-lucky. Returns None (rows-only
+    fallback) if the canonical training corpus is unreadable."""
+    try:
+        from .operators.similarity import (
+            FIXED_POINT_SCALE,
+            pq_fixed_reference_books,
+        )
+
+        books = pq_fixed_reference_books(dim=dim, m=m, k=n_codes)
+    except Exception:
+        return None
+    sub = dim // m
+    rows = ",\n      ".join(
+        f"({j}, {c}, [{', '.join(str(v) for v in cent)}]::BIGINT[])"
+        for j, book in enumerate(books)
+        for c, cent in enumerate(book)
+    )
+    return f"""
+    WITH cb(j, c, cent) AS (VALUES
+      {rows}),
+    v AS (SELECT vec_id,
+                 list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CAST(floor(x * {FIXED_POINT_SCALE}.0) AS BIGINT)) AS xq
+          FROM embeddings),
+    subv AS (SELECT vec_id, j, list_slice(xq, j*{sub}+1, j*{sub}+{sub}) AS sv
+             FROM v, (SELECT unnest(range({m})) AS j)),
+    dist AS (SELECT s.vec_id, s.j, cb.c,
+                    CAST(list_sum(list_transform(range(1, {sub}+1),
+                         i -> (s.sv[i]-cb.cent[i])*(s.sv[i]-cb.cent[i])))
+                         AS BIGINT) AS d
+             FROM subv s JOIN cb ON cb.j = s.j),
+    code AS (SELECT vec_id, j, c FROM (
+               SELECT vec_id, j, c,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                         ORDER BY d, c) AS rn
+               FROM dist) WHERE rn = 1),
+    adc AS (SELECT qd.vec_id AS query_id, code.vec_id AS vec_id,
+                   CAST(SUM(qd.d) AS BIGINT) AS adc_dist
+            FROM code JOIN dist qd
+              ON qd.j = code.j AND qd.c = code.c AND qd.vec_id < {nq}
+            GROUP BY 1, 2)
+    SELECT query_id, vec_id, adc_dist FROM (
+      SELECT query_id, vec_id, adc_dist,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist, vec_id) AS rn
+      FROM adc) WHERE rn <= {k}
+    """
+
+
+@register(
+    "pq_fixed_topk",
+    oracle=_pq_fixed_oracle(),
+    doc="Product-quantization ADC top-k, fixed-point form (Jégou et al. "
+        "TPAMI'11 architecture; floor(x*2^20) int64 domain so encode + "
+        "distance math is engine-exact and the DuckDB oracle — trained "
+        "codebooks inlined as BIGINT literals — hash-matches). Scale shape "
+        "identical to the float pq_topk: codebooks ride as literals, encode "
+        "is one map-side Arrow pass producing 8-byte codes, the only "
+        "shuffle is the per-query top-k heap over codes. The float path "
+        "keeps the recall story (tests); this one carries the hard "
+        "correctness evidence for the same operator",
+)
+def q_pq_fixed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import pq_topk_fixed
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_topk_fixed(
+        emb, q, "embedding", "vec_id", "query_id", dim=64, k=5
+    )
+
+
+def _ivfpq_fixed_oracle(dim: int = 64, m: int = 8, n_codes: int = 16,
+                        n_centroids: int = 8, nprobe: int = 3, k: int = 5,
+                        nq: int = 4) -> str | None:
+    """DuckDB replica of fixed-point IVFPQ: coarse centroids AND residual
+    codebooks inlined as BIGINT literals; assignment, residual encode, probe
+    selection and ADC all in exact int64, mirroring ivfpq_topk_fixed
+    term-for-term. Rows-only fallback if the training corpus is absent."""
+    try:
+        from .operators.similarity import (
+            FIXED_POINT_SCALE,
+            ivfpq_fixed_reference,
+        )
+
+        coarse, books = ivfpq_fixed_reference(
+            dim=dim, m=m, n_codes=n_codes, n_centroids=n_centroids
+        )
+    except Exception:
+        return None
+    sub = dim // m
+    cc_rows = ",\n      ".join(
+        f"({cid}, [{', '.join(str(v) for v in cent)}]::BIGINT[])"
+        for cid, cent in enumerate(coarse)
+    )
+    cb_rows = ",\n      ".join(
+        f"({j}, {c}, [{', '.join(str(v) for v in cent)}]::BIGINT[])"
+        for j, book in enumerate(books)
+        for c, cent in enumerate(book)
+    )
+    return f"""
+    WITH cc(cid, cent) AS (VALUES
+      {cc_rows}),
+    cb(j, c, cent) AS (VALUES
+      {cb_rows}),
+    v AS (SELECT vec_id,
+                 list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CAST(floor(x * {FIXED_POINT_SCALE}.0) AS BIGINT)) AS xq
+          FROM embeddings),
+    cd AS (SELECT v.vec_id, cc.cid,
+                  CAST(list_sum(list_transform(range(1, {dim}+1),
+                       i -> (v.xq[i]-cc.cent[i])*(v.xq[i]-cc.cent[i])))
+                       AS BIGINT) AS d
+           FROM v CROSS JOIN cc),
+    assign AS (SELECT vec_id, cid FROM (
+                 SELECT vec_id, cid,
+                        ROW_NUMBER() OVER (PARTITION BY vec_id
+                                           ORDER BY d, cid) AS rn
+                 FROM cd) WHERE rn = 1),
+    res AS (SELECT v.vec_id, a.cid,
+                   list_transform(range(1, {dim}+1),
+                     i -> v.xq[i]-cc.cent[i]) AS rq
+            FROM v JOIN assign a ON a.vec_id = v.vec_id
+                   JOIN cc ON cc.cid = a.cid),
+    subr AS (SELECT vec_id, cid, j,
+                    list_slice(rq, j*{sub}+1, j*{sub}+{sub}) AS sv
+             FROM res, (SELECT unnest(range({m})) AS j)),
+    rdist AS (SELECT s.vec_id, s.cid, s.j, cb.c,
+                     CAST(list_sum(list_transform(range(1, {sub}+1),
+                          i -> (s.sv[i]-cb.cent[i])*(s.sv[i]-cb.cent[i])))
+                          AS BIGINT) AS d
+              FROM subr s JOIN cb ON cb.j = s.j),
+    code AS (SELECT vec_id, cid, j, c FROM (
+               SELECT vec_id, cid, j, c,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                         ORDER BY d, c) AS rn
+               FROM rdist) WHERE rn = 1),
+    probe AS (SELECT vec_id AS query_id, cid FROM (
+                SELECT vec_id, cid,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY d, cid) AS rn
+                FROM cd WHERE vec_id < {nq}) WHERE rn <= {nprobe}),
+    qres AS (SELECT p.query_id, p.cid,
+                    list_transform(range(1, {dim}+1),
+                      i -> v.xq[i]-cc.cent[i]) AS rq
+             FROM probe p JOIN v ON v.vec_id = p.query_id
+                    JOIN cc ON cc.cid = p.cid),
+    qsub AS (SELECT query_id, cid, j,
+                    list_slice(rq, j*{sub}+1, j*{sub}+{sub}) AS sv
+             FROM qres, (SELECT unnest(range({m})) AS j)),
+    qlut AS (SELECT s.query_id, s.cid, s.j, cb.c,
+                    CAST(list_sum(list_transform(range(1, {sub}+1),
+                         i -> (s.sv[i]-cb.cent[i])*(s.sv[i]-cb.cent[i])))
+                         AS BIGINT) AS d
+             FROM qsub s JOIN cb ON cb.j = s.j),
+    adc AS (SELECT q.query_id, code.vec_id,
+                   CAST(SUM(q.d) AS BIGINT) AS adc_dist
+            FROM code JOIN qlut q
+              ON q.cid = code.cid AND q.j = code.j AND q.c = code.c
+            GROUP BY 1, 2)
+    SELECT query_id, vec_id, adc_dist FROM (
+      SELECT query_id, vec_id, adc_dist,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist, vec_id) AS rn
+      FROM adc) WHERE rn <= {k}
+    """
+
+
+@register(
+    "ivfpq_fixed_topk",
+    oracle=_ivfpq_fixed_oracle(),
+    doc="IVFPQ ANN top-k, fixed-point form (FAISS IVFPQ architecture: "
+        "coarse inverted lists prune the scan, residual PQ compresses it; "
+        "all math in the floor(x*2^20) int64 domain so coarse assignment, "
+        "probe selection, residual codes and ADC sums are engine-exact — "
+        "the DuckDB oracle inlines both the coarse centroids and the "
+        "residual codebooks as BIGINT literals and hash-matches). Scale "
+        "shape: one map-side pass builds the (id, centroid_id, 8-byte "
+        "code) inverted index, queries ADC-scan nprobe/n_centroids of it; "
+        "raw vectors never shuffle",
+)
+def q_ivfpq_fixed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import ivfpq_topk_fixed
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivfpq_topk_fixed(
+        emb, q, "embedding", "vec_id", "query_id", dim=64, k=5
+    )

