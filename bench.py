@@ -45,21 +45,37 @@ def main() -> None:
     except Exception:
         pass
 
+    # SPARK_GRAFT_BENCH_REPEATS > 1: run each query n times, report the
+    # median (robust against one GC/compilation hiccup) plus per-query
+    # population sigma so regressions can be told apart from noise
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "1"))
     timings: dict[str, float] = {}
+    sigmas: dict[str, float] = {}
     errors: dict[str, str] = {}
     total = 0.0
     for name, q in headliners.items():
-        t0 = time.perf_counter()
+        runs: list[float] = []
         # one broken query must not sink the whole bench run: record the
         # failure in the JSON line and keep timing the rest
         try:
-            q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            for _ in range(repeats):
+                t0 = time.perf_counter()
+                q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                runs.append(time.perf_counter() - t0)
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             continue
-        dt = round(time.perf_counter() - t0, 3)
-        timings[name] = dt
-        total += dt
+        runs.sort()
+        med = runs[len(runs) // 2] if len(runs) % 2 else (
+            runs[len(runs) // 2 - 1] + runs[len(runs) // 2]
+        ) / 2
+        timings[name] = round(med, 3)
+        if repeats > 1:
+            mean = sum(runs) / len(runs)
+            sigmas[name] = round(
+                (sum((r - mean) ** 2 for r in runs) / len(runs)) ** 0.5, 3
+            )
+        total += timings[name]
 
     out = {
         "metric": "headline_queries_total",
@@ -68,6 +84,9 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    if repeats > 1:
+        out["repeats"] = repeats
+        out["sigma"] = sigmas
     if errors:
         out["errors"] = errors
     print(json.dumps(out))

@@ -169,3 +169,46 @@ def positional_join(left: DataFrame, right: DataFrame) -> DataFrame:
     l2 = left.withColumn("__rid", F.row_number().over(lw))
     r2 = right.withColumn("__rid", F.row_number().over(lw))
     return l2.join(r2, "__rid").drop("__rid")
+
+
+def merge_upsert(
+    target: DataFrame, updates: DataFrame, keys: list[str],
+    delete_col: str | None = None,
+) -> DataFrame:
+    """MERGE INTO semantics as one full-outer join: matched rows take the
+    update's values, unmatched update rows insert, unmatched target rows
+    carry through; rows whose update has ``delete_col`` true are dropped.
+
+    Column resolution: the result schema is the TARGET schema; any target
+    column missing from ``updates`` keeps its target value on match.
+
+    Scale: one shuffle per side on the merge key (zero if both sides are
+    bucketed on it — sources/layouts.write_bucketed); no window, no
+    driver data. This is the engine's CDC-apply primitive — the same plan
+    Delta/Iceberg MERGE compiles to when the ON clause is an equi-join.
+    """
+    upd_cols = set(updates.columns)
+    # a USING-join coalesces the key columns, so per-side key references
+    # disappear; a non-null marker column is the reliable "matched" signal
+    t = target.alias("__t")
+    u = updates.withColumn("__is_upd", F.lit(True)).alias("__u")
+    joined = t.join(u, keys, "full_outer")
+    if delete_col is not None:
+        joined = joined.filter(
+            ~F.coalesce(F.col(f"__u.{delete_col}"), F.lit(False))
+        )
+    matched = F.col("__u.__is_upd").isNotNull()
+    out_cols = []
+    for c in target.columns:
+        if c in keys:
+            # key columns are coalesced by the USING join already
+            out_cols.append(F.col(c).alias(c))
+        elif c in upd_cols and (delete_col is None or c != delete_col):
+            out_cols.append(
+                F.when(matched, F.col(f"__u.{c}"))
+                .otherwise(F.col(f"__t.{c}"))
+                .alias(c)
+            )
+        else:
+            out_cols.append(F.col(f"__t.{c}").alias(c))
+    return joined.select(*out_cols)

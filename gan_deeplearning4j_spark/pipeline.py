@@ -539,6 +539,39 @@ class GanPipeline:
         out = apply_network(grid, self.gen.specs, self.gen.weights, keep_cols=["grid_id"])
         return out.orderBy("grid_id")
 
+    def write_png_grid(self, spark: SparkSession, path: str,
+                       side: int = 10) -> bytes:
+        """S12 image sink: render the ``generate_grid`` output as one
+        side×side PNG mosaic (gan.ipynb raw 425-438 — the reference's
+        matplotlib 10×10 figure of generated digits — re-expressed through
+        the engine's own pure-stdlib PNG encoder).
+
+        The collect is bounded by contract (side² rows, one generated image
+        each — a sink artifact, not a data path). Generator outputs are in
+        tanh/sigmoid range; values are min-max scaled per-mosaic to uint8,
+        matching matplotlib's default imshow normalization. Non-square
+        outputs take the widest h≤w factorization. Returns the PNG bytes
+        (also written to ``path``)."""
+        from .functions.imagecodec import encode_png
+
+        rows = self.generate_grid(spark, side).collect()
+        vecs = np.asarray(
+            [np.asarray(r["output"], dtype=np.float64) for r in rows]
+        )
+        d = vecs.shape[1]
+        h = int(math.sqrt(d))
+        while d % h:
+            h -= 1
+        w = d // h
+        lo, hi = float(vecs.min()), float(vecs.max())
+        scaled = np.zeros_like(vecs) if hi == lo else (vecs - lo) / (hi - lo)
+        tiles = (scaled * 255.0).round().astype(np.uint8).reshape(side, side, h, w)
+        mosaic = tiles.transpose(0, 2, 1, 3).reshape(side * h, side * w)
+        png = encode_png(mosaic)
+        with open(path, "wb") as fh:
+            fh.write(png)
+        return png
+
     def predict(self, df: DataFrame, net: Network | None = None,
                 features_col: str = "features") -> DataFrame:
         """Chunked distributed inference (java:572-597; chunk = Arrow batch)."""

@@ -1803,3 +1803,146 @@ def q_ivfpq_fixed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk_fixed(
         emb, q, "embedding", "vec_id", "query_id", dim=64, k=5
     )
+
+
+@register(
+    "tpch_q21_waiting_supplier",
+    oracle="""
+    WITH flat AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                  THEN 1 ELSE 0 END AS late
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+    ), per_order AS (
+      SELECT l_orderkey,
+             COUNT(DISTINCT l_suppkey) AS n_supp,
+             COUNT(DISTINCT CASE WHEN late = 1 THEN l_suppkey END)
+               AS n_late_supp
+      FROM flat GROUP BY l_orderkey
+    ), offenders AS (
+      SELECT DISTINCT f.l_orderkey, f.l_suppkey
+      FROM flat f JOIN per_order p ON p.l_orderkey = f.l_orderkey
+      WHERE f.late = 1 AND p.n_supp >= 2 AND p.n_late_supp = 1
+    )
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM offenders o JOIN supplier s ON s.s_suppkey = o.l_suppkey
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+    doc="TPC-H Q21 shape (suppliers who kept orders waiting): the classic "
+        "EXISTS(other supplier) AND NOT EXISTS(other late supplier) "
+        "correlated pair, decorrelated into ONE per-order aggregate "
+        "(n_supp, n_late_supp) joined back — two shuffles total instead of "
+        "two lineitem self-joins. 'Late' adapts receipt>commit to this "
+        "schema as shipdate > orderdate + 60 days. Scale: the per-order agg "
+        "is map-side combinable; the join back is orderkey-keyed (AQE "
+        "handles the skewed big orders); supplier name join is dim-sized",
+)
+def q_tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    sup = _t(spark, sf_dir, "supplier")
+    flat = li.join(orders, li.l_orderkey == F.col("o_orderkey")).select(
+        "l_orderkey", "l_suppkey",
+        (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60))
+        .cast("int").alias("late"),
+    )
+    per_order = flat.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(
+            F.when(F.col("late") == 1, F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    offenders = (
+        flat.filter(F.col("late") == 1)
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        offenders.join(sup, offenders.l_suppkey == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+@register(
+    "merge_upsert_orders",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS o_total_c
+      FROM orders
+    ), upd AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             (o_total_c * 11) // 10 AS o_total_c,
+             (o_orderkey % 5 = 0) AS is_del
+      FROM base WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_custkey, 'N', o_total_c, FALSE
+      FROM base WHERE o_orderkey % 97 = 0
+    ), merged AS (
+      SELECT COALESCE(t.o_orderkey, u.o_orderkey) AS o_orderkey,
+             CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_custkey
+                  ELSE t.o_custkey END AS o_custkey,
+             CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderstatus
+                  ELSE t.o_orderstatus END AS o_orderstatus,
+             CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_total_c
+                  ELSE t.o_total_c END AS o_total_c
+      FROM base t FULL OUTER JOIN upd u ON u.o_orderkey = t.o_orderkey
+      WHERE NOT COALESCE(u.is_del, FALSE)
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_total_c) AS BIGINT) AS total_c,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust
+    FROM merged GROUP BY o_orderstatus
+    """,
+    doc="MERGE INTO (CDC apply) semantics: update matched rows, insert new "
+        "keys, delete flagged rows — one full-outer join + per-column "
+        "conditional projection (operators/relational.merge_upsert), the "
+        "plan Delta/Iceberg MERGE compiles to for an equi-ON. The update "
+        "set is derived deterministically from orders (price bump on "
+        "keys%7, deletes on keys%5, inserts at key+1e8). Scale: one "
+        "shuffle per side on the merge key, zero when both sides are "
+        "bucketed on it; verified by aggregate because the merged relation "
+        "is fact-sized",
+)
+def q_merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import merge_upsert
+
+    # whole merge in the exact integer-cents domain: the 10% price bump is
+    # (c*11) div 10 — round(price*1.1, 2) sits on .005 boundaries that
+    # Spark (BigDecimal) and DuckDB (numeric) round apart
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long")
+        .alias("o_total_c"),
+    )
+    bump = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.expr("(o_total_c * 11) div 10").alias("o_total_c"),
+        (F.col("o_orderkey") % 5 == 0).alias("is_del"),
+    )
+    ins = orders.filter(F.col("o_orderkey") % 97 == 0).select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        "o_total_c",
+        F.lit(False).alias("is_del"),
+    )
+    merged = merge_upsert(
+        orders, bump.unionByName(ins), ["o_orderkey"], delete_col="is_del"
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("o_total_c").alias("total_c"),
+        F.count_distinct("o_custkey").alias("n_cust"),
+    )

@@ -51,3 +51,73 @@ def repartition_for_join(df: DataFrame, keys: list[str], n: int | None = None) -
     """Pre-shuffle once on the join key so N downstream joins/aggs on the
     same key reuse the partitioning (Exchange reuse)."""
     return df.repartition(n, *[F.col(k) for k in keys]) if n else df.repartition(*[F.col(k) for k in keys])
+
+
+def zorder_value(cols: list, bits: int = 16):
+    """Z-order (Morton) interleave of N integer columns into one long.
+
+    Each column is first rank-normalized by the CALLER to [0, 2^bits); this
+    function only interleaves: bit k of column i lands at position
+    k*N + i. Pure Catalyst bit math (shifts/ors over a generated expression
+    tree of bits*N terms — small enough to stay in codegen), no UDF.
+    """
+    n = len(cols)
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, c in enumerate(cols):
+            bit = F.shiftright(c.cast("long"), b).bitwiseAND(F.lit(1))
+            out = out.bitwiseOR(
+                F.shiftleft(bit, b * n + i).cast("long")
+            )
+    return out
+
+
+def rank_normalize(df: DataFrame, col: str, bits: int = 16) -> DataFrame:
+    """Map a column to [0, 2^bits) by value-range scaling (min/max from a
+    1-row aggregate joined back as a broadcast literal — no sort, no window;
+    an equi-depth variant would use approx quantiles the same way)."""
+    stats = df.agg(
+        F.min(col).alias("__lo"), F.max(col).alias("__hi")
+    )
+    scale = F.lit((1 << bits) - 1)
+    return (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn(
+            f"__{col}_rank",
+            F.when(
+                F.col("__hi") == F.col("__lo"), F.lit(0)
+            ).otherwise(
+                ((F.col(col) - F.col("__lo"))
+                 / (F.col("__hi") - F.col("__lo")) * scale).cast("long")
+            ),
+        )
+        .drop("__lo", "__hi")
+    )
+
+
+def write_zordered(
+    df: DataFrame, path: str, cols: list[str], bits: int = 16,
+    n_files: int = 16,
+) -> None:
+    """Z-order-clustered parquet: rank-normalize the cluster columns,
+    interleave into a Morton key, range-partition + sort by it, write.
+
+    Why at 100 TB: parquet row-group min/max stats prune on ONE sort column
+    well; multi-dimensional predicates (user AND time, brand AND size) need
+    values co-located in ALL dims at once. The Morton curve gives every
+    clustered column locality ~1/N of the key's bits, so a selective
+    predicate on ANY subset of the columns skips most row groups —
+    the same design as Delta/Iceberg OPTIMIZE ZORDER, done with plain
+    DataFrame ops (range exchange + in-partition sort, no global sort)."""
+    z = df
+    for c in cols:
+        z = rank_normalize(z, c, bits)
+    zkey = zorder_value([F.col(f"__{c}_rank") for c in cols], bits)
+    (
+        z.withColumn("__z", zkey)
+        .drop(*[f"__{c}_rank" for c in cols])
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite").parquet(path)
+    )

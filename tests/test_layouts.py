@@ -60,3 +60,54 @@ def test_time_partition_pruning(spark, sf_dir, tmp_path):
     from gan_deeplearning4j_spark.plans.explain import formatted_plan
 
     assert "PartitionFilters" in formatted_plan(one_day)
+
+
+def test_zorder_preserves_content_and_clusters_both_dims(spark, sf_dir, tmp_path):
+    """Z-order write: (a) content round-trips exactly; (b) BOTH cluster
+    columns end up with per-file value spans far below the global span —
+    the property that makes parquet min/max stats prune multi-dimensional
+    predicates. A single-column sort gives (b) for one dim only."""
+    from gan_deeplearning4j_spark.io import load_table
+    from gan_deeplearning4j_spark.sources.layouts import write_zordered
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts_nanos"
+    )
+    path = str(tmp_path / "events_z")
+    write_zordered(ev, path, ["user_id", "ts_nanos"], bits=12, n_files=8)
+
+    back = spark.read.parquet(path)
+    assert sorted(r["event_id"] for r in back.collect()) == sorted(
+        r["event_id"] for r in ev.collect()
+    )
+
+    spans = (
+        back.groupBy(F.input_file_name().alias("f"))
+        .agg(
+            (F.max("user_id") - F.min("user_id")).alias("uspan"),
+            (F.max("ts_nanos") - F.min("ts_nanos")).alias("tspan"),
+        )
+        .collect()
+    )
+    g = ev.agg(
+        (F.max("user_id") - F.min("user_id")).alias("uspan"),
+        (F.max("ts_nanos") - F.min("ts_nanos")).alias("tspan"),
+    ).collect()[0]
+    assert len(spans) == 8
+    mean_u = sum(r["uspan"] for r in spans) / len(spans)
+    mean_t = sum(r["tspan"] for r in spans) / len(spans)
+    # each file covers a sub-rectangle of the (user, time) plane: both spans
+    # must shrink vs global (a 1-D sort leaves one of them ~= global)
+    assert mean_u < 0.6 * g["uspan"], (mean_u, g["uspan"])
+    assert mean_t < 0.6 * g["tspan"], (mean_t, g["tspan"])
+
+
+def test_zorder_value_interleaves_bits(spark):
+    from gan_deeplearning4j_spark.sources.layouts import zorder_value
+
+    df = spark.createDataFrame([(3, 0), (0, 3), (3, 3)], "a int, b int")
+    out = df.select(
+        zorder_value([F.col("a"), F.col("b")], bits=2).alias("z")
+    ).collect()
+    # a occupies even bit positions, b odd: (3,0)->0b0101, (0,3)->0b1010
+    assert [r["z"] for r in out] == [0b0101, 0b1010, 0b1111]

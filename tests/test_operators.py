@@ -743,3 +743,29 @@ def test_ivfpq_fixed_full_probe_equals_pq_on_probed_lists(spark, sf_dir):
     for qid, rows in by_q.items():
         assert len(rows) == 5
         assert qid in {r["vec_id"] for r in rows}
+
+
+def test_merge_upsert_semantics(spark):
+    """MERGE primitive: update matched, insert unmatched, delete flagged,
+    carry through target columns absent from the update relation."""
+    from gan_deeplearning4j_spark.operators.relational import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+        "id long, name string, v long",
+    )
+    updates = spark.createDataFrame(
+        # id 2: update v; id 3: delete; id 4: insert (no 'name' column)
+        [(2, 99, False), (3, 0, True), (4, 40, False)],
+        "id long, v long, is_del boolean",
+    )
+    out = {
+        r["id"]: (r["name"], r["v"])
+        for r in merge_upsert(target, updates, ["id"], delete_col="is_del")
+        .collect()
+    }
+    assert out == {
+        1: ("a", 10),     # untouched
+        2: ("b", 99),     # v updated, name carried from target
+        4: (None, 40),    # inserted; target-only column null
+    }

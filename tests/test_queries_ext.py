@@ -190,3 +190,20 @@ def test_corr_single_aggregate_pass(spark, sf_dir):
     not one pass per moment."""
     df = REGISTRY["stats_corr_exact"].fn(spark, sf_dir)
     assert count_operator(df, "HashAggregate") == 2
+
+
+def test_q21_single_fact_scan_shape(spark, sf_dir):
+    """Q21's two correlated EXISTS are decorrelated into ONE per-order
+    aggregate joined back: lineitem must be scanned at most twice (base +
+    agg branch), never the 3x of the naive self-join-per-EXISTS plan, and
+    the per-order aggregate must be partial (map-side combinable)."""
+    from gan_deeplearning4j_spark.plans.explain import (
+        count_operator,
+        plan_tree,
+    )
+
+    df = REGISTRY["tpch_q21_waiting_supplier"].fn(spark, sf_dir)
+    tree = plan_tree(df)
+    assert tree.count("lineitem.parquet") <= 2, tree
+    # partial + final pairs for the per-order and per-supplier aggregates
+    assert count_operator(df, "HashAggregate") >= 4
