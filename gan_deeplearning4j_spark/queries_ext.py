@@ -1946,3 +1946,65 @@ def q_merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("o_total_c").alias("total_c"),
         F.count_distinct("o_custkey").alias("n_cust"),
     )
+
+
+def _pagerank_oracle(iters: int = 3, k: int = 20) -> str:
+    """Chained-CTE unroll of the fixed-point PageRank iterations (DuckDB
+    disallows aggregates inside a recursive CTE term; with a fixed iteration
+    count the unroll is the cleaner exact replica anyway). Node ids embed
+    the bipartite role: customer -> 2*custkey, supplier -> 2*suppkey+1."""
+    steps = []
+    prev = "r0"
+    for i in range(1, iters + 1):
+        steps.append(f"""
+    r{i} AS (
+      SELECT u.d AS node,
+             150000 + (85 * SUM({prev}.rank // deg.deg)) // 100 AS rank
+      FROM und u
+      JOIN {prev} ON {prev}.node = u.s
+      JOIN deg ON deg.s = u.s
+      GROUP BY u.d
+    )""")
+        prev = f"r{i}"
+    chain = "," + ",".join(steps)
+    return f"""
+    WITH e AS (
+      SELECT DISTINCT o.o_custkey * 2 AS s, l.l_suppkey * 2 + 1 AS d
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ), und AS (
+      SELECT s, d FROM e UNION SELECT d, s FROM e
+    ), deg AS (
+      SELECT s, COUNT(*) AS deg FROM und GROUP BY s
+    ), r0 AS (
+      SELECT DISTINCT s AS node, CAST(1000000 AS BIGINT) AS rank FROM und
+    ){chain}
+    SELECT node, CAST(rank AS BIGINT) AS rank FROM {prev}
+    ORDER BY rank DESC, node LIMIT {k}
+    """
+
+
+@register(
+    "pagerank_fixed_topk",
+    oracle=_pagerank_oracle(),
+    doc="Fixed-point PageRank (3 iterations, damping 85/100, ppm scale) "
+        "over the undirected customer-supplier trade graph derived from "
+        "lineitem x orders; top-20 nodes. Iterative DataFrame algorithm "
+        "beyond connected components: all arithmetic is int64 floor "
+        "div/sums so the DuckDB chained-CTE replica hash-matches exactly. "
+        "Scale: O(iters) src-join + dst-agg shuffles, driver-free",
+)
+def q_pagerank_fixed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import pagerank_fixed
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(orders, li.l_orderkey == F.col("o_orderkey"))
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    ranks = pagerank_fixed(edges, iters=3)
+    return ranks.orderBy(F.desc("rank"), "node").limit(20)

@@ -769,3 +769,27 @@ def test_merge_upsert_semantics(spark):
         2: ("b", 99),     # v updated, name carried from target
         4: (None, 40),    # inserted; target-only column null
     }
+
+
+def test_pagerank_fixed_hand_graph(spark):
+    """Exact fixed-point PageRank on a 3-node path a-b-c (undirected):
+    hand-replayable integer arithmetic, invariant to repartitioning."""
+    from gan_deeplearning4j_spark.operators.graph import pagerank_fixed
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+
+    def run(df):
+        return {
+            r["node"]: r["rank"]
+            for r in pagerank_fixed(df, iters=2).collect()
+        }
+
+    # iter1: deg = {1:1, 2:2, 3:1}; all ranks 1e6
+    #   r(1) = r(3) = 150000 + 85*(1000000//2)//100        = 575000
+    #   r(2) = 150000 + 85*(1000000//1 + 1000000//1)//100  = 1850000
+    # iter2:
+    #   r(1) = r(3) = 150000 + 85*(1850000//2)//100        = 936250
+    #   r(2) = 150000 + 85*(575000//1 + 575000//1)//100    = 1127500
+    expect = {1: 936250, 2: 1127500, 3: 936250}
+    assert run(edges) == expect
+    assert run(edges.repartition(5)) == expect
