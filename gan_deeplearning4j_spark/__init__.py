@@ -11,7 +11,7 @@ Layout:
 - ``session``    SparkSession factory (Arrow on, AQE on, seeded RNG config)
 - ``io``         sources/sinks (SURVEY §2.1 S1-S10)
 - ``functions``  column-expression library (elementwise, vector, text, random)
-- ``operators``  relational / aggregate / weights / dedup / similarity ops
+- ``operators``  relational / aggregate / weights / dedup / similarity / graph ops
 - ``kernels``    pandas-UDF tensor kernels (dense, conv2d, pool, upsample)
 - ``pipeline``   GAN pipeline orchestration (graph builder, fit loop, transfer)
 - ``streaming``  Structured Streaming facades (tumbling windows over events)

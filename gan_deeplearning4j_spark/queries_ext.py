@@ -2008,3 +2008,36 @@ def q_pagerank_fixed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranks = pagerank_fixed(edges, iters=3)
     return ranks.orderBy(F.desc("rank"), "node").limit(20)
+
+
+@register(
+    "intersect_except_customers",
+    oracle="""
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    INTERSECT
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+      AND o_orderdate <  TIMESTAMP '1999-01-01'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    doc="Set-operation surface: INTERSECT and EXCEPT (set semantics) — "
+        "customers active in both 1997 and 1998 minus anyone with an 'F' "
+        "order. Catalyst compiles both to left-semi/left-anti hash joins "
+        "over pre-deduped inputs, so the scale shape is the same keyed "
+        "shuffle as any semi join (no sort-based set diff)",
+)
+def q_intersect_except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+
+    def year(y):
+        return orders.filter(
+            (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
+        ).select("o_custkey")
+
+    flagged = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    # subtract == EXCEPT DISTINCT (set semantics, matching the SQL oracle)
+    return year(1997).intersect(year(1998)).subtract(flagged)

@@ -277,3 +277,41 @@ def test_tfidf_tf_branch_pruned(spark, sf_dir):
     assert any("doc_id" in f and "LessThan" in f for f in pf), pf
     # WindowGroupLimit prunes per-partition before the full top-3 window
     assert "WindowGroupLimit" in formatted_plan(df)
+
+
+def test_star_joins_correct_in_no_broadcast_regime(spark, sf_dir):
+    """At 100 TB the dims outgrow every broadcast threshold and the same
+    queries must degrade to shuffled joins with identical results. Simulate
+    by disabling both static and AQE broadcast thresholds: the plan flips
+    to SortMergeJoin/ShuffledHashJoin and the rows must not change."""
+    names = ["tpch_q3_shipping", "tpch_q5_volume", "tpch_q18_large_orders",
+             "tpch_q21_waiting_supplier"]
+    baseline = {
+        n: sorted(map(tuple, REGISTRY[n].fn(spark, sf_dir).collect()))
+        for n in names
+    }
+    static_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    aqe_thr = spark.conf.get(
+        "spark.sql.adaptive.autoBroadcastJoinThreshold", None
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        for n in names:
+            df = REGISTRY[n].fn(spark, sf_dir)
+            plan = formatted_plan(df)
+            # the scale-growing sides must not be broadcast in this regime
+            # (nation/region keep their explicit hints — that's the design)
+            assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan), (
+                n, plan
+            )
+            got = sorted(map(tuple, df.collect()))
+            assert got == baseline[n], n
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", static_thr)
+        if aqe_thr is None:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold", aqe_thr
+            )
