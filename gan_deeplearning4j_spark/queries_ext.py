@@ -2041,3 +2041,37 @@ def q_intersect_except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
     # subtract == EXCEPT DISTINCT (set semantics, matching the SQL oracle)
     return year(1997).intersect(year(1998)).subtract(flagged)
+
+
+@register(
+    "interval_join_attribution_outer",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+           CAST(round(p.value * 100) AS BIGINT) AS purchase_value_c
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND epoch_ns(c.ts) >= epoch_ns(p.ts) - 1800000000000
+     AND epoch_ns(c.ts) <= epoch_ns(p.ts)
+    """,
+    doc="LEFT OUTER interval attribution: every purchase emits, unmatched "
+        "ones with null click_id — the batch twin of the streaming "
+        "left-outer stream-stream join (streaming/joins.py:"
+        "purchase_click_attribution_outer), where the null can only emit "
+        "after the click-side watermark clears the join window. The click "
+        "filter must live in the subquery, not WHERE (a WHERE on the right "
+        "side of a LEFT JOIN silently turns it inner). Value emitted as "
+        "exact cents (nullable rows make float hashing fragile)",
+)
+def q_interval_join_attribution_outer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .streaming.joins import purchase_click_attribution_outer
+
+    ev = _t(spark, sf_dir, "events")
+    out = purchase_click_attribution_outer(ev)
+    return out.select(
+        "purchase_id", "click_id", "user_id",
+        F.round(F.col("purchase_value") * 100, 0).cast("long")
+        .alias("purchase_value_c"),
+    )

@@ -49,3 +49,39 @@ def purchase_click_attribution(
     return p.join(c, cond, "inner").select(
         "purchase_id", "click_id", "user_id", "purchase_value"
     )
+
+
+def purchase_click_attribution_outer(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """LEFT OUTER variant: purchases with no preceding click still emit,
+    click columns null. On a stream this exercises the other half of the
+    stream-stream join machinery: an unmatched left row can only be emitted
+    once the right-side watermark has passed its join window (no earlier
+    click can still arrive), so output latency is bounded by
+    ``watermark + gap`` — the price of the null guarantee. State bounds are
+    the same as the inner form."""
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+        "user_id",
+        F.col("value").alias("purchase_value"),
+    )
+    c = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+        F.col("user_id").alias("c_user"),
+    )
+    if events.isStreaming:
+        p = p.withWatermark("p_ts", watermark)
+        c = c.withWatermark("c_ts", watermark)
+    cond = (
+        (p.user_id == c.c_user)
+        & (c.c_ts >= p.p_ts - F.expr(f"INTERVAL {gap}"))
+        & (c.c_ts <= p.p_ts)
+    )
+    return p.join(c, cond, "left_outer").select(
+        "purchase_id", "click_id", "user_id", "purchase_value"
+    )

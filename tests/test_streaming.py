@@ -398,3 +398,67 @@ def test_streaming_checkpoint_resume_exactly_once(spark, sf_dir, tmp_path):
     want2 = want1 | {r["event_id"] for r in second.select("event_id").collect()}
     assert set(ids2) == want2, (len(ids2), len(want2))
     assert len(ids2) == len(want2)  # exactly-once: no duplicate rows
+
+
+def test_stream_stream_outer_join_matches_batch(spark, sf_dir, tmp_path):
+    """LEFT OUTER stream-stream join: unmatched purchases may only emit
+    after BOTH watermarks clear their join window. The sentinels must
+    survive the purchase/click filters (a filtered-out row never reaches
+    the watermark operator, so a 'noop' sentinel advances nothing): two
+    far-future files each carrying a purchase+click pair at user_id=-1 —
+    file one jumps the watermark, file two gives the join a data batch
+    that runs WITH the jumped watermark and flushes the stragglers.
+    Result must equal the batch left join exactly."""
+    import datetime as _dt
+    import os as _os
+    import time as _time
+
+    from gan_deeplearning4j_spark.streaming.joins import (
+        purchase_click_attribution_outer,
+    )
+
+    ev = load_events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    src = str(tmp_path / "events_ssoj")
+    ev.coalesce(1).write.parquet(src)
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    for i in (1, 2):
+        t = max_ts + _dt.timedelta(days=30 * i)
+        spark.createDataFrame(
+            [(10**9 + 2 * i, t, -1, "purchase", 0.0, "{}"),
+             (10**9 + 2 * i + 1, t, -1, "click", 0.0, "{}")],
+            ev.schema,
+        ).coalesce(1).write.mode("append").parquet(src)
+    # FileStreamSource orders micro-batches by mtime: real data first, then
+    # the sentinel files in sequence (pin explicitly — ms ties arbitrary)
+    now = _time.time()
+    small = sorted(
+        f for f in _os.listdir(src)
+        if f.endswith(".parquet")
+        and _os.path.getsize(_os.path.join(src, f)) <= 10000
+    )
+    for f in _os.listdir(src):
+        if f.endswith(".parquet") and f not in small:
+            _os.utime(_os.path.join(src, f), (now, now))
+    for j, f in enumerate(small):
+        _os.utime(_os.path.join(src, f), (now, now + 3600 * (j + 1)))
+
+    stream = read_events_stream(spark, src, max_files_per_trigger=1)
+    out = purchase_click_attribution_outer(stream, watermark="30 minutes")
+    run_stream_to_memory(out, "ssoj_test", timeout_sec=180,
+                         output_mode="append")
+
+    got = spark.sql(
+        "select * from ssoj_test where user_id >= 0"
+    ).toPandas()
+    want = purchase_click_attribution_outer(ev).toPandas()
+
+    key = ["purchase_id", "click_id"]
+    got_s = got.sort_values(key, na_position="last").reset_index(drop=True)
+    want_s = want.sort_values(key, na_position="last").reset_index(drop=True)
+    assert len(got_s) == len(want_s) and len(want_s) > 0
+    # the outer rows are present: some purchase has no attributable click
+    assert want_s["click_id"].isna().any()
+    assert got_s["click_id"].isna().sum() == want_s["click_id"].isna().sum()
+    assert (got_s["user_id"].to_numpy() == want_s["user_id"].to_numpy()).all()
