@@ -315,3 +315,89 @@ def test_star_joins_correct_in_no_broadcast_regime(spark, sf_dir):
             spark.conf.set(
                 "spark.sql.adaptive.autoBroadcastJoinThreshold", aqe_thr
             )
+
+
+def test_aqe_skew_join_split_fires(spark, sf_dir):
+    """The engine's answer to hot keys in fact↔fact joins is AQE skew
+    splitting (session.py enables it). Pin that it actually FIRES: build a
+    join where one key owns ~90% of rows, lower the skew thresholds to
+    test scale, and assert the executed plan marks the sort-merge join
+    skew-handled. (At production thresholds the same mechanism engages at
+    256 MB partitions — the config scales, the plan shape is identical.)"""
+    conf = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in conf.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        n = 200_000
+        skewed = spark.range(n).select(
+            F.when(F.col("id") % 10 < 9, F.lit(7))
+            .otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("payload"),
+        )
+        other = spark.range(n // 4).select(
+            F.when(F.col("id") % 10 < 9, F.lit(7))
+            .otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("p2"),
+        )
+        out = skewed.join(other, "k").groupBy().count()
+        out.collect()
+        import re
+
+        final = out._jdf.queryExecution().executedPlan().toString()
+        assert re.search(r"SortMergeJoin.*skew=true", final), final[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_injects_on_selective_fact_join(spark, sf_dir):
+    """session.py turns on runtime bloom-filter join pruning; it is inert at
+    test SF only because the application-side scan sits under the 10 GB
+    production threshold. Pin the mechanism: with the size thresholds moved
+    to test scale (creation side max RAISED, application side min LOWERED),
+    a selective orders filter must inject might_contain/bloom_filter_agg
+    onto the lineitem side of the join — the row-group pruning that saves
+    the 100 TB fact scan."""
+    conf = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "1GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in conf.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        from gan_deeplearning4j_spark.io import load_table
+
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
