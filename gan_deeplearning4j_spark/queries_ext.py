@@ -2075,3 +2075,41 @@ def q_interval_join_attribution_outer(
         F.round(F.col("purchase_value") * 100, 0).cast("long")
         .alias("purchase_value_c"),
     )
+
+
+@register(
+    "null_aware_not_in",
+    oracle="""
+    SELECT
+      (SELECT COUNT(*) FROM customer WHERE c_custkey NOT IN
+         (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'))
+        AS n_not_in_clean,
+      (SELECT COUNT(*) FROM customer WHERE c_custkey NOT IN
+         (SELECT CASE WHEN o_orderkey % 100 = 0 THEN NULL ELSE o_custkey END
+          FROM orders WHERE o_orderstatus = 'F'))
+        AS n_not_in_with_nulls
+    """,
+    doc="Null-aware anti join: NOT IN against a null-free list is a plain "
+        "anti join, but ONE null in the list makes every NOT IN predicate "
+        "UNKNOWN and the count drops to zero — the classic three-valued-"
+        "logic footgun. Spark plans the null-containing branch as a "
+        "null-aware BroadcastNestedLoopJoin; both branches in one row pin "
+        "that the engine implements the standard semantics, not the naive "
+        "anti join. Runs through the SQL entry surface (sql.register_tables "
+        "+ spark.sql), exercising that path in the driver window too",
+)
+def q_null_aware_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sql import register_tables
+
+    register_tables(spark, sf_dir)
+    return spark.sql("""
+        SELECT
+          (SELECT COUNT(*) FROM customer WHERE c_custkey NOT IN
+             (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'))
+            AS n_not_in_clean,
+          (SELECT COUNT(*) FROM customer WHERE c_custkey NOT IN
+             (SELECT CASE WHEN o_orderkey % 100 = 0 THEN NULL
+                          ELSE o_custkey END
+              FROM orders WHERE o_orderstatus = 'F'))
+            AS n_not_in_with_nulls
+    """)
