@@ -111,3 +111,59 @@ def test_zorder_value_interleaves_bits(spark):
     ).collect()
     # a occupies even bit positions, b odd: (3,0)->0b0101, (0,3)->0b1010
     assert [r["z"] for r in out] == [0b0101, 0b1010, 0b1111]
+
+
+def test_dynamic_partition_overwrite_backfill(spark, sf_dir, tmp_path):
+    """Incremental backfill contract: with partitionOverwriteMode=dynamic,
+    re-writing ONE day replaces exactly that day's directory and leaves
+    every other partition untouched — the idempotent-reprocess semantics a
+    100 TB nightly pipeline depends on (static mode would wipe the whole
+    table root)."""
+    from gan_deeplearning4j_spark.sources.layouts import (
+        write_time_partitioned,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    path = str(tmp_path / "ev_days")
+    write_time_partitioned(ev, path, "ts", granularity="day")
+    days = [r["__pt"] for r in
+            spark.read.parquet(path).select("__pt").distinct().collect()]
+    assert len(days) >= 2
+    target_day = sorted(days)[0]
+
+    before_other = (
+        spark.read.parquet(path)
+        .filter(F.col("__pt") != target_day)
+        .count()
+    )
+    # backfill: rewrite the target day with values doubled
+    mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        patch = (
+            spark.read.parquet(path)
+            .filter(F.col("__pt") == target_day)
+            .withColumn("value", F.col("value") * 2)
+        )
+        patch.write.mode("overwrite").partitionBy("__pt").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", mode)
+
+    after = spark.read.parquet(path)
+    assert after.filter(F.col("__pt") != target_day).count() == before_other
+    # the patched day holds the doubled values (join back to source)
+    src_day = ev.withColumn(
+        "__pt", F.date_format("ts", "yyyy-MM-dd")
+    ).filter(F.col("__pt") == target_day).select(
+        "event_id", (F.col("value") * 2).alias("want")
+    )
+    got = after.filter(F.col("__pt") == target_day).select(
+        "event_id", F.col("value").alias("got")
+    )
+    mism = src_day.join(got, "event_id").filter(
+        F.abs(F.col("want") - F.col("got")) > 1e-9
+    ).count()
+    assert mism == 0
+    assert got.count() == src_day.count()
