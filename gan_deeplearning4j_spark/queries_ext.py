@@ -2113,3 +2113,61 @@ def q_null_aware_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM orders WHERE o_orderstatus = 'F'))
             AS n_not_in_with_nulls
     """)
+
+
+@register(
+    "ewma_user_value",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             list(CAST(round(value * 100) AS BIGINT)
+                  ORDER BY epoch_us(ts), event_id) AS cs
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(cs) AS BIGINT) AS n_events,
+           CAST(list_reduce(cs, (acc, x) -> (9 * acc + x) // 10) AS BIGINT)
+             AS ewma_c
+    FROM seq
+    """,
+    doc="Exponentially weighted moving average per user — a sequential "
+        "recurrence (ewma_t = (9*ewma_{t-1} + x_t) div 10, alpha = 1/10) "
+        "that no single window function expresses. Engine form: ordered "
+        "collect_list -> F.aggregate left fold; oracle: DuckDB list_reduce "
+        "(also a left fold). All arithmetic integer-cents so the fold is "
+        "engine-exact at every step. Scale: one shuffle on user_id; the "
+        "fold is a scan-side array expression over each user's bounded "
+        "event list (for unbounded streams the same recurrence runs in "
+        "applyInPandasWithState — streaming/stateful.py running totals)",
+)
+def q_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    seq = (
+        ev.select(
+            "user_id",
+            F.struct(
+                F.col("ts_nanos").alias("o1"),
+                F.col("event_id").alias("o2"),
+                cents.alias("c"),
+            ).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_list("s")).alias("ss"))
+        .select(
+            "user_id",
+            F.transform(F.col("ss"), lambda s: s["c"]).alias("cs"),
+        )
+    )
+    # left fold with INTEGER division at every step ('div', not '/': float
+    # division would round-trip through double and truncate, not floor)
+    return seq.select(
+        "user_id",
+        F.size("cs").cast("long").alias("n_events"),
+        # NB: [] indexing is 0-based in Spark SQL while slice() is 1-based —
+        # init is cs[0] (first element), fold runs over slice from pos 2
+        F.expr(
+            "aggregate(slice(cs, 2, size(cs)), cs[0],"
+            " (acc, x) -> (9L * acc + x) div 10L)"
+        ).alias("ewma_c"),
+    )
