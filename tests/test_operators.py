@@ -793,3 +793,35 @@ def test_pagerank_fixed_hand_graph(spark):
     expect = {1: 936250, 2: 1127500, 3: 936250}
     assert run(edges) == expect
     assert run(edges.repartition(5)) == expect
+
+
+def test_hll_sketch_merge_consistency(spark, sf_dir):
+    """Sketch mergeability contract: union of per-day sketches must give
+    the same estimate as one whole-table sketch (associativity is what
+    makes pre-aggregated rollups sound), and the estimate must sit within
+    5% of the exact distinct count."""
+    from gan_deeplearning4j_spark.io import load_table
+    from gan_deeplearning4j_spark.queries import REGISTRY
+
+    out = {
+        r["event_type"]: r["approx_users"]
+        for r in REGISTRY["hll_mergeable_daily_users"].fn(spark, sf_dir)
+        .collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    whole = {
+        r["event_type"]: r["est"]
+        for r in ev.groupBy("event_type")
+        .agg(F.expr("hll_sketch_estimate(hll_sketch_agg(user_id))")
+             .alias("est"))
+        .collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert out == whole, (out, whole)
+    for t, est in out.items():
+        assert abs(est - exact[t]) / exact[t] < 0.05, (t, est, exact[t])
