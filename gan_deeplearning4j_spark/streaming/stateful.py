@@ -23,6 +23,7 @@ from typing import Any, Iterator, Tuple
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql import types as T
 
@@ -151,5 +152,70 @@ def stateful_sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame
         outputStructType=SESSION_OUTPUT,
         stateStructType=SESSION_STATE,
         outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+EWMA_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("ewma_c", T.LongType()),
+        T.StructField("emit_seq", T.LongType()),
+    ]
+)
+
+EWMA_STATE = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("acc", T.LongType()),
+        T.StructField("seq", T.LongType()),
+    ]
+)
+
+
+def _ewma_fn(
+    key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    n, acc, seq = state.get if state.exists else (0, 0, 0)
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    # within a batch, replay in event order — the recurrence is
+    # order-sensitive, unlike the running-total fold
+    rows = rows.sort_values(["ts_nanos", "event_id"])
+    for c in rows["c"]:
+        c = int(c)
+        acc = c if n == 0 else (9 * acc + c) // 10
+        n += 1
+    seq += 1
+    state.update((n, acc, seq))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "ewma_c": [acc],
+            "emit_seq": [seq],
+        }
+    )
+
+
+def running_user_ewma(events: DataFrame) -> DataFrame:
+    """Per-user streaming EWMA — the stateful twin of the batch
+    ``ewma_user_value`` query: identical integer recurrence
+    (acc = (9*acc + c) div 10 over cents in (ts, event_id) order), carried
+    across micro-batches in GroupState, so after the last batch the state
+    equals the batch array-fold EXACTLY (pinned by test).
+
+    The contract only holds if events arrive in order across batches (the
+    file-replay harness guarantees it); an out-of-order stream would need
+    buffering by watermark before the fold, as session_agg does."""
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    prepared = events.select(
+        "user_id", "ts_nanos", "event_id", cents.alias("c")
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _ewma_fn,
+        outputStructType=EWMA_OUTPUT,
+        stateStructType=EWMA_STATE,
+        outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

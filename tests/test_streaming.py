@@ -462,3 +462,67 @@ def test_stream_stream_outer_join_matches_batch(spark, sf_dir, tmp_path):
     assert want_s["click_id"].isna().any()
     assert got_s["click_id"].isna().sum() == want_s["click_id"].isna().sum()
     assert (got_s["user_id"].to_numpy() == want_s["user_id"].to_numpy()).all()
+
+
+def test_streaming_ewma_equals_batch_fold(spark, sf_dir, tmp_path):
+    """The GroupState EWMA must land on EXACTLY the batch array-fold result
+    once the stream drains — same integer recurrence, carried across
+    micro-batches. Source files are time-range splits with pinned mtimes so
+    events arrive in order across batches (the operator's stated contract)."""
+    import os as _os
+    import time as _time
+
+    from gan_deeplearning4j_spark.queries import REGISTRY
+    from gan_deeplearning4j_spark.streaming.stateful import running_user_ewma
+
+    ev = load_events(spark, sf_dir).select(
+        "event_id", "ts", "ts_nanos", "user_id", "event_type", "value",
+        "props"
+    )
+    # EXACT integer time boundaries: approxQuantile returns floats, and an
+    # int64-nanos column compared against a double literal shifts the split
+    # (multiple nanos values collapse onto one double)
+    ts_sorted = [r[0] for r in
+                 ev.select("ts_nanos").orderBy("ts_nanos").collect()]
+    b1 = ts_sorted[len(ts_sorted) // 3]
+    b2 = ts_sorted[2 * len(ts_sorted) // 3]
+    src = str(tmp_path / "events_ewma")
+    bounds = [None, b1, b2, None]
+    now = _time.time()
+    seen: set = set()
+    for i in range(3):
+        part = ev
+        if bounds[i] is not None:
+            part = part.filter(F.col("ts_nanos") > F.lit(bounds[i]))
+        if bounds[i + 1] is not None:
+            part = part.filter(F.col("ts_nanos") <= F.lit(bounds[i + 1]))
+        part.coalesce(1).write.mode("append").parquet(src)
+        # pin mtimes so micro-batch order == time order; touch ONLY the
+        # files this iteration added (re-touching moves earlier parts too)
+        for f in _os.listdir(src):
+            if f.endswith(".parquet") and f not in seen:
+                seen.add(f)
+                _os.utime(_os.path.join(src, f), (now, now + 600 * i))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = running_user_ewma(stream)
+    run_stream_to_memory(out, "ewma_stream", timeout_sec=180,
+                         output_mode="update")
+    got = spark.sql("""
+        select user_id, n_events, ewma_c from (
+          select *, row_number() over (partition by user_id
+                                       order by emit_seq desc) rn
+          from ewma_stream) where rn = 1
+    """).toPandas().sort_values("user_id").reset_index(drop=True)
+
+    want = (
+        REGISTRY["ewma_user_value"].fn(spark, sf_dir).toPandas()
+        .sort_values("user_id").reset_index(drop=True)
+    )
+    assert (got["user_id"].to_numpy() == want["user_id"].to_numpy()).all()
+    assert (got["n_events"].to_numpy() == want["n_events"].to_numpy()).all()
+    assert (got["ewma_c"].to_numpy() == want["ewma_c"].to_numpy()).all()
