@@ -2199,3 +2199,78 @@ def q_hll_mergeable_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "dedup_keep_best",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+               i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS g
+      FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+            FROM documents)
+    ), edges AS (
+      SELECT a.doc_id AS ea, b.doc_id AS eb
+      FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+      WHERE len(list_intersect(a.g, b.g)) * 1.0 /
+            len(list_distinct(list_concat(a.g, b.g))) >= 0.5
+    ), und AS (
+      SELECT ea, eb FROM edges UNION SELECT eb, ea FROM edges
+    ), reach AS (
+      WITH RECURSIVE r(a, b) AS (
+        SELECT ea, eb FROM und
+        UNION
+        SELECT r.a, u.eb FROM r JOIN und u ON r.b = u.ea
+      ) SELECT * FROM r
+    ), comp AS (
+      SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a
+    ), all_docs AS (
+      SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+             d.n_chars
+      FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    )
+    SELECT doc_id, cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+             AS cluster_size,
+           (ROW_NUMBER() OVER (PARTITION BY cluster_id
+                               ORDER BY n_chars DESC, doc_id) = 1) AS kept
+    FROM all_docs
+    """,
+    doc="Quality-aware dedup: every document mapped to its near-dup cluster "
+        "(transitive closure over >=0.5 Jaccard pairs; singletons are their "
+        "own cluster) with the KEPT representative chosen by quality "
+        "(longest n_chars, doc_id tiebreak) instead of min-id — what "
+        "production curation actually ships, since min-id throws away the "
+        "best copy. Composition: dedup_clusters (LSH + verify + CC) left-"
+        "joined to the full corpus + one window argmax. Scale: adds one "
+        "cluster-keyed window over the CC output — clusters are tiny, no "
+        "skew risk",
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .operators.dedup import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    clusters = dedup_clusters(docs, "text", "doc_id", threshold=0.5,
+                              exact_pairs=False)
+    all_docs = (
+        docs.select("doc_id", "n_chars")
+        .join(clusters.select("doc_id", "cluster_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+            "n_chars",
+        )
+    )
+    w = Window.partitionBy("cluster_id")
+    wo = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.col("doc_id")
+    )
+    return all_docs.select(
+        "doc_id",
+        "cluster_id",
+        F.count("*").over(w).alias("cluster_size"),
+        (F.row_number().over(wo) == 1).alias("kept"),
+    )
