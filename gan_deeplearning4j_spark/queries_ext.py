@@ -2274,3 +2274,67 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).alias("cluster_size"),
         (F.row_number().over(wo) == 1).alias("kept"),
     )
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_type, epoch_us(ts) AS tus FROM events
+    ), s1 AS (
+      SELECT user_id, MIN(tus) AS t1 FROM ev
+      WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, MIN(e.tus) AS t2
+      FROM ev e JOIN s1 ON s1.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.tus > s1.t1
+      GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, MIN(e.tus) AS t3
+      FROM ev e JOIN s2 ON s2.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.tus > s2.t2
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n_view,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS n_click_after_view,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM s3) AS n_purchase_after_click
+    """,
+    doc="Ordered funnel conversion (view -> click -> purchase, strictly "
+        "increasing event times): users reaching each stage, where stage "
+        "k's earliest qualifying event must follow the user's stage-k-1 "
+        "time — the product-analytics funnel, not three independent "
+        "counts. Exact integer epoch comparisons end-to-end. Scale: three "
+        "user-keyed aggregates chained by joins (each a map-side-combinable "
+        "min); at extreme funnels the same semantics collapse into one "
+        "sorted per-user array fold like ewma_user_value",
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # integer div, not '/': float division of 1.7e18-ns longs exceeds the
+    # 53-bit double mantissa and lands some epochs 1us off
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.expr("ts_nanos div 1000").alias("tus"),
+    )
+    s1 = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("tus").alias("t1")
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("tus") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("tus").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("tus") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("tus").alias("t3"))
+    )
+    # three 1-row aggregates crossed — no driver-side action inside the
+    # operator; the whole funnel stays one lazy plan
+    c1 = s1.agg(F.count("*").alias("n_view"))
+    c2 = s2.agg(F.count("*").alias("n_click_after_view"))
+    c3 = s3.agg(F.count("*").alias("n_purchase_after_click"))
+    return c1.crossJoin(c2).crossJoin(c3)
