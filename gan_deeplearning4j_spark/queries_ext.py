@@ -2338,3 +2338,43 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     c2 = s2.agg(F.count("*").alias("n_click_after_view"))
     c3 = s3.agg(F.count("*").alias("n_purchase_after_click"))
     return c1.crossJoin(c2).crossJoin(c3)
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, (epoch_us(ts) // 604800000000) AS wk FROM events
+    ), first_wk AS (
+      SELECT user_id, MIN(wk) AS cohort_wk FROM ev GROUP BY user_id
+    )
+    SELECT f.cohort_wk,
+           CAST(e.wk - f.cohort_wk AS BIGINT) AS week_offset,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM ev e JOIN first_wk f ON f.user_id = e.user_id
+    GROUP BY f.cohort_wk, week_offset
+    """,
+    doc="Cohort retention triangle: users bucketed by the week of their "
+        "first event (cohort), counted distinct in each later week as "
+        "(cohort_week, week_offset, n_users) — the standard retention "
+        "matrix. Week ids are exact integer floor-divisions of epoch "
+        "micros (604800000000 us/week), so bucketing is engine-exact. "
+        "Scale: one user-keyed min aggregate (map-side combinable), one "
+        "join back, one two-key distinct aggregate — same shuffle budget "
+        "as any fact-to-its-own-aggregate join; AQE handles the big-cohort "
+        "skew",
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("(ts_nanos div 1000) div 604800000000").alias("wk"),
+    )
+    first_wk = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        ev.join(first_wk, "user_id")
+        .groupBy(
+            "cohort_wk",
+            (F.col("wk") - F.col("cohort_wk")).alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
