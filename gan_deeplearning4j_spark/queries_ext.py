@@ -2378,3 +2378,69 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count_distinct("user_id").alias("n_users"))
     )
+
+
+@register(
+    "event_path_trigrams",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             list(event_type ORDER BY epoch_us(ts), event_id) AS types
+      FROM events GROUP BY user_id
+    ), tri AS (
+      SELECT unnest(list_transform(
+               range(1, greatest(len(types) - 2, 0) + 1),
+               i -> types[i] || '>' || types[i+1] || '>' || types[i+2]))
+               AS path
+      FROM seq
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n
+    FROM tri GROUP BY path
+    ORDER BY n DESC, path LIMIT 20
+    """,
+    doc="Behavioral path mining: top-20 most common 3-step event-type "
+        "sequences across users (adjacent triples of each user's "
+        "time-ordered stream, 'view>click>purchase' style). Engine form: "
+        "ordered collect_list, trigram expansion via slice-zip (array "
+        "expressions, no UDF), explode + count. Counts are exact ints. "
+        "Scale: one user-keyed shuffle for the ordered collect, then the "
+        "trigram count is map-side combinable; path cardinality is "
+        "|event_types|^3, tiny",
+)
+def q_event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    seq = (
+        ev.select(
+            "user_id",
+            F.struct(
+                F.col("ts_nanos").alias("o1"),
+                F.col("event_id").alias("o2"),
+                F.col("event_type").alias("t"),
+            ).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_list("s")).alias("ss"))
+        .select(F.transform(F.col("ss"), lambda s: s["t"]).alias("types"))
+    )
+    tri = seq.select(
+        F.explode(
+            F.zip_with(
+                F.zip_with(
+                    F.slice(F.col("types"), 1,
+                            F.greatest(F.size("types") - 2, F.lit(0))),
+                    F.slice(F.col("types"), 2,
+                            F.greatest(F.size("types") - 2, F.lit(0))),
+                    lambda a, b: F.concat_ws(">", a, b),
+                ),
+                F.slice(F.col("types"), 3,
+                        F.greatest(F.size("types") - 2, F.lit(0))),
+                lambda ab, c: F.concat_ws(">", ab, c),
+            )
+        ).alias("path")
+    )
+    return (
+        tri.groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(20)
+    )
