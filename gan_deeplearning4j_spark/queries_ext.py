@@ -2444,3 +2444,69 @@ def q_event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "path")
         .limit(20)
     )
+
+
+@register(
+    "data_quality_report",
+    oracle="""
+    SELECT 'fk:o_custkey' AS check,
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE o.o_custkey NOT IN (SELECT c_custkey FROM customer))
+                AS BIGINT) AS n_violations
+    UNION ALL
+    SELECT 'fk:l_orderkey',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE l.l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'unique:event_id',
+           CAST((SELECT COALESCE(SUM(n - 1), 0) FROM
+                 (SELECT COUNT(*) AS n FROM events GROUP BY event_id))
+                AS BIGINT)
+    UNION ALL
+    SELECT 'in_range:l_discount',
+           CAST((SELECT COUNT(*) FROM lineitem
+                 WHERE l_discount NOT BETWEEN 0 AND 0.1) AS BIGINT)
+    UNION ALL
+    SELECT 'not_null:text',
+           CAST((SELECT COUNT(*) FROM documents WHERE text IS NULL)
+                AS BIGINT)
+    UNION ALL
+    SELECT 'regex:o_orderpriority',
+           CAST((SELECT COUNT(*) FROM orders
+                 WHERE o_orderpriority IS NOT NULL
+                   AND NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z]+$'))
+                AS BIGINT)
+    """,
+    doc="Declarative data-quality report (Deequ/Great-Expectations shape, "
+        "operators/validate.py): referential integrity (left-anti counts), "
+        "key uniqueness (group-count surplus), range, null, and regex "
+        "constraints — each ONE aggregate or anti-join, unioned lazily "
+        "into a (check, n_violations) relation. All counts exact ints. "
+        "Scale: bounded by one scan per table + one shuffle per "
+        "uniqueness/FK check; same-table aggregate checks fuse into a "
+        "shared scan",
+)
+def q_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.validate import (
+        check_foreign_key,
+        check_in_range,
+        check_not_null,
+        check_regex,
+        check_unique,
+        validation_report,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    events = _t(spark, sf_dir, "events")
+    documents = _t(spark, sf_dir, "documents")
+    return validation_report([
+        check_foreign_key(orders, "o_custkey", customer, "c_custkey"),
+        check_foreign_key(lineitem, "l_orderkey", orders, "o_orderkey"),
+        check_unique(events, ["event_id"]),
+        check_in_range(lineitem, "l_discount", 0.0, 0.1),
+        check_not_null(documents, "text"),
+        check_regex(orders, "o_orderpriority", "^[1-5]-[A-Z]+$"),
+    ])

@@ -825,3 +825,38 @@ def test_hll_sketch_merge_consistency(spark, sf_dir):
     assert out == whole, (out, whole)
     for t, est in out.items():
         assert abs(est - exact[t]) / exact[t] < 0.05, (t, est, exact[t])
+
+
+def test_validation_checks_count_planted_violations(spark):
+    """Each check type must count exactly the planted violations."""
+    from gan_deeplearning4j_spark.operators.validate import (
+        check_foreign_key,
+        check_in_range,
+        check_not_null,
+        check_regex,
+        check_unique,
+        validation_report,
+    )
+
+    t = spark.createDataFrame(
+        [(1, "a", 5.0), (2, None, 50.0), (2, "c", -1.0), (3, "dd", 5.0)],
+        "id long, s string, v double",
+    )
+    parent = spark.createDataFrame([(1,), (2,)], "pid long")
+    rep = {
+        r["check"]: r["n_violations"]
+        for r in validation_report([
+            check_not_null(t, "s"),                      # 1 null
+            check_in_range(t, "v", 0.0, 10.0),           # 50.0 and -1.0
+            check_unique(t, ["id"]),                     # one extra id=2
+            check_regex(t, "s", "^[a-c]$"),              # 'dd'
+            check_foreign_key(t, "id", parent, "pid"),   # id=3 orphan
+        ]).collect()
+    }
+    assert rep == {
+        "not_null:s": 1,
+        "in_range:v": 2,
+        "unique:id": 1,
+        "regex:s": 1,
+        "fk:id": 1,
+    }
