@@ -2510,3 +2510,61 @@ def q_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         check_not_null(documents, "text"),
         check_regex(orders, "o_orderpriority", "^[1-5]-[A-Z]+$"),
     ])
+
+
+@register(
+    "triangle_count",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT o.o_custkey * 2 AS a, l.l_suppkey * 2 + 1 AS b
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ), und AS (
+      SELECT a, b FROM e UNION SELECT b, a FROM e
+    ), fwd AS (
+      SELECT a, b FROM und WHERE a < b
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_open_triads,
+           CAST((SELECT COUNT(*) FROM fwd e1
+                 JOIN fwd e2 ON e2.a = e1.b
+                 JOIN fwd e3 ON e3.a = e1.a AND e3.b = e2.b) AS BIGINT)
+             AS n_triangles
+    FROM (SELECT w1.a AS center
+          FROM fwd w1 JOIN fwd w2 ON w2.a = w1.a AND w2.b > w1.b) t
+    """,
+    doc="Triangle + open-triad counting over the undirected trade graph "
+        "(node-iterator with id-ordered edge orientation: each triangle "
+        "counted exactly once as a<b<c). The customer-supplier graph is "
+        "bipartite so n_triangles is provably 0 — the check pins that the "
+        "engine does NOT hallucinate triangles (a join-condition bug "
+        "typically inflates this) while n_open_triads (wedges) is large "
+        "and nonzero. Scale: two self-joins on the oriented edge list — "
+        "the standard distributed triangle pattern; orientation by id "
+        "bounds each join's fan-out by the forward-degree",
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e = (
+        li.join(orders, li.l_orderkey == F.col("o_orderkey"))
+        .select(
+            (F.col("o_custkey") * 2).alias("a"),
+            (F.col("l_suppkey") * 2 + 1).alias("b"),
+        )
+        .distinct()
+    )
+    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    fwd = und.filter(F.col("a") < F.col("b")).distinct()
+    w1 = fwd.select(F.col("a").alias("wa"), F.col("b").alias("wb1"))
+    w2 = fwd.select(F.col("a").alias("wa"), F.col("b").alias("wb2"))
+    wedges = w1.join(w2, "wa").filter(F.col("wb2") > F.col("wb1"))
+    tri = (
+        wedges.join(
+            fwd.select(
+                F.col("a").alias("wb1"), F.col("b").alias("wb2")
+            ),
+            ["wb1", "wb2"],
+        )
+    )
+    return wedges.agg(F.count("*").alias("n_open_triads")).crossJoin(
+        tri.agg(F.count("*").alias("n_triangles"))
+    )
