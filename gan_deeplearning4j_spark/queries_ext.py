@@ -2568,3 +2568,67 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wedges.agg(F.count("*").alias("n_open_triads")).crossJoin(
         tri.agg(F.count("*").alias("n_triangles"))
     )
+
+
+@register(
+    "twap_user_value",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) AS tus,
+             CAST(round(value * 100) AS BIGINT) AS c,
+             LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY epoch_us(ts), event_id)
+               AS nxt
+      FROM events
+    ), stepped AS (
+      SELECT user_id, c, (nxt - tus) // 1000000 AS ws, tus
+      FROM ev WHERE nxt IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(SUM(c * ws) AS BIGINT) AS weighted_area,
+           CAST((MAX(tus) - MIN(tus)) // 1000000 AS BIGINT) AS span_s,
+           CAST((SUM(c * ws) * 1000000)
+                // ((MAX(tus) - MIN(tus)) // 1000000) AS BIGINT)
+             AS twap_ppm_c
+    FROM stepped
+    GROUP BY user_id
+    HAVING (MAX(tus) - MIN(tus)) // 1000000 > 0
+    """,
+    doc="Time-weighted average value per user (TWAP): each reading is "
+        "weighted by how long it was in force (until the next event), the "
+        "step-function integral divided by the observed span. All math is "
+        "exact int64 (cents x whole-second weights — micro weights overflow "
+        "the ppm multiply; the final ratio is a ppm floor-div), "
+        "so the result hash-matches despite being a ratio. Scale: one "
+        "user-keyed window for LEAD + one aggregate on the same "
+        "partitioning — Catalyst reuses the exchange",
+)
+def q_twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.expr("ts_nanos div 1000").alias("tus"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("c"),
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    # weights in whole SECONDS: cents(1e4-scale) x seconds x 1e6 ppm stays
+    # well inside int64 (micros-weighted areas overflowed the ppm multiply)
+    stepped = (
+        ev.withColumn("nxt", F.lead("tus").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .withColumn("ws", F.expr("(nxt - tus) div 1000000"))
+    )
+    return (
+        stepped.groupBy("user_id")
+        .agg(
+            F.sum(F.col("c") * F.col("ws")).alias("weighted_area"),
+            F.expr("(max(tus) - min(tus)) div 1000000").alias("span_s"),
+        )
+        .filter(F.col("span_s") > 0)
+        .select(
+            "user_id", "weighted_area", "span_s",
+            F.expr("(weighted_area * 1000000) div span_s")
+            .alias("twap_ppm_c"),
+        )
+    )
