@@ -2632,3 +2632,67 @@ def q_twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("twap_ppm_c"),
         )
     )
+
+
+@register(
+    "rfm_segments",
+    oracle="""
+    WITH m AS (
+      SELECT user_id,
+             MAX(epoch_us(ts)) AS last_us,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS mon_c
+      FROM events GROUP BY user_id
+    ), scored AS (
+      SELECT user_id,
+             NTILE(4) OVER (ORDER BY last_us DESC, user_id) AS r,
+             NTILE(4) OVER (ORDER BY freq DESC, user_id)    AS f,
+             NTILE(4) OVER (ORDER BY mon_c DESC, user_id)   AS mo
+      FROM m
+    )
+    SELECT r || '-' || f || '-' || mo AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(MIN(user_id) AS BIGINT) AS sample_user
+    FROM scored GROUP BY segment
+    """,
+    doc="RFM segmentation: per-user recency (last event time), frequency "
+        "(event count), monetary (cents total) quartiled by NTILE with a "
+        "total order (metric DESC, user_id) so quartile assignment is "
+        "deterministic and cross-engine exact — quartile 1 = best. "
+        "Segments are the 'r-f-m' code with user counts. Scale: one "
+        "user-keyed aggregate, then three global NTILEs over the USER "
+        "table (already aggregated, orders of magnitude smaller than the "
+        "fact); at extreme user counts NTILE becomes approx-percentile "
+        "bucketing to avoid the single-partition window",
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    m = ev.groupBy("user_id").agg(
+        F.max(F.expr("ts_nanos div 1000")).alias("last_us"),
+        F.count("*").alias("freq"),
+        F.sum(cents).alias("mon_c"),
+    )
+    scored = m.select(
+        "user_id",
+        F.ntile(4).over(
+            Window.orderBy(F.desc("last_us"), F.col("user_id"))
+        ).alias("r"),
+        F.ntile(4).over(
+            Window.orderBy(F.desc("freq"), F.col("user_id"))
+        ).alias("f"),
+        F.ntile(4).over(
+            Window.orderBy(F.desc("mon_c"), F.col("user_id"))
+        ).alias("mo"),
+    )
+    return (
+        scored.groupBy(
+            F.concat_ws("-", "r", "f", "mo").alias("segment")
+        )
+        .agg(
+            F.count("*").alias("n_users"),
+            F.min("user_id").alias("sample_user"),
+        )
+    )
