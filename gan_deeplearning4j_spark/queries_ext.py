@@ -2696,3 +2696,51 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("user_id").alias("sample_user"),
         )
     )
+
+
+@register(
+    "keyword_and_search",
+    oracle="""
+    WITH postings AS (
+      SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents
+    ), hits AS (
+      SELECT doc_id, COUNT(*) AS n_matched
+      FROM postings WHERE term IN ('the', 'and', 'of')
+      GROUP BY doc_id
+    )
+    SELECT h.doc_id, d.source,
+           CAST(d.n_chars AS BIGINT) AS n_chars
+    FROM hits h JOIN documents d ON d.doc_id = h.doc_id
+    WHERE h.n_matched = 3
+    ORDER BY h.doc_id
+    """,
+    doc="Conjunctive keyword search through an inverted-index shape: "
+        "distinct (doc, term) postings filtered to the query terms, "
+        "grouped per doc, kept when the match count equals the query "
+        "length (AND semantics without N self-joins). Scale: the postings "
+        "build is the classic inverted-index shuffle keyed by term — at "
+        "serving scale the index is materialized once (bucketed by term) "
+        "and each query reads only its terms' buckets; the count==k "
+        "conjunction trick keeps one aggregate regardless of query length",
+)
+def q_keyword_and_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    terms = ["the", "and", "of"]
+    postings = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.col("text")), " "))
+        ).alias("term"),
+    )
+    hits = (
+        postings.filter(F.col("term").isin(terms))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_matched"))
+        .filter(F.col("n_matched") == len(terms))
+    )
+    return (
+        hits.join(docs, "doc_id")
+        .select("doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"))
+        .orderBy("doc_id")
+    )
