@@ -2744,3 +2744,120 @@ def q_keyword_and_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"))
         .orderBy("doc_id")
     )
+
+
+@register(
+    "weighted_median_price",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+             CAST(l_quantity AS BIGINT) AS qty
+      FROM lineitem
+    ), agg AS (
+      SELECT l_returnflag, price_c, SUM(qty) AS qty
+      FROM w GROUP BY l_returnflag, price_c
+    ), cum AS (
+      SELECT l_returnflag, price_c,
+             SUM(qty) OVER (PARTITION BY l_returnflag
+                            ORDER BY price_c
+                            ROWS UNBOUNDED PRECEDING) AS cw,
+             SUM(qty) OVER (PARTITION BY l_returnflag) AS tot
+      FROM agg
+    )
+    SELECT l_returnflag,
+           CAST(MIN(price_c) AS BIGINT) AS wmedian_c
+    FROM cum WHERE cw * 2 >= tot
+    GROUP BY l_returnflag
+    """,
+    doc="Exact weighted median (lower): per group, the smallest price whose "
+        "cumulative quantity weight reaches half the total — robust "
+        "statistics no built-in covers (percentile_approx is unweighted "
+        "and approximate). Integer cents + integer weights means the "
+        "crossing test (2*cum >= total, no division) is engine-exact. "
+        "Scale: pre-aggregate per (group, value) collapses the window "
+        "input to distinct values; one partition-ordered cumulative-sum "
+        "window + one min — the same shuffle count as any grouped window",
+)
+def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        .alias("price_c"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    agg = li.groupBy("l_returnflag", "price_c").agg(
+        F.sum("qty").alias("qty")
+    )
+    wc = Window.partitionBy("l_returnflag").orderBy("price_c").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy("l_returnflag")
+    cum = agg.select(
+        "l_returnflag", "price_c",
+        F.sum("qty").over(wc).alias("cw"),
+        F.sum("qty").over(wt).alias("tot"),
+    )
+    return (
+        cum.filter(F.col("cw") * 2 >= F.col("tot"))
+        .groupBy("l_returnflag")
+        .agg(F.min("price_c").alias("wmedian_c"))
+    )
+
+
+@register(
+    "table_content_digest",
+    oracle=f"""
+    SELECT 'orders' AS tbl,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST({portable_hash60_sql(
+               "o_orderkey || '|' || o_custkey || '|' || o_orderstatus"
+               " || '|' || CAST(round(o_totalprice * 100) AS BIGINT)"
+           )} AS HUGEINT)) % 9007199254740993 AS BIGINT) AS digest
+    FROM orders
+    UNION ALL
+    SELECT 'customer',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST({portable_hash60_sql(
+               "c_custkey || '|' || c_nationkey || '|' || c_mktsegment"
+           )} AS HUGEINT)) % 9007199254740993 AS BIGINT)
+    FROM customer
+    """,
+    doc="Order-invariant table content digest: per row a 60-bit md5 of the "
+        "canonical column serialization, summed modulo a 53-bit prime — "
+        "two tables' replicas compare equal iff contents match (mod "
+        "collision), independent of row order, partitioning, or engine. "
+        "The replication/backfill verification primitive: at 100 TB each "
+        "side computes one scan-and-add, exchanges 16 bytes. Spark side "
+        "sums in decimal(38,0) then takes the mod (int64 would overflow); "
+        "DuckDB sums in HUGEINT — both exact",
+)
+def q_table_content_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import portable_hash60
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    o_ser = F.concat_ws(
+        "|",
+        F.col("o_orderkey"), F.col("o_custkey"), F.col("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long"),
+    )
+    c_ser = F.concat_ws(
+        "|", F.col("c_custkey"), F.col("c_nationkey"), F.col("c_mktsegment")
+    )
+    prime = 9007199254740993
+
+    def digest(df, ser, name):
+        return df.agg(
+            F.count("*").alias("n_rows"),
+            (
+                F.sum(portable_hash60(ser).cast("decimal(38,0)"))
+                % F.lit(prime).cast("decimal(38,0)")
+            ).cast("long").alias("digest"),
+        ).select(F.lit(name).alias("tbl"), "n_rows", "digest")
+
+    return digest(orders, o_ser, "orders").unionByName(
+        digest(customer, c_ser, "customer")
+    )
