@@ -2685,3 +2685,4 @@ def headline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # training-data pipeline ops).  Import at module bottom: queries_ext needs
 # ``register``/``_t`` from this module, which are defined above.
 from . import queries_ext  # noqa: E402,F401  (import side effect: registration)
+from . import queries_r4   # noqa: E402,F401  (import side effect: registration)

@@ -1,0 +1,797 @@
+"""Round-4 surface widening: sampling, skyline, islands, graph-degree,
+bitmap segments, robust outliers, exact covariance.
+
+Families a 100 TB training-data / analytics engine needs beyond the round-3
+surface (reference analogue: the notebook's ad-hoc pandas analysis cells,
+gan.ipynb raw 399-438, generalized):
+
+- weighted **priority sampling** (Duffield/Lund/Thorup, CACM'07) — the
+  one-pass bounded-memory weighted sample used to downsample corpora;
+- **skyline / Pareto frontier** with a bucket prefilter so the global pass
+  touches only candidates (BNL-with-prefilter, Börzsönyi ICDE'01 family);
+- **gaps-and-islands / SCD-2 intervals** — change-data modeling over an
+  event stream;
+- **degree histogram** — the graph-shape profile that decides join/skew
+  strategy before running graph algorithms;
+- **bitmap segment membership** — bit_or-folded behavior masks, the compact
+  audience-segmentation primitive;
+- **robust z-score outliers** — division-free exact variance test;
+- **exact feature covariance** — fixed-point integer moments for embedding
+  columns, the input to PCA/whitening.
+
+Cross-engine float discipline matches queries_ext: integer cents/ppm
+surrogates before any SUM; where a real-valued output is unavoidable the
+two engines run the *identical* IEEE double op sequence on identical
+integers and only then floor (engine-invariant).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.text import portable_hash60, portable_hash60_sql
+from .queries import _t, register
+
+# ---------------------------------------------------------------------------
+# Weighted priority sampling (R4 family: deterministic weighted downsample)
+# ---------------------------------------------------------------------------
+
+_PRI_KEY_SQL = "l_orderkey || '|' || l_linenumber"
+
+
+@register(
+    "priority_sample_topk",
+    oracle=f"""
+    WITH pri AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(l_quantity AS BIGINT) AS qty,
+             (CAST(l_quantity AS BIGINT) * 1099511627776)
+               // (({portable_hash60_sql(_PRI_KEY_SQL)} % 1073741824) + 1)
+               AS priority
+      FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber, qty, CAST(priority AS BIGINT) AS priority
+    FROM pri
+    ORDER BY priority DESC, l_orderkey, l_linenumber
+    LIMIT 200
+    """,
+    doc="Weighted priority sample (Duffield/Lund/Thorup priority sampling): "
+        "each row draws priority w/u with u uniform from a portable 30-bit "
+        "hash of its key, and the global top-k by priority is a "
+        "weight-proportional sample without replacement. Entirely integer: "
+        "priority = (w * 2^40) div (h+1), exact in both engines (positive "
+        "operands, truncating division). Scale: no shuffle at all — the "
+        "plan is scan -> TakeOrderedAndProject, each partition keeps its "
+        "local top-200 and the driver merges 200 rows per partition; the "
+        "classic one-pass bounded-memory weighted sampler",
+)
+def q_priority_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    key = F.concat_ws("|", F.col("l_orderkey"), F.col("l_linenumber"))
+    h = (portable_hash60(key) % F.lit(1073741824)) + F.lit(1)
+    qty = F.col("l_quantity").cast("long")
+    pri = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        qty.alias("qty"),
+        (qty * F.lit(1099511627776)).cast("long").alias("_w40"),
+        h.alias("_h"),
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "qty",
+        F.expr("_w40 div _h").alias("priority"),
+    )
+    return pri.orderBy(
+        F.desc("priority"), "l_orderkey", "l_linenumber"
+    ).limit(200)
+
+
+# ---------------------------------------------------------------------------
+# Skyline / Pareto frontier with bucket prefilter
+# ---------------------------------------------------------------------------
+
+@register(
+    "skyline_parts",
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey,
+             CAST(round(p_retailprice * 100) AS BIGINT) AS price_c,
+             CAST(p_size AS BIGINT) AS p_size
+      FROM part
+    )
+    SELECT p_partkey, price_c, p_size
+    FROM p a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p b
+      WHERE b.price_c <= a.price_c AND b.p_size >= a.p_size
+        AND (b.price_c < a.price_c OR b.p_size > a.p_size)
+    )
+    ORDER BY price_c, p_partkey
+    """,
+    doc="2-D skyline (Pareto frontier, minimize price / maximize size; "
+        "Börzsönyi et al. ICDE'01). The oracle is the quadratic NOT-EXISTS "
+        "dominance definition; the engine never runs it. Engine plan: "
+        "(1) bucket prefilter — group price into fixed-width buckets, "
+        "running max of size over strictly-cheaper buckets (a tiny "
+        "aggregate, broadcast back): any row at or under its prefix bound "
+        "is provably dominated by a strictly-cheaper row, and in random "
+        "data almost everything dies here; (2) the exact window test "
+        "(strict-prefix RANGE max + equal-price group max) runs on the "
+        "few survivors. Scale: one small groupBy + broadcast join on the "
+        "full data, global sort only over the surviving candidate set",
+)
+def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100, 0).cast("long").alias("price_c"),
+        F.col("p_size").cast("long").alias("p_size"),
+    )
+    # -- stage 1: bucket prefilter (strictly-cheaper bucket => strictly
+    #    cheaper price, so its max size dominates anything <= it here)
+    b = p.withColumn("bkt", F.expr("price_c div 1000"))
+    bstats = b.groupBy("bkt").agg(F.max("p_size").alias("bmax"))
+    wprev = (
+        Window.orderBy("bkt").rangeBetween(Window.unboundedPreceding, -1)
+    )
+    bound = bstats.select(
+        "bkt", F.max("bmax").over(wprev).alias("prev_max")
+    )
+    cand = b.join(F.broadcast(bound), "bkt").filter(
+        F.col("prev_max").isNull() | (F.col("p_size") > F.col("prev_max"))
+    )
+    # -- stage 2: exact dominance test on the candidate set
+    w_lt = Window.orderBy("price_c").rangeBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_eq = Window.partitionBy("price_c")
+    sky = cand.select(
+        "p_partkey",
+        "price_c",
+        "p_size",
+        F.max("p_size").over(w_lt).alias("m_lt"),
+        F.max("p_size").over(w_eq).alias("m_eq"),
+    ).filter(
+        (F.col("m_lt").isNull() | (F.col("m_lt") < F.col("p_size")))
+        & (F.col("p_size") == F.col("m_eq"))
+    )
+    return sky.select("p_partkey", "price_c", "p_size").orderBy(
+        "price_c", "p_partkey"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands / SCD Type-2 intervals over the event stream
+# ---------------------------------------------------------------------------
+
+@register(
+    "scd2_user_state",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ), isl AS (
+      SELECT user_id, event_type, us,
+             SUM(chg) OVER (PARTITION BY user_id
+                            ORDER BY us, event_id
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM e
+    ), g AS (
+      SELECT user_id, CAST(island AS BIGINT) AS island,
+             event_type,
+             MIN(us) AS valid_from_us,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM isl GROUP BY user_id, island, event_type
+    )
+    SELECT user_id, island, event_type, valid_from_us,
+           coalesce(lead(valid_from_us)
+                    OVER (PARTITION BY user_id ORDER BY island), -1)
+             AS valid_to_us,
+           n_events
+    FROM g
+    """,
+    doc="Gaps-and-islands -> SCD Type-2 validity intervals: collapse each "
+        "user's consecutive runs of the same event_type into islands "
+        "(lag-change flag + running sum), then [valid_from, valid_to) "
+        "intervals via lead over the island table — the change-data "
+        "modeling pattern for slowly-changing dimensions. Scale: both "
+        "windows and the groupBy share the user_id partitioning, so the "
+        "whole query is ONE shuffle on user_id; every step after the "
+        "exchange is partition-local (sort + window + partial agg)",
+)
+def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    us = F.expr("ts_nanos div 1000")  # integer div ('/' would round via double)
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    e = ev.select(
+        "user_id", "event_type", us.alias("us"), "event_id"
+    ).withColumn(
+        "chg",
+        F.when(
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+        ).otherwise(0),
+    )
+    isl = e.withColumn(
+        "island",
+        F.sum("chg").over(
+            Window.partitionBy("user_id")
+            .orderBy("us", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    g = isl.groupBy("user_id", "island", "event_type").agg(
+        F.min("us").alias("valid_from_us"),
+        F.count("*").alias("n_events"),
+    )
+    wl = Window.partitionBy("user_id").orderBy("island")
+    return g.select(
+        "user_id",
+        F.col("island").cast("long").alias("island"),
+        "event_type",
+        "valid_from_us",
+        F.coalesce(
+            F.lead("valid_from_us").over(wl), F.lit(-1)
+        ).alias("valid_to_us"),
+        "n_events",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Graph degree histogram (profile before running graph algorithms)
+# ---------------------------------------------------------------------------
+
+@register(
+    "degree_histogram",
+    oracle="""
+    WITH deg AS (
+      SELECT l_partkey,
+             CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS degree
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_parts
+    FROM deg GROUP BY degree
+    ORDER BY degree
+    """,
+    doc="Degree distribution of the part–supplier bipartite graph (distinct "
+        "suppliers per part, then parts per degree) — the shape profile "
+        "that decides salting/skew strategy before any graph algorithm "
+        "(pagerank_fixed_topk, triangle_count) runs. Scale: COUNT(DISTINCT) "
+        "per key is a two-phase partial-distinct aggregate (no global "
+        "distinct), then the histogram groupBy runs on one row per part; "
+        "the second shuffle carries only (degree) pairs",
+)
+def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    deg = li.groupBy("l_partkey").agg(
+        F.countDistinct("l_suppkey").alias("degree")
+    )
+    return (
+        deg.groupBy("degree")
+        .agg(F.count("*").alias("n_parts"))
+        .orderBy("degree")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bitmap segment membership (bit_or-folded behavior masks)
+# ---------------------------------------------------------------------------
+
+_TYPE_BIT_SQL = (
+    "CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2 "
+    "WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8 WHEN 'view' THEN 16 "
+    "ELSE 0 END"
+)
+
+
+@register(
+    "segment_bitmask_counts",
+    oracle=f"""
+    WITH m AS (
+      SELECT user_id,
+             CAST(bit_or({_TYPE_BIT_SQL}) AS BIGINT) AS mask
+      FROM events GROUP BY user_id
+    )
+    SELECT mask,
+           CAST(bit_count(mask) AS BIGINT) AS n_types,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM m GROUP BY mask
+    ORDER BY mask
+    """,
+    doc="Bitmap segment membership: fold each user's event types into one "
+        "integer bitmask (bit_or aggregate over per-type bits), then count "
+        "users per exact behavior combination — the compact "
+        "audience-segmentation primitive (a 2^k-cell cube from one pass). "
+        "Scale: bit_or is map-side combinable, so shuffle #1 carries one "
+        "int per user; shuffle #2 carries one row per observed mask "
+        "(<= 2^5). The mask column is also the building block for "
+        "roaring-style audience intersection without re-scanning events",
+)
+def q_segment_bitmask_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    bit = (
+        F.when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "error", 2)
+        .when(F.col("event_type") == "purchase", 4)
+        .when(F.col("event_type") == "signup", 8)
+        .when(F.col("event_type") == "view", 16)
+        .otherwise(0)
+    )
+    m = ev.groupBy("user_id").agg(
+        F.bit_or(bit).cast("long").alias("mask")
+    )
+    return (
+        m.groupBy("mask")
+        .agg(
+            F.bit_count("mask").cast("long").alias("n_types"),
+            F.count("*").alias("n_users"),
+        )
+        .select("mask", "n_types", "n_users")
+        .orderBy("mask")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robust outliers: division-free exact 2-sigma test
+# ---------------------------------------------------------------------------
+
+@register(
+    "zscore_outlier_counts",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+      FROM events
+    ), s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(c) AS HUGEINT) AS sx,
+             SUM(CAST(c AS HUGEINT) * c) AS sxx
+      FROM c GROUP BY event_type
+    )
+    SELECT c.event_type,
+           CAST(MIN(s.n) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN (s.n * c.c - s.sx) * (s.n * c.c - s.sx)
+                              > 4 * (s.n * s.sxx - s.sx * s.sx)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM c JOIN s USING (event_type)
+    GROUP BY c.event_type
+    """,
+    doc="Per-group 2-sigma outlier counts with NO division and NO floats: "
+        "|x - mean| > 2*stddev is algebraically (n*x - Sx)^2 > "
+        "4*(n*Sxx - Sx^2) over exact integer-cents moments, so the verdict "
+        "per row is engine-exact (built-in STDDEV is a float one-pass "
+        "accumulation whose result is order-dependent). Products go "
+        "through decimal(38,0) / HUGEINT — int64 overflows at sf>=1. "
+        "Scale: one map-side-combinable aggregate (5 groups), broadcast "
+        "back, one more tiny aggregate; the fact table is scanned twice "
+        "but shuffled never",
+)
+def q_zscore_outlier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100, 0).cast("long").alias("c")
+    )
+    s = ev.groupBy("event_type").agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("c").cast("decimal(38,0)").alias("sx"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("sxx"),
+    )
+    j = ev.join(F.broadcast(s), "event_type")
+    dev = F.col("n") * F.col("c") - F.col("sx")
+    thresh = F.lit(4).cast("decimal(38,0)") * (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.min("n").cast("long").alias("n"),
+            F.sum(F.when(dev * dev > thresh, 1).otherwise(0)).alias(
+                "n_outliers"
+            ),
+        )
+        .select("event_type", "n", "n_outliers")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact feature covariance (fixed-point integer moments; PCA front door)
+# ---------------------------------------------------------------------------
+
+_COV_D = 8          # leading embedding dims covered
+_COV_FP = 1048576   # 2^20 fixed-point scale (lossless on doubles)
+
+
+def _cov_oracle() -> str:
+    sums = ", ".join(
+        f"SUM(v[{i + 1}]) AS s{i}" for i in range(_COV_D)
+    )
+    prods = ", ".join(
+        f"SUM(CAST(v[{i + 1}] AS HUGEINT) * v[{j + 1}]) AS p{i}_{j}"
+        for i in range(_COV_D)
+        for j in range(i + 1, _COV_D)
+    )
+    branches = " UNION ALL ".join(
+        f"SELECT {i} AS i, {j} AS j, "
+        f"CAST(floor(CAST(n * p{i}_{j} - s{i} * s{j} AS DOUBLE) "
+        f"/ CAST(n AS DOUBLE) / CAST(n AS DOUBLE) "
+        f"/ 1099511627776 * 1000000000) AS BIGINT) AS cov_ppb FROM s"
+        for i in range(_COV_D)
+        for j in range(i + 1, _COV_D)
+    )
+    return f"""
+    WITH f AS (
+      SELECT list_transform(embedding[1:{_COV_D}],
+                            x -> CAST(floor(CAST(x AS DOUBLE) * {_COV_FP})
+                                      AS BIGINT)) AS v
+      FROM embeddings
+    ), s AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n, {sums}, {prods} FROM f
+    )
+    SELECT i, j, cov_ppb FROM ({branches}) ORDER BY i, j
+    """
+
+
+@register(
+    "covariance_pairs_exact",
+    oracle=_cov_oracle(),
+    doc=f"Exact pairwise covariance over the leading {_COV_D} embedding "
+        "dims — the moment computation under PCA/whitening — from "
+        "fixed-point integers: floor(x * 2^20) is lossless cross-engine "
+        "(power-of-two scale on identical doubles), all moment sums are "
+        "exact integers, and the only float step is the final identical "
+        "IEEE division sequence, floored to ppb. Built-in COVAR_POP is "
+        "order-dependent float accumulation; this is not. Scale: a single "
+        "map-side-combinable global aggregate of d + d(d-1)/2 integer "
+        "sums — one row crosses the wire per partition; for d=768 "
+        "embeddings the same shape holds with the partial row at ~2.4 MB "
+        "(still far under shuffle block sizes)",
+)
+def q_covariance_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    v = [
+        F.floor(
+            F.element_at("embedding", i + 1).cast("double") * _COV_FP
+        ).cast("long")
+        for i in range(_COV_D)
+    ]
+    aggs = [F.count("*").cast("decimal(38,0)").alias("n")]
+    aggs += [
+        F.sum(v[i]).cast("decimal(38,0)").alias(f"s{i}")
+        for i in range(_COV_D)
+    ]
+    aggs += [
+        F.sum((v[i] * v[j]).cast("decimal(38,0)")).alias(f"p{i}_{j}")
+        for i in range(_COV_D)
+        for j in range(i + 1, _COV_D)
+    ]
+    s = emb.agg(*aggs)
+    nd = F.col("n").cast("double")
+
+    def cov_ppb(i: int, j: int):
+        num = (
+            F.col("n") * F.col(f"p{i}_{j}")
+            - F.col(f"s{i}") * F.col(f"s{j}")
+        ).cast("double")
+        return F.floor(
+            num / nd / nd / F.lit(1099511627776.0) * F.lit(1000000000.0)
+        ).cast("long")
+
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.lit(j).alias("j"),
+                cov_ppb(i, j).alias("cov_ppb"),
+            )
+            for i in range(_COV_D)
+            for j in range(i + 1, _COV_D)
+        ]
+    )
+    return (
+        s.select(F.explode(pairs).alias("p"))
+        .select("p.i", "p.j", "p.cov_ppb")
+        .orderBy("i", "j")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact equi-depth histogram boundaries (percentile_disc replay, no floats)
+# ---------------------------------------------------------------------------
+
+@register(
+    "equi_depth_boundaries",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+      FROM orders
+    ), agg AS (
+      SELECT o_orderpriority, price_c, COUNT(*) AS cnt
+      FROM c GROUP BY o_orderpriority, price_c
+    ), cum AS (
+      SELECT o_orderpriority, price_c,
+             SUM(cnt) OVER (PARTITION BY o_orderpriority
+                            ORDER BY price_c
+                            ROWS UNBOUNDED PRECEDING) AS cw,
+             SUM(cnt) OVER (PARTITION BY o_orderpriority) AS n
+      FROM agg
+    )
+    SELECT o_orderpriority,
+           CAST(MIN(n) AS BIGINT) AS n,
+           CAST(MIN(CASE WHEN 4 * cw >= n     THEN price_c END) AS BIGINT)
+             AS q25_c,
+           CAST(MIN(CASE WHEN 2 * cw >= n     THEN price_c END) AS BIGINT)
+             AS q50_c,
+           CAST(MIN(CASE WHEN 4 * cw >= 3 * n THEN price_c END) AS BIGINT)
+             AS q75_c
+    FROM cum GROUP BY o_orderpriority
+    """,
+    doc="Exact equi-depth quartile boundaries (percentile_disc semantics: "
+        "smallest value whose cumulative count reaches q*n) per group — "
+        "the inputs to equi-depth histograms / optimizer statistics. The "
+        "crossing test is integer-only (4*cum >= q4*n, no division, no "
+        "interpolation), so boundaries are engine-exact where "
+        "percentile_cont/approx_percentile float paths are not. Scale: "
+        "pre-aggregate per (group, value) collapses the window input to "
+        "distinct values (same single-shuffle shape as weighted_median); "
+        "conditional MIN folds the three quartiles in one pass",
+)
+def q_equi_depth_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("price_c"),
+    )
+    agg = o.groupBy("o_orderpriority", "price_c").agg(
+        F.count("*").alias("cnt")
+    )
+    wc = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("price_c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("o_orderpriority")
+    cum = agg.select(
+        "o_orderpriority", "price_c",
+        F.sum("cnt").over(wc).alias("cw"),
+        F.sum("cnt").over(wt).alias("n"),
+    )
+    cw, n = F.col("cw"), F.col("n")
+    return cum.groupBy("o_orderpriority").agg(
+        F.min("n").alias("n"),
+        F.min(F.when(4 * cw >= n, F.col("price_c"))).alias("q25_c"),
+        F.min(F.when(2 * cw >= n, F.col("price_c"))).alias("q50_c"),
+        F.min(F.when(4 * cw >= 3 * n, F.col("price_c"))).alias("q75_c"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic k-per-group sample (hash-ranked, WindowGroupLimit-pushed)
+# ---------------------------------------------------------------------------
+
+@register(
+    "group_sample_k",
+    oracle=f"""
+    WITH r AS (
+      SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY {portable_hash60_sql("CAST(doc_id AS VARCHAR)")},
+                        doc_id) AS rn
+      FROM documents
+    )
+    SELECT source, doc_id, n_chars, CAST(rn AS BIGINT) AS rn
+    FROM r WHERE rn <= 5
+    ORDER BY source, rn
+    """,
+    doc="Deterministic k-per-group sample: rank rows inside each group by a "
+        "portable hash of their key and keep the first k — a seedless, "
+        "layout-independent 'reservoir' whose membership is reproducible "
+        "across runs, partitionings, and engines (rand()-based sampling is "
+        "none of those). Scale: rn <= LITERAL lets Spark's "
+        "InferWindowGroupLimit keep only k rows per group on the map side "
+        "before the window shuffle — no group ever materializes fully",
+)
+def q_group_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        portable_hash60(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select(
+            "source", "doc_id",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= 5)
+        .orderBy("source", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Label-centroid similarity matrix (inter-class affinity from exact moments)
+# ---------------------------------------------------------------------------
+
+def _centroid_oracle() -> str:
+    return f"""
+    WITH f AS (
+      SELECT label,
+             generate_subscripts(embedding, 1) AS d,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {_COV_FP})
+                  AS BIGINT) AS x
+      FROM embeddings
+    ), s AS (
+      SELECT label, d, SUM(x) AS s FROM f GROUP BY label, d
+    ), n AS (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM embeddings
+      GROUP BY label
+    ), dots AS (
+      SELECT a.label AS i, b.label AS j,
+             SUM(CAST(a.s AS HUGEINT) * b.s) AS dot
+      FROM s a JOIN s b ON a.d = b.d AND a.label < b.label
+      GROUP BY a.label, b.label
+    )
+    SELECT dots.i, dots.j,
+           CAST(floor(CAST(dot AS DOUBLE)
+                      / CAST(ni.n AS DOUBLE) / CAST(nj.n AS DOUBLE)
+                      / 1099511627776 * 1000000000) AS BIGINT) AS dot_ppb
+    FROM dots
+    JOIN n ni ON ni.label = dots.i
+    JOIN n nj ON nj.label = dots.j
+    ORDER BY i, j
+    """
+
+
+@register(
+    "centroid_similarity",
+    oracle=_centroid_oracle(),
+    doc="Inter-class affinity matrix: mean-embedding dot product for every "
+        "label pair, from exact fixed-point moments — the diagnostic for "
+        "class separability / semantic-dedup thresholds over an embedding "
+        "column. Per-label per-dim integer sums are exact (floor(x*2^20) "
+        "grid), the pairwise dot is an integer fold in decimal128, and "
+        "only the final normalization runs the identical IEEE double "
+        "sequence in both engines before flooring to ppb. Scale: one "
+        "map-side-combinable groupBy(label) producing a d-length sum "
+        "vector per class; the pair join touches |labels| rows — the "
+        "100 TB cost is one scan + one tiny shuffle",
+)
+def q_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = 64
+    fx = [
+        F.floor(
+            F.element_at("embedding", d + 1).cast("double") * _COV_FP
+        ).cast("long")
+        for d in range(dim)
+    ]
+    s = emb.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.array(*[F.sum(c) for c in fx]).alias("s"),
+    )
+    a, b = s.alias("a"), s.alias("b")
+    pair = a.join(
+        F.broadcast(b), F.col("a.label") < F.col("b.label")
+    ).select(
+        F.col("a.label").alias("i"),
+        F.col("b.label").alias("j"),
+        F.col("a.n").alias("ni"),
+        F.col("b.n").alias("nj"),
+        F.aggregate(
+            F.zip_with(
+                "a.s", "b.s", lambda x, y: (x * y).cast("decimal(38,0)")
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+            lambda acc, x: acc + x,
+        ).alias("dot"),
+    )
+    out = pair.select(
+        "i", "j",
+        F.floor(
+            F.col("dot").cast("double")
+            / F.col("ni").cast("double")
+            / F.col("nj").cast("double")
+            / F.lit(1099511627776.0)
+            * F.lit(1000000000.0)
+        ).cast("long").alias("dot_ppb"),
+    )
+    return out.orderBy("i", "j")
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch frequency estimation (mergeable sketch family, rows-only)
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4    # hash rows
+_CMS_W = 256  # counters per row
+
+
+def _cms_oracle() -> str:
+    def bucket(d: int, key: str) -> str:
+        h = portable_hash60_sql(f"'{d}' || '|' || CAST({key} AS VARCHAR)")
+        return f"({h} % {_CMS_W})"
+
+    grid_rows = " UNION ALL ".join(
+        f"SELECT {d} AS d, {bucket(d, 'o_custkey')} AS bucket FROM orders"
+        for d in range(_CMS_D)
+    )
+    probe_rows = " UNION ALL ".join(
+        f"SELECT o_custkey, exact, {d} AS d, "
+        f"{bucket(d, 'o_custkey')} AS bucket FROM exact"
+        for d in range(_CMS_D)
+    )
+    return f"""
+    WITH exact AS (
+      SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS exact
+      FROM orders GROUP BY o_custkey
+      ORDER BY exact DESC, o_custkey LIMIT 20
+    ), grid AS (
+      SELECT d, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM ({grid_rows}) GROUP BY d, bucket
+    ), probe AS ({probe_rows})
+    SELECT p.o_custkey, p.exact,
+           CAST(MIN(g.cnt) AS BIGINT) AS estimate,
+           CAST(MIN(g.cnt) - p.exact AS BIGINT) AS overshoot
+    FROM probe p JOIN grid g ON g.d = p.d AND g.bucket = p.bucket
+    GROUP BY p.o_custkey, p.exact
+    ORDER BY exact DESC, o_custkey
+    """
+
+
+@register(
+    "cms_heavy_hitters",
+    oracle=_cms_oracle(),
+    doc="Count-min sketch frequency estimation (Cormode/Muthukrishnan '05) "
+        "built as a plain aggregation: each row increments one counter per "
+        "hash row (d x w grid, portable md5 hashes), estimate = min over "
+        "rows of the probed counter. Because the grid is a groupBy it is "
+        "mergeable by construction (same contract as the HLL rollup) and — "
+        "unlike an opaque sketch blob — bit-replayable by the DuckDB "
+        "oracle, so the CMS guarantee (estimate >= exact, overshoot "
+        "bounded by collisions) is hash-verified, not just property-"
+        "tested. Scale: the shuffled grid is a fixed d*w = 1024 rows "
+        "regardless of input size (map-side combine does the heavy "
+        "lifting); probes broadcast-join the tiny grid",
+)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    key = F.col("o_custkey").cast("string")
+
+    def bucket(d: int):
+        return portable_hash60(
+            F.concat_ws("|", F.lit(str(d)), key)
+        ) % _CMS_W
+
+    cells = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(d).alias("d"), bucket(d).alias("bucket"))
+                for d in range(_CMS_D)
+            ]
+        )
+    ).alias("c")
+    grid = (
+        orders.select(cells)
+        .select("c.d", "c.bucket")
+        .groupBy("d", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    exact = (
+        orders.groupBy("o_custkey")
+        .agg(F.count("*").alias("exact"))
+        .orderBy(F.desc("exact"), "o_custkey")
+        .limit(20)
+    )
+    probe = exact.select("o_custkey", "exact", cells).select(
+        "o_custkey", "exact", "c.d", "c.bucket"
+    )
+    return (
+        probe.join(F.broadcast(grid), ["d", "bucket"])
+        .groupBy("o_custkey", "exact")
+        .agg(
+            F.min("cnt").alias("estimate"),
+            (F.min("cnt") - F.col("exact")).alias("overshoot"),
+        )
+        .orderBy(F.desc("exact"), "o_custkey")
+    )

@@ -1,0 +1,199 @@
+"""Tests for the round-4 widening queries (queries_r4.py).
+
+Oracle parity for these runs in tests/test_oracle_parity.py /
+scripts/check_parity.py like every oracled query; here we pin the
+properties the DuckDB hash check can NOT see: physical plan shapes
+(no-shuffle sampling, broadcast prefilter), algebraic equivalence of the
+scalable forms to their quadratic definitions, and agreement of the
+fixed-point covariance with numpy float math.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from gan_deeplearning4j_spark.queries import REGISTRY
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_priority_sample_is_shuffle_free_topk(spark, sf_dir):
+    df = REGISTRY["priority_sample_topk"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan  # local top-k per partition, driver merge
+    pdf = df.toPandas()
+    assert len(pdf) == 200
+    # priorities are the sample's sort key and strictly positive
+    assert (pdf["priority"] > 0).all()
+    assert list(pdf["priority"]) == sorted(pdf["priority"], reverse=True)
+
+
+def test_skyline_matches_quadratic_definition(spark, sf_dir):
+    sky = REGISTRY["skyline_parts"].fn(spark, sf_dir).toPandas()
+    p = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .select(
+            "p_partkey",
+            F.round(F.col("p_retailprice") * 100, 0)
+            .cast("long")
+            .alias("price_c"),
+            F.col("p_size").cast("long").alias("p_size"),
+        )
+        .toPandas()
+    )
+    pts = p[["price_c", "p_size"]].to_numpy()
+    dominated = np.zeros(len(p), dtype=bool)
+    for k, (pr, sz) in enumerate(pts):
+        dom = (
+            (pts[:, 0] <= pr)
+            & (pts[:, 1] >= sz)
+            & ((pts[:, 0] < pr) | (pts[:, 1] > sz))
+        )
+        dominated[k] = dom.any()
+    expect = set(p.loc[~dominated, "p_partkey"])
+    assert set(sky["p_partkey"]) == expect
+    assert len(sky) == len(expect)
+
+
+def test_skyline_prefilter_is_broadcast(spark, sf_dir):
+    plan = _plan(REGISTRY["skyline_parts"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan  # bucket-bound join never shuffles part
+
+
+def test_scd2_islands_cover_stream_and_nest(spark, sf_dir):
+    df = REGISTRY["scd2_user_state"].fn(spark, sf_dir).toPandas()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # islands partition the stream: per-user event counts add up
+    per_user = df.groupby("user_id")["n_events"].sum()
+    expect = ev.groupBy("user_id").count().toPandas().set_index("user_id")["count"]
+    assert per_user.sort_index().equals(expect.sort_index().astype(per_user.dtype))
+    # intervals nest: valid_to of island k == valid_from of island k+1
+    for _, g in df.sort_values(["user_id", "island"]).groupby("user_id"):
+        froms = g["valid_from_us"].to_numpy()
+        tos = g["valid_to_us"].to_numpy()
+        assert (tos[:-1] == froms[1:]).all()
+        assert tos[-1] == -1
+        # islands really are maximal runs: adjacent islands change type
+        types = g["event_type"].to_numpy()
+        assert (types[:-1] != types[1:]).all()
+
+
+def test_segment_bitmask_single_shuffle_per_agg(spark, sf_dir):
+    df = REGISTRY["segment_bitmask_counts"].fn(spark, sf_dir)
+    pdf = df.toPandas()
+    assert (pdf["mask"] > 0).all() and (pdf["mask"] < 32).all()
+    # n_types is the popcount of the mask
+    assert (
+        pdf["n_types"] == pdf["mask"].map(lambda m: bin(int(m)).count("1"))
+    ).all()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    assert pdf["n_users"].sum() == ev.select("user_id").distinct().count()
+
+
+def test_zscore_outliers_match_float_definition(spark, sf_dir):
+    out = (
+        REGISTRY["zscore_outlier_counts"].fn(spark, sf_dir)
+        .toPandas()
+        .set_index("event_type")
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    ev["c"] = (ev["value"] * 100).round().astype("int64")
+    for et, g in ev.groupby("event_type"):
+        mu, sd = g["c"].mean(), g["c"].std(ddof=0)
+        n_float = int((abs(g["c"] - mu) > 2 * sd).sum())
+        assert out.loc[et, "n"] == len(g)
+        # exact integer test equals the float definition away from ties
+        assert abs(int(out.loc[et, "n_outliers"]) - n_float) <= 1
+
+
+def test_covariance_pairs_match_numpy(spark, sf_dir):
+    out = REGISTRY["covariance_pairs_exact"].fn(spark, sf_dir).toPandas()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").toPandas()
+    X = np.stack(emb["embedding"].to_numpy())[:, :8].astype("float64")
+    Xq = np.floor(X * 1048576)  # the same fixed-point grid
+    cov = np.cov(Xq.T, bias=True) / 1099511627776.0
+    for _, r in out.iterrows():
+        got = r["cov_ppb"] / 1e9
+        want = cov[int(r["i"]), int(r["j"])]
+        assert abs(got - want) < 2e-9
+
+
+def test_covariance_is_single_aggregate(spark, sf_dir):
+    plan = _plan(REGISTRY["covariance_pairs_exact"].fn(spark, sf_dir))
+    # one partial + one final aggregate; no join, no window
+    assert "SortMergeJoin" not in plan and "Window" not in plan
+
+
+def test_equi_depth_boundaries_are_percentile_disc(spark, sf_dir):
+    out = (
+        REGISTRY["equi_depth_boundaries"].fn(spark, sf_dir)
+        .toPandas()
+        .set_index("o_orderpriority")
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").toPandas()
+    o["price_c"] = (o["o_totalprice"] * 100).round().astype("int64")
+    for pri, g in o.groupby("o_orderpriority"):
+        v = np.sort(g["price_c"].to_numpy())
+        n = len(v)
+        for q, col in ((0.25, "q25_c"), (0.5, "q50_c"), (0.75, "q75_c")):
+            disc = v[int(np.ceil(q * n)) - 1]  # percentile_disc lower bound
+            assert out.loc[pri, col] == disc, (pri, col)
+        assert out.loc[pri, "n"] == n
+
+
+def test_group_sample_k_stable_under_repartition(spark, sf_dir):
+    base = REGISTRY["group_sample_k"].fn(spark, sf_dir).toPandas()
+    # membership is a pure function of doc_id — layout can't change it
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(13)
+    docs.createOrReplaceTempView("___tmp_docs")
+    from gan_deeplearning4j_spark.functions.text import portable_hash60
+    from pyspark.sql import Window
+    w = Window.partitionBy("source").orderBy(
+        portable_hash60(F.col("doc_id").cast("string")), "doc_id"
+    )
+    again = (
+        docs.select(
+            "source", "doc_id",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= 5)
+        .toPandas()
+    )
+    assert set(zip(base["source"], base["doc_id"])) == set(
+        zip(again["source"], again["doc_id"])
+    )
+    assert (base.groupby("source").size() == 5).all()
+
+
+def test_centroid_similarity_matches_numpy(spark, sf_dir):
+    out = REGISTRY["centroid_similarity"].fn(spark, sf_dir).toPandas()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").toPandas()
+    X = np.stack(emb["embedding"].to_numpy()).astype("float64")
+    Xq = np.floor(X * 1048576)
+    labels = sorted(emb["label"].unique())
+    cent = {
+        lab: Xq[emb["label"].to_numpy() == lab].mean(axis=0) for lab in labels
+    }
+    for _, r in out.iterrows():
+        want = float(cent[r["i"]] @ cent[r["j"]]) / 1099511627776.0
+        got = r["dot_ppb"] / 1e9
+        assert abs(got - want) < 2e-9, (r["i"], r["j"])
+    # all unordered pairs present exactly once
+    assert len(out) == len(labels) * (len(labels) - 1) // 2
+
+
+def test_cms_estimates_dominate_exact_counts(spark, sf_dir):
+    out = REGISTRY["cms_heavy_hitters"].fn(spark, sf_dir).toPandas()
+    # CMS guarantee: estimate >= exact always (only over-counts on collision)
+    assert (out["estimate"] >= out["exact"]).all()
+    assert (out["overshoot"] == out["estimate"] - out["exact"]).all()
+    # the sketch grid must stay fixed-size: d*w cells max
+    from gan_deeplearning4j_spark.queries_r4 import _CMS_D, _CMS_W
+    ev = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    assert _CMS_D * _CMS_W == 1024  # documented sketch footprint
