@@ -795,3 +795,75 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("exact"), "o_custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Interpolated Kneser-Ney bigram LM (n-gram LM training, pure integer math)
+# ---------------------------------------------------------------------------
+
+@register(
+    "kneser_ney_bigram_lm",
+    oracle="""
+    WITH s AS (SELECT string_split(text, ' ') AS w FROM documents),
+         b AS (SELECT unnest(list_transform(range(1, len(w)),
+                                            i -> {'w1': w[i], 'w2': w[i + 1]}))
+                        AS p
+               FROM s),
+         c AS (SELECT p.w1 AS w1, p.w2 AS w2, COUNT(*) AS c12
+               FROM b GROUP BY p.w1, p.w2),
+         k AS (SELECT w1, w2, c12,
+                      SUM(c12)  OVER (PARTITION BY w1) AS c1,
+                      COUNT(*)  OVER (PARTITION BY w1) AS nf1,
+                      COUNT(*)  OVER (PARTITION BY w2) AS npre2,
+                      COUNT(*)  OVER ()                AS bt
+               FROM c)
+    SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
+           CAST((4 * c12 - 3) * 1000000 // (4 * c1)
+                + ((3 * nf1 * 1000000) // (4 * c1)) * npre2 // bt
+                AS BIGINT) AS p_kn_ppm
+    FROM k WHERE c12 >= 5
+    ORDER BY p_kn_ppm DESC, w1, w2
+    LIMIT 50
+    """,
+    doc="Interpolated Kneser-Ney bigram language model (Kneser/Ney ICASSP "
+        "'95; Chen/Goodman '98 eq. 4.26) trained on the corpus — "
+        "P(w2|w1) = max(c12-d,0)/c1 + d*N1+(w1,.)/c1 * N1+(.,w2)/B with "
+        "discount d=3/4, the LM behind perplexity-based quality filters. "
+        "With d a dyadic rational every term is exact integer ppm "
+        "arithmetic ((4*c12-3)*1e6 div (4*c1) ...) — zero floats, so the "
+        "trained probabilities hash-match SQL exactly. Scale: one shuffle "
+        "builds the bigram-type table (map-side combined); all KN "
+        "statistics are windows over that TYPE table (vocabulary-sized, "
+        "orders smaller than the corpus), and the final top-50 is "
+        "TakeOrderedAndProject",
+)
+def q_kneser_ney_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    n = F.size(w)
+    pairs = F.zip_with(
+        F.slice(w, 1, n - 1),
+        F.slice(w, 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    big = docs.select(F.explode(pairs).alias("p")).select("p.w1", "p.w2")
+    c = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    bt = c.agg(F.count("*").alias("bt"))  # |bigram types|: one scalar
+    k = c.select(
+        "w1", "w2", "c12",
+        F.sum("c12").over(Window.partitionBy("w1")).alias("c1"),
+        F.count("*").over(Window.partitionBy("w1")).alias("nf1"),
+        F.count("*").over(Window.partitionBy("w2")).alias("npre2"),
+    ).crossJoin(F.broadcast(bt))
+    return (
+        k.filter(F.col("c12") >= 5)
+        .select(
+            "w1", "w2", "c12",
+            F.expr(
+                "(4 * c12 - 3) * 1000000 div (4 * c1)"
+                " + ((3 * nf1 * 1000000) div (4 * c1)) * npre2 div bt"
+            ).alias("p_kn_ppm"),
+        )
+        .orderBy(F.desc("p_kn_ppm"), "w1", "w2")
+        .limit(50)
+    )

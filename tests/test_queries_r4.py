@@ -197,3 +197,31 @@ def test_cms_estimates_dominate_exact_counts(spark, sf_dir):
     from gan_deeplearning4j_spark.queries_r4 import _CMS_D, _CMS_W
     ev = spark.read.parquet(f"{sf_dir}/orders.parquet")
     assert _CMS_D * _CMS_W == 1024  # documented sketch footprint
+
+
+def test_kneser_ney_matches_reference_formula(spark, sf_dir):
+    out = REGISTRY["kneser_ney_bigram_lm"].fn(spark, sf_dir).toPandas()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    from collections import Counter, defaultdict
+    c12 = Counter()
+    for t in docs["text"]:
+        w = t.split(" ")
+        for a, b in zip(w, w[1:]):
+            c12[(a, b)] += 1
+    c1 = defaultdict(int)
+    nf = defaultdict(int)
+    npre = defaultdict(int)
+    for (a, b), c in c12.items():
+        c1[a] += c
+        nf[a] += 1
+        npre[b] += 1
+    bt = len(c12)
+    for _, r in out.iterrows():
+        a, b, c = r["w1"], r["w2"], int(r["c12"])
+        assert c12[(a, b)] == c and c >= 5
+        want = (4 * c - 3) * 1000000 // (4 * c1[a]) + (
+            (3 * nf[a] * 1000000) // (4 * c1[a])
+        ) * npre[b] // bt
+        assert int(r["p_kn_ppm"]) == want
+        # a probability: positive, at most 1
+        assert 0 < want <= 1000000

@@ -526,3 +526,93 @@ def test_streaming_ewma_equals_batch_fold(spark, sf_dir, tmp_path):
     assert (got["user_id"].to_numpy() == want["user_id"].to_numpy()).all()
     assert (got["n_events"].to_numpy() == want["n_events"].to_numpy()).all()
     assert (got["ewma_c"].to_numpy() == want["ewma_c"].to_numpy()).all()
+
+
+def test_streaming_cdc_apply_matches_batch_merge(spark, tmp_path):
+    """foreachBatch CDC apply: the materialized table after streaming the
+    change log equals last-wins-by-seq application of all changes (with
+    deletes), and equals the same batches applied through the batch path."""
+    import os
+    import pandas as pd
+    from gan_deeplearning4j_spark.streaming.cdc import (
+        apply_cdc_batch,
+        streaming_cdc_apply,
+    )
+
+    # deterministic change log: 3 batches, overlapping keys, deletes
+    def batch_rows(b):
+        rows = []
+        for k in range(1 + 30 * b, 71 + 30 * b):      # overlapping key range
+            seq = b * 1000 + k
+            rows.append((k, f"s{b}_{k}", (k * 7 + b) % 97, seq,
+                         (k + b) % 11 == 0))           # ~9% deletes
+        return rows
+    cols = "key long, payload string, qty long, seq long, deleted boolean"
+
+    src = str(tmp_path / "cdc_src")
+    os.makedirs(src)
+    for b in range(3):
+        f = os.path.join(src, f"batch_{b}.parquet")
+        spark.createDataFrame(batch_rows(b), cols).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f)
+        # pin mtime per batch dir content so FileStreamSource order is fixed
+        for root, _, files in os.walk(f):
+            for name in files:
+                os.utime(os.path.join(root, name), (1000 + b, 1000 + b))
+
+    stream = (
+        spark.readStream.schema(cols)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/batch_*.parquet")
+    )
+    snap = streaming_cdc_apply(
+        stream, str(tmp_path / "cdc_state"), keys=["key"],
+        seq_col="seq", delete_col="deleted",
+    )
+    got = (
+        spark.read.parquet(snap).toPandas()
+        .sort_values("key").reset_index(drop=True)
+    )
+
+    # expected: global last-wins by seq, dropping keys whose last change
+    # is a delete
+    allrows = pd.DataFrame(
+        [r for b in range(3) for r in batch_rows(b)],
+        columns=["key", "payload", "qty", "seq", "deleted"],
+    )
+    last = allrows.sort_values("seq").groupby("key").last().reset_index()
+    want = (
+        last[~last["deleted"]]
+        .drop(columns=["seq", "deleted"])
+        .sort_values("key")
+        .reset_index(drop=True)
+    )
+    assert got[["key", "payload", "qty"]].equals(want)
+
+    # batch path agrees with the streaming path
+    state2 = str(tmp_path / "cdc_state_batch")
+    for b in range(3):
+        snap2 = apply_cdc_batch(
+            spark, state2,
+            spark.createDataFrame(batch_rows(b), cols),
+            keys=["key"], seq_col="seq", delete_col="deleted",
+        )
+    got2 = (
+        spark.read.parquet(snap2).toPandas()
+        .sort_values("key").reset_index(drop=True)
+    )
+    assert got2[["key", "payload", "qty"]].equals(want)
+
+    # idempotence: re-applying the final batch changes nothing (the
+    # exactly-once-on-replay argument)
+    snap3 = apply_cdc_batch(
+        spark, state2,
+        spark.createDataFrame(batch_rows(2), cols),
+        keys=["key"], seq_col="seq", delete_col="deleted",
+    )
+    got3 = (
+        spark.read.parquet(snap3).toPandas()
+        .sort_values("key").reset_index(drop=True)
+    )
+    assert got3[["key", "payload", "qty"]].equals(want)
