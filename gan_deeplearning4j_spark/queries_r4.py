@@ -867,3 +867,163 @@ def q_kneser_ney_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("p_kn_ppm"), "w1", "w2")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Clamped running balance (inventory semantics — fold, not window)
+# ---------------------------------------------------------------------------
+
+@register(
+    "running_balance_clamped",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             list(CASE WHEN event_type IN ('purchase', 'signup')
+                       THEN CAST(round(value * 100) AS BIGINT)
+                       ELSE -CAST(round(value * 100) AS BIGINT) END
+                  ORDER BY epoch_us(ts), event_id) AS ds
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(ds) AS BIGINT) AS n_events,
+           CAST(list_reduce(list_prepend(0, ds),
+                            (acc, x) -> greatest(acc + x, 0))
+                AS BIGINT) AS balance_c
+    FROM seq
+    """,
+    doc="Clamped running balance (inventory / wallet semantics): "
+        "balance_t = max(balance_{t-1} + delta_t, 0), credits for "
+        "purchase/signup, debits otherwise. The clamp makes the recurrence "
+        "non-linear, so NO window frame expresses it (a windowed SUM "
+        "cannot see its own clamped output) — it is an ordered left fold, "
+        "the same shape as the EWMA recurrence: Spark ordered collect_list "
+        "-> F.aggregate paired with DuckDB list_prepend+list_reduce, "
+        "integer cents at every step so the fold is engine-exact. Scale: "
+        "one shuffle on user_id; per-key state is that user's bounded "
+        "event list (the unbounded-stream form is the same recurrence in "
+        "applyInPandasWithState — streaming/stateful.py)",
+)
+def q_running_balance_clamped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    delta = F.when(
+        F.col("event_type").isin("purchase", "signup"), cents
+    ).otherwise(-cents)
+    seq = (
+        ev.select(
+            "user_id",
+            F.struct(
+                F.col("ts_nanos").alias("o1"),
+                F.col("event_id").alias("o2"),
+                delta.alias("d"),
+            ).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_list("s")).alias("ss"))
+        .select(
+            "user_id",
+            F.transform(F.col("ss"), lambda s: s["d"]).alias("ds"),
+        )
+    )
+    return seq.select(
+        "user_id",
+        F.size("ds").cast("long").alias("n_events"),
+        F.aggregate(
+            "ds",
+            F.lit(0).cast("long"),
+            lambda acc, x: F.greatest(acc + x, F.lit(0).cast("long")),
+        ).alias("balance_c"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# KN-LM document surprisal (perplexity quality filter with a real bigram LM)
+# ---------------------------------------------------------------------------
+
+@register(
+    "kn_doc_surprisal",
+    oracle="""
+    WITH s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         occ AS (SELECT doc_id,
+                        unnest(list_transform(range(1, len(w)),
+                                              i -> {'w1': w[i], 'w2': w[i + 1]}))
+                          AS p
+                 FROM s),
+         big AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM occ),
+         c AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY w1, w2),
+         k AS (SELECT w1, w2,
+                      CAST((4 * c12 - 3) * 1000000
+                           // (4 * SUM(c12) OVER (PARTITION BY w1))
+                           + ((3 * COUNT(*) OVER (PARTITION BY w1) * 1000000)
+                              // (4 * SUM(c12) OVER (PARTITION BY w1)))
+                             * COUNT(*) OVER (PARTITION BY w2)
+                             // COUNT(*) OVER ()
+                           AS BIGINT) AS p_ppm
+               FROM c),
+         scored AS (
+           SELECT b.doc_id,
+                  CAST(floor(1000000.0
+                             * ln(1000000.0 / greatest(k.p_ppm, 1)))
+                       AS BIGINT) AS surp_e6
+           FROM big b JOIN k ON k.w1 = b.w1 AND k.w2 = b.w2
+         )
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           CAST(SUM(surp_e6) AS BIGINT) AS total_surprisal_e6,
+           CAST(floor(SUM(surp_e6) * 1.0 / COUNT(*)) AS BIGINT)
+             AS mean_surprisal_e6
+    FROM scored GROUP BY doc_id
+    """,
+    doc="Document surprisal under the interpolated Kneser-Ney bigram LM — "
+        "the full perplexity quality filter (CCNet, Wenzek et al. 2020) "
+        "with a real conditional LM, upgrading unigram_surprisal: each "
+        "adjacent pair scores -ln P_KN(w2|w1), averaged per document. "
+        "P_KN is exact integer ppm (same formula as kneser_ney_bigram_lm, "
+        "unfiltered type table); only the log runs in floats, floored to "
+        "micro-nats on identical doubles. Scale: LM statistics live on "
+        "the bigram-TYPE table (Zipf-small); occurrences join the LM on "
+        "(w1,w2) — the same key the type table was built on, so AQE "
+        "reuses the partitioning — and the per-doc aggregate is tiny",
+)
+def q_kn_doc_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    n = F.size(w)
+    pairs = F.zip_with(
+        F.slice(w, 1, n - 1),
+        F.slice(w, 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    big = docs.select(
+        "doc_id", F.explode(pairs).alias("p")
+    ).select("doc_id", "p.w1", "p.w2")
+    c = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    bt = c.agg(F.count("*").alias("bt"))
+    k = c.select(
+        "w1", "w2", "c12",
+        F.sum("c12").over(Window.partitionBy("w1")).alias("c1"),
+        F.count("*").over(Window.partitionBy("w1")).alias("nf1"),
+        F.count("*").over(Window.partitionBy("w2")).alias("npre2"),
+    ).crossJoin(F.broadcast(bt)).select(
+        "w1", "w2",
+        F.expr(
+            "(4 * c12 - 3) * 1000000 div (4 * c1)"
+            " + ((3 * nf1 * 1000000) div (4 * c1)) * npre2 div bt"
+        ).alias("p_ppm"),
+    )
+    scored = big.join(k, ["w1", "w2"]).select(
+        "doc_id",
+        F.floor(
+            F.lit(1000000.0)
+            * F.log(
+                F.lit(1000000.0)
+                / F.greatest(F.col("p_ppm"), F.lit(1)).cast("double")
+            )
+        ).cast("long").alias("surp_e6"),
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum("surp_e6").cast("long").alias("total_surprisal_e6"),
+        F.floor(
+            F.sum("surp_e6") * F.lit(1.0) / F.count("*")
+        ).cast("long").alias("mean_surprisal_e6"),
+    )

@@ -225,3 +225,41 @@ def test_kneser_ney_matches_reference_formula(spark, sf_dir):
         assert int(r["p_kn_ppm"]) == want
         # a probability: positive, at most 1
         assert 0 < want <= 1000000
+
+
+def test_running_balance_matches_pandas_fold(spark, sf_dir):
+    out = (
+        REGISTRY["running_balance_clamped"].fn(spark, sf_dir)
+        .toPandas().set_index("user_id")
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    ev["c"] = (ev["value"] * 100).round().astype("int64")
+    ev["d"] = np.where(
+        ev["event_type"].isin(["purchase", "signup"]), ev["c"], -ev["c"]
+    )
+    for uid, g in ev.sort_values(["ts", "event_id"]).groupby("user_id"):
+        bal = 0
+        for d in g["d"]:
+            bal = max(bal + int(d), 0)
+        assert int(out.loc[uid, "balance_c"]) == bal
+        assert int(out.loc[uid, "n_events"]) == len(g)
+    # the clamp must actually bind somewhere, or the test proves nothing
+    plain = ev.groupby("user_id")["d"].sum()
+    assert (out["balance_c"].sort_index().to_numpy()
+            != plain.sort_index().clip(lower=0).to_numpy()).any()
+
+
+def test_kn_doc_surprisal_orders_quality(spark, sf_dir):
+    out = REGISTRY["kn_doc_surprisal"].fn(spark, sf_dir).toPandas()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    # every doc with >= 1 bigram scores; surprisal is positive
+    n_scorable = (docs["text"].str.count(" ") >= 1).sum()
+    assert len(out) == n_scorable
+    assert (out["total_surprisal_e6"] > 0).all()
+    # mean = floor(total/n) exactly
+    import math as _m
+    assert all(
+        int(r["mean_surprisal_e6"])
+        == _m.floor(r["total_surprisal_e6"] / r["n_bigrams"])
+        for _, r in out.iterrows()
+    )
