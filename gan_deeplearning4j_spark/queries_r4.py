@@ -1027,3 +1027,183 @@ def q_kn_doc_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("surp_e6") * F.lit(1.0) / F.count("*")
         ).cast("long").alias("mean_surprisal_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonality profile (hour-of-week grid, integer means)
+# ---------------------------------------------------------------------------
+
+@register(
+    "seasonality_profile",
+    oracle="""
+    SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+           CAST(hour(ts) AS BIGINT) AS hod,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_c,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) // COUNT(*)
+                AS BIGINT) AS mean_c
+    FROM events
+    GROUP BY dow, hod
+    ORDER BY dow, hod
+    """,
+    doc="Hour-of-week seasonality profile: the 7x24 grid of event count and "
+        "mean value that seasonal forecasting, anomaly baselines, and "
+        "capacity planning all start from. Mean is integer-cents floor "
+        "division (sum_c div n), engine-exact; ISO weekday (Mon=1) via "
+        "weekday()+1 matches DuckDB isodow. Scale: one "
+        "map-side-combinable aggregate into at most 168 groups — the "
+        "shuffle carries 168 rows per partition regardless of input size",
+)
+def q_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return (
+        ev.select(
+            (F.weekday("ts") + 1).cast("long").alias("dow"),
+            F.hour("ts").cast("long").alias("hod"),
+            cents.alias("c"),
+        )
+        .groupBy("dow", "hod")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("c").alias("sum_c"),
+        )
+        .select(
+            "dow", "hod", "n", "sum_c",
+            F.expr("sum_c div n").alias("mean_c"),
+        )
+        .orderBy("dow", "hod")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast backtest (predict day d by day d-7, exact MAE)
+# ---------------------------------------------------------------------------
+
+@register(
+    "seasonal_naive_backtest",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, d
+    )
+    SELECT a.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(abs(a.n - b.n)) AS BIGINT) AS sum_abs_err,
+           CAST(SUM(abs(a.n - b.n)) * 1000 // COUNT(*) AS BIGINT)
+             AS mae_ppk
+    FROM daily a JOIN daily b
+      ON b.event_type = a.event_type AND b.d = a.d - 7
+    GROUP BY a.event_type
+    ORDER BY a.event_type
+    """,
+    doc="Seasonal-naive forecast backtest: predict each day's event count "
+        "by the same weekday one week earlier and score exact MAE "
+        "(permille, integer floor-div) per event type — the baseline every "
+        "forecasting pipeline must beat, and the standard data-drift "
+        "canary. The lag-7 lookup is an equi-join on (type, date-7), "
+        "correct across date gaps where a row-offset LAG(7) silently is "
+        "not. Scale: daily pre-aggregation reduces the fact table to "
+        "|types|*|days| rows before the self-join — both sides tiny, one "
+        "fact shuffle total",
+)
+def q_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).agg(F.count("*").alias("n"))
+    a, b = daily.alias("a"), daily.alias("b")
+    j = a.join(
+        b,
+        (F.col("b.event_type") == F.col("a.event_type"))
+        & (F.col("b.d") == F.date_sub(F.col("a.d"), 7)),
+    )
+    return (
+        j.select(
+            F.col("a.event_type").alias("event_type"),
+            F.abs(F.col("a.n") - F.col("b.n")).alias("abs_err"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.sum("abs_err").alias("sum_abs_err"),
+        )
+        .select(
+            "event_type", "n_days", "sum_abs_err",
+            F.expr("sum_abs_err * 1000 div n_days").alias("mae_ppk"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence test (exact per-cell integer contributions)
+# ---------------------------------------------------------------------------
+
+@register(
+    "chi_square_independence",
+    oracle="""
+    WITH o AS (
+      SELECT source, lang, CAST(COUNT(*) AS HUGEINT) AS obs
+      FROM documents GROUP BY source, lang
+    ), r AS (
+      SELECT source, CAST(SUM(obs) AS HUGEINT) AS rt FROM o GROUP BY source
+    ), c AS (
+      SELECT lang, CAST(SUM(obs) AS HUGEINT) AS ct FROM o GROUP BY lang
+    ), tot AS (
+      SELECT CAST(SUM(obs) AS HUGEINT) AS n FROM o
+    )
+    SELECT CAST(tot.n AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM((o.obs * o.obs * 1000000 * tot.n) // (r.rt * c.ct))
+                - 1000000 * MIN(tot.n) AS BIGINT) AS chi2_e6
+    FROM o
+    JOIN r USING (source) JOIN c USING (lang) CROSS JOIN tot
+    GROUP BY tot.n
+    """,
+    doc="Chi-square independence test over the source x lang contingency "
+        "table via the identity chi2 = N * sum(O^2/(R*C)) - N: each "
+        "cell's contribution is floored to 1e-6 in exact integer "
+        "arithmetic (decimal128 / HUGEINT products), then summed — "
+        "order-free and engine-exact, where the textbook sum of float "
+        "(O-E)^2/E terms depends on accumulation order. The "
+        "drift/association screen for corpus composition audits. Scale: "
+        "contingency cells, row and column totals are three tiny "
+        "map-side-combinable aggregates off one scan; everything "
+        "downstream joins |cells| rows",
+)
+def q_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    o = docs.groupBy("source", "lang").agg(
+        F.count("*").cast("decimal(38,0)").alias("obs")
+    )
+    r = o.groupBy("source").agg(F.sum("obs").alias("rt"))
+    c = o.groupBy("lang").agg(F.sum("obs").alias("ct"))
+    tot = o.agg(F.sum("obs").alias("n"))
+    j = (
+        o.join(F.broadcast(r), "source")
+        .join(F.broadcast(c), "lang")
+        .crossJoin(F.broadcast(tot))
+    )
+    # `div` is integral division truncating toward zero — on positive
+    # operands identical to DuckDB's `//` (a plain decimal `/` then cast
+    # would round HALF_UP in Spark and drift from the oracle)
+    per = j.select(
+        F.col("n"),
+        F.expr(
+            "(obs * obs * CAST(1000000 AS DECIMAL(38,0)) * n)"
+            " div (rt * ct)"
+        ).alias("contrib_e6"),
+    )
+    return (
+        per.groupBy("n")
+        .agg(
+            F.count("*").alias("n_cells"),
+            (
+                F.sum("contrib_e6")
+                - F.lit(1000000) * F.col("n").cast("long")
+            ).cast("long").alias("chi2_e6"),
+        )
+        .select(F.col("n").cast("long").alias("n"), "n_cells", "chi2_e6")
+    )

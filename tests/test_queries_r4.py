@@ -263,3 +263,49 @@ def test_kn_doc_surprisal_orders_quality(spark, sf_dir):
         == _m.floor(r["total_surprisal_e6"] / r["n_bigrams"])
         for _, r in out.iterrows()
     )
+
+
+def test_seasonality_profile_covers_all_events(spark, sf_dir):
+    out = REGISTRY["seasonality_profile"].fn(spark, sf_dir).toPandas()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    assert out["n"].sum() == ev.count()
+    assert out["dow"].between(1, 7).all() and out["hod"].between(0, 23).all()
+    assert len(out) <= 168
+    # floor-div mean
+    assert (out["mean_c"] == out["sum_c"] // out["n"]).all()
+
+
+def test_seasonal_naive_backtest_matches_pandas(spark, sf_dir):
+    out = (
+        REGISTRY["seasonal_naive_backtest"].fn(spark, sf_dir)
+        .toPandas().set_index("event_type")
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    daily = (
+        ev.assign(d=ev["ts"].dt.floor("D"))
+        .groupby(["event_type", "d"]).size().rename("n").reset_index()
+    )
+    import pandas as pd
+    lag = daily.copy()
+    lag["d"] = lag["d"] + pd.Timedelta(days=7)
+    j = daily.merge(lag, on=["event_type", "d"], suffixes=("", "_prev"))
+    for et, g in j.groupby("event_type"):
+        err = (g["n"] - g["n_prev"]).abs()
+        assert int(out.loc[et, "n_days"]) == len(g)
+        assert int(out.loc[et, "sum_abs_err"]) == int(err.sum())
+        assert int(out.loc[et, "mae_ppk"]) == int(err.sum()) * 1000 // len(g)
+
+
+def test_chi_square_matches_float_formula(spark, sf_dir):
+    out = REGISTRY["chi_square_independence"].fn(spark, sf_dir).toPandas()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    ct = docs.groupby(["source", "lang"]).size().unstack(fill_value=0)
+    obs = ct.to_numpy().astype("float64")
+    n = obs.sum()
+    expect = np.outer(obs.sum(axis=1), obs.sum(axis=0)) / n
+    mask = expect > 0
+    chi2 = float((((obs - expect) ** 2 / expect)[mask]).sum())
+    got = out["chi2_e6"].iloc[0] / 1e6
+    # per-cell floor loses < n_cells * 1e-6 * N/ (R*C) ~ well under 0.01
+    assert abs(got - chi2) < 0.01
+    assert out["n"].iloc[0] == int(n)
