@@ -1207,3 +1207,232 @@ def q_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("n").cast("long").alias("n"), "n_cells", "chi2_e6")
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association rules (support / confidence / lift)
+# ---------------------------------------------------------------------------
+
+@register(
+    "market_basket_lift",
+    oracle="""
+    WITH b AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), n AS (
+      SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_baskets FROM b
+    ), c1 AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c FROM b
+      GROUP BY l_partkey
+    ), pairs AS (
+      SELECT a.l_partkey AS p1, c.l_partkey AS p2,
+             CAST(COUNT(*) AS BIGINT) AS c12
+      FROM b a JOIN b c
+        ON c.l_orderkey = a.l_orderkey AND c.l_partkey > a.l_partkey
+      GROUP BY p1, p2
+      HAVING COUNT(*) >= 3
+    )
+    SELECT p1, p2, c12,
+           CAST(c12 * 1000000 // ca.c AS BIGINT) AS conf_ppm,
+           CAST((c12 * n.n_baskets * 1000000) // (ca.c * cb.c) AS BIGINT)
+             AS lift_ppm
+    FROM pairs
+    JOIN c1 ca ON ca.l_partkey = p1
+    JOIN c1 cb ON cb.l_partkey = p2
+    CROSS JOIN n
+    ORDER BY lift_ppm DESC, p1, p2
+    LIMIT 50
+    """,
+    doc="Market-basket association rules (Agrawal/Srikant VLDB'94 family): "
+        "co-occurring part pairs within an order with support filter, "
+        "confidence = c12/c(p1) and lift = c12*N/(c(p1)*c(p2)) — both as "
+        "exact integer ppm (truncating div in both engines). The "
+        "recommender / cross-sell primitive. Scale: baskets are bounded "
+        "(TPC-H orders hold <= 7 lines), so the per-order pair self-join "
+        "expands O(basket^2) per order, not O(n^2) globally; item and "
+        "pair counts are map-side-combinable groupBys; top-50 via "
+        "TakeOrderedAndProject",
+)
+def q_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    n = b.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n_baskets")
+    )
+    c1 = b.groupBy("l_partkey").agg(F.count("*").alias("c"))
+    a, c = b.alias("a"), b.alias("c")
+    pairs = (
+        a.join(
+            c,
+            (F.col("c.l_orderkey") == F.col("a.l_orderkey"))
+            & (F.col("c.l_partkey") > F.col("a.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"),
+            F.col("c.l_partkey").alias("p2"),
+        )
+        .agg(F.count("*").alias("c12"))
+        .filter(F.col("c12") >= 3)
+    )
+    ca = c1.withColumnRenamed("l_partkey", "p1").withColumnRenamed("c", "ca")
+    cb = c1.withColumnRenamed("l_partkey", "p2").withColumnRenamed("c", "cb")
+    j = pairs.join(ca, "p1").join(cb, "p2").crossJoin(F.broadcast(n))
+    return (
+        j.select(
+            "p1", "p2", "c12",
+            F.expr("c12 * 1000000 div ca").alias("conf_ppm"),
+            F.expr("(c12 * n_baskets * 1000000) div (ca * cb)").alias(
+                "lift_ppm"
+            ),
+        )
+        .orderBy(F.desc("lift_ppm"), "p1", "p2")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient of customer revenue per nation (inequality metric)
+# ---------------------------------------------------------------------------
+
+@register(
+    "gini_revenue_by_nation",
+    oracle="""
+    WITH rev AS (
+      SELECT c.c_nationkey, o.o_custkey,
+             CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS x
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_nationkey, o.o_custkey
+    ), ranked AS (
+      SELECT c_nationkey, x,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                ORDER BY x, o_custkey) AS i
+      FROM rev
+    )
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(x) AS BIGINT) AS total_c,
+           CAST((2 * SUM(CAST(i AS HUGEINT) * x)
+                 - (COUNT(*) + 1) * CAST(SUM(x) AS HUGEINT)) * 1000000
+                // (CAST(COUNT(*) AS HUGEINT) * SUM(x))
+                AS BIGINT) AS gini_ppm
+    FROM ranked GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+    doc="Gini coefficient of customer revenue within each nation — the "
+        "inequality / concentration metric behind whale-detection and "
+        "revenue-risk audits — via the rank identity "
+        "G = (2*sum(i*x_(i)) - (n+1)*sum(x)) / (n*sum(x)) on integer "
+        "cents, floored to ppm (HUGEINT/decimal128 products; ties broken "
+        "by custkey so both engines rank identically). Scale: revenue "
+        "pre-aggregates per customer first (one fact shuffle); the rank "
+        "window and final aggregate are partitioned by nation, so no "
+        "global sort exists anywhere",
+)
+def q_gini_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    rev = (
+        o.join(cust, o.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            ).alias("x")
+        )
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("x", "o_custkey")
+    ranked = rev.select(
+        "c_nationkey", "x", F.row_number().over(w).alias("i")
+    )
+    g = ranked.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("x").alias("total_c"),
+        F.sum(
+            (F.col("i").cast("decimal(38,0)") * F.col("x"))
+        ).alias("six"),
+    )
+    return (
+        g.select(
+            "c_nationkey",
+            "n_customers",
+            "total_c",
+            F.expr(
+                "(2 * six - (n_customers + 1)"
+                " * CAST(total_c AS DECIMAL(38,0))) * 1000000"
+                " div (CAST(n_customers AS DECIMAL(38,0)) * total_c)"
+            ).cast("long").alias("gini_ppm"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Linear multi-touch attribution (ppm credit split over the lookback window)
+# ---------------------------------------------------------------------------
+
+@register(
+    "linear_attribution",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS pus
+      FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT user_id, epoch_us(ts) AS cus
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT p.purchase_id,
+           CAST(COUNT(c.cus) AS BIGINT) AS n_touches,
+           CAST(coalesce(1000000 // nullif(COUNT(c.cus), 0), 0) AS BIGINT)
+             AS credit_ppm,
+           CAST(CASE WHEN COUNT(c.cus) = 0 THEN 1000000
+                     ELSE 1000000 - COUNT(c.cus)
+                          * (1000000 // COUNT(c.cus)) END AS BIGINT)
+             AS residual_ppm
+    FROM p LEFT JOIN c
+      ON c.user_id = p.user_id
+     AND c.cus >= p.pus - 3600000000 AND c.cus < p.pus
+    GROUP BY p.purchase_id
+    """,
+    doc="Linear multi-touch attribution: every click in the hour before a "
+        "purchase shares the conversion credit equally — credit per touch "
+        "in integer ppm (1e6 div k) with the floor remainder reported "
+        "explicitly (residual_ppm), so total credit reconciles to exactly "
+        "1e6 per conversion: the audit property float attribution models "
+        "lose. Touchless purchases keep full residual. Scale: the "
+        "user+time interval join is the streaming interval-join shape "
+        "(joins.py) run in batch — one shuffle per side on user_id, "
+        "per-user event lists bounded by the lookback window",
+)
+def q_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    us = F.expr("ts_nanos div 1000")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        us.alias("pus"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), us.alias("cus")
+    )
+    j = p.join(
+        c,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("cus") >= F.col("pus") - 3600000000)
+        & (F.col("cus") < F.col("pus")),
+        "left",
+    )
+    k = F.count("cus")
+    return (
+        j.groupBy("purchase_id")
+        .agg(
+            k.alias("n_touches"),
+            F.coalesce(
+                F.expr("1000000 div nullif(count(cus), 0)"), F.lit(0)
+            ).cast("long").alias("credit_ppm"),
+            F.when(k == 0, F.lit(1000000).cast("long"))
+            .otherwise(
+                F.lit(1000000)
+                - k * F.expr("1000000 div nullif(count(cus), 0)")
+            ).cast("long").alias("residual_ppm"),
+        )
+    )

@@ -309,3 +309,59 @@ def test_chi_square_matches_float_formula(spark, sf_dir):
     # per-cell floor loses < n_cells * 1e-6 * N/ (R*C) ~ well under 0.01
     assert abs(got - chi2) < 0.01
     assert out["n"].iloc[0] == int(n)
+
+
+def test_market_basket_lift_matches_definition(spark, sf_dir):
+    out = REGISTRY["market_basket_lift"].fn(spark, sf_dir).toPandas()
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").toPandas()
+    b = li[["l_orderkey", "l_partkey"]].drop_duplicates()
+    n_baskets = b["l_orderkey"].nunique()
+    c1 = b.groupby("l_partkey").size()
+    from collections import Counter
+    pair = Counter()
+    for _, g in b.groupby("l_orderkey"):
+        ps = sorted(g["l_partkey"])
+        for x in range(len(ps)):
+            for y in range(x + 1, len(ps)):
+                if ps[x] != ps[y]:
+                    pair[(ps[x], ps[y])] += 1
+    for _, r in out.iterrows():
+        p1, p2, c12 = int(r["p1"]), int(r["p2"]), int(r["c12"])
+        assert pair[(p1, p2)] == c12 and c12 >= 3
+        assert int(r["conf_ppm"]) == c12 * 1000000 // c1[p1]
+        assert int(r["lift_ppm"]) == (
+            c12 * n_baskets * 1000000 // (c1[p1] * c1[p2])
+        )
+
+
+def test_gini_bounds_and_pandas_agreement(spark, sf_dir):
+    out = (
+        REGISTRY["gini_revenue_by_nation"].fn(spark, sf_dir)
+        .toPandas().set_index("c_nationkey")
+    )
+    assert out["gini_ppm"].between(0, 1000000).all()
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").toPandas()
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").toPandas()
+    o["cents"] = (o["o_totalprice"] * 100).round().astype("int64")
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    rev = j.groupby(["c_nationkey", "o_custkey"])["cents"].sum().reset_index()
+    for nk, g in rev.groupby("c_nationkey"):
+        x = g.sort_values(["cents", "o_custkey"])["cents"].to_numpy()
+        n = len(x)
+        i = np.arange(1, n + 1, dtype=object)
+        gini = (2 * int((i * x).sum()) - (n + 1) * int(x.sum())) * 1000000 // (
+            n * int(x.sum())
+        )
+        assert int(out.loc[nk, "gini_ppm"]) == gini
+        assert int(out.loc[nk, "n_customers"]) == n
+
+
+def test_linear_attribution_credit_reconciles(spark, sf_dir):
+    out = REGISTRY["linear_attribution"].fn(spark, sf_dir).toPandas()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    assert len(out) == (ev["event_type"] == "purchase").sum()
+    # exact reconciliation: k * credit + residual == 1e6 for every purchase
+    k = out["n_touches"].to_numpy()
+    total = k * out["credit_ppm"].to_numpy() + out["residual_ppm"].to_numpy()
+    assert (total == 1000000).all()
+    assert (out.loc[out["n_touches"] == 0, "residual_ppm"] == 1000000).all()
