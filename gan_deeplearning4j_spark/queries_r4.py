@@ -1259,17 +1259,25 @@ def q_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_orderkey").cast("long").alias("n_baskets")
     )
     c1 = b.groupBy("l_partkey").agg(F.count("*").alias("c"))
-    a, c = b.alias("a"), b.alias("c")
+    # pair expansion scan-side off the per-order item array (baskets are
+    # bounded, <= 7 lines) — one groupBy shuffle instead of the self-join's
+    # two join shuffles; the array is a plain column so the nested lambda
+    # does not re-evaluate a computed expression
+    baskets = b.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            "ps",
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + 2, F.size("ps")),
+                lambda y: F.struct(x.alias("p1"), y.alias("p2")),
+            ),
+        )
+    )
     pairs = (
-        a.join(
-            c,
-            (F.col("c.l_orderkey") == F.col("a.l_orderkey"))
-            & (F.col("c.l_partkey") > F.col("a.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("p1"),
-            F.col("c.l_partkey").alias("p2"),
-        )
+        baskets.select(F.explode(pair_arr).alias("pr"))
+        .groupBy(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
         .agg(F.count("*").alias("c12"))
         .filter(F.col("c12") >= 3)
     )
