@@ -45,10 +45,14 @@ def main() -> None:
     except Exception:
         pass
 
-    # SPARK_GRAFT_BENCH_REPEATS > 1: run each query n times, report the
-    # median (robust against one GC/compilation hiccup) plus per-query
-    # population sigma so regressions can be told apart from noise
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "1"))
+    # SPARK_GRAFT_BENCH_REPEATS: run each query n times, report the median
+    # (robust against one GC/compilation hiccup) plus per-query population
+    # sigma so regressions can be told apart from noise. Default 3: the
+    # first execution of a query pays whole-stage-codegen + JIT compilation
+    # (r3 measurement: single-shot total 13.8 s vs 6.8 s steady state), so
+    # a single-shot number benchmarks the compiler, not the engine. The
+    # repeats/sigma fields in the JSON line make the methodology explicit.
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     timings: dict[str, float] = {}
     sigmas: dict[str, float] = {}
     errors: dict[str, str] = {}
