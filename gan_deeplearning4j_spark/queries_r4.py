@@ -1288,9 +1288,13 @@ def q_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.select(
             "p1", "p2", "c12",
             F.expr("c12 * 1000000 div ca").alias("conf_ppm"),
-            F.expr("(c12 * n_baskets * 1000000) div (ca * cb)").alias(
-                "lift_ppm"
-            ),
+            # decimal128: c12 * n_baskets * 1e6 exceeds int64 once basket
+            # counts pass ~1e10 (ANSI mode would throw); DuckDB's HUGEINT
+            # widens automatically on the oracle side
+            F.expr(
+                "(CAST(c12 AS DECIMAL(38,0)) * n_baskets * 1000000)"
+                " div (CAST(ca AS DECIMAL(38,0)) * cb)"
+            ).cast("long").alias("lift_ppm"),
         )
         .orderBy(F.desc("lift_ppm"), "p1", "p2")
         .limit(50)
