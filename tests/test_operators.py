@@ -860,3 +860,42 @@ def test_validation_checks_count_planted_violations(spark):
         "regex:s": 1,
         "fk:id": 1,
     }
+
+
+def test_merge_upsert_model_based_random(spark):
+    """Model-based check of MERGE semantics: against a dict model, for
+    several seeded random target/update pairs with overlapping keys,
+    duplicate-free updates, and delete flags (hypothesis-style state-machine
+    check with explicit seeds — one Spark job per case keeps it fast)."""
+    import random
+
+    from gan_deeplearning4j_spark.operators.relational import merge_upsert
+
+    for seed in range(6):
+        rng = random.Random(seed)
+        tkeys = rng.sample(range(100), rng.randint(5, 40))
+        ukeys = rng.sample(range(100), rng.randint(5, 40))
+        target_rows = [(k, f"t{k}", k * 3) for k in sorted(tkeys)]
+        upd_rows = [
+            (k, f"u{k}", k * 7, rng.random() < 0.25) for k in sorted(ukeys)
+        ]
+        target = spark.createDataFrame(
+            target_rows, "key long, payload string, qty long"
+        )
+        updates = spark.createDataFrame(
+            upd_rows, "key long, payload string, qty long, deleted boolean"
+        )
+        got = {
+            r["key"]: (r["payload"], r["qty"])
+            for r in merge_upsert(
+                target, updates, ["key"], delete_col="deleted"
+            ).collect()
+        }
+        # dict model
+        model = {k: (p, q) for k, p, q in target_rows}
+        for k, p, q, d in upd_rows:
+            if d:
+                model.pop(k, None)
+            else:
+                model[k] = (p, q)
+        assert got == model, f"seed {seed}"

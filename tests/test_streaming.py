@@ -616,3 +616,79 @@ def test_streaming_cdc_apply_matches_batch_merge(spark, tmp_path):
         .sort_values("key").reset_index(drop=True)
     )
     assert got3[["key", "payload", "qty"]].equals(want)
+
+
+def test_streaming_cdc_checkpoint_restart_exactly_once(spark, tmp_path):
+    """Kill the CDC stream after the first files, restart with the same
+    checkpoint and more files: already-processed batches must not re-apply
+    (no duplicate snapshots for them), and the final table equals the
+    uninterrupted run — the exactly-once-through-restart contract."""
+    import os
+    from gan_deeplearning4j_spark.streaming.cdc import (
+        _latest_snapshot,
+        streaming_cdc_apply,
+    )
+
+    def rows(b):
+        return [
+            (k, f"p{b}_{k}", b * 1000 + k, False)
+            for k in range(1 + 20 * b, 61 + 20 * b)
+        ]
+    cols = "key long, payload string, seq long, deleted boolean"
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def write_batch(b):
+        f = os.path.join(src, f"b{b}.parquet")
+        spark.createDataFrame(rows(b), cols).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f)
+        for root, _, files in os.walk(f):
+            for name in files:
+                os.utime(os.path.join(root, name), (1000 + b, 1000 + b))
+
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    # phase 1: only batches 0 and 1 exist
+    write_batch(0)
+    write_batch(1)
+    stream = (
+        spark.readStream.schema(cols).option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b*.parquet")
+    )
+    streaming_cdc_apply(stream, state, keys=["key"], seq_col="seq",
+                        checkpoint_dir=ckpt)
+    v1, _ = _latest_snapshot(state)
+
+    # phase 2: restart the stream with the same checkpoint, one more batch
+    write_batch(2)
+    stream2 = (
+        spark.readStream.schema(cols).option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b*.parquet")
+    )
+    snap = streaming_cdc_apply(stream2, state, keys=["key"], seq_col="seq",
+                               checkpoint_dir=ckpt)
+    v2, _ = _latest_snapshot(state)
+    # batches 0/1 were not replayed: exactly one new snapshot version
+    assert v2 == v1 + 1
+
+    got = (
+        spark.read.parquet(snap).toPandas()
+        .sort_values("key").reset_index(drop=True)
+    )
+    # equals the uninterrupted single-pass run over all three batches
+    state_all = str(tmp_path / "state_all")
+    stream3 = (
+        spark.readStream.schema(cols).option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b*.parquet")
+    )
+    snap_all = streaming_cdc_apply(stream3, state_all, keys=["key"],
+                                   seq_col="seq")
+    want = (
+        spark.read.parquet(snap_all).toPandas()
+        .sort_values("key").reset_index(drop=True)
+    )
+    assert got.equals(want)
+    assert len(got) == 100  # keys 1..100 with last-wins payloads
