@@ -692,3 +692,40 @@ def test_streaming_cdc_checkpoint_restart_exactly_once(spark, tmp_path):
     )
     assert got.equals(want)
     assert len(got) == 100  # keys 1..100 with last-wins payloads
+
+
+def test_cdc_recovers_from_torn_snapshot(spark, tmp_path):
+    """A snapshot directory without _SUCCESS (crash mid-write) must be
+    invisible: the next batch applies on top of the last COMMITTED
+    snapshot, and the torn version number is reused."""
+    import os
+    from gan_deeplearning4j_spark.streaming.cdc import (
+        _latest_snapshot,
+        apply_cdc_batch,
+    )
+
+    cols = "key long, payload string, seq long, deleted boolean"
+    state = str(tmp_path / "state")
+    apply_cdc_batch(
+        spark, state,
+        spark.createDataFrame([(1, "a", 1, False), (2, "b", 2, False)], cols),
+        keys=["key"], seq_col="seq", delete_col="deleted",
+    )
+    v0, snap0 = _latest_snapshot(state)
+
+    # simulate a crash: v1 exists on disk but never committed
+    torn = os.path.join(state, f"v{v0 + 1}")
+    os.makedirs(torn)
+    with open(os.path.join(torn, "part-torn.parquet"), "wb") as fh:
+        fh.write(b"garbage")
+    assert _latest_snapshot(state) == (v0, snap0)  # torn version ignored
+
+    snap = apply_cdc_batch(
+        spark, state,
+        spark.createDataFrame([(2, "b2", 3, False), (3, "c", 4, False)], cols),
+        keys=["key"], seq_col="seq", delete_col="deleted",
+    )
+    got = {
+        r["key"]: r["payload"] for r in spark.read.parquet(snap).collect()
+    }
+    assert got == {1: "a", 2: "b2", 3: "c"}
