@@ -31,3 +31,35 @@ def sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
     """One-shot: register views and run a SQL query against them."""
     register_tables(spark, sf_dir)
     return spark.sql(query)
+
+
+# SQL scalar UDFs (Spark SQL `CREATE FUNCTION ... RETURN <expr>`): the
+# engine's cross-engine float-discipline helpers, callable from plain SQL.
+# These are expression macros, not Python UDFs — Catalyst inlines the body
+# into the calling plan, so they cost nothing at execution time and stay
+# inside whole-stage codegen.
+_MACROS: dict[str, str] = {
+    # money/ratio surrogates (README "float discipline")
+    "cents": "(x DOUBLE) RETURNS BIGINT RETURN CAST(round(x * 100) AS BIGINT)",
+    "ppm": "(num BIGINT, den BIGINT) RETURNS BIGINT "
+           "RETURN num * 1000000 div den",
+    # the one hash family a DuckDB oracle can replay (functions/text.py)
+    "portable_hash60": "(s STRING) RETURNS BIGINT "
+                       "RETURN CAST(conv(substr(md5(s), 1, 15), 16, 10) "
+                       "AS BIGINT)",
+    # fixed-point grid used by the exact ANN/covariance paths
+    "fixp20": "(x DOUBLE) RETURNS BIGINT "
+              "RETURN CAST(floor(x * 1048576) AS BIGINT)",
+    # whitespace token count (functions/text.py token_count family)
+    "ws_token_count": "(s STRING) RETURNS INT RETURN size(split(s, ' '))",
+}
+
+
+def register_macros(spark: SparkSession) -> list[str]:
+    """Create the engine's SQL scalar functions (idempotent). Returns the
+    function names; afterwards e.g.
+    ``SELECT portable_hash60(text) FROM documents`` plans as a pure
+    Catalyst expression."""
+    for name, body in _MACROS.items():
+        spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name}{body}")
+    return list(_MACROS)

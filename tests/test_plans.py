@@ -401,3 +401,42 @@ def test_runtime_bloom_filter_injects_on_selective_fact_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_sql_macros_inline_and_match_engine_functions(spark, sf_dir):
+    """SQL scalar UDFs are Catalyst macros: results equal the Column-API
+    helpers and the plan contains no BatchEvalPython (no Python UDF)."""
+    from pyspark.sql import functions as F
+
+    from gan_deeplearning4j_spark.functions.text import portable_hash60
+    from gan_deeplearning4j_spark.sql import register_macros, register_tables
+
+    register_tables(spark, sf_dir)
+    names = register_macros(spark)
+    assert "portable_hash60" in names
+
+    df = spark.sql(
+        "SELECT doc_id, portable_hash60(text) AS h, cents(1.005) AS c, "
+        "ppm(1, 3) AS p, fixp20(0.5) AS fp, ws_token_count(text) AS n "
+        "FROM documents ORDER BY doc_id LIMIT 50"
+    )
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    got = df.toPandas()
+    want = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            "doc_id",
+            portable_hash60(F.col("text")).alias("h"),
+            F.size(F.split("text", " ")).alias("n"),
+        )
+        .orderBy("doc_id")
+        .limit(50)
+        .toPandas()
+    )
+    assert (got["h"].to_numpy() == want["h"].to_numpy()).all()
+    assert (got["n"].to_numpy() == want["n"].to_numpy()).all()
+    assert (got["c"] == 100).all() and (got["p"] == 333333).all()
+    assert (got["fp"] == 524288).all()
