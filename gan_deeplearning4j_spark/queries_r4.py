@@ -1448,3 +1448,349 @@ def q_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("residual_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Proportional allocation with largest-remainder reconciliation (Hamilton)
+# ---------------------------------------------------------------------------
+
+@register(
+    "budget_allocation_hamilton",
+    oracle="""
+    WITH rev AS (
+      SELECT c.c_nationkey,
+             CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS x
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_nationkey
+    ), tot AS (SELECT CAST(SUM(x) AS HUGEINT) AS t FROM rev),
+    quota AS (
+      SELECT c_nationkey, x,
+             CAST((CAST(x AS HUGEINT) * 1000000) // tot.t AS BIGINT)
+               AS base,
+             CAST((CAST(x AS HUGEINT) * 1000000) % tot.t AS BIGINT) AS rem
+      FROM rev CROSS JOIN tot
+    ), short AS (
+      SELECT CAST(1000000 - SUM(base) AS BIGINT) AS k FROM quota
+    ), ranked AS (
+      SELECT c_nationkey, x, base,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, c_nationkey) AS rr
+      FROM quota
+    )
+    SELECT c_nationkey, x,
+           CAST(base + CASE WHEN rr <= short.k THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc_ppm
+    FROM ranked CROSS JOIN short
+    ORDER BY c_nationkey
+    """,
+    doc="Proportional budget allocation with largest-remainder "
+        "reconciliation (Hamilton's method): each nation gets "
+        "floor(share * 1e6) and the leftover units go to the largest "
+        "fractional remainders, so SUM(alloc_ppm) == 1e6 EXACTLY — the "
+        "allocation primitive behind budget splits, sampling quotas, and "
+        "shard sizing, where independent float rounding never reconciles. "
+        "All integer (HUGEINT/decimal products, // and %); remainder ties "
+        "broken by key so both engines rank identically. Scale: the fact "
+        "table reduces to one row per group before any window; the "
+        "remainder rank runs over |groups| rows",
+)
+def q_budget_allocation_hamilton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    rev = (
+        o.join(cust, o.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            ).alias("x")
+        )
+    )
+    tot = rev.agg(F.sum("x").cast("decimal(38,0)").alias("t"))
+    quota = rev.crossJoin(F.broadcast(tot)).select(
+        "c_nationkey", "x",
+        F.expr(
+            "CAST((CAST(x AS DECIMAL(38,0)) * 1000000) div t AS BIGINT)"
+        ).alias("base"),
+        F.expr(
+            "CAST((CAST(x AS DECIMAL(38,0)) * 1000000) % t AS BIGINT)"
+        ).alias("rem"),
+    )
+    short = quota.agg(
+        (F.lit(1000000) - F.sum("base")).cast("long").alias("k")
+    )
+    ranked = quota.select(
+        "c_nationkey", "x", "base",
+        F.row_number().over(
+            Window.orderBy(F.desc("rem"), "c_nationkey")
+        ).alias("rr"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(short))
+        .select(
+            "c_nationkey", "x",
+            (
+                F.col("base")
+                + F.when(F.col("rr") <= F.col("k"), 1).otherwise(0)
+            ).cast("long").alias("alloc_ppm"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Session path pattern matching (MATCH_RECOGNIZE-lite over event sequences)
+# ---------------------------------------------------------------------------
+
+@register(
+    "session_pattern_match",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             string_agg(CASE event_type WHEN 'view' THEN 'v'
+                                        WHEN 'click' THEN 'c'
+                                        WHEN 'purchase' THEN 'p'
+                                        WHEN 'signup' THEN 's'
+                                        ELSE 'e' END, ''
+                        ORDER BY epoch_us(ts), event_id) AS path
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(path) AS BIGINT) AS n_events,
+           CAST(CASE WHEN regexp_matches(path, 'v[vc]*c[vc]*p')
+                     THEN 1 ELSE 0 END AS BIGINT) AS engaged_purchase,
+           CAST(len(regexp_extract_all(path, 'cp')) AS BIGINT)
+             AS quick_buys
+    FROM seq
+    """,
+    doc="Event-sequence pattern matching (MATCH_RECOGNIZE-lite): encode "
+        "each user's ordered event stream as a compact symbol string and "
+        "run regex predicates over it — 'view then click(s) then "
+        "purchase' engagement flags and count of click->purchase bigrams. "
+        "RE2-safe syntax (no lookaround) so Spark and DuckDB regex agree. "
+        "Scale: ONE shuffle on user_id (ordered string_agg / fold), then "
+        "scan-side regex over strings whose length is the user's event "
+        "count; the pattern library extends without re-shuffling",
+)
+def q_session_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    sym = (
+        F.when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "signup", "s")
+        .otherwise("e")
+    )
+    seq = (
+        ev.select(
+            "user_id",
+            F.struct(
+                F.col("ts_nanos").alias("o1"),
+                F.col("event_id").alias("o2"),
+                sym.alias("s"),
+            ).alias("t"),
+        )
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_list("t")).alias("ts"))
+        .select(
+            "user_id",
+            F.array_join(
+                F.transform(F.col("ts"), lambda t: t["s"]), ""
+            ).alias("path"),
+        )
+    )
+    return seq.select(
+        "user_id",
+        F.length("path").cast("long").alias("n_events"),
+        F.when(
+            F.col("path").rlike("v[vc]*c[vc]*p"), 1
+        ).otherwise(0).cast("long").alias("engaged_purchase"),
+        F.size(
+            F.expr("regexp_extract_all(path, 'cp', 0)")
+        ).cast("long").alias("quick_buys"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Simple-exponential-smoothing one-step-ahead backtest (struct-acc fold)
+# ---------------------------------------------------------------------------
+
+@register(
+    "ses_forecast_backtest",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, d
+    ), seq AS (
+      SELECT event_type, list(n ORDER BY d) AS xs FROM daily
+      GROUP BY event_type
+    ), fold AS (
+      -- two registers packed into one BIGINT (lv*2^32 + sae): DuckDB
+      -- v1.0.0 list_reduce evaluates later struct fields of the lambda
+      -- against already-updated earlier fields, so a struct accumulator
+      -- silently computes sae from the NEW level; a scalar accumulator
+      -- sidesteps that. Element 1 is the init (lv = day 1, sae = 0).
+      -- Packing bound: daily count and error sum each < 2^31.
+      SELECT event_type,
+             CAST(len(xs) AS BIGINT) AS n_days,
+             list_reduce(
+               list_transform(xs, x -> CAST(x AS BIGINT) * 4294967296),
+               (acc, x) ->
+                 ((x // 4294967296 + 3 * (acc // 4294967296)) // 4)
+                   * 4294967296
+                 + acc % 4294967296
+                 + abs(x // 4294967296 - acc // 4294967296)) AS a
+      FROM seq
+    )
+    SELECT event_type, n_days,
+           CAST(a // 4294967296 AS BIGINT) AS level_final,
+           CAST(a % 4294967296 AS BIGINT) AS sum_abs_err,
+           CAST((a % 4294967296) * 1000 // (n_days - 1) AS BIGINT)
+             AS mae_ppk
+    FROM fold
+    """,
+    doc="Simple exponential smoothing (alpha=1/4) one-step-ahead backtest "
+        "per event type: forecast each day by yesterday's level, score "
+        "|actual - forecast|, update level = (x + 3*level) div 4 — an "
+        "integer recurrence, so every step is engine-exact (classic SES "
+        "with a dyadic alpha). The recurrence carries a STRUCT "
+        "accumulator (level, error sum, step count) through Spark "
+        "F.aggregate / DuckDB list_reduce — the general template for any "
+        "multi-register sequential model no window expresses. Scale: "
+        "daily pre-aggregation first, then one tiny ordered fold per "
+        "group; compare mae_ppk with seasonal_naive_backtest to pick the "
+        "baseline",
+)
+def q_ses_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).agg(F.count("*").alias("n"))
+    seq = (
+        daily.select(
+            "event_type", F.struct(F.col("d"), F.col("n")).alias("t")
+        )
+        .groupBy("event_type")
+        .agg(F.sort_array(F.collect_list("t")).alias("ts"))
+        .select(
+            "event_type",
+            F.transform(F.col("ts"), lambda t: t["n"]).alias("xs"),
+        )
+    )
+    init = F.struct(
+        F.element_at("xs", 1).alias("lv"),
+        F.lit(0).cast("long").alias("sae"),
+        F.lit(0).cast("long").alias("k"),
+    )
+
+    def step(acc, x):
+        return F.struct(
+            ((x + 3 * acc["lv"]) / 4).cast("long").alias("lv"),
+            (acc["sae"] + F.abs(x - acc["lv"])).alias("sae"),
+            (acc["k"] + 1).alias("k"),
+        )
+
+    fold = seq.select(
+        "event_type",
+        F.size("xs").cast("long").alias("n_days"),
+        F.aggregate(
+            F.slice("xs", 2, F.size("xs") - 1), init, step
+        ).alias("a"),
+    )
+    return fold.select(
+        "event_type", "n_days",
+        F.col("a.lv").alias("level_final"),
+        F.col("a.sae").alias("sum_abs_err"),
+        F.expr("a.sae * 1000 div a.k").alias("mae_ppk"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized mean (clamp at exact p05/p95 boundaries, robust aggregate)
+# ---------------------------------------------------------------------------
+
+@register(
+    "winsorized_mean_price",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+      FROM orders
+    ), agg AS (
+      SELECT o_orderpriority, price_c, COUNT(*) AS cnt
+      FROM c GROUP BY o_orderpriority, price_c
+    ), cum AS (
+      SELECT o_orderpriority, price_c,
+             SUM(cnt) OVER (PARTITION BY o_orderpriority
+                            ORDER BY price_c
+                            ROWS UNBOUNDED PRECEDING) AS cw,
+             SUM(cnt) OVER (PARTITION BY o_orderpriority) AS n
+      FROM agg
+    ), bounds AS (
+      SELECT o_orderpriority,
+             MIN(CASE WHEN 20 * cw >= n      THEN price_c END) AS lo,
+             MIN(CASE WHEN 20 * cw >= 19 * n THEN price_c END) AS hi
+      FROM cum GROUP BY o_orderpriority
+    )
+    SELECT c.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(b.lo) AS BIGINT) AS p05_c,
+           CAST(MIN(b.hi) AS BIGINT) AS p95_c,
+           CAST(SUM(least(greatest(c.price_c, b.lo), b.hi))
+                // COUNT(*) AS BIGINT) AS wmean_c
+    FROM c JOIN bounds b USING (o_orderpriority)
+    GROUP BY c.o_orderpriority
+    ORDER BY c.o_orderpriority
+    """,
+    doc="Winsorized mean: clamp each order's price into its group's exact "
+        "[p05, p95] percentile_disc boundaries (integer crossing test, no "
+        "interpolation), then take the integer-cents floor mean — the "
+        "robust mean that survives fat tails, with boundaries exact where "
+        "approx_percentile is not. Composes the equi_depth_boundaries "
+        "machinery with a broadcast clamp join. Scale: boundary pass runs "
+        "over (group, distinct value) rows; the clamp pass is a broadcast "
+        "join of |groups| bounds into one scan — two scans, one tiny "
+        "shuffle",
+)
+def q_winsorized_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("price_c"),
+    )
+    agg = o.groupBy("o_orderpriority", "price_c").agg(
+        F.count("*").alias("cnt")
+    )
+    wc = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("price_c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("o_orderpriority")
+    cum = agg.select(
+        "o_orderpriority", "price_c",
+        F.sum("cnt").over(wc).alias("cw"),
+        F.sum("cnt").over(wt).alias("n"),
+    )
+    cw, n = F.col("cw"), F.col("n")
+    bounds = cum.groupBy("o_orderpriority").agg(
+        F.min(F.when(20 * cw >= n, F.col("price_c"))).alias("lo"),
+        F.min(F.when(20 * cw >= 19 * n, F.col("price_c"))).alias("hi"),
+    )
+    j = o.join(F.broadcast(bounds), "o_orderpriority")
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("lo").alias("p05_c"),
+            F.min("hi").alias("p95_c"),
+            F.sum(
+                F.least(F.greatest(F.col("price_c"), F.col("lo")), F.col("hi"))
+            ).alias("_s"),
+        )
+        .select(
+            "o_orderpriority", "n", "p05_c", "p95_c",
+            F.expr("_s div n").alias("wmean_c"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -365,3 +365,74 @@ def test_linear_attribution_credit_reconciles(spark, sf_dir):
     total = k * out["credit_ppm"].to_numpy() + out["residual_ppm"].to_numpy()
     assert (total == 1000000).all()
     assert (out.loc[out["n_touches"] == 0, "residual_ppm"] == 1000000).all()
+
+
+def test_hamilton_allocation_reconciles_exactly(spark, sf_dir):
+    out = REGISTRY["budget_allocation_hamilton"].fn(spark, sf_dir).toPandas()
+    assert out["alloc_ppm"].sum() == 1000000  # the whole point
+    # monotone: bigger revenue never gets a smaller allocation than a
+    # strictly smaller revenue (Hamilton is rank-preserving)
+    s = out.sort_values("x").reset_index(drop=True)
+    assert (s["alloc_ppm"].diff().dropna() >= -1).all()
+    # each allocation within 1 unit of the exact proportional share
+    tot = out["x"].sum()
+    for _, r in out.iterrows():
+        exact = r["x"] * 1000000 / tot
+        assert abs(r["alloc_ppm"] - exact) < 1
+
+
+def test_session_pattern_match_replays_python_regex(spark, sf_dir):
+    import re
+    out = (
+        REGISTRY["session_pattern_match"].fn(spark, sf_dir)
+        .toPandas().set_index("user_id")
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    sym = {"view": "v", "click": "c", "purchase": "p", "signup": "s"}
+    for uid, g in ev.sort_values(["ts", "event_id"]).groupby("user_id"):
+        path = "".join(sym.get(t, "e") for t in g["event_type"])
+        assert out.loc[uid, "n_events"] == len(path)
+        assert out.loc[uid, "engaged_purchase"] == int(
+            re.search("v[vc]*c[vc]*p", path) is not None
+        )
+        assert out.loc[uid, "quick_buys"] == len(re.findall("cp", path))
+
+
+def test_ses_backtest_matches_python_fold(spark, sf_dir):
+    out = (
+        REGISTRY["ses_forecast_backtest"].fn(spark, sf_dir)
+        .toPandas().set_index("event_type")
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    daily = (
+        ev.assign(d=ev["ts"].dt.floor("D"))
+        .groupby(["event_type", "d"]).size()
+    )
+    for et in out.index:
+        xs = daily.loc[et].sort_index().to_list()
+        lv, sae = xs[0], 0
+        for x in xs[1:]:
+            sae += abs(x - lv)
+            lv = (x + 3 * lv) // 4
+        assert int(out.loc[et, "level_final"]) == lv
+        assert int(out.loc[et, "sum_abs_err"]) == sae
+        assert int(out.loc[et, "mae_ppk"]) == sae * 1000 // (len(xs) - 1)
+
+
+def test_winsorized_mean_is_robust_and_exact(spark, sf_dir):
+    out = (
+        REGISTRY["winsorized_mean_price"].fn(spark, sf_dir)
+        .toPandas().set_index("o_orderpriority")
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").toPandas()
+    o["c"] = (o["o_totalprice"] * 100).round().astype("int64")
+    for pri, g in o.groupby("o_orderpriority"):
+        v = np.sort(g["c"].to_numpy())
+        n = len(v)
+        lo = v[int(np.ceil(0.05 * n)) - 1]
+        hi = v[int(np.ceil(0.95 * n)) - 1]
+        assert out.loc[pri, "p05_c"] == lo and out.loc[pri, "p95_c"] == hi
+        wm = int(np.clip(g["c"], lo, hi).sum()) // n
+        assert int(out.loc[pri, "wmean_c"]) == wm
+        # clamping must move the mean (tails exist in this data)
+        assert wm != int(g["c"].sum()) // n
