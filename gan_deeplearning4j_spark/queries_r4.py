@@ -1794,3 +1794,289 @@ def q_winsorized_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit (fraud/synthetic-data screen)
+# ---------------------------------------------------------------------------
+
+# Benford expected first-digit probabilities log10(1+1/d), in ppm — shared
+# literal table so both engines compare against identical constants
+_BENFORD_PPM = [301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153,
+                45757]
+
+
+@register(
+    "benford_first_digit",
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ), c AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit
+    ), t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c),
+    e AS (
+      SELECT unnest(range(1, 10)) AS digit,
+             unnest({_BENFORD_PPM}) AS exp_ppm
+    )
+    SELECT e.digit,
+           CAST(coalesce(c.n, 0) AS BIGINT) AS n,
+           CAST(coalesce(c.n, 0) * 1000000 // t.total AS BIGINT)
+             AS obs_ppm,
+           CAST(e.exp_ppm AS BIGINT) AS exp_ppm,
+           CAST(abs(coalesce(c.n, 0) * 1000000 // t.total - e.exp_ppm)
+                AS BIGINT) AS dev_ppm
+    FROM e LEFT JOIN c ON c.digit = e.digit CROSS JOIN t
+    ORDER BY e.digit
+    """,
+    doc="Benford's-law first-digit audit over order totals: observed "
+        "first-digit frequencies (integer ppm) against the log10(1+1/d) "
+        "expectation, shared as literal ppm constants so both engines "
+        "compare against identical numbers — the standard "
+        "fraud/synthetic-data screen for money columns. First digit via "
+        "string head of the integer cents (pure codegen, no log/pow). "
+        "Scale: one map-side-combinable 9-group aggregate; the "
+        "expectation table is a 9-row literal",
+)
+def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").cast("string"),
+        1, 1,
+    ).cast("long")
+    c = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count("*").alias("n")
+    )
+    t = c.agg(F.sum("n").cast("long").alias("total"))
+    e = _t(spark, sf_dir, "orders").sparkSession.createDataFrame(
+        [(i + 1, p) for i, p in enumerate(_BENFORD_PPM)],
+        "digit long, exp_ppm long",
+    )
+    j = (
+        e.join(c, "digit", "left")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+            F.expr(
+                "coalesce(n, 0) * 1000000 div total"
+            ).alias("obs_ppm"),
+            "exp_ppm",
+            F.abs(
+                F.expr("coalesce(n, 0) * 1000000 div total")
+                - F.col("exp_ppm")
+            ).alias("dev_ppm"),
+        )
+    )
+    return j.orderBy("digit")
+
+
+# ---------------------------------------------------------------------------
+# Sweep-line max concurrency (interval overlap counting)
+# ---------------------------------------------------------------------------
+
+@register(
+    "max_concurrency_daily",
+    oracle="""
+    WITH s AS (  -- 30-min-gap sessions per user (sessionize semantics)
+      SELECT user_id, epoch_us(ts) AS us, event_id,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                       OVER (PARTITION BY user_id
+                             ORDER BY epoch_us(ts), event_id)
+                  > 1800000000 THEN 1 ELSE 0 END AS brk
+      FROM events
+    ), sid_t AS (
+      SELECT user_id, us,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM s
+    ), iv AS (
+      SELECT user_id, sid, MIN(us) AS start_us, MAX(us) AS end_us
+      FROM sid_t GROUP BY user_id, sid
+    ), pts AS (
+      SELECT CAST(start_us // 86400000000 AS BIGINT) AS day, start_us AS us,
+             1 AS delta, 0 AS tie FROM iv
+      UNION ALL
+      SELECT CAST(start_us // 86400000000 AS BIGINT), end_us + 1, -1, 1
+      FROM iv
+    ), sweep AS (
+      SELECT day,
+             SUM(delta) OVER (PARTITION BY day ORDER BY us, tie
+                              ROWS UNBOUNDED PRECEDING) AS live
+      FROM pts
+    )
+    SELECT day, CAST(MAX(live) AS BIGINT) AS max_concurrent
+    FROM sweep GROUP BY day ORDER BY day
+    """,
+    doc="Sweep-line interval concurrency: 30-min-gap sessions become "
+        "[start, end] intervals, each emits +1/-1 boundary points, and a "
+        "partitioned running sum over the ordered point stream yields the "
+        "maximum number of simultaneously active sessions per day — the "
+        "capacity-planning metric windowed aggregates cannot express "
+        "(overlap is not containment in any fixed bucket). Ends sort "
+        "after coincident starts (end_us+1, tie key), counting a session "
+        "live through its last event microsecond. Partitioning the sweep "
+        "by UTC day keeps it parallel; sessions never span days in this "
+        "data (asserted in the test), and at scale the same plan runs "
+        "with a per-day carry-in correction term. All integer "
+        "microseconds. Scale: two user_id-partitioned windows share one "
+        "shuffle; the sweep shuffles 2 rows per session",
+)
+def q_max_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    us = F.expr("ts_nanos div 1000")
+    wo = Window.partitionBy("user_id").orderBy("us", "event_id")
+    s = ev.select(
+        "user_id", us.alias("us"), "event_id"
+    ).withColumn(
+        "brk",
+        F.when(
+            F.col("us") - F.lag("us").over(wo) > 1800000000, 1
+        ).otherwise(0),
+    )
+    sess = s.withColumn(
+        "sid",
+        F.sum("brk").over(
+            wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    iv = sess.groupBy("user_id", "sid").agg(
+        F.min("us").alias("start_us"), F.max("us").alias("end_us")
+    )
+    starts = iv.select(
+        F.expr("start_us div 86400000000").alias("day"),
+        F.col("start_us").alias("us"),
+        F.lit(1).alias("delta"),
+        F.lit(0).alias("tie"),
+    )
+    ends = iv.select(
+        F.expr("start_us div 86400000000").alias("day"),
+        (F.col("end_us") + 1).alias("us"),
+        F.lit(-1).alias("delta"),
+        F.lit(1).alias("tie"),
+    )
+    pts = starts.unionByName(ends)
+    sweep = pts.select(
+        "day",
+        F.sum("delta").over(
+            Window.partitionBy("day")
+            .orderBy("us", "tie")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("live"),
+    )
+    return (
+        sweep.groupBy("day")
+        .agg(F.max("live").cast("long").alias("max_concurrent"))
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact 1-D Wasserstein (EMD) drift matrix between source distributions
+# ---------------------------------------------------------------------------
+
+@register(
+    "emd_drift_matrix",
+    oracle="""
+    WITH c AS (
+      SELECT source, CAST(n_chars AS BIGINT) AS v,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM documents GROUP BY source, v
+    ), tot AS (
+      SELECT source, CAST(SUM(cnt) AS BIGINT) AS n FROM c GROUP BY source
+    ), pairs AS (
+      SELECT a.source AS sa, b.source AS sb, a.n AS na, b.n AS nb
+      FROM tot a JOIN tot b ON a.source < b.source
+    ), tagged AS (
+      SELECT p.sa, p.sb, p.na, p.nb, c.v,
+             SUM(CASE WHEN c.source = p.sa THEN c.cnt ELSE 0 END) AS ca,
+             SUM(CASE WHEN c.source = p.sb THEN c.cnt ELSE 0 END) AS cb
+      FROM pairs p JOIN c ON c.source IN (p.sa, p.sb)
+      GROUP BY p.sa, p.sb, p.na, p.nb, c.v
+    ), cum AS (
+      SELECT sa, sb, na, nb, v,
+             SUM(ca) OVER w AS fa, SUM(cb) OVER w AS fb,
+             lead(v) OVER (PARTITION BY sa, sb ORDER BY v) AS nv
+      FROM tagged
+      WINDOW w AS (PARTITION BY sa, sb ORDER BY v
+                   ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT sa, sb, CAST(MIN(na) AS BIGINT) AS n_a,
+           CAST(MIN(nb) AS BIGINT) AS n_b,
+           CAST(SUM(abs(CAST(fa AS HUGEINT) * nb - CAST(fb AS HUGEINT) * na)
+                    * (nv - v)) * 1000
+                // (CAST(MIN(na) AS HUGEINT) * MIN(nb)) AS BIGINT)
+             AS emd_milli
+    FROM cum WHERE nv IS NOT NULL
+    GROUP BY sa, sb
+    ORDER BY sa, sb
+    """,
+    doc="Exact 1-D Wasserstein distance (earth mover's) between every pair "
+        "of sources' document-length distributions: EMD_1 = integral of "
+        "|F_a - F_b|, computed as the sum over distinct-value gaps of "
+        "|cumA*Nb - cumB*Na| * gap — the cross-multiplied form keeps "
+        "everything integer (HUGEINT/decimal128), so the drift matrix is "
+        "engine-exact where a float CDF integral is not. THE distribution- "
+        "shift metric for corpus mixing and train/serve skew audits "
+        "(KS distance = max instead of sum over the same cum table). "
+        "Scale: counts collapse to (source, distinct value) rows; every "
+        "window partitions by source pair — |sources|^2/2 independent "
+        "sweeps over value-distinct rows, no global sort",
+)
+def q_emd_drift_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    c = docs.groupBy(
+        "source", F.col("n_chars").cast("long").alias("v")
+    ).agg(F.count("*").alias("cnt"))
+    tot = c.groupBy("source").agg(F.sum("cnt").alias("n"))
+    a, b = tot.alias("a"), tot.alias("b")
+    pairs = a.join(b, F.col("a.source") < F.col("b.source")).select(
+        F.col("a.source").alias("sa"), F.col("b.source").alias("sb"),
+        F.col("a.n").alias("na"), F.col("b.n").alias("nb"),
+    )
+    tagged = (
+        F.broadcast(pairs)
+        .join(
+            c,
+            (F.col("source") == F.col("sa"))
+            | (F.col("source") == F.col("sb")),
+        )
+        .groupBy("sa", "sb", "na", "nb", "v")
+        .agg(
+            F.sum(
+                F.when(F.col("source") == F.col("sa"), F.col("cnt"))
+                .otherwise(0)
+            ).alias("ca"),
+            F.sum(
+                F.when(F.col("source") == F.col("sb"), F.col("cnt"))
+                .otherwise(0)
+            ).alias("cb"),
+        )
+    )
+    wc = (
+        Window.partitionBy("sa", "sb").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wl = Window.partitionBy("sa", "sb").orderBy("v")
+    cum = tagged.select(
+        "sa", "sb", "na", "nb", "v",
+        F.sum("ca").over(wc).alias("fa"),
+        F.sum("cb").over(wc).alias("fb"),
+        F.lead("v").over(wl).alias("nv"),
+    )
+    return (
+        cum.filter(F.col("nv").isNotNull())
+        .groupBy("sa", "sb")
+        .agg(
+            F.min("na").alias("n_a"),
+            F.min("nb").alias("n_b"),
+            F.expr(
+                "CAST(SUM(ABS(CAST(fa AS DECIMAL(38,0)) * nb"
+                " - CAST(fb AS DECIMAL(38,0)) * na) * (nv - v)) * 1000"
+                " div (CAST(MIN(na) AS DECIMAL(38,0)) * MIN(nb))"
+                " AS BIGINT)"
+            ).alias("emd_milli"),
+        )
+        .orderBy("sa", "sb")
+    )

@@ -436,3 +436,80 @@ def test_winsorized_mean_is_robust_and_exact(spark, sf_dir):
         assert int(out.loc[pri, "wmean_c"]) == wm
         # clamping must move the mean (tails exist in this data)
         assert wm != int(g["c"].sum()) // n
+
+
+def test_benford_covers_all_orders(spark, sf_dir):
+    out = REGISTRY["benford_first_digit"].fn(spark, sf_dir).toPandas()
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    assert len(out) == 9
+    assert out["n"].sum() == o.filter("o_totalprice > 0").count()
+    assert (out["exp_ppm"].to_numpy() == np.array(
+        [301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757]
+    )).all()
+    assert (
+        out["dev_ppm"] == (out["obs_ppm"] - out["exp_ppm"]).abs()
+    ).all()
+
+
+def test_max_concurrency_matches_brute_force(spark, sf_dir):
+    out = (
+        REGISTRY["max_concurrency_daily"].fn(spark, sf_dir)
+        .toPandas().set_index("day")
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    ev["us"] = ev["ts"].astype("int64") // 1000
+    ev = ev.sort_values(["user_id", "us", "event_id"])
+    # rebuild sessions (30-min gap) in pandas
+    iv = []
+    for uid, g in ev.groupby("user_id"):
+        start = prev = None
+        for u in g["us"]:
+            if start is None:
+                start = prev = u
+            elif u - prev > 1_800_000_000:
+                iv.append((start, prev))
+                start = prev = u
+            else:
+                prev = u
+        iv.append((start, prev))
+    # no session crosses a UTC day boundary in this data (plan assumption)
+    for s, e in iv:
+        assert s // 86_400_000_000 == e // 86_400_000_000
+    # brute-force sweep per day
+    from collections import defaultdict
+    bydate = defaultdict(list)
+    for s, e in iv:
+        bydate[s // 86_400_000_000].append((s, e))
+    for day, ivs in bydate.items():
+        pts = sorted(
+            [(s, 0, 1) for s, _ in ivs] + [(e + 1, 1, -1) for _, e in ivs]
+        )
+        live = best = 0
+        for _, _, d in pts:
+            live += d
+            best = max(best, live)
+        assert int(out.loc[day, "max_concurrent"]) == best
+
+
+def test_emd_matches_numpy_cdf_integral(spark, sf_dir):
+    out = REGISTRY["emd_drift_matrix"].fn(spark, sf_dir).toPandas()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    groups = {s: np.sort(g["n_chars"].to_numpy())
+              for s, g in docs.groupby("source")}
+    import itertools
+    checked = 0
+    for (sa, va), (sb, vb) in itertools.combinations(
+        sorted(groups.items()), 2
+    ):
+        vals = np.unique(np.concatenate([va, vb]))
+        fa = np.searchsorted(va, vals, side="right") / len(va)
+        fb = np.searchsorted(vb, vals, side="right") / len(vb)
+        emd = float(np.sum(np.abs(fa - fb)[:-1] * np.diff(vals)))
+        row = out[(out["sa"] == sa) & (out["sb"] == sb)]
+        assert len(row) == 1
+        got = row["emd_milli"].iloc[0] / 1000
+        assert abs(got - emd) < 1e-3 + 1e-9 * emd
+        checked += 1
+    assert checked == len(out)
+    # identity sanity: EMD is symmetric-positive; zero only for identical
+    assert (out["emd_milli"] >= 0).all()
