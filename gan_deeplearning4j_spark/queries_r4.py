@@ -2080,3 +2080,291 @@ def q_emd_drift_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("sa", "sb")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance (algebraic state merge, no rescan)
+# ---------------------------------------------------------------------------
+
+_AGG_SPLIT = "TIMESTAMP '1997-01-01'"
+
+
+@register(
+    "incremental_agg_merge",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS sum_c,
+             CAST(MIN(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS min_c,
+             CAST(MAX(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS max_c
+      FROM orders WHERE o_orderdate < {_AGG_SPLIT}
+      GROUP BY o_orderpriority
+    ), delta AS (
+      SELECT o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS sum_c,
+             CAST(MIN(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS min_c,
+             CAST(MAX(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS max_c
+      FROM orders WHERE o_orderdate >= {_AGG_SPLIT}
+      GROUP BY o_orderpriority
+    )
+    SELECT coalesce(b.o_orderpriority, d.o_orderpriority)
+             AS o_orderpriority,
+           CAST(coalesce(b.n, 0) + coalesce(d.n, 0) AS BIGINT) AS n,
+           CAST(coalesce(b.sum_c, 0) + coalesce(d.sum_c, 0) AS BIGINT)
+             AS sum_c,
+           CAST(least(coalesce(b.min_c, 9223372036854775807),
+                      coalesce(d.min_c, 9223372036854775807)) AS BIGINT)
+             AS min_c,
+           CAST(greatest(coalesce(b.max_c, -9223372036854775808),
+                         coalesce(d.max_c, -9223372036854775808))
+                AS BIGINT) AS max_c
+    FROM base b FULL OUTER JOIN delta d USING (o_orderpriority)
+    ORDER BY o_orderpriority
+    """,
+    doc="Incremental aggregate maintenance: count/sum/min/max are "
+        "ALGEBRAIC — a materialized per-group state merges with a delta "
+        "batch's state through (+, +, least, greatest) without rescanning "
+        "the base (the engine form of materialized-view maintenance; the "
+        "same merge the CDC apply would run per micro-batch). The oracle "
+        "replays the split-merge; correctness means merged state == "
+        "direct full-scan aggregate, which the test pins explicitly. "
+        "Scale: the base state is |groups| rows read back from its "
+        "snapshot; only the delta partition is scanned — the 100 TB win "
+        "is scanning one day, not the whole history",
+)
+def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+
+    def state(df):
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n"),
+            F.sum(cents).alias("sum_c"),
+            F.min(cents).alias("min_c"),
+            F.max(cents).alias("max_c"),
+        )
+
+    split = F.lit("1997-01-01").cast("timestamp")
+    base = state(o.filter(F.col("o_orderdate") < split)).alias("b")
+    delta = state(o.filter(F.col("o_orderdate") >= split)).alias("d")
+    merged = base.join(delta, ["o_orderpriority"], "full_outer").select(
+        "o_orderpriority",
+        (
+            F.coalesce(F.col("b.n"), F.lit(0))
+            + F.coalesce(F.col("d.n"), F.lit(0))
+        ).alias("n"),
+        (
+            F.coalesce(F.col("b.sum_c"), F.lit(0))
+            + F.coalesce(F.col("d.sum_c"), F.lit(0))
+        ).alias("sum_c"),
+        F.least(
+            F.coalesce(F.col("b.min_c"), F.lit(9223372036854775807)),
+            F.coalesce(F.col("d.min_c"), F.lit(9223372036854775807)),
+        ).alias("min_c"),
+        F.greatest(
+            F.coalesce(F.col("b.max_c"), F.lit(-9223372036854775808)),
+            F.coalesce(F.col("d.max_c"), F.lit(-9223372036854775808)),
+        ).alias("max_c"),
+    )
+    return merged.orderBy("o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# OLS trend per group from exact integer moments
+# ---------------------------------------------------------------------------
+
+@register(
+    "ols_trend_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(epoch_us(date_trunc('day', ts)) // 86400000000
+                  AS BIGINT) AS day,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY event_type, day
+    ), m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(day) AS HUGEINT) AS sx,
+             CAST(SUM(y) AS HUGEINT) AS sy,
+             CAST(SUM(day * y) AS HUGEINT) AS sxy,
+             CAST(SUM(day * day) AS HUGEINT) AS sxx
+      FROM daily GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           CAST((n * sxy - sx * sy) * 1000000
+                // (n * sxx - sx * sx) AS BIGINT) AS slope_ppm
+    FROM m ORDER BY event_type
+    """,
+    doc="Per-group OLS trend (events/day regressed on day index) from "
+        "exact integer moment sums: slope = (n*Sxy - Sx*Sy) / "
+        "(n*Sxx - Sx^2), emitted as floor-ppm — the drift/trend detector "
+        "behind volume alerts, deterministic where float REGR_SLOPE's "
+        "accumulation order is not (decimal128/HUGEINT products; day "
+        "index keeps Sxx small). Scale: daily pre-aggregation then one "
+        "tiny moment aggregate per group — same single-shuffle shape as "
+        "stats_corr_exact",
+)
+def q_ols_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("(ts_nanos div 1000) div 86400000000").alias("day"),
+    ).agg(F.count("*").alias("y"))
+    m = daily.groupBy("event_type").agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("day").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("day") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.col("day") * F.col("day")).cast("decimal(38,0)").alias("sxx"),
+    )
+    return m.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.expr(
+            "CAST((n * sxy - sx * sy) * 1000000"
+            " div (n * sxx - sx * sx) AS BIGINT)"
+        ).alias("slope_ppm"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U rank-sum test (nonparametric group comparison)
+# ---------------------------------------------------------------------------
+
+@register(
+    "mann_whitney_u",
+    oracle="""
+    WITH v AS (
+      SELECT CASE WHEN source = 'src1' THEN 0 ELSE 1 END AS grp,
+             CAST(n_chars AS BIGINT) AS x
+      FROM documents WHERE source IN ('src1', 'src2')
+    ), r AS (  -- midranks doubled to stay integer under ties
+      SELECT grp, x,
+             CAST(RANK() OVER (ORDER BY x) AS BIGINT) * 2
+               + CAST(COUNT(*) OVER (PARTITION BY x) AS BIGINT) - 1
+               AS r2
+      FROM v
+    ), s AS (
+      SELECT CAST(SUM(CASE WHEN grp = 0 THEN r2 ELSE 0 END) AS BIGINT)
+               AS r2a,
+             CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS na,
+             CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS nb
+      FROM r
+    )
+    SELECT na, nb,
+           CAST(r2a - na * (na + 1) AS BIGINT) AS u2_a,
+           CAST(2 * na * nb - (r2a - na * (na + 1)) AS BIGINT) AS u2_b,
+           CAST((r2a - na * (na + 1)) * 1000000 // (2 * na * nb)
+                AS BIGINT) AS auc_ppm
+    FROM s
+    """,
+    doc="Mann-Whitney U rank-sum test comparing document lengths between "
+        "two sources (src1 vs src2), exactly: midranks are doubled "
+        "(2*rank + ties - 1) so tied ranks stay integer, U = R_a - "
+        "n_a(n_a+1)/2 follows in the doubled domain, and U/(n_a*n_b) — "
+        "the probability a random src1 doc is longer than a random src2 doc "
+        "(AUC) — lands as floor-ppm. The nonparametric A/B test for "
+        "skewed metrics where the t-test's normality assumption fails. "
+        "Scale: one global rank over the pooled values is the only "
+        "ordered pass (value-distinct pre-agg would shrink it the same "
+        "way weighted_median does); everything after is one scalar "
+        "aggregate",
+)
+def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src1", "src2")
+    )
+    v = docs.select(
+        F.when(F.col("source") == "src1", 0).otherwise(1).alias("grp"),
+        F.col("n_chars").cast("long").alias("x"),
+    )
+    r = v.select(
+        "grp",
+        (
+            F.rank().over(Window.orderBy("x")).cast("long") * 2
+            + F.count("*").over(Window.partitionBy("x")).cast("long")
+            - 1
+        ).alias("r2"),
+    )
+    s = r.agg(
+        F.sum(F.when(F.col("grp") == 0, F.col("r2")).otherwise(0)).alias(
+            "r2a"
+        ),
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("nb"),
+    )
+    return s.select(
+        "na", "nb",
+        F.expr("r2a - na * (na + 1)").alias("u2_a"),
+        F.expr("2 * na * nb - (r2a - na * (na + 1))").alias("u2_b"),
+        F.expr(
+            "(r2a - na * (na + 1)) * 1000000 div (2 * na * nb)"
+        ).alias("auc_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility profile (chars per token by language)
+# ---------------------------------------------------------------------------
+
+@register(
+    "token_fertility_by_lang",
+    oracle="""
+    WITH t AS (
+      SELECT lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+             CAST(length(text) AS BIGINT) AS n_chr
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chr) * 1000 // SUM(n_tok) AS BIGINT)
+             AS chars_per_token_ppk,
+           CAST(SUM(n_tok) * 1000 // SUM(n_chr) AS BIGINT)
+             AS tokens_per_kchar
+    FROM t GROUP BY lang ORDER BY lang
+    """,
+    doc="Tokenizer fertility profile per language: characters per "
+        "whitespace token (permille) and its inverse — the "
+        "capacity-planning ratio for context budgets and the standard "
+        "screen for languages a tokenizer fragments (fertility spikes). "
+        "Exact integer ratios of corpus-level sums. Scale: one "
+        "map-side-combinable aggregate over scan-side length expressions; "
+        "swap the splitter for the BPE-ish regex tokenizer "
+        "(functions/text.py) for subword fertility at the same plan shape",
+)
+def q_token_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+        F.length("text").cast("long").alias("n_chr"),
+    )
+    return (
+        t.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.sum("n_chr").alias("_chr"),
+        )
+        .select(
+            "lang", "n_docs", "total_tokens",
+            F.expr("_chr * 1000 div total_tokens").alias(
+                "chars_per_token_ppk"
+            ),
+            F.expr("total_tokens * 1000 div _chr").alias("tokens_per_kchar"),
+        )
+        .orderBy("lang")
+    )

@@ -513,3 +513,69 @@ def test_emd_matches_numpy_cdf_integral(spark, sf_dir):
     assert checked == len(out)
     # identity sanity: EMD is symmetric-positive; zero only for identical
     assert (out["emd_milli"] >= 0).all()
+
+
+def test_incremental_merge_equals_direct_aggregate(spark, sf_dir):
+    out = (
+        REGISTRY["incremental_agg_merge"].fn(spark, sf_dir)
+        .toPandas().sort_values("o_orderpriority").reset_index(drop=True)
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").toPandas()
+    o["c"] = (o["o_totalprice"] * 100).round().astype("int64")
+    direct = (
+        o.groupby("o_orderpriority")["c"]
+        .agg(n="count", sum_c="sum", min_c="min", max_c="max")
+        .reset_index()
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )
+    assert (out["n"].to_numpy() == direct["n"].to_numpy()).all()
+    assert (out["sum_c"].to_numpy() == direct["sum_c"].to_numpy()).all()
+    assert (out["min_c"].to_numpy() == direct["min_c"].to_numpy()).all()
+    assert (out["max_c"].to_numpy() == direct["max_c"].to_numpy()).all()
+
+
+def test_ols_trend_matches_numpy(spark, sf_dir):
+    out = (
+        REGISTRY["ols_trend_daily"].fn(spark, sf_dir)
+        .toPandas().set_index("event_type")
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    daily = (
+        ev.assign(day=ev["ts"].astype("int64") // 1000 // 86_400_000_000)
+        .groupby(["event_type", "day"]).size().rename("y").reset_index()
+    )
+    for et, g in daily.groupby("event_type"):
+        x, y = g["day"].to_numpy("float64"), g["y"].to_numpy("float64")
+        slope = np.polyfit(x, y, 1)[0]
+        got = out.loc[et, "slope_ppm"] / 1e6
+        assert abs(got - slope) < 2e-6, et
+        assert out.loc[et, "n_days"] == len(g)
+
+
+def test_mann_whitney_matches_brute_force(spark, sf_dir):
+    out = REGISTRY["mann_whitney_u"].fn(spark, sf_dir).toPandas().iloc[0]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    a = docs.loc[docs["source"] == "src1", "n_chars"].to_numpy()
+    b = docs.loc[docs["source"] == "src2", "n_chars"].to_numpy()
+    # U = #(a>b) + 0.5*#(a==b); doubled: 2U
+    gt = (a[:, None] > b[None, :]).sum()
+    eq = (a[:, None] == b[None, :]).sum()
+    u2 = 2 * gt + eq
+    assert int(out["u2_a"]) == u2
+    assert int(out["u2_b"]) == 2 * len(a) * len(b) - u2
+    assert int(out["auc_ppm"]) == u2 * 1000000 // (2 * len(a) * len(b))
+    assert int(out["na"]) == len(a) and int(out["nb"]) == len(b)
+
+
+def test_token_fertility_ratios_consistent(spark, sf_dir):
+    out = REGISTRY["token_fertility_by_lang"].fn(spark, sf_dir).toPandas()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    assert out["n_docs"].sum() == len(docs)
+    for _, r in out.iterrows():
+        g = docs[docs["lang"] == r["lang"]]
+        n_tok = g["text"].str.count(" ").sum() + len(g)
+        n_chr = g["text"].str.len().sum()
+        assert r["total_tokens"] == n_tok
+        assert r["chars_per_token_ppk"] == n_chr * 1000 // n_tok
+        assert r["tokens_per_kchar"] == n_tok * 1000 // n_chr
