@@ -2368,3 +2368,331 @@ def q_token_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Kolmogorov-Smirnov drift matrix (max CDF gap, integer-exact)
+# ---------------------------------------------------------------------------
+
+@register(
+    "ks_drift_matrix",
+    oracle="""
+    WITH c AS (
+      SELECT source, CAST(n_chars AS BIGINT) AS v,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM documents GROUP BY source, v
+    ), tot AS (
+      SELECT source, CAST(SUM(cnt) AS BIGINT) AS n FROM c GROUP BY source
+    ), pairs AS (
+      SELECT a.source AS sa, b.source AS sb, a.n AS na, b.n AS nb
+      FROM tot a JOIN tot b ON a.source < b.source
+    ), tagged AS (
+      SELECT p.sa, p.sb, p.na, p.nb, c.v,
+             SUM(CASE WHEN c.source = p.sa THEN c.cnt ELSE 0 END) AS ca,
+             SUM(CASE WHEN c.source = p.sb THEN c.cnt ELSE 0 END) AS cb
+      FROM pairs p JOIN c ON c.source IN (p.sa, p.sb)
+      GROUP BY p.sa, p.sb, p.na, p.nb, c.v
+    ), cum AS (
+      SELECT sa, sb, na, nb,
+             SUM(ca) OVER w AS fa, SUM(cb) OVER w AS fb
+      FROM tagged
+      WINDOW w AS (PARTITION BY sa, sb ORDER BY v
+                   ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT sa, sb,
+           CAST(MAX(abs(CAST(fa AS HUGEINT) * nb - CAST(fb AS HUGEINT) * na))
+                * 1000000 // (CAST(MIN(na) AS HUGEINT) * MIN(nb))
+                AS BIGINT) AS ks_ppm
+    FROM cum GROUP BY sa, sb
+    ORDER BY sa, sb
+    """,
+    doc="Kolmogorov-Smirnov statistic between every source pair's "
+        "document-length distributions: D = max |F_a - F_b| over the "
+        "pooled distinct values, cross-multiplied (|fa*nb - fb*na|) so "
+        "the max runs over exact integers and only the final ppm "
+        "normalization divides — the hypothesis-test companion to "
+        "emd_drift_matrix (same cum table, MAX instead of gap-weighted "
+        "SUM). Scale: identical shape — counts collapse per (source, "
+        "value), pair-partitioned cumulative windows, no global sort",
+)
+def q_ks_drift_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    c = docs.groupBy(
+        "source", F.col("n_chars").cast("long").alias("v")
+    ).agg(F.count("*").alias("cnt"))
+    tot = c.groupBy("source").agg(F.sum("cnt").alias("n"))
+    a, b = tot.alias("a"), tot.alias("b")
+    pairs = a.join(b, F.col("a.source") < F.col("b.source")).select(
+        F.col("a.source").alias("sa"), F.col("b.source").alias("sb"),
+        F.col("a.n").alias("na"), F.col("b.n").alias("nb"),
+    )
+    tagged = (
+        F.broadcast(pairs)
+        .join(
+            c,
+            (F.col("source") == F.col("sa"))
+            | (F.col("source") == F.col("sb")),
+        )
+        .groupBy("sa", "sb", "na", "nb", "v")
+        .agg(
+            F.sum(
+                F.when(F.col("source") == F.col("sa"), F.col("cnt"))
+                .otherwise(0)
+            ).alias("ca"),
+            F.sum(
+                F.when(F.col("source") == F.col("sb"), F.col("cnt"))
+                .otherwise(0)
+            ).alias("cb"),
+        )
+    )
+    wc = (
+        Window.partitionBy("sa", "sb").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = tagged.select(
+        "sa", "sb", "na", "nb",
+        F.sum("ca").over(wc).alias("fa"),
+        F.sum("cb").over(wc).alias("fb"),
+    )
+    return (
+        cum.groupBy("sa", "sb")
+        .agg(
+            F.expr(
+                "CAST(MAX(ABS(CAST(fa AS DECIMAL(38,0)) * nb"
+                " - CAST(fb AS DECIMAL(38,0)) * na)) * 1000000"
+                " div (CAST(MIN(na) AS DECIMAL(38,0)) * MIN(nb))"
+                " AS BIGINT)"
+            ).alias("ks_ppm"),
+        )
+        .orderBy("sa", "sb")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter as a replayable aggregation (membership pre-filter)
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 4096  # bits
+_BLOOM_K = 3     # hash functions
+
+
+def _bloom_oracle() -> str:
+    def bitpos(d: int, key: str) -> str:
+        h = portable_hash60_sql(f"'{d}' || '|' || CAST({key} AS VARCHAR)")
+        return f"({h} % {_BLOOM_M})"
+
+    bits_rows = " UNION ALL ".join(
+        f"SELECT {bitpos(d, 'o_custkey')} AS bit FROM orders"
+        for d in range(_BLOOM_K)
+    )
+    probe_checks = " AND ".join(
+        f"{bitpos(d, 'c_custkey')} IN (SELECT bit FROM bits)"
+        for d in range(_BLOOM_K)
+    )
+    return f"""
+    WITH bits AS (SELECT DISTINCT bit FROM ({bits_rows})),
+    probe AS (
+      SELECT c_custkey,
+             CASE WHEN {probe_checks} THEN 1 ELSE 0 END AS maybe,
+             CASE WHEN c_custkey IN (SELECT o_custkey FROM orders)
+                  THEN 1 ELSE 0 END AS actual
+      FROM customer
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+           CAST(SUM(maybe) AS BIGINT) AS n_maybe,
+           CAST(SUM(actual) AS BIGINT) AS n_actual,
+           CAST(SUM(CASE WHEN maybe = 1 AND actual = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_positive,
+           CAST(SUM(CASE WHEN maybe = 0 AND actual = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_negative
+    FROM probe
+    """
+
+
+@register(
+    "bloom_membership_check",
+    oracle=_bloom_oracle(),
+    doc="Bloom filter built as a replayable aggregation: the customers "
+        "with orders set their k=3 portable-hash bit positions in an "
+        "m=4096-bit filter (the DISTINCT bit set IS the filter — "
+        "mergeable by union, like the CMS grid); every customer then "
+        "probes it. Reports maybe/actual/false-positive counts, and the "
+        "zero-false-negative guarantee lands as an exact column the "
+        "oracle hash-checks. The semi-join pre-filter primitive: at "
+        "100 TB the 512-byte filter broadcasts where the key set cannot "
+        "(Spark's own runtime bloom pruning is the planner-injected twin "
+        "— pinned separately in test_plans). Scale: one "
+        "map-side-combinable distinct over a fixed 4096-cell key space; "
+        "probes broadcast-join the bit set",
+)
+def q_bloom_membership_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+
+    def bits(key_col, d: int):
+        return portable_hash60(
+            F.concat_ws("|", F.lit(str(d)), key_col.cast("string"))
+        ) % _BLOOM_M
+
+    bit_rows = None
+    for d in range(_BLOOM_K):
+        r = orders.select(bits(F.col("o_custkey"), d).alias("bit"))
+        bit_rows = r if bit_rows is None else bit_rows.unionByName(r)
+    bset = bit_rows.distinct()
+
+    probe = cust.select("c_custkey")
+    for d in range(_BLOOM_K):
+        hit = bset.withColumnRenamed("bit", f"b{d}")
+        probe = probe.join(
+            F.broadcast(hit),
+            bits(F.col("c_custkey"), d) == F.col(f"b{d}"),
+            "left",
+        )
+    maybe = F.when(
+        sum(F.col(f"b{d}").isNotNull().cast("int") for d in range(_BLOOM_K))
+        == _BLOOM_K,
+        1,
+    ).otherwise(0)
+    actual_keys = orders.select(
+        F.col("o_custkey").alias("c_custkey")
+    ).distinct()
+    tagged = probe.select("c_custkey", maybe.alias("maybe")).join(
+        actual_keys.withColumn("actual", F.lit(1)), "c_custkey", "left"
+    ).select(
+        "maybe", F.coalesce(F.col("actual"), F.lit(0)).alias("actual")
+    )
+    return tagged.agg(
+        F.count("*").alias("n_probes"),
+        F.sum("maybe").cast("long").alias("n_maybe"),
+        F.sum("actual").cast("long").alias("n_actual"),
+        F.sum(
+            F.when((F.col("maybe") == 1) & (F.col("actual") == 0), 1)
+            .otherwise(0)
+        ).cast("long").alias("n_false_positive"),
+        F.sum(
+            F.when((F.col("maybe") == 0) & (F.col("actual") == 1), 1)
+            .otherwise(0)
+        ).cast("long").alias("n_false_negative"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multinomial Naive Bayes: train on the corpus, predict, confusion matrix
+# ---------------------------------------------------------------------------
+
+@register(
+    "naive_bayes_confusion",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ), ct AS (  -- token counts per class
+      SELECT lang AS clang, tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok GROUP BY clang, tok
+    ), cl AS (
+      SELECT clang, CAST(SUM(c) AS BIGINT) AS t FROM ct GROUP BY clang
+    ), vocab AS (
+      SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM tok
+    ), pri AS (
+      SELECT lang AS clang, CAST(COUNT(*) AS BIGINT) AS nd
+      FROM documents GROUP BY clang
+    ), ndoc AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM documents),
+    classes AS (
+      SELECT cl.clang, cl.t, vocab.v,
+             CAST(floor(1000000.0
+                        * ln(CAST(ndoc.total AS DOUBLE)
+                             / CAST(pri.nd AS DOUBLE))) AS BIGINT)
+               AS prior_surp_e6
+      FROM cl JOIN pri USING (clang) CROSS JOIN vocab CROSS JOIN ndoc
+    ), scored AS (
+      SELECT s.doc_id, s.lang, k.clang,
+             MIN(k.prior_surp_e6)
+             + SUM(CAST(floor(1000000.0
+                              * ln(CAST(k.t + k.v AS DOUBLE)
+                                   / CAST(coalesce(ct.c, 0) + 1 AS DOUBLE)))
+                        AS BIGINT)) AS surp_e6
+      FROM tok s CROSS JOIN classes k
+      LEFT JOIN ct ON ct.clang = k.clang AND ct.tok = s.tok
+      GROUP BY s.doc_id, s.lang, k.clang
+    ), pred AS (
+      SELECT doc_id, lang, clang AS predicted,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY surp_e6, clang) AS rn
+      FROM scored
+    )
+    SELECT lang, predicted, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pred WHERE rn = 1
+    GROUP BY lang, predicted
+    ORDER BY lang, predicted
+    """,
+    doc="Multinomial Naive Bayes language classifier trained AND applied "
+        "in one dataflow: add-1-smoothed per-class token surprisals "
+        "(floored micro-nats, same ln-on-identical-doubles discipline as "
+        "unigram_surprisal) plus prior surprisal, argmin class per "
+        "document (ties by class name), reported as the lang x predicted "
+        "confusion matrix — train/inference/eval of a real classifier as "
+        "pure relational algebra. Scale: the model (class-token counts) "
+        "is vocabulary-sized and broadcast-joinable; the scoring pass "
+        "expands the token stream by |classes| (a scan-side constant "
+        "factor), and the per-doc aggregate + WindowGroupLimit-shaped "
+        "argmin shuffle on doc_id is the only data-sized exchange",
+)
+def q_naive_bayes_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+    ct = tok.groupBy(
+        F.col("lang").alias("clang"), "tok"
+    ).agg(F.count("*").alias("c"))
+    cl = ct.groupBy("clang").agg(F.sum("c").alias("t"))
+    vocab = tok.agg(F.countDistinct("tok").alias("v"))
+    pri = docs.groupBy(F.col("lang").alias("clang")).agg(
+        F.count("*").alias("nd")
+    )
+    ndoc = docs.agg(F.count("*").alias("total"))
+    classes = (
+        cl.join(pri, "clang")
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(ndoc))
+        .select(
+            "clang", "t", "v",
+            F.floor(
+                F.lit(1000000.0)
+                * F.log(
+                    F.col("total").cast("double") / F.col("nd").cast("double")
+                )
+            ).cast("long").alias("prior_surp_e6"),
+        )
+    )
+    scored = (
+        tok.crossJoin(F.broadcast(classes))
+        .join(F.broadcast(ct), ["clang", "tok"], "left")
+        .groupBy("doc_id", "lang", "clang")
+        .agg(
+            (
+                F.min("prior_surp_e6")
+                + F.sum(
+                    F.floor(
+                        F.lit(1000000.0)
+                        * F.log(
+                            (F.col("t") + F.col("v")).cast("double")
+                            / (F.coalesce(F.col("c"), F.lit(0)) + 1)
+                            .cast("double")
+                        )
+                    ).cast("long")
+                )
+            ).alias("surp_e6")
+        )
+    )
+    pred = scored.select(
+        "doc_id", "lang", F.col("clang").alias("predicted"),
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("surp_e6", "clang")
+        ).alias("rn"),
+    ).filter(F.col("rn") == 1)
+    return (
+        pred.groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang", "predicted")
+    )

@@ -579,3 +579,42 @@ def test_token_fertility_ratios_consistent(spark, sf_dir):
         assert r["total_tokens"] == n_tok
         assert r["chars_per_token_ppk"] == n_chr * 1000 // n_tok
         assert r["tokens_per_kchar"] == n_tok * 1000 // n_chr
+
+
+def test_ks_matches_numpy(spark, sf_dir):
+    out = REGISTRY["ks_drift_matrix"].fn(spark, sf_dir).toPandas()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    groups = {s: np.sort(g["n_chars"].to_numpy())
+              for s, g in docs.groupby("source")}
+    import itertools
+    for (sa, va), (sb, vb) in itertools.combinations(
+        sorted(groups.items()), 2
+    ):
+        vals = np.unique(np.concatenate([va, vb]))
+        fa = np.searchsorted(va, vals, side="right") / len(va)
+        fb = np.searchsorted(vb, vals, side="right") / len(vb)
+        ks = float(np.abs(fa - fb).max())
+        row = out[(out["sa"] == sa) & (out["sb"] == sb)]
+        got = row["ks_ppm"].iloc[0] / 1e6
+        assert abs(got - ks) < 1e-6 + 1e-9
+
+
+def test_bloom_guarantees(spark, sf_dir):
+    out = REGISTRY["bloom_membership_check"].fn(spark, sf_dir).toPandas().iloc[0]
+    # the defining guarantee: no false negatives, ever
+    assert out["n_false_negative"] == 0
+    assert out["n_maybe"] >= out["n_actual"]
+    # and it actually filters: FP rate under 50% at this load factor
+    negatives = out["n_probes"] - out["n_actual"]
+    if negatives:
+        assert out["n_false_positive"] / negatives < 0.5
+
+
+def test_naive_bayes_learns_training_distribution(spark, sf_dir):
+    out = REGISTRY["naive_bayes_confusion"].fn(spark, sf_dir).toPandas()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    assert out["n_docs"].sum() == len(docs)
+    acc = out.loc[out["lang"] == out["predicted"], "n_docs"].sum() / len(docs)
+    majority = docs["lang"].value_counts().iloc[0] / len(docs)
+    # training-set accuracy must beat the majority-class baseline
+    assert acc > majority, (acc, majority)
