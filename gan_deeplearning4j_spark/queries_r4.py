@@ -2696,3 +2696,212 @@ def q_naive_bayes_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"))
         .orderBy("lang", "predicted")
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-skew profiler (key-distribution report for shuffle planning)
+# ---------------------------------------------------------------------------
+
+@register(
+    "join_skew_profile",
+    oracle="""
+    WITH k AS (
+      SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY l_suppkey
+    ), cum AS (
+      SELECT c,
+             SUM(cnt) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS cw,
+             SUM(cnt) OVER () AS nk
+      FROM (SELECT c, COUNT(*) AS cnt FROM k GROUP BY c)
+    )
+    SELECT CAST(MIN(nk) AS BIGINT) AS n_keys,
+           CAST((SELECT SUM(c) FROM k) AS BIGINT) AS n_rows,
+           CAST((SELECT MAX(c) FROM k) AS BIGINT) AS max_rows_per_key,
+           CAST(MIN(CASE WHEN 2 * cw >= nk THEN c END) AS BIGINT)
+             AS p50_rows_per_key,
+           CAST(MIN(CASE WHEN 100 * cw >= 99 * nk THEN c END) AS BIGINT)
+             AS p99_rows_per_key,
+           CAST((SELECT MAX(c) FROM k) * MIN(nk) * 1000
+                // (SELECT SUM(c) FROM k) AS BIGINT) AS skew_ratio_ppk
+    FROM cum
+    """,
+    doc="Join-skew profile of a shuffle key (l_suppkey): key count, exact "
+        "p50/p99/max rows-per-key (percentile_disc crossing test over the "
+        "count-of-counts table), and max/mean skew ratio in permille — "
+        "the report that decides between plain shuffle, AQE skew split, "
+        "and salting (operators/relational.salted_join) BEFORE running "
+        "the join. Scale: one groupBy to counts, a second tiny groupBy "
+        "to count-of-counts (distinct count values, typically a few "
+        "hundred rows regardless of input size), windows over that",
+)
+def q_join_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    k = li.groupBy("l_suppkey").agg(F.count("*").alias("c"))
+    cc = k.groupBy("c").agg(F.count("*").alias("cnt"))
+    wc = Window.orderBy("c").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = cc.select(
+        "c",
+        F.sum("cnt").over(wc).alias("cw"),
+        F.sum("cnt").over(
+            Window.partitionBy()
+        ).alias("nk"),
+    )
+    tot = k.agg(
+        F.sum("c").alias("n_rows"), F.max("c").alias("max_c")
+    )
+    cw, nk = F.col("cw"), F.col("nk")
+    q = cum.agg(
+        F.min("nk").alias("n_keys"),
+        F.min(F.when(2 * cw >= nk, F.col("c"))).alias("p50_rows_per_key"),
+        F.min(F.when(100 * cw >= 99 * nk, F.col("c"))).alias(
+            "p99_rows_per_key"
+        ),
+    )
+    return q.crossJoin(F.broadcast(tot)).select(
+        "n_keys",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("max_c").cast("long").alias("max_rows_per_key"),
+        "p50_rows_per_key",
+        "p99_rows_per_key",
+        F.expr("max_c * n_keys * 1000 div n_rows").alias("skew_ratio_ppk"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conversion latency quartiles (first view -> first purchase, exact)
+# ---------------------------------------------------------------------------
+
+@register(
+    "conversion_latency_quartiles",
+    oracle="""
+    WITH fv AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS v_us FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), fp AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS p_us FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id
+    ), lat AS (
+      SELECT (fp.p_us - fv.v_us) // 1000000 AS lat_s
+      FROM fv JOIN fp USING (user_id) WHERE fp.p_us >= fv.v_us
+    ), agg AS (
+      SELECT lat_s, COUNT(*) AS cnt FROM lat GROUP BY lat_s
+    ), cum AS (
+      SELECT lat_s,
+             SUM(cnt) OVER (ORDER BY lat_s ROWS UNBOUNDED PRECEDING) AS cw,
+             SUM(cnt) OVER () AS n
+      FROM agg
+    )
+    SELECT CAST(MIN(n) AS BIGINT) AS n_converted,
+           CAST(MIN(CASE WHEN 4 * cw >= n     THEN lat_s END) AS BIGINT)
+             AS q25_s,
+           CAST(MIN(CASE WHEN 2 * cw >= n     THEN lat_s END) AS BIGINT)
+             AS q50_s,
+           CAST(MIN(CASE WHEN 4 * cw >= 3 * n THEN lat_s END) AS BIGINT)
+             AS q75_s
+    FROM cum
+    """,
+    doc="Conversion latency quartiles: seconds from each user's first view "
+        "to their first purchase (converted users only), with exact "
+        "percentile_disc quartiles over the latency distribution — the "
+        "product-funnel timing metric. Two filtered min-aggregates share "
+        "one user_id shuffle; quartiles run on the value-distinct latency "
+        "table (integer seconds). Scale: same single-shuffle + tiny-"
+        "window shape as equi_depth_boundaries",
+)
+def q_conversion_latency_quartiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    us = F.expr("ts_nanos div 1000")
+    fv = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min(us).alias("v_us")
+    )
+    fp = ev.filter(F.col("event_type") == "purchase").groupBy(
+        "user_id"
+    ).agg(F.min(us).alias("p_us"))
+    lat = (
+        fv.join(fp, "user_id")
+        .filter(F.col("p_us") >= F.col("v_us"))
+        .select(F.expr("(p_us - v_us) div 1000000").alias("lat_s"))
+    )
+    agg = lat.groupBy("lat_s").agg(F.count("*").alias("cnt"))
+    wc = Window.orderBy("lat_s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = agg.select(
+        "lat_s",
+        F.sum("cnt").over(wc).alias("cw"),
+        F.sum("cnt").over(Window.partitionBy()).alias("n"),
+    )
+    cw, n = F.col("cw"), F.col("n")
+    return cum.agg(
+        F.min("n").cast("long").alias("n_converted"),
+        F.min(F.when(4 * cw >= n, F.col("lat_s"))).alias("q25_s"),
+        F.min(F.when(2 * cw >= n, F.col("lat_s"))).alias("q50_s"),
+        F.min(F.when(4 * cw >= 3 * n, F.col("lat_s"))).alias("q75_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Positional phrase search (inverted index with positions)
+# ---------------------------------------------------------------------------
+
+_PHRASE = ("fast", "table")
+
+
+@register(
+    "phrase_search_positional",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS tok,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ), a AS (
+      SELECT doc_id, pos FROM tok WHERE tok = '{_PHRASE[0]}'
+    ), b AS (
+      SELECT doc_id, pos FROM tok WHERE tok = '{_PHRASE[1]}'
+    )
+    SELECT a.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(MIN(a.pos) AS BIGINT) AS first_pos
+    FROM a JOIN b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    GROUP BY a.doc_id
+    ORDER BY a.doc_id
+    """,
+    doc=f"Positional phrase search ('{_PHRASE[0]} {_PHRASE[1]}'): the "
+        "inverted index carries token positions and a phrase match is an "
+        "equi-join of adjacent postings (pos_b = pos_a + 1) — the "
+        "full-text primitive behind quoted queries, built on the same "
+        "postings shape as keyword_and_search. Returns occurrence counts "
+        "and first hit position per document. Scale: term postings are "
+        "filtered scan-side (two selective scans of the token stream), "
+        "the adjacency join keys on (doc, pos) — co-partitioned by "
+        "doc_id, and rare-term postings broadcast under AQE",
+)
+def q_phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos0", "tok"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    a = tok.filter(F.col("tok") == _PHRASE[0]).select(
+        "doc_id", F.col("pos").alias("pa")
+    )
+    b = tok.filter(F.col("tok") == _PHRASE[1]).select(
+        "doc_id", F.col("pos").alias("pb")
+    )
+    j = a.join(
+        b,
+        (a.doc_id == b.doc_id) & (F.col("pb") == F.col("pa") + 1),
+    ).select(a.doc_id.alias("doc_id"), "pa")
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.min("pa").cast("long").alias("first_pos"),
+        )
+        .orderBy("doc_id")
+    )

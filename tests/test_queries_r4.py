@@ -618,3 +618,51 @@ def test_naive_bayes_learns_training_distribution(spark, sf_dir):
     majority = docs["lang"].value_counts().iloc[0] / len(docs)
     # training-set accuracy must beat the majority-class baseline
     assert acc > majority, (acc, majority)
+
+
+def test_join_skew_profile_matches_pandas(spark, sf_dir):
+    out = REGISTRY["join_skew_profile"].fn(spark, sf_dir).toPandas().iloc[0]
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").toPandas()
+    c = li.groupby("l_suppkey").size().sort_values().to_numpy()
+    n = len(c)
+    assert out["n_keys"] == n and out["n_rows"] == c.sum()
+    assert out["max_rows_per_key"] == c.max()
+    assert out["p50_rows_per_key"] == c[int(np.ceil(0.5 * n)) - 1]
+    assert out["p99_rows_per_key"] == c[int(np.ceil(0.99 * n)) - 1]
+    assert out["skew_ratio_ppk"] == int(c.max()) * n * 1000 // int(c.sum())
+
+
+def test_conversion_latency_matches_pandas(spark, sf_dir):
+    out = (
+        REGISTRY["conversion_latency_quartiles"].fn(spark, sf_dir)
+        .toPandas().iloc[0]
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    ev["us"] = ev["ts"].astype("int64") // 1000
+    fv = ev[ev["event_type"] == "view"].groupby("user_id")["us"].min()
+    fp = ev[ev["event_type"] == "purchase"].groupby("user_id")["us"].min()
+    j = fv.to_frame("v").join(fp.to_frame("p"), how="inner")
+    lat = np.sort(((j["p"] - j["v"]) // 1_000_000)[j["p"] >= j["v"]].to_numpy())
+    n = len(lat)
+    assert out["n_converted"] == n
+    for q, col in ((0.25, "q25_s"), (0.5, "q50_s"), (0.75, "q75_s")):
+        assert out[col] == lat[int(np.ceil(q * n)) - 1]
+
+
+def test_phrase_search_matches_python(spark, sf_dir):
+    out = (
+        REGISTRY["phrase_search_positional"].fn(spark, sf_dir)
+        .toPandas().set_index("doc_id")
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    found = {}
+    for _, r in docs.iterrows():
+        toks = r["text"].split(" ")
+        hits = [i + 1 for i, (x, y) in enumerate(zip(toks, toks[1:]))
+                if x == "fast" and y == "table"]
+        if hits:
+            found[r["doc_id"]] = (len(hits), hits[0])
+    assert set(out.index) == set(found)
+    for d, (n, first) in found.items():
+        assert out.loc[d, "n_occurrences"] == n
+        assert out.loc[d, "first_pos"] == first
