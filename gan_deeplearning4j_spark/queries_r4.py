@@ -2905,3 +2905,172 @@ def q_phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Median absolute deviation (two-stage exact robust scale)
+# ---------------------------------------------------------------------------
+
+@register(
+    "mad_robust_scale",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS x
+      FROM lineitem
+    ), agg1 AS (
+      SELECT l_returnflag, x, COUNT(*) AS cnt FROM c GROUP BY l_returnflag, x
+    ), cum1 AS (
+      SELECT l_returnflag, x,
+             SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY x
+                            ROWS UNBOUNDED PRECEDING) AS cw,
+             SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+      FROM agg1
+    ), med AS (
+      SELECT l_returnflag,
+             CAST(MIN(CASE WHEN 2 * cw >= n THEN x END) AS BIGINT) AS med_c
+      FROM cum1 GROUP BY l_returnflag
+    ), dev AS (
+      SELECT c.l_returnflag, abs(c.x - m.med_c) AS d
+      FROM c JOIN med m USING (l_returnflag)
+    ), agg2 AS (
+      SELECT l_returnflag, d, COUNT(*) AS cnt FROM dev GROUP BY l_returnflag, d
+    ), cum2 AS (
+      SELECT l_returnflag, d,
+             SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY d
+                            ROWS UNBOUNDED PRECEDING) AS cw,
+             SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+      FROM agg2
+    )
+    SELECT m.l_returnflag, m.med_c,
+           CAST(MIN(CASE WHEN 2 * c2.cw >= c2.n THEN c2.d END) AS BIGINT)
+             AS mad_c
+    FROM cum2 c2 JOIN med m USING (l_returnflag)
+    GROUP BY m.l_returnflag, m.med_c
+    ORDER BY m.l_returnflag
+    """,
+    doc="Median absolute deviation per group — the robust scale estimator "
+        "(stddev breaks down at 1 outlier; MAD at 50%) — as two exact "
+        "percentile_disc passes: median of x, then median of |x - med|, "
+        "each over a value-distinct pre-aggregate so the windows never "
+        "see raw rows. Integer cents throughout. Scale: two shuffles of "
+        "(group, distinct value) tables plus one broadcast join of the "
+        "|groups|-row median table into the scan",
+)
+def q_mad_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("x"),
+    )
+
+    def disc_median(df, val, out):
+        agg = df.groupBy("l_returnflag", val).agg(F.count("*").alias("cnt"))
+        wc = (
+            Window.partitionBy("l_returnflag").orderBy(val)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wt = Window.partitionBy("l_returnflag")
+        cum = agg.select(
+            "l_returnflag", val,
+            F.sum("cnt").over(wc).alias("cw"),
+            F.sum("cnt").over(wt).alias("n"),
+        )
+        return cum.groupBy("l_returnflag").agg(
+            F.min(
+                F.when(2 * F.col("cw") >= F.col("n"), F.col(val))
+            ).alias(out)
+        )
+
+    med = disc_median(li, "x", "med_c")
+    dev = li.join(F.broadcast(med), "l_returnflag").select(
+        "l_returnflag", F.abs(F.col("x") - F.col("med_c")).alias("d")
+    )
+    mad = disc_median(dev, "d", "mad_c")
+    return (
+        med.join(mad, "l_returnflag")
+        .select("l_returnflag", "med_c", "mad_c")
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lag-7 autocorrelation of daily volumes (seasonality strength)
+# ---------------------------------------------------------------------------
+
+@register(
+    "acf_daily_lag7",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY event_type, d
+    ), lagged AS (
+      SELECT a.event_type, a.y AS x, b.y AS z
+      FROM daily a JOIN daily b
+        ON b.event_type = a.event_type AND b.d = a.d - 7
+    ), m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx,
+             CAST(SUM(z) AS HUGEINT) AS sz,
+             CAST(SUM(x * z) AS HUGEINT) AS sxz,
+             CAST(SUM(x * x) AS HUGEINT) AS sxx,
+             CAST(SUM(z * z) AS HUGEINT) AS szz
+      FROM lagged GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+           CAST(floor(CAST(n * sxz - sx * sz AS DOUBLE)
+                      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                      / sqrt(CAST(n * szz - sz * sz AS DOUBLE))
+                      * 1000000) AS BIGINT) AS acf7_ppm
+    FROM m ORDER BY event_type
+    """,
+    doc="Lag-7 autocorrelation of daily event volumes per type — the "
+        "seasonality-strength statistic (high acf7 validates the "
+        "seasonal-naive baseline; low argues for SES) — Pearson over "
+        "(day, day-7) pairs from exact integer moments, with the date "
+        "equi-join handling calendar gaps a row-offset LAG would not. "
+        "Only the final normalization runs identical IEEE double ops, "
+        "floored to ppm. Scale: same daily pre-aggregate + tiny "
+        "self-join + one moment aggregate shape as "
+        "seasonal_naive_backtest",
+)
+def q_acf_daily_lag7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).agg(F.count("*").alias("y"))
+    a, b = daily.alias("a"), daily.alias("b")
+    lagged = a.join(
+        b,
+        (F.col("b.event_type") == F.col("a.event_type"))
+        & (F.col("b.d") == F.date_sub(F.col("a.d"), 7)),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.y").alias("x"),
+        F.col("b.y").alias("z"),
+    )
+    m = lagged.groupBy("event_type").agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("z").cast("decimal(38,0)").alias("sz"),
+        F.sum(F.col("x") * F.col("z")).cast("decimal(38,0)").alias("sxz"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("z") * F.col("z")).cast("decimal(38,0)").alias("szz"),
+    )
+    num = (F.col("n") * F.col("sxz") - F.col("sx") * F.col("sz")).cast(
+        "double"
+    )
+    dx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    dz = (F.col("n") * F.col("szz") - F.col("sz") * F.col("sz")).cast(
+        "double"
+    )
+    return m.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_pairs"),
+        F.floor(
+            num / F.sqrt(dx) / F.sqrt(dz) * F.lit(1000000.0)
+        ).cast("long").alias("acf7_ppm"),
+    ).orderBy("event_type")

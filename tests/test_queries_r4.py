@@ -666,3 +666,40 @@ def test_phrase_search_matches_python(spark, sf_dir):
     for d, (n, first) in found.items():
         assert out.loc[d, "n_occurrences"] == n
         assert out.loc[d, "first_pos"] == first
+
+
+def test_mad_matches_numpy(spark, sf_dir):
+    out = (
+        REGISTRY["mad_robust_scale"].fn(spark, sf_dir)
+        .toPandas().set_index("l_returnflag")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").toPandas()
+    li["x"] = (li["l_extendedprice"] * 100).round().astype("int64")
+    for rf, g in li.groupby("l_returnflag"):
+        v = np.sort(g["x"].to_numpy())
+        med = v[int(np.ceil(0.5 * len(v))) - 1]  # percentile_disc lower
+        d = np.sort(np.abs(g["x"].to_numpy() - med))
+        mad = d[int(np.ceil(0.5 * len(d))) - 1]
+        assert out.loc[rf, "med_c"] == med
+        assert out.loc[rf, "mad_c"] == mad
+
+
+def test_acf7_matches_numpy(spark, sf_dir):
+    out = (
+        REGISTRY["acf_daily_lag7"].fn(spark, sf_dir)
+        .toPandas().set_index("event_type")
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    daily = (
+        ev.assign(d=ev["ts"].dt.floor("D"))
+        .groupby(["event_type", "d"]).size().rename("y").reset_index()
+    )
+    import pandas as pd
+    lag = daily.copy()
+    lag["d"] = lag["d"] + pd.Timedelta(days=7)
+    j = daily.merge(lag, on=["event_type", "d"], suffixes=("", "_l"))
+    for et, g in j.groupby("event_type"):
+        r = np.corrcoef(g["y"], g["y_l"])[0, 1]
+        got = out.loc[et, "acf7_ppm"] / 1e6
+        assert abs(got - r) < 2e-6
+        assert out.loc[et, "n_pairs"] == len(g)
