@@ -2276,33 +2276,45 @@ def q_ols_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "the probability a random src1 doc is longer than a random src2 doc "
         "(AUC) — lands as floor-ppm. The nonparametric A/B test for "
         "skewed metrics where the t-test's normality assumption fails. "
-        "Scale: one global rank over the pooled values is the only "
-        "ordered pass (value-distinct pre-agg would shrink it the same "
-        "way weighted_median does); everything after is one scalar "
-        "aggregate",
+        "Scale: the ordered pass runs over the value-DISTINCT count "
+        "table (midranks reconstructed from cumulative ties), not raw "
+        "rows — the same shrink weighted_median uses; everything after "
+        "is one scalar aggregate",
 )
 def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").filter(
         F.col("source").isin("src1", "src2")
     )
+    # rank math on the value-DISTINCT count table, not raw rows: the
+    # doubled midrank of every element at value v is 2*cum_before + t + 1
+    # (t = ties at v), so R2_a = sum over v of ca_v * that — the global
+    # ordered pass shrinks from |rows| to |distinct values| (same shape
+    # as the EMD/KS cum tables; the oracle ranks raw rows, equivalently)
     v = docs.select(
         F.when(F.col("source") == "src1", 0).otherwise(1).alias("grp"),
         F.col("n_chars").cast("long").alias("x"),
     )
-    r = v.select(
-        "grp",
-        (
-            F.rank().over(Window.orderBy("x")).cast("long") * 2
-            + F.count("*").over(Window.partitionBy("x")).cast("long")
-            - 1
-        ).alias("r2"),
+    cc = v.groupBy("x").agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("cb"),
     )
-    s = r.agg(
-        F.sum(F.when(F.col("grp") == 0, F.col("r2")).otherwise(0)).alias(
-            "r2a"
-        ),
-        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("na"),
-        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("nb"),
+    wc = Window.orderBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = cc.select(
+        "ca", "cb",
+        (
+            F.sum(F.col("ca") + F.col("cb")).over(wc)
+            - (F.col("ca") + F.col("cb"))
+        ).alias("before"),
+        (F.col("ca") + F.col("cb")).alias("t"),
+    )
+    s = cum.agg(
+        F.sum(
+            F.col("ca") * (2 * F.col("before") + F.col("t") + 1)
+        ).alias("r2a"),
+        F.sum("ca").alias("na"),
+        F.sum("cb").alias("nb"),
     )
     return s.select(
         "na", "nb",
