@@ -2976,16 +2976,36 @@ def q_mad_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def disc_median(df, val, out):
+        # two-level cumulative decomposition: global_cum(v) =
+        # cum(full buckets before v's bucket) + cum(within bucket up to v).
+        # The bucket pass is tiny; the in-bucket pass parallelizes by
+        # (group, bucket) — no window ever runs with |groups| partitions,
+        # which is what made the naive per-group cumsum a 3-way-parallel
+        # bottleneck on a 600k-distinct-value column.
         agg = df.groupBy("l_returnflag", val).agg(F.count("*").alias("cnt"))
-        wc = (
-            Window.partitionBy("l_returnflag").orderBy(val)
+        agg = agg.withColumn("bkt", F.expr(f"{val} div 1000"))
+        bstat = agg.groupBy("l_returnflag", "bkt").agg(
+            F.sum("cnt").alias("bc")
+        )
+        wb = (
+            Window.partitionBy("l_returnflag").orderBy("bkt")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        wt = Window.partitionBy("l_returnflag")
-        cum = agg.select(
+        bcum = bstat.select(
+            "l_returnflag", "bkt",
+            (F.sum("bc").over(wb) - F.col("bc")).alias("before"),
+            F.sum("bc").over(
+                Window.partitionBy("l_returnflag")
+            ).alias("n"),
+        )
+        wi = (
+            Window.partitionBy("l_returnflag", "bkt").orderBy(val)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = agg.join(F.broadcast(bcum), ["l_returnflag", "bkt"]).select(
             "l_returnflag", val,
-            F.sum("cnt").over(wc).alias("cw"),
-            F.sum("cnt").over(wt).alias("n"),
+            (F.col("before") + F.sum("cnt").over(wi)).alias("cw"),
+            "n",
         )
         return cum.groupBy("l_returnflag").agg(
             F.min(
