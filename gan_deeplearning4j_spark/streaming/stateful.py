@@ -219,3 +219,65 @@ def running_user_ewma(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+BALANCE_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("balance_c", T.LongType()),
+        T.StructField("emit_seq", T.LongType()),
+    ]
+)
+
+BALANCE_STATE = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("bal", T.LongType()),
+        T.StructField("seq", T.LongType()),
+    ]
+)
+
+
+def _balance_fn(
+    key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    n, bal, seq = state.get if state.exists else (0, 0, 0)
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    rows = rows.sort_values(["ts_nanos", "event_id"])
+    for d in rows["d"]:
+        bal = max(bal + int(d), 0)  # the clamp — same fold as the batch op
+        n += 1
+    seq += 1
+    state.update((n, bal, seq))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "balance_c": [bal],
+            "emit_seq": [seq],
+        }
+    )
+
+
+def running_user_balance(events: DataFrame) -> DataFrame:
+    """Per-user streaming clamped balance — the stateful twin of the batch
+    ``running_balance_clamped`` query: identical non-linear recurrence
+    (bal = max(bal + delta, 0), credits for purchase/signup, debits
+    otherwise) carried across micro-batches in GroupState, so after the
+    last batch the state equals the batch array fold EXACTLY (pinned by
+    test). Same in-order-arrival contract as ``running_user_ewma``."""
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    delta = F.when(
+        F.col("event_type").isin("purchase", "signup"), cents
+    ).otherwise(-cents)
+    prepared = events.select(
+        "user_id", "ts_nanos", "event_id", delta.alias("d")
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _balance_fn,
+        outputStructType=BALANCE_OUTPUT,
+        stateStructType=BALANCE_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -729,3 +729,64 @@ def test_cdc_recovers_from_torn_snapshot(spark, tmp_path):
         r["key"]: r["payload"] for r in spark.read.parquet(snap).collect()
     }
     assert got == {1: "a", 2: "b2", 3: "c"}
+
+
+def test_streaming_balance_equals_batch_fold(spark, sf_dir, tmp_path):
+    """The GroupState clamped balance must land EXACTLY on the batch fold
+    (running_balance_clamped) once the stream drains — the non-linear
+    recurrence carried across micro-batches. Same ordered file-replay
+    harness as the EWMA twin."""
+    import os as _os
+    import time as _time
+
+    from gan_deeplearning4j_spark.queries import REGISTRY
+    from gan_deeplearning4j_spark.streaming.stateful import (
+        running_user_balance,
+    )
+
+    ev = load_events(spark, sf_dir).select(
+        "event_id", "ts", "ts_nanos", "user_id", "event_type", "value",
+        "props"
+    )
+    ts_sorted = [r[0] for r in
+                 ev.select("ts_nanos").orderBy("ts_nanos").collect()]
+    b1 = ts_sorted[len(ts_sorted) // 3]
+    b2 = ts_sorted[2 * len(ts_sorted) // 3]
+    src = str(tmp_path / "events_bal")
+    bounds = [None, b1, b2, None]
+    now = _time.time()
+    seen: set = set()
+    for i in range(3):
+        part = ev
+        if bounds[i] is not None:
+            part = part.filter(F.col("ts_nanos") > F.lit(bounds[i]))
+        if bounds[i + 1] is not None:
+            part = part.filter(F.col("ts_nanos") <= F.lit(bounds[i + 1]))
+        part.coalesce(1).write.mode("append").parquet(src)
+        for f in _os.listdir(src):
+            if f.endswith(".parquet") and f not in seen:
+                seen.add(f)
+                _os.utime(_os.path.join(src, f), (now, now + 600 * i))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = running_user_balance(stream)
+    run_stream_to_memory(out, "bal_stream", timeout_sec=180,
+                         output_mode="update")
+    got = spark.sql("""
+        select user_id, n_events, balance_c from (
+          select *, row_number() over (partition by user_id
+                                       order by emit_seq desc) rn
+          from bal_stream) where rn = 1
+    """).toPandas().sort_values("user_id").reset_index(drop=True)
+
+    want = (
+        REGISTRY["running_balance_clamped"].fn(spark, sf_dir).toPandas()
+        .sort_values("user_id").reset_index(drop=True)
+    )
+    assert (got["user_id"].to_numpy() == want["user_id"].to_numpy()).all()
+    assert (got["n_events"].to_numpy() == want["n_events"].to_numpy()).all()
+    assert (got["balance_c"].to_numpy() == want["balance_c"].to_numpy()).all()
