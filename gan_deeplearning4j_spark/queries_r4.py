@@ -1,23 +1,24 @@
 """Round-4 surface widening: sampling, skyline, islands, graph-degree,
-bitmap segments, robust outliers, exact covariance.
+bitmap segments, robust/nonparametric statistics, drift metrics, n-gram
+LMs, classic classifiers, and allocation/audit primitives.
 
 Families a 100 TB training-data / analytics engine needs beyond the round-3
 surface (reference analogue: the notebook's ad-hoc pandas analysis cells,
-gan.ipynb raw 399-438, generalized):
-
-- weighted **priority sampling** (Duffield/Lund/Thorup, CACM'07) — the
-  one-pass bounded-memory weighted sample used to downsample corpora;
-- **skyline / Pareto frontier** with a bucket prefilter so the global pass
-  touches only candidates (BNL-with-prefilter, Börzsönyi ICDE'01 family);
-- **gaps-and-islands / SCD-2 intervals** — change-data modeling over an
-  event stream;
-- **degree histogram** — the graph-shape profile that decides join/skew
-  strategy before running graph algorithms;
-- **bitmap segment membership** — bit_or-folded behavior masks, the compact
-  audience-segmentation primitive;
-- **robust z-score outliers** — division-free exact variance test;
-- **exact feature covariance** — fixed-point integer moments for embedding
-  columns, the input to PCA/whitening.
+gan.ipynb raw 399-438, generalized). Wave 1: priority sampling
+(Duffield/Lund/Thorup CACM'07), skyline with bucket prefilter (Börzsönyi
+ICDE'01 family), gaps-and-islands SCD-2, degree histograms, bit_or
+segment bitmasks, division-free 2σ outliers, fixed-point covariance /
+centroid similarity, equi-depth boundaries, k-per-group hash sampling,
+replayable count-min sketch, interpolated Kneser-Ney bigram LM +
+document surprisal, clamped-balance folds, seasonality / backtests /
+chi-square, market-basket rules, Gini, linear attribution. Wave 2:
+Hamilton largest-remainder allocation, sequence-regex matching
+(MATCH_RECOGNIZE-lite), SES backtests, winsorized means, Benford
+audits, sweep-line concurrency, exact Wasserstein/KS drift matrices,
+incremental aggregate-state merge, OLS trends, Mann-Whitney U,
+tokenizer fertility, a replayable Bloom filter, a Naive Bayes
+classifier, join-skew profiling, conversion-latency quartiles,
+positional phrase search, MAD, and lag-7 autocorrelation.
 
 Cross-engine float discipline matches queries_ext: integer cents/ppm
 surrogates before any SUM; where a real-valued output is unavoidable the
