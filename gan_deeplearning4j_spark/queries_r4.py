@@ -3107,3 +3107,51 @@ def q_acf_daily_lag7(spark: SparkSession, sf_dir: str) -> DataFrame:
             num / F.sqrt(dx) / F.sqrt(dz) * F.lit(1000000.0)
         ).cast("long").alias("acf7_ppm"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Diversified top-k (global top-N with a per-group cap)
+# ---------------------------------------------------------------------------
+
+@register(
+    "diversified_topk",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey)
+               AS per_cust
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey, price_c
+    FROM ranked WHERE per_cust <= 3
+    ORDER BY price_c DESC, o_orderkey
+    LIMIT 100
+    """,
+    doc="Diversified top-k: the global top-100 orders by value with at "
+        "most 3 per customer — the search/feed-ranking primitive that "
+        "prevents one heavy group from monopolizing a result page "
+        "(diversity-constrained ranking). Two-stage plan: the per-group "
+        "cap is a rank window with a LITERAL bound, so "
+        "InferWindowGroupLimit keeps max 3 rows per customer on the map "
+        "side BEFORE the shuffle; the global top-100 over survivors is "
+        "TakeOrderedAndProject. No global sort anywhere. Scale: the "
+        "window shuffle carries <= 3 rows per group; the final merge "
+        "handles 100 rows per partition",
+)
+def q_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.col("o_orderkey")
+    )
+    ranked = o.select(
+        "o_custkey", "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("price_c"),
+        F.row_number().over(w).alias("per_cust"),
+    ).filter(F.col("per_cust") <= 3)
+    return (
+        ranked.select("o_custkey", "o_orderkey", "price_c")
+        .orderBy(F.desc("price_c"), "o_orderkey")
+        .limit(100)
+    )

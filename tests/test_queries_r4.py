@@ -703,3 +703,14 @@ def test_acf7_matches_numpy(spark, sf_dir):
         got = out.loc[et, "acf7_ppm"] / 1e6
         assert abs(got - r) < 2e-6
         assert out.loc[et, "n_pairs"] == len(g)
+
+
+def test_diversified_topk_plan_and_cap(spark, sf_dir):
+    df = REGISTRY["diversified_topk"].fn(spark, sf_dir)
+    plan = _plan(df)
+    # per-group cap pushed to the map side; global top-k without a sort
+    assert "WindowGroupLimit" in plan
+    assert "TakeOrderedAndProject" in plan
+    pdf = df.toPandas()
+    assert len(pdf) == 100
+    assert pdf.groupby("o_custkey").size().max() <= 3
