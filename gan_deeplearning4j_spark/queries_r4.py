@@ -3155,3 +3155,247 @@ def q_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("price_c"), "o_orderkey")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix (event-type chain estimation)
+# ---------------------------------------------------------------------------
+
+@register(
+    "markov_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY epoch_us(ts), event_id) AS nxt
+      FROM events
+    ), c AS (
+      SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    ), t AS (
+      SELECT cur, CAST(SUM(n) AS BIGINT) AS row_n FROM c GROUP BY cur
+    )
+    SELECT c.cur, c.nxt, c.n,
+           CAST(c.n * 1000000 // t.row_n AS BIGINT) AS p_ppm
+    FROM c JOIN t USING (cur)
+    ORDER BY cur, nxt
+    """,
+    doc="First-order Markov transition matrix over each user's event-type "
+        "chain: P(next | current) as exact floor-ppm of transition counts "
+        "— the behavioral-model estimate behind next-action prediction "
+        "and anomalous-flow detection (event_path_trigrams' 2nd-order "
+        "sibling). Scale: one user_id-partitioned lag window (single "
+        "shuffle), then |types|^2-row aggregates",
+)
+def q_markov_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.expr("ts_nanos div 1000"), "event_id"
+    )
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    c = seq.groupBy("cur", "nxt").agg(F.count("*").alias("n"))
+    t = c.groupBy("cur").agg(F.sum("n").alias("row_n"))
+    return (
+        c.join(F.broadcast(t), "cur")
+        .select(
+            "cur", "nxt", "n",
+            F.expr("n * 1000000 div row_n").alias("p_ppm"),
+        )
+        .orderBy("cur", "nxt")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM drift alarms (closed-form clamp via running sum minus running min)
+# ---------------------------------------------------------------------------
+
+@register(
+    "cusum_drift_alarms",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY event_type, d
+    ), m AS (
+      SELECT event_type,
+             CAST(SUM(y) // COUNT(*) AS BIGINT) AS mu
+      FROM daily GROUP BY event_type
+    ), dev AS (
+      SELECT daily.event_type, d, y - m.mu AS e
+      FROM daily JOIN m USING (event_type)
+    ), cum1 AS (
+      SELECT event_type, d,
+             SUM(e) OVER (PARTITION BY event_type ORDER BY d
+                          ROWS UNBOUNDED PRECEDING) AS dt
+      FROM dev
+    ), cum AS (
+      SELECT event_type, dt,
+             least(MIN(dt) OVER (PARTITION BY event_type ORDER BY d
+                                 ROWS UNBOUNDED PRECEDING), 0) AS mind
+      FROM cum1
+    ), cusum AS (
+      SELECT event_type, dt - mind AS s FROM cum
+    )
+    SELECT c.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(MAX(c.s) AS BIGINT) AS max_cusum,
+           CAST(SUM(CASE WHEN c.s > m.mu THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_alarm_days
+    FROM cusum c JOIN m USING (event_type)
+    GROUP BY c.event_type
+    ORDER BY c.event_type
+    """,
+    doc="One-sided CUSUM drift detector over daily volumes (target = the "
+        "series' own integer-mean, alarm threshold h = target): "
+        "CUSUM_t = max(0, CUSUM_{t-1} + (x_t - mu)) rewritten in closed "
+        "form as D_t - min(0, min_{j<=t} D_j) over the plain cumulative "
+        "deviation D — which turns the non-linear recurrence into two "
+        "stacked windows (running sum, running min of the running sum), "
+        "fully parallel by group and integer-exact. The volume-drift "
+        "alarm for pipeline monitoring. Scale: daily pre-aggregate, then "
+        "group-partitioned windows over one row per day",
+)
+def q_cusum_drift_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).agg(F.count("*").alias("y"))
+    m = daily.groupBy("event_type").agg(
+        F.expr("sum(y) div count(*)").alias("mu")
+    )
+    dev = daily.join(F.broadcast(m), "event_type").select(
+        "event_type", "d", (F.col("y") - F.col("mu")).alias("e"), "mu"
+    )
+    wcum = (
+        Window.partitionBy("event_type").orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = dev.select(
+        "event_type", "mu", "d",
+        F.sum("e").over(wcum).alias("dt"),
+    ).withColumn(
+        "mind", F.least(F.min("dt").over(wcum), F.lit(0).cast("long"))
+    )
+    cusum = cum.select(
+        "event_type", "mu", (F.col("dt") - F.col("mind")).alias("s")
+    )
+    return (
+        cusum.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.max("s").cast("long").alias("max_cusum"),
+            F.sum(
+                F.when(F.col("s") > F.col("mu"), 1).otherwise(0)
+            ).cast("long").alias("n_alarm_days"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-series resample with LINEAR interpolation (integer lerp)
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_resample_linear",
+    oracle="""
+    WITH bounds AS (
+      SELECT user_id, date_trunc('hour', MIN(ts)) AS t0,
+             date_trunc('hour', MAX(ts)) AS t1
+      FROM events WHERE user_id < 40 GROUP BY user_id
+    ), grid AS (
+      SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS bar
+      FROM bounds
+    ), hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS bar,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS v
+      FROM events WHERE user_id < 40
+      GROUP BY user_id, date_trunc('hour', ts)
+    ), g AS (
+      SELECT g.user_id, epoch_us(g.bar) // 3600000000 AS h, hourly.v
+      FROM grid g LEFT JOIN hourly
+        ON hourly.user_id = g.user_id AND hourly.bar = g.bar
+    ), ctx AS (
+      SELECT user_id, h, v,
+             last_value(v IGNORE NULLS) OVER wp AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+               OVER wp AS ph,
+             first_value(v IGNORE NULLS) OVER wf AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+               OVER wf AS nh
+      FROM g
+      WINDOW wp AS (PARTITION BY user_id ORDER BY h
+                    ROWS UNBOUNDED PRECEDING),
+             wf AS (PARTITION BY user_id ORDER BY h
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, CAST(h * 3600000000 AS BIGINT) AS bar_us,
+           CAST(coalesce(v, (pv * (nh - h) + nv * (h - ph)) // (nh - ph))
+                AS BIGINT) AS value_c,
+           CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS interpolated
+    FROM ctx
+    """,
+    doc="Time-series resample with LINEAR interpolation: missing hourly "
+        "bars take the integer lerp (pv*(nh-h) + nv*(h-ph)) div (nh-ph) "
+        "between the nearest known bars on each side (last_value/"
+        "first_value IGNORE NULLS over opposite frames) — the "
+        "interpolation companion to events_resample_ffill, exact because "
+        "the lerp is integer cents over integer hour indexes. Grid "
+        "endpoints are known bars by construction (min/max event hours), "
+        "so every gap is interior. Scale: generated grid, one (user, "
+        "bar) agg shuffle, two ordered window passes per user",
+)
+def q_events_resample_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("bar")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("v")
+    )
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("bar"),
+    )
+    g = grid.join(hourly, ["user_id", "bar"], "left").select(
+        "user_id",
+        F.expr("unix_micros(bar) div 3600000000").alias("h"),
+        "v",
+    )
+    wp = (
+        Window.partitionBy("user_id").orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id").orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    known_h = F.when(F.col("v").isNotNull(), F.col("h"))
+    ctx = g.select(
+        "user_id", "h", "v",
+        F.last("v", ignorenulls=True).over(wp).alias("pv"),
+        F.last(known_h, ignorenulls=True).over(wp).alias("ph"),
+        F.first("v", ignorenulls=True).over(wf).alias("nv"),
+        F.first(known_h, ignorenulls=True).over(wf).alias("nh"),
+    )
+    return ctx.select(
+        "user_id",
+        (F.col("h") * 3600000000).alias("bar_us"),
+        F.coalesce(
+            F.col("v"),
+            F.expr("(pv * (nh - h) + nv * (h - ph)) div (nh - ph)"),
+        ).alias("value_c"),
+        F.when(F.col("v").isNull(), 1).otherwise(0).cast("long").alias(
+            "interpolated"
+        ),
+    )

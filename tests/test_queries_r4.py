@@ -714,3 +714,65 @@ def test_diversified_topk_plan_and_cap(spark, sf_dir):
     pdf = df.toPandas()
     assert len(pdf) == 100
     assert pdf.groupby("o_custkey").size().max() <= 3
+
+
+def test_markov_rows_normalize(spark, sf_dir):
+    out = REGISTRY["markov_transition_matrix"].fn(spark, sf_dir).toPandas()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # transitions = events - users (each user contributes n_i - 1 pairs)
+    n_trans = ev.count() - ev.select("user_id").distinct().count()
+    assert out["n"].sum() == n_trans
+    # ppm rows sum to <= 1e6 and within |types| of it (floor loss)
+    rowsum = out.groupby("cur")["p_ppm"].sum()
+    assert ((rowsum <= 1000000) & (rowsum > 1000000 - len(out))).all()
+
+
+def test_cusum_equals_clamped_fold(spark, sf_dir):
+    out = (
+        REGISTRY["cusum_drift_alarms"].fn(spark, sf_dir)
+        .toPandas().set_index("event_type")
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    daily = (
+        ev.assign(d=ev["ts"].dt.floor("D"))
+        .groupby(["event_type", "d"]).size()
+    )
+    for et in out.index:
+        xs = daily.loc[et].sort_index().to_list()
+        mu = sum(xs) // len(xs)
+        s = maxs = alarms = 0
+        for x in xs:
+            s = max(0, s + (x - mu))       # the textbook recurrence
+            maxs = max(maxs, s)
+            alarms += int(s > mu)
+        assert int(out.loc[et, "max_cusum"]) == maxs
+        assert int(out.loc[et, "n_alarm_days"]) == alarms
+        assert int(out.loc[et, "n_days"]) == len(xs)
+
+
+def test_resample_linear_interpolates_exactly(spark, sf_dir):
+    out = REGISTRY["events_resample_linear"].fn(spark, sf_dir).toPandas()
+    # grid endpoints are known; interior gaps interpolate between neighbors
+    assert (out["interpolated"].isin([0, 1])).all()
+    got_interp = out[out["interpolated"] == 1]
+    assert len(got_interp) > 0
+    # spot-verify per user with pandas
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    ev = ev[ev["user_id"] < 40]
+    ev["c"] = (ev["value"] * 100).round().astype("int64")
+    ev["h"] = ev["ts"].astype("int64") // 1000 // 3_600_000_000
+    hourly = ev.groupby(["user_id", "h"])["c"].sum()
+    for uid in sorted(set(out["user_id"]))[:5]:
+        known = hourly.loc[uid]
+        sub = out[out["user_id"] == uid].sort_values("bar_us")
+        hs = sub["bar_us"].to_numpy() // 3_600_000_000
+        ks = np.sort(known.index.to_numpy())
+        for h, v, flag in zip(hs, sub["value_c"], sub["interpolated"]):
+            if flag == 0:
+                assert v == known.loc[h]
+            else:
+                ph = ks[ks < h].max()
+                nh = ks[ks > h].min()
+                pv, nv = int(known.loc[ph]), int(known.loc[nh])
+                want = (pv * (nh - h) + nv * (h - ph)) // (nh - ph)
+                assert v == want
