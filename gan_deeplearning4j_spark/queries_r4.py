@@ -3399,3 +3399,106 @@ def q_events_resample_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             "interpolated"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantile mapping calibration (distribution alignment, exact inverse CDF)
+# ---------------------------------------------------------------------------
+
+@register(
+    "quantile_mapping_calibration",
+    oracle="""
+    WITH ca AS (
+      SELECT CAST(n_chars AS BIGINT) AS u, COUNT(*) AS c
+      FROM documents WHERE source = 'src1' GROUP BY u
+    ), cb AS (
+      SELECT CAST(n_chars AS BIGINT) AS v, COUNT(*) AS c
+      FROM documents WHERE source = 'src2' GROUP BY v
+    ), na AS (SELECT CAST(SUM(c) AS BIGINT) AS na FROM ca),
+    nb AS (SELECT CAST(SUM(c) AS BIGINT) AS nb FROM cb),
+    cuma AS (
+      SELECT u, SUM(c) OVER (ORDER BY u ROWS UNBOUNDED PRECEDING) AS fa
+      FROM ca
+    ), cumb AS (
+      SELECT v, SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS fb
+      FROM cb
+    ), merged AS (
+      SELECT fa * (SELECT nb FROM nb) AS key, 0 AS is_b, u, NULL AS v
+      FROM cuma
+      UNION ALL
+      SELECT fb * (SELECT na FROM na) AS key, 1 AS is_b, NULL, v
+      FROM cumb
+    ), mapped AS (
+      SELECT key, is_b, v,
+             -- first src1 value whose CDF fraction >= this row's fraction:
+             -- on EQUAL keys the b-row must come FIRST (is_b DESC) so the
+             -- forward-looking window still sees the equal-fraction u
+             first_value(u IGNORE NULLS) OVER (
+               ORDER BY key, is_b DESC
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS u
+      FROM merged
+    )
+    SELECT v, CAST(u AS BIGINT) AS mapped_u
+    FROM mapped WHERE is_b = 1
+    ORDER BY v
+    """,
+    doc="Quantile mapping calibration (quantile normalization): every "
+        "distinct src2 document length maps to the src1 length at the "
+        "same CDF position — inverse-CDF matching, the distribution-"
+        "alignment transform for cross-source corpus calibration (and "
+        "the batch-effect correction of bioinformatics). Exact: CDF "
+        "fractions compare as cross-multiplied integers (fa*nb vs "
+        "fb*na), the match is an ordered merge of both cum tables with "
+        "a forward-looking IGNORE-NULLS window, ties resolved a-side-"
+        "first to implement >=. Scale: both cum tables are "
+        "value-distinct; the merge sweep is one ordered pass over their "
+        "union (pair-partitionable for the all-pairs variant)",
+)
+def q_quantile_mapping_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    ca = docs.filter(F.col("source") == "src1").groupBy(
+        F.col("n_chars").cast("long").alias("u")
+    ).agg(F.count("*").alias("c"))
+    cb = docs.filter(F.col("source") == "src2").groupBy(
+        F.col("n_chars").cast("long").alias("v")
+    ).agg(F.count("*").alias("c"))
+    na = ca.agg(F.sum("c").alias("na"))
+    nb = cb.agg(F.sum("c").alias("nb"))
+    wa = Window.orderBy("u").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wb = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cuma = ca.select("u", F.sum("c").over(wa).alias("fa")).crossJoin(
+        F.broadcast(nb)
+    ).select(
+        (F.col("fa") * F.col("nb")).alias("key"),
+        F.lit(0).alias("is_b"),
+        "u",
+        F.lit(None).cast("long").alias("v"),
+    )
+    cumb = cb.select("v", F.sum("c").over(wb).alias("fb")).crossJoin(
+        F.broadcast(na)
+    ).select(
+        (F.col("fb") * F.col("na")).alias("key"),
+        F.lit(1).alias("is_b"),
+        F.lit(None).cast("long").alias("u"),
+        "v",
+    )
+    merged = cuma.unionByName(cumb)
+    # b-rows first on equal keys: >= must match the equal-fraction u
+    wm = Window.orderBy("key", F.desc("is_b")).rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    mapped = merged.select(
+        "is_b", "v",
+        F.first("u", ignorenulls=True).over(wm).alias("u"),
+    )
+    return (
+        mapped.filter(F.col("is_b") == 1)
+        .select("v", F.col("u").cast("long").alias("mapped_u"))
+        .orderBy("v")
+    )

@@ -776,3 +776,24 @@ def test_resample_linear_interpolates_exactly(spark, sf_dir):
                 pv, nv = int(known.loc[ph]), int(known.loc[nh])
                 want = (pv * (nh - h) + nv * (h - ph)) // (nh - ph)
                 assert v == want
+
+
+def test_quantile_mapping_matches_inverse_cdf(spark, sf_dir):
+    out = (
+        REGISTRY["quantile_mapping_calibration"].fn(spark, sf_dir)
+        .toPandas().set_index("v")
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    a = np.sort(docs.loc[docs["source"] == "src1", "n_chars"].to_numpy())
+    b = np.sort(docs.loc[docs["source"] == "src2", "n_chars"].to_numpy())
+    for v in np.unique(b):
+        # fraction of src2 <= v, then smallest src1 value at >= that CDF.
+        # Integer ceil: float q*len(a) can land one ulp above an exact
+        # integer and shift the index (the bug class this engine's
+        # cross-multiplied integer keys exist to avoid)
+        kb = int(np.searchsorted(b, v, side="right"))
+        idx = -(-kb * len(a) // len(b)) - 1
+        assert out.loc[v, "mapped_u"] == a[idx], v
+    # mapping is monotone non-decreasing
+    m = out.sort_index()["mapped_u"].to_numpy()
+    assert (np.diff(m) >= 0).all()
