@@ -3502,3 +3502,34 @@ def q_quantile_mapping_calibration(
         .select("v", F.col("u").cast("long").alias("mapped_u"))
         .orderBy("v")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed BPE trainer (Sennrich ACL'16) — merge-table output
+# ---------------------------------------------------------------------------
+
+@register(
+    "bpe_train_merges",
+    oracle=None,  # iterative driver loop; pinned by exact python-replay test
+    doc="Byte-pair-encoding tokenizer training (Sennrich et al. ACL 2016) "
+        "run as a distributed iterative dataflow: the corpus collapses to "
+        "the word-frequency table (Heaps'-law small), then each round "
+        "counts adjacent symbol pairs scan-side (zip_with), picks the "
+        "most frequent pair (ties by symbol text — fully deterministic), "
+        "and applies the non-overlapping left-to-right merge as a "
+        "Catalyst fold (no Python UDF). Returns the 10-round merge table "
+        "(rank, left, right, count) a tokenizer replays. Same bounded "
+        "driver-loop + localCheckpoint pattern as connected_components. "
+        "Exactness is pinned by a python-replay equality test "
+        "(tests/test_queries_r4.py) instead of a SQL oracle — the merge "
+        "recursion is the one shape DuckDB's list folds cannot replay "
+        "(struct-accumulator quirk)",
+)
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.bpe import train_bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    merges, _ = train_bpe(spark, docs, n_merges=10)
+    return spark.createDataFrame(
+        merges, "rank long, left string, right string, cnt long"
+    ).orderBy("rank")

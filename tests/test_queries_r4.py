@@ -797,3 +797,45 @@ def test_quantile_mapping_matches_inverse_cdf(spark, sf_dir):
     # mapping is monotone non-decreasing
     m = out.sort_index()["mapped_u"].to_numpy()
     assert (np.diff(m) >= 0).all()
+
+
+def test_bpe_train_matches_python_reference(spark, sf_dir):
+    out = [
+        (r["rank"], r["left"], r["right"], r["cnt"])
+        for r in REGISTRY["bpe_train_merges"].fn(spark, sf_dir).collect()
+    ]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    from collections import Counter
+    words = Counter()
+    for t in docs["text"]:
+        for w in t.split(" "):
+            if w:
+                words[w] += 1
+    sym = {w: list(w) for w in words}
+    ref = []
+    for rank in range(10):
+        pc = Counter()
+        for w, f in words.items():
+            s = sym[w]
+            for x, y in zip(s, s[1:]):
+                pc[(x, y)] += f
+        if not pc:
+            break
+        (l, r), c = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        ref.append((rank, l, r, c))
+        for w in sym:
+            s, acc, pend = sym[w], [], None
+            for ch in s:
+                if pend is not None and pend == l and ch == r:
+                    acc.append(l + r)
+                    pend = None
+                else:
+                    if pend is not None:
+                        acc.append(pend)
+                    pend = ch
+            if pend is not None:
+                acc.append(pend)
+            sym[w] = acc
+    assert out == ref
