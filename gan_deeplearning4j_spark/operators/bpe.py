@@ -48,7 +48,7 @@ def word_freq_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def _init_symbols(words: DataFrame) -> DataFrame:
     return words.select(
-        "freq", F.split(F.col("word"), "").alias("syms")
+        "word", "freq", F.split(F.col("word"), "").alias("syms")
     )
 
 
@@ -104,7 +104,9 @@ def train_bpe(
     text_col: str = "text",
 ) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
     """Run ``n_merges`` BPE rounds; returns (merge table rows
-    [(rank, left, right, count)], final symbolized word table)."""
+    [(rank, left, right, count)], final symbolized word table
+    (word, freq, syms) — i.e. the trained tokenizer already applied to
+    the training vocabulary)."""
     syms = _init_symbols(word_freq_table(docs, text_col)).localCheckpoint()
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(n_merges):
@@ -120,6 +122,6 @@ def train_bpe(
         left, right = pair.split("")
         merges.append((rank, left, right, cnt))
         syms = syms.select(
-            "freq", _merge_fold(left, right).alias("syms")
+            "word", "freq", _merge_fold(left, right).alias("syms")
         ).localCheckpoint()
     return merges, syms

@@ -3533,3 +3533,42 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "rank long, left string, right string, cnt long"
     ).orderBy("rank")
+
+
+@register(
+    "bpe_tokenize_stats",
+    oracle=None,  # shares the trainer's driver loop; python-replay-tested
+    doc="Subword tokenization statistics under the trained BPE: the "
+        "10-merge tokenizer from bpe_train_merges applied to the corpus "
+        "(the trainer's final symbol table IS the tokenized vocabulary), "
+        "reporting per-language subword counts and subwords-per-word "
+        "fertility in permille — the downstream half of the tokenizer "
+        "workflow, and the fertility screen token_fertility_by_lang runs "
+        "at whitespace level lifted to subwords. Scale: the symbol table "
+        "is vocabulary-sized and broadcast-joins into the exploded word "
+        "stream; one aggregate per language",
+)
+def q_bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.bpe import train_bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    _, syms = train_bpe(spark, docs, n_merges=10)
+    vocab = syms.select("word", F.size("syms").alias("n_sub"))
+    words = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.length("word") > 0)
+    j = words.join(F.broadcast(vocab), "word")
+    return (
+        j.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_sub").cast("long").alias("n_subwords"),
+        )
+        .select(
+            "lang", "n_words", "n_subwords",
+            F.expr("n_subwords * 1000 div n_words").alias(
+                "subwords_per_word_ppk"
+            ),
+        )
+        .orderBy("lang")
+    )

@@ -839,3 +839,55 @@ def test_bpe_train_matches_python_reference(spark, sf_dir):
                 acc.append(pend)
             sym[w] = acc
     assert out == ref
+
+
+def test_bpe_tokenize_stats_match_python(spark, sf_dir):
+    out = (
+        REGISTRY["bpe_tokenize_stats"].fn(spark, sf_dir)
+        .toPandas().set_index("lang")
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    from collections import Counter
+    words = Counter()
+    for t in docs["text"]:
+        for w in t.split(" "):
+            if w:
+                words[w] += 1
+    sym = {w: list(w) for w in words}
+    for _ in range(10):
+        pc = Counter()
+        for w, f in words.items():
+            s = sym[w]
+            for x, y in zip(s, s[1:]):
+                pc[(x, y)] += f
+        if not pc:
+            break
+        (l, r), _c = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        for w in sym:
+            s, acc, pend = sym[w], [], None
+            for ch in s:
+                if pend is not None and pend == l and ch == r:
+                    acc.append(l + r)
+                    pend = None
+                else:
+                    if pend is not None:
+                        acc.append(pend)
+                    pend = ch
+            if pend is not None:
+                acc.append(pend)
+            sym[w] = acc
+    nsub = {w: len(s) for w, s in sym.items()}
+    for lang, g in docs.groupby("lang"):
+        n_words = n_subwords = 0
+        for t in g["text"]:
+            for w in t.split(" "):
+                if w:
+                    n_words += 1
+                    n_subwords += nsub[w]
+        assert int(out.loc[lang, "n_words"]) == n_words
+        assert int(out.loc[lang, "n_subwords"]) == n_subwords
+        assert int(out.loc[lang, "subwords_per_word_ppk"]) == (
+            n_subwords * 1000 // n_words
+        )
