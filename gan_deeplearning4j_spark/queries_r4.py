@@ -3572,3 +3572,282 @@ def q_bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA F statistic (between/within variance, exact moments)
+# ---------------------------------------------------------------------------
+
+@register(
+    "anova_f_oneway",
+    oracle="""
+    WITH g AS (
+      SELECT source,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(CAST(n_chars AS BIGINT)) AS HUGEINT) AS s,
+             CAST(SUM(CAST(n_chars AS BIGINT) * n_chars) AS HUGEINT) AS ss
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT CAST(SUM(n) AS HUGEINT) AS n,
+             CAST(SUM(s) AS HUGEINT) AS s,
+             CAST(SUM(ss) AS HUGEINT) AS ss,
+             CAST(COUNT(*) AS HUGEINT) AS k
+      FROM g
+    ), parts AS (
+      -- per-group terms floored to integers BEFORE summing, so both sums
+      -- are order-free exact integers (a float sum over groups would be
+      -- accumulation-order-dependent); d_g = n_g*(mean_g - mean) floored
+      SELECT tot.n, tot.k, tot.ss,
+             SUM(((g.s * tot.n - tot.s * g.n) * 1000 // tot.n)
+                 * ((g.s * tot.n - tot.s * g.n) * 1000 // tot.n) // g.n)
+               AS ssb_m2,
+             SUM((g.s * g.s * 1000000) // g.n) AS sw_m2
+      FROM g CROSS JOIN tot
+      GROUP BY tot.n, tot.k, tot.ss
+    )
+    SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+           CAST(floor(CAST(ssb_m2 AS DOUBLE) / (CAST(k AS DOUBLE) - 1)
+                      / (CAST(ss * 1000000 - sw_m2 AS DOUBLE)
+                         / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))
+                      * 1000000) AS BIGINT) AS f_ppm
+    FROM parts
+    """,
+    doc="One-way ANOVA F statistic across sources on document length: "
+        "between-group vs within-group variance from per-group integer "
+        "moments (n, S, SS). Group sums stay exact integers; the "
+        "between/within decomposition and the final ratio run the "
+        "identical IEEE double sequence in both engines (divisions and "
+        "squares on identical integers), floored to ppm — the parametric "
+        "companion to the Mann-Whitney and chi-square screens. Scale: "
+        "one map-side-combinable moment aggregate; everything after "
+        "operates on |groups| rows",
+)
+def q_anova_f_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    x = F.col("n_chars").cast("long")
+    g = docs.groupBy("source").agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum(x).cast("decimal(38,0)").alias("s"),
+        F.sum(x * x).cast("decimal(38,0)").alias("ss"),
+    )
+    tot = g.agg(
+        F.sum("n").alias("tn"),
+        F.sum("s").alias("ts"),
+        F.sum("ss").alias("tss"),
+        F.count("*").cast("decimal(38,0)").alias("k"),
+    )
+    j = g.crossJoin(F.broadcast(tot))
+    # per-group terms truncated to integers BEFORE the sum (order-free;
+    # a float sum over groups would be accumulation-order-dependent).
+    # d_g may be negative: Spark `div` and DuckDB `//` both truncate
+    # toward zero, so the two engines agree on every term.
+    # milli-scaled terms: without the *1000, flooring d_g (often a small
+    # integer) before squaring costs ~2/d_g relative error per group
+    parts = j.groupBy("tn", "k", "tss").agg(
+        F.sum(
+            F.expr(
+                "((s * tn - ts * n) * 1000 div tn)"
+                " * ((s * tn - ts * n) * 1000 div tn) div n"
+            )
+        ).alias("ssb_m2"),
+        F.sum(F.expr("(s * s * 1000000) div n")).alias("sw_m2"),
+    )
+    nd = F.col("tn").cast("double")
+    kd = F.col("k").cast("double")
+    f = (
+        F.col("ssb_m2").cast("double") / (kd - F.lit(1.0))
+        / (
+            (
+                F.col("tss") * F.lit(1000000).cast("decimal(38,0)")
+                - F.col("sw_m2")
+            ).cast("double")
+            / (nd - kd)
+        )
+    )
+    return parts.select(
+        F.col("tn").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k"),
+        F.floor(f * F.lit(1000000.0)).cast("long").alias("f_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Haar wavelet energy decomposition of the daily series
+# ---------------------------------------------------------------------------
+
+@register(
+    "haar_energy_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(epoch_us(date_trunc('day', ts)) // 86400000000
+                  AS BIGINT) AS day,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY event_type, day
+    ), base AS (
+      SELECT event_type, day - (SELECT MIN(day) FROM daily) AS i, y
+      FROM daily
+    ),
+    l1 AS (SELECT event_type, i // 2 AS i,
+                  SUM(CASE WHEN i % 2 = 0 THEN y ELSE 0 END) AS a,
+                  SUM(CASE WHEN i % 2 = 1 THEN y ELSE 0 END) AS b
+           FROM base GROUP BY event_type, i // 2),
+    l2 AS (SELECT event_type, i // 2 AS i,
+                  SUM(CASE WHEN i % 2 = 0 THEN a + b ELSE 0 END) AS a,
+                  SUM(CASE WHEN i % 2 = 1 THEN a + b ELSE 0 END) AS b
+           FROM l1 GROUP BY event_type, i // 2),
+    l3 AS (SELECT event_type, i // 2 AS i,
+                  SUM(CASE WHEN i % 2 = 0 THEN a + b ELSE 0 END) AS a,
+                  SUM(CASE WHEN i % 2 = 1 THEN a + b ELSE 0 END) AS b
+           FROM l2 GROUP BY event_type, i // 2)
+    SELECT event_type,
+           CAST((SELECT SUM(CAST(a - b AS HUGEINT) * (a - b))
+                 FROM l1 x WHERE x.event_type = d.event_type) AS BIGINT)
+             AS e1,
+           CAST((SELECT SUM(CAST(a - b AS HUGEINT) * (a - b))
+                 FROM l2 x WHERE x.event_type = d.event_type) AS BIGINT)
+             AS e2,
+           CAST((SELECT SUM(CAST(a - b AS HUGEINT) * (a - b))
+                 FROM l3 x WHERE x.event_type = d.event_type) AS BIGINT)
+             AS e3
+    FROM (SELECT DISTINCT event_type FROM daily) d
+    ORDER BY event_type
+    """,
+    doc="Haar wavelet energy decomposition of each type's daily series: "
+        "detail energy at dyadic scales 2/4/8 days (sum of squared "
+        "pairwise differences of adjacent block sums — unnormalized Haar "
+        "details, so everything stays exact integers). High e1 = "
+        "day-to-day noise, high e2/e3 = multi-day regime shifts: the "
+        "multi-resolution screen that tells transient spikes from drifts "
+        "(complements CUSUM and ACF). Scale: each level is one groupBy "
+        "on (type, i div 2) over rows that HALVE per level — log-depth "
+        "shuffle pyramid, each tiny",
+)
+def q_haar_energy_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("(ts_nanos div 1000) div 86400000000").alias("day"),
+    ).agg(F.count("*").alias("y"))
+    dmin = daily.agg(F.min("day").alias("d0"))
+    base = daily.crossJoin(F.broadcast(dmin)).select(
+        "event_type", (F.col("day") - F.col("d0")).alias("i"), "y"
+    )
+
+    def level(df, val):
+        return df.groupBy(
+            "event_type", F.expr("i div 2").alias("i2")
+        ).agg(
+            F.sum(F.when(F.col("i") % 2 == 0, F.col(val)).otherwise(0))
+            .alias("a"),
+            F.sum(F.when(F.col("i") % 2 == 1, F.col(val)).otherwise(0))
+            .alias("b"),
+        ).withColumnRenamed("i2", "i")
+
+    l1 = level(base, "y")
+    l2 = level(l1.select("event_type", "i", (F.col("a") + F.col("b")).alias("y")), "y")
+    l3 = level(l2.select("event_type", "i", (F.col("a") + F.col("b")).alias("y")), "y")
+
+    def energy(df, name):
+        d = (F.col("a") - F.col("b")).cast("decimal(38,0)")
+        return df.groupBy("event_type").agg(
+            F.sum(d * d).cast("long").alias(name)
+        )
+
+    return (
+        energy(l1, "e1")
+        .join(energy(l2, "e2"), "event_type")
+        .join(energy(l3, "e3"), "event_type")
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wald-Wolfowitz runs test (randomness of the daily series)
+# ---------------------------------------------------------------------------
+
+@register(
+    "runs_test_randomness",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY event_type, d
+    ), agg AS (
+      SELECT event_type, y, COUNT(*) AS cnt FROM daily GROUP BY event_type, y
+    ), cum AS (
+      SELECT event_type, y,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY y
+                            ROWS UNBOUNDED PRECEDING) AS cw,
+             SUM(cnt) OVER (PARTITION BY event_type) AS n
+      FROM agg
+    ), med AS (
+      SELECT event_type,
+             CAST(MIN(CASE WHEN 2 * cw >= n THEN y END) AS BIGINT) AS m
+      FROM cum GROUP BY event_type
+    ), signed AS (
+      SELECT daily.event_type, d,
+             CASE WHEN y > m.m THEN 1 ELSE 0 END AS above
+      FROM daily JOIN med m USING (event_type)
+    ), flagged AS (
+      SELECT event_type, above,
+             CASE WHEN lag(above) OVER (PARTITION BY event_type ORDER BY d)
+                       IS DISTINCT FROM above THEN 1 ELSE 0 END AS chg
+      FROM signed
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(above) AS BIGINT) AS n_above,
+           CAST(SUM(chg) AS BIGINT) AS n_runs
+    FROM flagged GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Wald-Wolfowitz runs test inputs over each type's daily series: "
+        "days classified above/at-or-below their exact median "
+        "(percentile_disc crossing), then maximal same-sign runs counted "
+        "with the gaps-and-islands change flag — too FEW runs means "
+        "trending/sticky volumes, too many means oscillation; the "
+        "nonparametric randomness screen on top of machinery the engine "
+        "already has (exact median + islands). Scale: value-distinct "
+        "median pass plus one type-partitioned lag window",
+)
+def q_runs_test_randomness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).agg(F.count("*").alias("y"))
+    agg = daily.groupBy("event_type", "y").agg(F.count("*").alias("cnt"))
+    wc = (
+        Window.partitionBy("event_type").orderBy("y")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = agg.select(
+        "event_type", "y",
+        F.sum("cnt").over(wc).alias("cw"),
+        F.sum("cnt").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    med = cum.groupBy("event_type").agg(
+        F.min(
+            F.when(2 * F.col("cw") >= F.col("n"), F.col("y"))
+        ).alias("m")
+    )
+    signed = daily.join(F.broadcast(med), "event_type").select(
+        "event_type", "d",
+        F.when(F.col("y") > F.col("m"), 1).otherwise(0).alias("above"),
+    )
+    wl = Window.partitionBy("event_type").orderBy("d")
+    flagged = signed.withColumn(
+        "chg",
+        F.when(
+            ~F.lag("above").over(wl).eqNullSafe(F.col("above")), 1
+        ).otherwise(0),
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.sum("above").cast("long").alias("n_above"),
+            F.sum("chg").cast("long").alias("n_runs"),
+        )
+        .orderBy("event_type")
+    )

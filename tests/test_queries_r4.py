@@ -891,3 +891,68 @@ def test_bpe_tokenize_stats_match_python(spark, sf_dir):
         assert int(out.loc[lang, "subwords_per_word_ppk"]) == (
             n_subwords * 1000 // n_words
         )
+
+
+def test_anova_f_close_to_scipy_formula(spark, sf_dir):
+    out = REGISTRY["anova_f_oneway"].fn(spark, sf_dir).toPandas().iloc[0]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    groups = [g["n_chars"].to_numpy("float64")
+              for _, g in docs.groupby("source")]
+    n = sum(len(g) for g in groups)
+    k = len(groups)
+    mean = np.concatenate(groups).mean()
+    ssb = sum(len(g) * (g.mean() - mean) ** 2 for g in groups)
+    ssw = sum(((g - g.mean()) ** 2).sum() for g in groups)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    got = out["f_ppm"] / 1e6
+    # milli-scaled per-group floors keep relative error ~1e-6
+    assert abs(got - f) / f < 1e-5
+    assert out["n"] == n and out["k"] == k
+
+
+def test_haar_energy_matches_numpy(spark, sf_dir):
+    out = (
+        REGISTRY["haar_energy_daily"].fn(spark, sf_dir)
+        .toPandas().set_index("event_type")
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    ev["day"] = ev["ts"].astype("int64") // 1000 // 86_400_000_000
+    d0 = ev["day"].min()
+    for et, g in ev.groupby("event_type"):
+        daily = g.groupby("day").size()
+        # dense series over observed day indexes (absent day = 0)
+        idx = daily.index.to_numpy() - d0
+        y = np.zeros(idx.max() + 1, dtype="int64")
+        y[idx] = daily.to_numpy()
+        energies = []
+        cur = y
+        for _ in range(3):
+            if len(cur) % 2:
+                cur = np.append(cur, 0)
+            a, b = cur[0::2], cur[1::2]
+            energies.append(int(((a - b) ** 2).sum()))
+            cur = a + b
+        assert int(out.loc[et, "e1"]) == energies[0]
+        assert int(out.loc[et, "e2"]) == energies[1]
+        assert int(out.loc[et, "e3"]) == energies[2]
+
+
+def test_runs_test_matches_python(spark, sf_dir):
+    out = (
+        REGISTRY["runs_test_randomness"].fn(spark, sf_dir)
+        .toPandas().set_index("event_type")
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    daily = (
+        ev.assign(d=ev["ts"].dt.floor("D"))
+        .groupby(["event_type", "d"]).size()
+    )
+    for et in out.index:
+        y = daily.loc[et].sort_index().to_numpy()
+        v = np.sort(y)
+        med = v[int(np.ceil(0.5 * len(v))) - 1]
+        above = (y > med).astype(int)
+        runs = 1 + int((above[1:] != above[:-1]).sum())
+        assert int(out.loc[et, "n_days"]) == len(y)
+        assert int(out.loc[et, "n_above"]) == int(above.sum())
+        assert int(out.loc[et, "n_runs"]) == runs
