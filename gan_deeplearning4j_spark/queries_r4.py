@@ -3851,3 +3851,199 @@ def q_runs_test_randomness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-correlation lead-lag scan (which series leads which)
+# ---------------------------------------------------------------------------
+
+@register(
+    "ccf_lead_lag",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY event_type, d
+    ), a AS (SELECT d, y FROM daily WHERE event_type = 'click'),
+    b AS (SELECT d, y FROM daily WHERE event_type = 'purchase'),
+    lags AS (SELECT unnest(range(-7, 8)) AS lag),
+    paired AS (
+      SELECT lags.lag, a.y AS x, b.y AS z
+      FROM lags JOIN a ON TRUE JOIN b ON b.d = a.d + CAST(lags.lag AS INT)
+    ), m AS (
+      SELECT lag,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx,
+             CAST(SUM(z) AS HUGEINT) AS sz,
+             CAST(SUM(x * z) AS HUGEINT) AS sxz,
+             CAST(SUM(x * x) AS HUGEINT) AS sxx,
+             CAST(SUM(z * z) AS HUGEINT) AS szz
+      FROM paired GROUP BY lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+           CAST(floor(CAST(n * sxz - sx * sz AS DOUBLE)
+                      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                      / sqrt(CAST(n * szz - sz * sz AS DOUBLE))
+                      * 1000000) AS BIGINT) AS ccf_ppm
+    FROM m ORDER BY lag
+    """,
+    doc="Cross-correlation function between the click and purchase daily "
+        "series over lags -7..+7: the lag of max |ccf| says which series "
+        "LEADS (positive lag = purchases follow clicks k days later) — "
+        "the lead-lag scan behind demand forecasting and causal-ordering "
+        "hypotheses. Each lag's Pearson runs on exact integer moments "
+        "(same discipline as acf_daily_lag7), dates matched by calendar "
+        "join so gaps never misalign. Scale: the 15-row lag dimension "
+        "joins the tiny daily tables; one moment aggregate per lag",
+)
+def q_ccf_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).agg(F.count("*").alias("y"))
+    a = daily.filter(F.col("event_type") == "click").select(
+        F.col("d").alias("da"), F.col("y").alias("x")
+    )
+    b = daily.filter(F.col("event_type") == "purchase").select(
+        F.col("d").alias("db"), F.col("y").alias("z")
+    )
+    lags = a.sparkSession.range(-7, 8).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    paired = (
+        F.broadcast(lags)
+        .crossJoin(a)
+        .join(b, F.col("db") == F.expr("date_add(da, lag)"))
+    )
+    m = paired.groupBy("lag").agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("z").cast("decimal(38,0)").alias("sz"),
+        F.sum(F.col("x") * F.col("z")).cast("decimal(38,0)").alias("sxz"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("z") * F.col("z")).cast("decimal(38,0)").alias("szz"),
+    )
+    num = (F.col("n") * F.col("sxz") - F.col("sx") * F.col("sz")).cast(
+        "double"
+    )
+    dx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    dz = (F.col("n") * F.col("szz") - F.col("sz") * F.col("sz")).cast(
+        "double"
+    )
+    return m.select(
+        F.col("lag").cast("long").alias("lag"),
+        F.col("n").cast("long").alias("n_pairs"),
+        F.floor(
+            num / F.sqrt(dx) / F.sqrt(dz) * F.lit(1000000.0)
+        ).cast("long").alias("ccf_ppm"),
+    ).orderBy("lag")
+
+
+# ---------------------------------------------------------------------------
+# Dataset data card (per-source datasheet: the capstone audit report)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dataset_datacard",
+    oracle="""
+    WITH d AS (
+      SELECT source, doc_id, lang, text,
+             CAST(n_chars AS BIGINT) AS n_chars,
+             CAST('0x' || substr(md5(lower(trim(text))), 1, 15) AS BIGINT)
+               AS fp
+      FROM documents
+    ), base AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      FROM d GROUP BY source
+    ), lv AS (
+      SELECT source, n_chars, COUNT(*) AS cnt FROM d GROUP BY source, n_chars
+    ), cum AS (
+      SELECT source, n_chars,
+             SUM(cnt) OVER (PARTITION BY source ORDER BY n_chars
+                            ROWS UNBOUNDED PRECEDING) AS cw,
+             SUM(cnt) OVER (PARTITION BY source) AS n
+      FROM lv
+    ), med AS (
+      SELECT source,
+             CAST(MIN(CASE WHEN 2 * cw >= n THEN n_chars END) AS BIGINT)
+               AS median_chars
+      FROM cum GROUP BY source
+    ), toplang AS (
+      SELECT source, lang, cnt, ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY cnt DESC, lang) AS rn
+      FROM (SELECT source, lang, COUNT(*) AS cnt FROM d
+            GROUP BY source, lang)
+    )
+    SELECT b.source, b.n_docs, b.total_chars, m.median_chars,
+           CAST((b.n_docs - b.n_unique) * 1000000 // b.n_docs AS BIGINT)
+             AS dup_rate_ppm,
+           t.lang AS top_lang,
+           CAST(t.cnt * 1000000 // b.n_docs AS BIGINT) AS top_lang_ppm
+    FROM base b
+    JOIN med m USING (source)
+    JOIN (SELECT * FROM toplang WHERE rn = 1) t USING (source)
+    ORDER BY b.source
+    """,
+    doc="Per-source dataset data card (Gebru et al. 'Datasheets for "
+        "Datasets' reduced to its computable core): document count, "
+        "total characters, exact median length, exact duplicate rate "
+        "(normalized-text fingerprints, same md5 family as the dedup "
+        "stack), and dominant language with its share — the one-query "
+        "audit a corpus publishes alongside itself. Every ratio is "
+        "integer ppm; the median reuses the percentile_disc crossing "
+        "machinery. Scale: one scan feeds all branches; per-source "
+        "aggregates, a value-distinct median window, and a "
+        "WindowGroupLimit-shaped top-language pick",
+)
+def q_dataset_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import portable_hash60
+
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "source", "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        portable_hash60(F.lower(F.trim(F.col("text")))).alias("fp"),
+    )
+    base = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("fp").alias("n_unique"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    lv = d.groupBy("source", "n_chars").agg(F.count("*").alias("cnt"))
+    wc = (
+        Window.partitionBy("source").orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = lv.select(
+        "source", "n_chars",
+        F.sum("cnt").over(wc).alias("cw"),
+        F.sum("cnt").over(Window.partitionBy("source")).alias("n"),
+    )
+    med = cum.groupBy("source").agg(
+        F.min(
+            F.when(2 * F.col("cw") >= F.col("n"), F.col("n_chars"))
+        ).alias("median_chars")
+    )
+    lc = d.groupBy("source", "lang").agg(F.count("*").alias("cnt"))
+    wt = Window.partitionBy("source").orderBy(F.desc("cnt"), "lang")
+    top = lc.withColumn("rn", F.row_number().over(wt)).filter(
+        F.col("rn") <= 1
+    )
+    return (
+        base.join(med, "source")
+        .join(top.select("source", "lang", "cnt"), "source")
+        .select(
+            "source", "n_docs", "total_chars", "median_chars",
+            F.expr(
+                "(n_docs - n_unique) * 1000000 div n_docs"
+            ).alias("dup_rate_ppm"),
+            F.col("lang").alias("top_lang"),
+            F.expr("cnt * 1000000 div n_docs").alias("top_lang_ppm"),
+        )
+        .orderBy("source")
+    )

@@ -956,3 +956,46 @@ def test_runs_test_matches_python(spark, sf_dir):
         assert int(out.loc[et, "n_days"]) == len(y)
         assert int(out.loc[et, "n_above"]) == int(above.sum())
         assert int(out.loc[et, "n_runs"]) == runs
+
+
+def test_ccf_symmetry_with_acf_discipline(spark, sf_dir):
+    out = REGISTRY["ccf_lead_lag"].fn(spark, sf_dir).toPandas()
+    assert len(out) == 15
+    assert set(out["lag"]) == set(range(-7, 8))
+    # replay lag 0 and one nonzero lag in pandas
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    daily = (
+        ev.assign(d=ev["ts"].dt.floor("D"))
+        .groupby(["event_type", "d"]).size().rename("y").reset_index()
+    )
+    import pandas as pd
+    a = daily[daily["event_type"] == "click"][["d", "y"]]
+    b = daily[daily["event_type"] == "purchase"][["d", "y"]]
+    for lag in (0, 3, -5):
+        bb = b.copy()
+        bb["d"] = bb["d"] - pd.Timedelta(days=lag)
+        j = a.merge(bb, on="d", suffixes=("_x", "_z"))
+        r = np.corrcoef(j["y_x"], j["y_z"])[0, 1]
+        row = out[out["lag"] == lag].iloc[0]
+        assert abs(row["ccf_ppm"] / 1e6 - r) < 2e-6
+        assert row["n_pairs"] == len(j)
+
+
+def test_datacard_fields_consistent(spark, sf_dir):
+    out = REGISTRY["dataset_datacard"].fn(spark, sf_dir).toPandas()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    assert out["n_docs"].sum() == len(docs)
+    for _, r in out.iterrows():
+        g = docs[docs["source"] == r["source"]]
+        assert r["total_chars"] == g["n_chars"].sum()
+        v = np.sort(g["n_chars"].to_numpy())
+        assert r["median_chars"] == v[int(np.ceil(0.5 * len(v))) - 1]
+        uniq = g["text"].str.strip().str.lower().nunique()
+        assert r["dup_rate_ppm"] == (len(g) - uniq) * 1000000 // len(g)
+        top = g["lang"].value_counts()
+        # ties broken by lang name ascending
+        best = min(
+            top.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        assert r["top_lang"] == best[0]
+        assert r["top_lang_ppm"] == best[1] * 1000000 // len(g)
