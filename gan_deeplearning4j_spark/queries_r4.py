@@ -4047,3 +4047,222 @@ def q_dataset_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Trending movers (top-k set delta between two periods)
+# ---------------------------------------------------------------------------
+
+@register(
+    "trending_movers",
+    oracle="""
+    WITH mid AS (
+      SELECT CAST(MIN(epoch_us(ts)) + (MAX(epoch_us(ts))
+                  - MIN(epoch_us(ts))) // 2 AS BIGINT) AS m
+      FROM events
+    ), t1 AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n1,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, user_id) AS r1
+      FROM events CROSS JOIN mid WHERE epoch_us(ts) < mid.m
+      GROUP BY user_id
+    ), t2 AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n2,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, user_id) AS r2
+      FROM events CROSS JOIN mid WHERE epoch_us(ts) >= mid.m
+      GROUP BY user_id
+    )
+    SELECT coalesce(a.user_id, b.user_id) AS user_id,
+           CAST(coalesce(a.n1, 0) AS BIGINT) AS n_first,
+           CAST(coalesce(b.n2, 0) AS BIGINT) AS n_second,
+           CASE WHEN a.user_id IS NULL THEN 'entered'
+                WHEN b.user_id IS NULL THEN 'dropped'
+                ELSE 'moved' END AS status,
+           CAST(coalesce(a.r1, 21) - coalesce(b.r2, 21) AS BIGINT)
+             AS rank_delta
+    FROM (SELECT * FROM t1 WHERE r1 <= 20) a
+    FULL OUTER JOIN (SELECT * FROM t2 WHERE r2 <= 20) b USING (user_id)
+    ORDER BY user_id
+    """,
+    doc="Trending movers: the top-20 most active users of the first half "
+        "of the time range full-outer-joined against the second half's "
+        "top-20 — who entered, who dropped, and how ranks moved (absent "
+        "side pinned at rank 21) — the leaderboard-delta report behind "
+        "every 'trending' dashboard. Exact integer midpoint split. "
+        "Scale: two filtered user aggregates (one scan each), rank "
+        "windows with literal bounds (InferWindowGroupLimit), and a "
+        "40-row-max outer join",
+)
+def q_trending_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    us = F.expr("ts_nanos div 1000")
+    mid = ev.agg(
+        (
+            F.min(us) + (F.max(us) - F.min(us)) / F.lit(2)
+        ).cast("long").alias("m")
+    )
+    e = ev.select("user_id", us.alias("us")).crossJoin(F.broadcast(mid))
+
+    def side(df, cmp_col, n_name, r_name):
+        g = df.groupBy("user_id").agg(F.count("*").alias(n_name))
+        w = Window.orderBy(F.desc(n_name), "user_id")
+        return g.select(
+            "user_id", n_name,
+            F.row_number().over(w).cast("long").alias(r_name),
+        ).filter(F.col(r_name) <= 20)
+
+    t1 = side(e.filter(F.col("us") < F.col("m")), "us", "n1", "r1")
+    t2 = side(e.filter(F.col("us") >= F.col("m")), "us", "n2", "r2")
+    j = t1.join(t2, ["user_id"], "full_outer")
+    return j.select(
+        "user_id",
+        F.coalesce(F.col("n1"), F.lit(0)).alias("n_first"),
+        F.coalesce(F.col("n2"), F.lit(0)).alias("n_second"),
+        F.when(F.col("n1").isNull(), "entered")
+        .when(F.col("n2").isNull(), "dropped")
+        .otherwise("moved").alias("status"),
+        (
+            F.coalesce(F.col("r1"), F.lit(21))
+            - F.coalesce(F.col("r2"), F.lit(21))
+        ).cast("long").alias("rank_delta"),
+    ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical contribution shares (percent-of-parent rollup)
+# ---------------------------------------------------------------------------
+
+@register(
+    "hierarchical_share",
+    oracle="""
+    WITH rev AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev_c
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY region, nation
+    ), w AS (
+      SELECT region, nation, rev_c,
+             SUM(rev_c) OVER (PARTITION BY region) AS region_c,
+             SUM(rev_c) OVER () AS total_c
+      FROM rev
+    )
+    SELECT region, nation, rev_c,
+           CAST(rev_c * 1000000 // region_c AS BIGINT)
+             AS share_of_region_ppm,
+           CAST(region_c * 1000000 // total_c AS BIGINT)
+             AS region_share_ppm
+    FROM w ORDER BY region, nation
+    """,
+    doc="Hierarchical contribution report: nation revenue with its share "
+        "of the parent region and the region's share of the grand total "
+        "(percent-of-parent at each level, exact integer ppm) — the "
+        "drill-down contribution layout every BI hierarchy renders. "
+        "Scale: the fact table reduces to one row per nation before any "
+        "window; both share windows run over that 25-row table",
+)
+def q_hierarchical_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            ).alias("rev_c")
+        )
+    )
+    w = rev.select(
+        "region", "nation", "rev_c",
+        F.sum("rev_c").over(Window.partitionBy("region")).alias("region_c"),
+        F.sum("rev_c").over(Window.partitionBy()).alias("total_c"),
+    )
+    return w.select(
+        "region", "nation", "rev_c",
+        F.expr("rev_c * 1000000 div region_c").alias("share_of_region_ppm"),
+        F.expr("region_c * 1000000 div total_c").alias("region_share_ppm"),
+    ).orderBy("region", "nation")
+
+
+# ---------------------------------------------------------------------------
+# Discounted cohort LTV (exact dyadic-free integer discounting)
+# ---------------------------------------------------------------------------
+
+@register(
+    "discounted_cohort_ltv",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, MIN(epoch_us(ts) // 604800000000) AS w0
+      FROM events GROUP BY user_id
+    ), spend AS (
+      SELECT e.user_id,
+             CAST(epoch_us(e.ts) // 604800000000 - f.w0 AS BIGINT) AS k,
+             CAST(round(e.value * 100) AS BIGINT) AS c
+      FROM events e JOIN f USING (user_id)
+      WHERE e.event_type = 'purchase'
+    ), byk AS (
+      SELECT f.w0 AS cohort_week, spend.k,
+             CAST(SUM(spend.c) AS BIGINT) AS rev_c
+      FROM spend JOIN f USING (user_id)
+      GROUP BY cohort_week, spend.k
+    )
+    SELECT CAST(cohort_week AS BIGINT) AS cohort_week,
+           CAST(SUM(rev_c) AS BIGINT) AS raw_ltv_c,
+           CAST(SUM(rev_c * CAST(power(9, k) AS HUGEINT)
+                    // CAST(power(10, k) AS HUGEINT)) AS BIGINT)
+             AS disc_ltv_c
+    FROM byk
+    GROUP BY cohort_week
+    ORDER BY cohort_week
+    """,
+    doc="Discounted cohort lifetime value: purchase revenue by (first-"
+        "activity week cohort, week offset k), summed raw and with a 10% "
+        "weekly discount applied as EXACT integer arithmetic — "
+        "rev * 9^k div 10^k with k bounded by the observation window, so "
+        "the integer powers stay small and both engines agree digit for "
+        "digit (a float 0.9^k discount would drift). The finance-grade "
+        "retention economics metric on top of the cohort machinery. "
+        "Scale: first-week table joins back broadcast; one (cohort, k) "
+        "aggregate",
+)
+def q_discounted_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    wk = F.expr("(ts_nanos div 1000) div 604800000000")
+    f = ev.groupBy("user_id").agg(F.min(wk).alias("w0"))
+    spend = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(f), "user_id")
+        .select(
+            F.col("w0").alias("cohort_week"),
+            (wk - F.col("w0")).alias("k"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("c"),
+        )
+    )
+    byk = spend.groupBy("cohort_week", "k").agg(
+        F.sum("c").alias("rev_c")
+    )
+    disc = F.expr(
+        "rev_c * CAST(power(9, k) AS DECIMAL(38,0))"
+        " div CAST(power(10, k) AS DECIMAL(38,0))"
+    )
+    return (
+        byk.groupBy("cohort_week")
+        .agg(
+            F.sum("rev_c").cast("long").alias("raw_ltv_c"),
+            F.sum(disc).cast("long").alias("disc_ltv_c"),
+        )
+        .select(
+            F.col("cohort_week").cast("long").alias("cohort_week"),
+            "raw_ltv_c", "disc_ltv_c",
+        )
+        .orderBy("cohort_week")
+    )

@@ -999,3 +999,47 @@ def test_datacard_fields_consistent(spark, sf_dir):
         )
         assert r["top_lang"] == best[0]
         assert r["top_lang_ppm"] == best[1] * 1000000 // len(g)
+
+
+def test_trending_movers_semantics(spark, sf_dir):
+    out = REGISTRY["trending_movers"].fn(spark, sf_dir).toPandas()
+    assert len(out) <= 40
+    assert set(out["status"]) <= {"entered", "dropped", "moved"}
+    assert (out.loc[out["status"] == "entered", "n_first"] >= 0).all()
+    # entered rows have rank_delta = 21 - r2 > 0; dropped have < 0
+    assert (out.loc[out["status"] == "entered", "rank_delta"] > 0).all()
+    assert (out.loc[out["status"] == "dropped", "rank_delta"] < 0).all()
+
+
+def test_hierarchical_share_reconciles(spark, sf_dir):
+    out = REGISTRY["hierarchical_share"].fn(spark, sf_dir).toPandas()
+    # per-region shares sum to ~1e6 (floor loss < nations per region)
+    for region, g in out.groupby("region"):
+        s = g["share_of_region_ppm"].sum()
+        assert 1000000 - len(g) < s <= 1000000
+        assert g["region_share_ppm"].nunique() == 1
+    # region shares sum to ~1e6
+    rs = out.drop_duplicates("region")["region_share_ppm"].sum()
+    assert 1000000 - 5 < rs <= 1000000
+
+
+def test_discounted_ltv_bounds_and_exactness(spark, sf_dir):
+    out = REGISTRY["discounted_cohort_ltv"].fn(spark, sf_dir).toPandas()
+    assert (out["disc_ltv_c"] <= out["raw_ltv_c"]).all()
+    # replay in python
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    ev["wk"] = ev["ts"].astype("int64") // 1000 // 604_800_000_000
+    w0 = ev.groupby("user_id")["wk"].min()
+    p = ev[ev["event_type"] == "purchase"].copy()
+    p["c"] = (p["value"] * 100).round().astype("int64")
+    p["w0"] = p["user_id"].map(w0)
+    p["k"] = p["wk"] - p["w0"]
+    byk = p.groupby(["w0", "k"])["c"].sum()
+    for cw, g in byk.groupby(level=0):
+        raw = int(g.sum())
+        disc = sum(
+            int(v) * 9 ** int(k) // 10 ** int(k)
+            for (_, k), v in g.items()
+        )
+        row = out[out["cohort_week"] == cw].iloc[0]
+        assert row["raw_ltv_c"] == raw and row["disc_ltv_c"] == disc
