@@ -4266,3 +4266,101 @@ def q_discounted_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequential probability ratio test (Wald SPRT) per user
+# ---------------------------------------------------------------------------
+
+# log-likelihood-ratio increments for H1: p=0.6 vs H0: p=0.5, and the
+# +-ln(19) decision bounds (alpha = beta = 0.05), all pre-floored to
+# micro-nats so both engines walk the identical integer path
+_SPRT_UP = 182321       # floor(1e6 * ln(0.6/0.5)) per success
+_SPRT_DN = -223144      # floor(1e6 * ln(0.4/0.5)) per failure
+_SPRT_BOUND = 2944438   # floor(1e6 * ln(19))
+
+
+@register(
+    "sprt_purchase_rate",
+    oracle=f"""
+    WITH obs AS (
+      SELECT user_id, epoch_us(ts) AS us, event_id,
+             CASE WHEN event_type = 'purchase' THEN {_SPRT_UP}
+                  ELSE {_SPRT_DN} END AS llr
+      FROM events WHERE event_type IN ('purchase', 'click')
+    ), walk AS (
+      SELECT user_id, us, event_id,
+             SUM(llr) OVER w AS s,
+             ROW_NUMBER() OVER w AS i
+      FROM obs
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS UNBOUNDED PRECEDING)
+    ), crossings AS (
+      SELECT user_id, i, s,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY i) AS rc
+      FROM walk
+      WHERE s >= {_SPRT_BOUND} OR s <= -{_SPRT_BOUND}
+    ), tot AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_obs
+      FROM walk GROUP BY user_id
+    )
+    SELECT t.user_id, t.n_obs,
+           CAST(coalesce(c.i, -1) AS BIGINT) AS decided_at,
+           CASE WHEN c.i IS NULL THEN 'continue'
+                WHEN c.s >= {_SPRT_BOUND} THEN 'accept_h1'
+                ELSE 'accept_h0' END AS decision
+    FROM tot t
+    LEFT JOIN (SELECT * FROM crossings WHERE rc = 1) c USING (user_id)
+    ORDER BY t.user_id
+    """,
+    doc="Wald's sequential probability ratio test per user (H1: purchase "
+        "share 0.6 vs H0: 0.5 over the purchase/click stream, "
+        "alpha=beta=0.05): the log-likelihood random walk uses "
+        "pre-floored micro-nat increments (identical integer constants "
+        "both engines), and the first boundary crossing fixes the "
+        "decision and its sample number — sequential testing stops "
+        "experiments early instead of waiting for a fixed horizon. "
+        "Scale: ONE user-partitioned ordered window builds the walk; "
+        "crossings filter scan-side; the first-crossing pick is a "
+        "literal-bounded rank",
+)
+def q_sprt_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    llr = F.when(
+        F.col("event_type") == "purchase", F.lit(_SPRT_UP)
+    ).otherwise(F.lit(_SPRT_DN))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    walk = ev.select(
+        "user_id", llr.alias("llr"),
+        F.expr("ts_nanos div 1000").alias("us"), "event_id",
+    ).select(
+        "user_id",
+        F.sum("llr").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("s"),
+        F.row_number().over(w).alias("i"),
+    )
+    tot = walk.groupBy("user_id").agg(F.count("*").alias("n_obs"))
+    crossings = walk.filter(
+        (F.col("s") >= _SPRT_BOUND) | (F.col("s") <= -_SPRT_BOUND)
+    )
+    wc = Window.partitionBy("user_id").orderBy("i")
+    first = crossings.withColumn(
+        "rc", F.row_number().over(wc)
+    ).filter(F.col("rc") <= 1)
+    return (
+        tot.join(first.select("user_id", "i", "s"), ["user_id"], "left")
+        .select(
+            "user_id",
+            F.col("n_obs").cast("long").alias("n_obs"),
+            F.coalesce(F.col("i").cast("long"), F.lit(-1)).alias(
+                "decided_at"
+            ),
+            F.when(F.col("i").isNull(), "continue")
+            .when(F.col("s") >= _SPRT_BOUND, "accept_h1")
+            .otherwise("accept_h0").alias("decision"),
+        )
+        .orderBy("user_id")
+    )

@@ -1043,3 +1043,24 @@ def test_discounted_ltv_bounds_and_exactness(spark, sf_dir):
         )
         row = out[out["cohort_week"] == cw].iloc[0]
         assert row["raw_ltv_c"] == raw and row["disc_ltv_c"] == disc
+
+
+def test_sprt_matches_python_walk(spark, sf_dir):
+    out = (
+        REGISTRY["sprt_purchase_rate"].fn(spark, sf_dir)
+        .toPandas().set_index("user_id")
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    ev = ev[ev["event_type"].isin(["purchase", "click"])]
+    UP, DN, B = 182321, -223144, 2944438
+    for uid, g in ev.sort_values(["ts", "event_id"]).groupby("user_id"):
+        s = 0
+        decided_at, decision = -1, "continue"
+        for i, et in enumerate(g["event_type"], start=1):
+            s += UP if et == "purchase" else DN
+            if decided_at == -1 and (s >= B or s <= -B):
+                decided_at = i
+                decision = "accept_h1" if s >= B else "accept_h0"
+        assert int(out.loc[uid, "n_obs"]) == len(g)
+        assert int(out.loc[uid, "decided_at"]) == decided_at, uid
+        assert out.loc[uid, "decision"] == decision, uid
