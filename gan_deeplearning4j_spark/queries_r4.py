@@ -4364,3 +4364,104 @@ def q_sprt_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Label propagation communities (synchronous LPA, bounded iterations)
+# ---------------------------------------------------------------------------
+
+def _lpa_oracle(iters: int = 3) -> str:
+    ctes = ["""
+    b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pr AS (
+      SELECT a.l_partkey AS p1, c.l_partkey AS p2, COUNT(*) AS w
+      FROM b a JOIN b c
+        ON c.l_orderkey = a.l_orderkey AND c.l_partkey > a.l_partkey
+      GROUP BY p1, p2 HAVING COUNT(*) >= 2
+    ),
+    e AS (SELECT p1 AS u, p2 AS v FROM pr
+          UNION ALL SELECT p2, p1 FROM pr),
+    l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM e)"""]
+    for i in range(1, iters + 1):
+        p = i - 1
+        ctes.append(f"""
+    cnt{i} AS (SELECT e.u, l{p}.lbl, COUNT(*) AS c
+               FROM e JOIN l{p} ON l{p}.node = e.v GROUP BY e.u, l{p}.lbl),
+    pick{i} AS (SELECT u, lbl FROM (
+                  SELECT u, lbl, ROW_NUMBER() OVER (
+                    PARTITION BY u ORDER BY c DESC, lbl) AS rn
+                  FROM cnt{i}) WHERE rn = 1),
+    l{i} AS (SELECT l{p}.node, coalesce(p.lbl, l{p}.lbl) AS lbl
+             FROM l{p} LEFT JOIN pick{i} p ON p.u = l{p}.node)""")
+    return (
+        "WITH" + ",".join(ctes) + f"""
+    SELECT CAST(lbl AS BIGINT) AS community,
+           CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM l{iters} GROUP BY lbl
+    ORDER BY n_members DESC, community
+    LIMIT 50
+    """
+    )
+
+
+@register(
+    "lpa_communities",
+    oracle=_lpa_oracle(),
+    doc="Synchronous label propagation communities (Raghavan et al. 2007) "
+        "over the co-purchase graph (parts sharing >= 2 baskets): three "
+        "synchronous rounds where each node adopts the most frequent "
+        "label among its neighbors (ties -> smallest label, isolated "
+        "nodes keep theirs) — community structure, which connected "
+        "components cannot see (CC merges everything reachable; LPA's "
+        "mode update respects edge density). Fully deterministic, so the "
+        "oracle unrolls the three rounds as chained CTEs (the pagerank "
+        "pattern). Output: top community sizes. Scale: per round one "
+        "neighbor join + one (node, label) count + a WindowGroupLimit "
+        "argmax — O(iters) shuffles of the edge list, labels "
+        "localCheckpoint'd like connected_components",
+)
+def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    a, c = b.alias("a"), b.alias("c")
+    pr = (
+        a.join(
+            c,
+            (F.col("c.l_orderkey") == F.col("a.l_orderkey"))
+            & (F.col("c.l_partkey") > F.col("a.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"),
+            F.col("c.l_partkey").alias("p2"),
+        )
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= 2)
+    )
+    e = pr.select(
+        F.col("p1").alias("u"), F.col("p2").alias("v")
+    ).unionByName(pr.select(F.col("p2").alias("u"), F.col("p1").alias("v")))
+    e = e.localCheckpoint()
+    labels = e.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    ).localCheckpoint()
+    for _ in range(3):
+        nbr = e.join(labels, e.v == labels.node).select(
+            e.u.alias("nu"), "lbl"
+        )
+        cnt = nbr.groupBy("nu", "lbl").agg(F.count("*").alias("c"))
+        w = Window.partitionBy("nu").orderBy(F.desc("c"), "lbl")
+        pick = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 1)
+            .select(F.col("nu").alias("node"), F.col("lbl").alias("new_lbl"))
+        )
+        labels = labels.join(pick, "node", "left").select(
+            "node",
+            F.coalesce(F.col("new_lbl"), F.col("lbl")).alias("lbl"),
+        ).localCheckpoint()
+    return (
+        labels.groupBy(F.col("lbl").alias("community"))
+        .agg(F.count("*").alias("n_members"))
+        .orderBy(F.desc("n_members"), "community")
+        .limit(50)
+    )

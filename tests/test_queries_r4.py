@@ -1064,3 +1064,39 @@ def test_sprt_matches_python_walk(spark, sf_dir):
         assert int(out.loc[uid, "n_obs"]) == len(g)
         assert int(out.loc[uid, "decided_at"]) == decided_at, uid
         assert out.loc[uid, "decision"] == decision, uid
+
+
+def test_lpa_differs_from_connected_components(spark, sf_dir):
+    out = REGISTRY["lpa_communities"].fn(spark, sf_dir).toPandas()
+    # sizes positive, communities labeled by member node ids
+    assert (out["n_members"] >= 1).all()
+    # python replay of 3 synchronous rounds
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").toPandas()
+    b = li[["l_orderkey", "l_partkey"]].drop_duplicates()
+    from collections import Counter, defaultdict
+    pair = Counter()
+    for _, g in b.groupby("l_orderkey"):
+        ps = sorted(set(g["l_partkey"]))
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                pair[(ps[i], ps[j])] += 1
+    adj = defaultdict(list)
+    for (u, v), w in pair.items():
+        if w >= 2:
+            adj[u].append(v)
+            adj[v].append(u)
+    lbl = {n: n for n in adj}
+    for _ in range(3):
+        new = {}
+        for n in adj:
+            cnt = Counter(lbl[m] for m in adj[n])
+            best = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+            new[n] = best[0]
+        lbl = new
+    sizes = Counter(lbl.values())
+    want = sorted(
+        ((c, n) for c, n in sizes.items()),
+        key=lambda cn: (-cn[1], cn[0]),
+    )[:50]
+    got = list(zip(out["community"], out["n_members"]))
+    assert got == want
