@@ -4465,3 +4465,200 @@ def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_members"), "community")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Clustering coefficient per node (triangle density, co-purchase graph)
+# ---------------------------------------------------------------------------
+
+_G_EDGES_SQL = """
+    b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pr AS (
+      SELECT a.l_partkey AS p1, c.l_partkey AS p2
+      FROM b a JOIN b c
+        ON c.l_orderkey = a.l_orderkey AND c.l_partkey > a.l_partkey
+      GROUP BY p1, p2 HAVING COUNT(*) >= 2
+    )"""
+
+
+@register(
+    "clustering_coefficient",
+    oracle=f"""
+    WITH {_G_EDGES_SQL},
+    e AS (SELECT p1 AS u, p2 AS v FROM pr
+          UNION ALL SELECT p2, p1 FROM pr),
+    deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY u),
+    tri AS (  -- oriented wedge u<v<w closed by (u,w): credits each corner
+      SELECT x.n AS node, CAST(COUNT(*) AS BIGINT) AS t
+      FROM pr ab
+      JOIN pr bc ON bc.p1 = ab.p2
+      JOIN pr ac ON ac.p1 = ab.p1 AND ac.p2 = bc.p2
+      CROSS JOIN LATERAL (SELECT unnest([ab.p1, ab.p2, bc.p2]) AS n) x
+      GROUP BY node
+    )
+    SELECT deg.u AS node, deg.d AS degree,
+           CAST(coalesce(tri.t, 0) AS BIGINT) AS n_triangles,
+           CAST(coalesce(tri.t, 0) * 2000000 // (deg.d * (deg.d - 1))
+                AS BIGINT) AS clustering_ppm
+    FROM deg LEFT JOIN tri ON tri.node = deg.u
+    WHERE deg.d >= 2
+    ORDER BY clustering_ppm DESC, node
+    LIMIT 50
+    """,
+    doc="Local clustering coefficient on the co-purchase graph: per node, "
+        "2*triangles / (deg*(deg-1)) in exact ppm — how clique-like each "
+        "part's neighborhood is, the small-world diagnostic that "
+        "complements the global triangle count. Triangles enumerate once "
+        "per id-ordered triple (two oriented joins, the node-iterator "
+        "orientation trick) and credit all three corners via a 3-element "
+        "explode. Scale: the oriented join only extends edges where "
+        "p1<p2, keeping the wedge fan-out to the ordered adjacency "
+        "lists; per-node credit is a map-side-combinable count",
+)
+def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    a, c = b.alias("a"), b.alias("c")
+    pr = (
+        a.join(
+            c,
+            (F.col("c.l_orderkey") == F.col("a.l_orderkey"))
+            & (F.col("c.l_partkey") > F.col("a.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"),
+            F.col("c.l_partkey").alias("p2"),
+        )
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("p1", "p2")
+        .localCheckpoint()
+    )
+    e = pr.unionByName(
+        pr.select(F.col("p2").alias("p1"), F.col("p1").alias("p2"))
+    )
+    deg = e.groupBy(F.col("p1").alias("u")).agg(F.count("*").alias("d"))
+    ab, bc, ac = pr.alias("ab"), pr.alias("bc"), pr.alias("ac")
+    triples = (
+        ab.join(bc, F.col("bc.p1") == F.col("ab.p2"))
+        .join(
+            ac,
+            (F.col("ac.p1") == F.col("ab.p1"))
+            & (F.col("ac.p2") == F.col("bc.p2")),
+        )
+        .select(
+            F.explode(
+                F.array(
+                    F.col("ab.p1"), F.col("ab.p2"), F.col("bc.p2")
+                )
+            ).alias("node")
+        )
+    )
+    tri = triples.groupBy("node").agg(F.count("*").alias("t"))
+    return (
+        deg.filter(F.col("d") >= 2)
+        .join(tri, deg.u == tri.node, "left")
+        .select(
+            F.col("u").alias("node"),
+            F.col("d").alias("degree"),
+            F.coalesce(F.col("t"), F.lit(0)).alias("n_triangles"),
+            F.expr(
+                "coalesce(t, 0) * 2000000 div (d * (d - 1))"
+            ).alias("clustering_ppm"),
+        )
+        .orderBy(F.desc("clustering_ppm"), "node")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity (do hubs link to hubs?)
+# ---------------------------------------------------------------------------
+
+@register(
+    "degree_assortativity",
+    oracle=f"""
+    WITH {_G_EDGES_SQL},
+    e AS (SELECT p1 AS u, p2 AS v FROM pr
+          UNION ALL SELECT p2, p1 FROM pr),
+    deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY u),
+    de AS (
+      SELECT du.d AS x, dv.d AS z
+      FROM e JOIN deg du ON du.u = e.u JOIN deg dv ON dv.u = e.v
+    ), m AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx,
+             CAST(SUM(z) AS HUGEINT) AS sz,
+             CAST(SUM(x * z) AS HUGEINT) AS sxz,
+             CAST(SUM(x * x) AS HUGEINT) AS sxx,
+             CAST(SUM(z * z) AS HUGEINT) AS szz
+      FROM de
+    )
+    SELECT CAST(n AS BIGINT) AS n_directed_edges,
+           CAST(floor(CAST(n * sxz - sx * sz AS DOUBLE)
+                      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                      / sqrt(CAST(n * szz - sz * sz AS DOUBLE))
+                      * 1000000) AS BIGINT) AS assortativity_ppm
+    FROM m
+    """,
+    doc="Degree assortativity of the co-purchase graph (Newman 2002): "
+        "Pearson correlation of endpoint degrees over directed edges — "
+        "positive means hubs prefer hubs (resilient core), negative "
+        "means hub-and-spoke; decides whether degree-based salting or "
+        "hub isolation is the right skew strategy. Exact integer moments "
+        "(same discipline as stats_corr_exact), degrees attached by two "
+        "broadcastable joins against the degree table. Scale: one edge "
+        "scan + degree table joins; a single moment aggregate",
+)
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    a, c = b.alias("a"), b.alias("c")
+    pr = (
+        a.join(
+            c,
+            (F.col("c.l_orderkey") == F.col("a.l_orderkey"))
+            & (F.col("c.l_partkey") > F.col("a.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"),
+            F.col("c.l_partkey").alias("p2"),
+        )
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("p1", "p2")
+        .localCheckpoint()
+    )
+    e = pr.select(F.col("p1").alias("u"), F.col("p2").alias("v")).unionByName(
+        pr.select(F.col("p2").alias("u"), F.col("p1").alias("v"))
+    )
+    deg = e.groupBy(F.col("u").alias("n_")).agg(F.count("*").alias("d"))
+    de = (
+        e.join(deg.withColumnRenamed("d", "x"), e.u == F.col("n_"))
+        .drop("n_")
+        .join(deg.withColumnRenamed("d", "z"), e.v == F.col("n_"))
+        .select("x", "z")
+    )
+    m = de.agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("z").cast("decimal(38,0)").alias("sz"),
+        F.sum(F.col("x") * F.col("z")).cast("decimal(38,0)").alias("sxz"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("z") * F.col("z")).cast("decimal(38,0)").alias("szz"),
+    )
+    num = (F.col("n") * F.col("sxz") - F.col("sx") * F.col("sz")).cast(
+        "double"
+    )
+    dx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    dz = (F.col("n") * F.col("szz") - F.col("sz") * F.col("sz")).cast(
+        "double"
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_directed_edges"),
+        F.floor(
+            num / F.sqrt(dx) / F.sqrt(dz) * F.lit(1000000.0)
+        ).cast("long").alias("assortativity_ppm"),
+    )

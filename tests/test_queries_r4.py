@@ -1100,3 +1100,61 @@ def test_lpa_differs_from_connected_components(spark, sf_dir):
     )[:50]
     got = list(zip(out["community"], out["n_members"]))
     assert got == want
+
+
+def _copurchase_graph(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").toPandas()
+    b = li[["l_orderkey", "l_partkey"]].drop_duplicates()
+    from collections import Counter, defaultdict
+    pair = Counter()
+    for _, g in b.groupby("l_orderkey"):
+        ps = sorted(set(g["l_partkey"]))
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                pair[(ps[i], ps[j])] += 1
+    adj = defaultdict(set)
+    for (u, v), w in pair.items():
+        if w >= 2:
+            adj[u].add(v)
+            adj[v].add(u)
+    return adj
+
+
+def test_clustering_coefficient_matches_python(spark, sf_dir):
+    out = (
+        REGISTRY["clustering_coefficient"].fn(spark, sf_dir)
+        .toPandas().set_index("node")
+    )
+    adj = _copurchase_graph(spark, sf_dir)
+    rows = []
+    for n, nbrs in adj.items():
+        d = len(nbrs)
+        if d < 2:
+            continue
+        nl = sorted(nbrs)
+        t = sum(
+            1
+            for i in range(len(nl))
+            for j in range(i + 1, len(nl))
+            if nl[j] in adj[nl[i]]
+        )
+        rows.append((n, d, t, t * 2000000 // (d * (d - 1))))
+    want = sorted(rows, key=lambda r: (-r[3], r[0]))[:50]
+    got = [
+        (n, int(r["degree"]), int(r["n_triangles"]), int(r["clustering_ppm"]))
+        for n, r in out.iterrows()
+    ]
+    assert got == want
+
+
+def test_assortativity_matches_numpy(spark, sf_dir):
+    out = REGISTRY["degree_assortativity"].fn(spark, sf_dir).toPandas().iloc[0]
+    adj = _copurchase_graph(spark, sf_dir)
+    xs, zs = [], []
+    for u, nbrs in adj.items():
+        for v in nbrs:
+            xs.append(len(adj[u]))
+            zs.append(len(adj[v]))
+    r = np.corrcoef(xs, zs)[0, 1]
+    assert out["n_directed_edges"] == len(xs)
+    assert abs(out["assortativity_ppm"] / 1e6 - r) < 2e-6
