@@ -4662,3 +4662,95 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             num / F.sqrt(dx) / F.sqrt(dz) * F.lit(1000000.0)
         ).cast("long").alias("assortativity_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Classifier evaluation metrics (precision / recall / F1 for lang-ID)
+# ---------------------------------------------------------------------------
+
+@register(
+    "langid_eval_metrics",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents
+    ), scores AS (
+      SELECT doc_id, lang,
+        len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is'))) AS s_en,
+        len(list_filter(t, x -> x IN ('der','die','das','und','ist','ein'))) AS s_de,
+        len(list_filter(t, x -> x IN ('le','la','les','et','est','un'))) AS s_fr,
+        len(list_filter(t, x -> x IN ('el','la','los','y','es','un'))) AS s_es,
+        len(list_filter(t, x -> x IN ('的','是','了','在'))) AS s_zh
+      FROM toks
+    ), pred AS (
+      SELECT doc_id, lang,
+        CASE WHEN greatest(s_en,s_de,s_fr,s_es,s_zh) <= 0 THEN 'und'
+             WHEN s_en = greatest(s_en,s_de,s_fr,s_es,s_zh) THEN 'en'
+             WHEN s_de = greatest(s_en,s_de,s_fr,s_es,s_zh) THEN 'de'
+             WHEN s_fr = greatest(s_en,s_de,s_fr,s_es,s_zh) THEN 'fr'
+             WHEN s_es = greatest(s_en,s_de,s_fr,s_es,s_zh) THEN 'es'
+             WHEN s_zh = greatest(s_en,s_de,s_fr,s_es,s_zh) THEN 'zh'
+             ELSE 'und' END AS p
+      FROM scores
+    ), per AS (
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS support,
+             CAST(SUM(CASE WHEN p = lang THEN 1 ELSE 0 END) AS BIGINT) AS tp
+      FROM pred GROUP BY lang
+    ), pcnt AS (
+      SELECT p AS lang, CAST(COUNT(*) AS BIGINT) AS pred_n
+      FROM pred GROUP BY p
+    )
+    SELECT per.lang, per.support, per.tp,
+           CAST(coalesce(pc.pred_n, 0) AS BIGINT) AS pred_n,
+           CAST(CASE WHEN coalesce(pc.pred_n, 0) = 0 THEN 0
+                     ELSE per.tp * 1000000 // pc.pred_n END AS BIGINT)
+             AS precision_ppm,
+           CAST(per.tp * 1000000 // per.support AS BIGINT) AS recall_ppm,
+           CAST(per.tp * 2000000 // (coalesce(pc.pred_n, 0) + per.support)
+                AS BIGINT) AS f1_ppm
+    FROM per LEFT JOIN pcnt pc USING (lang)
+    ORDER BY per.lang
+    """,
+    doc="Classifier evaluation report for the language-ID heuristic "
+        "against the labeled lang column: per-class support, true "
+        "positives, precision, recall, and F1 — with F1 computed through "
+        "the exact integer identity 2TP/(pred_n + support) (never the "
+        "float 2PR/(P+R), whose division order is engine-specific). The "
+        "model-evaluation primitive every curation-classifier loop "
+        "needs. Scale: predictions are scan-side codegen expressions; "
+        "two small aggregates and a |classes|-row join",
+)
+def q_langid_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import lang_id
+
+    docs = _t(spark, sf_dir, "documents")
+    pred = docs.select(
+        "lang", lang_id(F.col("text")).alias("p")
+    )
+    per = pred.groupBy("lang").agg(
+        F.count("*").alias("support"),
+        F.sum(
+            F.when(F.col("p") == F.col("lang"), 1).otherwise(0)
+        ).alias("tp"),
+    )
+    pcnt = pred.groupBy(F.col("p").alias("lang")).agg(
+        F.count("*").alias("pred_n")
+    )
+    return (
+        per.join(pcnt, "lang", "left")
+        .select(
+            "lang", "support", "tp",
+            F.coalesce(F.col("pred_n"), F.lit(0)).alias("pred_n"),
+            F.when(
+                F.coalesce(F.col("pred_n"), F.lit(0)) == 0, F.lit(0)
+            ).otherwise(
+                F.expr("tp * 1000000 div pred_n")
+            ).cast("long").alias("precision_ppm"),
+            F.expr("tp * 1000000 div support").alias("recall_ppm"),
+            F.expr(
+                "tp * 2000000 div (coalesce(pred_n, 0) + support)"
+            ).alias("f1_ppm"),
+        )
+        .orderBy("lang")
+    )

@@ -1158,3 +1158,17 @@ def test_assortativity_matches_numpy(spark, sf_dir):
     r = np.corrcoef(xs, zs)[0, 1]
     assert out["n_directed_edges"] == len(xs)
     assert abs(out["assortativity_ppm"] / 1e6 - r) < 2e-6
+
+
+def test_langid_eval_identities(spark, sf_dir):
+    out = REGISTRY["langid_eval_metrics"].fn(spark, sf_dir).toPandas()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert out["support"].sum() == docs.count()
+    for _, r in out.iterrows():
+        assert r["tp"] <= min(r["support"], max(r["pred_n"], r["tp"]))
+        if r["pred_n"]:
+            assert r["precision_ppm"] == r["tp"] * 1000000 // r["pred_n"]
+        assert r["recall_ppm"] == r["tp"] * 1000000 // r["support"]
+        assert r["f1_ppm"] == r["tp"] * 2000000 // (
+            r["pred_n"] + r["support"]
+        )
