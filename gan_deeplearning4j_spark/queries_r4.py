@@ -4754,3 +4754,189 @@ def q_langid_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup distribution-shift audit (does dedup bias the corpus?)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_distribution_shift",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS v,
+             CAST('0x' || substr(md5(lower(trim(text))), 1, 15) AS BIGINT)
+               AS fp
+      FROM documents
+    ), keep AS (
+      SELECT fp, MIN(doc_id) AS doc_id FROM d GROUP BY fp
+    ), ca AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt FROM d GROUP BY v
+    ), cb AS (
+      SELECT d.v, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM d JOIN keep USING (fp, doc_id) GROUP BY d.v
+    ), na AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM ca),
+    nb AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM cb),
+    merged AS (
+      SELECT v, coalesce(a.cnt, 0) AS xa, coalesce(b.cnt, 0) AS xb
+      FROM ca a FULL OUTER JOIN cb b USING (v)
+    ), cum AS (
+      SELECT v,
+             SUM(xa) OVER w AS fa, SUM(xb) OVER w AS fb,
+             lead(v) OVER (ORDER BY v) AS nv
+      FROM merged
+      WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT (SELECT n FROM na) AS n_before,
+           (SELECT n FROM nb) AS n_after,
+           CAST(SUM(abs(CAST(fa AS HUGEINT) * (SELECT n FROM nb)
+                        - CAST(fb AS HUGEINT) * (SELECT n FROM na))
+                    * (nv - v)) * 1000
+                // (CAST((SELECT n FROM na) AS HUGEINT)
+                    * (SELECT n FROM nb)) AS BIGINT) AS emd_milli
+    FROM cum WHERE nv IS NOT NULL
+    """,
+    doc="Dedup bias audit: the exact 1-D Wasserstein distance between the "
+        "corpus' document-length distribution BEFORE and AFTER exact "
+        "dedup (keep = min doc_id per normalized-text fingerprint) — "
+        "duplicates cluster at particular lengths, so dedup shifts the "
+        "distribution, and this measures by exactly how much (the "
+        "before/after audit every curation stage should publish; "
+        "emd_drift_matrix machinery pointed at the pipeline itself). "
+        "Scale: one scan builds both count tables; one ordered sweep "
+        "over distinct lengths",
+)
+def q_dedup_distribution_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import portable_hash60
+
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("v"),
+        portable_hash60(F.lower(F.trim(F.col("text")))).alias("fp"),
+    )
+    keep = d.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    ca = d.groupBy("v").agg(F.count("*").alias("xa"))
+    cb = d.join(keep, ["fp", "doc_id"]).groupBy("v").agg(
+        F.count("*").alias("xb")
+    )
+    na = ca.agg(F.sum("xa").alias("na"))
+    nb = cb.agg(F.sum("xb").alias("nb"))
+    merged = (
+        ca.join(cb, ["v"], "full_outer")
+        .select(
+            "v",
+            F.coalesce(F.col("xa"), F.lit(0)).alias("xa"),
+            F.coalesce(F.col("xb"), F.lit(0)).alias("xb"),
+        )
+    )
+    wc = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wl = Window.orderBy("v")
+    cum = merged.select(
+        "v",
+        F.sum("xa").over(wc).alias("fa"),
+        F.sum("xb").over(wc).alias("fb"),
+        F.lead("v").over(wl).alias("nv"),
+    ).crossJoin(F.broadcast(na)).crossJoin(F.broadcast(nb))
+    return (
+        cum.filter(F.col("nv").isNotNull())
+        .groupBy("na", "nb")
+        .agg(
+            F.expr(
+                "CAST(SUM(ABS(CAST(fa AS DECIMAL(38,0)) * nb"
+                " - CAST(fb AS DECIMAL(38,0)) * na) * (nv - v)) * 1000"
+                " div (CAST(na AS DECIMAL(38,0)) * nb) AS BIGINT)"
+            ).alias("emd_milli"),
+        )
+        .select(
+            F.col("na").cast("long").alias("n_before"),
+            F.col("nb").cast("long").alias("n_after"),
+            "emd_milli",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Filter impact report (what each quality rule removes)
+# ---------------------------------------------------------------------------
+
+@register(
+    "filter_impact_report",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+             len(string_split(text, ' ')) AS n_tok,
+             len(list_distinct(string_split(text, ' '))) * 1.0
+               / len(string_split(text, ' ')) AS ddr,
+             length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) * 1.0
+               / length(text) AS pr
+      FROM documents
+    ), v AS (
+      SELECT doc_id, n_chars,
+             CASE WHEN n_tok < 20 THEN 'too_short'
+                  WHEN ddr < 0.4 THEN 'low_diversity'
+                  WHEN pr > 0.1 THEN 'high_punct'
+                  ELSE 'keep' END AS verdict
+      FROM s
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(n_chars) AS BIGINT) AS chars FROM v
+    )
+    SELECT v.verdict,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(v.n_chars) AS BIGINT) AS n_chars,
+           CAST(COUNT(*) * 1000000 // tot.n AS BIGINT) AS doc_share_ppm,
+           CAST(SUM(v.n_chars) * 1000000 // tot.chars AS BIGINT)
+             AS char_share_ppm
+    FROM v CROSS JOIN tot
+    GROUP BY v.verdict, tot.n, tot.chars
+    ORDER BY v.verdict
+    """,
+    doc="Filter impact report: for each quality rule (the quality_filter "
+        "first-failing-rule chain) the documents and characters it "
+        "removes, as counts and exact ppm shares — the per-stage yield "
+        "accounting a curation pipeline publishes so a threshold change "
+        "can be costed before running (pair with "
+        "dedup_distribution_shift for the full before/after audit). "
+        "Scale: scan-side verdicts, one aggregate over <= 4 verdict "
+        "groups",
+)
+def q_filter_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks)
+    ddr = F.size(F.array_distinct(toks)) * 1.0 / n_tok
+    pr = (
+        F.length(F.regexp_replace(F.col("text"), "[a-zA-Z0-9 ]", "")) * 1.0
+        / F.length("text")
+    )
+    verdict = (
+        F.when(n_tok < 20, "too_short")
+        .when(ddr < 0.4, "low_diversity")
+        .when(pr > 0.1, "high_punct")
+        .otherwise("keep")
+    )
+    v = docs.select(
+        verdict.alias("verdict"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    tot = v.agg(
+        F.count("*").alias("n"), F.sum("n_chars").alias("chars")
+    )
+    return (
+        v.crossJoin(F.broadcast(tot))
+        .groupBy("verdict", "n", "chars")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("_nc"),
+        )
+        .select(
+            "verdict", "n_docs",
+            F.col("_nc").cast("long").alias("n_chars"),
+            F.expr("n_docs * 1000000 div n").alias("doc_share_ppm"),
+            F.expr("_nc * 1000000 div chars").alias("char_share_ppm"),
+        )
+        .orderBy("verdict")
+    )

@@ -1172,3 +1172,22 @@ def test_langid_eval_identities(spark, sf_dir):
         assert r["f1_ppm"] == r["tp"] * 2000000 // (
             r["pred_n"] + r["support"]
         )
+
+
+def test_dedup_shift_bounds(spark, sf_dir):
+    out = REGISTRY["dedup_distribution_shift"].fn(spark, sf_dir).toPandas().iloc[0]
+    assert out["n_after"] <= out["n_before"]
+    assert out["emd_milli"] >= 0
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    uniq = docs["text"].str.strip().str.lower().nunique()
+    assert out["n_after"] == uniq
+
+
+def test_filter_impact_reconciles(spark, sf_dir):
+    out = REGISTRY["filter_impact_report"].fn(spark, sf_dir).toPandas()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert out["n_docs"].sum() == docs.count()
+    s = out["doc_share_ppm"].sum()
+    assert 1000000 - len(out) < s <= 1000000
+    cs = out["char_share_ppm"].sum()
+    assert 1000000 - len(out) < cs <= 1000000
