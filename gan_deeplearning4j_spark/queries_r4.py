@@ -4940,3 +4940,193 @@ def q_filter_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("verdict")
     )
+
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival curve (right-censored, integer-compounded)
+# ---------------------------------------------------------------------------
+
+@register(
+    "kaplan_meier_survival",
+    oracle="""
+    WITH per AS (
+      SELECT user_id,
+             MIN(epoch_us(ts)) AS first_us,
+             MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+               AS first_buy_us
+      FROM events GROUP BY user_id
+    ), horizon AS (SELECT MAX(epoch_us(ts)) AS h FROM events),
+    life AS (
+      SELECT CAST(CASE WHEN first_buy_us IS NOT NULL
+                  THEN (first_buy_us - first_us) // 86400000000
+                  ELSE (horizon.h - first_us) // 86400000000 END
+                  AS BIGINT) AS t_days,
+             CAST(CASE WHEN first_buy_us IS NOT NULL THEN 1 ELSE 0 END
+                  AS BIGINT) AS died
+      FROM per CROSS JOIN horizon
+    ), n_tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM life),
+    ev AS (
+      SELECT t_days, CAST(SUM(died) AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS removed
+      FROM life GROUP BY t_days
+    ), risk AS (
+      SELECT t_days, d,
+             (SELECT n FROM n_tot)
+               - coalesce(SUM(removed) OVER (ORDER BY t_days
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS nr
+      FROM ev
+    ), dt AS (
+      SELECT t_days, d, nr FROM risk WHERE d > 0
+    ), seq AS (
+      SELECT list(t_days ORDER BY t_days) AS ts,
+             list(d ORDER BY t_days) AS ds,
+             list(nr ORDER BY t_days) AS nrs,
+             list((nr - d) * 1048576 + nr ORDER BY t_days) AS xs
+      FROM dt
+    )
+    SELECT CAST(ts[i] AS BIGINT) AS t_days,
+           CAST(ds[i] AS BIGINT) AS d,
+           CAST(nrs[i] AS BIGINT) AS n_at_risk,
+           CAST(list_reduce(
+                  list_prepend(CAST(1000000 AS BIGINT),
+                               list_slice(xs, 1, i)),
+                  (acc, x) -> acc * (x // 1048576) // (x % 1048576))
+                AS BIGINT) AS s_ppm
+    FROM seq, (SELECT unnest(range(1, (SELECT len(ts) FROM seq) + 1)) AS i)
+    ORDER BY t_days
+    """,
+    doc="Kaplan-Meier time-to-conversion curve (days from first activity "
+        "to first purchase; never-purchasers right-censored at the "
+        "observation horizon): S(t) compounds (n_i - d_i)/n_i at "
+        "each death time as ppm integers — each step one multiply + one "
+        "truncating divide on identical integers, so the whole curve is "
+        "engine-exact (a float product would drift and depend on "
+        "nothing, but the per-step floor must match, which div/// do). "
+        "The retention/survivorship estimator done right (naive "
+        "retention curves ignore censoring and understate survival). "
+        "Scale: lifetimes are one user-keyed aggregate; the curve folds "
+        "over the death-time table, which has at most one row per "
+        "distinct lifetime day — driver-size, like every KM curve",
+)
+def q_kaplan_meier_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    us = F.expr("ts_nanos div 1000")
+    per = ev.groupBy("user_id").agg(
+        F.min(us).alias("first_us"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", us)
+        ).alias("first_buy_us"),
+    )
+    horizon = ev.agg(F.max(us).alias("h"))
+    life = per.crossJoin(F.broadcast(horizon)).select(
+        F.when(
+            F.col("first_buy_us").isNotNull(),
+            F.expr("(first_buy_us - first_us) div 86400000000"),
+        )
+        .otherwise(F.expr("(h - first_us) div 86400000000"))
+        .cast("long").alias("t_days"),
+        F.when(F.col("first_buy_us").isNotNull(), 1)
+        .otherwise(0).cast("long").alias("died"),
+    )
+    n_tot = life.agg(F.count("*").alias("n"))
+    evt = life.groupBy("t_days").agg(
+        F.sum("died").alias("d"), F.count("*").alias("removed")
+    )
+    wb = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    risk = evt.crossJoin(F.broadcast(n_tot)).select(
+        "t_days", "d",
+        (
+            F.col("n")
+            - F.coalesce(F.sum("removed").over(wb), F.lit(0))
+        ).alias("nr"),
+    ).filter(F.col("d") > 0)
+    seq = (
+        risk.select(
+            F.struct("t_days", "d", "nr").alias("s")
+        )
+        .groupBy()
+        .agg(F.sort_array(F.collect_list("s")).alias("ss"))
+        .select(
+            F.transform("ss", lambda r: r["t_days"]).alias("ts"),
+            F.transform("ss", lambda r: r["d"]).alias("ds"),
+            F.transform("ss", lambda r: r["nr"]).alias("nrs"),
+            F.transform(
+                "ss",
+                lambda r: (r["nr"] - r["d"]) * 1048576 + r["nr"],
+            ).alias("xs"),
+        )
+    )
+    expanded = seq.select(
+        "ts", "ds", "nrs", "xs",
+        F.explode(
+            F.sequence(F.lit(1), F.size("ts"))
+        ).alias("i"),
+    )
+    fold = F.aggregate(
+        F.slice("xs", 1, F.col("i")),
+        F.lit(1000000).cast("long"),
+        lambda acc, x: (
+            (acc * (x / 1048576).cast("long")) / (x % 1048576)
+        ).cast("long"),
+    )
+    return expanded.select(
+        F.element_at("ts", F.col("i")).cast("long").alias("t_days"),
+        F.element_at("ds", F.col("i")).cast("long").alias("d"),
+        F.element_at("nrs", F.col("i")).cast("long").alias("n_at_risk"),
+        fold.alias("s_ppm"),
+    ).orderBy("t_days")
+
+
+# ---------------------------------------------------------------------------
+# Simpson diversity index (log-free concentration measure)
+# ---------------------------------------------------------------------------
+
+@register(
+    "simpson_diversity",
+    oracle="""
+    WITH c AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY source, lang
+    ), t AS (
+      SELECT source, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY source
+    )
+    SELECT c.source,
+           CAST(MIN(t.tot) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_langs,
+           CAST(SUM(CAST(c.n AS HUGEINT) * (c.n - 1)) * 1000000
+                // (CAST(MIN(t.tot) AS HUGEINT) * (MIN(t.tot) - 1))
+                AS BIGINT) AS simpson_ppm
+    FROM c JOIN t USING (source)
+    GROUP BY c.source
+    ORDER BY c.source
+    """,
+    doc="Simpson concentration index of the language mix per source: "
+        "D = sum n_i(n_i-1) / (N(N-1)), the probability two random "
+        "documents share a language — the diversity/concentration "
+        "measure that needs NO logarithm, so it is exact integer ppm "
+        "cross-engine where Shannon entropy would lean on ln (1 - D is "
+        "the Gini-Simpson diversity). Scale: two nested "
+        "map-side-combinable aggregates",
+)
+def q_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    c = docs.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    t = c.groupBy("source").agg(F.sum("n").alias("tot"))
+    return (
+        c.join(F.broadcast(t), "source")
+        .groupBy("source")
+        .agg(
+            F.min("tot").cast("long").alias("n_docs"),
+            F.count("*").alias("n_langs"),
+            F.expr(
+                "CAST(SUM(CAST(n AS DECIMAL(38,0)) * (n - 1)) * 1000000"
+                " div (CAST(MIN(tot) AS DECIMAL(38,0)) * (MIN(tot) - 1))"
+                " AS BIGINT)"
+            ).alias("simpson_ppm"),
+        )
+        .orderBy("source")
+    )

@@ -1191,3 +1191,55 @@ def test_filter_impact_reconciles(spark, sf_dir):
     assert 1000000 - len(out) < s <= 1000000
     cs = out["char_share_ppm"].sum()
     assert 1000000 - len(out) < cs <= 1000000
+
+
+def test_kaplan_meier_matches_lifelines_style_python(spark, sf_dir):
+    out = REGISTRY["kaplan_meier_survival"].fn(spark, sf_dir).toPandas()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    ev["us"] = ev["ts"].astype("int64") // 1000
+    first = ev.groupby("user_id")["us"].min()
+    buys = ev[ev["event_type"] == "purchase"].groupby("user_id")["us"].min()
+    h = ev["us"].max()
+    lifes = []
+    for uid, f0 in first.items():
+        if uid in buys.index:
+            lifes.append(((buys[uid] - f0) // 86_400_000_000, 1))
+        else:
+            lifes.append(((h - f0) // 86_400_000_000, 0))
+    from collections import Counter
+    d_at = Counter()
+    rem_at = Counter()
+    for t, died in lifes:
+        rem_at[t] += 1
+        if died:
+            d_at[t] += 1
+    n = len(lifes)
+    s = 1000000
+    removed = 0
+    want = []
+    for t in sorted(rem_at):
+        at_risk = n - removed
+        if d_at[t] > 0:
+            s = s * (at_risk - d_at[t]) // at_risk
+            want.append((t, d_at[t], at_risk, s))
+        removed += rem_at[t]
+    got = [
+        (int(r["t_days"]), int(r["d"]), int(r["n_at_risk"]), int(r["s_ppm"]))
+        for _, r in out.iterrows()
+    ]
+    assert got == want
+    # survival is non-increasing and within [0, 1e6]
+    sv = out["s_ppm"].to_numpy()
+    assert (np.diff(sv) <= 0).all() and sv.max() <= 1000000
+
+
+def test_simpson_diversity_bounds(spark, sf_dir):
+    out = REGISTRY["simpson_diversity"].fn(spark, sf_dir).toPandas()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    assert out["n_docs"].sum() == len(docs)
+    assert out["simpson_ppm"].between(0, 1000000).all()
+    for _, r in out.iterrows():
+        g = docs[docs["source"] == r["source"]]["lang"].value_counts()
+        N = g.sum()
+        D = sum(int(x) * (int(x) - 1) for x in g) * 1000000 // (N * (N - 1))
+        assert r["simpson_ppm"] == D and r["n_langs"] == len(g)
