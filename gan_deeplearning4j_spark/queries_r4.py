@@ -5130,3 +5130,82 @@ def q_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Frequent triples (itemset mining one level past pairs)
+# ---------------------------------------------------------------------------
+
+@register(
+    "frequent_triples",
+    oracle="""
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    baskets AS (
+      SELECT l_orderkey, list_sort(list(l_partkey)) AS ps
+      FROM b GROUP BY l_orderkey
+    ), triples AS (
+      SELECT ps[i] AS p1, ps[j] AS p2, ps[k] AS p3
+      FROM baskets,
+           -- positions up to 32: max distinct parts per order is 17 at
+           -- sf0.1; the k <= len(ps) guard makes excess positions free
+           (SELECT unnest(range(1, 33)) AS i),
+           (SELECT unnest(range(1, 33)) AS j),
+           (SELECT unnest(range(1, 33)) AS k)
+      WHERE i < j AND j < k AND k <= len(ps)
+    )
+    SELECT p1, p2, p3, CAST(COUNT(*) AS BIGINT) AS support
+    FROM triples
+    GROUP BY p1, p2, p3
+    HAVING COUNT(*) >= 2
+    ORDER BY support DESC, p1, p2, p3
+    LIMIT 50
+    """,
+    doc="Frequent 3-itemsets over order baskets (the Apriori level past "
+        "market_basket_lift's pairs): id-ordered triples expanded "
+        "scan-side from each basket's sorted item array — O(basket^3) "
+        "per order with baskets bounded (~13 distinct parts max here), "
+        "never a global join. Support-filtered "
+        "top-50. The bundle-recommendation primitive (pairs say which "
+        "two sell together; triples catch the basket archetypes pairs "
+        "miss). Scale: one basket groupBy + map-side-combinable triple "
+        "count; TakeOrderedAndProject top-k",
+)
+def q_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    baskets = b.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    # triple expansion via nested transforms over the bounded array
+    triples_arr = F.flatten(
+        F.flatten(
+            F.transform(
+                "ps",
+                lambda x, i: F.transform(
+                    F.slice(F.col("ps"), i + 2, F.size("ps")),
+                    lambda y, j: F.transform(
+                        F.slice(
+                            F.col("ps"),
+                            i + j + 3,
+                            F.size("ps"),
+                        ),
+                        lambda z: F.struct(
+                            x.alias("p1"), y.alias("p2"), z.alias("p3")
+                        ),
+                    ),
+                ),
+            )
+        )
+    )
+    return (
+        baskets.select(F.explode(triples_arr).alias("t"))
+        .groupBy(
+            F.col("t.p1").alias("p1"),
+            F.col("t.p2").alias("p2"),
+            F.col("t.p3").alias("p3"),
+        )
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= 2)
+        .orderBy(F.desc("support"), "p1", "p2", "p3")
+        .limit(50)
+    )

@@ -1243,3 +1243,24 @@ def test_simpson_diversity_bounds(spark, sf_dir):
         N = g.sum()
         D = sum(int(x) * (int(x) - 1) for x in g) * 1000000 // (N * (N - 1))
         assert r["simpson_ppm"] == D and r["n_langs"] == len(g)
+
+
+def test_frequent_triples_match_python(spark, sf_dir):
+    out = REGISTRY["frequent_triples"].fn(spark, sf_dir).toPandas()
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").toPandas()
+    b = li[["l_orderkey", "l_partkey"]].drop_duplicates()
+    from collections import Counter
+    import itertools
+    tri = Counter()
+    for _, g in b.groupby("l_orderkey"):
+        for t in itertools.combinations(sorted(set(g["l_partkey"])), 3):
+            tri[t] += 1
+    want = sorted(
+        ((t, c) for t, c in tri.items() if c >= 2),
+        key=lambda tc: (-tc[1], tc[0]),
+    )[:50]
+    got = [
+        ((int(r["p1"]), int(r["p2"]), int(r["p3"])), int(r["support"]))
+        for _, r in out.iterrows()
+    ]
+    assert got == want
