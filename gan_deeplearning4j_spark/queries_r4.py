@@ -5209,3 +5209,177 @@ def q_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("support"), "p1", "p2", "p3")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt linear-trend smoothing backtest (two-register fold, packed oracle)
+# ---------------------------------------------------------------------------
+
+@register(
+    "holt_forecast_backtest",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, d
+    ), seq AS (
+      SELECT event_type, list(n ORDER BY d) AS xs FROM daily
+      GROUP BY event_type
+    ), fold AS (
+      -- acc packs (level+OFF, trend+OFF, sae) into one BIGINT:
+      -- ((lv+2^20)*2^21 + (tr+2^20))*2^21 + sae, each register < 2^20
+      -- in magnitude (daily counts are small); alpha=1/4, beta=1/4.
+      -- Element 1 initializes lv = x1, tr = 0, sae = 0.
+      SELECT event_type, CAST(len(xs) AS BIGINT) AS n_days,
+             list_reduce(
+               list_transform(xs,
+                 x -> ((CAST(x AS BIGINT) + 1048576) * 2097152
+                       + (0 + 1048576)) * 2097152 + 0),
+               (acc, x) ->
+                 ((((x // 4398046511104) - 1048576
+                     + 3 * ((acc // 4398046511104) - 1048576
+                            + ((acc // 2097152) % 2097152) - 1048576))
+                    // 4 + 1048576) * 2097152
+                  + ((((x // 4398046511104) - 1048576
+                       - ((acc // 4398046511104) - 1048576))
+                      + 3 * (((acc // 2097152) % 2097152) - 1048576))
+                     // 4 + 1048576)) * 2097152
+                 + (acc % 2097152)
+                 + abs((x // 4398046511104) - 1048576
+                       - ((acc // 4398046511104) - 1048576)
+                       - (((acc // 2097152) % 2097152) - 1048576))
+             ) AS a
+      FROM seq
+    )
+    SELECT event_type, n_days,
+           CAST((a // 4398046511104) - 1048576 AS BIGINT) AS level_final,
+           CAST(((a // 2097152) % 2097152) - 1048576 AS BIGINT)
+             AS trend_final,
+           CAST(a % 2097152 AS BIGINT) AS sum_abs_err,
+           CAST((a % 2097152) * 1000 // (n_days - 1) AS BIGINT) AS mae_ppk
+    FROM fold
+    """,
+    doc="Holt linear-trend (double exponential) smoothing backtest per "
+        "event type, alpha=beta=1/4: forecast = level + trend, then "
+        "level' = (x + 3*(level+trend)) div 4 and trend' = ((x - level) "
+        "+ 3*trend) div 4 — a TWO-register integer recurrence. Spark "
+        "folds a struct accumulator; the oracle packs (level, trend, "
+        "error-sum) into one offset-biased BIGINT (the DuckDB "
+        "struct-lambda quirk workaround, registers bounded < 2^20). "
+        "Compare mae_ppk with ses_forecast_backtest and "
+        "seasonal_naive_backtest to pick the baseline family. Scale: "
+        "daily pre-aggregate, one tiny ordered fold per group",
+)
+def q_holt_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).agg(F.count("*").alias("n"))
+    seq = (
+        daily.select(
+            "event_type", F.struct(F.col("d"), F.col("n")).alias("t")
+        )
+        .groupBy("event_type")
+        .agg(F.sort_array(F.collect_list("t")).alias("ts"))
+        .select(
+            "event_type",
+            F.transform(F.col("ts"), lambda t: t["n"]).alias("xs"),
+        )
+    )
+    init = F.struct(
+        F.element_at("xs", 1).alias("lv"),
+        F.lit(0).cast("long").alias("tr"),
+        F.lit(0).cast("long").alias("sae"),
+    )
+
+    def step(acc, x):
+        fc = acc["lv"] + acc["tr"]
+        err = x - fc
+        new_lv = ((x + 3 * fc) / 4).cast("long")
+        new_tr = (((x - acc["lv"]) + 3 * acc["tr"]) / 4).cast("long")
+        return F.struct(
+            new_lv.alias("lv"),
+            new_tr.alias("tr"),
+            (acc["sae"] + F.abs(err)).alias("sae"),
+        )
+
+    fold = seq.select(
+        "event_type",
+        F.size("xs").cast("long").alias("n_days"),
+        F.aggregate(
+            F.slice("xs", 2, F.size("xs") - 1), init, step
+        ).alias("a"),
+    )
+    return fold.select(
+        "event_type", "n_days",
+        F.col("a.lv").alias("level_final"),
+        F.col("a.tr").alias("trend_final"),
+        F.col("a.sae").alias("sum_abs_err"),
+        F.expr("a.sae * 1000 div (n_days - 1)").alias("mae_ppk"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wilson score confidence interval (proportion CI without normal abuse)
+# ---------------------------------------------------------------------------
+
+@register(
+    "wilson_ci_purchase_share",
+    oracle="""
+    WITH s AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events WHERE event_type IN ('purchase', 'click')
+      GROUP BY user_id
+    )
+    SELECT user_id, x, n,
+           CAST(x * 1000000 // n AS BIGINT) AS p_ppm,
+           CAST(floor((CAST(x AS DOUBLE) + 1.9208
+                       - 1.96 * sqrt((CAST(x AS DOUBLE)
+                                      * (n - x)) / n + 0.9604))
+                      / (n + 3.8416) * 1000000) AS BIGINT) AS lo_ppm,
+           CAST(floor((CAST(x AS DOUBLE) + 1.9208
+                       + 1.96 * sqrt((CAST(x AS DOUBLE)
+                                      * (n - x)) / n + 0.9604))
+                      / (n + 3.8416) * 1000000) AS BIGINT) AS hi_ppm
+    FROM s ORDER BY user_id
+    """,
+    doc="Wilson score 95% confidence interval for each user's purchase "
+        "share of purchase+click events — the proportion CI that stays "
+        "inside [0,1] and behaves at small n where the normal "
+        "approximation collapses. Counts are exact integers; the "
+        "interval endpoints run one identical IEEE double sequence "
+        "(z=1.96 constants pre-folded: 1.9208 = z^2/2, 3.8416 = z^2, "
+        "0.9604 = z^2/4) and floor to ppm. Scale: one "
+        "map-side-combinable aggregate, scan-side math",
+)
+def q_wilson_ci_purchase_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    s = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("x"),
+        F.count("*").alias("n"),
+    )
+    xd = F.col("x").cast("double")
+    nd = F.col("n").cast("double")
+    rad = F.sqrt(xd * (F.col("n") - F.col("x")) / nd + F.lit(0.9604))
+    den = nd + F.lit(3.8416)
+    return s.select(
+        "user_id",
+        F.col("x").cast("long").alias("x"),
+        F.col("n").cast("long").alias("n"),
+        F.expr("x * 1000000 div n").alias("p_ppm"),
+        F.floor(
+            (xd + F.lit(1.9208) - F.lit(1.96) * rad) / den
+            * F.lit(1000000.0)
+        ).cast("long").alias("lo_ppm"),
+        F.floor(
+            (xd + F.lit(1.9208) + F.lit(1.96) * rad) / den
+            * F.lit(1000000.0)
+        ).cast("long").alias("hi_ppm"),
+    ).orderBy("user_id")

@@ -1264,3 +1264,42 @@ def test_frequent_triples_match_python(spark, sf_dir):
         for _, r in out.iterrows()
     ]
     assert got == want
+
+
+def test_holt_matches_python_fold(spark, sf_dir):
+    out = (
+        REGISTRY["holt_forecast_backtest"].fn(spark, sf_dir)
+        .toPandas().set_index("event_type")
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    daily = (
+        ev.assign(d=ev["ts"].dt.floor("D"))
+        .groupby(["event_type", "d"]).size()
+    )
+    for et in out.index:
+        xs = daily.loc[et].sort_index().to_list()
+        lv, tr, sae = xs[0], 0, 0
+        for x in xs[1:]:
+            fc = lv + tr
+            sae += abs(x - fc)
+            new_lv = (x + 3 * fc) // 4
+            new_tr = ((x - lv) + 3 * tr) // 4
+            lv, tr = new_lv, new_tr
+        assert int(out.loc[et, "level_final"]) == lv
+        assert int(out.loc[et, "trend_final"]) == tr
+        assert int(out.loc[et, "sum_abs_err"]) == sae
+        assert int(out.loc[et, "mae_ppk"]) == sae * 1000 // (len(xs) - 1)
+
+
+def test_wilson_ci_brackets_point_estimate(spark, sf_dir):
+    out = REGISTRY["wilson_ci_purchase_share"].fn(spark, sf_dir).toPandas()
+    assert (out["lo_ppm"] <= out["p_ppm"]).all()
+    assert (out["hi_ppm"] >= out["p_ppm"] - 1).all()
+    assert (out["lo_ppm"] >= 0).all() and (out["hi_ppm"] <= 1000000).all()
+    # spot check one row against the formula
+    import math as _m
+    r = out.iloc[0]
+    x, n = float(r["x"]), float(r["n"])
+    z = 1.96
+    lo = (x + z*z/2 - z*_m.sqrt(x*(n-x)/n + z*z/4)) / (n + z*z)
+    assert abs(r["lo_ppm"] / 1e6 - lo) < 2e-6
