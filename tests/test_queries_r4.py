@@ -1278,12 +1278,15 @@ def test_holt_matches_python_fold(spark, sf_dir):
     )
     for et in out.index:
         xs = daily.loc[et].sort_index().to_list()
+        def tdiv(a, b):  # truncation toward zero == Spark div / DuckDB //
+            return -((-a) // b) if a < 0 else a // b
+
         lv, tr, sae = xs[0], 0, 0
         for x in xs[1:]:
             fc = lv + tr
             sae += abs(x - fc)
-            new_lv = (x + 3 * fc) // 4
-            new_tr = ((x - lv) + 3 * tr) // 4
+            new_lv = tdiv(x + 3 * fc, 4)
+            new_tr = tdiv((x - lv) + 3 * tr, 4)
             lv, tr = new_lv, new_tr
         assert int(out.loc[et, "level_final"]) == lv
         assert int(out.loc[et, "trend_final"]) == tr
