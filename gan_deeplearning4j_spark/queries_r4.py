@@ -5383,3 +5383,87 @@ def q_wilson_ci_purchase_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.lit(1000000.0)
         ).cast("long").alias("hi_ppm"),
     ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# Lorenz curve / 80-20 concentration report
+# ---------------------------------------------------------------------------
+
+@register(
+    "lorenz_concentration",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS x
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT x,
+             ROW_NUMBER() OVER (ORDER BY x DESC, o_custkey) AS r,
+             COUNT(*) OVER () AS n,
+             SUM(x) OVER () AS tot
+      FROM rev
+    ), cum AS (
+      SELECT r, n, tot,
+             SUM(x) OVER (ORDER BY r ROWS UNBOUNDED PRECEDING) AS cx
+      FROM ranked
+    ), deciles AS (SELECT unnest(range(1, 11)) AS dec)
+    SELECT CAST(dec AS BIGINT) AS top_decile,
+           CAST(MAX(cx) * 1000000 // MAX(tot) AS BIGINT)
+             AS revenue_share_ppm,
+           CAST(MAX(r) AS BIGINT) AS n_customers
+    FROM cum JOIN deciles ON cum.r * 10 <= cum.n * dec
+    GROUP BY dec ORDER BY dec
+    """,
+    doc="Lorenz concentration curve: for each top decile of customers "
+        "(ranked by revenue), the exact ppm share of total revenue they "
+        "contribute — the 80/20 report, and the curve whose area "
+        "complement is the Gini coefficient (gini_revenue_by_nation "
+        "gives the scalar; this gives the shape). Decile membership is "
+        "the integer test r*10 <= n*dec (no float percent). Scale: "
+        "per-customer pre-agg, one ranked cumulative window over "
+        "customer rows, ten-row output",
+)
+def q_lorenz_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.round(F.col("o_totalprice") * 100, 0).cast("long")
+        ).alias("x")
+    )
+    wr = Window.orderBy(F.desc("x"), "o_custkey")
+    ranked = rev.select(
+        "x",
+        F.row_number().over(wr).alias("r"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+        F.sum("x").over(Window.partitionBy()).alias("tot"),
+    )
+    cum = ranked.select(
+        "r", "n", "tot",
+        F.sum("x").over(
+            Window.orderBy("r").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ).alias("cx"),
+    )
+    deciles = o.sparkSession.range(1, 11).select(
+        F.col("id").cast("long").alias("dec")
+    )
+    return (
+        cum.join(
+            F.broadcast(deciles),
+            F.col("r") * 10 <= F.col("n") * F.col("dec"),
+        )
+        .groupBy("dec")
+        .agg(
+            F.expr(
+                "CAST(MAX(cx) * 1000000 div MAX(tot) AS BIGINT)"
+            ).alias("revenue_share_ppm"),
+            F.max("r").cast("long").alias("n_customers"),
+        )
+        .select(
+            F.col("dec").alias("top_decile"),
+            "revenue_share_ppm", "n_customers",
+        )
+        .orderBy("top_decile")
+    )

@@ -1306,3 +1306,24 @@ def test_wilson_ci_brackets_point_estimate(spark, sf_dir):
     z = 1.96
     lo = (x + z*z/2 - z*_m.sqrt(x*(n-x)/n + z*z/4)) / (n + z*z)
     assert abs(r["lo_ppm"] / 1e6 - lo) < 2e-6
+
+
+def test_lorenz_curve_properties(spark, sf_dir):
+    out = REGISTRY["lorenz_concentration"].fn(spark, sf_dir).toPandas()
+    assert len(out) == 10
+    # monotone increasing to exactly 1e6 at the full population
+    shares = out.sort_values("top_decile")["revenue_share_ppm"].to_numpy()
+    assert (np.diff(shares) >= 0).all()
+    assert shares[-1] == 1000000
+    # concave: top deciles contribute disproportionately
+    assert shares[0] >= 100000  # top 10% hold at least 10%
+    # pandas replay of decile boundaries
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").toPandas()
+    o["c"] = (o["o_totalprice"] * 100).round().astype("int64")
+    rev = o.groupby("o_custkey")["c"].sum().sort_values(ascending=False)
+    n, tot = len(rev), int(rev.sum())
+    cx = rev.cumsum().to_numpy()
+    for _, r in out.iterrows():
+        k = max(i + 1 for i in range(n) if (i + 1) * 10 <= n * r["top_decile"])
+        assert r["n_customers"] == k
+        assert r["revenue_share_ppm"] == int(cx[k - 1]) * 1000000 // tot
