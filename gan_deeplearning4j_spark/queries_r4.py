@@ -5467,3 +5467,79 @@ def q_lorenz_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("top_decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary growth curve (empirical Heaps' law, first-occurrence trick)
+# ---------------------------------------------------------------------------
+
+@register(
+    "vocab_growth_curve",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), firsts AS (
+      SELECT tok, CAST(MIN(doc_id) AS BIGINT) AS first_doc FROM tok
+      GROUP BY tok
+    ), docs_n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+    toks_per_doc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nt FROM tok GROUP BY doc_id
+    ), deciles AS (SELECT unnest(range(1, 11)) AS dec),
+    cut AS (
+      SELECT dec,
+             CAST((SELECT nd FROM docs_n) * dec // 10 AS BIGINT) AS max_doc
+      FROM deciles
+    )
+    SELECT CAST(c.dec AS BIGINT) AS decile,
+           CAST((SELECT SUM(nt) FROM toks_per_doc t
+                 WHERE t.doc_id <= c.max_doc) AS BIGINT) AS n_tokens,
+           CAST((SELECT COUNT(*) FROM firsts f
+                 WHERE f.first_doc <= c.max_doc) AS BIGINT) AS vocab_size
+    FROM cut c
+    ORDER BY decile
+    """,
+    doc="Empirical vocabulary growth curve (Heaps' law points): distinct "
+        "vocabulary size after each decile of the corpus, computed WITHOUT "
+        "re-scanning prefixes — a token's contribution to the curve is "
+        "fully determined by its FIRST occurrence (min doc_id), so one "
+        "groupBy(token) + a cumulative count over first-occurrence "
+        "buckets replaces ten prefix distinct-counts. Sub-linear growth "
+        "validates vocabulary-sized model tables (KN LM, NB classifier) "
+        "at corpus scale. Scale: one token groupBy; everything after is "
+        "decile-sized",
+)
+def q_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    firsts = tok.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    docs_n = docs.agg(F.count("*").alias("nd"))
+    tpd = tok.groupBy("doc_id").agg(F.count("*").alias("nt"))
+    deciles = docs.sparkSession.range(1, 11).select(
+        F.col("id").cast("long").alias("dec")
+    )
+    cut = F.broadcast(deciles).crossJoin(F.broadcast(docs_n)).select(
+        "dec", F.expr("nd * dec div 10").alias("max_doc")
+    )
+    toks_cum = (
+        F.broadcast(cut)
+        .join(tpd, tpd.doc_id <= F.col("max_doc"))
+        .groupBy("dec")
+        .agg(F.sum("nt").alias("n_tokens"))
+    )
+    vocab_cum = (
+        F.broadcast(cut)
+        .join(firsts, firsts.first_doc <= F.col("max_doc"))
+        .groupBy("dec")
+        .agg(F.count("*").alias("vocab_size"))
+    )
+    return (
+        toks_cum.join(vocab_cum, "dec")
+        .select(
+            F.col("dec").alias("decile"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("vocab_size").cast("long").alias("vocab_size"),
+        )
+        .orderBy("decile")
+    )

@@ -1327,3 +1327,29 @@ def test_lorenz_curve_properties(spark, sf_dir):
         k = max(i + 1 for i in range(n) if (i + 1) * 10 <= n * r["top_decile"])
         assert r["n_customers"] == k
         assert r["revenue_share_ppm"] == int(cx[k - 1]) * 1000000 // tot
+
+
+def test_vocab_growth_matches_prefix_distincts(spark, sf_dir):
+    out = (
+        REGISTRY["vocab_growth_curve"].fn(spark, sf_dir)
+        .toPandas().set_index("decile")
+    )
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .toPandas().sort_values("doc_id")
+    )
+    nd = len(docs)
+    for dec in range(1, 11):
+        cutoff = nd * dec // 10
+        prefix = docs[docs["doc_id"] <= cutoff]
+        vocab = set()
+        n_tok = 0
+        for t in prefix["text"]:
+            ws = t.split(" ")
+            n_tok += len(ws)
+            vocab.update(ws)
+        assert int(out.loc[dec, "vocab_size"]) == len(vocab)
+        assert int(out.loc[dec, "n_tokens"]) == n_tok
+    # sub-linear growth: vocabulary grows slower than tokens
+    v = out.sort_index()
+    assert v["vocab_size"].iloc[-1] < v["n_tokens"].iloc[-1]
