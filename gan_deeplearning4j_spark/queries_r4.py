@@ -5543,3 +5543,76 @@ def q_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# Audience overlap matrix (pairwise Jaccard between behavior segments)
+# ---------------------------------------------------------------------------
+
+@register(
+    "audience_overlap_matrix",
+    oracle="""
+    WITH m AS (
+      SELECT user_id, event_type FROM events GROUP BY user_id, event_type
+    ), pairs AS (
+      SELECT a.event_type AS ta, b.event_type AS tb,
+             CAST(COUNT(*) AS BIGINT) AS n_both
+      FROM m a JOIN m b
+        ON b.user_id = a.user_id AND b.event_type > a.event_type
+      GROUP BY ta, tb
+    ), sizes AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM m GROUP BY event_type
+    )
+    SELECT p.ta, p.tb, p.n_both,
+           CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+           CAST(p.n_both * 1000000 // (sa.n + sb.n - p.n_both) AS BIGINT)
+             AS jaccard_ppm
+    FROM pairs p
+    JOIN sizes sa ON sa.event_type = p.ta
+    JOIN sizes sb ON sb.event_type = p.tb
+    ORDER BY ta, tb
+    """,
+    doc="Audience overlap matrix: exact Jaccard similarity (ppm) between "
+        "every pair of behavior segments (users who did each event type) "
+        "— the audience-planning staple behind campaign targeting and "
+        "the companion view to segment_bitmask_counts (bitmasks give "
+        "exact combination cells; this gives pairwise overlap "
+        "normalized). Scale: segment membership distincts per (user, "
+        "type), a user-keyed self-join bounded by types-per-user (<= 5), "
+        "|types|-row size table broadcast",
+)
+def q_audience_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    m = ev.select("user_id", "event_type").distinct()
+    a, b = m.alias("a"), m.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("b.user_id") == F.col("a.user_id"))
+            & (F.col("b.event_type") > F.col("a.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("ta"),
+            F.col("b.event_type").alias("tb"),
+        )
+        .agg(F.count("*").alias("n_both"))
+    )
+    sizes = m.groupBy("event_type").agg(F.count("*").alias("n"))
+    sa = sizes.select(
+        F.col("event_type").alias("ta"), F.col("n").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("event_type").alias("tb"), F.col("n").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "ta")
+        .join(F.broadcast(sb), "tb")
+        .select(
+            "ta", "tb", "n_both", "n_a", "n_b",
+            F.expr(
+                "n_both * 1000000 div (n_a + n_b - n_both)"
+            ).alias("jaccard_ppm"),
+        )
+        .orderBy("ta", "tb")
+    )

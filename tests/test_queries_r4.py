@@ -1353,3 +1353,23 @@ def test_vocab_growth_matches_prefix_distincts(spark, sf_dir):
     # sub-linear growth: vocabulary grows slower than tokens
     v = out.sort_index()
     assert v["vocab_size"].iloc[-1] < v["n_tokens"].iloc[-1]
+
+
+def test_audience_overlap_matches_sets(spark, sf_dir):
+    out = REGISTRY["audience_overlap_matrix"].fn(spark, sf_dir).toPandas()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    segs = {
+        t: set(g["user_id"]) for t, g in ev.groupby("event_type")
+    }
+    import itertools
+    for ta, tb in itertools.combinations(sorted(segs), 2):
+        both = len(segs[ta] & segs[tb])
+        row = out[(out["ta"] == ta) & (out["tb"] == tb)]
+        if both == 0:
+            assert row.empty
+            continue
+        r = row.iloc[0]
+        union = len(segs[ta] | segs[tb])
+        assert r["n_both"] == both
+        assert r["n_a"] == len(segs[ta]) and r["n_b"] == len(segs[tb])
+        assert r["jaccard_ppm"] == both * 1000000 // union
