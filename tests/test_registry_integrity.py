@@ -1,0 +1,45 @@
+"""Registry-wide integrity net: every entry documented, every oracle
+binds in DuckDB (EXPLAIN only — catches SQL bitrot without running
+anything), names stay stable snake_case."""
+
+from __future__ import annotations
+
+import re
+
+import duckdb
+
+from gan_deeplearning4j_spark.io import TABLES
+from gan_deeplearning4j_spark.queries import REGISTRY
+
+
+def test_every_query_is_documented_and_named_sanely():
+    for name, q in REGISTRY.items():
+        assert re.fullmatch(r"[a-z][a-z0-9_]+", name), name
+        assert q.doc and len(q.doc) > 40, f"{name} lacks a real doc"
+
+
+def test_every_oracle_binds_in_duckdb(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    bad = []
+    for name, q in REGISTRY.items():
+        if not q.oracle:
+            continue
+        try:
+            con.sql("EXPLAIN " + q.oracle)
+        except Exception as exc:  # noqa: BLE001
+            bad.append((name, str(exc)[:120]))
+    assert not bad, bad
+
+
+def test_rows_only_queries_are_the_documented_set():
+    rows_only = {n for n, q in REGISTRY.items() if not q.oracle}
+    assert rows_only == {
+        "approx_distinct", "approx_quantiles", "audio_features",
+        "gan_grid_inference", "heavy_hitters_approx",
+        "hll_mergeable_daily_users", "ivfpq_topk", "multimodal_features",
+        "pq_topk", "bpe_train_merges", "bpe_tokenize_stats",
+    }
