@@ -5616,3 +5616,144 @@ def q_audience_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ta", "tb")
     )
+
+
+# ---------------------------------------------------------------------------
+# Peak load profile (capacity planning: minute-grain extremes)
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_peak_load",
+    oracle="""
+    WITH m AS (
+      SELECT epoch_us(ts) // 60000000 AS minute,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY minute
+    ), agg AS (
+      SELECT n, COUNT(*) AS cnt FROM m GROUP BY n
+    ), cum AS (
+      SELECT n,
+             SUM(cnt) OVER (ORDER BY n ROWS UNBOUNDED PRECEDING) AS cw,
+             SUM(cnt) OVER () AS tot
+      FROM agg
+    )
+    SELECT CAST((SELECT COUNT(*) FROM m) AS BIGINT) AS n_active_minutes,
+           CAST((SELECT MAX(n) FROM m) AS BIGINT) AS peak_epm,
+           CAST(MIN(CASE WHEN 2 * cw >= tot THEN n END) AS BIGINT)
+             AS p50_epm,
+           CAST(MIN(CASE WHEN 100 * cw >= 99 * tot THEN n END) AS BIGINT)
+             AS p99_epm
+    FROM cum
+    """,
+    doc="Peak-load profile at minute grain: active minutes, the peak "
+        "events-per-minute, and exact p50/p99 minute loads "
+        "(percentile_disc crossing over the count-of-counts table) — the "
+        "capacity-planning numbers behind provisioning and rate-limit "
+        "settings; peak/p50 is the burstiness ratio. Scale: one "
+        "map-side-combinable minute aggregate, then windows over "
+        "count-distinct rows",
+)
+def q_events_peak_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    m = ev.groupBy(
+        F.expr("(ts_nanos div 1000) div 60000000").alias("minute")
+    ).agg(F.count("*").alias("n"))
+    agg = m.groupBy("n").agg(F.count("*").alias("cnt"))
+    wc = Window.orderBy("n").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = agg.select(
+        "n",
+        F.sum("cnt").over(wc).alias("cw"),
+        F.sum("cnt").over(Window.partitionBy()).alias("tot"),
+    )
+    stats = m.agg(
+        F.count("*").alias("n_active_minutes"),
+        F.max("n").alias("peak_epm"),
+    )
+    q = cum.agg(
+        F.min(
+            F.when(2 * F.col("cw") >= F.col("tot"), F.col("n"))
+        ).alias("p50_epm"),
+        F.min(
+            F.when(100 * F.col("cw") >= 99 * F.col("tot"), F.col("n"))
+        ).alias("p99_epm"),
+    )
+    return stats.crossJoin(F.broadcast(q)).select(
+        F.col("n_active_minutes").cast("long").alias("n_active_minutes"),
+        F.col("peak_epm").cast("long").alias("peak_epm"),
+        "p50_epm", "p99_epm",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repeat-purchase interval (inter-purchase gap distribution)
+# ---------------------------------------------------------------------------
+
+@register(
+    "repeat_purchase_interval",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, epoch_us(ts) AS us, event_id FROM events
+      WHERE event_type = 'purchase'
+    ), gaps AS (
+      SELECT (us - lag(us) OVER (PARTITION BY user_id
+                                 ORDER BY us, event_id)) // 3600000000
+               AS gap_h
+      FROM p
+    ), g AS (SELECT gap_h FROM gaps WHERE gap_h IS NOT NULL),
+    agg AS (SELECT gap_h, COUNT(*) AS cnt FROM g GROUP BY gap_h),
+    cum AS (
+      SELECT gap_h,
+             SUM(cnt) OVER (ORDER BY gap_h ROWS UNBOUNDED PRECEDING) AS cw,
+             SUM(cnt) OVER () AS n
+      FROM agg
+    )
+    SELECT CAST(MIN(n) AS BIGINT) AS n_gaps,
+           CAST(MIN(CASE WHEN 4 * cw >= n     THEN gap_h END) AS BIGINT)
+             AS q25_h,
+           CAST(MIN(CASE WHEN 2 * cw >= n     THEN gap_h END) AS BIGINT)
+             AS q50_h,
+           CAST(MIN(CASE WHEN 4 * cw >= 3 * n THEN gap_h END) AS BIGINT)
+             AS q75_h
+    FROM cum
+    """,
+    doc="Repeat-purchase interval distribution: exact quartiles (hours) of "
+        "the gap between consecutive purchases within each user — the "
+        "replenishment-cycle metric that sets reorder-reminder timing and "
+        "the churn-definition window (a user is 'lapsed' past ~q75). One "
+        "user-partitioned lag window + the value-distinct percentile_disc "
+        "machinery. Scale: single user_id shuffle; quartile windows run "
+        "over distinct gap values",
+)
+def q_repeat_purchase_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.expr("ts_nanos div 1000"), "event_id"
+    )
+    gaps = ev.select(
+        (
+            (
+                F.expr("ts_nanos div 1000")
+                - F.lag(F.expr("ts_nanos div 1000")).over(w)
+            ) / 3600000000
+        ).cast("long").alias("gap_h")
+    ).filter(F.col("gap_h").isNotNull())
+    agg = gaps.groupBy("gap_h").agg(F.count("*").alias("cnt"))
+    wc = Window.orderBy("gap_h").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = agg.select(
+        "gap_h",
+        F.sum("cnt").over(wc).alias("cw"),
+        F.sum("cnt").over(Window.partitionBy()).alias("n"),
+    )
+    cw, n = F.col("cw"), F.col("n")
+    return cum.agg(
+        F.min("n").cast("long").alias("n_gaps"),
+        F.min(F.when(4 * cw >= n, F.col("gap_h"))).alias("q25_h"),
+        F.min(F.when(2 * cw >= n, F.col("gap_h"))).alias("q50_h"),
+        F.min(F.when(4 * cw >= 3 * n, F.col("gap_h"))).alias("q75_h"),
+    )

@@ -1373,3 +1373,32 @@ def test_audience_overlap_matches_sets(spark, sf_dir):
         assert r["n_both"] == both
         assert r["n_a"] == len(segs[ta]) and r["n_b"] == len(segs[tb])
         assert r["jaccard_ppm"] == both * 1000000 // union
+
+
+def test_peak_load_matches_pandas(spark, sf_dir):
+    out = REGISTRY["events_peak_load"].fn(spark, sf_dir).toPandas().iloc[0]
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    m = (ev["ts"].astype("int64") // 1000 // 60_000_000).value_counts()
+    v = np.sort(m.to_numpy())
+    assert out["n_active_minutes"] == len(m)
+    assert out["peak_epm"] == v.max()
+    assert out["p50_epm"] == v[int(np.ceil(0.5 * len(v))) - 1]
+    assert out["p99_epm"] == v[int(np.ceil(0.99 * len(v))) - 1]
+
+
+def test_repeat_purchase_interval_matches_pandas(spark, sf_dir):
+    out = (
+        REGISTRY["repeat_purchase_interval"].fn(spark, sf_dir)
+        .toPandas().iloc[0]
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    p = ev[ev["event_type"] == "purchase"].copy()
+    p["us"] = p["ts"].astype("int64") // 1000
+    gaps = []
+    for _, g in p.sort_values(["us", "event_id"]).groupby("user_id"):
+        us = g["us"].to_numpy()
+        gaps.extend(((us[1:] - us[:-1]) // 3_600_000_000).tolist())
+    v = np.sort(np.array(gaps))
+    assert out["n_gaps"] == len(v)
+    for q, col in ((0.25, "q25_h"), (0.5, "q50_h"), (0.75, "q75_h")):
+        assert out[col] == v[int(np.ceil(q * len(v))) - 1]
