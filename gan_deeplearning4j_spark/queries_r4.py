@@ -5757,3 +5757,65 @@ def q_repeat_purchase_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(2 * cw >= n, F.col("gap_h"))).alias("q50_h"),
         F.min(F.when(4 * cw >= 3 * n, F.col("gap_h"))).alias("q75_h"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Warehouse digest: one-query census + content digests for every table
+# ---------------------------------------------------------------------------
+
+# canonical key-column serialization per table (stable, engine-portable)
+_DIGEST_COLS: dict[str, list[str]] = {
+    "region": ["r_regionkey", "r_name"],
+    "nation": ["n_nationkey", "n_name", "n_regionkey"],
+    "customer": ["c_custkey", "c_nationkey", "c_mktsegment"],
+    "supplier": ["s_suppkey", "s_nationkey"],
+    "part": ["p_partkey", "p_brand", "p_size"],
+    "orders": ["o_orderkey", "o_custkey", "o_orderstatus"],
+    "lineitem": ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id", "event_type"],
+    "documents": ["doc_id", "source", "lang"],
+    "embeddings": ["vec_id", "label"],
+}
+_DIGEST_PRIME = 9007199254740993
+
+
+def _warehouse_oracle() -> str:
+    branches = []
+    for t, cols in _DIGEST_COLS.items():
+        ser = " || '|' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        h = portable_hash60_sql(ser)
+        branches.append(
+            f"SELECT '{t}' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            f"CAST(SUM(CAST({h} AS HUGEINT)) % {_DIGEST_PRIME} AS BIGINT) "
+            f"AS digest FROM {t}"
+        )
+    return " UNION ALL ".join(branches) + " ORDER BY tbl"
+
+
+@register(
+    "warehouse_digest",
+    oracle=_warehouse_oracle(),
+    doc="Whole-warehouse census in one query: row count plus an "
+        "order-invariant 53-bit content digest (sum of portable row "
+        "hashes mod a prime) for every table in the catalog — the "
+        "replication / backfill / migration verification primitive "
+        "generalized from table_content_digest to all ten tables, so two "
+        "environments compare entire warehouses by exchanging ten rows. "
+        "Scale: one scan + one map-side-combinable aggregate per table "
+        "over its key columns only (ReadSchema prunes the rest); "
+        "digests sum in decimal128 so any row count is safe",
+)
+def q_warehouse_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for t, cols in _DIGEST_COLS.items():
+        df = _t(spark, sf_dir, t)
+        ser = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+        d = df.agg(
+            F.count("*").alias("n_rows"),
+            (
+                F.sum(portable_hash60(ser).cast("decimal(38,0)"))
+                % F.lit(_DIGEST_PRIME).cast("decimal(38,0)")
+            ).cast("long").alias("digest"),
+        ).select(F.lit(t).alias("tbl"), "n_rows", "digest")
+        out = d if out is None else out.unionByName(d)
+    return out.orderBy("tbl")

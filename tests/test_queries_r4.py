@@ -1402,3 +1402,41 @@ def test_repeat_purchase_interval_matches_pandas(spark, sf_dir):
     assert out["n_gaps"] == len(v)
     for q, col in ((0.25, "q25_h"), (0.5, "q50_h"), (0.75, "q75_h")):
         assert out[col] == v[int(np.ceil(q * len(v))) - 1]
+
+
+def test_warehouse_digest_detects_any_change(spark, sf_dir):
+    out = (
+        REGISTRY["warehouse_digest"].fn(spark, sf_dir)
+        .toPandas().set_index("tbl")
+    )
+    assert len(out) == 10
+    # row counts match the raw files
+    for t in out.index:
+        n = spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+        assert out.loc[t, "n_rows"] == n
+    # digest sensitivity: recomputing over a mutated copy changes it
+    from gan_deeplearning4j_spark.functions.text import portable_hash60
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    ser = F.concat_ws(
+        "|", F.col("r_regionkey").cast("string"),
+        F.col("r_name").cast("string"),
+    )
+    base = r.agg(
+        (F.sum(portable_hash60(ser).cast("decimal(38,0)"))
+         % F.lit(9007199254740993).cast("decimal(38,0)")).cast("long")
+    ).collect()[0][0]
+    assert base == out.loc["region", "digest"]
+    mutated = r.withColumn(
+        "r_name",
+        F.when(F.col("r_regionkey") == 0, F.lit("XX"))
+        .otherwise(F.col("r_name")),
+    )
+    ser2 = F.concat_ws(
+        "|", F.col("r_regionkey").cast("string"),
+        F.col("r_name").cast("string"),
+    )
+    changed = mutated.agg(
+        (F.sum(portable_hash60(ser2).cast("decimal(38,0)"))
+         % F.lit(9007199254740993).cast("decimal(38,0)")).cast("long")
+    ).collect()[0][0]
+    assert changed != base
