@@ -5431,20 +5431,32 @@ def q_lorenz_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("o_totalprice") * 100, 0).cast("long")
         ).alias("x")
     )
-    wr = Window.orderBy(F.desc("x"), "o_custkey")
-    ranked = rev.select(
-        "x",
-        F.row_number().over(wr).alias("r"),
-        F.count("*").over(Window.partitionBy()).alias("n"),
-        F.sum("x").over(Window.partitionBy()).alias("tot"),
+    # two-level rank/cumsum decomposition (same trick as mad_robust_scale):
+    # global position r and cumulative revenue cx split into full-buckets-
+    # before + in-bucket parts, so no window ever sorts the whole customer
+    # table in one partition — buckets are tiny, in-bucket passes are
+    # (bucket)-parallel
+    b = rev.withColumn("bkt", F.expr("x div 100000"))
+    bstat = b.groupBy("bkt").agg(
+        F.count("*").alias("bc"), F.sum("x").alias("bx")
     )
-    cum = ranked.select(
-        "r", "n", "tot",
-        F.sum("x").over(
-            Window.orderBy("r").rowsBetween(
-                Window.unboundedPreceding, Window.currentRow
-            )
-        ).alias("cx"),
+    wb = Window.orderBy(F.desc("bkt")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bcum = bstat.select(
+        "bkt",
+        F.coalesce(F.sum("bc").over(wb), F.lit(0)).alias("r0"),
+        F.coalesce(F.sum("bx").over(wb), F.lit(0)).alias("cx0"),
+        F.sum("bc").over(Window.partitionBy()).alias("n"),
+        F.sum("bx").over(Window.partitionBy()).alias("tot"),
+    )
+    wi = Window.partitionBy("bkt").orderBy(
+        F.desc("x"), "o_custkey"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = b.join(F.broadcast(bcum), "bkt").select(
+        (F.col("r0") + F.count("*").over(wi)).alias("r"),
+        "n", "tot",
+        (F.col("cx0") + F.sum("x").over(wi)).alias("cx"),
     )
     deciles = o.sparkSession.range(1, 11).select(
         F.col("id").cast("long").alias("dec")
