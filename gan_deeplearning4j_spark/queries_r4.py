@@ -544,19 +544,34 @@ def q_equi_depth_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("price_c"),
     )
+    # two-level cumulative decomposition (see mad_robust_scale): price
+    # cents are near-unique, so a per-group cumsum over distinct values
+    # would run at |groups| parallelism over fact-scale rows
     agg = o.groupBy("o_orderpriority", "price_c").agg(
         F.count("*").alias("cnt")
+    ).withColumn("bkt", F.expr("price_c div 1000"))
+    bstat = agg.groupBy("o_orderpriority", "bkt").agg(
+        F.sum("cnt").alias("bc")
     )
-    wc = (
-        Window.partitionBy("o_orderpriority")
-        .orderBy("price_c")
+    wb = (
+        Window.partitionBy("o_orderpriority").orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bcum = bstat.select(
+        "o_orderpriority", "bkt",
+        F.coalesce(F.sum("bc").over(wb), F.lit(0)).alias("before"),
+        F.sum("bc").over(
+            Window.partitionBy("o_orderpriority")
+        ).alias("n"),
+    )
+    wi = (
+        Window.partitionBy("o_orderpriority", "bkt").orderBy("price_c")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    wt = Window.partitionBy("o_orderpriority")
-    cum = agg.select(
+    cum = agg.join(F.broadcast(bcum), ["o_orderpriority", "bkt"]).select(
         "o_orderpriority", "price_c",
-        F.sum("cnt").over(wc).alias("cw"),
-        F.sum("cnt").over(wt).alias("n"),
+        (F.col("before") + F.sum("cnt").over(wi)).alias("cw"),
+        "n",
     )
     cw, n = F.col("cw"), F.col("n")
     return cum.groupBy("o_orderpriority").agg(
@@ -1759,19 +1774,32 @@ def q_winsorized_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("price_c"),
     )
+    # same two-level cumsum decomposition as equi_depth_boundaries
     agg = o.groupBy("o_orderpriority", "price_c").agg(
         F.count("*").alias("cnt")
+    ).withColumn("bkt", F.expr("price_c div 1000"))
+    bstat = agg.groupBy("o_orderpriority", "bkt").agg(
+        F.sum("cnt").alias("bc")
     )
-    wc = (
-        Window.partitionBy("o_orderpriority")
-        .orderBy("price_c")
+    wb = (
+        Window.partitionBy("o_orderpriority").orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bcum = bstat.select(
+        "o_orderpriority", "bkt",
+        F.coalesce(F.sum("bc").over(wb), F.lit(0)).alias("before"),
+        F.sum("bc").over(
+            Window.partitionBy("o_orderpriority")
+        ).alias("n"),
+    )
+    wi = (
+        Window.partitionBy("o_orderpriority", "bkt").orderBy("price_c")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    wt = Window.partitionBy("o_orderpriority")
-    cum = agg.select(
+    cum = agg.join(F.broadcast(bcum), ["o_orderpriority", "bkt"]).select(
         "o_orderpriority", "price_c",
-        F.sum("cnt").over(wc).alias("cw"),
-        F.sum("cnt").over(wt).alias("n"),
+        (F.col("before") + F.sum("cnt").over(wi)).alias("cw"),
+        "n",
     )
     cw, n = F.col("cw"), F.col("n")
     bounds = cum.groupBy("o_orderpriority").agg(
