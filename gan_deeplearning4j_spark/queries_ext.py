@@ -2788,17 +2788,30 @@ def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("price_c"),
         F.col("l_quantity").cast("long").alias("qty"),
     )
+    # two-level cumsum decomposition (see queries_r4.mad_robust_scale):
+    # price cents are near-unique, so a per-group cumulative window would
+    # run at |groups| parallelism over fact-scale distinct values
     agg = li.groupBy("l_returnflag", "price_c").agg(
         F.sum("qty").alias("qty")
+    ).withColumn("bkt", F.expr("price_c div 1000"))
+    bstat = agg.groupBy("l_returnflag", "bkt").agg(
+        F.sum("qty").alias("bq")
     )
-    wc = Window.partitionBy("l_returnflag").orderBy("price_c").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    wb = Window.partitionBy("l_returnflag").orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, -1
     )
-    wt = Window.partitionBy("l_returnflag")
-    cum = agg.select(
+    bcum = bstat.select(
+        "l_returnflag", "bkt",
+        F.coalesce(F.sum("bq").over(wb), F.lit(0)).alias("before"),
+        F.sum("bq").over(Window.partitionBy("l_returnflag")).alias("tot"),
+    )
+    wi = Window.partitionBy("l_returnflag", "bkt").orderBy(
+        "price_c"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = agg.join(F.broadcast(bcum), ["l_returnflag", "bkt"]).select(
         "l_returnflag", "price_c",
-        F.sum("qty").over(wc).alias("cw"),
-        F.sum("qty").over(wt).alias("tot"),
+        (F.col("before") + F.sum("qty").over(wi)).alias("cw"),
+        "tot",
     )
     return (
         cum.filter(F.col("cw") * 2 >= F.col("tot"))

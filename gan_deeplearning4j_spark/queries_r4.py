@@ -2867,14 +2867,24 @@ def q_conversion_latency_quartiles(
         .filter(F.col("p_us") >= F.col("v_us"))
         .select(F.expr("(p_us - v_us) div 1000000").alias("lat_s"))
     )
-    agg = lat.groupBy("lat_s").agg(F.count("*").alias("cnt"))
-    wc = Window.orderBy("lat_s").rowsBetween(
+    # bucketed two-level cumsum: latency seconds can span a wide range
+    agg = lat.groupBy("lat_s").agg(F.count("*").alias("cnt")).withColumn(
+        "bkt", F.expr("lat_s div 1000")
+    )
+    bstat = agg.groupBy("bkt").agg(F.sum("cnt").alias("bc"))
+    wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    bcum = bstat.select(
+        "bkt",
+        F.coalesce(F.sum("bc").over(wb), F.lit(0)).alias("before"),
+        F.sum("bc").over(Window.partitionBy()).alias("n"),
+    )
+    wi = Window.partitionBy("bkt").orderBy("lat_s").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    cum = agg.select(
+    cum = agg.join(F.broadcast(bcum), "bkt").select(
         "lat_s",
-        F.sum("cnt").over(wc).alias("cw"),
-        F.sum("cnt").over(Window.partitionBy()).alias("n"),
+        (F.col("before") + F.sum("cnt").over(wi)).alias("cw"),
+        "n",
     )
     cw, n = F.col("cw"), F.col("n")
     return cum.agg(
