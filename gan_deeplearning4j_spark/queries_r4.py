@@ -5869,3 +5869,104 @@ def q_warehouse_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(t).alias("tbl"), "n_rows", "digest")
         out = d if out is None else out.unionByName(d)
     return out.orderBy("tbl")
+
+
+# ---------------------------------------------------------------------------
+# DAU / WAU / MAU engagement rollup with stickiness
+# ---------------------------------------------------------------------------
+
+@register(
+    "engagement_rollup",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id
+      FROM events
+    ), dau AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM d GROUP BY day
+    ), wau AS (
+      SELECT day // 7 AS wk, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+      FROM d GROUP BY wk
+    ), mau AS (
+      SELECT day // 28 AS mo, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+      FROM d GROUP BY mo
+    )
+    SELECT CAST(dau.day AS BIGINT) AS day, dau.dau,
+           wau.wau, mau.mau,
+           CAST(dau.dau * 1000000 // mau.mau AS BIGINT) AS stickiness_ppm
+    FROM dau
+    JOIN wau ON wau.wk = dau.day // 7
+    JOIN mau ON mau.mo = dau.day // 28
+    ORDER BY day
+    """,
+    doc="DAU/WAU/MAU engagement rollup: per day, the distinct active users "
+        "at day, 7-day-block, and 28-day-block grain plus the DAU/MAU "
+        "stickiness ratio in exact ppm — the growth-accounting dashboard "
+        "row (fixed calendar blocks, not trailing windows, so every "
+        "count is one exact distinct aggregate). Scale: the (day, user) "
+        "distinct is one shuffle; block rollups re-aggregate the "
+        "already-distinct pairs; block tables broadcast back",
+)
+def q_engagement_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        F.expr("(ts_nanos div 1000) div 86400000000").alias("day"),
+        "user_id",
+    ).distinct()
+    dau = d.groupBy("day").agg(F.count("*").alias("dau"))
+    wau = d.groupBy(F.expr("day div 7").alias("wk")).agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    mau = d.groupBy(F.expr("day div 28").alias("mo")).agg(
+        F.countDistinct("user_id").alias("mau")
+    )
+    return (
+        dau.join(F.broadcast(wau), F.expr("day div 7") == F.col("wk"))
+        .join(F.broadcast(mau), F.expr("day div 28") == F.col("mo"))
+        .select(
+            F.col("day").cast("long").alias("day"),
+            F.col("dau").cast("long").alias("dau"),
+            F.col("wau").cast("long").alias("wau"),
+            F.col("mau").cast("long").alias("mau"),
+            F.expr("dau * 1000000 div mau").alias("stickiness_ppm"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Power-user curve (distribution of active days per user)
+# ---------------------------------------------------------------------------
+
+@register(
+    "power_user_curve",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+      FROM events
+    ), per AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS active_days
+      FROM d GROUP BY user_id
+    )
+    SELECT active_days, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM per GROUP BY active_days
+    ORDER BY active_days
+    """,
+    doc="Power-user curve: the distribution of active days per user over "
+        "the observation window — the engagement-depth histogram (the "
+        "'L28 curve' shape) whose right mass identifies power users and "
+        "whose left spike flags drive-by traffic. Two exact distinct "
+        "aggregates. Scale: (user, day) distinct is one shuffle; the "
+        "histogram reduces one row per user",
+)
+def q_power_user_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id",
+        F.expr("(ts_nanos div 1000) div 86400000000").alias("day"),
+    ).distinct()
+    per = d.groupBy("user_id").agg(F.count("*").alias("active_days"))
+    return (
+        per.groupBy("active_days")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("active_days")
+    )

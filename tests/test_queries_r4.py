@@ -1440,3 +1440,30 @@ def test_warehouse_digest_detects_any_change(spark, sf_dir):
          % F.lit(9007199254740993).cast("decimal(38,0)")).cast("long")
     ).collect()[0][0]
     assert changed != base
+
+
+def test_engagement_rollup_consistency(spark, sf_dir):
+    out = REGISTRY["engagement_rollup"].fn(spark, sf_dir).toPandas()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    ev["day"] = ev["ts"].astype("int64") // 1000 // 86_400_000_000
+    dau = ev.groupby("day")["user_id"].nunique()
+    assert len(out) == len(dau)
+    for _, r in out.iterrows():
+        assert r["dau"] == dau[r["day"]]
+        wk = ev[ev["day"] // 7 == r["day"] // 7]["user_id"].nunique()
+        mo = ev[ev["day"] // 28 == r["day"] // 28]["user_id"].nunique()
+        assert r["wau"] == wk and r["mau"] == mo
+        assert r["stickiness_ppm"] == r["dau"] * 1000000 // r["mau"]
+    assert (out["dau"] <= out["wau"]).all() and (out["wau"] <= out["mau"]).all()
+
+
+def test_power_user_curve_totals(spark, sf_dir):
+    out = REGISTRY["power_user_curve"].fn(spark, sf_dir).toPandas()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    ev["day"] = ev["ts"].astype("int64") // 1000 // 86_400_000_000
+    per = ev.groupby("user_id")["day"].nunique()
+    assert out["n_users"].sum() == len(per)
+    from collections import Counter
+    want = Counter(per.values)
+    for _, r in out.iterrows():
+        assert want[r["active_days"]] == r["n_users"]
