@@ -5970,3 +5970,144 @@ def q_power_user_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_users"))
         .orderBy("active_days")
     )
+
+
+# ---------------------------------------------------------------------------
+# New vs returning actives per day (growth decomposition)
+# ---------------------------------------------------------------------------
+
+@register(
+    "new_vs_returning_daily",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+      FROM events
+    ), f AS (
+      SELECT user_id, MIN(day) AS first_day FROM d GROUP BY user_id
+    )
+    SELECT CAST(d.day AS BIGINT) AS day,
+           CAST(SUM(CASE WHEN d.day = f.first_day THEN 1 ELSE 0 END)
+                AS BIGINT) AS new_users,
+           CAST(SUM(CASE WHEN d.day > f.first_day THEN 1 ELSE 0 END)
+                AS BIGINT) AS returning_users
+    FROM d JOIN f USING (user_id)
+    GROUP BY d.day ORDER BY day
+    """,
+    doc="New-vs-returning decomposition of daily actives: each (user, day) "
+        "pair classifies against the user's first active day, splitting "
+        "DAU into acquisition and retention components — the first "
+        "question growth accounting asks of any engagement change. "
+        "Scale: (user, day) distinct + a user-keyed first-day aggregate "
+        "joined back on the same key (one partitioning reused)",
+)
+def q_new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id",
+        F.expr("(ts_nanos div 1000) div 86400000000").alias("day"),
+    ).distinct()
+    f = d.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    return (
+        d.join(f, "user_id")
+        .groupBy("day")
+        .agg(
+            F.sum(
+                F.when(F.col("day") == F.col("first_day"), 1).otherwise(0)
+            ).cast("long").alias("new_users"),
+            F.sum(
+                F.when(F.col("day") > F.col("first_day"), 1).otherwise(0)
+            ).cast("long").alias("returning_users"),
+        )
+        .select(
+            F.col("day").cast("long").alias("day"),
+            "new_users", "returning_users",
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Session duration quartiles (30-min-gap sessions)
+# ---------------------------------------------------------------------------
+
+@register(
+    "session_duration_quartiles",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, epoch_us(ts) AS us, event_id,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                       OVER (PARTITION BY user_id
+                             ORDER BY epoch_us(ts), event_id)
+                  > 1800000000 THEN 1 ELSE 0 END AS brk
+      FROM events
+    ), sid AS (
+      SELECT user_id, us,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM s
+    ), dur AS (
+      SELECT (MAX(us) - MIN(us)) // 1000000 AS dur_s
+      FROM sid GROUP BY user_id, sid
+    ), agg AS (SELECT dur_s, COUNT(*) AS cnt FROM dur GROUP BY dur_s),
+    cum AS (
+      SELECT dur_s,
+             SUM(cnt) OVER (ORDER BY dur_s ROWS UNBOUNDED PRECEDING) AS cw,
+             SUM(cnt) OVER () AS n
+      FROM agg
+    )
+    SELECT CAST(MIN(n) AS BIGINT) AS n_sessions,
+           CAST(MIN(CASE WHEN 4 * cw >= n     THEN dur_s END) AS BIGINT)
+             AS q25_s,
+           CAST(MIN(CASE WHEN 2 * cw >= n     THEN dur_s END) AS BIGINT)
+             AS q50_s,
+           CAST(MIN(CASE WHEN 4 * cw >= 3 * n THEN dur_s END) AS BIGINT)
+             AS q75_s
+    FROM cum
+    """,
+    doc="Session duration quartiles (30-min-gap sessionization, first to "
+        "last event per session, exact percentile_disc in seconds) — the "
+        "engagement-quality metric on top of the sessionize machinery "
+        "the engine already pins for streaming. Durations are bounded by "
+        "the clock range so the quartile pass is value-distinct small. "
+        "Scale: one user_id shuffle for sessionization; quartiles over "
+        "distinct durations",
+)
+def q_session_duration_quartiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    us = F.expr("ts_nanos div 1000")
+    wo = Window.partitionBy("user_id").orderBy("us", "event_id")
+    s = ev.select(
+        "user_id", us.alias("us"), "event_id"
+    ).withColumn(
+        "brk",
+        F.when(
+            F.col("us") - F.lag("us").over(wo) > 1800000000, 1
+        ).otherwise(0),
+    )
+    sid = s.withColumn(
+        "sid",
+        F.sum("brk").over(
+            wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    dur = sid.groupBy("user_id", "sid").agg(
+        F.expr("(max(us) - min(us)) div 1000000").alias("dur_s")
+    )
+    agg = dur.groupBy("dur_s").agg(F.count("*").alias("cnt"))
+    wc = Window.orderBy("dur_s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = agg.select(
+        "dur_s",
+        F.sum("cnt").over(wc).alias("cw"),
+        F.sum("cnt").over(Window.partitionBy()).alias("n"),
+    )
+    cw, n = F.col("cw"), F.col("n")
+    return cum.agg(
+        F.min("n").cast("long").alias("n_sessions"),
+        F.min(F.when(4 * cw >= n, F.col("dur_s"))).alias("q25_s"),
+        F.min(F.when(2 * cw >= n, F.col("dur_s"))).alias("q50_s"),
+        F.min(F.when(4 * cw >= 3 * n, F.col("dur_s"))).alias("q75_s"),
+    )

@@ -1467,3 +1467,39 @@ def test_power_user_curve_totals(spark, sf_dir):
     want = Counter(per.values)
     for _, r in out.iterrows():
         assert want[r["active_days"]] == r["n_users"]
+
+
+def test_new_vs_returning_reconciles_with_dau(spark, sf_dir):
+    out = REGISTRY["new_vs_returning_daily"].fn(spark, sf_dir).toPandas()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    ev["day"] = ev["ts"].astype("int64") // 1000 // 86_400_000_000
+    dau = ev.groupby("day")["user_id"].nunique()
+    for _, r in out.iterrows():
+        assert r["new_users"] + r["returning_users"] == dau[r["day"]]
+    # total new users over all days == total distinct users
+    assert out["new_users"].sum() == ev["user_id"].nunique()
+
+
+def test_session_duration_quartiles_match_pandas(spark, sf_dir):
+    out = (
+        REGISTRY["session_duration_quartiles"].fn(spark, sf_dir)
+        .toPandas().iloc[0]
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    ev["us"] = ev["ts"].astype("int64") // 1000
+    durs = []
+    for _, g in ev.sort_values(["us", "event_id"]).groupby("user_id"):
+        start = prev = None
+        for u in g["us"]:
+            if start is None:
+                start = prev = u
+            elif u - prev > 1_800_000_000:
+                durs.append((prev - start) // 1_000_000)
+                start = prev = u
+            else:
+                prev = u
+        durs.append((prev - start) // 1_000_000)
+    v = np.sort(np.array(durs))
+    assert out["n_sessions"] == len(v)
+    for q, col in ((0.25, "q25_s"), (0.5, "q50_s"), (0.75, "q75_s")):
+        assert out[col] == v[int(np.ceil(q * len(v))) - 1]
