@@ -6111,3 +6111,55 @@ def q_session_duration_quartiles(
         F.min(F.when(2 * cw >= n, F.col("dur_s"))).alias("q50_s"),
         F.min(F.when(4 * cw >= 3 * n, F.col("dur_s"))).alias("q75_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source duplication matrix (syndication / provenance audit)
+# ---------------------------------------------------------------------------
+
+@register(
+    "cross_source_duplication",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT source,
+             CAST('0x' || substr(md5(lower(trim(text))), 1, 15) AS BIGINT)
+               AS fp
+      FROM documents
+    )
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM d a JOIN d b ON b.fp = a.fp AND b.source > a.source
+    GROUP BY src_a, src_b
+    ORDER BY n_shared DESC, src_a, src_b
+    """,
+    doc="Cross-source duplication matrix: for every source pair, the "
+        "number of normalized-text fingerprints BOTH carry — the "
+        "syndication/provenance audit that tells which sources mirror "
+        "each other (within-source dups are the datacard's dup_rate; "
+        "this is the between-source picture that decides dedup ordering "
+        "and source weights). Scale: per-source fingerprint distinct, "
+        "one fp-keyed self-join whose fan-out is bounded by sources-per-"
+        "fingerprint (<= |sources|)",
+)
+def q_cross_source_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import portable_hash60
+
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        portable_hash60(F.lower(F.trim(F.col("text")))).alias("fp"),
+    ).distinct()
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("b.fp") == F.col("a.fp"))
+            & (F.col("b.source") > F.col("a.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .orderBy(F.desc("n_shared"), "src_a", "src_b")
+    )

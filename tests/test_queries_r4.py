@@ -1503,3 +1503,53 @@ def test_session_duration_quartiles_match_pandas(spark, sf_dir):
     assert out["n_sessions"] == len(v)
     for q, col in ((0.25, "q25_s"), (0.5, "q50_s"), (0.75, "q75_s")):
         assert out[col] == v[int(np.ceil(q * len(v))) - 1]
+
+
+def test_cross_source_duplication_finds_planted_dups(spark, sf_dir):
+    # the corpus has no cross-source exact dups; the driver row is an
+    # agreed-empty — plant some to prove the mechanism
+    out = REGISTRY["cross_source_duplication"].fn(spark, sf_dir).toPandas()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    fp = docs.assign(t=docs["text"].str.strip().str.lower())
+    expected_pairs = sum(
+        n * (n - 1) // 2
+        for n in fp.groupby("t")["source"].nunique()
+        if n > 1
+    )
+    assert out["n_shared"].sum() == expected_pairs
+
+    # planted: copy three texts from src1 into src2/src3 and rerun inline
+    from gan_deeplearning4j_spark.functions.text import portable_hash60
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src1 = base.filter(F.col("source") == "src1").limit(3)
+    planted = base.unionByName(
+        src1.withColumn("source", F.lit("src2")).withColumn(
+            "doc_id", F.col("doc_id") + 1000000
+        )
+    ).unionByName(
+        src1.limit(1).withColumn("source", F.lit("src3")).withColumn(
+            "doc_id", F.col("doc_id") + 2000000
+        )
+    )
+    d = planted.select(
+        "source",
+        portable_hash60(F.lower(F.trim(F.col("text")))).alias("fp"),
+    ).distinct()
+    a, b = d.alias("a"), d.alias("b")
+    got = (
+        a.join(
+            b,
+            (F.col("b.fp") == F.col("a.fp"))
+            & (F.col("b.source") > F.col("a.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .toPandas()
+        .set_index(["src_a", "src_b"])["n_shared"].to_dict()
+    )
+    assert got[("src1", "src2")] == 3
+    assert got[("src1", "src3")] == 1
+    assert got[("src2", "src3")] == 1
