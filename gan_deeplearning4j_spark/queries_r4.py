@@ -6163,3 +6163,91 @@ def q_cross_source_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_shared"))
         .orderBy(F.desc("n_shared"), "src_a", "src_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Order fulfillment latency (order date -> first shipment, exact quartiles)
+# ---------------------------------------------------------------------------
+
+@register(
+    "fulfillment_latency_quartiles",
+    oracle="""
+    WITH first_ship AS (
+      SELECT l_orderkey, MIN(l_shipdate) AS ship0 FROM lineitem
+      GROUP BY l_orderkey
+    ), lat AS (
+      SELECT CAST((epoch_us(f.ship0) - epoch_us(o.o_orderdate))
+                  // 86400000000 AS BIGINT) AS lat_d,
+             o.o_orderpriority
+      FROM orders o JOIN first_ship f ON f.l_orderkey = o.o_orderkey
+    ), agg AS (
+      SELECT o_orderpriority, lat_d, COUNT(*) AS cnt
+      FROM lat GROUP BY o_orderpriority, lat_d
+    ), cum AS (
+      SELECT o_orderpriority, lat_d,
+             SUM(cnt) OVER (PARTITION BY o_orderpriority ORDER BY lat_d
+                            ROWS UNBOUNDED PRECEDING) AS cw,
+             SUM(cnt) OVER (PARTITION BY o_orderpriority) AS n
+      FROM agg
+    )
+    SELECT o_orderpriority,
+           CAST(MIN(n) AS BIGINT) AS n_orders,
+           CAST(MIN(CASE WHEN 2 * cw >= n     THEN lat_d END) AS BIGINT)
+             AS q50_d,
+           CAST(MIN(CASE WHEN 100 * cw >= 95 * n THEN lat_d END) AS BIGINT)
+             AS p95_d
+    FROM cum GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="Order fulfillment latency: days from order date to FIRST line "
+        "shipment, exact median and p95 per order priority — the SLA "
+        "report that checks whether priority classes actually ship "
+        "faster. Latency days are calendar-bounded so the quartile pass "
+        "is value-distinct tiny (no bucket decomposition needed). "
+        "Scale: per-order first-ship aggregate + one orderkey join, "
+        "then priority-partitioned crossing windows",
+)
+def q_fulfillment_latency_quartiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    first_ship = li.groupBy("l_orderkey").agg(
+        F.min("l_shipdate").alias("ship0")
+    )
+    # l_shipdate reads as TIMESTAMP_NTZ; load_table pins the session to
+    # UTC, so the NTZ->TZ cast is wall-clock-stable before unix_micros
+    lat = o.join(first_ship, o.o_orderkey == first_ship.l_orderkey).select(
+        "o_orderpriority",
+        F.expr(
+            "(unix_micros(cast(ship0 as timestamp))"
+            " - unix_micros(cast(o_orderdate as timestamp)))"
+            " div 86400000000"
+        ).alias("lat_d"),
+    )
+    agg = lat.groupBy("o_orderpriority", "lat_d").agg(
+        F.count("*").alias("cnt")
+    )
+    wc = (
+        Window.partitionBy("o_orderpriority").orderBy("lat_d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = agg.select(
+        "o_orderpriority", "lat_d",
+        F.sum("cnt").over(wc).alias("cw"),
+        F.sum("cnt").over(
+            Window.partitionBy("o_orderpriority")
+        ).alias("n"),
+    )
+    cw, n = F.col("cw"), F.col("n")
+    return (
+        cum.groupBy("o_orderpriority")
+        .agg(
+            F.min("n").cast("long").alias("n_orders"),
+            F.min(F.when(2 * cw >= n, F.col("lat_d"))).alias("q50_d"),
+            F.min(
+                F.when(100 * cw >= 95 * n, F.col("lat_d"))
+            ).alias("p95_d"),
+        )
+        .orderBy("o_orderpriority")
+    )

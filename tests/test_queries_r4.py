@@ -1553,3 +1553,24 @@ def test_cross_source_duplication_finds_planted_dups(spark, sf_dir):
     assert got[("src1", "src2")] == 3
     assert got[("src1", "src3")] == 1
     assert got[("src2", "src3")] == 1
+
+
+def test_fulfillment_latency_matches_pandas(spark, sf_dir):
+    out = (
+        REGISTRY["fulfillment_latency_quartiles"].fn(spark, sf_dir)
+        .toPandas().set_index("o_orderpriority")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").toPandas()
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").toPandas()
+    first = li.groupby("l_orderkey")["l_shipdate"].min()
+    j = o.join(first.rename("ship0"), on="o_orderkey", how="inner")
+    j["lat_d"] = (
+        (j["ship0"].astype("int64") - j["o_orderdate"].astype("int64"))
+        // 1000 // 86_400_000_000
+    )
+    for pri, g in j.groupby("o_orderpriority"):
+        v = np.sort(g["lat_d"].to_numpy())
+        n = len(v)
+        assert out.loc[pri, "n_orders"] == n
+        assert out.loc[pri, "q50_d"] == v[int(np.ceil(0.5 * n)) - 1]
+        assert out.loc[pri, "p95_d"] == v[int(np.ceil(0.95 * n)) - 1]
