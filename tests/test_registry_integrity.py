@@ -43,3 +43,32 @@ def test_rows_only_queries_are_the_documented_set():
         "hll_mergeable_daily_users", "ivfpq_topk", "multimodal_features",
         "pq_topk", "bpe_train_merges", "bpe_tokenize_stats",
     }
+
+
+def test_queries_ordering_contract():
+    """queries() must return every registered query exactly once, with the
+    documented least-verified-first policy: all never-green entries before
+    any green one, oracled never-green before rows-only never-green."""
+    from gan_deeplearning4j_spark.queries import (
+        REGISTRY,
+        _verification_evidence,
+        queries,
+    )
+
+    ordered = list(queries())
+    assert sorted(ordered) == sorted(REGISTRY)  # a permutation, no loss
+    ev = _verification_evidence()
+    seen_green = False
+    seen_rows_only_never = False
+    for name in ordered:
+        green = name in ev
+        if green:
+            seen_green = True
+        else:
+            assert not seen_green, f"never-green {name} after a green entry"
+            if REGISTRY[name].oracle is None:
+                seen_rows_only_never = True
+            else:
+                assert not seen_rows_only_never, (
+                    f"oracled never-green {name} after rows-only never-green"
+                )
