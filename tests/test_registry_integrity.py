@@ -72,3 +72,18 @@ def test_queries_ordering_contract():
                 assert not seen_rows_only_never, (
                     f"oracled never-green {name} after rows-only never-green"
                 )
+
+
+def test_headline_set_is_stable_and_registered():
+    """bench.py times REGISTRY entries flagged headline; the set must stay
+    non-trivial and every member must be a registered, runnable query (the
+    driver's BENCH_r{N} comparisons depend on name stability)."""
+    from gan_deeplearning4j_spark.queries import REGISTRY, headline_queries
+
+    hs = headline_queries()
+    assert len(hs) >= 10
+    assert set(hs) <= set(REGISTRY)
+    # the long-standing comparison anchors must never be renamed
+    for anchor in ("tpch_q1_pricing", "tpch_q3_shipping", "minhash_dedup",
+                   "embedding_neardup_lsh", "topk_per_group"):
+        assert anchor in hs, anchor
