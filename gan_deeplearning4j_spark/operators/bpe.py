@@ -12,11 +12,13 @@ Spark-first shape:
   the standard trick that makes BPE training corpus-size-independent
   (|distinct words| ≪ |tokens|).
 - Pair counting is a scan-side ``zip_with`` over shifted slices of the
-  symbol array (O(word length) per word), then one map-side-combinable
-  groupBy.
-- The winning pair (max count, ties broken by pair text so runs are
-  deterministic) is a 1-row ``collect`` per round — the same bounded
-  driver-loop pattern as ``connected_components`` / k-means.
+  symbol array (O(word length) per word) producing ``struct<l,r>`` pairs —
+  no in-band delimiter, so arbitrary corpus text (including control
+  characters) round-trips exactly — then one map-side-combinable groupBy.
+- The winning pair (max count, ties broken by (left, right)
+  tuple-lexicographic struct order so runs are deterministic) is a 1-row
+  ``collect`` per round — the same bounded driver-loop pattern as
+  ``connected_components`` / k-means.
 - The merge itself is a **left-to-right non-overlapping fold** inside
   Catalyst: ``F.aggregate`` carries (emitted-array, pending-symbol) through
   each word's symbols, fusing ``pending+current`` when they equal the
@@ -25,9 +27,16 @@ Spark-first shape:
   otherwise stack R plan copies), mirroring the iterative-algorithm
   hygiene used by connected_components.
 
-At 100 TB the word-frequency table still fits comfortably in a few
-executors (natural-language vocabulary growth is sub-linear — Heaps' law),
-and each round is one tiny shuffle over it.
+Driver-side finish (the canonical scale escape hatch): a real tokenizer
+run is 32k–64k merges = one Spark job per merge over a table whose size
+never changes (|distinct words|, Heaps'-law small — a few million rows at
+100 TB of text).  When that table fits on the driver
+(``driver_finish_rows``), we collect it ONCE and run every merge locally
+with the exact same max-count/tie-break/merge-fold algorithm — identical
+output (pinned by tests/test_queries_r4.py's python-replay equality and a
+both-paths-agree test), and the job count drops from O(n_merges) to O(1).
+Job-count math is recorded in SCALE.md.  Distributed rounds remain the
+path for vocabularies above the threshold.
 """
 
 from __future__ import annotations
@@ -57,7 +66,7 @@ def _pair_counts(syms: DataFrame) -> DataFrame:
     pairs = F.zip_with(
         F.slice("syms", 1, n - 1),
         F.slice("syms", 2, n - 1),
-        lambda a, b: F.concat(a, F.lit(""), b),
+        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
     )
     return (
         syms.filter(n >= 2)
@@ -99,15 +108,78 @@ def _merge_fold(left: str, right: str) -> Column:
     )
 
 
+def _local_merge_word(s: list[str], left: str, right: str) -> list[str]:
+    """Exact local twin of _merge_fold: left-to-right non-overlapping."""
+    acc: list[str] = []
+    pend: str | None = None
+    for ch in s:
+        if pend is not None and pend == left and ch == right:
+            acc.append(left + right)
+            pend = None
+        else:
+            if pend is not None:
+                acc.append(pend)
+            pend = ch
+    if pend is not None:
+        acc.append(pend)
+    return acc
+
+
+def _local_train(
+    table: list[tuple[str, int, list[str]]], n_merges: int, start_rank: int
+) -> list[tuple[int, str, str, int]]:
+    """Run the remaining merges driver-side over the collected type table,
+    mutating ``table`` in place.  Same selection rule as the distributed
+    round: max count, ties by (left, right) ascending."""
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(start_rank, start_rank + n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for _w, freq, s in table:
+            for a, b in zip(s, s[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + freq
+        if not counts:
+            break
+        (left, right), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, left, right, cnt))
+        for i, (w, freq, s) in enumerate(table):
+            table[i] = (w, freq, _local_merge_word(s, left, right))
+    return merges
+
+
 def train_bpe(
     spark: SparkSession, docs: DataFrame, n_merges: int = 10,
     text_col: str = "text",
+    driver_finish_rows: int = 100_000,
 ) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
     """Run ``n_merges`` BPE rounds; returns (merge table rows
     [(rank, left, right, count)], final symbolized word table
     (word, freq, syms) — i.e. the trained tokenizer already applied to
-    the training vocabulary)."""
+    the training vocabulary).
+
+    If the distinct-word table has at most ``driver_finish_rows`` rows
+    (its size is fixed up front — merging never adds or removes words),
+    it is collected once and all merges run locally: byte-identical
+    result, O(1) Spark jobs instead of one per merge.  Pass 0 to force
+    the distributed path.
+    """
     syms = _init_symbols(word_freq_table(docs, text_col)).localCheckpoint()
+    if driver_finish_rows:
+        # limit() bounds the probe: we never pull more than threshold+1
+        # rows to decide, and the table row count is invariant across
+        # merges so one upfront decision is exact.
+        probe = syms.select("word").limit(driver_finish_rows + 1).count()
+        if probe <= driver_finish_rows:
+            table = [
+                (r["word"], int(r["freq"]), list(r["syms"]))
+                for r in syms.collect()
+            ]
+            merges = _local_train(table, n_merges, start_rank=0)
+            out = spark.createDataFrame(
+                table, "word string, freq long, syms array<string>"
+            )
+            return merges, out
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(n_merges):
         top = (
@@ -118,8 +190,9 @@ def train_bpe(
         )
         if not top:
             break
-        pair, cnt = top[0]["pair"], int(top[0]["cnt"])
-        left, right = pair.split("")
+        left = top[0]["pair"]["l"]
+        right = top[0]["pair"]["r"]
+        cnt = int(top[0]["cnt"])
         merges.append((rank, left, right, cnt))
         syms = syms.select(
             "word", "freq", _merge_fold(left, right).alias("syms")

@@ -2686,3 +2686,4 @@ def headline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ``register``/``_t`` from this module, which are defined above.
 from . import queries_ext  # noqa: E402,F401  (import side effect: registration)
 from . import queries_r4   # noqa: E402,F401  (import side effect: registration)
+from . import queries_r5   # noqa: E402,F401  (import side effect: registration)

@@ -50,8 +50,12 @@ _MACROS: dict[str, str] = {
     # fixed-point grid used by the exact ANN/covariance paths
     "fixp20": "(x DOUBLE) RETURNS BIGINT "
               "RETURN CAST(floor(x * 1048576) AS BIGINT)",
-    # whitespace token count (functions/text.py token_count family)
-    "ws_token_count": "(s STRING) RETURNS INT RETURN size(split(s, ' '))",
+    # whitespace token count — same tokenizer as functions/text.py
+    # tokens()/n_tokens (split(trim(s), '\s+')): trims, collapses runs of
+    # whitespace, and counts tabs/newlines as separators, so SQL users get
+    # the exact counts the Column-API token family reports.
+    "ws_token_count": "(s STRING) RETURNS INT "
+                      "RETURN size(split(trim(s), '\\\\s+'))",
 }
 
 

@@ -25,6 +25,14 @@ Scale: per batch this is one full-outer join on the merge key — one
 shuffle per side, zero if the snapshot and the change stream are both
 bucketed on the key (sources/layouts.write_bucketed). State lives in
 parquet, not executor memory, so table size is unbounded by RAM.
+
+Snapshot discovery constraint: ``_latest_snapshot`` resolves versions
+with ``os.listdir`` on the DRIVER's local filesystem, so ``state_dir``
+must be a driver-visible local path (or a mount that behaves like one,
+e.g. NFS/fuse).  A raw ``hdfs://``/``s3://`` state_dir would silently
+list nothing and re-bootstrap v0 every batch; for remote object stores,
+resolve snapshots through the Hadoop FileSystem API or keep a _LATEST
+manifest file instead.
 """
 
 from __future__ import annotations
@@ -72,7 +80,13 @@ def apply_cdc_batch(
     if snap is None:
         target = latest.drop(seq_col)
         if delete_col is not None:
-            target = target.filter(~F.col(delete_col)).drop(delete_col)
+            # NULL delete flag means "not a delete" — same coalesce
+            # semantics merge_upsert applies on later batches, so a
+            # record is kept/dropped identically whether its key first
+            # appears in the bootstrap batch or a subsequent one.
+            target = target.filter(
+                ~F.coalesce(F.col(delete_col), F.lit(False))
+            ).drop(delete_col)
             # first snapshot: deletes of never-seen keys are no-ops
         merged = target
     else:
@@ -111,6 +125,16 @@ def streaming_cdc_apply(
     if checkpoint_dir is not None:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     q = writer.start()
-    q.awaitTermination(timeout_sec)
+    drained = q.awaitTermination(timeout_sec)
     q.stop()
+    if not drained:
+        # The availableNow pass did NOT finish inside timeout_sec: the
+        # snapshot on disk reflects only a prefix of the available data.
+        # Returning it as if the stream had drained would be a silent
+        # under-apply — fail loudly instead.
+        raise TimeoutError(
+            f"streaming_cdc_apply: availableNow pass exceeded "
+            f"{timeout_sec}s before draining; snapshot at "
+            f"{_latest_snapshot(state_dir)[1]!r} is partial"
+        )
     return _latest_snapshot(state_dir)[1]

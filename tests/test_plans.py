@@ -403,6 +403,86 @@ def test_runtime_bloom_filter_injects_on_selective_fact_join(spark, sf_dir):
                 spark.conf.set(k, v)
 
 
+def test_salted_join_bounds_hot_key_partition(spark):
+    """Planted hot key (one user holds 20% of events): a plain key-
+    partitioned join lands all hot rows in ONE task, salted_join spreads
+    them across `salt` tasks. Pin both halves: (a) results are identical,
+    (b) the salted join's max partition is a small fraction of the plain
+    join's — the task-time bound that keeps a 100 TB skewed join from
+    stalling on one straggler.
+
+    When the engine salts: AQE's skew-join split already handles skew in
+    shuffled SORT-MERGE joins, so salting is reserved for the cases AQE
+    can't re-plan — a broadcast-ineligible mid-size build side (this
+    shape), or a skewed groupBy key (pre-aggregate under a salt then
+    re-aggregate). See SCALE.md 'skew' row."""
+    import pandas as pd
+
+    from gan_deeplearning4j_spark.operators.relational import salted_join
+
+    n_total, n_users = 100_000, 1_000
+    # hot user 0 owns 20% of rows; the rest spread uniformly
+    events = spark.range(n_total).select(
+        F.when(F.col("id") < n_total // 5, F.lit(0))
+        .otherwise(F.pmod(F.col("id") * 2654435761, F.lit(n_users)))
+        .alias("user_id"),
+        (F.col("id") % 97).alias("v"),
+    )
+    dims = spark.range(n_users).select(
+        F.col("id").alias("user_id"), (F.col("id") % 7).alias("seg")
+    )
+
+    conf = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        # isolate the salting effect from AQE's own skew handling
+        "spark.sql.adaptive.enabled": "false",
+        # enough reduce partitions that the 8 (hot_key, salt) combos
+        # rarely co-hash into one — at 32 partitions the birthday
+        # collisions re-merge several salt replicas and blur the bound
+        "spark.sql.shuffle.partitions": "256",
+    }
+    saved = {}
+    for k, v in conf.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        def max_partition_rows(df):
+            return (
+                df.groupBy(F.spark_partition_id().alias("pid"))
+                .count()
+                .agg(F.max("count"))
+                .collect()[0][0]
+            )
+
+        plain = events.join(dims, "user_id")
+        salted = salted_join(events, dims, "user_id", salt=8)
+
+        # (a) identical results
+        a = plain.groupBy("user_id", "seg").agg(
+            F.count("*").alias("n"), F.sum("v").alias("s")
+        ).toPandas().sort_values("user_id").reset_index(drop=True)
+        b = salted.groupBy("user_id", "seg").agg(
+            F.count("*").alias("n"), F.sum("v").alias("s")
+        ).toPandas().sort_values("user_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+
+        # (b) the hot key's single straggler partition is split ~salt ways
+        hot = max_partition_rows(plain)
+        cool = max_partition_rows(salted)
+        assert hot >= n_total // 5            # hot user in one task
+        assert cool <= hot // 3, (hot, cool)  # salted: bounded tasks
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_sql_macros_inline_and_match_engine_functions(spark, sf_dir):
     """SQL scalar UDFs are Catalyst macros: results equal the Column-API
     helpers and the plan contains no BatchEvalPython (no Python UDF)."""
@@ -430,7 +510,7 @@ def test_sql_macros_inline_and_match_engine_functions(spark, sf_dir):
         .select(
             "doc_id",
             portable_hash60(F.col("text")).alias("h"),
-            F.size(F.split("text", " ")).alias("n"),
+            F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n"),
         )
         .orderBy("doc_id")
         .limit(50)
@@ -440,3 +520,10 @@ def test_sql_macros_inline_and_match_engine_functions(spark, sf_dir):
     assert (got["n"].to_numpy() == want["n"].to_numpy()).all()
     assert (got["c"] == 100).all() and (got["p"] == 333333).all()
     assert (got["fp"] == 524288).all()
+    # irregular whitespace: leading/trailing/repeated spaces, tabs and
+    # newlines all behave like the Column-API tokenizer (3 tokens here,
+    # where a single-space split would report 7)
+    irr = spark.sql(
+        "SELECT ws_token_count('  a\\tb\\nc  ') AS n"
+    ).collect()[0]["n"]
+    assert irr == 3

@@ -893,6 +893,47 @@ def test_bpe_tokenize_stats_match_python(spark, sf_dir):
         )
 
 
+def test_bpe_driver_finish_matches_distributed(spark, sf_dir):
+    """The driver-side finish (collect-once when the type table is small)
+    must be byte-identical to the distributed Catalyst-fold rounds — same
+    merge table, same final symbolized vocabulary."""
+    from gan_deeplearning4j_spark.operators.bpe import train_bpe
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    m_local, syms_local = train_bpe(spark, docs, n_merges=6)
+    m_dist, syms_dist = train_bpe(
+        spark, docs, n_merges=6, driver_finish_rows=0
+    )
+    assert m_local == m_dist
+    a = sorted(
+        (r["word"], r["freq"], tuple(r["syms"]))
+        for r in syms_local.collect()
+    )
+    b = sorted(
+        (r["word"], r["freq"], tuple(r["syms"]))
+        for r in syms_dist.collect()
+    )
+    assert a == b
+
+
+def test_bpe_control_char_corpus(spark):
+    """Corpus tokens containing \\x01 (the old in-band pair delimiter)
+    must train correctly on both paths — the pair is carried as a
+    struct<l,r>, never re-parsed from a delimited string."""
+    from gan_deeplearning4j_spark.operators.bpe import train_bpe
+
+    docs = spark.createDataFrame(
+        [("a\x01b a\x01b a\x01b xy xy",), ("xy a\x01b qq\x01 qq\x01",)],
+        "text string",
+    )
+    m_dist, _ = train_bpe(spark, docs, n_merges=3, driver_finish_rows=0)
+    m_local, _ = train_bpe(spark, docs, n_merges=3)
+    assert m_dist == m_local
+    # ('a','\x01') and ('\x01','b') tie at count 4; the (left, right)
+    # ascending tie-break picks ('\x01','b') — '\x01' sorts below 'a'
+    assert m_dist[0][1:] == ("\x01", "b", 4)
+
+
 def test_anova_f_close_to_scipy_formula(spark, sf_dir):
     out = REGISTRY["anova_f_oneway"].fn(spark, sf_dir).toPandas().iloc[0]
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()

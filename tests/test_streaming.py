@@ -731,6 +731,80 @@ def test_cdc_recovers_from_torn_snapshot(spark, tmp_path):
     assert got == {1: "a", 2: "b2", 3: "c"}
 
 
+def test_cdc_null_delete_flag_is_not_a_delete(spark, tmp_path):
+    """A NULL delete flag means 'not a delete' on EVERY batch, including
+    the bootstrap one: the same change record is kept whether its key
+    first appears in the first batch or a later one (coalesce(flag,
+    False) semantics everywhere)."""
+    from gan_deeplearning4j_spark.streaming.cdc import apply_cdc_batch
+
+    cols = "key long, payload string, seq long, deleted boolean"
+
+    # key 1: NULL flag in the BOOTSTRAP batch -> must be kept
+    state_a = str(tmp_path / "state_a")
+    snap_a = apply_cdc_batch(
+        spark, state_a,
+        spark.createDataFrame(
+            [(1, "a", 1, None), (2, "b", 2, True)], cols
+        ),
+        keys=["key"], seq_col="seq", delete_col="deleted",
+    )
+    got_a = {
+        r["key"]: r["payload"] for r in spark.read.parquet(snap_a).collect()
+    }
+    assert got_a == {1: "a"}  # NULL kept, True deleted
+
+    # key 1: NULL flag in a LATER batch -> identically kept
+    state_b = str(tmp_path / "state_b")
+    apply_cdc_batch(
+        spark, state_b,
+        spark.createDataFrame([(9, "seed", 0, False)], cols),
+        keys=["key"], seq_col="seq", delete_col="deleted",
+    )
+    snap_b = apply_cdc_batch(
+        spark, state_b,
+        spark.createDataFrame(
+            [(1, "a", 1, None), (2, "b", 2, True)], cols
+        ),
+        keys=["key"], seq_col="seq", delete_col="deleted",
+    )
+    got_b = {
+        r["key"]: r["payload"] for r in spark.read.parquet(snap_b).collect()
+    }
+    assert got_b == {1: "a", 9: "seed"}  # same keep/drop decision as_a
+
+
+def test_streaming_cdc_timeout_raises_not_partial(spark, tmp_path):
+    """If the availableNow pass cannot drain inside timeout_sec the
+    function must raise TimeoutError, never return a partial snapshot as
+    if the stream had drained."""
+    import os
+    import pytest
+    from gan_deeplearning4j_spark.streaming.cdc import streaming_cdc_apply
+
+    cols = "key long, payload string, seq long"
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # enough 1-file micro-batches (each a full merge + parquet write)
+    # that a 1-second wait cannot possibly observe termination
+    for b in range(10):
+        spark.createDataFrame(
+            [(k, f"p{b}", b * 100 + k) for k in range(50)], cols
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src, f"batch_{b}.parquet")
+        )
+    stream = (
+        spark.readStream.schema(cols)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/batch_*.parquet")
+    )
+    with pytest.raises(TimeoutError, match="partial"):
+        streaming_cdc_apply(
+            stream, str(tmp_path / "state"), keys=["key"], seq_col="seq",
+            timeout_sec=1,
+        )
+
+
 def test_streaming_balance_equals_batch_fold(spark, sf_dir, tmp_path):
     """The GroupState clamped balance must land EXACTLY on the batch fold
     (running_balance_clamped) once the stream drains — the non-linear
