@@ -7,9 +7,10 @@ deterministic fake. Supported:
 
 - decode: PNG color types 0 (gray), 2 (RGB), 6 (RGBA), bit depth 8, all five
   scanline filters (None/Sub/Up/Average/Paeth), non-interlaced;
-  PPM ``P6`` (RGB) and PGM ``P5`` (gray), maxval 255.
-- encode: PNG (any filter type, default 0) and PGM/PPM — used by fixtures and
-  round-trip tests.
+  PPM ``P6`` (RGB) and PGM ``P5`` (gray), maxval 255;
+  baseline JPEG (gray / YCbCr, any sampling) via functions/jpegcodec.py.
+- encode: PNG (any filter type, default 0), PGM/PPM, and baseline JPEG —
+  used by fixtures and round-trip tests.
 
 Everything here is driver/executor-local Python operating on one payload at a
 time; the distributed shape (mapInPandas over Arrow batches, binary columns
@@ -31,6 +32,8 @@ def sniff_format(data: bytes) -> str | None:
         return "png"
     if data[:2] in (b"P5", b"P6"):
         return "pnm"
+    if data[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     return None
 
 
@@ -237,7 +240,12 @@ def decode_any(data: bytes) -> np.ndarray:
         return decode_png(data)
     if fmt == "pnm":
         return decode_pnm(data)
+    if fmt == "jpeg":
+        from .jpegcodec import decode_jpeg
+
+        return decode_jpeg(data)
     raise NotImplementedError(
-        "unrecognized image payload (PNG and binary PGM/PPM are decodable "
-        "in-engine; other formats need an image library such as Pillow)"
+        "unrecognized image payload (PNG, baseline JPEG and binary PGM/PPM "
+        "are decodable in-engine; other formats need an image library such "
+        "as Pillow)"
     )

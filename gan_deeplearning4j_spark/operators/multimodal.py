@@ -2,10 +2,11 @@
 opaque ``binary`` columns with typed metadata.
 
 The Spark-side plumbing — schema, partitioning, Arrow batch shape, UDF
-signatures — is real and tested. Image decode is REAL for PNG and binary
-PGM/PPM via the in-engine pure-stdlib codec (functions/imagecodec.py);
-formats needing an external library (JPEG…) raise ``NotImplementedError``,
-as does audio decode (no audio library in this container) — the
+signatures — is real and tested. Image decode is REAL for PNG, binary
+PGM/PPM (functions/imagecodec.py) and baseline JPEG
+(functions/jpegcodec.py, pure-python T.81 sequential DCT); non-baseline
+JPEG modes and unrecognized formats raise ``NotImplementedError``, as
+does audio decode (no audio library in this container) — the
 deterministic fake decoder (``fake=True``) covers those plumbing paths.
 
 Scale notes (100 TB of media):
@@ -46,15 +47,25 @@ MEDIA_SCHEMA = T.StructType(
 
 
 def synth_media_df(spark, n: int = 64, kind: str = "image") -> DataFrame:
-    """Deterministic fixture. Image rows carry REAL PNG payloads (pixels
-    derived from media_id, encoded by the in-engine codec) so the decode
-    path runs un-faked; audio/video payloads stay opaque hash bytes for the
-    fake PCM/frame decoders."""
+    """Deterministic fixture. Image rows carry REAL payloads (pixels
+    derived from media_id, encoded by the in-engine codecs) so the decode
+    path runs un-faked — every third row is a baseline JPEG (quant=1,
+    exact roundtrip for 8-bit gray), the rest PNG, so a mixed-format
+    corpus flows through one decode stage the way a crawled dataset
+    would; audio/video payloads stay opaque hash bytes for the fake
+    PCM/frame decoders."""
+    from ..functions.jpegcodec import encode_jpeg
+
     rows = []
     for i in range(n):
         if kind == "image":
-            payload = encode_png(_fake_decode(f"media-image-{i}".encode(), 16, 16))
-            mime = "image/png"
+            pixels = _fake_decode(f"media-image-{i}".encode(), 16, 16)
+            if i % 3 == 2:
+                payload = encode_jpeg(pixels, quant=1)
+                mime = "image/jpeg"
+            else:
+                payload = encode_png(pixels)
+                mime = "image/png"
         else:
             payload = hashlib.sha256(f"media-{kind}-{i}".encode()).digest() * 8
             mime = f"{kind}/x-fake"
@@ -73,11 +84,12 @@ def _fake_decode(content: bytes, width: int, height: int) -> np.ndarray:
 def decode_image(content: bytes, width: int, height: int, fake: bool = False) -> np.ndarray:
     """Decode an image payload to a (H, W) uint8 grayscale tensor.
 
-    Real path: the in-engine pure-stdlib codec (PNG via zlib, binary
-    PGM/PPM — functions/imagecodec.py); color images reduce via integer
-    luma. Formats beyond those (JPEG etc.) need an image library this
-    container doesn't ship — they raise NotImplementedError. ``fake=True``
-    keeps the deterministic hash decoder for plumbing tests. The declared
+    Real path: the in-engine pure-python codecs (PNG via zlib + binary
+    PGM/PPM in functions/imagecodec.py, baseline JPEG in
+    functions/jpegcodec.py); color images reduce via integer luma.
+    Non-baseline JPEG modes (progressive, arithmetic, 12-bit) and
+    unrecognized formats raise NotImplementedError. ``fake=True`` keeps
+    the deterministic hash decoder for plumbing tests. The declared
     width/height metadata is advisory; the decoded header wins.
     """
     if fake:

@@ -23,9 +23,102 @@ from gan_deeplearning4j_spark.operators.multimodal import (
 
 
 def test_decode_raises_on_unknown_format():
-    """Non-PNG/PNM payloads (e.g. JPEG) still need an external library."""
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0 not decodable", 4, 4, fake=False)
+    """Unrecognized payloads raise NotImplementedError naming what IS
+    decodable; corrupt-but-sniffable JPEG raises a decode error."""
+    with pytest.raises(NotImplementedError, match="PNG, baseline JPEG"):
+        decode_image(b"GIF89a not decodable", 4, 4, fake=False)
+    with pytest.raises((ValueError, IndexError)):
+        decode_image(b"\xff\xd8\xff\xe0 truncated garbage", 4, 4, fake=False)
+
+
+def test_jpeg_roundtrip_gray_exact():
+    """quant=1 baseline JPEG roundtrips 8-bit gray near-exactly (the DCT
+    is orthonormal; only float round noise survives)."""
+    from gan_deeplearning4j_spark.functions.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(666)
+    img = rng.integers(0, 256, (17, 19), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quant=1))
+    assert out.shape == img.shape
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 1
+
+
+def test_jpeg_roundtrip_rgb_444_and_420():
+    from gan_deeplearning4j_spark.functions.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    yy, xx = np.mgrid[0:20, 0:28]
+    img = np.stack(
+        [(yy * 5 + 20) % 256, (xx * 4 + 30) % 256, ((yy + xx) * 3) % 256],
+        axis=-1,
+    ).astype(np.uint8)
+    o444 = decode_jpeg(encode_jpeg(img, quant=1))
+    assert o444.shape == img.shape
+    assert int(np.abs(o444.astype(int) - img.astype(int)).max()) <= 2
+    # 4:2:0 exercises the general MCU geometry; chroma averaging makes it
+    # lossy but bounded on a smooth gradient
+    o420 = decode_jpeg(encode_jpeg(img, quant=1, subsample=True))
+    assert o420.shape == img.shape
+    assert int(np.abs(o420.astype(int) - img.astype(int)).max()) <= 8
+
+
+def test_jpeg_lossy_quant_still_close():
+    """A real (non-unit) quantization table must decode to something
+    visually equivalent on smooth content — mean error ≪ one gray level
+    of the gradient step."""
+    from gan_deeplearning4j_spark.functions.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    yy, xx = np.mgrid[0:32, 0:32]
+    img = ((yy * 3 + xx * 2) % 256).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quant=8))
+    assert float(np.abs(out.astype(int) - img.astype(int)).mean()) < 4.0
+
+
+def test_jpeg_restart_markers_roundtrip():
+    """DRI/RSTn resync (what camera JPEGs emit): byte-align, consume the
+    marker, reset DC predictors — at several interval lengths."""
+    from gan_deeplearning4j_spark.functions.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (33, 41), dtype=np.uint8)
+    for ri in (1, 3, 7):
+        out = decode_jpeg(encode_jpeg(img, quant=1, restart_interval=ri))
+        assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 1
+
+
+def test_jpeg_progressive_rejected_by_name():
+    """SOF2 (progressive) is a deliberate scope cut, not a crash."""
+    from gan_deeplearning4j_spark.functions.jpegcodec import decode_jpeg
+
+    # minimal SOI + SOF2 header
+    sof2 = (b"\xff\xd8" + b"\xff\xc2" + b"\x00\x0b" + b"\x08"
+            + b"\x00\x10\x00\x10" + b"\x01" + b"\x01\x11\x00")
+    with pytest.raises(NotImplementedError, match="SOF2"):
+        decode_jpeg(sof2)
+
+
+def test_decode_image_jpeg_payload_via_sniffer():
+    """decode_image dispatches on magic bytes: a JPEG payload flows
+    through the same luma path as PNG."""
+    from gan_deeplearning4j_spark.functions.jpegcodec import encode_jpeg
+
+    rng = np.random.default_rng(7)
+    rgb = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    got = decode_image(encode_jpeg(rgb, quant=1), 8, 8, fake=False)
+    want = to_gray(rgb)
+    assert got.shape == want.shape
+    assert int(np.abs(got.astype(int) - want.astype(int)).max()) <= 2
 
 
 @pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
