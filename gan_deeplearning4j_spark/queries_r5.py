@@ -120,3 +120,489 @@ def q_gan_grid_inference_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("output", 1).cast("long").alias("px0_q"),
         F.element_at("output", 2).cast("long").alias("px1_q"),
     ).orderBy("grid_id")
+
+
+# ---------------------------------------------------------------------------
+# Product analytics: weekly cohort retention
+# ---------------------------------------------------------------------------
+
+# Monday-aligned integer week since epoch: day 0 (1970-01-01) is a
+# Thursday, so (days + 3) // 7 increments on Mondays — pure integer math,
+# identical in both engines (no date_trunc('week') locale surface).
+_WEEK_SPARK = "((datediff(to_date(ts), DATE'1970-01-01') + 3) div 7)"
+_WEEK_DUCK = "((date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 3) // 7)"
+
+
+@register(
+    "cohort_retention_weekly",
+    oracle=f"""
+    WITH w AS (
+      SELECT user_id, {_WEEK_DUCK} AS wk FROM events
+    ), firstw AS (
+      SELECT user_id, MIN(wk) AS cohort_wk FROM w GROUP BY user_id
+    ), act AS (
+      SELECT DISTINCT w.user_id, f.cohort_wk, w.wk - f.cohort_wk AS offset_wk
+      FROM w JOIN firstw f ON w.user_id = f.user_id
+    )
+    SELECT cohort_wk, offset_wk, COUNT(*) AS n_users
+    FROM act
+    WHERE offset_wk <= 8
+    GROUP BY cohort_wk, offset_wk
+    ORDER BY cohort_wk, offset_wk
+    """,
+    doc="Weekly cohort retention matrix: users keyed by first-activity "
+        "week, counted once per (cohort, weeks-since) cell — the classic "
+        "product-analytics triangle. Weeks are Monday-aligned integer "
+        "epoch-weeks ((days+3) div 7), not date_trunc, so the key is pure "
+        "integer math in both engines. Scale: one shuffle on user_id "
+        "computes first-week and distinct (user, week) together; the "
+        "matrix itself is |cohorts|x9 rows — tiny. The per-user min "
+        "reuses the same hash partitioning as the dedup groupBy "
+        "(exchange reuse, pinned shape)",
+)
+def q_cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.expr(_WEEK_SPARK).alias("wk")
+    )
+    firstw = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    act = (
+        ev.join(firstw, "user_id")
+        .select("user_id", "cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("offset_wk"))
+        .distinct()
+    )
+    return (
+        act.filter(F.col("offset_wk") <= 8)
+        .groupBy("cohort_wk", "offset_wk")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("cohort_wk", "offset_wk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robust statistics: Spearman rank correlation (fixed-point exact)
+# ---------------------------------------------------------------------------
+
+@register(
+    "spearman_corr_by_lang",
+    oracle="""
+    WITH tok AS (
+      SELECT lang, n_chars,
+             len(string_split(text, ' ')) AS n_tok
+      FROM documents
+    ), ranked AS (
+      SELECT lang,
+             2 * RANK()  OVER (PARTITION BY lang ORDER BY n_chars)
+               + COUNT(*) OVER (PARTITION BY lang, n_chars) - 1 AS rx,
+             2 * RANK()  OVER (PARTITION BY lang ORDER BY n_tok)
+               + COUNT(*) OVER (PARTITION BY lang, n_tok) - 1 AS ry
+      FROM tok
+    ), s AS (
+      SELECT lang, COUNT(*) AS n,
+             CAST(SUM(rx) AS BIGINT) AS sx, CAST(SUM(ry) AS BIGINT) AS sy,
+             CAST(SUM(rx * ry) AS BIGINT) AS sxy,
+             CAST(SUM(rx * rx) AS BIGINT) AS sxx,
+             CAST(SUM(ry * ry) AS BIGINT) AS syy
+      FROM ranked GROUP BY lang
+    )
+    SELECT lang, n,
+           CAST(floor(
+             CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) * 1000000
+           ) AS BIGINT) AS rho_ppm
+    FROM s
+    ORDER BY lang
+    """,
+    doc="Spearman rank correlation between doc length in chars and in "
+        "tokens, per language — the robust (monotone, outlier-immune) "
+        "association screen a curation pipeline runs before trusting "
+        "linear stats. Ties get average ranks kept INTEGER by doubling "
+        "(2*rank + ties - 1), so every sum is exact; the final rho is one "
+        "identical IEEE double expression in both engines (sqrt is "
+        "correctly rounded, unlike transcendentals), floored to ppm. "
+        "Scale: ranks are two windows over the same lang partitioning — "
+        "one shuffle; sums are map-side-combinable; n*sxy-type products "
+        "promote to DECIMAL at fact scale (documented in SCALE.md's "
+        "percentile-family row)",
+)
+def q_spearman_corr_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang", "n_chars", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    wx = Window.partitionBy("lang").orderBy("n_chars")
+    wxt = Window.partitionBy("lang", "n_chars")
+    wy = Window.partitionBy("lang").orderBy("n_tok")
+    wyt = Window.partitionBy("lang", "n_tok")
+    ranked = docs.select(
+        "lang",
+        (2 * F.rank().over(wx) + F.count("*").over(wxt) - 1).alias("rx"),
+        (2 * F.rank().over(wy) + F.count("*").over(wyt) - 1).alias("ry"),
+    )
+    s = ranked.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+    )
+    return s.select(
+        "lang", "n",
+        F.floor(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (
+                F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+                * F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+            )
+            * 1000000
+        ).cast("long").alias("rho_ppm"),
+    ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# Welch's t-test between two sources (fixed-point exact)
+# ---------------------------------------------------------------------------
+
+@register(
+    "welch_t_sources",
+    oracle="""
+    WITH s AS (
+      SELECT source, COUNT(*) AS n,
+             CAST(SUM(n_chars) AS BIGINT) AS sx,
+             CAST(SUM(n_chars * n_chars) AS BIGINT) AS sxx
+      FROM documents WHERE source IN ('src0', 'src1') GROUP BY source
+    ), p AS (
+      SELECT
+        MAX(CASE WHEN source = 'src0' THEN n END) AS n1,
+        MAX(CASE WHEN source = 'src0' THEN sx END) AS sx1,
+        MAX(CASE WHEN source = 'src0' THEN sxx END) AS sxx1,
+        MAX(CASE WHEN source = 'src1' THEN n END) AS n2,
+        MAX(CASE WHEN source = 'src1' THEN sx END) AS sx2,
+        MAX(CASE WHEN source = 'src1' THEN sxx END) AS sxx2
+      FROM s
+    )
+    SELECT n1, n2,
+           CAST(floor(
+             (CAST(sx1 AS DOUBLE) / n1 - CAST(sx2 AS DOUBLE) / n2)
+             / sqrt(
+                 (CAST(n1 * sxx1 - sx1 * sx1 AS DOUBLE) / (CAST(n1 AS DOUBLE) * n1 * (n1 - 1)))
+               + (CAST(n2 * sxx2 - sx2 * sx2 AS DOUBLE) / (CAST(n2 AS DOUBLE) * n2 * (n2 - 1)))
+             ) * 1000000
+           ) AS BIGINT) AS t_ppm
+    FROM p
+    """,
+    doc="Welch's unequal-variance t statistic comparing doc length "
+        "between two sources — the drift gate a data pipeline runs when "
+        "a loader changes. Built entirely from exact integer sums "
+        "(n, sum, sum-of-squares per group); the t value is one identical "
+        "IEEE double expression (divisions + one sqrt, no "
+        "transcendentals) floored to ppm in both engines. Scale: one "
+        "map-side-combinable aggregate over the filtered scan, then a "
+        "2-row pivot — zero fact shuffles",
+)
+def q_welch_t_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src0", "src1")
+    )
+    s = docs.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum("n_chars").alias("sx"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("sxx"),
+    )
+    p = s.agg(
+        F.max(F.when(F.col("source") == "src0", F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("source") == "src0", F.col("sx"))).alias("sx1"),
+        F.max(F.when(F.col("source") == "src0", F.col("sxx"))).alias("sxx1"),
+        F.max(F.when(F.col("source") == "src1", F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("source") == "src1", F.col("sx"))).alias("sx2"),
+        F.max(F.when(F.col("source") == "src1", F.col("sxx"))).alias("sxx2"),
+    )
+    var1 = (
+        (F.col("n1") * F.col("sxx1") - F.col("sx1") * F.col("sx1")).cast("double")
+        / (F.col("n1").cast("double") * F.col("n1") * (F.col("n1") - 1))
+    )
+    var2 = (
+        (F.col("n2") * F.col("sxx2") - F.col("sx2") * F.col("sx2")).cast("double")
+        / (F.col("n2").cast("double") * F.col("n2") * (F.col("n2") - 1))
+    )
+    return p.select(
+        "n1", "n2",
+        F.floor(
+            (
+                F.col("sx1").cast("double") / F.col("n1")
+                - F.col("sx2").cast("double") / F.col("n2")
+            )
+            / F.sqrt(var1 + var2)
+            * 1000000
+        ).cast("long").alias("t_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Heaps'-law vocabulary growth per source
+# ---------------------------------------------------------------------------
+
+@register(
+    "heaps_vocab_growth",
+    oracle="""
+    WITH tok AS (
+      SELECT source, doc_id, unnest(string_split(text, ' ')) AS w
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS total_tokens,
+           COUNT(DISTINCT w) AS vocab,
+           COUNT(DISTINCT CASE WHEN doc_id % 2 = 0 THEN w END) AS vocab_half
+    FROM tok
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="Heaps'-law vocabulary growth audit per source: total tokens, "
+        "distinct vocabulary, and the vocabulary of the doc_id-even half "
+        "— the (half, full) pair estimates the Heaps exponent without an "
+        "ordered cumulative pass (vocab ratio ~ 2^beta), which is the "
+        "quantity that sizes BPE/type tables at corpus scale. Scale: "
+        "explode is scan-side; the distinct-count aggregate is Spark's "
+        "two-phase partial-distinct expansion — shuffle carries (source, "
+        "word) pairs already deduped map-side, never an ordered pass",
+)
+def q_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = _t(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    return (
+        tok.groupBy("source")
+        .agg(
+            F.count("*").alias("total_tokens"),
+            F.countDistinct("w").alias("vocab"),
+            F.countDistinct(
+                F.when(F.col("doc_id") % 2 == 0, F.col("w"))
+            ).alias("vocab_half"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency audit
+# ---------------------------------------------------------------------------
+
+@register(
+    "zipf_rank_freq_top20",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ), freq AS (
+      SELECT w, COUNT(*) AS f FROM tok GROUP BY w
+    ), ranked AS (
+      SELECT w, f, ROW_NUMBER() OVER (ORDER BY f DESC, w) AS r FROM freq
+    )
+    SELECT r, w, f, r * f AS rf
+    FROM ranked WHERE r <= 20 ORDER BY r
+    """,
+    doc="Zipf rank-frequency audit: top-20 corpus tokens with rank x "
+        "frequency — constant rf is the Zipf signature, and the deviation "
+        "pattern is the screen for templated/boilerplate corpora (token "
+        "distribution audits are the cheap tripwire before expensive "
+        "dedup). Integer products only, deterministic (freq desc, token "
+        "asc) ranking. Scale: one token-count shuffle (map-side "
+        "combinable), then TakeOrderedAndProject over |vocab| rows — "
+        "never a global sort of the corpus",
+)
+def q_zipf_rank_freq_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    freq = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("f"))
+    )
+    # TakeOrderedAndProject to 20 rows FIRST, then rank inside the tiny
+    # result — a bare global-order row_number would funnel |vocab| rows
+    # through one window partition
+    top = freq.orderBy(F.desc("f"), "w").limit(20)
+    w = Window.orderBy(F.desc("f"), "w")
+    return (
+        top.select("w", "f", F.row_number().over(w).alias("r"))
+        .select("r", "w", "f", (F.col("r") * F.col("f")).alias("rf"))
+        .orderBy("r")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic MODE per group
+# ---------------------------------------------------------------------------
+
+@register(
+    "mode_event_type_per_bucket",
+    oracle="""
+    WITH c AS (
+      SELECT user_id % 16 AS bucket, event_type, COUNT(*) AS cnt
+      FROM events GROUP BY user_id % 16, event_type
+    ), r AS (
+      SELECT bucket, event_type, cnt,
+             ROW_NUMBER() OVER (
+               PARTITION BY bucket ORDER BY cnt DESC, event_type
+             ) AS rn
+      FROM c
+    )
+    SELECT bucket, event_type AS modal_type, cnt
+    FROM r WHERE rn = 1 ORDER BY bucket
+    """,
+    doc="Deterministic MODE() per user bucket: the most frequent event "
+        "type with (count desc, value asc) tie-break — the categorical "
+        "summary stat SQL's mode() leaves engine-defined on ties, pinned "
+        "to a total order here so it is reproducible and cross-engine "
+        "comparable. Scale: count groupBy is map-side combinable; the "
+        "window runs over |buckets x types| pre-aggregated rows (tiny), "
+        "with the literal rn=1 bound eligible for WindowGroupLimit",
+)
+def q_mode_event_type_per_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        _t(spark, sf_dir, "events")
+        .groupBy((F.col("user_id") % 16).alias("bucket"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("bucket").orderBy(F.desc("cnt"), "event_type")
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("bucket", F.col("event_type").alias("modal_type"), "cnt")
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style rule-based quality gate
+# ---------------------------------------------------------------------------
+
+@register(
+    "gopher_rule_audit",
+    oracle="""
+    WITH m AS (
+      SELECT source,
+             len(string_split(text, ' ')) AS n_tok,
+             length(replace(text, ' ', '')) AS alpha_chars,
+             len(list_filter(string_split(text, ' '),
+                             x -> x IN ('the', 'a'))) AS stop_hits
+      FROM documents
+    ), rules AS (
+      SELECT source,
+             CASE WHEN n_tok BETWEEN 20 AND 100000 THEN 1 ELSE 0 END AS r_len,
+             CASE WHEN 100 * alpha_chars >= 300 * n_tok
+                   AND 100 * alpha_chars <= 1000 * n_tok THEN 1 ELSE 0
+             END AS r_wordlen,
+             CASE WHEN 100 * stop_hits >= 2 * n_tok THEN 1 ELSE 0
+             END AS r_stop
+      FROM m
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(r_len) AS BIGINT) AS pass_len,
+           CAST(SUM(r_wordlen) AS BIGINT) AS pass_wordlen,
+           CAST(SUM(r_stop) AS BIGINT) AS pass_stop,
+           CAST(SUM(r_len * r_wordlen * r_stop) AS BIGINT) AS keep
+    FROM rules GROUP BY source ORDER BY source
+    """,
+    doc="Gopher/MassiveText-style rule gate audited per source: token-"
+        "count bounds, mean-word-length band (3..10 chars, cross-"
+        "multiplied to integers — never a float division), and minimum "
+        "stopword fraction, plus the conjunctive keep count — the "
+        "standard pre-dedup quality filter, reported as a per-rule "
+        "funnel so a threshold change is attributable to one rule. "
+        "Scale: pure scan-side codegen expressions, one tiny aggregate, "
+        "zero shuffles of the corpus",
+)
+def q_gopher_rule_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = F.split(F.col("text"), " ")
+    m = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.size(toks).alias("n_tok"),
+        F.length(F.regexp_replace("text", " ", "")).alias("alpha_chars"),
+        F.size(
+            F.filter(toks, lambda x: x.isin("the", "a"))
+        ).alias("stop_hits"),
+    )
+    rules = m.select(
+        "source",
+        F.when(F.col("n_tok").between(20, 100000), 1).otherwise(0).alias("r_len"),
+        F.when(
+            (100 * F.col("alpha_chars") >= 300 * F.col("n_tok"))
+            & (100 * F.col("alpha_chars") <= 1000 * F.col("n_tok")),
+            1,
+        ).otherwise(0).alias("r_wordlen"),
+        F.when(100 * F.col("stop_hits") >= 2 * F.col("n_tok"), 1)
+        .otherwise(0).alias("r_stop"),
+    )
+    return (
+        rules.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("r_len").alias("pass_len"),
+            F.sum("r_wordlen").alias("pass_wordlen"),
+            F.sum("r_stop").alias("pass_stop"),
+            F.sum(
+                F.col("r_len") * F.col("r_wordlen") * F.col("r_stop")
+            ).alias("keep"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interval join: events within 7 days after an order
+# ---------------------------------------------------------------------------
+
+@register(
+    "order_event_window_join",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM orders o
+    JOIN events e
+      ON e.user_id = o.o_custkey
+     AND e.ts >= o.o_orderdate
+     AND e.ts <  o.o_orderdate + INTERVAL 7 DAY
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-02-01'
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+    doc="Interval (range) join: events landing in the 7-day window after "
+        "each January-1996 order of the same user — the attribution shape "
+        "(action within N days of trigger). The equality key "
+        "(user=custkey) makes it a hash join with range residuals, NOT a "
+        "cartesian range join; the month filter is pushed to the orders "
+        "scan. Per-row cents before SUM keeps the money sum order-free. "
+        "Scale: one shuffle per side on the user key; AQE handles the "
+        "skewed power users; a time-bucketed band join is the escape "
+        "hatch if the key were absent (SCALE.md)",
+)
+def q_order_event_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey", "o_orderpriority",
+            F.col("o_orderdate").cast("timestamp").alias("odate"),
+        )
+        .filter(
+            (F.col("odate") >= "1996-01-01") & (F.col("odate") < "1996-02-01")
+        )
+    )
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", F.round(F.col("value") * 100).cast("long").alias("vc")
+    )
+    j = ev.join(
+        orders,
+        (F.col("user_id") == F.col("o_custkey"))
+        & (F.col("ts") >= F.col("odate"))
+        & (F.col("ts") < F.col("odate") + F.expr("INTERVAL 7 DAYS")),
+    )
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("vc").alias("value_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
