@@ -123,62 +123,6 @@ def q_gan_grid_inference_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Product analytics: weekly cohort retention
-# ---------------------------------------------------------------------------
-
-# Monday-aligned integer week since epoch: day 0 (1970-01-01) is a
-# Thursday, so (days + 3) // 7 increments on Mondays — pure integer math,
-# identical in both engines (no date_trunc('week') locale surface).
-_WEEK_SPARK = "((datediff(to_date(ts), DATE'1970-01-01') + 3) div 7)"
-_WEEK_DUCK = "((date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 3) // 7)"
-
-
-@register(
-    "cohort_retention_weekly",
-    oracle=f"""
-    WITH w AS (
-      SELECT user_id, {_WEEK_DUCK} AS wk FROM events
-    ), firstw AS (
-      SELECT user_id, MIN(wk) AS cohort_wk FROM w GROUP BY user_id
-    ), act AS (
-      SELECT DISTINCT w.user_id, f.cohort_wk, w.wk - f.cohort_wk AS offset_wk
-      FROM w JOIN firstw f ON w.user_id = f.user_id
-    )
-    SELECT cohort_wk, offset_wk, COUNT(*) AS n_users
-    FROM act
-    WHERE offset_wk <= 8
-    GROUP BY cohort_wk, offset_wk
-    ORDER BY cohort_wk, offset_wk
-    """,
-    doc="Weekly cohort retention matrix: users keyed by first-activity "
-        "week, counted once per (cohort, weeks-since) cell — the classic "
-        "product-analytics triangle. Weeks are Monday-aligned integer "
-        "epoch-weeks ((days+3) div 7), not date_trunc, so the key is pure "
-        "integer math in both engines. Scale: one shuffle on user_id "
-        "computes first-week and distinct (user, week) together; the "
-        "matrix itself is |cohorts|x9 rows — tiny. The per-user min "
-        "reuses the same hash partitioning as the dedup groupBy "
-        "(exchange reuse, pinned shape)",
-)
-def q_cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events").select(
-        "user_id", F.expr(_WEEK_SPARK).alias("wk")
-    )
-    firstw = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
-    act = (
-        ev.join(firstw, "user_id")
-        .select("user_id", "cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("offset_wk"))
-        .distinct()
-    )
-    return (
-        act.filter(F.col("offset_wk") <= 8)
-        .groupBy("cohort_wk", "offset_wk")
-        .agg(F.count("*").alias("n_users"))
-        .orderBy("cohort_wk", "offset_wk")
-    )
-
-
-# ---------------------------------------------------------------------------
 # Robust statistics: Spearman rank correlation (fixed-point exact)
 # ---------------------------------------------------------------------------
 
@@ -605,4 +549,251 @@ def q_order_event_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("vc").alias("value_cents"),
         )
         .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust slope over the daily revenue series
+# ---------------------------------------------------------------------------
+
+@register(
+    "theil_sen_slope_daily",
+    oracle="""
+    WITH d AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS day,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1996-03-01'
+      GROUP BY day
+    ), pairs AS (
+      SELECT (b.cents - a.cents) * 1000 // (b.day - a.day) AS slope_mc
+      FROM d a JOIN d b ON b.day > a.day
+    ), ranked AS (
+      SELECT slope_mc, ROW_NUMBER() OVER (ORDER BY slope_mc) AS rn,
+             COUNT(*) OVER () AS n
+      FROM pairs
+    )
+    SELECT CAST(n AS BIGINT) AS n_pairs,
+           CAST(slope_mc AS BIGINT) AS median_slope_mc
+    FROM ranked WHERE rn = (n + 1) // 2
+    """,
+    doc="Theil-Sen estimator: the median of all pairwise slopes of the "
+        "daily-revenue series (Jan-Feb 1996) — the robust trend line that "
+        "shrugs off the outlier days OLS chases (ols_trend_daily is the "
+        "fragile twin). Slopes are integer milli-cents/day via truncating "
+        "division (Spark div == DuckDB // on signed ints); lower-median "
+        "picked by deterministic rank. Scale: the O(n^2) pair join runs "
+        "over the PRE-AGGREGATED day table (60 rows -> 1.7k pairs), never "
+        "the fact table — the fact scan is one map-side-combinable "
+        "aggregate with the date filter pushed down",
+)
+def q_theil_sen_slope_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("timestamp").alias("odate"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    ).filter(
+        (F.col("odate") >= "1996-01-01") & (F.col("odate") < "1996-03-01")
+    )
+    d = (
+        orders.groupBy(
+            F.datediff(F.to_date("odate"), F.lit("1970-01-01")).alias("day")
+        )
+        .agg(F.sum("cents").alias("cents"))
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    pairs = a.join(b, F.col("b.day") > F.col("a.day")).select(
+        F.expr("(b.cents - a.cents) * 1000 div (b.day - a.day)").alias(
+            "slope_mc"
+        )
+    )
+    w = Window.orderBy("slope_mc")
+    ranked = pairs.select(
+        "slope_mc",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    return ranked.filter(
+        F.col("rn") == F.expr("(n + 1) div 2")
+    ).select(
+        F.col("n").alias("n_pairs"),
+        F.col("slope_mc").alias("median_slope_mc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend test (exact integer S and tie-corrected variance)
+# ---------------------------------------------------------------------------
+
+@register(
+    "mann_kendall_trend",
+    oracle="""
+    WITH d AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS day,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1996-03-01'
+      GROUP BY day
+    ), s AS (
+      SELECT CAST(SUM(CASE WHEN b.cents > a.cents THEN 1
+                           WHEN b.cents < a.cents THEN -1 ELSE 0 END)
+                  AS BIGINT) AS s_stat
+      FROM d a JOIN d b ON b.day > a.day
+    ), ties AS (
+      SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+               AS tie_term
+      FROM (SELECT COUNT(*) AS t FROM d GROUP BY cents HAVING COUNT(*) > 1)
+    ), n AS (
+      SELECT COUNT(*) AS n FROM d
+    )
+    SELECT n.n AS n_days, s.s_stat,
+           CAST(n.n * (n.n - 1) * (2 * n.n + 5) - ties.tie_term AS BIGINT)
+             AS var18
+    FROM s, ties, n
+    """,
+    doc="Mann-Kendall monotone-trend test on the daily-revenue series: "
+        "S = sum of pairwise sign comparisons, plus the tie-corrected "
+        "variance numerator (x18, kept integer — var = var18/18) — the "
+        "nonparametric complement to theil_sen_slope_daily, all exact "
+        "integer math so the oracle hash-matches with no float surface "
+        "at all. Scale: pair comparisons run on the pre-aggregated day "
+        "table; the fact scan aggregates once with the date filter "
+        "pushed down",
+)
+def q_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("timestamp").alias("odate"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    ).filter(
+        (F.col("odate") >= "1996-01-01") & (F.col("odate") < "1996-03-01")
+    )
+    d = (
+        orders.groupBy(
+            F.datediff(F.to_date("odate"), F.lit("1970-01-01")).alias("day")
+        )
+        .agg(F.sum("cents").alias("cents"))
+        .localCheckpoint()
+    )
+    a, b = d.alias("a"), d.alias("b")
+    s = a.join(b, F.col("b.day") > F.col("a.day")).agg(
+        F.sum(
+            F.when(F.col("b.cents") > F.col("a.cents"), 1)
+            .when(F.col("b.cents") < F.col("a.cents"), -1)
+            .otherwise(0)
+        ).alias("s_stat")
+    )
+    ties = (
+        d.groupBy("cents")
+        .agg(F.count("*").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)),
+                F.lit(0),
+            ).alias("tie_term")
+        )
+    )
+    n = d.agg(F.count("*").alias("n"))
+    return (
+        s.crossJoin(ties)
+        .crossJoin(n)
+        .select(
+            F.col("n").alias("n_days"),
+            "s_stat",
+            (
+                F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+                - F.col("tie_term")
+            ).alias("var18"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog with an EXACT oracle (integer registers, no transcendentals)
+# ---------------------------------------------------------------------------
+
+@register(
+    "hll_registers_exact",
+    oracle="""
+    WITH h AS (
+      SELECT CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS hv
+      FROM events
+    ), reg AS (
+      SELECT hv % 1024 AS bucket,
+             MAX(CASE WHEN hv // 1024 = 0 THEN 51
+                      ELSE 51 - length(bin(hv // 1024)) END) AS rho
+      FROM h GROUP BY hv % 1024
+    ), agg AS (
+      SELECT COUNT(*) AS n_hit,
+             CAST(SUM(1::BIGINT << (51 - rho)) AS BIGINT) AS denom_hit
+      FROM reg
+    )
+    SELECT n_hit,
+           CAST(denom_hit + (1024 - n_hit) * (1::BIGINT << 51) AS BIGINT)
+             AS denom_scaled,
+           CAST(floor(
+             (0.7213 / (1.0 + 1.079 / 1024.0)) * 1024.0 * 1024.0
+             * CAST(1::BIGINT << 51 AS DOUBLE)
+             / CAST(denom_hit + (1024 - n_hit) * (1::BIGINT << 51) AS DOUBLE)
+           ) AS BIGINT) AS est_events
+    FROM agg
+    """,
+    doc="HyperLogLog distinct-event-id estimate with a hash-grade oracle — "
+        "the fixed-point-twin trick applied to sketches: buckets and "
+        "leading-zero ranks are pure integer bit math on the md5-derived "
+        "60-bit hash (bucket = h mod 1024, rho = 51 - bitlength(h div "
+        "1024), bit length via the binary-string digits — no log2), the "
+        "harmonic denominator is an exact integer sum of 2^(51-rho), and "
+        "the final estimate is one identical IEEE double expression "
+        "(alpha_m * m^2 * 2^51 / denom, divisions only). Deliberately "
+        "omits the small-range linear-counting correction (it needs ln); "
+        "hll_mergeable_daily_users remains the production sketch, this "
+        "twin is its correctness evidence. Scale: one 1024-key groupBy "
+        "with map-side max combine — sketch-sized state regardless of "
+        "corpus",
+)
+def q_hll_registers_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import portable_hash60
+
+    h = _t(spark, sf_dir, "events").select(
+        portable_hash60(F.col("event_id").cast("string")).alias("hv")
+    )
+    reg = (
+        h.select(
+            F.pmod("hv", F.lit(1024)).alias("bucket"),
+            F.expr(
+                "CASE WHEN hv div 1024 = 0 THEN 51 "
+                "ELSE 51 - length(conv(hv div 1024, 10, 2)) END"
+            ).alias("rho"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    agg = reg.agg(
+        F.count("*").alias("n_hit"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 51 - rho)")).alias(
+            "denom_hit"
+        ),
+    )
+    denom = F.col("denom_hit") + (1024 - F.col("n_hit")) * F.expr(
+        "shiftleft(CAST(1 AS BIGINT), 51)"
+    )
+    return agg.select(
+        "n_hit",
+        denom.alias("denom_scaled"),
+        F.floor(
+            F.lit(0.7213)
+            / (F.lit(1.0) + F.lit(1.079) / F.lit(1024.0))
+            * 1024.0
+            * 1024.0
+            * F.expr("CAST(shiftleft(CAST(1 AS BIGINT), 51) AS DOUBLE)")
+            / denom.cast("double")
+        ).cast("long").alias("est_events"),
     )

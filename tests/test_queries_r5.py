@@ -1,0 +1,167 @@
+"""Round-5 query pins: python replays and statistical sanity for the
+queries_r5 additions (the DuckDB hash parity itself is covered by
+tests/test_oracle_parity.py / scripts/driver_replica.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from gan_deeplearning4j_spark.queries import REGISTRY
+
+
+def test_gan_grid_inference_fixed_matches_python_forward(spark, sf_dir):
+    """The mapInPandas distributed forward pass equals a plain-python
+    integer replay of the same literal network over the same grid."""
+    from gan_deeplearning4j_spark.queries_r5 import (
+        _GRID_SIDE,
+        _Z_SCALE,
+        _gan_fixed_ints,
+    )
+
+    out = (
+        REGISTRY["gan_grid_inference_fixed"].fn(spark, sf_dir)
+        .toPandas().set_index("grid_id").sort_index()
+    )
+    w1, b1, w2, b2 = _gan_fixed_ints()
+    s = _GRID_SIDE
+    step = 2.0 / (s - 1)
+    for gid in range(s * s):
+        gi, gj = gid // s, gid % s
+        ziq = int(np.floor((-1.0 + gi * step) * _Z_SCALE))
+        zjq = int(np.floor((-1.0 + gj * step) * _Z_SCALE))
+        h = [
+            max(0, w1[0][j] * ziq + w1[1][j] * zjq + b1[j])
+            for j in range(len(b1))
+        ]
+        px = [
+            sum(w2[j][k] * h[j] for j in range(len(h))) + b2[k]
+            for k in range(len(b2))
+        ]
+        assert int(out.loc[gid, "px0_q"]) == px[0], gid
+        assert int(out.loc[gid, "px1_q"]) == px[1], gid
+
+
+def test_hll_estimate_within_theory_error(spark):
+    """1024 registers → ~3.25% theoretical std error; assert the estimate
+    lands within 4 sigma of the exact distinct count (event_id is unique
+    per row, so exact == row count). Pinned at sf0.01 — the smallest SF
+    whose cardinality (10k) clears the raw-estimator regime (2.5m); below
+    that HLL needs the ln-based linear-counting correction the oracle
+    deliberately omits (see the query doc)."""
+    import duckdb
+
+    sf = "/root/testdata/sf0.01"
+    exact = duckdb.sql(
+        f"SELECT COUNT(DISTINCT event_id) FROM '{sf}/events.parquet'"
+    ).fetchone()[0]
+    assert exact >= 2.5 * 1024  # raw-estimator regime precondition
+    est = (
+        REGISTRY["hll_registers_exact"].fn(spark, sf)
+        .collect()[0]["est_events"]
+    )
+    assert abs(est - exact) / exact < 4 * 1.04 / np.sqrt(1024)
+
+
+def test_theil_sen_matches_numpy_replay(spark, sf_dir):
+    out = REGISTRY["theil_sen_slope_daily"].fn(spark, sf_dir).collect()[0]
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    sel = orders[
+        (orders["o_orderdate"] >= "1996-01-01")
+        & (orders["o_orderdate"] < "1996-03-01")
+    ].copy()
+    sel["cents"] = (sel["o_totalprice"] * 100).round().astype(np.int64)
+    sel["day"] = (
+        sel["o_orderdate"].dt.normalize() - pd.Timestamp("1970-01-01")
+    ).dt.days
+    d = sel.groupby("day")["cents"].sum().sort_index()
+    days = d.index.to_numpy()
+    cents = d.to_numpy()
+    # python // floors; replicate the engines' trunc-toward-zero division
+    slopes = []
+    for i in range(len(days)):
+        for j in range(i + 1, len(days)):
+            num = int(cents[j] - cents[i]) * 1000
+            den = int(days[j] - days[i])
+            q = abs(num) // den
+            slopes.append(q if num >= 0 else -q)
+    slopes.sort()
+    n = len(slopes)
+    assert out["n_pairs"] == n
+    assert out["median_slope_mc"] == slopes[(n + 1) // 2 - 1]
+
+
+def test_mann_kendall_matches_numpy_replay(spark, sf_dir):
+    out = REGISTRY["mann_kendall_trend"].fn(spark, sf_dir).collect()[0]
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    sel = orders[
+        (orders["o_orderdate"] >= "1996-01-01")
+        & (orders["o_orderdate"] < "1996-03-01")
+    ].copy()
+    sel["cents"] = (sel["o_totalprice"] * 100).round().astype(np.int64)
+    sel["day"] = (
+        sel["o_orderdate"].dt.normalize() - pd.Timestamp("1970-01-01")
+    ).dt.days
+    d = sel.groupby("day")["cents"].sum().sort_index().to_numpy()
+    n = len(d)
+    s = sum(
+        int(np.sign(d[j] - d[i]))
+        for i in range(n) for j in range(i + 1, n)
+    )
+    _, counts = np.unique(d, return_counts=True)
+    tie = sum(int(t) * (t - 1) * (2 * t + 5) for t in counts if t > 1)
+    assert out["n_days"] == n
+    assert out["s_stat"] == s
+    assert out["var18"] == n * (n - 1) * (2 * n + 5) - tie
+
+
+def test_spearman_matches_scipy_formula(spark, sf_dir):
+    out = (
+        REGISTRY["spearman_corr_by_lang"].fn(spark, sf_dir)
+        .toPandas().set_index("lang")
+    )
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    docs["n_tok"] = docs["text"].str.split(" ").str.len()
+    for lang, g in docs.groupby("lang"):
+        rx = g["n_chars"].rank(method="average")
+        ry = g["n_tok"].rank(method="average")
+        rho = np.corrcoef(rx, ry)[0, 1]
+        got = out.loc[lang, "rho_ppm"] / 1e6
+        assert abs(got - rho) < 2e-6, lang
+
+
+def test_welch_t_matches_scipy_formula(spark, sf_dir):
+    out = REGISTRY["welch_t_sources"].fn(spark, sf_dir).collect()[0]
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    a = docs.loc[docs["source"] == "src0", "n_chars"].to_numpy(np.float64)
+    b = docs.loc[docs["source"] == "src1", "n_chars"].to_numpy(np.float64)
+    t = (a.mean() - b.mean()) / np.sqrt(
+        a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b)
+    )
+    assert out["n1"] == len(a) and out["n2"] == len(b)
+    assert abs(out["t_ppm"] / 1e6 - t) < 2e-6
+
+
+def test_gopher_rule_audit_counts(spark, sf_dir):
+    out = (
+        REGISTRY["gopher_rule_audit"].fn(spark, sf_dir)
+        .toPandas().set_index("source")
+    )
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    toks = docs["text"].str.split(" ")
+    docs["n_tok"] = toks.str.len()
+    docs["alpha"] = docs["text"].str.replace(" ", "", regex=False).str.len()
+    docs["stop"] = toks.apply(lambda t: sum(1 for x in t if x in ("the", "a")))
+    r_len = docs["n_tok"].between(20, 100000)
+    r_word = (100 * docs["alpha"] >= 300 * docs["n_tok"]) & (
+        100 * docs["alpha"] <= 1000 * docs["n_tok"]
+    )
+    r_stop = 100 * docs["stop"] >= 2 * docs["n_tok"]
+    for src, g in docs.groupby("source"):
+        assert out.loc[src, "n_docs"] == len(g)
+        assert out.loc[src, "pass_len"] == int(r_len[g.index].sum())
+        assert out.loc[src, "pass_wordlen"] == int(r_word[g.index].sum())
+        assert out.loc[src, "pass_stop"] == int(r_stop[g.index].sum())
+        assert out.loc[src, "keep"] == int(
+            (r_len[g.index] & r_word[g.index] & r_stop[g.index]).sum()
+        )
