@@ -797,3 +797,228 @@ def q_hll_registers_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             / denom.cast("double")
         ).cast("long").alias("est_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-feature OLS via exact-integer Cramer determinants
+# ---------------------------------------------------------------------------
+
+@register(
+    "ols_multi_cramer",
+    oracle="""
+    WITH f AS (
+      SELECT hour(ts) AS h,
+             (date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 4) % 7
+               AS d,
+             CAST(round(value * 100) AS BIGINT) AS y
+      FROM events WHERE event_type = 'purchase'
+    ), s AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(h) AS BIGINT) AS sh, CAST(SUM(d) AS BIGINT) AS sd,
+             CAST(SUM(h * h) AS BIGINT) AS shh,
+             CAST(SUM(h * d) AS BIGINT) AS shd,
+             CAST(SUM(d * d) AS BIGINT) AS sdd,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(h * y) AS BIGINT) AS shy,
+             CAST(SUM(d * y) AS BIGINT) AS sdy
+      FROM f
+    ), m AS (
+      SELECT n,
+             CAST(n AS DOUBLE) AS a11, CAST(sh AS DOUBLE) AS a12,
+             CAST(sd AS DOUBLE) AS a13, CAST(shh AS DOUBLE) AS a22,
+             CAST(shd AS DOUBLE) AS a23, CAST(sdd AS DOUBLE) AS a33,
+             CAST(sy AS DOUBLE) AS b1, CAST(shy AS DOUBLE) AS b2,
+             CAST(sdy AS DOUBLE) AS b3
+      FROM s
+    )
+    SELECT n,
+           CAST(floor((b1*(a22*a33-a23*a23) - a12*(b2*a33-a23*b3)
+                       + a13*(b2*a23-a22*b3))
+             / (a11*(a22*a33-a23*a23) - a12*(a12*a33-a23*a13)
+                + a13*(a12*a23-a22*a13)) * 1000000) AS BIGINT)
+             AS b0_ppm,
+           CAST(floor((a11*(b2*a33-a23*b3) - b1*(a12*a33-a23*a13)
+                       + a13*(a12*b3-b2*a13))
+             / (a11*(a22*a33-a23*a23) - a12*(a12*a33-a23*a13)
+                + a13*(a12*a23-a22*a13)) * 1000000) AS BIGINT)
+             AS b_hour_ppm,
+           CAST(floor((a11*(a22*b3-b2*a23) - a12*(a12*b3-b2*a13)
+                       + b1*(a12*a23-a22*a13))
+             / (a11*(a22*a33-a23*a23) - a12*(a12*a33-a23*a13)
+                + a13*(a12*a23-a22*a13)) * 1000000) AS BIGINT)
+             AS b_dow_ppm
+    FROM m
+    """,
+    doc="Multiple linear regression (purchase value ~ hour-of-day + "
+        "day-of-week) solved in closed form by Cramer's rule on the "
+        "3x3 normal equations — the multi-feature upgrade of "
+        "ols_trend_daily, no iterative solver. Moment sums are exact "
+        "integers (day-of-week from integer epoch-day math, not the "
+        "engines' 0-vs-1-based dayofweek); determinants expand in DOUBLE "
+        "with one identical expression tree per engine (int->double and "
+        "double mul/add are correctly rounded IEEE ops, so both engines "
+        "round identically — only transcendentals are banned). Scale: "
+        "one map-side-combinable aggregate over the filtered scan, "
+        "zero shuffles of the fact",
+)
+def q_ols_multi_cramer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f = _t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        F.hour("ts").alias("h"),
+        ((F.datediff(F.to_date("ts"), F.lit("1970-01-01")) + 4) % 7).alias("d"),
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+    )
+    s = f.agg(
+        F.count("*").alias("n"),
+        F.sum("h").alias("sh"), F.sum("d").alias("sd"),
+        F.sum(F.col("h") * F.col("h")).alias("shh"),
+        F.sum(F.col("h") * F.col("d")).alias("shd"),
+        F.sum(F.col("d") * F.col("d")).alias("sdd"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("h") * F.col("y")).alias("shy"),
+        F.sum(F.col("d") * F.col("y")).alias("sdy"),
+    )
+    a11, a12, a13 = [F.col(c).cast("double") for c in ("n", "sh", "sd")]
+    a22, a23, a33 = [F.col(c).cast("double") for c in ("shh", "shd", "sdd")]
+    b1, b2, b3 = [F.col(c).cast("double") for c in ("sy", "shy", "sdy")]
+    det = (a11 * (a22 * a33 - a23 * a23) - a12 * (a12 * a33 - a23 * a13)
+           + a13 * (a12 * a23 - a22 * a13))
+    det0 = (b1 * (a22 * a33 - a23 * a23) - a12 * (b2 * a33 - a23 * b3)
+            + a13 * (b2 * a23 - a22 * b3))
+    deth = (a11 * (b2 * a33 - a23 * b3) - b1 * (a12 * a33 - a23 * a13)
+            + a13 * (a12 * b3 - b2 * a13))
+    detd = (a11 * (a22 * b3 - b2 * a23) - a12 * (a12 * b3 - b2 * a13)
+            + b1 * (a12 * a23 - a22 * a13))
+    return s.select(
+        "n",
+        F.floor(det0 / det * 1000000).cast("long").alias("b0_ppm"),
+        F.floor(deth / det * 1000000).cast("long").alias("b_hour_ppm"),
+        F.floor(detd / det * 1000000).cast("long").alias("b_dow_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time (feature-store) interval join against derived SCD2 state
+# ---------------------------------------------------------------------------
+
+@register(
+    "pit_state_feature_join",
+    oracle="""
+    WITH st AS (
+      SELECT user_id, event_type AS state, epoch_us(ts) AS vf,
+             LEAD(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) AS vt
+      FROM events WHERE event_type IN ('signup', 'error')
+    ), p AS (
+      SELECT user_id, epoch_us(ts) AS pts,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT st.state, COUNT(*) AS n_purchases,
+           CAST(SUM(p.cents) AS BIGINT) AS cents
+    FROM p JOIN st
+      ON p.user_id = st.user_id
+     AND p.pts >= st.vf
+     AND (st.vt IS NULL OR p.pts < st.vt)
+    GROUP BY st.state ORDER BY st.state
+    """,
+    doc="Point-in-time feature join (the feature-store correctness "
+        "shape): signup/error events become SCD2 validity intervals via "
+        "LEAD (open-ended last interval), and each purchase joins to the "
+        "state valid AT ITS OWN timestamp — never a future leak. "
+        "Interval containment with a NULL-open right bound, grouped by "
+        "joined state. Integer epoch-micros keys. Scale: both sides "
+        "shuffle once on user_id; the interval build is one window over "
+        "the (small) state-change stream; at fact scale the same plan "
+        "bucket-joins if both sides are bucketed by user",
+)
+def q_pit_state_feature_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    st = (
+        ev.filter(F.col("event_type").isin("signup", "error"))
+        .withColumn("ts_us", F.expr("ts_nanos div 1000"))
+        .select(
+            "user_id", F.col("event_type").alias("state"),
+            F.col("ts_us").alias("vf"),
+            F.lead("ts_us").over(w).alias("vt"),
+        )
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.expr("ts_nanos div 1000").alias("pts"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    j = p.join(
+        st,
+        (p["user_id"] == st["user_id"])
+        & (F.col("pts") >= F.col("vf"))
+        & (F.col("vt").isNull() | (F.col("pts") < F.col("vt"))),
+    )
+    return (
+        j.groupBy("state")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum("cents").alias("cents"),
+        )
+        .orderBy("state")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Month-over-month revenue deltas
+# ---------------------------------------------------------------------------
+
+@register(
+    "mom_revenue_change",
+    oracle="""
+    WITH m AS (
+      SELECT (year(o_orderdate) * 12 + month(o_orderdate) - 1) AS mon,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY mon
+    )
+    SELECT mon, cents,
+           LAG(cents) OVER (ORDER BY mon) AS prev_cents,
+           CASE WHEN LAG(cents) OVER (ORDER BY mon) IS NULL THEN NULL
+                ELSE (cents - LAG(cents) OVER (ORDER BY mon)) * 1000000
+                     // LAG(cents) OVER (ORDER BY mon)
+           END AS delta_ppm
+    FROM m ORDER BY mon
+    """,
+    doc="Month-over-month revenue change in ppm: calendar months as "
+        "integer (year*12+month) keys, LAG window, truncating integer "
+        "division for the delta (Spark div == DuckDB // on signed "
+        "operands) — the standard finance trend table made cross-engine "
+        "exact. Scale: the fact collapses to |months| rows map-side "
+        "before the single tiny window; the window runs over a "
+        "pre-aggregated series, never the scan",
+)
+def q_mom_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias(
+                "mon"
+            )
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("cents")
+        )
+    )
+    w = Window.orderBy("mon")
+    m2 = m.select(
+        "mon", "cents", F.lag("cents").over(w).alias("prev_cents")
+    )
+    return m2.select(
+        "mon", "cents", "prev_cents",
+        F.when(F.col("prev_cents").isNull(), F.lit(None).cast("long"))
+        .otherwise(
+            F.expr("(cents - prev_cents) * 1000000 div prev_cents")
+        )
+        .alias("delta_ppm"),
+    ).orderBy("mon")

@@ -165,3 +165,70 @@ def test_gopher_rule_audit_counts(spark, sf_dir):
         assert out.loc[src, "keep"] == int(
             (r_len[g.index] & r_word[g.index] & r_stop[g.index]).sum()
         )
+
+
+def test_ols_multi_cramer_matches_numpy_lstsq(spark, sf_dir):
+    out = REGISTRY["ols_multi_cramer"].fn(spark, sf_dir).collect()[0]
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    p = ev[ev["event_type"] == "purchase"].copy()
+    h = p["ts"].dt.hour.to_numpy(np.float64)
+    d = (
+        (p["ts"].dt.normalize() - pd.Timestamp("1970-01-01")).dt.days + 4
+    ).to_numpy() % 7
+    y = (p["value"] * 100).round().to_numpy(np.float64)
+    X = np.column_stack([np.ones_like(h), h, d.astype(np.float64)])
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    assert out["n"] == len(p)
+    for got, want in zip(
+        (out["b0_ppm"], out["b_hour_ppm"], out["b_dow_ppm"]), beta
+    ):
+        assert abs(got / 1e6 - want) < 1e-4, (got, want)
+
+
+def test_pit_join_never_leaks_future_state(spark, sf_dir):
+    """Property pin: recomputing with pandas merge_asof (backward) gives
+    the same per-state totals — i.e. each purchase saw only the state
+    change at-or-before its own timestamp."""
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet").sort_values(
+        ["ts", "event_id"]
+    )
+    st = ev[ev["event_type"].isin(["signup", "error"])][
+        ["user_id", "ts", "event_type"]
+    ].rename(columns={"event_type": "state"})
+    p = ev[ev["event_type"] == "purchase"][["user_id", "ts", "value"]]
+    m = pd.merge_asof(
+        p.sort_values("ts"), st.sort_values("ts"),
+        on="ts", by="user_id", direction="backward",
+    ).dropna(subset=["state"])
+    m["cents"] = (m["value"] * 100).round().astype(np.int64)
+    want = m.groupby("state")["cents"].agg(["count", "sum"])
+    out = (
+        REGISTRY["pit_state_feature_join"].fn(spark, sf_dir)
+        .toPandas().set_index("state")
+    )
+    for state in want.index:
+        assert out.loc[state, "n_purchases"] == want.loc[state, "count"]
+        assert out.loc[state, "cents"] == want.loc[state, "sum"]
+
+
+def test_mom_revenue_change_replay(spark, sf_dir):
+    out = (
+        REGISTRY["mom_revenue_change"].fn(spark, sf_dir)
+        .toPandas().set_index("mon").sort_index()
+    )
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    orders["mon"] = (
+        orders["o_orderdate"].dt.year * 12 + orders["o_orderdate"].dt.month - 1
+    )
+    orders["cents"] = (orders["o_totalprice"] * 100).round().astype(np.int64)
+    m = orders.groupby("mon")["cents"].sum().sort_index()
+    prev = None
+    for mon, cents in m.items():
+        assert out.loc[mon, "cents"] == cents
+        if prev is None:
+            assert pd.isna(out.loc[mon, "delta_ppm"])
+        else:
+            num = (int(cents) - prev) * 1000000
+            q = abs(num) // prev
+            assert out.loc[mon, "delta_ppm"] == (q if num >= 0 else -q)
+        prev = int(cents)
