@@ -1022,3 +1022,183 @@ def q_mom_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("delta_ppm"),
     ).orderBy("mon")
+
+
+# ---------------------------------------------------------------------------
+# Contrastive-training negative pairs via a bucketed hash ring
+# ---------------------------------------------------------------------------
+
+@register(
+    "contrastive_negative_pairs",
+    oracle="""
+    WITH ring AS (
+      SELECT lang,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS h,
+             doc_id
+      FROM documents
+    ), nbr AS (
+      SELECT lang AS anchor_lang,
+             LEAD(lang) OVER (
+               PARTITION BY h % 64 ORDER BY h, doc_id
+             ) AS neg_lang
+      FROM ring
+    )
+    SELECT anchor_lang, neg_lang, COUNT(*) AS n
+    FROM nbr WHERE neg_lang IS NOT NULL
+    GROUP BY anchor_lang, neg_lang
+    ORDER BY anchor_lang, neg_lang
+    """,
+    doc="Deterministic in-batch negatives for contrastive training: docs "
+        "ordered on a 64-bucket md5 hash ring, each anchor paired with "
+        "its ring successor — pseudo-random, reproducible under "
+        "re-partition and re-run (hash order, not rand()), and "
+        "label-leak-free by construction. Reported as the anchor-lang x "
+        "negative-lang mixing matrix a curriculum builder audits. "
+        "Scale: the ring is bucketed (h mod 64) so the LEAD window "
+        "parallelizes per bucket — never a single global sort; one "
+        "shuffle on the bucket key",
+)
+def q_contrastive_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import portable_hash60
+
+    ring = _t(spark, sf_dir, "documents").select(
+        "lang",
+        portable_hash60(F.col("doc_id").cast("string")).alias("h"),
+        "doc_id",
+    )
+    w = Window.partitionBy(F.pmod("h", F.lit(64))).orderBy("h", "doc_id")
+    nbr = ring.select(
+        F.col("lang").alias("anchor_lang"),
+        F.lead("lang").over(w).alias("neg_lang"),
+    )
+    return (
+        nbr.filter(F.col("neg_lang").isNotNull())
+        .groupBy("anchor_lang", "neg_lang")
+        .agg(F.count("*").alias("n"))
+        .orderBy("anchor_lang", "neg_lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# KWIC (keyword-in-context) snippet extraction
+# ---------------------------------------------------------------------------
+
+@register(
+    "kwic_context_window",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents WHERE doc_id < 200
+    ), hit AS (
+      SELECT doc_id, toks, list_position(toks, 'spark') AS pos
+      FROM t
+    )
+    SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+           array_to_string(
+             list_slice(toks, GREATEST(1, pos - 2),
+                        LEAST(len(toks), pos + 2)), ' '
+           ) AS context
+    FROM hit WHERE pos IS NOT NULL AND pos > 0
+    ORDER BY doc_id
+    """,
+    doc="Keyword-in-context snippet extraction: first occurrence of the "
+        "query token per document with a +-2-token window, via 1-based "
+        "array_position + slice (clipped at both ends) — the snippet "
+        "generator of a search/eval pipeline, done entirely in codegen "
+        "array expressions (no UDF, no regex). Scale: scan-side only, "
+        "zero shuffles; the doc_id filter is pushed to the parquet scan",
+)
+def q_kwic_context_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    hit = t.select(
+        "doc_id", "toks",
+        F.array_position("toks", "spark").cast("long").alias("pos"),
+    )
+    s = F.greatest(F.lit(1), F.col("pos") - 2)
+    e = F.least(F.size("toks").cast("long"), F.col("pos") + 2)
+    return (
+        hit.filter(F.col("pos") > 0)
+        .select(
+            "doc_id", "pos",
+            F.array_join(
+                F.slice("toks", s.cast("int"), (e - s + 1).cast("int")), " "
+            ).alias("context"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization error audit over the embedding corpus
+# ---------------------------------------------------------------------------
+
+@register(
+    "int8_quantization_error",
+    oracle="""
+    WITH v AS (
+      SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), m AS (
+      SELECT label, e,
+             list_aggregate(list_transform(e, x -> abs(x)), 'max') AS mx
+      FROM v
+    ), err AS (
+      SELECT label,
+             CASE WHEN mx = 0 THEN 0 ELSE
+               CAST(list_aggregate(list_transform(e, x ->
+                 CAST(floor(
+                   (x - round(x * 127.0 / mx) * mx / 127.0)
+                   * (x - round(x * 127.0 / mx) * mx / 127.0)
+                   * 1099511627776.0) AS BIGINT)), 'sum') AS BIGINT)
+             END AS sse_q40
+      FROM m
+    )
+    SELECT label, COUNT(*) AS n_vecs,
+           CAST(SUM(sse_q40) AS BIGINT) AS sse_q40
+    FROM err GROUP BY label ORDER BY label
+    """,
+    doc="Symmetric per-vector int8 quantization audit (the compression "
+        "used to serve embedding indexes): reconstruction squared error "
+        "of round(x*127/max_abs), per-element floored at Q40 fixed point "
+        "so the sums are exact integers — round/div/mul on identical "
+        "doubles are correctly-rounded IEEE ops, so both engines agree "
+        "bit-for-bit. The max_abs scalar is materialized in a prior "
+        "projection so the higher-order lambda references a plain column "
+        "(computed arrays inside HOF lambdas re-evaluate per element). "
+        "Scale: scan-side arithmetic only, one tiny per-label aggregate, "
+        "zero shuffles of the vectors",
+)
+def q_int8_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _t(spark, sf_dir, "embeddings").select(
+        "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    m = v.select(
+        "label", "e",
+        F.array_max(F.transform("e", lambda x: F.abs(x))).alias("mx"),
+    )
+    err_elem = (
+        "CAST(floor((x - round(x * 127.0 / mx) * mx / 127.0)"
+        " * (x - round(x * 127.0 / mx) * mx / 127.0)"
+        " * 1099511627776.0) AS BIGINT)"
+    )
+    err = m.select(
+        "label",
+        F.when(F.col("mx") == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.expr(
+                f"aggregate(transform(e, x -> {err_elem}),"
+                " CAST(0 AS BIGINT), (acc, y) -> acc + y)"
+            )
+        )
+        .alias("sse_q40"),
+    )
+    return (
+        err.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum("sse_q40").alias("sse_q40"),
+        )
+        .orderBy("label")
+    )

@@ -232,3 +232,54 @@ def test_mom_revenue_change_replay(spark, sf_dir):
             q = abs(num) // prev
             assert out.loc[mon, "delta_ppm"] == (q if num >= 0 else -q)
         prev = int(cents)
+
+
+def test_contrastive_negatives_deterministic_and_complete(spark, sf_dir):
+    """Every doc except per-bucket ring tails appears exactly once as an
+    anchor; repeated runs are identical (hash order, not rand())."""
+    out1 = (
+        REGISTRY["contrastive_negative_pairs"].fn(spark, sf_dir).toPandas()
+    )
+    out2 = (
+        REGISTRY["contrastive_negative_pairs"].fn(spark, sf_dir).toPandas()
+    )
+    pd.testing.assert_frame_equal(out1, out2)
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    # each of the 64 buckets drops exactly its last ring element (tails
+    # may be fewer than 64 if a bucket is empty at tiny SF)
+    n_anchors = out1["n"].sum()
+    assert len(docs) - 64 <= n_anchors < len(docs)
+
+
+def test_kwic_window_clips_and_centers(spark, sf_dir):
+    out = REGISTRY["kwic_context_window"].fn(spark, sf_dir).toPandas()
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet").set_index("doc_id")
+    assert len(out) > 0
+    for _, r in out.iterrows():
+        toks = docs.loc[r["doc_id"], "text"].split(" ")
+        pos = int(r["pos"])  # 1-based first occurrence
+        assert toks[pos - 1] == "spark"
+        lo = max(1, pos - 2)
+        hi = min(len(toks), pos + 2)
+        assert r["context"] == " ".join(toks[lo - 1:hi])
+
+
+def test_int8_quantization_error_matches_numpy(spark, sf_dir):
+    out = (
+        REGISTRY["int8_quantization_error"].fn(spark, sf_dir)
+        .toPandas().set_index("label")
+    )
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    for label, g in emb.groupby("label"):
+        sse = 0
+        for e in g["embedding"]:
+            x = np.asarray(e, dtype=np.float32).astype(np.float64)
+            m = np.abs(x).max()
+            if m == 0:
+                continue
+            # np.round is banker's; replicate SQL half-away-from-zero
+            q = np.floor(np.abs(x) * 127.0 / m + 0.5) * np.sign(x)
+            err = x - q * m / 127.0
+            sse += int(np.floor(err * err * (2.0 ** 40)).sum())
+        assert out.loc[label, "n_vecs"] == len(g)
+        assert out.loc[label, "sse_q40"] == sse, label
