@@ -1202,3 +1202,124 @@ def q_int8_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup threshold sensitivity sweep (exact, integer-threshold compare)
+# ---------------------------------------------------------------------------
+
+@register(
+    "neardup_threshold_sweep",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+               i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS g
+      FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+            FROM documents)
+    ), pairs AS (
+      SELECT len(list_intersect(a.g, b.g)) AS i,
+             len(list_distinct(list_concat(a.g, b.g))) AS u
+      FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+    )
+    SELECT thr_permille,
+           CAST(COUNT(*) FILTER (WHERE i * 1000 >= thr_permille * u)
+                AS BIGINT) AS n_pairs
+    FROM pairs, (VALUES (500), (650), (800)) AS t(thr_permille)
+    GROUP BY thr_permille ORDER BY thr_permille
+    """,
+    doc="Near-dup threshold sensitivity: exact pair counts at Jaccard "
+        ">= 0.5 / 0.65 / 0.8 in ONE pass — the sweep a curation team "
+        "runs before fixing the dedup threshold, with the comparison "
+        "done as cross-multiplied integers (i*1000 >= thr*u) so no "
+        "float threshold ever splits between engines. Quadratic audit "
+        "baseline by design (assert_small-gated like "
+        "jaccard_neardup_pairs); minhash_dedup is the production path "
+        "whose recall this sweep calibrates. Scale: runs on bounded "
+        "samples; the gram sets are computed once scan-side",
+)
+def q_neardup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import shingles
+    from .operators.relational import assert_small
+
+    docs = assert_small(
+        _t(spark, sf_dir, "documents"), 25_000, "neardup_threshold_sweep"
+    )
+    sh = docs.select("doc_id", shingles(F.col("text"), 3).alias("g"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("g").alias("ga"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("g").alias("gb"))
+    pairs = a.join(b, F.col("id_b") > F.col("id_a")).select(
+        F.size(F.array_intersect("ga", "gb")).cast("long").alias("i"),
+        F.size(F.array_distinct(F.concat("ga", "gb"))).cast("long").alias("u"),
+    )
+    thr = spark.createDataFrame(
+        [(500,), (650,), (800,)], "thr_permille int"
+    )
+    return (
+        pairs.crossJoin(F.broadcast(thr))
+        .groupBy("thr_permille")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("i") * 1000 >= F.col("thr_permille") * F.col("u"), 1
+                ).otherwise(0)
+            ).alias("n_pairs")
+        )
+        .orderBy("thr_permille")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shard assignment balance audit
+# ---------------------------------------------------------------------------
+
+@register(
+    "shard_balance_audit",
+    oracle="""
+    WITH s AS (
+      SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) % 16 AS shard,
+             n_chars
+      FROM documents
+    ), c AS (
+      SELECT shard, COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM s GROUP BY shard
+    ), t AS (
+      SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM c
+    )
+    SELECT c.shard, c.n_docs, c.sum_chars,
+           c.n_docs * 16000000 // t.total AS load_ppm_x16
+    FROM c, t ORDER BY c.shard
+    """,
+    doc="Shard-assignment balance audit: docs hashed to 16 shards "
+        "(md5-derived, the deterministic writer-side assignment "
+        "domain_mix/pack use), reporting per-shard doc count, byte load, "
+        "and the x16-scaled load share in ppm (1,000,000 = perfectly "
+        "even) — the pre-flight check before a bucketed/sharded write, "
+        "since one hot shard serializes the whole job. Scale: one "
+        "16-key map-side-combinable aggregate + a 1-row broadcast "
+        "total, zero data shuffles",
+)
+def q_shard_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import portable_hash60
+
+    s = _t(spark, sf_dir, "documents").select(
+        F.pmod(
+            portable_hash60(F.col("doc_id").cast("string")), F.lit(16)
+        ).alias("shard"),
+        "n_chars",
+    )
+    c = s.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+    t = c.agg(F.sum("n_docs").alias("total"))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "shard", "n_docs", "sum_chars",
+            F.expr("n_docs * 16000000 div total").alias("load_ppm_x16"),
+        )
+        .orderBy("shard")
+    )

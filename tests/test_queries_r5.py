@@ -283,3 +283,28 @@ def test_int8_quantization_error_matches_numpy(spark, sf_dir):
             sse += int(np.floor(err * err * (2.0 ** 40)).sum())
         assert out.loc[label, "n_vecs"] == len(g)
         assert out.loc[label, "sse_q40"] == sse, label
+
+
+def test_neardup_sweep_monotone_and_consistent(spark, sf_dir):
+    """Pair counts must be non-increasing in the threshold, and the 0.5
+    row must equal the jaccard_neardup_pairs ground-truth pair count."""
+    out = (
+        REGISTRY["neardup_threshold_sweep"].fn(spark, sf_dir)
+        .toPandas().set_index("thr_permille").sort_index()
+    )
+    n = out["n_pairs"].to_numpy()
+    assert (np.diff(n) <= 0).all()
+    gt = REGISTRY["jaccard_neardup_pairs"].fn(spark, sf_dir).count()
+    assert int(out.loc[500, "n_pairs"]) == gt
+
+
+def test_shard_balance_audit_sums(spark, sf_dir):
+    out = REGISTRY["shard_balance_audit"].fn(spark, sf_dir).toPandas()
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    assert out["n_docs"].sum() == len(docs)
+    assert out["sum_chars"].sum() == docs["n_chars"].sum()
+    assert len(out) <= 16
+    # share column is exactly n*16e6 div total
+    total = len(docs)
+    for _, r in out.iterrows():
+        assert r["load_ppm_x16"] == r["n_docs"] * 16000000 // total
