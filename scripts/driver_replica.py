@@ -17,9 +17,23 @@ import __spark_entry__ as E
 
 
 def main() -> int:
-    spark = (SparkSession.builder.master("local[4]")
-             .config("spark.sql.session.timeZone", "America/New_York")
-             .config("spark.ui.enabled", "false").getOrCreate())
+    import os
+
+    builder = (SparkSession.builder.master("local[4]")
+               .config("spark.sql.session.timeZone", "America/New_York")
+               .config("spark.ui.enabled", "false"))
+    # SPARK_GRAFT_PERTURB: layout/planner invariance gates (SCALE.md) —
+    # results must hash-match the oracle under any of these.
+    perturb = os.environ.get("SPARK_GRAFT_PERTURB", "")
+    if perturb == "shuffle3":
+        builder = builder.config("spark.sql.shuffle.partitions", "3")
+    elif perturb == "noaqe":
+        builder = builder.config("spark.sql.adaptive.enabled", "false")
+    elif perturb == "noansi":
+        builder = builder.config("spark.sql.ansi.enabled", "false")
+    elif perturb:
+        raise SystemExit(f"unknown SPARK_GRAFT_PERTURB={perturb!r}")
+    spark = builder.getOrCreate()
     assert len(E.entry(spark).collect()) > 0   # sf0.001 smoke
 
     sf = '/root/testdata/sf0.01'
