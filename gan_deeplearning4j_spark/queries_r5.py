@@ -366,7 +366,9 @@ def q_zipf_rank_freq_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = freq.orderBy(F.desc("f"), "w").limit(20)
     w = Window.orderBy(F.desc("f"), "w")
     return (
-        top.select("w", "f", F.row_number().over(w).alias("r"))
+        top.select(
+            "w", "f", F.row_number().over(w).cast("long").alias("r")
+        )
         .select("r", "w", "f", (F.col("r") * F.col("f")).alias("rf"))
         .orderBy("r")
     )
@@ -1000,9 +1002,9 @@ def q_mom_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = (
         _t(spark, sf_dir, "orders")
         .groupBy(
-            (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias(
-                "mon"
-            )
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+            .cast("long")
+            .alias("mon")
         )
         .agg(
             F.sum(
