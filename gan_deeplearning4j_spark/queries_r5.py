@@ -1325,3 +1325,95 @@ def q_shard_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 VARIANT semi-structured path
+# ---------------------------------------------------------------------------
+
+@register(
+    "variant_props_extract",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(MIN(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(MAX(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k,
+           CAST(SUM(CASE WHEN props->>'$.k' IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_missing
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Spark 4 VARIANT ingestion path: parse_json -> VARIANT (shredded "
+        "binary encoding, not a string re-parse per access) -> "
+        "variant_get('$.k') typed extraction, aggregated per event type "
+        "with a missing-key count. The OTHER semi-structured lane next "
+        "to from_json (json_extract_agg): from_json needs the schema "
+        "up front, VARIANT defers typing to access time — the "
+        "schema-drift-tolerant shape. Scale: parse once scan-side, "
+        "extraction is a JVM expression on the binary value; one "
+        "map-side-combinable aggregate",
+)
+def q_variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).alias(
+                "n_missing"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANSI-safe try_* arithmetic surface
+# ---------------------------------------------------------------------------
+
+@register(
+    "try_arithmetic_report",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CASE WHEN user_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_divzero,
+           CAST(SUM(CASE WHEN user_id % 5 = 0 THEN 0
+                         ELSE CAST(round(value * 100) AS BIGINT)
+                              // (user_id % 5) END) AS BIGINT)
+             AS sum_cents_per_unit
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+    doc="ANSI-mode-safe arithmetic surface: the engine runs with "
+        "spark.sql.ansi.enabled (overflow/div-zero ERROR as a "
+        "correctness tripwire), so fallible row math uses the try_* "
+        "family — try_divide yields NULL on the planted zero divisors "
+        "instead of failing the job, reported as a null-count plus the "
+        "surviving integer sum. Oracle replays the NULL semantics with "
+        "an explicit CASE. Scale: pure scan expressions, one aggregate",
+)
+def q_try_arithmetic_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") % 5).alias("div"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    per_unit = F.try_divide(F.col("cents"), F.col("div"))
+    return (
+        ev.withColumn("pu", per_unit)
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("pu").isNull(), 1).otherwise(0)).alias(
+                "n_divzero"
+            ),
+            F.sum(
+                F.when(F.col("pu").isNull(), F.lit(0).cast("long"))
+                .otherwise(F.expr("cents div div"))
+            ).alias("sum_cents_per_unit"),
+        )
+        .orderBy("event_type")
+    )

@@ -308,3 +308,34 @@ def test_shard_balance_audit_sums(spark, sf_dir):
     total = len(docs)
     for _, r in out.iterrows():
         assert r["load_ppm_x16"] == r["n_docs"] * 16000000 // total
+
+
+def test_variant_extract_agrees_with_from_json_lane(spark, sf_dir):
+    """The VARIANT lane must agree with the schema-declared from_json
+    lane on the same field (two engine paths, one answer)."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    a = (
+        REGISTRY["variant_props_extract"].fn(spark, sf_dir)
+        .toPandas().set_index("event_type")
+    )
+    b = (
+        ev.withColumn("k", F.from_json("props", "k BIGINT")["k"])
+        .groupBy("event_type")
+        .agg(F.min("k").alias("mn"), F.max("k").alias("mx"))
+        .toPandas().set_index("event_type")
+    )
+    for et in b.index:
+        assert a.loc[et, "min_k"] == b.loc[et, "mn"]
+        assert a.loc[et, "max_k"] == b.loc[et, "mx"]
+
+
+def test_try_divide_nulls_match_planted_zero_divisors(spark, sf_dir):
+    out = (
+        REGISTRY["try_arithmetic_report"].fn(spark, sf_dir)
+        .toPandas().set_index("event_type")
+    )
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    for et, g in ev.groupby("event_type"):
+        assert out.loc[et, "n_divzero"] == int((g["user_id"] % 5 == 0).sum())
