@@ -121,3 +121,60 @@ def write_zordered(
         .drop("__z")
         .write.mode("overwrite").parquet(path)
     )
+
+
+def parquet_file_stats(spark: SparkSession, path: str) -> tuple[int, int]:
+    """(n_data_files, total_bytes) under ``path``, via the Hadoop
+    FileSystem API — works on any configured FS (local, HDFS, S3A),
+    not just the driver's local disk."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    it = fs.listFiles(hpath, True)
+    n, total = 0, 0
+    while it.hasNext():
+        f = it.next()
+        name = f.getPath().getName()
+        if name.endswith(".parquet") or (
+            name.startswith("part-") and not name.endswith(".crc")
+        ):
+            n += 1
+            total += f.getLen()
+    return n, total
+
+
+def compact_parquet(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    shuffle: bool = False,
+) -> dict:
+    """Small-files compaction: rewrite a parquet directory into
+    ceil(total_bytes / target_bytes) files.
+
+    The operational tool every long-lived 100 TB table needs — streaming
+    sinks and per-batch CDC snapshots accrete thousands of KB-sized
+    files, and open-file/footers overhead then dominates scan time.
+
+    ``shuffle=False`` (default) uses ``coalesce`` — a narrow,
+    shuffle-free merge of adjacent partitions, the right cost model for
+    compaction (output sizes may vary ± a partition). ``shuffle=True``
+    uses ``repartition`` for evenly-sized output at the price of a full
+    exchange. File accounting goes through the Hadoop FileSystem API, so
+    the same call works against HDFS/S3A paths, not only local disk.
+
+    Returns {"in_files", "in_bytes", "out_files", "out_partitions"}.
+    """
+    n_in, total = parquet_file_stats(spark, in_path)
+    n_parts = max(1, -(-total // target_bytes))
+    df = spark.read.parquet(in_path)
+    df = df.repartition(n_parts) if shuffle else df.coalesce(n_parts)
+    df.write.mode("overwrite").parquet(out_path)
+    n_out, _ = parquet_file_stats(spark, out_path)
+    return {
+        "in_files": n_in,
+        "in_bytes": total,
+        "out_files": n_out,
+        "out_partitions": n_parts,
+    }

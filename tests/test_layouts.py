@@ -167,3 +167,34 @@ def test_dynamic_partition_overwrite_backfill(spark, sf_dir, tmp_path):
     ).count()
     assert mism == 0
     assert got.count() == src_day.count()
+
+
+def test_compact_parquet_reduces_files_and_preserves_rows(spark, tmp_path):
+    """64 tiny files -> ceil(bytes/target) files, rows and content digest
+    unchanged, coalesce path (no shuffle) by default."""
+    from pyspark.sql import functions as F
+
+    from gan_deeplearning4j_spark.sources.layouts import (
+        compact_parquet,
+        parquet_file_stats,
+    )
+
+    src = str(tmp_path / "tiny")
+    spark.range(10_000).select(
+        "id", (F.col("id") % 97).alias("v")
+    ).repartition(64).write.mode("overwrite").parquet(src)
+    n_in, total = parquet_file_stats(spark, src)
+    assert n_in == 64
+
+    out = str(tmp_path / "compact")
+    stats = compact_parquet(spark, src, out, target_bytes=total // 3)
+    assert stats["in_files"] == 64
+    assert stats["out_files"] <= 4
+    assert stats["out_files"] >= 1
+
+    a = spark.read.parquet(src)
+    b = spark.read.parquet(out)
+    assert b.count() == 10_000
+    da = a.agg(F.expr("bit_xor(xxhash64(id, v))")).collect()[0][0]
+    db = b.agg(F.expr("bit_xor(xxhash64(id, v))")).collect()[0][0]
+    assert da == db
