@@ -1417,3 +1417,167 @@ def q_try_arithmetic_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day active users (the rolling-MAU shape)
+# ---------------------------------------------------------------------------
+
+@register(
+    "rolling_7d_active_users",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+             user_id
+      FROM events
+    ), days AS (
+      SELECT DISTINCT day FROM du
+    )
+    SELECT d.day, COUNT(DISTINCT u.user_id) AS active_7d
+    FROM days d
+    JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+    GROUP BY d.day ORDER BY d.day
+    """,
+    doc="Rolling 7-day distinct active users per day — the rolling-MAU "
+        "problem plain windows cannot express (COUNT(DISTINCT) over a "
+        "RANGE frame is unsupported), solved as: dedup to (day, user) "
+        "pairs once, then a bounded 7-day band join back to the day "
+        "spine and a distinct count. Integer epoch-day keys. Scale: the "
+        "(day, user) dedup is the only fact shuffle; the band join fans "
+        "each pair out at most 7x and the spine side is |days| rows — "
+        "the standard sliding-distinct decomposition",
+)
+def q_rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    du = (
+        _t(spark, sf_dir, "events")
+        .select(
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+            .cast("long")
+            .alias("day"),
+            "user_id",
+        )
+        .distinct()
+    )
+    days = du.select("day").distinct()
+    j = days.alias("d").join(
+        du.alias("u"),
+        F.col("u.day").between(F.col("d.day") - 6, F.col("d.day")),
+    )
+    return (
+        j.groupBy(F.col("d.day").alias("day"))
+        .agg(F.countDistinct("u.user_id").alias("active_7d"))
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Replayable fixed-bucket quantile sketch (the mergeable histogram twin)
+# ---------------------------------------------------------------------------
+
+@register(
+    "histogram_quantile_sketch",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) // 50000 AS bucket,
+             COUNT(*) AS cnt
+      FROM lineitem GROUP BY bucket
+    ), c AS (
+      SELECT bucket, cnt,
+             SUM(cnt) OVER (ORDER BY bucket) AS cum,
+             SUM(cnt) OVER () AS total
+      FROM b
+    )
+    SELECT
+      CAST(MIN(CASE WHEN cum * 2 >= total THEN bucket END) AS BIGINT)
+        AS p50_bucket,
+      CAST(MIN(CASE WHEN cum * 10 >= total * 9 THEN bucket END) AS BIGINT)
+        AS p90_bucket,
+      CAST(MIN(CASE WHEN cum * 100 >= total * 99 THEN bucket END) AS BIGINT)
+        AS p99_bucket,
+      CAST(COUNT(*) AS BIGINT) AS n_buckets
+    FROM c
+    """,
+    doc="Mergeable fixed-bucket quantile sketch with a hash-grade "
+        "oracle: prices bucketed at 500-unit (50000-cent) resolution, "
+        "quantiles read off the cumulative counts with cross-multiplied "
+        "integer thresholds (cum*2 >= total — no float quantile "
+        "boundary). The exact twin of approx_quantiles (Spark's "
+        "internal t-digest, unoracleable) and the sketch twin of the "
+        "exact `quantiles` query — same evidence pattern as "
+        "cms_heavy_hitters/hll_registers_exact. Scale: bucket counts "
+        "are map-side combinable and mergeable across loads by "
+        "addition; the cumulative pass runs over |buckets| rows, "
+        "never the fact",
+)
+def q_histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            F.expr(
+                "CAST(round(l_extendedprice * 100) AS BIGINT) div 50000"
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy()
+    c = b.select(
+        "bucket", "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(wt).alias("total"),
+    )
+    return c.agg(
+        F.min(
+            F.when(F.col("cum") * 2 >= F.col("total"), F.col("bucket"))
+        ).alias("p50_bucket"),
+        F.min(
+            F.when(F.col("cum") * 10 >= F.col("total") * 9, F.col("bucket"))
+        ).alias("p90_bucket"),
+        F.min(
+            F.when(F.col("cum") * 100 >= F.col("total") * 99, F.col("bucket"))
+        ).alias("p99_bucket"),
+        F.count("*").alias("n_buckets"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# regexp_extract_all surface
+# ---------------------------------------------------------------------------
+
+@register(
+    "regex_extract_all_stats",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             regexp_extract_all(text, '\\b(s[a-z]{3,})\\b', 1) AS hits
+      FROM documents
+    )
+    SELECT unnest.h AS term, COUNT(*) AS n
+    FROM m, unnest(hits) AS unnest(h)
+    GROUP BY term
+    ORDER BY n DESC, term
+    LIMIT 15
+    """,
+    doc="regexp_extract_all + explode surface: every 4+-letter token "
+        "starting with 's' captured corpus-wide (group-1 extraction), "
+        "exploded and counted — the term-mining shape (emails, URLs, "
+        "ids) done with ONE vectorized regex pass per document instead "
+        "of a per-token UDF loop. RE2-safe pattern (no lookaround) so "
+        "the DuckDB oracle runs it verbatim. Scale: scan-side regex, "
+        "one count shuffle, TakeOrderedAndProject top-15",
+)
+def q_regex_extract_all_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _t(spark, sf_dir, "documents").select(
+        F.expr(
+            r"regexp_extract_all(text, '\\b(s[a-z]{3,})\\b', 1)"
+        ).alias("hits")
+    )
+    return (
+        m.select(F.explode("hits").alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "term")
+        .limit(15)
+    )

@@ -339,3 +339,48 @@ def test_try_divide_nulls_match_planted_zero_divisors(spark, sf_dir):
     ev = pd.read_parquet(f"{sf_dir}/events.parquet")
     for et, g in ev.groupby("event_type"):
         assert out.loc[et, "n_divzero"] == int((g["user_id"] % 5 == 0).sum())
+
+
+def test_rolling_7d_matches_pandas_window(spark, sf_dir):
+    out = (
+        REGISTRY["rolling_7d_active_users"].fn(spark, sf_dir)
+        .toPandas().set_index("day").sort_index()
+    )
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev["day"] = (
+        ev["ts"].dt.normalize() - pd.Timestamp("1970-01-01")
+    ).dt.days
+    du = ev[["day", "user_id"]].drop_duplicates()
+    for day in out.index:
+        want = du[(du["day"] >= day - 6) & (du["day"] <= day)][
+            "user_id"
+        ].nunique()
+        assert out.loc[day, "active_7d"] == want, day
+
+
+def test_histogram_sketch_brackets_exact_quantiles(spark, sf_dir):
+    """Each sketch bucket must CONTAIN the exact quantile (bucket error
+    is bounded by construction, never off by a bucket)."""
+    out = REGISTRY["histogram_quantile_sketch"].fn(spark, sf_dir).collect()[0]
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    cents = (li["l_extendedprice"] * 100).round().astype(np.int64)
+    for q, col in ((0.5, "p50_bucket"), (0.9, "p90_bucket"),
+                   (0.99, "p99_bucket")):
+        exact = np.sort(cents)[int(np.ceil(q * len(cents))) - 1]
+        assert out[col] == exact // 50000, (q, out[col], exact // 50000)
+
+
+def test_regex_extract_all_counts(spark, sf_dir):
+    import re
+
+    out = (
+        REGISTRY["regex_extract_all_stats"].fn(spark, sf_dir).toPandas()
+    )
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    from collections import Counter
+    c = Counter()
+    for t in docs["text"]:
+        c.update(re.findall(r"\b(s[a-z]{3,})\b", t))
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    got = list(zip(out["term"], out["n"]))
+    assert got == want
