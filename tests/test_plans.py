@@ -527,3 +527,36 @@ def test_sql_macros_inline_and_match_engine_functions(spark, sf_dir):
         "SELECT ws_token_count('  a\\tb\\nc  ') AS n"
     ).collect()[0]["n"]
     assert irr == 3
+
+
+def test_r5_queries_prune_and_push(spark, sf_dir):
+    """Round-5 plan pins: column pruning reaches the scan, top-k avoids
+    global sorts, filters are pushed."""
+    from gan_deeplearning4j_spark.queries import REGISTRY
+
+    def plan_of(name):
+        df = REGISTRY[name].fn(spark, sf_dir)
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+
+    # histogram sketch: the lineitem scan must read ONLY the price column
+    p = plan_of("histogram_quantile_sketch")
+    assert "ReadSchema: struct<l_extendedprice:double>" in p, p[:1500]
+
+    # zipf: top-20 is TakeOrderedAndProject, never a global Sort of vocab
+    p = plan_of("zipf_rank_freq_top20")
+    assert "TakeOrderedAndProject" in p, p[:1500]
+
+    # theil-sen / mann-kendall: the orders scan carries the pushed date
+    # filter (the fact is filtered before aggregation)
+    p = plan_of("theil_sen_slope_daily")
+    assert "PushedFilters" in p and "o_orderdate" in p.split(
+        "PushedFilters"
+    )[1][:300], p[:2000]
+
+    # gopher audit: only the tiny per-source agg exchange + final sort
+    from gan_deeplearning4j_spark.plans.explain import plan_tree
+
+    tree = plan_tree(REGISTRY["gopher_rule_audit"].fn(spark, sf_dir))
+    assert tree.count("- Exchange") <= 2, tree
