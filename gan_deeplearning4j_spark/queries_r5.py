@@ -1581,3 +1581,160 @@ def q_regex_extract_all_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "term")
         .limit(15)
     )
+
+
+# ---------------------------------------------------------------------------
+# unionByName with missing columns
+# ---------------------------------------------------------------------------
+
+@register(
+    "union_by_name_mixed",
+    oracle="""
+    WITH u AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             NULL AS src_flag
+      FROM orders WHERE o_orderstatus = 'F'
+      UNION ALL BY NAME
+      SELECT o_orderkey, o_orderpriority, NULL AS cents, 'open' AS src_flag
+      FROM orders WHERE o_orderstatus = 'O'
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(COALESCE(cents, 0)) AS BIGINT) AS cents_sum,
+           CAST(SUM(CASE WHEN src_flag IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_flagged
+    FROM u GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="Schema-evolution union: two projections with DIFFERENT column "
+        "sets combined by NAME (unionByName allowMissingColumns=True — "
+        "absent columns become NULL), the shape every multi-vintage "
+        "ingest hits when a loader adds a field. Aggregated so the "
+        "NULL-filling is observable (coalesced sum + flag count). "
+        "Scale: both branches scan with pushed status filters; the "
+        "union is plan-level (no materialization); one aggregate",
+)
+def q_union_by_name_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    b = orders.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey", "o_orderpriority",
+        F.lit("open").alias("src_flag"),
+    )
+    u = a.unionByName(b, allowMissingColumns=True)
+    return (
+        u.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.coalesce("cents", F.lit(0))).alias("cents_sum"),
+            F.sum(
+                F.when(F.col("src_flag").isNull(), 0).otherwise(1)
+            ).alias("n_flagged"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic arg-max via struct ordering
+# ---------------------------------------------------------------------------
+
+@register(
+    "max_by_customer_order",
+    oracle="""
+    WITH r AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC,
+                        o_orderkey DESC
+             ) AS rn
+      FROM orders WHERE o_custkey < 200
+    )
+    SELECT o_custkey, CAST(o_orderkey AS BIGINT) AS top_orderkey,
+           cents AS top_cents
+    FROM r WHERE rn = 1 ORDER BY o_custkey
+    """,
+    doc="Deterministic ARG-MAX: each customer's highest-value order id — "
+        "plain max_by is tie-nondeterministic, so the key is the "
+        "(cents, orderkey) composite ordered lexicographically (Spark: "
+        "max(struct(...)); oracle: row_number over the same composite "
+        "order) — same total order, same winner, cross-engine exact. Scale: single "
+        "map-side-combinable aggregate; the struct max carries 16 bytes "
+        "per group through the shuffle",
+)
+def q_max_by_customer_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    m = F.max(F.struct(cents.alias("c"), F.col("o_orderkey").alias("k")))
+    return (
+        orders.groupBy("o_custkey")
+        .agg(m.alias("m"))
+        .select(
+            "o_custkey",
+            F.col("m.k").alias("top_orderkey"),
+            F.col("m.c").alias("top_cents"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Date spine + gap fill (sequence/explode)
+# ---------------------------------------------------------------------------
+
+@register(
+    "date_spine_fill_gaps",
+    oracle="""
+    WITH bounds AS (
+      SELECT MIN(CAST(o_orderdate AS DATE)) AS lo,
+             MAX(CAST(o_orderdate AS DATE)) AS hi
+      FROM orders
+    ), spine AS (
+      SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+               AS day
+      FROM bounds
+    ), rev AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY day
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(CASE WHEN r.cents IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_gap_days,
+           CAST(SUM(COALESCE(r.cents, 0)) AS BIGINT) AS total_cents
+    FROM spine s LEFT JOIN rev r ON r.day = s.day
+    """,
+    doc="Date-spine gap fill: a complete calendar spine generated with "
+        "sequence() between the table's min and max order dates, "
+        "left-joined to daily revenue to COUNT the zero-revenue days a "
+        "naive GROUP BY silently drops — the BI completeness pattern "
+        "(and the precondition for any correct moving average). Scale: "
+        "bounds are a 1-row aggregate; the spine explodes |days| rows "
+        "driver-free; daily revenue is the only fact shuffle",
+)
+def q_date_spine_fill_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("day"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    bounds = orders.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    rev = orders.groupBy("day").agg(F.sum("cents").alias("cents"))
+    j = spine.join(rev, "day", "left")
+    return j.agg(
+        F.count("*").alias("n_days"),
+        F.sum(F.when(F.col("cents").isNull(), 1).otherwise(0)).alias(
+            "n_gap_days"
+        ),
+        F.sum(F.coalesce("cents", F.lit(0))).alias("total_cents"),
+    )

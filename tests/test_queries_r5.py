@@ -384,3 +384,51 @@ def test_regex_extract_all_counts(spark, sf_dir):
     want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
     got = list(zip(out["term"], out["n"]))
     assert got == want
+
+
+def test_union_by_name_null_fill(spark, sf_dir):
+    out = (
+        REGISTRY["union_by_name_mixed"].fn(spark, sf_dir)
+        .toPandas().set_index("o_orderpriority")
+    )
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    f = orders[orders["o_orderstatus"] == "F"]
+    o = orders[orders["o_orderstatus"] == "O"]
+    for prio in out.index:
+        nf = int((f["o_orderpriority"] == prio).sum())
+        no = int((o["o_orderpriority"] == prio).sum())
+        assert out.loc[prio, "n"] == nf + no
+        assert out.loc[prio, "n_flagged"] == no  # only the O branch flags
+        want_cents = int(
+            (f.loc[f["o_orderpriority"] == prio, "o_totalprice"] * 100)
+            .round().astype(np.int64).sum()
+        )
+        assert out.loc[prio, "cents_sum"] == want_cents  # O branch is NULL
+
+
+def test_max_by_deterministic_argmax(spark, sf_dir):
+    out = (
+        REGISTRY["max_by_customer_order"].fn(spark, sf_dir)
+        .toPandas().set_index("o_custkey")
+    )
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    sel = orders[orders["o_custkey"] < 200].copy()
+    sel["cents"] = (sel["o_totalprice"] * 100).round().astype(np.int64)
+    for ck, g in sel.groupby("o_custkey"):
+        top = g.sort_values(
+            ["cents", "o_orderkey"], ascending=False
+        ).iloc[0]
+        assert out.loc[ck, "top_orderkey"] == top["o_orderkey"]
+        assert out.loc[ck, "top_cents"] == top["cents"]
+
+
+def test_date_spine_counts(spark, sf_dir):
+    out = REGISTRY["date_spine_fill_gaps"].fn(spark, sf_dir).collect()[0]
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    days = orders["o_orderdate"].dt.normalize()
+    span = (days.max() - days.min()).days + 1
+    assert out["n_days"] == span
+    assert out["n_gap_days"] == span - days.nunique()
+    assert out["total_cents"] == int(
+        (orders["o_totalprice"] * 100).round().astype(np.int64).sum()
+    )
