@@ -1738,3 +1738,165 @@ def q_date_spine_fill_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum(F.coalesce("cents", F.lit(0))).alias("total_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cogroup.applyInPandas — the two-sided grouped-map UDF surface
+# ---------------------------------------------------------------------------
+
+@register(
+    "cogroup_order_event_match",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey AS user_id, CAST(o_orderdate AS DATE) AS day
+      FROM orders WHERE o_custkey < 200
+    ), e AS (
+      SELECT user_id, CAST(ts AS DATE) AS day
+      FROM events WHERE user_id < 200
+    ), k AS (
+      SELECT DISTINCT user_id FROM (
+        SELECT user_id FROM o UNION ALL SELECT user_id FROM e
+      )
+    ), oc AS (
+      SELECT user_id, COUNT(*) AS n FROM o GROUP BY user_id
+    ), ec AS (
+      SELECT user_id, COUNT(*) AS n FROM e GROUP BY user_id
+    ), p AS (
+      SELECT o.user_id, COUNT(*) AS np
+      FROM o JOIN e ON e.user_id = o.user_id AND e.day = o.day
+      GROUP BY o.user_id
+    )
+    SELECT k.user_id,
+           CAST(COALESCE(oc.n, 0) AS BIGINT) AS n_orders,
+           CAST(COALESCE(ec.n, 0) AS BIGINT) AS n_events,
+           CAST(COALESCE(p.np, 0) AS BIGINT) AS n_same_day_pairs
+    FROM k
+    LEFT JOIN oc USING (user_id)
+    LEFT JOIN ec USING (user_id)
+    LEFT JOIN p USING (user_id)
+    ORDER BY k.user_id
+    """,
+    doc="cogroup(...).applyInPandas — the two-sided grouped-map UDF "
+        "surface (the one Arrow lane the engine had not yet exercised): "
+        "orders and events cogrouped per user, reconciled with a pandas "
+        "merge inside the kernel (order count, event count, same-day "
+        "pair count). The oracle replays it relationally (outer key "
+        "union + per-side counts + day-equijoin pair count), so this "
+        "Python-kernel path gets hash-grade evidence like every SQL "
+        "path. Scale: both sides shuffle once on the user key; each "
+        "kernel call sees only one user's rows — bounded memory, "
+        "Arrow-batched",
+)
+def q_cogroup_order_event_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") < 200
+    ).select(
+        F.col("o_custkey").alias("user_id"),
+        F.to_date("o_orderdate").alias("day"),
+    )
+    events = _t(spark, sf_dir, "events").filter(
+        F.col("user_id") < 200
+    ).select("user_id", F.to_date("ts").alias("day"))
+
+    def reconcile(key, o: pd.DataFrame, e: pd.DataFrame) -> pd.DataFrame:
+        n_pairs = 0
+        if len(o) and len(e):
+            n_pairs = len(o[["day"]].merge(e[["day"]], on="day"))
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_orders": [len(o)],
+                "n_events": [len(e)],
+                "n_same_day_pairs": [n_pairs],
+            }
+        )
+
+    out = (
+        orders.groupBy("user_id")
+        .cogroup(events.groupBy("user_id"))
+        .applyInPandas(
+            reconcile,
+            "user_id long, n_orders long, n_events long, "
+            "n_same_day_pairs long",
+        )
+    )
+    return out.orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# Decile lift/gains table (model-eval staple)
+# ---------------------------------------------------------------------------
+
+@register(
+    "decile_lift_table",
+    oracle="""
+    WITH s AS (
+      SELECT user_id,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY user_id
+    ), r AS (
+      SELECT user_id, cents,
+             ROW_NUMBER() OVER (ORDER BY cents DESC, user_id) AS rn,
+             COUNT(*) OVER () AS n,
+             SUM(cents) OVER () AS total
+      FROM s
+    ), d AS (
+      SELECT (rn - 1) * 10 // n AS decile, cents, n, total FROM r
+    )
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST(floor(
+             CAST(SUM(cents) AS DOUBLE) * CAST(MAX(n) AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE) * CAST(MAX(total) AS DOUBLE))
+             * 1000000
+           ) AS BIGINT) AS lift_ppm
+    FROM d GROUP BY decile ORDER BY decile
+    """,
+    doc="Decile lift/gains table — the model-evaluation staple: users "
+        "ranked by total spend (score surrogate), split into exact "
+        "row-number deciles ((rn-1)*10 div n — no NTILE tie ambiguity), "
+        "each decile's share-vs-average lift in ppm via one identical "
+        "double expression over exact integer sums. Scale: one user "
+        "aggregate, then the ranking runs over |users| pre-aggregated "
+        "rows; at fact scale the rank pass uses the two-level "
+        "bucket-prefix cumsum documented for the percentile family",
+)
+def q_decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.round(F.col("value") * 100).cast("long")
+            ).alias("cents")
+        )
+    )
+    w = Window.orderBy(F.desc("cents"), "user_id")
+    wt = Window.partitionBy()
+    r = s.select(
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wt).alias("n"),
+        F.sum("cents").over(wt).alias("total"),
+    )
+    d = r.select(
+        F.expr("(rn - 1) * 10 div n").alias("decile"), "cents", "n", "total"
+    )
+    return (
+        d.groupBy("decile")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("cents").alias("sum_cents"),
+            F.floor(
+                F.sum("cents").cast("double")
+                * F.max("n").cast("double")
+                / (F.count("*").cast("double") * F.max("total").cast("double"))
+                * 1000000
+            ).cast("long").alias("lift_ppm"),
+        )
+        .orderBy("decile")
+    )

@@ -432,3 +432,44 @@ def test_date_spine_counts(spark, sf_dir):
     assert out["total_cents"] == int(
         (orders["o_totalprice"] * 100).round().astype(np.int64).sum()
     )
+
+
+def test_cogroup_reconcile_matches_pandas(spark, sf_dir):
+    out = (
+        REGISTRY["cogroup_order_event_match"].fn(spark, sf_dir)
+        .toPandas().set_index("user_id")
+    )
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    o = orders[orders["o_custkey"] < 200].copy()
+    e = ev[ev["user_id"] < 200].copy()
+    o["day"] = o["o_orderdate"].dt.normalize()
+    e["day"] = e["ts"].dt.normalize()
+    keys = set(o["o_custkey"]) | set(e["user_id"])
+    assert set(out.index) == keys
+    for uid in sorted(keys)[:50]:
+        og = o[o["o_custkey"] == uid]
+        eg = e[e["user_id"] == uid]
+        assert out.loc[uid, "n_orders"] == len(og)
+        assert out.loc[uid, "n_events"] == len(eg)
+        pairs = len(og[["day"]].merge(eg[["day"]], on="day"))
+        assert out.loc[uid, "n_same_day_pairs"] == pairs
+
+
+def test_decile_lift_reconciles(spark, sf_dir):
+    out = (
+        REGISTRY["decile_lift_table"].fn(spark, sf_dir)
+        .toPandas().sort_values("decile")
+    )
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    cents = (
+        (ev["value"] * 100).round().astype(np.int64)
+        .groupby(ev["user_id"]).sum()
+    )
+    assert out["n_users"].sum() == len(cents)
+    assert out["sum_cents"].sum() == cents.sum()
+    # decile 0 holds the biggest spenders: lift must be monotone
+    # non-increasing and decile 0 strictly above average
+    lifts = out["lift_ppm"].to_numpy()
+    assert (np.diff(lifts) <= 0).all()
+    assert lifts[0] > 1_000_000
