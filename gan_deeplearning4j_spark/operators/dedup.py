@@ -711,6 +711,7 @@ def dedup_clusters(
     df: DataFrame, text_col: str, id_col: str, threshold: float = 0.5,
     exact_pairs: bool = False, num_hashes: int = 32, bands: int = 8,
     max_iter: int = 20, max_exact_rows: int = 25_000,
+    contract_exact: bool = False,
 ) -> DataFrame:
     """Full transitive near-dedup: similar pairs → connected components →
     (doc, cluster_id, cluster_size). Default edges come from MinHash-LSH
@@ -718,7 +719,59 @@ def dedup_clusters(
     builds edges from exact all-pairs Jaccard — the DuckDB-oracleable
     baseline, quadratic, hard-gated by ``max_exact_rows`` so it can never run
     on a production corpus; output is identical wherever LSH recall is 1
-    (pinned by tests/test_operators.py LSH-vs-exact agreement)."""
+    (pinned by tests/test_operators.py LSH-vs-exact agreement).
+
+    ``contract_exact=True``: collapse byte-identical texts to one
+    representative (min id) BEFORE pair expansion, cluster the
+    representatives, then map members back. Output is IDENTICAL —
+    identical texts have Jaccard 1, so an exact-dup group always lands
+    in one cluster, and cluster_id = min member id is preserved because
+    each representative is its group's min. The 100x stress run
+    (SCALE.md) showed why this matters: a k-sized family of identical
+    docs otherwise contributes O(k^2) verified edges; contraction makes
+    it O(1) before the expensive stage."""
+    if contract_exact:
+        groups = df.groupBy(text_col).agg(
+            F.min(id_col).alias("__rep"), F.count("*").alias("__grp_n")
+        )
+        members = df.select(id_col, text_col).join(groups, text_col).select(
+            F.col(id_col).alias("__member"), "__rep"
+        )
+        reps = groups.select(
+            F.col("__rep").alias(id_col), text_col
+        )
+        rep_clusters = dedup_clusters(
+            reps, text_col, id_col, threshold,
+            exact_pairs=exact_pairs, num_hashes=num_hashes, bands=bands,
+            max_iter=max_iter, max_exact_rows=max_exact_rows,
+            contract_exact=False,
+        ).select(
+            F.col(id_col).alias("__rep"), "cluster_id"
+        )
+        # members of clustered reps inherit the rep's cluster; exact-dup
+        # groups whose rep is in NO near-dup cluster still form their own
+        # cluster when the group has >1 member (they are mutual dups)
+        clustered = members.join(rep_clusters, "__rep").select(
+            F.col("__member").alias(id_col), "cluster_id"
+        )
+        lone_groups = (
+            groups.filter(F.col("__grp_n") > 1)
+            .join(rep_clusters, "__rep", "left_anti")
+            .select("__rep", text_col)
+        )
+        lone_members = members.join(
+            lone_groups.select("__rep"), "__rep"
+        ).select(
+            F.col("__member").alias(id_col),
+            F.col("__rep").alias("cluster_id"),
+        )
+        allc = clustered.union(lone_members)
+        sizes = allc.groupBy("cluster_id").agg(
+            F.count("*").alias("cluster_size")
+        )
+        return allc.join(sizes, "cluster_id").select(
+            id_col, "cluster_id", "cluster_size"
+        )
     if exact_pairs:
         assert_small(df, max_exact_rows, "dedup_clusters(exact_pairs=True)")
         sh = df.select(

@@ -899,3 +899,48 @@ def test_merge_upsert_model_based_random(spark):
             else:
                 model[k] = (p, q)
         assert got == model, f"seed {seed}"
+
+
+def test_dedup_clusters_contract_exact_identical_output(spark, sf_dir):
+    """contract_exact collapses byte-identical docs before pair expansion;
+    the cluster assignment must be IDENTICAL to the uncontracted run —
+    including exact-dup groups that belong to no near-dup cluster (they
+    still form their own cluster), and cluster ids (min member id)."""
+    from pyspark.sql import functions as F
+
+    from gan_deeplearning4j_spark.operators.dedup import dedup_clusters
+
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60)
+    # plant exact duplicates: 3 copies of each doc under fresh ids, one
+    # group (id offset 2M) whose text is unique so it clusters only with
+    # its own copies
+    dup1 = base.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    dup2 = base.select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"), "text"
+    )
+    lone = spark.createDataFrame(
+        [(2_000_000, "zzz unique solitary text qq ww ee rr tt yy"),
+         (2_000_001, "zzz unique solitary text qq ww ee rr tt yy")],
+        "doc_id long, text string",
+    )
+    docs = base.select("doc_id", "text").union(dup1).union(dup2).union(lone)
+
+    a = {
+        (r["doc_id"], r["cluster_id"], r["cluster_size"])
+        for r in dedup_clusters(
+            docs, "text", "doc_id", 0.5, exact_pairs=True,
+            max_exact_rows=500, contract_exact=False,
+        ).collect()
+    }
+    b = {
+        (r["doc_id"], r["cluster_id"], r["cluster_size"])
+        for r in dedup_clusters(
+            docs, "text", "doc_id", 0.5, exact_pairs=True,
+            max_exact_rows=500, contract_exact=True,
+        ).collect()
+    }
+    assert a == b
+    # the lone exact-dup pair is present as its own 2-cluster
+    assert (2_000_001, 2_000_000, 2) in b
