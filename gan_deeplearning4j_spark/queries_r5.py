@@ -1900,3 +1900,240 @@ def q_decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# Collocation mining: token-pair lift (PMI surrogate without log)
+# ---------------------------------------------------------------------------
+
+@register(
+    "pmi_top_pairs",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), bg AS (
+      SELECT unnest(list_transform(range(1, len(toks)),
+               i -> {'a': toks[i], 'b': toks[i + 1]})) AS p
+      FROM t WHERE len(toks) >= 2
+    ), pair_n AS (
+      SELECT p.a AS a, p.b AS b, COUNT(*) AS n_ab FROM bg GROUP BY p.a, p.b
+    ), tok_n AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ), uni AS (
+      SELECT w, COUNT(*) AS n FROM tok_n GROUP BY w
+    ), tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS total FROM uni
+    )
+    SELECT p.a, p.b, p.n_ab,
+           CAST(floor(
+             CAST(p.n_ab AS DOUBLE) * CAST(t.total AS DOUBLE)
+             / (CAST(ua.n AS DOUBLE) * CAST(ub.n AS DOUBLE)) * 1000000
+           ) AS BIGINT) AS lift_ppm
+    FROM pair_n p
+    JOIN uni ua ON ua.w = p.a
+    JOIN uni ub ON ub.w = p.b
+    CROSS JOIN tot t
+    WHERE p.n_ab >= 20
+    ORDER BY lift_ppm DESC, p.a, p.b
+    LIMIT 15
+    """,
+    doc="Collocation mining: adjacent token pairs ranked by association "
+        "lift p(ab)/(p(a)p(b)) — the PMI surrogate without the log "
+        "(monotone in PMI, so the ranking is identical), computed as one "
+        "identical double expression over exact integer counts and "
+        "floored to ppm. The step past bigram_top20's raw counts: "
+        "frequency finds common pairs, lift finds BOUND pairs — the "
+        "phrase-detection pass a tokenizer/phraser runs (word2vec-style "
+        "phrase promotion). Min support 20 keeps the rare-pair noise "
+        "floor out. Scale: bigram expansion is scan-side zip_with; two "
+        "count shuffles (pairs, unigrams) + a broadcast total; top-15 "
+        "via TakeOrderedAndProject",
+)
+def q_pmi_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size("toks")
+    bg = (
+        docs.select(toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice("toks", 1, n - 1),
+                    F.slice("toks", 2, n - 1),
+                    lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+    )
+    pair_n = bg.groupBy("a", "b").agg(F.count("*").alias("n_ab"))
+    uni = (
+        docs.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = uni.agg(F.sum("n").alias("total"))
+    ua = uni.select(F.col("w").alias("a"), F.col("n").alias("na"))
+    ub = uni.select(F.col("w").alias("b"), F.col("n").alias("nb"))
+    j = (
+        pair_n.filter(F.col("n_ab") >= 20)
+        .join(ua, "a")
+        .join(ub, "b")
+        .crossJoin(F.broadcast(tot))
+    )
+    return (
+        j.select(
+            "a", "b", "n_ab",
+            F.floor(
+                F.col("n_ab").cast("double") * F.col("total").cast("double")
+                / (F.col("na").cast("double") * F.col("nb").cast("double"))
+                * 1000000
+            ).cast("long").alias("lift_ppm"),
+        )
+        .orderBy(F.desc("lift_ppm"), "a", "b")
+        .limit(15)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Session bounce rate per day
+# ---------------------------------------------------------------------------
+
+@register(
+    "session_bounce_rate_daily",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, event_id, epoch_us(ts) AS tus,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  OR lag(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0
+             END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ), sess AS (
+      SELECT user_id, tus,
+             CAST(SUM(new_sess) OVER (
+               PARTITION BY user_id ORDER BY tus, event_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS BIGINT) AS session_seq
+      FROM gaps
+    ), per AS (
+      SELECT user_id, session_seq,
+             MIN(tus) AS start_us, COUNT(*) AS n_events
+      FROM sess GROUP BY user_id, session_seq
+    )
+    SELECT (start_us // 86400000000) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS bounce_ppm
+    FROM per GROUP BY day ORDER BY day
+    """,
+    doc="Daily bounce rate: share of 30-min-gap sessions containing a "
+        "single event, keyed by the session's start day (integer "
+        "epoch-day of epoch-micros — no date_trunc) — the engagement "
+        "red-flag metric on top of the engine's sessionize shape, with "
+        "the rate as truncating-division ppm. Scale: one user-keyed "
+        "shuffle for the gap windows (reused by the per-session "
+        "aggregate — same partitioning), then a tiny per-day rollup",
+)
+def q_session_bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "tus", F.expr("ts_nanos div 1000")
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    gaps = ev.select(
+        "user_id", "event_id", "tus",
+        F.when(
+            (F.col("tus") - F.lag("tus").over(w) > 1_800_000_000)
+            | F.lag("tus").over(w).isNull(),
+            1,
+        ).otherwise(0).alias("new_sess"),
+    )
+    ws = (
+        Window.partitionBy("user_id")
+        .orderBy("tus", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sess = gaps.select(
+        "user_id", "tus",
+        F.sum("new_sess").over(ws).alias("session_seq"),
+    )
+    per = sess.groupBy("user_id", "session_seq").agg(
+        F.min("tus").alias("start_us"), F.count("*").alias("n_events")
+    )
+    bounce = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    return (
+        per.groupBy(F.expr("start_us div 86400000000").alias("day"))
+        .agg(
+            F.count("*").alias("n_sessions"),
+            bounce.alias("n_bounces"),
+        )
+        .select(
+            "day", "n_sessions", "n_bounces",
+            F.expr("n_bounces * 1000000 div n_sessions").alias("bounce_ppm"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric containment near-dup (quote/inclusion detection)
+# ---------------------------------------------------------------------------
+
+@register(
+    "containment_pairs",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+               i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS g
+      FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+            FROM documents WHERE doc_id < 300)
+    )
+    SELECT a.doc_id AS id_small, b.doc_id AS id_big,
+           CAST(len(list_intersect(a.g, b.g)) AS BIGINT) AS n_shared,
+           CAST(len(a.g) AS BIGINT) AS n_small
+    FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+    WHERE len(a.g) <= len(b.g)
+      AND len(list_intersect(a.g, b.g)) * 10 >= 8 * len(a.g)
+      AND (len(a.g) < len(b.g) OR a.doc_id < b.doc_id)
+    ORDER BY id_small, id_big
+    """,
+    doc="Asymmetric CONTAINMENT near-dup: pairs where >=80% of the "
+        "smaller doc's 3-gram set appears in the larger one — catches "
+        "quote-inclusion and excerpt reuse that symmetric Jaccard "
+        "misses (a short doc fully inside a long one has low Jaccard "
+        "but containment 1). Integer cross-multiplied threshold "
+        "(shared*10 >= 8*|small|), smaller-side normalization with a "
+        "deterministic orientation tie-break on equal sizes. Quadratic "
+        "audit form gated to a doc_id sample; the LSH/banded machinery "
+        "is the scale path exactly as for Jaccard (containment LSH "
+        "buckets on the small side's signature). Scale note: runs on "
+        "bounded samples by design",
+)
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import shingles
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    sh = docs.select("doc_id", shingles(F.col("text"), 3).alias("g"))
+    a = sh.select(F.col("doc_id").alias("id_small"), F.col("g").alias("ga"))
+    b = sh.select(F.col("doc_id").alias("id_big"), F.col("g").alias("gb"))
+    inter = F.size(F.array_intersect("ga", "gb")).cast("long")
+    na = F.size("ga").cast("long")
+    nb = F.size("gb").cast("long")
+    return (
+        a.join(b, F.col("id_small") != F.col("id_big"))
+        .filter(
+            (na <= nb)
+            & (inter * 10 >= 8 * na)
+            & ((na < nb) | (F.col("id_small") < F.col("id_big")))
+        )
+        .select(
+            "id_small", "id_big",
+            inter.alias("n_shared"),
+            na.alias("n_small"),
+        )
+        .orderBy("id_small", "id_big")
+    )

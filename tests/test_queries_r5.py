@@ -473,3 +473,58 @@ def test_decile_lift_reconciles(spark, sf_dir):
     lifts = out["lift_ppm"].to_numpy()
     assert (np.diff(lifts) <= 0).all()
     assert lifts[0] > 1_000_000
+
+
+def test_pmi_lift_matches_python_counts(spark, sf_dir):
+    out = REGISTRY["pmi_top_pairs"].fn(spark, sf_dir).toPandas()
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    from collections import Counter
+    uni, pair = Counter(), Counter()
+    for t in docs["text"]:
+        ws = t.split(" ")
+        uni.update(ws)
+        pair.update(zip(ws, ws[1:]))
+    total = sum(uni.values())
+    rows = []
+    for (a, b), n_ab in pair.items():
+        if n_ab >= 20:
+            lift = int(np.floor(n_ab * float(total)
+                                / (uni[a] * float(uni[b])) * 1e6))
+            rows.append((a, b, n_ab, lift))
+    rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+    want = rows[:15]
+    got = list(zip(out["a"], out["b"], out["n_ab"], out["lift_ppm"]))
+    assert got == want
+
+
+def test_bounce_rate_reconciles_with_sessionize(spark, sf_dir):
+    """Bounce sessions + multi-event sessions == sessionize's session
+    count, and every ppm figure is exactly n_bounces*1e6 div n."""
+    out = REGISTRY["session_bounce_rate_daily"].fn(spark, sf_dir).toPandas()
+    sess = REGISTRY["sessionize"].fn(spark, sf_dir).toPandas()
+    assert out["n_sessions"].sum() == len(sess)
+    assert out["n_bounces"].sum() == int((sess["n_events"] == 1).sum())
+    for _, r in out.iterrows():
+        assert r["bounce_ppm"] == r["n_bounces"] * 1000000 // r["n_sessions"]
+
+
+def test_containment_catches_planted_excerpt(spark):
+    """A short doc fully contained in a long one must surface even
+    though its symmetric Jaccard is far below threshold."""
+    from gan_deeplearning4j_spark.queries import REGISTRY as R
+    import tempfile, os
+
+    long_text = " ".join(f"w{i}" for i in range(100))
+    short_text = " ".join(f"w{i}" for i in range(40, 50))  # excerpt
+    other = " ".join(f"z{i}" for i in range(100))
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(1, long_text, "en", "s", len(long_text)),
+             (2, short_text, "en", "s", len(short_text)),
+             (3, other, "en", "s", len(other))],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        out = R["containment_pairs"].fn(spark, d).toPandas()
+    pairs = set(zip(out["id_small"], out["id_big"]))
+    assert (2, 1) in pairs      # excerpt found
+    assert (3, 1) not in pairs  # unrelated doc not matched
