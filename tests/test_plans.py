@@ -560,3 +560,33 @@ def test_r5_queries_prune_and_push(spark, sf_dir):
 
     tree = plan_tree(REGISTRY["gopher_rule_audit"].fn(spark, sf_dir))
     assert tree.count("- Exchange") <= 2, tree
+
+
+def test_r5_late_wave_plans(spark, sf_dir):
+    """Waves H-J plan pins: branch filters pushed, top-k without global
+    sorts, lift ranking via TakeOrderedAndProject."""
+    from gan_deeplearning4j_spark.plans.explain import plan_tree
+    from gan_deeplearning4j_spark.queries import REGISTRY
+
+    def plan_of(name):
+        df = REGISTRY[name].fn(spark, sf_dir)
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+
+    # unionByName: each branch's status filter reaches its own scan
+    p = plan_of("union_by_name_mixed")
+    assert p.count("PushedFilters") >= 2 and "o_orderstatus" in p, p[:2000]
+
+    # pmi lift: top-15 is TakeOrderedAndProject, not a global sort
+    p = plan_of("pmi_top_pairs")
+    assert "TakeOrderedAndProject" in p, p[:1500]
+
+    # max_by arg-max: two-phase aggregate, no window, no join. NOTE:
+    # max(struct(...)) plans as SortAggregate — struct comparators are
+    # not hash-aggregable — still map-side-partial + final (the price
+    # of a deterministic tie-break; plain max_by would hash-agg but is
+    # tie-nondeterministic)
+    t = plan_tree(REGISTRY["max_by_customer_order"].fn(spark, sf_dir))
+    assert "Window" not in t and "Join" not in t, t
+    assert t.count("SortAggregate") == 2, t
