@@ -101,8 +101,12 @@ class _BitReader:
 
     def _fill(self) -> None:
         d = self.data
+        if self.pos >= len(d):
+            raise ValueError("jpeg: unexpected end of data")
         b = d[self.pos]
         if b == 0xFF:
+            if self.pos + 1 >= len(d):
+                raise ValueError("jpeg: unexpected end of data")
             nxt = d[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2
@@ -229,6 +233,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("jpeg: SOS before SOF0")
             ns = seg[0]
+            if ns != len(frame[2]):
+                # legal baseline, but multi-scan non-interleaved layout —
+                # decoding the first scan as if interleaved would silently
+                # leave the other component planes zeroed
+                raise NotImplementedError(
+                    "jpeg: non-interleaved scan (SOS components "
+                    f"{ns} != frame components {len(frame[2])}) unsupported"
+                )
             scan = []  # (comp index, dc table id, ac table id)
             for i in range(ns):
                 cs = seg[1 + 2 * i]
@@ -259,6 +271,7 @@ def _decode_scan(data, pos, frame, scan, qtabs, htabs, restart_interval):
     r = _BitReader(data, pos)
     aT = _DCT_A.T
     mcu_count = 0
+    mcus_done = 0
     try:
         for my in range(mcus_y):
             for mx in range(mcus_x):
@@ -310,10 +323,22 @@ def _decode_scan(data, pos, frame, scan, qtabs, htabs, restart_interval):
                             y0 = (my * cv + by) * 8
                             x0 = (mx * ch + bx) * 8
                             planes[ci][y0:y0 + 8, x0:x0 + 8] = pix
+                mcus_done += 1
     except _Restart:
+        if mcus_done < mcus_x * mcus_y:
+            raise ValueError(
+                "jpeg: unexpected restart marker after "
+                f"{mcus_done}/{mcus_x * mcus_y} MCUs"
+            ) from None
         r.align_after_restart()
-    except _AtMarker:
-        pass
+    except _AtMarker as m:
+        if mcus_done < mcus_x * mcus_y:
+            # truncated/corrupt entropy data — fail loudly instead of
+            # returning a partially gray image
+            raise ValueError(
+                f"jpeg: scan ended at marker 0x{m.m:02X} after "
+                f"{mcus_done}/{mcus_x * mcus_y} MCUs"
+            ) from None
 
     out = []
     for i, (_, ch, cv, _) in enumerate(comps):

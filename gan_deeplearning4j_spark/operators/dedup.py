@@ -711,7 +711,7 @@ def dedup_clusters(
     df: DataFrame, text_col: str, id_col: str, threshold: float = 0.5,
     exact_pairs: bool = False, num_hashes: int = 32, bands: int = 8,
     max_iter: int = 20, max_exact_rows: int = 25_000,
-    contract_exact: bool = False,
+    contract_exact: bool = True,
 ) -> DataFrame:
     """Full transitive near-dedup: similar pairs → connected components →
     (doc, cluster_id, cluster_size). Default edges come from MinHash-LSH
@@ -721,9 +721,9 @@ def dedup_clusters(
     on a production corpus; output is identical wherever LSH recall is 1
     (pinned by tests/test_operators.py LSH-vs-exact agreement).
 
-    ``contract_exact=True``: collapse byte-identical texts to one
-    representative (min id) BEFORE pair expansion, cluster the
-    representatives, then map members back. Output is IDENTICAL —
+    ``contract_exact`` (DEFAULT ON since r6): collapse byte-identical
+    texts to one representative (min id) BEFORE pair expansion, cluster
+    the representatives, then map members back. Output is IDENTICAL —
     identical texts have Jaccard 1, so an exact-dup group always lands
     in one cluster, and cluster_id = min member id is preserved because
     each representative is its group's min. The 100x stress run

@@ -1073,3 +1073,157 @@ def ivfpq_topk_fixed(
         .filter(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+def lsh_plane_ints(dim: int, bits: int = 16) -> list[list[int]]:
+    """Deterministic small-integer hyperplanes for the fixed-point LSH twin:
+    P[b][i] = ((5b + 11i + 3) mod 17) - 8.  The single source of truth for
+    BOTH the Spark kernel and the DuckDB oracle literals (same discipline as
+    ``pq_fixed_reference_books``).  Empirically well balanced on the test
+    embeddings (per-bit sign rate 0.44-0.54)."""
+    return [
+        [((5 * b + 11 * i + 3) % 17) - 8 for i in range(dim)]
+        for b in range(bits)
+    ]
+
+
+def lsh_topk_fixed(
+    corpus: DataFrame, queries: DataFrame, vec_col: str, id_col: str,
+    query_id: str, dim: int, k: int = 5, bits: int = 16, bands: int = 4,
+) -> DataFrame:
+    """Hyperplane-LSH candidate top-k in the exact int64 domain: the
+    hash-grade twin of ``lsh_bucketed_topk`` (same architecture — sign-bit
+    signature, banded buckets, exact re-rank inside candidate buckets — as
+    Charikar STOC'02 SimHash over hyperplanes).
+
+    All math is exact integer: vectors quantize via floor(x*2^20), planes
+    are small-int literals (``lsh_plane_ints``), a candidate is any corpus
+    row sharing >=1 of the ``bands`` band values (bits/bands sign bits
+    packed little-endian) with the query, and candidates re-rank by exact
+    int64 squared L2.  The DuckDB oracle replays every step from the same
+    literals and hash-matches.
+
+    Scale shape: ONE map-side Arrow pass over the corpus (signature = one
+    integer dgemm per batch, exactly like the float path's profiled kernel);
+    the bounded query set rides inside the closure, so the only shuffle is
+    the final per-query top-k window over candidate rows (~20-30%% of the
+    corpus per query at the test data's bit balance)."""
+    import numpy as np
+
+    assert bits % bands == 0
+    bw = bits // bands
+    P = np.asarray(lsh_plane_ints(dim, bits), dtype=np.int64)
+
+    qrows = queries.select(query_id, vec_col).orderBy(query_id).toPandas()
+    qids = qrows[query_id].to_numpy()
+    qvq = np.asarray(
+        [_quantize_fixed_np(v) for v in qrows[vec_col]], dtype=np.int64
+    )
+    qbits = (qvq @ P.T >= 0).astype(np.int64)
+    qband = np.stack(
+        [sum(qbits[:, bw * g + j] << j for j in range(bw))
+         for g in range(bands)], axis=1,
+    )  # (nq, bands)
+
+    xq = corpus.select(
+        F.col(id_col), quantize_fixed_expr(F.col(vec_col)).alias("__xq")
+    )
+    out_schema = f"{query_id} long, {id_col} long, l2_fixed long"
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.asarray(list(pdf["__xq"]), dtype=np.int64)
+            ids = pdf[id_col].to_numpy()
+            cbits = (x @ P.T >= 0).astype(np.int64)
+            cband = np.stack(
+                [sum(cbits[:, bw * g + j] << j for j in range(bw))
+                 for g in range(bands)], axis=1,
+            )
+            for qi, qid in enumerate(qids):
+                mask = (cband == qband[qi][None, :]).any(axis=1)
+                if not mask.any():
+                    continue
+                d = ((x[mask] - qvq[qi][None, :]) ** 2).sum(axis=1)
+                yield pd.DataFrame({
+                    query_id: np.full(int(mask.sum()), qid, dtype=np.int64),
+                    id_col: ids[mask],
+                    "l2_fixed": d,
+                })
+
+    scored = xq.mapInPandas(score, out_schema)
+    w = Window.partitionBy(query_id).orderBy("l2_fixed", F.col(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def ivf_topk_fixed(
+    corpus: DataFrame, queries: DataFrame, vec_col: str, id_col: str,
+    query_id: str, dim: int, k: int = 5, n_centroids: int = 8,
+    nprobe: int = 3, ref=None,
+) -> DataFrame:
+    """IVF (coarse inverted lists, exact in-list scan) in the exact int64
+    domain: the hash-grade twin of the float ``ivf_topk``, sharing the coarse
+    quantizer with ``ivfpq_topk_fixed`` (``ivfpq_fixed_reference`` m=1
+    integer Lloyd) but scanning probed lists with exact full-vector squared
+    L2 instead of ADC codes — the FAISS IVFFlat architecture.
+
+    Same scale shape as the float path: centroids ride as literals in the
+    closure, corpus assignment is one map-side Arrow argmin pass, queries
+    touch only nprobe/n_centroids of the corpus, and raw vectors never
+    shuffle (the per-query candidate rows carry only id + distance)."""
+    import numpy as np
+
+    if ref is None:
+        ref = ivfpq_fixed_reference(dim=dim, n_centroids=n_centroids)
+    coarse = np.asarray(ref[0], dtype=np.int64)
+
+    xq = corpus.select(
+        F.col(id_col), quantize_fixed_expr(F.col(vec_col)).alias("__xq")
+    )
+
+    qrows = queries.select(query_id, vec_col).orderBy(query_id).toPandas()
+    qids = qrows[query_id].to_numpy()
+    qvq = np.asarray(
+        [_quantize_fixed_np(v) for v in qrows[vec_col]], dtype=np.int64
+    )
+    probe_sets: dict[int, list[int]] = {}
+    qvecs: dict[int, object] = {}
+    for qi, qid in enumerate(qids):
+        dcent = ((qvq[qi][None, :] - coarse) ** 2).sum(axis=1)
+        order = np.argsort(dcent, kind="stable")[:nprobe]
+        probe_sets[int(qid)] = [int(c) for c in order]
+        qvecs[int(qid)] = qvq[qi]
+
+    out_schema = f"{query_id} long, {id_col} long, l2_fixed long"
+
+    def assign_and_score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.asarray(list(pdf["__xq"]), dtype=np.int64)
+            ids = pdf[id_col].to_numpy()
+            dc = ((x[:, None, :] - coarse[None, :, :]) ** 2).sum(axis=2)
+            cids = dc.argmin(axis=1)
+            for qid, plist in probe_sets.items():
+                mask = np.isin(cids, plist)
+                if not mask.any():
+                    continue
+                d = ((x[mask] - qvecs[qid][None, :]) ** 2).sum(axis=1)
+                yield pd.DataFrame({
+                    query_id: np.full(int(mask.sum()), qid, dtype=np.int64),
+                    id_col: ids[mask],
+                    "l2_fixed": d,
+                })
+
+    scored = xq.mapInPandas(assign_and_score, out_schema)
+    w = Window.partitionBy(query_id).orderBy("l2_fixed", F.col(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

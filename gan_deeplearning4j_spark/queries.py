@@ -2687,3 +2687,4 @@ def headline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 from . import queries_ext  # noqa: E402,F401  (import side effect: registration)
 from . import queries_r4   # noqa: E402,F401  (import side effect: registration)
 from . import queries_r5   # noqa: E402,F401  (import side effect: registration)
+from . import queries_r6   # noqa: E402,F401  (import side effect: registration)

@@ -27,8 +27,57 @@ def test_decode_raises_on_unknown_format():
     decodable; corrupt-but-sniffable JPEG raises a decode error."""
     with pytest.raises(NotImplementedError, match="PNG, baseline JPEG"):
         decode_image(b"GIF89a not decodable", 4, 4, fake=False)
-    with pytest.raises((ValueError, IndexError)):
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0 truncated garbage", 4, 4, fake=False)
+
+
+def test_jpeg_truncated_entropy_fails_loudly():
+    """Cutting a valid JPEG's entropy data mid-scan must raise a descriptive
+    ValueError (not return a partially gray image, not IndexError)."""
+    import numpy as np
+
+    from gan_deeplearning4j_spark.functions.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(666)
+    img = rng.integers(0, 256, size=(32, 32), dtype=np.uint8)
+    data = encode_jpeg(img, quant=4)
+    assert decode_jpeg(data).shape == (32, 32)  # sanity: intact file decodes
+    # chop off the tail (EOI + a chunk of entropy data)
+    for cut in (len(data) - 20, len(data) // 2):
+        with pytest.raises(ValueError, match="jpeg"):
+            decode_jpeg(data[:cut])
+
+
+def test_jpeg_non_interleaved_scan_rejected():
+    """A baseline file whose SOS names fewer components than SOF (legal,
+    multi-scan non-interleaved) must fail loudly by name — decoding only
+    the first scan would silently zero the other planes."""
+    import numpy as np
+
+    from gan_deeplearning4j_spark.functions.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    data = bytearray(encode_jpeg(img, quant=4))
+    # find the SOS segment (FFDA) and rewrite it to claim 1 component
+    i = data.find(b"\xff\xda")
+    assert i >= 0
+    ns = data[i + 4]
+    assert ns == 3
+    # new SOS: len=8 (2 + 1 + 2*1 + 3), component 1, tables 0/0
+    patched = data[:i] + bytes(
+        [0xFF, 0xDA, 0x00, 0x08, 0x01, data[i + 5], data[i + 6],
+         data[i + 4 + 2 * 3 + 1], data[i + 4 + 2 * 3 + 2],
+         data[i + 4 + 2 * 3 + 3]]
+    ) + data[i + 14:]
+    with pytest.raises(NotImplementedError, match="non-interleaved"):
+        decode_jpeg(bytes(patched))
 
 
 def test_jpeg_roundtrip_gray_exact():

@@ -1,0 +1,112 @@
+"""Round-6 query pins: python replays and guarantee checks for the
+queries_r6 oracle promotions (DuckDB hash parity itself is covered by
+tests/test_oracle_parity.py / scripts/driver_replica.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from gan_deeplearning4j_spark.queries import REGISTRY
+
+
+def _emb(sf_dir):
+    t = pd.read_parquet(f"{sf_dir}/embeddings.parquet").sort_values("vec_id")
+    ids = t["vec_id"].to_numpy()
+    x = np.asarray([np.asarray(v, dtype=np.float64) for v in t["embedding"]])
+    return ids, np.floor(x * (1 << 20)).astype(np.int64)
+
+
+def test_ivf_fixed_topk_matches_numpy_replay(spark, sf_dir):
+    """The distributed assign+probe+scan equals a plain-numpy replay of the
+    same coarse centroids in exact int64."""
+    from gan_deeplearning4j_spark.operators.similarity import (
+        ivfpq_fixed_reference,
+    )
+
+    out = (
+        REGISTRY["ivf_fixed_topk"].fn(spark, sf_dir)
+        .toPandas().sort_values(["query_id", "l2_fixed", "vec_id"])
+    )
+    ids, xq = _emb(sf_dir)
+    coarse = np.asarray(ivfpq_fixed_reference(dim=64, n_centroids=8)[0],
+                        dtype=np.int64)
+    dc = ((xq[:, None, :] - coarse[None, :, :]) ** 2).sum(axis=2)
+    cid = dc.argmin(axis=1)
+    for qpos in range(4):
+        qid = ids[qpos]
+        probes = np.argsort(dc[qpos], kind="stable")[:3]
+        mask = np.isin(cid, probes)
+        d = ((xq[mask] - xq[qpos][None, :]) ** 2).sum(axis=1)
+        order = np.lexsort((ids[mask], d))[:5]
+        want = list(zip(ids[mask][order], d[order]))
+        got = out[out["query_id"] == qid][["vec_id", "l2_fixed"]]
+        assert [tuple(r) for r in got.itertuples(index=False)] == [
+            (int(a), int(b)) for a, b in want
+        ], qid
+
+
+def test_lsh_fixed_topk_matches_numpy_replay(spark, sf_dir):
+    """Band bucketing + exact re-rank equals the numpy replay from the same
+    integer planes; candidate sets are non-trivial (neither self-only nor
+    the whole corpus)."""
+    from gan_deeplearning4j_spark.operators.similarity import lsh_plane_ints
+
+    out = (
+        REGISTRY["lsh_fixed_topk"].fn(spark, sf_dir)
+        .toPandas().sort_values(["query_id", "l2_fixed", "vec_id"])
+    )
+    ids, xq = _emb(sf_dir)
+    P = np.asarray(lsh_plane_ints(64, 16), dtype=np.int64)
+    bits = (xq @ P.T >= 0).astype(np.int64)
+    band = np.stack(
+        [sum(bits[:, 4 * g + j] << j for j in range(4)) for g in range(4)],
+        axis=1,
+    )
+    for qpos in range(4):
+        qid = ids[qpos]
+        mask = (band == band[qpos][None, :]).any(axis=1)
+        assert 5 < int(mask.sum()) < len(ids), "degenerate candidate set"
+        d = ((xq[mask] - xq[qpos][None, :]) ** 2).sum(axis=1)
+        order = np.lexsort((ids[mask], d))[:5]
+        want = [(int(a), int(b)) for a, b in zip(ids[mask][order], d[order])]
+        got = out[out["query_id"] == qid][["vec_id", "l2_fixed"]]
+        assert [tuple(r) for r in got.itertuples(index=False)] == want, qid
+        # self is always its own nearest candidate at distance 0
+        assert want[0] == (int(qid), 0)
+
+
+def test_sketch_brackets_all_within(spark, sf_dir):
+    """Every guarantee-bracket verdict bit is TRUE at the test SF — the
+    sketches honor their published error contracts (the DuckDB hash
+    comparison depends on exactly this)."""
+    aq = REGISTRY["approx_quantile_bracket"].fn(spark, sf_dir).toPandas()
+    assert aq["within50"].all() and aq["within90"].all()
+    assert (aq["lo50_c"] <= aq["hi50_c"]).all()
+    ad = REGISTRY["approx_distinct_bracket"].fn(spark, sf_dir).toPandas()
+    assert ad["within_parts"].all() and ad["within_supps"].all()
+    hh = REGISTRY["heavy_hitters_guarantee"].fn(spark, sf_dir).toPandas()
+    assert len(hh) > 0 and hh["in_candidates"].all()
+    hm = REGISTRY["hll_merge_bracket"].fn(spark, sf_dir).toPandas()
+    assert len(hm) == 5 and hm["within"].all()
+
+
+def test_heavy_hitters_guarantee_straddles(sf_dir):
+    """The cnt>66 threshold splits the user population non-trivially at the
+    test SF (some heavy, some not) — the guarantee is only evidence if
+    the exact set excludes somebody."""
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    cnt = ev.groupby("user_id").size()
+    assert (cnt > 66).any() and (cnt <= 66).any()
+
+
+def test_approx_quantile_bracket_is_a_real_bracket(spark, sf_dir):
+    """The exact rank bracket actually brackets the true median (sanity
+    that lo/hi ranks are on the correct side of p*N)."""
+    out = REGISTRY["approx_quantile_bracket"].fn(spark, sf_dir).toPandas()
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    cents = (li["l_extendedprice"] * 100).round().astype(np.int64)
+    for flag, grp in cents.groupby(li["l_returnflag"]):
+        true_p50 = np.sort(grp.to_numpy())[(len(grp) - 1) // 2]
+        row = out[out["l_returnflag"] == flag].iloc[0]
+        assert row["lo50_c"] <= true_p50 <= row["hi50_c"], flag
