@@ -148,10 +148,79 @@ def _local_train(
     return merges
 
 
+def _safe_merge_batch(
+    cands: list[tuple[str, str, int]], window: int, alphabet: set[str],
+) -> list[tuple[str, str, int]]:
+    """Largest prefix of the (cnt desc, pair asc)-sorted candidate list
+    that can be applied in ONE pass with output byte-identical to applying
+    the merges one sequential round at a time.
+
+    Safety argument (each clause kills one divergence mode):
+
+    1. **No-skip prefix, pairwise symbol-disjoint.**  Disjoint merges
+       commute and cannot change each other's pair counts, so every
+       prefix member's count is still exact when the sequential algorithm
+       reaches it.  No-skip matters: a *skipped* conflicting pair keeps a
+       sort key better than later prefix members and its count need not
+       drop after the earlier merge — sequential could pick it first.
+    2. **Fused strings stay out of the symbol alphabet** (and off other
+       candidates' symbols).  If the fused symbol already existed, an old
+       pair containing it could GAIN occurrences from the merge and
+       overtake the prefix.  The alphabet is tracked exactly driver-side:
+       initial distinct characters + every fused string ever created.
+    3. **Strict count gap to every conflict.**  A merge can only create
+       new pairs adjacent to its fused symbol, and each occurrence of
+       such a pair consumes an occurrence of an ORIGINAL pair sharing a
+       symbol with the merged one — so new-pair counts are bounded by
+       C* = max count over non-prefix candidates that share a symbol
+       with (or collide with the fused string of) the prefix.  When the
+       collected window may be incomplete, unseen pairs are bounded by
+       the window's last count, folded into C*.  Requiring
+       cnt(last accepted) > C* makes every new/conflicting pair a STRICT
+       loser at every intermediate sequential step — no tie-break
+       ambiguity.
+    """
+    if not cands:
+        return []
+    # the first candidate alone IS the sequential step — always safe,
+    # even when its fused string collides with an existing symbol; but
+    # in that collision case pairs containing the pre-existing symbol
+    # can GAIN occurrences (clause-3's bound assumes counts never grow),
+    # so no further batching on top of it
+    if cands[0][0] + cands[0][1] in alphabet:
+        return cands[:1]
+    accepted: list[tuple[str, str, int]] = [cands[0]]
+    used: set[str] = {cands[0][0], cands[0][1], cands[0][0] + cands[0][1]}
+    stop = len(cands)
+    for i, (left, right, cnt) in enumerate(cands[1:], start=1):
+        fused = left + right
+        if (
+            left in used or right in used or fused in used
+            or fused in alphabet
+        ):
+            stop = i
+            break
+        accepted.append((left, right, cnt))
+        used.update((left, right, fused))
+    if len(accepted) <= 1:
+        return accepted[:1]
+    # C*: best count among conflicting or unseen candidates
+    c_star = 0
+    for left, right, cnt in cands[stop:]:
+        if left in used or right in used:
+            c_star = max(c_star, cnt)
+    if len(cands) >= window:        # window may have truncated the list
+        c_star = max(c_star, cands[-1][2])
+    while len(accepted) > 1 and accepted[-1][2] <= c_star:
+        accepted.pop()
+    return accepted
+
+
 def train_bpe(
     spark: SparkSession, docs: DataFrame, n_merges: int = 10,
     text_col: str = "text",
     driver_finish_rows: int = 100_000,
+    batch_window: int = 64,
 ) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
     """Run ``n_merges`` BPE rounds; returns (merge table rows
     [(rank, left, right, count)], final symbolized word table
@@ -163,6 +232,14 @@ def train_bpe(
     it is collected once and all merges run locally: byte-identical
     result, O(1) Spark jobs instead of one per merge.  Pass 0 to force
     the distributed path.
+
+    The distributed path BATCHES merges (r5 verdict item 5): each round
+    collects the top ``batch_window`` pair candidates and applies the
+    largest provably-independent prefix (``_safe_merge_batch`` — output
+    byte-identical to one-merge-per-round, pinned by the batched-vs-local
+    equality test) in a single chained-projection job, cutting the job
+    count from O(n_merges) to O(n_merges / batch_size).  Set
+    ``batch_window=1`` to force the classic one-merge-per-job loop.
     """
     syms = _init_symbols(word_freq_table(docs, text_col)).localCheckpoint()
     if driver_finish_rows:
@@ -180,21 +257,35 @@ def train_bpe(
                 table, "word string, freq long, syms array<string>"
             )
             return merges, out
+    # exact driver-side symbol alphabet: initial distinct characters
+    # (one tiny job — charset-sized) + every fused string created below
+    alphabet = {
+        r["s"]
+        for r in syms.select(
+            F.explode("syms").alias("s")
+        ).distinct().collect()
+    }
     merges: list[tuple[int, str, str, int]] = []
-    for rank in range(n_merges):
+    while len(merges) < n_merges:
         top = (
             _pair_counts(syms)
             .orderBy(F.desc("cnt"), "pair")
-            .limit(1)
+            .limit(batch_window)
             .collect()
         )
         if not top:
             break
-        left = top[0]["pair"]["l"]
-        right = top[0]["pair"]["r"]
-        cnt = int(top[0]["cnt"])
-        merges.append((rank, left, right, cnt))
-        syms = syms.select(
-            "word", "freq", _merge_fold(left, right).alias("syms")
-        ).localCheckpoint()
+        cands = [
+            (r["pair"]["l"], r["pair"]["r"], int(r["cnt"])) for r in top
+        ]
+        batch = _safe_merge_batch(
+            cands, batch_window, alphabet
+        )[: n_merges - len(merges)]
+        for left, right, cnt in batch:
+            merges.append((len(merges), left, right, cnt))
+            alphabet.add(left + right)
+            syms = syms.select(
+                "word", "freq", _merge_fold(left, right).alias("syms")
+            )
+        syms = syms.localCheckpoint()
     return merges, syms

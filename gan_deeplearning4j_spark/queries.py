@@ -1796,6 +1796,7 @@ def q_jaccard_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_clusters",
+    headline=True,  # r6: bench the CC + contraction path (r5 verdict item 6)
     oracle="""
     WITH sh AS (
       SELECT doc_id,

@@ -110,3 +110,55 @@ def test_approx_quantile_bracket_is_a_real_bracket(spark, sf_dir):
         true_p50 = np.sort(grp.to_numpy())[(len(grp) - 1) // 2]
         row = out[out["l_returnflag"] == flag].iloc[0]
         assert row["lo50_c"] <= true_p50 <= row["hi50_c"], flag
+
+
+def test_bpe_batched_equals_single_merge_rounds(spark, sf_dir):
+    """The r6 batched distributed path (batch_window=64) must be
+    byte-identical to the classic one-merge-per-job loop (batch_window=1)
+    AND to the local sequential reference — merge table and final
+    vocabulary both."""
+    from gan_deeplearning4j_spark.operators.bpe import train_bpe
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(150)
+    m_b, syms_b = train_bpe(
+        spark, docs, n_merges=12, driver_finish_rows=0, batch_window=64
+    )
+    m_1, syms_1 = train_bpe(
+        spark, docs, n_merges=12, driver_finish_rows=0, batch_window=1
+    )
+    m_loc, _ = train_bpe(spark, docs, n_merges=12)  # driver finish
+    assert m_b == m_1 == m_loc
+    a = sorted(
+        (r["word"], r["freq"], tuple(r["syms"])) for r in syms_b.collect()
+    )
+    b = sorted(
+        (r["word"], r["freq"], tuple(r["syms"])) for r in syms_1.collect()
+    )
+    assert a == b
+
+
+def test_safe_merge_batch_rules():
+    """Unit pins for each _safe_merge_batch safety clause."""
+    from gan_deeplearning4j_spark.operators.bpe import _safe_merge_batch
+
+    alpha = set("abcdexyzpq")
+    # disjoint pairs with a strict count gap to the conflict tail: batch
+    cands = [("a", "b", 10), ("x", "y", 8), ("a", "c", 5)]
+    got = _safe_merge_batch(cands, 64, alpha)
+    assert got == [("a", "b", 10), ("x", "y", 8)]
+    # shared symbol stops the prefix at the conflict (no skipping)
+    cands = [("a", "b", 10), ("b", "c", 9), ("x", "y", 8)]
+    assert _safe_merge_batch(cands, 64, alpha) == [("a", "b", 10)]
+    # C* shrink: second pair's count equals the conflicting tail count —
+    # a merge-created pair could tie it, so it must be dropped
+    cands = [("a", "b", 10), ("x", "y", 5), ("a", "c", 5)]
+    assert _safe_merge_batch(cands, 64, alpha) == [("a", "b", 10)]
+    # fused collision with an existing symbol: no batching past it
+    assert _safe_merge_batch(
+        [("a", "b", 10), ("x", "y", 8)], 64, alpha | {"ab"}
+    ) == [("a", "b", 10)]
+    # truncated window: unseen pairs bound C* by the last seen count
+    cands = [("a", "b", 10), ("x", "y", 10), ("p", "q", 10)]
+    assert _safe_merge_batch(cands, 3, alpha) == [("a", "b", 10)]
+    # same list with a complete window (no unseen tail): full batch
+    assert _safe_merge_batch(cands, 64, alpha) == cands
