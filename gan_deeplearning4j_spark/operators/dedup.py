@@ -661,10 +661,14 @@ def connected_components(
     the component.
 
     Scale shape: per round, one join of the (2·|E|) undirected edge list
-    against the label table keyed by node, one min-aggregate — the same
-    shuffle pattern GraphX/GraphFrames CC uses. ``localCheckpoint`` truncates
-    the growing lineage each round (iterative plans otherwise re-derive every
-    prior round); convergence is detected with an anti-join count.
+    against the label table keyed by node, one min-aggregate, then ONE
+    label join computing the new label AND the per-node changed flag in
+    the same pass — the same shuffle pattern GraphX/GraphFrames CC uses,
+    minus the separate convergence-check join (r6: the flag rides on the
+    checkpointed result, so detecting convergence is a checkpoint-local
+    filter/limit, not another shuffle). ``localCheckpoint`` truncates the
+    growing lineage each round (iterative plans otherwise re-derive every
+    prior round).
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
@@ -675,22 +679,22 @@ def connected_components(
     )
     converged = False
     for _ in range(max_iter):
-        nbr = (
+        nbr_min = (
             und.join(labels.withColumnRenamed("node", "b"), "b")
-            .select(F.col("a").alias("node"), "comp")
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("comp").alias("__m"))
         )
         new_labels = (
-            labels.union(nbr).groupBy("node").agg(F.min("comp").alias("comp"))
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least("comp", "__m").alias("comp"),
+                (F.col("__m") < F.col("comp")).alias("__ch"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("__ch").limit(1).count()
+        labels = new_labels.drop("__ch")
         if changed == 0:
             converged = True
             break
@@ -731,15 +735,22 @@ def dedup_clusters(
     docs otherwise contributes O(k^2) verified edges; contraction makes
     it O(1) before the expensive stage."""
     if contract_exact:
-        groups = df.groupBy(text_col).agg(
-            F.min(id_col).alias("__rep"), F.count("*").alias("__grp_n")
+        # ONE shuffle of (id, text) keyed on the text: the window computes
+        # the representative (min id) and the family size in the same pass
+        # that the old groupBy+join-back pair spent two text-keyed
+        # exchanges on
+        wt = Window.partitionBy(text_col)
+        base = (
+            df.select(id_col, text_col)
+            .withColumn("__rep", F.min(id_col).over(wt))
+            .withColumn("__grp_n", F.count("*").over(wt))
+            .localCheckpoint(eager=True)
         )
-        members = df.select(id_col, text_col).join(groups, text_col).select(
-            F.col(id_col).alias("__member"), "__rep"
-        )
-        reps = groups.select(
+        reps = base.filter(F.col(id_col) == F.col("__rep")).select(
             F.col("__rep").alias(id_col), text_col
         )
+        # checkpoint: TWO consumers below (member inherit + lone anti-join)
+        # would otherwise re-execute the whole LSH+verify+CC subtree each
         rep_clusters = dedup_clusters(
             reps, text_col, id_col, threshold,
             exact_pairs=exact_pairs, num_hashes=num_hashes, bands=bands,
@@ -747,30 +758,29 @@ def dedup_clusters(
             contract_exact=False,
         ).select(
             F.col(id_col).alias("__rep"), "cluster_id"
+        ).localCheckpoint(eager=True)
+        # ONE left join resolves every membership case: members of
+        # clustered reps inherit the rep's cluster; exact-dup groups whose
+        # rep is in NO near-dup cluster still form their own cluster when
+        # the group has >1 member (they are mutual dups); unclustered
+        # singletons drop out. Cluster sizes come from a count window over
+        # the assignment — one shuffle, no join-back.
+        assigned = (
+            base.join(rep_clusters, "__rep", "left")
+            .select(
+                id_col,
+                F.when(
+                    F.col("cluster_id").isNotNull(), F.col("cluster_id")
+                ).when(
+                    F.col("__grp_n") > 1, F.col("__rep")
+                ).alias("cluster_id"),
+            )
+            .filter(F.col("cluster_id").isNotNull())
         )
-        # members of clustered reps inherit the rep's cluster; exact-dup
-        # groups whose rep is in NO near-dup cluster still form their own
-        # cluster when the group has >1 member (they are mutual dups)
-        clustered = members.join(rep_clusters, "__rep").select(
-            F.col("__member").alias(id_col), "cluster_id"
-        )
-        lone_groups = (
-            groups.filter(F.col("__grp_n") > 1)
-            .join(rep_clusters, "__rep", "left_anti")
-            .select("__rep", text_col)
-        )
-        lone_members = members.join(
-            lone_groups.select("__rep"), "__rep"
-        ).select(
-            F.col("__member").alias(id_col),
-            F.col("__rep").alias("cluster_id"),
-        )
-        allc = clustered.union(lone_members)
-        sizes = allc.groupBy("cluster_id").agg(
-            F.count("*").alias("cluster_size")
-        )
-        return allc.join(sizes, "cluster_id").select(
-            id_col, "cluster_id", "cluster_size"
+        wsz = Window.partitionBy("cluster_id")
+        return assigned.select(
+            id_col, "cluster_id",
+            F.count("*").over(wsz).alias("cluster_size"),
         )
     if exact_pairs:
         assert_small(df, max_exact_rows, "dedup_clusters(exact_pairs=True)")
@@ -792,11 +802,13 @@ def dedup_clusters(
             F.col("jaccard") >= threshold
         )
     comp = connected_components(pairs, "id_a", "id_b", max_iter)
-    sizes = comp.groupBy("comp").agg(F.count("*").alias("cluster_size"))
-    return comp.join(sizes, "comp").select(
+    # size via a count window: one comp-keyed shuffle instead of a
+    # groupBy + join-back pair over the same key
+    wsz = Window.partitionBy("comp")
+    return comp.select(
         F.col("node").alias(id_col),
         F.col("comp").alias("cluster_id"),
-        "cluster_size",
+        F.count("*").over(wsz).alias("cluster_size"),
     )
 
 
