@@ -155,65 +155,85 @@ def _safe_merge_batch(
     that can be applied in ONE pass with output byte-identical to applying
     the merges one sequential round at a time.
 
-    Safety argument (each clause kills one divergence mode):
+    Safety argument.  Merging (l, r) -> lr changes pair counts in exactly
+    three ways (absent alphabet collisions): (x, l) and (r, y) DECREASE
+    (their middle symbol gets fused away), (l, r) itself goes to zero, and
+    new pairs (x, lr) / (lr, y) appear with counts bounded by the ORIGINAL
+    counts of (x, l) / (r, y).  Every other pair — including pairs sharing
+    a left-left or right-right symbol — is untouched.  Hence each clause:
 
-    1. **No-skip prefix, pairwise symbol-disjoint.**  Disjoint merges
-       commute and cannot change each other's pair counts, so every
-       prefix member's count is still exact when the sequential algorithm
-       reaches it.  No-skip matters: a *skipped* conflicting pair keeps a
-       sort key better than later prefix members and its count need not
-       drop after the earlier merge — sequential could pick it first.
-    2. **Fused strings stay out of the symbol alphabet** (and off other
-       candidates' symbols).  If the fused symbol already existed, an old
-       pair containing it could GAIN occurrences from the merge and
-       overtake the prefix.  The alphabet is tracked exactly driver-side:
-       initial distinct characters + every fused string ever created.
-    3. **Strict count gap to every conflict.**  A merge can only create
-       new pairs adjacent to its fused symbol, and each occurrence of
-       such a pair consumes an occurrence of an ORIGINAL pair sharing a
-       symbol with the merged one — so new-pair counts are bounded by
-       C* = max count over non-prefix candidates that share a symbol
-       with (or collide with the fused string of) the prefix.  When the
-       collected window may be incomplete, unseen pairs are bounded by
+    1. **No-skip prefix.**  A *skipped* candidate keeps a sort key better
+       than later prefix members and its count need not drop after the
+       earlier merges — sequential could pick it first.
+    2. **No positional interaction inside the prefix**: accept p_j only if
+       r_j is no earlier accepted LEFT and l_j is no earlier accepted
+       RIGHT — then p_j's own count is exactly what sequential sees.
+       (Sharing lefts with lefts or rights with rights is fine.)
+    3. **Fused strings stay out of the symbol alphabet** (and distinct
+       from each other).  If the fused symbol already existed, an old
+       pair containing it could GAIN occurrences and overtake the prefix.
+       The alphabet is tracked exactly driver-side: initial distinct
+       characters + every fused string ever created.
+    4. **Strict count gap to every conflict.**  New-pair counts are
+       bounded by C* = max original count over non-accepted candidates of
+       the decreasing forms (x, accepted-left) / (accepted-right, y); when
+       the collected window may be incomplete, unseen pairs are bounded by
        the window's last count, folded into C*.  Requiring
-       cnt(last accepted) > C* makes every new/conflicting pair a STRICT
-       loser at every intermediate sequential step — no tie-break
-       ambiguity.
+       cnt(last accepted) > C* makes every new pair a STRICT loser at
+       every intermediate sequential step — no tie-break ambiguity.
+       (Decreased pairs can't overtake either; untouched pairs keep their
+       original, worse sort key.)
+
+    The chained per-batch projection applies the accepted merges in rank
+    order, so within-word application is literally sequential — only the
+    *selection* order needs the proof above.
     """
     if not cands:
         return []
     # the first candidate alone IS the sequential step — always safe,
     # even when its fused string collides with an existing symbol; but
     # in that collision case pairs containing the pre-existing symbol
-    # can GAIN occurrences (clause-3's bound assumes counts never grow),
+    # can GAIN occurrences (clause-4's bound assumes counts never grow),
     # so no further batching on top of it
     if cands[0][0] + cands[0][1] in alphabet:
         return cands[:1]
-    accepted: list[tuple[str, str, int]] = [cands[0]]
-    used: set[str] = {cands[0][0], cands[0][1], cands[0][0] + cands[0][1]}
+
+    def shrink(accepted: list[tuple[str, str, int]], rest):
+        """Clause 4: drop tail members until the last accepted count is
+        strictly above every conflict bound (recomputed after each drop,
+        since dropping shrinks the conflict set)."""
+        while len(accepted) > 1:
+            lefts = {a[0] for a in accepted}
+            rights = {a[1] for a in accepted}
+            c_star = 0
+            for left, right, cnt in rest:
+                if right in lefts or left in rights:
+                    c_star = max(c_star, cnt)
+            if len(cands) >= window:    # truncated: unseen tail bound
+                c_star = max(c_star, cands[-1][2])
+            if accepted[-1][2] > c_star:
+                break
+            rest = [accepted.pop()] + rest
+        return accepted
+
+    accepted = [cands[0]]
+    lefts = {cands[0][0]}
+    rights = {cands[0][1]}
+    fused_seen = {cands[0][0] + cands[0][1]}
     stop = len(cands)
     for i, (left, right, cnt) in enumerate(cands[1:], start=1):
         fused = left + right
         if (
-            left in used or right in used or fused in used
-            or fused in alphabet
+            right in lefts or left in rights      # clause 2
+            or fused in alphabet or fused in fused_seen   # clause 3
         ):
             stop = i
             break
         accepted.append((left, right, cnt))
-        used.update((left, right, fused))
-    if len(accepted) <= 1:
-        return accepted[:1]
-    # C*: best count among conflicting or unseen candidates
-    c_star = 0
-    for left, right, cnt in cands[stop:]:
-        if left in used or right in used:
-            c_star = max(c_star, cnt)
-    if len(cands) >= window:        # window may have truncated the list
-        c_star = max(c_star, cands[-1][2])
-    while len(accepted) > 1 and accepted[-1][2] <= c_star:
-        accepted.pop()
-    return accepted
+        lefts.add(left)
+        rights.add(right)
+        fused_seen.add(fused)
+    return shrink(accepted, list(cands[stop:]))
 
 
 def train_bpe(

@@ -142,16 +142,20 @@ def test_safe_merge_batch_rules():
     from gan_deeplearning4j_spark.operators.bpe import _safe_merge_batch
 
     alpha = set("abcdexyzpq")
-    # disjoint pairs with a strict count gap to the conflict tail: batch
+    # non-interacting pairs batch; sharing a LEFT symbol is benign
+    # (merging (a,b) cannot change cnt(a,c)) so (a,c) is accepted too
     cands = [("a", "b", 10), ("x", "y", 8), ("a", "c", 5)]
-    got = _safe_merge_batch(cands, 64, alpha)
-    assert got == [("a", "b", 10), ("x", "y", 8)]
-    # shared symbol stops the prefix at the conflict (no skipping)
+    assert _safe_merge_batch(cands, 64, alpha) == cands
+    # positional interaction stops the prefix (no skipping): merging
+    # (a,b) decreases (b,c) — left symbol b equals an accepted right
     cands = [("a", "b", 10), ("b", "c", 9), ("x", "y", 8)]
     assert _safe_merge_batch(cands, 64, alpha) == [("a", "b", 10)]
-    # C* shrink: second pair's count equals the conflicting tail count —
+    # ...and (c,a) decreases too — right symbol a equals an accepted left
+    cands = [("a", "b", 10), ("c", "a", 9), ("x", "y", 8)]
+    assert _safe_merge_batch(cands, 64, alpha) == [("a", "b", 10)]
+    # C* shrink: last accepted count equals a conflicting tail count —
     # a merge-created pair could tie it, so it must be dropped
-    cands = [("a", "b", 10), ("x", "y", 5), ("a", "c", 5)]
+    cands = [("a", "b", 10), ("x", "y", 5), ("b", "c", 5)]
     assert _safe_merge_batch(cands, 64, alpha) == [("a", "b", 10)]
     # fused collision with an existing symbol: no batching past it
     assert _safe_merge_batch(
