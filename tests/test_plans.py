@@ -590,3 +590,32 @@ def test_r5_late_wave_plans(spark, sf_dir):
     t = plan_tree(REGISTRY["max_by_customer_order"].fn(spark, sf_dir))
     assert "Window" not in t and "Join" not in t, t
     assert t.count("SortAggregate") == 2, t
+
+
+def test_r6_promotion_plans(spark, sf_dir):
+    """Round-6 oracle-promotion plan pins."""
+    from gan_deeplearning4j_spark.plans.explain import plan_tree
+    from gan_deeplearning4j_spark.queries import REGISTRY
+
+    # fixed-point ANN twins: ONE Arrow pass over the corpus, per-partition
+    # top-k heaps (WindowGroupLimit) BEFORE the single exchange — raw
+    # vectors never shuffle, only (query_id, id, dist) candidate rows
+    for name in ("ivf_fixed_topk", "lsh_fixed_topk"):
+        t = plan_tree(REGISTRY[name].fn(spark, sf_dir))
+        assert t.count("MapInPandas") == 1, (name, t)
+        assert t.count("- Exchange") == 1, (name, t)
+        assert "WindowGroupLimit" in t, (name, t)
+        assert "Join" not in t, (name, t)
+
+    # freqItems guarantee: exact side is a two-phase hash aggregate; the
+    # 1-row candidate array joins in as a broadcast, never a shuffle join
+    t = plan_tree(REGISTRY["heavy_hitters_guarantee"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in t or "BroadcastHashJoin" in t, t
+    assert "SortMergeJoin" not in t, t
+
+    # HLL++ bracket: exact AND sketch distinct counts come out of ONE scan
+    # pass (a single Expand feeds both aggregates — no self-join)
+    t = plan_tree(REGISTRY["approx_distinct_bracket"].fn(spark, sf_dir))
+    assert t.count("Scan parquet") == 1, t
+    assert t.count("Expand") == 1, t
+    assert "Join" not in t, t
