@@ -174,15 +174,21 @@ def _safe_merge_batch(
        pair containing it could GAIN occurrences and overtake the prefix.
        The alphabet is tracked exactly driver-side: initial distinct
        characters + every fused string ever created.
-    4. **Strict count gap to every conflict.**  New-pair counts are
-       bounded by C* = max original count over non-accepted candidates of
-       the decreasing forms (x, accepted-left) / (accepted-right, y); when
-       the collected window may be incomplete, unseen pairs are bounded by
-       the window's last count, folded into C*.  Requiring
-       cnt(last accepted) > C* makes every new pair a STRICT loser at
-       every intermediate sequential step — no tie-break ambiguity.
-       (Decreased pairs can't overtake either; untouched pairs keep their
-       original, worse sort key.)
+    4. **A self-pair (l == r) ends the batch.**  Merging (d, d) over a
+       run "d d d" creates (dd, d) whose occurrences consume the merged
+       pair ITSELF — its count is bounded only by cnt(p_i), which no
+       later candidate can strictly beat, so nothing may follow a
+       self-pair (found by the hypothesis property sweep: corpus
+       {"aa", "ddd"x2} diverged under the earlier rule).
+    5. **Strict count gap to every conflict.**  All other new-pair
+       counts are bounded by C* = max original count over non-accepted
+       candidates of the decreasing forms (x, accepted-left) /
+       (accepted-right, y); when the collected window may be incomplete,
+       unseen pairs are bounded by the window's last count, folded into
+       C*.  Requiring cnt(last accepted) > C* makes every new pair a
+       STRICT loser at every intermediate sequential step — no tie-break
+       ambiguity.  (Decreased pairs can't overtake either; untouched
+       pairs keep their original, worse sort key.)
 
     The chained per-batch projection applies the accepted merges in rank
     order, so within-word application is literally sequential — only the
@@ -221,6 +227,8 @@ def _safe_merge_batch(
     rights = {cands[0][1]}
     fused_seen = {cands[0][0] + cands[0][1]}
     stop = len(cands)
+    if cands[0][0] == cands[0][1]:        # clause 4: self-pair ends batch
+        return cands[:1]
     for i, (left, right, cnt) in enumerate(cands[1:], start=1):
         fused = left + right
         if (
@@ -233,6 +241,9 @@ def _safe_merge_batch(
         lefts.add(left)
         rights.add(right)
         fused_seen.add(fused)
+        if left == right:                 # clause 4: self-pair ends batch
+            stop = i + 1
+            break
     return shrink(accepted, list(cands[stop:]))
 
 

@@ -166,3 +166,66 @@ def test_safe_merge_batch_rules():
     assert _safe_merge_batch(cands, 3, alpha) == [("a", "b", 10)]
     # same list with a complete window (no unseen tail): full batch
     assert _safe_merge_batch(cands, 64, alpha) == cands
+
+
+def test_safe_merge_batch_property_random_corpora():
+    """Property guard for the batching proof: on random tiny corpora, a
+    pure-python replay of the BATCHED selection loop (pair counts ->
+    top-window candidates -> _safe_merge_batch -> apply in rank order)
+    must produce the exact merge sequence of sequential BPE
+    (_local_train). Exercises alphabet collisions, ties, truncated
+    windows, and positional interactions far beyond the unit pins."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from gan_deeplearning4j_spark.operators.bpe import (
+        _local_merge_word,
+        _local_train,
+        _safe_merge_batch,
+    )
+
+    def batched_train(table, n_merges, window):
+        # driver-side replay of train_bpe's distributed batched loop
+        alphabet = {s for _w, _f, syms in table for s in syms}
+        merges = []
+        while len(merges) < n_merges:
+            counts = {}
+            for _w, freq, s in table:
+                for a, b in zip(s, s[1:]):
+                    counts[(a, b)] = counts.get((a, b), 0) + freq
+            if not counts:
+                break
+            cands = [
+                (l, r, c) for (l, r), c in sorted(
+                    counts.items(), key=lambda kv: (-kv[1], kv[0])
+                )
+            ][:window]
+            batch = _safe_merge_batch(cands, window, alphabet)[
+                : n_merges - len(merges)
+            ]
+            for left, right, cnt in batch:
+                merges.append((len(merges), left, right, cnt))
+                alphabet.add(left + right)
+                for i, (w, freq, s) in enumerate(table):
+                    table[i] = (w, freq, _local_merge_word(s, left, right))
+        return merges
+
+    @given(
+        words=st.lists(
+            st.text(alphabet="abc", min_size=1, max_size=7),
+            min_size=1, max_size=12,
+        ),
+        freqs=st.lists(st.integers(1, 5), min_size=12, max_size=12),
+        window=st.sampled_from([2, 4, 64]),
+    )
+    @settings(max_examples=150, deadline=None)
+    def check(words, freqs, window):
+        words = sorted(set(words))
+        t1 = [(w, freqs[i % 12], list(w)) for i, w in enumerate(words)]
+        t2 = [(w, f, list(s)) for w, f, s in t1]
+        seq = _local_train(t1, 10, start_rank=0)
+        bat = batched_train(t2, 10, window)
+        assert bat == seq, (words, window)
+        assert t1 == t2  # identical final vocabulary too
+
+    check()
