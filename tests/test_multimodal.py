@@ -290,3 +290,29 @@ def test_jpeg_decodes_foreign_encoder_file():
     assert img.shape[0] >= 8 and img.shape[1] >= 8
     # real image content: not a constant field, full 8-bit usage plausible
     assert int(img.max()) - int(img.min()) > 50
+
+
+def test_jpeg_roundtrip_geometry_sweep():
+    """Every MCU-geometry edge (1-pixel dims, non-multiple-of-8/16 dims,
+    4:2:0 chroma padding, restart resync on ragged grids) roundtrips
+    within codec error bounds."""
+    from gan_deeplearning4j_spark.functions.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(1)
+    for h in (1, 3, 8, 9, 17):
+        for w in (1, 5, 8, 16, 23):
+            g = rng.integers(0, 256, (h, w), dtype=np.uint8)
+            o = decode_jpeg(encode_jpeg(g, quant=1))
+            assert o.shape == g.shape
+            assert int(np.abs(o.astype(int) - g.astype(int)).max()) <= 1
+            c = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            o2 = decode_jpeg(encode_jpeg(c, quant=1))
+            assert o2.shape == c.shape
+            assert int(np.abs(o2.astype(int) - c.astype(int)).max()) <= 2
+            o3 = decode_jpeg(encode_jpeg(c, quant=1, subsample=True))
+            assert o3.shape == c.shape
+            o4 = decode_jpeg(encode_jpeg(g, quant=1, restart_interval=2))
+            assert int(np.abs(o4.astype(int) - g.astype(int)).max()) <= 1
