@@ -671,7 +671,14 @@ def connected_components(
     prior round).
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # materialize the undirected edge list ONCE: every propagation round
+    # joins against it, and an unmaterialized edge relation re-executes
+    # its whole upstream subtree (LSH candidates + Jaccard verify in the
+    # dedup pipeline) per round — measured 836 s vs ~150 s at the 100x
+    # dense stress (27M edges, ~5 rounds re-running a 114 s verify)
+    und = e.union(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
     labels = (
         und.select(F.col("a").alias("node")).distinct()
         .select("node", F.col("node").alias("comp"))
@@ -733,7 +740,10 @@ def dedup_clusters(
     each representative is its group's min. The 100x stress run
     (SCALE.md) showed why this matters: a k-sized family of identical
     docs otherwise contributes O(k^2) verified edges; contraction makes
-    it O(1) before the expensive stage."""
+    it O(1) before the expensive stage. Adaptive escape: if the family
+    probe finds NO byte-identical group (common for already-exact-deduped
+    corpora — the r6 perturbed-100x stress), the plain path runs directly
+    and contraction costs only the probe window, not the join-back."""
     if contract_exact:
         # ONE shuffle of (id, text) keyed on the text: the window computes
         # the representative (min id) and the family size in the same pass
@@ -746,6 +756,11 @@ def dedup_clusters(
             .withColumn("__grp_n", F.count("*").over(wt))
             .localCheckpoint(eager=True)
         )
+        if base.filter(F.col("__grp_n") > 1).limit(1).count() == 0:
+            # no exact-dup family anywhere: contraction is a no-op —
+            # fall through to the plain path on the original relation
+            contract_exact = False
+    if contract_exact:
         reps = base.filter(F.col(id_col) == F.col("__rep")).select(
             F.col("__rep").alias(id_col), text_col
         )
