@@ -30,14 +30,19 @@ def pagerank_fixed(
     Scale shape: one degree aggregate up front, then per iteration one
     src-keyed join + one dst-keyed aggregate — the canonical O(iters)
     shuffle pattern (same as connected_components); nothing touches the
-    driver. For large iteration counts, localCheckpoint every few rounds
-    would truncate lineage the way connected_components does.
+    driver. The edge+degree relations are materialized ONCE and the rank
+    table per round: an iterative consumer with an unmaterialized input
+    re-executes the input's whole subtree every round, and an
+    unmaterialized rank table stacks k joins of lineage by round k (the
+    r6 dense-dedup stress measured this class of bug at 4x wall-clock).
     """
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     und = e.union(
         e.select(F.col("d").alias("s"), F.col("s").alias("d"))
-    ).distinct()
-    deg = und.groupBy("s").agg(F.count("*").alias("deg"))
+    ).distinct().localCheckpoint(eager=True)
+    deg = und.groupBy("s").agg(
+        F.count("*").alias("deg")
+    ).localCheckpoint(eager=True)
     ranks = und.select(F.col("s").alias("node")).distinct().withColumn(
         "rank", F.lit(PR_SCALE).cast("long")
     )
@@ -53,5 +58,7 @@ def pagerank_fixed(
                 F.lit(base)
                 + F.expr(f"({PR_DAMP_NUM} * sum(c)) div {PR_DAMP_DEN}")
             ).alias("rank")
-        ).select(F.col("d").alias("node"), "rank")
+        ).select(F.col("d").alias("node"), "rank").localCheckpoint(
+            eager=True
+        )
     return ranks

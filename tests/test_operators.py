@@ -944,3 +944,31 @@ def test_dedup_clusters_contract_exact_identical_output(spark, sf_dir):
     assert a == b
     # the lone exact-dup pair is present as its own 2-cluster
     assert (2_000_001, 2_000_000, 2) in b
+
+
+def test_connected_components_materializes_edges_once(spark):
+    """Regression pin for the r6 dense-stress root cause: every CC round
+    joins the edge relation, so an unmaterialized edge list re-executes
+    its whole upstream subtree once per round (measured 4x wall-clock at
+    27M edges). The traced source must run at most once per union branch
+    (2x rows), no matter how many propagation rounds execute."""
+    from pyspark.sql import functions as F
+
+    from gan_deeplearning4j_spark.operators.dedup import connected_components
+
+    calls = spark.sparkContext.accumulator(0)
+
+    @F.udf("long")
+    def traced(x):
+        calls.add(1)
+        return x
+
+    # a 5-chain forces >= 3 propagation rounds
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (7, 8)], "id_a long, id_b long"
+    ).withColumn("id_a", traced("id_a"))
+    out = connected_components(edges)
+    rows = {(r["node"], r["comp"]) for r in out.collect()}
+    assert {(1, 1), (2, 1), (3, 1), (4, 1), (5, 1), (7, 7), (8, 7)} == rows
+    # 5 edges, read once by each of the two union branches
+    assert calls.value <= 10, calls.value
