@@ -36,7 +36,11 @@ def main() -> int:
     spark = builder.getOrCreate()
     assert len(E.entry(spark).collect()) > 0   # sf0.001 smoke
 
-    sf = '/root/testdata/sf0.01'
+    # SPARK_GRAFT_REPLICA_SF_DIR: run the same gate at another scale
+    # factor (e.g. sf0.001 for empty-group/small-regime edge cases)
+    sf = os.environ.get(
+        "SPARK_GRAFT_REPLICA_SF_DIR", "/root/testdata/sf0.01"
+    )
     con = duckdb.connect()
     for t in ['region', 'nation', 'customer', 'supplier', 'part', 'orders',
               'lineitem', 'events', 'documents', 'embeddings']:
