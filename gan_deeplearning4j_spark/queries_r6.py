@@ -421,3 +421,185 @@ def q_hll_merge_bracket(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 tail slots (window math: exactly 2 new oracled queries keep the
+# never-green prefix at 50 = the driver window).  Two genuinely new query
+# CLASSES, not variations: greedy sequence packing (the LLM-pipeline op
+# that length_bucket_batches/doc_chunking do NOT cover) and recursive
+# hierarchy explosion (BOM / org-chart rollup).
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 256  # tokens per training bin
+
+
+@register(
+    "greedy_pack_bins",
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+      SELECT source, doc_id,
+             CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                  x -> x != '')) AS BIGINT) AS tok,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    pack AS (
+      SELECT source, rn, tok, 1::BIGINT AS bin_id, tok AS acc
+      FROM toks WHERE rn = 1
+      UNION ALL
+      SELECT t.source, t.rn, t.tok,
+             CASE WHEN p.acc + t.tok > {_PACK_BUDGET}
+                  THEN p.bin_id + 1 ELSE p.bin_id END,
+             CASE WHEN p.acc + t.tok > {_PACK_BUDGET}
+                  THEN t.tok ELSE p.acc + t.tok END
+      FROM pack p JOIN toks t ON t.source = p.source AND t.rn = p.rn + 1
+    ),
+    bins AS (SELECT source, bin_id,
+                    CAST(COUNT(*) AS BIGINT) AS bin_docs,
+                    CAST(SUM(tok) AS BIGINT) AS bin_tokens
+             FROM pack GROUP BY source, bin_id)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_bins,
+           CAST(SUM(bin_docs) AS BIGINT) AS n_docs,
+           CAST(SUM(bin_tokens) AS BIGINT) AS total_tokens,
+           CAST(MAX(bin_tokens) AS BIGINT) AS max_bin_tokens,
+           CAST(SUM(bin_tokens) AS BIGINT) * 1000000
+             // (COUNT(*) * {_PACK_BUDGET}) AS fill_ppm
+    FROM bins GROUP BY source
+    """,
+    doc="Greedy sequence packing: docs are packed in doc_id order into "
+        "fixed 256-token training bins per source shard (a doc longer than "
+        "the budget gets a bin of its own); per-source bin count, token "
+        "totals and fill ratio. The greedy scan is inherently sequential "
+        "WITHIN a shard, so the shard is the parallelism unit — "
+        "applyInPandas per source, one shuffle on the shard key, bins "
+        "never leave the worker. Oracle replays the identical greedy "
+        "recurrence as a DuckDB recursive CTE. At 100 TB the pattern "
+        "holds: thousands of shards pack independently; no driver-side "
+        "state, no global sort. LLM-pipeline op the brief calls 'pack'; "
+        "complements length_bucket_batches (static bucketing) and "
+        "doc_chunking (splitting)",
+)
+def q_greedy_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        "doc_id",
+        F.size(F.filter(
+            F.split(F.trim(F.col("text")), r"\s+"),
+            lambda t: F.length(t) > 0,
+        )).cast("long").alias("tok"),
+    )
+    budget = _PACK_BUDGET
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("doc_id")
+        rows = []
+        bin_id, acc, ndocs = 1, 0, 0
+        for tok in pdf["tok"]:
+            if ndocs > 0 and acc + tok > budget:
+                rows.append((bin_id, ndocs, acc))
+                bin_id, acc, ndocs = bin_id + 1, 0, 0
+            acc += tok
+            ndocs += 1
+        if ndocs:
+            rows.append((bin_id, ndocs, acc))
+        return pd.DataFrame({
+            "source": pdf["source"].iloc[0],
+            "bin_id": [r[0] for r in rows],
+            "bin_docs": [r[1] for r in rows],
+            "bin_tokens": [r[2] for r in rows],
+        })
+
+    bins = toks.groupBy("source").applyInPandas(
+        pack, "source string, bin_id long, bin_docs long, bin_tokens long"
+    )
+    return bins.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_bins"),
+        F.sum("bin_docs").cast("long").alias("n_docs"),
+        F.sum("bin_tokens").cast("long").alias("total_tokens"),
+        F.max("bin_tokens").cast("long").alias("max_bin_tokens"),
+        F.expr(
+            f"sum(bin_tokens) * 1000000 DIV (count(*) * {budget})"
+        ).cast("long").alias("fill_ppm"),
+    )
+
+
+@register(
+    "bom_explosion_rollup",
+    oracle="""
+    WITH RECURSIVE p AS (
+      SELECT p_partkey AS part,
+             CAST(round(p_retailprice * 100) AS BIGINT) AS cost_c
+      FROM part
+    ),
+    h AS (
+      SELECT part, part AS root, 0::BIGINT AS depth, cost_c
+      FROM p WHERE part < 10
+      UNION ALL
+      SELECT c.part, h.root, h.depth + 1, c.cost_c
+      FROM p c JOIN h ON c.part // 10 = h.part AND c.part >= 10
+    )
+    SELECT root,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(MAX(depth) AS BIGINT) AS max_depth,
+           CAST(SUM(cost_c) AS BIGINT) AS total_cost_c
+    FROM h GROUP BY root
+    """,
+    doc="Recursive hierarchy explosion (bill-of-materials / org-chart "
+        "class): a forest is derived over part (parent = partkey DIV 10, "
+        "roots < 10) and each root's subtree is exploded level by level — "
+        "an iterative equi-join loop with per-level localCheckpoint "
+        "materialization (the connected_components/pagerank machinery "
+        "shape), terminating when a frontier is empty, so depth is "
+        "data-driven, not hard-coded (sf0.01 is 4 levels, sf0.1 is 5). "
+        "Rollup = count/max-depth/integer-cents cost sum per root. Oracle "
+        "is the textbook WITH RECURSIVE walk. Scale: each level is one "
+        "shuffle-on-parent equi-join over the remaining edge set — O(depth) "
+        "jobs; for log-depth hierarchies pointer-jumping (as in "
+        "connected_components, operators/dedup.py:650) is the drop-in "
+        "upgrade. No driver-side fact data: loop control reads only "
+        "take(1) emptiness per level",
+)
+def q_bom_explosion_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    part = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("part"),
+        F.round(F.col("p_retailprice") * 100, 0).cast("long").alias("cost_c"),
+    )
+    edges = part.where(F.col("part") >= 10).select(
+        "part", F.expr("part DIV 10").alias("parent"), "cost_c"
+    )
+    frontier = part.where(F.col("part") < 10).select(
+        "part",
+        F.col("part").alias("root"),
+        F.lit(0).cast("long").alias("depth"),
+        "cost_c",
+    ).localCheckpoint()
+    levels = [frontier]
+    for _ in range(40):  # safety bound; real stop is the empty frontier
+        nxt = (
+            edges.join(
+                frontier.select(F.col("part").alias("parent"),
+                                "root", "depth"),
+                "parent",
+            )
+            .select("part", "root",
+                    (F.col("depth") + F.lit(1).cast("long")).alias("depth"),
+                    "cost_c")
+            .localCheckpoint()
+        )
+        if not nxt.take(1):
+            break
+        levels.append(nxt)
+        frontier = nxt
+    union = reduce(DataFrame.unionByName, levels)
+    return union.groupBy("root").agg(
+        F.count("*").cast("long").alias("n_parts"),
+        F.max("depth").cast("long").alias("max_depth"),
+        F.sum("cost_c").cast("long").alias("total_cost_c"),
+    )

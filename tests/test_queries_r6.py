@@ -229,3 +229,80 @@ def test_safe_merge_batch_property_random_corpora():
         assert t1 == t2  # identical final vocabulary too
 
     check()
+
+
+def test_greedy_pack_bins_matches_python_replay(spark, sf_dir):
+    """The applyInPandas greedy packer equals a plain-python replay of the
+    same recurrence (doc_id order, close-bin-on-overflow, oversized doc
+    gets its own bin)."""
+    out = (
+        REGISTRY["greedy_pack_bins"].fn(spark, sf_dir)
+        .toPandas().sort_values("source").reset_index(drop=True)
+    )
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    docs["tok"] = [
+        sum(1 for t in str(x).strip().split() if t) for x in docs["text"]
+    ]
+    budget = 256
+    want = []
+    for src, g in docs.sort_values("doc_id").groupby("source"):
+        bins = []
+        acc = ndocs = 0
+        for tok in g["tok"]:
+            if ndocs > 0 and acc + tok > budget:
+                bins.append((ndocs, acc))
+                acc = ndocs = 0
+            acc += tok
+            ndocs += 1
+        if ndocs:
+            bins.append((ndocs, acc))
+        want.append({
+            "source": src,
+            "n_bins": len(bins),
+            "n_docs": sum(b[0] for b in bins),
+            "total_tokens": sum(b[1] for b in bins),
+            "max_bin_tokens": max(b[1] for b in bins),
+            "fill_ppm": sum(b[1] for b in bins) * 1000000
+            // (len(bins) * budget),
+        })
+    want = pd.DataFrame(want).sort_values("source").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        out[want.columns].astype("int64", errors="ignore"), want,
+        check_dtype=False,
+    )
+    # every bin except possibly one per source respects the budget only if
+    # no single doc exceeds it — with 256 tokens some docs may: assert the
+    # packer never SPLITS a doc (token totals conserved)
+    assert out["total_tokens"].sum() == docs["tok"].sum()
+
+
+def test_bom_explosion_rollup_matches_python_replay(spark, sf_dir):
+    """The iterative level-join loop equals a pandas walk of the derived
+    parent = partkey DIV 10 forest, and covers every part exactly once."""
+    out = (
+        REGISTRY["bom_explosion_rollup"].fn(spark, sf_dir)
+        .toPandas().sort_values("root").reset_index(drop=True)
+    )
+    part = pd.read_parquet(f"{sf_dir}/part.parquet")
+    part["cost_c"] = (part["p_retailprice"] * 100).round().astype("int64")
+    k = part["p_partkey"].to_numpy()
+    depth = np.zeros(len(k), dtype=np.int64)
+    root = k.copy()
+    cur = k.copy()
+    while (cur >= 10).any():
+        m = cur >= 10
+        cur = np.where(m, cur // 10, cur)
+        depth += m.astype(np.int64)
+        root = np.where(m | (root >= 10), cur, root)
+    rep = pd.DataFrame({"root": cur, "depth": depth, "cost_c": part["cost_c"]})
+    want = (
+        rep.groupby("root")
+        .agg(n_parts=("depth", "size"), max_depth=("depth", "max"),
+             total_cost_c=("cost_c", "sum"))
+        .reset_index().sort_values("root").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        out[["root", "n_parts", "max_depth", "total_cost_c"]], want,
+        check_dtype=False,
+    )
+    assert out["n_parts"].sum() == len(part)
