@@ -2689,3 +2689,14 @@ from . import queries_ext  # noqa: E402,F401  (import side effect: registration)
 from . import queries_r4   # noqa: E402,F401  (import side effect: registration)
 from . import queries_r5   # noqa: E402,F401  (import side effect: registration)
 from . import queries_r6   # noqa: E402,F401  (import side effect: registration)
+
+# Round-7 staging: written and locally verified during round 6, but kept OUT
+# of the registry until round 7 so the round-6 driver window (exactly the 50
+# never-green entries) is not displaced.  Round 7 flips this to an
+# unconditional register_all() once CORRECTNESS_r06 lands.
+import os as _os  # noqa: E402
+
+if _os.environ.get("SPARK_GRAFT_R7"):
+    from . import queries_r7
+
+    queries_r7.register_all()

@@ -116,3 +116,31 @@ def test_r6_driver_window_covers_every_unverified_entry():
                  "approx_quantile_bracket", "approx_distinct_bracket",
                  "heavy_hitters_guarantee", "hll_merge_bracket"):
         assert name in never[:50], name
+
+
+def test_r7_staged_queries_disjoint_and_gated():
+    """queries_r7 is staged, not registered: its names must not collide
+    with live registry entries, must not appear in queries() without the
+    gate, and must register cleanly in a gated subprocess."""
+    import subprocess
+    import sys
+
+    from gan_deeplearning4j_spark import queries_r7
+    from gan_deeplearning4j_spark.queries import REGISTRY
+
+    staged = set(queries_r7.STAGED)
+    assert staged, "staged wave should not be empty"
+    assert not staged & set(REGISTRY)
+    # every staged entry carries an oracle (hash-grade on registration)
+    assert all(t[1] for t in queries_r7.STAGED.values())
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "from gan_deeplearning4j_spark.queries import REGISTRY;"
+         "from gan_deeplearning4j_spark import queries_r7;"
+         "print(len(set(queries_r7.STAGED) & set(REGISTRY)))"],
+        env={"SPARK_GRAFT_R7": "1", "PATH": "/usr/bin:/bin",
+             "HOME": "/root"},
+        cwd="/root/repo", capture_output=True, text=True, timeout=120,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert out.stdout.strip() == str(len(staged))
