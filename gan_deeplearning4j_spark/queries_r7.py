@@ -840,3 +840,336 @@ def q_python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n"),
         F.sum("id").cast("long").alias("sum_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Paired nonparametric test: Wilcoxon signed-rank statistic
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "wilcoxon_signed_rank",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ), span AS (
+      SELECT (MIN(day) + MAX(day) + 1) // 2 AS mid FROM e
+    ), pairs AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN day <  mid THEN cents ELSE 0 END)
+                  AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN day >= mid THEN cents ELSE 0 END)
+                  AS BIGINT) AS b
+      FROM e CROSS JOIN span GROUP BY user_id
+    ), d AS (
+      SELECT b - a AS diff, abs(b - a) AS ad FROM pairs WHERE b - a != 0
+    ), r AS (
+      SELECT diff,
+             2 * RANK() OVER (ORDER BY ad)
+               + COUNT(*) OVER (PARTITION BY ad) - 1 AS rank_x2
+      FROM d
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN diff > 0 THEN rank_x2 ELSE 0 END) AS BIGINT)
+             AS w_plus_x2,
+           CAST(SUM(CASE WHEN diff < 0 THEN rank_x2 ELSE 0 END) AS BIGINT)
+             AS w_minus_x2
+    FROM r
+    """,
+    doc="Wilcoxon signed-rank test statistic for paired samples: each "
+        "user's purchase spend in the first vs second half of the "
+        "observation span forms a pair; zero diffs drop (standard "
+        "Wilcoxon), tied |diff| ranks get the average rank — carried as "
+        "2x-scaled INTEGERS (2*min_rank + ties - 1 == twice the average "
+        "rank), so W+ and W- are exact and the hash cannot drift. "
+        "Completes the paired branch of the nonparametric family "
+        "(mann_whitney_u is the unpaired one). Scale: one filtered scan, "
+        "a user-keyed aggregate, and a rank window over the (small) pair "
+        "set; the span scalar is a broadcast literal",
+)
+def q_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    ).select(
+        "user_id", F.expr("ts_nanos div 86400000000000").alias("day"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"))
+    span = e.agg(F.expr("(min(day) + max(day) + 1) DIV 2").alias("mid"))
+    pairs = e.crossJoin(F.broadcast(span)).groupBy("user_id").agg(
+        F.sum(F.when(F.col("day") < F.col("mid"), F.col("cents"))
+              .otherwise(0)).cast("long").alias("a"),
+        F.sum(F.when(F.col("day") >= F.col("mid"), F.col("cents"))
+              .otherwise(0)).cast("long").alias("b"))
+    d = pairs.select(
+        (F.col("b") - F.col("a")).alias("diff"),
+        F.abs(F.col("b") - F.col("a")).alias("ad"),
+    ).where(F.col("diff") != 0)
+    r = d.select(
+        "diff",
+        (2 * F.rank().over(Window.orderBy("ad"))
+         + F.count("*").over(Window.partitionBy("ad")) - 1)
+        .cast("long").alias("rank_x2"))
+    return r.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(F.when(F.col("diff") > 0, F.col("rank_x2")).otherwise(0))
+        .cast("long").alias("w_plus_x2"),
+        F.sum(F.when(F.col("diff") < 0, F.col("rank_x2")).otherwise(0))
+        .cast("long").alias("w_minus_x2"))
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka embeddings: prefix-dimension energy retention
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "matryoshka_truncation_error",
+    oracle="""
+    WITH x AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            v -> CAST(floor(v * 1048576) AS BIGINT)) AS q
+      FROM embeddings
+    ), s AS (
+      SELECT vec_id,
+             CAST(list_sum(list_transform(q[1:16],  v -> v*v)) AS BIGINT)
+               AS s16,
+             CAST(list_sum(list_transform(q[1:32],  v -> v*v)) AS BIGINT)
+               AS s32,
+             CAST(list_sum(list_transform(q,        v -> v*v)) AS BIGINT)
+               AS s64
+      FROM x
+    ), u AS (
+      SELECT 16 AS dims, s16 * 1000000 // s64 AS ppm FROM s
+      UNION ALL SELECT 32, s32 * 1000000 // s64 FROM s
+      UNION ALL SELECT 64, s64 * 1000000 // s64 FROM s
+    )
+    SELECT CAST(dims AS BIGINT) AS dims,
+           CAST(SUM(ppm) AS BIGINT) // COUNT(*) AS avg_energy_ppm,
+           CAST(MIN(ppm) AS BIGINT) AS min_energy_ppm,
+           CAST(COUNT(*) FILTER (WHERE ppm < 500000) AS BIGINT)
+             AS n_below_half
+    FROM u GROUP BY dims
+    """,
+    doc="Matryoshka-representation audit: how much of each embedding's "
+        "L2 energy survives truncation to the first 16/32/64 dims "
+        "(cos^2 between the full vector and its zero-padded prefix equals "
+        "the prefix energy ratio — no sqrt needed, so the whole metric is "
+        "exact integer: 2^20 fixed-point squares, ppm ratios). The "
+        "go/no-go analysis for serving truncated embeddings at lower "
+        "memory. Scale: scan-stage array math (one pass, no shuffle "
+        "before the 3-group aggregate); the same fixed-point discipline "
+        "as pq_fixed_topk makes the oracle bit-exact",
+)
+def q_matryoshka_truncation_error(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, "
+               "v -> CAST(floor(CAST(v AS DOUBLE) * 1048576) AS BIGINT))")
+        .alias("q"))
+    s = emb.select(
+        "vec_id",
+        F.expr("aggregate(slice(q, 1, 16), 0L, (acc, v) -> acc + v*v)")
+        .alias("s16"),
+        F.expr("aggregate(slice(q, 1, 32), 0L, (acc, v) -> acc + v*v)")
+        .alias("s32"),
+        F.expr("aggregate(q, 0L, (acc, v) -> acc + v*v)").alias("s64"))
+    u = None
+    for dims, col in ((16, "s16"), (32, "s32"), (64, "s64")):
+        part = s.select(
+            F.lit(dims).cast("long").alias("dims"),
+            F.expr(f"{col} * 1000000 DIV s64").alias("ppm"))
+        u = part if u is None else u.unionByName(part)
+    return u.groupBy("dims").agg(
+        F.expr("sum(ppm) DIV count(*)").cast("long")
+        .alias("avg_energy_ppm"),
+        F.min("ppm").cast("long").alias("min_energy_ppm"),
+        F.count(F.when(F.col("ppm") < 500000, 1)).cast("long")
+        .alias("n_below_half"))
+
+
+# ---------------------------------------------------------------------------
+# OLAP reporting: day-of-week x hour occupancy heatmap
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "dow_hour_heatmap",
+    oracle="""
+    WITH e AS (
+      SELECT user_id,
+             (epoch_us(ts) // 86400000000 + 3) % 7 AS dow,
+             (epoch_us(ts) // 3600000000) % 24 AS hour
+      FROM events
+    )
+    SELECT CAST(dow AS BIGINT) AS dow, CAST(hour AS BIGINT) AS hour,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM e GROUP BY dow, hour
+    """,
+    doc="Day-of-week x hour activity heatmap (the ops-dashboard staple): "
+        "both axes from pure integer epoch arithmetic — dow = (epoch_day "
+        "+ 3) mod 7 (1970-01-01 was a Thursday; Monday = 0) — zero "
+        "calendar/timezone machinery, so the result is identical under "
+        "any session timezone. Scale: one scan, one 168-key aggregate "
+        "with map-side partials + a distinct-count expand; output size "
+        "is fixed at 7x24 regardless of fact volume",
+)
+def q_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("(ts_nanos div 86400000000000 + 3) % 7").alias("dow"),
+        F.expr("(ts_nanos div 3600000000000) % 24").alias("hour"))
+    return e.groupBy("dow", "hour").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"))
+
+
+# ---------------------------------------------------------------------------
+# Sketch algebra: HLL intersection via inclusion-exclusion, bracket-graded
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "hll_intersection_bracket",
+    oracle="""
+    WITH a AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'click'),
+    b AS (SELECT DISTINCT user_id FROM events
+          WHERE event_type = 'purchase'),
+    x AS (
+      SELECT CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS exact_a,
+             CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS exact_b,
+             CAST((SELECT COUNT(*) FROM (SELECT * FROM a UNION
+                                         SELECT * FROM b)) AS BIGINT)
+               AS exact_union,
+             CAST((SELECT COUNT(*) FROM (SELECT * FROM a INTERSECT
+                                         SELECT * FROM b)) AS BIGINT)
+               AS exact_inter
+    )
+    SELECT exact_a, exact_b, exact_union, exact_inter, TRUE AS within
+    FROM x
+    """,
+    doc="Sketch ALGEBRA beyond union: HLL sketches only merge by union, "
+        "so the intersection comes from inclusion-exclusion est(A) + "
+        "est(B) - est(AUB) — three estimates whose errors ADD, which is "
+        "why the in-engine guarantee bracket is scaled to the UNION size "
+        "(|err| * 10 <= exact_union + 10, >3 sigma at lgK=12's ~1.6% "
+        "rsd). Only the deterministic exact values + the verdict are "
+        "emitted (the heavy_hitters_guarantee evidence pattern). Scale: "
+        "sketch-side is two filtered scans + one union-merge — the 100 TB "
+        "path never rescans facts; the exact side exists only as the "
+        "test-SF oracle",
+)
+def q_hll_intersection_bracket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    a = ev.where(F.col("event_type") == "click").select("user_id")
+    b = ev.where(F.col("event_type") == "purchase").select("user_id")
+    ska = a.agg(F.expr("hll_sketch_agg(user_id)").alias("sk"),
+                F.countDistinct("user_id").cast("long").alias("exact_a"))
+    skb = b.agg(F.expr("hll_sketch_agg(user_id)").alias("sk"),
+                F.countDistinct("user_id").cast("long").alias("exact_b"))
+    sku = (
+        a.unionByName(b)
+        .agg(F.expr("hll_sketch_agg(user_id)").alias("sku"),
+             F.countDistinct("user_id").cast("long").alias("exact_union"))
+    )
+    inter = a.intersect(b).agg(
+        F.count("*").cast("long").alias("exact_inter"))
+    est = (
+        ska.crossJoin(skb.withColumnRenamed("sk", "skb"))
+        .crossJoin(sku).crossJoin(F.broadcast(inter))
+        .select(
+            "exact_a", "exact_b", "exact_union", "exact_inter",
+            (F.expr("CAST(hll_sketch_estimate(sk) AS BIGINT)")
+             + F.expr("CAST(hll_sketch_estimate(skb) AS BIGINT)")
+             - F.expr("CAST(hll_sketch_estimate(sku) AS BIGINT)"))
+            .alias("est_inter"))
+    )
+    return est.select(
+        "exact_a", "exact_b", "exact_union", "exact_inter",
+        (F.abs(F.col("est_inter") - F.col("exact_inter")) * 10
+         <= F.col("exact_union") + 10).alias("within"))
+
+
+# ---------------------------------------------------------------------------
+# ML evaluation: k-NN label accuracy (fixed-point, exact oracle)
+# ---------------------------------------------------------------------------
+
+_KNN_NQ = 50
+_KNN_K = 5
+
+
+@_stage(
+    "knn_label_accuracy",
+    oracle=f"""
+    WITH x AS (
+      SELECT vec_id, label,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            v -> CAST(floor(v * 1048576) AS BIGINT)) AS q
+      FROM embeddings
+    ), qs AS (SELECT * FROM x WHERE vec_id < {_KNN_NQ}),
+    tr AS (SELECT * FROM x WHERE vec_id >= {_KNN_NQ}),
+    d AS (
+      SELECT qs.vec_id AS qid, qs.label AS qlabel, tr.label AS tlabel,
+             CAST(list_sum(list_transform(range(1, 65),
+                  i -> (qs.q[i] - tr.q[i]) * (qs.q[i] - tr.q[i])))
+                  AS BIGINT) AS l2,
+             tr.vec_id AS tid
+      FROM qs CROSS JOIN tr
+    ), topk AS (
+      SELECT qid, qlabel, tlabel FROM d
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY l2, tid)
+              <= {_KNN_K}
+    ), votes AS (
+      SELECT qid, qlabel, tlabel, COUNT(*) AS c FROM topk
+      GROUP BY qid, qlabel, tlabel
+    ), pred AS (
+      SELECT qid, qlabel, tlabel AS plabel FROM votes
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, tlabel)
+              = 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(CASE WHEN plabel = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
+           CAST(SUM(CASE WHEN plabel = qlabel THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS acc_ppm
+    FROM pred
+    """,
+    doc="k-NN classification accuracy (the ML-eval complement to "
+        "cosine_topk's retrieval): 50 held-out query vectors classified "
+        "by 5-nearest-neighbor majority vote over the rest, exact "
+        "fixed-point L2 (2^20 scale), deterministic ties (distance then "
+        "id; vote count then label). Scale: the query set is bounded and "
+        "BROADCAST, so the 'cross join' is a map-side broadcast "
+        "nested-loop over the train scan — one pass, no shuffle until "
+        "the per-query top-k (partial TakeOrdered per partition); the "
+        "unbounded-both-sides case is what ivf/lsh/pq_topk exist for",
+)
+def q_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        F.expr("transform(embedding, "
+               "v -> CAST(floor(CAST(v AS DOUBLE) * 1048576) AS BIGINT))")
+        .alias("q"))
+    qs = emb.where(F.col("vec_id") < _KNN_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("label").alias("qlabel"),
+        F.col("q").alias("qq"))
+    tr = emb.where(F.col("vec_id") >= _KNN_NQ).select(
+        F.col("vec_id").alias("tid"), F.col("label").alias("tlabel"), "q")
+    d = tr.crossJoin(F.broadcast(qs)).select(
+        "qid", "qlabel", "tlabel", "tid",
+        F.expr("aggregate(zip_with(qq, q, (a, b) -> (a - b) * (a - b)), "
+               "0L, (acc, v) -> acc + v)").alias("l2"))
+    w = Window.partitionBy("qid").orderBy("l2", "tid")
+    topk = d.withColumn("rn", F.row_number().over(w)).where(
+        (F.col("rn") <= _KNN_K))
+    votes = topk.groupBy("qid", "qlabel", "tlabel").agg(
+        F.count("*").alias("c"))
+    wv = Window.partitionBy("qid").orderBy(F.col("c").desc(), F.col("tlabel"))
+    pred = votes.withColumn("rn", F.row_number().over(wv)).where(
+        F.col("rn") == 1)
+    return pred.agg(
+        F.count("*").cast("long").alias("n_queries"),
+        F.sum(F.when(F.col("qlabel") == F.col("tlabel"), 1).otherwise(0))
+        .cast("long").alias("n_correct"),
+        F.expr("sum(CASE WHEN qlabel = tlabel THEN 1 ELSE 0 END) "
+               "* 1000000 DIV count(*)").cast("long").alias("acc_ppm"))
