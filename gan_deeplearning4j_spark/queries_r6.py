@@ -497,34 +497,33 @@ def q_greedy_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values("doc_id")
-        rows = []
-        bin_id, acc, ndocs = 1, 0, 0
+        bins = []  # (bin_docs, bin_tokens)
+        acc, ndocs = 0, 0
         for tok in pdf["tok"]:
             if ndocs > 0 and acc + tok > budget:
-                rows.append((bin_id, ndocs, acc))
-                bin_id, acc, ndocs = bin_id + 1, 0, 0
+                bins.append((ndocs, acc))
+                acc, ndocs = 0, 0
             acc += tok
             ndocs += 1
         if ndocs:
-            rows.append((bin_id, ndocs, acc))
+            bins.append((ndocs, acc))
+        total = sum(b[1] for b in bins)
+        # summary computed IN the packer: one output row per group, so the
+        # whole query has a single exchange (a post-packer groupBy would
+        # re-shuffle — FlatMapGroupsInPandas output reports no partitioning)
         return pd.DataFrame({
-            "source": pdf["source"].iloc[0],
-            "bin_id": [r[0] for r in rows],
-            "bin_docs": [r[1] for r in rows],
-            "bin_tokens": [r[2] for r in rows],
+            "source": [pdf["source"].iloc[0]],
+            "n_bins": [len(bins)],
+            "n_docs": [sum(b[0] for b in bins)],
+            "total_tokens": [total],
+            "max_bin_tokens": [max(b[1] for b in bins)],
+            "fill_ppm": [total * 1000000 // (len(bins) * budget)],
         })
 
-    bins = toks.groupBy("source").applyInPandas(
-        pack, "source string, bin_id long, bin_docs long, bin_tokens long"
-    )
-    return bins.groupBy("source").agg(
-        F.count("*").cast("long").alias("n_bins"),
-        F.sum("bin_docs").cast("long").alias("n_docs"),
-        F.sum("bin_tokens").cast("long").alias("total_tokens"),
-        F.max("bin_tokens").cast("long").alias("max_bin_tokens"),
-        F.expr(
-            f"sum(bin_tokens) * 1000000 DIV (count(*) * {budget})"
-        ).cast("long").alias("fill_ppm"),
+    return toks.groupBy("source").applyInPandas(
+        pack,
+        "source string, n_bins long, n_docs long, total_tokens long, "
+        "max_bin_tokens long, fill_ppm long",
     )
 
 

@@ -619,3 +619,25 @@ def test_r6_promotion_plans(spark, sf_dir):
     assert t.count("Scan parquet") == 1, t
     assert t.count("Expand") == 1, t
     assert "Join" not in t, t
+
+
+def test_r6_tail_slot_plans(spark, sf_dir):
+    """Round-6 tail-slot plan pins (greedy packer + BOM explosion)."""
+    from gan_deeplearning4j_spark.plans.explain import plan_tree
+    from gan_deeplearning4j_spark.queries import REGISTRY
+
+    # greedy_pack_bins: exactly one shard-key exchange feeds the pandas
+    # packer; the per-source summary re-uses that partitioning (no second
+    # exchange), and nothing joins
+    t = plan_tree(REGISTRY["greedy_pack_bins"].fn(spark, sf_dir))
+    assert t.count("FlatMapGroupsInPandas") == 1, t
+    assert t.count("- Exchange") == 1, t
+    assert "Join" not in t, t
+
+    # bom_explosion_rollup: per-level frontiers are localCheckpointed, so
+    # the final plan is a union of materialized RDD scans + equi-joins —
+    # no recomputation cascade of earlier levels, and no cartesian product
+    t = plan_tree(REGISTRY["bom_explosion_rollup"].fn(spark, sf_dir))
+    assert "Scan ExistingRDD" in t, t
+    assert "CartesianProduct" not in t, t
+    assert "BroadcastNestedLoopJoin" not in t, t
