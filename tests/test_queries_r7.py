@@ -1,0 +1,146 @@
+"""Round-7 staged-query pins: pure-python replays of the trickiest staged
+queries (DuckDB hash parity is already covered by the gated replica runs;
+these pin the SEMANTICS against an independent reimplementation so a later
+refactor cannot silently change both engines in the same wrong way).
+
+Staged queries are exercised through ``queries_r7.STAGED`` directly — no
+registry registration, so the round-6 driver-window ordering is untouched.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from gan_deeplearning4j_spark.queries_r7 import STAGED
+
+
+def _fn(name):
+    return STAGED[name][0]
+
+
+def test_wilcoxon_signed_rank_matches_scipy_style_replay(spark, sf_dir):
+    """W+ and W- (2x-scaled) equal a plain numpy replay with average ranks
+    on tied |diff| and zero-diff exclusion."""
+    out = _fn("wilcoxon_signed_rank")(spark, sf_dir).toPandas().iloc[0]
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev = ev[ev["event_type"] == "purchase"].copy()
+    ev["day"] = (ev["ts"].astype("datetime64[ns]").astype("int64")
+                 // (86400 * 10**9))
+    ev["cents"] = np.floor(ev["value"].to_numpy() * 100).astype("int64")
+    mid = (ev["day"].min() + ev["day"].max() + 1) // 2
+    a = ev[ev["day"] < mid].groupby("user_id")["cents"].sum()
+    b = ev[ev["day"] >= mid].groupby("user_id")["cents"].sum()
+    users = sorted(set(a.index) | set(b.index))
+    diffs = np.array([b.get(u, 0) - a.get(u, 0) for u in users])
+    diffs = diffs[diffs != 0]
+    ad = np.abs(diffs)
+    order = np.argsort(ad, kind="stable")
+    # 2x average ranks with ties
+    rank_x2 = np.empty(len(ad), dtype="int64")
+    sorted_ad = ad[order]
+    i = 0
+    while i < len(sorted_ad):
+        j = i
+        while j < len(sorted_ad) and sorted_ad[j] == sorted_ad[i]:
+            j += 1
+        # ranks i+1..j (1-based); average*2 = (i+1 + j)
+        rank_x2[order[i:j]] = (i + 1) + j
+        i = j
+    w_plus = int(rank_x2[diffs > 0].sum())
+    w_minus = int(rank_x2[diffs < 0].sum())
+    assert int(out["n_pairs"]) == len(diffs)
+    assert int(out["w_plus_x2"]) == w_plus
+    assert int(out["w_minus_x2"]) == w_minus
+    # invariant: W+ + W- == n(n+1) (2x the full rank sum)
+    n = len(diffs)
+    assert w_plus + w_minus == n * (n + 1)
+
+
+def test_changepoint_single_split_matches_numpy_argmax(spark, sf_dir):
+    """The O(n) closed-form gain argmax equals a brute-force two-segment
+    scan over the daily series."""
+    out = _fn("changepoint_single_split")(spark, sf_dir).toPandas().iloc[0]
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    o["day"] = (o["o_orderdate"].astype("datetime64[ns]").astype("int64")
+                // (86400 * 10**9))
+    o["cents"] = (o["o_totalprice"] * 100).round().astype("int64")
+    daily = o.groupby("day")["cents"].sum().sort_index()
+    c = daily.to_numpy(dtype="int64")
+    days = daily.index.to_numpy()
+    n = len(c)
+    s = c.sum()
+    best = None
+    for k in range(1, n):
+        sk = c[:k].sum()
+        gain = (float(sk) * float(sk)) / k \
+            + (float(s - sk) * float(s - sk)) / (n - k) \
+            - (float(s) * float(s)) / n
+        if best is None or gain > best[0] + 1e-9:
+            best = (gain, days[k - 1], k)
+    assert int(out["n_days"]) == n
+    assert int(out["split_day"]) == int(best[1])
+    assert int(out["left_days"]) == best[2]
+    assert abs(int(out["gain_floor"]) - int(np.floor(best[0]))) <= 1
+
+
+def test_knn_label_accuracy_matches_numpy_replay(spark, sf_dir):
+    """Majority-vote 5-NN accuracy equals the numpy replay with identical
+    fixed-point math and tie-breaks."""
+    out = _fn("knn_label_accuracy")(spark, sf_dir).toPandas().iloc[0]
+    t = pd.read_parquet(f"{sf_dir}/embeddings.parquet").sort_values("vec_id")
+    ids = t["vec_id"].to_numpy()
+    labels = t["label"].to_numpy()
+    x = np.asarray([np.asarray(v, dtype=np.float64) for v in t["embedding"]])
+    q = np.floor(x * (1 << 20)).astype("int64")
+    qmask = ids < 50
+    correct = 0
+    for qi in np.where(qmask)[0]:
+        d = ((q[~qmask] - q[qi]) ** 2).sum(axis=1)
+        tid = ids[~qmask]
+        order = np.lexsort((tid, d))[:5]
+        votes = {}
+        for lab in labels[~qmask][order]:
+            votes[lab] = votes.get(lab, 0) + 1
+        pred = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        correct += int(pred == labels[qi])
+    nq = int(qmask.sum())
+    assert int(out["n_queries"]) == nq
+    assert int(out["n_correct"]) == correct
+    assert int(out["acc_ppm"]) == correct * 1_000_000 // nq
+
+
+def test_matryoshka_energy_monotone_and_exact_at_full_dim(spark, sf_dir):
+    """Prefix energy is monotone in dims and exactly 1e6 ppm at 64."""
+    out = _fn("matryoshka_truncation_error")(spark, sf_dir).toPandas()
+    out = out.sort_values("dims").reset_index(drop=True)
+    assert list(out["dims"]) == [16, 32, 64]
+    avg = list(out["avg_energy_ppm"])
+    assert avg[0] <= avg[1] <= avg[2]
+    assert avg[2] == 1_000_000
+    assert int(out.loc[2, "min_energy_ppm"]) == 1_000_000
+    assert int(out.loc[2, "n_below_half"]) == 0
+
+
+def test_bootstrap_ci_brackets_full_mean(spark, sf_dir):
+    """The hash-bootstrap CI straddles the full-sample mean and is ordered."""
+    out = _fn("bootstrap_ci_hash")(spark, sf_dir).toPandas().iloc[0]
+    assert int(out["n_resamples"]) == 50
+    lo, hi, m = (int(out["ci_lo_c"]), int(out["ci_hi_c"]),
+                 int(out["full_mean_c"]))
+    assert lo <= hi
+    # half-sampling CI of the mean should contain the full mean comfortably
+    assert lo <= m <= hi
+
+
+def test_greedy_vs_packing_lower_bound(spark, sf_dir):
+    """Staged-wave sanity for the registered packer's family: greedy bin
+    count is within 2x of the fractional lower bound ceil(total/budget)
+    per source (first-fit-style guarantee for items <= budget)."""
+    from gan_deeplearning4j_spark.queries import REGISTRY
+
+    out = REGISTRY["greedy_pack_bins"].fn(spark, sf_dir).toPandas()
+    for _, r in out.iterrows():
+        lower = -(-int(r["total_tokens"]) // 256)
+        # oversized docs each take a bin; bound still holds loosely
+        assert int(r["n_bins"]) <= max(2 * lower, int(r["n_docs"]))
