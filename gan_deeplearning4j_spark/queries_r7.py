@@ -1173,3 +1173,74 @@ def q_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long").alias("n_correct"),
         F.expr("sum(CASE WHEN qlabel = tlabel THEN 1 ELSE 0 END) "
                "* 1000000 DIV count(*)").cast("long").alias("acc_ppm"))
+
+
+# ---------------------------------------------------------------------------
+# Knee/elbow detection on the power-user curve (Kneedle chord distance)
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "knee_point_power_users",
+    oracle="""
+    WITH per AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY user_id
+    ), r AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY c DESC, user_id) AS BIGINT)
+               AS k,
+             CAST(SUM(c) OVER (ORDER BY c DESC, user_id) AS BIGINT) AS sk
+      FROM per
+    ), tot AS (
+      SELECT CAST(MAX(k) AS BIGINT) AS n, CAST(MAX(sk) AS BIGINT) AS s,
+             CAST(MIN(sk) AS BIGINT) AS s1
+      FROM r
+    ), d AS (
+      SELECT k, sk,
+             (n - 1) * (sk - s1) - (k - 1) * (s - s1) AS cross_v, n, s
+      FROM r CROSS JOIN tot
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           CAST(s AS BIGINT) AS total_events,
+           CAST(k AS BIGINT) AS knee_rank,
+           CAST(sk AS BIGINT) AS knee_cum_events,
+           CAST(cross_v AS BIGINT) AS chord_cross_max
+    FROM d ORDER BY cross_v DESC, k LIMIT 1
+    """,
+    doc="Knee/elbow detection (Kneedle chord method) on the power-user "
+        "curve: rank users by activity, take the cumulative-events curve, "
+        "and report the rank maximizing the distance to the chord from "
+        "first to last point — the principled 'where does the heavy tail "
+        "start' cutoff used for cache sizing, skew-key selection and "
+        "curation budgets. The perpendicular distance is monotone in the "
+        "integer cross product (n-1)(S_k - S_1) - (k-1)(S_n - S_1), so "
+        "the argmax is EXACT integer math with a deterministic (cross, "
+        "rank) tie-break. Scale: the curve lives on the post-aggregate "
+        "per-user relation (one fact shuffle); the single-partition "
+        "window is over users-not-events; for 1e9+ users the same cross "
+        "product runs per-partition with a 2-row chord broadcast. "
+        "Complement to power_user_curve (the curve) and "
+        "lorenz_concentration (the area)",
+)
+def q_knee_point_power_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per = _t(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.count("*").cast("long").alias("c"))
+    w = Window.orderBy(F.col("c").desc(), F.col("user_id"))
+    r = per.select(
+        F.row_number().over(w).cast("long").alias("k"),
+        F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long").alias("sk"))
+    tot = r.agg(F.max("k").cast("long").alias("n"),
+                F.max("sk").cast("long").alias("s"),
+                F.min("sk").cast("long").alias("s1"))
+    d = r.crossJoin(F.broadcast(tot)).select(
+        "k", "sk", "n", "s",
+        F.expr("(n - 1) * (sk - s1) - (k - 1) * (s - s1)")
+        .alias("cross_v"))
+    return (
+        d.orderBy(F.col("cross_v").desc(), F.col("k")).limit(1)
+        .select(F.col("n").alias("n_users"),
+                F.col("s").alias("total_events"),
+                F.col("k").alias("knee_rank"),
+                F.col("sk").alias("knee_cum_events"),
+                F.col("cross_v").cast("long").alias("chord_cross_max"))
+    )

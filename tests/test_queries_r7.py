@@ -144,3 +144,21 @@ def test_greedy_vs_packing_lower_bound(spark, sf_dir):
         lower = -(-int(r["total_tokens"]) // 256)
         # oversized docs each take a bin; bound still holds loosely
         assert int(r["n_bins"]) <= max(2 * lower, int(r["n_docs"]))
+
+
+def test_knee_point_matches_numpy_replay(spark, sf_dir):
+    """The integer chord-cross argmax equals a numpy replay."""
+    out = _fn("knee_point_power_users")(spark, sf_dir).toPandas().iloc[0]
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    per = ev.groupby("user_id").size().reset_index(name="c")
+    per = per.sort_values(["c", "user_id"],
+                          ascending=[False, True]).reset_index(drop=True)
+    sk = per["c"].cumsum().to_numpy(dtype="int64")
+    k = np.arange(1, len(sk) + 1, dtype="int64")
+    n, s, s1 = len(sk), int(sk[-1]), int(sk[0])
+    cross = (n - 1) * (sk - s1) - (k - 1) * (s - s1)
+    best = int(np.lexsort((k, -cross))[0])
+    assert int(out["n_users"]) == n
+    assert int(out["total_events"]) == s
+    assert int(out["knee_rank"]) == int(k[best])
+    assert int(out["chord_cross_max"]) == int(cross[best])
