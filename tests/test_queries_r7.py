@@ -162,3 +162,34 @@ def test_knee_point_matches_numpy_replay(spark, sf_dir):
     assert int(out["total_events"]) == s
     assert int(out["knee_rank"]) == int(k[best])
     assert int(out["chord_cross_max"]) == int(cross[best])
+
+
+def test_staged_scale_plans(spark, sf_dir):
+    """Plan pins for the scale-critical staged queries."""
+    from gan_deeplearning4j_spark.plans.explain import plan_tree
+
+    # asof_tolerance_join: the candidate join is a bucketed EQUI-join —
+    # never a cartesian/nested-loop interval join
+    t = plan_tree(_fn("asof_tolerance_join")(spark, sf_dir))
+    assert "CartesianProduct" not in t, t
+    assert "BroadcastNestedLoopJoin" not in t, t
+    assert "SortMergeJoin" in t or "ShuffledHashJoin" in t \
+        or "BroadcastHashJoin" in t, t
+
+    # oov_rate_by_lang: the top-K vocab joins in as a BROADCAST — the
+    # token stream must not shuffle for the join
+    t = plan_tree(_fn("oov_rate_by_lang")(spark, sf_dir))
+    assert "BroadcastHashJoin" in t, t
+    assert "SortMergeJoin" not in t, t
+
+    # feature_hash_counts: scan-side hash, no join anywhere; exactly the
+    # two exchanges a COUNT(DISTINCT) two-phase aggregate requires
+    t = plan_tree(_fn("feature_hash_counts")(spark, sf_dir))
+    assert "Join" not in t, t
+    assert t.count("- Exchange") == 2, t
+
+    # knn_label_accuracy: the bounded query set is the BROADCAST side of
+    # the intentional nested-loop; the train scan happens once
+    t = plan_tree(_fn("knn_label_accuracy")(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in t, t
+    assert t.count("Scan parquet") <= 2, t
