@@ -1244,3 +1244,51 @@ def q_knee_point_power_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("sk").alias("knee_cum_events"),
                 F.col("cross_v").cast("long").alias("chord_cross_max"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 native XML surface (from_xml + xpath), round-trip oracled
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "xml_roundtrip_extract",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_xpath_agree
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="Spark 4 native XML surface: each order is serialized to an XML "
+        "payload (deterministic concat of its own columns), parsed back "
+        "with schema-declared from_xml (single JVM-side parse — the XML "
+        "sibling of json_extract_agg's from_json discipline) AND "
+        "independently probed with xpath_string; the aggregate groups on "
+        "the PARSED struct fields and counts xpath/from_xml agreement. "
+        "The oracle computes the same aggregate from the source columns — "
+        "a round-trip identity, so any parser drift breaks the hash. "
+        "Scale: serialize+parse are scan-stage codegen expressions, one "
+        "5-group aggregate; no UDF, no shuffle beyond the groupBy",
+)
+def q_xml_roundtrip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        F.concat(
+            F.lit("<o><k>"), F.col("o_orderkey").cast("string"),
+            F.lit("</k><p>"), F.col("o_orderpriority"),
+            F.lit("</p><t>"),
+            F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            .cast("string"),
+            F.lit("</t></o>"),
+        ).alias("xml"))
+    parsed = o.select(
+        "xml",
+        F.from_xml(
+            "xml", "struct<k: bigint, p: string, t: bigint>"
+        ).alias("s"))
+    return parsed.groupBy(F.col("s.p").alias("priority")).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum("s.t").cast("long").alias("total_cents"),
+        F.count(F.when(
+            F.expr("xpath_string(xml, '/o/p/text()')") == F.col("s.p"), 1
+        )).cast("long").alias("n_xpath_agree"))
