@@ -282,6 +282,10 @@ def _decode_scan(data, pos, frame, scan, qtabs, htabs, restart_interval):
                     # reset the DC predictors (T.81 E.1.4)
                     r.bitbuf = 0
                     r.nbits = 0
+                    if r.pos + 1 >= len(r.data):
+                        # truncated exactly at an expected RSTn boundary:
+                        # same contract as _fill on truncated entropy data
+                        raise ValueError("jpeg: unexpected end of data")
                     if not (
                         r.data[r.pos] == 0xFF
                         and 0xD0 <= r.data[r.pos + 1] <= 0xD7

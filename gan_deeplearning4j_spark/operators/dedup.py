@@ -742,8 +742,10 @@ def dedup_clusters(
     docs otherwise contributes O(k^2) verified edges; contraction makes
     it O(1) before the expensive stage. Adaptive escape: if the family
     probe finds NO byte-identical group (common for already-exact-deduped
-    corpora — the r6 perturbed-100x stress), the plain path runs directly
-    and contraction costs only the probe window, not the join-back."""
+    corpora — the r6 perturbed-100x stress), the plain path runs directly:
+    the probe still pays one full text-keyed shuffle + materialization of
+    the corpus (released immediately below), but skips the recursive call
+    and the join-back."""
     if contract_exact:
         # ONE shuffle of (id, text) keyed on the text: the window computes
         # the representative (min id) and the family size in the same pass
@@ -758,14 +760,17 @@ def dedup_clusters(
         )
         if base.filter(F.col("__grp_n") > 1).limit(1).count() == 0:
             # no exact-dup family anywhere: contraction is a no-op —
-            # fall through to the plain path on the original relation
+            # release the checkpointed probe relation (the plain path
+            # below never touches it) and fall through on the original
+            base.unpersist()
             contract_exact = False
     if contract_exact:
         reps = base.filter(F.col(id_col) == F.col("__rep")).select(
             F.col("__rep").alias(id_col), text_col
         )
-        # checkpoint: TWO consumers below (member inherit + lone anti-join)
-        # would otherwise re-execute the whole LSH+verify+CC subtree each
+        # checkpoint: the recursive dedup result feeds the membership join
+        # below; without it the whole LSH+verify+CC subtree (itself many
+        # jobs) would re-run lazily inside that join's plan
         rep_clusters = dedup_clusters(
             reps, text_col, id_col, threshold,
             exact_pairs=exact_pairs, num_hashes=num_hashes, bands=bands,

@@ -2690,13 +2690,20 @@ from . import queries_r4   # noqa: E402,F401  (import side effect: registration)
 from . import queries_r5   # noqa: E402,F401  (import side effect: registration)
 from . import queries_r6   # noqa: E402,F401  (import side effect: registration)
 
-# Round-7 staging: written and locally verified during round 6, but kept OUT
-# of the registry until round 7 so the round-6 driver window (exactly the 50
-# never-green entries) is not displaced.  Round 7 flips this to an
-# unconditional register_all() once CORRECTNESS_r06 lands.
+# Round-7 wave: staged during round 6 behind SPARK_GRAFT_R7, registered
+# unconditionally now that CORRECTNESS_r06 confirmed the full round-6 tail
+# green (44 hash + 6 rows-only).  The 20 entries below are the never-green
+# prefix the round-7 driver window will cover.
+from . import queries_r7  # noqa: E402
+
+queries_r7.register_all()
+
+# Round-8 staging: same pattern — new queries written during round 7 stay
+# behind SPARK_GRAFT_R8 until CORRECTNESS_r07 lands, so the round-7 driver
+# window stays exactly the current never-green set.
 import os as _os  # noqa: E402
 
-if _os.environ.get("SPARK_GRAFT_R7"):
-    from . import queries_r7
+if _os.environ.get("SPARK_GRAFT_R8"):
+    from . import queries_r8
 
-    queries_r7.register_all()
+    queries_r8.register_all()

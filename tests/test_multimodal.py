@@ -51,6 +51,33 @@ def test_jpeg_truncated_entropy_fails_loudly():
             decode_jpeg(data[:cut])
 
 
+def test_jpeg_truncated_at_restart_boundary_fails_loudly():
+    """A file cut exactly where an RSTn marker is expected must raise the
+    same descriptive ValueError as mid-entropy truncation (the boundary
+    check used to index past the buffer -> IndexError)."""
+    import numpy as np
+
+    from gan_deeplearning4j_spark.functions.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(666)
+    img = rng.integers(0, 256, size=(32, 32), dtype=np.uint8)
+    data = encode_jpeg(img, quant=4, restart_interval=1)
+    assert decode_jpeg(data).shape == (32, 32)
+    # locate the first restart marker in the entropy stream and cut there,
+    # and one byte past it (marker byte pair itself truncated)
+    first_rst = min(
+        data.find(bytes([0xFF, m])) for m in range(0xD0, 0xD8)
+        if data.find(bytes([0xFF, m])) != -1
+    )
+    assert first_rst > 0
+    for cut in (first_rst, first_rst + 1):
+        with pytest.raises(ValueError, match="jpeg"):
+            decode_jpeg(data[:cut])
+
+
 def test_jpeg_non_interleaved_scan_rejected():
     """A baseline file whose SOS names fewer components than SOF (legal,
     multi-scan non-interleaved) must fail loudly by name — decoding only

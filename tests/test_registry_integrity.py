@@ -89,13 +89,16 @@ def test_headline_set_is_stable_and_registered():
         assert anchor in hs, anchor
 
 
-def test_r6_driver_window_covers_every_unverified_entry():
-    """Round-6 window contract (r5 verdict item 7): every entry without a
-    green driver row must sit inside the first 50 `queries()` positions —
-    the driver checks ~50/round, so this guarantees CORRECTNESS_r06 gives
-    the whole tail (42 pre-r6 entries + the 6 r6 promotions) a row. Fails
-    if a new query lands ahead of the tail or the tail outgrows the
-    window."""
+def test_r7_driver_window_covers_every_unverified_entry():
+    """Round-7 window contract: every entry without a green driver row must
+    sit inside the first 50 `queries()` positions — the driver checks
+    ~50/round, so this guarantees CORRECTNESS_r07 gives the whole tail a
+    row. Unverified entries lacking driver evidence = the 20 newly
+    registered round-7 queries plus any round-7 additions; rows-only
+    entries that already returned rows in past windows sort after fresh
+    oracled ones. Fails if a new query lands ahead of the tail or the tail
+    outgrows the window (stage behind SPARK_GRAFT_R8 instead)."""
+    from gan_deeplearning4j_spark import queries_r7
     from gan_deeplearning4j_spark.queries import (
         _verification_evidence,
         queries,
@@ -111,34 +114,49 @@ def test_r6_driver_window_covers_every_unverified_entry():
     # unverified entries form a strict prefix (also checked by the
     # ordering test, re-asserted here so this test fails self-contained)
     assert ordered[: len(never)] == never
-    # the six r6 oracle promotions must be inside the window
-    for name in ("ivf_fixed_topk", "lsh_fixed_topk",
-                 "approx_quantile_bracket", "approx_distinct_bracket",
-                 "heavy_hitters_guarantee", "hll_merge_bracket"):
-        assert name in never[:50], name
+    # the 20 round-7 registrations must be inside the window until
+    # CORRECTNESS_r07 lands (after which they carry evidence and leave
+    # `never` — both states are legal here)
+    for name in queries_r7.STAGED:
+        assert name in ev or name in never[:50], name
 
 
-def test_r7_staged_queries_disjoint_and_gated():
-    """queries_r7 is staged, not registered: its names must not collide
+def test_r7_wave_is_registered():
+    """The round-7 wave flipped from staged to registered: every STAGED
+    name is live in the registry with its oracle attached."""
+    from gan_deeplearning4j_spark import queries_r7
+    from gan_deeplearning4j_spark.queries import REGISTRY
+
+    staged = set(queries_r7.STAGED)
+    assert staged and staged <= set(REGISTRY)
+    # every r7 entry carries an oracle (hash-grade on registration)
+    for name, (fn, oracle, headline, doc) in queries_r7.STAGED.items():
+        assert oracle, name
+        assert REGISTRY[name].oracle == oracle, name
+
+
+def test_r8_staged_queries_disjoint_and_gated():
+    """queries_r8 is staged, not registered: its names must not collide
     with live registry entries, must not appear in queries() without the
     gate, and must register cleanly in a gated subprocess."""
     import subprocess
     import sys
 
-    from gan_deeplearning4j_spark import queries_r7
+    from gan_deeplearning4j_spark import queries_r8
     from gan_deeplearning4j_spark.queries import REGISTRY
 
-    staged = set(queries_r7.STAGED)
-    assert staged, "staged wave should not be empty"
+    staged = set(queries_r8.STAGED)
     assert not staged & set(REGISTRY)
     # every staged entry carries an oracle (hash-grade on registration)
-    assert all(t[1] for t in queries_r7.STAGED.values())
+    assert all(t[1] for t in queries_r8.STAGED.values())
+    if not staged:
+        return  # wave not started yet this round
     out = subprocess.run(
         [sys.executable, "-c",
          "from gan_deeplearning4j_spark.queries import REGISTRY;"
-         "from gan_deeplearning4j_spark import queries_r7;"
-         "print(len(set(queries_r7.STAGED) & set(REGISTRY)))"],
-        env={"SPARK_GRAFT_R7": "1", "PATH": "/usr/bin:/bin",
+         "from gan_deeplearning4j_spark import queries_r8;"
+         "print(len(set(queries_r8.STAGED) & set(REGISTRY)))"],
+        env={"SPARK_GRAFT_R8": "1", "PATH": "/usr/bin:/bin",
              "HOME": "/root"},
         cwd="/root/repo", capture_output=True, text=True, timeout=120,
     )
