@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.windows import bounded_window
 from .. import DEFAULT_SEED
 
 
@@ -165,7 +166,7 @@ def positional_join(left: DataFrame, right: DataFrame) -> DataFrame:
     Only valid for same-source, same-order frames; engine rule is to carry a
     real id column instead — this exists for reference-compat.
     """
-    lw = Window.orderBy(F.monotonically_increasing_id())
+    lw = bounded_window(F.monotonically_increasing_id())
     l2 = left.withColumn("__rid", F.row_number().over(lw))
     r2 = right.withColumn("__rid", F.row_number().over(lw))
     return l2.join(r2, "__rid").drop("__rid")

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .functions.windows import bounded_window
 from .functions.text import portable_hash60_sql
 from .operators.dedup import _P, shingle_hashes
 from .operators.relational import salted_join
@@ -2678,13 +2679,13 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = m.select(
         "user_id",
         F.ntile(4).over(
-            Window.orderBy(F.desc("last_us"), F.col("user_id"))
+            bounded_window(F.desc("last_us"), F.col("user_id"))
         ).alias("r"),
         F.ntile(4).over(
-            Window.orderBy(F.desc("freq"), F.col("user_id"))
+            bounded_window(F.desc("freq"), F.col("user_id"))
         ).alias("f"),
         F.ntile(4).over(
-            Window.orderBy(F.desc("mon_c"), F.col("user_id"))
+            bounded_window(F.desc("mon_c"), F.col("user_id"))
         ).alias("mo"),
     )
     return (

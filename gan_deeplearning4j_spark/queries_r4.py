@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .functions.windows import bounded_window
 from .functions.text import portable_hash60, portable_hash60_sql
 from .queries import _t, register
 
@@ -134,7 +135,7 @@ def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = p.withColumn("bkt", F.expr("price_c div 1000"))
     bstats = b.groupBy("bkt").agg(F.max("p_size").alias("bmax"))
     wprev = (
-        Window.orderBy("bkt").rangeBetween(Window.unboundedPreceding, -1)
+        bounded_window("bkt").rangeBetween(Window.unboundedPreceding, -1)
     )
     bound = bstats.select(
         "bkt", F.max("bmax").over(wprev).alias("prev_max")
@@ -143,7 +144,7 @@ def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("prev_max").isNull() | (F.col("p_size") > F.col("prev_max"))
     )
     # -- stage 2: exact dominance test on the candidate set
-    w_lt = Window.orderBy("price_c").rangeBetween(
+    w_lt = bounded_window("price_c").rangeBetween(
         Window.unboundedPreceding, -1
     )
     w_eq = Window.partitionBy("price_c")
@@ -1538,7 +1539,7 @@ def q_budget_allocation_hamilton(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = quota.select(
         "c_nationkey", "x", "base",
         F.row_number().over(
-            Window.orderBy(F.desc("rem"), "c_nationkey")
+            bounded_window(F.desc("rem"), "c_nationkey")
         ).alias("rr"),
     )
     return (
@@ -2327,7 +2328,7 @@ def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("ca"),
         F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("cb"),
     )
-    wc = Window.orderBy("x").rowsBetween(
+    wc = bounded_window("x").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     cum = cc.select(
@@ -2779,14 +2780,14 @@ def q_join_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     k = li.groupBy("l_suppkey").agg(F.count("*").alias("c"))
     cc = k.groupBy("c").agg(F.count("*").alias("cnt"))
-    wc = Window.orderBy("c").rowsBetween(
+    wc = bounded_window("c").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     cum = cc.select(
         "c",
         F.sum("cnt").over(wc).alias("cw"),
         F.sum("cnt").over(
-            Window.partitionBy()
+            bounded_window()
         ).alias("nk"),
     )
     tot = k.agg(
@@ -2872,11 +2873,11 @@ def q_conversion_latency_quartiles(
         "bkt", F.expr("lat_s div 1000")
     )
     bstat = agg.groupBy("bkt").agg(F.sum("cnt").alias("bc"))
-    wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    wb = bounded_window("bkt").rowsBetween(Window.unboundedPreceding, -1)
     bcum = bstat.select(
         "bkt",
         F.coalesce(F.sum("bc").over(wb), F.lit(0)).alias("before"),
-        F.sum("bc").over(Window.partitionBy()).alias("n"),
+        F.sum("bc").over(bounded_window()).alias("n"),
     )
     wi = Window.partitionBy("bkt").orderBy("lat_s").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -3504,10 +3505,10 @@ def q_quantile_mapping_calibration(
     ).agg(F.count("*").alias("c"))
     na = ca.agg(F.sum("c").alias("na"))
     nb = cb.agg(F.sum("c").alias("nb"))
-    wa = Window.orderBy("u").rowsBetween(
+    wa = bounded_window("u").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    wb = Window.orderBy("v").rowsBetween(
+    wb = bounded_window("v").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     cuma = ca.select("u", F.sum("c").over(wa).alias("fa")).crossJoin(
@@ -3528,7 +3529,7 @@ def q_quantile_mapping_calibration(
     )
     merged = cuma.unionByName(cumb)
     # b-rows first on equal keys: >= must match the equal-fraction u
-    wm = Window.orderBy("key", F.desc("is_b")).rowsBetween(
+    wm = bounded_window("key", F.desc("is_b")).rowsBetween(
         Window.currentRow, Window.unboundedFollowing
     )
     mapped = merged.select(
@@ -4142,7 +4143,7 @@ def q_trending_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def side(df, cmp_col, n_name, r_name):
         g = df.groupBy("user_id").agg(F.count("*").alias(n_name))
-        w = Window.orderBy(F.desc(n_name), "user_id")
+        w = bounded_window(F.desc(n_name), "user_id")
         return g.select(
             "user_id", n_name,
             F.row_number().over(w).cast("long").alias(r_name),
@@ -4222,7 +4223,7 @@ def q_hierarchical_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = rev.select(
         "region", "nation", "rev_c",
         F.sum("rev_c").over(Window.partitionBy("region")).alias("region_c"),
-        F.sum("rev_c").over(Window.partitionBy()).alias("total_c"),
+        F.sum("rev_c").over(bounded_window()).alias("total_c"),
     )
     return w.select(
         "region", "nation", "rev_c",
@@ -4868,10 +4869,10 @@ def q_dedup_distribution_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("xb"), F.lit(0)).alias("xb"),
         )
     )
-    wc = Window.orderBy("v").rowsBetween(
+    wc = bounded_window("v").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    wl = Window.orderBy("v")
+    wl = bounded_window("v")
     cum = merged.select(
         "v",
         F.sum("xa").over(wc).alias("fa"),
@@ -5072,7 +5073,7 @@ def q_kaplan_meier_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     evt = life.groupBy("t_days").agg(
         F.sum("died").alias("d"), F.count("*").alias("removed")
     )
-    wb = Window.orderBy("t_days").rowsBetween(
+    wb = bounded_window("t_days").rowsBetween(
         Window.unboundedPreceding, -1
     )
     risk = evt.crossJoin(F.broadcast(n_tot)).select(
@@ -5478,15 +5479,15 @@ def q_lorenz_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     bstat = b.groupBy("bkt").agg(
         F.count("*").alias("bc"), F.sum("x").alias("bx")
     )
-    wb = Window.orderBy(F.desc("bkt")).rowsBetween(
+    wb = bounded_window(F.desc("bkt")).rowsBetween(
         Window.unboundedPreceding, -1
     )
     bcum = bstat.select(
         "bkt",
         F.coalesce(F.sum("bc").over(wb), F.lit(0)).alias("r0"),
         F.coalesce(F.sum("bx").over(wb), F.lit(0)).alias("cx0"),
-        F.sum("bc").over(Window.partitionBy()).alias("n"),
-        F.sum("bx").over(Window.partitionBy()).alias("tot"),
+        F.sum("bc").over(bounded_window()).alias("n"),
+        F.sum("bx").over(bounded_window()).alias("tot"),
     )
     wi = Window.partitionBy("bkt").orderBy(
         F.desc("x"), "o_custkey"
@@ -5709,13 +5710,13 @@ def q_events_peak_load(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(ts_nanos div 1000) div 60000000").alias("minute")
     ).agg(F.count("*").alias("n"))
     agg = m.groupBy("n").agg(F.count("*").alias("cnt"))
-    wc = Window.orderBy("n").rowsBetween(
+    wc = bounded_window("n").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     cum = agg.select(
         "n",
         F.sum("cnt").over(wc).alias("cw"),
-        F.sum("cnt").over(Window.partitionBy()).alias("tot"),
+        F.sum("cnt").over(bounded_window()).alias("tot"),
     )
     stats = m.agg(
         F.count("*").alias("n_active_minutes"),
@@ -5792,13 +5793,13 @@ def q_repeat_purchase_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("gap_h")
     ).filter(F.col("gap_h").isNotNull())
     agg = gaps.groupBy("gap_h").agg(F.count("*").alias("cnt"))
-    wc = Window.orderBy("gap_h").rowsBetween(
+    wc = bounded_window("gap_h").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     cum = agg.select(
         "gap_h",
         F.sum("cnt").over(wc).alias("cw"),
-        F.sum("cnt").over(Window.partitionBy()).alias("n"),
+        F.sum("cnt").over(bounded_window()).alias("n"),
     )
     cw, n = F.col("cw"), F.col("n")
     return cum.agg(
@@ -6096,13 +6097,13 @@ def q_session_duration_quartiles(
         F.expr("(max(us) - min(us)) div 1000000").alias("dur_s")
     )
     agg = dur.groupBy("dur_s").agg(F.count("*").alias("cnt"))
-    wc = Window.orderBy("dur_s").rowsBetween(
+    wc = bounded_window("dur_s").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     cum = agg.select(
         "dur_s",
         F.sum("cnt").over(wc).alias("cw"),
-        F.sum("cnt").over(Window.partitionBy()).alias("n"),
+        F.sum("cnt").over(bounded_window()).alias("n"),
     )
     cw, n = F.col("cw"), F.col("n")
     return cum.agg(

@@ -22,6 +22,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .functions.windows import bounded_window
 from .queries import _t, register
 
 # ---------------------------------------------------------------------------
@@ -364,7 +365,7 @@ def q_zipf_rank_freq_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     # result — a bare global-order row_number would funnel |vocab| rows
     # through one window partition
     top = freq.orderBy(F.desc("f"), "w").limit(20)
-    w = Window.orderBy(F.desc("f"), "w")
+    w = bounded_window(F.desc("f"), "w")
     return (
         top.select(
             "w", "f", F.row_number().over(w).cast("long").alias("r")
@@ -612,11 +613,11 @@ def q_theil_sen_slope_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "slope_mc"
         )
     )
-    w = Window.orderBy("slope_mc")
+    w = bounded_window("slope_mc")
     ranked = pairs.select(
         "slope_mc",
         F.row_number().over(w).alias("rn"),
-        F.count("*").over(Window.partitionBy()).alias("n"),
+        F.count("*").over(bounded_window()).alias("n"),
     )
     return ranked.filter(
         F.col("rn") == F.expr("(n + 1) div 2")
@@ -1012,7 +1013,7 @@ def q_mom_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cents")
         )
     )
-    w = Window.orderBy("mon")
+    w = bounded_window("mon")
     m2 = m.select(
         "mon", "cents", F.lag("cents").over(w).alias("prev_cents")
     )
@@ -1521,8 +1522,8 @@ def q_histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count("*").alias("cnt"))
     )
-    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
-    wt = Window.partitionBy()
+    w = bounded_window("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    wt = bounded_window()
     c = b.select(
         "bucket", "cnt",
         F.sum("cnt").over(w).alias("cum"),
@@ -1875,8 +1876,8 @@ def q_decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cents")
         )
     )
-    w = Window.orderBy(F.desc("cents"), "user_id")
-    wt = Window.partitionBy()
+    w = bounded_window(F.desc("cents"), "user_id")
+    wt = bounded_window()
     r = s.select(
         "cents",
         F.row_number().over(w).alias("rn"),

@@ -25,6 +25,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .functions.windows import bounded_window
 from .queries import _t
 
 # name -> (fn, oracle, headline, doc); materialized into the real registry
@@ -390,7 +391,7 @@ def q_oov_rate_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda t: F.length(t) > 0,
         )).alias("tok"),
     )
-    w = Window.orderBy(F.col("c").desc(), F.col("tok"))
+    w = bounded_window(F.col("c").desc(), F.col("tok"))
     vocab = (
         toks.groupBy("tok").agg(F.count("*").alias("c"))
         .withColumn("rn", F.row_number().over(w))
@@ -700,7 +701,7 @@ def q_changepoint_single_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
         .cast("long").alias("c"))
-    w = Window.orderBy("day")
+    w = bounded_window("day")
     cum = daily.select(
         "day",
         F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0))
@@ -790,7 +791,7 @@ def q_bootstrap_ci_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     means = res.groupBy("b").agg(
         F.expr("sum(cents) DIV count(*)").cast("long").alias("m"))
     ranked = means.select(
-        "m", F.row_number().over(Window.orderBy("m", "b")).alias("rn"))
+        "m", F.row_number().over(bounded_window("m", "b")).alias("rn"))
     ci = ranked.agg(
         F.min(F.when(F.col("rn") == 3, F.col("m"))).cast("long")
         .alias("ci_lo_c"),
@@ -906,7 +907,7 @@ def q_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("diff") != 0)
     r = d.select(
         "diff",
-        (2 * F.rank().over(Window.orderBy("ad"))
+        (2 * F.rank().over(bounded_window("ad"))
          + F.count("*").over(Window.partitionBy("ad")) - 1)
         .cast("long").alias("rank_x2"))
     return r.agg(
@@ -1224,7 +1225,7 @@ def q_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_knee_point_power_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = _t(spark, sf_dir, "events").groupBy("user_id").agg(
         F.count("*").cast("long").alias("c"))
-    w = Window.orderBy(F.col("c").desc(), F.col("user_id"))
+    w = bounded_window(F.col("c").desc(), F.col("user_id"))
     r = per.select(
         F.row_number().over(w).cast("long").alias("k"),
         F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0))
