@@ -104,6 +104,32 @@ def main() -> None:
     if repeats > 1:
         out["repeats"] = repeats
         out["sigma"] = sigmas
+    # like-for-like subtotals: the headline set GROWS round over round
+    # (r6 added dedup_clusters, r7 adds ivfpq_fixed_topk), so the full
+    # total is not comparable across rounds by itself. These fixed
+    # subsets keep a stable cross-round series next to the full total.
+    _SUBSETS = {
+        # the 13 queries benched every round since r5
+        "r5_13q": (
+            "argmax_accuracy", "param_average", "topk_per_group",
+            "tpch_q1_pricing", "tpch_q3_shipping", "tpch_q5_volume",
+            "events_tumbling", "doc_stats", "cosine_topk", "minhash_dedup",
+            "embedding_neardup_lsh", "heavy_hitters_exact", "bigram_top20",
+        ),
+        # + dedup_clusters (added r6)
+        "r6_14q": (
+            "argmax_accuracy", "param_average", "topk_per_group",
+            "tpch_q1_pricing", "tpch_q3_shipping", "tpch_q5_volume",
+            "events_tumbling", "doc_stats", "cosine_topk", "minhash_dedup",
+            "embedding_neardup_lsh", "heavy_hitters_exact", "bigram_top20",
+            "dedup_clusters",
+        ),
+    }
+    out["subtotals_median"] = {
+        label: round(sum(timings[n] for n in names), 3)
+        for label, names in _SUBSETS.items()
+        if all(n in timings for n in names)
+    }
     if errors:
         out["errors"] = errors
     print(json.dumps(out))

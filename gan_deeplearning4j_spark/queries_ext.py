@@ -1783,6 +1783,7 @@ def _ivfpq_fixed_oracle(dim: int = 64, m: int = 8, n_codes: int = 16,
 
 @register(
     "ivfpq_fixed_topk",
+    headline=True,  # the ANN-family bench anchor since r7 (verdict ask)
     oracle=_ivfpq_fixed_oracle(),
     doc="IVFPQ ANN top-k, fixed-point form (FAISS IVFPQ architecture: "
         "coarse inverted lists prune the scan, residual PQ compresses it; "
