@@ -649,11 +649,26 @@ def minhash_dedup(
 
 def connected_components(
     edges: DataFrame, src: str = "id_a", dst: str = "id_b",
-    max_iter: int = 20,
+    max_iter: int = 20, mode: str = "prop",
 ) -> DataFrame:
-    """Connected components by iterative min-label propagation: each node
+    """Connected components. Two interchangeable engines (identical
+    output: (node, comp) for every node incident to an edge, comp = min
+    node id in the component — equivalence-pinned by tests):
+
+    ``mode="prop"`` (default): iterative min-label propagation — each node
     repeatedly takes the minimum component id among itself and its
-    neighbors; converges in O(graph diameter) rounds.
+    neighbors; converges in O(graph diameter) rounds. Cheapest per round
+    (one join + one agg), the right pick for real dup graphs, whose
+    components are shallow (near-clique families; measured diameters are
+    single-digit).
+
+    ``mode="logn"``: alternating large-star/small-star contraction
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — converges in O(log^2 n) rounds REGARDLESS of diameter.
+    Costlier per round (two grouped passes + a distinct), but the only
+    safe choice when the graph can be chain-shaped (quote-chains,
+    boilerplate series): a 10k-long path costs prop 10k rounds (it stops
+    at max_iter and WARNS) and logn ~a dozen.
 
     This is the transitive-closure step minhash_dedup's single-hop keep-rule
     deliberately skips (dup clusters are chains: A~B~C with A≁C). Returns
@@ -670,6 +685,10 @@ def connected_components(
     growing lineage each round (iterative plans otherwise re-derive every
     prior round).
     """
+    if mode == "logn":
+        return _cc_star_contraction(edges, src, dst, max_iter=max(max_iter, 30))
+    if mode != "prop":
+        raise ValueError(f"connected_components: unknown mode {mode!r}")
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     # materialize the undirected edge list ONCE: every propagation round
     # joins against it, and an unmaterialized edge relation re-executes
@@ -710,19 +729,95 @@ def connected_components(
         # clusters with no other signal — surface it instead of silence
         warnings.warn(
             f"connected_components: not converged after {max_iter} rounds; "
-            "component ids may be split (raise max_iter — rounds needed is "
-            "O(graph diameter))",
+            "component ids may be split (rounds needed is O(graph "
+            'diameter) — for chain-shaped graphs use mode="logn", which '
+            "converges in O(log^2 n) rounds)",
             RuntimeWarning,
             stacklevel=2,
         )
     return labels
 
 
+def _cc_star_contraction(
+    edges: DataFrame, src: str, dst: str, max_iter: int = 30,
+) -> DataFrame:
+    """``connected_components(mode="logn")`` engine: alternating
+    large-star/small-star (Kiveris et al., SoCC'14, Algorithm 3).
+
+    Invariant: the edge set's connectivity (and each component's minimum
+    node) is preserved by both operations; at the fixed point the edge set
+    is a forest of stars, each rooted at its component's minimum. Rounds
+    are O(log^2 n) worst-case independent of diameter — the upgrade over
+    min-label propagation for path-shaped graphs.
+
+    Per round: large-star = one grouped min + one join back; small-star =
+    the same on the high->low orientation; then a distinct to keep the
+    edge list set-semantic and a localCheckpoint to truncate lineage.
+    Convergence = the (checkpointed, bounded) edge set is a fixed point,
+    detected EXACTLY via count + one-sided exceptAll — no hash-signature
+    shortcut that could stop early on a collision."""
+    E = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_prev = E.count()
+    converged = False
+    for _ in range(max_iter):
+        # ---- large-star: ∀u, m = min(Γ(u) ∪ {u}); emit (v, m) ∀v∈Γ(u), v>u
+        und = E.union(E.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        lmin = (
+            und.groupBy("u").agg(F.min("v").alias("__mb"))
+            .select("u", F.least("u", "__mb").alias("__m"))
+        )
+        large = (
+            und.join(lmin, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("__m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # ---- small-star on high->low edges: ∀u, m = min(Γ⁻(u));
+        #      emit (v, m) ∀v∈Γ⁻(u)∪{u}\{m}
+        dirhl = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        smin = dirhl.groupBy("u").agg(F.min("v").alias("__m"))
+        E_new = (
+            dirhl.join(smin, "u")
+            .select(F.col("v").alias("u"), F.col("__m").alias("v"))
+            .union(smin.select("u", F.col("__m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n_new = E_new.count()
+        # exact fixed-point test: same cardinality + no edge of E_new
+        # outside E (both are distinct sets, so this implies equality)
+        if n_new == n_prev and E_new.exceptAll(E).limit(1).count() == 0:
+            E = E_new
+            converged = True
+            break
+        E, n_prev = E_new, n_new
+    if not converged:
+        warnings.warn(
+            f"connected_components(mode='logn'): not converged after "
+            f"{max_iter} rounds (O(log^2 n) expected — raise max_iter)",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+    # stars: (member, root) edges with root < member; roots label themselves
+    return E.select(F.col("u").alias("node"), F.col("v").alias("comp")).union(
+        E.select(F.col("v").alias("node"), F.col("v").alias("comp")).distinct()
+    ).distinct()
+
+
 def dedup_clusters(
     df: DataFrame, text_col: str, id_col: str, threshold: float = 0.5,
     exact_pairs: bool = False, num_hashes: int = 32, bands: int = 8,
     max_iter: int = 20, max_exact_rows: int = 25_000,
-    contract_exact: bool = True,
+    contract_exact: bool = True, cc_mode: str = "prop",
 ) -> DataFrame:
     """Full transitive near-dedup: similar pairs → connected components →
     (doc, cluster_id, cluster_size). Default edges come from MinHash-LSH
@@ -745,7 +840,11 @@ def dedup_clusters(
     corpora — the r6 perturbed-100x stress), the plain path runs directly:
     the probe still pays one full text-keyed shuffle + materialization of
     the corpus (released immediately below), but skips the recursive call
-    and the join-back."""
+    and the join-back.
+
+    ``cc_mode``: forwarded to connected_components — "prop" (min-label
+    propagation, O(diameter) rounds, default) or "logn" (star
+    contraction, O(log^2 n) rounds, for chain-shaped dup graphs)."""
     if contract_exact:
         # ONE shuffle of (id, text) keyed on the text: the window computes
         # the representative (min id) and the family size in the same pass
@@ -775,7 +874,7 @@ def dedup_clusters(
             reps, text_col, id_col, threshold,
             exact_pairs=exact_pairs, num_hashes=num_hashes, bands=bands,
             max_iter=max_iter, max_exact_rows=max_exact_rows,
-            contract_exact=False,
+            contract_exact=False, cc_mode=cc_mode,
         ).select(
             F.col(id_col).alias("__rep"), "cluster_id"
         ).localCheckpoint(eager=True)
@@ -821,7 +920,7 @@ def dedup_clusters(
         pairs = ngram_jaccard(cands, df, text_col, id_col).filter(
             F.col("jaccard") >= threshold
         )
-    comp = connected_components(pairs, "id_a", "id_b", max_iter)
+    comp = connected_components(pairs, "id_a", "id_b", max_iter, mode=cc_mode)
     # size via a count window: one comp-keyed shuffle instead of a
     # groupBy + join-back pair over the same key
     wsz = Window.partitionBy("comp")

@@ -558,10 +558,11 @@ def q_greedy_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Rollup = count/max-depth/integer-cents cost sum per root. Oracle "
         "is the textbook WITH RECURSIVE walk. Scale: each level is one "
         "shuffle-on-parent equi-join over the remaining edge set — O(depth) "
-        "jobs; for log-depth hierarchies pointer-jumping (as in "
-        "connected_components, operators/dedup.py:650) is the drop-in "
-        "upgrade. No driver-side fact data: loop control reads only "
-        "take(1) emptiness per level",
+        "jobs; when depth can be adversarial the star-contraction engine "
+        "(connected_components(mode='logn'), operators/dedup.py — O(log^2 "
+        "n) rounds regardless of diameter, equivalence-pinned) is the "
+        "drop-in upgrade. No driver-side fact data: loop control reads "
+        "only take(1) emptiness per level",
 )
 def q_bom_explosion_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from functools import reduce

@@ -258,6 +258,73 @@ def test_connected_components_transitive_chains(spark):
     assert got == want
 
 
+def test_connected_components_logn_matches_prop(spark):
+    """mode='logn' (alternating large-star/small-star, Kiveris et al.
+    SoCC'14) must produce IDENTICAL (node, comp) labels to min-label
+    propagation — random graphs across densities, plus the chain fixture."""
+    import random
+
+    from gan_deeplearning4j_spark.operators.dedup import connected_components
+
+    cases = [[(0, 1), (1, 2), (2, 3), (10, 11), (20, 21), (21, 22)]]
+    for seed, n, m in ((1, 60, 40), (2, 120, 150), (3, 200, 90)):
+        rng = random.Random(seed)
+        cases.append(
+            [(a, b) for a, b in
+             ((rng.randrange(n), rng.randrange(n)) for _ in range(m))
+             if a != b]
+        )
+    # prop needs max_iter >= the min node's eccentricity: the seed-3 graph
+    # has a 38-node tree component that the default 20 rounds do NOT cover
+    # (writing this test caught prop warning-and-splitting on it while
+    # logn was exact) — which is the whole point of the logn engine
+    for edges in cases:
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        prop = {(r["node"], r["comp"])
+                for r in connected_components(df, max_iter=100).collect()}
+        logn = {(r["node"], r["comp"])
+                for r in connected_components(df, mode="logn").collect()}
+        assert prop == logn, (sorted(prop - logn)[:5], sorted(logn - prop)[:5])
+
+
+def test_connected_components_logn_deep_chain(spark):
+    """A 1024-node path (diameter 1023) with shuffled ids: propagation
+    would need ~1024 rounds (it stops at max_iter and warns); star
+    contraction must finish well inside its round budget and label every
+    node with the component minimum."""
+    import random
+    import warnings as w
+
+    from gan_deeplearning4j_spark.operators.dedup import connected_components
+
+    rng = random.Random(666)
+    perm = list(range(1024))
+    rng.shuffle(perm)
+    edges = [(perm[i], perm[i + 1]) for i in range(1023)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    with w.catch_warnings():
+        w.simplefilter("error", RuntimeWarning)  # non-convergence = failure
+        out = connected_components(df, mode="logn").collect()
+    assert len(out) == 1024
+    assert {r["comp"] for r in out} == {0}
+    assert {r["node"] for r in out} == set(range(1024))
+
+
+def test_dedup_clusters_cc_mode_logn_identical(spark, sf_dir):
+    """dedup_clusters(cc_mode='logn') is a drop-in: identical
+    (doc, cluster, size) rows to the default propagation engine on the
+    planted near-dups."""
+    from gan_deeplearning4j_spark.operators.dedup import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = {tuple(r) for r in
+            dedup_clusters(docs, "text", "doc_id", 0.5).collect()}
+    logn = {tuple(r) for r in
+            dedup_clusters(docs, "text", "doc_id", 0.5,
+                           cc_mode="logn").collect()}
+    assert base == logn
+
+
 def test_dedup_clusters_lsh_matches_exact(spark, sf_dir):
     """The LSH-edged cluster path must agree with the exact-pair path on the
     planted testdata near-dups (recall 1 at threshold 0.5 here)."""
