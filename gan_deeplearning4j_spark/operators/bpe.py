@@ -248,10 +248,11 @@ def _safe_merge_batch(
 
 
 def train_bpe(
-    spark: SparkSession, docs: DataFrame, n_merges: int = 10,
+    spark: SparkSession, docs: DataFrame | None, n_merges: int = 10,
     text_col: str = "text",
     driver_finish_rows: int = 100_000,
     batch_window: int = 64,
+    words: DataFrame | None = None,
 ) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
     """Run ``n_merges`` BPE rounds; returns (merge table rows
     [(rank, left, right, count)], final symbolized word table
@@ -271,8 +272,14 @@ def train_bpe(
     equality test) in a single chained-projection job, cutting the job
     count from O(n_merges) to O(n_merges / batch_size).  Set
     ``batch_window=1`` to force the classic one-merge-per-job loop.
+
+    ``words``: optional pre-built (word, freq) table that REPLACES the
+    corpus scan — the hook for training on a curated/bounded vocabulary
+    (e.g. the hash-oracled fixed-vocab twin) while exercising the exact
+    same merge machinery; ``docs`` is ignored (may be None) when given.
     """
-    syms = _init_symbols(word_freq_table(docs, text_col)).localCheckpoint()
+    wf = words if words is not None else word_freq_table(docs, text_col)
+    syms = _init_symbols(wf).localCheckpoint()
     if driver_finish_rows:
         # limit() bounds the probe: we never pull more than threshold+1
         # rows to decide, and the table row count is invariant across

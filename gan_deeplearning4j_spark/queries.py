@@ -2692,18 +2692,18 @@ from . import queries_r6   # noqa: E402,F401  (import side effect: registration)
 
 # Round-7 wave: staged during round 6 behind SPARK_GRAFT_R7, registered
 # unconditionally now that CORRECTNESS_r06 confirmed the full round-6 tail
-# green (44 hash + 6 rows-only).  The 20 entries below are the never-green
-# prefix the round-7 driver window will cover.
-from . import queries_r7  # noqa: E402
-
-queries_r7.register_all()
+# green (44 hash + 6 rows-only).  queries_r7 SELF-registers at its module
+# bottom (not here): that way both import orders work — importing
+# queries_r7 directly re-enters this module, and a register_all() call
+# here would hit the partially initialized module (register_all is also
+# idempotent, so the double-trigger is harmless).
+from . import queries_r7  # noqa: E402,F401  (side effect: registration)
 
 # Round-8 staging: same pattern — new queries written during round 7 stay
 # behind SPARK_GRAFT_R8 until CORRECTNESS_r07 lands, so the round-7 driver
-# window stays exactly the current never-green set.
+# window stays exactly the current never-green set. queries_r8 gates its
+# own self-registration on the env var.
 import os as _os  # noqa: E402
 
 if _os.environ.get("SPARK_GRAFT_R8"):
-    from . import queries_r8
-
-    queries_r8.register_all()
+    from . import queries_r8  # noqa: F401  (side effect: registration)

@@ -43,11 +43,13 @@ def _stage(name: str, oracle: str | None = None, headline: bool = False,
 
 
 def register_all() -> None:
-    """Flip the staged queries into the live registry (round 7)."""
-    from .queries import register
+    """Register the staged queries (idempotent — safe to call from both
+    this module's bottom and queries.py under either import order)."""
+    from .queries import REGISTRY, register
 
     for name, (fn, oracle, headline, doc) in STAGED.items():
-        register(name, oracle=oracle, headline=headline, doc=doc)(fn)
+        if name not in REGISTRY:
+            register(name, oracle=oracle, headline=headline, doc=doc)(fn)
 
 
 # ---------------------------------------------------------------------------
@@ -1293,3 +1295,138 @@ def q_xml_roundtrip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(
             F.expr("xpath_string(xml, '/o/p/text()')") == F.col("s.p"), 1
         )).cast("long").alias("n_xpath_agree"))
+
+
+# ---------------------------------------------------------------------------
+# Round-7 live additions (registered this round; the window math allows up
+# to 30 new never-green entries on top of the 20-query staged wave)
+# ---------------------------------------------------------------------------
+
+# BPE fixed-vocab twin: DuckDB replays the ENTIRE training loop as a
+# single-row recursive CTE whose state is (merge table, vocabulary) carried
+# as LIST values. Per iteration: pair counts via nested list lambdas over
+# the vocab list, winner = list_sort on (-count, l, r) structs, and the
+# merge applied with the exact greedy left-to-right non-overlapping rule —
+# including the self-pair run-parity case (merge position i iff matched and
+# (i - run_start) is even), so the oracle is NOT specialized to the pairs
+# the data happens to produce. Pairs are keyed l||'|'||r (symbols are
+# [a-z]+ by construction; list_distinct over STRUCTs is unimplemented in
+# this DuckDB).
+_BPE_FIX_MERGEAT = """
+ (v.s[{i}] = b.l AND v.s[{i}+1] = b.r)
+ AND ((({i}) - (1 + coalesce(list_max(list_filter(range(1, {i}),
+        j -> NOT (v.s[j] = b.l AND v.s[j+1] = b.r))), 0))) % 2 = 0)
+"""
+
+_BPE_FIX_BEST = """
+list_sort(
+  list_transform(
+    list_transform(
+      list_distinct(flatten(list_transform(vocab, v ->
+        list_transform(range(1, len(v.s)), i -> v.s[i] || '|' || v.s[i+1])))),
+      k -> struct_pack(l := string_split(k, '|')[1],
+                       r := string_split(k, '|')[2])),
+    p -> struct_pack(
+      nc := -CAST(list_sum(list_transform(vocab, v ->
+              v.f * len(list_filter(range(1, len(v.s)),
+                        i -> v.s[i] = p.l AND v.s[i+1] = p.r)))) AS BIGINT),
+      l := p.l, r := p.r)
+  )
+)[1]
+"""
+
+_BPE_FIX_NEWVOCAB = """
+list_transform(vocab, v ->
+  struct_pack(f := v.f,
+    s := flatten(list_transform(range(1, len(v.s) + 1), i ->
+      CASE
+        WHEN i < len(v.s) AND ({m_i}) THEN [b.l || b.r]
+        WHEN i > 1 AND ({m_im1}) THEN []
+        ELSE [v.s[i]]
+      END))))
+""".format(m_i=_BPE_FIX_MERGEAT.format(i="i"),
+           m_im1=_BPE_FIX_MERGEAT.format(i="(i-1)"))
+
+_BPE_FIX_MERGES = 12
+_BPE_FIX_WORDS = 60
+
+_BPE_FIX_ORACLE = f"""
+WITH RECURSIVE
+tok AS (
+  SELECT t.w AS word, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM documents, unnest(string_split(text, ' ')) AS t(w)
+  WHERE regexp_matches(t.w, '^[a-z]{{2,12}}$')
+  GROUP BY t.w
+  ORDER BY freq DESC, t.w
+  LIMIT {_BPE_FIX_WORDS}
+),
+base AS (
+  SELECT list(struct_pack(
+           f := freq,
+           s := list_transform(range(1, length(word) + 1), i -> word[i])
+         )) AS vocab
+  FROM tok
+),
+step AS (
+  SELECT 0 AS it,
+         CAST([] AS STRUCT(rank BIGINT, l VARCHAR, r VARCHAR, cnt BIGINT)[])
+           AS ms,
+         vocab
+  FROM base
+  UNION ALL
+  SELECT it + 1,
+         list_transform([{_BPE_FIX_BEST}], b -> list_append(ms,
+           struct_pack(rank := CAST(it AS BIGINT), l := b.l, r := b.r,
+                       cnt := -b.nc)))[1],
+         list_transform([{_BPE_FIX_BEST}], b -> {_BPE_FIX_NEWVOCAB})[1]
+  FROM step
+  WHERE it < {_BPE_FIX_MERGES}
+)
+SELECT m.rank AS rank, m.l AS l_sym, m.r AS r_sym, m.cnt AS cnt
+FROM (SELECT unnest(ms) AS m FROM step WHERE it = {_BPE_FIX_MERGES})
+ORDER BY rank
+"""
+
+
+@_stage(
+    "bpe_train_merges_fixed",
+    oracle=_BPE_FIX_ORACLE,
+    doc="BPE training promoted to hash-grade (the r6 verdict ask): the "
+        "REAL distributed trainer (operators/bpe.py train_bpe — zip_with "
+        "pair counting, Catalyst merge fold, provably-safe merge batching; "
+        "driver_finish_rows=0 forces the distributed path) runs 12 merges "
+        "over a bounded deterministic vocabulary (top-60 lowercase "
+        "whitespace tokens of `documents` by (freq DESC, word ASC) — "
+        "data-derived, so the oracle needs no inlined literals), and "
+        "DuckDB independently replays the whole training loop as a "
+        "single-row recursive CTE over LIST-typed state, incl. the "
+        "self-pair greedy-parity merge rule. Any drift in pair counting, "
+        "tie-breaking, batching safety, or the merge fold breaks the "
+        "hash. Scale: the trainer's working set is the distinct-word "
+        "table (Heaps-law small); the bounded vocab here is the oracle "
+        "harness, not an operator limit",
+)
+def q_bpe_train_merges_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.bpe import train_bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word").rlike("^[a-z]{2,12}$"))
+        .groupBy("word").agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), "word").limit(_BPE_FIX_WORDS)
+    )
+    merges, _ = train_bpe(
+        spark, None, n_merges=_BPE_FIX_MERGES,
+        driver_finish_rows=0, words=words,
+    )
+    return spark.createDataFrame(
+        [(int(r), l, rr, int(c)) for r, l, rr, c in merges],
+        "rank long, l_sym string, r_sym string, cnt long",
+    ).orderBy("rank")
+
+
+# Self-register at module bottom: by the time execution reaches here,
+# .queries is initialized far enough (register/REGISTRY are defined above
+# its own bottom import of this module), under EITHER import order.
+register_all()

@@ -1,11 +1,10 @@
-"""Round-7 staged-query pins: pure-python replays of the trickiest staged
-queries (DuckDB hash parity is already covered by the gated replica runs;
-these pin the SEMANTICS against an independent reimplementation so a later
-refactor cannot silently change both engines in the same wrong way).
+"""Round-7 query pins: pure-python replays of the trickiest round-7
+queries (DuckDB hash parity is covered by the replica runs; these pin the
+SEMANTICS against an independent reimplementation so a later refactor
+cannot silently change both engines in the same wrong way).
 
-Staged queries are exercised through ``queries_r7.STAGED`` directly — no
-registry registration, so the round-6 driver-window ordering is untouched.
-"""
+Queries are exercised through ``queries_r7.STAGED`` directly (the same
+callables the registry holds — the wave registered in round 7)."""
 
 from __future__ import annotations
 
@@ -193,3 +192,55 @@ def test_staged_scale_plans(spark, sf_dir):
     t = plan_tree(_fn("knn_label_accuracy")(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in t, t
     assert t.count("Scan parquet") <= 2, t
+
+
+def test_bpe_fixed_oracle_self_pair_parity_rule():
+    """The oracle's merge-application expression implements the greedy
+    left-to-right NON-OVERLAPPING rule in full generality, including the
+    self-pair (l == r) run-parity case the real corpus never exercises.
+    Pin it by replaying a crafted vocabulary where a self-pair wins twice
+    ('dddd' -> [dd,dd] -> [dddd]) against the trainer's local engine."""
+    import duckdb
+
+    # import order matters: queries_r7 imports .queries, whose module
+    # bottom re-enters queries_r7 — initialize queries first
+    import gan_deeplearning4j_spark.queries  # noqa: F401
+    from gan_deeplearning4j_spark import queries_r7 as r7
+    from gan_deeplearning4j_spark.operators.bpe import _local_train
+
+    table = [("dddd", 3, list("dddd")), ("ab", 1, list("ab"))]
+    want = _local_train(table, 3, start_rank=0)
+    # sanity: the scenario really is self-pair-dominated
+    assert [(m[1], m[2]) for m in want[:2]] == [("d", "d"), ("dd", "dd")]
+
+    base = (
+        "SELECT [struct_pack(f := CAST(3 AS BIGINT), "
+        "s := ['d','d','d','d']), "
+        "struct_pack(f := CAST(1 AS BIGINT), s := ['a','b'])] AS vocab"
+    )
+    sql = f"""
+    WITH RECURSIVE
+    base AS ({base}),
+    step AS (
+      SELECT 0 AS it,
+             CAST([] AS STRUCT(rank BIGINT, l VARCHAR, r VARCHAR,
+                               cnt BIGINT)[]) AS ms,
+             vocab
+      FROM base
+      UNION ALL
+      SELECT it + 1,
+             list_transform([{r7._BPE_FIX_BEST}], b -> list_append(ms,
+               struct_pack(rank := CAST(it AS BIGINT), l := b.l, r := b.r,
+                           cnt := -b.nc)))[1],
+             list_transform([{r7._BPE_FIX_BEST}], b ->
+               {r7._BPE_FIX_NEWVOCAB})[1]
+      FROM step
+      WHERE it < 3
+    )
+    SELECT m.rank, m.l, m.r, m.cnt
+    FROM (SELECT unnest(ms) AS m FROM step WHERE it = 3)
+    ORDER BY m.rank
+    """
+    con = duckdb.connect()
+    got = [tuple(r) for r in con.sql(sql).fetchall()]
+    assert got == [tuple(m) for m in want], (got, want)
