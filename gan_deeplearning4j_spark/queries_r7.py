@@ -1426,6 +1426,469 @@ def q_bpe_train_merges_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank")
 
 
+
+@_stage(
+    "kendall_tau_daily",
+    oracle="""
+    WITH d AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS day,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1996-04-01'
+      GROUP BY day
+    ), p AS (
+      SELECT CAST(COUNT(*) FILTER (WHERE b.cents > a.cents) AS BIGINT) AS nc,
+             CAST(COUNT(*) FILTER (WHERE b.cents < a.cents) AS BIGINT) AS nd,
+             CAST(COUNT(*) FILTER (WHERE b.cents = a.cents) AS BIGINT) AS ty
+      FROM d a JOIN d b ON b.day > a.day
+    ), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM d)
+    SELECT n_days, nc, nd, ty,
+           CAST(floor(CAST((nc - nd) AS DOUBLE) * 1000000 /
+                sqrt(CAST((nc + nd + ty) AS DOUBLE) *
+                     CAST((nc + nd) AS DOUBLE))) AS BIGINT) AS tau_b_ppm
+    FROM p, n
+    """,
+    doc="Kendall tau-b rank correlation of (day, daily revenue) over a "
+        "91-day window — the concordance-based complement to the existing "
+        "Spearman query. Exact integer concordant/discordant/tied counts "
+        "from the bounded day-pair join (grouped days are unique in x, so "
+        "tx=0 and tau-b needs only the y-tie term), then ONE double "
+        "expression (int casts, *, /, sqrt are correctly-rounded IEEE -> "
+        "bit-identical cross-engine) floored to ppm. Scale: the pair join "
+        "is over the ~91-row daily aggregate, never the fact table; the "
+        "fact scan is one map-side-combined groupBy",
+)
+def q_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01")
+    )
+    d = o.groupBy(
+        F.datediff(F.col("o_orderdate").cast("date"),
+                   F.lit("1970-01-01").cast("date")).alias("day")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .cast("long").alias("cents")
+    )
+    a = d.select(F.col("day").alias("da"), F.col("cents").alias("ca"))
+    b = d.select(F.col("day").alias("db"), F.col("cents").alias("cb"))
+    p = (
+        a.join(b, F.col("db") > F.col("da"))
+        .agg(
+            F.count(F.when(F.col("cb") > F.col("ca"), 1))
+            .cast("long").alias("nc"),
+            F.count(F.when(F.col("cb") < F.col("ca"), 1))
+            .cast("long").alias("nd"),
+            F.count(F.when(F.col("cb") == F.col("ca"), 1))
+            .cast("long").alias("ty"),
+        )
+    )
+    n = d.agg(F.count("*").cast("long").alias("n_days"))
+    return p.crossJoin(F.broadcast(n)).select(
+        "n_days", "nc", "nd", "ty",
+        F.floor(
+            (F.col("nc") - F.col("nd")).cast("double") * 1000000
+            / F.sqrt(
+                (F.col("nc") + F.col("nd") + F.col("ty")).cast("double")
+                * (F.col("nc") + F.col("nd")).cast("double")
+            )
+        ).cast("long").alias("tau_b_ppm"),
+    )
+
+
+@_stage(
+    "cohens_kappa_gates",
+    oracle="""
+    WITH g AS (
+      SELECT (n_chars BETWEEN 200 AND 8000) AS g_len,
+             (100 * ((length(' ' || text || ' ')
+                      - length(replace(' ' || text || ' ', ' the ', '')))
+                     // 5
+                     + (length(' ' || text || ' ')
+                        - length(replace(' ' || text || ' ', ' and ', '')))
+                     // 5)
+              >= 2 * len(string_split(text, ' '))) AS g_stop
+      FROM documents
+    ), c AS (
+      SELECT CAST(COUNT(*) FILTER (WHERE g_len AND g_stop) AS BIGINT) AS a,
+             CAST(COUNT(*) FILTER (WHERE g_len AND NOT g_stop) AS BIGINT)
+               AS b,
+             CAST(COUNT(*) FILTER (WHERE NOT g_len AND g_stop) AS BIGINT)
+               AS c,
+             CAST(COUNT(*) FILTER (WHERE NOT g_len AND NOT g_stop)
+                  AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM g
+    )
+    SELECT a, b, c, d,
+           CASE WHEN n * n = (a + b) * (a + c) + (c + d) * (b + d) THEN 0
+                ELSE (n * (a + d)
+                      - ((a + b) * (a + c) + (c + d) * (b + d))) * 1000000
+                     // (n * n
+                         - ((a + b) * (a + c) + (c + d) * (b + d)))
+           END AS kappa_ppm
+    FROM c
+    """,
+    doc="Cohen's kappa inter-rater agreement between two independent "
+        "document quality gates (a length gate and a stopword-density "
+        "gate): the standard audit for whether two cheap corpus filters "
+        "measure the same thing or complement each other. The confusion "
+        "matrix is exact integer counts; kappa = (po-pe)/(1-pe) is "
+        "computed entirely in cleared-denominator int64 arithmetic "
+        "(n(a+d) - sum-of-marginal-products over n^2 - same), truncated "
+        "to ppm with `div`/`//` (both engines truncate toward zero). "
+        "Stopword hits count non-overlapping ' the '/' and ' occurrences "
+        "via the length-after-replace identity — no regex, no UDF. "
+        "Scale: one fact scan, one global aggregate, all scan-stage "
+        "codegen expressions",
+)
+def q_cohens_kappa_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+
+    def hits(word: str):
+        pat = f" {word} "
+        return (
+            (F.length(padded)
+             - F.length(F.replace(padded, F.lit(pat), F.lit(""))))
+            / F.lit(len(pat))
+        ).cast("long")
+
+    g = docs.select(
+        F.col("n_chars").between(200, 8000).alias("g_len"),
+        (
+            100 * (hits("the") + hits("and"))
+            >= 2 * F.size(F.split("text", " "))
+        ).alias("g_stop"),
+    )
+    c = g.agg(
+        F.count(F.when(F.col("g_len") & F.col("g_stop"), 1))
+        .cast("long").alias("a"),
+        F.count(F.when(F.col("g_len") & ~F.col("g_stop"), 1))
+        .cast("long").alias("b"),
+        F.count(F.when(~F.col("g_len") & F.col("g_stop"), 1))
+        .cast("long").alias("c"),
+        F.count(F.when(~F.col("g_len") & ~F.col("g_stop"), 1))
+        .cast("long").alias("d"),
+        F.count("*").cast("long").alias("n"),
+    )
+    pe_num = (
+        (F.col("a") + F.col("b")) * (F.col("a") + F.col("c"))
+        + (F.col("c") + F.col("d")) * (F.col("b") + F.col("d"))
+    )
+    return c.select(
+        "a", "b", "c", "d",
+        F.when(F.col("n") * F.col("n") == pe_num, F.lit(0).cast("long"))
+        .otherwise(
+            F.expr(
+                "(n * (a + d) - ((a+b)*(a+c) + (c+d)*(b+d))) * 1000000"
+                " div (n * n - ((a+b)*(a+c) + (c+d)*(b+d)))"
+            )
+        ).cast("long").alias("kappa_ppm"),
+    )
+
+
+@_stage(
+    "iso_week_rollup",
+    oracle="""
+    SELECT isoyear(CAST(o_orderdate AS DATE)) AS iso_year,
+           week(CAST(o_orderdate AS DATE)) AS iso_week,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                // COUNT(*) AS BIGINT) AS cents_per_order
+    FROM orders
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    doc="ISO-8601 week business rollup: orders bucketed by (ISO year, ISO "
+        "week) — the boundary-sensitive calendar surface (Jan 1 can be "
+        "week 52/53 of the PREVIOUS iso-year, Dec 29-31 can be week 1 of "
+        "the NEXT; probed cross-engine on exactly those boundary dates "
+        "before registration). Spark weekofyear/extract(YEAROFWEEK) vs "
+        "DuckDB week/isoyear agree date-for-date. Money in integer "
+        "cents; per-order average via truncating integer division. "
+        "Scale: one map-side-combined groupBy on derived scan-stage "
+        "columns",
+)
+def q_iso_week_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return (
+        o.groupBy(
+            F.expr("extract(YEAROFWEEK FROM CAST(o_orderdate AS DATE))")
+            .cast("long").alias("iso_year"),
+            F.weekofyear(d).cast("long").alias("iso_week"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long").alias("cents"),
+        )
+        .select(
+            "iso_year", "iso_week", "n_orders", "cents",
+            F.expr("cents div n_orders").cast("long")
+            .alias("cents_per_order"),
+        )
+        .orderBy("iso_year", "iso_week")
+    )
+
+
+
+@_stage(
+    "span_corruption_plan",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    ), f AS (
+      SELECT doc_id, source, n_tok,
+             greatest(1, (n_tok * 15 // 100) // 3) AS n_spans
+      FROM d WHERE n_tok >= 20
+    ), s AS (
+      SELECT f.doc_id, f.source, f.n_tok, f.n_spans,
+             1 + (CAST('0x' || substr(md5(CAST(f.doc_id AS VARCHAR) || ':'
+                       || CAST(i.i AS VARCHAR)), 1, 15) AS BIGINT)
+                  % (f.n_tok - 2)) AS start
+      FROM f, unnest(range(1, f.n_spans + 1)) AS i(i)
+    ), pos AS (
+      SELECT DISTINCT doc_id, source, start + o.o AS p
+      FROM s, unnest([0, 1, 2]) AS o(o)
+    ), per_doc AS (
+      SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS n_pos
+      FROM pos GROUP BY doc_id, source
+    ), toks AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS tot_tok,
+             CAST(SUM(n_spans) AS BIGINT) AS tot_spans
+      FROM f GROUP BY source
+    ), cov AS (
+      SELECT source, CAST(SUM(n_pos) AS BIGINT) AS tot_pos
+      FROM per_doc GROUP BY source
+    )
+    SELECT t.source, t.n_docs, t.tot_tok, t.tot_spans, c.tot_pos,
+           c.tot_pos * 1000000 // t.tot_tok AS corruption_ppm
+    FROM toks t JOIN cov c ON c.source = t.source
+    ORDER BY t.source
+    """,
+    doc="T5-style span-corruption planning (Raffel et al. JMLR'20 "
+        "pretraining objective): for each doc with >= 20 whitespace "
+        "tokens, plan floor(0.15*n_tok)/3 length-3 corruption spans at "
+        "positions derived from the portable 60-bit md5 hash of "
+        "(doc_id, span_index) — fully deterministic, replayable in "
+        "DuckDB, no RNG state. Spans may collide; realized coverage = "
+        "COUNT(DISTINCT covered position) per doc, rolled up per source "
+        "with the target-vs-realized corruption rate in ppm (integer "
+        "division). Scale: the span fan-out is a bounded fraction "
+        "(~0.15) of token count, the distinct is (doc_id, pos)-keyed, "
+        "and everything else is two-phase aggregation; no UDF",
+)
+def q_span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import portable_hash60
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+    )
+    f = d.filter(F.col("n_tok") >= 20).select(
+        "doc_id", "source", "n_tok",
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.expr("(n_tok * 15 div 100) div 3"),
+        ).alias("n_spans"),
+    )
+    f = f.localCheckpoint(eager=True)  # two consumers: spans + token sums
+    s = f.select(
+        "doc_id", "source", "n_tok",
+        F.explode(F.sequence(F.lit(1).cast("long"), F.col("n_spans")))
+        .alias("i"),
+    ).select(
+        "doc_id", "source",
+        (
+            1 + portable_hash60(F.concat_ws(":", "doc_id", "i"))
+            % (F.col("n_tok") - 2)
+        ).alias("start"),
+    )
+    pos = (
+        s.select(
+            "doc_id", "source",
+            F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("o"),
+            "start",
+        )
+        .select("doc_id", "source",
+                (F.col("start") + F.col("o")).alias("p"))
+        .distinct()
+    )
+    cov = pos.groupBy("source").agg(
+        F.count("*").cast("long").alias("tot_pos")
+    )
+    toks = f.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("tot_tok"),
+        F.sum("n_spans").cast("long").alias("tot_spans"),
+    )
+    return (
+        toks.join(cov, "source")
+        .select(
+            "source", "n_docs", "tot_tok", "tot_spans", "tot_pos",
+            F.expr("tot_pos * 1000000 div tot_tok").cast("long")
+            .alias("corruption_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+@_stage(
+    "curriculum_interleave",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    ), b AS (
+      SELECT doc_id, n_tok,
+             CASE WHEN n_tok < 50 THEN 0 WHEN n_tok < 200 THEN 1
+                  ELSE 2 END AS bucket,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS h
+      FROM d
+    ), r AS (
+      SELECT bucket, doc_id, n_tok,
+             CAST(ROW_NUMBER() OVER (PARTITION BY bucket
+                                     ORDER BY h, doc_id) AS BIGINT) AS rn
+      FROM b
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket, rn, doc_id, n_tok
+    FROM r WHERE rn <= 20
+    ORDER BY rn, bucket
+    """,
+    doc="Curriculum-ordering plan: docs fall into difficulty buckets by "
+        "token count (easy <50, medium <200, hard otherwise), are "
+        "shuffled WITHIN each bucket by the portable md5 hash "
+        "(deterministic pseudo-shuffle, replayable cross-engine), and "
+        "interleaved round-robin easy->medium->hard by (rank, bucket) — "
+        "the schedule a curriculum-learning data loader consumes. First "
+        "20 rounds emitted. Scale: one bucket-partitioned window with a "
+        "LITERAL rank bound, so InferWindowGroupLimit keeps a top-20 "
+        "heap per bucket instead of a full per-bucket sort",
+)
+def q_curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import portable_hash60
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+    )
+    b = d.select(
+        "doc_id", "n_tok",
+        F.when(F.col("n_tok") < 50, 0)
+        .when(F.col("n_tok") < 200, 1)
+        .otherwise(2).cast("long").alias("bucket"),
+        portable_hash60(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = Window.partitionBy("bucket").orderBy("h", "doc_id")
+    return (
+        b.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 20)
+        .select("bucket", "rn", "doc_id", "n_tok")
+        .orderBy("rn", "bucket")
+    )
+
+
+@_stage(
+    "k_anonymity_audit",
+    oracle="""
+    WITH e AS (
+      SELECT user_id % 100 AS ub100, user_id % 10 AS ub10, event_type,
+             (epoch_us(ts) // 3600000000) % 24 AS hour
+      FROM events
+    ),
+    l0 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS sz
+      FROM e GROUP BY ub100, event_type, hour
+    ),
+    l1 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS sz
+      FROM e GROUP BY ub10, event_type, hour // 6
+    ),
+    l2 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS sz
+      FROM e GROUP BY event_type
+    ),
+    u AS (
+      SELECT 0 AS level, * FROM l0
+      UNION ALL SELECT 1, * FROM l1
+      UNION ALL SELECT 2, * FROM l2
+    )
+    SELECT CAST(level AS BIGINT) AS level,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(COUNT(*) FILTER (WHERE sz < 5) AS BIGINT) AS n_small,
+           CAST(COALESCE(SUM(sz) FILTER (WHERE sz < 5), 0) AS BIGINT)
+             AS suppressed_rows,
+           CAST(MIN(sz) AS BIGINT) AS min_group,
+           CAST(COALESCE(SUM(sz) FILTER (WHERE sz < 5), 0) * 1000000
+                // SUM(sz) AS BIGINT) AS suppressed_ppm
+    FROM u GROUP BY level ORDER BY level
+    """,
+    doc="k-anonymity audit over a quasi-identifier generalization ladder "
+        "(Sweeney'02 / Samarati'01): level 0 = (user bucket mod 100, "
+        "event type, hour), level 1 coarsens to (bucket mod 10, type, "
+        "6-hour band), level 2 keeps event type only. Per level: group "
+        "count, groups below k=5, rows that would need suppression and "
+        "their ppm share, and the achieved min group size — the exact "
+        "report a release-readiness privacy gate consumes. Hours via "
+        "epoch-microsecond arithmetic (timezone-proof, the dow_hour "
+        "idiom). Scale: three map-side-combined groupBys over one scan "
+        "union'd at aggregate (not fact) granularity",
+)
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 100).alias("ub100"),
+        (F.col("user_id") % 10).alias("ub10"),
+        "event_type",
+        (F.expr("unix_micros(ts) div 3600000000") % 24).alias("hour"),
+    )
+    l0 = e.groupBy("ub100", "event_type", "hour").agg(
+        F.count("*").cast("long").alias("sz")
+    ).select("sz")
+    l1 = e.groupBy(
+        "ub10", "event_type", F.expr("hour div 6")
+    ).agg(F.count("*").cast("long").alias("sz")).select("sz")
+    l2 = e.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("sz")
+    ).select("sz")
+    u = (
+        l0.select(F.lit(0).cast("long").alias("level"), "sz")
+        .unionByName(l1.select(F.lit(1).cast("long").alias("level"), "sz"))
+        .unionByName(l2.select(F.lit(2).cast("long").alias("level"), "sz"))
+    )
+    small = F.when(F.col("sz") < 5, F.col("sz"))
+    return (
+        u.groupBy("level")
+        .agg(
+            F.count("*").cast("long").alias("n_groups"),
+            F.count(small).cast("long").alias("n_small"),
+            F.coalesce(F.sum(small), F.lit(0)).cast("long")
+            .alias("suppressed_rows"),
+            F.min("sz").cast("long").alias("min_group"),
+            (
+                F.coalesce(F.sum(small), F.lit(0)) * 1000000
+            ).alias("__num"),
+            F.sum("sz").alias("__den"),
+        )
+        .select(
+            "level", "n_groups", "n_small", "suppressed_rows", "min_group",
+            F.expr("__num div __den").cast("long").alias("suppressed_ppm"),
+        )
+        .orderBy("level")
+    )
+
+
 # Self-register at module bottom: by the time execution reaches here,
 # .queries is initialized far enough (register/REGISTRY are defined above
 # its own bottom import of this module), under EITHER import order.
