@@ -1889,6 +1889,300 @@ def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- MaxSim late-interaction (ColBERT-style), fixed-point ------------------
+
+def _maxsim_dot_sql(qoff: int, doff: int) -> str:
+    return ("CAST(list_sum(list_transform(range(0, 16), k -> "
+            f"q.qv[{qoff + 1} + k] * d.dv[{doff + 1} + k])) AS BIGINT)")
+
+
+def _maxsim_oracle() -> str:
+    per_sub = []
+    for i in range(4):
+        dots = ", ".join(_maxsim_dot_sql(16 * i, 16 * j) for j in range(4))
+        per_sub.append(f"GREATEST({dots})")
+    score = "\n             + ".join(per_sub)
+    return f"""
+    WITH fx AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM fx WHERE vec_id < 3),
+    d AS (SELECT vec_id AS doc_id, v AS dv FROM fx),
+    sc AS (
+      SELECT q.query_id, d.doc_id,
+             {score} AS score
+      FROM q, d WHERE d.doc_id <> q.query_id
+    )
+    SELECT query_id, doc_id, score FROM (
+      SELECT query_id, doc_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rn
+      FROM sc) WHERE rn <= 5
+    ORDER BY query_id, doc_id
+    """
+
+
+@_stage(
+    "maxsim_fixed_topk",
+    oracle=_maxsim_oracle(),
+    doc="MaxSim late-interaction retrieval (Khattab & Zaharia, SIGIR'20 "
+        "ColBERT): each 64-dim embedding is treated as 4 x 16-dim token "
+        "sub-vectors; score(q, d) = sum over query sub-vectors of the MAX "
+        "dot product against any doc sub-vector — the interaction "
+        "pattern single-vector cosine cannot express. Fixed-point "
+        "floor(x*2^10) int64 domain makes every dot engine-exact, so the "
+        "DuckDB oracle replays the scoring bit-for-bit. Per-query top-5 "
+        "with literal rank bound. Scale: the 3-query side broadcasts "
+        "(the production shape: bounded query batch vs corpus scan), all "
+        "16 dots are scan-stage codegen folds over array slices, and the "
+        "only shuffle is the per-query top-k window",
+)
+def q_maxsim_fixed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    fx = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.floor(x * 1024).cast("long"),
+    )
+    d = emb.select(F.col("vec_id").alias("doc_id"), fx.alias("dv"))
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), fx.alias("qv")
+    )
+
+    def dot(qoff: int, doff: int):
+        return F.aggregate(
+            F.zip_with(
+                F.slice("qv", qoff + 1, 16),
+                F.slice("dv", doff + 1, 16),
+                lambda a, b: a * b,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    score = None
+    for i in range(4):
+        sub = F.greatest(*[dot(16 * i, 16 * j) for j in range(4)])
+        score = sub if score is None else score + sub
+    sc = (
+        d.crossJoin(F.broadcast(q))
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select("query_id", "doc_id", score.alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), "doc_id")
+    return (
+        sc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "doc_id", "score")
+        .orderBy("query_id", "doc_id")
+    )
+
+
+# --- BM25 with exact integer arithmetic ------------------------------------
+
+@_stage(
+    "bm25_int_topk",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, t.w AS tok
+      FROM documents, unnest(string_split(text, ' ')) AS t(w)
+      WHERE regexp_matches(t.w, '^[a-z]{2,12}$')
+    ),
+    dl AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+      FROM tok GROUP BY doc_id
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(dl) AS BIGINT) AS tl
+      FROM dl
+    ),
+    sel AS (
+      SELECT tok AS term FROM (
+        SELECT tok, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS r
+        FROM tok GROUP BY tok) WHERE r IN (10, 20, 30)
+    ),
+    df AS (
+      SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM tok JOIN sel ON tok.tok = sel.term GROUP BY term
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok JOIN sel ON tok.tok = sel.term GROUP BY doc_id, term
+    ),
+    sc AS (
+      SELECT tf.doc_id,
+             CAST(SUM(
+               (length(bin(tot.n)) - length(bin(df.df)))
+               * (22 * tf.tf * tot.tl * 10000
+                  // (10 * tf.tf * tot.tl + 3 * tot.tl
+                      + 9 * dl.dl * tot.n))
+             ) AS BIGINT) AS score,
+             CAST(COUNT(*) AS BIGINT) AS n_terms
+      FROM tf
+      JOIN dl ON dl.doc_id = tf.doc_id
+      JOIN df ON df.term = tf.term
+      CROSS JOIN tot
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, score, n_terms
+    FROM sc ORDER BY score DESC, doc_id LIMIT 15
+    """,
+    doc="BM25 ranking (Robertson-Sparck Jones family, k1=6/5, b=3/4) in "
+        "EXACT integer arithmetic: the tf saturation term has its "
+        "denominators cleared (22*tf*TL / (10*tf*TL + 3*TL + 9*dl*N), "
+        "scaled 1e4, truncating division) and idf is the floor-log2 "
+        "surrogate bitlen(N)-bitlen(df) (Spark length(conv(x,10,2)) == "
+        "DuckDB length(bin(x))) — no transcendental anywhere, so the "
+        "DuckDB oracle hash-matches the full pipeline: tokenize, "
+        "doc-length, corpus totals, data-driven query-term selection "
+        "(global freq ranks 10/20/30), df, tf, score, top-15. Scale: "
+        "terms and totals broadcast; tf is one map-side-combined "
+        "groupBy over the token stream; ORDER BY+LIMIT is TakeOrdered "
+        "(per-partition heaps), never a global sort. int64 overflow "
+        "under ANSI fails loudly rather than corrupting ranks",
+)
+def q_bm25_int_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok").rlike("^[a-z]{2,12}$"))
+    tok = tok.localCheckpoint(eager=True)  # 3 consumers: dl, term sel, tf
+    dl = tok.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
+    tot = dl.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("dl").cast("long").alias("tl"),
+    )
+    wr = bounded_window(F.desc("cnt"), "tok")
+    sel = (
+        tok.groupBy("tok").agg(F.count("*").alias("cnt"))
+        .withColumn("r", F.row_number().over(wr))
+        .filter(F.col("r").isin(10, 20, 30))
+        .select(F.col("tok").alias("term"))
+    )
+    hit = tok.join(F.broadcast(sel), tok.tok == F.col("term")).select(
+        "doc_id", "term"
+    )
+    df = hit.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("long").alias("df")
+    )
+    tf = hit.groupBy("doc_id", "term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    sc = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                (F.length(F.conv(F.col("n"), 10, 2))
+                 - F.length(F.conv(F.col("df"), 10, 2))).cast("long")
+                * F.expr(
+                    "22 * tf * tl * 10000"
+                    " div (10 * tf * tl + 3 * tl + 9 * dl * n)"
+                )
+            ).cast("long").alias("score"),
+            F.count("*").cast("long").alias("n_terms"),
+        )
+    )
+    return sc.orderBy(F.desc("score"), "doc_id").limit(15)
+
+
+# --- Reciprocal-rank fusion ------------------------------------------------
+
+@_stage(
+    "rrf_fusion_topk",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    r1 AS (
+      SELECT user_id, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, user_id)
+                           AS BIGINT) AS r
+      FROM p ORDER BY n DESC, user_id LIMIT 100
+    ),
+    r2 AS (
+      SELECT user_id, CAST(ROW_NUMBER() OVER (ORDER BY cents DESC,
+                                              user_id) AS BIGINT) AS r
+      FROM p ORDER BY cents DESC, user_id LIMIT 100
+    ),
+    fused AS (
+      SELECT COALESCE(r1.user_id, r2.user_id) AS user_id,
+             COALESCE(1000000000000 // (60 + r1.r), 0)
+             + COALESCE(1000000000000 // (60 + r2.r), 0) AS rrf,
+             r1.r AS rank_count, r2.r AS rank_value
+      FROM r1 FULL OUTER JOIN r2 ON r1.user_id = r2.user_id
+    )
+    SELECT user_id, rrf, rank_count, rank_value
+    FROM fused ORDER BY rrf DESC, user_id LIMIT 20
+    """,
+    doc="Reciprocal-rank fusion (Cormack et al., SIGIR'09) of two bounded "
+        "retrieval lists — the standard way to merge rankings from "
+        "different scorers (here: purchase count vs purchase value; the "
+        "identical operator fuses BM25 and embedding top-k lists). Each "
+        "list is a top-100 TakeOrdered (per-partition heaps, no global "
+        "sort), ranks assigned inside the bounded list, fused score = "
+        "sum of floor(1e12/(60+rank)) — integer division, engine-exact, "
+        "list-absent contributes 0 via the full outer join. Scale: the "
+        "only fact-sized work is one groupBy; everything after operates "
+        "on 100-row lists",
+)
+def q_rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.floor(F.col("value") * 100).cast("long"))
+            .cast("long").alias("cents"),
+        )
+        .localCheckpoint(eager=True)  # two ranking consumers
+    )
+    r1 = (
+        p.orderBy(F.desc("n"), "user_id").limit(100)
+        .withColumn(
+            "r",
+            F.row_number().over(bounded_window(F.desc("n"), "user_id"))
+            .cast("long"),
+        )
+        .select("user_id", "r")
+    )
+    r2 = (
+        p.orderBy(F.desc("cents"), "user_id").limit(100)
+        .withColumn(
+            "r",
+            F.row_number().over(
+                bounded_window(F.desc("cents"), "user_id")
+            ).cast("long"),
+        )
+        .select("user_id", "r")
+    )
+    fused = (
+        r1.withColumnRenamed("r", "rank_count")
+        .join(r2.withColumnRenamed("r", "rank_value"), "user_id", "full")
+        .select(
+            "user_id",
+            (
+                F.coalesce(
+                    F.expr("1000000000000 div (60 + rank_count)"), F.lit(0)
+                )
+                + F.coalesce(
+                    F.expr("1000000000000 div (60 + rank_value)"), F.lit(0)
+                )
+            ).cast("long").alias("rrf"),
+            "rank_count", "rank_value",
+        )
+    )
+    return fused.orderBy(F.desc("rrf"), "user_id").limit(20)
+
+
 # Self-register at module bottom: by the time execution reaches here,
 # .queries is initialized far enough (register/REGISTRY are defined above
 # its own bottom import of this module), under EITHER import order.
