@@ -2183,6 +2183,263 @@ def q_rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.orderBy(F.desc("rrf"), "user_id").limit(20)
 
 
+# --- k-core decomposition (iterative peeling) ------------------------------
+
+_KCORE_K = 3
+
+_KCORE_ORACLE = f"""
+    WITH RECURSIVE
+    b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pr AS (
+      SELECT a.l_partkey AS p1, c.l_partkey AS p2
+      FROM b a JOIN b c
+        ON c.l_orderkey = a.l_orderkey AND c.l_partkey > a.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    peel AS (
+      SELECT 0 AS it, p1, p2 FROM pr
+      UNION ALL
+      SELECT it + 1, p1, p2
+      FROM (
+        SELECT it, p1, p2,
+               MIN(deg) OVER (PARTITION BY p1, p2) AS edge_min,
+               MIN(deg) OVER () AS gmin
+        FROM (
+          SELECT it, p1, p2,
+                 COUNT(*) OVER (PARTITION BY u.node) AS deg
+          FROM peel, unnest([p1, p2]) AS u(node)
+        )
+      )
+      WHERE gmin < {_KCORE_K} AND edge_min >= {_KCORE_K}
+      GROUP BY it, p1, p2
+    ),
+    last AS (
+      SELECT p1, p2 FROM peel WHERE it = (SELECT MAX(it) FROM peel)
+    ),
+    expand AS (
+      SELECT l.p1, l.p2, COUNT(*) OVER (PARTITION BY u.node) AS deg
+      FROM last l, unnest([l.p1, l.p2]) AS u(node)
+    ),
+    core AS (
+      SELECT p1, p2 FROM expand
+      GROUP BY p1, p2
+      HAVING MIN(deg) >= {_KCORE_K}
+         AND (SELECT MIN(deg) FROM expand) >= {_KCORE_K}
+    ),
+    und AS (SELECT p1 AS node FROM core UNION ALL SELECT p2 FROM core),
+    nd AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS core_deg
+      FROM und GROUP BY node
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_core_nodes FROM nd),
+    te AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_core_edges FROM core),
+    top AS (
+      SELECT node, core_deg FROM nd
+      ORDER BY core_deg DESC, node LIMIT 10
+    )
+    SELECT t.node, t.core_deg, tot.n_core_nodes, te.n_core_edges
+    FROM top t, tot, te
+    ORDER BY core_deg DESC, node
+"""
+
+
+@_stage(
+    "k_core_parts",
+    oracle=_KCORE_ORACLE,
+    doc=f"k-core decomposition (Seidman'83; k={_KCORE_K}) of the part "
+        "co-purchase graph (parts in >= 2 common orders, the "
+        "lpa_communities edge construction): iteratively peel nodes of "
+        "degree < k until stable — the standard dense-subgraph / "
+        "influence-zone primitive the CC/pagerank family lacked. Output "
+        "= top-10 core nodes by in-core degree plus core node/edge "
+        "totals; an EMPTY k-core yields zero rows (which the data "
+        "realizes at sf0.1 — both engines agree). The DuckDB oracle "
+        "replays peeling as a row-state recursive CTE (this DuckDB "
+        "allows window functions over the recursive reference: degree "
+        "via COUNT OVER per exploded endpoint, per-edge min, global min "
+        "as the fixed-point guard; the final SELECT re-checks stability "
+        "so the emptied-core case cannot leak the pre-death edge set). "
+        "Scale: each Spark round is one degree aggregate + two "
+        "broadcast-able anti-joins on a strictly shrinking edge list "
+        "with localCheckpoint lineage truncation — the "
+        "connected_components loop shape; rounds are data-driven "
+        "(10 at sf0.01), never a hard-coded depth",
+)
+def q_k_core_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    a, c = b.alias("a"), b.alias("c")
+    edges = (
+        a.join(
+            c,
+            (F.col("c.l_orderkey") == F.col("a.l_orderkey"))
+            & (F.col("c.l_partkey") > F.col("a.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"),
+            F.col("c.l_partkey").alias("p2"),
+        )
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("p1", "p2")
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(100):  # safety cap far above the data-driven ~10 rounds
+        und = edges.select(F.col("p1").alias("node")).union(
+            edges.select(F.col("p2").alias("node"))
+        )
+        bad = (
+            und.groupBy("node").agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") < _KCORE_K)
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
+        if bad.limit(1).count() == 0:
+            break
+        edges = (
+            edges.join(
+                bad.withColumnRenamed("node", "p1"), "p1", "left_anti"
+            )
+            .join(bad.withColumnRenamed("node", "p2"), "p2", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if edges.limit(1).count() == 0:
+            break
+    und = edges.select(F.col("p1").alias("node")).union(
+        edges.select(F.col("p2").alias("node"))
+    )
+    nd = und.groupBy("node").agg(
+        F.count("*").cast("long").alias("core_deg")
+    )
+    totals = nd.agg(
+        F.count("*").cast("long").alias("n_core_nodes")
+    ).crossJoin(
+        edges.agg(F.count("*").cast("long").alias("n_core_edges"))
+    )
+    top = nd.orderBy(F.desc("core_deg"), "node").limit(10)
+    return top.crossJoin(F.broadcast(totals)).orderBy(
+        F.desc("core_deg"), "node"
+    )
+
+
+# --- CMS join-cardinality estimate -----------------------------------------
+
+def _cms_join_oracle() -> str:
+    from .functions.text import portable_hash60_sql
+
+    def bucket(d: int, key: str) -> str:
+        h = portable_hash60_sql(f"'{d}' || '|' || CAST({key} AS VARCHAR)")
+        return f"({h} % 256)"
+
+    ga = " UNION ALL ".join(
+        f"SELECT {d} AS d, {bucket(d, 'o_custkey')} AS bucket FROM orders"
+        for d in range(4)
+    )
+    gb = " UNION ALL ".join(
+        f"SELECT {d} AS d, {bucket(d, 'user_id')} AS bucket FROM events"
+        for d in range(4)
+    )
+    return f"""
+    WITH ga AS (
+      SELECT d, bucket, CAST(COUNT(*) AS BIGINT) AS ca
+      FROM ({ga}) GROUP BY d, bucket
+    ), gb AS (
+      SELECT d, bucket, CAST(COUNT(*) AS BIGINT) AS cb
+      FROM ({gb}) GROUP BY d, bucket
+    ), est AS (
+      SELECT CAST(MIN(dot) AS BIGINT) AS estimate FROM (
+        SELECT ga.d, SUM(ga.ca * gb.cb) AS dot
+        FROM ga JOIN gb ON gb.d = ga.d AND gb.bucket = ga.bucket
+        GROUP BY ga.d)
+    ), ex AS (
+      SELECT CAST(SUM(na.n * nb.n) AS BIGINT) AS exact
+      FROM (SELECT o_custkey AS k, COUNT(*) AS n FROM orders GROUP BY 1) na
+      JOIN (SELECT user_id AS k, COUNT(*) AS n FROM events GROUP BY 1) nb
+        ON nb.k = na.k
+    )
+    SELECT ex.exact, est.estimate,
+           CAST(est.estimate - ex.exact AS BIGINT) AS overshoot,
+           CAST((est.estimate - ex.exact) * 1000000 // ex.exact AS BIGINT)
+             AS err_ppm
+    FROM ex, est
+    """
+
+
+@_stage(
+    "cms_join_cardinality",
+    oracle=_cms_join_oracle(),
+    doc="Join-size estimation via count-min sketch inner product "
+        "(Cormode/Muthukrishnan'05 SS3: |A JOIN B| estimate = min over "
+        "hash rows of sum_w gridA[d][w]*gridB[d][w]) — the optimizer "
+        "statistic behind join reordering, here for orders.o_custkey "
+        "JOIN events.user_id. Both 4x256 grids use the portable md5 "
+        "bucket hash (the cms_heavy_hitters idiom), so the DuckDB "
+        "oracle replays the sketch bit-for-bit; the exact size "
+        "Sum nA(k)*nB(k) is computed alongside and the output carries "
+        "estimate, exact, the guaranteed-nonnegative overshoot, and the "
+        "relative error in ppm. Scale: each grid is a map-side-combined "
+        "groupBy collapsing to a FIXED d*w = 1024 rows regardless of "
+        "input size; the grids broadcast-join; the exact side is the "
+        "one key-keyed shuffle",
+)
+def q_cms_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import portable_hash60
+
+    def grid(df: DataFrame, key: str) -> DataFrame:
+        cells = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        (
+                            portable_hash60(
+                                F.concat_ws(
+                                    "|", F.lit(str(d)),
+                                    F.col(key).cast("string"),
+                                )
+                            ) % 256
+                        ).alias("bucket"),
+                    )
+                    for d in range(4)
+                ]
+            )
+        ).alias("c")
+        return (
+            df.select(cells)
+            .select("c.d", "c.bucket")
+            .groupBy("d", "bucket")
+            .agg(F.count("*").cast("long").alias("cnt"))
+        )
+    ga = grid(_t(spark, sf_dir, "orders"), "o_custkey")
+    gb = grid(_t(spark, sf_dir, "events"), "user_id")
+    est = (
+        ga.withColumnRenamed("cnt", "ca")
+        .join(
+            F.broadcast(gb.withColumnRenamed("cnt", "cb")),
+            ["d", "bucket"],
+        )
+        .groupBy("d")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+        .agg(F.min("dot").cast("long").alias("estimate"))
+    )
+    na = _t(spark, sf_dir, "orders").groupBy(
+        F.col("o_custkey").alias("k")
+    ).agg(F.count("*").alias("n_a"))
+    nb = _t(spark, sf_dir, "events").groupBy(
+        F.col("user_id").alias("k")
+    ).agg(F.count("*").alias("n_b"))
+    exact = na.join(nb, "k").agg(
+        F.sum(F.col("n_a") * F.col("n_b")).cast("long").alias("exact")
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "exact", "estimate",
+        (F.col("estimate") - F.col("exact")).cast("long")
+        .alias("overshoot"),
+        F.expr("(estimate - exact) * 1000000 div exact").cast("long")
+        .alias("err_ppm"),
+    )
+
+
 # Self-register at module bottom: by the time execution reaches here,
 # .queries is initialized far enough (register/REGISTRY are defined above
 # its own bottom import of this module), under EITHER import order.
