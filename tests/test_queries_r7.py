@@ -244,3 +244,39 @@ def test_bpe_fixed_oracle_self_pair_parity_rule():
     con = duckdb.connect()
     got = [tuple(r) for r in con.sql(sql).fetchall()]
     assert got == [tuple(m) for m in want], (got, want)
+
+
+def test_r7_live_addition_plans(spark, sf_dir):
+    """Physical-plan pins for the round-7 live additions: the docstring
+    scale claims must be true in the plan, not just prose."""
+    from gan_deeplearning4j_spark.plans.explain import plan_tree
+
+    # maxsim: bounded query side broadcasts into a nested-loop; the
+    # corpus scan happens once and the only exchange is the per-query
+    # top-k window
+    t = plan_tree(_fn("maxsim_fixed_topk")(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in t, t
+    assert "SortMergeJoin" not in t, t
+
+    # bm25: term list and doc-frequency sides broadcast; the token
+    # stream never sort-merge-joins
+    t = plan_tree(_fn("bm25_int_topk")(spark, sf_dir))
+    assert "BroadcastHashJoin" in t, t
+    assert "SortMergeJoin" not in t, t
+    # top-15 is TakeOrdered (per-partition heaps), not a global sort
+    assert "TakeOrderedAndProject" in t, t
+
+    # curriculum: the literal rank bound must keep the per-bucket
+    # window a group-limit (top-20 heap), not a full per-bucket sort
+    t = plan_tree(_fn("curriculum_interleave")(spark, sf_dir))
+    assert "WindowGroupLimit" in t, t
+
+    # cms join cardinality: both grids collapse before joining — the
+    # grid join must broadcast, never shuffle the fact tables into a
+    # sort-merge join
+    t = plan_tree(_fn("cms_join_cardinality")(spark, sf_dir))
+    assert "BroadcastHashJoin" in t, t
+
+    # rrf: both ranking lists are TakeOrdered before ranks are assigned
+    t = plan_tree(_fn("rrf_fusion_topk")(spark, sf_dir))
+    assert "TakeOrderedAndProject" in t, t
