@@ -2440,6 +2440,112 @@ def q_cms_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- DBSCAN-style grid density clustering ----------------------------------
+
+@_stage(
+    "dbscan_grid_clusters",
+    oracle="""
+    WITH RECURSIVE
+    pts AS (
+      SELECT CAST(floor(CAST(embedding[1] AS DOUBLE) * 8) AS BIGINT) AS gx,
+             CAST(floor(CAST(embedding[2] AS DOUBLE) * 8) AS BIGINT) AS gy
+      FROM embeddings
+    ),
+    cells AS (
+      SELECT (gx + 16) * 1000 + (gy + 16) AS cell, gx, gy,
+             CAST(COUNT(*) AS BIGINT) AS n_pts
+      FROM pts GROUP BY 1, 2, 3
+      HAVING COUNT(*) >= 10
+    ),
+    -- undirected 8-neighbourhood adjacency PLUS a self-loop per cell:
+    -- the self-loop lets the propagation step read a node's own label
+    -- through the same single join (a recursive CTE may be referenced
+    -- only once per step)
+    edges AS (
+      SELECT a.cell AS src, b.cell AS dst
+      FROM cells a JOIN cells b
+        ON abs(a.gx - b.gx) <= 1 AND abs(a.gy - b.gy) <= 1
+    ),
+    lab AS (
+      SELECT 0 AS it, cell AS node, cell AS comp FROM cells
+      UNION ALL
+      SELECT it + 1, e.dst AS node, CAST(MIN(l.comp) AS BIGINT) AS comp
+      FROM lab l JOIN edges e ON e.src = l.node
+      WHERE it < 24
+      GROUP BY it, e.dst
+    ),
+    final AS (SELECT node, comp FROM lab WHERE it = 24),
+    agg AS (
+      SELECT f.comp AS cluster_id,
+             CAST(COUNT(*) AS BIGINT) AS n_cells,
+             CAST(SUM(c.n_pts) AS BIGINT) AS n_points
+      FROM final f JOIN cells c ON c.cell = f.node
+      GROUP BY f.comp
+    )
+    SELECT cluster_id, n_cells, n_points
+    FROM agg ORDER BY n_points DESC, cluster_id
+    """,
+    doc="DBSCAN-shaped density clustering (Ester et al. KDD'96, grid "
+        "variant): embeddings projected to their first two dims, bucketed "
+        "into fixed-point 1/8-wide grid cells (floor(x*8) is "
+        "engine-exact), cells with >= 10 points are 'dense', and dense "
+        "cells merge through 8-neighbourhood connectivity — computed with "
+        "the package connected_components(mode='logn') star-contraction "
+        "engine (its first registered consumer; isolated dense cells "
+        "become singleton clusters via the left join). Output: per "
+        "cluster (id = min cell id), cell and point counts. The oracle "
+        "replays CC as min-label propagation in a recursive CTE with one "
+        "trick: the adjacency CTE carries a SELF-LOOP per node, so the "
+        "single permitted recursive-reference join delivers both a "
+        "node's own label and its neighbours' in one pass; 24 rounds "
+        "cover any diameter this bounded cell graph can have. Scale: "
+        "the only fact-sized step is the cell groupBy (map-side "
+        "combined); everything after runs on the bounded dense-cell "
+        "relation",
+)
+def q_dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import connected_components
+
+    emb = _t(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    pts = emb.select(
+        F.floor(e[0] * 8).cast("long").alias("gx"),
+        F.floor(e[1] * 8).cast("long").alias("gy"),
+    )
+    cells = (
+        pts.groupBy("gx", "gy")
+        .agg(F.count("*").cast("long").alias("n_pts"))
+        .filter(F.col("n_pts") >= 10)
+        .select(
+            ((F.col("gx") + 16) * 1000 + F.col("gy") + 16).alias("cell"),
+            "gx", "gy", "n_pts",
+        )
+        .localCheckpoint(eager=True)  # consumed by both join sides + CC
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    edges = a.join(
+        b,
+        (F.abs(F.col("a.gx") - F.col("b.gx")) <= 1)
+        & (F.abs(F.col("a.gy") - F.col("b.gy")) <= 1)
+        & (F.col("b.cell") > F.col("a.cell")),
+    ).select(F.col("a.cell").alias("id_a"), F.col("b.cell").alias("id_b"))
+    labels = connected_components(edges, mode="logn")
+    assigned = cells.join(
+        labels.withColumnRenamed("node", "cell"), "cell", "left"
+    ).select(
+        "cell", "n_pts",
+        F.coalesce(F.col("comp"), F.col("cell")).alias("cluster_id"),
+    )
+    return (
+        assigned.groupBy("cluster_id")
+        .agg(
+            F.count("*").cast("long").alias("n_cells"),
+            F.sum("n_pts").cast("long").alias("n_points"),
+        )
+        .orderBy(F.desc("n_points"), "cluster_id")
+    )
+
+
 # Self-register at module bottom: by the time execution reaches here,
 # .queries is initialized far enough (register/REGISTRY are defined above
 # its own bottom import of this module), under EITHER import order.
