@@ -145,6 +145,113 @@ def q_viterbi_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("step")
 
 
+def _recall_pq_oracle() -> str | None:
+    """Exact fixed-point L2 top-5 vs the PQ-ADC top-5 (the pq_fixed_topk
+    oracle embedded verbatim as a subquery), joined per query into a
+    recall@5 report. Falls back to rows-only if the PQ oracle can't be
+    built (missing training corpus)."""
+    from .queries_ext import _pq_fixed_oracle
+
+    pq = _pq_fixed_oracle()
+    if pq is None:
+        return None
+    try:
+        from .operators.similarity import FIXED_POINT_SCALE
+    except Exception:
+        return None
+    return f"""
+    WITH pq AS ({pq}),
+    v AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CAST(floor(x * {FIXED_POINT_SCALE}.0) AS BIGINT)) AS xq
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, xq AS qv FROM v WHERE vec_id < 4),
+    ex AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, d.vec_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY CAST(list_sum(list_transform(range(1, 65),
+                   i -> (q.qv[i] - d.xq[i]) * (q.qv[i] - d.xq[i])))
+                   AS BIGINT), d.vec_id) AS rn
+        FROM q, v d) t(query_id, vec_id, rn)
+      WHERE rn <= 5
+    )
+    SELECT ex.query_id,
+           CAST(COUNT(pq.vec_id) AS BIGINT) AS n_overlap,
+           CAST(COUNT(pq.vec_id) * 200000 AS BIGINT) AS recall_ppm
+    FROM ex LEFT JOIN pq
+      ON pq.query_id = ex.query_id AND pq.vec_id = ex.vec_id
+    GROUP BY ex.query_id
+    ORDER BY ex.query_id
+    """
+
+
+@_stage(
+    "recall_pq_vs_exact",
+    oracle=_recall_pq_oracle(),
+    doc="Retrieval-evaluation operator: recall@5 of the product-quantized "
+        "ANN ranking against the exact ranking, per query, ENTIRELY in "
+        "the fixed-point int64 domain — both rankings and the overlap "
+        "join are engine-exact, so even the EVALUATION of the "
+        "approximate index is hash-verified (the float-path recall pins "
+        "live in pytest; this is their driver-facing twin). The oracle "
+        "embeds the pq_fixed_topk oracle verbatim as a subquery next to "
+        "an exact L2 top-5 CTE. Scale: exact side is the brute-force "
+        "baseline over broadcast queries (the eval always runs on a "
+        "bounded query sample); PQ side shuffles only 8-byte codes",
+)
+def q_recall_pq_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import FIXED_POINT_SCALE, pq_topk_fixed
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    pq = pq_topk_fixed(
+        emb, q, "embedding", "vec_id", "query_id", dim=64, k=5
+    ).select("query_id", "vec_id")
+    fx = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.floor(x * FIXED_POINT_SCALE).cast("long"),
+    )
+    d = emb.select(F.col("vec_id").alias("vec_id"), fx.alias("xq"))
+    qv = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), fx.alias("qv")
+    )
+    dist = F.aggregate(
+        F.zip_with("qv", "xq", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy("d2", "vec_id")
+    ex = (
+        d.crossJoin(F.broadcast(qv))
+        .select("query_id", "vec_id", dist.alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "vec_id")
+    )
+    return (
+        ex.alias("ex")
+        .join(
+            pq.alias("pq"),
+            (F.col("ex.query_id") == F.col("pq.query_id"))
+            & (F.col("ex.vec_id") == F.col("pq.vec_id")),
+            "left",
+        )
+        .groupBy(F.col("ex.query_id").alias("query_id"))
+        .agg(
+            F.count(F.col("pq.vec_id")).cast("long").alias("n_overlap"),
+            (F.count(F.col("pq.vec_id")) * 200000).cast("long")
+            .alias("recall_ppm"),
+        )
+        .orderBy("query_id")
+    )
+
+
 # Self-register ONLY under the round-8 gate (this module is imported both
 # by queries.py under the gate and directly by tests without it).
 import os as _os
