@@ -130,6 +130,11 @@ def main() -> None:
         for label, names in _SUBSETS.items()
         if all(n in timings for n in names)
     }
+    out["subtotals_single_shot"] = {
+        label: round(sum(firsts[n] for n in names), 3)
+        for label, names in _SUBSETS.items()
+        if all(n in firsts for n in names)
+    }
     if errors:
         out["errors"] = errors
     print(json.dumps(out))

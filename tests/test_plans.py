@@ -641,3 +641,23 @@ def test_r6_tail_slot_plans(spark, sf_dir):
     assert "Scan ExistingRDD" in t, t
     assert "CartesianProduct" not in t, t
     assert "BroadcastNestedLoopJoin" not in t, t
+
+
+def test_bounded_window_partition_key_survives_optimizer(spark):
+    """bounded_window partitions by spark_partition_id()*0 precisely
+    because lit(0) gets constant-folded back to an EMPTY partition spec
+    (and the WindowExec warning returns). Pin non-foldability: the
+    optimized plan must still carry a partition expression."""
+    from pyspark.sql import functions as F
+
+    from gan_deeplearning4j_spark.functions.windows import bounded_window
+
+    df = (
+        spark.range(100)
+        .withColumn("v", F.col("id") % 7)
+        .withColumn("rn", F.row_number().over(bounded_window("v", "id")))
+    )
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "spark_partition_id" in opt.lower(), opt
+    # and the result is the plain global row_number
+    assert df.agg(F.sum("rn")).collect()[0][0] == 5050
