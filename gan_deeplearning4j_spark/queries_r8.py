@@ -252,6 +252,91 @@ def q_recall_pq_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_stage(
+    "markov_next_event_accuracy",
+    oracle="""
+    WITH pairs AS (
+      SELECT user_id, event_type AS a,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS b
+      FROM events
+    ),
+    valid AS (
+      SELECT user_id, a, b,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) % 10 < 8 AS is_train
+      FROM pairs WHERE b IS NOT NULL
+    ),
+    model AS (
+      SELECT a, b AS pred FROM (
+        SELECT a, b,
+               ROW_NUMBER() OVER (PARTITION BY a
+                                  ORDER BY COUNT(*) DESC, b) AS rn
+        FROM valid WHERE is_train GROUP BY a, b) WHERE rn = 1
+    )
+    SELECT v.a AS state,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(COUNT(*) FILTER (WHERE v.b = m.pred) AS BIGINT)
+             AS n_correct,
+           CAST(COUNT(*) FILTER (WHERE v.b = m.pred) * 1000000
+                // COUNT(*) AS BIGINT) AS acc_ppm
+    FROM valid v JOIN model m ON m.a = v.a
+    WHERE NOT v.is_train
+    GROUP BY v.a
+    ORDER BY v.a
+    """,
+    doc="Next-event prediction eval with a Markov-argmax baseline: "
+        "consecutive event pairs split at the USER level by the portable "
+        "md5 hash (80/20 — user-level so no sequence leaks across the "
+        "split, the split_leakage_audit discipline), the model is "
+        "argmax-next-type per state from train users (count desc, type "
+        "asc tie-break), and held-out accuracy is reported per state in "
+        "exact integer counts + ppm. The companion to "
+        "viterbi_event_paths: that one decodes, this one evaluates. "
+        "Scale: one LEAD window per user partition, one model groupBy "
+        "(|types|^2 rows, broadcast into the test stream), one "
+        "map-side-combined accuracy aggregate",
+)
+def q_markov_next_event_accuracy(spark: SparkSession, sf_dir: str
+                                 ) -> DataFrame:
+    from .functions.text import portable_hash60
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        "user_id", F.col("event_type").alias("a"),
+        F.lead("event_type").over(w).alias("b"),
+    ).filter(F.col("b").isNotNull())
+    valid = pairs.select(
+        "a", "b",
+        (portable_hash60(F.col("user_id").cast("string")) % 10 < 8)
+        .alias("is_train"),
+    ).localCheckpoint(eager=True)  # consumed by model + test sides
+    wm = Window.partitionBy("a").orderBy(F.desc("cnt"), "b")
+    model = (
+        valid.filter("is_train")
+        .groupBy("a", "b").agg(F.count("*").alias("cnt"))
+        .withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") == 1)
+        .select("a", F.col("b").alias("pred"))
+    )
+    return (
+        valid.filter(~F.col("is_train"))
+        .join(F.broadcast(model), "a")
+        .groupBy(F.col("a").alias("state"))
+        .agg(
+            F.count("*").cast("long").alias("n_test"),
+            F.count(F.when(F.col("b") == F.col("pred"), 1))
+            .cast("long").alias("n_correct"),
+            F.expr(
+                "count(CASE WHEN b = pred THEN 1 END) * 1000000"
+                " div count(*)"
+            ).cast("long").alias("acc_ppm"),
+        )
+        .orderBy("state")
+    )
+
+
 # Self-register ONLY under the round-8 gate (this module is imported both
 # by queries.py under the gate and directly by tests without it).
 import os as _os
