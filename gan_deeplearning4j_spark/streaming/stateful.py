@@ -281,3 +281,85 @@ def running_user_balance(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+DEBOUNCE_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("n_kept", T.LongType()),
+        T.StructField("n_suppressed", T.LongType()),
+        T.StructField("emit_seq", T.LongType()),
+    ]
+)
+
+DEBOUNCE_STATE = T.StructType(
+    [
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("kept", T.LongType()),
+        T.StructField("seq", T.LongType()),
+    ]
+)
+
+
+def _debounce_fn_factory(window_us: int):
+    def fn(
+        key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        last_us, n, kept, seq = (
+            state.get if state.exists else (-1, 0, 0, 0)
+        )
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts_nanos", "event_id"])
+        for us in rows["us"]:
+            us = int(us)
+            if last_us < 0 or us - last_us > window_us:
+                kept += 1
+            n += 1
+            # gap is measured from the previous event KEPT OR NOT — the
+            # batch twin's LAG semantics, not a keep-anchored throttle
+            last_us = us
+        seq += 1
+        state.update((last_us, n, kept, seq))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "event_type": [key[1]],
+                "n_events": [n],
+                "n_kept": [kept],
+                "n_suppressed": [n - kept],
+                "emit_seq": [seq],
+            }
+        )
+
+    return fn
+
+
+def streaming_debounce_counts(
+    events: DataFrame, window_seconds: int = 300
+) -> DataFrame:
+    """Per-(user, type) streaming debounce audit — the stateful twin of the
+    batch ``debounce_suppressed_counts`` query: an event is suppressed when
+    the previous event of the same key (kept or not) lies within the
+    window; identical integer microsecond arithmetic, carried across
+    micro-batches in GroupState (state = one row per active key: last seen
+    time + counters), so after the last batch the per-key counters equal
+    the batch LAG computation EXACTLY (pinned by test). Same
+    in-order-arrival contract as ``running_user_ewma``.
+
+    Scale: state is one tiny fixed-width row per (user, type) key in the
+    executor state store; the shuffle is the same groupBy shuffle the batch
+    window pays, amortized over the stream's lifetime."""
+    prepared = events.select(
+        "user_id", "event_type", "ts_nanos", "event_id",
+        F.expr("unix_micros(ts)").alias("us"),
+    )
+    return prepared.groupBy("user_id", "event_type").applyInPandasWithState(
+        _debounce_fn_factory(window_seconds * 1_000_000),
+        outputStructType=DEBOUNCE_OUTPUT,
+        stateStructType=DEBOUNCE_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

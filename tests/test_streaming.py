@@ -864,3 +864,69 @@ def test_streaming_balance_equals_batch_fold(spark, sf_dir, tmp_path):
     assert (got["user_id"].to_numpy() == want["user_id"].to_numpy()).all()
     assert (got["n_events"].to_numpy() == want["n_events"].to_numpy()).all()
     assert (got["balance_c"].to_numpy() == want["balance_c"].to_numpy()).all()
+
+
+def test_streaming_debounce_matches_batch(spark, sf_dir, tmp_path):
+    """Per-(user,type) streaming debounce counters over ordered
+    micro-batches must equal the batch LAG computation (the staged
+    debounce_suppressed_counts query) when rolled up per event type."""
+    import os as _os
+    import time as _time
+
+    import gan_deeplearning4j_spark.queries  # noqa: F401 (init order)
+    from gan_deeplearning4j_spark.queries_r8 import STAGED
+    from gan_deeplearning4j_spark.streaming.stateful import (
+        streaming_debounce_counts,
+    )
+
+    ev = load_events(spark, sf_dir).select(
+        "event_id", "ts", "ts_nanos", "user_id", "event_type", "value",
+        "props"
+    )
+    ts_sorted = [r[0] for r in
+                 ev.select("ts_nanos").orderBy("ts_nanos").collect()]
+    b1 = ts_sorted[len(ts_sorted) // 3]
+    b2 = ts_sorted[2 * len(ts_sorted) // 3]
+    src = str(tmp_path / "events_debounce")
+    bounds = [None, b1, b2, None]
+    now = _time.time()
+    seen: set = set()
+    for i in range(3):
+        part = ev
+        if bounds[i] is not None:
+            part = part.filter(F.col("ts_nanos") > F.lit(bounds[i]))
+        if bounds[i + 1] is not None:
+            part = part.filter(F.col("ts_nanos") <= F.lit(bounds[i + 1]))
+        part.coalesce(1).write.mode("append").parquet(src)
+        for f in _os.listdir(src):
+            if f.endswith(".parquet") and f not in seen:
+                seen.add(f)
+                _os.utime(_os.path.join(src, f), (now, now + 600 * i))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_debounce_counts(stream)
+    run_stream_to_memory(out, "debounce_stream", timeout_sec=180,
+                         output_mode="update")
+    got = spark.sql("""
+        select event_type,
+               sum(n_events) as n_events,
+               sum(n_kept) as n_kept,
+               sum(n_suppressed) as n_suppressed
+        from (
+          select *, row_number() over (
+            partition by user_id, event_type order by emit_seq desc) rn
+          from debounce_stream) where rn = 1
+        group by event_type order by event_type
+    """).toPandas().reset_index(drop=True)
+
+    want = (
+        STAGED["debounce_suppressed_counts"][0](spark, sf_dir).toPandas()
+        .sort_values("event_type").reset_index(drop=True)
+    )
+    for col in ("n_events", "n_kept", "n_suppressed"):
+        assert (got[col].to_numpy() == want[col].to_numpy()).all(), col
+    assert list(got["event_type"]) == list(want["event_type"])
