@@ -1227,3 +1227,61 @@ def ivf_topk_fixed(
         .filter(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+def maxsim_topk_fixed(
+    corpus: DataFrame, queries: DataFrame, vec_col: str, id_col: str,
+    query_id: str, n_sub: int = 4, sub_dim: int = 16, k: int = 5,
+    scale: int = 1024,
+) -> DataFrame:
+    """MaxSim late-interaction top-k (Khattab & Zaharia SIGIR'20 ColBERT
+    shape) in fixed-point int64: each vector is n_sub sub-vectors of
+    sub_dim dims; score(q, d) = sum over query sub-vectors of the MAX dot
+    product against any doc sub-vector. floor(x*scale) makes every dot
+    engine-exact (the registered ``maxsim_fixed_topk`` hash-checks this
+    path against a DuckDB replay).
+
+    Scale shape: the bounded query batch broadcasts into a nested-loop
+    over the corpus scan; all n_sub^2 dots are codegen folds over array
+    slices; the only shuffle is the per-query top-k window (literal rank
+    bound -> WindowGroupLimit heaps)."""
+    fx = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.floor(x * scale).cast("long"),
+    )
+    d = corpus.select(F.col(id_col).alias("__did"), fx.alias("dv"))
+    q = queries.select(F.col(query_id).alias("__qid"), fx.alias("qv"))
+
+    def dot(qoff: int, doff: int):
+        return F.aggregate(
+            F.zip_with(
+                F.slice("qv", qoff + 1, sub_dim),
+                F.slice("dv", doff + 1, sub_dim),
+                lambda a, b: a * b,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    score = None
+    for i in range(n_sub):
+        sub = F.greatest(
+            *[dot(sub_dim * i, sub_dim * j) for j in range(n_sub)]
+        )
+        score = sub if score is None else score + sub
+    sc = (
+        d.crossJoin(F.broadcast(q))
+        .filter(F.col("__did") != F.col("__qid"))
+        .select(
+            F.col("__qid").alias(query_id),
+            F.col("__did").alias(id_col),
+            score.alias("score"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("score"), id_col)
+    return (
+        sc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(query_id, id_col, "score")
+        .orderBy(query_id, id_col)
+    )

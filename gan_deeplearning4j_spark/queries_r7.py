@@ -1941,43 +1941,14 @@ def _maxsim_oracle() -> str:
         "only shuffle is the per-query top-k window",
 )
 def q_maxsim_fixed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import maxsim_topk_fixed
+
     emb = _t(spark, sf_dir, "embeddings")
-    fx = F.transform(
-        F.col("embedding").cast("array<double>"),
-        lambda x: F.floor(x * 1024).cast("long"),
-    )
-    d = emb.select(F.col("vec_id").alias("doc_id"), fx.alias("dv"))
+    d = emb.select(F.col("vec_id").alias("doc_id"), "embedding")
     q = emb.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("query_id"), fx.alias("qv")
+        F.col("vec_id").alias("query_id"), "embedding"
     )
-
-    def dot(qoff: int, doff: int):
-        return F.aggregate(
-            F.zip_with(
-                F.slice("qv", qoff + 1, 16),
-                F.slice("dv", doff + 1, 16),
-                lambda a, b: a * b,
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
-
-    score = None
-    for i in range(4):
-        sub = F.greatest(*[dot(16 * i, 16 * j) for j in range(4)])
-        score = sub if score is None else score + sub
-    sc = (
-        d.crossJoin(F.broadcast(q))
-        .filter(F.col("doc_id") != F.col("query_id"))
-        .select("query_id", "doc_id", score.alias("score"))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), "doc_id")
-    return (
-        sc.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 5)
-        .select("query_id", "doc_id", "score")
-        .orderBy("query_id", "doc_id")
-    )
+    return maxsim_topk_fixed(d, q, "embedding", "doc_id", "query_id")
 
 
 # --- BM25 with exact integer arithmetic ------------------------------------
@@ -2045,7 +2016,13 @@ def q_maxsim_fixed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "under ANSI fails loudly rather than corrupting ranks",
 )
 def q_bm25_int_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    return bm25_int_topk_df(_t(spark, sf_dir, "documents"))
+
+
+def bm25_int_topk_df(docs: DataFrame) -> DataFrame:
+    """Operator form of ``bm25_int_topk`` over any (doc_id, text)
+    relation — shared by the registered query and the 100x stress
+    harness (scripts/stress_retrieval.py)."""
     tok = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     ).filter(F.col("tok").rlike("^[a-z]{2,12}$"))
