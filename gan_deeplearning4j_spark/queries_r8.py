@@ -569,6 +569,119 @@ def q_mrr_next_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_stage(
+    "encoding_advisor_events",
+    oracle="""
+    WITH o AS (
+      SELECT event_type,
+             CAST(user_id AS VARCHAR) AS user_s,
+             event_id AS eid,
+             epoch_us(ts) // 86400000000 AS day,
+             epoch_us(ts) AS us
+      FROM events
+    ),
+    flags AS (
+      SELECT
+        CASE WHEN event_type IS DISTINCT FROM
+             LAG(event_type) OVER w THEN 1 ELSE 0 END AS f_type,
+        CASE WHEN user_s IS DISTINCT FROM
+             LAG(user_s) OVER w THEN 1 ELSE 0 END AS f_user,
+        CASE WHEN eid IS DISTINCT FROM
+             LAG(eid) OVER w THEN 1 ELSE 0 END AS f_eid
+      FROM o
+      WINDOW w AS (PARTITION BY day ORDER BY us, eid)
+    ),
+    runs AS (
+      SELECT CAST(SUM(f_type) AS BIGINT) AS r_type,
+             CAST(SUM(f_user) AS BIGINT) AS r_user,
+             CAST(SUM(f_eid) AS BIGINT) AS r_eid
+      FROM flags
+    ),
+    card AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT event_type) AS BIGINT) AS d_type,
+             CAST(COUNT(DISTINCT user_s) AS BIGINT) AS d_user,
+             CAST(COUNT(DISTINCT eid) AS BIGINT) AS d_eid
+      FROM o
+    )
+    SELECT col_name, n, n_distinct, n_runs,
+           (n - n_distinct) * 1000000 // n AS dict_benefit_ppm,
+           (n - n_runs) * 1000000 // n AS rle_benefit_ppm
+    FROM (
+      SELECT 'event_type' AS col_name, c.n, c.d_type AS n_distinct,
+             r.r_type AS n_runs FROM card c, runs r
+      UNION ALL
+      SELECT 'user_id', c.n, c.d_user, r.r_user FROM card c, runs r
+      UNION ALL
+      SELECT 'event_id', c.n, c.d_eid, r.r_eid FROM card c, runs r
+    ) ORDER BY col_name
+    """,
+    doc="Parquet encoding advisor (the layout statistic behind "
+        "dictionary-vs-RLE encoding choices and sort-key selection): per "
+        "column of events, cardinality and the run count under the "
+        "table's natural (day-partitioned, time-ordered) layout, plus "
+        "dictionary benefit (1 - distinct/n) and RLE benefit "
+        "(1 - runs/n) in ppm integers. Runs count IS-DISTINCT-FROM-lag "
+        "flags inside day partitions (each partition's first row starts "
+        "a run) — no global sort, the per-row-group shape a writer "
+        "sees. event_type (low card) scores high on both; event_id "
+        "(unique) scores zero. Scale: one window over the day "
+        "partition, one multi-distinct aggregate; advisors run per "
+        "partition in production, exactly this plan",
+)
+def q_encoding_advisor_events(spark: SparkSession, sf_dir: str
+                              ) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    o = ev.select(
+        "event_type",
+        F.col("user_id").cast("string").alias("user_s"),
+        F.col("event_id").alias("eid"),
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        F.expr("unix_micros(ts)").alias("us"),
+    )
+    w = Window.partitionBy("day").orderBy("us", "eid")
+
+    def flag(c: str):
+        return F.when(
+            ~F.col(c).eqNullSafe(F.lag(c).over(w)), 1
+        ).otherwise(0)
+
+    flags = o.select(
+        flag("event_type").alias("f_type"),
+        flag("user_s").alias("f_user"),
+        flag("eid").alias("f_eid"),
+    )
+    runs = flags.agg(
+        F.sum("f_type").cast("long").alias("r_type"),
+        F.sum("f_user").cast("long").alias("r_user"),
+        F.sum("f_eid").cast("long").alias("r_eid"),
+    )
+    card = o.agg(
+        F.count("*").cast("long").alias("n"),
+        F.countDistinct("event_type").cast("long").alias("d_type"),
+        F.countDistinct("user_s").cast("long").alias("d_user"),
+        F.countDistinct("eid").cast("long").alias("d_eid"),
+    )
+    j = card.crossJoin(F.broadcast(runs))
+    rows = None
+    for name, dcol, rcol in (
+        ("event_type", "d_type", "r_type"),
+        ("user_id", "d_user", "r_user"),
+        ("event_id", "d_eid", "r_eid"),
+    ):
+        part = j.select(
+            F.lit(name).alias("col_name"), "n",
+            F.col(dcol).alias("n_distinct"),
+            F.col(rcol).alias("n_runs"),
+            F.expr(f"(n - {dcol}) * 1000000 div n").cast("long")
+            .alias("dict_benefit_ppm"),
+            F.expr(f"(n - {rcol}) * 1000000 div n").cast("long")
+            .alias("rle_benefit_ppm"),
+        )
+        rows = part if rows is None else rows.unionByName(part)
+    return rows.orderBy("col_name")
+
+
 # Self-register ONLY under the round-8 gate (this module is imported both
 # by queries.py under the gate and directly by tests without it).
 import os as _os
