@@ -2523,6 +2523,597 @@ def q_dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Cross-document chunk dedup audit (CCNet paragraph-hash dedup, reduced to
+# fixed 8-word chunks on this corpus's newline-free text)
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "chunk_dedup_ccnet",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+    ), ix AS (
+      SELECT doc_id, source, w,
+             unnest(range(0, CAST(ceil(len(w) / 8.0) AS BIGINT))) AS i
+      FROM d
+    ), c AS (
+      SELECT doc_id, source,
+             md5(array_to_string(list_slice(w, 8*i + 1, 8*i + 8), ' ')) AS h
+      FROM ix
+    ), shared AS (
+      SELECT h, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd
+      FROM c GROUP BY h
+    )
+    SELECT c.source,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(*) FILTER (WHERE s.nd >= 2) AS BIGINT)
+             AS n_dup_chunks,
+           CAST(COUNT(DISTINCT c.h) AS BIGINT) AS n_distinct_chunks,
+           COUNT(*) FILTER (WHERE s.nd >= 2) * 1000000 // COUNT(*)
+             AS dup_ppm
+    FROM c JOIN shared s ON s.h = c.h
+    GROUP BY c.source
+    """,
+    doc="Cross-document chunk-level dedup audit — the CCNet dedup stage "
+        "(Wenzek et al. 2020, arXiv:1911.00359) that drops duplicated "
+        "paragraphs ACROSS documents, not whole-doc dups: this corpus's "
+        "text is newline-free, so 'paragraphs' are deterministic "
+        "non-overlapping 8-word chunks. Each chunk is md5-hashed "
+        "scan-side (the shuffle carries 32-byte hashes, never chunk "
+        "text); a chunk occurrence is duplicated iff its hash appears in "
+        ">=2 distinct documents. Per-source report: chunk counts, "
+        "cross-doc duplicated occurrences, distinct chunks, dup ppm. "
+        "Scale: one hash-keyed aggregate + one hash-keyed join back "
+        "(same key, AQE broadcasts the Zipf-small shared-hash side at "
+        "test SF and sort-merges co-partitioned at fact scale), then a "
+        "20-group rollup — the exact shape of exact_dedup generalized "
+        "from doc-grain to chunk-grain",
+)
+def q_chunk_dedup_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split("text", " ").alias("w")
+    )
+    c = d.select(
+        "doc_id", "source",
+        F.explode(F.expr(
+            "transform(sequence(0, cast(ceil(size(w)/8.0) as int) - 1),"
+            " i -> md5(cast(array_join(slice(w, i*8 + 1, 8), ' ')"
+            " as binary)))"
+        )).alias("h"),
+    )
+    shared = c.groupBy("h").agg(
+        F.countDistinct("doc_id").cast("long").alias("nd")
+    )
+    return (
+        c.join(shared, "h")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.count(F.when(F.col("nd") >= 2, 1)).cast("long")
+            .alias("n_dup_chunks"),
+            F.countDistinct("h").cast("long").alias("n_distinct_chunks"),
+        )
+        .select(
+            "source", "n_chunks", "n_dup_chunks", "n_distinct_chunks",
+            F.expr("n_dup_chunks * 1000000 div n_chunks").alias("dup_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inverted index posting lists (search infrastructure)
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "inverted_index_postings",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), tf AS (
+      SELECT tok, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok GROUP BY tok, doc_id
+    ), stats AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS df,
+             CAST(SUM(tf) AS BIGINT) AS tf_total,
+             MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+      FROM tf GROUP BY tok
+    ), top AS (
+      SELECT * FROM stats ORDER BY df DESC, tok LIMIT 20
+    ), pre AS (
+      SELECT f.tok, f.doc_id,
+             ROW_NUMBER() OVER (PARTITION BY f.tok ORDER BY f.doc_id) AS rn
+      FROM tf f JOIN top t ON t.tok = f.tok
+    ), prefix AS (
+      SELECT tok,
+             string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+               AS postings_prefix
+      FROM pre WHERE rn <= 8 GROUP BY tok
+    )
+    SELECT t.tok, t.df, t.tf_total, t.min_doc, t.max_doc,
+           p.postings_prefix
+    FROM top t JOIN prefix p USING (tok)
+    """,
+    doc="Inverted-index posting-list construction — the search-engine "
+        "core structure over the corpus: term -> (document frequency, "
+        "total term frequency, docid range, and the first 8 postings in "
+        "docid order as a delta-codable prefix). Reported for the top-20 "
+        "terms by df (tie-broken by term). Scale: pass 1 is the "
+        "(term, doc) tf aggregate (map-side combinable); the term-level "
+        "stats reuse the same key; the posting prefix is a per-term "
+        "top-8-by-docid window with a LITERAL rank bound so it plans as "
+        "WindowGroupLimit (per-partition 8-row heaps, no full posting "
+        "sort), and only the 20 selected terms' postings flow into it "
+        "via a broadcast semi-join. No collect_list over an unbounded "
+        "posting list ever materializes",
+)
+def q_inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    tf = toks.groupBy("tok", "doc_id").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    stats = tf.groupBy("tok").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("tf_total"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+    top = stats.orderBy(F.desc("df"), "tok").limit(20)
+    pre = tf.join(F.broadcast(top.select("tok")), "tok").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("tok").orderBy("doc_id")
+        ),
+    ).filter(F.col("rn") <= 8)
+    prefix = pre.groupBy("tok").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("doc_id")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("postings_prefix")
+    )
+    return top.join(prefix, "tok").select(
+        "tok", "df", "tf_total", "min_doc", "max_doc", "postings_prefix"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shannon entropy of per-user event mix (quantized micro-nats)
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "event_type_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY user_id, event_type
+    ), per AS (
+      SELECT user_id,
+             CAST(SUM(c) AS BIGINT) AS n_events,
+             CAST(COUNT(*) AS BIGINT) AS n_types,
+             CAST(SUM(c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000)
+                               AS BIGINT)) AS BIGINT) AS s
+      FROM c GROUP BY user_id
+    )
+    SELECT user_id, n_events, n_types,
+           CAST(floor(ln(CAST(n_events AS DOUBLE)) * 1000000) AS BIGINT)
+             - s // n_events AS entropy_e6
+    FROM per
+    """,
+    doc="Shannon entropy of each user's event-type mix — the behavioural "
+        "diversity score (uniform mix -> ln(k), single-type -> 0), in "
+        "deterministic quantized micro-nats: H = ln n - (1/n)*sum c*ln c "
+        "with every ln floored to integer micro-nats BEFORE the sum, so "
+        "the aggregate is an order-free bigint sum (a float log-sum "
+        "would be partition-order dependent) and the final division is "
+        "integer div on positives — the unigram_surprisal quantization "
+        "discipline applied to entropy. Scale: one (user, type) "
+        "map-side-combinable count, then a user-keyed rollup; no window, "
+        "no join",
+)
+def q_event_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "events").groupBy("user_id", "event_type").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    per = c.groupBy("user_id").agg(
+        F.sum("c").cast("long").alias("n_events"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum(
+            F.col("c")
+            * F.floor(F.log(F.col("c").cast("double")) * 1000000)
+            .cast("long")
+        ).cast("long").alias("s"),
+    )
+    return per.select(
+        "user_id", "n_events", "n_types",
+        (
+            F.floor(F.log(F.col("n_events").cast("double")) * 1000000)
+            .cast("long")
+            - F.expr("s div n_events")
+        ).alias("entropy_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lag-1 autocorrelation of the daily order count series
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "autocorr_lag1_daily",
+    oracle="""
+    WITH d AS (
+      SELECT date_diff('day', DATE '1970-01-01',
+                       CAST(o_orderdate AS DATE)) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ), p AS (
+      SELECT a.x AS xa, b.x AS xb
+      FROM d a JOIN d b ON b.day = a.day + 1
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(xa) AS BIGINT) AS sx, CAST(SUM(xb) AS BIGINT) AS sy,
+             CAST(SUM(xa*xb) AS BIGINT) AS sxy,
+             CAST(SUM(xa*xa) AS BIGINT) AS sxx,
+             CAST(SUM(xb*xb) AS BIGINT) AS syy
+      FROM p
+    )
+    SELECT n AS n_pairs, sx, sy, sxy,
+           CASE WHEN (n*sxx - sx*sx) * (n*syy - sy*sy) = 0 THEN 0
+                ELSE CAST(floor(
+                  CAST(n*sxy - sx*sy AS DOUBLE) * 1000000
+                  / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+                         * CAST(n*syy - sy*sy AS DOUBLE))) AS BIGINT)
+           END AS r1_ppm
+    FROM s
+    """,
+    doc="Lag-1 autocorrelation of the daily order-count series — the "
+        "standard seasonality/momentum diagnostic for a business time "
+        "series. Consecutive-day pairs come from an equi-join of the "
+        "daily series to itself on day+1 (gap days simply contribute no "
+        "pair); all Pearson sums are exact int64 on small daily counts, "
+        "and only the final ratio touches doubles (one sqrt, floored to "
+        "ppm — the kendall_tau_daily discipline). Scale: the fact table "
+        "collapses to the day grain in one map-side-combinable "
+        "aggregate; the self-join and the moment sums run on the "
+        "calendar-sized series",
+)
+def q_autocorr_lag1_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "orders").groupBy(
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        ).alias("day")
+    ).agg(F.count("*").cast("long").alias("x"))
+    a, b = d.alias("a"), d.alias("b")
+    p = a.join(b, F.col("b.day") == F.col("a.day") + 1).select(
+        F.col("a.x").alias("xa"), F.col("b.x").alias("xb")
+    )
+    s = p.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("xa").cast("long").alias("sx"),
+        F.sum("xb").cast("long").alias("sy"),
+        F.sum(F.col("xa") * F.col("xb")).cast("long").alias("sxy"),
+        F.sum(F.col("xa") * F.col("xa")).cast("long").alias("sxx"),
+        F.sum(F.col("xb") * F.col("xb")).cast("long").alias("syy"),
+    )
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        F.col("n").alias("n_pairs"), "sx", "sy", "sxy",
+        F.when(varx * vary == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.floor(
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                .cast("double") * 1000000
+                / F.sqrt(varx.cast("double") * vary.cast("double"))
+            ).cast("long")
+        ).alias("r1_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted sampling without replacement (Efraimidis-Spirakis)
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "weighted_sample_es",
+    oracle="""
+    WITH k AS (
+      SELECT c_mktsegment, c_custkey,
+             CAST(round(c_acctbal * 100) AS BIGINT) + 100001 AS w,
+             (CAST('0x' || substr(md5('es|' || CAST(c_custkey AS VARCHAR)),
+                                  1, 13) AS BIGINT) + 0.5)
+               / 4503599627370496.0 AS u
+      FROM customer
+    ), r AS (
+      SELECT c_mktsegment, c_custkey, w,
+             -ln(u) / w AS key,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY -ln(u) / w, c_custkey) AS rank
+      FROM k
+    )
+    SELECT c_mktsegment, CAST(rank AS BIGINT) AS rank, c_custkey, w,
+           CAST(floor(key * 1e12) AS BIGINT) AS key_e12
+    FROM r WHERE rank <= 5
+    """,
+    doc="Deterministic weighted sampling WITHOUT replacement, k=5 per "
+        "market segment — the Efraimidis-Spirakis A-ES scheme (IPL 2006: "
+        "keep the k items minimizing -ln(u)/w), the standard one-pass "
+        "distributed weighted sampler for training-data mixing. The "
+        "uniform u is a portable md5-derived 52-bit dyadic rational "
+        "(exactly representable, identical in both engines), the weight "
+        "is positive integer cents, and the sample is therefore fully "
+        "reproducible — rerunning on re-partitioned data returns the "
+        "same rows. Scale: keys are computed scan-side; per-segment "
+        "top-5 with a LITERAL rank bound plans as WindowGroupLimit "
+        "(per-partition 5-row heaps), so nothing but 5 rows per segment "
+        "survives the single exchange",
+)
+def q_weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = _t(spark, sf_dir, "customer").select(
+        "c_mktsegment", "c_custkey",
+        (F.round(F.col("c_acctbal") * 100, 0).cast("long") + 100001)
+        .alias("w"),
+        (
+            (
+                F.expr(
+                    "conv(substr(md5(cast(concat('es|',"
+                    " cast(c_custkey as string)) as binary)), 1, 13),"
+                    " 16, 10)"
+                ).cast("long").cast("double") + 0.5
+            ) / 4503599627370496.0
+        ).alias("u"),
+    )
+    key = -F.log("u") / F.col("w")
+    r = k.select(
+        "c_mktsegment", "c_custkey", "w", key.alias("key")
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("c_mktsegment").orderBy("key", "c_custkey")
+        ),
+    ).filter(F.col("rank") <= 5)
+    return r.select(
+        "c_mktsegment", F.col("rank").cast("long").alias("rank"),
+        "c_custkey", "w",
+        F.floor(F.col("key") * 1e12).cast("long").alias("key_e12"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (hashed n-gram target/raw log-likelihood ratio)
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "dsir_importance_weights",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             CAST('0x' || substr(md5(unnest(string_split(text, ' '))),
+                                 1, 15) AS BIGINT) % 64 AS b
+      FROM documents
+    ), raw AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS r FROM tok GROUP BY b
+    ), tgt AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS t FROM tok
+      WHERE lang = 'en' GROUP BY b
+    ), tot AS (
+      SELECT CAST(SUM(r) AS BIGINT) AS big_r,
+             (SELECT CAST(SUM(t) AS BIGINT) FROM tgt) AS big_t
+      FROM raw
+    ), lam AS (
+      SELECT raw.b,
+             (CAST(floor(ln(CAST(coalesce(tgt.t, 0) + 1 AS DOUBLE))
+                         * 1000000) AS BIGINT)
+              - CAST(floor(ln(CAST(tot.big_t + 64 AS DOUBLE)) * 1000000)
+                     AS BIGINT))
+             - (CAST(floor(ln(CAST(raw.r + 1 AS DOUBLE)) * 1000000)
+                     AS BIGINT)
+                - CAST(floor(ln(CAST(tot.big_r + 64 AS DOUBLE)) * 1000000)
+                       AS BIGINT)) AS lam_e6
+      FROM raw LEFT JOIN tgt ON tgt.b = raw.b CROSS JOIN tot
+    )
+    SELECT tok.doc_id, any_value(tok.lang) AS lang,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(lam.lam_e6) AS BIGINT) AS dsir_e6
+    FROM tok JOIN lam ON lam.b = tok.b
+    GROUP BY tok.doc_id
+    """,
+    doc="DSIR importance weights (Data Selection via Importance "
+        "Resampling, Xie et al. 2023, arXiv:2302.03169): score every raw "
+        "document by the log-likelihood ratio of a TARGET distribution "
+        "(here lang='en') vs the RAW corpus under hashed unigram "
+        "bag-of-words models — the published recipe for selecting "
+        "pretraining data that looks like a target domain. Features are "
+        "portable md5 buckets (64); both models are add-one-smoothed "
+        "bucket multinomials; each bucket's log-ratio is quantized to "
+        "integer micro-nats BEFORE the per-document sum, so the score "
+        "is an exact order-free bigint. Scale: two bucket-grain "
+        "aggregates (64 rows) build the ratio table, which broadcasts "
+        "into the token stream — the fact-sized data shuffles once, on "
+        "doc_id, for the final rollup",
+)
+def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "lang",
+                F.explode(F.split("text", " ")).alias("tok"))
+        .select(
+            "doc_id", "lang",
+            (
+                F.expr(
+                    "conv(substr(md5(cast(tok as binary)), 1, 15), 16, 10)"
+                ).cast("long") % 64
+            ).alias("b"),
+        )
+    )
+    raw = tok.groupBy("b").agg(F.count("*").cast("long").alias("r"))
+    tgt = tok.filter(F.col("lang") == "en").groupBy("b").agg(
+        F.count("*").cast("long").alias("t")
+    )
+    tot = raw.agg(F.sum("r").cast("long").alias("big_r")).crossJoin(
+        tgt.agg(F.sum("t").cast("long").alias("big_t"))
+    )
+
+    def _ln_e6(col):
+        return F.floor(F.log(col.cast("double")) * 1000000).cast("long")
+
+    lam = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            (
+                (_ln_e6(F.coalesce(F.col("t"), F.lit(0)) + 1)
+                 - _ln_e6(F.col("big_t") + 64))
+                - (_ln_e6(F.col("r") + 1) - _ln_e6(F.col("big_r") + 64))
+            ).alias("lam_e6"),
+        )
+    )
+    return (
+        tok.join(F.broadcast(lam), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("lang").alias("lang"),
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("lam_e6").cast("long").alias("dsir_e6"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mutual information of the (lang, source) contingency table
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "lang_source_mutual_info",
+    oracle="""
+    WITH c AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS c
+      FROM documents GROUP BY lang, source
+    ), r AS (
+      SELECT lang, CAST(SUM(c) AS BIGINT) AS rl FROM c GROUP BY lang
+    ), s AS (
+      SELECT source, CAST(SUM(c) AS BIGINT) AS cs FROM c GROUP BY source
+    ), n AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n FROM c
+    )
+    SELECT n.n AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(COUNT(DISTINCT c.lang) AS BIGINT) AS n_langs,
+           CAST(COUNT(DISTINCT c.source) AS BIGINT) AS n_sources,
+           CAST(SUM(c.c * (CAST(floor(ln(CAST(n.n * c.c AS DOUBLE))
+                                      * 1000000) AS BIGINT)
+                           - CAST(floor(ln(CAST(r.rl * s.cs AS DOUBLE))
+                                        * 1000000) AS BIGINT)))
+                AS BIGINT) AS mi_c_e6
+    FROM c JOIN r USING (lang) JOIN s USING (source) CROSS JOIN n
+    GROUP BY n.n
+    """,
+    doc="Mutual information of the (lang, source) contingency table — "
+        "I(lang; source) = sum p(l,s) ln(p(l,s)/(p(l)p(s))), the "
+        "information-theoretic dependence audit that complements "
+        "chi_square_independence (zero iff the corpus mixes languages "
+        "identically across sources). Each cell's log-ratio collapses "
+        "to ln(n*c) - ln(rowsum*colsum), both lns of exact int64 "
+        "products quantized to micro-nats before the count-weighted "
+        "bigint sum (reported as mi_c_e6 = n * MI_e6 — exact, "
+        "division-free). Scale: one fact-grain group-by to the cell "
+        "table; marginals and the weighted sum all run on the "
+        "langs x sources grid",
+)
+def q_lang_source_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "documents").groupBy("lang", "source").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    r = c.groupBy("lang").agg(F.sum("c").cast("long").alias("rl"))
+    s = c.groupBy("source").agg(F.sum("c").cast("long").alias("cs"))
+    n = c.agg(F.sum("c").cast("long").alias("n"))
+
+    def _ln_e6(col):
+        return F.floor(F.log(col.cast("double")) * 1000000).cast("long")
+
+    joined = (
+        c.join(F.broadcast(r), "lang")
+        .join(F.broadcast(s), "source")
+        .crossJoin(F.broadcast(n))
+    )
+    return joined.groupBy("n").agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.sum(
+            F.col("c")
+            * (_ln_e6(F.col("n") * F.col("c"))
+               - _ln_e6(F.col("rl") * F.col("cs")))
+        ).cast("long").alias("mi_c_e6"),
+    ).select(
+        F.col("n").alias("n_docs"), "n_cells", "n_langs", "n_sources",
+        "mi_c_e6",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit conformance audit on order totals
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "benford_digit_audit",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders
+    ), o AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS observed FROM c
+      GROUP BY digit
+    ), n AS (
+      SELECT CAST(SUM(observed) AS BIGINT) AS n FROM o
+    )
+    SELECT o.digit, o.observed,
+           CAST(floor(n.n * log10(1.0 + 1.0 / o.digit) * 1000) AS BIGINT)
+             AS expected_e3,
+           CAST(floor(
+             (o.observed - n.n * log10(1.0 + 1.0 / o.digit))
+             * (o.observed - n.n * log10(1.0 + 1.0 / o.digit))
+             / (n.n * log10(1.0 + 1.0 / o.digit)) * 1000000
+           ) AS BIGINT) AS chi_component_e6
+    FROM o CROSS JOIN n
+    """,
+    doc="Benford's-law first-significant-digit audit of order totals — "
+        "the classic fraud/synthetic-data detector: observed first-digit "
+        "counts of the integer-cents amount vs the Benford expectation "
+        "n*log10(1+1/d), with the per-digit chi-square component. All "
+        "counts are exact; the expectation and chi component involve one "
+        "log10 each on identical doubles, floored to e3/e6 (the "
+        "established quantization discipline). Digits come from the "
+        "data, so both engines agree on the row set by construction. "
+        "Scale: one map-side-combinable 9-group aggregate over the "
+        "fact scan; everything after runs on 9 rows",
+)
+def q_benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "orders").select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            .cast("string"), 1, 1
+        ).cast("long").alias("digit")
+    )
+    o = c.groupBy("digit").agg(F.count("*").cast("long").alias("observed"))
+    n = o.agg(F.sum("observed").cast("long").alias("n"))
+    exp = F.col("n").cast("double") * F.log10(1.0 + 1.0 / F.col("digit"))
+    dev = F.col("observed").cast("double") - exp
+    return o.crossJoin(F.broadcast(n)).select(
+        "digit", "observed",
+        F.floor(exp * 1000).cast("long").alias("expected_e3"),
+        F.floor(dev * dev / exp * 1000000).cast("long")
+        .alias("chi_component_e6"),
+    )
+
+
 # Self-register at module bottom: by the time execution reaches here,
 # .queries is initialized far enough (register/REGISTRY are defined above
 # its own bottom import of this module), under EITHER import order.

@@ -280,3 +280,25 @@ def test_r7_live_addition_plans(spark, sf_dir):
     # rrf: both ranking lists are TakeOrdered before ranks are assigned
     t = plan_tree(_fn("rrf_fusion_topk")(spark, sf_dir))
     assert "TakeOrderedAndProject" in t, t
+
+    # weighted sampling: the literal rank<=5 bound must plan the
+    # per-segment selection as a group-limit heap, not a full sort
+    t = plan_tree(_fn("weighted_sample_es")(spark, sf_dir))
+    assert "WindowGroupLimit" in t, t
+
+    # inverted index: posting prefixes are a group-limit window (8-row
+    # heaps) and only broadcast-selected terms reach it; the top-20 term
+    # pick itself is TakeOrdered
+    t = plan_tree(_fn("inverted_index_postings")(spark, sf_dir))
+    assert "WindowGroupLimit" in t, t
+    assert "TakeOrderedAndProject" in t, t
+
+    # dsir: the 64-row log-ratio table broadcasts into the token stream —
+    # the fact-sized side must never sort-merge-join
+    t = plan_tree(_fn("dsir_importance_weights")(spark, sf_dir))
+    assert "BroadcastHashJoin" in t, t
+    assert "SortMergeJoin" not in t, t
+
+    # entropy: no join, no window — two hash aggregates only
+    t = plan_tree(_fn("event_type_entropy")(spark, sf_dir))
+    assert "SortMergeJoin" not in t and "Window" not in t, t
