@@ -52,9 +52,11 @@ def synth_media_df(spark, n: int = 64, kind: str = "image") -> DataFrame:
     path runs un-faked — every third row is a baseline JPEG (quant=1,
     exact roundtrip for 8-bit gray), the rest PNG, so a mixed-format
     corpus flows through one decode stage the way a crawled dataset
-    would; audio/video payloads stay opaque hash bytes for the fake
-    PCM/frame decoders."""
+    would; audio rows carry REAL RIFF/WAVE PCM16 payloads (in-engine
+    wavcodec) so the audio decode path also runs un-faked; video payloads
+    stay opaque hash bytes for the fake frame decoder."""
     from ..functions.jpegcodec import encode_jpeg
+    from ..functions.wavcodec import encode_wav
 
     rows = []
     for i in range(n):
@@ -66,6 +68,14 @@ def synth_media_df(spark, n: int = 64, kind: str = "image") -> DataFrame:
             else:
                 payload = encode_png(pixels)
                 mime = "image/png"
+        elif kind == "audio":
+            h = hashlib.sha256(f"media-audio-{i}".encode()).digest()
+            rng = np.random.default_rng(int.from_bytes(h[:8], "little"))
+            samples = rng.integers(
+                -32768, 32768, size=3200, dtype=np.int16
+            )  # 200 ms @ 16 kHz
+            payload = encode_wav(samples, 16000)
+            mime = "audio/wav"
         else:
             payload = hashlib.sha256(f"media-{kind}-{i}".encode()).digest() * 8
             mime = f"{kind}/x-fake"
@@ -192,14 +202,13 @@ def audio_frame_energy(
     decode_features — the waveform never leaves the scan task, only the
     (media_id, frame_no, rms) rows do).
 
-    The codec is stubbed like the image path: ``fake=True`` synthesizes a
-    deterministic waveform of ``duration_ms`` from the content hash; a real
-    build plugs an audio library into the same signature."""
-    if not fake:
-        raise NotImplementedError(
-            "audio decode requires an audio library; use fake=True for the "
-            "deterministic test decoder"
-        )
+    ``fake=True`` (historical default) synthesizes a deterministic
+    waveform of ``duration_ms`` from the content hash; ``fake=False``
+    decodes REAL RIFF/WAVE PCM bytes with the in-engine clean-room
+    wavcodec (channel-averaged to mono, int16 -> [-1, 1) float), raising
+    loudly on non-WAV payloads — the audio twin of the PNG/JPEG decode
+    path."""
+    from ..functions.wavcodec import decode_wav
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType()),
@@ -215,7 +224,15 @@ def audio_frame_energy(
                 pdf["media_id"], pdf["content"], pdf["sample_rate"]
             ):
                 sr = int(sr) if sr is not None and not pd.isna(sr) else 16000
-                wav = _fake_decode_audio(bytes(content), sr * duration_ms // 1000)
+                if fake:
+                    wav = _fake_decode_audio(
+                        bytes(content), sr * duration_ms // 1000
+                    )
+                else:
+                    samples, sr = decode_wav(bytes(content))
+                    wav = (
+                        samples.astype(np.float32).mean(axis=1) / 32768.0
+                    )
                 hop = max(sr * frame_ms // 1000, 1)
                 n_frames = len(wav) // hop
                 w = wav[: n_frames * hop].reshape(n_frames, hop)

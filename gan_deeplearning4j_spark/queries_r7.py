@@ -3114,6 +3114,84 @@ def q_benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Real WAV codec roundtrip certified by hash (audio twin of
+# gan_grid_inference_fixed: the oracle replays the math, Spark runs the
+# actual binary codec in the loop)
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "wav_roundtrip_frame_energy",
+    oracle="""
+    WITH c AS (
+      SELECT unnest(range(0, 32)) AS clip
+    ), ix AS (
+      SELECT clip, unnest(range(0, 800)) AS i FROM c
+    ), s AS (
+      SELECT clip, i,
+             CAST('0x' || substr(md5('wav|' || CAST(clip AS VARCHAR)
+                                     || '|' || CAST(i AS VARCHAR)),
+                                 1, 15) AS BIGINT) % 65536 - 32768 AS v
+      FROM ix
+    )
+    SELECT clip, i // 160 AS frame_no,
+           CAST(SUM(v * v) AS BIGINT) AS energy
+    FROM s GROUP BY clip, i // 160
+    """,
+    doc="REAL RIFF/WAVE PCM16 codec in the query loop, certified by "
+        "hash: 32 deterministic clips of 800 md5-derived int16 samples "
+        "are generated JVM-side, then each clip is ENCODED to actual "
+        ".wav bytes and DECODED back by the clean-room wavcodec "
+        "(functions/wavcodec.py) inside one mapInPandas stage, which "
+        "emits exact int64 per-frame energies (160-sample frames, "
+        "sum v^2). The DuckDB oracle replays the sample formula and "
+        "framing arithmetic directly — it never sees the bytes — so a "
+        "hash match IS a proof the binary roundtrip is lossless (any "
+        "corrupted sample changes its frame's energy). Scale: the codec "
+        "runs where the data sits (no shuffle before the frame "
+        "aggregate); same shape as audio_frame_energy over a binary "
+        "column at fact scale",
+)
+def q_wav_roundtrip_frame_energy(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    import pandas as pd  # noqa: F401 (Arrow batch types)
+
+    clips = spark.range(32).select(F.col("id").alias("clip"))
+    with_samples = clips.select(
+        "clip",
+        F.expr(
+            "transform(sequence(0, 799), i ->"
+            " cast(conv(substr(md5(cast(concat('wav|',"
+            " cast(clip as string), '|', cast(i as string)) as binary)),"
+            " 1, 15), 16, 10) as long) % 65536 - 32768)"
+        ).alias("samples"),
+    )
+    out_schema = "clip long, frame_no long, energy long"
+
+    def run(batches):
+        import numpy as np
+
+        from .functions.wavcodec import decode_wav, encode_wav
+
+        for pdf in batches:
+            rows = {"clip": [], "frame_no": [], "energy": []}
+            for clip, samples in zip(pdf["clip"], pdf["samples"]):
+                s = np.asarray(samples, dtype=np.int64)
+                assert s.min() >= -32768 and s.max() <= 32767
+                decoded, rate = decode_wav(
+                    encode_wav(s.astype(np.int16), 16000)
+                )
+                assert rate == 16000
+                v = decoded[:, 0].astype(np.int64)
+                e = (v * v).reshape(-1, 160).sum(axis=1)
+                rows["clip"].extend([int(clip)] * len(e))
+                rows["frame_no"].extend(range(len(e)))
+                rows["energy"].extend(int(x) for x in e)
+            yield pd.DataFrame(rows)
+
+    return with_samples.mapInPandas(run, schema=out_schema)
+
+
 # Self-register at module bottom: by the time execution reaches here,
 # .queries is initialized far enough (register/REGISTRY are defined above
 # its own bottom import of this module), under EITHER import order.

@@ -343,3 +343,157 @@ def test_jpeg_roundtrip_geometry_sweep():
             assert o3.shape == c.shape
             o4 = decode_jpeg(encode_jpeg(g, quant=1, restart_interval=2))
             assert int(np.abs(o4.astype(int) - g.astype(int)).max()) <= 1
+
+
+# ---------------------------------------------------------------------------
+# WAV codec (clean-room RIFF/WAVE PCM)
+# ---------------------------------------------------------------------------
+
+def test_wav_roundtrip_exact():
+    import numpy as np
+
+    from gan_deeplearning4j_spark.functions.wavcodec import (
+        decode_wav,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(7)
+    for n, ch, sr in [(1, 1, 8000), (160, 1, 16000), (441, 2, 44100),
+                      (1000, 4, 48000)]:
+        s = rng.integers(-32768, 32768, (n, ch), dtype=np.int16)
+        out, rate = decode_wav(encode_wav(s, sr))
+        assert rate == sr
+        assert out.shape == (n, ch)
+        assert np.array_equal(out, s)
+    # mono 1-D input round-trips as (n, 1)
+    m = rng.integers(-32768, 32768, 64, dtype=np.int16)
+    out, _ = decode_wav(encode_wav(m, 16000))
+    assert np.array_equal(out[:, 0], m)
+
+
+def test_wav_foreign_encoder_and_decoder():
+    """Cross-validate against the stdlib `wave` module in BOTH directions:
+    our decoder reads its output; it reads our encoder's output."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from gan_deeplearning4j_spark.functions.wavcodec import (
+        decode_wav,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(11)
+    s = rng.integers(-32768, 32768, (500, 2), dtype=np.int16)
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(22050)
+        w.writeframes(s.astype("<i2").tobytes())
+    out, rate = decode_wav(buf.getvalue())
+    assert rate == 22050 and np.array_equal(out, s)
+
+    with wave.open(io.BytesIO(encode_wav(s, 22050)), "rb") as r:
+        assert (r.getnchannels(), r.getsampwidth(), r.getframerate()) == (
+            2, 2, 22050)
+        back = np.frombuffer(
+            r.readframes(r.getnframes()), dtype="<i2"
+        ).reshape(-1, 2)
+    assert np.array_equal(back, s)
+
+
+def test_wav_skips_foreign_chunks_and_decodes_pcm8():
+    import struct
+
+    import numpy as np
+
+    from gan_deeplearning4j_spark.functions.wavcodec import (
+        decode_wav,
+        encode_wav,
+    )
+
+    # splice a LIST chunk (odd size -> padded) between fmt and data
+    s = np.arange(-5, 5, dtype=np.int16)
+    wav = bytearray(encode_wav(s, 8000))
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    spliced = bytes(wav[:36]) + extra + bytes(wav[36:])
+    spliced = (
+        spliced[:4]
+        + struct.pack("<I", len(spliced) - 8)
+        + spliced[8:]
+    )
+    out, rate = decode_wav(spliced)
+    assert rate == 8000 and np.array_equal(out[:, 0], s)
+
+    # hand-built 8-bit PCM: unsigned bytes widen to centered int16
+    data = bytes(range(0, 256, 32))
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI", b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, 1, 1, 8000, 8000, 1, 8, b"data", len(data))
+    out8, _ = decode_wav(hdr + data)
+    assert out8.dtype == np.int16
+    assert list(out8[:, 0]) == [(v - 128) << 8 for v in range(0, 256, 32)]
+
+
+def test_wav_rejections_are_loud_and_named():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from gan_deeplearning4j_spark.functions.wavcodec import (
+        decode_wav,
+        encode_wav,
+    )
+
+    s = np.zeros(16, dtype=np.int16)
+    good = encode_wav(s, 8000)
+
+    with pytest.raises(ValueError, match="not a RIFF"):
+        decode_wav(b"OggS" + good[4:])
+    with pytest.raises(ValueError, match="truncated"):
+        decode_wav(good[:30])
+    # IEEE float format tag is refused BY NAME, never silently decoded
+    bad = bytearray(good)
+    struct.pack_into("<H", bad, 20, 3)
+    with pytest.raises(ValueError, match="IEEE_FLOAT"):
+        decode_wav(bytes(bad))
+    struct.pack_into("<H", bad, 20, 0xFFFE)
+    with pytest.raises(ValueError, match="EXTENSIBLE"):
+        decode_wav(bytes(bad))
+    with pytest.raises(ValueError, match="int16"):
+        encode_wav(np.zeros(4, dtype=np.float32), 8000)
+
+
+def test_audio_frame_energy_real_wav_path(spark):
+    """fake=False decodes the REAL WAV payloads from synth_media_df and
+    matches a direct numpy replay of the same framing math."""
+    import hashlib
+
+    import numpy as np
+
+    from gan_deeplearning4j_spark.operators.multimodal import (
+        audio_frame_energy,
+        synth_media_df,
+    )
+
+    media = synth_media_df(spark, n=6, kind="audio")
+    pdf = (
+        audio_frame_energy(media, frame_ms=25, fake=False)
+        .toPandas()
+        .sort_values(["media_id", "frame_no"])
+        .reset_index(drop=True)
+    )
+    # 3200 samples @ 16 kHz, 25 ms hop = 400 samples -> 8 frames/clip
+    assert len(pdf) == 6 * 8
+    for mid in range(6):
+        h = hashlib.sha256(f"media-audio-{mid}".encode()).digest()
+        rng = np.random.default_rng(int.from_bytes(h[:8], "little"))
+        wav = rng.integers(-32768, 32768, 3200, dtype=np.int16)
+        w = (wav.astype(np.float32) / 32768.0).reshape(8, 400)
+        want = np.sqrt((w * w).mean(axis=1))
+        got = pdf[pdf.media_id == mid].rms.to_numpy(dtype=np.float32)
+        assert np.allclose(got, want, atol=1e-6)
