@@ -996,3 +996,47 @@ def prefix_filter_neardup(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def chunk_dedup_stats(
+    docs: DataFrame, chunk_words: int = 8,
+    group_col: str = "source",
+) -> DataFrame:
+    """Cross-document chunk-level dedup audit (the CCNet dedup stage,
+    Wenzek et al. 2020 arXiv:1911.00359, on fixed ``chunk_words``-word
+    chunks): per ``group_col``, how many chunk occurrences appear in >=2
+    distinct documents, and the distinct-chunk count.
+
+    Expects columns ``(doc_id, text, <group_col>)``. Chunks are hashed
+    scan-side (md5) so the only fact-sized shuffle carries 32-byte
+    hashes; the shared-hash relation is Zipf-small and joins back on the
+    same key (AQE broadcasts it at small SF, sort-merge co-partitioned
+    at fact scale). Used by queries_r7.chunk_dedup_ccnet (hash-green vs
+    a DuckDB replay) and scripts/stress_chunk_dedup.py (100x row).
+    """
+    d = docs.select("doc_id", group_col, F.split("text", " ").alias("w"))
+    c = d.select(
+        "doc_id", group_col,
+        F.explode(F.expr(
+            f"transform(sequence(0, cast(ceil(size(w)/{chunk_words}.0)"
+            f" as int) - 1), i -> md5(cast(array_join(slice(w,"
+            f" i*{chunk_words} + 1, {chunk_words}), ' ') as binary)))"
+        )).alias("h"),
+    )
+    shared = c.groupBy("h").agg(
+        F.countDistinct("doc_id").cast("long").alias("nd")
+    )
+    return (
+        c.join(shared, "h")
+        .groupBy(group_col)
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.count(F.when(F.col("nd") >= 2, 1)).cast("long")
+            .alias("n_dup_chunks"),
+            F.countDistinct("h").cast("long").alias("n_distinct_chunks"),
+        )
+        .select(
+            group_col, "n_chunks", "n_dup_chunks", "n_distinct_chunks",
+            F.expr("n_dup_chunks * 1000000 div n_chunks").alias("dup_ppm"),
+        )
+    )

@@ -2571,33 +2571,10 @@ def q_dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "from doc-grain to chunk-grain",
 )
 def q_chunk_dedup_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents").select(
-        "doc_id", "source", F.split("text", " ").alias("w")
-    )
-    c = d.select(
-        "doc_id", "source",
-        F.explode(F.expr(
-            "transform(sequence(0, cast(ceil(size(w)/8.0) as int) - 1),"
-            " i -> md5(cast(array_join(slice(w, i*8 + 1, 8), ' ')"
-            " as binary)))"
-        )).alias("h"),
-    )
-    shared = c.groupBy("h").agg(
-        F.countDistinct("doc_id").cast("long").alias("nd")
-    )
-    return (
-        c.join(shared, "h")
-        .groupBy("source")
-        .agg(
-            F.count("*").cast("long").alias("n_chunks"),
-            F.count(F.when(F.col("nd") >= 2, 1)).cast("long")
-            .alias("n_dup_chunks"),
-            F.countDistinct("h").cast("long").alias("n_distinct_chunks"),
-        )
-        .select(
-            "source", "n_chunks", "n_dup_chunks", "n_distinct_chunks",
-            F.expr("n_dup_chunks * 1000000 div n_chunks").alias("dup_ppm"),
-        )
+    from .operators.dedup import chunk_dedup_stats
+
+    return chunk_dedup_stats(
+        _t(spark, sf_dir, "documents"), chunk_words=8, group_col="source"
     )
 
 
