@@ -85,3 +85,52 @@ def purchase_click_attribution_outer(
     return p.join(c, cond, "left_outer").select(
         "purchase_id", "click_id", "user_id", "purchase_value"
     )
+
+
+def enriched_segment_windows(
+    events: DataFrame,
+    customers: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "10 hours",
+) -> DataFrame:
+    """Stream-STATIC enrichment join + windowed rollup: map each event's
+    user to a market segment from a static dimension table, then tumbling
+    per-(window, segment) purchase counts and exact integer revenue cents.
+
+    The missing third join shape next to the batch equi-joins and the
+    stream-stream interval joins: a stream-static join is STATELESS in
+    Structured Streaming (the dimension is re-broadcast per micro-batch,
+    picking up dim refreshes between triggers), so the stream side never
+    keys state by the join column — only the downstream windowed
+    aggregate holds watermark-bounded state. Batch/stream-unified: the
+    same function body runs on a batch DataFrame for the equality test.
+
+    Scale: the dimension is explicitly `broadcast()` (segment dims are
+    fixed-cardinality); the fact stream shuffles once, on the window
+    aggregate key. Users absent from the dimension roll up under
+    'unknown' (left join) rather than silently dropping."""
+    e = events.filter(F.col("event_type") == "purchase").select(
+        "ts", "user_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    if events.isStreaming:
+        e = e.withWatermark("ts", watermark)
+    dim = customers.select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    j = e.join(F.broadcast(dim), "user_id", "left")
+    return (
+        j.groupBy(
+            F.window("ts", window).alias("w"),
+            F.coalesce(F.col("segment"), F.lit("unknown")).alias("segment"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_purchases"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "segment",
+            "n_purchases", "revenue_cents",
+        )
+    )

@@ -930,3 +930,35 @@ def test_streaming_debounce_matches_batch(spark, sf_dir, tmp_path):
     for col in ("n_events", "n_kept", "n_suppressed"):
         assert (got[col].to_numpy() == want[col].to_numpy()).all(), col
     assert list(got["event_type"]) == list(want["event_type"])
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-static broadcast enrichment + tumbling rollup equals the
+    identical batch computation (exact integer cents, so == not approx)."""
+    from gan_deeplearning4j_spark.streaming.joins import (
+        enriched_segment_windows,
+    )
+
+    ev = load_events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    src = str(tmp_path / "events_enrich")
+    ev.repartition(4).write.parquet(src)
+
+    stream = read_events_stream(spark, src, max_files_per_trigger=2)
+    out = enriched_segment_windows(stream, cust, "1 hour")
+    run_stream_to_memory(out, "enrich_test", timeout_sec=120)
+
+    got = (
+        spark.sql("select * from enrich_test").toPandas()
+        .sort_values(["window_start", "segment"]).reset_index(drop=True)
+    )
+    want = (
+        enriched_segment_windows(ev, cust, "1 hour").toPandas()
+        .sort_values(["window_start", "segment"]).reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    for col in ["n_purchases", "revenue_cents"]:
+        assert (got[col].to_numpy() == want[col].to_numpy()).all()
+    assert (got["segment"].to_numpy() == want["segment"].to_numpy()).all()
