@@ -3169,6 +3169,81 @@ def q_wav_roundtrip_frame_energy(spark: SparkSession,
     return with_samples.mapInPandas(run, schema=out_schema)
 
 
+# ---------------------------------------------------------------------------
+# Snapshot table time travel, certified by hash: the query RUNS the real
+# manifest/commit/rollback machinery and the oracle predicts what every
+# version must contain
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "snapshot_time_travel_audit",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+    ), allr AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT CAST(0 AS BIGINT) AS version, 'append' AS operation,
+           base.n AS n_rows, base.cents AS total_cents FROM base
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), 'append', allr.n, allr.cents FROM allr
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'rollback:v0', base.n, base.cents FROM base
+    """,
+    doc="Lakehouse snapshot layer (sources/snapshots.py: manifest-listed "
+        "immutable parquet + atomic HEAD swap, the Delta/Iceberg "
+        "transaction shape) certified by hash: the query actually RUNS a "
+        "commit -> append-commit -> rollback cycle on a scratch table "
+        "(v0 = pre-1996 orders, v1 = v0 + the rest appended with NO "
+        "rewrite, v2 = rollback to v0), then reads EVERY version back "
+        "through time travel and emits (version, operation, rows, "
+        "integer cents). The oracle predicts each version's content "
+        "directly from the orders table, so a hash match proves the "
+        "manifest machinery loses and duplicates nothing under "
+        "append/rollback. Bounded summary rows cross the driver; the "
+        "per-version scans are ordinary distributed parquet reads",
+)
+def q_snapshot_time_travel_audit(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from .sources.snapshots import SnapshotTable
+
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderdate") < "1996-01-01")
+    rest = orders.filter(F.col("o_orderdate") >= "1996-01-01")
+
+    d = tempfile.mkdtemp(prefix="snap_audit_")
+    try:
+        t = SnapshotTable(d)
+        t.commit(base)                       # v0
+        t.commit(rest, mode="append")        # v1 = v0 files + rest files
+        t.rollback(0)                        # v2 reads as v0 again
+        rows = []
+        for h in t.history():
+            agg = t.read(spark, h["version"]).agg(
+                F.count("*").cast("long").alias("n"),
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100, 0).cast("long")
+                ).cast("long").alias("cents"),
+            ).collect()[0]
+            rows.append(
+                (h["version"], h["operation"], agg["n"], agg["cents"])
+            )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "version long, operation string, n_rows long, total_cents long"
+    )
+
+
 # Self-register at module bottom: by the time execution reaches here,
 # .queries is initialized far enough (register/REGISTRY are defined above
 # its own bottom import of this module), under EITHER import order.

@@ -1,0 +1,79 @@
+"""Snapshot table layout: time travel, CAS commits, rollback, vacuum."""
+
+import os
+
+import pytest
+
+from gan_deeplearning4j_spark.sources.snapshots import (
+    SnapshotConflictError,
+    SnapshotTable,
+)
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).selectExpr("id", "id * 10 as v")
+
+
+def test_snapshot_commit_append_overwrite_time_travel(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    assert t.version() is None
+
+    assert t.commit(_df(spark, 0, 10)) == 0            # v0: 10 rows
+    assert t.commit(_df(spark, 10, 15)) == 1           # v1: +5 (append)
+    assert t.commit(_df(spark, 100, 102), mode="overwrite") == 2
+
+    assert t.read(spark).count() == 2                  # HEAD == v2
+    assert t.read(spark, version=0).count() == 10
+    assert t.read(spark, version=1).count() == 15
+    assert sorted(r.id for r in t.read(spark, version=2).collect()) == [100, 101]
+
+    ops = [h["operation"] for h in t.history()]
+    assert ops == ["append", "append", "overwrite"]
+    with pytest.raises(ValueError, match="version 9 does not exist"):
+        t.read(spark, version=9)
+
+
+def test_snapshot_optimistic_concurrency(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(_df(spark, 0, 5))
+    # writer A bases on v0; writer B commits first; A must CAS-fail
+    t.commit(_df(spark, 5, 6), expected_version=0)     # -> v1
+    with pytest.raises(SnapshotConflictError, match="expected HEAD v0"):
+        t.commit(_df(spark, 6, 7), expected_version=0)
+    # retry on the fresh head succeeds
+    assert t.commit(_df(spark, 6, 7), expected_version=1) == 2
+    assert t.read(spark).count() == 7
+
+
+def test_snapshot_rollback_preserves_history(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(_df(spark, 0, 10))
+    t.commit(_df(spark, 0, 3), mode="overwrite")       # bad load
+    v = t.rollback(0)
+    assert v == 2
+    assert t.read(spark).count() == 10                 # HEAD content == v0
+    assert t.read(spark, version=1).count() == 3       # bad version auditable
+    assert t.history()[2]["operation"] == "rollback:v0"
+
+
+def test_snapshot_vacuum_removes_only_unreferenced(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(_df(spark, 0, 10))                        # v0 files
+    t.commit(_df(spark, 0, 4), mode="overwrite")       # v1 files
+    t.commit(_df(spark, 0, 6), mode="overwrite")       # v2 files
+    data_dirs = os.listdir(str(tmp_path / "tbl" / "data"))
+    assert len(data_dirs) == 3
+
+    removed = t.vacuum(keep_last=2)                    # keep v1, v2
+    assert removed == 1
+    assert t.read(spark, version=1).count() == 4       # kept travel works
+    assert t.read(spark).count() == 6
+    with pytest.raises(Exception):                     # v0 files are gone
+        t.read(spark, version=0).count()
+
+    # appended files are shared across manifests: vacuum must keep them
+    t2 = SnapshotTable(str(tmp_path / "tbl2"))
+    t2.commit(_df(spark, 0, 5))
+    t2.commit(_df(spark, 5, 8))                        # append shares v0 dir
+    assert t2.vacuum(keep_last=1) == 0                 # nothing unreachable
+    assert t2.read(spark).count() == 8
