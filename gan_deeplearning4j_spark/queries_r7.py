@@ -3244,6 +3244,112 @@ def q_snapshot_time_travel_audit(spark: SparkSession,
     )
 
 
+# ---------------------------------------------------------------------------
+# Order-free table checksums (CHECKSUM TABLE / data-integrity surface)
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "table_checksum_audit",
+    oracle="""
+    WITH o AS (
+      SELECT CAST('0x' || substr(md5(
+               CAST(o_orderkey AS VARCHAR) || '|' ||
+               CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus || '|' ||
+               CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+               || '|' ||
+               CAST(date_diff('day', DATE '1970-01-01',
+                              CAST(o_orderdate AS DATE)) AS VARCHAR)
+               || '|' || o_orderpriority), 1, 15) AS BIGINT) AS h
+      FROM orders
+    ), l AS (
+      SELECT CAST('0x' || substr(md5(
+               CAST(l_orderkey AS VARCHAR) || '|' ||
+               CAST(l_partkey AS VARCHAR) || '|' ||
+               CAST(l_suppkey AS VARCHAR) || '|' ||
+               CAST(l_linenumber AS VARCHAR) || '|' ||
+               CAST(CAST(round(l_quantity) AS BIGINT) AS VARCHAR) || '|' ||
+               CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    AS VARCHAR) || '|' ||
+               CAST(CAST(round(l_discount * 100) AS BIGINT) AS VARCHAR)
+               || '|' ||
+               CAST(CAST(round(l_tax * 100) AS BIGINT) AS VARCHAR) || '|'
+               || l_returnflag || '|' || l_linestatus || '|' ||
+               CAST(date_diff('day', DATE '1970-01-01',
+                              CAST(l_shipdate AS DATE)) AS VARCHAR)),
+               1, 15) AS BIGINT) AS h
+      FROM lineitem
+    )
+    SELECT 'orders' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(h % 1000000007) AS BIGINT) AS checksum1,
+           CAST(SUM(h % 998244353) AS BIGINT) AS checksum2
+    FROM o
+    UNION ALL
+    SELECT 'lineitem', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(h % 1000000007) AS BIGINT),
+           CAST(SUM(h % 998244353) AS BIGINT)
+    FROM l
+    """,
+    doc="Order-free whole-table checksums (the CHECKSUM TABLE / "
+        "data-integrity surface every warehouse ships): each row is "
+        "canonicalized to a '|'-joined projection (integer cents and "
+        "epoch days for floats/dates, so the serialization is "
+        "engine-invariant), md5-hashed to a 60-bit int scan-side, and "
+        "summed under two independent prime moduli — a commutative "
+        "digest, so any row lost, duplicated, or altered during a "
+        "migration/compaction/layout rewrite changes at least one "
+        "checksum, while partitioning and row order cannot. Scale: one "
+        "map-side-combinable global aggregate per table, no shuffle of "
+        "row data, driver sees 2 rows; sums stay < 2^63 up to ~10^9 "
+        "rows per table (then swap in a modular-add fold)",
+)
+def q_table_checksum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def cents(c: str):
+        return (
+            "cast(cast(round(" + c + " * 100) as long) as string)"
+        )
+
+    def epoch_day(c: str):
+        return (
+            "cast(datediff(cast(" + c + " as date),"
+            " cast('1970-01-01' as date)) as string)"
+        )
+
+    o_row = (
+        "concat(cast(o_orderkey as string), '|',"
+        " cast(o_custkey as string), '|', o_orderstatus, '|', "
+        + cents("o_totalprice") + ", '|', "
+        + epoch_day("o_orderdate") + ", '|', o_orderpriority)"
+    )
+    l_row = (
+        "concat(cast(l_orderkey as string), '|',"
+        " cast(l_partkey as string), '|', cast(l_suppkey as string), '|',"
+        " cast(l_linenumber as string), '|',"
+        " cast(cast(round(l_quantity) as long) as string), '|', "
+        + cents("l_extendedprice") + ", '|', "
+        + cents("l_discount") + ", '|', " + cents("l_tax")
+        + ", '|', l_returnflag, '|', l_linestatus, '|', "
+        + epoch_day("l_shipdate") + ")"
+    )
+
+    def digest(df: DataFrame, row_expr: str, name: str) -> DataFrame:
+        h = F.expr(
+            f"cast(conv(substr(md5(cast({row_expr} as binary)), 1, 15),"
+            " 16, 10) as long)"
+        )
+        return df.select(h.alias("h")).agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(F.col("h") % 1000000007).cast("long").alias("checksum1"),
+            F.sum(F.col("h") % 998244353).cast("long").alias("checksum2"),
+        ).select(
+            F.lit(name).alias("table_name"), "n_rows", "checksum1",
+            "checksum2",
+        )
+
+    return digest(_t(spark, sf_dir, "orders"), o_row, "orders").unionAll(
+        digest(_t(spark, sf_dir, "lineitem"), l_row, "lineitem")
+    )
+
+
 # Self-register at module bottom: by the time execution reaches here,
 # .queries is initialized far enough (register/REGISTRY are defined above
 # its own bottom import of this module), under EITHER import order.
