@@ -682,6 +682,330 @@ def q_encoding_advisor_events(spark: SparkSession, sf_dir: str
     return rows.orderBy("col_name")
 
 
+# ---------------------------------------------------------------------------
+# BFS hop distance from the co-purchase hub (the SSSP gap in the graph
+# family: pagerank/LPA/triangles/CC/k-core exist, shortest paths did not)
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "bfs_hops_from_hub",
+    oracle="""
+    WITH RECURSIVE
+    b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS pa, c.l_partkey AS pb
+      FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey
+                        AND c.l_partkey > a.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    und AS (
+      SELECT pa AS node, pb AS nb FROM e
+      UNION ALL SELECT pb, pa FROM e
+    ),
+    hub AS (
+      SELECT node FROM und GROUP BY node
+      ORDER BY COUNT(*) DESC, node LIMIT 1
+    ),
+    walk(node, hop) AS (
+      SELECT node, 0 FROM hub
+      UNION ALL
+      SELECT u.nb, MIN(w.hop) + 1
+      FROM walk w JOIN und u ON u.node = w.node
+      WHERE w.hop < 4 GROUP BY u.nb
+    ),
+    dist AS (
+      SELECT node, CAST(MIN(hop) AS BIGINT) AS hop FROM walk GROUP BY node
+    )
+    SELECT hop, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(node) AS BIGINT) AS sum_node
+    FROM dist GROUP BY hop
+    """,
+    doc="Breadth-first hop distance from the co-purchase hub — the "
+        "single-source-shortest-path member the graph family was missing "
+        "(pagerank, LPA, triangles, CC, k-core all exist): the part "
+        "bought with the most distinct partners (tie-break min id) seeds "
+        "a 4-round frontier expansion over the >=2-common-orders "
+        "co-purchase graph; output is the BFS level census (nodes + id "
+        "sum per hop). Spark runs the canonical frontier loop — join "
+        "frontier to the materialized undirected edge list, anti-join "
+        "already-visited, localCheckpoint per round (the CC shuffle "
+        "pattern: each round is edge-list-sized, never all-pairs); the "
+        "oracle replays it as a recursive CTE with GROUP BY over the "
+        "recursive reference. Scale: hop-bounded frontier BFS is the "
+        "100 TB path (O(hops) edge-keyed shuffles); the only driver "
+        "value is the hub id",
+)
+def q_bfs_hops_from_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a, c = b.alias("a"), b.alias("c")
+    e = (
+        a.join(
+            c,
+            (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+            & (F.col("c.l_partkey") > F.col("a.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("c.l_partkey").alias("pb"),
+        )
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("pa", "pb")
+    )
+    und = e.select(F.col("pa").alias("node"), F.col("pb").alias("nb")).union(
+        e.select(F.col("pb").alias("node"), F.col("pa").alias("nb"))
+    ).localCheckpoint(eager=True)  # consumed once per BFS round
+
+    hub = (
+        und.groupBy("node").agg(F.count("*").alias("deg"))
+        .orderBy(F.desc("deg"), "node").limit(1).select("node")
+    )
+    dist = hub.select("node", F.lit(0).cast("long").alias("hop"))
+    frontier = hub
+    for h in range(1, 5):
+        nxt = (
+            frontier.join(und, "node")
+            .select(F.col("nb").alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .select("node", F.lit(h).cast("long").alias("hop"))
+        )
+        dist = dist.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+    return dist.groupBy("hop").agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.sum("node").cast("long").alias("sum_node"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Calendar gap fill + last-observation-carried-forward (ETL spine surface)
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "gap_fill_locf_daily",
+    oracle="""
+    WITH d AS (
+      SELECT date_diff('day', DATE '1970-01-01',
+                       CAST(o_orderdate AS DATE)) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ), spine AS (
+      SELECT unnest(range((SELECT MIN(day) FROM d),
+                          (SELECT MAX(day) FROM d) + 1)) AS day
+    ), j AS (
+      SELECT s.day, coalesce(d.n_orders, 0) AS n_orders, d.cents,
+             SUM(CASE WHEN d.cents IS NOT NULL THEN 1 ELSE 0 END)
+               OVER (ORDER BY s.day) AS grp
+      FROM spine s LEFT JOIN d ON d.day = s.day
+    )
+    SELECT day, n_orders,
+           CAST(MAX(cents) OVER (PARTITION BY grp) AS BIGINT)
+             AS locf_cents
+    FROM j
+    """,
+    doc="Dense calendar spine + gap fill — the ETL primitive behind "
+        "every time-series report: generate every day between the "
+        "observed min and max, zero-fill missing counts, and "
+        "carry-forward the last observed revenue (LOCF) WITHOUT any "
+        "IGNORE NULLS dependency — the running count of non-null "
+        "observations partitions days into epochs whose head holds the "
+        "group's only non-null value, so MAX-per-epoch IS "
+        "last_value(IGNORE NULLS) in portable SQL. Scale: the fact "
+        "collapses to day grain first; the spine is calendar-sized "
+        "(sequence + explode), the join is day-keyed, and both window "
+        "passes share one day-ordered sort",
+)
+def q_gap_fill_locf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "orders").groupBy(
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        ).alias("day")
+    ).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(
+            F.round(F.col("o_totalprice") * 100, 0).cast("long")
+        ).cast("long").alias("cents"),
+    )
+    bounds = d.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day")
+    )
+    from .functions.windows import bounded_window
+
+    w_run = bounded_window(F.col("day")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    j = (
+        spine.join(d, "day", "left")
+        .select(
+            "day",
+            F.coalesce(F.col("n_orders"), F.lit(0)).cast("long")
+            .alias("n_orders"),
+            "cents",
+        )
+        .withColumn(
+            "grp",
+            F.sum(
+                F.when(F.col("cents").isNotNull(), 1).otherwise(0)
+            ).over(w_run),
+        )
+    )
+    w_grp = Window.partitionBy("grp")  # real partition key — no warning
+    return j.select(
+        F.col("day").cast("long").alias("day"), "n_orders",
+        F.max("cents").over(w_grp).cast("long").alias("locf_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Haar wavelet multi-resolution energy of the daily order series
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "haar_wavelet_energy",
+    oracle="""
+    WITH d AS (
+      SELECT date_diff('day', DATE '1970-01-01',
+                       CAST(o_orderdate AS DATE)) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ), base AS (
+      SELECT MIN(day) AS lo FROM d
+    ), spine AS (
+      SELECT unnest(range(0, 256)) AS off
+    ), s AS (
+      SELECT spine.off, coalesce(d.x, 0) AS x
+      FROM spine CROSS JOIN base
+      LEFT JOIN d ON d.day = base.lo + spine.off
+    ), lv AS (
+      SELECT unnest(range(1, 9)) AS level
+    ), blocks AS (
+      SELECT lv.level, s.off // (1 << lv.level) AS block,
+             CAST(SUM(CASE WHEN s.off % (1 << lv.level)
+                                < (1 << (lv.level - 1))
+                           THEN s.x ELSE -s.x END) AS BIGINT) AS detail
+      FROM s CROSS JOIN lv
+      GROUP BY 1, 2
+    )
+    SELECT level, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+           CAST(SUM(detail * detail) AS BIGINT) AS energy
+    FROM blocks GROUP BY level
+    """,
+    doc="Unnormalized Haar wavelet decomposition of the first 256 days "
+        "of the order-count series: per level j (block 2^j), the detail "
+        "coefficient is (sum of first half) - (sum of second half) and "
+        "the reported energy is the sum of squared details — the "
+        "multi-resolution variance decomposition used for time-series "
+        "feature extraction and change detection (which scale carries "
+        "the signal: daily noise vs weekly/monthly structure). All "
+        "integer on counts: no normalization constant, so zero float "
+        "risk. Scale: one fact-grain day rollup; the 256-point spine "
+        "crossed with 8 levels is 2k rows — both block and level "
+        "aggregates are map-side trivial",
+)
+def q_haar_wavelet_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "orders").groupBy(
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        ).alias("day")
+    ).agg(F.count("*").cast("long").alias("x"))
+    base = d.agg(F.min("day").alias("lo"))
+    spine = spark.range(256).select(F.col("id").alias("off"))
+    s = (
+        spine.crossJoin(F.broadcast(base))
+        .join(
+            d,
+            F.col("day") == F.col("lo") + F.col("off"),
+            "left",
+        )
+        .select("off", F.coalesce(F.col("x"), F.lit(0)).alias("x"))
+    )
+    lv = spark.range(1, 9).select(F.col("id").cast("int").alias("level"))
+    half = F.expr("shiftleft(1, level - 1)")
+    width = F.expr("shiftleft(1, level)")
+    blocks = (
+        s.crossJoin(F.broadcast(lv))
+        .groupBy(
+            "level", F.expr("off div shiftleft(1, level)").alias("block")
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("off") % width < half, F.col("x"))
+                .otherwise(-F.col("x"))
+            ).cast("long").alias("detail")
+        )
+    )
+    return blocks.groupBy("level").agg(
+        F.count("*").cast("long").alias("n_blocks"),
+        F.sum(F.col("detail") * F.col("detail")).cast("long")
+        .alias("energy"),
+    ).select(F.col("level").cast("long").alias("level"), "n_blocks",
+             "energy")
+
+
+# ---------------------------------------------------------------------------
+# Interpolated quartiles (percentile_cont) in exact dyadic arithmetic
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "percentile_cont_quartiles",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem
+    )
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(floor(quantile_cont(cents, 0.25) * 1000) AS BIGINT)
+             AS q1_e3,
+           CAST(floor(quantile_cont(cents, 0.5) * 1000) AS BIGINT)
+             AS median_e3,
+           CAST(floor(quantile_cont(cents, 0.75) * 1000) AS BIGINT)
+             AS q3_e3
+    FROM c GROUP BY l_returnflag
+    """,
+    doc="Interpolated quartiles (the SQL percentile_cont semantics — "
+        "equi_depth_boundaries and quantiles cover the DISC variant, "
+        "this completes the CONT one): per return flag, exact linear "
+        "interpolation over integer cents. The fractions are "
+        "deliberately DYADIC (0.25/0.5/0.75): rank position p*(n-1) and "
+        "the interpolation a + frac*(b-a) are then EXACT IEEE "
+        "operations on integer-valued doubles — engine-invariant with "
+        "no transcendental in sight, so the e3 quantization can never "
+        "straddle an ulp. Scale: Spark's percentile aggregate is a "
+        "single-pass partial-merge aggregate (no global sort); three "
+        "fractions share one pass",
+)
+def q_percentile_cont_quartiles(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        .alias("cents"),
+    )
+    pct = F.percentile(F.col("cents"), F.array(
+        F.lit(0.25), F.lit(0.5), F.lit(0.75)
+    ))
+    return c.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n"),
+        pct.alias("p"),
+    ).select(
+        "l_returnflag", "n",
+        F.floor(F.col("p")[0] * 1000).cast("long").alias("q1_e3"),
+        F.floor(F.col("p")[1] * 1000).cast("long").alias("median_e3"),
+        F.floor(F.col("p")[2] * 1000).cast("long").alias("q3_e3"),
+    )
+
+
 # Self-register ONLY under the round-8 gate (this module is imported both
 # by queries.py under the gate and directly by tests without it).
 import os as _os
