@@ -1,4 +1,4 @@
-"""Spark 4 Python DataSource API demo source (S-family depth).
+"""Spark 4 Python DataSource API source AND sink (S-family depth).
 
 A deterministic synthetic source implemented against the public
 ``pyspark.sql.datasource`` API (SPARK-44076, Spark 4.x): 8 range
@@ -27,7 +27,9 @@ try:  # pyspark >= 4.0
     from pyspark.sql.datasource import (
         DataSource,
         DataSourceReader,
+        DataSourceWriter,
         InputPartition,
+        WriterCommitMessage,
     )
 
     class SynthQuadraticSource(DataSource):
@@ -53,7 +55,87 @@ try:  # pyspark >= 4.0
             for i in range(start, start + per):
                 yield (i, (i * i) % MOD)
 
+    class _ShardCommit(WriterCommitMessage):
+        """Picklable per-task receipt: (temp file, final shard name, rows)."""
+
+        def __init__(self, tmp: str, final: str, n_rows: int):
+            self.tmp = tmp
+            self.final = final
+            self.n_rows = n_rows
+
+    class ShardedJsonlSink(DataSource):
+        """``df.write.format("sharded_jsonl").save(path)`` — the WRITE half
+        of the Python DataSource surface (the reader above covers the scan
+        half): one JSONL shard per task, published through the real
+        two-phase commit protocol. Executors write to temp-named files and
+        return a commit message; ONLY the driver-side commit() renames
+        them to their final shard names and writes a `_MANIFEST.json`
+        (shard list + row counts), so a failed/aborted job leaves no
+        half-visible shard — the same task-temp + driver-publish contract
+        every Hadoop-style committer implements. abort() removes the temp
+        files. Local-FS rename here; on an object store the same protocol
+        runs with a copy-then-delete or conditional PUT.
+
+        Scale: rows stream through each task (nothing driver-side but the
+        O(tasks) receipt list); shard sizing follows the upstream
+        partitioning, so `df.repartition(n)` is the knob."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "sharded_jsonl"
+
+        def writer(self, schema, overwrite: bool) -> "JsonlShardWriter":
+            return JsonlShardWriter(self.options["path"], overwrite)
+
+    class JsonlShardWriter(DataSourceWriter):
+        def __init__(self, path: str, overwrite: bool):
+            self.path = path
+            self.overwrite = overwrite
+
+        def write(self, iterator) -> "_ShardCommit":
+            """Executor-side: stream rows to a temp-named JSONL file."""
+            import json
+            import os
+            import uuid
+
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            os.makedirs(self.path, exist_ok=True)
+            tmp = os.path.join(self.path, f".tmp-{uuid.uuid4().hex}.jsonl")
+            n = 0
+            with open(tmp, "w") as f:
+                for row in iterator:
+                    f.write(json.dumps(row.asDict()) + "\n")
+                    n += 1
+            return _ShardCommit(tmp, f"shard-{pid:05d}.jsonl", n)
+
+        def commit(self, messages) -> None:
+            """Driver-side publish: rename temps, then write the manifest
+            LAST (readers treat the manifest as the commit marker)."""
+            import json
+            import os
+
+            shards = []
+            for m in messages:
+                os.replace(m.tmp, os.path.join(self.path, m.final))
+                shards.append({"shard": m.final, "n_rows": m.n_rows})
+            manifest = os.path.join(self.path, "_MANIFEST.json")
+            with open(manifest + ".tmp", "w") as f:
+                json.dump(sorted(shards, key=lambda s: s["shard"]), f)
+            os.replace(manifest + ".tmp", manifest)
+
+        def abort(self, messages) -> None:
+            import os
+
+            for m in messages:
+                try:
+                    os.remove(m.tmp)
+                except FileNotFoundError:
+                    pass
+
     HAVE_PY_DATASOURCE = True
 except ImportError:  # pragma: no cover - pyspark < 4 fallback
     SynthQuadraticSource = None  # type: ignore[assignment]
+    ShardedJsonlSink = None  # type: ignore[assignment]
     HAVE_PY_DATASOURCE = False

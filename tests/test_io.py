@@ -115,3 +115,41 @@ def test_load_events_normalizes_either_ts_encoding(spark, sf_dir, tmp_path):
     a = sorted(r["ts_nanos"] for r in ev.select("ts_nanos").collect())
     b = sorted(r["ts_nanos"] for r in ev2.select("ts_nanos").collect())
     assert a == b
+
+
+def test_sharded_jsonl_sink_two_phase_commit(spark, tmp_path):
+    """Python DataSource WRITER: shards stream per task, the driver-side
+    commit publishes final names + manifest, no temp residue survives."""
+    import json
+    import os
+
+    from gan_deeplearning4j_spark.sources.pydatasource import (
+        HAVE_PY_DATASOURCE,
+        ShardedJsonlSink,
+    )
+
+    if not HAVE_PY_DATASOURCE:
+        import pytest
+
+        pytest.skip("pyspark < 4: no Python DataSource API")
+
+    spark.dataSource.register(ShardedJsonlSink)
+    out = str(tmp_path / "shards")
+    df = spark.range(1000).selectExpr("id", "id * 3 as v").repartition(4)
+    df.write.format("sharded_jsonl").mode("append").save(out)
+
+    names = sorted(os.listdir(out))
+    assert "_MANIFEST.json" in names
+    shards = [n for n in names if n.startswith("shard-")]
+    assert len(shards) == 4
+    assert not [n for n in names if n.startswith(".tmp-")]
+
+    with open(os.path.join(out, "_MANIFEST.json")) as f:
+        manifest = json.load(f)
+    assert sorted(m["shard"] for m in manifest) == shards
+    assert sum(m["n_rows"] for m in manifest) == 1000
+
+    back = spark.read.json(os.path.join(out, "shard-*.jsonl"))
+    assert back.count() == 1000
+    got = back.selectExpr("sum(id) s", "sum(v) sv").collect()[0]
+    assert (got.s, got.sv) == (499500, 1498500)
