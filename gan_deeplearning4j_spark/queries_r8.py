@@ -1006,6 +1006,66 @@ def q_percentile_cont_quartiles(spark: SparkSession,
     )
 
 
+# ---------------------------------------------------------------------------
+# Stratified k-fold cross-validation assignment (ML split surface)
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "stratified_kfold_assignment",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY CAST('0x' || substr(md5('fold|' ||
+                             CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT),
+                        doc_id) - 1 AS r
+      FROM documents
+    ), f AS (
+      SELECT lang, r % 5 AS fold, CAST(COUNT(*) AS BIGINT) AS n
+      FROM d GROUP BY lang, r % 5
+    )
+    SELECT lang, fold, n,
+           CAST(MAX(n) OVER (PARTITION BY lang)
+                - MIN(n) OVER (PARTITION BY lang) AS BIGINT)
+             AS lang_imbalance
+    FROM f
+    """,
+    doc="Stratified k-fold cross-validation assignment (k=5, stratified "
+        "by language): within each stratum, documents are ordered by a "
+        "deterministic md5 draw (ties broken by id) and dealt "
+        "round-robin, so every fold gets floor/ceil(n_s/5) members of "
+        "every stratum — the per-stratum imbalance column PROVES it is "
+        "never more than 1. This is the split ML evaluation needs where "
+        "train_val_test_split (hash-proportional, entity-safe) would "
+        "leave strata uneven at small n. Deterministic: reruns and "
+        "repartitions deal identically. Scale: one rank window per "
+        "stratum + a (lang, fold)-grain rollup; nothing driver-side",
+)
+def q_stratified_kfold_assignment(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang",
+        F.expr(
+            "cast(conv(substr(md5(cast(concat('fold|',"
+            " cast(doc_id as string)) as binary)), 1, 15), 16, 10)"
+            " as long)"
+        ).alias("draw"),
+    )
+    r = F.row_number().over(
+        Window.partitionBy("lang").orderBy("draw", "doc_id")
+    ) - 1
+    f = d.select("lang", (r % 5).cast("long").alias("fold")).groupBy(
+        "lang", "fold"
+    ).agg(F.count("*").cast("long").alias("n"))
+    w = Window.partitionBy("lang")
+    return f.select(
+        "lang", "fold", "n",
+        (F.max("n").over(w) - F.min("n").over(w)).cast("long")
+        .alias("lang_imbalance"),
+    )
+
+
 # Self-register ONLY under the round-8 gate (this module is imported both
 # by queries.py under the gate and directly by tests without it).
 import os as _os
