@@ -3350,6 +3350,610 @@ def q_table_checksum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Adamic-Adar link prediction on the co-purchase graph
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "adamic_adar_linkpred",
+    oracle="""
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pr AS (
+      SELECT a.l_partkey AS p1, c.l_partkey AS p2
+      FROM b a JOIN b c
+        ON c.l_orderkey = a.l_orderkey AND c.l_partkey > a.l_partkey
+      GROUP BY p1, p2 HAVING COUNT(*) >= 2
+    ),
+    e AS (SELECT p1 AS u, p2 AS v FROM pr UNION ALL SELECT p2, p1 FROM pr),
+    wt AS (SELECT u, CAST(floor(1000000.0 / ln(COUNT(*))) AS BIGINT) AS w
+           FROM e GROUP BY u HAVING COUNT(*) >= 2),
+    cand AS (
+      SELECT e1.u AS a, e2.u AS b,
+             CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+             CAST(SUM(wt.w) AS BIGINT) AS score_e6
+      FROM e e1 JOIN e e2 ON e2.v = e1.v AND e2.u > e1.u
+      JOIN wt ON wt.u = e1.v
+      GROUP BY e1.u, e2.u
+    )
+    SELECT a AS part_a, b AS part_b, common_neighbors, score_e6
+    FROM cand
+    WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = cand.a AND e.v = cand.b)
+    ORDER BY score_e6 DESC, part_a, part_b
+    LIMIT 100
+    """,
+    doc="Adamic-Adar link prediction (Adamic & Adar 2003) over the "
+        "co-purchase graph: for every non-adjacent pair with at least one "
+        "common neighbor, score = sum over common neighbors w of "
+        "1/ln(deg(w)), the classic friend-of-friend recommender. Each "
+        "neighbor's weight floor(1e6/ln(deg)) is quantized BEFORE the "
+        "sum, so the total is an exact long in both engines (sum order "
+        "can't perturb it). deg >= 2 for any common neighbor, so ln is "
+        "never 0 (the HAVING guard keeps leaf nodes out of the weight "
+        "table). Top 100 by score with (a, b) tie-break. Scale: the "
+        "two-hop self-join is the standard link-prediction shape — one "
+        "shuffle of the edge list keyed on the shared endpoint, weight "
+        "table joined on the same key, anti-join prunes existing edges; "
+        "edges localCheckpoint'd once for its three consumers",
+)
+def q_adamic_adar_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    bk = li.select("l_orderkey", "l_partkey").distinct()
+    a, c = bk.alias("a"), bk.alias("c")
+    pr = (
+        a.join(
+            c,
+            (F.col("c.l_orderkey") == F.col("a.l_orderkey"))
+            & (F.col("c.l_partkey") > F.col("a.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"),
+            F.col("c.l_partkey").alias("p2"),
+        )
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= 2)
+        .drop("w")
+    )
+    e = pr.select(
+        F.col("p1").alias("u"), F.col("p2").alias("v")
+    ).unionByName(
+        pr.select(F.col("p2").alias("u"), F.col("p1").alias("v"))
+    ).localCheckpoint()  # three consumers: hop join, degrees, anti-join
+    wt = (
+        e.groupBy("u").agg(F.count("*").alias("d"))
+        .filter(F.col("d") >= 2)
+        .select(
+            "u",
+            F.floor(1000000.0 / F.log(F.col("d").cast("double")))
+            .cast("long").alias("w"),
+        )
+    )
+    cand = (
+        e.alias("e1")
+        .join(
+            e.alias("e2"),
+            (F.col("e2.v") == F.col("e1.v"))
+            & (F.col("e2.u") > F.col("e1.u")),
+        )
+        .join(wt.alias("wt"), F.col("wt.u") == F.col("e1.v"))
+        .groupBy(F.col("e1.u").alias("a"), F.col("e2.u").alias("b"))
+        .agg(
+            F.count("*").cast("long").alias("common_neighbors"),
+            F.sum("w").cast("long").alias("score_e6"),
+        )
+    )
+    adj = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    return (
+        cand.join(adj, ["a", "b"], "left_anti")
+        .orderBy(F.desc("score_e6"), "a", "b")
+        .limit(100)
+        .select(
+            F.col("a").alias("part_a"), F.col("b").alias("part_b"),
+            "common_neighbors", "score_e6",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bradley-Terry pairwise strength (fixed-point MM, 3 unrolled iterations)
+# ---------------------------------------------------------------------------
+
+def _bt_oracle(iters: int = 3) -> str:
+    ctes = ["""
+    comp AS (
+      SELECT CASE WHEN a.l_extendedprice > b.l_extendedprice
+                  THEN a.l_suppkey ELSE b.l_suppkey END AS winner,
+             CASE WHEN a.l_extendedprice > b.l_extendedprice
+                  THEN b.l_suppkey ELSE a.l_suppkey END AS loser
+      FROM lineitem a JOIN lineitem b
+        ON b.l_orderkey = a.l_orderkey
+       AND b.l_linenumber > a.l_linenumber
+       AND b.l_suppkey <> a.l_suppkey
+       AND b.l_extendedprice <> a.l_extendedprice
+    ),
+    pairs AS (
+      SELECT LEAST(winner, loser) AS i, GREATEST(winner, loser) AS j,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM comp GROUP BY i, j
+    ),
+    bp AS (SELECT i AS s, j AS o, n FROM pairs
+           UNION ALL SELECT j, i, n FROM pairs),
+    wins AS (
+      SELECT p.s, CAST(1 + coalesce(w.c, 0) AS BIGINT) AS wins,
+             CAST(SUM(p.n) AS BIGINT) AS n_comparisons
+      FROM bp p LEFT JOIN (
+        SELECT winner, COUNT(*) AS c FROM comp GROUP BY winner
+      ) w ON w.winner = p.s
+      GROUP BY p.s, w.c
+    ),
+    p0 AS (SELECT s, CAST(1000000 AS BIGINT) AS p FROM wins)"""]
+    for t in range(1, iters + 1):
+        ctes.append(f"""
+    d{t} AS (
+      SELECT bp.s,
+             SUM(bp.n * 1000000000000 // (ps.p + po.p)) AS den
+      FROM bp JOIN p{t - 1} ps ON ps.s = bp.s
+              JOIN p{t - 1} po ON po.s = bp.o
+      GROUP BY bp.s
+    ),
+    p{t} AS (
+      SELECT w.s,
+             GREATEST(w.wins * 1000000000000 // d{t}.den, 1) AS p
+      FROM wins w JOIN d{t} ON d{t}.s = w.s
+    )""")
+    return (
+        "WITH" + ",".join(ctes) + f"""
+    SELECT w.s AS suppkey, w.wins - 1 AS wins, w.n_comparisons,
+           CAST(p{iters}.p AS BIGINT) AS strength_e6
+    FROM wins w JOIN p{iters} ON p{iters}.s = w.s
+    ORDER BY strength_e6 DESC, suppkey
+    LIMIT 50
+    """
+    )
+
+
+@_stage(
+    "bradley_terry_strength",
+    oracle=_bt_oracle(),
+    doc="Bradley-Terry pairwise-preference strengths via the classic MM "
+        "update (Hunter 2004), the workhorse of RLHF reward-model data "
+        "audits: comparisons = same-order lineitem pairs from different "
+        "suppliers, winner = higher extended price; 3 fixed MM rounds "
+        "p_i' = W_i / sum_j n_ij/(p_i+p_j). ENTIRELY 64-bit integer "
+        "arithmetic: strengths live at e6 scale, each pair term is "
+        "n*1e12 div (p_i+p_j) (exact integer division, summed as longs), "
+        "one virtual win per player regularizes zero-win suppliers and a "
+        "GREATEST(.,1) clamp keeps denominators alive — so both engines "
+        "replay bit-identical updates with no float sum-order hazard "
+        "(wins*1e12 < 2^63 up to ~9.2M wins/supplier; document before "
+        "lifting). Oracle unrolls the 3 rounds as chained CTEs (the "
+        "lpa/pagerank pattern). Scale: pair table is supplier-keyed and "
+        "tiny vs the fact table; each round broadcasts the strength "
+        "vector into one edge-list aggregate — O(iters) broadcast joins, "
+        "zero fact-table reshuffles after the first pair count",
+)
+def q_bradley_terry_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_suppkey", "l_extendedprice"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    win_a = F.col("a.l_extendedprice") > F.col("b.l_extendedprice")
+    comp = (
+        a.join(
+            b,
+            (F.col("b.l_orderkey") == F.col("a.l_orderkey"))
+            & (F.col("b.l_linenumber") > F.col("a.l_linenumber"))
+            & (F.col("b.l_suppkey") != F.col("a.l_suppkey"))
+            & (F.col("b.l_extendedprice") != F.col("a.l_extendedprice")),
+        )
+        .select(
+            F.when(win_a, F.col("a.l_suppkey"))
+            .otherwise(F.col("b.l_suppkey")).alias("winner"),
+            F.when(win_a, F.col("b.l_suppkey"))
+            .otherwise(F.col("a.l_suppkey")).alias("loser"),
+        )
+    )
+    pairs = comp.groupBy(
+        F.least("winner", "loser").alias("i"),
+        F.greatest("winner", "loser").alias("j"),
+    ).agg(F.count("*").cast("long").alias("n"))
+    bp = pairs.select(
+        F.col("i").alias("s"), F.col("j").alias("o"), "n"
+    ).unionByName(
+        pairs.select(F.col("j").alias("s"), F.col("i").alias("o"), "n")
+    ).localCheckpoint()  # reused every MM round + wins rollup
+    wcnt = comp.groupBy("winner").agg(F.count("*").alias("c"))
+    tot = bp.groupBy("s").agg(
+        F.sum("n").cast("long").alias("n_comparisons")
+    )
+    wins = (
+        tot.join(wcnt, F.col("s") == F.col("winner"), "left")
+        .select(
+            "s",
+            (F.lit(1) + F.coalesce(F.col("c"), F.lit(0))).cast("long")
+            .alias("wins"),
+            "n_comparisons",
+        )
+        .localCheckpoint()
+    )
+    p = wins.select("s", F.lit(1000000).cast("long").alias("p"))
+    for _ in range(3):
+        den = (
+            bp.join(F.broadcast(p.withColumnRenamed("p", "ps")), "s")
+            .join(
+                F.broadcast(
+                    p.select(F.col("s").alias("o"), F.col("p").alias("po"))
+                ),
+                "o",
+            )
+            .groupBy("s")
+            .agg(
+                F.sum(
+                    F.expr("n * 1000000000000L div (ps + po)")
+                ).alias("den")
+            )
+        )
+        p = wins.join(den, "s").select(
+            "s",
+            F.greatest(
+                F.expr("wins * 1000000000000L div den"), F.lit(1)
+            ).cast("long").alias("p"),
+        ).localCheckpoint()
+    return (
+        wins.join(p, "s")
+        .select(
+            F.col("s").alias("suppkey"),
+            (F.col("wins") - 1).cast("long").alias("wins"),
+            "n_comparisons",
+            F.col("p").alias("strength_e6"),
+        )
+        .orderBy(F.desc("strength_e6"), "suppkey")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Flesch reading ease per language (readability audit)
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "flesch_reading_ease",
+    oracle=r"""
+    WITH d AS (
+      SELECT lang,
+             CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS w,
+             CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS s,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                  AS BIGINT) AS syl
+      FROM documents
+    ), l AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(GREATEST(SUM(w), 1) AS BIGINT) AS words,
+             CAST(GREATEST(SUM(s), 1) AS BIGINT) AS sentences,
+             CAST(SUM(syl) AS BIGINT) AS syllables
+      FROM d GROUP BY lang
+    )
+    SELECT lang, n_docs, words, sentences, syllables,
+           CAST(floor((206.835
+                       - 1.015 * (words / CAST(sentences AS DOUBLE))
+                       - 84.6 * (syllables / CAST(words AS DOUBLE)))
+                      * 1000) AS BIGINT) AS flesch_e3
+    FROM l ORDER BY lang
+    """,
+    doc="Flesch reading-ease readability per language — the standard "
+        "corpus-quality readability gate (Flesch 1948): words = \\S+ "
+        "runs, sentences = [.!?]+ runs, syllables = vowel-group runs "
+        "(the usual [aeiouy]+ heuristic), then 206.835 - 1.015 W/S - "
+        "84.6 Syl/W on the per-language totals, floored to e3. The three "
+        "counts are exact longs (regex match counts, identical RE2/Java "
+        "semantics for these escape-free classes); the score is one "
+        "double expression over two longs per language, so no sum-order "
+        "hazard. GREATEST(.,1) clamps guard empty/enderless languages. "
+        "Scale: per-doc regex counting is scan-local (one pass, no "
+        "shuffle), the rollup is a map-side-combinable agg to ~5 rows",
+)
+def q_flesch_reading_ease(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+
+    def n_matches(col, pat):
+        return F.size(F.regexp_extract_all(col, F.lit(pat), F.lit(0)))
+
+    d = docs.select(
+        "lang",
+        n_matches(F.col("text"), r"\S+").cast("long").alias("w"),
+        n_matches(F.col("text"), r"[.!?]+").cast("long").alias("s"),
+        n_matches(F.lower(F.col("text")), r"[aeiouy]+").cast("long")
+        .alias("syl"),
+    )
+    lang = d.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.greatest(F.sum("w"), F.lit(1)).cast("long").alias("words"),
+        F.greatest(F.sum("s"), F.lit(1)).cast("long").alias("sentences"),
+        F.sum("syl").cast("long").alias("syllables"),
+    )
+    score = (
+        F.lit(206.835)
+        - 1.015 * (F.col("words") / F.col("sentences").cast("double"))
+        - 84.6 * (F.col("syllables") / F.col("words").cast("double"))
+    )
+    return lang.select(
+        "lang", "n_docs", "words", "sentences", "syllables",
+        F.floor(score * 1000).cast("long").alias("flesch_e3"),
+    ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon divergence between source length distributions
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "js_divergence_sources",
+    oracle="""
+    WITH d AS (
+      SELECT source, CAST(length(CAST(n_chars AS VARCHAR)) AS BIGINT)
+               AS bucket
+      FROM documents
+    ), c AS (
+      SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS c
+      FROM d GROUP BY source, bucket
+    ), n AS (
+      SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY source
+    ), buckets AS (SELECT DISTINCT bucket FROM c),
+    pairs AS (
+      SELECT a.source AS sa, a.n AS na, b.source AS sb, b.n AS nb
+      FROM n a JOIN n b ON b.source > a.source
+    ), cells AS (
+      SELECT p.sa, p.sb, bk.bucket,
+             coalesce(ca.c, 0) AS c1, p.na,
+             coalesce(cb.c, 0) AS c2, p.nb
+      FROM pairs p CROSS JOIN buckets bk
+      LEFT JOIN c ca ON ca.source = p.sa AND ca.bucket = bk.bucket
+      LEFT JOIN c cb ON cb.source = p.sb AND cb.bucket = bk.bucket
+    ), terms AS (
+      SELECT sa, sb,
+             CASE WHEN c1 > 0 OR c2 > 0 THEN 1 ELSE 0 END AS live,
+             CAST(floor(CASE
+               WHEN c1 = 0 AND c2 = 0 THEN 0.0
+               WHEN c1 = 0 THEN
+                 0.5 * (c2 / CAST(nb AS DOUBLE)) * ln(2.0)
+               WHEN c2 = 0 THEN
+                 0.5 * (c1 / CAST(na AS DOUBLE)) * ln(2.0)
+               ELSE
+                 0.5 * (c1 / CAST(na AS DOUBLE))
+                     * ln(2.0 * (c1 / CAST(na AS DOUBLE))
+                          / (c1 / CAST(na AS DOUBLE)
+                             + c2 / CAST(nb AS DOUBLE)))
+                 + 0.5 * (c2 / CAST(nb AS DOUBLE))
+                     * ln(2.0 * (c2 / CAST(nb AS DOUBLE))
+                          / (c1 / CAST(na AS DOUBLE)
+                             + c2 / CAST(nb AS DOUBLE)))
+             END * 1000000000) AS BIGINT) AS t_e9
+      FROM cells
+    )
+    SELECT sa AS source_a, sb AS source_b,
+           CAST(SUM(live) AS BIGINT) AS n_buckets,
+           CAST(SUM(t_e9) AS BIGINT) AS jsd_e9
+    FROM terms GROUP BY sa, sb
+    ORDER BY source_a, source_b
+    """,
+    doc="Jensen-Shannon divergence between every pair of sources over "
+        "their document-length distributions — the standard "
+        "domain-shift / mixture-drift meter for pretraining corpora. "
+        "Buckets are decimal-digit-count of n_chars (a log10 histogram "
+        "computed by string length, so no float log at bucket edges); "
+        "per-bucket JSD terms 0.5*p*ln(2p/(p+q)) + 0.5*q*ln(2q/(p+q)) "
+        "are each ONE double expression over exact long counts, floored "
+        "to e9 BEFORE the sum (longs sum exactly in any order; "
+        "zero-sided buckets collapse to the closed-form q*ln2/2). "
+        "Scale: one groupBy over the scan, then everything runs on "
+        "sources x buckets cells (tens of rows) — the pair cross join "
+        "never touches row-level data",
+)
+def q_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    c = docs.select(
+        "source",
+        F.length(F.col("n_chars").cast("string")).cast("long")
+        .alias("bucket"),
+    ).groupBy("source", "bucket").agg(F.count("*").cast("long").alias("c"))
+    n = c.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    buckets = c.select("bucket").distinct()
+    a = n.select(F.col("source").alias("sa"), F.col("n").alias("na"))
+    b = n.select(F.col("source").alias("sb"), F.col("n").alias("nb"))
+    pairs = a.join(b, F.col("sb") > F.col("sa"))
+    cells = (
+        pairs.crossJoin(F.broadcast(buckets))
+        .join(
+            F.broadcast(c.select(
+                F.col("source").alias("sa"), "bucket",
+                F.col("c").alias("c1"),
+            )),
+            ["sa", "bucket"], "left",
+        )
+        .join(
+            F.broadcast(c.select(
+                F.col("source").alias("sb"), "bucket",
+                F.col("c").alias("c2"),
+            )),
+            ["sb", "bucket"], "left",
+        )
+        .fillna({"c1": 0, "c2": 0})
+    )
+    p = F.col("c1") / F.col("na").cast("double")
+    q = F.col("c2") / F.col("nb").cast("double")
+    ln2 = F.log(F.lit(2.0))
+    term = (
+        F.when((F.col("c1") == 0) & (F.col("c2") == 0), F.lit(0.0))
+        .when(F.col("c1") == 0, 0.5 * q * ln2)
+        .when(F.col("c2") == 0, 0.5 * p * ln2)
+        .otherwise(
+            0.5 * p * F.log(2.0 * p / (p + q))
+            + 0.5 * q * F.log(2.0 * q / (p + q))
+        )
+    )
+    live = F.when((F.col("c1") > 0) | (F.col("c2") > 0), 1).otherwise(0)
+    return (
+        cells.select(
+            "sa", "sb", live.alias("live"),
+            F.floor(term * 1000000000).cast("long").alias("t_e9"),
+        )
+        .groupBy(F.col("sa").alias("source_a"), F.col("sb").alias("source_b"))
+        .agg(
+            F.sum("live").cast("long").alias("n_buckets"),
+            F.sum("t_e9").cast("long").alias("jsd_e9"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Expected-calibration-error bins (integer-exact reliability diagram)
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "ece_calibration_bins",
+    oracle="""
+    WITH s AS (
+      SELECT LEAST(n_chars, 2000) * 500 AS score_e6,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM documents
+    ), b AS (
+      SELECT LEAST(score_e6 // 100000, 9) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(pos) AS BIGINT) AS pos,
+             CAST(SUM(score_e6) AS BIGINT) AS sum_score_e6
+      FROM s GROUP BY bin
+    )
+    SELECT bin, n, pos,
+           sum_score_e6 // n AS conf_e6,
+           pos * 1000000 // n AS acc_e6,
+           abs(sum_score_e6 // n - pos * 1000000 // n) AS gap_e6
+    FROM b ORDER BY bin
+    """,
+    doc="Reliability diagram / expected-calibration-error bins (Guo et "
+        "al. 2017) — the eval-pipeline staple, here over a deterministic "
+        "stand-in scorer (clamped doc length as confidence that "
+        "lang='en') so the BINNING MACHINERY is what's certified: 10 "
+        "equal-width confidence bins, per-bin count, positives, mean "
+        "confidence, empirical accuracy and |conf - acc| gap. ENTIRELY "
+        "64-bit integer arithmetic — scores live at e6 (least(n,2000) * "
+        "500), bin = score div 1e5 clamped to 9, means are exact integer "
+        "divisions — so both engines agree bit-for-bit with zero float "
+        "hazard. Swap the scorer column for a real model score and "
+        "nothing else changes. Scale: one map-side-combinable 10-group "
+        "aggregate over the scan; everything after runs on 10 rows",
+)
+def q_ece_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    s = docs.select(
+        (F.least(F.col("n_chars"), F.lit(2000)) * 500).cast("long")
+        .alias("score_e6"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    b = s.groupBy(
+        F.least(F.expr("score_e6 div 100000"), F.lit(9)).cast("long")
+        .alias("bin")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("pos"),
+        F.sum("score_e6").cast("long").alias("sum_score_e6"),
+    )
+    conf = F.expr("sum_score_e6 div n")
+    acc = F.expr("pos * 1000000 div n")
+    return b.select(
+        "bin", "n", "pos",
+        conf.cast("long").alias("conf_e6"),
+        acc.cast("long").alias("acc_e6"),
+        F.abs(conf - acc).cast("long").alias("gap_e6"),
+    ).orderBy("bin")
+
+
+# ---------------------------------------------------------------------------
+# Unicode character-class profile per language
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "unicode_script_profile",
+    oracle=r"""
+    WITH d AS (
+      SELECT lang, CAST(length(text) AS BIGINT) AS total,
+             CAST(length(text)
+                  - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+                  AS BIGINT) AS letters,
+             CAST(length(text)
+                  - length(regexp_replace(text, '[0-9]', '', 'g'))
+                  AS BIGINT) AS digits,
+             CAST(length(text)
+                  - length(regexp_replace(text, '[ \t\n]', '', 'g'))
+                  AS BIGINT) AS whitespace,
+             CAST(length(text)
+                  - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+                  AS BIGINT) AS punct
+      FROM documents
+    ), l AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(GREATEST(SUM(total), 1) AS BIGINT) AS total_chars,
+             CAST(SUM(letters) AS BIGINT) AS letters,
+             CAST(SUM(digits) AS BIGINT) AS digits,
+             CAST(SUM(whitespace) AS BIGINT) AS whitespace,
+             CAST(SUM(punct) AS BIGINT) AS punct
+      FROM d GROUP BY lang
+    )
+    SELECT lang, n_docs, total_chars, letters, digits, whitespace, punct,
+           total_chars - letters - digits - whitespace - punct AS other,
+           letters * 1000000 // total_chars AS letter_frac_e6,
+           whitespace * 1000000 // total_chars AS ws_frac_e6
+    FROM l ORDER BY lang
+    """,
+    doc="Character-class profile per language — the cheap script/encoding "
+        "sanity gate every multilingual corpus needs (catches mojibake, "
+        "markup-heavy and digit-heavy shards before tokenization): exact "
+        "counts of ASCII letters, digits, whitespace and core "
+        "punctuation via delete-and-length-diff regexp_replace (the "
+        "classes are escape-free so RE2 and Java regex agree "
+        "character-for-character; \\t\\n are regex escapes in both), "
+        "plus the 'other' remainder and e6 fractions by exact integer "
+        "division. Scale: four scan-local regex passes per doc, no "
+        "shuffle, map-side-combinable rollup to ~5 language rows",
+)
+def q_unicode_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+
+    def removed(pat):
+        return (
+            F.length(F.col("text"))
+            - F.length(F.regexp_replace(F.col("text"), pat, ""))
+        ).cast("long")
+
+    d = docs.select(
+        "lang",
+        F.length(F.col("text")).cast("long").alias("total"),
+        removed(r"[A-Za-z]").alias("letters"),
+        removed(r"[0-9]").alias("digits"),
+        removed("[ \t\n]").alias("whitespace"),
+        removed(r"[.,;:!?]").alias("punct"),
+    )
+    lang = d.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.greatest(F.sum("total"), F.lit(1)).cast("long")
+        .alias("total_chars"),
+        F.sum("letters").cast("long").alias("letters"),
+        F.sum("digits").cast("long").alias("digits"),
+        F.sum("whitespace").cast("long").alias("whitespace"),
+        F.sum("punct").cast("long").alias("punct"),
+    )
+    return lang.select(
+        "lang", "n_docs", "total_chars", "letters", "digits",
+        "whitespace", "punct",
+        (F.col("total_chars") - F.col("letters") - F.col("digits")
+         - F.col("whitespace") - F.col("punct")).cast("long")
+        .alias("other"),
+        F.expr("letters * 1000000 div total_chars").cast("long")
+        .alias("letter_frac_e6"),
+        F.expr("whitespace * 1000000 div total_chars").cast("long")
+        .alias("ws_frac_e6"),
+    ).orderBy("lang")
+
+
 # Self-register at module bottom: by the time execution reaches here,
 # .queries is initialized far enough (register/REGISTRY are defined above
 # its own bottom import of this module), under EITHER import order.
