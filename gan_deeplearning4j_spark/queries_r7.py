@@ -3516,8 +3516,10 @@ def _bt_oracle(iters: int = 3) -> str:
     oracle=_bt_oracle(),
     doc="Bradley-Terry pairwise-preference strengths via the classic MM "
         "update (Hunter 2004), the workhorse of RLHF reward-model data "
-        "audits: comparisons = same-order lineitem pairs from different "
-        "suppliers, winner = higher extended price; 3 fixed MM rounds "
+        "audits: comparisons = same-order lineitem pairs (strictly "
+        "increasing linenumber — this data has duplicate linenumbers) "
+        "from different suppliers, winner = higher extended price; 3 "
+        "fixed MM rounds "
         "p_i' = W_i / sum_j n_ij/(p_i+p_j). ENTIRELY 64-bit integer "
         "arithmetic: strengths live at e6 scale, each pair term is "
         "n*1e12 div (p_i+p_j) (exact integer division, summed as longs), "

@@ -302,3 +302,85 @@ def test_r7_live_addition_plans(spark, sf_dir):
     # entropy: no join, no window — two hash aggregates only
     t = plan_tree(_fn("event_type_entropy")(spark, sf_dir))
     assert "SortMergeJoin" not in t and "Window" not in t, t
+
+
+def test_r7_second_wave_plans(spark, sf_dir):
+    """Physical-plan pins for the six late round-7 additions."""
+    from gan_deeplearning4j_spark.plans.explain import plan_tree
+
+    # adamic-adar: the two-hop expansion is a keyed join on the shared
+    # endpoint (SMJ is the correct strategy for edge-list x edge-list at
+    # scale), never a cartesian; top-100 is a TakeOrdered heap
+    t = plan_tree(_fn("adamic_adar_linkpred")(spark, sf_dir))
+    assert "CartesianProduct" not in t, t
+    assert "TakeOrderedAndProject" in t, t
+
+    # bradley-terry: the MM rounds are checkpointed (the final plan sees
+    # only the last strength join); no cartesian anywhere, top-50 is a
+    # TakeOrdered heap
+    t = plan_tree(_fn("bradley_terry_strength")(spark, sf_dir))
+    assert "CartesianProduct" not in t, t
+    assert "TakeOrderedAndProject" in t, t
+
+    # the three scan-shaped audits: regex/arithmetic per row, ONE
+    # map-side-combinable hash aggregate, no join, no window
+    for name in ("flesch_reading_ease", "ece_calibration_bins",
+                 "unicode_script_profile"):
+        t = plan_tree(_fn(name)(spark, sf_dir))
+        assert "HashAggregate" in t, (name, t)
+        assert "Join" not in t and "Window" not in t, (name, t)
+
+    # jsd: after the per-source histogram, everything is cells-sized —
+    # every join broadcasts, nothing sort-merge-joins
+    t = plan_tree(_fn("js_divergence_sources")(spark, sf_dir))
+    assert "SortMergeJoin" not in t, t
+    assert "BroadcastHashJoin" in t, t
+
+
+def test_bradley_terry_matches_python_replay(spark, sf_dir):
+    """Replays the exact int64 MM recurrence in pure python (trunc
+    division, virtual win, clamp) and compares the full top-50."""
+    import collections
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_linenumber",
+                                  "l_suppkey", "l_extendedprice"])
+    wins = collections.Counter()
+    npairs = collections.Counter()
+    for _, g in li.groupby("l_orderkey"):
+        rows = list(g.sort_values("l_linenumber").itertuples(index=False))
+        for x in range(len(rows)):
+            for y in range(x + 1, len(rows)):
+                a, b = rows[x], rows[y]
+                # the query compares strictly increasing linenumbers only
+                # (this synthetic data has duplicate linenumbers per order)
+                if (a.l_linenumber == b.l_linenumber
+                        or a.l_suppkey == b.l_suppkey
+                        or a.l_extendedprice == b.l_extendedprice):
+                    continue
+                w, l = ((a, b) if a.l_extendedprice > b.l_extendedprice
+                        else (b, a))
+                wins[w.l_suppkey] += 1
+                npairs[(min(a.l_suppkey, b.l_suppkey),
+                        max(a.l_suppkey, b.l_suppkey))] += 1
+    players = sorted({s for p in npairs for s in p})
+    W = {s: 1 + wins.get(s, 0) for s in players}
+    ncomp = collections.Counter()
+    for (i, j), n in npairs.items():
+        ncomp[i] += n
+        ncomp[j] += n
+    p = {s: 1000000 for s in players}
+    for _ in range(3):
+        den = collections.Counter()
+        for (i, j), n in npairs.items():
+            t = n * 10**12 // (p[i] + p[j])  # positive: // == trunc div
+            den[i] += t
+            den[j] += t
+        p = {s: max(W[s] * 10**12 // den[s], 1) for s in players}
+    expect = sorted(
+        ((s, wins.get(s, 0), ncomp[s], p[s]) for s in players),
+        key=lambda r: (-r[3], r[0]),
+    )[:50]
+    got = [tuple(r) for r in _fn("bradley_terry_strength")(
+        spark, sf_dir).collect()]
+    assert got == expect
