@@ -4,6 +4,7 @@ reimplementation)."""
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 # import order matters: queries_r8 is re-entered by queries.py's bottom
@@ -48,3 +49,75 @@ def test_viterbi_matches_python_dp(spark, sf_dir):
     got = [(int(r["step"]), r["state"], int(r["score_ppm"]))
            for _, r in out.iterrows()]
     assert got == want
+
+
+def test_r8_second_wave_plans(spark, sf_dir):
+    """Physical-plan pins for the late round-7 staged additions."""
+    from gan_deeplearning4j_spark.plans.explain import plan_tree
+
+    # hits: every half-step broadcasts the score vector; the only BNLJ
+    # is the 1-row max-normalizer; top-20s are TakeOrdered heaps
+    t = plan_tree(_fn("hits_fixed_scores")(spark, sf_dir))
+    assert "BroadcastHashJoin" in t, t
+    assert "SortMergeJoin" not in t and "CartesianProduct" not in t, t
+    assert "TakeOrderedAndProject" in t, t
+
+    # ndcg: bounded query panel broadcasts against the corpus; per-query
+    # top-10 is a WindowGroupLimit heap; the 8-row dcg/nrel join
+    # broadcasts too — nothing sort-merge-joins
+    t = plan_tree(_fn("ndcg_ranking_eval")(spark, sf_dir))
+    assert "WindowGroupLimit" in t, t
+    assert "SortMergeJoin" not in t, t
+
+    # mutual-NN: the checkpointed NN table re-joins itself broadcast
+    t = plan_tree(_fn("mutual_nn_pairs")(spark, sf_dir))
+    assert "BroadcastHashJoin" in t, t
+    assert "SortMergeJoin" not in t and "CartesianProduct" not in t, t
+
+    # cuped: two map-side-combinable aggregates, no join, no window
+    t = plan_tree(_fn("cuped_variance_reduction")(spark, sf_dir))
+    assert "HashAggregate" in t, t
+    assert "Join" not in t and "Window" not in t, t
+
+    # roc auc: windows run over the distinct-score relation only —
+    # no join anywhere
+    t = plan_tree(_fn("roc_auc_by_source")(spark, sf_dir))
+    assert "Join" not in t, t
+
+    # binaryFile scan: decode is one MapInPandas stage feeding a
+    # 16-group aggregate — no join, no window
+    t = plan_tree(_fn("binaryfile_wav_scan")(spark, sf_dir))
+    assert "MapInPandas" in t, t
+    assert "Join" not in t and "Window" not in t, t
+
+
+def test_ndcg_matches_numpy_replay(spark, sf_dir):
+    """Replays retrieval + NDCG in numpy from the parquet directly."""
+    import math
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    v = np.floor(
+        np.stack(emb["embedding"].to_numpy()).astype(np.float64) * 1024
+    ).astype(np.int64)
+    ids = emb["vec_id"].to_numpy()
+    labels = emb["label"].to_numpy()
+    order = np.argsort(ids)
+    v, ids, labels = v[order], ids[order], labels[order]
+    W = [math.floor(1e9 / math.log2(i + 1)) for i in range(1, 11)]
+    PS = np.cumsum(W)
+    expect = []
+    for qpos in np.nonzero(ids < 8)[0]:
+        dots = v @ v[qpos]
+        cand = [(int(-dots[p]), int(ids[p]), int(labels[p]))
+                for p in range(len(ids)) if p != qpos]
+        cand.sort()
+        top = cand[:10]
+        qlabel = int(labels[qpos])
+        dcg = sum(W[r] for r, (_, _, lb) in enumerate(top) if lb == qlabel)
+        n_rel = int((labels == qlabel).sum()) - 1
+        idcg = int(PS[min(n_rel, 10) - 1])
+        expect.append((int(ids[qpos]), qlabel, n_rel, dcg, idcg,
+                       dcg * 10**9 // idcg))
+    got = [tuple(r) for r in _fn("ndcg_ranking_eval")(
+        spark, sf_dir).collect()]
+    assert got == sorted(expect)
