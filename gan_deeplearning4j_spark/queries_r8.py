@@ -1640,6 +1640,203 @@ def q_binaryfile_wav_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# pass@k estimator (Chen et al. 2021, unbiased HumanEval estimator)
+# ---------------------------------------------------------------------------
+
+def _pass_ratio_sql(k: int) -> str:
+    """1 - prod_{i<k} (n-c-i)/(n-i) as an explicit expression tree —
+    identical shape in both engines so the IEEE double product is
+    bit-identical; a zero term (n-c < k) collapses the product to 0."""
+    terms = " * ".join(
+        f"(CAST(n - c - {i} AS DOUBLE) / CAST(n - {i} AS DOUBLE))"
+        for i in range(k)
+    )
+    return f"CAST(floor((1.0 - {terms}) * 1000000000) AS BIGINT)"
+
+
+@_stage(
+    "pass_at_k_estimator",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                      THEN 1 ELSE 0 END) AS BIGINT) AS c
+      FROM events GROUP BY user_id
+    ),
+    f AS (SELECT * FROM u WHERE n >= 10),
+    p AS (
+      SELECT user_id,
+             {_pass_ratio_sql(1)} AS p1,
+             {_pass_ratio_sql(5)} AS p5,
+             {_pass_ratio_sql(10)} AS p10
+      FROM f
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(p1) AS BIGINT) // COUNT(*) AS pass_at_1_e9,
+           CAST(SUM(p5) AS BIGINT) // COUNT(*) AS pass_at_5_e9,
+           CAST(SUM(p10) AS BIGINT) // COUNT(*) AS pass_at_10_e9
+    FROM p
+    """,
+    doc="pass@k estimator (Chen et al. 2021, the unbiased HumanEval "
+        "combinatorial estimator 1 - C(n-c,k)/C(n,k)) over per-user "
+        "event trials (n = attempts, c = 'purchase' successes, users "
+        "with n >= 10): the binomial ratio is evaluated as the "
+        "telescoping product of k per-step ratios — an EXPLICIT "
+        "identical expression tree in both engines, so the IEEE double "
+        "product is bit-identical (no transcendental, no sum-order "
+        "hazard; a zero term handles n-c < k exactly) — then floored to "
+        "e9 per user BEFORE the average so the rollup is exact integer "
+        "arithmetic. The LLM-eval staple for sampling-based benchmark "
+        "scoring. Scale: one user-keyed aggregate over the event scan, "
+        "one global rollup — two map-side-combinable exchanges, one row "
+        "to the driver",
+)
+def q_pass_at_k_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long").alias("c"),
+    ).filter(F.col("n") >= 10)
+
+    def p_e9(k: int):
+        prod = None
+        for i in range(k):
+            t = (
+                (F.col("n") - F.col("c") - F.lit(i)).cast("double")
+                / (F.col("n") - F.lit(i)).cast("double")
+            )
+            prod = t if prod is None else prod * t
+        return F.floor((F.lit(1.0) - prod) * 1000000000).cast("long")
+
+    p = u.select(
+        p_e9(1).alias("p1"), p_e9(5).alias("p5"), p_e9(10).alias("p10")
+    )
+    return p.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.expr("sum(p1) div count(*)").cast("long").alias("pass_at_1_e9"),
+        F.expr("sum(p5) div count(*)").cast("long").alias("pass_at_5_e9"),
+        F.expr("sum(p10) div count(*)").cast("long")
+        .alias("pass_at_10_e9"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Isotonic calibration of the reliability bins (minimax closed form)
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "isotonic_calibration_bins",
+    oracle="""
+    WITH s AS (
+      SELECT LEAST(n_chars, 2000) * 500 AS score_e6,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM documents
+    ), b AS (
+      SELECT LEAST(score_e6 // 100000, 9) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(pos) AS BIGINT) AS pos
+      FROM s GROUP BY bin
+    ), c AS (
+      SELECT bin, n, pos,
+             CAST(SUM(n) OVER (ORDER BY bin) AS BIGINT) AS cn,
+             CAST(SUM(pos) OVER (ORDER BY bin) AS BIGINT) AS cpos
+      FROM b
+    ), iv AS (
+      SELECT j.bin AS j, k.bin AS k,
+             (k.cpos - (j.cpos - j.pos)) * 1000000000
+               // (k.cn - (j.cn - j.n)) AS mean_e9
+      FROM c j JOIN c k ON k.bin >= j.bin
+    ), inner_min AS (
+      SELECT b.bin, iv.j,
+             CAST(MIN(iv.mean_e9) AS BIGINT) AS min_mean
+      FROM b JOIN iv ON iv.j <= b.bin AND iv.k >= b.bin
+      GROUP BY b.bin, iv.j
+    ), iso AS (
+      SELECT bin, CAST(MAX(min_mean) AS BIGINT) AS iso_e9
+      FROM inner_min GROUP BY bin
+    )
+    SELECT b.bin, b.n, b.pos,
+           b.pos * 1000000000 // b.n AS rate_e9,
+           iso.iso_e9,
+           CASE WHEN b.pos * 1000000000 // b.n <> iso.iso_e9
+                THEN 1 ELSE 0 END AS pooled
+    FROM b JOIN iso ON iso.bin = b.bin
+    ORDER BY b.bin
+    """,
+    doc="Isotonic (PAVA) calibration of the reliability bins via the "
+        "minimax closed form iso_i = max_{j<=i} min_{k>=i} "
+        "mean(y[j..k]) (Robertson-Wright-Dykstra 1988, eq. 1.9-1.10) — "
+        "the distribution-free recalibrator that pools adjacent "
+        "violators of monotonicity; `pooled` marks bins the fit moved. "
+        "Interval means come from prefix sums and are quantized to e9 "
+        "by exact integer division BEFORE the minimax, so both engines "
+        "compute the identical fit with zero float hazard (the "
+        "sequential PAVA sweep is replaced by the order-free minimax — "
+        "a closed form joins can express, same trick as the "
+        "cusum_drift_alarms running-clamp). Scale: one "
+        "map-side-combinable 10-group aggregate over the scan; the "
+        "cubic minimax runs on a 10-row relation (10^3 cells), "
+        "driver sees 10 rows",
+)
+def q_isotonic_calibration_bins(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    from .functions.windows import bounded_window
+
+    docs = _t(spark, sf_dir, "documents")
+    s = docs.select(
+        (F.least(F.col("n_chars"), F.lit(2000)) * 500).cast("long")
+        .alias("score_e6"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    b = s.groupBy(
+        F.least(F.expr("score_e6 div 100000"), F.lit(9)).cast("long")
+        .alias("bin")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("pos"),
+    ).localCheckpoint()  # 10 rows; consumed by c, inner_min, final join
+    w = bounded_window().orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = b.select(
+        "bin", "n", "pos",
+        F.sum("n").over(w).cast("long").alias("cn"),
+        F.sum("pos").over(w).cast("long").alias("cpos"),
+    )
+    j = c.select(F.col("bin").alias("j"), F.col("n").alias("jn"),
+                 F.col("pos").alias("jpos"), F.col("cn").alias("jcn"),
+                 F.col("cpos").alias("jcpos"))
+    k = c.select(F.col("bin").alias("k"), F.col("cn").alias("kcn"),
+                 F.col("cpos").alias("kcpos"))
+    iv = j.join(F.broadcast(k), F.col("k") >= F.col("j")).select(
+        "j", "k",
+        F.expr("(kcpos - (jcpos - jpos)) * 1000000000"
+               " div (kcn - (jcn - jn))").cast("long").alias("mean_e9"),
+    )
+    inner_min = (
+        b.select("bin").join(
+            F.broadcast(iv),
+            (F.col("j") <= F.col("bin")) & (F.col("k") >= F.col("bin")),
+        )
+        .groupBy("bin", "j")
+        .agg(F.min("mean_e9").cast("long").alias("min_mean"))
+    )
+    iso = inner_min.groupBy("bin").agg(
+        F.max("min_mean").cast("long").alias("iso_e9")
+    )
+    rate = F.expr("pos * 1000000000 div n").cast("long")
+    return (
+        b.join(F.broadcast(iso), "bin")
+        .select(
+            "bin", "n", "pos", rate.alias("rate_e9"), "iso_e9",
+            F.when(rate != F.col("iso_e9"), 1).otherwise(0).alias("pooled"),
+        )
+        .orderBy("bin")
+    )
+
+
 # Self-register ONLY under the round-8 gate (this module is imported both
 # by queries.py under the gate and directly by tests without it).
 import os as _os

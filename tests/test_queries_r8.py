@@ -121,3 +121,67 @@ def test_ndcg_matches_numpy_replay(spark, sf_dir):
     got = [tuple(r) for r in _fn("ndcg_ranking_eval")(
         spark, sf_dir).collect()]
     assert got == sorted(expect)
+
+
+def test_isotonic_fit_is_monotone_and_matches_pava(spark, sf_dir):
+    """The minimax closed form must produce a weighted PAVA fit:
+    non-decreasing, and within 1 quantization step of the classic
+    sequential pool-adjacent-violators sweep run in exact fractions."""
+    from fractions import Fraction
+
+    out = _fn("isotonic_calibration_bins")(spark, sf_dir).toPandas()
+    iso = out["iso_e9"].tolist()
+    assert iso == sorted(iso), iso
+    # classic stack PAVA on exact rationals
+    blocks = []  # (sum_pos, sum_n)
+    for _, r in out.sort_values("bin").iterrows():
+        blocks.append((int(r["pos"]), int(r["n"])))
+        while len(blocks) > 1 and (
+            Fraction(blocks[-2][0], blocks[-2][1])
+            >= Fraction(blocks[-1][0], blocks[-1][1])
+        ):
+            p2, n2 = blocks.pop()
+            p1, n1 = blocks.pop()
+            blocks.append((p1 + p2, n1 + n2))
+    # expand blocks back to per-bin values
+    expanded = []
+    i = 0
+    rows = out.sort_values("bin").reset_index(drop=True)
+    for p, n in blocks:
+        acc = 0
+        while acc < n:
+            acc += int(rows.loc[i, "n"])
+            expanded.append(Fraction(p, n))
+            i += 1
+    assert len(expanded) == len(rows)
+    for got_e9, exact in zip(iso, expanded):
+        ref = (exact.numerator * 10**9) // exact.denominator
+        assert abs(got_e9 - ref) <= 1, (got_e9, ref)
+
+
+def test_pass_at_k_matches_fractions_replay(spark, sf_dir):
+    """Exact-fraction replay of the unbiased estimator per user."""
+    from fractions import Fraction
+    from math import comb
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+    g = ev.groupby("user_id")["event_type"]
+    n = g.size()
+    c = g.apply(lambda s: int((s == "purchase").sum()))
+    keep = n[n >= 10].index
+    sums = {1: 0, 5: 0, 10: 0}
+    for u in keep:
+        nn, cc = int(n[u]), int(c[u])
+        for k in sums:
+            p = 1 - Fraction(comb(nn - cc, k), comb(nn, k))
+            sums[k] += (p.numerator * 10**9) // p.denominator
+    row = _fn("pass_at_k_estimator")(spark, sf_dir).collect()[0]
+    assert row["n_users"] == len(keep)
+    for k, col in [(1, "pass_at_1_e9"), (5, "pass_at_5_e9"),
+                   (10, "pass_at_10_e9")]:
+        # the engine floors each user at e9 from the double product;
+        # exact-fraction floor can differ by 1 ulp per user
+        assert abs(row[col] - sums[k] // len(keep)) <= 1, (k, row[col])
+    assert row["pass_at_1_e9"] <= row["pass_at_5_e9"] <= row[
+        "pass_at_10_e9"]
