@@ -62,3 +62,121 @@ def pagerank_fixed(
             eager=True
         )
     return ranks
+
+
+def adamic_adar_topk(
+    pairs: DataFrame, a: str = "p1", b: str = "p2", k: int = 100,
+) -> DataFrame:
+    """Adamic-Adar link prediction (Adamic & Adar 2003) over an
+    undirected edge list given as one-directional pairs (``a`` < ``b``).
+
+    For every non-adjacent pair with >= 1 common neighbor, score =
+    Σ_w 1/ln(deg(w)) over common neighbors w. Each neighbor weight is
+    quantized to floor(1e6/ln(deg)) BEFORE the sum so the score is an
+    exact long (sum order can't perturb it); common neighbors always
+    have deg >= 2, so ln never hits 0. Registered query
+    ``adamic_adar_linkpred`` hash-checks this path against a DuckDB
+    replay.
+
+    Scale shape: the two-hop expansion shuffles the edge list once,
+    keyed on the shared endpoint — the standard link-prediction join;
+    the weight table joins on the same key, the anti-join prunes
+    existing edges, and top-k is a TakeOrdered heap. Edges are
+    materialized once for their three consumers. Skew note: a hub of
+    degree d emits d^2/2 candidate pairs — cap or drop top-degree hubs
+    upstream for power-law graphs (the LSH-bucket cap discipline)."""
+    pr = pairs.select(F.col(a).alias("p1"), F.col(b).alias("p2"))
+    e = pr.select(
+        F.col("p1").alias("u"), F.col("p2").alias("v")
+    ).unionByName(
+        pr.select(F.col("p2").alias("u"), F.col("p1").alias("v"))
+    ).localCheckpoint(eager=True)
+    wt = (
+        e.groupBy("u").agg(F.count("*").alias("d"))
+        .filter(F.col("d") >= 2)
+        .select(
+            "u",
+            F.floor(1000000.0 / F.log(F.col("d").cast("double")))
+            .cast("long").alias("w"),
+        )
+    )
+    cand = (
+        e.alias("e1")
+        .join(
+            e.alias("e2"),
+            (F.col("e2.v") == F.col("e1.v"))
+            & (F.col("e2.u") > F.col("e1.u")),
+        )
+        .join(wt.alias("wt"), F.col("wt.u") == F.col("e1.v"))
+        .groupBy(F.col("e1.u").alias("a"), F.col("e2.u").alias("b"))
+        .agg(
+            F.count("*").cast("long").alias("common_neighbors"),
+            F.sum("w").cast("long").alias("score_e6"),
+        )
+    )
+    adj = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    return (
+        cand.join(adj, ["a", "b"], "left_anti")
+        .orderBy(F.desc("score_e6"), "a", "b")
+        .limit(k)
+        .select(
+            F.col("a").alias("part_a"), F.col("b").alias("part_b"),
+            "common_neighbors", "score_e6",
+        )
+    )
+
+
+HITS_SCALE = 1_000_000        # hub/authority fixed-point scale
+
+
+def hits_fixed(
+    edges: DataFrame, src: str = "c", dst: str = "s",
+    weight: str = "w", rounds: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """HITS hubs & authorities (Kleinberg 1999) on a weighted directed
+    edge list, max-normalized to HITS_SCALE after every half-step so
+    the whole mutual-reinforcement recurrence stays in exact int64
+    (registered query ``hits_fixed_scores`` hash-checks it). Returns
+    ``(authorities, hubs)`` as (node, score) DataFrames with scores in
+    e6 units.
+
+    Scale shape: each half-step broadcasts the e6 score vector into one
+    edge-list aggregate — O(rounds) broadcast joins, no re-shuffle of
+    the edge list (materialized once); the 1-row max normalizer is a
+    broadcast cross join. The forced broadcast is right while the score
+    vector (one row per node on that side) fits an executor — up to
+    ~1e7 nodes; drop the hint and let AQE pick a shuffled join at
+    billion-node scale. int64 bound: w·h ≤ total_weight · 1e6 must
+    stay < 2^63 (~9.2e12 total edge weight) — switch the half-step sums
+    to per-partition modular folds before graphs that large."""
+    e = edges.select(
+        F.col(src).alias("c"), F.col(dst).alias("s"),
+        F.col(weight).cast("long").alias("w"),
+    ).localCheckpoint(eager=True)
+    h = e.select("c").distinct().select(
+        "c", F.lit(HITS_SCALE).cast("long").alias("h")
+    )
+
+    def norm(df: DataFrame, col: str) -> DataFrame:
+        mx = df.agg(F.max("r").alias("mx"))
+        return df.crossJoin(F.broadcast(mx)).select(
+            df.columns[0],
+            F.expr(f"r * {HITS_SCALE} div mx").cast("long").alias(col),
+        )
+
+    a = None
+    for _ in range(rounds):
+        ar = (
+            e.join(F.broadcast(h), "c")
+            .groupBy("s").agg(F.sum(F.col("w") * F.col("h")).alias("r"))
+        )
+        a = norm(ar, "a")
+        hr = (
+            e.join(F.broadcast(a), "s")
+            .groupBy("c").agg(F.sum(F.col("w") * F.col("a")).alias("r"))
+        )
+        h = norm(hr, "h")
+    return (
+        a.select(F.col("s").alias("node"), F.col("a").alias("score_e6")),
+        h.select(F.col("c").alias("node"), F.col("h").alias("score_e6")),
+    )

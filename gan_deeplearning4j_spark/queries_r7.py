@@ -3396,6 +3396,8 @@ def q_table_checksum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "edges localCheckpoint'd once for its three consumers",
 )
 def q_adamic_adar_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import adamic_adar_topk
+
     li = _t(spark, sf_dir, "lineitem")
     bk = li.select("l_orderkey", "l_partkey").distinct()
     a, c = bk.alias("a"), bk.alias("c")
@@ -3413,44 +3415,7 @@ def q_adamic_adar_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("w") >= 2)
         .drop("w")
     )
-    e = pr.select(
-        F.col("p1").alias("u"), F.col("p2").alias("v")
-    ).unionByName(
-        pr.select(F.col("p2").alias("u"), F.col("p1").alias("v"))
-    ).localCheckpoint()  # three consumers: hop join, degrees, anti-join
-    wt = (
-        e.groupBy("u").agg(F.count("*").alias("d"))
-        .filter(F.col("d") >= 2)
-        .select(
-            "u",
-            F.floor(1000000.0 / F.log(F.col("d").cast("double")))
-            .cast("long").alias("w"),
-        )
-    )
-    cand = (
-        e.alias("e1")
-        .join(
-            e.alias("e2"),
-            (F.col("e2.v") == F.col("e1.v"))
-            & (F.col("e2.u") > F.col("e1.u")),
-        )
-        .join(wt.alias("wt"), F.col("wt.u") == F.col("e1.v"))
-        .groupBy(F.col("e1.u").alias("a"), F.col("e2.u").alias("b"))
-        .agg(
-            F.count("*").cast("long").alias("common_neighbors"),
-            F.sum("w").cast("long").alias("score_e6"),
-        )
-    )
-    adj = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
-    return (
-        cand.join(adj, ["a", "b"], "left_anti")
-        .orderBy(F.desc("score_e6"), "a", "b")
-        .limit(100)
-        .select(
-            F.col("a").alias("part_a"), F.col("b").alias("part_b"),
-            "common_neighbors", "score_e6",
-        )
-    )
+    return adamic_adar_topk(pr, "p1", "p2", k=100)
 
 
 # ---------------------------------------------------------------------------

@@ -1122,46 +1122,23 @@ def _hits_oracle(rounds: int = 2) -> str:
         "joins, no fact reshuffle; top-k is TakeOrdered",
 )
 def q_hits_fixed_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import hits_fixed
+
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     e = (
         o.join(li, li.l_orderkey == o.o_orderkey)
         .groupBy(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .agg(F.count("*").cast("long").alias("w"))
-        .localCheckpoint()  # reused by every half-step
     )
-    h = e.select("c").distinct().select(
-        "c", F.lit(1000000).cast("long").alias("h")
-    )
-
-    def norm(df: DataFrame, col: str) -> DataFrame:
-        mx = df.agg(F.max("r").alias("mx"))
-        return df.crossJoin(F.broadcast(mx)).select(
-            df.columns[0], F.expr("r * 1000000 div mx").cast("long")
-            .alias(col),
-        )
-
-    a = None
-    for _ in range(2):
-        ar = (
-            e.join(F.broadcast(h), "c")
-            .groupBy("s").agg(F.sum(F.col("w") * F.col("h")).alias("r"))
-        )
-        a = norm(ar, "a")
-        hr = (
-            e.join(F.broadcast(a), "s")
-            .groupBy("c").agg(F.sum(F.col("w") * F.col("a")).alias("r"))
-        )
-        h = norm(hr, "h")
+    auth, hub = hits_fixed(e, "c", "s", "w", rounds=2)
     top_a = (
-        a.orderBy(F.desc("a"), "s").limit(20)
-        .select(F.lit("authority").alias("role"), F.col("s").alias("node"),
-                F.col("a").alias("score_e6"))
+        auth.orderBy(F.desc("score_e6"), "node").limit(20)
+        .select(F.lit("authority").alias("role"), "node", "score_e6")
     )
     top_h = (
-        h.orderBy(F.desc("h"), "c").limit(20)
-        .select(F.lit("hub").alias("role"), F.col("c").alias("node"),
-                F.col("h").alias("score_e6"))
+        hub.orderBy(F.desc("score_e6"), "node").limit(20)
+        .select(F.lit("hub").alias("role"), "node", "score_e6")
     )
     return top_a.unionByName(top_h).orderBy(
         "role", F.desc("score_e6"), "node"

@@ -1,0 +1,94 @@
+"""Graph-family 100x stress harness (SCALE.md methodology).
+
+Replicates the sf0.1 graphs 100x with offset ids (disconnected copies —
+wall time should scale ~linearly if the operators shuffle what they
+claim) and times the round-7 graph operators end-to-end:
+
+    python scripts/stress_graph.py linkpred  # co-purchase pairs x100
+    python scripts/stress_graph.py hits      # customer-supplier edges x100
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from gan_deeplearning4j_spark.session import ensure_engine_conf, get_spark  # noqa: E402
+
+
+def main() -> int:
+    which = sys.argv[1] if len(sys.argv) > 1 else "linkpred"
+    copies_n = int(os.environ.get("SPARK_GRAFT_STRESS_COPIES", "100"))
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = ensure_engine_conf(get_spark("stress-graph", master="local[32]"))
+    spark.sparkContext.setLogLevel("ERROR")
+    copies = F.broadcast(
+        spark.range(copies_n).select(F.col("id").alias("rep"))
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+    if which == "linkpred":
+        from gan_deeplearning4j_spark.operators.graph import adamic_adar_topk
+
+        bk = li.select("l_orderkey", "l_partkey").distinct()
+        a, c = bk.alias("a"), bk.alias("c")
+        pr = (
+            a.join(
+                c,
+                (F.col("c.l_orderkey") == F.col("a.l_orderkey"))
+                & (F.col("c.l_partkey") > F.col("a.l_partkey")),
+            )
+            .groupBy(
+                F.col("a.l_partkey").alias("p1"),
+                F.col("c.l_partkey").alias("p2"),
+            )
+            .agg(F.count("*").alias("w"))
+            .filter(F.col("w") >= 2)
+            .drop("w")
+        )
+        big = pr.crossJoin(copies).select(
+            (F.col("p1") + F.col("rep") * 10_000_000).alias("p1"),
+            (F.col("p2") + F.col("rep") * 10_000_000).alias("p2"),
+        )
+        n = big.count()
+        t0 = time.perf_counter()
+        rows = adamic_adar_topk(big, "p1", "p2", k=100).count()
+        dt = time.perf_counter() - t0
+        print(f"linkpred x{copies_n}: edges={n} -> top rows={rows} "
+              f"in {dt:.1f} s")
+    elif which == "hits":
+        from gan_deeplearning4j_spark.operators.graph import hits_fixed
+
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        e = (
+            o.join(li, li.l_orderkey == o.o_orderkey)
+            .groupBy(
+                F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
+            )
+            .agg(F.count("*").cast("long").alias("w"))
+        )
+        big = e.crossJoin(copies).select(
+            (F.col("c") + F.col("rep") * 10_000_000).alias("c"),
+            (F.col("s") + F.col("rep") * 10_000_000).alias("s"),
+            "w",
+        )
+        n = big.count()
+        t0 = time.perf_counter()
+        auth, hub = hits_fixed(big, "c", "s", "w", rounds=2)
+        rows = auth.count() + hub.count()
+        dt = time.perf_counter() - t0
+        print(f"hits x{copies_n}: edges={n} -> scored nodes={rows} "
+              f"in {dt:.1f} s")
+    else:
+        raise SystemExit(f"unknown target {which!r}")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
