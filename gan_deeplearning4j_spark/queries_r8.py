@@ -1814,6 +1814,163 @@ def q_isotonic_calibration_bins(spark: SparkSession,
     )
 
 
+# ---------------------------------------------------------------------------
+# Split-conformal prediction interval + empirical coverage audit
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "conformal_quantile_coverage",
+    oracle="""
+    WITH d AS (
+      SELECT lang, n_chars,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) % 2 AS odd,
+             doc_id
+      FROM documents
+    ),
+    cal AS (
+      SELECT lang, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY n_chars, doc_id) AS rnk,
+             CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n_cal
+      FROM d WHERE odd = 0
+    ),
+    q AS (
+      SELECT lang, n_cal,
+             CAST((9 * n_cal + 18) // 10 AS BIGINT) AS k_raw,
+             CAST(MAX(CASE WHEN rnk = LEAST((9 * n_cal + 18) // 10, n_cal)
+                      THEN n_chars END) AS BIGINT) AS q_hat
+      FROM cal GROUP BY lang, n_cal
+    ),
+    t AS (
+      SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_test,
+             CAST(SUM(CASE WHEN d.n_chars <= q.q_hat THEN 1 ELSE 0 END)
+                  AS BIGINT) AS covered
+      FROM d JOIN q ON q.lang = d.lang
+      WHERE d.odd = 1
+      GROUP BY d.lang
+    )
+    SELECT q.lang, q.n_cal, t.n_test,
+           LEAST(q.k_raw, q.n_cal) AS k, q.q_hat, t.covered,
+           t.covered * 1000000 // t.n_test AS coverage_e6
+    FROM q JOIN t ON t.lang = q.lang
+    ORDER BY q.lang
+    """,
+    doc="Split-conformal prediction upper bound + empirical coverage "
+        "(Vovk et al.; Angelopoulos & Bates 2023 tutorial form) per "
+        "language: a deterministic md5-parity split into calibration/"
+        "test halves, q_hat = the ceil((n+1)*0.9)-th smallest "
+        "calibration n_chars (an EXACT order statistic by rank — no "
+        "interpolation, clamped to n_cal), then the audited test-side "
+        "coverage of the one-sided interval [0, q_hat] at e6. The "
+        "distribution-free eval gate modern uncertainty pipelines run "
+        "after every retrain. All arithmetic is integer (rank, "
+        "ceil-by-div, exact counts). Scale: one rank window per "
+        "language over the calibration half, one broadcast of the "
+        "~5-row quantile table into the test scan — the split itself "
+        "is a scan-local hash, never a shuffle",
+)
+def q_conformal_quantile_coverage(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang", "n_chars", "doc_id",
+        (F.expr("conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10)")
+         .cast("long") % 2).alias("odd"),
+    ).localCheckpoint()  # split consumed by both halves
+    wrk = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    wn = Window.partitionBy("lang")
+    cal = d.filter(F.col("odd") == 0).select(
+        "lang", "n_chars",
+        F.row_number().over(wrk).alias("rnk"),
+        F.count("*").over(wn).cast("long").alias("n_cal"),
+    )
+    k_raw = F.expr("(9 * n_cal + 18) div 10").cast("long")
+    q = cal.groupBy("lang", "n_cal").agg(
+        F.max(
+            F.when(F.col("rnk") == F.least(k_raw, F.col("n_cal")),
+                   F.col("n_chars"))
+        ).cast("long").alias("q_hat"),
+    ).withColumn("k_raw", k_raw)
+    t = (
+        d.filter(F.col("odd") == 1)
+        .join(F.broadcast(q), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_test"),
+            F.sum(
+                F.when(F.col("n_chars") <= F.col("q_hat"), 1).otherwise(0)
+            ).cast("long").alias("covered"),
+        )
+    )
+    return (
+        q.join(t, "lang")
+        .select(
+            "lang", "n_cal", "n_test",
+            F.least(F.col("k_raw"), F.col("n_cal")).cast("long").alias("k"),
+            "q_hat", "covered",
+            F.expr("covered * 1000000 div n_test").cast("long")
+            .alias("coverage_e6"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Effective sample size of weighted sampling schemes (Kish ESS)
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "ess_weighted_sampling",
+    oracle="""
+    WITH w AS (
+      SELECT source, CAST(n_chars AS BIGINT) AS w
+      FROM documents
+    ),
+    m AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(w) AS BIGINT) AS s1,
+             CAST(SUM(w * w) AS BIGINT) AS s2,
+             CAST(SUM(w * w * w * w) AS BIGINT) AS s4
+      FROM w GROUP BY source
+    )
+    SELECT source, n, s1, s2,
+           s1 * s1 // s2 AS ess_t1,
+           s2 * s2 // s4 AS ess_t2,
+           (s1 * s1 // s2) * 1000000 // n AS ess_t1_ratio_e6
+    FROM m ORDER BY source
+    """,
+    doc="Kish effective sample size of length-weighted sampling per "
+        "source — the standard diagnostic for importance/mixture "
+        "sampling collapse (Kish 1965; Owen, Monte Carlo ch. 9): "
+        "ESS = (SUM w)^2 / SUM w^2 for temperature-1 weights w=n_chars "
+        "and temperature-2 weights w^2 (ESS_t2 = (SUM w^2)^2/SUM w^4), "
+        "plus ESS/n at e6 — a low ratio flags a source whose weighted "
+        "sample degenerates onto a few long documents (the failure mode "
+        "of naive length-weighted pretraining mixes). EXACT int64 "
+        "throughout (n_chars <= ~600 keeps SUM w^4 < 2^63 up to ~7e7 "
+        "docs/source; swap to per-group double moments past that). "
+        "Scale: one map-side-combinable aggregate over the scan, "
+        "~5 rows out",
+)
+def q_ess_weighted_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    w = F.col("n_chars").cast("long")
+    m = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(w).cast("long").alias("s1"),
+        F.sum(w * w).cast("long").alias("s2"),
+        F.sum(w * w * w * w).cast("long").alias("s4"),
+    )
+    return m.select(
+        "source", "n", "s1", "s2",
+        F.expr("s1 * s1 div s2").cast("long").alias("ess_t1"),
+        F.expr("s2 * s2 div s4").cast("long").alias("ess_t2"),
+        F.expr("(s1 * s1 div s2) * 1000000 div n").cast("long")
+        .alias("ess_t1_ratio_e6"),
+    ).orderBy("source")
+
+
 # Self-register ONLY under the round-8 gate (this module is imported both
 # by queries.py under the gate and directly by tests without it).
 import os as _os

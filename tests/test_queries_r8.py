@@ -185,3 +185,30 @@ def test_pass_at_k_matches_fractions_replay(spark, sf_dir):
         assert abs(row[col] - sums[k] // len(keep)) <= 1, (k, row[col])
     assert row["pass_at_1_e9"] <= row["pass_at_5_e9"] <= row[
         "pass_at_10_e9"]
+
+
+def test_conformal_coverage_near_nominal_and_k_exact(spark, sf_dir):
+    """The split-conformal guarantee is >= 90% marginal coverage in
+    expectation; per-language finite-sample coverage should sit near
+    nominal. Also replays the ceil((n+1)*0.9) rank exactly."""
+    out = _fn("conformal_quantile_coverage")(spark, sf_dir).toPandas()
+    assert len(out) >= 2
+    for _, r in out.iterrows():
+        n_cal = int(r["n_cal"])
+        k_ref = min(-((9 * (n_cal + 1)) // -10), n_cal)  # ceil div
+        assert int(r["k"]) == k_ref, (r["lang"], r["k"], k_ref)
+        if int(r["n_test"]) >= 100:
+            assert 820000 <= int(r["coverage_e6"]) <= 1000000, (
+                r["lang"], r["coverage_e6"])
+
+
+def test_ess_is_bounded_and_monotone_in_temperature(spark, sf_dir):
+    """Kish ESS <= n always; squaring the weights can only concentrate
+    the sample (Lyapunov moment log-convexity), so ESS_t2 <= ESS_t1 up
+    to integer-floor slack."""
+    out = _fn("ess_weighted_sampling")(spark, sf_dir).toPandas()
+    assert len(out) >= 2
+    for _, r in out.iterrows():
+        assert 1 <= int(r["ess_t1"]) <= int(r["n"])
+        assert int(r["ess_t2"]) <= int(r["ess_t1"]) + 1
+        assert int(r["ess_t1_ratio_e6"]) <= 1000000
