@@ -363,3 +363,116 @@ def streaming_debounce_counts(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SS_OUTPUT = T.StructType(
+    [
+        T.StructField("bucket", T.LongType()),
+        T.StructField("item", T.StringType()),
+        T.StructField("cnt", T.LongType()),
+        T.StructField("err", T.LongType()),
+        T.StructField("n_seen", T.LongType()),
+        T.StructField("emit_seq", T.LongType()),
+    ]
+)
+
+SS_STATE = T.StructType(
+    [
+        T.StructField("items", T.ArrayType(T.StringType())),
+        T.StructField("counts", T.ArrayType(T.LongType())),
+        T.StructField("errs", T.ArrayType(T.LongType())),
+        T.StructField("n", T.LongType()),
+        T.StructField("seq", T.LongType()),
+    ]
+)
+
+
+def _space_saving_fn_factory(m: int):
+    def fn(
+        key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            items, counts, errs, n, seq = state.get
+            table = {
+                it: [int(c), int(e)]
+                for it, c, e in zip(items, counts, errs)
+            }
+            n = int(n)
+            seq = int(seq)
+        else:
+            table, n, seq = {}, 0, 0
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts_nanos", "event_id"])
+        for item in rows["item"]:
+            item = str(item)
+            if item in table:
+                table[item][0] += 1
+            elif len(table) < m:
+                table[item] = [1, 0]
+            else:
+                # evict the deterministic min: smallest count, then
+                # lexicographically smallest item (classic space-saving
+                # allows any min-count victim; pinning the tie-break
+                # makes replays bit-stable)
+                victim = min(table, key=lambda k: (table[k][0], k))
+                floor_cnt = table[victim][0]
+                del table[victim]
+                table[item] = [floor_cnt + 1, floor_cnt]
+            n += 1
+        seq += 1
+        ordered = sorted(table)
+        state.update((
+            ordered,
+            [table[k][0] for k in ordered],
+            [table[k][1] for k in ordered],
+            n, seq,
+        ))
+        yield pd.DataFrame(
+            {
+                "bucket": [key[0]] * len(ordered),
+                "item": ordered,
+                "cnt": [table[k][0] for k in ordered],
+                "err": [table[k][1] for k in ordered],
+                "n_seen": [n] * len(ordered),
+                "emit_seq": [seq] * len(ordered),
+            }
+        )
+
+    return fn
+
+
+def streaming_heavy_hitters(
+    events: DataFrame, item_col: str = "event_type", m: int = 8,
+    buckets: int = 4,
+) -> DataFrame:
+    """Streaming space-saving heavy hitters (Metwally, Agrawal & El
+    Abbadi, ICDT'05) — per hash bucket, a capped table of ``m``
+    (item, count, overestimate-error) counters carried across
+    micro-batches in GroupState. The classic guarantees hold per
+    bucket: every tracked item satisfies cnt - err <= true <= cnt, and
+    any item with true frequency > n_bucket/m is tracked (pinned
+    against exact batch counts by test; with m >= distinct items the
+    sketch degenerates to exact counts and the stream equals the batch
+    groupBy bit-for-bit). Eviction tie-break is pinned (min count,
+    then lexicographic) so replays are deterministic.
+
+    Scale: buckets shard the item domain, so state is buckets x m tiny
+    rows in the executor state store regardless of stream length —
+    the streaming analogue of the per-partition space-saving +
+    merge pattern the batch ``heavy_hitters_guarantee`` query uses;
+    raise ``buckets`` for key-skew (one hot bucket = one hot
+    partition, same salting discipline as batch)."""
+    bucket = (
+        F.expr(f"conv(substr(md5({item_col}), 1, 15), 16, 10)")
+        .cast("long") % buckets
+    ).alias("bucket")
+    prepared = events.select(
+        bucket, F.col(item_col).alias("item"), "ts_nanos", "event_id"
+    )
+    return prepared.groupBy("bucket").applyInPandasWithState(
+        _space_saving_fn_factory(m),
+        outputStructType=SS_OUTPUT,
+        stateStructType=SS_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

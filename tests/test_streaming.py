@@ -962,3 +962,89 @@ def test_stream_static_enrichment_matches_batch(spark, sf_dir, tmp_path):
     for col in ["n_purchases", "revenue_cents"]:
         assert (got[col].to_numpy() == want[col].to_numpy()).all()
     assert (got["segment"].to_numpy() == want["segment"].to_numpy()).all()
+
+
+def test_streaming_space_saving_matches_batch(spark, sf_dir, tmp_path):
+    """Space-saving heavy hitters over ordered micro-batches: with m >=
+    distinct items the sketch must equal exact batch counts bit-for-bit;
+    with a small m the classic guarantees must hold against the exact
+    counts (cnt-err <= true <= cnt; every item above n_bucket/m tracked)."""
+    import os as _os
+    import time as _time
+
+    from gan_deeplearning4j_spark.streaming.stateful import (
+        streaming_heavy_hitters,
+    )
+
+    ev = load_events(spark, sf_dir).select(
+        "event_id", "ts", "ts_nanos", "user_id", "event_type"
+    ).withColumn(
+        "itm",
+        F.concat_ws("_", "event_type", (F.col("user_id") % 7).cast("string")),
+    )
+    ts_sorted = [r[0] for r in
+                 ev.select("ts_nanos").orderBy("ts_nanos").collect()]
+    b1 = ts_sorted[len(ts_sorted) // 3]
+    b2 = ts_sorted[2 * len(ts_sorted) // 3]
+    src = str(tmp_path / "events_ss")
+    bounds = [None, b1, b2, None]
+    now = _time.time()
+    seen: set = set()
+    for i in range(3):
+        part = ev
+        if bounds[i] is not None:
+            part = part.filter(F.col("ts_nanos") > F.lit(bounds[i]))
+        if bounds[i + 1] is not None:
+            part = part.filter(F.col("ts_nanos") <= F.lit(bounds[i + 1]))
+        part.coalesce(1).write.mode("append").parquet(src)
+        for f in _os.listdir(src):
+            if f.endswith(".parquet") and f not in seen:
+                seen.add(f)
+                _os.utime(_os.path.join(src, f), (now, now + 600 * i))
+
+    def final_rows(name):
+        return spark.sql(f"""
+            select bucket, item, cnt, err, n_seen from (
+              select *, row_number() over (
+                partition by bucket, item order by emit_seq desc) rn,
+                max(emit_seq) over (partition by bucket) mseq
+              from {name}) where rn = 1 and emit_seq = mseq
+        """).toPandas()
+
+    # exact regime: m far above the 35-item domain
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = streaming_heavy_hitters(stream, item_col="itm", m=64, buckets=2)
+    run_stream_to_memory(out, "ss_exact", timeout_sec=180,
+                         output_mode="update")
+    got = final_rows("ss_exact").sort_values(["bucket", "item"])
+    exact = (
+        ev.groupBy(
+            (F.expr("conv(substr(md5(itm), 1, 15), 16, 10)")
+             .cast("long") % 2).alias("bucket"),
+            F.col("itm").alias("item"),
+        ).agg(F.count("*").alias("true_cnt")).toPandas()
+    )
+    merged = got.merge(exact, on=["bucket", "item"], how="outer")
+    assert not merged["cnt"].isna().any()       # every item tracked
+    assert not merged["true_cnt"].isna().any()  # nothing phantom
+    assert (merged["cnt"] == merged["true_cnt"]).all()
+    assert (merged["err"] == 0).all()
+
+    # sketch regime: m=4 forces evictions; guarantees vs exact counts
+    stream2 = (spark.readStream.schema(ev.schema)
+               .option("maxFilesPerTrigger", 1).parquet(src))
+    out2 = streaming_heavy_hitters(stream2, item_col="itm", m=4, buckets=2)
+    run_stream_to_memory(out2, "ss_sketch", timeout_sec=180,
+                         output_mode="update")
+    got2 = final_rows("ss_sketch")
+    lookup = exact.set_index(["bucket", "item"])["true_cnt"]
+    n_bucket = exact.groupby("bucket")["true_cnt"].sum()
+    for _, r in got2.iterrows():
+        true = int(lookup.get((r["bucket"], r["item"]), 0))
+        assert int(r["cnt"]) - int(r["err"]) <= true <= int(r["cnt"]), (
+            r["item"], true, r["cnt"], r["err"])
+    tracked = {(r["bucket"], r["item"]) for _, r in got2.iterrows()}
+    for (bkt, itm), true in lookup.items():
+        if true > n_bucket[bkt] / 4:
+            assert (bkt, itm) in tracked, (bkt, itm, true)
