@@ -1971,6 +1971,206 @@ def q_ess_weighted_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
+# ---------------------------------------------------------------------------
+# Allen interval-algebra relation census (temporal logic over spans)
+# ---------------------------------------------------------------------------
+
+_ALLEN_CASE = """CASE
+  WHEN e1 < s2 THEN 'before'
+  WHEN e1 = s2 THEN 'meets'
+  WHEN s1 < s2 AND e1 > s2 AND e1 < e2 THEN 'overlaps'
+  WHEN s1 = s2 AND e1 < e2 THEN 'starts'
+  WHEN s1 > s2 AND e1 < e2 THEN 'during'
+  WHEN s1 > s2 AND e1 = e2 AND s1 <= e2 THEN 'finishes'
+  WHEN s1 = s2 AND e1 = e2 THEN 'equals'
+  WHEN s2 > e1 THEN 'before'
+  WHEN e2 < s1 THEN 'after'
+  WHEN e2 = s1 THEN 'met_by'
+  WHEN s2 < s1 AND e2 > s1 AND e2 < e1 THEN 'overlapped_by'
+  WHEN s1 = s2 AND e1 > e2 THEN 'started_by'
+  WHEN s1 < s2 AND e1 > e2 THEN 'contains'
+  WHEN s1 < s2 AND e1 = e2 THEN 'finished_by'
+  ELSE 'during'
+END"""
+
+
+@_stage(
+    "allen_interval_census",
+    oracle=f"""
+    WITH iv AS (
+      SELECT user_id, event_type,
+             CAST(epoch_us(ts_min) AS BIGINT) AS lo,
+             CAST(epoch_us(ts_max) AS BIGINT) AS hi
+      FROM (
+        SELECT user_id, event_type, MIN(ts) AS ts_min, MAX(ts) AS ts_max
+        FROM events GROUP BY user_id, event_type
+      )
+    ),
+    pr AS (
+      SELECT a.user_id,
+             a.lo AS s1, a.hi AS e1, b.lo AS s2, b.hi AS e2
+      FROM iv a JOIN iv b
+        ON b.user_id = a.user_id AND b.event_type > a.event_type
+    )
+    SELECT {_ALLEN_CASE} AS relation,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM pr GROUP BY relation ORDER BY relation
+    """,
+    doc="Allen interval-algebra relation census (Allen 1983, CACM) over "
+        "per-(user, event-type) activity spans: each user contributes "
+        "the pairwise temporal relations between their event-type "
+        "spans, classified by the full 13-relation CASE ladder (before/"
+        "meets/overlaps/starts/during/finishes/equals + inverses) on "
+        "exact integer microseconds — the temporal-logic vocabulary "
+        "interval joins cannot express (an interval join answers "
+        "'overlap?', this answers 'HOW do they relate'). The identical "
+        "ladder runs in both engines, so the census hash-matches. "
+        "Scale: spans are one user-keyed aggregate; pairs explode only "
+        "within user x 5 event types (<= 10 pairs/user), then one "
+        "13-group rollup — the same bounded-fanout discipline as the "
+        "session-pair ops",
+)
+def q_allen_interval_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    iv = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.min("ts").alias("ts_min"), F.max("ts").alias("ts_max"))
+        .select(
+            "user_id", "event_type",
+            F.expr("unix_micros(cast(ts_min as timestamp))").alias("lo"),
+            F.expr("unix_micros(cast(ts_max as timestamp))").alias("hi"),
+        )
+    )
+    a = iv.select("user_id", F.col("event_type").alias("ta"),
+                  F.col("lo").alias("s1"), F.col("hi").alias("e1"))
+    b = iv.select("user_id", F.col("event_type").alias("tb"),
+                  F.col("lo").alias("s2"), F.col("hi").alias("e2"))
+    pr = a.join(b, ["user_id"]).filter(F.col("tb") > F.col("ta"))
+    return (
+        pr.select("user_id", F.expr(_ALLEN_CASE).alias("relation"))
+        .groupBy("relation")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy("relation")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH band planner: S-curve error integral in pure polynomial arithmetic
+# ---------------------------------------------------------------------------
+
+def _scurve_sql(b: int, r: int) -> str:
+    """P(s) = 1 - (1 - s^r)^b with r, b in {1,2,4,8,16} as explicit
+    squaring chains — plain double multiplication, no pow()."""
+    def sq_chain(base: str, n: int) -> str:
+        # n is a power of two: chain of squarings
+        expr = base
+        while n > 1:
+            expr = f"({expr} * {expr})"
+            n //= 2
+        return expr
+
+    sr = sq_chain("s", r)
+    one_minus = f"(1.0 - {sr})"
+    return f"(1.0 - {sq_chain(one_minus, b)})"
+
+
+def _lsh_planner_oracle() -> str:
+    branches = "\n".join(
+        f"WHEN b = {b} THEN {_scurve_sql(b, 16 // b)}"
+        for b in (1, 2, 4, 8, 16)
+    )
+    return f"""
+    WITH cfg AS (
+      SELECT CAST(unnest([1, 2, 4, 8, 16]) AS BIGINT) AS b
+    ),
+    grid AS (
+      SELECT b, CAST(16 / b AS BIGINT) AS r,
+             (2 * CAST(k AS DOUBLE) + 1.0) / 200.0 AS s
+      FROM cfg, (SELECT unnest(range(0, 100)) AS k) t
+    ),
+    p AS (
+      SELECT b, r, s,
+             CASE {branches} END AS prob
+      FROM grid
+    ),
+    terms AS (
+      SELECT b, r,
+             CASE WHEN s < 0.5
+                  THEN CAST(floor(prob * 10000000) AS BIGINT)
+                  ELSE 0 END AS fp,
+             CASE WHEN s >= 0.5
+                  THEN CAST(floor((1.0 - prob) * 10000000) AS BIGINT)
+                  ELSE 0 END AS fn
+      FROM p
+    )
+    SELECT b AS bands, r AS rows_per_band,
+           CAST(SUM(fp) AS BIGINT) AS fp_area_e9,
+           CAST(SUM(fn) AS BIGINT) AS fn_area_e9,
+           CAST(SUM(fp) + SUM(fn) AS BIGINT) AS total_error_e9
+    FROM terms GROUP BY b, r
+    ORDER BY total_error_e9, bands
+    """
+
+
+@_stage(
+    "lsh_band_planner",
+    oracle=_lsh_planner_oracle(),
+    doc="LSH band/row planner (Leskovec-Rajaraman-Ullman ch. 3 S-curve "
+        "analysis): for every (bands, rows) split of a 16-hash MinHash "
+        "signature, the collision probability P(s) = 1-(1-s^r)^b is "
+        "integrated on a 100-point midpoint grid into false-positive "
+        "area (below the 0.5 similarity target) and false-negative area "
+        "(above), ranking the splits by total error — the planner that "
+        "picks minhash_dedup's banding. ALL arithmetic is plain double "
+        "multiplication: r and b are powers of two, so s^r and (1-s^r)^b "
+        "are explicit squaring chains (NO pow/exp/ln anywhere — the one "
+        "transcendental-free way to cross-engine-pin an S-curve), each "
+        "grid term floored to e7 (x100 points = e9 area units) before "
+        "the exact integer sum. Scale: a 500-row constant-space "
+        "computation — the planner is free at any data scale; it reads "
+        "no tables at all",
+)
+def q_lsh_band_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cfg = spark.range(5).select(
+        F.expr("cast(shiftleft(1, cast(id as int)) as long)").alias("b")
+    )
+    grid = cfg.crossJoin(spark.range(100).select(F.col("id").alias("k")))
+    s = (2.0 * F.col("k").cast("double") + 1.0) / 200.0
+    p = grid.select(
+        "b", F.expr("cast(16 / b as bigint)").alias("r"),
+        s.alias("s"),
+    )
+    branches = " ".join(
+        f"WHEN b = {b} THEN {_scurve_sql(b, 16 // b)}"
+        for b in (1, 2, 4, 8, 16)
+    )
+    p = p.withColumn("prob", F.expr(f"CASE {branches} END"))
+    terms = p.select(
+        "b", "r",
+        F.when(F.col("s") < 0.5,
+               F.floor(F.col("prob") * 10000000).cast("long"))
+        .otherwise(F.lit(0).cast("long")).alias("fp"),
+        F.when(F.col("s") >= 0.5,
+               F.floor((1.0 - F.col("prob")) * 10000000).cast("long"))
+        .otherwise(F.lit(0).cast("long")).alias("fn"),
+    )
+    return (
+        terms.groupBy(F.col("b").alias("bands"),
+                      F.col("r").alias("rows_per_band"))
+        .agg(
+            F.sum("fp").cast("long").alias("fp_area_e9"),
+            F.sum("fn").cast("long").alias("fn_area_e9"),
+            (F.sum("fp") + F.sum("fn")).cast("long")
+            .alias("total_error_e9"),
+        )
+        .orderBy("total_error_e9", "bands")
+    )
+
+
 # Self-register ONLY under the round-8 gate (this module is imported both
 # by queries.py under the gate and directly by tests without it).
 import os as _os

@@ -212,3 +212,32 @@ def test_ess_is_bounded_and_monotone_in_temperature(spark, sf_dir):
         assert 1 <= int(r["ess_t1"]) <= int(r["n"])
         assert int(r["ess_t2"]) <= int(r["ess_t1"]) + 1
         assert int(r["ess_t1_ratio_e6"]) <= 1000000
+
+
+def test_allen_census_covers_and_balances(spark, sf_dir):
+    """Pair count must equal C(|types|,2) summed over users, and every
+    emitted relation must be one of Allen's 13."""
+    out = _fn("allen_interval_census")(spark, sf_dir).toPandas()
+    allen = {"before", "meets", "overlaps", "starts", "during",
+             "finishes", "equals", "after", "met_by", "overlapped_by",
+             "started_by", "contains", "finished_by"}
+    assert set(out["relation"]) <= allen
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+    k = ev.drop_duplicates().groupby("user_id").size()
+    expect_pairs = int((k * (k - 1) // 2).sum())
+    assert int(out["n_pairs"].sum()) == expect_pairs
+
+
+def test_lsh_band_planner_prefers_balanced_split(spark, sf_dir):
+    """At the 0.5 threshold the S-curve error is minimized by the
+    balanced 4x4 split, and the two degenerate extremes (AND-only /
+    OR-only) are symmetric mirrors of each other."""
+    out = _fn("lsh_band_planner")(spark, sf_dir).toPandas()
+    best = out.iloc[0]
+    assert (int(best["bands"]), int(best["rows_per_band"])) == (4, 4)
+    by_b = out.set_index("bands")
+    assert (int(by_b.loc[1, "fp_area_e9"])
+            == int(by_b.loc[16, "fn_area_e9"]))
+    assert (int(by_b.loc[1, "total_error_e9"])
+            == int(by_b.loc[16, "total_error_e9"]))
