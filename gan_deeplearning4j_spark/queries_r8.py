@@ -2171,6 +2171,217 @@ def q_lsh_band_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# l-diversity audit (sensitive-attribute diversity per QI group)
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "l_diversity_audit",
+    oracle="""
+    WITH e AS (
+      SELECT user_id % 10 AS qi_user,
+             (epoch_us(ts) // 3600000000) % 24 // 6 AS qi_slot,
+             event_type AS sensitive
+      FROM events
+    ),
+    c AS (
+      SELECT qi_user, qi_slot, sensitive,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM e GROUP BY qi_user, qi_slot, sensitive
+    ),
+    ct AS (
+      SELECT qi_user, qi_slot, c,
+             CAST(floor(
+               -(c / CAST(SUM(c) OVER (PARTITION BY qi_user, qi_slot)
+                          AS DOUBLE))
+               * ln(c / CAST(SUM(c) OVER (PARTITION BY qi_user, qi_slot)
+                             AS DOUBLE)) * 1000000) AS BIGINT) AS t
+      FROM c
+    ),
+    g AS (
+      SELECT qi_user, qi_slot,
+             CAST(COUNT(*) AS BIGINT) AS l,
+             CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(t) AS BIGINT) AS entropy_e6
+      FROM ct GROUP BY qi_user, qi_slot
+    )
+    SELECT l, CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(n) AS BIGINT) AS rows_covered,
+           CAST(MIN(entropy_e6) AS BIGINT) AS min_entropy_e6,
+           CAST(SUM(CASE WHEN entropy_e6 < 693147 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_below_ln2
+    FROM g GROUP BY l ORDER BY l
+    """,
+    doc="l-diversity audit (Machanavajjhala et al., ICDE'06) — the "
+        "privacy gate k-anonymity cannot express: a QI group can be "
+        "large (k-anonymous) yet reveal everyone's sensitive value if "
+        "the group is homogeneous. Quasi-identifiers = (user bucket, "
+        "6h slot), sensitive = event_type; per group, distinct-l and "
+        "entropy l-diversity (each -p·ln p term floored to e6 BEFORE "
+        "the sum, so the group entropy is an exact long; 693147 = "
+        "floor(ln(2)*1e6) flags groups below entropy-2-diversity). "
+        "Output: the group census by distinct-l. Scale: one "
+        "(qi, sensitive) count over the scan, one windowed per-group "
+        "normalization over the tiny count relation, one rollup",
+)
+def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        (F.col("user_id") % 10).alias("qi_user"),
+        F.expr("(unix_micros(cast(ts as timestamp)) div 3600000000)"
+               " % 24 div 6").alias("qi_slot"),
+        F.col("event_type").alias("sensitive"),
+    )
+    c = e.groupBy("qi_user", "qi_slot", "sensitive").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    wg = Window.partitionBy("qi_user", "qi_slot")
+    p = F.col("c") / F.sum("c").over(wg).cast("double")
+    term = F.floor(-p * F.log(p) * 1000000).cast("long")
+    g = (
+        c.select("qi_user", "qi_slot", "c", term.alias("t"))
+        .groupBy("qi_user", "qi_slot")
+        .agg(
+            F.count("*").cast("long").alias("l"),
+            F.sum("c").cast("long").alias("n"),
+            F.sum("t").cast("long").alias("entropy_e6"),
+        )
+    )
+    return (
+        g.groupBy("l")
+        .agg(
+            F.count("*").cast("long").alias("n_groups"),
+            F.sum("n").cast("long").alias("rows_covered"),
+            F.min("entropy_e6").cast("long").alias("min_entropy_e6"),
+            F.sum(F.when(F.col("entropy_e6") < 693147, 1).otherwise(0))
+            .cast("long").alias("n_below_ln2"),
+        )
+        .orderBy("l")
+    )
+
+
+# ---------------------------------------------------------------------------
+# STL-lite seasonal decomposition of the daily revenue series
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "stl_lite_decomposition",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY day
+    ),
+    t AS (
+      SELECT day, cents,
+             (CAST(day - DATE '1970-01-01' AS BIGINT) + 3) % 7 AS dow,
+             CAST(SUM(cents) OVER (ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT)
+               AS s7,
+             CAST(COUNT(*) OVER (ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT)
+               AS c7
+      FROM d
+    ),
+    dt AS (
+      SELECT day, dow, cents, cents - s7 // 7 AS detr,
+             (cents - s7 // 7) // 10000 AS dk
+      FROM t WHERE c7 = 7
+    ),
+    s AS (
+      SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(detr) AS BIGINT) // COUNT(*) AS seasonal_cents,
+             CAST(SUM(dk) AS BIGINT) // COUNT(*) AS sk
+      FROM dt GROUP BY dow
+    ),
+    r AS (
+      SELECT dt.dow,
+             CAST(SUM((dt.dk - s.sk) * (dt.dk - s.sk)) AS BIGINT)
+               AS ss_resid,
+             CAST(SUM(dt.dk * dt.dk) AS BIGINT) AS ss_detr
+      FROM dt JOIN s ON s.dow = dt.dow
+      GROUP BY dt.dow
+    )
+    SELECT s.dow, s.n_days, s.seasonal_cents,
+           r.ss_resid, r.ss_detr,
+           CASE WHEN r.ss_detr = 0 THEN 0
+                ELSE CAST(floor(
+                  (CAST(r.ss_detr AS DOUBLE) - r.ss_resid)
+                  / CAST(r.ss_detr AS DOUBLE) * 1000000) AS BIGINT)
+           END AS seasonal_share_ppm
+    FROM s JOIN r ON r.dow = s.dow
+    ORDER BY s.dow
+    """,
+    doc="STL-lite seasonal decomposition (Cleveland's STL shape with "
+        "moving-average trend, RB Cleveland et al. 1990) of the daily "
+        "order-revenue series: trend = 7-day centered moving average "
+        "(exact integer cents, s7 div 7 — interior days only, the c7=7 "
+        "guard), detrended = cents - trend, per-day-of-week seasonal "
+        "component = exact integer mean of detrended cents, and per-dow "
+        "variance share explained by seasonality (1 - SS_resid/SS_detr "
+        "at ppm). Sums of squares run on detr div 1e4 (exact integer "
+        "rescale, identical in both engines) so SS stays < 2^63 over "
+        "the multi-year daily series; the share is one double division "
+        "over the two exact longs. dow = (epoch_day + 3) % 7 — pure "
+        "integer, no engine calendar. Scale: one date rollup over the "
+        "fact scan; every window runs over the daily series (bounded "
+        "by the calendar, not the data); global-window-free via "
+        "bounded_window",
+)
+def q_stl_lite_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.windows import bounded_window
+
+    o = _t(spark, sf_dir, "orders")
+    d = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .cast("long").alias("cents")
+    )
+    w7 = bounded_window().orderBy("day").rowsBetween(-3, 3)
+    t = d.select(
+        "day", "cents",
+        ((F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")) + 3)
+         % 7).cast("long").alias("dow"),
+        F.sum("cents").over(w7).cast("long").alias("s7"),
+        F.count("*").over(w7).cast("long").alias("c7"),
+    )
+    dt = t.filter(F.col("c7") == 7).select(
+        "day", "dow", "cents",
+        (F.col("cents") - F.expr("s7 div 7")).cast("long").alias("detr"),
+        F.expr("(cents - s7 div 7) div 10000").cast("long").alias("dk"),
+    ).localCheckpoint()  # consumed by the seasonal mean AND the residual
+    s = dt.groupBy("dow").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.expr("sum(detr) div count(*)").cast("long")
+        .alias("seasonal_cents"),
+        F.expr("sum(dk) div count(*)").cast("long").alias("sk"),
+    )
+    r = (
+        dt.join(F.broadcast(s), "dow")
+        .groupBy("dow")
+        .agg(
+            F.sum(
+                (F.col("dk") - F.col("sk")) * (F.col("dk") - F.col("sk"))
+            ).cast("long").alias("ss_resid"),
+            F.sum(F.col("dk") * F.col("dk")).cast("long").alias("ss_detr"),
+        )
+    )
+    share = F.when(F.col("ss_detr") == 0, F.lit(0).cast("long")).otherwise(
+        F.floor(
+            (F.col("ss_detr").cast("double") - F.col("ss_resid"))
+            / F.col("ss_detr").cast("double") * 1000000
+        ).cast("long")
+    )
+    return (
+        s.join(r, "dow")
+        .select("dow", "n_days", "seasonal_cents", "ss_resid", "ss_detr",
+                share.alias("seasonal_share_ppm"))
+        .orderBy("dow")
+    )
+
+
 # Self-register ONLY under the round-8 gate (this module is imported both
 # by queries.py under the gate and directly by tests without it).
 import os as _os

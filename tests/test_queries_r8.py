@@ -241,3 +241,33 @@ def test_lsh_band_planner_prefers_balanced_split(spark, sf_dir):
             == int(by_b.loc[16, "fn_area_e9"]))
     assert (int(by_b.loc[1, "total_error_e9"])
             == int(by_b.loc[16, "total_error_e9"]))
+
+
+def test_l_diversity_census_is_consistent(spark, sf_dir):
+    """Rows must partition the event table, and group entropy can never
+    exceed ln(l) (uniform over l sensitive values)."""
+    import math
+
+    out = _fn("l_diversity_audit")(spark, sf_dir).toPandas()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    assert int(out["rows_covered"].sum()) == len(ev)
+    for _, r in out.iterrows():
+        cap = math.floor(math.log(int(r["l"])) * 1e6) if r["l"] > 1 else 0
+        # each of the l terms floors, so allow l ulps of slack
+        assert int(r["min_entropy_e6"]) <= cap + int(r["l"])
+
+
+def test_stl_variance_split_is_coherent(spark, sf_dir):
+    """Residual sum of squares cannot exceed total detrended SS around
+    ANY per-dow constant... except the mean minimizes it; share in
+    [0, 1e6]; trend removal leaves a near-zero overall mean."""
+    out = _fn("stl_lite_decomposition")(spark, sf_dir).toPandas()
+    assert len(out) == 7
+    for _, r in out.iterrows():
+        assert 0 <= int(r["ss_resid"]) <= int(r["ss_detr"]) + 7
+        assert 0 <= int(r["seasonal_share_ppm"]) <= 1000000
+    # seasonal components are means of detrended cents: their n-weighted
+    # sum equals the total detrended sum up to one floor per dow
+    tot = (out["seasonal_cents"] * out["n_days"]).sum()
+    assert abs(tot) <= out["n_days"].sum() * 10000 + 7 * abs(
+        out["seasonal_cents"]).max()
