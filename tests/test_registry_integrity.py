@@ -162,3 +162,23 @@ def test_r8_staged_queries_disjoint_and_gated():
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert out.stdout.strip() == str(len(staged))
+
+
+def test_r8_staged_oracles_bind_in_duckdb(sf_dir):
+    """Staged round-8 oracles must keep binding in DuckDB (EXPLAIN only)
+    even though they are not yet in the live registry — catches SQL
+    bitrot a round early."""
+    from gan_deeplearning4j_spark import queries_r8
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    bad = []
+    for name, (fn, oracle, headline, doc) in queries_r8.STAGED.items():
+        try:
+            con.sql("EXPLAIN " + oracle)
+        except Exception as exc:  # noqa: BLE001
+            bad.append((name, str(exc)[:120]))
+    assert not bad, bad
