@@ -2382,6 +2382,245 @@ def q_stl_lite_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# MAP@10 of the fixed-point retrieval (completes the ranking-eval family)
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "map_at_10_eval",
+    oracle="""
+    WITH fx AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv
+          FROM fx WHERE vec_id < 8),
+    sc AS (
+      SELECT q.query_id, q.qlabel, d.vec_id AS doc_id, d.label,
+             CAST(list_sum(list_transform(range(0, 64),
+               k -> q.qv[1 + k] * d.v[1 + k])) AS BIGINT) AS dot
+      FROM q JOIN fx d ON d.vec_id <> q.query_id
+    ),
+    top AS (
+      SELECT query_id, qlabel, label,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY dot DESC, doc_id) AS rn
+      FROM sc QUALIFY rn <= 10
+    ),
+    hits AS (
+      SELECT query_id, rn,
+             CAST(SUM(CASE WHEN label = qlabel THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY query_id ORDER BY rn) AS BIGINT)
+               AS h,
+             CASE WHEN label = qlabel THEN 1 ELSE 0 END AS rel
+      FROM top
+    ),
+    ap AS (
+      SELECT query_id,
+             CAST(SUM(rel) AS BIGINT) AS n_hits,
+             CAST(COALESCE(SUM(CASE WHEN rel = 1
+                      THEN h * 1000000000 // rn ELSE 0 END), 0)
+                  AS BIGINT) AS sum_prec_e9
+      FROM hits GROUP BY query_id
+    )
+    SELECT query_id, n_hits,
+           CASE WHEN n_hits = 0 THEN 0
+                ELSE sum_prec_e9 // n_hits END AS ap_e9
+    FROM ap ORDER BY query_id
+    """,
+    doc="MAP@10 (mean-average-precision components) of the exact "
+        "fixed-point retrieval against label-match relevance — the "
+        "third standard ranking metric next to the staged NDCG@10 and "
+        "MRR: per query, precision@r at each relevant rank (running-hit "
+        "count over rank, an exact integer e9-division per term, summed "
+        "as longs) averaged over hits. AP differs from NDCG in "
+        "penalizing late hits multiplicatively, which is why eval "
+        "suites report both. Scale: identical shape to ndcg_ranking_"
+        "eval — bounded query panel broadcast, WindowGroupLimit top-10, "
+        "everything after on 80 rows",
+)
+def q_map_at_10_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    fx = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.floor(x * 1024).cast("long"),
+    )
+    d = emb.select("vec_id", "label", fx.alias("v")).localCheckpoint()
+    q = d.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "v", lambda a, b: a * b),
+        F.lit(0).cast("long"), lambda acc, x: acc + x,
+    )
+    sc = (
+        d.join(F.broadcast(q), d.vec_id != q.query_id)
+        .select("query_id", "qlabel", F.col("vec_id").alias("doc_id"),
+                "label", dot.alias("dot"))
+    )
+    w10 = Window.partitionBy("query_id").orderBy(F.desc("dot"), "doc_id")
+    top = sc.withColumn("rn", F.row_number().over(w10)).filter(
+        F.col("rn") <= 10
+    )
+    rel = F.when(F.col("label") == F.col("qlabel"), 1).otherwise(0)
+    wrun = Window.partitionBy("query_id").orderBy("rn").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    hits = top.select(
+        "query_id", "rn", rel.alias("rel"),
+        F.sum(rel).over(wrun).cast("long").alias("h"),
+    )
+    ap = hits.groupBy("query_id").agg(
+        F.sum("rel").cast("long").alias("n_hits"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("rel") == 1,
+                       F.expr("h * 1000000000 div rn"))
+                .otherwise(F.lit(0).cast("long"))
+            ), F.lit(0)
+        ).cast("long").alias("sum_prec_e9"),
+    )
+    return ap.select(
+        "query_id", "n_hits",
+        F.when(F.col("n_hits") == 0, F.lit(0).cast("long"))
+        .otherwise(F.expr("sum_prec_e9 div n_hits")).cast("long")
+        .alias("ap_e9"),
+    ).orderBy("query_id")
+
+
+# ---------------------------------------------------------------------------
+# Fano-factor burstiness of event arrivals (point-process diagnostic)
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "fano_burstiness_by_type",
+    oracle="""
+    WITH h AS (
+      SELECT event_type,
+             epoch_us(ts) // 3600000000 AS hour_no,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY event_type, hour_no
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_hours,
+             CAST(SUM(c) AS BIGINT) AS s1,
+             CAST(SUM(c * c) AS BIGINT) AS s2
+      FROM h GROUP BY event_type
+    )
+    SELECT event_type, n_hours, s1, s2,
+           CAST(floor(
+             (CAST(n_hours AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+             / (CAST(n_hours AS DOUBLE) * s1) * 1000000) AS BIGINT)
+             AS fano_e6
+    FROM m ORDER BY event_type
+    """,
+    doc="Fano-factor burstiness of hourly event arrivals per type "
+        "(variance-to-mean ratio; Fano 1947, the standard "
+        "overdispersion test for point processes): F = 1 for a Poisson "
+        "stream, > 1 = bursty, < 1 = regular — the load-model "
+        "diagnostic capacity planning needs before trusting a Poisson "
+        "assumption. Hourly counts and both moment sums are exact "
+        "int64 over ACTIVE hours; the ratio (n*s2 - s1^2)/(n*s1) is "
+        "ONE double expression over the longs, floored to e6. Scale: "
+        "one (type, hour) count over the scan, one 5-row rollup — two "
+        "map-side-combinable exchanges",
+)
+def q_fano_burstiness_by_type(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type",
+        F.expr("unix_micros(cast(ts as timestamp)) div 3600000000")
+        .alias("hour_no"),
+    ).agg(F.count("*").cast("long").alias("c"))
+    m = h.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_hours"),
+        F.sum("c").cast("long").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+    )
+    nd = F.col("n_hours").cast("double")
+    s1d = F.col("s1").cast("double")
+    fano = F.floor(
+        (nd * F.col("s2") - s1d * F.col("s1")) / (nd * F.col("s1"))
+        * 1000000
+    ).cast("long")
+    return m.select(
+        "event_type", "n_hours", "s1", "s2", fano.alias("fano_e6")
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Character-level entropy per language (corpus compressibility)
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "char_entropy_by_lang",
+    oracle="""
+    WITH ch AS (
+      SELECT lang, c.ch
+      FROM documents, unnest(string_split(lower(text), '')) AS c(ch)
+      WHERE length(c.ch) = 1
+    ),
+    cnt AS (
+      SELECT lang, ch, CAST(COUNT(*) AS BIGINT) AS c
+      FROM ch GROUP BY lang, ch
+    ),
+    t AS (
+      SELECT lang, c,
+             CAST(floor(
+               -(c / CAST(SUM(c) OVER (PARTITION BY lang) AS DOUBLE))
+               * ln(c / CAST(SUM(c) OVER (PARTITION BY lang) AS DOUBLE))
+               * 1000000) AS BIGINT) AS term
+      FROM cnt
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_symbols,
+           CAST(SUM(c) AS BIGINT) AS n_chars,
+           CAST(SUM(term) AS BIGINT) AS entropy_nats_e6,
+           CAST(floor(CAST(SUM(term) AS DOUBLE) / ln(2.0)) AS BIGINT)
+             AS entropy_bits_e6
+    FROM t GROUP BY lang ORDER BY lang
+    """,
+    doc="Character-level Shannon entropy per language over the "
+        "lowercased corpus — the compressibility floor a char-level "
+        "tokenizer or compressor can hit (English prose ~4.1 bits/"
+        "char at order-0), and a cheap mojibake/encoding-shift alarm "
+        "(entropy jumps when a shard's bytes stop being text): per-"
+        "(lang, symbol) exact counts, each -p·ln p term floored to e6 "
+        "BEFORE the sum (order-free long sum), nats and bits (one "
+        "double division by ln 2 at the end). Scale: the char explode "
+        "is scan-local and feeds one map-side-combinable count; the "
+        "entropy runs on the tiny (lang, symbol) relation",
+)
+def q_char_entropy_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    ch = docs.select(
+        "lang",
+        F.explode(F.split(F.lower(F.col("text")), "")).alias("ch"),
+    ).filter(F.length("ch") == 1)
+    cnt = ch.groupBy("lang", "ch").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    wl = Window.partitionBy("lang")
+    p = F.col("c") / F.sum("c").over(wl).cast("double")
+    t = cnt.select(
+        "lang", "c",
+        F.floor(-p * F.log(p) * 1000000).cast("long").alias("term"),
+    )
+    return t.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_symbols"),
+        F.sum("c").cast("long").alias("n_chars"),
+        F.sum("term").cast("long").alias("entropy_nats_e6"),
+        F.floor(
+            F.sum("term").cast("double") / F.log(F.lit(2.0))
+        ).cast("long").alias("entropy_bits_e6"),
+    ).orderBy("lang")
+
+
 # Self-register ONLY under the round-8 gate (this module is imported both
 # by queries.py under the gate and directly by tests without it).
 import os as _os

@@ -271,3 +271,68 @@ def test_stl_variance_split_is_coherent(spark, sf_dir):
     tot = (out["seasonal_cents"] * out["n_days"]).sum()
     assert abs(tot) <= out["n_days"].sum() * 10000 + 7 * abs(
         out["seasonal_cents"]).max()
+
+
+def test_map_at_10_matches_numpy_replay(spark, sf_dir):
+    """Exact integer replay of per-query average precision@10."""
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    v = np.floor(
+        np.stack(emb["embedding"].to_numpy()).astype(np.float64) * 1024
+    ).astype(np.int64)
+    ids = emb["vec_id"].to_numpy()
+    labels = emb["label"].to_numpy()
+    order = np.argsort(ids)
+    v, ids, labels = v[order], ids[order], labels[order]
+    expect = []
+    for qpos in np.nonzero(ids < 8)[0]:
+        dots = v @ v[qpos]
+        cand = [(int(-dots[p]), int(ids[p]), int(labels[p]))
+                for p in range(len(ids)) if p != qpos]
+        cand.sort()
+        qlabel = int(labels[qpos])
+        hits = 0
+        sum_prec = 0
+        for r, (_, _, lb) in enumerate(cand[:10], start=1):
+            if lb == qlabel:
+                hits += 1
+                sum_prec += hits * 10**9 // r
+        ap = sum_prec // hits if hits else 0
+        expect.append((int(ids[qpos]), hits, ap))
+    got = [tuple(r) for r in _fn("map_at_10_eval")(spark, sf_dir).collect()]
+    assert got == sorted(expect)
+
+
+def test_fano_matches_pandas_replay(spark, sf_dir):
+    """Exact moment replay of the hourly Fano factor."""
+    import math
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+    ev["hour_no"] = (
+        ev["ts"].astype("datetime64[us]").astype("int64") // 3600000000
+    )
+    expect = []
+    for et, g in ev.groupby("event_type"):
+        c = g.groupby("hour_no").size().astype("int64")
+        n, s1, s2 = len(c), int(c.sum()), int((c * c).sum())
+        fano = math.floor(
+            (float(n) * s2 - float(s1) * s1) / (float(n) * s1) * 1e6)
+        expect.append((et, n, s1, s2, fano))
+    got = [tuple(r) for r in _fn("fano_burstiness_by_type")(
+        spark, sf_dir).collect()]
+    assert got == sorted(expect)
+
+
+def test_char_entropy_bounded_by_alphabet(spark, sf_dir):
+    """Order-0 entropy can't exceed log2(alphabet size); bits and nats
+    stay in ratio ln 2 up to quantization."""
+    import math
+
+    out = _fn("char_entropy_by_lang")(spark, sf_dir).toPandas()
+    assert len(out) >= 2
+    for _, r in out.iterrows():
+        cap_bits = math.log2(int(r["n_symbols"])) * 1e6
+        assert 0 < int(r["entropy_bits_e6"]) <= cap_bits + int(
+            r["n_symbols"])
+        ratio = int(r["entropy_nats_e6"]) / int(r["entropy_bits_e6"])
+        assert abs(ratio - math.log(2)) < 1e-4
