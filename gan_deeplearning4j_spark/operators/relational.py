@@ -213,3 +213,31 @@ def merge_upsert(
         else:
             out_cols.append(F.col(f"__t.{c}").alias(c))
     return joined.select(*out_cols)
+
+
+def a_es_keyed(df: DataFrame, id_col: str, weight: "Column",
+               salt: str = "es|") -> DataFrame:
+    """Efraimidis-Spirakis A-ES priority keys (2006, IPL): attach the
+    deterministic exponential sampling key -ln(u)/w, where u is an md5
+    dyadic uniform of the row id (52 mantissa bits, never 0 or 1) and
+    w the positive integer weight. The k rows with the SMALLEST keys
+    per group are a weighted sample without replacement — and because
+    min-k selection is associative, the same keys drive the batch
+    window form (``weighted_sample_es``) and the streaming GroupState
+    form (``streaming/stateful.streaming_weighted_sample``) to
+    bit-identical samples. Adds columns ``w``, ``key_e12``
+    (floor(key*1e12), the engine-invariant integer surrogate)."""
+    u = (
+        (
+            F.expr(
+                f"conv(substr(md5(cast(concat('{salt}',"
+                f" cast({id_col} as string)) as binary)), 1, 13),"
+                " 16, 10)"
+            ).cast("long").cast("double") + 0.5
+        ) / 4503599627370496.0
+    )
+    key = -F.log(u) / weight
+    return df.select(
+        "*", weight.alias("w"), key.alias("key"),
+        F.floor(key * 1e12).cast("long").alias("key_e12"),
+    )

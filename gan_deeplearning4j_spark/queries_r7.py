@@ -2831,24 +2831,15 @@ def q_autocorr_lag1_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "survives the single exchange",
 )
 def q_weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
-    k = _t(spark, sf_dir, "customer").select(
-        "c_mktsegment", "c_custkey",
-        (F.round(F.col("c_acctbal") * 100, 0).cast("long") + 100001)
-        .alias("w"),
-        (
-            (
-                F.expr(
-                    "conv(substr(md5(cast(concat('es|',"
-                    " cast(c_custkey as string)) as binary)), 1, 13),"
-                    " 16, 10)"
-                ).cast("long").cast("double") + 0.5
-            ) / 4503599627370496.0
-        ).alias("u"),
+    from .operators.relational import a_es_keyed
+
+    k = a_es_keyed(
+        _t(spark, sf_dir, "customer").select("c_mktsegment", "c_custkey",
+                                             "c_acctbal"),
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100, 0).cast("long") + 100001,
     )
-    key = -F.log("u") / F.col("w")
-    r = k.select(
-        "c_mktsegment", "c_custkey", "w", key.alias("key")
-    ).withColumn(
+    r = k.withColumn(
         "rank",
         F.row_number().over(
             Window.partitionBy("c_mktsegment").orderBy("key", "c_custkey")
@@ -2856,8 +2847,7 @@ def q_weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("rank") <= 5)
     return r.select(
         "c_mktsegment", F.col("rank").cast("long").alias("rank"),
-        "c_custkey", "w",
-        F.floor(F.col("key") * 1e12).cast("long").alias("key_e12"),
+        "c_custkey", "w", "key_e12",
     )
 
 

@@ -476,3 +476,102 @@ def streaming_heavy_hitters(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+WS_OUTPUT = T.StructType(
+    [
+        T.StructField("segment", T.StringType()),
+        T.StructField("rank", T.LongType()),
+        T.StructField("item_id", T.LongType()),
+        T.StructField("w", T.LongType()),
+        T.StructField("key_e12", T.LongType()),
+        T.StructField("emit_seq", T.LongType()),
+    ]
+)
+
+WS_STATE = T.StructType(
+    [
+        T.StructField("keys", T.ArrayType(T.DoubleType())),
+        T.StructField("ids", T.ArrayType(T.LongType())),
+        T.StructField("ws", T.ArrayType(T.LongType())),
+        T.StructField("seq", T.LongType()),
+    ]
+)
+
+
+def _ws_fn_factory(k: int):
+    def fn(
+        key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import math
+
+        if state.exists:
+            keys, ids, ws, seq = state.get
+            best = list(zip(list(keys), list(ids), list(ws)))
+            seq = int(seq)
+        else:
+            best, seq = [], 0
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        best.extend(
+            (float(r.key), int(r.item_id), int(r.w))
+            for r in rows.itertuples(index=False)
+        )
+        # min-k selection is associative: sorting the union of the old
+        # top-k and the new batch equals sorting everything seen — the
+        # exact double keys ride through Arrow bit-preserved, so this
+        # order is the batch window's order
+        best.sort(key=lambda t: (t[0], t[1]))
+        best = best[:k]
+        seq += 1
+        state.update((
+            [t[0] for t in best], [t[1] for t in best],
+            [t[2] for t in best], seq,
+        ))
+        yield pd.DataFrame(
+            {
+                "segment": [key[0]] * len(best),
+                "rank": list(range(1, len(best) + 1)),
+                "item_id": [t[1] for t in best],
+                "w": [t[2] for t in best],
+                "key_e12": [math.floor(t[0] * 1e12) for t in best],
+                "emit_seq": [seq] * len(best),
+            }
+        )
+
+    return fn
+
+
+def streaming_weighted_sample(
+    items: DataFrame, segment_col: str, id_col: str, weight,
+    k: int = 5,
+) -> DataFrame:
+    """Streaming weighted sample without replacement — the GroupState
+    twin of the batch ``weighted_sample_es`` query: A-ES priority keys
+    (operators/relational.a_es_keyed — md5 dyadic uniforms, -ln(u)/w)
+    are computed JVM-side per micro-batch, and per segment the state
+    keeps only the k smallest (key, id) pairs. Because min-k selection
+    is associative and the keys are deterministic in the row alone,
+    the final state equals the batch window's top-k EXACTLY, whatever
+    the micro-batch slicing (pinned by test).
+
+    Scale: state is k tiny rows per segment regardless of stream
+    length; the groupBy shuffle is the same exchange the batch window
+    pays, amortized across the stream."""
+    from ..operators.relational import a_es_keyed
+
+    base = items.withColumn(
+        "__w_src", F.col(weight) if isinstance(weight, str) else weight
+    ).select(
+        F.col(segment_col).alias("segment"),
+        F.col(id_col).alias("item_id"), "__w_src",
+    )
+    keyed = a_es_keyed(base, "item_id", F.col("__w_src")).select(
+        "segment", "item_id", "w", "key"
+    )
+    return keyed.groupBy("segment").applyInPandasWithState(
+        _ws_fn_factory(k),
+        outputStructType=WS_OUTPUT,
+        stateStructType=WS_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

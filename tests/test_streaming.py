@@ -1048,3 +1048,63 @@ def test_streaming_space_saving_matches_batch(spark, sf_dir, tmp_path):
     for (bkt, itm), true in lookup.items():
         if true > n_bucket[bkt] / 4:
             assert (bkt, itm) in tracked, (bkt, itm, true)
+
+
+def test_streaming_weighted_sample_matches_batch(spark, sf_dir, tmp_path):
+    """The GroupState A-ES sample after the last micro-batch must equal
+    the batch weighted_sample_es window output exactly — min-k selection
+    over deterministic keys is associative across any batch slicing."""
+    import os as _os
+    import time as _time
+
+    import gan_deeplearning4j_spark.queries  # noqa: F401 (init order)
+    from gan_deeplearning4j_spark.queries_r7 import STAGED
+    from gan_deeplearning4j_spark.streaming.stateful import (
+        streaming_weighted_sample,
+    )
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_mktsegment", "c_custkey", "c_acctbal"
+    )
+    keys = sorted(r[0] for r in cust.select("c_custkey").collect())
+    b1, b2 = keys[len(keys) // 3], keys[2 * len(keys) // 3]
+    src = str(tmp_path / "cust_ws")
+    bounds = [None, b1, b2, None]
+    now = _time.time()
+    seen: set = set()
+    for i in range(3):
+        part = cust
+        if bounds[i] is not None:
+            part = part.filter(F.col("c_custkey") > F.lit(bounds[i]))
+        if bounds[i + 1] is not None:
+            part = part.filter(F.col("c_custkey") <= F.lit(bounds[i + 1]))
+        part.coalesce(1).write.mode("append").parquet(src)
+        for f in _os.listdir(src):
+            if f.endswith(".parquet") and f not in seen:
+                seen.add(f)
+                _os.utime(_os.path.join(src, f), (now, now + 600 * i))
+
+    stream = (spark.readStream.schema(cust.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = streaming_weighted_sample(
+        stream, "c_mktsegment", "c_custkey",
+        F.round(F.col("c_acctbal") * 100, 0).cast("long") + 100001,
+        k=5,
+    )
+    run_stream_to_memory(out, "ws_stream", timeout_sec=180,
+                         output_mode="update")
+    got = spark.sql("""
+        select segment, rank, item_id, w, key_e12 from (
+          select *, max(emit_seq) over (partition by segment) mseq
+          from ws_stream) where emit_seq = mseq
+        order by segment, rank
+    """).toPandas()
+    batch = (
+        STAGED["weighted_sample_es"][0](spark, sf_dir).toPandas()
+        .sort_values(["c_mktsegment", "rank"]).reset_index(drop=True)
+    )
+    assert got["segment"].tolist() == batch["c_mktsegment"].tolist()
+    assert got["rank"].tolist() == batch["rank"].tolist()
+    assert got["item_id"].tolist() == batch["c_custkey"].tolist()
+    assert got["w"].tolist() == batch["w"].tolist()
+    assert got["key_e12"].tolist() == batch["key_e12"].tolist()
