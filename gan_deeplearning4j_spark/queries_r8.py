@@ -2621,6 +2621,119 @@ def q_char_entropy_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang")
 
 
+# ---------------------------------------------------------------------------
+# Perceptual average-hash image dedup through the REAL PNG codec
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "image_ahash_pairs",
+    oracle="""
+    WITH px AS (
+      SELECT i.img, y.y, x.x,
+             CAST('0x' || substr(md5('img|' || CAST(i.img AS VARCHAR)
+                    || '|' || CAST(y.y AS VARCHAR)
+                    || '|' || CAST(x.x AS VARCHAR)), 1, 15) AS BIGINT)
+               % 256 AS v
+      FROM (SELECT unnest(range(0, 24)) AS img) i,
+           (SELECT unnest(range(0, 16)) AS y) y,
+           (SELECT unnest(range(0, 16)) AS x) x
+    ),
+    blk AS (
+      SELECT img, (y // 2) * 8 + (x // 2) AS blk,
+             CAST(SUM(v) AS BIGINT) AS bs
+      FROM px GROUP BY img, (y // 2) * 8 + (x // 2)
+    ),
+    tot AS (
+      SELECT img, CAST(SUM(bs) AS BIGINT) AS ts FROM blk GROUP BY img
+    ),
+    bits AS (
+      SELECT blk.img, blk.blk,
+             CASE WHEN blk.bs * 64 > tot.ts THEN 1 ELSE 0 END AS bit
+      FROM blk JOIN tot ON tot.img = blk.img
+    )
+    SELECT a.img AS img_a, b.img AS img_b,
+           CAST(SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END)
+                AS BIGINT) AS hamming
+    FROM bits a JOIN bits b ON b.blk = a.blk AND b.img > a.img
+    GROUP BY a.img, b.img
+    ORDER BY img_a, img_b
+    """,
+    doc="Perceptual average-hash (aHash) near-duplicate image pairs "
+        "with the REAL PNG codec in the loop: 24 deterministic 16x16 "
+        "grayscale images (md5 pixel formula) are ENCODED to actual "
+        "PNG bytes and DECODED back by the clean-room "
+        "functions/imagecodec.py inside one mapInPandas stage; 8x8 "
+        "block sums of the DECODED pixels feed the classic aHash bit "
+        "rule (block above image mean — compared exactly as bs*64 > "
+        "total, pure integers), and all 276 pairwise 64-bit Hamming "
+        "distances come from a block-aligned self-join. The DuckDB "
+        "oracle replays the pixel FORMULA only — it never sees a PNG — "
+        "so a hash match certifies encode->decode losslessness AND the "
+        "hash pipeline (the image twin of wav_roundtrip_frame_energy). "
+        "Scale: the codec runs where the bytes sit; per image the "
+        "output is 64 block rows, so the pair join touches sketches, "
+        "never pixels — the standard pHash-dedup shape at fleet scale",
+)
+def q_image_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def gen(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from gan_deeplearning4j_spark.functions.imagecodec import (
+            decode_png,
+            encode_png,
+        )
+
+        for pdf in batches:
+            rows = []
+            for img in pdf["id"]:
+                img = int(img)
+                px = np.empty((16, 16), dtype=np.uint8)
+                for y in range(16):
+                    for x in range(16):
+                        h = hashlib.md5(
+                            f"img|{img}|{y}|{x}".encode()
+                        ).hexdigest()[:15]
+                        px[y, x] = int(h, 16) % 256
+                dec = decode_png(encode_png(px)).squeeze()
+                for by in range(8):
+                    for bx in range(8):
+                        bs = int(
+                            dec[2 * by:2 * by + 2,
+                                2 * bx:2 * bx + 2].astype(np.int64).sum()
+                        )
+                        rows.append((img, by * 8 + bx, bs))
+            yield pd.DataFrame(rows, columns=["img", "blk", "bs"])
+
+    blk = spark.range(24).repartition(4).mapInPandas(
+        gen, "img long, blk long, bs long"
+    )
+    tot = blk.groupBy("img").agg(F.sum("bs").cast("long").alias("ts"))
+    bits = blk.join(tot, "img").select(
+        "img", "blk",
+        F.when(F.col("bs") * 64 > F.col("ts"), 1).otherwise(0)
+        .alias("bit"),
+    ).localCheckpoint()  # both sides of the pair join
+    a = bits.select(F.col("img").alias("img_a"), "blk",
+                    F.col("bit").alias("bit_a"))
+    b = bits.select(F.col("img").alias("img_b"),
+                    F.col("blk").alias("blk_b"),
+                    F.col("bit").alias("bit_b"))
+    return (
+        a.join(F.broadcast(b), (F.col("blk_b") == F.col("blk"))
+               & (F.col("img_b") > F.col("img_a")))
+        .groupBy("img_a", "img_b")
+        .agg(
+            F.sum(
+                F.when(F.col("bit_a") != F.col("bit_b"), 1).otherwise(0)
+            ).cast("long").alias("hamming")
+        )
+        .orderBy("img_a", "img_b")
+    )
+
+
 # Self-register ONLY under the round-8 gate (this module is imported both
 # by queries.py under the gate and directly by tests without it).
 import os as _os
