@@ -2734,6 +2734,175 @@ def q_image_ahash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Brandes single-source dependency (betweenness accumulation from the hub)
+# ---------------------------------------------------------------------------
+
+def _brandes_oracle(maxh: int = 4) -> str:
+    term = ("CAST(floor(CAST(s.paths AS DOUBLE)"
+            " * (1000000000 + b{next}.delta_e9) / w.paths)"
+            " AS BIGINT)")
+    backs = [f"""
+    back{maxh} AS (
+      SELECT node, CAST(0 AS BIGINT) AS delta_e9
+      FROM sig WHERE dist = {maxh})"""]
+    for h in range(maxh - 1, -1, -1):
+        backs.append(f"""
+    back{h} AS (
+      SELECT s.node,
+             CAST(COALESCE(SUM({term.format(next=h + 1)}), 0) AS BIGINT)
+               AS delta_e9
+      FROM sig s
+      LEFT JOIN und u ON u.node = s.node
+      LEFT JOIN sig w ON w.node = u.nb AND w.dist = {h + 1}
+      LEFT JOIN back{h + 1} b{h + 1} ON b{h + 1}.node = w.node
+      WHERE s.dist = {h}
+      GROUP BY s.node)""")
+    unions = "\n      UNION ALL ".join(
+        f"SELECT * FROM back{h}" for h in range(maxh + 1)
+    )
+    return f"""
+    WITH RECURSIVE
+    b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS pa, c.l_partkey AS pb
+      FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey
+                        AND c.l_partkey > a.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    und AS (
+      SELECT pa AS node, pb AS nb FROM e
+      UNION ALL SELECT pb, pa FROM e
+    ),
+    hub AS (
+      SELECT node FROM und GROUP BY node
+      ORDER BY COUNT(*) DESC, node LIMIT 1
+    ),
+    walk(node, hop, paths) AS (
+      SELECT node, 0, CAST(1 AS BIGINT) FROM hub
+      UNION ALL
+      SELECT u.nb, w.hop + 1, CAST(SUM(w.paths) AS BIGINT)
+      FROM walk w JOIN und u ON u.node = w.node
+      WHERE w.hop < {maxh} GROUP BY u.nb, w.hop + 1
+    ),
+    dist AS (
+      SELECT node, CAST(MIN(hop) AS BIGINT) AS dist
+      FROM walk GROUP BY node
+    ),
+    sig AS (
+      SELECT w.node, d.dist, CAST(w.paths AS BIGINT) AS paths
+      FROM walk w JOIN dist d ON d.node = w.node AND d.dist = w.hop
+    ),{",".join(backs)},
+    allback AS ({unions})
+    SELECT s.node, s.dist, s.paths AS sigma, ab.delta_e9
+    FROM sig s JOIN allback ab ON ab.node = s.node
+    ORDER BY ab.delta_e9 DESC, s.node
+    LIMIT 20
+    """
+
+
+@_stage(
+    "brandes_dependency_hub",
+    oracle=_brandes_oracle(),
+    doc="Brandes single-source betweenness dependency (Brandes 2001, "
+        "J. Math. Sociol.) from the co-purchase hub: forward BFS "
+        "carries EXACT shortest-path counts sigma (a walk of length "
+        "dist(v) cannot revisit, so per-level walk-count sums ARE "
+        "sigma), then the backward accumulation delta(v) = sum over "
+        "DAG successors w of sigma_v/sigma_w * (1 + delta_w) runs as a "
+        "fixed unroll over the 4 hop levels (the lpa/bradley-terry "
+        "chained-CTE pattern), each per-edge term ONE double expression "
+        "over exact longs floored to e9 before the order-free sum "
+        "(sigma_w >= sigma_v keeps every ratio <= 1). Top-20 "
+        "dependency scores = the hub's betweenness contribution — the "
+        "centrality family member (pagerank/HITS/k-core/CC live) that "
+        "needs path COUNTING, not just reachability. Scale: O(hops) "
+        "edge-keyed shuffles forward, O(hops) backward, frontier never "
+        "materializes pairs; the full-betweenness extension is the "
+        "standard sampled-sources sum over this exact kernel",
+)
+def q_brandes_dependency_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    maxh = 4
+    b = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a, c = b.alias("a"), b.alias("c")
+    e = (
+        a.join(
+            c,
+            (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+            & (F.col("c.l_partkey") > F.col("a.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("c.l_partkey").alias("pb"),
+        )
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("pa", "pb")
+    )
+    und = e.select(F.col("pa").alias("node"), F.col("pb").alias("nb")).union(
+        e.select(F.col("pb").alias("node"), F.col("pa").alias("nb"))
+    ).localCheckpoint(eager=True)  # consumed per forward + backward level
+
+    hub = (
+        und.groupBy("node").agg(F.count("*").alias("deg"))
+        .orderBy(F.desc("deg"), "node").limit(1).select("node")
+    )
+    # forward: per-level (node, dist, sigma); walks of length == dist
+    # are exactly the shortest paths, so level-frontier path-count sums
+    # are sigma without any anti-join correction inside the sum
+    sig = hub.select(
+        "node", F.lit(0).cast("long").alias("dist"),
+        F.lit(1).cast("long").alias("paths"),
+    ).localCheckpoint(eager=True)
+    frontier = sig
+    for h in range(1, maxh + 1):
+        nxt = (
+            frontier.join(und, "node")
+            .groupBy(F.col("nb").alias("node"))
+            .agg(F.sum("paths").cast("long").alias("paths"))
+            .join(sig.select("node"), "node", "left_anti")
+            .select("node", F.lit(h).cast("long").alias("dist"), "paths")
+        )
+        sig = sig.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    # backward: fixed unroll, deepest level first
+    back = sig.filter(F.col("dist") == maxh).select(
+        "node", F.lit(0).cast("long").alias("delta_e9")
+    )
+    allback = back
+    for h in range(maxh - 1, -1, -1):
+        succ = (
+            sig.filter(F.col("dist") == h + 1)
+            .select(F.col("node").alias("wnode"),
+                    F.col("paths").alias("wpaths"))
+            .join(back.withColumnRenamed("node", "wnode"), "wnode")
+        )
+        term = F.floor(
+            F.col("paths").cast("double")
+            * (F.lit(1000000000) + F.col("delta_e9")) / F.col("wpaths")
+        ).cast("long")
+        lvl = (
+            sig.filter(F.col("dist") == h)
+            .join(und, "node", "left")
+            .join(succ, F.col("nb") == F.col("wnode"), "left")
+            .groupBy("node")
+            .agg(
+                F.coalesce(F.sum(term), F.lit(0)).cast("long")
+                .alias("delta_e9")
+            )
+        )
+        back = lvl.localCheckpoint(eager=True)
+        allback = allback.unionByName(back)
+    return (
+        sig.join(allback, "node")
+        .select("node", "dist", F.col("paths").alias("sigma"), "delta_e9")
+        .orderBy(F.desc("delta_e9"), "node")
+        .limit(20)
+    )
+
+
 # Self-register ONLY under the round-8 gate (this module is imported both
 # by queries.py under the gate and directly by tests without it).
 import os as _os

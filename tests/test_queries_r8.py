@@ -336,3 +336,57 @@ def test_char_entropy_bounded_by_alphabet(spark, sf_dir):
             r["n_symbols"])
         ratio = int(r["entropy_nats_e6"]) / int(r["entropy_bits_e6"])
         assert abs(ratio - math.log(2)) < 1e-4
+
+
+def test_brandes_matches_python_replay(spark, sf_dir):
+    """Independent pure-python Brandes replay (BFS sigma + quantized
+    backward accumulation) over the same co-purchase graph."""
+    import collections
+    import math
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+    li = li.drop_duplicates()
+    pairs = collections.Counter()
+    for _, g in li.groupby("l_orderkey"):
+        ps = sorted(g["l_partkey"].unique())
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                pairs[(ps[i], ps[j])] += 1
+    adj = collections.defaultdict(set)
+    for (a, b), n in pairs.items():
+        if n >= 2:
+            adj[a].add(b)
+            adj[b].add(a)
+    if not adj:
+        return
+    hub = max(adj, key=lambda n: (len(adj[n]), -n))
+    dist = {hub: 0}
+    sigma = {hub: 1}
+    frontier = [hub]
+    for h in range(1, 5):
+        nxt = collections.Counter()
+        for u in frontier:
+            for v in adj[u]:
+                if v not in dist:
+                    nxt[v] += sigma[u]
+        for v, s in nxt.items():
+            dist[v] = h
+            sigma[v] = s
+        frontier = list(nxt)
+    delta = {v: 0 for v in dist}
+    for h in range(3, -1, -1):
+        for v in [n for n, d in dist.items() if d == h]:
+            tot = 0
+            for w in adj[v]:
+                if dist.get(w) == h + 1:
+                    tot += math.floor(
+                        float(sigma[v]) * (10**9 + delta[w]) / sigma[w])
+            delta[v] = tot
+    expect = sorted(
+        ((n, dist[n], sigma[n], delta[n]) for n in dist),
+        key=lambda r: (-r[3], r[0]),
+    )[:20]
+    got = [tuple(r) for r in _fn("brandes_dependency_hub")(
+        spark, sf_dir).collect()]
+    assert got == expect
