@@ -2903,6 +2903,101 @@ def q_brandes_dependency_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Laspeyres / Paasche / Fisher price indices (index-number family)
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "price_index_fisher",
+    oracle="""
+    WITH py AS (
+      SELECT l_partkey AS part,
+             CAST(year(CAST(l_shipdate AS DATE)) AS BIGINT) AS y,
+             CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS c,
+             CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem GROUP BY part, y
+    ),
+    up AS (
+      SELECT part, y, q, c * 1000000 // q AS p_e6 FROM py WHERE q > 0
+    ),
+    pair AS (
+      SELECT b.y + 1 AS year, b.part,
+             b.p_e6 AS p0, t.p_e6 AS p1, b.q AS q0, t.q AS q1
+      FROM up b JOIN up t ON t.part = b.part AND t.y = b.y + 1
+    ),
+    agg AS (
+      SELECT year, CAST(COUNT(*) AS BIGINT) AS n_common_parts,
+             CAST(SUM(p1 * q0) AS BIGINT) AS l_num,
+             CAST(SUM(p0 * q0) AS BIGINT) AS l_den,
+             CAST(SUM(p1 * q1) AS BIGINT) AS p_num,
+             CAST(SUM(p0 * q1) AS BIGINT) AS p_den
+      FROM pair GROUP BY year
+    )
+    SELECT year, n_common_parts,
+           CAST(floor(CAST(l_num AS DOUBLE) / l_den * 1000000) AS BIGINT)
+             AS laspeyres_ppm,
+           CAST(floor(CAST(p_num AS DOUBLE) / p_den * 1000000) AS BIGINT)
+             AS paasche_ppm,
+           CAST(floor(sqrt((CAST(l_num AS DOUBLE) / l_den)
+                           * (CAST(p_num AS DOUBLE) / p_den)) * 1000000)
+                AS BIGINT) AS fisher_ppm
+    FROM agg ORDER BY year
+    """,
+    doc="Laspeyres, Paasche and Fisher ideal price indices (the CPI "
+        "index-number family; Fisher 1922) between consecutive ship "
+        "years over parts traded in BOTH years: per (part, year) unit "
+        "values quantized to e6 cents-per-unit by exact integer "
+        "division, then the four basket sums Σp·q are exact int64 "
+        "(quantized prices x integer quantities — no rational-sum "
+        "hazard), and each index is ONE double expression over two "
+        "exact longs (divide, multiply, sqrt — all correctly-rounded "
+        "IEEE ops, no transcendental), floored to ppm. Fisher = "
+        "geometric mean of the other two, so the output self-checks "
+        "L >= F >= P or the reverse. Scale: one (part, year) rollup "
+        "over the fact scan, one part-keyed self-join at part grain, "
+        "one year rollup — the fact table shuffles once",
+)
+def q_price_index_fisher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    py = li.groupBy(
+        F.col("l_partkey").alias("part"),
+        F.year(F.col("l_shipdate").cast("date")).cast("long").alias("y"),
+    ).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long"))
+        .cast("long").alias("c"),
+        F.sum(F.round(F.col("l_quantity"), 0).cast("long")).cast("long")
+        .alias("q"),
+    ).filter(F.col("q") > 0)
+    up = py.select(
+        "part", "y", "q",
+        F.expr("c * 1000000 div q").cast("long").alias("p_e6"),
+    ).localCheckpoint()  # both sides of the year self-join
+    b = up.select("part", F.col("y").alias("yb"), F.col("p_e6").alias("p0"),
+                  F.col("q").alias("q0"))
+    t = up.select("part", F.col("y").alias("yt"), F.col("p_e6").alias("p1"),
+                  F.col("q").alias("q1"))
+    pair = b.join(t, ["part"]).filter(
+        F.col("yt") == F.col("yb") + 1
+    ).select((F.col("yb") + 1).alias("year"), "p0", "p1", "q0", "q1")
+    agg = pair.groupBy("year").agg(
+        F.count("*").cast("long").alias("n_common_parts"),
+        F.sum(F.col("p1") * F.col("q0")).cast("long").alias("l_num"),
+        F.sum(F.col("p0") * F.col("q0")).cast("long").alias("l_den"),
+        F.sum(F.col("p1") * F.col("q1")).cast("long").alias("p_num"),
+        F.sum(F.col("p0") * F.col("q1")).cast("long").alias("p_den"),
+    )
+    lasp = F.col("l_num").cast("double") / F.col("l_den")
+    paas = F.col("p_num").cast("double") / F.col("p_den")
+    return agg.select(
+        "year", "n_common_parts",
+        F.floor(lasp * 1000000).cast("long").alias("laspeyres_ppm"),
+        F.floor(paas * 1000000).cast("long").alias("paasche_ppm"),
+        F.floor(F.sqrt(lasp * paas) * 1000000).cast("long")
+        .alias("fisher_ppm"),
+    ).orderBy("year")
+
+
 # Self-register ONLY under the round-8 gate (this module is imported both
 # by queries.py under the gate and directly by tests without it).
 import os as _os

@@ -390,3 +390,15 @@ def test_brandes_matches_python_replay(spark, sf_dir):
     got = [tuple(r) for r in _fn("brandes_dependency_hub")(
         spark, sf_dir).collect()]
     assert got == expect
+
+
+def test_fisher_is_geometric_mean_between_l_and_p(spark, sf_dir):
+    """Fisher must sit between Laspeyres and Paasche (it is their
+    geometric mean) up to ppm quantization."""
+    out = _fn("price_index_fisher")(spark, sf_dir).toPandas()
+    assert len(out) >= 1
+    for _, r in out.iterrows():
+        lo = min(int(r["laspeyres_ppm"]), int(r["paasche_ppm"]))
+        hi = max(int(r["laspeyres_ppm"]), int(r["paasche_ppm"]))
+        assert lo - 1 <= int(r["fisher_ppm"]) <= hi + 1, tuple(r)
+        assert int(r["n_common_parts"]) > 0
