@@ -2998,6 +2998,85 @@ def q_price_index_fisher(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("year")
 
 
+# ---------------------------------------------------------------------------
+# Good-Turing smoothing table (counts-of-counts + discounted estimates)
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "good_turing_smoothing",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    tf AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS r FROM tok
+      WHERE regexp_matches(w, '^[a-z]{2,12}$') GROUP BY w
+    ),
+    nr AS (
+      SELECT r, CAST(COUNT(*) AS BIGINT) AS n_r FROM tf
+      WHERE r <= 10 GROUP BY r
+    ),
+    tot AS (
+      SELECT CAST(SUM(r) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS vocab
+      FROM tf
+    )
+    SELECT nr.r, nr.n_r,
+           CAST(COALESCE(
+             (nr.r + 1) * nx.n_r * 1000000 // nr.n_r, 0) AS BIGINT)
+             AS r_star_e6,
+           CAST(nr.n_r * nr.r * 1000000 // tot.n_tokens AS BIGINT)
+             AS mass_share_e6,
+           tot.n_tokens, tot.vocab
+    FROM nr LEFT JOIN nr nx ON nx.r = nr.r + 1
+    CROSS JOIN tot
+    ORDER BY nr.r
+    """,
+    doc="Good-Turing frequency smoothing table (Good 1953; the "
+        "Gale-Sampson 'simple GT' inputs) over corpus unigrams: "
+        "counts-of-counts N_r for r<=10, the discounted estimate "
+        "r* = (r+1)·N_{r+1}/N_r at e6 (exact integer division; 0 when "
+        "N_{r+1} is empty, the standard cutoff), and each frequency "
+        "class's share of total token mass. Row r=1 doubles as the "
+        "hapax table: N_1/N is the Good-Turing estimate of UNSEEN "
+        "probability mass — the number every vocabulary-sizing and "
+        "contamination analysis wants. Completes the LM-smoothing "
+        "family next to kneser_ney_bigram_lm. Scale: token scan -> "
+        "one word count -> one 10-row counts-of-counts rollup; the "
+        "self-join runs on 10 rows",
+)
+def q_good_turing_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w").rlike("^[a-z]{2,12}$"))
+        .groupBy("w").agg(F.count("*").cast("long").alias("r"))
+        .localCheckpoint()  # consumed by nr AND tot
+    )
+    nr = tf.filter(F.col("r") <= 10).groupBy("r").agg(
+        F.count("*").cast("long").alias("n_r")
+    )
+    tot = tf.agg(
+        F.sum("r").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("vocab"),
+    )
+    nx = nr.select((F.col("r") - 1).alias("r"), F.col("n_r").alias("nx"))
+    return (
+        nr.join(F.broadcast(nx), "r", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "r", "n_r",
+            F.coalesce(
+                F.expr("(r + 1) * nx * 1000000 div n_r"), F.lit(0)
+            ).cast("long").alias("r_star_e6"),
+            F.expr("n_r * r * 1000000 div n_tokens").cast("long")
+            .alias("mass_share_e6"),
+            "n_tokens", "vocab",
+        )
+        .orderBy("r")
+    )
+
+
 # Self-register ONLY under the round-8 gate (this module is imported both
 # by queries.py under the gate and directly by tests without it).
 import os as _os
