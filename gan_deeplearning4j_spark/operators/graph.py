@@ -149,6 +149,8 @@ def hits_fixed(
     billion-node scale. int64 bound: w·h ≤ total_weight · 1e6 must
     stay < 2^63 (~9.2e12 total edge weight) — switch the half-step sums
     to per-partition modular folds before graphs that large."""
+    if rounds < 1:
+        raise ValueError(f"hits_fixed: rounds must be >= 1, got {rounds}")
     e = edges.select(
         F.col(src).alias("c"), F.col(dst).alias("s"),
         F.col(weight).cast("long").alias("w"),
@@ -179,4 +181,31 @@ def hits_fixed(
     return (
         a.select(F.col("s").alias("node"), F.col("a").alias("score_e6")),
         h.select(F.col("c").alias("node"), F.col("h").alias("score_e6")),
+    )
+
+
+def co_purchase_pairs(lineitem: DataFrame, min_orders: int = 2) -> DataFrame:
+    """The repo's canonical sparse product graph: one-directional part
+    pairs (p1 < p2) that share at least ``min_orders`` distinct orders.
+    Single definition shared by the link-prediction, BFS and Brandes
+    queries plus the stress harness so the graph contract cannot drift
+    between them (the >=2 threshold is what keeps the graph sparse —
+    the >=1 co-supply variant is near-complete at every SF and useless
+    for graph ops). One distinct-project plus one orderkey-keyed
+    self-join; the pair aggregate is map-side combinable."""
+    b = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a, c = b.alias("a"), b.alias("c")
+    return (
+        a.join(
+            c,
+            (F.col("c.l_orderkey") == F.col("a.l_orderkey"))
+            & (F.col("c.l_partkey") > F.col("a.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"),
+            F.col("c.l_partkey").alias("p2"),
+        )
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= min_orders)
+        .select("p1", "p2")
     )

@@ -3386,25 +3386,9 @@ def q_table_checksum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "edges localCheckpoint'd once for its three consumers",
 )
 def q_adamic_adar_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.graph import adamic_adar_topk
+    from .operators.graph import adamic_adar_topk, co_purchase_pairs
 
-    li = _t(spark, sf_dir, "lineitem")
-    bk = li.select("l_orderkey", "l_partkey").distinct()
-    a, c = bk.alias("a"), bk.alias("c")
-    pr = (
-        a.join(
-            c,
-            (F.col("c.l_orderkey") == F.col("a.l_orderkey"))
-            & (F.col("c.l_partkey") > F.col("a.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("p1"),
-            F.col("c.l_partkey").alias("p2"),
-        )
-        .agg(F.count("*").alias("w"))
-        .filter(F.col("w") >= 2)
-        .drop("w")
-    )
+    pr = co_purchase_pairs(_t(spark, sf_dir, "lineitem"))
     return adamic_adar_topk(pr, "p1", "p2", k=100)
 
 

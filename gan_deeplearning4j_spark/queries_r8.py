@@ -736,26 +736,11 @@ def q_encoding_advisor_events(spark: SparkSession, sf_dir: str
         "value is the hub id",
 )
 def q_bfs_hops_from_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    b = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    ).distinct()
-    a, c = b.alias("a"), b.alias("c")
-    e = (
-        a.join(
-            c,
-            (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
-            & (F.col("c.l_partkey") > F.col("a.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"),
-            F.col("c.l_partkey").alias("pb"),
-        )
-        .agg(F.count("*").alias("n"))
-        .filter(F.col("n") >= 2)
-        .select("pa", "pb")
-    )
-    und = e.select(F.col("pa").alias("node"), F.col("pb").alias("nb")).union(
-        e.select(F.col("pb").alias("node"), F.col("pa").alias("nb"))
+    from .operators.graph import co_purchase_pairs
+
+    e = co_purchase_pairs(_t(spark, sf_dir, "lineitem"))
+    und = e.select(F.col("p1").alias("node"), F.col("p2").alias("nb")).union(
+        e.select(F.col("p2").alias("node"), F.col("p1").alias("nb"))
     ).localCheckpoint(eager=True)  # consumed once per BFS round
 
     hub = (
@@ -1203,6 +1188,40 @@ def _ndcg_oracle() -> str:
     """
 
 
+def _panel_retrieval_top10(spark: SparkSession, sf_dir: str):
+    """Shared fixed-point retrieval scaffold for the ranking-eval
+    queries (NDCG@10 / MAP@10 — one definition so the panel predicate,
+    the 2^10 quantization and the (dot desc, doc_id) tie-break cannot
+    drift between metrics or their oracles): returns (corpus, queries,
+    top10) where top10 carries (query_id, qlabel, doc_id, label, dot,
+    rn<=10). The 8-query panel broadcasts against the corpus scan; the
+    per-query cut is a WindowGroupLimit heap (literal bound)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    fx = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.floor(x * 1024).cast("long"),
+    )
+    d = emb.select("vec_id", "label", fx.alias("v")).localCheckpoint()
+    q = d.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "v", lambda a, b: a * b),
+        F.lit(0).cast("long"), lambda acc, x: acc + x,
+    )
+    sc = (
+        d.join(F.broadcast(q), d.vec_id != q.query_id)
+        .select("query_id", "qlabel", F.col("vec_id").alias("doc_id"),
+                "label", dot.alias("dot"))
+    )
+    w10 = Window.partitionBy("query_id").orderBy(F.desc("dot"), "doc_id")
+    top = sc.withColumn("rn", F.row_number().over(w10)).filter(
+        F.col("rn") <= 10
+    )
+    return d, q, top
+
+
 @_stage(
     "ndcg_ranking_eval",
     oracle=_ndcg_oracle(),
@@ -1220,35 +1239,13 @@ def _ndcg_oracle() -> str:
         "WindowGroupLimit heap; everything after runs on 80 rows",
 )
 def q_ndcg_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
-    fx = F.transform(
-        F.col("embedding").cast("array<double>"),
-        lambda x: F.floor(x * 1024).cast("long"),
-    )
-    d = emb.select("vec_id", "label", fx.alias("v")).localCheckpoint()
-    q = d.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel"),
-        F.col("v").alias("qv"),
-    )
+    d, q, top = _panel_retrieval_top10(spark, sf_dir)
     nrel = (
         q.join(F.broadcast(d), (d.label == q.qlabel)
                & (d.vec_id != q.query_id))
         .groupBy("query_id").agg(F.count("*").cast("long").alias("n_rel"))
     )
-    dot = F.aggregate(
-        F.zip_with("qv", "v", lambda a, b: a * b),
-        F.lit(0).cast("long"), lambda acc, x: acc + x,
-    )
-    sc = (
-        d.join(F.broadcast(q), d.vec_id != q.query_id)
-        .select("query_id", "qlabel", F.col("vec_id").alias("doc_id"),
-                "label", dot.alias("dot"))
-    )
-    w10 = Window.partitionBy("query_id").orderBy(F.desc("dot"), "doc_id")
     wlit = F.array(*[F.lit(x) for x in _NDCG_W])
-    top = sc.withColumn("rn", F.row_number().over(w10)).filter(
-        F.col("rn") <= 10
-    )
     dcg = top.groupBy("query_id").agg(
         F.first("qlabel").alias("label"),
         F.sum(
@@ -1556,7 +1553,11 @@ def q_roc_auc_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "binaryFile twin of wav_roundtrip_frame_energy, which never "
         "leaves memory). Scale: binaryFile is the production ingest "
         "shape for audio/image shards — one file per task, decode runs "
-        "where the bytes land, only 16-row aggregates shuffle",
+        "where the bytes land, only 16-row aggregates shuffle. NOTE: "
+        "the scratch dir is driver-local, which binaryFile can only "
+        "read back under a shared filesystem (local[*] here); on a "
+        "real cluster the shards live in shared/object storage and "
+        "only the .load(path) changes",
 )
 def q_binaryfile_wav_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
@@ -1872,11 +1873,12 @@ def q_isotonic_calibration_bins(spark: SparkSession,
 )
 def q_conformal_quantile_coverage(spark: SparkSession,
                                   sf_dir: str) -> DataFrame:
+    from .functions.text import portable_hash60
+
     docs = _t(spark, sf_dir, "documents")
     d = docs.select(
         "lang", "n_chars", "doc_id",
-        (F.expr("conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10)")
-         .cast("long") % 2).alias("odd"),
+        (portable_hash60(F.col("doc_id").cast("string")) % 2).alias("odd"),
     ).localCheckpoint()  # split consumed by both halves
     wrk = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
     wn = Window.partitionBy("lang")
@@ -1975,22 +1977,24 @@ def q_ess_weighted_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Allen interval-algebra relation census (temporal logic over spans)
 # ---------------------------------------------------------------------------
 
+# priority: exact-equality relations first so degenerate point spans
+# ([t,t] from single-event keys) classify as equals/starts rather than
+# meets; the remaining branches are mutually exclusive and exhaustive
+# for proper/point intervals (see test replay)
 _ALLEN_CASE = """CASE
-  WHEN e1 < s2 THEN 'before'
-  WHEN e1 = s2 THEN 'meets'
-  WHEN s1 < s2 AND e1 > s2 AND e1 < e2 THEN 'overlaps'
-  WHEN s1 = s2 AND e1 < e2 THEN 'starts'
-  WHEN s1 > s2 AND e1 < e2 THEN 'during'
-  WHEN s1 > s2 AND e1 = e2 AND s1 <= e2 THEN 'finishes'
   WHEN s1 = s2 AND e1 = e2 THEN 'equals'
-  WHEN s2 > e1 THEN 'before'
-  WHEN e2 < s1 THEN 'after'
-  WHEN e2 = s1 THEN 'met_by'
-  WHEN s2 < s1 AND e2 > s1 AND e2 < e1 THEN 'overlapped_by'
+  WHEN s1 = s2 AND e1 < e2 THEN 'starts'
   WHEN s1 = s2 AND e1 > e2 THEN 'started_by'
+  WHEN e1 < s2 THEN 'before'
+  WHEN e2 < s1 THEN 'after'
+  WHEN e1 = s2 THEN 'meets'
+  WHEN e2 = s1 THEN 'met_by'
   WHEN s1 < s2 AND e1 > e2 THEN 'contains'
+  WHEN s1 > s2 AND e1 < e2 THEN 'during'
   WHEN s1 < s2 AND e1 = e2 THEN 'finished_by'
-  ELSE 'during'
+  WHEN s1 > s2 AND e1 = e2 THEN 'finishes'
+  WHEN s1 < s2 THEN 'overlaps'
+  ELSE 'overlapped_by'
 END"""
 
 
@@ -2442,29 +2446,7 @@ def q_stl_lite_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "everything after on 80 rows",
 )
 def q_map_at_10_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
-    fx = F.transform(
-        F.col("embedding").cast("array<double>"),
-        lambda x: F.floor(x * 1024).cast("long"),
-    )
-    d = emb.select("vec_id", "label", fx.alias("v")).localCheckpoint()
-    q = d.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel"),
-        F.col("v").alias("qv"),
-    )
-    dot = F.aggregate(
-        F.zip_with("qv", "v", lambda a, b: a * b),
-        F.lit(0).cast("long"), lambda acc, x: acc + x,
-    )
-    sc = (
-        d.join(F.broadcast(q), d.vec_id != q.query_id)
-        .select("query_id", "qlabel", F.col("vec_id").alias("doc_id"),
-                "label", dot.alias("dot"))
-    )
-    w10 = Window.partitionBy("query_id").orderBy(F.desc("dot"), "doc_id")
-    top = sc.withColumn("rn", F.row_number().over(w10)).filter(
-        F.col("rn") <= 10
-    )
+    _d, _q, top = _panel_retrieval_top10(spark, sf_dir)
     rel = F.when(F.col("label") == F.col("qlabel"), 1).otherwise(0)
     wrun = Window.partitionBy("query_id").orderBy("rn").rowsBetween(
         Window.unboundedPreceding, 0
@@ -2822,27 +2804,12 @@ def _brandes_oracle(maxh: int = 4) -> str:
         "standard sampled-sources sum over this exact kernel",
 )
 def q_brandes_dependency_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import co_purchase_pairs
+
     maxh = 4
-    b = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    ).distinct()
-    a, c = b.alias("a"), b.alias("c")
-    e = (
-        a.join(
-            c,
-            (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
-            & (F.col("c.l_partkey") > F.col("a.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"),
-            F.col("c.l_partkey").alias("pb"),
-        )
-        .agg(F.count("*").alias("n"))
-        .filter(F.col("n") >= 2)
-        .select("pa", "pb")
-    )
-    und = e.select(F.col("pa").alias("node"), F.col("pb").alias("nb")).union(
-        e.select(F.col("pb").alias("node"), F.col("pa").alias("nb"))
+    e = co_purchase_pairs(_t(spark, sf_dir, "lineitem"))
+    und = e.select(F.col("p1").alias("node"), F.col("p2").alias("nb")).union(
+        e.select(F.col("p2").alias("node"), F.col("p1").alias("nb"))
     ).localCheckpoint(eager=True)  # consumed per forward + backward level
 
     hub = (
@@ -3005,12 +2972,16 @@ def q_price_index_fisher(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_stage(
     "good_turing_smoothing",
     oracle="""
-    WITH tok AS (
-      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    WITH ws AS (
+      SELECT string_split(text, ' ') AS ws FROM documents
+    ),
+    tri AS (
+      SELECT ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS g
+      FROM ws, unnest(range(1, len(ws) - 1)) AS t(i)
+      WHERE len(ws) >= 3
     ),
     tf AS (
-      SELECT w, CAST(COUNT(*) AS BIGINT) AS r FROM tok
-      WHERE regexp_matches(w, '^[a-z]{2,12}$') GROUP BY w
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS r FROM tri GROUP BY g
     ),
     nr AS (
       SELECT r, CAST(COUNT(*) AS BIGINT) AS n_r FROM tf
@@ -3033,24 +3004,38 @@ def q_price_index_fisher(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY nr.r
     """,
     doc="Good-Turing frequency smoothing table (Good 1953; the "
-        "Gale-Sampson 'simple GT' inputs) over corpus unigrams: "
+        "Gale-Sampson 'simple GT' inputs) over word TRIGRAM types — "
+        "the unit with a real Zipf tail in this corpus (the 30-word "
+        "unigram vocabulary has min frequency ~26 even at sf0.01, so a "
+        "unigram table would be empty below the r<=10 window; trigram "
+        "types number 16k+ with thousands of hapaxes at every SF): "
         "counts-of-counts N_r for r<=10, the discounted estimate "
         "r* = (r+1)·N_{r+1}/N_r at e6 (exact integer division; 0 when "
         "N_{r+1} is empty, the standard cutoff), and each frequency "
-        "class's share of total token mass. Row r=1 doubles as the "
+        "class's share of total trigram mass. Row r=1 doubles as the "
         "hapax table: N_1/N is the Good-Turing estimate of UNSEEN "
         "probability mass — the number every vocabulary-sizing and "
         "contamination analysis wants. Completes the LM-smoothing "
-        "family next to kneser_ney_bigram_lm. Scale: token scan -> "
-        "one word count -> one 10-row counts-of-counts rollup; the "
-        "self-join runs on 10 rows",
+        "family next to kneser_ney_bigram_lm. Scale: trigrams are "
+        "scan-side array windows (no self-join); one type count, one "
+        "10-row counts-of-counts rollup; the self-join runs on 10 rows",
 )
 def q_good_turing_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
+    tri = (
+        docs.select(F.split("text", " ").alias("ws"))
+        .filter(F.size("ws") >= 3)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(ws) - 3),"
+                    " i -> concat(ws[i], ' ', ws[i + 1], ' ', ws[i + 2]))"
+                )
+            ).alias("g")
+        )
+    )
     tf = (
-        docs.select(F.explode(F.split("text", " ")).alias("w"))
-        .filter(F.col("w").rlike("^[a-z]{2,12}$"))
-        .groupBy("w").agg(F.count("*").cast("long").alias("r"))
+        tri.groupBy("g").agg(F.count("*").cast("long").alias("r"))
         .localCheckpoint()  # consumed by nr AND tot
     )
     nr = tf.filter(F.col("r") <= 10).groupBy("r").agg(

@@ -33,24 +33,12 @@ def main() -> int:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
 
     if which == "linkpred":
-        from gan_deeplearning4j_spark.operators.graph import adamic_adar_topk
-
-        bk = li.select("l_orderkey", "l_partkey").distinct()
-        a, c = bk.alias("a"), bk.alias("c")
-        pr = (
-            a.join(
-                c,
-                (F.col("c.l_orderkey") == F.col("a.l_orderkey"))
-                & (F.col("c.l_partkey") > F.col("a.l_partkey")),
-            )
-            .groupBy(
-                F.col("a.l_partkey").alias("p1"),
-                F.col("c.l_partkey").alias("p2"),
-            )
-            .agg(F.count("*").alias("w"))
-            .filter(F.col("w") >= 2)
-            .drop("w")
+        from gan_deeplearning4j_spark.operators.graph import (
+            adamic_adar_topk,
+            co_purchase_pairs,
         )
+
+        pr = co_purchase_pairs(li)
         big = pr.crossJoin(copies).select(
             (F.col("p1") + F.col("rep") * 10_000_000).alias("p1"),
             (F.col("p2") + F.col("rep") * 10_000_000).alias("p2"),

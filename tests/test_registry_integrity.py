@@ -177,6 +177,8 @@ def test_r8_staged_oracles_bind_in_duckdb(sf_dir):
         )
     bad = []
     for name, (fn, oracle, headline, doc) in queries_r8.STAGED.items():
+        if not oracle:
+            continue  # rows-only by design (e.g. env-dependent oracles)
         try:
             con.sql("EXPLAIN " + oracle)
         except Exception as exc:  # noqa: BLE001
