@@ -402,3 +402,34 @@ def test_fisher_is_geometric_mean_between_l_and_p(spark, sf_dir):
         hi = max(int(r["laspeyres_ppm"]), int(r["paasche_ppm"]))
         assert lo - 1 <= int(r["fisher_ppm"]) <= hi + 1, tuple(r)
         assert int(r["n_common_parts"]) > 0
+
+
+def test_r8_third_wave_plans(spark, sf_dir):
+    """Physical-plan pins for the last round-7 staged additions."""
+    from gan_deeplearning4j_spark.plans.explain import plan_tree
+
+    # scan-shaped: one (or two chained) hash aggregates, no join at all
+    for name in ("pass_at_k_estimator", "ess_weighted_sampling",
+                 "l_diversity_audit", "fano_burstiness_by_type",
+                 "char_entropy_by_lang"):
+        t = plan_tree(_fn(name)(spark, sf_dir))
+        assert "HashAggregate" in t, (name, t)
+        assert "Join" not in t, (name, t)
+
+    # join-bearing ones: never a cartesian product; the growing-side
+    # joins are unhinted so AQE may broadcast at test SF and shuffle at
+    # fact scale — pin only the invariant that holds at every scale
+    for name in ("isotonic_calibration_bins", "conformal_quantile_coverage",
+                 "allen_interval_census", "stl_lite_decomposition",
+                 "image_ahash_pairs", "price_index_fisher",
+                 "good_turing_smoothing", "brandes_dependency_hub"):
+        t = plan_tree(_fn(name)(spark, sf_dir))
+        assert "CartesianProduct" not in t, (name, t)
+
+    # retrieval eval: per-query top-10 must stay a WindowGroupLimit heap
+    t = plan_tree(_fn("map_at_10_eval")(spark, sf_dir))
+    assert "WindowGroupLimit" in t, t
+
+    # brandes: top-20 is a TakeOrdered heap, never a global sort
+    t = plan_tree(_fn("brandes_dependency_hub")(spark, sf_dir))
+    assert "TakeOrderedAndProject" in t, t
