@@ -433,3 +433,38 @@ def test_r8_third_wave_plans(spark, sf_dir):
     # brandes: top-20 is a TakeOrdered heap, never a global sort
     t = plan_tree(_fn("brandes_dependency_hub")(spark, sf_dir))
     assert "TakeOrderedAndProject" in t, t
+
+
+def test_hits_matches_python_replay(spark, sf_dir):
+    """Exact integer replay of the 2-round max-normalized HITS
+    recurrence on the customer->supplier purchase graph."""
+    import collections
+
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey"])
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_suppkey"])
+    m = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    w = collections.Counter(zip(m["o_custkey"], m["l_suppkey"]))
+    h = {c: 10**6 for c in {k[0] for k in w}}
+    a = {}
+    for _ in range(2):
+        ar = collections.Counter()
+        for (c, s), wt in w.items():
+            ar[s] += wt * h[c]
+        mx = max(ar.values())
+        a = {s: r * 10**6 // mx for s, r in ar.items()}
+        hr = collections.Counter()
+        for (c, s), wt in w.items():
+            hr[c] += wt * a[s]
+        mx = max(hr.values())
+        h = {c: r * 10**6 // mx for c, r in hr.items()}
+    expect = sorted(
+        [("authority", int(s), v) for s, v in a.items()],
+        key=lambda r: (-r[2], r[1]))[:20] + sorted(
+        [("hub", int(c), v) for c, v in h.items()],
+        key=lambda r: (-r[2], r[1]))[:20]
+    expect.sort(key=lambda r: (r[0], -r[2], r[1]))
+    got = [tuple(r) for r in _fn("hits_fixed_scores")(
+        spark, sf_dir).collect()]
+    assert got == expect
