@@ -76,7 +76,12 @@ def main() -> int:
             oc, orows = canon(con.sql(oracles[name]).df())
             if not (sc == oc and sr == orows):
                 fails.append(name)
-        print(name, "MISMATCH" if name in fails else "ok", flush=True)
+        # a 0-row result still hash-matches a 0-row oracle — loud flag
+        # so vacuous greens get eyeballed (some are legit: sparse-graph
+        # ops can be empty at one SF; a NEW query should never be)
+        note = " (0 ROWS — vacuous match?)" if len(sdf) == 0 else ""
+        print(name, ("MISMATCH" if name in fails else "ok") + note,
+              flush=True)
     print(f"{len(names) - len(fails)}/{len(names)} pass")
     if fails:
         print("FAILED:", " ".join(fails))
