@@ -3062,6 +3062,143 @@ def q_good_turing_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# RANSAC robust trend fit (deterministic md5 trials, integer inlier test)
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "ransac_trend_fit",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS x,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders GROUP BY x
+    ),
+    ix AS (
+      SELECT x, y, ROW_NUMBER() OVER (ORDER BY x) - 1 AS i,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n,
+             CAST(SUM(y) OVER () // COUNT(*) OVER () // 10 AS BIGINT)
+               AS tol
+      FROM d
+    ),
+    tr AS (
+      SELECT t.t,
+             CAST('0x' || substr(md5('ransac|' || CAST(t.t AS VARCHAR)
+                                     || '|1'), 1, 15) AS BIGINT)
+               % (SELECT MAX(n) FROM ix) AS i1,
+             CAST('0x' || substr(md5('ransac|' || CAST(t.t AS VARCHAR)
+                                     || '|2'), 1, 15) AS BIGINT)
+               % (SELECT MAX(n) FROM ix) AS i2
+      FROM (SELECT CAST(unnest(range(0, 16)) AS BIGINT) AS t) t
+    ),
+    mdl AS (
+      SELECT tr.t, a.x AS x1, a.y AS y1,
+             b.x - a.x AS dx, b.y - a.y AS dy
+      FROM tr JOIN ix a ON a.i = tr.i1 JOIN ix b ON b.i = tr.i2
+      WHERE tr.i1 <> tr.i2
+    ),
+    cnt AS (
+      SELECT m.t, m.x1, m.dx, m.dy,
+             CAST(SUM(CASE WHEN
+               abs((p.y - m.y1) * m.dx - (p.x - m.x1) * m.dy)
+               <= p.tol * abs(m.dx) THEN 1 ELSE 0 END) AS BIGINT)
+               AS inliers
+      FROM mdl m CROSS JOIN ix p
+      GROUP BY m.t, m.x1, m.dx, m.dy
+    )
+    SELECT t AS trial, inliers,
+           CAST(dy * 1000000 // dx AS BIGINT) AS slope_e6,
+           CASE WHEN ROW_NUMBER() OVER (ORDER BY inliers DESC, t) = 1
+                THEN 1 ELSE 0 END AS best
+    FROM cnt ORDER BY trial
+    """,
+    doc="RANSAC robust line fit (Fischler & Bolles 1981, CACM) of the "
+        "daily-revenue trend with DETERMINISTIC trials: 16 md5-seeded "
+        "2-point samples (the established dyadic-hash discipline — no "
+        "rand(), so both engines draw identical models), each scored by "
+        "its inlier count where the inlier test is pure cross-"
+        "multiplied int64: |(y-y1)dx - (x-x1)dy| <= tol·|dx| (no "
+        "division anywhere; tol = 10% of mean daily cents by exact "
+        "integer division). Output: all trials with slope_e6 and the "
+        "argmax flag — the outlier-immune alternative to the OLS trend "
+        "(ols_trend_daily) and the robust cousin of theil_sen_slope. "
+        "Degenerate same-index trials are dropped identically in both "
+        "engines. Scale: the fact collapses to day grain first; trials "
+        "x days is 16·|calendar| cells — constant-bounded, never "
+        "row-level; one broadcastable model table against the day scan",
+)
+def q_ransac_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import portable_hash60
+    from .functions.windows import bounded_window
+
+    o = _t(spark, sf_dir, "orders")
+    d = o.groupBy(
+        F.datediff(F.col("o_orderdate").cast("date"),
+                   F.lit("1970-01-01").cast("date")).cast("long").alias("x")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .cast("long").alias("y")
+    )
+    w = bounded_window().orderBy("x")
+    wall = bounded_window().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ix = d.select(
+        "x", "y",
+        (F.row_number().over(w) - 1).cast("long").alias("i"),
+        F.count("*").over(wall).cast("long").alias("n"),
+        F.sum("y").over(wall).cast("long").alias("sy"),
+    ).select(
+        "x", "y", "i", "n",
+        F.expr("sy div n div 10").cast("long").alias("tol"),
+    ).localCheckpoint()  # consumed by endpoints AND the scoring scan
+    n_days = ix.agg(F.max("n").alias("nd"))
+    tr = (
+        spark.range(16).select(F.col("id").alias("t"))
+        .crossJoin(F.broadcast(n_days))
+        .select(
+            "t",
+            (portable_hash60(
+                F.concat(F.lit("ransac|"), F.col("t").cast("string"),
+                         F.lit("|1"))) % F.col("nd")).alias("i1"),
+            (portable_hash60(
+                F.concat(F.lit("ransac|"), F.col("t").cast("string"),
+                         F.lit("|2"))) % F.col("nd")).alias("i2"),
+        )
+        .filter(F.col("i1") != F.col("i2"))
+    )
+    a = ix.select(F.col("i").alias("i1"), F.col("x").alias("x1"),
+                  F.col("y").alias("y1"))
+    b = ix.select(F.col("i").alias("i2"), F.col("x").alias("x2"),
+                  F.col("y").alias("y2"))
+    mdl = (
+        tr.join(F.broadcast(a), "i1").join(F.broadcast(b), "i2")
+        .select("t", "x1", "y1",
+                (F.col("x2") - F.col("x1")).alias("dx"),
+                (F.col("y2") - F.col("y1")).alias("dy"))
+    )
+    inlier = (
+        F.abs((F.col("y") - F.col("y1")) * F.col("dx")
+              - (F.col("x") - F.col("x1")) * F.col("dy"))
+        <= F.col("tol") * F.abs(F.col("dx"))
+    )
+    cnt = (
+        F.broadcast(mdl).crossJoin(ix)
+        .groupBy("t", "x1", "dx", "dy")
+        .agg(F.sum(F.when(inlier, 1).otherwise(0)).cast("long")
+             .alias("inliers"))
+    )
+    wbest = bounded_window().orderBy(F.desc("inliers"), "t")
+    return cnt.select(
+        F.col("t").alias("trial"), "inliers",
+        F.expr("dy * 1000000 div dx").cast("long").alias("slope_e6"),
+        F.when(F.row_number().over(wbest) == 1, 1).otherwise(0)
+        .alias("best"),
+    ).orderBy("trial")
+
+
 # Self-register ONLY under the round-8 gate (this module is imported both
 # by queries.py under the gate and directly by tests without it).
 import os as _os

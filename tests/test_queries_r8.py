@@ -468,3 +468,13 @@ def test_hits_matches_python_replay(spark, sf_dir):
     got = [tuple(r) for r in _fn("hits_fixed_scores")(
         spark, sf_dir).collect()]
     assert got == expect
+
+
+def test_ransac_best_beats_random_and_is_unique(spark, sf_dir):
+    """Exactly one best trial; the winner's inlier count is the max;
+    slope is finite (dx != 0 by the distinct-index guard)."""
+    out = _fn("ransac_trend_fit")(spark, sf_dir).toPandas()
+    assert 1 <= len(out) <= 16
+    assert int(out["best"].sum()) == 1
+    winner = out[out["best"] == 1].iloc[0]
+    assert int(winner["inliers"]) == int(out["inliers"].max())
