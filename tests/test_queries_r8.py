@@ -472,9 +472,16 @@ def test_hits_matches_python_replay(spark, sf_dir):
 
 def test_ransac_best_beats_random_and_is_unique(spark, sf_dir):
     """Exactly one best trial; the winner's inlier count is the max;
-    slope is finite (dx != 0 by the distinct-index guard)."""
-    out = _fn("ransac_trend_fit")(spark, sf_dir).toPandas()
+    every trial produced a slope (dx != 0 by the distinct-index guard);
+    the 16-model x day-series scoring join never degrades to a
+    CartesianProduct."""
+    from gan_deeplearning4j_spark.plans.explain import plan_tree
+
+    df = _fn("ransac_trend_fit")(spark, sf_dir)
+    assert "CartesianProduct" not in plan_tree(df)
+    out = df.toPandas()
     assert 1 <= len(out) <= 16
     assert int(out["best"].sum()) == 1
+    assert out["slope_e6"].notna().all()
     winner = out[out["best"] == 1].iloc[0]
     assert int(winner["inliers"]) == int(out["inliers"].max())
