@@ -2699,11 +2699,17 @@ from . import queries_r6   # noqa: E402,F401  (import side effect: registration)
 # idempotent, so the double-trigger is harmless).
 from . import queries_r7  # noqa: E402,F401  (side effect: registration)
 
-# Round-8 staging: same pattern — new queries written during round 7 stay
-# behind SPARK_GRAFT_R8 until CORRECTNESS_r07 lands, so the round-7 driver
-# window stays exactly the current never-green set. queries_r8 gates its
+# Round-8 wave: staged during round 7 behind SPARK_GRAFT_R8, registered
+# unconditionally now that CORRECTNESS_r07 confirmed the full round-7
+# window green (50/50 hash-match). queries_r8 SELF-registers at its module
+# bottom (same both-import-orders rationale as queries_r7 above).
+from . import queries_r8  # noqa: E402,F401  (side effect: registration)
+
+# Round-9 staging: same pattern — new queries written during round 8 stay
+# behind SPARK_GRAFT_R9 until CORRECTNESS_r08 lands, so the round-8 driver
+# window stays exactly the current never-green set. queries_r9 gates its
 # own self-registration on the env var.
 import os as _os  # noqa: E402
 
-if _os.environ.get("SPARK_GRAFT_R8"):
-    from . import queries_r8  # noqa: F401  (side effect: registration)
+if _os.environ.get("SPARK_GRAFT_R9"):
+    from . import queries_r9  # noqa: F401  (side effect: registration)

@@ -1,15 +1,11 @@
-"""Round-8 staged queries — written during round 7, registered in round 8.
+"""Round-8 query wave — written during round 7, registered in round 8.
 
-Same staging pattern as queries_r7 (see its module docstring): the round-7
-driver window is pinned to the current never-green prefix (the 20 round-7
-entries), so anything new written this round stays behind ``SPARK_GRAFT_R8=1``
-until CORRECTNESS_r07 lands and round 8 makes registration unconditional.
-
-Local verification (identical gates to registered queries):
-
-    SPARK_GRAFT_R8=1 python scripts/driver_replica.py <names...>
-    SPARK_GRAFT_R8=1 python scripts/check_parity.py <names...>
-"""
+Staged behind ``SPARK_GRAFT_R8=1`` through round 7 (same pattern as
+queries_r7; see its module docstring), then flipped to unconditional
+registration once CORRECTNESS_r07 confirmed the full round-7 driver window
+green (50/50 hash-match). All 34 entries were hash-verified locally at
+3 SFs + strict parity + shuffle3/noaqe/noansi perturbations before the
+driver ever saw them (SCALE.md)."""
 
 from __future__ import annotations
 
@@ -21,8 +17,7 @@ from pyspark.sql import functions as F
 from .queries import _t
 
 # name -> (fn, oracle, headline, doc); materialized into the real registry
-# by register_all() (round 8) or under SPARK_GRAFT_R8=1 (round-7 local
-# verification).
+# by register_all() at module bottom.
 STAGED: dict[str, tuple] = {}
 
 
@@ -3199,9 +3194,7 @@ def q_ransac_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("trial")
 
 
-# Self-register ONLY under the round-8 gate (this module is imported both
-# by queries.py under the gate and directly by tests without it).
-import os as _os
-
-if _os.environ.get("SPARK_GRAFT_R8"):
-    register_all()
+# Self-register at module bottom: by the time execution reaches here,
+# .queries is initialized far enough (register/REGISTRY are defined above
+# its own bottom import of this module), under EITHER import order.
+register_all()
