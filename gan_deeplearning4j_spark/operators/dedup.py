@@ -762,6 +762,21 @@ def _cc_star_contraction(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # contract parity with mode="prop": a node whose ONLY edges are
+    # self-loops is still "incident to an edge" and must come out as its
+    # own singleton component — the u != v filter above would otherwise
+    # drop it from the output entirely
+    loop_singletons = (
+        edges.filter(F.col(src) == F.col(dst))
+        .select(F.col(src).alias("node"))
+        .distinct()
+        .join(
+            E.select(F.col("u").alias("node"))
+            .union(E.select(F.col("v").alias("node"))),
+            "node", "left_anti",
+        )
+        .select("node", F.col("node").alias("comp"))
+    )
     n_prev = E.count()
     converged = False
     for _ in range(max_iter):
@@ -807,10 +822,11 @@ def _cc_star_contraction(
             RuntimeWarning,
             stacklevel=3,
         )
-    # stars: (member, root) edges with root < member; roots label themselves
+    # stars: (member, root) edges with root < member; roots label themselves;
+    # self-loop-only nodes rejoin as singletons (parity with mode="prop")
     return E.select(F.col("u").alias("node"), F.col("v").alias("comp")).union(
         E.select(F.col("v").alias("node"), F.col("v").alias("comp")).distinct()
-    ).distinct()
+    ).distinct().union(loop_singletons)
 
 
 def dedup_clusters(

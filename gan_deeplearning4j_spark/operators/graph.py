@@ -132,6 +132,7 @@ HITS_SCALE = 1_000_000        # hub/authority fixed-point scale
 def hits_fixed(
     edges: DataFrame, src: str = "c", dst: str = "s",
     weight: str = "w", rounds: int = 2,
+    broadcast_nodes_max: int = 10_000_000,
 ) -> tuple[DataFrame, DataFrame]:
     """HITS hubs & authorities (Kleinberg 1999) on a weighted directed
     edge list, max-normalized to HITS_SCALE after every half-step so
@@ -140,21 +141,47 @@ def hits_fixed(
     ``(authorities, hubs)`` as (node, score) DataFrames with scores in
     e6 units.
 
-    Scale shape: each half-step broadcasts the e6 score vector into one
-    edge-list aggregate — O(rounds) broadcast joins, no re-shuffle of
-    the edge list (materialized once); the 1-row max normalizer is a
-    broadcast cross join. The forced broadcast is right while the score
-    vector (one row per node on that side) fits an executor — up to
-    ~1e7 nodes; drop the hint and let AQE pick a shuffled join at
-    billion-node scale. int64 bound: w·h ≤ total_weight · 1e6 must
-    stay < 2^63 (~9.2e12 total edge weight) — switch the half-step sums
-    to per-partition modular folds before graphs that large."""
+    Scale shape: each half-step joins the e6 score vector into one
+    edge-list aggregate — O(rounds) joins, no re-shuffle of the edge
+    list (materialized once); the 1-row max normalizer is a broadcast
+    cross join. The score-vector join is broadcast ONLY while the
+    vector (one row per node on that side) fits an executor: a cheap
+    approx-distinct probe on the materialized edge list picks the hint
+    when both sides are under ``broadcast_nodes_max`` (~1e7 default)
+    and falls back to a plain shuffled join above it — measured at
+    58.7M edges the broadcast path was the bottleneck (SCALE.md), so
+    the fallback is automatic rather than a documented caveat. Weights
+    must be positive: an all-zero (or null-cast) weight column would
+    make the max-normalizer divide by zero and propagate nulls through
+    every later round, so it is rejected loudly on entry. int64 bound:
+    w·h ≤ total_weight · 1e6 must stay < 2^63 (~9.2e12 total edge
+    weight) — switch the half-step sums to per-partition modular folds
+    before graphs that large."""
     if rounds < 1:
         raise ValueError(f"hits_fixed: rounds must be >= 1, got {rounds}")
     e = edges.select(
         F.col(src).alias("c"), F.col(dst).alias("s"),
         F.col(weight).cast("long").alias("w"),
     ).localCheckpoint(eager=True)
+    # one probe job over the checkpointed edges: weight validity + the
+    # per-side node counts that decide the join strategy below
+    probe = e.agg(
+        F.count_if(F.col("w").isNull() | (F.col("w") <= 0)).alias("bad"),
+        F.approx_count_distinct("c").alias("nc"),
+        F.approx_count_distinct("s").alias("ns"),
+    ).collect()[0]
+    if probe["bad"]:
+        raise ValueError(
+            f"hits_fixed: {probe['bad']} edges have null/zero/negative "
+            f"{weight!r} — weights must be positive (a degenerate weight "
+            "column would null out the max-normalizer)"
+        )
+    if max(probe["nc"], probe["ns"]) <= broadcast_nodes_max:
+        def score_join(vec: DataFrame) -> DataFrame:
+            return F.broadcast(vec)
+    else:
+        def score_join(vec: DataFrame) -> DataFrame:
+            return vec
     h = e.select("c").distinct().select(
         "c", F.lit(HITS_SCALE).cast("long").alias("h")
     )
@@ -169,12 +196,12 @@ def hits_fixed(
     a = None
     for _ in range(rounds):
         ar = (
-            e.join(F.broadcast(h), "c")
+            e.join(score_join(h), "c")
             .groupBy("s").agg(F.sum(F.col("w") * F.col("h")).alias("r"))
         )
         a = norm(ar, "a")
         hr = (
-            e.join(F.broadcast(a), "s")
+            e.join(score_join(a), "s")
             .groupBy("c").agg(F.sum(F.col("w") * F.col("a")).alias("r"))
         )
         h = norm(hr, "h")

@@ -110,12 +110,36 @@ try:  # pyspark >= 4.0
                     n += 1
             return _ShardCommit(tmp, f"shard-{pid:05d}.jsonl", n)
 
+        def _sweep_tmp(self) -> None:
+            """Remove leftover .tmp-*.jsonl from failed or speculatively
+            retried task attempts — temp names are exclusively owned by
+            this sink, and abort()/commit() messages only cover attempts
+            that actually returned a receipt."""
+            import glob
+            import os
+
+            for leftover in glob.glob(
+                    os.path.join(self.path, ".tmp-*.jsonl")):
+                try:
+                    os.remove(leftover)
+                except FileNotFoundError:
+                    pass
+
         def commit(self, messages) -> None:
             """Driver-side publish: rename temps, then write the manifest
-            LAST (readers treat the manifest as the commit marker)."""
+            LAST (readers treat the manifest as the commit marker). In
+            overwrite mode, stale shards from a previous larger write are
+            removed first so a `*.jsonl` glob (not just the manifest) sees
+            exactly this commit's data."""
+            import glob
             import json
             import os
 
+            new_names = {m.final for m in messages}
+            if self.overwrite:
+                for old in glob.glob(os.path.join(self.path, "*.jsonl")):
+                    if os.path.basename(old) not in new_names:
+                        os.remove(old)
             shards = []
             for m in messages:
                 os.replace(m.tmp, os.path.join(self.path, m.final))
@@ -124,6 +148,7 @@ try:  # pyspark >= 4.0
             with open(manifest + ".tmp", "w") as f:
                 json.dump(sorted(shards, key=lambda s: s["shard"]), f)
             os.replace(manifest + ".tmp", manifest)
+            self._sweep_tmp()
 
         def abort(self, messages) -> None:
             import os
@@ -133,6 +158,7 @@ try:  # pyspark >= 4.0
                     os.remove(m.tmp)
                 except FileNotFoundError:
                     pass
+            self._sweep_tmp()
 
     HAVE_PY_DATASOURCE = True
 except ImportError:  # pragma: no cover - pyspark < 4 fallback

@@ -80,17 +80,22 @@ class SnapshotTable:
         manifest["version"] = new_version
         manifest["committed_at"] = time.time()
         mp = self._manifest_path(new_version)
-        # a manifest that already exists means a racing writer won the
-        # version slot: surface it as a conflict, never overwrite history
-        if os.path.exists(mp):
-            raise SnapshotConflictError(
-                f"snapshot: version v{new_version} already committed"
-            )
         os.makedirs(self._manifest_dir, exist_ok=True)
         fd, tmp = tempfile.mkstemp(dir=self._manifest_dir, suffix=".tmp")
         with os.fdopen(fd, "w") as f:
             json.dump(manifest, f, indent=1)
-        os.replace(tmp, mp)
+        # claim the version slot with an exclusive link: os.link fails with
+        # FileExistsError if a racing writer already published v{N+1}, so
+        # the manifest write itself is the atomic CAS (a read-then-replace
+        # would silently clobber the loser's history)
+        try:
+            os.link(tmp, mp)
+        except FileExistsError:
+            raise SnapshotConflictError(
+                f"snapshot: version v{new_version} already committed"
+            ) from None
+        finally:
+            os.unlink(tmp)
         fd, tmp = tempfile.mkstemp(dir=self.path, suffix=".tmp")
         with os.fdopen(fd, "w") as f:
             f.write(str(new_version))

@@ -153,3 +153,43 @@ def test_sharded_jsonl_sink_two_phase_commit(spark, tmp_path):
     assert back.count() == 1000
     got = back.selectExpr("sum(id) s", "sum(v) sv").collect()[0]
     assert (got.s, got.sv) == (499500, 1498500)
+
+
+def test_sharded_jsonl_sink_overwrite_removes_stale_shards(spark, tmp_path):
+    """mode('overwrite') onto a directory holding a previous LARGER write
+    must not leave stale shards behind: a `*.jsonl` glob (not just the
+    manifest) sees exactly the new data. Leftover task-attempt temps are
+    swept too."""
+    import os
+
+    from gan_deeplearning4j_spark.sources.pydatasource import (
+        HAVE_PY_DATASOURCE,
+        ShardedJsonlSink,
+    )
+
+    if not HAVE_PY_DATASOURCE:
+        import pytest
+
+        pytest.skip("pyspark < 4: no Python DataSource API")
+
+    spark.dataSource.register(ShardedJsonlSink)
+    out = str(tmp_path / "shards")
+    big = spark.range(800).selectExpr("id", "id as v").repartition(8)
+    big.write.format("sharded_jsonl").mode("append").save(out)
+    assert len([n for n in os.listdir(out) if n.startswith("shard-")]) == 8
+
+    # a failed attempt's temp file that no commit message covers
+    with open(os.path.join(out, ".tmp-deadbeef.jsonl"), "w") as f:
+        f.write('{"id": 0, "v": 0}\n')
+
+    small = spark.range(100).selectExpr("id", "id * 2 as v").repartition(2)
+    small.write.format("sharded_jsonl").mode("overwrite").save(out)
+
+    names = sorted(os.listdir(out))
+    shards = [n for n in names if n.endswith(".jsonl")
+              and not n.startswith(".")]
+    assert len(shards) == 2                      # the 6 stale shards gone
+    assert not [n for n in names if n.startswith(".tmp-")]
+    back = spark.read.json(os.path.join(out, "*.jsonl"))
+    assert back.count() == 100                   # glob readers see new only
+    assert back.selectExpr("sum(v) sv").collect()[0].sv == 9900

@@ -266,13 +266,18 @@ def test_connected_components_logn_matches_prop(spark):
 
     from gan_deeplearning4j_spark.operators.dedup import connected_components
 
-    cases = [[(0, 1), (1, 2), (2, 3), (10, 11), (20, 21), (21, 22)]]
+    cases = [
+        [(0, 1), (1, 2), (2, 3), (10, 11), (20, 21), (21, 22)],
+        # self-loop contract (ADVICE r7): node 7 has ONLY a self-loop and
+        # must come out as its own singleton in BOTH modes; node 1 has a
+        # self-loop AND real edges and must appear exactly once
+        [(0, 1), (1, 1), (7, 7), (3, 4)],
+    ]
     for seed, n, m in ((1, 60, 40), (2, 120, 150), (3, 200, 90)):
         rng = random.Random(seed)
         cases.append(
             [(a, b) for a, b in
-             ((rng.randrange(n), rng.randrange(n)) for _ in range(m))
-             if a != b]
+             ((rng.randrange(n), rng.randrange(n)) for _ in range(m))]
         )
     # prop needs max_iter >= the min node's eccentricity: the seed-3 graph
     # has a 38-node tree component that the default 20 rounds do NOT cover
@@ -1039,3 +1044,58 @@ def test_connected_components_materializes_edges_once(spark):
     assert {(1, 1), (2, 1), (3, 1), (4, 1), (5, 1), (7, 7), (8, 7)} == rows
     # 5 edges, read once by each of the two union branches
     assert calls.value <= 10, calls.value
+
+
+def test_hits_fixed_rejects_degenerate_weights(spark):
+    """An all-zero (or null) weight column would make the max-normalizer
+    divide by zero and silently propagate nulls through every round —
+    it must fail loudly on entry instead (ADVICE r7)."""
+    import pytest
+
+    from gan_deeplearning4j_spark.operators.graph import hits_fixed
+
+    bad = spark.createDataFrame(
+        [(1, 10, 0), (2, 10, 0)], "c long, s long, w long"
+    )
+    with pytest.raises(ValueError, match="weights must be positive"):
+        hits_fixed(bad, "c", "s", "w")
+    nulls = spark.createDataFrame(
+        [(1, 10, None), (2, 11, 3)], "c long, s long, w long"
+    )
+    with pytest.raises(ValueError, match="weights must be positive"):
+        hits_fixed(nulls, "c", "s", "w")
+
+
+def test_hits_fixed_shuffle_fallback_matches_broadcast(spark):
+    """Past the broadcast_nodes_max probe threshold the score-vector join
+    must drop the broadcast hint (plain shuffled join) and still produce
+    IDENTICAL e6 scores — the 100x behavior is automatic, not documented
+    (VERDICT r7 #4)."""
+    import random
+
+    from gan_deeplearning4j_spark.operators.graph import hits_fixed
+
+    rng = random.Random(8)
+    edges = spark.createDataFrame(
+        [(rng.randrange(40), 100 + rng.randrange(30), 1 + rng.randrange(5))
+         for _ in range(200)],
+        "c long, s long, w long",
+    )
+
+    def run(df_pair):
+        auth, hub = df_pair
+        return (
+            sorted((r["node"], r["score_e6"]) for r in auth.collect()),
+            sorted((r["node"], r["score_e6"]) for r in hub.collect()),
+        )
+
+    bc = hits_fixed(edges, "c", "s", "w", rounds=2)
+    sh = hits_fixed(edges, "c", "s", "w", rounds=2, broadcast_nodes_max=0)
+    # the fallback plan really dropped the hint on the score join: only
+    # the 1-row normalizer broadcast remains (rendered as
+    # `strategy=broadcast` on the optimized plan's Join nodes)
+    plan_bc = bc[0]._jdf.queryExecution().optimizedPlan().toString()
+    plan_sh = sh[0]._jdf.queryExecution().optimizedPlan().toString()
+    assert plan_bc.count("strategy=broadcast") > plan_sh.count(
+        "strategy=broadcast")
+    assert run(bc) == run(sh)

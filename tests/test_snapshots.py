@@ -45,6 +45,39 @@ def test_snapshot_optimistic_concurrency(spark, tmp_path):
     assert t.read(spark).count() == 7
 
 
+def test_snapshot_manifest_slot_is_claimed_exclusively(spark, tmp_path):
+    """The TOCTOU race the expected_version guard can't see: a racing
+    writer publishes v{N+1} between our HEAD read and our manifest write.
+    The manifest slot claim must be an exclusive create — the loser gets
+    SnapshotConflictError and the winner's manifest is NOT clobbered."""
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.commit(_df(spark, 0, 5))                         # v0
+
+    real_version = t.version
+    stale_head = real_version()                        # our writer sees v0
+    # simulate the race: after our writer reads HEAD (v0), a second writer
+    # lands v1 before our manifest write — our writer keeps acting on the
+    # stale head it already read
+    def stale_head_with_racer():
+        t2 = SnapshotTable(str(tmp_path / "tbl"))
+        if not os.path.exists(t2._manifest_path(1)):
+            t2._publish({"files": ["data/x/winner.parquet"],
+                         "operation": "append"}, None)
+        return stale_head
+
+    t.version = stale_head_with_racer
+    with pytest.raises(SnapshotConflictError, match="already committed"):
+        t.commit(_df(spark, 5, 9))
+    t.version = real_version
+    # the winner's manifest survived untouched
+    assert t._read_manifest(1)["files"] == ["data/x/winner.parquet"]
+    # and no stray temp files leaked into the manifest dir
+    assert not [f for f in os.listdir(t._manifest_dir)
+                if f.endswith(".tmp")]
+    # a clean retry on the fresh head proceeds to v2
+    assert t.commit(_df(spark, 5, 9)) == 2
+
+
 def test_snapshot_rollback_preserves_history(spark, tmp_path):
     t = SnapshotTable(str(tmp_path / "tbl"))
     t.commit(_df(spark, 0, 10))
