@@ -124,13 +124,21 @@ def main() -> None:
             "embedding_neardup_lsh", "heavy_hitters_exact", "bigram_top20",
             "dedup_clusters",
         ),
-        # + ivfpq_fixed_topk (added r7) — the full current headline set
+        # + ivfpq_fixed_topk (added r7)
         "r7_15q": (
             "argmax_accuracy", "param_average", "topk_per_group",
             "tpch_q1_pricing", "tpch_q3_shipping", "tpch_q5_volume",
             "events_tumbling", "doc_stats", "cosine_topk", "minhash_dedup",
             "embedding_neardup_lsh", "heavy_hitters_exact", "bigram_top20",
             "dedup_clusters", "ivfpq_fixed_topk",
+        ),
+        # + pagerank_fixed_topk (added r8) — the full current headline set
+        "r8_16q": (
+            "argmax_accuracy", "param_average", "topk_per_group",
+            "tpch_q1_pricing", "tpch_q3_shipping", "tpch_q5_volume",
+            "events_tumbling", "doc_stats", "cosine_topk", "minhash_dedup",
+            "embedding_neardup_lsh", "heavy_hitters_exact", "bigram_top20",
+            "dedup_clusters", "ivfpq_fixed_topk", "pagerank_fixed_topk",
         ),
     }
     out["subtotals_median"] = {

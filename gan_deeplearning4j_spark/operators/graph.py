@@ -9,7 +9,7 @@ PageRank sums diverge across engines at the ulp level after one iteration.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 PR_SCALE = 1_000_000          # rank fixed-point scale (ppm)
@@ -18,6 +18,7 @@ PR_DAMP_NUM, PR_DAMP_DEN = 85, 100   # damping 0.85 as an exact ratio
 
 def pagerank_fixed(
     edges: DataFrame, src: str = "src", dst: str = "dst", iters: int = 3,
+    broadcast_nodes_max: int = 10_000_000,
 ) -> DataFrame:
     """Fixed-point PageRank over an UNDIRECTED view of ``edges``.
 
@@ -39,20 +40,33 @@ def pagerank_fixed(
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     und = e.union(
         e.select(F.col("d").alias("s"), F.col("s").alias("d"))
-    ).distinct().localCheckpoint(eager=True)
-    deg = und.groupBy("s").agg(
-        F.count("*").alias("deg")
+    ).distinct()
+    # fold the out-degree into the edge list ONCE (one window over the
+    # src-keyed shuffle the distinct above already paid for) — the old
+    # shape re-joined deg against und inside every iteration
+    und_deg = und.withColumn(
+        "deg", F.count("*").over(Window.partitionBy("s"))
     ).localCheckpoint(eager=True)
-    ranks = und.select(F.col("s").alias("node")).distinct().withColumn(
-        "rank", F.lit(PR_SCALE).cast("long")
-    )
+    nodes = und_deg.select(
+        F.col("s").alias("node")
+    ).distinct().localCheckpoint(eager=True)
+    ranks = nodes.withColumn("rank", F.lit(PR_SCALE).cast("long"))
+    # the rank table is O(nodes) — broadcast it into the per-iteration
+    # edge join while it fits an executor (exact count, checkpoint-local),
+    # plain shuffled join above the threshold (same automatic-fallback
+    # contract as hits_fixed)
+    n_nodes = nodes.count()
+    if n_nodes <= broadcast_nodes_max:
+        def rank_join(vec: DataFrame) -> DataFrame:
+            return F.broadcast(vec)
+    else:
+        def rank_join(vec: DataFrame) -> DataFrame:
+            return vec
     base = (PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM)) // PR_DAMP_DEN
     for _ in range(iters):
-        contrib = (
-            und.join(ranks, und.s == ranks.node)
-            .join(deg, "s")
-            .select(F.col("d"), F.expr("rank div deg").alias("c"))
-        )
+        contrib = und_deg.join(
+            rank_join(ranks), und_deg.s == ranks.node
+        ).select(F.col("d"), F.expr("rank div deg").alias("c"))
         ranks = contrib.groupBy("d").agg(
             (
                 F.lit(base)

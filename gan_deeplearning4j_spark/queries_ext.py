@@ -1988,6 +1988,9 @@ def _pagerank_oracle(iters: int = 3, k: int = 20) -> str:
 @register(
     "pagerank_fixed_topk",
     oracle=_pagerank_oracle(),
+    headline=True,  # the iterative-graph bench anchor since r8 (verdict
+    # ask: iterative join+agg shuffles are where a planner regression
+    # would hide; dedup and ANN already have their anchors)
     doc="Fixed-point PageRank (3 iterations, damping 85/100, ppm scale) "
         "over the undirected customer-supplier trade graph derived from "
         "lineitem x orders; top-20 nodes. Iterative DataFrame algorithm "

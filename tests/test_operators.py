@@ -865,6 +865,16 @@ def test_pagerank_fixed_hand_graph(spark):
     expect = {1: 936250, 2: 1127500, 3: 936250}
     assert run(edges) == expect
     assert run(edges.repartition(5)) == expect
+    # past the broadcast threshold the rank join falls back to a plain
+    # shuffled join with IDENTICAL ranks (int64 arithmetic is join-
+    # strategy invariant) — same automatic-fallback contract as HITS
+    shuffled = {
+        r["node"]: r["rank"]
+        for r in pagerank_fixed(
+            edges, iters=2, broadcast_nodes_max=0
+        ).collect()
+    }
+    assert shuffled == expect
 
 
 def test_hll_sketch_merge_consistency(spark, sf_dir):
