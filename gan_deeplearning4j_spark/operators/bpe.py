@@ -327,3 +327,33 @@ def train_bpe(
             )
         syms = syms.localCheckpoint()
     return merges, syms
+
+
+def apply_bpe(
+    words: DataFrame, merges: list[tuple[int, str, str, int]],
+    word_col: str = "word", ckpt_every: int = 6,
+) -> DataFrame:
+    """Tokenize a distinct-word relation by replaying a trained merge
+    table: the APPLY half of the BPE workflow (the trainer's final symbol
+    table covers only the training vocabulary; this runs the same greedy
+    left-to-right non-overlapping ``_merge_fold`` over ANY word set, in
+    merge-rank order — exactly what a tokenizer does at inference).
+    Returns (word, syms). Registered query ``bpe_tokenize_fertility_fixed``
+    hash-checks this path against a DuckDB recursive-CTE replay.
+
+    Scale shape: pure chained Catalyst projections over the distinct-word
+    relation — no shuffle, no UDF, no driver data. ``ckpt_every`` bounds
+    expression-tree growth: CollapseProject would otherwise inline all
+    n_merges folds into one expression and blow janino's 64 KB method
+    limit into silent interpreted fallback (SCALE.md); a localCheckpoint
+    every few merges keeps each compiled stage small. For production-size
+    merge tables (32k+), batch the independent prefixes exactly as the
+    trainer does (_safe_merge_batch)."""
+    df = words.select(
+        F.col(word_col).alias("word"), F.split(word_col, "").alias("syms")
+    )
+    for i, (rank, left, right, _cnt) in enumerate(sorted(merges)):
+        df = df.select("word", _merge_fold(left, right).alias("syms"))
+        if (i + 1) % ckpt_every == 0:
+            df = df.localCheckpoint(eager=True)
+    return df

@@ -3194,6 +3194,147 @@ def q_ransac_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("trial")
 
 
+
+# ---------------------------------------------------------------------------
+# Round-8 live additions (registered this round; the window math allows up
+# to 16 new never-green entries on top of the 34-query formerly-staged wave)
+# ---------------------------------------------------------------------------
+
+# BPE tokenize promoted to hash-grade (the r7 verdict ask, mirroring how
+# training was promoted in r7): ONE DuckDB recursion carries BOTH the
+# training vocabulary (winner selection + merge, exactly _BPE_FIX_ORACLE)
+# AND the full-corpus apply vocabulary, applying each round's winning merge
+# to both with the same greedy left-to-right non-overlapping rule — i.e.
+# the oracle replays train-then-tokenize end to end, not just the merges.
+from .queries_r7 import (  # noqa: E402  (oracle building blocks, proven r7)
+    _BPE_FIX_BEST,
+    _BPE_FIX_MERGEAT,
+    _BPE_FIX_MERGES,
+    _BPE_FIX_NEWVOCAB,
+    _BPE_FIX_WORDS,
+)
+
+_BPE_APPLY_NEWVOCAB = """
+list_transform(apv, v ->
+  struct_pack(w := v.w,
+    s := flatten(list_transform(range(1, len(v.s) + 1), i ->
+      CASE
+        WHEN i < len(v.s) AND ({m_i}) THEN [b.l || b.r]
+        WHEN i > 1 AND ({m_im1}) THEN []
+        ELSE [v.s[i]]
+      END))))
+""".format(m_i=_BPE_FIX_MERGEAT.format(i="i"),
+           m_im1=_BPE_FIX_MERGEAT.format(i="(i-1)"))
+
+_BPE_TOKENIZE_ORACLE = f"""
+WITH RECURSIVE
+tok AS (
+  SELECT t.w AS word, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM documents, unnest(string_split(text, ' ')) AS t(w)
+  WHERE regexp_matches(t.w, '^[a-z]{{2,12}}$')
+  GROUP BY t.w
+  ORDER BY freq DESC, t.w
+  LIMIT {_BPE_FIX_WORDS}
+),
+allw AS (
+  SELECT DISTINCT t.w AS word
+  FROM documents, unnest(string_split(text, ' ')) AS t(w)
+  WHERE regexp_matches(t.w, '^[a-z]{{2,12}}$')
+),
+base AS (
+  SELECT (SELECT list(struct_pack(
+            f := freq,
+            s := list_transform(range(1, length(word) + 1), i -> word[i])
+          )) FROM tok) AS vocab,
+         (SELECT list(struct_pack(
+            w := word,
+            s := list_transform(range(1, length(word) + 1), i -> word[i])
+          )) FROM allw) AS apv
+),
+step AS (
+  SELECT 0 AS it, vocab, apv FROM base
+  UNION ALL
+  SELECT it + 1,
+         list_transform([{_BPE_FIX_BEST}], b -> {_BPE_FIX_NEWVOCAB})[1],
+         list_transform([{_BPE_FIX_BEST}], b -> {_BPE_APPLY_NEWVOCAB})[1]
+  FROM step
+  WHERE it < {_BPE_FIX_MERGES}
+),
+tokn AS (
+  SELECT u.t.w AS word, CAST(len(u.t.s) AS BIGINT) AS n_sub
+  FROM (SELECT unnest(apv) AS t FROM step WHERE it = {_BPE_FIX_MERGES}) u
+),
+wl AS (
+  SELECT lang, t.w AS word
+  FROM documents, unnest(string_split(text, ' ')) AS t(w)
+  WHERE regexp_matches(t.w, '^[a-z]{{2,12}}$')
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(n_sub) AS BIGINT) AS n_subwords,
+       CAST(SUM(n_sub) AS BIGINT) * 1000 // CAST(COUNT(*) AS BIGINT)
+         AS subwords_per_word_ppk
+FROM wl JOIN tokn USING (word)
+GROUP BY lang ORDER BY lang
+"""
+
+
+@_stage(
+    "bpe_tokenize_fertility_fixed",
+    oracle=_BPE_TOKENIZE_ORACLE,
+    doc="BPE tokenization promoted to hash-grade (the r7 verdict ask): "
+        "the REAL distributed trainer (12 merges over the top-60 bounded "
+        "vocabulary, driver_finish_rows=0 — same harness as "
+        "bpe_train_merges_fixed) followed by the REAL apply path "
+        "(operators/bpe.py apply_bpe — the greedy left-to-right "
+        "non-overlapping Catalyst merge fold replayed in rank order over "
+        "the full corpus vocabulary), then per-language subword counts "
+        "and fertility in permille. The DuckDB oracle replays train AND "
+        "tokenize in one recursive CTE whose state carries both "
+        "vocabularies, so drift in either half breaks the hash. Scale: "
+        "apply is chained shuffle-free projections over the distinct-word "
+        "table (Heaps-law small); the per-lang stats are one broadcast "
+        "join + one aggregate over the exploded word stream",
+)
+def q_bpe_tokenize_fertility_fixed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .operators.bpe import apply_bpe, train_bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus_words = docs.select(
+        F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word").rlike("^[a-z]{2,12}$"))
+    train_words = (
+        corpus_words.groupBy("word").agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), "word").limit(_BPE_FIX_WORDS)
+    )
+    merges, _ = train_bpe(
+        spark, None, n_merges=_BPE_FIX_MERGES,
+        driver_finish_rows=0, words=train_words,
+    )
+    vocab = apply_bpe(corpus_words.distinct(), merges).select(
+        "word", F.size("syms").cast("long").alias("n_sub")
+    )
+    wl = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word").rlike("^[a-z]{2,12}$"))
+    return (
+        wl.join(F.broadcast(vocab), "word")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("n_sub").cast("long").alias("n_subwords"),
+        )
+        .select(
+            "lang", "n_words", "n_subwords",
+            F.expr("n_subwords * 1000 div n_words").cast("long")
+            .alias("subwords_per_word_ppk"),
+        )
+        .orderBy("lang")
+    )
+
+
 # Self-register at module bottom: by the time execution reaches here,
 # .queries is initialized far enough (register/REGISTRY are defined above
 # its own bottom import of this module), under EITHER import order.

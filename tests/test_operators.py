@@ -1109,3 +1109,34 @@ def test_hits_fixed_shuffle_fallback_matches_broadcast(spark):
     assert plan_bc.count("strategy=broadcast") > plan_sh.count(
         "strategy=broadcast")
     assert run(bc) == run(sh)
+
+
+def test_apply_bpe_matches_trainer_final_symbols(spark):
+    """The apply path replays the merge table over arbitrary words; on the
+    training vocabulary itself it must reproduce the trainer's final
+    symbol table exactly (both are the same greedy left-to-right
+    non-overlapping fold), and unseen words tokenize with the same rule."""
+    from gan_deeplearning4j_spark.operators.bpe import apply_bpe, train_bpe
+
+    words = spark.createDataFrame(
+        [("banana", 10), ("bandana", 6), ("cabana", 4), ("nab", 3)],
+        "word string, freq long",
+    )
+    merges, syms = train_bpe(
+        spark, None, n_merges=5, driver_finish_rows=0, words=words
+    )
+    trained = {r["word"]: list(r["syms"]) for r in syms.collect()}
+    applied = {
+        r["word"]: list(r["syms"])
+        for r in apply_bpe(words, merges, ckpt_every=2).collect()
+    }
+    assert applied == trained
+    # unseen word: same merges replayed greedily (python twin)
+    from gan_deeplearning4j_spark.operators.bpe import _local_merge_word
+
+    unseen = spark.createDataFrame([("bananarama",)], "word string")
+    got = apply_bpe(unseen, merges).collect()[0]["syms"]
+    expect = list("bananarama")
+    for _rank, left, right, _cnt in sorted(merges):
+        expect = _local_merge_word(expect, left, right)
+    assert list(got) == expect
