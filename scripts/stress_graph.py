@@ -66,12 +66,19 @@ def main() -> int:
             "w",
         )
         n = big.count()
+        # SPARK_GRAFT_HITS_BCMAX: lower the broadcast threshold to force
+        # the shuffled-join fallback at this scale (the past-the-cliff
+        # stress row; hash-equality of the two paths is pinned in
+        # tests/test_operators.py)
+        bc_max = int(os.environ.get("SPARK_GRAFT_HITS_BCMAX", 10_000_000))
         t0 = time.perf_counter()
-        auth, hub = hits_fixed(big, "c", "s", "w", rounds=2)
+        auth, hub = hits_fixed(
+            big, "c", "s", "w", rounds=2, broadcast_nodes_max=bc_max
+        )
         rows = auth.count() + hub.count()
         dt = time.perf_counter() - t0
-        print(f"hits x{copies_n}: edges={n} -> scored nodes={rows} "
-              f"in {dt:.1f} s")
+        print(f"hits x{copies_n} (bc_max={bc_max}): edges={n} -> "
+              f"scored nodes={rows} in {dt:.1f} s")
     else:
         raise SystemExit(f"unknown target {which!r}")
     spark.stop()
