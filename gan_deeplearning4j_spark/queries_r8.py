@@ -3335,6 +3335,1143 @@ def q_bpe_tokenize_fertility_fixed(
     )
 
 
+
+# ---------------------------------------------------------------------------
+# KMV (bottom-k) distinct sketch — exact replayable estimator
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "kmv_distinct_estimate",
+    oracle="""
+    WITH pk AS (SELECT DISTINCT l_partkey FROM lineitem),
+    h AS (
+      SELECT ('0x' || substr(md5('p' || CAST(l_partkey AS VARCHAR)), 1, 13)
+             )::BIGINT AS h
+      FROM pk
+    ),
+    k AS (
+      SELECT CAST(MAX(h) AS BIGINT) AS kth, CAST(COUNT(*) AS BIGINT) AS k
+      FROM (SELECT h FROM h ORDER BY h LIMIT 64)
+    ),
+    x AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_distinct FROM pk)
+    SELECT k.k AS k, k.kth AS kth_min_hash,
+           (k.k - 1) * 4503599627370496 // k.kth AS est_distinct,
+           x.exact_distinct,
+           abs((k.k - 1) * 4503599627370496 // k.kth - x.exact_distinct)
+             * 1000000 // x.exact_distinct AS rel_err_ppm
+    FROM k, x
+    """,
+    doc="KMV / bottom-k distinct sketch (Bar-Yossef et al. 2002): keep the "
+        "k smallest 52-bit hash values of the key set; estimate = "
+        "(k-1)*2^52 / h_(k). The third mergeable-sketch family next to "
+        "HLL and CMS, and unlike them EXACTLY replayable: md5 is shared "
+        "cross-engine (conv(substr(md5,1,13)) == ('0x'||substr)::BIGINT), "
+        "so the estimate, the k-th order statistic, and the ppm error vs "
+        "the exact count all hash-match. Scale: the bottom-k of a "
+        "distinct-keyed relation is a TakeOrdered heap (no global sort), "
+        "and bottom-k sets merge by union+truncate, so per-partition "
+        "sketches combine exactly like production KMV",
+)
+def q_kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pk = _t(spark, sf_dir, "lineitem").select("l_partkey").distinct()
+    h = pk.select(
+        F.expr("cast(conv(substr(md5(concat('p', cast(l_partkey as string)"
+               ")), 1, 13), 16, 10) as long)").alias("h")
+    )
+    k = (
+        h.orderBy("h").limit(64)
+        .agg(F.max("h").alias("kth"), F.count("*").cast("long").alias("k"))
+    )
+    x = pk.agg(F.count("*").cast("long").alias("exact_distinct"))
+    return k.crossJoin(F.broadcast(x)).select(
+        "k", F.col("kth").alias("kth_min_hash"),
+        F.expr("(k - 1) * 4503599627370496 div kth").alias("est_distinct"),
+        "exact_distinct",
+        F.expr("abs((k - 1) * 4503599627370496 div kth - exact_distinct) "
+               "* 1000000 div exact_distinct").alias("rel_err_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interval union coverage (sweep-line as a window function)
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "interval_union_coverage",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 300000000 AS e,
+             event_id
+      FROM events
+    ), sw AS (
+      SELECT user_id, s, e,
+             MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS pmax
+      FROM iv
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(GREATEST(e - GREATEST(s, COALESCE(pmax, s)), 0))
+                AS BIGINT) AS covered_us
+    FROM sw GROUP BY user_id ORDER BY user_id
+    """,
+    doc="Length of the UNION of per-user activity intervals ([ts, ts+5min) "
+        "per event) — the classic sweep-line 'total covered time' measure "
+        "that naive SUM(duration) double-counts: each interval contributes "
+        "max(0, end - max(start, max-previous-end)), with the running max "
+        "computed by one window over (start, event_id). Complements "
+        "max_concurrency_daily (how many at once) and allen_interval_census "
+        "(pair topology) with the measure-of-union. Scale: one user-keyed "
+        "shuffle; the window carries a single running max — no interval "
+        "self-join, no explosion to minute grain",
+)
+def q_interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    iv = _t(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts_nanos div 1000").alias("s"), "event_id"
+    ).withColumn("e", F.col("s") + F.lit(300_000_000))
+    w = (
+        Window.partitionBy("user_id").orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sw = iv.withColumn("pmax", F.max("e").over(w))
+    return (
+        sw.select(
+            "user_id",
+            F.greatest(
+                F.col("e")
+                - F.greatest(F.col("s"), F.coalesce("pmax", "s")),
+                F.lit(0).cast("long"),
+            ).alias("c"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_intervals"),
+            F.sum("c").cast("long").alias("covered_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Maximum drawdown of the daily revenue equity curve
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "max_drawdown_daily",
+    oracle="""
+    WITH d AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS day,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY day
+    ), c AS (
+      SELECT day,
+             CAST(SUM(cents) OVER (ORDER BY day) AS BIGINT) AS cum
+      FROM d
+    ), dd AS (
+      SELECT day, cum,
+             CAST(MAX(cum) OVER (ORDER BY day) AS BIGINT) AS peak,
+             CAST(MAX(cum) OVER (ORDER BY day) - cum AS BIGINT) AS drawdown
+      FROM c
+    )
+    SELECT CAST(drawdown AS BIGINT) AS max_drawdown_cents,
+           CAST(day AS BIGINT) AS trough_day,
+           CAST(peak AS BIGINT) AS peak_cents
+    FROM dd ORDER BY drawdown DESC, day LIMIT 1
+    """,
+    doc="Maximum drawdown of the cumulative daily revenue curve: running "
+        "peak minus running value, maximized (earliest trough on ties) — "
+        "the classic risk statistic, and the mirror of "
+        "running_balance_clamped's max(0,.) closed form: drawdown needs "
+        "only two stacked windows over the plain cumulative sum, no "
+        "sequential fold. All arithmetic in exact int64 cents. Scale: the "
+        "fact scan is one map-side-combined groupBy to ~2.4k daily rows; "
+        "the windows run on the day series, never the fact table",
+)
+def q_max_drawdown_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.windows import bounded_window
+
+    o = _t(spark, sf_dir, "orders")
+    d = o.groupBy(
+        F.datediff(F.col("o_orderdate").cast("date"),
+                   F.lit("1970-01-01").cast("date")).alias("day")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .cast("long").alias("cents")
+    )
+    wc = bounded_window(F.col("day")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = d.select("day", F.sum("cents").over(wc).cast("long").alias("cum"))
+    dd = c.select(
+        "day", "cum",
+        F.max("cum").over(wc).cast("long").alias("peak"),
+        (F.max("cum").over(wc) - F.col("cum")).cast("long")
+        .alias("drawdown"),
+    )
+    return (
+        dd.orderBy(F.desc("drawdown"), "day").limit(1)
+        .select(
+            F.col("drawdown").cast("long").alias("max_drawdown_cents"),
+            F.col("day").cast("long").alias("trough_day"),
+            F.col("peak").cast("long").alias("peak_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ordinal pattern census (permutation patterns of the daily series)
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "ordinal_pattern_census",
+    oracle="""
+    WITH d AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS day,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS r0
+      FROM orders GROUP BY day
+    ), t AS (
+      SELECT r0,
+             LEAD(r0, 1) OVER (ORDER BY day) AS r1,
+             LEAD(r0, 2) OVER (ORDER BY day) AS r2
+      FROM d
+    )
+    SELECT CAST(4 * CAST(r0 <= r1 AS BIGINT)
+              + 2 * CAST(r0 <= r2 AS BIGINT)
+              + CAST(r1 <= r2 AS BIGINT) AS BIGINT) AS pattern_code,
+           CAST(COUNT(*) AS BIGINT) AS n_triples
+    FROM t WHERE r2 IS NOT NULL
+    GROUP BY pattern_code ORDER BY pattern_code
+    """,
+    doc="Ordinal (permutation-pattern) census of the daily revenue series "
+        "(Bandt & Pompe 2002, the counting half of permutation entropy "
+        "without the cross-engine-unsafe log): each consecutive value "
+        "triple maps to one of 6 order patterns, ties broken by position "
+        "(earlier index counts as smaller, making every comparison a "
+        "deterministic <=), encoded as 4*(r0<=r1)+2*(r0<=r2)+(r1<=r2). "
+        "A monotone series concentrates on codes 0/7; white noise spreads "
+        "uniformly. Scale: two LEADs over the ~2.4k-row day series; the "
+        "fact scan is one map-side-combined groupBy",
+)
+def q_ordinal_pattern_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.windows import bounded_window
+
+    o = _t(spark, sf_dir, "orders")
+    d = o.groupBy(
+        F.datediff(F.col("o_orderdate").cast("date"),
+                   F.lit("1970-01-01").cast("date")).alias("day")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .cast("long").alias("r0")
+    )
+    bw = bounded_window(F.col("day"))
+    t = d.select(
+        "r0",
+        F.lead("r0", 1).over(bw).alias("r1"),
+        F.lead("r0", 2).over(bw).alias("r2"),
+    ).where(F.col("r2").isNotNull())
+    return (
+        t.groupBy(
+            (
+                4 * (F.col("r0") <= F.col("r1")).cast("long")
+                + 2 * (F.col("r0") <= F.col("r2")).cast("long")
+                + (F.col("r1") <= F.col("r2")).cast("long")
+            ).cast("long").alias("pattern_code")
+        )
+        .agg(F.count("*").cast("long").alias("n_triples"))
+        .orderBy("pattern_code")
+    )
+
+
+
+# ---------------------------------------------------------------------------
+# Leave-one-out source influence (data valuation primitive)
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "loo_group_influence",
+    oracle="""
+    WITH g AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS s
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT CAST(SUM(n_docs) AS BIGINT) AS n,
+             CAST(SUM(s) AS BIGINT) AS stot
+      FROM g
+    )
+    SELECT g.source, g.n_docs,
+           stot * 1000000 // n AS corpus_mean_e6,
+           (stot - g.s) * 1000000 // (n - g.n_docs) AS loo_mean_e6,
+           stot * 1000000 // n
+             - (stot - g.s) * 1000000 // (n - g.n_docs) AS influence_e6
+    FROM g, tot ORDER BY g.source
+    """,
+    doc="Leave-one-out influence of each source on the corpus-level mean "
+        "document length: corpus mean minus the mean with that source "
+        "removed — the simplest data-valuation primitive (the exact "
+        "LOO special case of Data Shapley, Ghorbani & Zou 2019), telling "
+        "a curation pipeline which source drags the quality metric and by "
+        "how much. All exact int64 (sums and e6 floor-divisions; LOO "
+        "means derive from the SAME group sums, so no second scan). "
+        "Scale: one map-side-combined groupBy over documents; the LOO "
+        "algebra runs on the per-source aggregate joined with a 1-row "
+        "broadcast total",
+)
+def q_loo_group_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    g = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.col("n_chars").cast("long")).cast("long").alias("s"),
+    )
+    tot = g.agg(
+        F.sum("n_docs").cast("long").alias("n"),
+        F.sum("s").cast("long").alias("stot"),
+    )
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "source", "n_docs",
+            F.expr("stot * 1000000 div n").alias("corpus_mean_e6"),
+            F.expr("(stot - s) * 1000000 div (n - n_docs)")
+            .alias("loo_mean_e6"),
+            F.expr("stot * 1000000 div n - (stot - s) * 1000000 div "
+                   "(n - n_docs)").alias("influence_e6"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences estimator (2x2 design, exact cents)
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "did_estimator",
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(o_orderpriority = '1-URGENT' AS BIGINT) AS treat,
+             CAST(o_orderdate >= TIMESTAMP '1996-01-01' AS BIGINT) AS post,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1, 2
+    ), m AS (
+      SELECT
+        MAX(CASE WHEN treat=1 AND post=1 THEN cents // n END) AS m_t_post,
+        MAX(CASE WHEN treat=1 AND post=0 THEN cents // n END) AS m_t_pre,
+        MAX(CASE WHEN treat=0 AND post=1 THEN cents // n END) AS m_c_post,
+        MAX(CASE WHEN treat=0 AND post=0 THEN cents // n END) AS m_c_pre,
+        CAST(SUM(n) AS BIGINT) AS n_orders
+      FROM cells
+    )
+    SELECT m_t_pre, m_t_post, m_c_pre, m_c_post, n_orders,
+           (m_t_post - m_t_pre) - (m_c_post - m_c_pre) AS did_cents
+    FROM m
+    """,
+    doc="Difference-in-differences over the canonical 2x2 design (treated "
+        "= urgent-priority orders, post = 1996+): the treated group's "
+        "before/after change minus the control group's, removing the "
+        "common time trend — the workhorse quasi-experimental estimator "
+        "next to CUPED (variance reduction) and SPRT (sequential testing) "
+        "in the experimentation family. Cell means in truncated int64 "
+        "cents, so the estimate hash-matches exactly. Scale: one "
+        "map-side-combined 4-group aggregate over the fact table; the "
+        "2x2 algebra is a 1-row projection",
+)
+def q_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        (F.col("o_orderpriority") == "1-URGENT").cast("long").alias("treat"),
+        (F.col("o_orderdate") >= "1996-01-01").cast("long").alias("post"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .cast("long").alias("cents"),
+        F.count("*").cast("long").alias("n"),
+    )
+    m = cells.agg(
+        F.max(F.when((F.col("treat") == 1) & (F.col("post") == 1),
+                     F.expr("cents div n"))).alias("m_t_post"),
+        F.max(F.when((F.col("treat") == 1) & (F.col("post") == 0),
+                     F.expr("cents div n"))).alias("m_t_pre"),
+        F.max(F.when((F.col("treat") == 0) & (F.col("post") == 1),
+                     F.expr("cents div n"))).alias("m_c_post"),
+        F.max(F.when((F.col("treat") == 0) & (F.col("post") == 0),
+                     F.expr("cents div n"))).alias("m_c_pre"),
+        F.sum("n").cast("long").alias("n_orders"),
+    )
+    return m.select(
+        "m_t_pre", "m_t_post", "m_c_pre", "m_c_post", "n_orders",
+        ((F.col("m_t_post") - F.col("m_t_pre"))
+         - (F.col("m_c_post") - F.col("m_c_pre"))).alias("did_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact Shapley attribution over 3 channels (coalition enumeration)
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "shapley_attribution_3ch",
+    oracle="""
+    WITH fp AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS cts
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ), pre AS (
+      SELECT e.user_id,
+          CAST(MAX(CASE WHEN event_type='view' THEN 1 ELSE 0 END)
+         + 2 * MAX(CASE WHEN event_type='click' THEN 1 ELSE 0 END)
+         + 4 * MAX(CASE WHEN event_type='signup' THEN 1 ELSE 0 END)
+            AS BIGINT) AS mask
+      FROM events e JOIN fp ON fp.user_id = e.user_id
+      WHERE epoch_us(ts) < fp.cts
+        AND event_type IN ('view', 'click', 'signup')
+      GROUP BY e.user_id
+    ), mc AS (
+      SELECT mask, CAST(COUNT(*) AS BIGINT) AS n FROM pre GROUP BY mask
+    ), v AS (
+      SELECT s.s,
+             CAST(COALESCE(SUM(CASE WHEN (mc.mask & s.s) = mc.mask
+                                    THEN mc.n END), 0) AS BIGINT) AS v
+      FROM (SELECT unnest(range(1, 8)) AS s) s
+      LEFT JOIN mc ON true
+      GROUP BY s.s
+    ), row_v AS (
+      SELECT MAX(CASE WHEN s=1 THEN v END) AS v1,
+             MAX(CASE WHEN s=2 THEN v END) AS v2,
+             MAX(CASE WHEN s=3 THEN v END) AS v3,
+             MAX(CASE WHEN s=4 THEN v END) AS v4,
+             MAX(CASE WHEN s=5 THEN v END) AS v5,
+             MAX(CASE WHEN s=6 THEN v END) AS v6,
+             MAX(CASE WHEN s=7 THEN v END) AS v7
+      FROM v
+    )
+    SELECT 'click' AS channel, v2 AS v_solo,
+           2*v2 + (v3 - v1) + (v6 - v4) + 2*(v7 - v5) AS phi_x6 FROM row_v
+    UNION ALL
+    SELECT 'signup', v4, 2*v4 + (v5 - v1) + (v6 - v2) + 2*(v7 - v3)
+    FROM row_v
+    UNION ALL
+    SELECT 'view', v1, 2*v1 + (v3 - v2) + (v5 - v4) + 2*(v7 - v6)
+    FROM row_v
+    ORDER BY channel
+    """,
+    doc="EXACT Shapley-value attribution over 3 marketing channels "
+        "(Shapley 1953 applied to conversion credit): conversion = a "
+        "user's first purchase; a user's coalition is the set of channel "
+        "types (view/click/signup) seen strictly BEFORE it; v(S) = "
+        "converted users whose coalition is inside S; channel credit is "
+        "the exact 3-player Shapley sum with factorial weights 2/6, 1/6, "
+        "1/6, 2/6 — reported x6 so everything stays int64 (efficiency "
+        "axiom: the three phi_x6 sum to 6*v(full)). Complements "
+        "linear_attribution (positional) and the Markov family "
+        "(transition-based) with the game-theoretic attribution. Scale: "
+        "one user-keyed aggregate to masks, then all coalition algebra "
+        "runs on the <=8-row mask histogram",
+)
+def q_shapley_attribution_3ch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("ts_nanos div 1000").alias("ts_us")
+    )
+    fp = ev.filter(F.col("event_type") == "purchase").groupBy(
+        "user_id"
+    ).agg(F.min("ts_us").alias("cts"))
+    pre = (
+        ev.join(fp, "user_id")
+        .filter(
+            (F.col("ts_us") < F.col("cts"))
+            & F.col("event_type").isin("view", "click", "signup")
+        )
+        .groupBy("user_id")
+        .agg(
+            (
+                F.max(F.when(F.col("event_type") == "view", 1)
+                      .otherwise(0))
+                + 2 * F.max(F.when(F.col("event_type") == "click", 1)
+                            .otherwise(0))
+                + 4 * F.max(F.when(F.col("event_type") == "signup", 1)
+                            .otherwise(0))
+            ).cast("long").alias("mask")
+        )
+    )
+    mc = pre.groupBy("mask").agg(F.count("*").cast("long").alias("n"))
+    coal = spark.range(1, 8).select(F.col("id").alias("s"))
+    v = (
+        coal.join(
+            F.broadcast(mc),
+            (F.col("mask").bitwiseAND(F.col("s")) == F.col("mask")),
+            "left",
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("v"))
+    )
+    row_v = v.agg(
+        *[
+            F.max(F.when(F.col("s") == i, F.col("v"))).alias(f"v{i}")
+            for i in range(1, 8)
+        ]
+    )
+    return row_v.select(
+        F.expr(
+            "stack(3, "
+            "'click', v2, 2*v2 + (v3 - v1) + (v6 - v4) + 2*(v7 - v5), "
+            "'signup', v4, 2*v4 + (v5 - v1) + (v6 - v2) + 2*(v7 - v3), "
+            "'view', v1, 2*v1 + (v3 - v2) + (v5 - v4) + 2*(v7 - v6)"
+            ") as (channel, v_solo, phi_x6)"
+        )
+    ).orderBy("channel")
+
+
+# ---------------------------------------------------------------------------
+# t-closeness audit (ordered EMD between group and global distributions)
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "t_closeness_audit",
+    oracle="""
+    WITH b AS (
+      SELECT c_mktsegment AS seg,
+             CASE WHEN c_acctbal < 0 THEN 0
+                  WHEN c_acctbal < 5000 THEN 1 ELSE 2 END AS bucket
+      FROM customer
+    ), g AS (
+      SELECT seg, bucket, CAST(COUNT(*) AS BIGINT) AS n
+      FROM b GROUP BY seg, bucket
+    ), segn AS (
+      SELECT seg, CAST(SUM(n) AS BIGINT) AS ng FROM g GROUP BY seg
+    ), gdist AS (
+      SELECT bucket, CAST(SUM(n) AS BIGINT) AS nb FROM g GROUP BY bucket
+    ), tot AS (SELECT CAST(SUM(nb) AS BIGINT) AS nt FROM gdist),
+    full_grid AS (
+      SELECT s.seg, gb.bucket,
+             COALESCE(g.n, 0) * 1000000 // s.ng AS p_ppm,
+             gb.nb * 1000000 // t.nt AS q_ppm
+      FROM segn s CROSS JOIN gdist gb CROSS JOIN tot t
+      LEFT JOIN g ON g.seg = s.seg AND g.bucket = gb.bucket
+    ), cum AS (
+      SELECT seg, bucket,
+             CAST(SUM(p_ppm) OVER (PARTITION BY seg ORDER BY bucket)
+                - SUM(q_ppm) OVER (PARTITION BY seg ORDER BY bucket)
+                AS BIGINT) AS cumdiff
+      FROM full_grid
+    )
+    SELECT c.seg AS segment, s.ng AS n_customers,
+           CAST(SUM(CASE WHEN c.bucket < 2 THEN abs(c.cumdiff) ELSE 0 END)
+                AS BIGINT) AS t_emd_ppm
+    FROM cum c JOIN segn s ON s.seg = c.seg
+    GROUP BY c.seg, s.ng ORDER BY c.seg
+    """,
+    doc="t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007): for "
+        "each quasi-identifier group (market segment), the Earth Mover's "
+        "Distance between the group's distribution of the ordered "
+        "sensitive attribute (account-balance bucket: negative / low / "
+        "high) and the global distribution — EMD over an ordered "
+        "3-category attribute is the sum of |cumulative differences|, "
+        "computed in exact ppm integers. Completes the privacy-audit "
+        "family: k_anonymity (group size), l_diversity (value variety), "
+        "t-closeness (distribution skew). Scale: one groupBy to the "
+        "(segment x bucket) grid; EMD runs on the tiny grid, never the "
+        "customer table",
+)
+def q_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    b = c.select(
+        F.col("c_mktsegment").alias("seg"),
+        F.when(F.col("c_acctbal") < 0, 0)
+        .when(F.col("c_acctbal") < 5000, 1)
+        .otherwise(2).cast("long").alias("bucket"),
+    )
+    g = b.groupBy("seg", "bucket").agg(F.count("*").cast("long").alias("n"))
+    segn = g.groupBy("seg").agg(F.sum("n").cast("long").alias("ng"))
+    glob = g.groupBy("bucket").agg(F.sum("n").cast("long").alias("nb"))
+    tot = glob.agg(F.sum("nb").cast("long").alias("nt"))
+    grid = (
+        segn.crossJoin(F.broadcast(glob))
+        .crossJoin(F.broadcast(tot))
+        .join(g, ["seg", "bucket"], "left")
+        .select(
+            "seg", "bucket", "ng",
+            F.expr("coalesce(n, 0) * 1000000 div ng").alias("p_ppm"),
+            F.expr("nb * 1000000 div nt").alias("q_ppm"),
+        )
+    )
+    wseg = Window.partitionBy("seg").orderBy("bucket")
+    cum = grid.select(
+        "seg", "bucket", "ng",
+        (F.sum("p_ppm").over(wseg) - F.sum("q_ppm").over(wseg))
+        .cast("long").alias("cumdiff"),
+    )
+    return (
+        cum.groupBy(F.col("seg").alias("segment"))
+        .agg(
+            F.max("ng").alias("n_customers"),
+            F.sum(
+                F.when(F.col("bucket") < 2, F.abs("cumdiff")).otherwise(0)
+            ).cast("long").alias("t_emd_ppm"),
+        )
+        .orderBy("segment")
+    )
+
+
+
+# ---------------------------------------------------------------------------
+# Katz centrality (attenuated path counting, exact fixed point)
+# ---------------------------------------------------------------------------
+
+_KATZ_ORACLE = """
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pr AS (
+      SELECT a.l_partkey AS p1, c.l_partkey AS p2
+      FROM b a JOIN b c
+        ON c.l_orderkey = a.l_orderkey AND c.l_partkey > a.l_partkey
+      GROUP BY p1, p2 HAVING COUNT(*) >= 2
+    ),
+    e AS (SELECT p1 AS u, p2 AS v FROM pr UNION ALL SELECT p2, p1 FROM pr),
+    x0 AS (
+      SELECT DISTINCT u AS node, CAST(1000000 AS BIGINT) AS score FROM e
+    ),
+    x1 AS (
+      SELECT e.u AS node,
+             1000000 + SUM(x0.score) // 2 AS score
+      FROM e JOIN x0 ON x0.node = e.v
+      GROUP BY e.u
+    ),
+    x2 AS (
+      SELECT e.u AS node,
+             1000000 + SUM(x1.score) // 2 AS score
+      FROM e JOIN x1 ON x1.node = e.v
+      GROUP BY e.u
+    ),
+    x3 AS (
+      SELECT e.u AS node,
+             1000000 + SUM(x2.score) // 2 AS score
+      FROM e JOIN x2 ON x2.node = e.v
+      GROUP BY e.u
+    )
+    SELECT node AS part, CAST(score AS BIGINT) AS katz_e6 FROM x3
+    ORDER BY score DESC, node LIMIT 20
+    """
+
+
+@_stage(
+    "katz_centrality_fixed",
+    oracle=_KATZ_ORACLE,
+    doc="Katz centrality (Katz 1953) over the co-purchase part graph: "
+        "score = 1e6 + (sum of neighbor scores) div 2 per iteration (3 "
+        "iterations, attenuation 1/2 as an exact halving) — attenuated "
+        "path COUNTING, the third centrality next to PageRank (degree-"
+        "normalized random walk) and HITS (max-normalized mutual "
+        "reinforcement): hubs score by volume of short paths, not by "
+        "share. All int64; the DuckDB chained-CTE unroll replays it "
+        "hash-for-hash. Scale: one co-purchase self-join builds the "
+        "edge list (materialized once), then O(iters) edge-keyed "
+        "join+agg shuffles; top-k is a TakeOrdered heap",
+)
+def q_katz_centrality_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import co_purchase_pairs
+
+    li = _t(spark, sf_dir, "lineitem")
+    pr = co_purchase_pairs(li)
+    e = pr.select(F.col("p1").alias("u"), F.col("p2").alias("v")).unionByName(
+        pr.select(F.col("p2").alias("u"), F.col("p1").alias("v"))
+    ).localCheckpoint(eager=True)
+    x = e.select(F.col("u").alias("node")).distinct().withColumn(
+        "score", F.lit(1_000_000).cast("long")
+    )
+    for _ in range(3):
+        x = (
+            e.join(x, e.v == x.node)
+            .groupBy(F.col("u").alias("node"))
+            .agg(
+                (F.lit(1_000_000) + F.expr("sum(score) div 2"))
+                .cast("long").alias("score")
+            )
+        )
+    return (
+        x.orderBy(F.desc("score"), "node").limit(20)
+        .select(F.col("node").alias("part"), F.col("score").alias("katz_e6"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TextRank keyword extraction (weighted PageRank on word co-occurrence)
+# ---------------------------------------------------------------------------
+
+_TEXTRANK_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '),
+                         x -> regexp_matches(x, '^[a-z]{2,12}$')) AS ws
+      FROM documents
+    ),
+    bg AS (
+      SELECT ws[i] AS w1, ws[i+1] AS w2
+      FROM toks, unnest(range(1, len(ws))) AS t(i)
+    ),
+    pairs AS (
+      SELECT LEAST(w1, w2) AS a, GREATEST(w1, w2) AS b,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM bg WHERE w1 <> w2 GROUP BY 1, 2
+    ),
+    e AS (SELECT a AS u, b AS v, w FROM pairs
+          UNION ALL SELECT b, a, w FROM pairs),
+    wt AS (SELECT u, CAST(SUM(w) AS BIGINT) AS tw FROM e GROUP BY u),
+    s0 AS (
+      SELECT DISTINCT u AS word, CAST(1000000 AS BIGINT) AS score FROM e
+    ),
+    s1 AS (
+      SELECT e.v AS word,
+             150000 + 85 * SUM(e.w * s0.score // wt.tw) // 100 AS score
+      FROM e JOIN s0 ON s0.word = e.u
+      JOIN wt ON wt.u = e.u
+      GROUP BY e.v
+    ),
+    s2 AS (
+      SELECT e.v AS word,
+             150000 + 85 * SUM(e.w * s1.score // wt.tw) // 100 AS score
+      FROM e JOIN s1 ON s1.word = e.u
+      JOIN wt ON wt.u = e.u
+      GROUP BY e.v
+    ),
+    s3 AS (
+      SELECT e.v AS word,
+             150000 + 85 * SUM(e.w * s2.score // wt.tw) // 100 AS score
+      FROM e JOIN s2 ON s2.word = e.u
+      JOIN wt ON wt.u = e.u
+      GROUP BY e.v
+    )
+    SELECT word, CAST(score AS BIGINT) AS rank_e6 FROM s3
+    ORDER BY score DESC, word LIMIT 20
+    """
+
+
+@_stage(
+    "textrank_keywords",
+    oracle=_TEXTRANK_ORACLE,
+    doc="TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004): "
+        "weighted PageRank over the word co-occurrence graph (adjacent "
+        "lowercase tokens, undirected, edge weight = corpus bigram "
+        "count); score' = 0.15e6 + 85*(sum over neighbors of w*score div "
+        "total_weight) div 100, 3 iterations, all int64. The graph-based "
+        "keyword extractor a curation pipeline runs next to tfidf_top_"
+        "terms (frequency-based): TextRank promotes CONNECTOR words. "
+        "Scale: bigram counting is one scan-side explode + groupBy; the "
+        "rank iterations run on the vocabulary-sized graph (Heaps-law "
+        "small), never the corpus",
+)
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.expr("filter(split(text, ' '), "
+               "x -> x rlike '^[a-z]{2,12}$')").alias("ws")
+    )
+    n = F.size("ws")
+    bg = toks.filter(n >= 2).select(
+        F.explode(
+            F.zip_with(
+                F.slice("ws", 1, n - 1), F.slice("ws", 2, n - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    pairs = (
+        bg.filter(F.col("w1") != F.col("w2"))
+        .groupBy(
+            F.least("w1", "w2").alias("a"), F.greatest("w1", "w2").alias("b")
+        )
+        .agg(F.count("*").cast("long").alias("w"))
+    )
+    e = pairs.select(F.col("a").alias("u"), F.col("b").alias("v"), "w") \
+        .unionByName(
+            pairs.select(F.col("b").alias("u"), F.col("a").alias("v"), "w")
+        ).localCheckpoint(eager=True)
+    wt = e.groupBy("u").agg(F.sum("w").cast("long").alias("tw"))
+    ewt = e.join(wt, "u").localCheckpoint(eager=True)
+    sc = ewt.select(F.col("u").alias("word")).distinct().withColumn(
+        "score", F.lit(1_000_000).cast("long")
+    )
+    for _ in range(3):
+        sc = (
+            ewt.join(sc, ewt.u == sc.word)
+            .groupBy(F.col("v").alias("word"))
+            .agg(
+                F.expr("150000 + (85 * sum(w * score div tw)) div 100")
+                .cast("long").alias("score")
+            )
+        )
+    return (
+        sc.orderBy(F.desc("score"), "word").limit(20)
+        .select("word", F.col("score").alias("rank_e6"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Markov removal-effect attribution (absorbing-chain reachability)
+# ---------------------------------------------------------------------------
+
+_MARKOV_REMOVAL_ORACLE = """
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+      FROM events
+    ),
+    seq AS (
+      SELECT user_id, event_type AS a,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts_us, event_id) AS b,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts_us, event_id) AS rn
+      FROM e
+    ),
+    trans_raw AS (
+      SELECT a, b FROM seq WHERE b IS NOT NULL
+      UNION ALL
+      SELECT 'START' AS a, a AS b FROM seq WHERE rn = 1
+    ),
+    tc AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c
+           FROM trans_raw GROUP BY a, b),
+    ta AS (SELECT a, CAST(SUM(c) AS BIGINT) AS tot FROM tc GROUP BY a),
+    trans AS (
+      SELECT tc.a, tc.b, tc.c * 1000000 // ta.tot AS p_ppm
+      FROM tc JOIN ta ON ta.a = tc.a
+    ),
+    variants AS (
+      SELECT * FROM (VALUES ('full', ''), ('no_click', 'click'),
+                            ('no_signup', 'signup'), ('no_view', 'view'))
+             v(variant, removed)
+    ),
+    tv AS (
+      SELECT v.variant, t.a, t.b, t.p_ppm
+      FROM variants v JOIN trans t
+        ON t.a <> v.removed AND t.b <> v.removed
+    ),
+    st AS (
+      SELECT DISTINCT variant, state FROM (
+        SELECT variant, a AS state FROM tv
+        UNION ALL SELECT variant, b FROM tv
+        UNION ALL SELECT variant, 'purchase' FROM variants
+      )
+    ),
+    r0 AS (
+      SELECT variant, state,
+             CASE WHEN state = 'purchase' THEN 1000000 ELSE 0 END AS score
+      FROM st
+    ),
+    r1 AS (
+      SELECT st.variant, st.state,
+             CASE WHEN st.state = 'purchase' THEN 1000000
+                  ELSE COALESCE(SUM(tv.p_ppm * r0.score // 1000000), 0)
+             END AS score
+      FROM st
+      LEFT JOIN tv ON tv.variant = st.variant AND tv.a = st.state
+      LEFT JOIN r0 ON r0.variant = st.variant
+                      AND r0.state = tv.b
+      GROUP BY st.variant, st.state
+    ),
+    r2 AS (
+      SELECT st.variant, st.state,
+             CASE WHEN st.state = 'purchase' THEN 1000000
+                  ELSE COALESCE(SUM(tv.p_ppm * r1.score // 1000000), 0)
+             END AS score
+      FROM st
+      LEFT JOIN tv ON tv.variant = st.variant AND tv.a = st.state
+      LEFT JOIN r1 ON r1.variant = st.variant
+                      AND r1.state = tv.b
+      GROUP BY st.variant, st.state
+    ),
+    r3 AS (
+      SELECT st.variant, st.state,
+             CASE WHEN st.state = 'purchase' THEN 1000000
+                  ELSE COALESCE(SUM(tv.p_ppm * r2.score // 1000000), 0)
+             END AS score
+      FROM st
+      LEFT JOIN tv ON tv.variant = st.variant AND tv.a = st.state
+      LEFT JOIN r2 ON r2.variant = st.variant
+                      AND r2.state = tv.b
+      GROUP BY st.variant, st.state
+    ),
+    r4 AS (
+      SELECT st.variant, st.state,
+             CASE WHEN st.state = 'purchase' THEN 1000000
+                  ELSE COALESCE(SUM(tv.p_ppm * r3.score // 1000000), 0)
+             END AS score
+      FROM st
+      LEFT JOIN tv ON tv.variant = st.variant AND tv.a = st.state
+      LEFT JOIN r3 ON r3.variant = st.variant
+                      AND r3.state = tv.b
+      GROUP BY st.variant, st.state
+    ),
+    conv AS (
+      SELECT v.variant,
+             CAST(COALESCE(SUM(t.p_ppm * r.score // 1000000), 0) AS BIGINT)
+               AS p_conv_ppm
+      FROM variants v
+      LEFT JOIN tv t ON t.variant = v.variant AND t.a = 'START'
+      LEFT JOIN r4 r ON r.variant = v.variant AND r.state = t.b
+      GROUP BY v.variant
+    )
+    SELECT c.variant, c.p_conv_ppm,
+           CAST(f.p_conv_ppm - c.p_conv_ppm AS BIGINT)
+             AS removal_effect_ppm
+    FROM conv c JOIN conv f ON f.variant = 'full'
+    ORDER BY c.variant
+    """
+
+
+@_stage(
+    "markov_removal_attribution",
+    oracle=_MARKOV_REMOVAL_ORACLE,
+    doc="Markov removal-effect attribution (Anderl et al. 2016): build "
+        "the user-journey transition chain (START + event types, ppm "
+        "probabilities), compute the probability of reaching 'purchase' "
+        "within 4 steps (absorbing, exact int64 ppm per-edge products), "
+        "then re-compute with each channel's state removed (its "
+        "probability mass becomes dropout) — a channel's credit is how "
+        "much conversion probability disappears without it. The "
+        "chain-based attribution next to shapley_attribution_3ch "
+        "(game-theoretic) and linear_attribution (positional). Scale: "
+        "transition counting is one user-keyed window pass; all chain "
+        "algebra runs on the (variant x state x state) table, <=4 x 6 x "
+        "6 rows, regardless of corpus size",
+)
+def q_markov_removal_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("ts_nanos div 1000").alias("ts_us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type").over(w).alias("b"),
+        F.row_number().over(w).alias("rn"),
+    )
+    trans_raw = seq.filter(F.col("b").isNotNull()).select("a", "b") \
+        .unionByName(
+            seq.filter(F.col("rn") == 1)
+            .select(F.lit("START").alias("a"), F.col("a").alias("b"))
+        )
+    tc = trans_raw.groupBy("a", "b").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    ta = tc.groupBy("a").agg(F.sum("c").cast("long").alias("tot"))
+    trans = tc.join(ta, "a").select(
+        "a", "b", F.expr("c * 1000000 div tot").alias("p_ppm")
+    ).localCheckpoint(eager=True)
+    variants = spark.createDataFrame(
+        [("full", ""), ("no_click", "click"), ("no_signup", "signup"),
+         ("no_view", "view")],
+        "variant string, removed string",
+    )
+    tv = variants.crossJoin(trans).filter(
+        (F.col("a") != F.col("removed")) & (F.col("b") != F.col("removed"))
+    ).select("variant", "a", "b", "p_ppm").localCheckpoint(eager=True)
+    st = (
+        tv.select("variant", F.col("a").alias("state"))
+        .unionByName(tv.select("variant", F.col("b").alias("state")))
+        .unionByName(
+            variants.select("variant", F.lit("purchase").alias("state"))
+        )
+        .distinct()
+        .select(F.col("variant").alias("sv"), F.col("state").alias("ss"))
+        .localCheckpoint(eager=True)
+    )
+    r = st.select(
+        F.col("sv").alias("rv"), F.col("ss").alias("rs"),
+        F.when(F.col("ss") == "purchase", 1_000_000).otherwise(0)
+        .cast("long").alias("rscore"),
+    )
+    for _ in range(4):
+        joined = st.join(
+            tv,
+            (F.col("variant") == F.col("sv")) & (F.col("a") == F.col("ss")),
+            "left",
+        ).join(
+            r,
+            (F.col("rv") == F.col("sv")) & (F.col("rs") == F.col("b")),
+            "left",
+        )
+        r = joined.groupBy("sv", "ss").agg(
+            F.when(
+                F.col("ss") == "purchase", F.lit(1_000_000).cast("long")
+            ).otherwise(
+                F.coalesce(
+                    F.sum(F.expr("p_ppm * rscore div 1000000")), F.lit(0)
+                ).cast("long")
+            ).alias("rscore")
+        ).select(
+            F.col("sv").alias("rv"), F.col("ss").alias("rs"), "rscore"
+        )
+    conv = (
+        variants.join(
+            tv.filter(F.col("a") == "START").select(
+                "variant", "b", "p_ppm"
+            ),
+            "variant", "left",
+        )
+        .join(
+            r,
+            (F.col("rv") == F.col("variant")) & (F.col("rs") == F.col("b")),
+            "left",
+        )
+        .groupBy("variant")
+        .agg(
+            F.coalesce(
+                F.sum(F.expr("p_ppm * rscore div 1000000")), F.lit(0)
+            ).cast("long").alias("p_conv_ppm")
+        )
+    )
+    full = conv.filter(F.col("variant") == "full").select(
+        F.col("p_conv_ppm").alias("full_ppm")
+    )
+    return (
+        conv.crossJoin(F.broadcast(full))
+        .select(
+            "variant", "p_conv_ppm",
+            (F.col("full_ppm") - F.col("p_conv_ppm")).cast("long")
+            .alias("removal_effect_ppm"),
+        )
+        .orderBy("variant")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus BLEU-2 (clipped n-gram precision, geometric mean via exact sqrt)
+# ---------------------------------------------------------------------------
+
+_BLEU_ORACLE = """
+WITH d AS (
+  SELECT source, lang, doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+pairs AS (
+  SELECT doc_id AS pid, toks AS cand,
+         LEAD(toks) OVER (PARTITION BY source, lang ORDER BY doc_id) AS ref
+  FROM d
+),
+pp AS (SELECT pid, cand, ref FROM pairs WHERE ref IS NOT NULL),
+c1 AS (
+  SELECT pid, t.g AS g, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pp, unnest(cand) AS t(g) GROUP BY pid, t.g
+),
+r1 AS (
+  SELECT pid, t.g AS g, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pp, unnest(ref) AS t(g) GROUP BY pid, t.g
+),
+c2 AS (
+  SELECT pid, cand[i] || ' ' || cand[i+1] AS g,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM pp, unnest(range(1, len(cand))) AS t(i) GROUP BY pid, g
+),
+r2 AS (
+  SELECT pid, ref[i] || ' ' || ref[i+1] AS g,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM pp, unnest(range(1, len(ref))) AS t(i) GROUP BY pid, g
+),
+clip1 AS (
+  SELECT CAST(SUM(LEAST(c1.n, r1.n)) AS BIGINT) AS clipped
+  FROM c1 JOIN r1 ON r1.pid = c1.pid AND r1.g = c1.g
+),
+clip2 AS (
+  SELECT CAST(SUM(LEAST(c2.n, r2.n)) AS BIGINT) AS clipped
+  FROM c2 JOIN r2 ON r2.pid = c2.pid AND r2.g = c2.g
+),
+tots AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(len(cand)) AS BIGINT) AS c_tokens,
+         CAST(SUM(len(ref)) AS BIGINT) AS r_tokens,
+         CAST(SUM(len(cand) - 1) AS BIGINT) AS c_bigrams
+  FROM pp
+)
+SELECT t.n_pairs, t.c_tokens, t.r_tokens,
+       c1.clipped * 1000000 // t.c_tokens AS p1_ppm,
+       c2.clipped * 1000000 // t.c_bigrams AS p2_ppm,
+       CAST(floor(sqrt(CAST((c1.clipped * 1000000 // t.c_tokens)
+                          * (c2.clipped * 1000000 // t.c_bigrams)
+                          AS DOUBLE))) AS BIGINT) AS bleu2_nobp_ppm,
+       CAST(t.c_tokens < t.r_tokens AS BIGINT) AS bp_would_apply
+FROM tots t, clip1 c1, clip2 c2
+"""
+
+
+@_stage(
+    "bleu_selfsim_eval",
+    oracle=_BLEU_ORACLE,
+    doc="Corpus BLEU-2 without brevity penalty (Papineni et al., ACL "
+        "2002) between neighboring documents of the same (source, lang) "
+        "stream — the standard MT/selfsim evaluation metric: clipped "
+        "unigram and bigram precisions (candidate n-gram counts clipped "
+        "by the reference's, summed corpus-wide) in exact ppm integers, "
+        "geometric mean via one sqrt on the exact integer product "
+        "(correctly-rounded IEEE -> bit-identical cross-engine); the "
+        "brevity-penalty exp() is the one cross-engine-unsafe term, so "
+        "the BP condition is reported as a flag instead of applied. "
+        "Scale: n-gram histograms explode scan-side and aggregate per "
+        "(pair, gram); the clip join is keyed on the same — "
+        "corpus-size-linear, no all-pairs anything",
+)
+def q_bleu_selfsim_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", "lang", "doc_id",
+        F.expr("filter(split(text, ' '), x -> x != '')").alias("toks"),
+    )
+    w = Window.partitionBy("source", "lang").orderBy("doc_id")
+    pp = docs.select(
+        F.col("doc_id").alias("pid"), F.col("toks").alias("cand"),
+        F.lead("toks").over(w).alias("ref"),
+    ).filter(F.col("ref").isNotNull()).localCheckpoint(eager=True)
+
+    def grams(col, out):
+        n = F.size(col)
+        return F.when(n >= 2, F.zip_with(
+            F.slice(col, 1, n - 1), F.slice(col, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )).otherwise(F.array().cast("array<string>")).alias(out)
+
+    def hist(side, expr_):
+        return (
+            pp.select("pid", F.explode(expr_).alias("g"))
+            .groupBy("pid", "g")
+            .agg(F.count("*").cast("long").alias(f"n_{side}"))
+        )
+
+    c1 = hist("c", F.col("cand"))
+    r1 = hist("r", F.col("ref"))
+    c2 = hist("c", grams(F.col("cand"), "g"))
+    r2 = hist("r", grams(F.col("ref"), "g"))
+    clip1 = c1.join(r1, ["pid", "g"]).agg(
+        F.sum(F.least("n_c", "n_r")).cast("long").alias("clip1")
+    )
+    clip2 = c2.join(r2, ["pid", "g"]).agg(
+        F.sum(F.least("n_c", "n_r")).cast("long").alias("clip2")
+    )
+    tots = pp.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(F.size("cand")).cast("long").alias("c_tokens"),
+        F.sum(F.size("ref")).cast("long").alias("r_tokens"),
+        F.sum(F.size("cand") - 1).cast("long").alias("c_bigrams"),
+    )
+    return (
+        tots.crossJoin(F.broadcast(clip1)).crossJoin(F.broadcast(clip2))
+        .select(
+            "n_pairs", "c_tokens", "r_tokens",
+            F.expr("clip1 * 1000000 div c_tokens").alias("p1_ppm"),
+            F.expr("clip2 * 1000000 div c_bigrams").alias("p2_ppm"),
+            F.expr(
+                "cast(floor(sqrt(cast((clip1 * 1000000 div c_tokens) * "
+                "(clip2 * 1000000 div c_bigrams) as double))) as long)"
+            ).alias("bleu2_nobp_ppm"),
+            (F.col("c_tokens") < F.col("r_tokens")).cast("long")
+            .alias("bp_would_apply"),
+        )
+    )
+
+
 # Self-register at module bottom: by the time execution reaches here,
 # .queries is initialized far enough (register/REGISTRY are defined above
 # its own bottom import of this module), under EITHER import order.
