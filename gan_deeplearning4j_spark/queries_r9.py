@@ -44,6 +44,725 @@ def register_all() -> None:
             register(name, oracle=oracle, headline=headline, doc=doc)(fn)
 
 
+
+
+# ---------------------------------------------------------------------------
+# Business-day lag (weekday-count calendar arithmetic, closed form)
+# ---------------------------------------------------------------------------
+
+# weekdays in [0, d) from the 1970-01-01 epoch (a Thursday): 5 per full
+# week + a 7-case prefix for the remainder; the same closed form in both
+# engines, so the difference f(ship) - f(order) is exact
+_BDAY_PREFIX = ("CASE ({d}) % 7 WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 2 "
+                "WHEN 3 THEN 2 WHEN 4 THEN 2 WHEN 5 THEN 3 WHEN 6 THEN 4 "
+                "END")
+
+
+def _bday_expr(d: str) -> str:
+    return f"5 * (({d}) // 7) + ({_BDAY_PREFIX.format(d=d)})"
+
+
+@_stage(
+    "business_day_ship_lag",
+    oracle=f"""
+    WITH x AS (
+      SELECT l.l_returnflag,
+             date_diff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE))
+               AS od,
+             date_diff('day', DATE '1970-01-01', CAST(l.l_shipdate AS DATE))
+               AS sd
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ), lag AS (
+      SELECT l_returnflag,
+             CAST(({_bday_expr("sd")}) - ({_bday_expr("od")}) AS BIGINT)
+               AS bdays
+      FROM x
+    )
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(bdays) AS BIGINT) AS sum_bdays,
+           CAST(SUM(bdays) AS BIGINT) * 1000 // CAST(COUNT(*) AS BIGINT)
+             AS mean_bdays_e3,
+           CAST(MIN(bdays) AS BIGINT) AS min_bdays,
+           CAST(MAX(bdays) AS BIGINT) AS max_bdays
+    FROM lag GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="Business-day (Mon-Fri) shipping lag per return flag: calendar-day "
+        "differences overstate SLA lag across weekends, so the lag is "
+        "computed as f(ship)-f(order) where f(d) = weekdays in [0,d) from "
+        "the epoch — a closed form (5 per full week + a 7-case remainder "
+        "prefix anchored on 1970-01-01 being a Thursday) identical in "
+        "both engines, sidestepping the Spark-vs-DuckDB dayofweek "
+        "numbering trap. Scale: one orderkey equi-join + one "
+        "map-side-combined groupBy; the weekday algebra is scan-side "
+        "projection",
+)
+def q_business_day_ship_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag",
+        F.datediff(F.col("l_shipdate").cast("date"),
+                   F.lit("1970-01-01").cast("date")).alias("sd"),
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate").cast("date"),
+                   F.lit("1970-01-01").cast("date")).alias("od"),
+    )
+    sp_expr = _bday_expr("sd").replace("//", "div") + \
+        " - (" + _bday_expr("od").replace("//", "div") + ")"
+    lag = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_returnflag", F.expr(sp_expr).cast("long").alias("bdays")
+    )
+    return (
+        lag.groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.sum("bdays").cast("long").alias("sum_bdays"),
+            F.expr("sum(bdays) * 1000 div count(*)").cast("long")
+            .alias("mean_bdays_e3"),
+            F.min("bdays").cast("long").alias("min_bdays"),
+            F.max("bdays").cast("long").alias("max_bdays"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# McNemar test on paired first-half / second-half user outcomes
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "mcnemar_paired_halves",
+    oracle="""
+    WITH span AS (
+      SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi FROM events
+    ), u AS (
+      SELECT e.user_id,
+             MAX(CASE WHEN event_type = 'purchase'
+                      AND epoch_us(ts) * 2 < s.lo + s.hi
+                      THEN 1 ELSE 0 END) AS first_half,
+             MAX(CASE WHEN event_type = 'purchase'
+                      AND epoch_us(ts) * 2 >= s.lo + s.hi
+                      THEN 1 ELSE 0 END) AS second_half
+      FROM events e, span s
+      GROUP BY e.user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN first_half = 1 AND second_half = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS b_only_first,
+           CAST(SUM(CASE WHEN first_half = 0 AND second_half = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS c_only_second,
+           CAST((SUM(CASE WHEN first_half = 1 AND second_half = 0
+                          THEN 1 ELSE 0 END)
+               - SUM(CASE WHEN first_half = 0 AND second_half = 1
+                          THEN 1 ELSE 0 END))
+              * (SUM(CASE WHEN first_half = 1 AND second_half = 0
+                          THEN 1 ELSE 0 END)
+               - SUM(CASE WHEN first_half = 0 AND second_half = 1
+                          THEN 1 ELSE 0 END)) * 1000000
+              // NULLIF(SUM(CASE WHEN first_half + second_half = 1
+                                 THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS mcnemar_x2_ppm
+    FROM u
+    """,
+    doc="McNemar's test for paired binary outcomes (McNemar 1947): did "
+        "each user purchase in the first vs second half of the "
+        "observation window (paired within-subject design — the "
+        "complement of the unpaired Welch/Mann-Whitney family and of "
+        "wilcoxon_signed_rank which needs magnitudes)? Only the "
+        "discordant cells matter: X^2 = (b-c)^2/(b+c), exact int64 ppm. "
+        "The midpoint split is (lo+hi)/2 computed as ts*2 < lo+hi so no "
+        "division ever happens. Scale: one user-keyed aggregate with the "
+        "1-row span broadcast; the statistic is a 1-row projection",
+)
+def q_mcnemar_paired_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("ts_nanos div 1000").alias("ts_us")
+    )
+    span = ev.agg(
+        F.min("ts_us").alias("lo"), F.max("ts_us").alias("hi")
+    )
+    u = (
+        ev.crossJoin(F.broadcast(span))
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts_us") * 2 < F.col("lo") + F.col("hi")),
+                    1,
+                ).otherwise(0)
+            ).alias("first_half"),
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts_us") * 2 >= F.col("lo") + F.col("hi")),
+                    1,
+                ).otherwise(0)
+            ).alias("second_half"),
+        )
+    )
+    return u.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum(
+            F.when((F.col("first_half") == 1) & (F.col("second_half") == 0),
+                   1).otherwise(0)
+        ).cast("long").alias("b_only_first"),
+        F.sum(
+            F.when((F.col("first_half") == 0) & (F.col("second_half") == 1),
+                   1).otherwise(0)
+        ).cast("long").alias("c_only_second"),
+    ).select(
+        "n_users", "b_only_first", "c_only_second",
+        F.expr(
+            "(b_only_first - c_only_second) * (b_only_first - "
+            "c_only_second) * 1000000 div nullif(b_only_first + "
+            "c_only_second, 0)"
+        ).cast("long").alias("mcnemar_x2_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stratified ATE adjustment (exact post-stratification)
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "stratified_ate_adjustment",
+    oracle="""
+    WITH c AS (
+      SELECT c_nationkey AS stratum,
+             CAST(c_mktsegment = 'BUILDING' AS BIGINT) AS treat,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS y_cents
+      FROM customer
+    ), cell AS (
+      SELECT stratum, treat, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y_cents) AS BIGINT) AS s
+      FROM c GROUP BY stratum, treat
+    ), strata AS (
+      SELECT t.stratum, t.n + ctl.n AS n_s,
+             t.s // t.n - ctl.s // ctl.n AS diff_cents
+      FROM (SELECT * FROM cell WHERE treat = 1) t
+      JOIN (SELECT * FROM cell WHERE treat = 0) ctl
+        ON ctl.stratum = t.stratum
+    ), tot AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n FROM strata)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+           CAST(MAX(tot.n) AS BIGINT) AS n_customers,
+           CAST(SUM(diff_cents * n_s) // MAX(tot.n) AS BIGINT)
+             AS ate_cents
+    FROM strata, tot
+    """,
+    doc="Post-stratified average treatment effect: treated = BUILDING-"
+        "segment customers, outcome = account balance cents, strata = "
+        "nation (the observed confounder); ATE = the stratum-size-"
+        "weighted mean of within-stratum treated-minus-control mean "
+        "differences — the exact-matching backbone of observational "
+        "adjustment (the non-parametric core of propensity "
+        "stratification), next to did_estimator (time confounding) and "
+        "cuped_variance_reduction (covariate adjustment) in the "
+        "experimentation family. Strata missing either arm drop out (the "
+        "common-support rule), all arithmetic truncated int64 cents. "
+        "Scale: one (stratum x arm) aggregate; the weighting runs on the "
+        "25-row stratum table",
+)
+def q_stratified_ate_adjustment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("stratum"),
+        (F.col("c_mktsegment") == "BUILDING").cast("long").alias("treat"),
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("y_cents"),
+    )
+    cell = c.groupBy("stratum", "treat").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y_cents").cast("long").alias("s"),
+    )
+    t = cell.filter(F.col("treat") == 1).select(
+        "stratum", F.col("n").alias("nt"), F.col("s").alias("st")
+    )
+    ctl = cell.filter(F.col("treat") == 0).select(
+        "stratum", F.col("n").alias("nc"), F.col("s").alias("sc")
+    )
+    strata = t.join(ctl, "stratum").select(
+        "stratum",
+        (F.col("nt") + F.col("nc")).alias("n_s"),
+        F.expr("st div nt - sc div nc").alias("diff_cents"),
+    )
+    return strata.agg(
+        F.count("*").cast("long").alias("n_strata"),
+        F.sum("n_s").cast("long").alias("n_customers"),
+        F.expr("sum(diff_cents * n_s) div sum(n_s)").cast("long")
+        .alias("ate_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SAX symbolization + motif census of the daily revenue series
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "sax_motif_census",
+    oracle="""
+    WITH d AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS day,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) // 10000
+                  AS BIGINT) AS v
+      FROM orders GROUP BY day
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS s,
+             CAST(SUM(v * v) AS BIGINT) AS ss
+      FROM d
+    ), z AS (
+      SELECT day,
+             CASE
+               WHEN (v * m.n - m.s) < -floor(0.6744897501960817
+                      * sqrt(CAST(m.n * m.ss - m.s * m.s AS DOUBLE)) / m.n)
+                      * 1 THEN 'a'
+               WHEN (v * m.n - m.s) < 0 THEN 'b'
+               WHEN CAST(v * m.n - m.s AS DOUBLE)
+                    < 0.6744897501960817
+                      * sqrt(CAST(m.n * m.ss - m.s * m.s AS DOUBLE)) / m.n
+                 THEN 'c'
+               ELSE 'd'
+             END AS sym
+      FROM d, m
+    ), seq AS (
+      SELECT sym
+             || LEAD(sym, 1) OVER (ORDER BY day)
+             || LEAD(sym, 2) OVER (ORDER BY day) AS motif
+      FROM z
+    )
+    SELECT motif, CAST(COUNT(*) AS BIGINT) AS n_windows
+    FROM seq WHERE motif IS NOT NULL AND length(motif) = 3
+    GROUP BY motif ORDER BY n_windows DESC, motif LIMIT 10
+    """,
+    doc="SAX symbolization (Lin et al. 2003) of the daily revenue series "
+        "with a 4-letter alphabet and 3-day motif census: each day maps "
+        "to a/b/c/d by comparing its mean deviation against the N(0,1) "
+        "quartile breakpoints (+-0.6745 sigma, applied as ONE double "
+        "comparison per side — int-to-double casts, *, /, sqrt are "
+        "correctly-rounded IEEE so the comparison is bit-identical "
+        "cross-engine; values are pre-scaled to 100-dollar units so "
+        "n*SS - S^2 stays in int64), then consecutive 3-symbol motifs "
+        "are counted — the symbolic-motif discovery step time-series "
+        "miners run before suffix-tree indexing. Scale: one "
+        "map-side-combined groupBy to the ~2.4k-day series; the "
+        "symbolization and motif windows run on the day series only",
+)
+def q_sax_motif_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.windows import bounded_window
+
+    o = _t(spark, sf_dir, "orders")
+    d = o.groupBy(
+        F.datediff(F.col("o_orderdate").cast("date"),
+                   F.lit("1970-01-01").cast("date")).alias("day")
+    ).agg(
+        F.expr("sum(cast(round(o_totalprice * 100) as long)) div 10000")
+        .cast("long").alias("v")
+    )
+    m = d.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("v").cast("long").alias("s"),
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("ss"),
+    )
+    z = d.crossJoin(F.broadcast(m)).select(
+        "day",
+        F.when(
+            F.col("v") * F.col("n") - F.col("s")
+            < -F.floor(
+                F.lit(0.6744897501960817)
+                * F.sqrt((F.col("n") * F.col("ss")
+                          - F.col("s") * F.col("s")).cast("double"))
+                / F.col("n")
+            ),
+            "a",
+        )
+        .when(F.col("v") * F.col("n") - F.col("s") < 0, "b")
+        .when(
+            (F.col("v") * F.col("n") - F.col("s")).cast("double")
+            < F.lit(0.6744897501960817)
+            * F.sqrt((F.col("n") * F.col("ss")
+                      - F.col("s") * F.col("s")).cast("double"))
+            / F.col("n"),
+            "c",
+        )
+        .otherwise("d").alias("sym"),
+    )
+    bw = bounded_window(F.col("day"))
+    seq = z.select(
+        F.concat(
+            "sym", F.lead("sym", 1).over(bw), F.lead("sym", 2).over(bw)
+        ).alias("motif")
+    )
+    return (
+        seq.filter(F.col("motif").isNotNull() & (F.length("motif") == 3))
+        .groupBy("motif")
+        .agg(F.count("*").cast("long").alias("n_windows"))
+        .orderBy(F.desc("n_windows"), "motif")
+        .limit(10)
+    )
+
+
+
+
+# ---------------------------------------------------------------------------
+# KMV set-operation estimates (theta-sketch style union/intersection)
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "kmv_set_ops_estimate",
+    oracle="""
+    WITH a AS (
+      SELECT DISTINCT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+    ), b AS (
+      SELECT DISTINCT l_partkey FROM lineitem WHERE l_linestatus = 'O'
+    ),
+    ha AS (SELECT ('0x' || substr(md5('p' || CAST(l_partkey AS VARCHAR)),
+                   1, 13))::BIGINT AS h FROM a),
+    hb AS (SELECT ('0x' || substr(md5('p' || CAST(l_partkey AS VARCHAR)),
+                   1, 13))::BIGINT AS h FROM b),
+    ska AS (SELECT h FROM ha ORDER BY h LIMIT 64),
+    skb AS (SELECT h FROM hb ORDER BY h LIMIT 64),
+    sku AS (
+      SELECT h FROM (SELECT h FROM ska UNION SELECT h FROM skb)
+      ORDER BY h LIMIT 64
+    ),
+    u AS (SELECT CAST(MAX(h) AS BIGINT) AS kth,
+                 CAST(COUNT(*) AS BIGINT) AS k FROM sku),
+    inter AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m
+      FROM sku WHERE h IN (SELECT h FROM ska) AND h IN (SELECT h FROM skb)
+    ),
+    ex AS (
+      SELECT CAST((SELECT COUNT(*) FROM (SELECT l_partkey FROM a
+                    UNION SELECT l_partkey FROM b)) AS BIGINT) AS ex_union,
+             CAST((SELECT COUNT(*) FROM a
+                    WHERE l_partkey IN (SELECT l_partkey FROM b))
+                  AS BIGINT) AS ex_inter
+    )
+    SELECT u.k, inter.m AS sketch_overlap,
+           (u.k - 1) * 4503599627370496 // u.kth AS est_union,
+           inter.m * ((u.k - 1) * 4503599627370496 // u.kth) // u.k
+             AS est_inter,
+           ex.ex_union AS exact_union, ex.ex_inter AS exact_inter
+    FROM u, inter, ex
+    """,
+    doc="KMV/theta-sketch set operations (Dasgupta et al., the DataSketches "
+        "theta recipe): bottom-64 hash sketches of two part-key sets "
+        "(returned items vs open-status items), union estimate from the "
+        "k-th smallest of the MERGED sketch, intersection estimate = "
+        "(overlap fraction within the union sketch) x union estimate — "
+        "the composable alternative to hll_intersection_bracket's "
+        "inclusion-exclusion bounds, and exactly replayable because the "
+        "md5 hash is shared cross-engine. Scale: two TakeOrdered bottom-k "
+        "heaps + a 128-row merge; sketches union by keep-smallest-k, so "
+        "per-partition sketches combine exactly like production theta "
+        "sketches",
+)
+def q_kmv_set_ops_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    hx = "cast(conv(substr(md5(concat('p', cast(l_partkey as string))), " \
+         "1, 13), 16, 10) as long)"
+    a = li.filter(F.col("l_returnflag") == "R").select(
+        "l_partkey").distinct()
+    b = li.filter(F.col("l_linestatus") == "O").select(
+        "l_partkey").distinct()
+    ska = a.select(F.expr(hx).alias("h")).orderBy("h").limit(64) \
+        .localCheckpoint(eager=True)
+    skb = b.select(F.expr(hx).alias("h")).orderBy("h").limit(64) \
+        .localCheckpoint(eager=True)
+    sku = ska.union(skb).distinct().orderBy("h").limit(64) \
+        .localCheckpoint(eager=True)
+    u = sku.agg(F.max("h").alias("kth"),
+                F.count("*").cast("long").alias("k"))
+    inter = (
+        sku.join(ska, "h", "left_semi").join(skb, "h", "left_semi")
+        .agg(F.count("*").cast("long").alias("m"))
+    )
+    ex = (
+        a.unionByName(b).distinct()
+        .agg(F.count("*").cast("long").alias("ex_union"))
+        .crossJoin(
+            a.join(b, "l_partkey", "left_semi")
+            .agg(F.count("*").cast("long").alias("ex_inter"))
+        )
+    )
+    return (
+        u.crossJoin(F.broadcast(inter)).crossJoin(F.broadcast(ex))
+        .select(
+            "k", F.col("m").alias("sketch_overlap"),
+            F.expr("(k - 1) * 4503599627370496 div kth")
+            .alias("est_union"),
+            F.expr("m * ((k - 1) * 4503599627370496 div kth) div k")
+            .alias("est_inter"),
+            F.col("ex_union").alias("exact_union"),
+            F.col("ex_inter").alias("exact_inter"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Croston's method for intermittent demand (two interleaved SES streams)
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "croston_intermittent_demand",
+    oracle="""
+    WITH dem AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+               AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM lineitem WHERE l_quantity = 50 GROUP BY day
+    ), seq AS (
+      SELECT day, x,
+             day - COALESCE(LAG(day) OVER (ORDER BY day), day) AS gap,
+             ROW_NUMBER() OVER (ORDER BY day) AS rn
+      FROM dem
+    ), packed AS (
+      SELECT list(x ORDER BY rn) AS xs, list(gap ORDER BY rn) AS gs,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE rn >= 2
+    ), init AS (
+      SELECT (SELECT x * 1000 FROM seq WHERE rn = 1) AS z0,
+             xs, gs, n
+      FROM packed
+    ), fold AS (
+      SELECT n, z0,
+             list_reduce(
+               list_prepend(z0 * 4294967296 + 1000,
+                 list_transform(range(1, CAST(n AS INTEGER) + 1),
+                                i -> xs[i] * 4294967296 + gs[i])),
+               (acc, e) -> (acc // 4294967296
+                            + ((e // 4294967296) * 1000
+                               - acc // 4294967296) // 5) * 4294967296
+                           + (acc % 4294967296
+                              + ((e % 4294967296) * 1000
+                                 - acc % 4294967296) // 5)
+             ) AS st
+      FROM init
+    )
+    SELECT n + 1 AS n_demand_days,
+           CAST(st // 4294967296 AS BIGINT) AS z_hat_e3,
+           CAST(st % 4294967296 AS BIGINT) AS p_hat_e3,
+           CAST((st // 4294967296) * 1000 // (st % 4294967296) AS BIGINT)
+             AS rate_e3
+    FROM fold
+    """,
+    doc="Croston's method for intermittent demand (Croston 1972): the "
+        "daily count of max-quantity lineitems is a sparse series, so "
+        "plain SES smears zeros; Croston runs TWO interleaved exponential "
+        "smoothers (alpha=1/5, exact e3 integers) over the non-zero "
+        "demand SIZES and the inter-demand GAPS, forecasting rate = "
+        "z_hat/p_hat. The fold packs both registers into one BIGINT "
+        "(z*2^32 + p) on the oracle side — DuckDB's struct-accumulator "
+        "list_reduce quirk (SCALE.md) — while Spark folds a real struct "
+        "through F.aggregate. Scale: the fact scan is one groupBy; the "
+        "fold runs over the collected non-zero-day array (bounded by the "
+        "calendar, ~1.2k entries), engine-side, never on the driver",
+)
+def q_croston_intermittent_demand(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    dem = li.filter(F.col("l_quantity") == 50).groupBy(
+        F.datediff(F.col("l_shipdate").cast("date"),
+                   F.lit("1970-01-01").cast("date")).alias("day")
+    ).agg(F.count("*").cast("long").alias("x"))
+    from .functions.windows import bounded_window
+
+    bw = bounded_window(F.col("day"))
+    seq = dem.select(
+        "day", "x",
+        (F.col("day") - F.coalesce(F.lag("day").over(bw), F.col("day")))
+        .alias("gap"),
+        F.row_number().over(bw).alias("rn"),
+    )
+    packed = seq.agg(
+        F.expr("array_sort(collect_list(struct(rn, x, gap)))").alias("es"),
+    ).select(
+        F.expr("es[0].x * 1000").alias("z0"),
+        F.expr("transform(slice(es, 2, size(es) - 1), "
+               "e -> struct(e.x as x, e.gap as gap))").alias("rest"),
+        (F.size("es")).cast("long").alias("n_demand_days"),
+    )
+    folded = packed.select(
+        "n_demand_days",
+        F.expr(
+            "aggregate(rest, struct(cast(z0 as long) as z, "
+            "cast(1000 as long) as p), (acc, e) -> struct("
+            "acc.z + (e.x * 1000 - acc.z) div 5 as z, "
+            "acc.p + (e.gap * 1000 - acc.p) div 5 as p))"
+        ).alias("st"),
+    )
+    return folded.select(
+        "n_demand_days",
+        F.col("st.z").alias("z_hat_e3"),
+        F.col("st.p").alias("p_hat_e3"),
+        F.expr("st.z * 1000 div st.p").cast("long").alias("rate_e3"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact 0/1 knapsack over top parts (DP as an engine-side fold)
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "knapsack_budget_parts",
+    oracle="""
+    WITH RECURSIVE items AS (
+      SELECT p_size AS w, CAST(round(p_retailprice) AS BIGINT) AS v
+      FROM part ORDER BY p_retailprice DESC, p_partkey LIMIT 30
+    ), packed AS (
+      SELECT list(struct_pack(w := w, v := v)
+                  ORDER BY v DESC, w) AS its
+      FROM items
+    ),
+    dp AS (
+      SELECT 0 AS it,
+             list_transform(range(0, 201), c -> CAST(0 AS BIGINT)) AS d,
+             its
+      FROM packed
+      UNION ALL
+      SELECT it + 1,
+             list_transform(range(0, 201), c ->
+               CASE WHEN c >= its[it + 1].w
+                    THEN greatest(d[c + 1],
+                                  d[c - its[it + 1].w + 1]
+                                  + its[it + 1].v)
+                    ELSE d[c + 1] END),
+             its
+      FROM dp WHERE it < 30
+    )
+    SELECT CAST(30 AS BIGINT) AS n_items,
+           CAST(d[51] AS BIGINT) AS best_value_50,
+           CAST(d[101] AS BIGINT) AS best_value_100,
+           CAST(d[201] AS BIGINT) AS best_value_200
+    FROM dp WHERE it = 30
+    """,
+    doc="Exact 0/1 knapsack (Bellman DP) over the 30 highest-priced "
+        "parts: weight = p_size, value = whole-dollar retail price, "
+        "capacities 50/100/200 — the budget-constrained selection "
+        "optimum that greedy_pack_bins (bin packing, greedy) cannot "
+        "answer. The DP table is a 201-cell int64 array folded through "
+        "the item list ENGINE-SIDE: Spark carries it through one "
+        "F.aggregate lambda, DuckDB through a 30-step single-row "
+        "recursive CTE — no driver loop, no UDF. Scale: the DP is "
+        "O(items x capacity) independent of table size; item selection "
+        "is a TakeOrdered top-k over part",
+)
+def q_knapsack_budget_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    items = (
+        part.orderBy(F.desc("p_retailprice"), "p_partkey").limit(30)
+        .select(
+            F.col("p_size").cast("long").alias("w"),
+            F.round("p_retailprice", 0).cast("long").alias("v"),
+        )
+    )
+    packed = items.agg(
+        F.expr("array_sort(collect_list(struct(w, v)), (a, b) -> "
+               "case when a.v > b.v then -1 when a.v < b.v then 1 "
+               "when a.w < b.w then -1 when a.w > b.w then 1 "
+               "else 0 end)").alias("its")
+    )
+    dp = packed.select(
+        F.expr(
+            "aggregate(its, "
+            "transform(sequence(0, 200), c -> cast(0 as long)), "
+            "(d, b) -> transform(sequence(0, 200), c -> "
+            "if(c >= b.w, greatest(d[c], d[c - int(b.w)] + b.v), d[c])))"
+        ).alias("d")
+    )
+    return dp.select(
+        F.lit(30).cast("long").alias("n_items"),
+        F.expr("d[50]").cast("long").alias("best_value_50"),
+        F.expr("d[100]").cast("long").alias("best_value_100"),
+        F.expr("d[200]").cast("long").alias("best_value_200"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# WAV roundtrip zero-crossing rate (order-sensitive codec certification)
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "wav_zcr_frames",
+    oracle="""
+    WITH c AS (
+      SELECT unnest(range(0, 32)) AS clip
+    ), ix AS (
+      SELECT clip, unnest(range(0, 800)) AS i FROM c
+    ), s AS (
+      SELECT clip, i, i // 160 AS frame_no,
+             CAST('0x' || substr(md5('wav|' || CAST(clip AS VARCHAR)
+                                     || '|' || CAST(i AS VARCHAR)),
+                                 1, 15) AS BIGINT) % 65536 - 32768 AS v
+      FROM ix
+    ), lagged AS (
+      SELECT clip, frame_no, v,
+             LAG(v) OVER (PARTITION BY clip, frame_no ORDER BY i) AS pv
+      FROM s
+    )
+    SELECT clip, frame_no,
+           CAST(SUM(CASE WHEN pv IS NOT NULL
+                         AND (v >= 0) <> (pv >= 0)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS zcr,
+           CAST(MAX(abs(v)) AS BIGINT) AS peak
+    FROM lagged GROUP BY clip, frame_no
+    """,
+    doc="WAV roundtrip certified by ORDER-SENSITIVE statistics: the same "
+        "32 deterministic PCM16 clips as wav_roundtrip_frame_energy are "
+        "encoded to real RIFF/WAVE bytes and decoded back by the "
+        "clean-room wavcodec inside mapInPandas, emitting per-frame "
+        "zero-crossing counts (sign flips between CONSECUTIVE samples) "
+        "and peak amplitude. Frame energy is permutation-invariant "
+        "within a frame — a codec that reordered samples would still "
+        "pass it; ZCR pins the sample ORDER, closing that hole. The "
+        "oracle replays the sample formula and never sees the bytes. "
+        "Scale: decode runs where the binary sits; one aggregate per "
+        "frame",
+)
+def q_wav_zcr_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd  # noqa: F401
+
+    clips = spark.range(32).select(F.col("id").alias("clip"))
+    with_samples = clips.select(
+        "clip",
+        F.expr(
+            "transform(sequence(0, 799), i ->"
+            " cast(conv(substr(md5(cast(concat('wav|',"
+            " cast(clip as string), '|', cast(i as string)) as binary)),"
+            " 1, 15), 16, 10) as long) % 65536 - 32768)"
+        ).alias("samples"),
+    )
+    out_schema = "clip long, frame_no long, zcr long, peak long"
+
+    def run(batches):
+        import numpy as np
+
+        from .functions.wavcodec import decode_wav, encode_wav
+
+        for pdf in batches:
+            rows = {"clip": [], "frame_no": [], "zcr": [], "peak": []}
+            for clip, samples in zip(pdf["clip"], pdf["samples"]):
+                s_arr = np.asarray(samples, dtype=np.int64)
+                decoded, rate = decode_wav(
+                    encode_wav(s_arr.astype(np.int16), 16000)
+                )
+                assert rate == 16000
+                v = decoded[:, 0].astype(np.int64).reshape(-1, 160)
+                flips = ((v[:, :-1] >= 0) != (v[:, 1:] >= 0)).sum(axis=1)
+                peak = np.abs(v).max(axis=1)
+                n = v.shape[0]
+                rows["clip"].extend([int(clip)] * n)
+                rows["frame_no"].extend(range(n))
+                rows["zcr"].extend(int(x) for x in flips)
+                rows["peak"].extend(int(x) for x in peak)
+            yield pd.DataFrame(rows)
+
+    return with_samples.mapInPandas(run, schema=out_schema)
+
+
 # Self-register ONLY under the round-9 gate (this module is imported both
 # by queries.py under the gate and directly by tests without it).
 import os as _os
