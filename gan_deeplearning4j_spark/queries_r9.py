@@ -1538,6 +1538,217 @@ def q_unigram_lm_segment_fixed(
     ).orderBy("word")
 
 
+
+
+# ---------------------------------------------------------------------------
+# Rich-club coefficient over the co-purchase graph
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "rich_club_coefficient",
+    oracle="""
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pr AS (
+      SELECT a.l_partkey AS p1, c.l_partkey AS p2
+      FROM b a JOIN b c
+        ON c.l_orderkey = a.l_orderkey AND c.l_partkey > a.l_partkey
+      GROUP BY p1, p2 HAVING COUNT(*) >= 2
+    ),
+    e AS (SELECT p1 AS u, p2 AS v FROM pr UNION ALL SELECT p2, p1 FROM pr),
+    deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY u),
+    ks AS (SELECT unnest([2, 4, 8, 16]) AS k),
+    club AS (
+      SELECT ks.k, deg.u FROM ks JOIN deg ON deg.d > ks.k
+    ),
+    nk AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n FROM club GROUP BY k),
+    ek AS (
+      SELECT c1.k, CAST(COUNT(*) AS BIGINT) AS m
+      FROM pr JOIN club c1 ON c1.u = pr.p1
+              JOIN club c2 ON c2.k = c1.k AND c2.u = pr.p2
+      GROUP BY c1.k
+    )
+    SELECT CAST(nk.k AS BIGINT) AS k, nk.n AS n_club_nodes,
+           COALESCE(ek.m, 0) AS n_club_edges,
+           CASE WHEN nk.n >= 2
+                THEN 2 * COALESCE(ek.m, 0) * 1000000
+                     // (nk.n * (nk.n - 1))
+                ELSE 0 END AS phi_ppm
+    FROM nk LEFT JOIN ek ON ek.k = nk.k
+    ORDER BY nk.k
+    """,
+    doc="Rich-club coefficient (Colizza et al., Nature Physics 2006) of "
+        "the co-purchase part graph: for degree thresholds k in "
+        "{2,4,8,16}, phi(k) = 2*E_club / (N_club*(N_club-1)) — how "
+        "densely the high-degree 'rich' nodes interconnect, the hub-"
+        "oligarchy diagnostic that degree_assortativity (correlation) "
+        "and clustering_coefficient (triangles) don't capture. Exact "
+        "int64 ppm. Scale: one degree aggregate + one broadcastable "
+        "club-membership join per threshold over the one-directional "
+        "pair list; no pair enumeration beyond the existing edges",
+)
+def q_rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import co_purchase_pairs
+
+    li = _t(spark, sf_dir, "lineitem")
+    pr = co_purchase_pairs(li).localCheckpoint(eager=True)
+    e = pr.select(F.col("p1").alias("u")).unionByName(
+        pr.select(F.col("p2").alias("u"))
+    )
+    deg = e.groupBy("u").agg(F.count("*").cast("long").alias("d"))
+    ks = spark.createDataFrame([(2,), (4,), (8,), (16,)], "k long")
+    club = ks.join(deg, F.col("d") > F.col("k")).select("k", "u")
+    nk = club.groupBy("k").agg(F.count("*").cast("long").alias("n"))
+    c1 = club.select(F.col("k").alias("k1"), F.col("u").alias("m1"))
+    c2 = club.select(F.col("k").alias("k2"), F.col("u").alias("m2"))
+    ek = (
+        pr.join(c1, pr.p1 == c1.m1)
+        .join(c2, (F.col("k2") == F.col("k1")) & (pr.p2 == F.col("m2")))
+        .groupBy(F.col("k1").alias("k"))
+        .agg(F.count("*").cast("long").alias("m"))
+    )
+    return (
+        nk.join(ek, "k", "left")
+        .select(
+            "k", F.col("n").alias("n_club_nodes"),
+            F.coalesce("m", F.lit(0)).cast("long").alias("n_club_edges"),
+            F.when(
+                F.col("n") >= 2,
+                F.expr("2 * coalesce(m, 0) * 1000000 div (n * (n - 1))"),
+            ).otherwise(0).cast("long").alias("phi_ppm"),
+        )
+        .orderBy("k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Burrows' Delta stylometric distance between sources
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "burrows_delta_sources",
+    oracle="""
+    WITH w AS (
+      SELECT d.source, t.tok AS word
+      FROM documents d, unnest(string_split(d.text, ' ')) AS t(tok)
+      WHERE regexp_matches(t.tok, '^[a-z]{2,12}$')
+    ),
+    topw AS (
+      SELECT word FROM w GROUP BY word
+      ORDER BY COUNT(*) DESC, word LIMIT 20
+    ),
+    stot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM w
+             GROUP BY source),
+    f AS (
+      SELECT s.source, tw.word,
+             COALESCE(c.c, 0) * 1000000 // s.n AS fr_ppm
+      FROM stot s CROSS JOIN topw tw
+      LEFT JOIN (
+        SELECT source, word, CAST(COUNT(*) AS BIGINT) AS c
+        FROM w JOIN topw USING (word) GROUP BY source, word
+      ) c ON c.source = s.source AND c.word = tw.word
+    ),
+    mo AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(fr_ppm) AS BIGINT) AS sm,
+             CAST(SUM(fr_ppm * fr_ppm) AS BIGINT) AS ss
+      FROM f GROUP BY word
+    ),
+    z AS (
+      SELECT f.source, f.word,
+             CAST(floor((f.fr_ppm * mo.k - mo.sm) * 1000.0
+                  / sqrt(CAST(mo.k * mo.ss - mo.sm * mo.sm AS DOUBLE)))
+                  AS BIGINT) AS z_e3
+      FROM f JOIN mo ON mo.word = f.word
+      WHERE mo.k * mo.ss > mo.sm * mo.sm
+    ),
+    pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(SUM(abs(a.z_e3 - b.z_e3)) AS BIGINT) AS l1,
+             CAST(COUNT(*) AS BIGINT) AS n_words
+      FROM z a JOIN z b ON b.word = a.word AND b.source > a.source
+      GROUP BY a.source, b.source
+    )
+    SELECT src_a, src_b, n_words,
+           l1 // n_words AS delta_e3
+    FROM pairs ORDER BY src_a, src_b
+    """,
+    doc="Burrows' Delta (Burrows 2002, the standard stylometric "
+        "authorship distance): z-score each source's relative frequency "
+        "of the top-20 corpus words across sources (exact ppm "
+        "frequencies and integer moments; the z is ONE double expression "
+        "— int casts, *, /, sqrt are correctly-rounded IEEE — floored to "
+        "e3), then Delta(a,b) = mean |z_a - z_b| over the word panel. "
+        "The authorship/style-drift screen a corpus-curation pipeline "
+        "runs next to js_divergence_sources (topical drift): Delta "
+        "isolates FUNCTION-word style. Scale: one (source x word) "
+        "aggregate; the pair distance runs on the (sources x 20) z "
+        "table, never the corpus",
+)
+def q_burrows_delta_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    w = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word").rlike("^[a-z]{2,12}$")).localCheckpoint(
+        eager=True
+    )
+    topw = (
+        w.groupBy("word").agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "word").limit(20).select("word")
+    )
+    stot = w.groupBy("source").agg(F.count("*").cast("long").alias("n"))
+    c = (
+        w.join(F.broadcast(topw), "word")
+        .groupBy("source", "word")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    f = (
+        stot.crossJoin(F.broadcast(topw))
+        .join(c, ["source", "word"], "left")
+        .select(
+            "source", "word",
+            F.expr("coalesce(c, 0) * 1000000 div n").alias("fr_ppm"),
+        )
+    )
+    mo = f.groupBy("word").agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("fr_ppm").cast("long").alias("sm"),
+        F.sum(F.col("fr_ppm") * F.col("fr_ppm")).cast("long").alias("ss"),
+    )
+    z = (
+        f.join(mo, "word")
+        .filter(F.col("k") * F.col("ss") > F.col("sm") * F.col("sm"))
+        .select(
+            "source", "word",
+            F.floor(
+                (F.col("fr_ppm") * F.col("k") - F.col("sm")) * 1000.0
+                / F.sqrt(
+                    (F.col("k") * F.col("ss")
+                     - F.col("sm") * F.col("sm")).cast("double")
+                )
+            ).cast("long").alias("z_e3"),
+        )
+    )
+    a = z.select(F.col("source").alias("src_a"), "word",
+                 F.col("z_e3").alias("za"))
+    b = z.select(F.col("source").alias("src_b"),
+                 F.col("word").alias("wb"), F.col("z_e3").alias("zb"))
+    return (
+        a.join(b, (F.col("wb") == F.col("word"))
+               & (F.col("src_b") > F.col("src_a")))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.sum(F.abs(F.col("za") - F.col("zb"))).cast("long")
+            .alias("l1"),
+            F.count("*").cast("long").alias("n_words"),
+        )
+        .select(
+            "src_a", "src_b", "n_words",
+            F.expr("l1 div n_words").alias("delta_e3"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
 # Self-register ONLY under the round-9 gate (this module is imported both
 # by queries.py under the gate and directly by tests without it).
 import os as _os
