@@ -1749,6 +1749,334 @@ def q_burrows_delta_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# ---------------------------------------------------------------------------
+# Greedy max-coverage document selection (submodular curation primitive)
+# ---------------------------------------------------------------------------
+
+_COVERAGE_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '),
+                         x -> regexp_matches(x, '^[a-z]{2,12}$')) AS ws
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
+      FROM toks, unnest(range(1, len(ws))) AS t(i)
+    ),
+    topb AS (
+      SELECT g, row_number() OVER (ORDER BY COUNT(*) DESC, g) - 1 AS wid
+      FROM bg GROUP BY g ORDER BY COUNT(*) DESC, g LIMIT 60
+    ),
+    masks AS (
+      SELECT bg.doc_id,
+             CAST(bit_or(1::BIGINT << CAST(topb.wid AS INTEGER))
+                  AS BIGINT) AS mask
+      FROM bg JOIN topb USING (g) GROUP BY bg.doc_id
+    ),
+    g0 AS (SELECT 0 AS k, CAST(0 AS BIGINT) AS covered, ',' AS picks),
+    
+    g1 AS (
+      SELECT 1 AS k, m.doc_id,
+             bit_count(m.mask | g.covered) - bit_count(g.covered) AS gain,
+             m.mask | g.covered AS covered,
+             g.picks || CAST(m.doc_id AS VARCHAR) || ',' AS picks
+      FROM masks m, g0 g
+      WHERE instr(g.picks, ',' || CAST(m.doc_id AS VARCHAR) || ',') = 0
+      ORDER BY bit_count(m.mask | g.covered) DESC, m.doc_id LIMIT 1
+    ),
+    g2 AS (
+      SELECT 2 AS k, m.doc_id,
+             bit_count(m.mask | g.covered) - bit_count(g.covered) AS gain,
+             m.mask | g.covered AS covered,
+             g.picks || CAST(m.doc_id AS VARCHAR) || ',' AS picks
+      FROM masks m, g1 g
+      WHERE instr(g.picks, ',' || CAST(m.doc_id AS VARCHAR) || ',') = 0
+      ORDER BY bit_count(m.mask | g.covered) DESC, m.doc_id LIMIT 1
+    ),
+    g3 AS (
+      SELECT 3 AS k, m.doc_id,
+             bit_count(m.mask | g.covered) - bit_count(g.covered) AS gain,
+             m.mask | g.covered AS covered,
+             g.picks || CAST(m.doc_id AS VARCHAR) || ',' AS picks
+      FROM masks m, g2 g
+      WHERE instr(g.picks, ',' || CAST(m.doc_id AS VARCHAR) || ',') = 0
+      ORDER BY bit_count(m.mask | g.covered) DESC, m.doc_id LIMIT 1
+    ),
+    g4 AS (
+      SELECT 4 AS k, m.doc_id,
+             bit_count(m.mask | g.covered) - bit_count(g.covered) AS gain,
+             m.mask | g.covered AS covered,
+             g.picks || CAST(m.doc_id AS VARCHAR) || ',' AS picks
+      FROM masks m, g3 g
+      WHERE instr(g.picks, ',' || CAST(m.doc_id AS VARCHAR) || ',') = 0
+      ORDER BY bit_count(m.mask | g.covered) DESC, m.doc_id LIMIT 1
+    ),
+    g5 AS (
+      SELECT 5 AS k, m.doc_id,
+             bit_count(m.mask | g.covered) - bit_count(g.covered) AS gain,
+             m.mask | g.covered AS covered,
+             g.picks || CAST(m.doc_id AS VARCHAR) || ',' AS picks
+      FROM masks m, g4 g
+      WHERE instr(g.picks, ',' || CAST(m.doc_id AS VARCHAR) || ',') = 0
+      ORDER BY bit_count(m.mask | g.covered) DESC, m.doc_id LIMIT 1
+    )
+    SELECT CAST(k AS BIGINT) AS round, doc_id,
+           CAST(gain AS BIGINT) AS gain,
+           CAST(bit_count(covered) AS BIGINT) AS covered_total
+    FROM (SELECT k, doc_id, gain, covered FROM g1 UNION ALL SELECT k, doc_id, gain, covered FROM g2 UNION ALL SELECT k, doc_id, gain, covered FROM g3 UNION ALL SELECT k, doc_id, gain, covered FROM g4 UNION ALL SELECT k, doc_id, gain, covered FROM g5) f(k, doc_id, gain, covered)
+    ORDER BY round
+    """
+
+
+@_stage(
+    "greedy_max_coverage",
+    oracle=_COVERAGE_ORACLE,
+    doc="Greedy maximum-coverage document selection (the (1-1/e) "
+        "submodular greedy, Nemhauser et al. 1978): the coverage "
+        "universe is the top-60 corpus bigrams, each document is its "
+        "60-bit coverage mask (bit_or of 1<<rank), and 5 greedy rounds "
+        "pick the document with the largest marginal gain "
+        "(bit_count(mask|covered) - bit_count(covered), ties by doc_id) "
+        "— the coverage-based data-selection primitive behind corpus "
+        "subset curation, next to dsir_importance_weights (distribution "
+        "matching) and semantic dedup (redundancy removal). All state "
+        "is one int64 bitmask + a picked-id list. Scale: masks build "
+        "scan-side (one bigram shuffle); each round is one TakeOrdered "
+        "over the doc-mask table with a 1-row broadcast state",
+)
+def q_greedy_max_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.expr("filter(split(text, ' '), "
+               "x -> x rlike '^[a-z]{2,12}$')").alias("ws"),
+    )
+    n = F.size("ws")
+    bg = toks.filter(n >= 2).select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("ws", 1, n - 1), F.slice("ws", 2, n - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("g"),
+    )
+    from .functions.windows import bounded_window
+
+    topb = (
+        bg.groupBy("g").agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "g").limit(60)
+        .select(
+            "g",
+            (F.row_number().over(
+                bounded_window(F.desc("cnt"), F.col("g"))
+            ) - 1).alias("wid"),
+        )
+    )
+    masks = (
+        bg.join(F.broadcast(topb), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.expr("bit_or(shiftleft(1L, cast(wid as int)))")
+            .cast("long").alias("mask")
+        )
+        .localCheckpoint(eager=True)
+    )
+    state = spark.createDataFrame(
+        [(0, ",")], "covered long, picks string"
+    )
+    rows = []
+    for k in range(1, 6):
+        best = (
+            masks.crossJoin(F.broadcast(state))
+            .filter(
+                F.expr("instr(picks, concat(',', cast(doc_id as string), "
+                       "','))") == 0
+            )
+            .orderBy(
+                F.expr("bit_count(mask | covered)").desc(), "doc_id"
+            )
+            .limit(1)
+            .select(
+                F.lit(k).cast("long").alias("round"),
+                "doc_id",
+                F.expr("cast(bit_count(mask | covered) - "
+                       "bit_count(covered) as long)").alias("gain"),
+                F.expr("mask | covered").alias("covered"),
+                F.expr("concat(picks, cast(doc_id as string), ',')")
+                .alias("picks"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        rows.append(
+            best.select(
+                "round", "doc_id", "gain",
+                F.expr("cast(bit_count(covered) as long)")
+                .alias("covered_total"),
+            )
+        )
+        state = best.select("covered", "picks")
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("round")
+
+
+# ---------------------------------------------------------------------------
+# Gonzalez farthest-first k-center (diversity / coreset sampling)
+# ---------------------------------------------------------------------------
+
+_KCENTER_ORACLE = """
+    WITH q AS (
+      SELECT vec_id, t.i,
+             CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 1024) AS BIGINT)
+               AS q
+      FROM embeddings, (SELECT unnest(range(1, 65)) AS i) t
+    ),
+    d1 AS (
+      SELECT a.vec_id,
+             CAST(SUM((a.q - c.q) * (a.q - c.q)) AS BIGINT) AS d2
+      FROM q a
+      JOIN q c ON c.i = a.i AND c.vec_id = (SELECT MIN(vec_id) FROM q)
+      GROUP BY a.vec_id
+    ),
+    
+    p2 AS (
+      SELECT vec_id, d2 FROM d1 ORDER BY d2 DESC, vec_id LIMIT 1
+    ),
+    d2 AS (
+      SELECT a.vec_id,
+             LEAST(pd.d2,
+                   CAST(SUM((a.q - c.q) * (a.q - c.q)) AS BIGINT)) AS d2
+      FROM q a
+      JOIN q c ON c.i = a.i AND c.vec_id = (SELECT vec_id FROM p2)
+      JOIN d1 pd ON pd.vec_id = a.vec_id
+      GROUP BY a.vec_id, pd.d2
+    ),
+    p3 AS (
+      SELECT vec_id, d2 FROM d2 ORDER BY d2 DESC, vec_id LIMIT 1
+    ),
+    d3 AS (
+      SELECT a.vec_id,
+             LEAST(pd.d2,
+                   CAST(SUM((a.q - c.q) * (a.q - c.q)) AS BIGINT)) AS d2
+      FROM q a
+      JOIN q c ON c.i = a.i AND c.vec_id = (SELECT vec_id FROM p3)
+      JOIN d2 pd ON pd.vec_id = a.vec_id
+      GROUP BY a.vec_id, pd.d2
+    ),
+    p4 AS (
+      SELECT vec_id, d2 FROM d3 ORDER BY d2 DESC, vec_id LIMIT 1
+    ),
+    d4 AS (
+      SELECT a.vec_id,
+             LEAST(pd.d2,
+                   CAST(SUM((a.q - c.q) * (a.q - c.q)) AS BIGINT)) AS d2
+      FROM q a
+      JOIN q c ON c.i = a.i AND c.vec_id = (SELECT vec_id FROM p4)
+      JOIN d3 pd ON pd.vec_id = a.vec_id
+      GROUP BY a.vec_id, pd.d2
+    ),
+    p5 AS (
+      SELECT vec_id, d2 FROM d4 ORDER BY d2 DESC, vec_id LIMIT 1
+    ),
+    d5 AS (
+      SELECT a.vec_id,
+             LEAST(pd.d2,
+                   CAST(SUM((a.q - c.q) * (a.q - c.q)) AS BIGINT)) AS d2
+      FROM q a
+      JOIN q c ON c.i = a.i AND c.vec_id = (SELECT vec_id FROM p5)
+      JOIN d4 pd ON pd.vec_id = a.vec_id
+      GROUP BY a.vec_id, pd.d2
+    )
+    SELECT * FROM (SELECT CAST(1 AS BIGINT) AS round, (SELECT MIN(vec_id) FROM q) AS center_id, CAST(0 AS BIGINT) AS radius_sq UNION ALL SELECT CAST(2 AS BIGINT), vec_id, CAST(d2 AS BIGINT) FROM p2 UNION ALL SELECT CAST(3 AS BIGINT), vec_id, CAST(d2 AS BIGINT) FROM p3 UNION ALL SELECT CAST(4 AS BIGINT), vec_id, CAST(d2 AS BIGINT) FROM p4 UNION ALL SELECT CAST(5 AS BIGINT), vec_id, CAST(d2 AS BIGINT) FROM p5) f(round, center_id, radius_sq)
+    ORDER BY round
+    """
+
+
+@_stage(
+    "gonzalez_kcenter_fixed",
+    oracle=_KCENTER_ORACLE,
+    doc="Gonzalez farthest-first traversal (Gonzalez 1985, the 2-approx "
+        "k-center algorithm): seed with the minimum vec_id, then 4 "
+        "times pick the embedding FARTHEST (max min-distance, ties by "
+        "id) from the chosen set — the diversity-sampling / coreset "
+        "primitive a curation pipeline uses to spread a labeling or "
+        "eval budget, the opposite selection pressure from "
+        "semantic-dedup. Distances are exact int64 squared L2 over "
+        "floor(x*2^10)-quantized coordinates, so every pick and radius "
+        "hash-matches. radius_sq at selection time is the covering "
+        "radius before that center is added (the k-center objective "
+        "trajectory). Scale: each round is one dim-keyed join against "
+        "the 64-row center vector + one min-update of the O(n) "
+        "min-distance table — no pairwise matrix, ever",
+)
+def q_gonzalez_kcenter_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.expr("transform(embedding, e -> "
+                   "cast(floor(cast(e as double) * 1024) as long))")
+        ).alias("i0", "q"),
+    ).select(
+        "vec_id", (F.col("i0") + 1).cast("long").alias("i"), "q"
+    ).localCheckpoint(eager=True)
+
+    def dist_to(center_id_df):
+        qc = q.join(
+            F.broadcast(center_id_df.select(F.col("vec_id").alias("cid"))),
+            F.col("vec_id") == F.col("cid"),
+        ).select(F.col("i").alias("ci"), F.col("q").alias("cq"))
+        return (
+            q.join(F.broadcast(qc), F.col("i") == F.col("ci"))
+            .groupBy("vec_id")
+            .agg(
+                F.sum((F.col("q") - F.col("cq"))
+                      * (F.col("q") - F.col("cq")))
+                .cast("long").alias("nd2")
+            )
+        )
+
+    c1 = q.agg(F.min("vec_id").alias("vec_id"))
+    rows = [
+        c1.select(
+            F.lit(1).cast("long").alias("round"),
+            F.col("vec_id").alias("center_id"),
+            F.lit(0).cast("long").alias("radius_sq"),
+        )
+    ]
+    mind = dist_to(c1).select(
+        "vec_id", F.col("nd2").alias("d2")
+    ).localCheckpoint(eager=True)
+    for r in range(2, 6):
+        pick = mind.orderBy(F.desc("d2"), "vec_id").limit(1) \
+            .localCheckpoint(eager=True)
+        rows.append(
+            pick.select(
+                F.lit(r).cast("long").alias("round"),
+                F.col("vec_id").alias("center_id"),
+                F.col("d2").cast("long").alias("radius_sq"),
+            )
+        )
+        if r < 5:
+            nd = dist_to(pick)
+            mind = (
+                mind.join(nd, "vec_id")
+                .select(
+                    "vec_id", F.least("d2", "nd2").alias("d2")
+                )
+                .localCheckpoint(eager=True)
+            )
+    out = rows[0]
+    for r_ in rows[1:]:
+        out = out.unionByName(r_)
+    return out.orderBy("round")
+
+
 # Self-register ONLY under the round-9 gate (this module is imported both
 # by queries.py under the gate and directly by tests without it).
 import os as _os

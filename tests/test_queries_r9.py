@@ -231,3 +231,68 @@ def test_wav_zcr_matches_formula_replay(spark, sf_dir):
     want = pd.DataFrame(rows, columns=["clip", "frame_no", "zcr", "peak"])
     got = out.sort_values(["clip", "frame_no"]).reset_index(drop=True)
     assert got.equals(want)
+
+
+def test_greedy_max_coverage_matches_python(spark, sf_dir):
+    """5-round submodular greedy replayed in python over the same
+    top-60-bigram masks (ties by count desc then gram, then doc_id)."""
+    import re
+
+    docs = pd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    cnt: dict[str, int] = {}
+    doc_grams: dict[int, list[str]] = {}
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        ws = [t for t in text.split(" ")
+              if re.fullmatch(r"[a-z]{2,12}", t)]
+        gs = [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+        doc_grams[int(did)] = gs
+        for g in gs:
+            cnt[g] = cnt.get(g, 0) + 1
+    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:60]
+    wid = {g: i for i, (g, _c) in enumerate(top)}
+    masks = {
+        did: sum(1 << wid[g] for g in {g for g in gs if g in wid})
+        for did, gs in doc_grams.items()
+        if any(g in wid for g in gs)
+    }
+    covered, picked, want = 0, set(), []
+    for rnd in range(1, 6):
+        best = max(
+            ((did, m) for did, m in masks.items() if did not in picked),
+            key=lambda dm: (bin(dm[1] | covered).count("1"), -dm[0]),
+        )
+        gain = bin(best[1] | covered).count("1") - bin(covered).count("1")
+        covered |= best[1]
+        picked.add(best[0])
+        want.append((rnd, best[0], gain, bin(covered).count("1")))
+    out = [tuple(r) for r in
+           _fn("greedy_max_coverage")(spark, sf_dir).collect()]
+    assert out == want
+
+
+def test_gonzalez_kcenter_matches_numpy(spark, sf_dir):
+    """Farthest-first traversal replayed with numpy int64 distances."""
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ids = emb["vec_id"].to_numpy()
+    order = np.argsort(ids)
+    ids = ids[order]
+    X = np.floor(
+        np.stack(emb["embedding"].to_numpy()[order]).astype(np.float64)
+        * 1024
+    ).astype(np.int64)
+    centers = [0]                      # index of min vec_id
+    want = [(1, int(ids[0]), 0)]
+    mind = ((X - X[0]) ** 2).sum(axis=1)
+    for rnd in range(2, 6):
+        # argmax of (d2 desc, vec_id asc): ids sorted asc -> first argmax
+        best = int(np.argmax(mind))
+        want.append((rnd, int(ids[best]), int(mind[best])))
+        centers.append(best)
+        if rnd < 5:
+            nd = ((X - X[best]) ** 2).sum(axis=1)
+            mind = np.minimum(mind, nd)
+    out = [tuple(r) for r in
+           _fn("gonzalez_kcenter_fixed")(spark, sf_dir).collect()]
+    assert out == want
