@@ -2077,6 +2077,178 @@ def q_gonzalez_kcenter_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("round")
 
 
+
+
+# ---------------------------------------------------------------------------
+# Perceptual DCT hash (pHash) pairs with the real PNG codec in the loop
+# ---------------------------------------------------------------------------
+
+# DCT-II basis rows k=0..3 over n=0..7, frozen as floor(cos(pi*(2n+1)k/16)
+# * 2^14) literals — computed ONCE in python and embedded in both engines,
+# so no transcendental is ever evaluated cross-engine.
+_DCT_LITS = [
+    (0, 0, 16384),
+    (0, 1, 16384),
+    (0, 2, 16384),
+    (0, 3, 16384),
+    (0, 4, 16384),
+    (0, 5, 16384),
+    (0, 6, 16384),
+    (0, 7, 16384),
+    (1, 0, 16069),
+    (1, 1, 13622),
+    (1, 2, 9102),
+    (1, 3, 3196),
+    (1, 4, -3197),
+    (1, 5, -9103),
+    (1, 6, -13623),
+    (1, 7, -16070),
+    (2, 0, 15136),
+    (2, 1, 6269),
+    (2, 2, -6270),
+    (2, 3, -15137),
+    (2, 4, -15137),
+    (2, 5, -6270),
+    (2, 6, 6269),
+    (2, 7, 15136),
+    (3, 0, 13622),
+    (3, 1, -3197),
+    (3, 2, -16070),
+    (3, 3, -9103),
+    (3, 4, 9102),
+    (3, 5, 16069),
+    (3, 6, 3196),
+    (3, 7, -13623),
+]
+
+_PHASH_ORACLE = """
+    WITH px AS (
+      SELECT i.img, y.y, x.x,
+             CAST('0x' || substr(md5('img|' || CAST(i.img AS VARCHAR)
+                    || '|' || CAST(y.y AS VARCHAR)
+                    || '|' || CAST(x.x AS VARCHAR)), 1, 15) AS BIGINT)
+               % 256 AS v
+      FROM (SELECT unnest(range(0, 24)) AS img) i,
+           (SELECT unnest(range(0, 16)) AS y) y,
+           (SELECT unnest(range(0, 16)) AS x) x
+    ),
+    l AS (
+      SELECT img, y // 2 AS i, x // 2 AS j, CAST(SUM(v) AS BIGINT) AS bs
+      FROM px GROUP BY img, y // 2, x // 2
+    ),
+    c(k, n, w) AS (VALUES (0, 0, 16384), (0, 1, 16384), (0, 2, 16384), (0, 3, 16384), (0, 4, 16384), (0, 5, 16384), (0, 6, 16384), (0, 7, 16384), (1, 0, 16069), (1, 1, 13622), (1, 2, 9102), (1, 3, 3196), (1, 4, -3197), (1, 5, -9103), (1, 6, -13623), (1, 7, -16070), (2, 0, 15136), (2, 1, 6269), (2, 2, -6270), (2, 3, -15137), (2, 4, -15137), (2, 5, -6270), (2, 6, 6269), (2, 7, 15136), (3, 0, 13622), (3, 1, -3197), (3, 2, -16070), (3, 3, -9103), (3, 4, 9102), (3, 5, 16069), (3, 6, 3196), (3, 7, -13623)),
+    d AS (
+      SELECT l.img, cu.k AS u, cv.k AS v,
+             CAST(SUM(cu.w * l.bs * cv.w) AS BIGINT) AS coeff
+      FROM l JOIN c cu ON cu.n = l.i JOIN c cv ON cv.n = l.j
+      GROUP BY l.img, cu.k, cv.k
+    ),
+    med AS (
+      SELECT img, coeff AS m
+      FROM (SELECT img, coeff,
+                   ROW_NUMBER() OVER (PARTITION BY img ORDER BY coeff)
+                     AS rn
+            FROM d)
+      WHERE rn = 8
+    ),
+    bits AS (
+      SELECT d.img, d.u * 4 + d.v AS k,
+             CASE WHEN d.coeff > med.m THEN 1 ELSE 0 END AS bit
+      FROM d JOIN med ON med.img = d.img
+    )
+    SELECT a.img AS img_a, b.img AS img_b,
+           CAST(SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END)
+                AS BIGINT) AS hamming
+    FROM bits a JOIN bits b ON b.k = a.k AND b.img > a.img
+    GROUP BY a.img, b.img
+    ORDER BY img_a, img_b
+    """
+
+
+@_stage(
+    "image_phash_pairs",
+    oracle=_PHASH_ORACLE,
+    doc="Perceptual DCT hash (pHash) near-duplicate image pairs with the "
+        "REAL PNG codec in the loop: the same 24 deterministic 16x16 "
+        "images as image_ahash_pairs are encoded to actual PNG bytes and "
+        "decoded back in mapInPandas; 2x2 block sums form an 8x8 "
+        "integer image whose 2-D DCT-II is computed with a FROZEN "
+        "integer basis (floor(cos * 2^14) literals shared verbatim by "
+        "both engines — no transcendental ever runs cross-engine), and "
+        "the 16 low-frequency coefficients hash to bits by the classic "
+        "above-median rule (exact integer lower median). Complements "
+        "aHash: pHash is frequency-domain, robust to global brightness "
+        "shifts aHash is blind to. The oracle replays formula + DCT in "
+        "SQL and never sees a PNG. Scale: codec + DCT run where the "
+        "bytes sit; the pair join touches 16-bit sketches, never pixels",
+)
+def q_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dct = list(_DCT_LITS)
+
+    def gen(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from gan_deeplearning4j_spark.functions.imagecodec import (
+            decode_png,
+            encode_png,
+        )
+
+        C = np.zeros((4, 8), dtype=np.int64)
+        for k, n, w in dct:
+            C[k, n] = w
+
+        for pdf in batches:
+            rows = []
+            for img in pdf["id"]:
+                img = int(img)
+                px = np.empty((16, 16), dtype=np.uint8)
+                for y in range(16):
+                    for x in range(16):
+                        h = hashlib.md5(
+                            f"img|{img}|{y}|{x}".encode()
+                        ).hexdigest()[:15]
+                        px[y, x] = int(h, 16) % 256
+                dec = decode_png(encode_png(px)).squeeze().astype(np.int64)
+                blocks = dec.reshape(8, 2, 8, 2).sum(axis=(1, 3))
+                D = C @ blocks @ C.T
+                for u in range(4):
+                    for v in range(4):
+                        rows.append((img, u * 4 + v, int(D[u, v])))
+            yield pd.DataFrame(rows, columns=["img", "k", "coeff"])
+
+    d = spark.range(24).repartition(4).mapInPandas(
+        gen, "img long, k long, coeff long"
+    )
+    w = Window.partitionBy("img").orderBy("coeff")
+    med = (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 8)
+        .select("img", F.col("coeff").alias("m"))
+    )
+    bits = d.join(med, "img").select(
+        "img", "k",
+        F.when(F.col("coeff") > F.col("m"), 1).otherwise(0).alias("bit"),
+    ).localCheckpoint()
+    a = bits.select(F.col("img").alias("img_a"), "k",
+                    F.col("bit").alias("bit_a"))
+    b = bits.select(F.col("img").alias("img_b"),
+                    F.col("k").alias("kb"), F.col("bit").alias("bit_b"))
+    return (
+        a.join(F.broadcast(b), (F.col("kb") == F.col("k"))
+               & (F.col("img_b") > F.col("img_a")))
+        .groupBy("img_a", "img_b")
+        .agg(
+            F.sum(
+                F.when(F.col("bit_a") != F.col("bit_b"), 1).otherwise(0)
+            ).cast("long").alias("hamming")
+        )
+        .orderBy("img_a", "img_b")
+    )
+
+
 # Self-register ONLY under the round-9 gate (this module is imported both
 # by queries.py under the gate and directly by tests without it).
 import os as _os
