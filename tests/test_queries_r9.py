@@ -296,3 +296,31 @@ def test_gonzalez_kcenter_matches_numpy(spark, sf_dir):
     out = [tuple(r) for r in
            _fn("gonzalez_kcenter_fixed")(spark, sf_dir).collect()]
     assert out == want
+
+
+def test_token_bucket_matches_python_fold(spark, sf_dir):
+    """Admission decisions replayed in python with the same integer
+    micro-token arithmetic (capacity 5, cost 1, refill 1/10s)."""
+    ev = pd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+    )
+    ev["ts_us"] = ev["ts"].astype("datetime64[us]").astype(np.int64)
+    want = {}
+    for uid, g in ev.sort_values(["ts_us", "event_id"]).groupby("user_id"):
+        tokens, admitted = 5_000_000, 0
+        prev = None
+        for t in g["ts_us"]:
+            dt = 0 if prev is None else int(t - prev)
+            prev = t
+            tokens = min(5_000_000, tokens + dt // 10)
+            if tokens >= 1_000_000:
+                tokens -= 1_000_000
+                admitted += 1
+        want[int(uid)] = (len(g), admitted, len(g) - admitted, tokens)
+    out = _fn("token_bucket_admissions")(spark, sf_dir).collect()
+    got = {
+        r["user_id"]: (r["n_events"], r["n_admitted"], r["n_denied"],
+                       r["tokens_left_micro"])
+        for r in out
+    }
+    assert got == want
