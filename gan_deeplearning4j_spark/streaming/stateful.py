@@ -575,3 +575,80 @@ def streaming_weighted_sample(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+TOKEN_BUCKET_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("n_admitted", T.LongType()),
+        T.StructField("n_denied", T.LongType()),
+        T.StructField("tokens_left_micro", T.LongType()),
+        T.StructField("emit_seq", T.LongType()),
+    ]
+)
+
+TOKEN_BUCKET_STATE = T.StructType(
+    [
+        T.StructField("tokens", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("admitted", T.LongType()),
+        T.StructField("seq", T.LongType()),
+    ]
+)
+
+_TB_CAP = 5_000_000   # micro-tokens; MUST match queries_r9's batch twin
+_TB_COST = 1_000_000
+
+
+def _token_bucket_fn(
+    key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    tokens, last_us, n, admitted, seq = (
+        state.get if state.exists else (_TB_CAP, None, 0, 0, 0)
+    )
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    rows = rows.sort_values(["ts_nanos", "event_id"])
+    for ts_ns in rows["ts_nanos"]:
+        ts_us = int(ts_ns) // 1000
+        dt = 0 if last_us is None else ts_us - last_us
+        last_us = ts_us
+        tokens = min(_TB_CAP, tokens + dt // 10)
+        if tokens >= _TB_COST:
+            tokens -= _TB_COST
+            admitted += 1
+        n += 1
+    seq += 1
+    state.update((tokens, last_us, n, admitted, seq))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "n_admitted": [admitted],
+            "n_denied": [n - admitted],
+            "tokens_left_micro": [tokens],
+            "emit_seq": [seq],
+        }
+    )
+
+
+def streaming_token_bucket(events: DataFrame) -> DataFrame:
+    """Per-user streaming token-bucket rate limiter — the stateful twin
+    of the batch ``token_bucket_admissions`` query (queries_r9): the
+    identical integer micro-token recurrence (capacity 5 tokens, 1 token
+    per event, refill 1 token / 10 s from inter-arrival gaps) carried
+    across micro-batches in GroupState, so after the stream drains the
+    admitted/denied counts and the remaining level equal the batch fold
+    EXACTLY (pinned by test). This is the enforcement half of the replay
+    query: the same state machine that audits limits over history runs
+    live at the edge. Same in-order-arrival contract as the EWMA /
+    balance twins (FileStreamSource replay in event order)."""
+    prepared = events.select("user_id", "ts_nanos", "event_id")
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _token_bucket_fn,
+        outputStructType=TOKEN_BUCKET_OUTPUT,
+        stateStructType=TOKEN_BUCKET_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1108,3 +1108,66 @@ def test_streaming_weighted_sample_matches_batch(spark, sf_dir, tmp_path):
     assert got["item_id"].tolist() == batch["c_custkey"].tolist()
     assert got["w"].tolist() == batch["w"].tolist()
     assert got["key_e12"].tolist() == batch["key_e12"].tolist()
+
+
+def test_streaming_token_bucket_equals_batch_fold(spark, sf_dir, tmp_path):
+    """The GroupState token bucket must land EXACTLY on the batch replay
+    (token_bucket_admissions, staged queries_r9) once the stream drains —
+    admitted/denied counts and the remaining micro-token level are the
+    same non-linear fold carried across micro-batches. Same ordered
+    file-replay harness as the balance twin."""
+    import os as _os
+    import time as _time
+
+    from gan_deeplearning4j_spark.queries_r9 import STAGED
+    from gan_deeplearning4j_spark.streaming.stateful import (
+        streaming_token_bucket,
+    )
+
+    ev = load_events(spark, sf_dir).select(
+        "event_id", "ts", "ts_nanos", "user_id", "event_type", "value",
+        "props"
+    )
+    ts_sorted = [r[0] for r in
+                 ev.select("ts_nanos").orderBy("ts_nanos").collect()]
+    b1 = ts_sorted[len(ts_sorted) // 3]
+    b2 = ts_sorted[2 * len(ts_sorted) // 3]
+    src = str(tmp_path / "events_tb")
+    bounds = [None, b1, b2, None]
+    now = _time.time()
+    seen: set = set()
+    for i in range(3):
+        part = ev
+        if bounds[i] is not None:
+            part = part.filter(F.col("ts_nanos") > F.lit(bounds[i]))
+        if bounds[i + 1] is not None:
+            part = part.filter(F.col("ts_nanos") <= F.lit(bounds[i + 1]))
+        part.coalesce(1).write.mode("append").parquet(src)
+        for f in _os.listdir(src):
+            if f.endswith(".parquet") and f not in seen:
+                seen.add(f)
+                _os.utime(_os.path.join(src, f), (now, now + 600 * i))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_token_bucket(stream)
+    run_stream_to_memory(out, "tb_stream", timeout_sec=180,
+                         output_mode="update")
+    got = spark.sql("""
+        select user_id, n_events, n_admitted, n_denied,
+               tokens_left_micro from (
+          select *, row_number() over (partition by user_id
+                                       order by emit_seq desc) rn
+          from tb_stream) where rn = 1
+    """).toPandas().sort_values("user_id").reset_index(drop=True)
+
+    want = (
+        STAGED["token_bucket_admissions"][0](spark, sf_dir).toPandas()
+        .sort_values("user_id").reset_index(drop=True)
+    )
+    for col in ("user_id", "n_events", "n_admitted", "n_denied",
+                "tokens_left_micro"):
+        assert (got[col].to_numpy() == want[col].to_numpy()).all(), col
