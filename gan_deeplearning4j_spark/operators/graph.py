@@ -250,3 +250,34 @@ def co_purchase_pairs(lineitem: DataFrame, min_orders: int = 2) -> DataFrame:
         .filter(F.col("w") >= min_orders)
         .select("p1", "p2")
     )
+
+
+def katz_scores(
+    pairs: DataFrame, a: str = "p1", b: str = "p2", iters: int = 3,
+) -> DataFrame:
+    """Katz centrality scores (Katz 1953) over one-directional pairs:
+    score = 1e6 + (sum of neighbor scores) div 2 per iteration, exact
+    int64 (attenuation 1/2 as an exact halving). Returns (node, score).
+    Single definition shared by the registered query
+    ``katz_centrality_fixed`` and the stress harness
+    (scripts/stress_graph.py katz) so the certified and the stressed
+    code paths cannot drift. Scale shape: the undirected edge list is
+    materialized once; each iteration is one edge-keyed join + one
+    map-side-combinable aggregate."""
+    pr = pairs.select(F.col(a).alias("p1"), F.col(b).alias("p2"))
+    e = pr.select(F.col("p1").alias("u"), F.col("p2").alias("v")).unionByName(
+        pr.select(F.col("p2").alias("u"), F.col("p1").alias("v"))
+    ).localCheckpoint(eager=True)
+    x = e.select(F.col("u").alias("node")).distinct().withColumn(
+        "score", F.lit(1_000_000).cast("long")
+    )
+    for _ in range(iters):
+        x = (
+            e.join(x, e.v == x.node)
+            .groupBy(F.col("u").alias("node"))
+            .agg(
+                (F.lit(1_000_000) + F.expr("sum(score) div 2"))
+                .cast("long").alias("score")
+            )
+        )
+    return x

@@ -1285,3 +1285,53 @@ def maxsim_topk_fixed(
         .select(query_id, id_col, "score")
         .orderBy(query_id, id_col)
     )
+
+
+def gram_power_eigvec(
+    emb: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id",
+    dim: int = 64, iters: int = 3,
+):
+    """Leading-eigenvector power iteration on the EXACT integer gram
+    matrix of a corpus of embeddings: coordinates quantize to
+    floor(x * 2^10), G = Q^T Q accumulates in int64, and each v <- G v
+    step renormalizes by the max-abs component at e3 scale (truncation
+    toward zero). Returns ``(v, peak)``: the final (j, v) eigenvector
+    table and the 1-row max-abs of the last unnormalized product (the
+    eigenvalue-magnitude proxy). Single definition shared by the
+    registered query ``pca_power_iter_fixed`` and the stress harness
+    (scripts/stress_retrieval.py pca) so the certified and the stressed
+    code paths cannot drift. Scale shape: the gram aggregate is one
+    map-side-combinable shuffle of (i, j) partials; iterations run on
+    the dim x dim matrix regardless of corpus size."""
+    spark = emb.sparkSession
+    q = emb.select(
+        id_col,
+        F.posexplode(
+            F.expr(f"transform({vec_col}, e -> "
+                   "cast(floor(cast(e as double) * 1024) as long))")
+        ).alias("i0", "q"),
+    ).select(id_col, (F.col("i0") + 1).alias("i"), "q")
+    qa = q.select(id_col, F.col("i").alias("ai"), F.col("q").alias("aq"))
+    qb = q.select(id_col, F.col("i").alias("bj"), F.col("q").alias("bq"))
+    g = (
+        qa.join(qb, id_col)
+        .groupBy(F.col("ai").alias("i"), F.col("bj").alias("j"))
+        .agg(F.sum(F.col("aq") * F.col("bq")).cast("long").alias("g"))
+        .localCheckpoint(eager=True)
+    )
+    v = spark.range(1, dim + 1).select(
+        F.col("id").alias("j"), F.lit(1000).cast("long").alias("v")
+    )
+    peak = None
+    for _ in range(iters):
+        sv = (
+            g.join(v, "j")
+            .groupBy(F.col("i"))
+            .agg(F.sum(F.col("g") * F.col("v")).cast("long").alias("s"))
+        ).localCheckpoint(eager=True)
+        peak = sv.agg(F.max(F.abs("s")).alias("m"))
+        v = sv.crossJoin(F.broadcast(peak)).select(
+            F.col("i").alias("j"),
+            F.expr("s * 1000 div m").cast("long").alias("v"),
+        )
+    return v, peak

@@ -3972,25 +3972,10 @@ _KATZ_ORACLE = """
         "join+agg shuffles; top-k is a TakeOrdered heap",
 )
 def q_katz_centrality_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.graph import co_purchase_pairs
+    from .operators.graph import co_purchase_pairs, katz_scores
 
     li = _t(spark, sf_dir, "lineitem")
-    pr = co_purchase_pairs(li)
-    e = pr.select(F.col("p1").alias("u"), F.col("p2").alias("v")).unionByName(
-        pr.select(F.col("p2").alias("u"), F.col("p1").alias("v"))
-    ).localCheckpoint(eager=True)
-    x = e.select(F.col("u").alias("node")).distinct().withColumn(
-        "score", F.lit(1_000_000).cast("long")
-    )
-    for _ in range(3):
-        x = (
-            e.join(x, e.v == x.node)
-            .groupBy(F.col("u").alias("node"))
-            .agg(
-                (F.lit(1_000_000) + F.expr("sum(score) div 2"))
-                .cast("long").alias("score")
-            )
-        )
+    x = katz_scores(co_purchase_pairs(li), iters=3)
     return (
         x.orderBy(F.desc("score"), "node").limit(20)
         .select(F.col("node").alias("part"), F.col("score").alias("katz_e6"))

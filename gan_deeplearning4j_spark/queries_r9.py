@@ -1028,37 +1028,10 @@ _PCA_ORACLE = """
         "corpus size — the classic 'small gram, big corpus' shape",
 )
 def q_pca_power_iter_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import gram_power_eigvec
+
     emb = _t(spark, sf_dir, "embeddings")
-    q = emb.select(
-        "vec_id",
-        F.posexplode(
-            F.expr("transform(embedding, e -> "
-                   "cast(floor(cast(e as double) * 1024) as long))")
-        ).alias("i0", "q"),
-    ).select("vec_id", (F.col("i0") + 1).alias("i"), "q")
-    qa = q.select("vec_id", F.col("i").alias("ai"), F.col("q").alias("aq"))
-    qb = q.select("vec_id", F.col("i").alias("bj"), F.col("q").alias("bq"))
-    g = (
-        qa.join(qb, "vec_id")
-        .groupBy(F.col("ai").alias("i"), F.col("bj").alias("j"))
-        .agg(F.sum(F.col("aq") * F.col("bq")).cast("long").alias("g"))
-        .localCheckpoint(eager=True)
-    )
-    v = spark.range(1, 65).select(
-        F.col("id").alias("j"), F.lit(1000).cast("long").alias("v")
-    )
-    peak = None
-    for _ in range(3):
-        sv = (
-            g.join(v, "j")
-            .groupBy(F.col("i"))
-            .agg(F.sum(F.col("g") * F.col("v")).cast("long").alias("s"))
-        ).localCheckpoint(eager=True)
-        peak = sv.agg(F.max(F.abs("s")).alias("m"))
-        v = sv.crossJoin(F.broadcast(peak)).select(
-            F.col("i").alias("j"),
-            F.expr("s * 1000 div m").cast("long").alias("v"),
-        )
+    v, peak = gram_power_eigvec(emb, "embedding", "vec_id", dim=64, iters=3)
     return (
         v.crossJoin(F.broadcast(peak))
         .select(
@@ -1150,12 +1123,14 @@ def _subword_vocab(spark: SparkSession, sf_dir: str):
             g = g.orderBy(F.desc("cnt"), "g").limit(top)
         return g
 
-    ch = grams(1, None).select("g")
+    # vocab carries the occurrence count so the unigram scorer below can
+    # reuse it instead of re-exploding the word table a second time
     vocab = (
-        ch.unionByName(grams(2, 15).select("g"))
-        .unionByName(grams(3, 5).select("g"))
-        .distinct()
-        .select("g", F.length("g").alias("len"))
+        grams(1, None)
+        .unionByName(grams(2, 15))
+        .unionByName(grams(3, 5))
+        .groupBy("g").agg(F.max("cnt").alias("cnt"))
+        .select("g", F.length("g").alias("len"), "cnt")
         .localCheckpoint(eager=True)
     )
     return w, vocab
@@ -1463,22 +1438,7 @@ def q_unigram_lm_segment_fixed(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     w, vocab = _subword_vocab(spark, sf_dir)
-    occ = None
-    for n in (1, 2, 3):
-        g = (
-            w.select(
-                F.explode(
-                    F.expr(
-                        f"transform(sequence(1, length(word) - {n - 1}), "
-                        f"i -> substr(word, i, {n}))"
-                    )
-                ).alias("g")
-            )
-            .groupBy("g")
-            .agg(F.count("*").cast("long").alias("cnt"))
-        )
-        occ = g if occ is None else occ.unionByName(g)
-    vs = vocab.join(occ, "g").select(
+    vs = vocab.select(
         "g", "len",
         F.expr("1000 * len + length(conv(cnt, 10, 2))").cast("long")
         .alias("score"),
@@ -2255,10 +2215,14 @@ def q_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Token-bucket admission replay (rate-limiter semantics over event logs)
 # ---------------------------------------------------------------------------
 
-# bucket parameters in micro-tokens: capacity 5 tokens, cost 1 token per
-# event, refill 1 token per 10 seconds (dt_us div 10 micro-tokens)
-_TB_CAP = 5_000_000
-_TB_COST = 1_000_000
+# bucket parameters in micro-tokens (capacity 5 tokens, cost 1 token per
+# event, refill 1 token per 10 seconds = dt_us div 10 micro-tokens) —
+# imported from the streaming limiter so the batch audit and the live
+# state machine can never drift apart
+from .streaming.stateful import (  # noqa: E402
+    TB_CAP_MICRO as _TB_CAP,
+    TB_COST_MICRO as _TB_COST,
+)
 
 
 @_stage(

@@ -112,9 +112,11 @@ try:  # pyspark >= 4.0
 
         def _sweep_tmp(self) -> None:
             """Remove leftover .tmp-*.jsonl from failed or speculatively
-            retried task attempts — temp names are exclusively owned by
-            this sink, and abort()/commit() messages only cover attempts
-            that actually returned a receipt."""
+            retried task attempts. Called ONLY in overwrite mode, whose
+            semantics declare this writer the directory's sole owner — in
+            append mode a concurrent writer's not-yet-committed temps may
+            legitimately coexist here, and sweeping them would make that
+            writer's commit fail at its rename."""
             import glob
             import os
 
@@ -129,17 +131,16 @@ try:  # pyspark >= 4.0
             """Driver-side publish: rename temps, then write the manifest
             LAST (readers treat the manifest as the commit marker). In
             overwrite mode, stale shards from a previous larger write are
-            removed first so a `*.jsonl` glob (not just the manifest) sees
-            exactly this commit's data."""
+            removed AFTER the manifest swap — the committed manifest is
+            never left referencing deleted files (a crash mid-cleanup
+            leaves extra stale shards, which the next overwrite removes,
+            rather than a manifest pointing at nothing), and once the
+            cleanup finishes a `*.jsonl` glob also sees exactly this
+            commit's data."""
             import glob
             import json
             import os
 
-            new_names = {m.final for m in messages}
-            if self.overwrite:
-                for old in glob.glob(os.path.join(self.path, "*.jsonl")):
-                    if os.path.basename(old) not in new_names:
-                        os.remove(old)
             shards = []
             for m in messages:
                 os.replace(m.tmp, os.path.join(self.path, m.final))
@@ -148,7 +149,12 @@ try:  # pyspark >= 4.0
             with open(manifest + ".tmp", "w") as f:
                 json.dump(sorted(shards, key=lambda s: s["shard"]), f)
             os.replace(manifest + ".tmp", manifest)
-            self._sweep_tmp()
+            if self.overwrite:
+                new_names = {m.final for m in messages}
+                for old in glob.glob(os.path.join(self.path, "*.jsonl")):
+                    if os.path.basename(old) not in new_names:
+                        os.remove(old)
+                self._sweep_tmp()
 
         def abort(self, messages) -> None:
             import os
@@ -158,7 +164,8 @@ try:  # pyspark >= 4.0
                     os.remove(m.tmp)
                 except FileNotFoundError:
                     pass
-            self._sweep_tmp()
+            if self.overwrite:
+                self._sweep_tmp()
 
     HAVE_PY_DATASOURCE = True
 except ImportError:  # pragma: no cover - pyspark < 4 fallback

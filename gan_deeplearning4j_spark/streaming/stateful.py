@@ -598,15 +598,17 @@ TOKEN_BUCKET_STATE = T.StructType(
     ]
 )
 
-_TB_CAP = 5_000_000   # micro-tokens; MUST match queries_r9's batch twin
-_TB_COST = 1_000_000
+# micro-tokens; the SINGLE source of truth — the batch twin
+# (queries_r9.token_bucket_admissions) imports these
+TB_CAP_MICRO = 5_000_000
+TB_COST_MICRO = 1_000_000
 
 
 def _token_bucket_fn(
     key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     tokens, last_us, n, admitted, seq = (
-        state.get if state.exists else (_TB_CAP, None, 0, 0, 0)
+        state.get if state.exists else (TB_CAP_MICRO, None, 0, 0, 0)
     )
     rows = pd.concat(list(pdfs), ignore_index=True)
     rows = rows.sort_values(["ts_nanos", "event_id"])
@@ -614,9 +616,9 @@ def _token_bucket_fn(
         ts_us = int(ts_ns) // 1000
         dt = 0 if last_us is None else ts_us - last_us
         last_us = ts_us
-        tokens = min(_TB_CAP, tokens + dt // 10)
-        if tokens >= _TB_COST:
-            tokens -= _TB_COST
+        tokens = min(TB_CAP_MICRO, tokens + dt // 10)
+        if tokens >= TB_COST_MICRO:
+            tokens -= TB_COST_MICRO
             admitted += 1
         n += 1
     seq += 1

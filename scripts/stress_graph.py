@@ -52,32 +52,18 @@ def main() -> int:
     elif which == "katz":
         from gan_deeplearning4j_spark.operators.graph import (
             co_purchase_pairs,
+            katz_scores,
         )
 
         pr = co_purchase_pairs(li)
         big = pr.crossJoin(copies).select(
             (F.col("p1") + F.col("rep") * 10_000_000).alias("p1"),
             (F.col("p2") + F.col("rep") * 10_000_000).alias("p2"),
-        )
-        e = big.select(
-            F.col("p1").alias("u"), F.col("p2").alias("v")
-        ).unionByName(
-            big.select(F.col("p2").alias("u"), F.col("p1").alias("v"))
         ).localCheckpoint(eager=True)
-        n = e.count() // 2
+        n = big.count()
         t0 = time.perf_counter()
-        x = e.select(F.col("u").alias("node")).distinct().withColumn(
-            "score", F.lit(1_000_000).cast("long")
-        )
-        for _ in range(3):
-            x = (
-                e.join(x, e.v == x.node)
-                .groupBy(F.col("u").alias("node"))
-                .agg(
-                    (F.lit(1_000_000) + F.expr("sum(score) div 2"))
-                    .cast("long").alias("score")
-                )
-            )
+        # the SAME operator the registered query certifies — no inline copy
+        x = katz_scores(big, iters=3)
         rows = x.orderBy(F.desc("score"), "node").limit(20).count()
         dt = time.perf_counter() - t0
         print(f"katz x{copies_n}: edges={n} -> top rows={rows} "

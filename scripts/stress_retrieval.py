@@ -59,9 +59,10 @@ def main() -> int:
         print(f"maxsim x{copies_n}: corpus={n} rows -> top-k rows={rows} "
               f"in {dt:.1f} s")
     elif which == "pca":
-        # gram-matrix power iteration at 100x: the gram aggregate is the
-        # only corpus-sized stage (one map-side-combinable shuffle of
-        # (i, j, q_i*q_j) triples); iterations run on the 64x64 matrix
+        from gan_deeplearning4j_spark.operators.similarity import (
+            gram_power_eigvec,
+        )
+
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         big = emb.crossJoin(copies).select(
             (F.col("vec_id") + F.col("rep") * 10_000_000).alias("vec_id"),
@@ -69,37 +70,9 @@ def main() -> int:
         )
         n = big.count()
         t0 = time.perf_counter()
-        q = big.select(
-            "vec_id",
-            F.posexplode(
-                F.expr("transform(embedding, e -> "
-                       "cast(floor(cast(e as double) * 1024) as long))")
-            ).alias("i0", "q"),
-        ).select("vec_id", (F.col("i0") + 1).alias("i"), "q")
-        qa = q.select("vec_id", F.col("i").alias("ai"),
-                      F.col("q").alias("aq"))
-        qb = q.select("vec_id", F.col("i").alias("bj"),
-                      F.col("q").alias("bq"))
-        g = (
-            qa.join(qb, "vec_id")
-            .groupBy(F.col("ai").alias("i"), F.col("bj").alias("j"))
-            .agg(F.sum(F.col("aq") * F.col("bq")).cast("long").alias("g"))
-            .localCheckpoint(eager=True)
-        )
-        v = spark.range(1, 65).select(
-            F.col("id").alias("j"), F.lit(1000).cast("long").alias("v")
-        )
-        for _ in range(3):
-            sv = (
-                g.join(v, "j").groupBy("i")
-                .agg(F.sum(F.col("g") * F.col("v")).cast("long")
-                     .alias("s"))
-            ).localCheckpoint(eager=True)
-            peak = sv.agg(F.max(F.abs("s")).alias("m"))
-            v = sv.crossJoin(F.broadcast(peak)).select(
-                F.col("i").alias("j"),
-                F.expr("s * 1000 div m").cast("long").alias("v"),
-            )
+        # the SAME operator the staged query certifies — no inline copy
+        v, _peak = gram_power_eigvec(big, "embedding", "vec_id",
+                                     dim=64, iters=3)
         rows = v.count()
         dt = time.perf_counter() - t0
         print(f"pca x{copies_n}: vectors={n} -> eigvec dims={rows} "
