@@ -2705,11 +2705,8 @@ from . import queries_r7  # noqa: E402,F401  (side effect: registration)
 # bottom (same both-import-orders rationale as queries_r7 above).
 from . import queries_r8  # noqa: E402,F401  (side effect: registration)
 
-# Round-9 staging: same pattern — new queries written during round 8 stay
-# behind SPARK_GRAFT_R9 until CORRECTNESS_r08 lands, so the round-8 driver
-# window stays exactly the current never-green set. queries_r9 gates its
-# own self-registration on the env var.
-import os as _os  # noqa: E402
-
-if _os.environ.get("SPARK_GRAFT_R9"):
-    from . import queries_r9  # noqa: F401  (side effect: registration)
+# Round-9 wave: staged during round 8 behind SPARK_GRAFT_R9, registered
+# unconditionally now that CORRECTNESS_r08 confirmed the full round-8
+# window green (49 hash + 1 rows-only-by-design). queries_r9 SELF-registers
+# at its module bottom (same both-import-orders rationale as above).
+from . import queries_r9  # noqa: E402,F401  (side effect: registration)

@@ -22,8 +22,7 @@ from pyspark.sql import functions as F
 from .queries import _t
 
 # name -> (fn, oracle, headline, doc); materialized into the real registry
-# by register_all() (round 9) or under SPARK_GRAFT_R9=1 (round-8 local
-# verification).
+# by register_all() at module bottom (live since round 9).
 STAGED: dict[str, tuple] = {}
 
 
@@ -2412,9 +2411,7 @@ def q_robustness_hub_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("variant")
 
 
-# Self-register ONLY under the round-9 gate (this module is imported both
-# by queries.py under the gate and directly by tests without it).
-import os as _os
-
-if _os.environ.get("SPARK_GRAFT_R9"):
-    register_all()
+# Self-register unconditionally: CORRECTNESS_r08 confirmed the round-8
+# window green, so the round-9 wave is now live. register_all() is
+# idempotent, so the double-trigger via queries.py is harmless.
+register_all()

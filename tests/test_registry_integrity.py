@@ -180,52 +180,46 @@ def test_r8_driver_window_covers_every_unverified_entry():
         assert name in ev or name in never[:50], name
 
 
-def test_r9_staged_queries_disjoint_and_gated():
-    """queries_r9 is staged, not registered: its names must not collide
-    with live registry entries, must not appear in queries() without the
-    gate, and must register cleanly in a gated subprocess."""
-    import subprocess
-    import sys
-
+def test_r9_wave_is_registered():
+    """The round-9 wave flipped from staged to registered: every STAGED
+    name is live in the registry with its oracle attached."""
     from gan_deeplearning4j_spark import queries_r9
     from gan_deeplearning4j_spark.queries import REGISTRY
 
     staged = set(queries_r9.STAGED)
-    assert not staged & set(REGISTRY)
-    # every staged entry carries an oracle (hash-grade on registration)
-    assert all(t[1] for t in queries_r9.STAGED.values())
-    if not staged:
-        return  # wave not started yet this round
-    out = subprocess.run(
-        [sys.executable, "-c",
-         "from gan_deeplearning4j_spark.queries import REGISTRY;"
-         "from gan_deeplearning4j_spark import queries_r9;"
-         "print(len(set(queries_r9.STAGED) & set(REGISTRY)))"],
-        env={"SPARK_GRAFT_R9": "1", "PATH": "/usr/bin:/bin",
-             "HOME": "/root"},
-        cwd="/root/repo", capture_output=True, text=True, timeout=120,
-    )
-    assert out.returncode == 0, out.stderr[-2000:]
-    assert out.stdout.strip() == str(len(staged))
-
-
-def test_r9_staged_oracles_bind_in_duckdb(sf_dir):
-    """Staged round-9 oracles must keep binding in DuckDB (EXPLAIN only)
-    even though they are not yet in the live registry — catches SQL
-    bitrot a round early."""
-    from gan_deeplearning4j_spark import queries_r9
-
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
-    bad = []
+    assert staged and staged <= set(REGISTRY)
+    # every r9 entry carries an oracle (hash-grade on registration)
     for name, (fn, oracle, headline, doc) in queries_r9.STAGED.items():
-        if not oracle:
-            continue  # rows-only by design (e.g. env-dependent oracles)
-        try:
-            con.sql("EXPLAIN " + oracle)
-        except Exception as exc:  # noqa: BLE001
-            bad.append((name, str(exc)[:120]))
-    assert not bad, bad
+        assert oracle, name
+        assert REGISTRY[name].oracle == oracle, name
+
+
+def test_r9_driver_window_covers_every_unverified_entry():
+    """Round-9 window contract: every entry without a green driver row must
+    sit inside the first 50 `queries()` positions — the driver checks
+    ~50/round, so this guarantees CORRECTNESS_r09 gives the whole tail a
+    row. Unverified entries = the 19 newly registered round-9 queries plus
+    any round-9 live additions. Fails if a new query lands ahead of the
+    tail or the tail outgrows the window (stage behind SPARK_GRAFT_R10
+    instead)."""
+    from gan_deeplearning4j_spark import queries_r9
+    from gan_deeplearning4j_spark.queries import (
+        _verification_evidence,
+        queries,
+    )
+
+    ordered = list(queries())
+    ev = _verification_evidence()
+    never = [n for n in ordered if n not in ev]
+    assert len(never) <= 50, (
+        f"{len(never)} unverified entries exceed the ~50/round driver "
+        "window; the tail would slip to the next round"
+    )
+    # unverified entries form a strict prefix (also checked by the
+    # ordering test, re-asserted here so this test fails self-contained)
+    assert ordered[: len(never)] == never
+    # the 19 round-9 registrations must be inside the window until
+    # CORRECTNESS_r09 lands (after which they carry evidence and leave
+    # `never` — both states are legal here)
+    for name in queries_r9.STAGED:
+        assert name in ev or name in never[:50], name
