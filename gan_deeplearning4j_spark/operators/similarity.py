@@ -1323,13 +1323,28 @@ def gram_power_eigvec(
         F.col("id").alias("j"), F.lit(1000).cast("long").alias("v")
     )
     peak = None
-    for _ in range(iters):
+    for it in range(iters):
         sv = (
             g.join(v, "j")
             .groupBy(F.col("i"))
             .agg(F.sum(F.col("g") * F.col("v")).cast("long").alias("s"))
         ).localCheckpoint(eager=True)
         peak = sv.agg(F.max(F.abs("s")).alias("m"))
+        if it == 0:
+            # Degenerate-input guard (mirrors hits_fixed): if the first
+            # product's max-abs is 0 — every coordinate quantized to 0,
+            # or the all-ones start vector sits in G's null space — the
+            # e3 renormalization below would divide by zero and silently
+            # null out the eigenvector. Fail loudly instead. One-row
+            # probe over the checkpointed product, first iteration only.
+            first = peak.first()
+            if first is None or first["m"] is None or first["m"] == 0:
+                raise ValueError(
+                    "gram_power_eigvec: degenerate gram product (max|G.v| "
+                    "== 0 on the first iteration); inputs quantize to "
+                    "zero at the 2^10 scale or start vector is in the "
+                    "null space"
+                )
         v = sv.crossJoin(F.broadcast(peak)).select(
             F.col("i").alias("j"),
             F.expr("s * 1000 div m").cast("long").alias("v"),

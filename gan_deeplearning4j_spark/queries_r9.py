@@ -2223,6 +2223,15 @@ from .streaming.stateful import (  # noqa: E402
     TB_COST_MICRO as _TB_COST,
 )
 
+# Oracle-side packing factor for the two-register list_reduce fold
+# (DuckDB struct accumulators mis-evaluate; see the ses_forecast gotcha):
+# st = tokens_left_micro * _TB_PACK + n_admitted. 2^40 keeps the product
+# int64-safe (TB_CAP_MICRO * 2^40 = 5.5e18 < 2^63) while allowing up to
+# ~1.1e12 admitted events per user before the registers would collide —
+# a bound no per-user event log approaches (2^20 overflowed at 1M).
+_TB_PACK = 1 << 40
+assert _TB_CAP * _TB_PACK < (1 << 63) - _TB_PACK
+
 
 @_stage(
     "token_bucket_admissions",
@@ -2241,22 +2250,22 @@ from .streaming.stateful import (  # noqa: E402
     ), fold AS (
       SELECT user_id, n_events,
              list_reduce(
-               list_prepend(CAST({_TB_CAP} AS BIGINT) * 1048576 + 0, dts),
+               list_prepend(CAST({_TB_CAP} AS BIGINT) * {_TB_PACK} + 0, dts),
                (acc, dt) -> CASE
-                 WHEN LEAST({_TB_CAP}, acc // 1048576 + dt // 10)
+                 WHEN LEAST({_TB_CAP}, acc // {_TB_PACK} + dt // 10)
                       >= {_TB_COST}
-                 THEN (LEAST({_TB_CAP}, acc // 1048576 + dt // 10)
-                       - {_TB_COST}) * 1048576 + acc % 1048576 + 1
-                 ELSE LEAST({_TB_CAP}, acc // 1048576 + dt // 10)
-                      * 1048576 + acc % 1048576
+                 THEN (LEAST({_TB_CAP}, acc // {_TB_PACK} + dt // 10)
+                       - {_TB_COST}) * {_TB_PACK} + acc % {_TB_PACK} + 1
+                 ELSE LEAST({_TB_CAP}, acc // {_TB_PACK} + dt // 10)
+                      * {_TB_PACK} + acc % {_TB_PACK}
                END
              ) AS st
       FROM packed
     )
     SELECT user_id, n_events,
-           CAST(st % 1048576 AS BIGINT) AS n_admitted,
-           CAST(n_events - st % 1048576 AS BIGINT) AS n_denied,
-           CAST(st // 1048576 AS BIGINT) AS tokens_left_micro
+           CAST(st % {_TB_PACK} AS BIGINT) AS n_admitted,
+           CAST(n_events - st % {_TB_PACK} AS BIGINT) AS n_denied,
+           CAST(st // {_TB_PACK} AS BIGINT) AS tokens_left_micro
     FROM fold ORDER BY user_id
     """,
     doc="Token-bucket rate-limiter replay over the event log (the "

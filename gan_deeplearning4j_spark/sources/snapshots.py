@@ -87,13 +87,25 @@ class SnapshotTable:
         # claim the version slot with an exclusive link: os.link fails with
         # FileExistsError if a racing writer already published v{N+1}, so
         # the manifest write itself is the atomic CAS (a read-then-replace
-        # would silently clobber the loser's history)
+        # would silently clobber the loser's history). Some filesystems
+        # (FUSE/object-store mounts, SMB) reject hardlinks outright with
+        # EPERM/ENOTSUP — fall back to an O_CREAT|O_EXCL exclusive create
+        # there, which is the same lose-the-race-loudly contract.
         try:
             os.link(tmp, mp)
         except FileExistsError:
             raise SnapshotConflictError(
                 f"snapshot: version v{new_version} already committed"
             ) from None
+        except OSError:
+            try:
+                cfd = os.open(mp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                raise SnapshotConflictError(
+                    f"snapshot: version v{new_version} already committed"
+                ) from None
+            with os.fdopen(cfd, "w") as cf, open(tmp) as tf:
+                cf.write(tf.read())
         finally:
             os.unlink(tmp)
         fd, tmp = tempfile.mkstemp(dir=self.path, suffix=".tmp")

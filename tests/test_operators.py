@@ -1140,3 +1140,35 @@ def test_apply_bpe_matches_trainer_final_symbols(spark):
     for _rank, left, right, _cnt in sorted(merges):
         expect = _local_merge_word(expect, left, right)
     assert list(got) == expect
+
+
+def test_gram_power_eigvec_rejects_degenerate_input(spark):
+    """Embeddings whose coordinates all quantize to 0 at the 2^10 scale
+    (every |value| < 2^-10) would make the max-abs renormalizer a
+    null-producing divide-by-zero that silently propagates through the
+    returned eigenvector — it must fail loudly on the first iteration
+    instead, mirroring the hits_fixed degenerate-weight guard (ADVICE
+    r8)."""
+    import pytest
+
+    from gan_deeplearning4j_spark.operators.similarity import (
+        gram_power_eigvec,
+    )
+
+    # all positive-tiny: floor(e * 1024) == 0 for every coordinate
+    # (a tiny NEGATIVE would floor to -1 and not be degenerate)
+    tiny = spark.createDataFrame(
+        [(1, [1e-5] * 4), (2, [2e-4, 1e-6, 0.0, 3e-4])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="degenerate gram product"):
+        gram_power_eigvec(tiny, "embedding", "vec_id", dim=4, iters=2)
+    # sane input still works and is unchanged by the probe
+    ok = spark.createDataFrame(
+        [(1, [1.0, 0.5, 0.0, 0.0]), (2, [0.5, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    v, peak = gram_power_eigvec(ok, "embedding", "vec_id", dim=4, iters=2)
+    vals = {r["j"]: r["v"] for r in v.collect()}
+    assert vals[1] == vals[2] == 1000  # symmetric leading eigenvector
+    assert peak.first()["m"] > 0

@@ -110,3 +110,29 @@ def test_snapshot_vacuum_removes_only_unreferenced(spark, tmp_path):
     t2.commit(_df(spark, 5, 8))                        # append shares v0 dir
     assert t2.vacuum(keep_last=1) == 0                 # nothing unreachable
     assert t2.read(spark).count() == 8
+
+
+def test_snapshot_commit_without_hardlink_support(spark, tmp_path,
+                                                  monkeypatch):
+    """Filesystems without hardlinks (FUSE/object-store mounts, SMB)
+    raise EPERM/ENOTSUP from os.link; commit must fall back to an
+    O_CREAT|O_EXCL exclusive create with the SAME lose-the-race-loudly
+    contract instead of failing outright (ADVICE r8)."""
+    def no_link(src, dst, **kw):
+        raise PermissionError("Operation not permitted")
+
+    monkeypatch.setattr(os, "link", no_link)
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    assert t.commit(_df(spark, 0, 5)) == 0             # v0 via fallback
+    assert t.commit(_df(spark, 5, 9)) == 1             # v1 via fallback
+    assert t.read(spark, version=0).count() == 5
+    assert t.read(spark).count() == 9
+    # no temp leakage on the fallback path either
+    assert not [f for f in os.listdir(t._manifest_dir)
+                if f.endswith(".tmp")]
+
+    # the race still loses loudly: pre-claim v2's slot, then commit
+    with open(t._manifest_path(2), "w") as f:
+        f.write("{}")
+    with pytest.raises(SnapshotConflictError, match="already committed"):
+        t._publish({"files": [], "operation": "append"}, None)
