@@ -660,15 +660,18 @@ def connected_components(
     neighbors; converges in O(graph diameter) rounds. Cheapest per round
     (one join + one agg), the right pick for real dup graphs, whose
     components are shallow (near-clique families; measured diameters are
-    single-digit).
+    single-digit). If the diameter exceeds ``max_iter`` it ESCALATES to
+    the star-contraction engine automatically (original edges + the
+    partial labels as shortcut edges) and still returns exact components
+    — never a possibly-split labeling.
 
     ``mode="logn"``: alternating large-star/small-star contraction
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
     SoCC'14) — converges in O(log^2 n) rounds REGARDLESS of diameter.
-    Costlier per round (two grouped passes + a distinct), but the only
-    safe choice when the graph can be chain-shaped (quote-chains,
-    boilerplate series): a 10k-long path costs prop 10k rounds (it stops
-    at max_iter and WARNS) and logn ~a dozen.
+    Costlier per round (two grouped passes + a distinct), but the right
+    pick when the graph is KNOWN chain-shaped (quote-chains, boilerplate
+    series): a 10k-long path costs prop max_iter rounds before its
+    escalation kicks in, while logn goes straight there in ~a dozen.
 
     This is the transitive-closure step minhash_dedup's single-hop keep-rule
     deliberately skips (dup clusters are chains: A~B~C with A≁C). Returns
@@ -725,16 +728,21 @@ def connected_components(
             converged = True
             break
     if not converged:
-        # a chain-shaped graph with diameter > max_iter would return split
-        # clusters with no other signal — surface it instead of silence
-        warnings.warn(
-            f"connected_components: not converged after {max_iter} rounds; "
-            "component ids may be split (rounds needed is O(graph "
-            'diameter) — for chain-shaped graphs use mode="logn", which '
-            "converges in O(log^2 n) rounds)",
-            RuntimeWarning,
-            stacklevel=2,
+        # A chain-shaped graph with diameter > max_iter would return
+        # split clusters — ESCALATE to the diameter-independent star
+        # contraction and finish exactly instead of warning (the r8
+        # verdict's last silent-wrong-answer path in the dedup family).
+        # The partial labels are within-component shortcut edges, so
+        # connectivity is preserved by unioning them with the original
+        # edges — the shortcuts let the contraction start from the work
+        # propagation already paid instead of from scratch. (The label
+        # edges ALONE would not be safe: node->min-of-t-ball pointers
+        # can drop connectivity on adversarial shapes.)
+        aug = und.union(
+            labels.filter(F.col("node") != F.col("comp"))
+            .select(F.col("node").alias("a"), F.col("comp").alias("b"))
         )
+        return _cc_star_contraction(aug, "a", "b", max_iter=30)
     return labels
 
 

@@ -1172,3 +1172,33 @@ def test_gram_power_eigvec_rejects_degenerate_input(spark):
     vals = {r["j"]: r["v"] for r in v.collect()}
     assert vals[1] == vals[2] == 1000  # symmetric leading eigenvector
     assert peak.first()["m"] > 0
+
+
+def test_connected_components_prop_escalates_past_max_iter(spark):
+    """A 256-node shuffled path (diameter 255) with max_iter=5: min-label
+    propagation cannot converge, and must escalate to the star-contraction
+    engine and return EXACT components — identical to mode='logn' — with
+    no RuntimeWarning (the warn-and-return-split-labels path is deleted;
+    r8 verdict ask #3)."""
+    import random
+    import warnings as w
+
+    from gan_deeplearning4j_spark.operators.dedup import connected_components
+
+    rng = random.Random(9)
+    perm = list(range(256))
+    rng.shuffle(perm)
+    edges = [(perm[i], perm[i + 1]) for i in range(255)]
+    # add a separate 3-clique and a self-loop singleton so the escalated
+    # path also carries multi-component + self-loop parity
+    edges += [(300, 301), (301, 302), (300, 302), (400, 400)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    with w.catch_warnings():
+        w.simplefilter("error", RuntimeWarning)
+        prop = {(r["node"], r["comp"])
+                for r in connected_components(df, max_iter=5).collect()}
+    logn = {(r["node"], r["comp"])
+            for r in connected_components(df, mode="logn").collect()}
+    assert prop == logn
+    assert {c for _, c in prop} == {0, 300, 400}
+    assert len(prop) == 260
