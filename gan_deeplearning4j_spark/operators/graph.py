@@ -279,5 +279,10 @@ def katz_scores(
                 (F.lit(1_000_000) + F.expr("sum(score) div 2"))
                 .cast("long").alias("score")
             )
+            # truncate lineage per round (same discipline as
+            # pagerank_fixed): without this, round k's plan carries k
+            # stacked joins and re-derives every prior round per action
+            # — r6 measured 4x wall-clock on exactly this shape
+            .localCheckpoint(eager=True)
         )
     return x
