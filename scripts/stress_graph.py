@@ -90,6 +90,24 @@ def main() -> int:
         # stress row; hash-equality of the two paths is pinned in
         # tests/test_operators.py)
         bc_max = int(os.environ.get("SPARK_GRAFT_HITS_BCMAX", 10_000_000))
+        # Loud heap guard (SCALE.md round-8 note): in single-JVM local
+        # mode the checkpointed 58.7M-edge list plus per-half-step join
+        # buffers starve an 8 g heap — the broadcast path crawled and the
+        # shuffled fallback OOMed outright at the default driver size.
+        # Measured good at 32 g for the 100x shape; require ~proportional
+        # heap instead of letting the JVM die 60 s in with an opaque GC
+        # overhead error. On a real cluster this is executor sizing, not
+        # a driver constraint.
+        heap = spark.sparkContext._jvm.java.lang.Runtime.getRuntime().maxMemory()
+        need = int(32 * (1 << 30) * min(copies_n, 100) / 100 * 0.85)
+        if heap < need:
+            raise SystemExit(
+                f"stress_graph hits: JVM max heap {heap / (1 << 30):.1f} g "
+                f"is below the ~{need / (1 << 30):.0f} g this {copies_n}x "
+                "shape needs (measured: 32 g OK, 8 g OOMs on the shuffled "
+                "fallback at 100x). Re-run with SPARK_DRIVER_MEMORY=32g "
+                "or fewer SPARK_GRAFT_STRESS_COPIES."
+            )
         t0 = time.perf_counter()
         auth, hub = hits_fixed(
             big, "c", "s", "w", rounds=2, broadcast_nodes_max=bc_max
