@@ -37,11 +37,13 @@ def test_every_oracle_binds_in_duckdb(sf_dir):
 
 def test_rows_only_queries_are_the_documented_set():
     rows_only = {n for n, q in REGISTRY.items() if not q.oracle}
+    # bpe_train_merges / bpe_tokenize_stats retired in r9 (rows-only
+    # shadows of the hash-grade *_fixed twins; r8 verdict ask #7)
     assert rows_only == {
         "approx_distinct", "approx_quantiles", "audio_features",
         "gan_grid_inference", "heavy_hitters_approx",
         "hll_mergeable_daily_users", "ivfpq_topk", "multimodal_features",
-        "pq_topk", "bpe_train_merges", "bpe_tokenize_stats",
+        "pq_topk",
     }
 
 
