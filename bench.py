@@ -151,6 +151,60 @@ def main() -> None:
         for label, names in _SUBSETS.items()
         if all(n in firsts for n in names)
     }
+
+    # Isolated per-query medians (r8 verdict ask #4): the in-suite numbers
+    # above interleave 3-second iterative-graph/dedup headliners whose
+    # GC/JIT pressure moves sub-second queries ±10-22% round-over-round
+    # with byte-identical plans (SCALE.md measured the TPC-H trio at
+    # 0.76-0.86 s isolated vs 0.83-0.94 s in-suite). This second pass
+    # re-times each query after a forced JVM+Python GC and a short
+    # settle, over its own consecutive repeats, so the measured run only
+    # carries its own allocation pressure — the cross-round comparison
+    # series. (Whole-stage-codegen caches survive the GC, so these are
+    # steady-state numbers, not re-JIT ones.)
+    iso_repeats = int(os.environ.get("SPARK_GRAFT_BENCH_ISO_REPEATS", "5"))
+    if iso_repeats > 0:
+        import gc as _pygc
+
+        jvm_gc = spark.sparkContext._jvm.java.lang.System.gc
+        iso: dict[str, float] = {}
+        iso_sigmas: dict[str, float] = {}
+        for name, q in headliners.items():
+            if name in errors:
+                continue
+            _pygc.collect()
+            jvm_gc()
+            time.sleep(0.3)
+            runs = []
+            try:
+                for _ in range(iso_repeats):
+                    t0 = time.perf_counter()
+                    q.fn(spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    runs.append(time.perf_counter() - t0)
+            except Exception as exc:  # noqa: BLE001
+                errors[name] = f"isolated: {type(exc).__name__}: {exc}"[:300]
+                continue
+            runs.sort()
+            med = runs[len(runs) // 2] if len(runs) % 2 else (
+                runs[len(runs) // 2 - 1] + runs[len(runs) // 2]
+            ) / 2
+            iso[name] = round(med, 3)
+            mean = sum(runs) / len(runs)
+            iso_sigmas[name] = round(
+                (sum((r - mean) ** 2 for r in runs) / len(runs)) ** 0.5, 3
+            )
+        out["queries_isolated_median"] = iso
+        out["sigma_isolated"] = iso_sigmas
+        out["iso_repeats"] = iso_repeats
+        out["total_isolated_median"] = round(sum(iso.values()), 3)
+        out["subtotals_isolated_median"] = {
+            label: round(sum(iso[n] for n in names), 3)
+            for label, names in _SUBSETS.items()
+            if all(n in iso for n in names)
+        }
+
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
