@@ -2420,6 +2420,815 @@ def q_robustness_hub_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("variant")
 
 
+# ===========================================================================
+# Round-9 LIVE additions (written and registered during round 9; they join
+# the never-green window alongside the 19 staged-then-flipped entries —
+# window test pins the total <= 50)
+# ===========================================================================
+
+
+# ---------------------------------------------------------------------------
+# Kruskal-Wallis rank test across document sources
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "kruskal_wallis_sources",
+    oracle="""
+    WITH r AS (
+      SELECT source,
+             2 * RANK() OVER (ORDER BY n_chars)
+               + COUNT(*) OVER (PARTITION BY n_chars) - 1 AS rank2
+      FROM documents
+    ), g AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_j,
+             CAST(SUM(rank2) AS BIGINT) AS r2_j
+      FROM r GROUP BY source
+    ), ties AS (  -- raw-row ranks here; Spark ranks the distinct-value
+                  -- count table (mann_whitney_u pattern), equivalently
+      SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS t3t
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t
+            FROM documents GROUP BY n_chars)
+    ), tot AS (
+      SELECT CAST(SUM(n_j) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS n_groups,
+             CAST(SUM(r2_j * r2_j // (4 * n_j)) AS BIGINT) AS s
+      FROM g
+    )
+    SELECT n AS n_total, n_groups, s AS sum_rank_sq_over_n, t3t AS tie_cube_sum,
+           CAST(floor((12.0 * s / (n * (n + 1.0)) - 3.0 * (n + 1))
+                      * 1000000) AS BIGINT) AS h_e6,
+           CAST(floor((12.0 * s / (n * (n + 1.0)) - 3.0 * (n + 1))
+                      * (CAST(n AS DOUBLE) * n * n - n)
+                      / (CAST(n AS DOUBLE) * n * n - n - t3t)
+                      * 1000000) AS BIGINT) AS h_tie_e6
+    FROM tot, ties
+    """,
+    doc="Kruskal-Wallis H test (rank-based one-way ANOVA, Kruskal & "
+        "Wallis JASA 1952) of document length across sources — the "
+        "k-group extension of mann_whitney_u and the nonparametric twin "
+        "of anova-style comparisons: average ranks carried as exact "
+        "half-unit integers (rank2 = 2*minrank + tiecount - 1), per-group "
+        "R_j^2/n_j as truncating integer division (engine-invariant), "
+        "then ONE double expression from the integer moments for H and "
+        "its tie-corrected form (the Spearman/Welch discipline: int "
+        "moment sums exactly, transcendental-free float only at the "
+        "end). int64 headroom: sum R_j^2/n_j ~ N^3/4 stays in-range "
+        "through sf0.1; re-derive scales before SF >= 1. Scale: rank "
+        "math runs on the value-DISTINCT histogram (mann_whitney_u "
+        "pattern) — one (value, source) rollup + a bounded cumulative "
+        "window over the value domain; the fact table is never globally "
+        "sorted",
+)
+def q_kruskal_wallis_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.windows import bounded_window
+
+    docs = _t(spark, sf_dir, "documents")
+    # rank math on the value-DISTINCT count table, not raw rows (the
+    # mann_whitney_u discipline): the doubled midrank of every element at
+    # value v is 2*cum_before + t + 1, so ranks never need a global sort
+    # of the fact table — only of the bounded value-domain histogram
+    per_vs = docs.groupBy("n_chars", "source").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    per_v = per_vs.groupBy("n_chars").agg(
+        F.sum("c").cast("long").alias("t")
+    )
+    wc = bounded_window("n_chars").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per_v.select(
+        "n_chars", "t",
+        (F.sum("t").over(wc) - F.col("t")).alias("before"),
+    )
+    g = per_vs.join(cum, "n_chars").groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_j"),
+        F.sum(F.col("c") * (2 * F.col("before") + F.col("t") + 1))
+        .cast("long").alias("r2_j"),
+    )
+    ties = per_v.agg(
+        F.sum(F.expr("t * t * t - t")).cast("long").alias("t3t")
+    )
+    tot = g.agg(
+        F.sum("n_j").cast("long").alias("n"),
+        F.count("*").cast("long").alias("n_groups"),
+        F.sum(F.expr("r2_j * r2_j div (4 * n_j)")).cast("long").alias("s"),
+    )
+    h = ("12.0 * s / (n * (n + 1.0)) - 3.0 * (n + 1)")
+    return tot.crossJoin(F.broadcast(ties)).select(
+        F.col("n").alias("n_total"), "n_groups",
+        F.col("s").alias("sum_rank_sq_over_n"),
+        F.col("t3t").alias("tie_cube_sum"),
+        F.expr(f"cast(floor(({h}) * 1000000) as long)").alias("h_e6"),
+        F.expr(
+            f"cast(floor(({h}) * (cast(n as double) * n * n - n)"
+            " / (cast(n as double) * n * n - n - t3t) * 1000000) as long)"
+        ).alias("h_tie_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Brier score decomposition (Murphy 1973) of a purchase-propensity forecast
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "brier_decomposition",
+    oracle="""
+    WITH half AS (
+      SELECT user_id,
+             CAST(COUNT(*) FILTER (WHERE event_id % 2 = 0) AS BIGINT)
+               AS n_even,
+             CAST(COUNT(*) FILTER (WHERE event_id % 2 = 0
+                                     AND event_type = 'purchase') AS BIGINT)
+               AS p_even,
+             CAST(COUNT(*) FILTER (WHERE event_id % 2 = 1) AS BIGINT)
+               AS n_odd,
+             CAST(COUNT(*) FILTER (WHERE event_id % 2 = 1
+                                     AND event_type = 'purchase') AS BIGINT)
+               AS p_odd
+      FROM events GROUP BY user_id
+    ), scored AS (
+      SELECT LEAST(1000 * p_even // n_even // 100, 9) AS bin,
+             n_odd, p_odd
+      FROM half WHERE n_even > 0 AND n_odd > 0
+    ), bins AS (
+      SELECT bin, CAST(SUM(n_odd) AS BIGINT) AS n_k,
+             CAST(SUM(p_odd) AS BIGINT) AS x_k
+      FROM scored GROUP BY bin
+    ), tot AS (
+      SELECT CAST(SUM(n_k) AS BIGINT) AS n, CAST(SUM(x_k) AS BIGINT) AS x
+      FROM bins
+    )
+    SELECT bin, CAST(bin * 100 + 50 AS BIGINT) AS f_permille, n_k, x_k,
+           CAST(((bin * 100 + 50) * n_k - 1000 * x_k)
+                * ((bin * 100 + 50) * n_k - 1000 * x_k) // n_k AS BIGINT)
+             AS rel_term,
+           CAST(((n * x_k - x * n_k) // 1000)
+                * ((n * x_k - x * n_k) // 1000) // n_k AS BIGINT)
+             AS res_term
+    FROM bins, tot ORDER BY bin
+    """,
+    doc="Brier score decomposition (Murphy JAM 1973: reliability minus "
+        "resolution plus uncertainty) of a per-user purchase-propensity "
+        "forecast: forecast = purchase share over the user's even "
+        "event_ids binned to 10 midpoint-permille cells, outcomes = the "
+        "odd-id events. Per bin, the reliability term (f_k*n_k - "
+        "1000*x_k)^2/n_k and resolution term ((N*x_k - X*n_k)/1000)^2/"
+        "n_k are emitted as exact truncating-integer values (permille "
+        "scale keeps the squares inside int64 at every certified SF) — "
+        "the calibration diagnostic ece_calibration_bins summarizes, "
+        "decomposed into its additive parts. Scale: one user-keyed "
+        "aggregate + one 10-row bin rollup; no window, no join",
+)
+def q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    half = ev.groupBy("user_id").agg(
+        F.count_if(F.col("event_id") % 2 == 0).cast("long").alias("n_even"),
+        F.count_if((F.col("event_id") % 2 == 0)
+                   & (F.col("event_type") == "purchase"))
+        .cast("long").alias("p_even"),
+        F.count_if(F.col("event_id") % 2 == 1).cast("long").alias("n_odd"),
+        F.count_if((F.col("event_id") % 2 == 1)
+                   & (F.col("event_type") == "purchase"))
+        .cast("long").alias("p_odd"),
+    )
+    scored = half.filter((F.col("n_even") > 0) & (F.col("n_odd") > 0)).select(
+        F.least(F.expr("1000 * p_even div n_even div 100"), F.lit(9))
+        .cast("long").alias("bin"),
+        "n_odd", "p_odd",
+    )
+    bins = scored.groupBy("bin").agg(
+        F.sum("n_odd").cast("long").alias("n_k"),
+        F.sum("p_odd").cast("long").alias("x_k"),
+    )
+    tot = bins.agg(
+        F.sum("n_k").cast("long").alias("n"),
+        F.sum("x_k").cast("long").alias("x"),
+    )
+    return bins.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        (F.col("bin") * 100 + 50).cast("long").alias("f_permille"),
+        "n_k", "x_k",
+        F.expr(
+            "((bin * 100 + 50) * n_k - 1000 * x_k)"
+            " * ((bin * 100 + 50) * n_k - 1000 * x_k) div n_k"
+        ).cast("long").alias("rel_term"),
+        F.expr(
+            "((n * x_k - x * n_k) div 1000)"
+            " * ((n * x_k - x * n_k) div 1000) div n_k"
+        ).cast("long").alias("res_term"),
+    ).orderBy("bin")
+
+
+# ---------------------------------------------------------------------------
+# Ljung-Box portmanteau whiteness test on the daily order-count series
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "ljung_box_whiteness",
+    oracle="""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS day,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders GROUP BY day
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s
+      FROM daily
+    ), dev AS (
+      SELECT day, c - (SELECT s // n FROM tot) AS d FROM daily
+    ), g0 AS (
+      SELECT CAST(SUM(d * d) AS BIGINT) AS g0 FROM dev
+    ), lags AS (
+      SELECT k.lag AS lag,
+             CAST(SUM(a.d * b.d) AS BIGINT) AS gamma_k,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM (SELECT unnest(range(1, 8)) AS lag) k
+      JOIN dev a ON TRUE
+      JOIN dev b ON b.day = a.day + k.lag
+      GROUP BY k.lag
+    ), acf AS (
+      SELECT lag, gamma_k, n_pairs,
+             gamma_k * 1000000 // (SELECT g0 FROM g0) AS acf_e6
+      FROM lags
+    )
+    SELECT lag, gamma_k, acf_e6,
+           CAST((SELECT n FROM tot) * ((SELECT n FROM tot) + 2)
+                * SUM(acf_e6 * acf_e6 // ((SELECT n FROM tot) - lag))
+                  OVER (ORDER BY lag) // 1000000 AS BIGINT) AS q_e6
+    FROM acf ORDER BY lag
+    """,
+    doc="Ljung-Box portmanteau whiteness test (Ljung & Box Biometrika "
+        "1978) on the daily order-count series, lags 1..7: deviations "
+        "from the TRUNCATED integer mean (a deterministic constant "
+        "shift, identical in both engines, so autocovariances stay pure "
+        "int64), gamma_k as exact integer products over day/day+k pairs, "
+        "acf in ppm by integer division, and the running Q statistic "
+        "N(N+2)*sum(r_k^2/(N-k)) accumulated entirely in int64 (each "
+        "r_k^2/(N-k) term is a truncating division, the window sum is "
+        "ordered by lag). Extends autocorr_lag1_daily from one "
+        "coefficient to the joint whiteness statistic that decides "
+        "whether a forecaster is leaving structure on the table. Scale: "
+        "one day rollup + 7 self-joins on day arithmetic (a 7-way "
+        "range-free equi-join on a series-sized table)",
+)
+def q_ljung_box_whiteness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.select(
+        F.datediff(F.col("o_orderdate").cast("date"),
+                   F.lit("1970-01-01").cast("date")).cast("long")
+        .alias("day")
+    ).groupBy("day").agg(F.count("*").cast("long").alias("c"))
+    tot = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s"),
+    )
+    dev = daily.crossJoin(F.broadcast(tot)).select(
+        "day", (F.col("c") - F.expr("s div n")).alias("d"), "n",
+    ).localCheckpoint(eager=True)
+    g0 = dev.agg(F.sum(F.expr("d * d")).cast("long").alias("g0"))
+    lags = spark.range(1, 8).select(F.col("id").alias("lag"))
+    a = dev.select(F.col("day").alias("day_a"), F.col("d").alias("da"), "n")
+    b = dev.select(F.col("day").alias("day_b"), F.col("d").alias("db"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("day_b") == F.col("day_a") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.sum(F.expr("da * db")).cast("long").alias("gamma_k"),
+            F.max("n").alias("n"),
+        )
+    )
+    from .functions.windows import bounded_window
+
+    acf = pairs.crossJoin(F.broadcast(g0)).select(
+        "lag", "gamma_k", "n",
+        F.expr("gamma_k * 1000000 div g0").cast("long").alias("acf_e6"),
+    )
+    w = bounded_window("lag")  # 7 rows by construction
+    return acf.select(
+        "lag", "gamma_k", "acf_e6",
+        (
+            F.col("n") * (F.col("n") + 2)
+            * F.sum(F.expr("acf_e6 * acf_e6 div (n - lag)")).over(w)
+        ).cast("long").alias("q_pre"),
+    ).select(
+        "lag", "gamma_k", "acf_e6",
+        F.expr("q_pre div 1000000").cast("long").alias("q_e6"),
+    ).orderBy("lag")
+
+
+# ---------------------------------------------------------------------------
+# Decision-stump split selection by exact weighted Gini impurity
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "decision_stump_split",
+    oracle="""
+    WITH li AS (
+      SELECT l_quantity AS qty,
+             CAST(round(l_discount * 100) AS BIGINT) AS disc_c,
+             CAST(round(l_tax * 100) AS BIGINT) AS tax_c,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      FROM lineitem
+    ), cand AS (
+      SELECT * FROM (VALUES
+        ('quantity', 10), ('quantity', 20), ('quantity', 30),
+        ('quantity', 40), ('discount_c', 2), ('discount_c', 4),
+        ('discount_c', 6), ('discount_c', 8), ('tax_c', 2),
+        ('tax_c', 4), ('tax_c', 6)) t(feature, thr)
+    ), split AS (
+      SELECT feature, CAST(thr AS BIGINT) AS thr,
+             CAST(COUNT(*) FILTER (WHERE CASE feature
+                 WHEN 'quantity' THEN qty <= thr
+                 WHEN 'discount_c' THEN disc_c <= thr
+                 ELSE tax_c <= thr END) AS BIGINT) AS n_l,
+             CAST(COUNT(*) FILTER (WHERE (CASE feature
+                 WHEN 'quantity' THEN qty <= thr
+                 WHEN 'discount_c' THEN disc_c <= thr
+                 ELSE tax_c <= thr END) AND y = 1) AS BIGINT) AS p_l,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS p
+      FROM li, cand GROUP BY feature, thr
+    )
+    SELECT feature, thr, n_l, p_l,
+           CAST(((CASE WHEN n_l = 0 THEN 0
+                       ELSE 2 * p_l * (n_l - p_l) * 1000000 // n_l END)
+                 + (CASE WHEN n = n_l THEN 0
+                         ELSE 2 * (p - p_l) * ((n - n_l) - (p - p_l))
+                              * 1000000 // (n - n_l) END)) // n AS BIGINT)
+             AS gini_e6
+    FROM split ORDER BY gini_e6, feature, thr
+    """,
+    doc="Decision-stump induction by exact weighted Gini impurity "
+        "(CART's split criterion, Breiman et al. 1984): 11 literal "
+        "candidate thresholds over three lineitem features scored "
+        "against the returnflag='R' label in one scan — per side "
+        "2*p*(n-p)/n at e6 scale as truncating integer division, "
+        "weighted by side mass. The argmin row is the stump a boosting "
+        "round would pick; emitting all candidates ordered by impurity "
+        "keeps the whole search hash-checkable, not just the winner. "
+        "Scale: candidates broadcast (fixed 11-row literal relation), "
+        "one map-side-combinable aggregate keyed on (feature, thr) — no "
+        "per-candidate rescan",
+)
+def q_decision_stump_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("qty"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("disc_c"),
+        F.round(F.col("l_tax") * 100, 0).cast("long").alias("tax_c"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    cand = spark.createDataFrame(
+        [("quantity", 10), ("quantity", 20), ("quantity", 30),
+         ("quantity", 40), ("discount_c", 2), ("discount_c", 4),
+         ("discount_c", 6), ("discount_c", 8), ("tax_c", 2),
+         ("tax_c", 4), ("tax_c", 6)],
+        "feature string, thr long",
+    )
+    left = ("case feature when 'quantity' then qty <= thr "
+            "when 'discount_c' then disc_c <= thr "
+            "else tax_c <= thr end")
+    split = li.crossJoin(F.broadcast(cand)).groupBy("feature", "thr").agg(
+        F.count_if(F.expr(left)).cast("long").alias("n_l"),
+        F.count_if(F.expr(f"({left}) and y = 1")).cast("long").alias("p_l"),
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("p"),
+    )
+    return split.select(
+        "feature", "thr", "n_l", "p_l",
+        F.expr(
+            "((case when n_l = 0 then 0"
+            " else 2 * p_l * (n_l - p_l) * 1000000 div n_l end)"
+            " + (case when n = n_l then 0"
+            " else 2 * (p - p_l) * ((n - n_l) - (p - p_l))"
+            " * 1000000 div (n - n_l) end)) div n"
+        ).cast("long").alias("gini_e6"),
+    ).orderBy("gini_e6", "feature", "thr")
+
+
+# ---------------------------------------------------------------------------
+# Theil inequality index with within/between-nation decomposition
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "theil_inequality_decomposition",
+    oracle="""
+    WITH cust AS (
+      SELECT c.c_nationkey,
+             CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) // 100 AS x_d
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey, c.c_nationkey
+    ), g AS (
+      SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_g,
+             CAST(SUM(x_d) AS BIGINT) AS s_g,
+             CAST(SUM(x_d * CAST(floor(ln(CAST(x_d AS DOUBLE)) * 1000000)
+                                 AS BIGINT)) AS BIGINT) AS w_g
+      FROM cust WHERE x_d > 0 GROUP BY c_nationkey
+    ), tot AS (
+      SELECT CAST(SUM(n_g) AS BIGINT) AS n, CAST(SUM(s_g) AS BIGINT) AS s
+      FROM g
+    )
+    SELECT n.n_name, g.n_g, g.s_g AS s_dollars,
+           CAST(w_g // s_g
+                - floor(ln(CAST(s_g AS DOUBLE)) * 1000000)
+                + floor(ln(CAST(n_g AS DOUBLE)) * 1000000) AS BIGINT)
+             AS theil_within_e6,
+           CAST(s_g * (CAST(floor(ln(CAST(s_g AS DOUBLE)) * 1000000)
+                            AS BIGINT)
+                       - CAST(floor(ln(CAST(t.s AS DOUBLE)) * 1000000)
+                              AS BIGINT)
+                       - CAST(floor(ln(CAST(n_g AS DOUBLE)) * 1000000)
+                              AS BIGINT)
+                       + CAST(floor(ln(CAST(t.n AS DOUBLE)) * 1000000)
+                              AS BIGINT)) // t.s AS BIGINT)
+             AS between_term_e6
+    FROM g JOIN nation n ON n.n_nationkey = g.c_nationkey, tot t
+    ORDER BY n.n_name
+    """,
+    doc="Theil T inequality index of per-customer revenue, decomposed "
+        "into within-nation and between-nation components (Theil 1967; "
+        "the decomposable-entropy property Gini lacks — "
+        "gini_revenue_by_nation measures inequality but cannot attribute "
+        "it): per nation, T_within = sum(x ln x)/s - ln s + ln n and the "
+        "between-group share term s_g*(ln s_g - ln S - ln n_g + ln N)/S, "
+        "every ln floored to integer micro-nats BEFORE the sums (the "
+        "event_type_entropy discipline) so all aggregates are order-free "
+        "int64; revenue carried in whole dollars to keep x*ln(x) inside "
+        "int64 headroom through sf0.1. Scale: one customer-keyed rollup, "
+        "one nation rollup, broadcast nation dim + 1-row total",
+)
+def q_theil_inequality_decomposition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    cust = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(
+            F.expr(
+                "sum(cast(round(o_totalprice * 100) as long)) div 100"
+            ).alias("x_d")
+        )
+    )
+    ln_e6 = "cast(floor(ln(cast({0} as double)) * 1000000) as long)"
+    g = cust.filter(F.col("x_d") > 0).groupBy("c_nationkey").agg(
+        F.count("*").cast("long").alias("n_g"),
+        F.sum("x_d").cast("long").alias("s_g"),
+        F.sum(F.expr(f"x_d * {ln_e6.format('x_d')}"))
+        .cast("long").alias("w_g"),
+    )
+    tot = g.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("s_g").cast("long").alias("s"),
+    )
+    return (
+        g.join(F.broadcast(nation),
+               g.c_nationkey == F.col("n_nationkey"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n_name", "n_g", F.col("s_g").alias("s_dollars"),
+            F.expr(
+                f"w_g div s_g - {ln_e6.format('s_g')}"
+                f" + {ln_e6.format('n_g')}"
+            ).cast("long").alias("theil_within_e6"),
+            F.expr(
+                f"s_g * ({ln_e6.format('s_g')} - {ln_e6.format('s')}"
+                f" - {ln_e6.format('n_g')} + {ln_e6.format('n')}) div s"
+            ).cast("long").alias("between_term_e6"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Little's law accounting audit over sessionized events (L = lambda * W)
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "littles_law_audit",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events
+    ), marked AS (
+      SELECT user_id, ts_us,
+             CASE WHEN ts_us - LAG(ts_us) OVER w > 1800000000
+                    OR LAG(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ), sess AS (
+      SELECT user_id, ts_us,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    ), spans AS (
+      SELECT user_id, sid, MIN(ts_us) AS st, MAX(ts_us) AS en
+      FROM sess GROUP BY user_id, sid
+    ), started AS (
+      SELECT st // 86400000000 AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_started,
+             CAST(SUM(en - st) AS BIGINT) AS sum_duration_us
+      FROM spans GROUP BY day
+    ), overlap AS (
+      SELECT d.day AS day,
+             CAST(SUM(LEAST(en, (d.day + 1) * 86400000000)
+                      - GREATEST(st, d.day * 86400000000)) AS BIGINT)
+               AS sum_overlap_us
+      FROM spans, unnest(range(st // 86400000000,
+                               en // 86400000000 + 1)) AS d(day)
+      GROUP BY d.day
+    )
+    SELECT s.day, s.n_started, s.sum_duration_us,
+           COALESCE(o.sum_overlap_us, 0) AS sum_overlap_us,
+           CASE WHEN s.sum_duration_us = 0 THEN NULL
+                ELSE COALESCE(o.sum_overlap_us, 0) * 1000000
+                     // s.sum_duration_us END AS little_ratio_ppm
+    FROM started s LEFT JOIN overlap o ON o.day = s.day
+    ORDER BY s.day
+    """,
+    doc="Little's law accounting audit (L = lambda W, Little 1961) over "
+        "30-minute-gap sessions: per day, sessions started (arrivals), "
+        "their total duration (lambda*W*T in microseconds), and the "
+        "day-clipped occupancy integral (L*T — each session's overlap "
+        "with each day it spans, via a bounded day-range explode). The "
+        "ratio of the two sides in ppm is the boundary-effect audit a "
+        "capacity planner checks before trusting a concurrency forecast "
+        "built from arrival rates. All interval arithmetic in exact "
+        "int64 microseconds. Scale: the sessionize window is the "
+        "standard user-keyed sort; the day explode is bounded by session "
+        "span (sessions are minutes long); two day-keyed rollups + one "
+        "day-keyed join",
+)
+def q_littles_law_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts_nanos div 1000").alias("ts_us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    marked = ev.select(
+        "user_id", "ts_us",
+        F.when(
+            (F.col("ts_us") - F.lag("ts_us").over(w) > 1_800_000_000)
+            | F.lag("ts_us").over(w).isNull(), 1
+        ).otherwise(0).alias("brk"),
+    )
+    sess = marked.select(
+        "user_id", "ts_us",
+        F.sum("brk").over(
+            Window.partitionBy("user_id").orderBy("ts_us")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("sid"),
+    )
+    spans = sess.groupBy("user_id", "sid").agg(
+        F.min("ts_us").alias("st"), F.max("ts_us").alias("en")
+    ).localCheckpoint(eager=True)
+    day_us = 86_400_000_000
+    started = spans.groupBy(
+        F.expr(f"st div {day_us}").alias("day")
+    ).agg(
+        F.count("*").cast("long").alias("n_started"),
+        F.sum(F.col("en") - F.col("st")).cast("long")
+        .alias("sum_duration_us"),
+    )
+    overlap = spans.select(
+        F.explode(
+            F.expr(f"sequence(st div {day_us}, en div {day_us})")
+        ).alias("day"),
+        "st", "en",
+    ).groupBy("day").agg(
+        F.sum(
+            F.least(F.col("en"), (F.col("day") + 1) * day_us)
+            - F.greatest(F.col("st"), F.col("day") * day_us)
+        ).cast("long").alias("sum_overlap_us")
+    )
+    return (
+        started.join(overlap, "day", "left")
+        .select(
+            "day", "n_started", "sum_duration_us",
+            F.coalesce("sum_overlap_us", F.lit(0)).cast("long")
+            .alias("sum_overlap_us"),
+            F.when(
+                F.col("sum_duration_us") == 0, F.lit(None).cast("long")
+            ).otherwise(
+                F.expr(
+                    "coalesce(sum_overlap_us, 0) * 1000000"
+                    " div sum_duration_us"
+                )
+            ).cast("long").alias("little_ratio_ppm"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Integer-table DFT power at fixed periods (weekly/monthly seasonality)
+# ---------------------------------------------------------------------------
+
+# cos/sin at e3 scale, precomputed AT AUTHOR TIME and inlined as literals
+# in BOTH engines, so no transcendental is evaluated at query time at all
+_DFT_TABLES = {
+    7: ([1000, 623, -223, -901, -901, -223, 623],
+        [0, 781, 974, 433, -434, -975, -782]),
+    30: ([1000, 978, 913, 809, 669, 500, 309, 104, -105, -310, -500,
+          -670, -810, -914, -979, -1000, -979, -914, -810, -670, -501,
+          -310, -105, 104, 309, 500, 669, 809, 913, 978],
+         [0, 207, 406, 587, 743, 866, 951, 994, 994, 951, 866, 743,
+          587, 406, 207, 0, -208, -407, -588, -744, -867, -952, -995,
+          -995, -952, -867, -744, -588, -407, -208]),
+}
+
+
+def _dft_oracle() -> str:
+    parts = []
+    for p, (ct, st) in _DFT_TABLES.items():
+        parts.append(f"""
+      SELECT CAST({p} AS BIGINT) AS period,
+             CAST(SUM(d * ({ct}::BIGINT[])[(day % {p}) + 1]) AS BIGINT)
+               AS x_milli,
+             CAST(SUM(d * ({st}::BIGINT[])[(day % {p}) + 1]) AS BIGINT)
+               AS y_milli
+      FROM dev""")
+    sel = " UNION ALL ".join(parts)
+    return f"""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS day,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS c
+      FROM orders GROUP BY day
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s
+      FROM daily
+    ), dev AS (
+      SELECT day, c - (SELECT s // n FROM tot) AS d FROM daily
+    ), bins AS ({sel})
+    SELECT period, x_milli, y_milli,
+           CAST(floor((CAST(x_milli AS DOUBLE) * x_milli
+                       + CAST(y_milli AS DOUBLE) * y_milli) / 1e18)
+                AS BIGINT) AS power_est
+    FROM bins ORDER BY period
+    """
+
+
+@_stage(
+    "dft_power_topfreq",
+    oracle=_dft_oracle(),
+    doc="Single-bin integer DFT (Goertzel-style direct correlation) of "
+        "the daily revenue series at the weekly (7) and monthly (30) "
+        "periods: cos/sin tables quantized to e3 at AUTHOR time and "
+        "inlined as literals in both engines — no transcendental is "
+        "evaluated at query time, so X = sum(d_i cos) / Y = sum(d_i "
+        "sin) are pure order-free int64 sums over mean-centred daily "
+        "cents (truncated integer mean, the ljung_box discipline). The "
+        "frequency-domain seasonality detector that haar_wavelet_energy "
+        "(scale domain) and seasonality_profile (calendar domain) "
+        "cannot express. Scale: one day rollup + one array-literal "
+        "lookup per row; the two bins share the scan",
+)
+def q_dft_power_topfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.select(
+        F.datediff(F.col("o_orderdate").cast("date"),
+                   F.lit("1970-01-01").cast("date")).cast("long")
+        .alias("day"),
+        F.expr("cast(round(o_totalprice * 100) as long)").alias("cents"),
+    ).groupBy("day").agg(F.sum("cents").cast("long").alias("c"))
+    tot = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s"),
+    )
+    dev = daily.crossJoin(F.broadcast(tot)).select(
+        "day", (F.col("c") - F.expr("s div n")).alias("d")
+    )
+    out = None
+    for p, (ct, st) in _DFT_TABLES.items():
+        ca = "array(" + ",".join(f"{v}L" for v in ct) + ")"
+        sa = "array(" + ",".join(f"{v}L" for v in st) + ")"
+        row = dev.agg(
+            F.sum(
+                F.expr(f"d * element_at({ca}, cast(day % {p} as int) + 1)")
+            ).cast("long").alias("x_milli"),
+            F.sum(
+                F.expr(f"d * element_at({sa}, cast(day % {p} as int) + 1)")
+            ).cast("long").alias("y_milli"),
+        ).select(F.lit(p).cast("long").alias("period"), "x_milli", "y_milli")
+        out = row if out is None else out.unionByName(row)
+    return out.select(
+        "period", "x_milli", "y_milli",
+        F.expr(
+            "cast(floor((cast(x_milli as double) * x_milli"
+            " + cast(y_milli as double) * y_milli) / 1e18) as long)"
+        ).alias("power_est"),
+    ).orderBy("period")
+
+
+# ---------------------------------------------------------------------------
+# LZ78 phrase complexity (compression-proxy text quality signal)
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "lz78_phrase_complexity",
+    oracle="""
+    WITH toks AS (
+      SELECT source,
+             list_filter(string_split(text, ' '),
+                         t -> regexp_matches(t, '^[a-z]+$'))[1:120] AS ts
+      FROM documents
+    ), folded AS (
+      -- the candidate phrase expression is INLINED 4x: DuckDB v1.0.0
+      -- mis-evaluates nested list_transform let-bindings inside
+      -- list_reduce (probed: the fold silently stops advancing)
+      SELECT source, CAST(len(ts) AS BIGINT) AS n_tok,
+             list_reduce(list_prepend('~', ts), (acc, t) ->
+               CASE WHEN strpos('|' || string_split(acc, '~')[1] || '|',
+                      '|' || (CASE WHEN string_split(acc, '~')[2] = ''
+                              THEN t ELSE string_split(acc, '~')[2]
+                                   || ' ' || t END) || '|') > 0
+                    THEN string_split(acc, '~')[1] || '~'
+                         || (CASE WHEN string_split(acc, '~')[2] = ''
+                             THEN t ELSE string_split(acc, '~')[2]
+                                  || ' ' || t END)
+                    WHEN string_split(acc, '~')[1] = ''
+                    THEN (CASE WHEN string_split(acc, '~')[2] = ''
+                          THEN t ELSE string_split(acc, '~')[2]
+                               || ' ' || t END) || '~'
+                    ELSE string_split(acc, '~')[1] || '|'
+                         || (CASE WHEN string_split(acc, '~')[2] = ''
+                             THEN t ELSE string_split(acc, '~')[2]
+                                  || ' ' || t END) || '~'
+               END
+             ) AS st
+      FROM toks WHERE len(ts) > 0
+    ), per_doc AS (
+      SELECT source, n_tok,
+             CAST(CASE WHEN string_split(st, '~')[1] = '' THEN 0
+                  ELSE len(string_split(string_split(st, '~')[1], '|'))
+                  END
+                  + CASE WHEN string_split(st, '~')[2] <> '' THEN 1
+                         ELSE 0 END AS BIGINT) AS n_phrases
+      FROM folded
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+           CAST(SUM(n_phrases) AS BIGINT) AS sum_phrases,
+           CAST(SUM(n_phrases) * 100 // SUM(n_tok) AS BIGINT)
+             AS phrases_per_100tok
+    FROM per_doc GROUP BY source ORDER BY source
+    """,
+    doc="Word-level LZ78 phrase complexity (Ziv & Lempel IT-24 1978) as "
+        "a compression-proxy quality signal: repetitive/templated text "
+        "parses into few long phrases, diverse text into ~1 phrase per "
+        "token — the dictionary-growth view of redundancy that "
+        "doc_repetition_stats (fixed n-gram reuse) approximates. The "
+        "greedy parse folds each doc's first 120 lowercase tokens "
+        "through a (dictionary, current-phrase) state ENGINE-SIDE: "
+        "Spark an F.aggregate struct accumulator, DuckDB a 2-arg "
+        "list_reduce over a delimiter-packed VARCHAR state ('d1|d2~cur' "
+        "— the struct-accumulator quirk workaround, phrases contain "
+        "spaces never '|'/'~' by the [a-z]+ token filter). Scale: "
+        "embarrassingly parallel per doc, bounded at 120 tokens; one "
+        "source rollup",
+)
+def q_lz78_phrase_complexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.expr(
+            "slice(filter(split(text, ' '),"
+            " t -> t rlike '^[a-z]+$'), 1, 120)"
+        ).alias("ts"),
+    ).filter(F.size("ts") > 0)
+    folded = toks.select(
+        "source", F.size("ts").cast("long").alias("n_tok"),
+        F.expr(
+            "aggregate(ts,"
+            " named_struct('dict', cast(array() as array<string>),"
+            "              'cur', ''),"
+            " (a, t) -> case"
+            "   when array_contains(a.dict,"
+            "        if(a.cur = '', t, concat(a.cur, ' ', t)))"
+            "   then named_struct('dict', a.dict,"
+            "        'cur', if(a.cur = '', t, concat(a.cur, ' ', t)))"
+            "   else named_struct('dict', array_append(a.dict,"
+            "        if(a.cur = '', t, concat(a.cur, ' ', t))),"
+            "        'cur', '') end)"
+        ).alias("st"),
+    )
+    per_doc = folded.select(
+        "source", "n_tok",
+        (F.size("st.dict")
+         + F.when(F.col("st.cur") != "", 1).otherwise(0))
+        .cast("long").alias("n_phrases"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("sum_tokens"),
+        F.sum("n_phrases").cast("long").alias("sum_phrases"),
+        F.expr("sum(n_phrases) * 100 div sum(n_tok)")
+        .cast("long").alias("phrases_per_100tok"),
+    ).orderBy("source")
+
+
 # Self-register unconditionally: CORRECTNESS_r08 confirmed the round-8
 # window green, so the round-9 wave is now live. register_all() is
 # idempotent, so the double-trigger via queries.py is harmless.
