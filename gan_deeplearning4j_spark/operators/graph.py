@@ -78,6 +78,83 @@ def pagerank_fixed(
     return ranks
 
 
+def ppr_fixed(
+    edges: DataFrame, src: str = "src", dst: str = "dst", iters: int = 3,
+    broadcast_nodes_max: int = 10_000_000,
+) -> DataFrame:
+    """Personalized PageRank (Haveliwala WWW'02) from the max-degree
+    seed node, fixed-point int64 — the localized variant of
+    ``pagerank_fixed``: restart mass (1-d)*PR_SCALE lands ONLY on the
+    seed, so scores measure proximity to the seed instead of global
+    importance (the related-items recommendation ranking).
+
+    rank_0 = PR_SCALE at the seed, 0 elsewhere; rank_{k+1}(v) =
+    [v = seed]*(1-d)*PR_SCALE + floor(d * Σ_{u→v} floor(rank_k(u)/
+    deg(u))) over the undirected edge view — all arithmetic int64 so a
+    chained-CTE SQL oracle replays it hash-for-hash (registered query
+    ``ppr_copurchase_topk``). The seed is data-derived (max degree,
+    ties by node asc) so no literal needs to ship to the oracle.
+
+    Scale shape: identical to pagerank_fixed — degree folded into the
+    edge list once, per iteration one src-keyed join + one dst-keyed
+    aggregate, rank table checkpointed per round, broadcast only under
+    the node-count threshold. The nodes table rides along so zero-mass
+    nodes persist (a left join, not an inner one: the seed must receive
+    its restart mass even in rounds where nothing flows into it).
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    und = e.union(
+        e.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    ).distinct()
+    und_deg = und.withColumn(
+        "deg", F.count("*").over(Window.partitionBy("s"))
+    ).localCheckpoint(eager=True)
+    nodes = und_deg.select(
+        F.col("s").alias("node")
+    ).distinct().localCheckpoint(eager=True)
+    seed = (
+        und_deg.groupBy("s").agg(F.max("deg").alias("dg"))
+        .orderBy(F.desc("dg"), "s").limit(1)
+        .select(F.col("s").alias("seed_node"))
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nodes.count()
+    if n_nodes <= broadcast_nodes_max:
+        def rank_join(vec: DataFrame) -> DataFrame:
+            return F.broadcast(vec)
+    else:
+        def rank_join(vec: DataFrame) -> DataFrame:
+            return vec
+    base = (PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM)) // PR_DAMP_DEN
+    ranks = nodes.crossJoin(F.broadcast(seed)).select(
+        "node",
+        F.when(F.col("node") == F.col("seed_node"), F.lit(PR_SCALE))
+        .otherwise(F.lit(0)).cast("long").alias("rank"),
+    )
+    for _ in range(iters):
+        contrib = und_deg.join(
+            rank_join(ranks), und_deg.s == ranks.node
+        ).select(F.col("d"), F.expr("rank div deg").alias("c"))
+        inflow = contrib.groupBy("d").agg(
+            F.expr(f"({PR_DAMP_NUM} * sum(c)) div {PR_DAMP_DEN}")
+            .alias("flow")
+        )
+        ranks = (
+            nodes.join(inflow, nodes.node == inflow.d, "left")
+            .crossJoin(F.broadcast(seed))
+            .select(
+                "node",
+                (
+                    F.when(F.col("node") == F.col("seed_node"),
+                           F.lit(base)).otherwise(F.lit(0))
+                    + F.coalesce(F.col("flow"), F.lit(0))
+                ).cast("long").alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
 def adamic_adar_topk(
     pairs: DataFrame, a: str = "p1", b: str = "p2", k: int = 100,
 ) -> DataFrame:

@@ -3229,6 +3229,642 @@ def q_lz78_phrase_complexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
+# ---------------------------------------------------------------------------
+# Personalized PageRank from the co-purchase hub (related-items ranking)
+# ---------------------------------------------------------------------------
+
+def _ppr_oracle(iters: int = 3, k: int = 20) -> str:
+    """Chained-CTE unroll of the personalized-PageRank iterations over
+    the >=2-common-orders co-purchase graph (the _pagerank_oracle
+    pattern with seed-only restart mass)."""
+    steps = []
+    prev = "r0"
+    for i in range(1, iters + 1):
+        steps.append(f"""
+    r{i} AS (
+      SELECT u.d AS node,
+             CASE WHEN u.d = (SELECT node FROM seed) THEN 150000
+                  ELSE 0 END
+             + (85 * SUM({prev}.rank // deg.deg)) // 100 AS rank
+      FROM und u
+      JOIN {prev} ON {prev}.node = u.s
+      JOIN deg ON deg.s = u.s
+      GROUP BY u.d
+    )""")
+        prev = f"r{i}"
+    chain = "," + ",".join(steps)
+    return f"""
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS pa, c.l_partkey AS pb
+      FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey
+                        AND c.l_partkey > a.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    und AS (
+      SELECT pa AS s, pb AS d FROM e UNION ALL SELECT pb, pa FROM e
+    ),
+    deg AS (SELECT s, COUNT(*) AS deg FROM und GROUP BY s),
+    seed AS (
+      SELECT s AS node FROM deg ORDER BY deg DESC, s LIMIT 1
+    ),
+    r0 AS (
+      SELECT DISTINCT s AS node,
+             CAST(CASE WHEN s = (SELECT node FROM seed)
+                       THEN 1000000 ELSE 0 END AS BIGINT) AS rank
+      FROM und
+    ){chain}
+    SELECT node, CAST(rank AS BIGINT) AS rank FROM {prev}
+    ORDER BY rank DESC, node LIMIT {k}
+    """
+
+
+@_stage(
+    "ppr_copurchase_topk",
+    oracle=_ppr_oracle(),
+    doc="Personalized PageRank (Haveliwala WWW'02) from the co-purchase "
+        "hub part: restart mass lands only on the max-degree seed, so "
+        "the top-20 ranks are proximity-to-seed — the 'customers who "
+        "bought this also bought' ranking that global pagerank_fixed_"
+        "topk cannot express (its scores measure overall importance). "
+        "Fixed-point int64 (ppm scale, damping 85/100, rank/deg floor "
+        "div) via operators/graph.ppr_fixed; the DuckDB chained-CTE "
+        "replica replays all 3 iterations hash-for-hash, seed derived "
+        "in-query (max degree, tie min id — no literal ships). Scale: "
+        "identical shuffle shape to pagerank_fixed (degree folded into "
+        "the edge list once, per-round join + agg, rank table "
+        "checkpointed, conditional broadcast)",
+)
+def q_ppr_copurchase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import co_purchase_pairs, ppr_fixed
+
+    pairs = co_purchase_pairs(_t(spark, sf_dir, "lineitem"))
+    ranks = ppr_fixed(pairs, "p1", "p2", iters=3)
+    return ranks.orderBy(F.desc("rank"), "node").limit(20)
+
+
+# ---------------------------------------------------------------------------
+# AMS tug-of-war F2 sketch vs the exact second frequency moment
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "f2_moment_ams",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY user_id
+    ), z AS (
+      SELECT j.j,
+             CAST(SUM(c * (2 * (CAST('0x' || substr(md5('ams|'
+                    || CAST(j.j AS VARCHAR) || '|'
+                    || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) % 2)
+                    - 1)) AS BIGINT) AS zj
+      FROM f, (SELECT unnest(range(0, 16)) AS j) j
+      GROUP BY j.j
+    ), means AS (
+      SELECT j // 4 AS grp,
+             CAST(SUM(zj * zj) // 4 AS BIGINT) AS mean_g
+      FROM z GROUP BY grp
+    ), est AS (
+      SELECT CAST((SUM(mean_g) - MIN(mean_g) - MAX(mean_g)) // 2
+                  AS BIGINT) AS f2_est
+      FROM means
+    ), exact AS (
+      SELECT CAST(SUM(c * c) AS BIGINT) AS f2_exact FROM f
+    )
+    SELECT f2_exact, f2_est,
+           CAST(abs(f2_est - f2_exact) * 1000000 // f2_exact AS BIGINT)
+             AS rel_err_ppm
+    FROM exact, est
+    """,
+    doc="AMS tug-of-war F2 sketch (Alon, Matias & Szegedy STOC'96) of "
+        "the per-user event-frequency vector vs the exact second moment "
+        "Σf²: 16 estimators with md5-derived ±1 signs (the one hash both "
+        "engines replay bit-identically), squared, then median-of-means "
+        "(4 groups of 4; the median of 4 values is (sum-min-max)/2, an "
+        "exact integer division) — the join-size/self-join-cardinality "
+        "estimator CMS cannot provide (cms_join_cardinality bounds a "
+        "two-table join; F2 IS the self-join size). Everything int64: "
+        "Z_j ≤ total event count, Z_j² well inside headroom through "
+        "sf0.1. Scale: one user rollup, one 16-way broadcast expansion, "
+        "two tiny rollups — map-side-combinable throughout",
+)
+def q_f2_moment_ams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(F.count("*").cast("long").alias("c"))
+    js = spark.range(16).select(F.col("id").alias("j"))
+    sign = (
+        "2 * (cast(conv(substr(md5(cast(concat('ams|', cast(j as string),"
+        " '|', cast(user_id as string)) as binary)), 1, 15), 16, 10)"
+        " as long) % 2) - 1"
+    )
+    z = f.crossJoin(F.broadcast(js)).groupBy("j").agg(
+        F.sum(F.expr(f"c * ({sign})")).cast("long").alias("zj")
+    )
+    means = z.groupBy(F.expr("j div 4").alias("grp")).agg(
+        F.expr("sum(zj * zj) div 4").cast("long").alias("mean_g")
+    )
+    est = means.agg(
+        F.expr("(sum(mean_g) - min(mean_g) - max(mean_g)) div 2")
+        .cast("long").alias("f2_est")
+    )
+    exact = f.agg(F.sum(F.expr("c * c")).cast("long").alias("f2_exact"))
+    return exact.crossJoin(F.broadcast(est)).select(
+        "f2_exact", "f2_est",
+        F.expr("abs(f2_est - f2_exact) * 1000000 div f2_exact")
+        .cast("long").alias("rel_err_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Consistent-hash vs modulo resharding migration audit
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "consistent_hash_migration",
+    oracle="""
+    WITH keys AS (
+      SELECT c_custkey AS k,
+             CAST('0x' || substr(md5('key|' || CAST(c_custkey AS VARCHAR)),
+                                 1, 15) AS BIGINT) AS pos
+      FROM customer
+    ), shards AS (
+      SELECT i.i AS sid,
+             CAST('0x' || substr(md5('shard|' || CAST(i.i AS VARCHAR)),
+                                 1, 15) AS BIGINT) AS tok
+      FROM (SELECT unnest(range(0, 9)) AS i) i
+    ), assigned AS (
+      SELECT k,
+             arg_min(sid, CASE WHEN tok > pos THEN tok
+                          ELSE tok + 1152921504606846976 END)
+               FILTER (WHERE sid < 8) AS ring8,
+             arg_min(sid, CASE WHEN tok > pos THEN tok
+                          ELSE tok + 1152921504606846976 END) AS ring9,
+             MIN(k % 8) AS mod8, MIN(k % 9) AS mod9
+      FROM keys, shards GROUP BY k, pos
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(CASE WHEN mod8 <> mod9 THEN 1 ELSE 0 END) AS BIGINT)
+             AS moved_mod,
+           CAST(SUM(CASE WHEN ring8 <> ring9 THEN 1 ELSE 0 END) AS BIGINT)
+             AS moved_ring,
+           CAST(SUM(CASE WHEN mod8 <> mod9 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS moved_mod_ppm,
+           CAST(SUM(CASE WHEN ring8 <> ring9 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS moved_ring_ppm
+    FROM assigned
+    """,
+    doc="Resharding migration audit: fraction of keys that move when a "
+        "9th shard joins, modulo placement vs a consistent-hash ring "
+        "(Karger et al. STOC'97) — the ops decision behind every "
+        "shuffle-partition / kv-shard expansion (mod moves ~8/9 of all "
+        "keys, the ring ~1/9). Ring positions and shard tokens are "
+        "60-bit md5 integers (the oracle-replayable hash); successor "
+        "lookup = arg_min over token-with-wraparound (tok <= pos gets "
+        "+2^60). Exact counts + ppm rates. Scale: the shard relation is "
+        "a 9-row broadcast literal; one key-keyed aggregate — no "
+        "shuffle beyond the rollup",
+)
+def q_consistent_hash_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    h60 = ("cast(conv(substr(md5(cast({0} as binary)), 1, 15), 16, 10)"
+           " as long)")
+    keys = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.expr(h60.format(
+            "concat('key|', cast(c_custkey as string))"
+        )).alias("pos"),
+    )
+    shards = spark.range(9).select(
+        F.col("id").alias("sid"),
+        F.expr(h60.format(
+            "concat('shard|', cast(id as string))"
+        )).alias("tok"),
+    )
+    wrap = "case when tok > pos then tok else tok + 1152921504606846976 end"
+    assigned = keys.crossJoin(F.broadcast(shards)).groupBy("k", "pos").agg(
+        F.expr(f"min_by(sid, {wrap}) filter (where sid < 8)")
+        .alias("ring8"),
+        F.expr(f"min_by(sid, {wrap})").alias("ring9"),
+        F.expr("min(k % 8)").alias("mod8"),
+        F.expr("min(k % 9)").alias("mod9"),
+    )
+    return assigned.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.count_if(F.expr("mod8 <> mod9")).cast("long").alias("moved_mod"),
+        F.count_if(F.expr("ring8 <> ring9")).cast("long")
+        .alias("moved_ring"),
+    ).select(
+        "n_keys", "moved_mod", "moved_ring",
+        F.expr("moved_mod * 1000000 div n_keys").cast("long")
+        .alias("moved_mod_ppm"),
+        F.expr("moved_ring * 1000000 div n_keys").cast("long")
+        .alias("moved_ring_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Differential-privacy contribution-bounding audit
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "dp_contribution_bounds",
+    oracle="""
+    WITH contrib AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY user_id
+    ), hist AS (
+      SELECT c, CAST(COUNT(*) AS BIGINT) AS t FROM contrib GROUP BY c
+    ), cum AS (
+      SELECT c, t,
+             SUM(t) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS cum_n,
+             (SELECT SUM(t) FROM hist) AS n
+      FROM hist
+    ), p95 AS (
+      SELECT MIN(c) AS p95_c FROM cum WHERE cum_n * 100 >= 95 * n
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(MAX(c) AS BIGINT) AS max_contribution,
+           CAST((SELECT p95_c FROM p95) AS BIGINT) AS p95_contribution,
+           CAST(SUM(CASE WHEN c > (SELECT p95_c FROM p95) THEN 1 ELSE 0
+                    END) AS BIGINT) AS n_users_clipped,
+           CAST(SUM(CASE WHEN c > (SELECT p95_c FROM p95)
+                         THEN c - (SELECT p95_c FROM p95) ELSE 0
+                    END) AS BIGINT) AS sum_excess_clipped,
+           CAST((SELECT p95_c FROM p95) * 1000000 AS BIGINT)
+             AS laplace_scale_e6
+    FROM contrib
+    """,
+    doc="Differential-privacy contribution-bounding audit for a "
+        "user-level count release: per-user total event contribution, "
+        "its max (the unclamped L1 sensitivity), the exact "
+        "95th-percentile clamp C (percentile_disc semantics via the "
+        "bounded contribution histogram: min c with cum*100 >= 95*n), "
+        "how many users the clamp truncates and the mass it discards, "
+        "and the resulting Laplace noise scale C/epsilon at epsilon=1 "
+        "(e6 units) — the pre-release worksheet every DP aggregation "
+        "pipeline (k_anonymity_audit's quantitative sibling) fills in "
+        "before calibrating noise. Scale: one user rollup + a bounded "
+        "value-domain histogram window (mann_whitney discipline)",
+)
+def q_dp_contribution_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.windows import bounded_window
+
+    ev = _t(spark, sf_dir, "events")
+    contrib = ev.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("c")
+    ).localCheckpoint(eager=True)
+    hist = contrib.groupBy("c").agg(F.count("*").cast("long").alias("t"))
+    wc = bounded_window("c").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "c", "t", F.sum("t").over(wc).alias("cum_n"),
+        F.sum("t").over(bounded_window()).alias("n"),
+    )
+    p95 = cum.filter(F.expr("cum_n * 100 >= 95 * n")).agg(
+        F.min("c").alias("p95_c")
+    )
+    return contrib.crossJoin(F.broadcast(p95)).agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.max("c").cast("long").alias("max_contribution"),
+        F.max("p95_c").cast("long").alias("p95_contribution"),
+        F.count_if(F.expr("c > p95_c")).cast("long")
+        .alias("n_users_clipped"),
+        F.sum(F.expr("case when c > p95_c then c - p95_c else 0 end"))
+        .cast("long").alias("sum_excess_clipped"),
+        F.max(F.expr("p95_c * 1000000")).cast("long")
+        .alias("laplace_scale_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# WAV band energy via integer-table Goertzel correlation
+# ---------------------------------------------------------------------------
+
+# Goertzel bin tables: floor-free round at AUTHOR time, baked as
+# literals so neither engine evaluates a transcendental at query
+# time (shared by the Spark fn and the generated SQL oracle)
+_GOERTZEL_BINS = {
+    4: (
+        [1000, 988, 951, 891, 809, 707, 588, 454, 309, 156, 0, -156, -309,
+        -454, -588, -707, -809, -891, -951, -988, -1000, -988, -951, -891,
+        -809, -707, -588, -454, -309, -156, 0, 156, 309, 454, 588, 707, 809,
+        891, 951, 988, 1000, 988, 951, 891, 809, 707, 588, 454, 309, 156, 0,
+        -156, -309, -454, -588, -707, -809, -891, -951, -988, -1000, -988,
+        -951, -891, -809, -707, -588, -454, -309, -156, 0, 156, 309, 454, 588,
+        707, 809, 891, 951, 988, 1000, 988, 951, 891, 809, 707, 588, 454, 309,
+        156, 0, -156, -309, -454, -588, -707, -809, -891, -951, -988, -1000,
+        -988, -951, -891, -809, -707, -588, -454, -309, -156, 0, 156, 309,
+        454, 588, 707, 809, 891, 951, 988, 1000, 988, 951, 891, 809, 707, 588,
+        454, 309, 156, 0, -156, -309, -454, -588, -707, -809, -891, -951,
+        -988, -1000, -988, -951, -891, -809, -707, -588, -454, -309, -156, 0,
+        156, 309, 454, 588, 707, 809, 891, 951, 988],
+        [0, 156, 309, 454, 588, 707, 809, 891, 951, 988, 1000, 988, 951, 891,
+        809, 707, 588, 454, 309, 156, 0, -156, -309, -454, -588, -707, -809,
+        -891, -951, -988, -1000, -988, -951, -891, -809, -707, -588, -454,
+        -309, -156, 0, 156, 309, 454, 588, 707, 809, 891, 951, 988, 1000, 988,
+        951, 891, 809, 707, 588, 454, 309, 156, 0, -156, -309, -454, -588,
+        -707, -809, -891, -951, -988, -1000, -988, -951, -891, -809, -707,
+        -588, -454, -309, -156, 0, 156, 309, 454, 588, 707, 809, 891, 951,
+        988, 1000, 988, 951, 891, 809, 707, 588, 454, 309, 156, 0, -156, -309,
+        -454, -588, -707, -809, -891, -951, -988, -1000, -988, -951, -891,
+        -809, -707, -588, -454, -309, -156, 0, 156, 309, 454, 588, 707, 809,
+        891, 951, 988, 1000, 988, 951, 891, 809, 707, 588, 454, 309, 156, 0,
+        -156, -309, -454, -588, -707, -809, -891, -951, -988, -1000, -988,
+        -951, -891, -809, -707, -588, -454, -309, -156],
+    ),
+    20: (
+        [1000, 707, 0, -707, -1000, -707, 0, 707, 1000, 707, 0, -707, -1000,
+        -707, 0, 707, 1000, 707, 0, -707, -1000, -707, 0, 707, 1000, 707, 0,
+        -707, -1000, -707, 0, 707, 1000, 707, 0, -707, -1000, -707, 0, 707,
+        1000, 707, 0, -707, -1000, -707, 0, 707, 1000, 707, 0, -707, -1000,
+        -707, 0, 707, 1000, 707, 0, -707, -1000, -707, 0, 707, 1000, 707, 0,
+        -707, -1000, -707, 0, 707, 1000, 707, 0, -707, -1000, -707, 0, 707,
+        1000, 707, 0, -707, -1000, -707, 0, 707, 1000, 707, 0, -707, -1000,
+        -707, 0, 707, 1000, 707, 0, -707, -1000, -707, 0, 707, 1000, 707, 0,
+        -707, -1000, -707, 0, 707, 1000, 707, 0, -707, -1000, -707, 0, 707,
+        1000, 707, 0, -707, -1000, -707, 0, 707, 1000, 707, 0, -707, -1000,
+        -707, 0, 707, 1000, 707, 0, -707, -1000, -707, 0, 707, 1000, 707, 0,
+        -707, -1000, -707, 0, 707, 1000, 707, 0, -707, -1000, -707, 0, 707],
+        [0, 707, 1000, 707, 0, -707, -1000, -707, 0, 707, 1000, 707, 0, -707,
+        -1000, -707, 0, 707, 1000, 707, 0, -707, -1000, -707, 0, 707, 1000,
+        707, 0, -707, -1000, -707, 0, 707, 1000, 707, 0, -707, -1000, -707, 0,
+        707, 1000, 707, 0, -707, -1000, -707, 0, 707, 1000, 707, 0, -707,
+        -1000, -707, 0, 707, 1000, 707, 0, -707, -1000, -707, 0, 707, 1000,
+        707, 0, -707, -1000, -707, 0, 707, 1000, 707, 0, -707, -1000, -707, 0,
+        707, 1000, 707, 0, -707, -1000, -707, 0, 707, 1000, 707, 0, -707,
+        -1000, -707, 0, 707, 1000, 707, 0, -707, -1000, -707, 0, 707, 1000,
+        707, 0, -707, -1000, -707, 0, 707, 1000, 707, 0, -707, -1000, -707, 0,
+        707, 1000, 707, 0, -707, -1000, -707, 0, 707, 1000, 707, 0, -707,
+        -1000, -707, 0, 707, 1000, 707, 0, -707, -1000, -707, 0, 707, 1000,
+        707, 0, -707, -1000, -707, 0, 707, 1000, 707, 0, -707, -1000, -707],
+    ),
+}
+
+
+def _goertzel_oracle() -> str:
+    parts = []
+    for k, (ct, st) in _GOERTZEL_BINS.items():
+        parts.append(f"""
+      SELECT clip, CAST({k} AS BIGINT) AS bin_k,
+             CAST(SUM(v * ({ct}::BIGINT[])[i + 1]) AS BIGINT) AS x_milli,
+             CAST(SUM(v * ({st}::BIGINT[])[i + 1]) AS BIGINT) AS y_milli
+      FROM s WHERE i < 160 GROUP BY clip""")
+    sel = " UNION ALL ".join(parts)
+    return f"""
+    WITH c AS (
+      SELECT unnest(range(0, 32)) AS clip
+    ), ix AS (
+      SELECT clip, unnest(range(0, 160)) AS i FROM c
+    ), s AS (
+      SELECT clip, i,
+             CAST('0x' || substr(md5('wav|' || CAST(clip AS VARCHAR)
+                                     || '|' || CAST(i AS VARCHAR)),
+                                 1, 15) AS BIGINT) % 65536 - 32768 AS v
+      FROM ix
+    ), bins AS ({sel})
+    SELECT clip, bin_k, x_milli, y_milli,
+           CAST(floor((CAST(x_milli AS DOUBLE) * x_milli
+                       + CAST(y_milli AS DOUBLE) * y_milli) / 1e12)
+                AS BIGINT) AS power_est
+    FROM bins ORDER BY clip, bin_k
+    """
+
+
+@_stage(
+    "wav_goertzel_band_energy",
+    oracle=_goertzel_oracle(),
+    doc="Per-clip spectral band energy via integer-table Goertzel "
+        "correlation (single-bin DFT, Goertzel 1958) at bins k=4 and "
+        "k=20 of the first 160-sample frame: the same 32 deterministic "
+        "PCM16 clips as wav_zcr_frames are encoded to real RIFF/WAVE "
+        "bytes and decoded back by the clean-room wavcodec inside "
+        "mapInPandas, then correlated against e3-quantized cos/sin "
+        "tables baked as literals at author time — no transcendental at "
+        "query time, X/Y pure int64 dot products (int64 numpy "
+        "engine-side, array-literal lookups in the oracle, which "
+        "replays the sample formula and never sees the bytes). The "
+        "frequency-domain clip feature zcr (sign flips) and frame "
+        "energy (total power) cannot express — the audio-fingerprint "
+        "primitive. Scale: decode runs where the binary sits; one "
+        "160-element dot per clip per bin",
+)
+def q_wav_goertzel_band_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd  # noqa: F401
+
+    clips = spark.range(32).select(F.col("id").alias("clip"))
+    with_samples = clips.select(
+        "clip",
+        F.expr(
+            "transform(sequence(0, 159), i ->"
+            " cast(conv(substr(md5(cast(concat('wav|',"
+            " cast(clip as string), '|', cast(i as string)) as binary)),"
+            " 1, 15), 16, 10) as long) % 65536 - 32768)"
+        ).alias("samples"),
+    )
+    out_schema = ("clip long, bin_k long, x_milli long, y_milli long,"
+                  " power_est long")
+    bins = {k: (list(ct), list(st))
+            for k, (ct, st) in _GOERTZEL_BINS.items()}
+
+    def run(batches):
+        import numpy as np
+
+        from .functions.wavcodec import decode_wav, encode_wav
+
+        tabs = {k: (np.asarray(ct, dtype=np.int64),
+                    np.asarray(st, dtype=np.int64))
+                for k, (ct, st) in bins.items()}
+        for pdf in batches:
+            rows = {"clip": [], "bin_k": [], "x_milli": [],
+                    "y_milli": [], "power_est": []}
+            for clip, samples in zip(pdf["clip"], pdf["samples"]):
+                s_arr = np.asarray(samples, dtype=np.int64)
+                decoded, rate = decode_wav(
+                    encode_wav(s_arr.astype(np.int16), 16000)
+                )
+                assert rate == 16000
+                v = decoded[:160, 0].astype(np.int64)
+                for k, (ct, st) in sorted(tabs.items()):
+                    x = int((v * ct).sum())
+                    y = int((v * st).sum())
+                    rows["clip"].append(int(clip))
+                    rows["bin_k"].append(k)
+                    rows["x_milli"].append(x)
+                    rows["y_milli"].append(y)
+                    import math as _m
+                    rows["power_est"].append(
+                        int(_m.floor((float(x) * x + float(y) * y) / 1e12))
+                    )
+            yield pd.DataFrame(rows)
+
+    return with_samples.mapInPandas(run, schema=out_schema).orderBy(
+        "clip", "bin_k"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters additive seasonal smoothing backtest (period 7)
+# ---------------------------------------------------------------------------
+
+# One step of the additive Holt-Winters recurrence at alpha=1/2,
+# beta=gamma=1/4 (exact power-of-two ratios; every division truncates
+# toward zero identically in Spark `div`, DuckDB `//`). The new level
+# appears inside trend' and season' — inlined below via a one-element
+# list_transform let-binding in DuckDB (safe in recursive CTEs; the
+# v1.0.0 lambda bug is specific to list_reduce) and literal repetition
+# in the Spark struct (its accumulator evaluates all fields against the
+# OLD acc, so lv' must be spelled out wherever used).
+
+_HW_ORACLE = """
+    WITH RECURSIVE daily AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS day,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders GROUP BY day
+    ), spine AS (
+      SELECT d.day AS day,
+             COALESCE(dd.c, 0) AS x
+      FROM (SELECT unnest(range((SELECT MIN(day) FROM daily),
+                                (SELECT MAX(day) FROM daily) + 1)) AS day) d
+      LEFT JOIN daily dd ON dd.day = d.day
+    ), packed AS (
+      SELECT list(x ORDER BY day) AS xs,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(MIN(day) AS BIGINT) AS day0
+      FROM spine
+    ), init AS (
+      SELECT xs, n, day0,
+             CAST(list_sum(xs[1:7]) // 7 AS BIGINT) AS lv0
+      FROM packed
+    ), step AS (
+      SELECT 7 AS it, xs, n, day0,
+             list_concat(list_concat(
+               [lv0, CAST(0 AS BIGINT)],
+               list_transform(range(0, 7), d ->
+                 CAST(xs[((d - day0 % 7 + 14) % 7) + 1] - lv0 AS BIGINT))),
+               [CAST(0 AS BIGINT)]
+             ) AS st
+      FROM init
+      UNION ALL
+      SELECT it + 1, xs, n, day0,
+             list_transform(
+               [(xs[it + 1] - st[((day0 + it) % 7) + 3] + st[1] + st[2])
+                // 2],
+               nl -> list_concat(list_concat(
+                 [nl,
+                  ((nl - st[1]) + 3 * st[2]) // 4],
+                 list_transform(range(0, 7), d ->
+                   CASE WHEN d = (day0 + it) % 7
+                        THEN (xs[it + 1] - nl + 3 * st[d + 3]) // 4
+                        ELSE st[d + 3] END)),
+                 [st[10] + abs(xs[it + 1] - st[1] - st[2]
+                               - st[((day0 + it) % 7) + 3])]
+               ))[1]
+      FROM step WHERE it < n
+    )
+    SELECT n AS n_days,
+           CAST(st[1] AS BIGINT) AS level_final,
+           CAST(st[2] AS BIGINT) AS trend_final,
+           CAST(least(st[3], st[4], st[5], st[6], st[7], st[8], st[9])
+                AS BIGINT) AS season_min,
+           CAST(greatest(st[3], st[4], st[5], st[6], st[7], st[8], st[9])
+                AS BIGINT) AS season_max,
+           CAST(st[10] AS BIGINT) AS sum_abs_err,
+           CAST(st[10] * 1000 // (n - 7) AS BIGINT) AS mae_ppk
+    FROM step WHERE it = n
+"""
+
+
+@_stage(
+    "holt_winters_seasonal",
+    oracle=_HW_ORACLE,
+    doc="Additive Holt-Winters (triple exponential, Winters Mgmt Sci "
+        "1960) one-step-ahead backtest of the daily order-count series, "
+        "period 7, alpha=1/2 beta=gamma=1/4: level/trend/7 seasonal "
+        "registers evolve in exact int64 (power-of-two smoothing ratios "
+        "as truncating divisions), seasonal index = absolute epoch day "
+        "mod 7 over a DENSE zero-filled day spine (gap-proof at every "
+        "SF), init = first-week mean + per-dow offsets. Completes the "
+        "forecasting ladder ses (level) -> holt (trend) -> HW "
+        "(seasonality); compare mae_ppk against holt_forecast_backtest "
+        "and seasonal_naive_backtest. The 10-register state rules out "
+        "BIGINT packing, so the oracle carries it as a LIST through a "
+        "single-row recursive CTE (the knapsack/BPE pattern) while "
+        "Spark folds an F.aggregate struct. Scale: one day rollup, one "
+        "bounded series fold — series-length work, not table-length",
+)
+def q_holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.select(
+        F.datediff(F.col("o_orderdate").cast("date"),
+                   F.lit("1970-01-01").cast("date")).cast("long")
+        .alias("day")
+    ).groupBy("day").agg(F.count("*").cast("long").alias("c"))
+    packed = daily.agg(
+        F.expr(
+            "transform(sequence(min(day), max(day)), d -> struct(d as day))"
+        ).alias("spine_days"),
+        F.expr(
+            "map_from_entries(collect_list(struct(day, c)))"
+        ).alias("cmap"),
+        F.count("*").alias("_n_present"),
+        F.min("day").cast("long").alias("day0"),
+    ).select(
+        F.expr(
+            "transform(spine_days, s ->"
+            " coalesce(element_at(cmap, s.day), 0L))"
+        ).alias("xs"),
+        F.expr("cast(size(spine_days) as long)").alias("n"),
+        "day0",
+    ).localCheckpoint(eager=True)
+    # lv0 as a real column so the init lambda below references a bound
+    # column, not a recomputed aggregate
+    init = packed.select(
+        "xs", "n", "day0",
+        F.expr(
+            "aggregate(slice(xs, 1, 7), 0L, (a, x) -> a + x) div 7"
+        ).alias("lv0"),
+    )
+    lvnew = ("((element_at(xs, cast(i as int)) - element_at(a.s,"
+             " cast((day0 + i - 1) % 7 as int) + 1) + a.lv + a.tr)"
+             " div 2)")
+    fold = init.select(
+        "n",
+        F.expr(
+            "aggregate("
+            " if(n >= 8, sequence(8L, n), array()),"
+            " named_struct("
+            "  'lv', lv0, 'tr', 0L,"
+            "  's', transform(sequence(0, 6), d ->"
+            "    element_at(xs, cast((d - day0 % 7 + 14) % 7 as int) + 1)"
+            "    - lv0),"
+            "  'sae', 0L),"
+            " (a, i) -> named_struct("
+            f" 'lv', {lvnew},"
+            f" 'tr', (({lvnew} - a.lv) + 3 * a.tr) div 4,"
+            "  's', transform(sequence(0, 6), d ->"
+            "    if(d = (day0 + i - 1) % 7,"
+            f"      (element_at(xs, cast(i as int)) - {lvnew}"
+            "        + 3 * element_at(a.s, cast(d as int) + 1)) div 4,"
+            "      element_at(a.s, cast(d as int) + 1))),"
+            "  'sae', a.sae + abs(element_at(xs, cast(i as int)) - a.lv - a.tr"
+            "    - element_at(a.s, cast((day0 + i - 1) % 7 as int) + 1))))"
+        ).alias("st"),
+    )
+    return fold.select(
+        F.col("n").alias("n_days"),
+        F.col("st.lv").cast("long").alias("level_final"),
+        F.col("st.tr").cast("long").alias("trend_final"),
+        F.expr("array_min(st.s)").cast("long").alias("season_min"),
+        F.expr("array_max(st.s)").cast("long").alias("season_max"),
+        F.col("st.sae").cast("long").alias("sum_abs_err"),
+        F.expr("st.sae * 1000 div (n_days - 7)").cast("long")
+        .alias("mae_ppk"),
+    )
+
+
 # Self-register unconditionally: CORRECTNESS_r08 confirmed the round-8
 # window green, so the round-9 wave is now live. register_all() is
 # idempotent, so the double-trigger via queries.py is harmless.

@@ -324,3 +324,389 @@ def test_token_bucket_matches_python_fold(spark, sf_dir):
         for r in out
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Round-9 LIVE-addition pins (same replay discipline as the staged wave)
+# ---------------------------------------------------------------------------
+
+def _tdiv(a, b):  # truncation toward zero == Spark div / DuckDB //
+    return -((-a) // b) if (a < 0) != (b < 0) else a // b
+
+
+def test_kruskal_wallis_matches_python(spark, sf_dir):
+    import math
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["source", "n_chars"])
+    vc = docs.groupby("n_chars").size().sort_index()
+    before = vc.cumsum() - vc
+    rank2 = {v: 2 * int(before[v]) + int(vc[v]) + 1 for v in vc.index}
+    g = docs.assign(r2=docs["n_chars"].map(rank2)).groupby("source")
+    n_j = g.size()
+    r2_j = g["r2"].sum()
+    s = int(sum(int(r2_j[k]) ** 2 // (4 * int(n_j[k])) for k in n_j.index))
+    t3t = int(sum(int(t) ** 3 - int(t) for t in vc))
+    n = len(docs)
+    h = 12.0 * s / (n * (n + 1.0)) - 3.0 * (n + 1)
+    row = _fn("kruskal_wallis_sources")(spark, sf_dir).collect()[0]
+    assert row["n_total"] == n
+    assert row["sum_rank_sq_over_n"] == s
+    assert row["tie_cube_sum"] == t3t
+    assert row["h_e6"] == math.floor(h * 1e6)
+    assert row["h_tie_e6"] == math.floor(
+        h * (float(n) * n * n - n) / (float(n) * n * n - n - t3t) * 1e6
+    )
+
+
+def test_brier_decomposition_matches_python(spark, sf_dir):
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_id", "event_type"])
+    ev["purch"] = (ev["event_type"] == "purchase").astype(int)
+    ev["even"] = (ev["event_id"] % 2 == 0)
+    agg = ev.groupby("user_id").apply(
+        lambda gg: pd.Series({
+            "n_even": int(gg["even"].sum()),
+            "p_even": int(gg.loc[gg["even"], "purch"].sum()),
+            "n_odd": int((~gg["even"]).sum()),
+            "p_odd": int(gg.loc[~gg["even"], "purch"].sum()),
+        }), include_groups=False)
+    agg = agg[(agg["n_even"] > 0) & (agg["n_odd"] > 0)]
+    agg["bin"] = (1000 * agg["p_even"] // agg["n_even"] // 100).clip(upper=9)
+    bins = agg.groupby("bin")[["n_odd", "p_odd"]].sum()
+    N, X = int(bins["n_odd"].sum()), int(bins["p_odd"].sum())
+    want = {}
+    for b, r in bins.iterrows():
+        nk, xk = int(r["n_odd"]), int(r["p_odd"])
+        f = int(b) * 100 + 50
+        want[int(b)] = (
+            f, nk, xk,
+            (f * nk - 1000 * xk) ** 2 // nk,
+            ((N * xk - X * nk) // 1000) ** 2 // nk,
+        )
+    out = _fn("brier_decomposition")(spark, sf_dir).collect()
+    got = {r["bin"]: (r["f_permille"], r["n_k"], r["x_k"],
+                      r["rel_term"], r["res_term"]) for r in out}
+    assert got == want
+
+
+def test_ljung_box_matches_python(spark, sf_dir):
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderdate"])
+    days = (o["o_orderdate"].dt.floor("D").astype("datetime64[s]")
+            .astype(np.int64) // 86400)
+    c = days.value_counts().sort_index()
+    n, s = len(c), int(c.sum())
+    d = {int(k): int(v) - s // n for k, v in c.items()}
+    g0 = sum(v * v for v in d.values())
+    out = {r["lag"]: (r["gamma_k"], r["acf_e6"], r["q_e6"])
+           for r in _fn("ljung_box_whiteness")(spark, sf_dir).collect()}
+    acc = 0
+    for k in range(1, 8):
+        gk = sum(d[day] * d[day + k] for day in d if day + k in d)
+        acf = _tdiv(gk * 1_000_000, g0)
+        acc += _tdiv(acf * acf, n - k)
+        assert out[k] == (gk, acf, _tdiv(n * (n + 2) * acc, 1_000_000)), k
+
+
+def test_decision_stump_matches_python(spark, sf_dir):
+    li = pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_discount", "l_tax", "l_returnflag"],
+    )
+    qty = li["l_quantity"].to_numpy()
+    disc = np.round(li["l_discount"].to_numpy() * 100).astype(np.int64)
+    tax = np.round(li["l_tax"].to_numpy() * 100).astype(np.int64)
+    y = (li["l_returnflag"] == "R").to_numpy().astype(np.int64)
+    N, P = len(li), int(y.sum())
+    feats = {"quantity": qty, "discount_c": disc, "tax_c": tax}
+    cands = [("quantity", t) for t in (10, 20, 30, 40)] + \
+            [("discount_c", t) for t in (2, 4, 6, 8)] + \
+            [("tax_c", t) for t in (2, 4, 6)]
+    want = {}
+    for f, t in cands:
+        m = feats[f] <= t
+        n_l, p_l = int(m.sum()), int(y[m].sum())
+        n_r, p_r = N - n_l, P - p_l
+        gl = 0 if n_l == 0 else 2 * p_l * (n_l - p_l) * 1_000_000 // n_l
+        gr = 0 if n_r == 0 else 2 * p_r * (n_r - p_r) * 1_000_000 // n_r
+        want[(f, t)] = (n_l, p_l, (gl + gr) // N)
+    out = _fn("decision_stump_split")(spark, sf_dir).collect()
+    got = {(r["feature"], r["thr"]): (r["n_l"], r["p_l"], r["gini_e6"])
+           for r in out}
+    assert got == want
+    # output is sorted by impurity: the first row is the argmin stump
+    assert out[0]["gini_e6"] == min(v[2] for v in want.values())
+
+
+def test_theil_decomposition_matches_python(spark, sf_dir):
+    import math
+
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_custkey", "o_totalprice"])
+    cst = pd.read_parquet(f"{sf_dir}/customer.parquet",
+                          columns=["c_custkey", "c_nationkey"])
+    nat = pd.read_parquet(f"{sf_dir}/nation.parquet",
+                          columns=["n_nationkey", "n_name"])
+    o["cents"] = np.round(o["o_totalprice"] * 100).astype(np.int64)
+    m = o.merge(cst, left_on="o_custkey", right_on="c_custkey")
+    per = m.groupby(["c_custkey", "c_nationkey"])["cents"].sum() // 100
+    per = per[per > 0]
+
+    def L(z):
+        return math.floor(math.log(z) * 1e6)
+
+    df = per.reset_index(name="x")
+    g = df.groupby("c_nationkey")
+    n_g, s_g = g.size(), g["x"].sum()
+    w_g = g["x"].apply(lambda xs: int(sum(int(x) * L(int(x)) for x in xs)))
+    N, S = int(n_g.sum()), int(s_g.sum())
+    name = nat.set_index("n_nationkey")["n_name"]
+    want = {}
+    for k in n_g.index:
+        ng, sg, wg = int(n_g[k]), int(s_g[k]), int(w_g[k])
+        want[name[k]] = (
+            ng, sg,
+            wg // sg - L(sg) + L(ng),
+            _tdiv(sg * (L(sg) - L(S) - L(ng) + L(N)), S),
+        )
+    out = _fn("theil_inequality_decomposition")(spark, sf_dir).collect()
+    got = {r["n_name"]: (r["n_g"], r["s_dollars"], r["theil_within_e6"],
+                         r["between_term_e6"]) for r in out}
+    assert got == want
+
+
+def test_littles_law_matches_python(spark, sf_dir):
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id"])
+    ev["ts_us"] = ev["ts"].astype("datetime64[us]").astype(np.int64)
+    DAY = 86_400_000_000
+    spans = []
+    for _, g in ev.sort_values(["ts_us", "event_id"]).groupby("user_id"):
+        st = prev = None
+        for t in g["ts_us"]:
+            if prev is None or t - prev > 1_800_000_000:
+                if st is not None:
+                    spans.append((st, prev))
+                st = t
+            prev = t
+        spans.append((st, prev))
+    started, overlap = {}, {}
+    for st, en in spans:
+        day = st // DAY
+        ns, dur = started.get(day, (0, 0))
+        started[day] = (ns + 1, dur + (en - st))
+        for day2 in range(st // DAY, en // DAY + 1):
+            ov = min(en, (day2 + 1) * DAY) - max(st, day2 * DAY)
+            overlap[day2] = overlap.get(day2, 0) + ov
+    out = _fn("littles_law_audit")(spark, sf_dir).collect()
+    got = {r["day"]: (r["n_started"], r["sum_duration_us"],
+                      r["sum_overlap_us"], r["little_ratio_ppm"])
+           for r in out}
+    want = {}
+    for day, (ns, dur) in started.items():
+        ov = overlap.get(day, 0)
+        want[day] = (ns, dur, ov, None if dur == 0 else ov * 1_000_000 // dur)
+    assert got == want
+
+
+def test_dft_power_matches_numpy(spark, sf_dir):
+    import math
+
+    from gan_deeplearning4j_spark.queries_r9 import _DFT_TABLES
+
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderdate", "o_totalprice"])
+    day = (o["o_orderdate"].dt.floor("D").astype("datetime64[s]")
+           .astype(np.int64) // 86400)
+    cents = np.round(o["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    c = pd.Series(cents).groupby(day).sum()
+    n, s = len(c), int(c.sum())
+    d = c - s // n
+    out = {r["period"]: (r["x_milli"], r["y_milli"], r["power_est"])
+           for r in _fn("dft_power_topfreq")(spark, sf_dir).collect()}
+    for p, (ct, st) in _DFT_TABLES.items():
+        x = int(sum(int(v) * ct[int(dd) % p] for dd, v in d.items()))
+        y = int(sum(int(v) * st[int(dd) % p] for dd, v in d.items()))
+        pw = math.floor((float(x) * x + float(y) * y) / 1e18)
+        assert out[p] == (x, y, pw), p
+
+
+def test_lz78_matches_python_parse(spark, sf_dir):
+    import re
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["source", "text"])
+    agg = {}
+    for src, text in zip(docs["source"], docs["text"]):
+        toks = [t for t in text.split(" ") if re.fullmatch("[a-z]+", t)][:120]
+        if not toks:
+            continue
+        d, cur = [], ""
+        for t in toks:
+            cand = t if cur == "" else cur + " " + t
+            if cand in d:
+                cur = cand
+            else:
+                d.append(cand)
+                cur = ""
+        np_, nt = len(d) + (1 if cur else 0), len(toks)
+        nd, st, sp = agg.get(src, (0, 0, 0))
+        agg[src] = (nd + 1, st + nt, sp + np_)
+    out = _fn("lz78_phrase_complexity")(spark, sf_dir).collect()
+    got = {r["source"]: (r["n_docs"], r["sum_tokens"], r["sum_phrases"],
+                         r["phrases_per_100tok"]) for r in out}
+    want = {s: (nd, st, sp, sp * 100 // st)
+            for s, (nd, st, sp) in agg.items()}
+    assert got == want
+
+
+def test_ppr_matches_python_iteration(spark, sf_dir):
+    from collections import Counter, defaultdict
+    from itertools import combinations
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+    per_order = li.drop_duplicates().groupby("l_orderkey")["l_partkey"].apply(
+        sorted
+    )
+    pc = Counter()
+    for parts in per_order:
+        for a, b in combinations(parts, 2):
+            pc[(a, b)] += 1
+    und = defaultdict(list)
+    for (a, b), w in pc.items():
+        if w >= 2:
+            und[a].append(b)
+            und[b].append(a)
+    deg = {u: len(vs) for u, vs in und.items()}
+    seed = min(sorted(deg), key=lambda u: (-deg[u], u))
+    rank = {u: 1_000_000 if u == seed else 0 for u in und}
+    for _ in range(3):
+        inflow = defaultdict(int)
+        for u, vs in und.items():
+            c = rank[u] // deg[u]
+            for v in vs:
+                inflow[v] += c
+        rank = {u: (150_000 if u == seed else 0) + 85 * inflow[u] // 100
+                for u in und}
+    want = sorted(rank.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    out = [(r["node"], r["rank"])
+           for r in _fn("ppr_copurchase_topk")(spark, sf_dir).collect()]
+    assert out == [(int(n), int(r)) for n, r in want]
+
+
+def test_f2_ams_matches_hashlib(spark, sf_dir):
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    f = ev.groupby("user_id").size()
+    z = []
+    for j in range(16):
+        zj = 0
+        for uid, c in f.items():
+            h = int(hashlib.md5(
+                f"ams|{j}|{uid}".encode()).hexdigest()[:15], 16)
+            zj += int(c) * (2 * (h % 2) - 1)
+        z.append(zj)
+    means = [sum(v * v for v in z[g * 4:(g + 1) * 4]) // 4 for g in range(4)]
+    est = (sum(means) - min(means) - max(means)) // 2
+    exact = int(sum(int(c) ** 2 for c in f))
+    row = _fn("f2_moment_ams")(spark, sf_dir).collect()[0]
+    assert (row["f2_exact"], row["f2_est"]) == (exact, est)
+    assert row["rel_err_ppm"] == abs(est - exact) * 1_000_000 // exact
+    # the sketch should actually estimate (median-of-means concentration)
+    assert row["rel_err_ppm"] < 600_000
+
+
+def test_consistent_hash_matches_hashlib(spark, sf_dir):
+    cst = pd.read_parquet(f"{sf_dir}/customer.parquet",
+                          columns=["c_custkey"])
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    toks = {i: h60(f"shard|{i}") for i in range(9)}
+    moved_mod = moved_ring = 0
+    n = len(cst)
+    for k in cst["c_custkey"]:
+        k = int(k)
+        pos = h60(f"key|{k}")
+
+        def assign(m):
+            return min(
+                range(m),
+                key=lambda i: toks[i] if toks[i] > pos
+                else toks[i] + (1 << 60),
+            )
+
+        moved_mod += (k % 8) != (k % 9)
+        moved_ring += assign(8) != assign(9)
+    row = _fn("consistent_hash_migration")(spark, sf_dir).collect()[0]
+    assert (row["n_keys"], row["moved_mod"], row["moved_ring"]) == (
+        n, moved_mod, moved_ring)
+    # the whole point: the ring moves ~1/9 of keys, modulo ~8/9
+    assert row["moved_ring_ppm"] < 300_000 < row["moved_mod_ppm"]
+
+
+def test_dp_contribution_bounds_matches_python(spark, sf_dir):
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    c = ev.groupby("user_id").size().astype(int)
+    n = len(c)
+    vc = c.value_counts().sort_index()
+    cum = vc.cumsum()
+    p95 = int(cum[cum * 100 >= 95 * n].index[0])
+    clipped = c[c > p95]
+    row = _fn("dp_contribution_bounds")(spark, sf_dir).collect()[0]
+    assert (row["n_users"], row["max_contribution"],
+            row["p95_contribution"], row["n_users_clipped"],
+            row["sum_excess_clipped"], row["laplace_scale_e6"]) == (
+        n, int(c.max()), p95, len(clipped),
+        int((clipped - p95).sum()), p95 * 1_000_000)
+
+
+def test_wav_goertzel_matches_formula_replay(spark, sf_dir):
+    import math
+
+    from gan_deeplearning4j_spark.queries_r9 import _GOERTZEL_BINS
+
+    out = {(r["clip"], r["bin_k"]): (r["x_milli"], r["y_milli"],
+                                     r["power_est"])
+           for r in _fn("wav_goertzel_band_energy")(spark, sf_dir).collect()}
+    assert len(out) == 64
+    for clip in range(32):
+        v = np.array([
+            int(hashlib.md5(f"wav|{clip}|{i}".encode()).hexdigest()[:15],
+                16) % 65536 - 32768
+            for i in range(160)
+        ], dtype=np.int64)
+        for k, (ct, st) in _GOERTZEL_BINS.items():
+            x = int((v * np.asarray(ct, dtype=np.int64)).sum())
+            y = int((v * np.asarray(st, dtype=np.int64)).sum())
+            pw = math.floor((float(x) * x + float(y) * y) / 1e12)
+            assert out[(clip, k)] == (x, y, pw), (clip, k)
+
+
+def test_holt_winters_matches_python_fold(spark, sf_dir):
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderdate"])
+    day = (o["o_orderdate"].dt.floor("D").astype("datetime64[s]")
+           .astype(np.int64) // 86400)
+    counts = day.value_counts().sort_index()
+    day0, day_last = int(counts.index.min()), int(counts.index.max())
+    xs = [int(counts.get(d, 0)) for d in range(day0, day_last + 1)]
+    n = len(xs)
+    lv = sum(xs[:7]) // 7
+    tr, sae = 0, 0
+    s = [0] * 7
+    for j in range(7):
+        s[(day0 + j) % 7] = xs[j] - lv
+    for i in range(7, n):
+        dw = (day0 + i) % 7
+        x = xs[i]
+        sae += abs(x - lv - tr - s[dw])
+        nl = _tdiv(x - s[dw] + lv + tr, 2)
+        tr = _tdiv((nl - lv) + 3 * tr, 4)
+        s[dw] = _tdiv(x - nl + 3 * s[dw], 4)
+        lv = nl
+    row = _fn("holt_winters_seasonal")(spark, sf_dir).collect()[0]
+    assert (row["n_days"], row["level_final"], row["trend_final"],
+            row["season_min"], row["season_max"], row["sum_abs_err"],
+            row["mae_ppk"]) == (
+        n, lv, tr, min(s), max(s), sae, sae * 1000 // (n - 7))
