@@ -2710,3 +2710,12 @@ from . import queries_r8  # noqa: E402,F401  (side effect: registration)
 # window green (49 hash + 1 rows-only-by-design). queries_r9 SELF-registers
 # at its module bottom (same both-import-orders rationale as above).
 from . import queries_r9  # noqa: E402,F401  (side effect: registration)
+
+# Round-10 staging: same pattern — new queries written during round 9 stay
+# behind SPARK_GRAFT_R10 until CORRECTNESS_r09 lands, so the round-9 driver
+# window stays exactly the current never-green set. queries_r10 gates its
+# own self-registration on the env var.
+import os as _os  # noqa: E402
+
+if _os.environ.get("SPARK_GRAFT_R10"):
+    from . import queries_r10  # noqa: F401  (side effect: registration)

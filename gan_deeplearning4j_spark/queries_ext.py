@@ -647,6 +647,10 @@ def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
     )
     SELECT vec_id,
+           -- list_reduce is SAFE here (and only here + single-row folds):
+           -- every list is the fixed embedding dim, so all rows iterate
+           -- in lockstep and the v1.0.0 varying-length batch mis-fold
+           -- (round-9 probe, SCALE.md) cannot arise
            ROUND(sqrt(list_reduce(list_transform(v, x -> x * x),
                                   (a, b) -> a + b)), 6) AS l2_norm,
            ROUND(list_reduce(v, (a, b) -> a + b) / len(v), 6) AS mean_val,
@@ -2123,17 +2127,27 @@ def q_null_aware_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ewma_user_value",
     oracle="""
-    WITH seq AS (
-      SELECT user_id,
-             list(CAST(round(value * 100) AS BIGINT)
-                  ORDER BY epoch_us(ts), event_id) AS cs
-      FROM events GROUP BY user_id
+    WITH RECURSIVE seq AS (
+      -- per-user recursive-CTE fold, NOT list_reduce: DuckDB v1.0.0's
+      -- vectorized list_reduce mis-folds rows in multi-row batches with
+      -- varying list lengths (round-9 probe, SCALE.md)
+      SELECT user_id, CAST(round(value * 100) AS BIGINT) AS c,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS rn
+      FROM events
+    ), cnt AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM seq
+      GROUP BY user_id
+    ), walk AS (
+      SELECT s.user_id, 1 AS it, s.c AS acc
+      FROM seq s WHERE s.rn = 1
+      UNION ALL
+      SELECT w.user_id, w.it + 1, (9 * w.acc + s.c) // 10
+      FROM walk w JOIN seq s ON s.user_id = w.user_id
+                            AND s.rn = w.it + 1
     )
-    SELECT user_id,
-           CAST(len(cs) AS BIGINT) AS n_events,
-           CAST(list_reduce(cs, (acc, x) -> (9 * acc + x) // 10) AS BIGINT)
-             AS ewma_c
-    FROM seq
+    SELECT w.user_id, c.n AS n_events, CAST(w.acc AS BIGINT) AS ewma_c
+    FROM walk w JOIN cnt c ON c.user_id = w.user_id AND w.it = c.n
     """,
     doc="Exponentially weighted moving average per user — a sequential "
         "recurrence (ewma_t = (9*ewma_{t-1} + x_t) div 10, alpha = 1/10) "

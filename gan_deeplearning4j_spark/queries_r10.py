@@ -1,0 +1,748 @@
+"""Round-10 staged queries — written during round 9, registered in round 10.
+
+Same staging pattern as queries_r7/r8/r9 (see their module docstrings):
+the round-9 driver window is pinned to the current never-green prefix
+(19 flipped + 14 live round-9 entries), so anything new written this
+round stays behind ``SPARK_GRAFT_R10=1`` until CORRECTNESS_r09 lands and
+round 10 makes registration unconditional.
+
+Local verification (identical gates to registered queries):
+
+    SPARK_GRAFT_R10=1 python scripts/driver_replica.py <names...>
+    SPARK_GRAFT_R10=1 python scripts/check_parity.py <names...>
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .queries import _t
+
+# name -> (fn, oracle, headline, doc); materialized into the real registry
+# by register_all() (round 10) or under SPARK_GRAFT_R10=1 (round-9 local
+# verification).
+STAGED: dict[str, tuple] = {}
+
+
+def _stage(name: str, oracle: str | None = None, headline: bool = False,
+           doc: str = ""):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        STAGED[name] = (fn, oracle, headline, doc)
+        return fn
+    return deco
+
+
+def register_all() -> None:
+    """Register the staged queries (idempotent; see queries_r7)."""
+    from .queries import REGISTRY, register
+
+    for name, (fn, oracle, headline, doc) in STAGED.items():
+        if name not in REGISTRY:
+            register(name, oracle=oracle, headline=headline, doc=doc)(fn)
+
+
+# ---------------------------------------------------------------------------
+# Two-hop reach census over the co-purchase graph
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "graph_2hop_reach",
+    oracle="""
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS pa, c.l_partkey AS pb
+      FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey
+                        AND c.l_partkey > a.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    und AS (
+      SELECT pa AS s, pb AS d FROM e UNION ALL SELECT pb, pa FROM e
+    ),
+    hop2 AS (
+      SELECT u1.s AS node, u2.d AS r FROM und u1 JOIN und u2
+        ON u2.s = u1.d AND u2.d <> u1.s
+      UNION
+      SELECT s AS node, d AS r FROM und
+    ),
+    reach AS (
+      SELECT node, CAST(COUNT(DISTINCT r) AS BIGINT) AS reach2
+      FROM hop2 GROUP BY node
+    ),
+    deg AS (SELECT s AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM und
+            GROUP BY s)
+    SELECT r.node, d.deg, r.reach2,
+           CAST((r.reach2 - d.deg) AS BIGINT) AS second_ring
+    FROM reach r JOIN deg d ON d.node = r.node
+    ORDER BY r.reach2 DESC, r.node LIMIT 20
+    """,
+    doc="Two-hop reach census (friend-of-friend audience size) over the "
+        ">=2-common-orders co-purchase graph: per node, the exact count "
+        "of distinct nodes within <= 2 hops (self excluded) plus the "
+        "second-ring size (reach minus direct degree) — the expansion "
+        "measurement behind influence-seeding and cache-warmup "
+        "decisions, and the exact quantity bfs_hops_from_hub only "
+        "samples from one source. Top-20 by reach. Scale: one two-hop "
+        "self-join keyed on the shared middle node (the adamic-adar "
+        "shuffle; same hub-degree d^2 caveat — cap top-degree hubs "
+        "upstream on power-law graphs), one distinct-count rollup, "
+        "TakeOrdered top-k",
+)
+def q_graph_2hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.graph import co_purchase_pairs
+
+    e = co_purchase_pairs(_t(spark, sf_dir, "lineitem"))
+    und = e.select(F.col("p1").alias("s"), F.col("p2").alias("d")).union(
+        e.select(F.col("p2").alias("s"), F.col("p1").alias("d"))
+    ).localCheckpoint(eager=True)  # two consumers: hop2 join + degree
+    u1 = und.select(F.col("s").alias("node"), F.col("d").alias("mid"))
+    u2 = und.select(F.col("s").alias("mid"), F.col("d").alias("r"))
+    hop2 = (
+        u1.join(u2, "mid")
+        .filter(F.col("r") != F.col("node"))
+        .select("node", "r")
+        .union(und.select(F.col("s").alias("node"), F.col("d").alias("r")))
+        .distinct()
+    )
+    reach = hop2.groupBy("node").agg(
+        F.count("*").cast("long").alias("reach2")
+    )
+    deg = und.groupBy(F.col("s").alias("node")).agg(
+        F.count("*").cast("long").alias("deg")
+    )
+    return (
+        reach.join(deg, "node")
+        .select("node", "deg", "reach2",
+                (F.col("reach2") - F.col("deg")).cast("long")
+                .alias("second_ring"))
+        .orderBy(F.desc("reach2"), "node").limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exponentially time-decayed heavy hitters (half-life counting)
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "decayed_heavy_hitters",
+    oracle="""
+    WITH t0 AS (
+      SELECT MAX(epoch_us(ts)) // 86400000000 AS ref_day FROM events
+    ), contrib AS (
+      SELECT event_type,
+             (SELECT ref_day FROM t0) - epoch_us(ts) // 86400000000
+               AS age_days
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS raw_count,
+           CAST(SUM(CASE WHEN age_days < 20
+                         THEN 1000000 // (CAST(1 AS BIGINT) << age_days)
+                         ELSE 0 END) AS BIGINT) AS decayed_e6
+    FROM contrib GROUP BY event_type
+    ORDER BY decayed_e6 DESC, event_type
+    """,
+    doc="Exponentially time-decayed event-type counts (half-life = 1 "
+        "day, anchored at the max event day): each event contributes "
+        "floor(1e6 / 2^age_days), zero past 20 days — the recency-"
+        "weighted ranking a trending/LRU-style counter keeps, which raw "
+        "heavy_hitters_exact (all-time) and events_sliding (hard "
+        "cutoff) cannot express. Power-of-two decay keeps every "
+        "contribution an exact integer (no float exp), so the sum is "
+        "order-free int64. Scale: one map-side-combinable aggregate "
+        "over a scan-side age expression + a 1-row anchor probe",
+)
+def q_decayed_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.expr("ts_nanos div 1000").alias("ts_us")
+    )
+    t0 = ev.agg(
+        F.expr("max(ts_us) div 86400000000").alias("ref_day")
+    )
+    contrib = ev.crossJoin(F.broadcast(t0)).select(
+        "event_type",
+        F.expr("ref_day - ts_us div 86400000000").alias("age_days"),
+    )
+    return contrib.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("raw_count"),
+        F.sum(
+            F.expr(
+                "case when age_days < 20"
+                " then 1000000 div shiftleft(1L, cast(age_days as int))"
+                " else 0 end"
+            )
+        ).cast("long").alias("decayed_e6"),
+    ).orderBy(F.desc("decayed_e6"), "event_type")
+
+
+# ---------------------------------------------------------------------------
+# Zone-map (min/max statistics) pruning audit
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "zonemap_prune_audit",
+    oracle="""
+    WITH files AS (
+      SELECT date_trunc('month', l_shipdate) AS file_id,
+             CAST(MIN(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS zmin,
+             CAST(MAX(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS zmax,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM lineitem GROUP BY file_id
+    ), preds AS (
+      SELECT * FROM (VALUES
+        ('narrow_low',  CAST(100000 AS BIGINT), CAST(200000 AS BIGINT)),
+        ('mid_band',    CAST(2000000 AS BIGINT), CAST(3000000 AS BIGINT)),
+        ('high_tail',   CAST(9000000 AS BIGINT), CAST(99999999 AS BIGINT))
+      ) t(pred, lo, hi)
+    )
+    SELECT pred,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(CASE WHEN zmax < lo OR zmin > hi THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pruned,
+           CAST(SUM(n_rows) AS BIGINT) AS rows_total,
+           CAST(SUM(CASE WHEN zmax < lo OR zmin > hi THEN 0 ELSE n_rows
+                    END) AS BIGINT) AS rows_scanned,
+           CAST(SUM(CASE WHEN zmax < lo OR zmin > hi THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS prune_ppm
+    FROM files, preds GROUP BY pred ORDER BY pred
+    """,
+    doc="Zone-map pruning audit: ship-month 'files' carry min/max "
+        "statistics on price cents (exactly what parquet row groups and "
+        "Delta/Iceberg file stats store); three literal range "
+        "predicates are tested against every zone to count prunable "
+        "files and the rows a stats-aware scan would skip vs read — the "
+        "layout-effectiveness worksheet behind sources/layouts.py's "
+        "Z-order/partition choices, quantified instead of asserted "
+        "(price is uncorrelated with ship month, so prune_ppm ~ 0 for "
+        "mid ranges and high for tails — the motivating case FOR "
+        "multi-dimensional clustering). Scale: one month rollup + a "
+        "3-row literal cross join",
+)
+def q_zonemap_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.date_trunc("month", "l_shipdate").alias("file_id"),
+        F.expr("cast(round(l_extendedprice * 100) as long)").alias("pc"),
+    )
+    files = li.groupBy("file_id").agg(
+        F.min("pc").cast("long").alias("zmin"),
+        F.max("pc").cast("long").alias("zmax"),
+        F.count("*").cast("long").alias("n_rows"),
+    )
+    preds = spark.createDataFrame(
+        [("narrow_low", 100000, 200000),
+         ("mid_band", 2000000, 3000000),
+         ("high_tail", 9000000, 99999999)],
+        "pred string, lo long, hi long",
+    )
+    pruned = "zmax < lo or zmin > hi"
+    return files.crossJoin(F.broadcast(preds)).groupBy("pred").agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.count_if(F.expr(pruned)).cast("long").alias("n_pruned"),
+        F.sum("n_rows").cast("long").alias("rows_total"),
+        F.sum(F.expr(f"case when {pruned} then 0 else n_rows end"))
+        .cast("long").alias("rows_scanned"),
+    ).select(
+        "pred", "n_files", "n_pruned", "rows_total", "rows_scanned",
+        F.expr("n_pruned * 1000000 div n_files").cast("long")
+        .alias("prune_ppm"),
+    ).orderBy("pred")
+
+
+# ---------------------------------------------------------------------------
+# Qini uplift curve (incremental-response ranking evaluation)
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "qini_uplift_curve",
+    oracle="""
+    WITH users AS (
+      SELECT user_id, user_id % 2 AS treated,
+             CAST(COUNT(*) AS BIGINT) AS activity,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS purchases
+      FROM events GROUP BY user_id
+    ), scored AS (
+      SELECT treated, purchases,
+             (ROW_NUMBER() OVER (ORDER BY activity DESC, user_id) - 1)
+               * 10 // (SELECT COUNT(*) FROM users) + 1 AS decile
+      FROM users
+    ), per AS (
+      SELECT decile,
+             CAST(SUM(CASE WHEN treated = 1 THEN purchases ELSE 0 END)
+                  AS BIGINT) AS rt,
+             CAST(SUM(CASE WHEN treated = 0 THEN purchases ELSE 0 END)
+                  AS BIGINT) AS rc,
+             CAST(SUM(treated) AS BIGINT) AS nt,
+             CAST(SUM(1 - treated) AS BIGINT) AS nc
+      FROM scored GROUP BY decile
+    ), cum AS (
+      SELECT decile,
+             SUM(rt) OVER w AS crt, SUM(rc) OVER w AS crc,
+             SUM(nt) OVER w AS cnt_t, SUM(nc) OVER w AS cnt_c
+      FROM per WINDOW w AS (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT decile, CAST(crt AS BIGINT) AS cum_treated_resp,
+           CAST(crc AS BIGINT) AS cum_control_resp,
+           CAST(cnt_t AS BIGINT) AS cum_treated_n,
+           CAST(cnt_c AS BIGINT) AS cum_control_n,
+           CAST(crt * 1000000 - crc * cnt_t * 1000000 // cnt_c AS BIGINT)
+             AS qini_e6
+    FROM cum ORDER BY decile
+    """,
+    doc="Qini uplift curve (Radcliffe 2007): users split into a "
+        "synthetic A/B by user_id parity, ranked by activity into "
+        "NTILE deciles, then the cumulative incremental response "
+        "Q(k) = R_t(k) - R_c(k)*N_t(k)/N_c(k) per decile — the "
+        "evaluation curve for incremental-targeting models that plain "
+        "conversion metrics (funnel_conversion, decile_lift_table — "
+        "which ranks by outcome, not increment) cannot express. Exact: "
+        "integer counts, the control-scaling ratio as a truncating e6 "
+        "division. Scale: one user rollup + a 10-bucket NTILE (a "
+        "single range-partitioned sort) + a bounded 10-row window",
+)
+def q_qini_uplift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.windows import bounded_window
+
+    ev = _t(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("activity"),
+        F.count_if(F.col("event_type") == "purchase").cast("long")
+        .alias("purchases"),
+    ).select(
+        "user_id", (F.col("user_id") % 2).alias("treated"),
+        "activity", "purchases",
+    )
+    # explicit (rn-1)*10 div n deciles, not NTILE: NTILE's remainder
+    # distribution is engine-defined; this formula is arithmetic. Ranking
+    # runs over |users| pre-aggregated rows (decile_lift_table precedent)
+    scored = users.select(
+        "treated", "purchases",
+        F.row_number().over(
+            bounded_window(F.desc("activity"), "user_id")
+        ).alias("rn"),
+        F.count("*").over(bounded_window()).alias("n_users"),
+    ).select(
+        "treated", "purchases",
+        F.expr("(rn - 1) * 10 div n_users + 1").alias("decile"),
+    )
+    per = scored.groupBy("decile").agg(
+        F.sum(F.expr("case when treated = 1 then purchases else 0 end"))
+        .cast("long").alias("rt"),
+        F.sum(F.expr("case when treated = 0 then purchases else 0 end"))
+        .cast("long").alias("rc"),
+        F.sum("treated").cast("long").alias("nt"),
+        F.sum(F.expr("1 - treated")).cast("long").alias("nc"),
+    )
+    wc = bounded_window("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per.select(
+        "decile",
+        F.sum("rt").over(wc).alias("crt"),
+        F.sum("rc").over(wc).alias("crc"),
+        F.sum("nt").over(wc).alias("cnt_t"),
+        F.sum("nc").over(wc).alias("cnt_c"),
+    )
+    return cum.select(
+        "decile",
+        F.col("crt").cast("long").alias("cum_treated_resp"),
+        F.col("crc").cast("long").alias("cum_control_resp"),
+        F.col("cnt_t").cast("long").alias("cum_treated_n"),
+        F.col("cnt_c").cast("long").alias("cum_control_n"),
+        F.expr("crt * 1000000 - crc * cnt_t * 1000000 div cnt_c")
+        .cast("long").alias("qini_e6"),
+    ).orderBy("decile")
+
+
+# ---------------------------------------------------------------------------
+# Local-DP randomized response with exact debiasing
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "randomized_response_debias",
+    oracle="""
+    WITH users AS (
+      SELECT user_id,
+             CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1
+                           ELSE 0 END) > 0 THEN 1 ELSE 0 END AS truth
+      FROM events GROUP BY user_id
+    ), reported AS (
+      SELECT truth,
+             CASE WHEN CAST('0x' || substr(md5('rr1|'
+                    || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) % 4 < 3
+                  THEN truth
+                  ELSE CAST('0x' || substr(md5('rr2|'
+                    || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) % 2
+             END AS report
+      FROM users
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(truth) AS BIGINT) AS true_count,
+           CAST(SUM(report) AS BIGINT) AS reported_count,
+           CAST((8 * SUM(report) - COUNT(*)) // 6 AS BIGINT) AS est_count,
+           CAST(abs((8 * SUM(report) - COUNT(*)) // 6 - SUM(truth))
+                * 1000000 // COUNT(*) AS BIGINT) AS abs_err_ppm
+    FROM reported
+    """,
+    doc="Local-DP randomized response (Warner JASA 1965 / RAPPOR's "
+        "permanent-response core) on the has-purchased bit: each user "
+        "reports truth w.p. 3/4, else a fair md5 coin (both coins "
+        "md5-derived so the oracle replays the whole mechanism "
+        "bit-identically — deterministic simulation of the randomizer, "
+        "the same discipline as the sketch family), then the unbiased "
+        "inverse estimator t_hat = (8*reported - n)/6 in exact integer "
+        "division, compared against ground truth. The collector-side "
+        "view dp_contribution_bounds (central DP) does not cover: "
+        "privacy applied at the CLIENT, utility measured end-to-end. "
+        "Scale: one user rollup + one 1-row aggregate; coins are "
+        "scan-side expressions",
+)
+def q_randomized_response_debias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.when(
+            F.count_if(F.col("event_type") == "purchase") > 0, 1
+        ).otherwise(0).alias("truth")
+    )
+    h60 = ("cast(conv(substr(md5(cast({0} as binary)), 1, 15), 16, 10)"
+           " as long)")
+    c1 = h60.format("concat('rr1|', cast(user_id as string))")
+    c2 = h60.format("concat('rr2|', cast(user_id as string))")
+    reported = users.select(
+        "truth",
+        F.expr(
+            f"case when {c1} % 4 < 3 then truth else {c2} % 2 end"
+        ).alias("report"),
+    )
+    return reported.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("truth").cast("long").alias("true_count"),
+        F.sum("report").cast("long").alias("reported_count"),
+    ).select(
+        "n_users", "true_count", "reported_count",
+        F.expr("(8 * reported_count - n_users) div 6").cast("long")
+        .alias("est_count"),
+        F.expr(
+            "abs((8 * reported_count - n_users) div 6 - true_count)"
+            " * 1000000 div n_users"
+        ).cast("long").alias("abs_err_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Empirical-Bayes beta-binomial shrinkage of supplier return rates
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "empirical_bayes_shrinkage",
+    oracle="""
+    WITH per AS (
+      SELECT l_suppkey,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY l_suppkey
+    ), tot AS (
+      SELECT CAST(SUM(x) AS BIGINT) AS xx, CAST(SUM(n) AS BIGINT) AS nn,
+             CAST(COUNT(*) AS BIGINT) AS g
+      FROM per
+    ), v AS (
+      SELECT CAST(SUM(((x * t.nn - t.xx * n) // 1000)
+                      * ((x * t.nn - t.xx * n) // 1000) // n) AS BIGINT)
+               AS vt
+      FROM per, tot t
+    ), prior AS (
+      SELECT
+        CAST(floor(greatest(
+          (CAST(xx AS DOUBLE) / nn) * (1.0 - CAST(xx AS DOUBLE) / nn)
+            * (CAST(nn AS DOUBLE) * nn * nn)
+            / (CAST(vt AS DOUBLE) * 1e6) - 1.0, 1.0)
+          * (CAST(xx AS DOUBLE) / nn) * 1000000) AS BIGINT) AS alpha_e6,
+        CAST(floor(greatest(
+          (CAST(xx AS DOUBLE) / nn) * (1.0 - CAST(xx AS DOUBLE) / nn)
+            * (CAST(nn AS DOUBLE) * nn * nn)
+            / (CAST(vt AS DOUBLE) * 1e6) - 1.0, 1.0)
+          * (1.0 - CAST(xx AS DOUBLE) / nn) * 1000000) AS BIGINT)
+          AS beta_e6
+      FROM tot, v
+    )
+    SELECT l_suppkey, x, n,
+           CAST(x * 1000000 // n AS BIGINT) AS raw_ppm,
+           CAST((x * 1000000 + alpha_e6) * 1000000
+                // (n * 1000000 + alpha_e6 + beta_e6) AS BIGINT)
+             AS shrunk_ppm,
+           CAST(abs(x * 1000000 // n
+                    - (x * 1000000 + alpha_e6) * 1000000
+                      // (n * 1000000 + alpha_e6 + beta_e6)) AS BIGINT)
+             AS shrink_delta_ppm
+    FROM per, prior
+    ORDER BY shrink_delta_ppm DESC, l_suppkey LIMIT 15
+    """,
+    doc="Empirical-Bayes beta-binomial shrinkage (Robbins 1956 / the "
+        "baseball-batting-average estimator) of per-supplier return "
+        "rates: prior strength K from method-of-moments on exact "
+        "integer rate moments (weighted rate variance as "
+        "per-term-truncated int64, permille-scaled to stay in "
+        "headroom), alpha/beta floored to e6 ONCE, then every "
+        "supplier's shrunk rate (x+alpha)/(n+alpha+beta) is pure "
+        "integer arithmetic — the ranking fix for small-sample "
+        "extremes that raw-rate ranking (wilson_ci gives intervals, "
+        "not point shrinkage) gets wrong. Top-15 by shrink magnitude "
+        "shows exactly whom the prior pulls. Scale: one supplier "
+        "rollup + two 1-row moment aggregates broadcast back",
+)
+def q_empirical_bayes_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_suppkey").agg(
+        F.count_if(F.col("l_returnflag") == "R").cast("long").alias("x"),
+        F.count("*").cast("long").alias("n"),
+    ).localCheckpoint(eager=True)
+    tot = per.agg(
+        F.sum("x").cast("long").alias("xx"),
+        F.sum("n").cast("long").alias("nn"),
+        F.count("*").cast("long").alias("g"),
+    )
+    v = per.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.expr(
+                "((x * nn - xx * n) div 1000)"
+                " * ((x * nn - xx * n) div 1000) div n"
+            )
+        ).cast("long").alias("vt")
+    )
+    k_expr = (
+        "greatest((cast(xx as double) / nn) * (1.0 - cast(xx as double)"
+        " / nn) * (cast(nn as double) * nn * nn)"
+        " / (cast(vt as double) * 1e6) - 1.0, 1.0)"
+    )
+    prior = tot.crossJoin(F.broadcast(v)).select(
+        F.expr(
+            f"cast(floor({k_expr} * (cast(xx as double) / nn) * 1000000)"
+            " as long)"
+        ).alias("alpha_e6"),
+        F.expr(
+            f"cast(floor({k_expr} * (1.0 - cast(xx as double) / nn)"
+            " * 1000000) as long)"
+        ).alias("beta_e6"),
+    )
+    shrunk = ("(x * 1000000 + alpha_e6) * 1000000"
+              " div (n * 1000000 + alpha_e6 + beta_e6)")
+    return per.crossJoin(F.broadcast(prior)).select(
+        "l_suppkey", "x", "n",
+        F.expr("x * 1000000 div n").cast("long").alias("raw_ppm"),
+        F.expr(shrunk).cast("long").alias("shrunk_ppm"),
+        F.expr(f"abs(x * 1000000 div n - {shrunk})").cast("long")
+        .alias("shrink_delta_ppm"),
+    ).orderBy(F.desc("shrink_delta_ppm"), "l_suppkey").limit(15)
+
+
+# ---------------------------------------------------------------------------
+# Interval scheduling: max non-overlapping order spans per customer
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "max_nonoverlap_intervals",
+    oracle="""
+    WITH RECURSIVE spans AS (
+      SELECT o.o_custkey AS cust,
+             date_diff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE))
+               AS sd,
+             date_diff('day', DATE '1970-01-01',
+                       CAST(MAX(l.l_shipdate) AS DATE)) AS ed
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_custkey, o.o_orderkey, o.o_orderdate
+    ), lists AS (
+      -- element = end*16384 + start (epoch days < 2^14); sorted ascending
+      -- = (end, start) order, the earliest-end-first greedy order.
+      -- NOTE: the fold runs as a per-customer recursive CTE, NOT
+      -- list_reduce: DuckDB v1.0.0's vectorized list_reduce mis-folds
+      -- one row in grouped multi-row batches (probed: cust 605 here).
+      SELECT cust, CAST(COUNT(*) AS BIGINT) AS n_orders,
+             list_sort(list(ed * 16384 + sd)) AS els
+      FROM spans GROUP BY cust
+    ), walk AS (
+      SELECT cust, 0 AS it, CAST(0 AS BIGINT) AS last_end,
+             CAST(0 AS BIGINT) AS cnt
+      FROM lists
+      UNION ALL
+      SELECT w.cust, w.it + 1,
+             CASE WHEN l.els[w.it + 1] % 16384 > w.last_end
+                  THEN l.els[w.it + 1] // 16384 ELSE w.last_end END,
+             CASE WHEN l.els[w.it + 1] % 16384 > w.last_end
+                  THEN w.cnt + 1 ELSE w.cnt END
+      FROM walk w JOIN lists l ON l.cust = w.cust
+      WHERE w.it < l.n_orders
+    ), final AS (
+      SELECT w.cust, l.n_orders, w.cnt AS k_sel
+      FROM walk w JOIN lists l ON l.cust = w.cust
+      WHERE w.it = l.n_orders
+    )
+    SELECT CAST(k_sel AS BIGINT) AS k_selected,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(n_orders) AS BIGINT) AS total_orders
+    FROM final GROUP BY k_sel ORDER BY k_sel
+    """,
+    doc="Interval scheduling maximization (the classic earliest-"
+        "end-first greedy, provably optimal): per customer, the maximum "
+        "number of non-overlapping order spans (orderdate .. last "
+        "shipdate), folded ENGINE-SIDE over the end-sorted span list — "
+        "Spark an F.aggregate fold with (end, start) packed into one "
+        "BIGINT element and (last_end, count) packed into the "
+        "accumulator (epoch days < 2^14 make both packings exact); the "
+        "oracle replays the fold as a per-customer recursive CTE "
+        "because DuckDB v1.0.0's vectorized list_reduce mis-folds one "
+        "row in grouped multi-row batches (probed in round 9). "
+        "Output is the k-selected histogram. The capacity question "
+        "max_concurrency_daily (how many overlap) is dual to this one "
+        "(how many can be served without overlap). Scale: one "
+        "order-keyed rollup + per-customer bounded folds",
+)
+def q_max_nonoverlap_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    spans = (
+        o.join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey", "o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("maxship"))
+        .select(
+            F.col("o_custkey").alias("cust"),
+            F.datediff(F.col("o_orderdate").cast("date"),
+                       F.lit("1970-01-01").cast("date")).cast("long")
+            .alias("sd"),
+            F.datediff(F.col("maxship").cast("date"),
+                       F.lit("1970-01-01").cast("date")).cast("long")
+            .alias("ed"),
+        )
+    )
+    packed = spans.groupBy("cust").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.expr(
+            "aggregate(array_sort(collect_list(ed * 16384 + sd)), 0L,"
+            " (acc, el) -> case when el % 16384 > acc div 1048576"
+            " then (el div 16384) * 1048576 + acc % 1048576 + 1"
+            " else acc end) % 1048576"
+        ).cast("long").alias("k_sel"),
+    )
+    return packed.groupBy("k_sel").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum("n_orders").cast("long").alias("total_orders"),
+    ).select(
+        F.col("k_sel").alias("k_selected"), "n_customers", "total_orders",
+    ).orderBy("k_selected")
+
+
+# ---------------------------------------------------------------------------
+# Neyman optimal stratified-sampling allocation (Hamilton-rounded)
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "neyman_allocation",
+    oracle="""
+    WITH strata AS (
+      SELECT c.c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_h,
+             CAST(SUM(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT) AS sx,
+             CAST(SUM(CAST(round(o_totalprice) AS BIGINT)
+                      * CAST(round(o_totalprice) AS BIGINT)) AS BIGINT)
+               AS sxx
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY nk
+    ), w AS (
+      SELECT nk, n_h,
+             CAST(floor(sqrt((CAST(sxx AS DOUBLE) * n_h - CAST(sx AS
+               DOUBLE) * sx) / (CAST(n_h AS DOUBLE) * (n_h - 1)))
+               * 1000) AS BIGINT) AS s_e3
+      FROM strata WHERE n_h > 1
+    ), ww AS (
+      SELECT nk, n_h, s_e3, n_h * s_e3 AS wt,
+             (SELECT SUM(n_h * s_e3) FROM w) AS wtot
+      FROM w
+    ), seats AS (
+      SELECT nk, n_h, s_e3, wt,
+             1000 * wt // wtot AS base,
+             (1000 * wt) % wtot AS rem,
+             1000 - (SELECT SUM(1000 * wt // wtot) FROM ww) AS leftover
+      FROM ww
+    )
+    SELECT n.n_name, s.n_h, s.s_e3,
+           CAST(s.base + CASE WHEN RANK() OVER (ORDER BY s.rem DESC, s.nk)
+                              <= s.leftover THEN 1 ELSE 0 END AS BIGINT)
+             AS alloc
+    FROM seats s JOIN nation n ON n.n_nationkey = s.nk
+    ORDER BY n.n_name
+    """,
+    doc="Neyman optimal allocation (Neyman JRSS 1934) of a 1000-sample "
+        "survey budget across nation strata: allocation proportional to "
+        "N_h * S_h, the per-stratum order-value std from exact integer "
+        "moments in whole dollars (one sqrt per stratum — a correctly-"
+        "rounded IEEE op, not a transcendental — floored to e3 once), "
+        "then Hamilton largest-remainder rounding to integer seats "
+        "(exact integer quotas; ties by nation key). The DESIGN step "
+        "ahead of stratified_sample (which executes a given "
+        "allocation): minimum-variance budget split for a mean "
+        "estimate. Scale: one stratum rollup + a 25-row bounded "
+        "ranking window",
+)
+def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.windows import bounded_window
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    strata = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_nationkey").alias("nk"),
+            F.expr("cast(round(o_totalprice) as long)").alias("xd"),
+        )
+        .groupBy("nk")
+        .agg(
+            F.count("*").cast("long").alias("n_h"),
+            F.sum("xd").cast("long").alias("sx"),
+            F.sum(F.expr("xd * xd")).cast("long").alias("sxx"),
+        )
+    )
+    w = strata.filter(F.col("n_h") > 1).select(
+        "nk", "n_h",
+        F.expr(
+            "cast(floor(sqrt((cast(sxx as double) * n_h"
+            " - cast(sx as double) * sx)"
+            " / (cast(n_h as double) * (n_h - 1))) * 1000) as long)"
+        ).alias("s_e3"),
+    ).withColumn("wt", F.expr("n_h * s_e3"))
+    tot = w.agg(F.sum("wt").cast("long").alias("wtot"))
+    seats = w.crossJoin(F.broadcast(tot)).select(
+        "nk", "n_h", "s_e3",
+        F.expr("1000 * wt div wtot").cast("long").alias("base"),
+        F.expr("(1000 * wt) % wtot").cast("long").alias("rem"),
+    )
+    lo = seats.agg(
+        (F.lit(1000) - F.sum("base")).cast("long").alias("leftover")
+    )
+    ranked = seats.crossJoin(F.broadcast(lo)).select(
+        "nk", "n_h", "s_e3", "base", "leftover",
+        F.rank().over(bounded_window(F.desc("rem"), "nk")).alias("rk"),
+    )
+    return (
+        ranked.join(F.broadcast(nation),
+                    ranked.nk == F.col("n_nationkey"))
+        .select(
+            "n_name", "n_h", "s_e3",
+            F.expr(
+                "cast(base + case when rk <= leftover then 1 else 0 end"
+                " as long)"
+            ).alias("alloc"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# Self-register ONLY under the round-10 gate (this module is imported both
+# by queries.py under the gate and directly by tests without it).
+import os as _os
+
+if _os.environ.get("SPARK_GRAFT_R10"):
+    register_all()

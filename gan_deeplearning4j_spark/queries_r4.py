@@ -893,20 +893,29 @@ def q_kneser_ney_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "running_balance_clamped",
     oracle="""
-    WITH seq AS (
+    WITH RECURSIVE seq AS (
+      -- per-user recursive-CTE fold, NOT list_reduce: DuckDB v1.0.0's
+      -- vectorized list_reduce mis-folds rows in multi-row batches with
+      -- varying list lengths (round-9 probe, SCALE.md)
       SELECT user_id,
-             list(CASE WHEN event_type IN ('purchase', 'signup')
-                       THEN CAST(round(value * 100) AS BIGINT)
-                       ELSE -CAST(round(value * 100) AS BIGINT) END
-                  ORDER BY epoch_us(ts), event_id) AS ds
-      FROM events GROUP BY user_id
+             CASE WHEN event_type IN ('purchase', 'signup')
+                  THEN CAST(round(value * 100) AS BIGINT)
+                  ELSE -CAST(round(value * 100) AS BIGINT) END AS d,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS rn
+      FROM events
+    ), cnt AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM seq
+      GROUP BY user_id
+    ), walk AS (
+      SELECT user_id, 0 AS it, CAST(0 AS BIGINT) AS acc FROM cnt
+      UNION ALL
+      SELECT w.user_id, w.it + 1, greatest(w.acc + s.d, 0)
+      FROM walk w JOIN seq s ON s.user_id = w.user_id
+                            AND s.rn = w.it + 1
     )
-    SELECT user_id,
-           CAST(len(ds) AS BIGINT) AS n_events,
-           CAST(list_reduce(list_prepend(0, ds),
-                            (acc, x) -> greatest(acc + x, 0))
-                AS BIGINT) AS balance_c
-    FROM seq
+    SELECT w.user_id, c.n AS n_events, CAST(w.acc AS BIGINT) AS balance_c
+    FROM walk w JOIN cnt c ON c.user_id = w.user_id AND w.it = c.n
     """,
     doc="Clamped running balance (inventory / wallet semantics): "
         "balance_t = max(balance_{t-1} + delta_t, 0), credits for "
@@ -1635,37 +1644,38 @@ def q_session_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ses_forecast_backtest",
     oracle="""
-    WITH daily AS (
+    WITH RECURSIVE daily AS (
       SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
              CAST(COUNT(*) AS BIGINT) AS n
       FROM events GROUP BY event_type, d
     ), seq AS (
-      SELECT event_type, list(n ORDER BY d) AS xs FROM daily
+      -- per-type recursive-CTE fold, NOT list_reduce: DuckDB v1.0.0's
+      -- vectorized list_reduce mis-folds rows in multi-row batches with
+      -- varying list lengths (round-9 probe, SCALE.md). Registers stay
+      -- packed into one BIGINT (lv*2^32 + sae, each < 2^31).
+      SELECT event_type, n,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS rn
+      FROM daily
+    ), cnt AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days FROM seq
       GROUP BY event_type
-    ), fold AS (
-      -- two registers packed into one BIGINT (lv*2^32 + sae): DuckDB
-      -- v1.0.0 list_reduce evaluates later struct fields of the lambda
-      -- against already-updated earlier fields, so a struct accumulator
-      -- silently computes sae from the NEW level; a scalar accumulator
-      -- sidesteps that. Element 1 is the init (lv = day 1, sae = 0).
-      -- Packing bound: daily count and error sum each < 2^31.
-      SELECT event_type,
-             CAST(len(xs) AS BIGINT) AS n_days,
-             list_reduce(
-               list_transform(xs, x -> CAST(x AS BIGINT) * 4294967296),
-               (acc, x) ->
-                 ((x // 4294967296 + 3 * (acc // 4294967296)) // 4)
-                   * 4294967296
-                 + acc % 4294967296
-                 + abs(x // 4294967296 - acc // 4294967296)) AS a
-      FROM seq
+    ), walk AS (
+      SELECT s.event_type, 1 AS it, s.n * 4294967296 AS a
+      FROM seq s WHERE s.rn = 1
+      UNION ALL
+      SELECT w.event_type, w.it + 1,
+             ((s.n + 3 * (w.a // 4294967296)) // 4) * 4294967296
+             + w.a % 4294967296 + abs(s.n - w.a // 4294967296)
+      FROM walk w JOIN seq s ON s.event_type = w.event_type
+                            AND s.rn = w.it + 1
     )
-    SELECT event_type, n_days,
-           CAST(a // 4294967296 AS BIGINT) AS level_final,
-           CAST(a % 4294967296 AS BIGINT) AS sum_abs_err,
-           CAST((a % 4294967296) * 1000 // (n_days - 1) AS BIGINT)
+    SELECT w.event_type, c.n_days,
+           CAST(w.a // 4294967296 AS BIGINT) AS level_final,
+           CAST(w.a % 4294967296 AS BIGINT) AS sum_abs_err,
+           CAST((w.a % 4294967296) * 1000 // (c.n_days - 1) AS BIGINT)
              AS mae_ppk
-    FROM fold
+    FROM walk w JOIN cnt c ON c.event_type = w.event_type
+                          AND w.it = c.n_days
     """,
     doc="Simple exponential smoothing (alpha=1/4) one-step-ahead backtest "
         "per event type: forecast each day by yesterday's level, score "
@@ -4933,7 +4943,7 @@ def q_filter_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "kaplan_meier_survival",
     oracle="""
-    WITH per AS (
+    WITH RECURSIVE per AS (
       SELECT user_id,
              MIN(epoch_us(ts)) AS first_us,
              MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
@@ -4961,23 +4971,25 @@ def q_filter_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS nr
       FROM ev
     ), dt AS (
-      SELECT t_days, d, nr FROM risk WHERE d > 0
-    ), seq AS (
-      SELECT list(t_days ORDER BY t_days) AS ts,
-             list(d ORDER BY t_days) AS ds,
-             list(nr ORDER BY t_days) AS nrs,
-             list((nr - d) * 1048576 + nr ORDER BY t_days) AS xs
-      FROM dt
+      -- survival compounds sequentially, so the curve is ONE recursive
+      -- chain over death times (was per-row prefix list_reduce folds:
+      -- DuckDB v1.0.0's vectorized list_reduce mis-folds rows in
+      -- multi-row batches with varying list lengths — round-9 probe)
+      SELECT t_days, d, nr,
+             ROW_NUMBER() OVER (ORDER BY t_days) AS rn
+      FROM risk WHERE d > 0
+    ), cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM dt),
+    walk AS (
+      SELECT 0 AS rn, CAST(0 AS BIGINT) AS t_days, CAST(0 AS BIGINT) AS d,
+             CAST(0 AS BIGINT) AS nr, CAST(1000000 AS BIGINT) AS s_ppm
+      UNION ALL
+      SELECT s.rn, s.t_days, s.d, s.nr,
+             w.s_ppm * (s.nr - s.d) // s.nr
+      FROM walk w JOIN dt s ON s.rn = w.rn + 1
     )
-    SELECT CAST(ts[i] AS BIGINT) AS t_days,
-           CAST(ds[i] AS BIGINT) AS d,
-           CAST(nrs[i] AS BIGINT) AS n_at_risk,
-           CAST(list_reduce(
-                  list_prepend(CAST(1000000 AS BIGINT),
-                               list_slice(xs, 1, i)),
-                  (acc, x) -> acc * (x // 1048576) // (x % 1048576))
-                AS BIGINT) AS s_ppm
-    FROM seq, (SELECT unnest(range(1, (SELECT len(ts) FROM seq) + 1)) AS i)
+    SELECT CAST(t_days AS BIGINT) AS t_days, CAST(d AS BIGINT) AS d,
+           CAST(nr AS BIGINT) AS n_at_risk, CAST(s_ppm AS BIGINT) AS s_ppm
+    FROM walk WHERE rn >= 1
     ORDER BY t_days
     """,
     doc="Kaplan-Meier time-to-conversion curve (days from first activity "
@@ -5201,46 +5213,51 @@ def q_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "holt_forecast_backtest",
     oracle="""
-    WITH daily AS (
+    WITH RECURSIVE daily AS (
       SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
              CAST(COUNT(*) AS BIGINT) AS n
       FROM events GROUP BY event_type, d
     ), seq AS (
-      SELECT event_type, list(n ORDER BY d) AS xs FROM daily
-      GROUP BY event_type
-    ), fold AS (
-      -- acc packs (level+OFF, trend+OFF, sae) into one BIGINT:
+      -- per-type recursive-CTE fold, NOT list_reduce: DuckDB v1.0.0's
+      -- vectorized list_reduce mis-folds rows in multi-row batches with
+      -- varying list lengths (round-9 probe, SCALE.md). acc packs
+      -- (level+OFF, trend+OFF, sae) into one BIGINT:
       -- ((lv+2^20)*2^21 + (tr+2^20))*2^21 + sae, each register < 2^20
       -- in magnitude (daily counts are small); alpha=1/4, beta=1/4.
-      -- Element 1 initializes lv = x1, tr = 0, sae = 0.
-      SELECT event_type, CAST(len(xs) AS BIGINT) AS n_days,
-             list_reduce(
-               list_transform(xs,
-                 x -> ((CAST(x AS BIGINT) + 1048576) * 2097152
-                       + (0 + 1048576)) * 2097152 + 0),
-               (acc, x) ->
-                 ((((x // 4398046511104) - 1048576
-                     + 3 * ((acc // 4398046511104) - 1048576
-                            + ((acc // 2097152) % 2097152) - 1048576))
-                    // 4 + 1048576) * 2097152
-                  + ((((x // 4398046511104) - 1048576
-                       - ((acc // 4398046511104) - 1048576))
-                      + 3 * (((acc // 2097152) % 2097152) - 1048576))
-                     // 4 + 1048576)) * 2097152
-                 + (acc % 2097152)
-                 + abs((x // 4398046511104) - 1048576
-                       - ((acc // 4398046511104) - 1048576)
-                       - (((acc // 2097152) % 2097152) - 1048576))
-             ) AS a
-      FROM seq
+      SELECT event_type, n,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS rn
+      FROM daily
+    ), cnt AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days FROM seq
+      GROUP BY event_type
+    ), walk AS (
+      SELECT s.event_type, 1 AS it,
+             ((s.n + 1048576) * 2097152 + (0 + 1048576)) * 2097152 + 0 AS a
+      FROM seq s WHERE s.rn = 1
+      UNION ALL
+      SELECT w.event_type, w.it + 1,
+             (((s.n
+                 + 3 * ((w.a // 4398046511104) - 1048576
+                        + ((w.a // 2097152) % 2097152) - 1048576))
+                // 4 + 1048576) * 2097152
+              + (((s.n - ((w.a // 4398046511104) - 1048576))
+                  + 3 * (((w.a // 2097152) % 2097152) - 1048576))
+                 // 4 + 1048576)) * 2097152
+             + (w.a % 2097152)
+             + abs(s.n - ((w.a // 4398046511104) - 1048576)
+                   - (((w.a // 2097152) % 2097152) - 1048576))
+      FROM walk w JOIN seq s ON s.event_type = w.event_type
+                            AND s.rn = w.it + 1
     )
-    SELECT event_type, n_days,
-           CAST((a // 4398046511104) - 1048576 AS BIGINT) AS level_final,
-           CAST(((a // 2097152) % 2097152) - 1048576 AS BIGINT)
+    SELECT w.event_type, c.n_days,
+           CAST((w.a // 4398046511104) - 1048576 AS BIGINT) AS level_final,
+           CAST(((w.a // 2097152) % 2097152) - 1048576 AS BIGINT)
              AS trend_final,
-           CAST(a % 2097152 AS BIGINT) AS sum_abs_err,
-           CAST((a % 2097152) * 1000 // (n_days - 1) AS BIGINT) AS mae_ppk
-    FROM fold
+           CAST(w.a % 2097152 AS BIGINT) AS sum_abs_err,
+           CAST((w.a % 2097152) * 1000 // (c.n_days - 1) AS BIGINT)
+             AS mae_ppk
+    FROM walk w JOIN cnt c ON c.event_type = w.event_type
+                          AND w.it = c.n_days
     """,
     doc="Holt linear-trend (double exponential) smoothing backtest per "
         "event type, alpha=beta=1/4: forecast = level + trend, then "

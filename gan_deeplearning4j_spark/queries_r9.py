@@ -526,6 +526,9 @@ def q_kmv_set_ops_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
              xs, gs, n
       FROM packed
     ), fold AS (
+      -- list_reduce is SAFE here: the packed relation is a SINGLE row
+      -- (global series), so the v1.0.0 varying-length multi-row batch
+      -- mis-fold (round-9 probe, SCALE.md) cannot arise
       SELECT n, z0,
              list_reduce(
                list_prepend(z0 * 4294967296 + 1000,
@@ -2236,37 +2239,41 @@ assert _TB_CAP * _TB_PACK < (1 << 63) - _TB_PACK
 @_stage(
     "token_bucket_admissions",
     oracle=f"""
-    WITH e AS (
+    WITH RECURSIVE e AS (
       SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events
     ), seq AS (
+      -- per-user recursive-CTE fold, NOT list_reduce: DuckDB v1.0.0's
+      -- vectorized list_reduce mis-folds rows in multi-row batches with
+      -- varying list lengths (round-9 probe, SCALE.md)
       SELECT user_id,
              COALESCE(ts_us - LAG(ts_us) OVER w, 0) AS dt,
              ROW_NUMBER() OVER w AS rn
       FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
-    ), packed AS (
-      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
-             list(dt ORDER BY rn) AS dts
-      FROM seq GROUP BY user_id
-    ), fold AS (
-      SELECT user_id, n_events,
-             list_reduce(
-               list_prepend(CAST({_TB_CAP} AS BIGINT) * {_TB_PACK} + 0, dts),
-               (acc, dt) -> CASE
-                 WHEN LEAST({_TB_CAP}, acc // {_TB_PACK} + dt // 10)
-                      >= {_TB_COST}
-                 THEN (LEAST({_TB_CAP}, acc // {_TB_PACK} + dt // 10)
-                       - {_TB_COST}) * {_TB_PACK} + acc % {_TB_PACK} + 1
-                 ELSE LEAST({_TB_CAP}, acc // {_TB_PACK} + dt // 10)
-                      * {_TB_PACK} + acc % {_TB_PACK}
-               END
-             ) AS st
-      FROM packed
+    ), cnt AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events FROM seq
+      GROUP BY user_id
+    ), walk AS (
+      SELECT user_id, 0 AS it,
+             CAST({_TB_CAP} AS BIGINT) * {_TB_PACK} + 0 AS st
+      FROM cnt
+      UNION ALL
+      SELECT w.user_id, w.it + 1, CASE
+               WHEN LEAST({_TB_CAP}, w.st // {_TB_PACK} + s.dt // 10)
+                    >= {_TB_COST}
+               THEN (LEAST({_TB_CAP}, w.st // {_TB_PACK} + s.dt // 10)
+                     - {_TB_COST}) * {_TB_PACK} + w.st % {_TB_PACK} + 1
+               ELSE LEAST({_TB_CAP}, w.st // {_TB_PACK} + s.dt // 10)
+                    * {_TB_PACK} + w.st % {_TB_PACK}
+             END
+      FROM walk w JOIN seq s ON s.user_id = w.user_id
+                            AND s.rn = w.it + 1
     )
-    SELECT user_id, n_events,
-           CAST(st % {_TB_PACK} AS BIGINT) AS n_admitted,
-           CAST(n_events - st % {_TB_PACK} AS BIGINT) AS n_denied,
-           CAST(st // {_TB_PACK} AS BIGINT) AS tokens_left_micro
-    FROM fold ORDER BY user_id
+    SELECT w.user_id, c.n_events,
+           CAST(w.st % {_TB_PACK} AS BIGINT) AS n_admitted,
+           CAST(c.n_events - w.st % {_TB_PACK} AS BIGINT) AS n_denied,
+           CAST(w.st // {_TB_PACK} AS BIGINT) AS tokens_left_micro
+    FROM walk w JOIN cnt c ON c.user_id = w.user_id AND w.it = c.n_events
+    ORDER BY w.user_id
     """,
     doc="Token-bucket rate-limiter replay over the event log (the "
         "standard cell/leaky-bucket admission rule: capacity 5 tokens, "
@@ -3129,44 +3136,51 @@ def q_dft_power_topfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_stage(
     "lz78_phrase_complexity",
     oracle="""
-    WITH toks AS (
-      SELECT source,
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, source,
              list_filter(string_split(text, ' '),
                          t -> regexp_matches(t, '^[a-z]+$'))[1:120] AS ts
       FROM documents
-    ), folded AS (
-      -- the candidate phrase expression is INLINED 4x: DuckDB v1.0.0
-      -- mis-evaluates nested list_transform let-bindings inside
-      -- list_reduce (probed: the fold silently stops advancing)
-      SELECT source, CAST(len(ts) AS BIGINT) AS n_tok,
-             list_reduce(list_prepend('~', ts), (acc, t) ->
-               CASE WHEN strpos('|' || string_split(acc, '~')[1] || '|',
-                      '|' || (CASE WHEN string_split(acc, '~')[2] = ''
-                              THEN t ELSE string_split(acc, '~')[2]
-                                   || ' ' || t END) || '|') > 0
-                    THEN string_split(acc, '~')[1] || '~'
-                         || (CASE WHEN string_split(acc, '~')[2] = ''
-                             THEN t ELSE string_split(acc, '~')[2]
-                                  || ' ' || t END)
-                    WHEN string_split(acc, '~')[1] = ''
-                    THEN (CASE WHEN string_split(acc, '~')[2] = ''
-                          THEN t ELSE string_split(acc, '~')[2]
-                               || ' ' || t END) || '~'
-                    ELSE string_split(acc, '~')[1] || '|'
-                         || (CASE WHEN string_split(acc, '~')[2] = ''
-                             THEN t ELSE string_split(acc, '~')[2]
-                                  || ' ' || t END) || '~'
-               END
-             ) AS st
+    ), lists AS (
+      SELECT doc_id, source, ts, CAST(len(ts) AS BIGINT) AS n
       FROM toks WHERE len(ts) > 0
+    ), walk AS (
+      -- per-doc recursive-CTE fold, NOT list_reduce: DuckDB v1.0.0's
+      -- vectorized list_reduce mis-folds rows in multi-row batches with
+      -- varying list lengths (round-9 probe, SCALE.md). The candidate
+      -- phrase is inlined 4x (no lambda let-binding available here).
+      SELECT doc_id, 0 AS it, '' AS dict, '' AS cur FROM lists
+      UNION ALL
+      SELECT w.doc_id, w.it + 1,
+             CASE WHEN strpos('|' || w.dict || '|',
+                    '|' || (CASE WHEN w.cur = '' THEN l.ts[w.it + 1]
+                            ELSE w.cur || ' ' || l.ts[w.it + 1] END)
+                    || '|') > 0
+                  THEN w.dict
+                  WHEN w.dict = ''
+                  THEN (CASE WHEN w.cur = '' THEN l.ts[w.it + 1]
+                        ELSE w.cur || ' ' || l.ts[w.it + 1] END)
+                  ELSE w.dict || '|'
+                       || (CASE WHEN w.cur = '' THEN l.ts[w.it + 1]
+                           ELSE w.cur || ' ' || l.ts[w.it + 1] END)
+             END,
+             CASE WHEN strpos('|' || w.dict || '|',
+                    '|' || (CASE WHEN w.cur = '' THEN l.ts[w.it + 1]
+                            ELSE w.cur || ' ' || l.ts[w.it + 1] END)
+                    || '|') > 0
+                  THEN (CASE WHEN w.cur = '' THEN l.ts[w.it + 1]
+                        ELSE w.cur || ' ' || l.ts[w.it + 1] END)
+                  ELSE ''
+             END
+      FROM walk w JOIN lists l ON l.doc_id = w.doc_id
+      WHERE w.it < l.n
     ), per_doc AS (
-      SELECT source, n_tok,
-             CAST(CASE WHEN string_split(st, '~')[1] = '' THEN 0
-                  ELSE len(string_split(string_split(st, '~')[1], '|'))
-                  END
-                  + CASE WHEN string_split(st, '~')[2] <> '' THEN 1
-                         ELSE 0 END AS BIGINT) AS n_phrases
-      FROM folded
+      SELECT l.source, l.n AS n_tok,
+             CAST(CASE WHEN w.dict = '' THEN 0
+                  ELSE len(string_split(w.dict, '|')) END
+                  + CASE WHEN w.cur <> '' THEN 1 ELSE 0 END AS BIGINT)
+               AS n_phrases
+      FROM walk w JOIN lists l ON l.doc_id = w.doc_id AND w.it = l.n
     )
     SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
