@@ -740,6 +740,399 @@ def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Exact KNN-Shapley data valuation (closed form, no sampling)
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "knn_shapley_values",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+                            e -> CAST(floor(e * 1024) AS BIGINT)) AS qv
+      FROM embeddings
+    ), test AS (SELECT * FROM q WHERE vec_id < 5),
+    train AS (SELECT * FROM q WHERE vec_id >= 5),
+    dist AS (
+      SELECT t.vec_id AS query_id, tr.vec_id AS vec_id,
+             CAST(list_sum(list_transform(range(1, len(t.qv) + 1),
+               i -> (t.qv[i] - tr.qv[i]) * (t.qv[i] - tr.qv[i])))
+               AS BIGINT) AS d2,
+             CASE WHEN tr.label = t.label THEN 1 ELSE 0 END AS ind
+      FROM test t, train tr
+    ), ranked AS (
+      SELECT query_id, vec_id, d2, ind,
+             ROW_NUMBER() OVER w AS rn,
+             LEAD(ind) OVER w AS ind_next,
+             COUNT(*) OVER (PARTITION BY query_id) AS n
+      FROM dist WINDOW w AS (PARTITION BY query_id ORDER BY d2, vec_id)
+    ), scored AS (
+      SELECT query_id, vec_id, d2, rn,
+             CASE WHEN rn = n THEN ind * (1000000000 // n) ELSE 0 END
+             + COALESCE(SUM(CASE WHEN rn < n THEN (ind - ind_next)
+                    * (1000000000 // GREATEST(3, rn)) ELSE 0 END)
+                 OVER (PARTITION BY query_id ORDER BY rn DESC
+                       ROWS UNBOUNDED PRECEDING), 0) AS s_e9
+      FROM ranked
+    )
+    SELECT query_id, vec_id, CAST(s_e9 AS BIGINT) AS shapley_e9
+    FROM (SELECT query_id, vec_id, s_e9,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY s_e9 DESC, vec_id) AS rk
+          FROM scored)
+    WHERE rk <= 5 ORDER BY query_id, vec_id
+    """,
+    doc="Exact KNN-Shapley data valuation (Jia et al. PVLDB'19 closed "
+        "form, K=3): for each of 5 test embeddings, every training "
+        "point's exact Shapley value under the KNN-utility game via the "
+        "sorted-distance recurrence s_i = s_(i+1) + (1[y_i=y] - "
+        "1[y_(i+1)=y]) / max(K, i) — computed as a suffix sum over the "
+        "distance ranking (window ordered rn DESC), each term floored "
+        "to e9 BEFORE summing so the whole valuation is order-free "
+        "int64 (distances are exact integer L2 on floor(e*1024) "
+        "coordinates — the pca/pq quantization). Top-5 most valuable "
+        "training points per query. The data-VALUATION member of the "
+        "influence family (loo_group_influence is leave-one-GROUP-out; "
+        "this is exact per-POINT Shapley, no sampling). Scale: one "
+        "broadcast of the bounded query set against the corpus (the "
+        "brute_force_topk shape), one query-keyed window",
+)
+def q_knn_shapley_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        F.expr("transform(embedding,"
+               " e -> cast(floor(cast(e as double) * 1024) as long))")
+        .alias("qv"),
+    )
+    test = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel"),
+        F.col("qv").alias("tq"),
+    )
+    train = emb.filter(F.col("vec_id") >= 5)
+    dist = train.crossJoin(F.broadcast(test)).select(
+        "query_id", "vec_id",
+        F.expr(
+            "cast(aggregate(zip_with(tq, qv, (a, b) -> (a - b) * (a - b)),"
+            " 0L, (acc, x) -> acc + x) as long)"
+        ).alias("d2"),
+        F.when(F.col("label") == F.col("qlabel"), 1).otherwise(0)
+        .alias("ind"),
+    )
+    w = Window.partitionBy("query_id").orderBy("d2", "vec_id")
+    ranked = dist.select(
+        "query_id", "vec_id", "d2", "ind",
+        F.row_number().over(w).alias("rn"),
+        F.lead("ind").over(w).alias("ind_next"),
+        F.count("*").over(Window.partitionBy("query_id")).alias("n"),
+    )
+    wsuf = (
+        Window.partitionBy("query_id").orderBy(F.desc("rn"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scored = ranked.select(
+        "query_id", "vec_id",
+        (
+            F.when(F.col("rn") == F.col("n"),
+                   F.expr("ind * (1000000000 div n)")).otherwise(0)
+            + F.coalesce(
+                F.sum(
+                    F.expr(
+                        "case when rn < n then (ind - ind_next)"
+                        " * (1000000000 div greatest(3, rn)) else 0 end"
+                    )
+                ).over(wsuf),
+                F.lit(0),
+            )
+        ).cast("long").alias("s_e9"),
+    )
+    wtop = Window.partitionBy("query_id").orderBy(
+        F.desc("s_e9"), "vec_id"
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(wtop))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "vec_id", F.col("s_e9").alias("shapley_e9"))
+        .orderBy("query_id", "vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dynamic time warping between nation demand series
+# ---------------------------------------------------------------------------
+
+_DTW_INF = 10 ** 15
+
+
+@_stage(
+    "dtw_distance_pairs",
+    oracle=f"""
+    WITH RECURSIVE q AS (
+      SELECT c.c_nationkey AS nk,
+             (year(o.o_orderdate) - 1970) * 4
+               + (month(o.o_orderdate) - 1) // 3 AS qi,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY nk, qi
+    ), top4 AS (
+      SELECT nk FROM q GROUP BY nk
+      ORDER BY SUM(n) DESC, nk LIMIT 4
+    ), spine AS (
+      SELECT t.nk AS nk, s.qi AS qi
+      FROM top4 t, (SELECT unnest(range((SELECT MIN(qi) FROM q),
+                                        (SELECT MAX(qi) FROM q) + 1))
+                    AS qi) s
+    ), series AS (
+      SELECT sp.nk, sp.qi,
+             ROW_NUMBER() OVER (PARTITION BY sp.nk ORDER BY sp.qi) AS j,
+             COALESCE(q.n, 0) AS v
+      FROM spine sp LEFT JOIN q ON q.nk = sp.nk AND q.qi = sp.qi
+    ), m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM series
+             WHERE nk = (SELECT MIN(nk) FROM top4)),
+    costs AS (
+      SELECT a.nk AS na, b.nk AS nb, sa.j AS i, sb.j AS j,
+             abs(sa.v - sb.v) AS c
+      FROM top4 a JOIN top4 b ON b.nk > a.nk
+      JOIN series sa ON sa.nk = a.nk
+      JOIN series sb ON sb.nk = b.nk
+    ), walk AS (
+      SELECT na, nb, 0 AS i,
+             list_transform(range(1, CAST((SELECT m FROM m) AS INTEGER)
+                                     + 1),
+                            x -> CAST(1000000000000000 AS BIGINT)) AS drow
+      FROM (SELECT DISTINCT na, nb FROM costs)
+      UNION ALL
+      SELECT na, nb, i, list(newd ORDER BY j) AS drow FROM (
+        -- two stacked layers: DuckDB rejects window-in-window
+        SELECT na, nb, i, j,
+               p + MIN(pmin - (p - c))
+                     OVER (PARTITION BY na, nb ORDER BY j
+                           ROWS UNBOUNDED PRECEDING) AS newd
+        FROM (
+          SELECT na, nb, i, j, pmin, c,
+                 SUM(c) OVER (PARTITION BY na, nb ORDER BY j
+                              ROWS UNBOUNDED PRECEDING) AS p
+          FROM (
+            SELECT u.na, u.nb, u.i, u.j,
+                   least(COALESCE(lag(u.dprev)
+                           OVER (PARTITION BY u.na, u.nb ORDER BY u.j),
+                         CASE WHEN u.i = 1 THEN 0
+                              ELSE CAST(1000000000000000 AS BIGINT) END),
+                         u.dprev) AS pmin,
+                   ct.c AS c
+            FROM (
+              SELECT w.na, w.nb, w.i + 1 AS i,
+                     unnest(range(1, len(w.drow) + 1)) AS j,
+                     unnest(w.drow) AS dprev
+              FROM walk w WHERE w.i < (SELECT m FROM m)
+            ) u JOIN costs ct ON ct.na = u.na AND ct.nb = u.nb
+                              AND ct.i = u.i AND ct.j = u.j
+          )
+        )
+      ) GROUP BY na, nb, i
+    )
+    SELECT w.na AS nation_a, w.nb AS nation_b,
+           CAST((SELECT m FROM m) AS BIGINT) AS n_quarters,
+           CAST(w.drow[CAST((SELECT m FROM m) AS INTEGER)] AS BIGINT)
+             AS dtw_cost
+    FROM walk w WHERE w.i = (SELECT m FROM m)
+    ORDER BY nation_a, nation_b
+    """,
+    doc="Dynamic time warping (Sakoe & Chiba 1978) between the quarterly "
+        "order-count series of the top-4 nations (6 pairs): exact "
+        "integer DTW via the prefix-min reformulation D_i(j) = P(j) + "
+        "min_k<=j(pmin(k) - P(k-1)) — each DP row becomes ONE window "
+        "pass instead of a sequential cell scan, so Spark runs a "
+        "bounded calendar-length iteration of window passes over the "
+        "(pair, j) grid and DuckDB replays it as a recursive CTE with "
+        "windows over the unnested recursive row. The elastic-alignment "
+        "distance ccf_lead_lag (fixed shift) cannot express. Scale: "
+        "the grid is pairs x quarters (calendar-bounded); each "
+        "iteration is one pair-keyed window shuffle",
+)
+def q_dtw_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    q = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_nationkey").alias("nk"),
+            ((F.year("o_orderdate") - 1970) * 4
+             + F.expr("(month(o_orderdate) - 1) div 3")).alias("qi"),
+        )
+        .groupBy("nk", "qi").agg(F.count("*").cast("long").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    top4 = (
+        q.groupBy("nk").agg(F.sum("n").alias("tot"))
+        .orderBy(F.desc("tot"), "nk").limit(4).select("nk")
+        .localCheckpoint(eager=True)
+    )
+    bounds = q.agg(F.min("qi").alias("lo"), F.max("qi").alias("hi"))
+    spine = top4.crossJoin(F.broadcast(bounds)).select(
+        "nk", F.explode(F.expr("sequence(lo, hi)")).alias("qi")
+    )
+    series = (
+        spine.join(q, ["nk", "qi"], "left")
+        .select(
+            "nk", "qi", F.coalesce("n", F.lit(0)).cast("long").alias("v")
+        )
+        .withColumn(
+            "j", F.row_number().over(
+                Window.partitionBy("nk").orderBy("qi")
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    m = series.groupBy("nk").count().agg(
+        F.max("count").cast("int").alias("m")
+    ).first()["m"]
+    a = top4.select(F.col("nk").alias("na"))
+    b = top4.select(F.col("nk").alias("nb"))
+    sa = series.select(F.col("nk").alias("na"), F.col("j").alias("i"),
+                       F.col("v").alias("va"))
+    sb = series.select(F.col("nk").alias("nb"), F.col("j").alias("j"),
+                       F.col("v").alias("vb"))
+    costs = (
+        a.crossJoin(b).filter(F.col("nb") > F.col("na"))
+        .join(sa, "na").join(sb, "nb")
+        .select("na", "nb", "i", "j",
+                F.abs(F.col("va") - F.col("vb")).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    inf = _DTW_INF
+    d = costs.select("na", "nb", "j").distinct().select(
+        "na", "nb", "j", F.lit(inf).cast("long").alias("d")
+    ).localCheckpoint(eager=True)
+    wj = (
+        Window.partitionBy("na", "nb").orderBy("j")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wl = Window.partitionBy("na", "nb").orderBy("j")
+    for i in range(1, m + 1):
+        row = (
+            costs.filter(F.col("i") == i)
+            .join(d, ["na", "nb", "j"])
+        )
+        default = 0 if i == 1 else inf
+        row = row.select(
+            "na", "nb", "j", "c",
+            F.least(
+                F.coalesce(F.lag("d").over(wl), F.lit(default)),
+                F.col("d"),
+            ).alias("pmin"),
+        )
+        d = row.select(
+            "na", "nb", "j",
+            (
+                F.sum("c").over(wj)
+                + F.min(
+                    F.col("pmin") - (F.sum("c").over(wj) - F.col("c"))
+                ).over(wj)
+            ).cast("long").alias("d"),
+        ).localCheckpoint(eager=True)
+    return (
+        d.filter(F.col("j") == m)
+        .select(
+            F.col("na").alias("nation_a"), F.col("nb").alias("nation_b"),
+            F.lit(m).cast("long").alias("n_quarters"),
+            F.col("d").alias("dtw_cost"),
+        )
+        .orderBy("nation_a", "nation_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Huffman optimal code lengths over the event-type alphabet
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "huffman_code_lengths",
+    oracle="""
+    WITH RECURSIVE syms AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS f,
+             ROW_NUMBER() OVER (ORDER BY event_type) AS idx
+      FROM events GROUP BY event_type
+    ), packed AS (
+      SELECT list(lpad(CAST(f AS VARCHAR), 10, '0') || ':'
+                  || CAST(idx AS VARCHAR) ORDER BY idx) AS nodes,
+             list_transform(list(idx), x -> CAST(0 AS BIGINT)) AS depths,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM syms
+    ), walk AS (
+      SELECT 0 AS it, nodes, depths, k FROM packed
+      UNION ALL
+      SELECT w.it + 1,
+             list_append(list_sort(w.nodes)[3:], lpad(CAST(CAST(string_split(list_sort(w.nodes)[1], ':')[1] AS BIGINT) + CAST(string_split(list_sort(w.nodes)[2], ':')[1] AS BIGINT) AS VARCHAR), 10, '0') || ':' || string_split(list_sort(w.nodes)[1], ':')[2] || ',' || string_split(list_sort(w.nodes)[2], ':')[2]),
+             list_transform(range(1, CAST(w.k AS INTEGER) + 1), i ->
+               w.depths[i] + CASE WHEN strpos(',' || string_split(list_sort(w.nodes)[1], ':')[2] || ',' || string_split(list_sort(w.nodes)[2], ':')[2] || ',', ',' || CAST(i AS VARCHAR) || ',') > 0 THEN 1 ELSE 0 END),
+             w.k
+      FROM walk w WHERE w.it < w.k - 1
+    )
+    SELECT s.event_type, s.f AS freq,
+           CAST(w.depths[CAST(s.idx AS INTEGER)] AS BIGINT) AS code_len,
+           CAST(s.f * w.depths[CAST(s.idx AS INTEGER)] AS BIGINT)
+             AS weighted_bits
+    FROM walk w, syms s WHERE w.it = w.k - 1
+    ORDER BY s.event_type
+    """,
+    doc="Huffman optimal prefix-code construction (Huffman 1952) over "
+        "the event-type frequency alphabet: the two lightest nodes merge "
+        "each round (ties broken by the zero-padded weight:index string, "
+        "identical memcmp order in both engines), a symbol's code length "
+        "= the number of merges containing it. Output freq, code length "
+        "and weighted bits per symbol — the optimal-coding counterpart "
+        "of event_type_entropy (the entropy is the lower bound this "
+        "code provably approaches within 1 bit/symbol; the pytest pin "
+        "asserts both Kraft equality and optimality vs brute force). "
+        "The alphabet-sized merge loop folds ENGINE-SIDE: Spark an "
+        "F.aggregate struct over k-1 steps, DuckDB a single-row "
+        "recursive CTE. Scale: one map-side-combinable frequency "
+        "rollup; the Huffman fold is alphabet-sized, independent of "
+        "corpus size",
+)
+def q_huffman_code_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.windows import bounded_window
+
+    ev = _t(spark, sf_dir, "events")
+    syms = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("f")
+    ).select(
+        "event_type", "f",
+        F.row_number().over(
+            # bounded: the alphabet is the distinct event-type set
+            bounded_window("event_type")
+        ).alias("idx"),
+    ).localCheckpoint(eager=True)
+    packed = syms.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(idx, f))),"
+            " s -> concat(lpad(cast(s.f as string), 10, '0'), ':',"
+            " cast(s.idx as string)))"
+        ).alias("nodes0"),
+        F.count("*").cast("long").alias("k"),
+    )
+    fold = packed.select(
+        "k",
+        F.expr("aggregate( if(k >= 2, sequence(1L, k - 1), array()), named_struct('nodes', nodes0,  'depths', transform(sequence(1, cast(k as int)),                      i -> 0L)), (a, step) -> named_struct( 'nodes', concat(slice(array_sort(a.nodes), 3,                        size(a.nodes) - 2),                 array(concat(lpad(cast(cast(element_at(split(element_at(array_sort(a.nodes), 1), ':'), 1) as bigint) + cast(element_at(split(element_at(array_sort(a.nodes), 2), ':'), 1) as bigint) as string), 10, '0'), ':', element_at(split(element_at(array_sort(a.nodes), 1), ':'), 2), ',', element_at(split(element_at(array_sort(a.nodes), 2), ':'), 2)))),  'depths', transform(sequence(1, cast(k as int)), i ->    element_at(a.depths, i) + if(instr(concat(',', element_at(split(element_at(array_sort(a.nodes), 1), ':'), 2), ',', element_at(split(element_at(array_sort(a.nodes), 2), ':'), 2), ','), concat(',', cast(i as string), ',')) > 0, 1L, 0L))))").alias("st"),
+    )
+    depths = fold.select(
+        F.posexplode("st.depths").alias("pos0", "code_len")
+    ).select(
+        (F.col("pos0") + 1).cast("long").alias("idx"),
+        F.col("code_len").cast("long"),
+    )
+    return (
+        syms.join(depths, "idx")
+        .select(
+            "event_type", F.col("f").alias("freq"), "code_len",
+            (F.col("f") * F.col("code_len")).cast("long")
+            .alias("weighted_bits"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # Self-register ONLY under the round-10 gate (this module is imported both
 # by queries.py under the gate and directly by tests without it).
 import os as _os
