@@ -768,12 +768,14 @@ def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
              COUNT(*) OVER (PARTITION BY query_id) AS n
       FROM dist WINDOW w AS (PARTITION BY query_id ORDER BY d2, vec_id)
     ), scored AS (
+      -- the farthest point's base value ind_N/N seeds the suffix sum so
+      -- EVERY rank inherits it (the recurrence s_i = s_(i+1) + ...)
       SELECT query_id, vec_id, d2, rn,
-             CASE WHEN rn = n THEN ind * (1000000000 // n) ELSE 0 END
-             + COALESCE(SUM(CASE WHEN rn < n THEN (ind - ind_next)
-                    * (1000000000 // GREATEST(3, rn)) ELSE 0 END)
-                 OVER (PARTITION BY query_id ORDER BY rn DESC
-                       ROWS UNBOUNDED PRECEDING), 0) AS s_e9
+             SUM(CASE WHEN rn = n THEN ind * (1000000000 // n)
+                      ELSE (ind - ind_next)
+                           * (1000000000 // GREATEST(3, rn)) END)
+               OVER (PARTITION BY query_id ORDER BY rn DESC
+                     ROWS UNBOUNDED PRECEDING) AS s_e9
       FROM ranked
     )
     SELECT query_id, vec_id, CAST(s_e9 AS BIGINT) AS shapley_e9
@@ -830,21 +832,18 @@ def q_knn_shapley_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.partitionBy("query_id").orderBy(F.desc("rn"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # the farthest point's base value ind_N/N seeds the suffix sum so
+    # EVERY rank inherits it (the recurrence s_i = s_(i+1) + ...); the
+    # python-replay pin caught the base being applied only at rn = n
     scored = ranked.select(
         "query_id", "vec_id",
-        (
-            F.when(F.col("rn") == F.col("n"),
-                   F.expr("ind * (1000000000 div n)")).otherwise(0)
-            + F.coalesce(
-                F.sum(
-                    F.expr(
-                        "case when rn < n then (ind - ind_next)"
-                        " * (1000000000 div greatest(3, rn)) else 0 end"
-                    )
-                ).over(wsuf),
-                F.lit(0),
+        F.sum(
+            F.expr(
+                "case when rn = n then ind * (1000000000 div n)"
+                " else (ind - ind_next)"
+                " * (1000000000 div greatest(3, rn)) end"
             )
-        ).cast("long").alias("s_e9"),
+        ).over(wsuf).cast("long").alias("s_e9"),
     )
     wtop = Window.partitionBy("query_id").orderBy(
         F.desc("s_e9"), "vec_id"
@@ -1131,6 +1130,520 @@ def q_huffman_code_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-hybrid MAD anomaly detection (STL-lite remainder + robust scale)
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "stl_mad_anomalies",
+    oracle="""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM orders GROUP BY day
+    ), spine AS (
+      SELECT d.day AS day, COALESCE(dd.x, 0) AS x
+      FROM (SELECT unnest(range((SELECT MIN(day) FROM daily),
+                                (SELECT MAX(day) FROM daily) + 1)) AS day) d
+      LEFT JOIN daily dd ON dd.day = d.day
+    ), tr AS (
+      SELECT day, x,
+             CASE WHEN ROW_NUMBER() OVER wd > 3
+                   AND ROW_NUMBER() OVER (ORDER BY day DESC) > 3
+                  THEN SUM(x) OVER (ORDER BY day
+                         ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) // 7
+             END AS trend
+      FROM spine WINDOW wd AS (ORDER BY day)
+    ), det AS (
+      SELECT day, x, trend, x - trend AS dt, day % 7 AS dow
+      FROM tr WHERE trend IS NOT NULL
+    ), seas AS (
+      SELECT dow, CAST(SUM(dt) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+               AS s
+      FROM det GROUP BY dow
+    ), rem AS (
+      SELECT d.day, d.x, d.dt - se.s AS r
+      FROM det d JOIN seas se ON se.dow = d.dow
+    ), med AS (
+      SELECT MIN(v) AS med FROM (
+        SELECT r AS v,
+               SUM(COUNT(*)) OVER (ORDER BY r
+                 ROWS UNBOUNDED PRECEDING) AS cum,
+               (SELECT COUNT(*) FROM rem) AS n
+        FROM rem GROUP BY r
+      ) WHERE cum * 2 >= n + 1
+    ), madt AS (
+      SELECT MIN(v) AS mad FROM (
+        SELECT abs(r - (SELECT med FROM med)) AS v,
+               SUM(COUNT(*)) OVER (ORDER BY abs(r - (SELECT med FROM med))
+                 ROWS UNBOUNDED PRECEDING) AS cum,
+               (SELECT COUNT(*) FROM rem) AS n
+        FROM rem GROUP BY v
+      ) WHERE cum * 2 >= n + 1
+    )
+    SELECT day, x, CAST(r AS BIGINT) AS remainder,
+           CAST(abs(r - (SELECT med FROM med)) AS BIGINT) AS deviation,
+           CAST((SELECT mad FROM madt) AS BIGINT) AS mad
+    FROM rem
+    WHERE abs(r - (SELECT med FROM med)) > 3 * (SELECT mad FROM madt)
+    ORDER BY day
+    """,
+    doc="Seasonal-hybrid MAD anomaly detection (the S-H-ESD recipe, "
+        "Hochenbaum et al. 2017, with the exact-integer robust-scale "
+        "core): STL-lite remainder (centered 7-day MA trend as "
+        "truncating integer division, per-dow seasonal means of the "
+        "detrended series) scored by |r - median| > 3*MAD, both median "
+        "and MAD exact lower medians over the bounded value histogram "
+        "(the dp_contribution percentile discipline, no float "
+        "quantiles). Emits the anomalous days with their deviation and "
+        "the MAD scale. stl_lite_decomposition DESCRIBES the series; "
+        "this one flags what breaks it — and zscore_outlier_counts' "
+        "mean/std scoring is exactly what heavy anomalies corrupt "
+        "(masking), which MAD resists. Scale: one day rollup, two "
+        "bounded-window passes over the series, two histogram medians",
+)
+def q_stl_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.windows import bounded_window
+
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.select(
+        F.datediff(F.col("o_orderdate").cast("date"),
+                   F.lit("1970-01-01").cast("date")).cast("long")
+        .alias("day")
+    ).groupBy("day").agg(F.count("*").cast("long").alias("x"))
+    bounds = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.expr("sequence(lo, hi)")).alias("day")
+    ).join(daily, "day", "left").select(
+        "day", F.coalesce("x", F.lit(0)).cast("long").alias("x")
+    )
+    w_ma = bounded_window("day").rowsBetween(-3, 3)
+    w_fwd = bounded_window("day")
+    w_bwd = bounded_window(F.desc("day"))
+    tr = spine.select(
+        "day", "x",
+        F.sum("x").over(w_ma).alias("ma7"),
+        F.row_number().over(w_fwd).alias("rf"),
+        F.row_number().over(w_bwd).alias("rb"),
+    )
+    det = tr.filter((F.col("rf") > 3) & (F.col("rb") > 3)).select(
+        "day", "x",
+        (F.col("x") - F.expr("ma7 div 7")).alias("dt"),
+        (F.col("day") % 7).alias("dow"),
+    )
+    seas = det.groupBy("dow").agg(
+        F.expr("sum(dt) div count(*)").alias("s")
+    )
+    rem = det.join(F.broadcast(seas), "dow").select(
+        "day", "x", (F.col("dt") - F.col("s")).alias("r")
+    ).localCheckpoint(eager=True)
+
+    def _histmed(df, col):
+        hist = df.groupBy(col).agg(F.count("*").alias("t"))
+        wc = bounded_window(col).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        cum = hist.select(
+            col, F.sum("t").over(wc).alias("cum"),
+            F.sum("t").over(bounded_window()).alias("n"),
+        )
+        return cum.filter(F.expr("cum * 2 >= n + 1")).agg(
+            F.min(col).alias("m")
+        )
+
+    med = _histmed(rem, "r")
+    dev = rem.crossJoin(F.broadcast(med)).select(
+        "day", "x", "r", F.abs(F.col("r") - F.col("m")).alias("deviation")
+    ).localCheckpoint(eager=True)
+    mad = _histmed(dev.select(F.col("deviation").alias("v")), "v")
+    return (
+        dev.crossJoin(F.broadcast(mad.select(F.col("m").alias("mad"))))
+        .filter(F.col("deviation") > 3 * F.col("mad"))
+        .select("day", "x", F.col("r").alias("remainder"),
+                F.col("deviation").cast("long").alias("deviation"),
+                F.col("mad").cast("long").alias("mad"))
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Greedy maximum-weight bipartite matching (customer-supplier assignment)
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "greedy_assignment_matching",
+    oracle="""
+    WITH RECURSIVE w AS (
+      SELECT o.o_custkey AS c, l.l_suppkey AS s,
+             CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS wt
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY c, s
+    ), top AS (
+      SELECT c, s, wt, ROW_NUMBER() OVER (ORDER BY wt DESC, c, s) AS rn
+      FROM w ORDER BY wt DESC, c, s LIMIT 200
+    ), walk AS (
+      SELECT 0 AS it, ',' AS uc, ',' AS us,
+             CAST(0 AS BIGINT) AS tot, CAST(0 AS BIGINT) AS k
+      UNION ALL
+      SELECT w2.it + 1,
+             CASE WHEN strpos(w2.uc, ',' || CAST(t.c AS VARCHAR) || ',')
+                       = 0
+                   AND strpos(w2.us, ',' || CAST(t.s AS VARCHAR) || ',')
+                       = 0
+                  THEN w2.uc || CAST(t.c AS VARCHAR) || ','
+                  ELSE w2.uc END,
+             CASE WHEN strpos(w2.uc, ',' || CAST(t.c AS VARCHAR) || ',')
+                       = 0
+                   AND strpos(w2.us, ',' || CAST(t.s AS VARCHAR) || ',')
+                       = 0
+                  THEN w2.us || CAST(t.s AS VARCHAR) || ','
+                  ELSE w2.us END,
+             CASE WHEN strpos(w2.uc, ',' || CAST(t.c AS VARCHAR) || ',')
+                       = 0
+                   AND strpos(w2.us, ',' || CAST(t.s AS VARCHAR) || ',')
+                       = 0
+                  THEN w2.tot + t.wt ELSE w2.tot END,
+             CASE WHEN strpos(w2.uc, ',' || CAST(t.c AS VARCHAR) || ',')
+                       = 0
+                   AND strpos(w2.us, ',' || CAST(t.s AS VARCHAR) || ',')
+                       = 0
+                  THEN w2.k + 1 ELSE w2.k END
+      FROM walk w2 JOIN top t ON t.rn = w2.it + 1
+    )
+    SELECT CAST((SELECT COUNT(*) FROM top) AS BIGINT)
+             AS n_edges_considered,
+           CAST(k AS BIGINT) AS n_matched,
+           CAST(tot AS BIGINT) AS total_weight_c
+    FROM walk WHERE it = (SELECT COUNT(*) FROM top)
+    """,
+    doc="Greedy maximum-weight bipartite matching of customers to "
+        "suppliers by trade volume (the 1/2-approximation every "
+        "assignment pipeline starts from): the top-200 heaviest "
+        "(customer, supplier) edges scan in weight order and an edge "
+        "joins the matching iff both endpoints are free — a sequential "
+        "fold over the BOUNDED candidate list (Spark F.aggregate with "
+        "csv-membership state, DuckDB a single-chain recursive CTE; "
+        "used-sets as delimiter-guarded strings, the lz78 encoding). "
+        "The combinatorial-assignment member next to knapsack (budget), "
+        "greedy_max_coverage (sets) and gonzalez_kcenter (metric). "
+        "Scale: one (c, s) rollup + a TakeOrdered top-200; the fold is "
+        "candidate-bounded, never corpus-sized",
+)
+def q_greedy_assignment_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    w = (
+        o.join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("o_custkey").alias("c"),
+                 F.col("l_suppkey").alias("s"))
+        .agg(F.expr("sum(cast(round(l_extendedprice * 100) as long))")
+             .alias("wt"))
+    )
+    top = w.orderBy(F.desc("wt"), "c", "s").limit(200)
+    packed = top.agg(
+        F.expr(
+            "array_sort(collect_list(struct(-wt as nw, c, s, wt)))"
+        ).alias("es"),
+        F.count("*").cast("long").alias("n"),
+    )
+    take = ("instr(a.uc, concat(',', cast(e.c as string), ',')) = 0"
+            " and instr(a.us, concat(',', cast(e.s as string), ',')) = 0")
+    fold = packed.select(
+        "n",
+        F.expr(
+            "aggregate(es,"
+            " named_struct('uc', ',', 'us', ',', 'tot', 0L, 'k', 0L),"
+            " (a, e) -> named_struct("
+            f" 'uc', if({take}, concat(a.uc, cast(e.c as string), ','),"
+            "           a.uc),"
+            f" 'us', if({take}, concat(a.us, cast(e.s as string), ','),"
+            "           a.us),"
+            f" 'tot', if({take}, a.tot + e.wt, a.tot),"
+            f" 'k', if({take}, a.k + 1, a.k)))"
+        ).alias("st"),
+    )
+    return fold.select(
+        F.col("n").alias("n_edges_considered"),
+        F.col("st.k").cast("long").alias("n_matched"),
+        F.col("st.tot").cast("long").alias("total_weight_c"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Epsilon-greedy bandit offline replay (Li et al. WSDM'11 replay method)
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "bandit_replay_egreedy",
+    oracle="""
+    WITH RECURSIVE arms AS (
+      SELECT event_type,
+             ROW_NUMBER() OVER (ORDER BY event_type) AS aidx
+      FROM (SELECT DISTINCT event_type FROM events)
+    ), stream AS (
+      SELECT a.aidx,
+             CASE WHEN CAST(round(e.value * 100) AS BIGINT) > 5000
+                  THEN 1 ELSE 0 END AS r,
+             e.event_id AS eid,
+             ROW_NUMBER() OVER (ORDER BY epoch_us(e.ts), e.event_id) AS rn
+      FROM events e JOIN arms a ON a.event_type = e.event_type
+      ORDER BY epoch_us(e.ts), e.event_id LIMIT 2000
+    ), k AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM arms),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM stream),
+    walk AS (
+      SELECT 0 AS it,
+             list_transform(range(1, CAST((SELECT k FROM k) AS INTEGER)
+                                     + 1), x -> CAST(0 AS BIGINT))
+               AS pulls,
+             list_transform(range(1, CAST((SELECT k FROM k) AS INTEGER)
+                                     + 1), x -> CAST(0 AS BIGINT))
+               AS rews
+      UNION ALL
+      SELECT w.it + 1,
+             list_transform([CASE WHEN CAST('0x' || substr(md5('eg|' || CAST(s.eid AS VARCHAR)), 1, 15) AS BIGINT) % 4 = 0 THEN CAST(CAST('0x' || substr(md5('ega|' || CAST(s.eid AS VARCHAR)), 1, 15) AS BIGINT) % len(w.pulls) + 1 AS BIGINT) WHEN list_position(w.pulls, 0) > 0 THEN CAST(list_position(w.pulls, 0) AS BIGINT) ELSE CAST(list_position(list_transform(range(1, len(w.pulls) + 1), i -> CASE WHEN w.pulls[i] = 0 THEN -1 ELSE w.rews[i] * 1000000 // w.pulls[i] END), list_max(list_transform(range(1, len(w.pulls) + 1), i -> CASE WHEN w.pulls[i] = 0 THEN -1 ELSE w.rews[i] * 1000000 // w.pulls[i] END))) AS BIGINT) END], ch ->
+               list_transform(range(1, len(w.pulls) + 1), i ->
+                 w.pulls[i] + CASE WHEN i = ch AND ch = s.aidx
+                              THEN 1 ELSE 0 END))[1],
+             list_transform([CASE WHEN CAST('0x' || substr(md5('eg|' || CAST(s.eid AS VARCHAR)), 1, 15) AS BIGINT) % 4 = 0 THEN CAST(CAST('0x' || substr(md5('ega|' || CAST(s.eid AS VARCHAR)), 1, 15) AS BIGINT) % len(w.pulls) + 1 AS BIGINT) WHEN list_position(w.pulls, 0) > 0 THEN CAST(list_position(w.pulls, 0) AS BIGINT) ELSE CAST(list_position(list_transform(range(1, len(w.pulls) + 1), i -> CASE WHEN w.pulls[i] = 0 THEN -1 ELSE w.rews[i] * 1000000 // w.pulls[i] END), list_max(list_transform(range(1, len(w.pulls) + 1), i -> CASE WHEN w.pulls[i] = 0 THEN -1 ELSE w.rews[i] * 1000000 // w.pulls[i] END))) AS BIGINT) END], ch ->
+               list_transform(range(1, len(w.rews) + 1), i ->
+                 w.rews[i] + CASE WHEN i = ch AND ch = s.aidx
+                              THEN s.r ELSE 0 END))[1]
+      FROM walk w JOIN stream s ON s.rn = w.it + 1
+    )
+    SELECT a.event_type,
+           CAST(w.pulls[CAST(a.aidx AS INTEGER)] AS BIGINT) AS pulls,
+           CAST(w.rews[CAST(a.aidx AS INTEGER)] AS BIGINT) AS reward_sum,
+           CAST(w.rews[CAST(a.aidx AS INTEGER)] * 1000000
+                // GREATEST(w.pulls[CAST(a.aidx AS INTEGER)], 1)
+                AS BIGINT) AS mean_ppm
+    FROM walk w, arms a WHERE w.it = (SELECT n FROM n)
+    ORDER BY a.event_type
+    """,
+    doc="Epsilon-greedy multi-armed bandit evaluated offline by the "
+        "replay method (Li et al. WSDM'11): arms = event types; the "
+        "first 2000 logged events stream in time order, the policy "
+        "picks an arm (explore w.p. 1/4 on an md5 coin, else "
+        "untried-first then argmax empirical mean, ties lowest arm), "
+        "and only steps where the pick matches the logged arm update "
+        "state — the unbiased off-policy estimator. Rewards = "
+        "value > $50. Every coin is md5-derived and every mean an "
+        "integer ppm division, so the whole sequential policy replays "
+        "hash-exactly (Spark: F.aggregate over the bounded log; DuckDB: "
+        "per-step recursive CTE). The sequential-decision member of "
+        "the experimentation family (sprt_purchase_rate is a "
+        "sequential TEST; this is sequential ALLOCATION). Scale: "
+        "TakeOrdered log prefix + alphabet-sized state",
+)
+def q_bandit_replay_egreedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.windows import bounded_window
+
+    ev = _t(spark, sf_dir, "events")
+    arms = ev.select("event_type").distinct().select(
+        "event_type",
+        F.row_number().over(bounded_window("event_type")).alias("aidx"),
+    ).localCheckpoint(eager=True)
+    stream = (
+        ev.join(F.broadcast(arms), "event_type")
+        .select(
+            F.expr("ts_nanos div 1000").alias("ts_us"), "event_id",
+            F.col("aidx").cast("long").alias("aidx"),
+            F.expr("if(cast(round(value * 100) as long) > 5000, 1L, 0L)")
+            .alias("r"),
+            F.col("event_id").alias("eid"),
+        )
+        .orderBy("ts_us", "event_id").limit(2000)
+    )
+    packed = stream.agg(
+        F.expr(
+            "array_sort(collect_list(struct(ts_us, event_id, aidx, r,"
+            " eid)))"
+        ).alias("stream"),
+    ).crossJoin(
+        F.broadcast(arms.agg(F.count("*").cast("long").alias("k")))
+    )
+    fold = packed.select(
+        F.expr("aggregate(stream, named_struct( 'pulls', transform(sequence(1, cast(k as int)), x -> 0L), 'rews', transform(sequence(1, cast(k as int)), x -> 0L)), (a, e) -> named_struct( 'pulls', transform(sequence(1, size(a.pulls)), i ->   element_at(a.pulls, i) + if(i = (case when cast(conv(substr(md5(cast(concat('eg|', cast(e.eid as string)) as binary)), 1, 15), 16, 10) as long) % 4 = 0 then cast(conv(substr(md5(cast(concat('ega|', cast(e.eid as string)) as binary)), 1, 15), 16, 10) as long) % size(a.pulls) + 1 when array_position(a.pulls, 0L) > 0 then array_position(a.pulls, 0L) else array_position(transform(sequence(1, size(a.pulls)), i -> case when element_at(a.pulls, i) = 0 then -1L else element_at(a.rews, i) * 1000000 div element_at(a.pulls, i) end), array_max(transform(sequence(1, size(a.pulls)), i -> case when element_at(a.pulls, i) = 0 then -1L else element_at(a.rews, i) * 1000000 div element_at(a.pulls, i) end))) end)     and (case when cast(conv(substr(md5(cast(concat('eg|', cast(e.eid as string)) as binary)), 1, 15), 16, 10) as long) % 4 = 0 then cast(conv(substr(md5(cast(concat('ega|', cast(e.eid as string)) as binary)), 1, 15), 16, 10) as long) % size(a.pulls) + 1 when array_position(a.pulls, 0L) > 0 then array_position(a.pulls, 0L) else array_position(transform(sequence(1, size(a.pulls)), i -> case when element_at(a.pulls, i) = 0 then -1L else element_at(a.rews, i) * 1000000 div element_at(a.pulls, i) end), array_max(transform(sequence(1, size(a.pulls)), i -> case when element_at(a.pulls, i) = 0 then -1L else element_at(a.rews, i) * 1000000 div element_at(a.pulls, i) end))) end) = e.aidx, 1L, 0L)), 'rews', transform(sequence(1, size(a.rews)), i ->   element_at(a.rews, i) + if(i = (case when cast(conv(substr(md5(cast(concat('eg|', cast(e.eid as string)) as binary)), 1, 15), 16, 10) as long) % 4 = 0 then cast(conv(substr(md5(cast(concat('ega|', cast(e.eid as string)) as binary)), 1, 15), 16, 10) as long) % size(a.pulls) + 1 when array_position(a.pulls, 0L) > 0 then array_position(a.pulls, 0L) else array_position(transform(sequence(1, size(a.pulls)), i -> case when element_at(a.pulls, i) = 0 then -1L else element_at(a.rews, i) * 1000000 div element_at(a.pulls, i) end), array_max(transform(sequence(1, size(a.pulls)), i -> case when element_at(a.pulls, i) = 0 then -1L else element_at(a.rews, i) * 1000000 div element_at(a.pulls, i) end))) end)     and (case when cast(conv(substr(md5(cast(concat('eg|', cast(e.eid as string)) as binary)), 1, 15), 16, 10) as long) % 4 = 0 then cast(conv(substr(md5(cast(concat('ega|', cast(e.eid as string)) as binary)), 1, 15), 16, 10) as long) % size(a.pulls) + 1 when array_position(a.pulls, 0L) > 0 then array_position(a.pulls, 0L) else array_position(transform(sequence(1, size(a.pulls)), i -> case when element_at(a.pulls, i) = 0 then -1L else element_at(a.rews, i) * 1000000 div element_at(a.pulls, i) end), array_max(transform(sequence(1, size(a.pulls)), i -> case when element_at(a.pulls, i) = 0 then -1L else element_at(a.rews, i) * 1000000 div element_at(a.pulls, i) end))) end) = e.aidx, e.r, 0L))))").alias("st")
+    )
+    per_arm = fold.select(
+        F.posexplode("st.pulls").alias("pos0", "pulls"),
+    ).select(
+        (F.col("pos0") + 1).cast("long").alias("aidx"),
+        F.col("pulls").cast("long"),
+    ).join(
+        fold.select(
+            F.posexplode("st.rews").alias("pos0", "reward_sum")
+        ).select(
+            (F.col("pos0") + 1).cast("long").alias("aidx"),
+            F.col("reward_sum").cast("long"),
+        ),
+        "aidx",
+    )
+    return (
+        arms.join(per_arm, "aidx")
+        .select(
+            "event_type", "pulls", "reward_sum",
+            F.expr("reward_sum * 1000000 div greatest(pulls, 1)")
+            .cast("long").alias("mean_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact optimal-partitioning changepoint detection (Bellman DP)
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "optimal_partition_changepoints",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS day,
+             CAST(SUM(CAST(round(o_totalprice / 1000) AS BIGINT))
+                  AS BIGINT) AS kd
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1997-01-01'
+      GROUP BY day
+    ), spine AS (
+      SELECT d.day AS day, COALESCE(dd.kd, 0) AS kd
+      FROM (SELECT unnest(range(
+              date_diff('day', DATE '1970-01-01', DATE '1996-01-01'),
+              date_diff('day', DATE '1970-01-01', DATE '1997-01-01')))
+            AS day) d
+      LEFT JOIN daily dd ON dd.day = d.day
+    ), seq AS (
+      SELECT day, kd, ROW_NUMBER() OVER (ORDER BY day) AS j,
+             SUM(kd) OVER w AS sx, SUM(kd * kd) OVER w AS sxx
+      FROM spine WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)
+    ), packed AS (
+      SELECT list_prepend(CAST(0 AS BIGINT), list(sx ORDER BY j)) AS sxl,
+             list_prepend(CAST(0 AS BIGINT), list(sxx ORDER BY j)) AS sxxl,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(MIN(day) AS BIGINT) AS day0
+      FROM seq
+    ), dp AS (
+      SELECT 0 AS j, [CAST(0 AS BIGINT)] AS f, [CAST(0 AS BIGINT)] AS bp,
+             sxl, sxxl, n, day0
+      FROM packed
+      UNION ALL
+      SELECT d.j + 1,
+             list_append(d.f, list_min(list_transform(range(0, d.j + 1), i -> d.f[CAST(i AS INTEGER) + 1] + d.sxxl[CAST(d.j AS INTEGER) + 2] - d.sxxl[CAST(i AS INTEGER) + 1] - (d.sxl[CAST(d.j AS INTEGER) + 2] - d.sxl[CAST(i AS INTEGER) + 1]) * (d.sxl[CAST(d.j AS INTEGER) + 2] - d.sxl[CAST(i AS INTEGER) + 1]) // (d.j + 1 - i) + 3000000))),
+             list_append(d.bp,
+                         CAST(list_position(list_transform(range(0, d.j + 1), i -> d.f[CAST(i AS INTEGER) + 1] + d.sxxl[CAST(d.j AS INTEGER) + 2] - d.sxxl[CAST(i AS INTEGER) + 1] - (d.sxl[CAST(d.j AS INTEGER) + 2] - d.sxl[CAST(i AS INTEGER) + 1]) * (d.sxl[CAST(d.j AS INTEGER) + 2] - d.sxl[CAST(i AS INTEGER) + 1]) // (d.j + 1 - i) + 3000000), list_min(list_transform(range(0, d.j + 1), i -> d.f[CAST(i AS INTEGER) + 1] + d.sxxl[CAST(d.j AS INTEGER) + 2] - d.sxxl[CAST(i AS INTEGER) + 1] - (d.sxl[CAST(d.j AS INTEGER) + 2] - d.sxl[CAST(i AS INTEGER) + 1]) * (d.sxl[CAST(d.j AS INTEGER) + 2] - d.sxl[CAST(i AS INTEGER) + 1]) // (d.j + 1 - i) + 3000000))) - 1
+                              AS BIGINT)),
+             d.sxl, d.sxxl, d.n, d.day0
+      FROM dp d WHERE d.j < d.n
+    ), final AS (
+      SELECT f, bp, n, day0, sxl FROM dp WHERE j = n
+    ), walkback AS (
+      SELECT CAST(n AS BIGINT) AS e FROM final
+      UNION ALL
+      SELECT CAST(fi.bp[CAST(w.e AS INTEGER) + 1] AS BIGINT)
+      FROM walkback w, final fi WHERE w.e > 0
+    )
+    SELECT CAST(fi.day0 + fi.bp[CAST(w.e AS INTEGER) + 1] AS BIGINT)
+             AS seg_start_day,
+           CAST(fi.day0 + w.e - 1 AS BIGINT) AS seg_end_day,
+           CAST(w.e - fi.bp[CAST(w.e AS INTEGER) + 1] AS BIGINT) AS n_days,
+           CAST((fi.sxl[CAST(w.e AS INTEGER) + 1]
+                 - fi.sxl[CAST(fi.bp[CAST(w.e AS INTEGER) + 1] AS INTEGER)
+                          + 1])
+                // (w.e - fi.bp[CAST(w.e AS INTEGER) + 1]) AS BIGINT)
+             AS mean_kd
+    FROM walkback w, final fi WHERE w.e > 0
+    ORDER BY seg_start_day
+    """,
+    doc="Exact optimal-partitioning changepoint detection (Bellman "
+        "segmentation / the DP inside PELT, Jackson et al. 2005) on the "
+        "1996 daily revenue series (k$ scale, dense zero-filled spine): "
+        "F(j) = min over i of F(i) + SSE(i+1..j) + beta, SSE from exact "
+        "integer prefix sums with the (sum)^2/len term as truncating "
+        "integer division, beta = 3e6 k$^2 (chosen by a sweep: 1e6 over-segments the flat TPC-H series into 43 pieces, 1e7 collapses it to one; 3e6 yields a 5-segment optimum at the sf0.01 gate). Emits the GLOBALLY optimal "
+        "segmentation (start/end day, length, segment mean) recovered "
+        "by a backpointer walk — changepoint_single_split finds the "
+        "best SINGLE break; this finds the best set of breaks jointly. "
+        "Engine-side throughout: Spark one F.aggregate DP fold + one "
+        "backpointer fold, DuckDB a recursive CTE per DP row + a "
+        "recursive backpointer chain. Scale: the DP is O(n^2) in the "
+        "SERIES length (calendar-bounded, 366), independent of table "
+        "size; the scan is one filtered day rollup",
+)
+def q_optimal_partition_changepoints(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .functions.windows import bounded_window
+
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select(
+        F.datediff(F.col("o_orderdate").cast("date"),
+                   F.lit("1970-01-01").cast("date")).cast("long")
+        .alias("day"),
+        F.expr("cast(round(o_totalprice / 1000) as long)").alias("kd"),
+    ).groupBy("day").agg(F.sum("kd").cast("long").alias("kd"))
+    lo = F.datediff(F.lit("1996-01-01").cast("date"),
+                    F.lit("1970-01-01").cast("date")).cast("long")
+    hi = F.datediff(F.lit("1996-12-31").cast("date"),
+                    F.lit("1970-01-01").cast("date")).cast("long")
+    spine = spark.range(1).select(
+        F.explode(F.sequence(lo, hi)).alias("day")
+    ).join(daily, "day", "left").select(
+        "day", F.coalesce("kd", F.lit(0)).cast("long").alias("kd")
+    )
+    wc = bounded_window("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    seq = spine.select(
+        "day", "kd",
+        F.sum("kd").over(wc).alias("sx"),
+        F.sum(F.expr("kd * kd")).over(wc).alias("sxx"),
+    )
+    packed = seq.agg(
+        F.expr(
+            "concat(array(0L), transform(array_sort(collect_list("
+            "struct(day, sx))), s -> s.sx))"
+        ).alias("sxl"),
+        F.expr(
+            "concat(array(0L), transform(array_sort(collect_list("
+            "struct(day, sxx))), s -> s.sxx))"
+        ).alias("sxxl"),
+        F.count("*").cast("long").alias("n"),
+        F.min("day").cast("long").alias("day0"),
+    ).localCheckpoint(eager=True)
+    dp = packed.select(
+        "sxl", "n", "day0",
+        F.expr("aggregate(if(n >= 1, sequence(1L, n), array()), named_struct('f', array(0L), 'bp', array(0L)), (a, jn) -> named_struct( 'f', concat(a.f, array(array_min(transform(sequence(0L, jn - 1), i -> element_at(a.f, cast(i as int) + 1) + element_at(sxxl, cast(jn as int) + 1) - element_at(sxxl, cast(i as int) + 1) - (element_at(sxl, cast(jn as int) + 1) - element_at(sxl, cast(i as int) + 1)) * (element_at(sxl, cast(jn as int) + 1) - element_at(sxl, cast(i as int) + 1)) div (jn - i) + 3000000L)))), 'bp', concat(a.bp, array(cast(array_position(transform(sequence(0L, jn - 1), i -> element_at(a.f, cast(i as int) + 1) + element_at(sxxl, cast(jn as int) + 1) - element_at(sxxl, cast(i as int) + 1) - (element_at(sxl, cast(jn as int) + 1) - element_at(sxl, cast(i as int) + 1)) * (element_at(sxl, cast(jn as int) + 1) - element_at(sxl, cast(i as int) + 1)) div (jn - i) + 3000000L), array_min(transform(sequence(0L, jn - 1), i -> element_at(a.f, cast(i as int) + 1) + element_at(sxxl, cast(jn as int) + 1) - element_at(sxxl, cast(i as int) + 1) - (element_at(sxl, cast(jn as int) + 1) - element_at(sxl, cast(i as int) + 1)) * (element_at(sxl, cast(jn as int) + 1) - element_at(sxl, cast(i as int) + 1)) div (jn - i) + 3000000L))) - 1 as bigint)))))").alias("st"),
+    ).select(
+        "sxl", "n", "day0", F.col("st.f").alias("f"),
+        F.col("st.bp").alias("bp"),
+    )
+    segs = dp.select(
+        "sxl", "n", "day0", "bp",
+        F.expr("aggregate(if(n >= 1, sequence(1L, n), array()), named_struct('ends', cast(array() as array<bigint>), 'e', n), (a, step) -> if(a.e > 0, named_struct('ends', concat(a.ends, array(a.e)),  'e', element_at(bp, cast(a.e as int) + 1)), a))").alias("wk"),
+    ).select(
+        "sxl", "day0", "bp",
+        F.explode("wk.ends").alias("e"),
+    )
+    return segs.select(
+        F.expr("day0 + element_at(bp, cast(e as int) + 1)").cast("long")
+        .alias("seg_start_day"),
+        F.expr("day0 + e - 1").cast("long").alias("seg_end_day"),
+        F.expr("e - element_at(bp, cast(e as int) + 1)").cast("long")
+        .alias("n_days"),
+        F.expr(
+            "(element_at(sxl, cast(e as int) + 1)"
+            " - element_at(sxl, cast(element_at(bp, cast(e as int) + 1)"
+            " as int) + 1))"
+            " div (e - element_at(bp, cast(e as int) + 1))"
+        ).cast("long").alias("mean_kd"),
+    ).orderBy("seg_start_day")
 
 
 # Self-register ONLY under the round-10 gate (this module is imported both

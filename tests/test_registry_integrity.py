@@ -225,3 +225,54 @@ def test_r9_driver_window_covers_every_unverified_entry():
     # `never` — both states are legal here)
     for name in queries_r9.STAGED:
         assert name in ev or name in never[:50], name
+
+
+def test_r10_staged_queries_disjoint_and_gated():
+    """queries_r10 is staged, not registered: its names must not collide
+    with live registry entries, must not appear in queries() without the
+    gate, and must register cleanly in a gated subprocess."""
+    import subprocess
+    import sys
+
+    from gan_deeplearning4j_spark import queries_r10
+    from gan_deeplearning4j_spark.queries import REGISTRY
+
+    staged = set(queries_r10.STAGED)
+    assert not staged & set(REGISTRY)
+    # every staged entry carries an oracle (hash-grade on registration)
+    assert all(t[1] for t in queries_r10.STAGED.values())
+    if not staged:
+        return  # wave not started yet this round
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "from gan_deeplearning4j_spark.queries import REGISTRY;"
+         "from gan_deeplearning4j_spark import queries_r10;"
+         "print(len(set(queries_r10.STAGED) & set(REGISTRY)))"],
+        env={"SPARK_GRAFT_R10": "1", "PATH": "/usr/bin:/bin",
+             "HOME": "/root"},
+        cwd="/root/repo", capture_output=True, text=True, timeout=120,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert out.stdout.strip() == str(len(staged))
+
+
+def test_r10_staged_oracles_bind_in_duckdb(sf_dir):
+    """Staged round-10 oracles must keep binding in DuckDB (EXPLAIN only)
+    even though they are not yet in the live registry — catches SQL
+    bitrot a round early."""
+    from gan_deeplearning4j_spark import queries_r10
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    bad = []
+    for name, (fn, oracle, headline, doc) in queries_r10.STAGED.items():
+        if not oracle:
+            continue
+        try:
+            con.sql("EXPLAIN " + oracle)
+        except Exception as exc:  # noqa: BLE001
+            bad.append((name, str(exc)[:120]))
+    assert not bad, bad
