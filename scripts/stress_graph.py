@@ -116,6 +116,60 @@ def main() -> int:
         dt = time.perf_counter() - t0
         print(f"hits x{copies_n} (bc_max={bc_max}): edges={n} -> "
               f"scored nodes={rows} in {dt:.1f} s")
+    elif which == "ppr":
+        from gan_deeplearning4j_spark.operators.graph import (
+            co_purchase_pairs,
+            ppr_fixed,
+        )
+
+        pr = co_purchase_pairs(li)
+        big = pr.crossJoin(copies).select(
+            (F.col("p1") + F.col("rep") * 10_000_000).alias("p1"),
+            (F.col("p2") + F.col("rep") * 10_000_000).alias("p2"),
+        ).localCheckpoint(eager=True)
+        n = big.count()
+        t0 = time.perf_counter()
+        # the SAME operator the registered query certifies — no inline copy
+        ranks = ppr_fixed(big, "p1", "p2", iters=3)
+        rows = ranks.orderBy(F.desc("rank"), "node").limit(20).count()
+        dt = time.perf_counter() - t0
+        print(f"ppr x{copies_n}: edges={n} -> top rows={rows} "
+              f"in {dt:.1f} s")
+    elif which == "reach2":
+        # same two-hop shape as the staged q_graph_2hop_reach, over the
+        # replicated co-purchase pairs (replicating lineitem itself would
+        # mostly measure the pair-building join, already covered above)
+        from gan_deeplearning4j_spark.operators.graph import (
+            co_purchase_pairs,
+        )
+
+        pr = co_purchase_pairs(li)
+        big = pr.crossJoin(copies).select(
+            (F.col("p1") + F.col("rep") * 10_000_000).alias("s"),
+            (F.col("p2") + F.col("rep") * 10_000_000).alias("d"),
+        )
+        und = big.union(
+            big.select(F.col("d").alias("s"), F.col("s").alias("d"))
+        ).localCheckpoint(eager=True)
+        n = und.count()
+        t0 = time.perf_counter()
+        u1 = und.select(F.col("s").alias("node"), F.col("d").alias("mid"))
+        u2 = und.select(F.col("s").alias("mid"), F.col("d").alias("r"))
+        hop2 = (
+            u1.join(u2, "mid")
+            .filter(F.col("r") != F.col("node"))
+            .select("node", "r")
+            .union(und.select(F.col("s").alias("node"),
+                              F.col("d").alias("r")))
+            .distinct()
+        )
+        rows = (
+            hop2.groupBy("node").agg(F.count("*").alias("reach2"))
+            .orderBy(F.desc("reach2"), "node").limit(20).count()
+        )
+        dt = time.perf_counter() - t0
+        print(f"reach2 x{copies_n}: und edges={n} -> top rows={rows} "
+              f"in {dt:.1f} s")
     else:
         raise SystemExit(f"unknown target {which!r}")
     spark.stop()
