@@ -710,3 +710,83 @@ def test_holt_winters_matches_python_fold(spark, sf_dir):
             row["season_min"], row["season_max"], row["sum_abs_err"],
             row["mae_ppk"]) == (
         n, lv, tr, min(s), max(s), sae, sae * 1000 // (n - 7))
+
+
+def test_hill_tail_index_matches_python(spark, sf_dir):
+    import math
+
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_custkey", "o_totalprice"])
+    o["xd"] = np.floor(o["o_totalprice"] + 0.5).astype(np.int64)
+    cust = o.groupby("o_custkey")["xd"].sum().sort_values(ascending=False)
+    top = cust.to_numpy()[:101]
+    lxs = [math.floor(math.log(int(x)) * 1e6) for x in top]
+    inv = sum(lx - lxs[100] for lx in lxs[:100]) // 100
+    row = _fn("hill_tail_index")(spark, sf_dir).collect()[0]
+    assert (row["k"], row["x_threshold"], row["hill_inv_e6"],
+            row["alpha_e6"]) == (
+        100, int(top[100]), inv, 10 ** 12 // inv)
+
+
+def test_newsvendor_matches_python(spark, sf_dir):
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderdate"])
+    day = (o["o_orderdate"].dt.floor("D").astype("datetime64[s]")
+           .astype(np.int64) // 86400)
+    d = day.value_counts().sort_index()  # demand per day
+    vals = sorted(d.to_list())
+    n = len(vals)
+    out = {r["scenario"]: (r["cu"], r["co"], r["critical_ratio_ppm"],
+                           r["stock_level"])
+           for r in _fn("newsvendor_stock_level")(spark, sf_dir).collect()}
+    for scen, cu, co in (("understock_costly", 9, 1), ("balanced", 1, 1),
+                         ("overstock_costly", 1, 4)):
+        # smallest demand value with cum*(cu+co) >= n*cu
+        cumn = 0
+        lvl = None
+        from collections import Counter
+        for v, t in sorted(Counter(vals).items()):
+            cumn += t
+            if cumn * (cu + co) >= n * cu:
+                lvl = v
+                break
+        assert out[scen] == (cu, co, cu * 1_000_000 // (cu + co), lvl), scen
+    # monotone in the critical ratio
+    assert (out["overstock_costly"][3] <= out["balanced"][3]
+            <= out["understock_costly"][3])
+
+
+def test_markov_entropy_rate_matches_python(spark, sf_dir):
+    import math
+    from collections import Counter, defaultdict
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id",
+                                  "event_type"])
+    ev["ts_us"] = ev["ts"].astype("datetime64[us]").astype(np.int64)
+    trans = Counter()
+    for _, g in ev.sort_values(["ts_us", "event_id"]).groupby("user_id"):
+        ts = g["event_type"].to_list()
+        for a, b in zip(ts, ts[1:]):
+            trans[(a, b)] += 1
+    r = defaultdict(int)
+    for (a, _), c in trans.items():
+        r[a] += c
+    states = sorted(r)
+    k = len(states)
+    pi = {st: 1_000_000 // k for st in states}
+    for _ in range(3):
+        nxt = defaultdict(int)
+        for (a, b), c in trans.items():
+            nxt[b] += pi[a] * c // r[a]
+        pi = nxt
+
+    def L(z):
+        return math.floor(math.log(z) * 1e6)
+
+    out = {row["event_type"]: (row["pi_ppm"], row["h_state_e6"],
+                               row["contribution_e6"])
+           for row in _fn("markov_entropy_rate")(spark, sf_dir).collect()}
+    for st in states:
+        h = sum(c * (L(r[st]) - L(c))
+                for (a, _), c in trans.items() if a == st) // r[st]
+        assert out[st] == (pi[st], h, pi[st] * h // 1_000_000), st
