@@ -4978,8 +4978,7 @@ def q_filter_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT t_days, d, nr,
              ROW_NUMBER() OVER (ORDER BY t_days) AS rn
       FROM risk WHERE d > 0
-    ), cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM dt),
-    walk AS (
+    ), walk AS (
       SELECT 0 AS rn, CAST(0 AS BIGINT) AS t_days, CAST(0 AS BIGINT) AS d,
              CAST(0 AS BIGINT) AS nr, CAST(1000000 AS BIGINT) AS s_ppm
       UNION ALL

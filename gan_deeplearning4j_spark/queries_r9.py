@@ -2920,13 +2920,13 @@ def q_theil_inequality_decomposition(
     WITH e AS (
       SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events
     ), marked AS (
-      SELECT user_id, ts_us,
+      SELECT user_id, ts_us, event_id,
              CASE WHEN ts_us - LAG(ts_us) OVER w > 1800000000
                     OR LAG(ts_us) OVER w IS NULL THEN 1 ELSE 0 END AS brk
       FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
     ), sess AS (
       SELECT user_id, ts_us,
-             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
                             ROWS UNBOUNDED PRECEDING) AS sid
       FROM marked
     ), spans AS (
@@ -2973,16 +2973,19 @@ def q_littles_law_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     marked = ev.select(
-        "user_id", "ts_us",
+        "user_id", "ts_us", "event_id",
         F.when(
             (F.col("ts_us") - F.lag("ts_us").over(w) > 1_800_000_000)
             | F.lag("ts_us").over(w).isNull(), 1
         ).otherwise(0).alias("brk"),
     )
+    # (ts_us, event_id) ordering everywhere: a ROWS frame over a
+    # non-unique ordering would make session assignment nondeterministic
+    # on per-user timestamp ties (round-9 self-review finding)
     sess = marked.select(
         "user_id", "ts_us",
         F.sum("brk").over(
-            Window.partitionBy("user_id").orderBy("ts_us")
+            Window.partitionBy("user_id").orderBy("ts_us", "event_id")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ).alias("sid"),
     )
@@ -3106,7 +3109,7 @@ def q_dft_power_topfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dev = daily.crossJoin(F.broadcast(tot)).select(
         "day", (F.col("c") - F.expr("s div n")).alias("d")
-    )
+    ).localCheckpoint(eager=True)  # two period bins consume it
     out = None
     for p, (ct, st) in _DFT_TABLES.items():
         ca = "array(" + ",".join(f"{v}L" for v in ct) + ")"
@@ -3196,10 +3199,11 @@ def q_dft_power_topfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_repetition_stats (fixed n-gram reuse) approximates. The "
         "greedy parse folds each doc's first 120 lowercase tokens "
         "through a (dictionary, current-phrase) state ENGINE-SIDE: "
-        "Spark an F.aggregate struct accumulator, DuckDB a 2-arg "
-        "list_reduce over a delimiter-packed VARCHAR state ('d1|d2~cur' "
-        "— the struct-accumulator quirk workaround, phrases contain "
-        "spaces never '|'/'~' by the [a-z]+ token filter). Scale: "
+        "Spark an F.aggregate struct accumulator, DuckDB a per-doc "
+        "recursive CTE over ('|'-packed dict, cur) columns — NOT "
+        "list_reduce, whose v1.0.0 multi-row mis-fold this round "
+        "documented (phrases contain spaces, never '|', by the "
+        "[a-z]+ token filter). Scale: "
         "embarrassingly parallel per doc, bounded at 120 tokens; one "
         "source rollup",
 )
@@ -3867,7 +3871,10 @@ def q_holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
             "    - element_at(a.s, cast((day0 + i - 1) % 7 as int) + 1))))"
         ).alias("st"),
     )
-    return fold.select(
+    # below a full seasonal week the oracle's walk never reaches its
+    # anchor and emits 0 rows — match it instead of returning the init
+    # struct (round-9 self-review finding)
+    return fold.filter(F.col("n") >= 7).select(
         F.col("n").alias("n_days"),
         F.col("st.lv").cast("long").alias("level_final"),
         F.col("st.tr").cast("long").alias("trend_final"),
@@ -4110,6 +4117,13 @@ def q_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     states = trans.select(F.col("src").alias("st")).distinct()
     k = states.count()  # alphabet-sized probe (bounded)
+    if k == 0:
+        # no user has two consecutive events: match the oracle's clean
+        # empty result instead of dividing by zero on the driver
+        return spark.createDataFrame(
+            [], "event_type string, pi_ppm long, h_state_e6 long,"
+                " contribution_e6 long"
+        )
     pi = states.select(
         "st", F.lit(1_000_000 // k).cast("long").alias("pi")
     )

@@ -98,16 +98,38 @@ class SnapshotTable:
                 f"snapshot: version v{new_version} already committed"
             ) from None
         except OSError:
+            # Hardlink-free path, still ATOMIC for readers: the race is
+            # decided by an exclusive-create CLAIM file, then the fully
+            # written tmp manifest is published with os.replace — a
+            # reader can never observe a partial v{N}.json (writing the
+            # content through the O_EXCL fd directly would expose the
+            # slot before its bytes exist). A writer crashing between
+            # claim and publish leaves v{N}.json.claim without
+            # v{N}.json — a diagnosable stale claim, named in the
+            # conflict error, never a parse of an empty manifest.
+            claim = mp + ".claim"
             try:
-                cfd = os.open(mp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(os.open(claim, os.O_CREAT | os.O_EXCL))
             except FileExistsError:
                 raise SnapshotConflictError(
-                    f"snapshot: version v{new_version} already committed"
+                    f"snapshot: version v{new_version} already committed "
+                    f"(or a crashed writer left a stale {claim!r})"
                 ) from None
-            with os.fdopen(cfd, "w") as cf, open(tmp) as tf:
-                cf.write(tf.read())
+            try:
+                # a manifest published by another writer (e.g. one whose
+                # os.link path worked) must not be clobbered: the claim
+                # only serializes fallback writers
+                if os.path.exists(mp):
+                    raise SnapshotConflictError(
+                        f"snapshot: version v{new_version} already "
+                        "committed"
+                    )
+                os.replace(tmp, mp)
+            finally:
+                os.unlink(claim)
         finally:
-            os.unlink(tmp)
+            if os.path.exists(tmp):
+                os.unlink(tmp)
         fd, tmp = tempfile.mkstemp(dir=self.path, suffix=".tmp")
         with os.fdopen(fd, "w") as f:
             f.write(str(new_version))
