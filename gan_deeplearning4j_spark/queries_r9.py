@@ -1,15 +1,12 @@
-"""Round-9 staged queries — written during round 8, registered in round 9.
+"""Round-9 queries: the 19-entry wave staged during round 8 (flipped
+live in round 9 once CORRECTNESS_r08 confirmed the round-8 window
+green) PLUS the 17 live round-9 additions appended under the
+"Round-9 LIVE additions" banner below — all registered unconditionally
+via register_all() at the module bottom.
 
 Same staging pattern as queries_r7/queries_r8 (see their module
-docstrings): the round-8 driver window is pinned to the current
-never-green prefix (the 34 round-8 entries), so anything new written this
-round stays behind ``SPARK_GRAFT_R9=1`` until CORRECTNESS_r08 lands and
-round 9 makes registration unconditional.
-
-Local verification (identical gates to registered queries):
-
-    SPARK_GRAFT_R9=1 python scripts/driver_replica.py <names...>
-    SPARK_GRAFT_R9=1 python scripts/check_parity.py <names...>
+docstrings); round-10 staging continues in queries_r10.py behind
+``SPARK_GRAFT_R10``.
 """
 
 from __future__ import annotations
