@@ -481,3 +481,69 @@ def test_changepoints_match_python_dp(spark, sf_dir):
     # sf0.001 the series is too quiet to beat the penalty (1 segment)
     if "sf0.01" in sf_dir or "sf0.1" in sf_dir:
         assert len(out) >= 2
+
+
+def test_weighted_interval_matches_python_dp(spark, sf_dir):
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                                 "o_totalprice"])
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_shipdate"])
+    ship = li.groupby("l_orderkey")["l_shipdate"].max()
+    m = o.join(ship, on="o_orderkey", how="inner")
+    sd = (m["o_orderdate"].dt.floor("D").astype("datetime64[s]")
+          .astype(np.int64) // 86400)
+    ed = (m["l_shipdate"].dt.floor("D").astype("datetime64[s]")
+          .astype(np.int64) // 86400)
+    w = (np.floor(m["o_totalprice"].to_numpy() * 100 + 0.5)
+         .astype(np.int64) // 1000)
+    df = pd.DataFrame({"cust": m["o_custkey"].to_numpy(),
+                       "lo": np.minimum(sd, ed).to_numpy(),
+                       "hi": np.maximum(sd, ed).to_numpy(), "w": w})
+    best = {}
+    for cust, g in df.groupby("cust"):
+        its = sorted(zip(g["hi"], g["lo"], g["w"]))
+        n = len(its)
+        M = [0] * (n + 1)
+        for i in range(1, n + 1):
+            hi_i, lo_i, w_i = its[i - 1]
+            p = sum(1 for j in range(i - 1) if its[j][0] < lo_i)
+            M[i] = max(M[i - 1], int(w_i) + M[p])
+        best[int(cust)] = (n, M[n])
+    want = sorted(best.items(), key=lambda kv: (-kv[1][1], kv[0]))[:15]
+    out = [(r["custkey"], r["n_orders"], r["best_value_kc"])
+           for r in _fn("weighted_interval_schedule")(
+               spark, sf_dir).collect()]
+    assert out == [(c, n, v) for c, (n, v) in want]
+    # the DP dominates any single interval's weight per customer
+    for c, (n, v) in want:
+        assert v >= int(df[df["cust"] == c]["w"].max())
+
+
+def test_join_order_advisor_matches_python(spark, sf_dir):
+    c = pd.read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey"])
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_custkey", "o_orderkey"])
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey"])
+    n_c, n_o, n_l = len(c), len(o), len(li)
+    d_c = c["c_custkey"].nunique()
+    d_ock, d_ook = o["o_custkey"].nunique(), o["o_orderkey"].nunique()
+    d_lok = li["l_orderkey"].nunique()
+    co_i = n_c * n_o // max(d_c, d_ock)
+    co_f = co_i * n_l // max(d_ook, d_lok)
+    ol_i = n_o * n_l // max(d_ook, d_lok)
+    ol_f = ol_i * n_c // max(d_c, d_ock)
+    best = min(co_i + co_f, ol_i + ol_f)
+    out = {r["plan"]: (r["est_intermediate"], r["est_final"],
+                       r["est_cost"], r["is_winner"])
+           for r in _fn("join_order_advisor")(spark, sf_dir).collect()}
+    assert out["co_then_l"] == (co_i, co_f, co_i + co_f,
+                                int(co_i + co_f == best))
+    assert out["ol_then_c"] == (ol_i, ol_f, ol_i + ol_f,
+                                int(ol_i + ol_f == best))
+    # sanity: the final-size estimates agree (commutativity of the
+    # Selinger formula up to integer-division order)
+    assert abs(out["co_then_l"][1] - out["ol_then_c"][1]) <= max(
+        out["co_then_l"][1], 1) // 100
