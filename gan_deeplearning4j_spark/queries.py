@@ -2711,11 +2711,17 @@ from . import queries_r8  # noqa: E402,F401  (side effect: registration)
 # at its module bottom (same both-import-orders rationale as above).
 from . import queries_r9  # noqa: E402,F401  (side effect: registration)
 
-# Round-10 staging: same pattern — new queries written during round 9 stay
-# behind SPARK_GRAFT_R10 until CORRECTNESS_r09 lands, so the round-9 driver
-# window stays exactly the current never-green set. queries_r10 gates its
+# Round-10 wave: staged during round 9 behind SPARK_GRAFT_R10, registered
+# unconditionally now that CORRECTNESS_r09 confirmed the full round-9
+# window green (50/50 hash-match). queries_r10 SELF-registers at its module
+# bottom (same both-import-orders rationale as above).
+from . import queries_r10  # noqa: E402,F401  (side effect: registration)
+
+# Round-11 staging: same pattern — new queries written during round 10 stay
+# behind SPARK_GRAFT_R11 until CORRECTNESS_r10 lands, so the round-10 driver
+# window stays exactly the current never-green set. queries_r11 gates its
 # own self-registration on the env var.
 import os as _os  # noqa: E402
 
-if _os.environ.get("SPARK_GRAFT_R10"):
-    from . import queries_r10  # noqa: F401  (side effect: registration)
+if _os.environ.get("SPARK_GRAFT_R11"):
+    from . import queries_r11  # noqa: F401  (side effect: registration)

@@ -1,15 +1,11 @@
-"""Round-10 staged queries — written during round 9, registered in round 10.
+"""Round-10 query wave — written during round 9, registered in round 10.
 
-Same staging pattern as queries_r7/r8/r9 (see their module docstrings):
-the round-9 driver window is pinned to the current never-green prefix
-(19 flipped + 14 live round-9 entries), so anything new written this
-round stays behind ``SPARK_GRAFT_R10=1`` until CORRECTNESS_r09 lands and
-round 10 makes registration unconditional.
-
-Local verification (identical gates to registered queries):
-
-    SPARK_GRAFT_R10=1 python scripts/driver_replica.py <names...>
-    SPARK_GRAFT_R10=1 python scripts/check_parity.py <names...>
+Staged behind ``SPARK_GRAFT_R10=1`` during round 9 (same lifecycle as
+queries_r7/r8/r9); CORRECTNESS_r09 came back 50/50 hash-green, so round 10
+flipped the gate and this module now self-registers unconditionally at its
+bottom. All 17 entries are oracled and were certified at 3 SFs + 3
+perturbations with python-replay pins before the flip
+(tests/test_queries_r10.py).
 """
 
 from __future__ import annotations
@@ -1868,9 +1864,8 @@ def q_join_order_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Self-register ONLY under the round-10 gate (this module is imported both
-# by queries.py under the gate and directly by tests without it).
-import os as _os
-
-if _os.environ.get("SPARK_GRAFT_R10"):
-    register_all()
+# Self-register unconditionally (round 10: the gate was flipped after
+# CORRECTNESS_r09 came back 50/50 green — same lifecycle as queries_r7/r8/r9).
+# register_all() is idempotent, so the historical double-import path
+# (queries.py import + direct test import) stays safe.
+register_all()

@@ -5,8 +5,8 @@ green) PLUS the 17 live round-9 additions appended under the
 via register_all() at the module bottom.
 
 Same staging pattern as queries_r7/queries_r8 (see their module
-docstrings); round-10 staging continues in queries_r10.py behind
-``SPARK_GRAFT_R10``.
+docstrings); the round-10 wave flipped live in queries_r10.py, and
+round-11 staging continues in queries_r11.py behind ``SPARK_GRAFT_R11``.
 """
 
 from __future__ import annotations
