@@ -204,6 +204,23 @@ def main() -> None:
             for label, names in _SUBSETS.items()
             if all(n in iso for n in names)
         }
+        # Per-query in-suite/isolated ratio (r9 verdict ask #4): on a busy
+        # box the in-suite series inflates up to 13x (r9 driver run:
+        # doc_stats 4.36 s in-suite vs 0.33 s isolated) with byte-identical
+        # plans. A ratio >> 1 means the in-suite number measured box
+        # contention, not the engine — readers must quote ONLY the isolated
+        # series for cross-round comparisons; in-suite stays for
+        # continuity with r1-r8 records.
+        out["noise_ratio"] = {
+            n: round(timings[n] / iso[n], 2)
+            for n in iso
+            if n in timings and iso[n] > 0
+        }
+        ratios = sorted(out["noise_ratio"].values())
+        if ratios:
+            out["noise_ratio_median"] = ratios[len(ratios) // 2]
+            out["noise_ratio_max"] = ratios[-1]
+        out["quote_this_series"] = "queries_isolated_median"
 
     if errors:
         out["errors"] = errors

@@ -661,3 +661,24 @@ def test_bounded_window_partition_key_survives_optimizer(spark):
     assert "spark_partition_id" in opt.lower(), opt
     # and the result is the plain global row_number
     assert df.agg(F.sum("rn")).collect()[0][0] == 5050
+
+
+def test_bounded_window_probe_rejects_unbounded_relation(spark):
+    """bounded_window funnels every row into ONE partition by design; the
+    probe= guard must refuse a relation past max_rows (a fact-sized caller
+    fails loudly instead of serializing 100 TB through one task) while
+    passing a genuinely bounded one — and the probe itself stays
+    O(max_rows) via limit(n+1).count()."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from gan_deeplearning4j_spark.functions.windows import bounded_window
+
+    big = spark.range(5_000)
+    with pytest.raises(ValueError, match="exceeds 1000 rows"):
+        bounded_window("id", probe=big, max_rows=1_000)
+
+    small = spark.range(50).withColumn("v", F.col("id") % 7)
+    spec = bounded_window("v", "id", probe=small, max_rows=1_000)
+    rn = small.withColumn("rn", F.row_number().over(spec))
+    assert rn.agg(F.sum("rn")).collect()[0][0] == 50 * 51 // 2
