@@ -17,7 +17,6 @@ Scale design (100 TB of documents):
 
 from __future__ import annotations
 
-import warnings
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
@@ -742,7 +741,13 @@ def connected_components(
             labels.filter(F.col("node") != F.col("comp"))
             .select(F.col("node").alias("a"), F.col("comp").alias("b"))
         )
-        return _cc_star_contraction(aug, "a", "b", max_iter=30)
+        # max_iter=1000 is a pure runaway backstop here, not a tuning
+        # knob: O(log^2 n) rounds for any feasible graph is double-digit,
+        # and _cc_star_contraction RAISES (never returns partial labels)
+        # if the backstop is ever hit — so the escalation path either
+        # returns exact components or fails loudly, keeping the
+        # "never a possibly-split labeling" guarantee strict.
+        return _cc_star_contraction(aug, "a", "b", max_iter=1000)
     return labels
 
 
@@ -824,11 +829,16 @@ def _cc_star_contraction(
             break
         E, n_prev = E_new, n_new
     if not converged:
-        warnings.warn(
+        # Raise, never return: partial star-forest labels can be SPLIT
+        # components, and this engine is the exactness escalation target
+        # for mode="prop" — a warning with a wrong answer attached would
+        # reintroduce the silent-split path the escalation exists to
+        # close. O(log^2 n) rounds is double-digit for any feasible
+        # graph, so hitting the cap means a bug or an absurd max_iter.
+        raise RuntimeError(
             f"connected_components(mode='logn'): not converged after "
-            f"{max_iter} rounds (O(log^2 n) expected — raise max_iter)",
-            RuntimeWarning,
-            stacklevel=3,
+            f"{max_iter} rounds (O(log^2 n) expected — raise max_iter); "
+            "refusing to return a possibly-split labeling"
         )
     # stars: (member, root) edges with root < member; roots label themselves;
     # self-loop-only nodes rejoin as singletons (parity with mode="prop")

@@ -1330,21 +1330,23 @@ def gram_power_eigvec(
             .agg(F.sum(F.col("g") * F.col("v")).cast("long").alias("s"))
         ).localCheckpoint(eager=True)
         peak = sv.agg(F.max(F.abs("s")).alias("m"))
-        if it == 0:
-            # Degenerate-input guard (mirrors hits_fixed): if the first
-            # product's max-abs is 0 — every coordinate quantized to 0,
-            # or the all-ones start vector sits in G's null space — the
-            # e3 renormalization below would divide by zero and silently
-            # null out the eigenvector. Fail loudly instead. One-row
-            # probe over the checkpointed product, first iteration only.
-            first = peak.first()
-            if first is None or first["m"] is None or first["m"] == 0:
-                raise ValueError(
-                    "gram_power_eigvec: degenerate gram product (max|G.v| "
-                    "== 0 on the first iteration); inputs quantize to "
-                    "zero at the 2^10 scale or start vector is in the "
-                    "null space"
-                )
+        # Degenerate-input guard (mirrors hits_fixed): if this iteration's
+        # product has max-abs 0 — every coordinate quantized to 0, the
+        # start vector sits in G's null space, or a later renormalized
+        # vector quantizes INTO the null space — the e3 renormalization
+        # below would divide by zero and silently null out the
+        # eigenvector. Fail loudly instead. One-row probe per iteration
+        # over the checkpointed dim-sized product (iteration count is a
+        # constant of the call, so this adds O(iters) tiny actions, not a
+        # per-row cost).
+        probe = peak.first()
+        if probe is None or probe["m"] is None or probe["m"] == 0:
+            raise ValueError(
+                "gram_power_eigvec: degenerate gram product (max|G.v| "
+                f"== 0 on iteration {it}); inputs quantize to zero at "
+                "the 2^10 scale or the iterated vector entered G's "
+                "null space"
+            )
         v = sv.crossJoin(F.broadcast(peak)).select(
             F.col("i").alias("j"),
             F.expr("s * 1000 div m").cast("long").alias("v"),

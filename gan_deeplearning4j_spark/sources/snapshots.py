@@ -113,18 +113,34 @@ class SnapshotTable:
             except FileExistsError:
                 raise SnapshotConflictError(
                     f"snapshot: version v{new_version} already committed "
-                    f"(or a crashed writer left a stale {claim!r})"
+                    f"(or a crashed writer left a stale {claim!r} — see "
+                    "repair_stale_claims())"
                 ) from None
             try:
-                # a manifest published by another writer (e.g. one whose
-                # os.link path worked) must not be clobbered: the claim
-                # only serializes fallback writers
-                if os.path.exists(mp):
+                # A manifest published by another writer must not be
+                # clobbered. Retry the exclusive link FIRST: if the
+                # filesystem only rejected it transiently (mixed-capability
+                # mounts), the race against a link-path writer is decided
+                # atomically here, inside the claim. Only when link is
+                # genuinely unsupported do we take exists+replace — and
+                # then every concurrent writer is a fallback writer too
+                # (link capability is a property of the mount, not the
+                # process), so the claim file serializes the check-replace
+                # window and the TOCTOU is closed by construction.
+                try:
+                    os.link(tmp, mp)
+                except FileExistsError:
                     raise SnapshotConflictError(
                         f"snapshot: version v{new_version} already "
                         "committed"
-                    )
-                os.replace(tmp, mp)
+                    ) from None
+                except OSError:
+                    if os.path.exists(mp):
+                        raise SnapshotConflictError(
+                            f"snapshot: version v{new_version} already "
+                            "committed"
+                        ) from None
+                    os.replace(tmp, mp)
             finally:
                 os.unlink(claim)
         finally:
@@ -149,6 +165,43 @@ class SnapshotTable:
         )
 
     # -- public ------------------------------------------------------------
+    def repair_stale_claims(self, min_age_sec: float = 300.0) -> list[str]:
+        """Remove orphaned ``v{N}.json.claim`` files left by a fallback
+        writer that crashed between claiming a version slot and publishing
+        its manifest. Such a claim permanently blocks the slot (every later
+        commit raises ``SnapshotConflictError``), so this is the explicit
+        recovery path — deliberately NOT automatic inside ``commit``:
+        auto-reclaim by age would race a slow live writer under clock skew,
+        turning its eventual publish into a silent double-commit. An
+        operator (or a scheduled janitor that knows the deployment's
+        commit-latency bound) calls this instead.
+
+        Only claims with NO matching manifest are candidates (a claim next
+        to a published manifest is already harmless debris), and only when
+        older than ``min_age_sec`` — generous headroom over any sane
+        manifest-write latency. Returns the removed paths."""
+        import glob as _glob
+
+        removed: list[str] = []
+        now = time.time()
+        for claim in _glob.glob(
+            os.path.join(self._manifest_dir, "v*.json.claim")
+        ):
+            manifest = claim[: -len(".claim")]
+            if os.path.exists(manifest):
+                continue
+            try:
+                age = now - os.stat(claim).st_mtime
+            except OSError:
+                continue  # vanished — its writer published or repaired
+            if age >= min_age_sec:
+                try:
+                    os.unlink(claim)
+                    removed.append(claim)
+                except OSError:
+                    pass
+        return removed
+
     def version(self) -> int | None:
         """Current HEAD version, or None for a not-yet-created table."""
         if not os.path.exists(self._head):

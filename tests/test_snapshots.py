@@ -136,3 +136,54 @@ def test_snapshot_commit_without_hardlink_support(spark, tmp_path,
         f.write("{}")
     with pytest.raises(SnapshotConflictError, match="already committed"):
         t._publish({"files": [], "operation": "append"}, None)
+
+
+def test_snapshot_stale_claim_repair(spark, tmp_path, monkeypatch):
+    """A fallback writer that crashes between claiming a slot and
+    publishing leaves v{N}.json.claim blocking every later commit.
+    repair_stale_claims() is the explicit recovery path: it removes only
+    orphaned claims (no matching manifest) older than min_age_sec, and
+    commits work again afterwards (ADVICE r9)."""
+    def no_link(src, dst, **kw):
+        raise PermissionError("Operation not permitted")
+
+    monkeypatch.setattr(os, "link", no_link)
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    assert t.commit(_df(spark, 0, 5)) == 0
+
+    # simulate the crash: claim v1's slot, no manifest ever published
+    stale = t._manifest_path(1) + ".claim"
+    with open(stale, "w"):
+        pass
+    with pytest.raises(SnapshotConflictError, match="repair_stale_claims"):
+        t.commit(_df(spark, 5, 9))
+
+    # a fresh claim is NOT reclaimed (could be a live slow writer) ...
+    assert t.repair_stale_claims(min_age_sec=3600) == []
+    assert os.path.exists(stale)
+    # ... an old one is; debris next to a published manifest is ignored
+    harmless = t._manifest_path(0) + ".claim"
+    with open(harmless, "w"):
+        pass
+    old = os.stat(stale).st_mtime - 7200
+    os.utime(stale, (old, old))
+    os.utime(harmless, (old, old))
+    assert t.repair_stale_claims(min_age_sec=3600) == [stale]
+    assert not os.path.exists(stale) and os.path.exists(harmless)
+
+    # the slot is usable again
+    assert t.commit(_df(spark, 5, 9)) == 1
+    assert t.read(spark).count() == 9
+
+
+def test_connected_components_logn_raises_on_round_cap(spark):
+    """Star contraction must never RETURN a possibly-split labeling: with
+    an absurdly low max_iter on a chain it raises instead of warning —
+    the escalation path from mode='prop' relies on this strictness
+    (ADVICE r9)."""
+    from gan_deeplearning4j_spark.operators.dedup import _cc_star_contraction
+
+    rows = [(i, i + 1) for i in range(64)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    with pytest.raises(RuntimeError, match="possibly-split"):
+        _cc_star_contraction(df, "a", "b", max_iter=1)
