@@ -4,6 +4,20 @@ Vanilla SparkSession with a NON-UTC timezone (the driver brings its own
 session, so hidden dependencies on our tuned session conf must fail here),
 every `queries()` entry executed at sf0.01, oracled ones hash-compared
 against DuckDB exactly the way the driver does.
+
+Usage:
+    python scripts/driver_replica.py                 # every registered query
+    python scripts/driver_replica.py name [name...]  # just those queries
+    python scripts/driver_replica.py --sample N      # the driver's window
+
+``--sample N`` reproduces the driver's own sampling rule exactly: the
+FIRST N entries of ``queries()`` in its returned order (least-verified
+first — queries with no green CORRECTNESS_r*.json row sort to the front,
+then oldest-green; see ``queries._verification_evidence``). ``--sample 50``
+is therefore the exact set the next driver round will grade, computed from
+the CORRECTNESS files present at run time. Each run prints a round-stamp
+(latest CORRECTNESS round seen + git HEAD) so a recorded transcript pins
+which evidence state produced that window.
 """
 
 import math
@@ -63,7 +77,33 @@ def main() -> int:
         )
 
     qs, oracles = E.queries(), E.oracle_sql()
-    names = sys.argv[1:] or list(qs)
+    # round-stamp: which evidence state ordered queries() for this run
+    import glob
+    import re
+    import subprocess
+    rounds = sorted(
+        int(m.group(1))
+        for p in glob.glob("/root/repo/CORRECTNESS_r*.json")
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+    )
+    try:
+        head = subprocess.run(
+            ["git", "-C", "/root/repo", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+    except Exception:  # noqa: BLE001
+        head = "?"
+    print(f"round-stamp: evidence through r{rounds[-1] if rounds else 0}, "
+          f"git {head or '?'}, sf_dir {sf}, perturb {perturb or 'none'}",
+          flush=True)
+
+    args = sys.argv[1:]
+    if args[:1] == ["--sample"]:
+        if len(args) != 2 or not args[1].isdigit():
+            raise SystemExit("usage: driver_replica.py --sample N")
+        names = list(qs)[: int(args[1])]
+    else:
+        names = args or list(qs)
     fails = []
     for name in names:
         # reset to a non-UTC timezone before EVERY query: a query must be
