@@ -1178,60 +1178,17 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "pq_topk",
-    oracle=None,
-    doc="Product-quantization ANN top-k (Jégou et al., TPAMI'11): per-"
-        "subspace codebooks -> 8-byte codes -> asymmetric-distance scoring "
-        "via per-query lookup tables. Completes the ANN scale trio "
-        "(LSH bucketing, IVF list pruning, PQ compression: 256 B/vector -> "
-        "8 B/vector, the difference between spilling and RAM-resident at "
-        "100 TB). No SQL oracle: codebooks come from numpy Lloyd training "
-        "(driver-side bounded sample); recall >= 0.8 vs brute force and "
-        "repartition-stability are pinned in tests/test_operators.py",
-)
-def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.similarity import pq_topk
-
-    emb = _t(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < 4).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    out = pq_topk(
-        emb, q, "embedding", "vec_id", "query_id", dim=64, k=5
-    )
-    return out.select(
-        "query_id", "vec_id",
-        F.floor(F.col("adc_dist") * 10000).cast("long").alias("adc_dist_e4"),
-    )
-
-
-@register(
-    "ivfpq_topk",
-    oracle=None,
-    doc="IVFPQ ANN top-k (FAISS architecture): coarse inverted lists prune "
-        "which codes a query scans, residual product quantization "
-        "compresses what is scanned (residuals concentrate near the origin "
-        "so 4-bit codebooks quantize them finely). The inverted index is "
-        "(id, centroid_id, 8-byte code) — raw vectors never shuffle. No SQL "
-        "oracle (numpy-trained residual codebooks); recall and "
-        "pruning-monotonicity pinned in tests/test_operators.py",
-)
-def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.similarity import ivfpq_topk
-
-    emb = _t(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < 4).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    out = ivfpq_topk(
-        emb, q, "embedding", "vec_id", "query_id",
-        dim=64, k=5, n_centroids=8, nprobe=3,
-    )
-    return out.select(
-        "query_id", "vec_id",
-        F.floor(F.col("adc_dist") * 10000).cast("long").alias("adc_dist_e4"),
-    )
+# pq_topk / ivfpq_topk (float-path ANN serve, rows-only) were RETIRED in
+# round 10 (r9 verdict ask #7): their correctness coverage lives in the
+# hash-graded fixed twins ``pq_fixed_topk`` / ``ivfpq_fixed_topk``
+# (queries_ext.py - same inverted-index/ADC shape, int64 fixed-point) plus
+# the float-path recall/pruning/repartition-stability pins in
+# tests/test_operators.py. A recall-BRACKET oracle was evaluated and
+# rejected: on the synthetic near-equidistant random embeddings, measured
+# hits-in-exact-top10 per query span 0-4 of 5 across SFs, so any
+# non-flaky bound would pin nothing (keep-decision record, round 10).
+# The operators (operators/similarity.py pq_topk/ivfpq_topk) remain the
+# 100 TB serve path.
 
 
 def _sql_arr(row: list[float]) -> str:
@@ -1550,10 +1507,88 @@ def q_gan_grid_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_features",
-    oracle=None,
+    oracle="""
+    SELECT CAST(media_id AS BIGINT) AS media_id,
+           CAST(f0_e6 AS BIGINT) AS f0_e6,
+           CAST(dim AS BIGINT) AS dim
+    FROM (VALUES
+      (0, 429289, 8),
+      (1, 566789, 8),
+      (2, 485539, 8),
+      (3, 381249, 8),
+      (4, 502328, 8),
+      (5, 579289, 8),
+      (6, 498161, 8),
+      (7, 506004, 8),
+      (8, 490196, 8),
+      (9, 535049, 8),
+      (10, 551838, 8),
+      (11, 518137, 8),
+      (12, 465563, 8),
+      (13, 489950, 8),
+      (14, 505514, 8),
+      (15, 519485, 8),
+      (16, 477818, 8),
+      (17, 462009, 8),
+      (18, 585294, 8),
+      (19, 500857, 8),
+      (20, 472181, 8),
+      (21, 470955, 8),
+      (22, 500367, 8),
+      (23, 467279, 8),
+      (24, 489950, 8),
+      (25, 530882, 8),
+      (26, 560416, 8),
+      (27, 376102, 8),
+      (28, 473897, 8),
+      (29, 477573, 8),
+      (30, 511152, 8),
+      (31, 485171, 8),
+      (32, 460906, 8),
+      (33, 558088, 8),
+      (34, 553186, 8),
+      (35, 592769, 8),
+      (36, 540196, 8),
+      (37, 438725, 8),
+      (38, 521446, 8),
+      (39, 405392, 8),
+      (40, 548039, 8),
+      (41, 528921, 8),
+      (42, 581862, 8),
+      (43, 535784, 8),
+      (44, 484681, 8),
+      (45, 579166, 8),
+      (46, 520588, 8),
+      (47, 462745, 8),
+      (48, 418382, 8),
+      (49, 427818, 8),
+      (50, 520955, 8),
+      (51, 430882, 8),
+      (52, 482352, 8),
+      (53, 511642, 8),
+      (54, 453431, 8),
+      (55, 494362, 8),
+      (56, 429656, 8),
+      (57, 500735, 8),
+      (58, 580392, 8),
+      (59, 474754, 8),
+      (60, 579411, 8),
+      (61, 541053, 8),
+      (62, 510048, 8),
+      (63, 511887, 8)
+    ) AS t(media_id, f0_e6, dim)
+    ORDER BY media_id
+    """,
     doc="North-star multimodal: binary media column → REAL PNG decode "
         "(in-engine pure-stdlib codec, zlib inflate + scanline unfilter) "
-        "→ feature vector via mapInPandas",
+        "→ feature vector via mapInPandas. Oracle is a GOLDEN fixed-point "
+        "table (r9 verdict ask #7 promotion from rows-only): the media "
+        "column is a deterministic in-engine synthetic (seeded, "
+        "sf-independent) and the decode is exact, so floor(f0*1e6) is a "
+        "stable constant per media_id — any regression in the PNG codec, "
+        "the pandas-UDF plumbing, or the feature math breaks the hash. "
+        "zlib inflate is not SQL-expressible, hence golden values rather "
+        "than a replay oracle",
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.multimodal import decode_features, synth_media_df
@@ -1561,17 +1596,286 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = synth_media_df(spark, n=64)
     feats = decode_features(media, out_dim=8, fake=False)
     return feats.select(
-        "media_id",
-        F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"),
-        F.size("feature").alias("dim"),
+        F.col("media_id").cast("long").alias("media_id"),
+        F.floor(F.element_at("feature", 1).cast("double") * 1e6)
+        .cast("long").alias("f0_e6"),
+        F.size("feature").cast("long").alias("dim"),
     )
 
 
 @register(
     "audio_features",
-    oracle=None,
-    doc="North-star multimodal audio: binary column → fake PCM decode → "
-        "per-frame RMS energy rows via mapInPandas (shuffle-free)",
+    oracle="""
+    SELECT CAST(media_id AS BIGINT) AS media_id,
+           CAST(frame_no AS BIGINT) AS frame_no,
+           CAST(rms_e6 AS BIGINT) AS rms_e6
+    FROM (VALUES
+      (0, 0, 589169),
+      (0, 1, 546152),
+      (0, 2, 592902),
+      (0, 3, 578370),
+      (0, 4, 581942),
+      (0, 5, 593922),
+      (0, 6, 580849),
+      (0, 7, 574728),
+      (1, 0, 573932),
+      (1, 1, 569783),
+      (1, 2, 572988),
+      (1, 3, 579764),
+      (1, 4, 576311),
+      (1, 5, 565237),
+      (1, 6, 574921),
+      (1, 7, 584475),
+      (2, 0, 580227),
+      (2, 1, 584710),
+      (2, 2, 579032),
+      (2, 3, 591786),
+      (2, 4, 572989),
+      (2, 5, 566457),
+      (2, 6, 585422),
+      (2, 7, 544402),
+      (3, 0, 594544),
+      (3, 1, 573020),
+      (3, 2, 579483),
+      (3, 3, 562781),
+      (3, 4, 558998),
+      (3, 5, 559090),
+      (3, 6, 570719),
+      (3, 7, 579321),
+      (4, 0, 553971),
+      (4, 1, 571993),
+      (4, 2, 594892),
+      (4, 3, 584513),
+      (4, 4, 576623),
+      (4, 5, 567750),
+      (4, 6, 571615),
+      (4, 7, 575620),
+      (5, 0, 595594),
+      (5, 1, 579801),
+      (5, 2, 583427),
+      (5, 3, 574563),
+      (5, 4, 587148),
+      (5, 5, 592434),
+      (5, 6, 600583),
+      (5, 7, 581345),
+      (6, 0, 594801),
+      (6, 1, 583342),
+      (6, 2, 586719),
+      (6, 3, 584824),
+      (6, 4, 575507),
+      (6, 5, 572940),
+      (6, 6, 551817),
+      (6, 7, 576703),
+      (7, 0, 599630),
+      (7, 1, 596233),
+      (7, 2, 577658),
+      (7, 3, 583390),
+      (7, 4, 558714),
+      (7, 5, 584559),
+      (7, 6, 574864),
+      (7, 7, 575845),
+      (8, 0, 592369),
+      (8, 1, 591163),
+      (8, 2, 587804),
+      (8, 3, 591897),
+      (8, 4, 566157),
+      (8, 5, 573276),
+      (8, 6, 587763),
+      (8, 7, 583345),
+      (9, 0, 592426),
+      (9, 1, 559812),
+      (9, 2, 542412),
+      (9, 3, 577596),
+      (9, 4, 555351),
+      (9, 5, 589148),
+      (9, 6, 558506),
+      (9, 7, 559307),
+      (10, 0, 590646),
+      (10, 1, 569387),
+      (10, 2, 562661),
+      (10, 3, 582969),
+      (10, 4, 576770),
+      (10, 5, 580871),
+      (10, 6, 585767),
+      (10, 7, 573158),
+      (11, 0, 585824),
+      (11, 1, 572880),
+      (11, 2, 573101),
+      (11, 3, 585866),
+      (11, 4, 560437),
+      (11, 5, 569880),
+      (11, 6, 600806),
+      (11, 7, 566147),
+      (12, 0, 578661),
+      (12, 1, 569703),
+      (12, 2, 593013),
+      (12, 3, 595384),
+      (12, 4, 554293),
+      (12, 5, 587160),
+      (12, 6, 585875),
+      (12, 7, 585291),
+      (13, 0, 595755),
+      (13, 1, 561906),
+      (13, 2, 576724),
+      (13, 3, 564907),
+      (13, 4, 551089),
+      (13, 5, 586789),
+      (13, 6, 591104),
+      (13, 7, 568075),
+      (14, 0, 582829),
+      (14, 1, 576206),
+      (14, 2, 574921),
+      (14, 3, 566184),
+      (14, 4, 565046),
+      (14, 5, 571132),
+      (14, 6, 573270),
+      (14, 7, 554064),
+      (15, 0, 568726),
+      (15, 1, 600862),
+      (15, 2, 575385),
+      (15, 3, 571415),
+      (15, 4, 573620),
+      (15, 5, 574614),
+      (15, 6, 570681),
+      (15, 7, 572517),
+      (16, 0, 573833),
+      (16, 1, 566619),
+      (16, 2, 590396),
+      (16, 3, 582912),
+      (16, 4, 578495),
+      (16, 5, 565321),
+      (16, 6, 586366),
+      (16, 7, 554724),
+      (17, 0, 587194),
+      (17, 1, 550470),
+      (17, 2, 568195),
+      (17, 3, 565090),
+      (17, 4, 592772),
+      (17, 5, 579800),
+      (17, 6, 581637),
+      (17, 7, 570074),
+      (18, 0, 573562),
+      (18, 1, 570586),
+      (18, 2, 589198),
+      (18, 3, 568479),
+      (18, 4, 585186),
+      (18, 5, 558122),
+      (18, 6, 588074),
+      (18, 7, 578346),
+      (19, 0, 561011),
+      (19, 1, 585684),
+      (19, 2, 579880),
+      (19, 3, 571660),
+      (19, 4, 562632),
+      (19, 5, 575239),
+      (19, 6, 548758),
+      (19, 7, 561598),
+      (20, 0, 575816),
+      (20, 1, 583850),
+      (20, 2, 557974),
+      (20, 3, 576017),
+      (20, 4, 573666),
+      (20, 5, 555704),
+      (20, 6, 561607),
+      (20, 7, 578421),
+      (21, 0, 557734),
+      (21, 1, 579979),
+      (21, 2, 567149),
+      (21, 3, 593985),
+      (21, 4, 594071),
+      (21, 5, 568098),
+      (21, 6, 590570),
+      (21, 7, 583845),
+      (22, 0, 571065),
+      (22, 1, 577630),
+      (22, 2, 589695),
+      (22, 3, 585381),
+      (22, 4, 580652),
+      (22, 5, 582666),
+      (22, 6, 587735),
+      (22, 7, 573141),
+      (23, 0, 596900),
+      (23, 1, 585054),
+      (23, 2, 586202),
+      (23, 3, 572670),
+      (23, 4, 571951),
+      (23, 5, 563150),
+      (23, 6, 583191),
+      (23, 7, 601352),
+      (24, 0, 590029),
+      (24, 1, 602804),
+      (24, 2, 587173),
+      (24, 3, 576500),
+      (24, 4, 572766),
+      (24, 5, 564102),
+      (24, 6, 581335),
+      (24, 7, 584776),
+      (25, 0, 587863),
+      (25, 1, 578833),
+      (25, 2, 562363),
+      (25, 3, 568090),
+      (25, 4, 581167),
+      (25, 5, 579966),
+      (25, 6, 584443),
+      (25, 7, 596216),
+      (26, 0, 571605),
+      (26, 1, 563868),
+      (26, 2, 588147),
+      (26, 3, 558143),
+      (26, 4, 568160),
+      (26, 5, 574443),
+      (26, 6, 602930),
+      (26, 7, 572520),
+      (27, 0, 597201),
+      (27, 1, 588628),
+      (27, 2, 563913),
+      (27, 3, 549572),
+      (27, 4, 612087),
+      (27, 5, 576302),
+      (27, 6, 583908),
+      (27, 7, 569591),
+      (28, 0, 587794),
+      (28, 1, 578449),
+      (28, 2, 581847),
+      (28, 3, 554848),
+      (28, 4, 593251),
+      (28, 5, 579284),
+      (28, 6, 568557),
+      (28, 7, 587496),
+      (29, 0, 554742),
+      (29, 1, 577387),
+      (29, 2, 586798),
+      (29, 3, 582315),
+      (29, 4, 554630),
+      (29, 5, 562293),
+      (29, 6, 583967),
+      (29, 7, 602358),
+      (30, 0, 584158),
+      (30, 1, 583773),
+      (30, 2, 585476),
+      (30, 3, 576187),
+      (30, 4, 572142),
+      (30, 5, 562180),
+      (30, 6, 598586),
+      (30, 7, 552130),
+      (31, 0, 575183),
+      (31, 1, 591508),
+      (31, 2, 569958),
+      (31, 3, 556777),
+      (31, 4, 566780),
+      (31, 5, 575061),
+      (31, 6, 570917),
+      (31, 7, 566716)
+    ) AS t(media_id, frame_no, rms_e6)
+    ORDER BY media_id, frame_no
+    """,
+    doc="North-star multimodal audio: binary column → PCM decode → "
+        "per-frame RMS energy rows via mapInPandas (shuffle-free). Oracle "
+        "is a GOLDEN fixed-point table (r9 verdict ask #7 promotion from "
+        "rows-only): deterministic seeded in-engine synthetic audio + "
+        "exact decode make floor(rms*1e6) a stable constant per "
+        "(media_id, frame_no); PCM decode is not SQL-expressible, hence "
+        "golden values rather than a replay oracle",
 )
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.multimodal import audio_frame_energy, synth_media_df
@@ -1579,7 +1883,9 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = synth_media_df(spark, n=32, kind="audio")
     out = audio_frame_energy(media, frame_ms=25, duration_ms=200)
     return out.select(
-        "media_id", "frame_no", F.round(F.col("rms").cast("double"), 6).alias("rms")
+        F.col("media_id").cast("long").alias("media_id"),
+        F.col("frame_no").cast("long").alias("frame_no"),
+        F.floor(F.col("rms").cast("double") * 1e6).cast("long").alias("rms_e6"),
     )
 
 
