@@ -124,6 +124,107 @@ def salted_join(
     return out.drop("__salt")
 
 
+def range_frame_sum_halo(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    val_col: "Column",
+    frame: int,
+    chunk: int,
+    out_col: str = "frame_sum",
+) -> DataFrame:
+    """Trailing-``frame``-second RANGE sum per ``key``, parallelized across
+    a hot key by HALO CHUNKING — the skew escape hatch for bounded time
+    frames (SCALE.md round-10 skewed-window stress: AQE never splits a
+    skewed WINDOW partition, so a key owning 20% of the fact serializes the
+    whole frame pass through one task; measured +76% on the RANGE shape).
+
+    Exact-equivalence plan (pinned by tests): each row lands in time block
+    ``ts div chunk`` and is ADDITIONALLY replicated as a non-output halo
+    row into the next block when it falls in the block's last ``frame``
+    seconds. Because ``chunk >= frame`` (asserted), any row's trailing
+    frame reaches at most ``frame`` seconds into the previous block — all
+    of which was replicated forward — so a window partitioned by
+    (key, block) sees every frame member. Halo rows feed sums but emit no
+    output row. The hot key's single partition becomes
+    ceil(span/chunk) parallel partitions at the cost of <= frame/chunk
+    replication.
+
+    ``val_col`` must be an integer column/expression (exact, order-free
+    sums — float frame sums differ between incremental and re-scan
+    accumulation orders).
+    """
+    if chunk < frame:
+        raise ValueError(
+            f"range_frame_sum_halo: chunk ({chunk}) must be >= frame "
+            f"({frame}) or a frame can span two previous blocks"
+        )
+    ts = F.col(ts_col)
+    base = df.withColumn("__val", val_col).withColumn(
+        "__blk", (ts / F.lit(chunk)).cast("long")
+    )
+    own = base.withColumn("__halo", F.lit(False))
+    halo = (
+        base.filter(ts >= (F.col("__blk") + 1) * chunk - frame)
+        .withColumn("__blk", F.col("__blk") + 1)
+        .withColumn("__halo", F.lit(True))
+    )
+    both = own.unionByName(halo)
+    w = (
+        Window.partitionBy(key, "__blk")
+        .orderBy(ts_col)
+        .rangeBetween(-(frame - 1), Window.currentRow)
+    )
+    return (
+        both.withColumn(out_col, F.sum("__val").over(w))
+        .filter(~F.col("__halo"))
+        .drop("__val", "__blk", "__halo")
+    )
+
+
+def salted_twophase_agg(
+    df: DataFrame,
+    keys: list[str],
+    sums: dict[str, "Column"],
+    salt: int = 8,
+    count_col: str | None = "n",
+) -> DataFrame:
+    """Skew-mitigated groupBy for algebraic aggregates (SCALE.md skew
+    ladder #3): pre-aggregate under (keys..., salt) so a hot key's rows
+    reduce across ``salt`` parallel tasks, then re-aggregate by keys —
+    two small shuffles instead of one skewed one. Results are exactly the
+    plain groupBy's for the supported algebraic aggs (COUNT + integer
+    SUMs; extend with min/max by passing them as sums entries — any
+    commutative, associative agg whose merge is itself).
+
+    Spark's own partial (map-side) aggregation already de-skews MOST
+    groupBys — the reduce side receives one partial row per (mapper, key).
+    This operator exists for the case partials can't save: high-cardinality
+    COMPOSITE state per key (e.g. collect-ish aggregates rewritten as
+    sums) or a downstream window forcing a key shuffle anyway; it is also
+    the demo shape pinned by the plan test (HashAggregate x4: partial +
+    final per phase)."""
+    salt_col = F.pmod(
+        F.xxhash64(*[F.col(k) for k in keys],
+                   F.monotonically_increasing_id()),
+        F.lit(salt),
+    )
+    pre_aggs = [v.alias(f"__p_{k}") for k, v in sums.items()]
+    if count_col:
+        pre_aggs.append(F.count(F.lit(1)).alias("__p_cnt"))
+    pre = (
+        df.withColumn("__salt", salt_col)
+        .groupBy(*keys, "__salt")
+        .agg(*pre_aggs)
+    )
+    fin_aggs = [
+        F.sum(f"__p_{k}").alias(k) for k in sums
+    ]
+    if count_col:
+        fin_aggs.append(F.sum("__p_cnt").alias(count_col))
+    return pre.groupBy(*keys).agg(*fin_aggs)
+
+
 def drop_hot_keys(
     df: DataFrame, keys: list[str], max_rows: int
 ) -> DataFrame:

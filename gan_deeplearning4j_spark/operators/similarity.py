@@ -158,14 +158,26 @@ def lsh_bucketed_topk(
     the buckets reached by flipping sign bits, nearest-hyperplane (smallest
     |dot|) first — the buckets a true neighbor most likely fell into.
 
-    ``probes`` = number of 1-bit-flip buckets per query beyond the home
-    bucket; None probes every 1-bit flip (bits extra buckets). Without
+    ``probes`` is the recall knob: the number of extra buckets probed per
+    query beyond the home bucket. ``probes <= bits`` takes the best
+    1-bit flips (smallest margin first); ``probes > bits`` continues into
+    the 2-bit perturbation sets, ordered by margin SUM (the Lv et al.
+    probing sequence truncated at pair depth — covers every perturbation
+    the planted-neighbor recall tests need without the full heap walk).
+    None probes every 1-bit flip (bits extra buckets). Without
     multi-probe, recall collapses for vectors near any hyperplane boundary.
-    Probing is on the broadcast query side: bits+1 bucket keys per query,
-    corpus untouched — at scale the corpus shuffle stays one sig-keyed
-    exchange no matter how many probes."""
+    Probing is on the broadcast query side: at most
+    1 + bits + C(bits,2) bucket keys per query, corpus untouched — at
+    scale the corpus shuffle stays one sig-keyed exchange no matter how
+    many probes."""
     if probes is None:
         probes = bits
+    max_probes = bits + (bits * (bits - 1)) // 2
+    if probes > max_probes:
+        raise ValueError(
+            f"lsh_bucketed_topk: probes={probes} exceeds the 1-bit + 2-bit "
+            f"perturbation space ({max_probes} for bits={bits})"
+        )
     c = corpus.select(
         F.col(id_col),
         as_double(F.col(vec_col)).alias("__cv"),
@@ -187,12 +199,33 @@ def lsh_bucketed_topk(
                 ).alias("s"),
             ),
         )
-        probe_sigs = F.concat(
-            F.array(F.col("__sig")),
-            F.transform(
-                F.slice(F.array_sort(flips), 1, probes), lambda s: s["s"]
-            ),
+        one_bit = F.transform(
+            F.slice(F.array_sort(flips), 1, min(probes, bits)),
+            lambda s: s["s"],
         )
+        probe_sigs = F.concat(F.array(F.col("__sig")), one_bit)
+        if probes > bits:
+            # 2-bit perturbation sets: struct(m_i + m_j, sig ^ f_i ^ f_j)
+            # for every plane pair, sorted by margin sum (sig as the
+            # deterministic tie-break — array_sort on structs is
+            # field-lexicographic, matching the oracle's ORDER BY m, s)
+            pair_structs = [
+                F.struct(
+                    (F.abs(F.element_at("__dots", i + 1))
+                     + F.abs(F.element_at("__dots", j + 1))).alias("m"),
+                    F.col("__sig")
+                    .bitwiseXOR(F.lit(1 << (bits - 1 - i)).cast("long"))
+                    .bitwiseXOR(F.lit(1 << (bits - 1 - j)).cast("long"))
+                    .alias("s"),
+                )
+                for i in range(bits) for j in range(i + 1, bits)
+            ]
+            two_bit = F.transform(
+                F.slice(F.array_sort(F.array(*pair_structs)), 1,
+                        probes - bits),
+                lambda s: s["s"],
+            )
+            probe_sigs = F.concat(probe_sigs, two_bit)
         qx = q.select(
             query_id, "__qv", F.explode(probe_sigs).alias("__sig")
         )

@@ -45,6 +45,681 @@ def register_all() -> None:
         register(name, oracle=oracle, headline=headline, doc=doc)(fn)
 
 
+# ---------------------------------------------------------------------------
+# Multi-probe LSH top-k: the recall knob past 1-bit flips (r9 verdict ask #5)
+# ---------------------------------------------------------------------------
+
+def _lsh_multiprobe_oracle(dim: int = 64, bits: int = 8, k: int = 5,
+                           probes: int = 16) -> str:
+    """DuckDB replica of lsh_bucketed_topk with probes > bits: home bucket
+    + every 1-bit flip + the top (probes-bits) 2-bit perturbation sets by
+    margin sum (tie-break: flipped signature) — the same probing sequence
+    the Spark side's field-lexicographic array_sort over struct(m, s)
+    produces. Plane doubles are inlined as literals; dots are sequential
+    folds in both engines, so margins compare identically."""
+    from .operators.similarity import plane_values
+
+    assert probes > bits
+    planes = plane_values(dim, bits)
+    dot_cols = ", ".join(
+        f"list_dot_product(ve, {_sql_arr(planes[j])}) AS d{j}"
+        for j in range(bits)
+    )
+    sig_expr = " + ".join(
+        f"(CASE WHEN d{j} >= 0 THEN {1 << (bits - 1 - j)} ELSE 0 END)"
+        for j in range(bits)
+    )
+    one_bit = ", ".join(
+        f"xor(sig, {1 << (bits - 1 - j)})" for j in range(bits)
+    )
+    pair_structs = ", ".join(
+        f"{{'m': abs(d{i}) + abs(d{j}), "
+        f"'s': xor(sig, {(1 << (bits - 1 - i)) | (1 << (bits - 1 - j))})}}"
+        for i in range(bits) for j in range(i + 1, bits)
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve
+               FROM embeddings),
+    d AS (SELECT vec_id, ve, {dot_cols} FROM v),
+    s AS (SELECT *, CAST({sig_expr} AS BIGINT) AS sig FROM d),
+    q AS (SELECT * FROM s WHERE vec_id < 4),
+    two AS (
+      SELECT vec_id AS query_id, p.s AS psig,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY p.m, p.s) AS rn
+      FROM (SELECT vec_id, unnest([{pair_structs}]) AS p FROM q)
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, unnest([sig, {one_bit}]) AS psig FROM q
+      UNION ALL
+      SELECT query_id, psig FROM two WHERE rn <= {probes - bits}
+    ),
+    scored AS (
+      SELECT p.query_id, s.vec_id,
+             list_cosine_similarity(s.ve, q.ve) AS cs
+      FROM s
+      JOIN probes p ON s.sig = p.psig
+      JOIN q ON q.vec_id = p.query_id
+    )
+    SELECT query_id, vec_id, ROUND(cs, 6) AS cos_sim
+    FROM (SELECT query_id, vec_id, cs,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cs DESC, vec_id) AS rn
+          FROM scored)
+    WHERE rn <= {k}
+    """
+
+
+def _sql_arr(row) -> str:
+    return "[" + ", ".join(repr(v) for v in row) + "]::DOUBLE[]"
+
+
+@_stage(
+    "lsh_multiprobe_topk",
+    oracle=None,  # bound after definition (generator needs _sql_arr above)
+    doc="Multi-probe LSH ANN, 2-bit perturbation depth (Lv et al., "
+        "VLDB'07): the recall knob for lsh_bucketed_topk past the 1-bit "
+        "flips — probes=16 on bits=8 probes the home bucket, all 8 1-bit "
+        "flips, and the 8 best 2-bit perturbation sets by margin sum. "
+        "Oracled end-to-end: the DuckDB replica inlines the plane "
+        "literals, replays the sequential-fold dots, and selects the SAME "
+        "2-bit probe sequence via ORDER BY (margin_sum, flipped_sig) — "
+        "matching Spark's field-lexicographic array_sort on struct(m, s). "
+        "Scale: probing stays on the broadcast query side (25 bucket keys "
+        "per query); the corpus shuffle is one sig-keyed exchange "
+        "regardless of probe depth",
+)
+def q_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import lsh_bucketed_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_bucketed_topk(
+        emb, queries, "embedding", "vec_id", "query_id",
+        dim=64, k=5, bits=8, probes=16,
+    ).select("query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+STAGED["lsh_multiprobe_topk"] = (
+    q_lsh_multiprobe_topk, _lsh_multiprobe_oracle(),
+    STAGED["lsh_multiprobe_topk"][2], STAGED["lsh_multiprobe_topk"][3],
+)
+
+
+# ---------------------------------------------------------------------------
+# Skew ladder demos: salted two-phase aggregation + halo-chunked RANGE frame
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "salted_agg_user_value",
+    oracle="""
+    SELECT user_id,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS cents,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="Salted two-phase aggregation (SCALE.md skew ladder #3), "
+        "result-equivalence form: events reduce under (user_id, salt8) "
+        "first, then by user_id — the manual de-skew for aggregations "
+        "whose map-side partials can't save them (composite per-key "
+        "state, or a downstream key shuffle forced anyway). The oracle "
+        "runs the plain groupBy; a hash match pins that salting never "
+        "changes results. Plan pinned in tests: two HashAggregate pairs, "
+        "exchange on (key, salt) then key",
+)
+def q_salted_agg_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import salted_twophase_agg
+
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return salted_twophase_agg(
+        ev, ["user_id"],
+        {"cents": F.sum(cents)},
+        salt=8, count_col="n",
+    )
+
+
+@_stage(
+    "range_frame_halo_1h",
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+               RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS c1h
+      FROM events
+    )
+    SELECT user_id, MAX(c1h) AS peak_1h_cents, COUNT(*) AS n_events
+    FROM f GROUP BY user_id
+    """,
+    doc="Trailing-1h RANGE sum via HALO CHUNKING "
+        "(operators.relational.range_frame_sum_halo) — the skew escape "
+        "hatch measured in the round-10 skewed-window stress (AQE never "
+        "splits a skewed WINDOW partition; a 20%-hot key paid +76% on "
+        "this exact frame shape). Rows replicate into the next "
+        "2h time block when they fall in its trailing 1h halo; the "
+        "window partitions by (user, block) so a hot key becomes "
+        "ceil(span/chunk) parallel tasks. The oracle computes the PLAIN "
+        "per-user window — a hash match proves halo chunking is exactly "
+        "the single-partition frame, per user per event. Integer cents "
+        "inside the frame (float frame sums are accumulation-order-"
+        "dependent); emitted as the per-user peak + event count rollup",
+)
+def q_range_frame_halo_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.relational import range_frame_sum_halo
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts_sec", F.expr("ts_nanos div 1000000000")
+    )
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    framed = range_frame_sum_halo(
+        ev, "user_id", "ts_sec", cents,
+        frame=3600, chunk=7200, out_col="c1h",
+    )
+    return framed.groupBy("user_id").agg(
+        F.max("c1h").alias("peak_1h_cents"),
+        F.count("*").alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental MinHash dedup against a persisted signature store
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "minhash_incremental_resume",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(t) - 2, 1) + 1),
+               i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS g
+      FROM (SELECT doc_id,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+            FROM documents)
+    ), p AS (
+      SELECT n.doc_id AS id_a, o.doc_id AS id_b,
+             len(list_intersect(n.g, o.g)) * 1.0 /
+             len(list_distinct(list_concat(n.g, o.g))) AS j
+      FROM sh n JOIN sh o ON o.doc_id <> n.doc_id
+      WHERE n.doc_id % 5 = 0
+    ), f AS (
+      SELECT * FROM p WHERE j >= 0.7
+    ), c AS (
+      SELECT id_a, COUNT(*) AS n_dups FROM f GROUP BY id_a
+    ), b AS (
+      SELECT id_a, id_b, j,
+             ROW_NUMBER() OVER (PARTITION BY id_a
+                                ORDER BY j DESC, id_b) AS rn
+      FROM f
+    )
+    SELECT c.id_a AS doc_id, c.n_dups,
+           b.id_b AS best_match_id,
+           CAST(floor(b.j * 1000000) AS BIGINT) AS best_j_e6
+    FROM c JOIN b ON b.id_a = c.id_a AND b.rn = 1
+    """,
+    doc="Incremental MinHash dedup against a PERSISTED signature store "
+        "(r9 verdict ask #5 — the batch resume twin of the streaming "
+        "near-dup path): old docs' signatures (doc_id %% 5 != 0) are "
+        "written to a parquet store and READ BACK — never recomputed — "
+        "while only the 20%% new arrivals get fresh signatures; new docs "
+        "band-join (16 bands x 2 rows) against store+new, survivors get "
+        "the exact n-gram Jaccard verify (>= 0.7), and the per-new-doc "
+        "dup summary is emitted. The oracle computes the exact "
+        "new-vs-all ground truth — a hash match pins BOTH that the "
+        "resume path loses nothing vs recompute AND that banding at "
+        "these parameters has recall 1 on real dups (same 2e-5 miss "
+        "bound as ngram_jaccard_verify). The bounded dup-family summary "
+        "is collected before the scratch store is removed (same "
+        "lifecycle as snapshot_time_travel_audit); at production scale "
+        "the store is a real table and the collect disappears",
+)
+def q_minhash_incremental_resume(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from .operators.dedup import minhash_signatures_df, ngram_jaccard
+
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+
+    def banded(sigs: DataFrame, idname: str) -> DataFrame:
+        return sigs.select(
+            F.col("doc_id").alias(idname),
+            F.posexplode(
+                F.array(*[
+                    F.concat_ws(",", *[
+                        F.element_at("__sig", b * 2 + r + 1).cast("string")
+                        for r in range(2)
+                    ])
+                    for b in range(16)
+                ])
+            ).alias("band_id", "band_val"),
+        )
+
+    d = tempfile.mkdtemp(prefix="sigstore_")
+    try:
+        # build + persist the store (in production this already exists;
+        # the write is the one-time backfill)
+        minhash_signatures_df(old, "text", "doc_id", 32).write.parquet(
+            f"{d}/sigs"
+        )
+        store = spark.read.parquet(f"{d}/sigs")   # resume: old never recomputed
+        new_sigs = minhash_signatures_df(new, "text", "doc_id", 32)
+        all_sigs = store.unionByName(new_sigs)
+
+        cands = (
+            banded(new_sigs, "id_a")
+            .join(banded(all_sigs, "id_b"), ["band_id", "band_val"])
+            .filter(F.col("id_b") != F.col("id_a"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        verified = ngram_jaccard(cands, docs, "text", "doc_id").filter(
+            F.col("jaccard") >= 0.7
+        )
+        w = Window.partitionBy("id_a").orderBy(
+            F.desc("jaccard"), F.col("id_b")
+        )
+        ranked = verified.withColumn("rn", F.row_number().over(w))
+        summary = (
+            verified.groupBy("id_a").agg(F.count("*").alias("n_dups"))
+            .join(ranked.filter("rn = 1"), "id_a")
+            .select(
+                F.col("id_a").alias("doc_id"), "n_dups",
+                F.col("id_b").alias("best_match_id"),
+                F.floor(F.col("jaccard") * 1e6).cast("long")
+                .alias("best_j_e6"),
+            )
+        )
+        rows = summary.collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "doc_id long, n_dups long, best_match_id long, best_j_e6 long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus novelty decay + watermark lateness audit
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "ngram_novelty_by_batch",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id % 10 AS batch,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(t) - 2, 1) + 1),
+               i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS gram
+      FROM (SELECT doc_id,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+            FROM documents)
+    ), bg AS (
+      SELECT batch, gram FROM g GROUP BY batch, gram
+    ), first_seen AS (
+      SELECT gram, MIN(batch) AS fb FROM bg GROUP BY gram
+    )
+    SELECT bg.batch,
+           COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN f.fb = bg.batch THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_new,
+           CAST(floor(SUM(CASE WHEN f.fb = bg.batch THEN 1 ELSE 0 END)
+                * 1000000.0 / COUNT(*)) AS BIGINT) AS novelty_ppm
+    FROM bg JOIN first_seen f USING (gram)
+    GROUP BY bg.batch
+    ORDER BY bg.batch
+    """,
+    doc="Corpus novelty decay across ingestion batches (the dedup-planning "
+        "curve for multi-dump crawls): docs bucket into 10 ingestion "
+        "batches by doc_id, each batch reports its distinct-trigram count "
+        "and the fraction first seen in that batch (ppm). Shape: explode "
+        "grams scan-side, ONE (batch, gram)-distinct aggregate, a "
+        "(gram)-min aggregate over the TYPE table, join back — every "
+        "cumulative quantity computed on gram types, never corpus rows. "
+        "At 100 TB the gram-type table is Heaps'-law small relative to "
+        "the corpus and both aggregates are map-side combinable",
+)
+def q_ngram_novelty_by_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    bg = (
+        docs.select(
+            (F.col("doc_id") % 10).alias("batch"),
+            F.explode(shingles(F.col("text"), 3)).alias("gram"),
+        )
+        .groupBy("batch", "gram")
+        .agg(F.lit(1))
+        .select("batch", "gram")
+    )
+    first_seen = bg.groupBy("gram").agg(F.min("batch").alias("fb"))
+    return (
+        bg.join(first_seen, "gram")
+        .groupBy("batch")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum((F.col("fb") == F.col("batch")).cast("long"))
+            .alias("n_new"),
+        )
+        .select(
+            "batch", "n_grams", "n_new",
+            F.floor(F.col("n_new") * 1e6 / F.col("n_grams"))
+            .cast("long").alias("novelty_ppm"),
+        )
+        .orderBy("batch")
+    )
+
+
+@_stage(
+    "watermark_lateness_audit",
+    oracle="""
+    WITH m AS (
+      SELECT event_id, epoch_us(ts) AS tus,
+             MAX(epoch_us(ts)) OVER (ORDER BY event_id
+                                     ROWS UNBOUNDED PRECEDING) AS hi
+      FROM events
+    ), lat AS (
+      SELECT hi - tus AS late_us FROM m
+    )
+    SELECT CASE WHEN late_us <= 0 THEN 'a_on_time'
+                WHEN late_us <= 60000000 THEN 'b_1min'
+                WHEN late_us <= 600000000 THEN 'c_10min'
+                WHEN late_us <= 1800000000 THEN 'd_30min'
+                ELSE 'e_dropped_at_30min' END AS bucket,
+           COUNT(*) AS n
+    FROM lat GROUP BY 1 ORDER BY 1
+    """,
+    doc="Watermark lateness audit (the batch study that picks a streaming "
+        "watermark delay): lateness of each event = high-watermark of "
+        "event time over arrival order (event_id) minus its own event "
+        "time, bucketed into the candidate delays; the last bucket is "
+        "what a 30-min watermark would DROP. The running max is computed "
+        "two-level (per-1024-block max, tiny block-prefix table joined "
+        "back, then an in-block window) so no fact-scale relation ever "
+        "serializes through one ordered partition — the oracle's plain "
+        "global window is the semantics, not the plan. Shape: one narrow "
+        "block shuffle + a bounded block-prefix broadcast",
+)
+def q_watermark_lateness_audit(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+        (F.col("event_id") / 1024).cast("long").alias("blk"),
+    )
+    # two-level running max: per-block maxes are a bounded relation, the
+    # strictly-preceding-block prefix max comes from a bounded window over
+    # it, and the in-block running max is an ordinary per-block window
+    blk_max = ev.groupBy("blk").agg(F.max("tus").alias("bmax"))
+    from .functions.windows import bounded_window
+    wprev = bounded_window("blk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prefix = blk_max.select(
+        "blk", F.max("bmax").over(wprev).alias("prev_hi")
+    )
+    win = Window.partitionBy("blk").orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    lat = (
+        ev.join(F.broadcast(prefix), "blk")
+        .withColumn("in_blk_hi", F.max("tus").over(win))
+        .withColumn(
+            "hi", F.greatest(F.coalesce("prev_hi", F.lit(0)), "in_blk_hi")
+        )
+        .select((F.col("hi") - F.col("tus")).alias("late_us"))
+    )
+    bucket = (
+        F.when(F.col("late_us") <= 0, "a_on_time")
+        .when(F.col("late_us") <= 60_000_000, "b_1min")
+        .when(F.col("late_us") <= 600_000_000, "c_10min")
+        .when(F.col("late_us") <= 1_800_000_000, "d_30min")
+        .otherwise("e_dropped_at_30min")
+    )
+    return (
+        lat.groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDC net-effect compaction + two planning advisors
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "cdc_net_effect_compact",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderkey % 10 AS shard,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), net AS (
+      SELECT shard,
+             CASE WHEN k % 7 = 0 THEN NULL           -- last op: delete
+                  WHEN k % 3 = 0 THEN cents          -- last op: update
+                  ELSE cents * 9 // 10 END AS fc     -- only the insert
+      FROM base
+    )
+    SELECT shard,
+           CAST(COUNT(fc) AS BIGINT) AS n_live,
+           CAST(COUNT(*) - COUNT(fc) AS BIGINT) AS n_tombstones,
+           CAST(COALESCE(SUM(fc), 0) AS BIGINT) AS sum_final_cents
+    FROM net GROUP BY shard ORDER BY shard
+    """,
+    doc="CDC net-effect compaction — the micro-batch pre-step before "
+        "MERGE: a changelog with several ops per key (insert at 90%% "
+        "price, update to full price for keys %%3, delete for keys %%7) "
+        "collapses to one net row per key (last-writer-wins, deletes "
+        "become tombstones) in ONE window pass, then rolls up per shard. "
+        "The oracle derives each key's net effect analytically, so a "
+        "hash match proves the windowed collapse picks exactly the last "
+        "op and never resurrects overwritten values. Shape: the "
+        "changelog shuffles once on key for the row_number window; "
+        "compacting BEFORE merge_upsert turns K ops/key into 1 and is "
+        "what keeps the downstream full-outer merge join linear in KEYS "
+        "rather than ops at 100 TB",
+)
+def q_cdc_net_effect_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    ins = orders.select(
+        "k", F.lit(1).alias("seq"), F.lit("I").alias("op"),
+        F.expr("cents * 9 div 10").cast("long").alias("val"),
+    )
+    upd = orders.filter(F.col("k") % 3 == 0).select(
+        "k", F.lit(2).alias("seq"), F.lit("U").alias("op"),
+        F.col("cents").alias("val"),
+    )
+    dele = orders.filter(F.col("k") % 7 == 0).select(
+        "k", F.lit(3).alias("seq"), F.lit("D").alias("op"),
+        F.lit(None).cast("long").alias("val"),
+    )
+    log = ins.unionByName(upd).unionByName(dele)
+    w = Window.partitionBy("k").orderBy(F.desc("seq"))
+    net = (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select(
+            "k", (F.col("k") % 10).alias("shard"),
+            F.when(F.col("op") == "D", F.lit(None).cast("long"))
+            .otherwise(F.col("val")).alias("fc"),
+        )
+    )
+    return (
+        net.groupBy("shard")
+        .agg(
+            F.count("fc").alias("n_live"),
+            (F.count("*") - F.count("fc")).alias("n_tombstones"),
+            F.coalesce(F.sum("fc"), F.lit(0)).cast("long")
+            .alias("sum_final_cents"),
+        )
+        .orderBy("shard")
+    )
+
+
+@_stage(
+    "partition_size_advisor",
+    oracle="""
+    WITH est AS (
+      SELECT 'lineitem' AS tbl,
+             CAST(SUM(8*4 + 4 + 8*4 + 8
+                      + length(l_returnflag) + length(l_linestatus))
+                  AS BIGINT) AS est_bytes
+      FROM lineitem
+      UNION ALL
+      SELECT 'orders',
+             CAST(SUM(8*2 + 8 + 8 + length(o_orderstatus)
+                      + length(o_orderpriority)) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'events',
+             CAST(SUM(8*2 + 8 + 8 + length(event_type) + length(props))
+                  AS BIGINT)
+      FROM events
+      UNION ALL
+      SELECT 'documents',
+             CAST(SUM(8*2 + length(text) + length(lang) + length(source))
+                  AS BIGINT)
+      FROM documents
+    )
+    SELECT tbl, est_bytes,
+           GREATEST(1, (est_bytes + 134217727) // 134217728)
+             AS scan_partitions,
+           LEAST(2000, GREATEST(32, (est_bytes + 67108863) // 67108864))
+             AS shuffle_partitions
+    FROM est ORDER BY tbl
+    """,
+    doc="Partition-size advisor — the SCALE.md sizing knobs "
+        "(spark.sql.files.maxPartitionBytes=128MB, shuffle partitions "
+        "bounded [32, 2000] at 64MB targets) computed FROM the data: "
+        "per-table logical byte estimate (8B per fixed-width column, "
+        "string lengths summed) -> ceil-divided into advised scan and "
+        "shuffle partition counts. Joins the advisor family "
+        "(encoding_advisor_events, join_order_advisor, lsh_band_planner). "
+        "Shape: one map-side-combinable SUM per table, four rows out; "
+        "the estimate is exactly what a cluster job would derive from "
+        "ANALYZE-style stats before choosing its conf",
+)
+def q_partition_size_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def est(df: DataFrame, tbl: str, expr: str) -> DataFrame:
+        return df.agg(
+            F.expr(f"CAST(SUM({expr}) AS LONG)").alias("est_bytes")
+        ).select(F.lit(tbl).alias("tbl"), "est_bytes")
+
+    li = est(_t(spark, sf_dir, "lineitem"), "lineitem",
+             "8*4 + 4 + 8*4 + 8 + length(l_returnflag)"
+             " + length(l_linestatus)")
+    o = est(_t(spark, sf_dir, "orders"), "orders",
+            "8*2 + 8 + 8 + length(o_orderstatus) + length(o_orderpriority)")
+    ev = est(_t(spark, sf_dir, "events"), "events",
+             "8*2 + 8 + 8 + length(event_type) + length(props)")
+    dc = est(_t(spark, sf_dir, "documents"), "documents",
+             "8*2 + length(text) + length(lang) + length(source)")
+    allt = li.unionByName(o).unionByName(ev).unionByName(dc)
+    return allt.select(
+        "tbl", "est_bytes",
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.expr("(est_bytes + 134217727) div 134217728"),
+        ).alias("scan_partitions"),
+        F.least(
+            F.lit(2000).cast("long"),
+            F.greatest(F.lit(32).cast("long"),
+                       F.expr("(est_bytes + 67108863) div 67108864")),
+        ).alias("shuffle_partitions"),
+    ).orderBy("tbl")
+
+
+@_stage(
+    "rendezvous_hash_routing",
+    oracle="""
+    WITH scored AS (
+      SELECT c_custkey AS k, CAST(n.node AS BIGINT) AS node,
+             CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || '|' ||
+                                      CAST(n.node AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS score
+      FROM customer, (SELECT unnest(range(8)) AS node) n
+    ), r8 AS (
+      SELECT k, node FROM (
+        SELECT k, node,
+               ROW_NUMBER() OVER (PARTITION BY k
+                                  ORDER BY score DESC, node DESC) AS rn
+        FROM scored) WHERE rn = 1
+    ), r7 AS (
+      SELECT k, node FROM (
+        SELECT k, node,
+               ROW_NUMBER() OVER (PARTITION BY k
+                                  ORDER BY score DESC, node DESC) AS rn
+        FROM scored WHERE node < 7) WHERE rn = 1
+    )
+    SELECT r8.node,
+           COUNT(*) AS n_keys,
+           CAST(SUM(CASE WHEN r8.node <> r7.node THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_moved
+    FROM r8 JOIN r7 USING (k)
+    GROUP BY r8.node ORDER BY r8.node
+    """,
+    doc="Rendezvous (highest-random-weight) hash routing audit — the "
+        "shard router that moves ONLY the failed node's keys (Thaler & "
+        "Ravishankar '96), complementing consistent_hash_migration's "
+        "ring: every customer scores all 8 nodes via the portable "
+        "md5-to-int64 hash, routes to the argmax, then the same under "
+        "node 7 removed. Hash-pinned invariant: n_moved equals n_keys "
+        "on node 7 and zero elsewhere — HRW's minimal-disruption "
+        "property, computed not asserted. Shape: scan-side score "
+        "arrays, argmax via array_max over (score, node) structs, one "
+        "count aggregate; node count is a literal so the score fan-out "
+        "is O(8) per key with no shuffle beyond the final rollup",
+)
+def q_rendezvous_hash_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k")
+    )
+    def score(node: int):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.col("k").cast("string"),
+                                  F.lit(str(node)))), 1, 15),
+            16, 10,
+        ).cast("long")
+
+    structs8 = F.array(*[
+        F.struct(score(n).alias("score"), F.lit(n).cast("long").alias("node"))
+        for n in range(8)
+    ])
+    structs7 = F.array(*[
+        F.struct(score(n).alias("score"), F.lit(n).cast("long").alias("node"))
+        for n in range(7)
+    ])
+    routed = cust.select(
+        "k",
+        F.array_max(structs8)["node"].alias("node8"),
+        F.array_max(structs7)["node"].alias("node7"),
+    )
+    return (
+        routed.groupBy(F.col("node8").alias("node"))
+        .agg(
+            F.count("*").alias("n_keys"),
+            F.sum((F.col("node8") != F.col("node7")).cast("long"))
+            .alias("n_moved"),
+        )
+        .orderBy("node")
+    )
+
+
 # Self-register ONLY under the round-11 gate (this module is imported both
 # by queries.py under the gate and directly by tests without it).
 import os as _os

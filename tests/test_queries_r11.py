@@ -1,0 +1,405 @@
+"""Round-11 staged-query pins: pure-python replays (hash parity is covered
+by the gated replica runs; these pin the SEMANTICS against an independent
+reimplementation), plus the operator-level plan/equivalence tests for the
+skew-ladder additions (salted two-phase agg, halo-chunked RANGE frame,
+2-bit multi-probe LSH)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+from collections import defaultdict
+
+import numpy as np
+import pandas as pd
+import pytest
+
+# import order matters: queries_r11 is re-entered by queries.py's bottom
+import gan_deeplearning4j_spark.queries  # noqa: F401
+from gan_deeplearning4j_spark.queries_r11 import STAGED
+
+
+def _fn(name):
+    return STAGED[name][0]
+
+
+def _h60(s):
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _grams3(text):
+    toks = re.split(r"\s+", text.strip().lower())
+    return {
+        " ".join(toks[i:i + 3]) for i in range(max(len(toks) - 2, 1))
+    }
+
+
+# ---------------------------------------------------------------------------
+# multi-probe LSH
+# ---------------------------------------------------------------------------
+
+def _lsh_multiprobe_python(sf_dir, bits=8, probes=16, k=5):
+    from gan_deeplearning4j_spark.operators.similarity import plane_values
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    planes = plane_values(64, bits)
+
+    def dots(v):
+        out = []
+        for p in planes:
+            acc = 0.0
+            for x, w in zip(v, p):   # left fold == Spark aggregate
+                acc = acc + x * w
+            out.append(acc)
+        return out
+
+    vecs = {int(r.vec_id): [float(x) for x in r.embedding]
+            for r in emb.itertuples(index=False)}
+    sig = {}
+    dd = {}
+    for i, v in vecs.items():
+        d = dots(v)
+        s = 0
+        for j in range(bits):
+            s = s * 2 + (1 if d[j] >= 0 else 0)
+        sig[i], dd[i] = s, d
+    buckets = defaultdict(list)
+    for i, s in sig.items():
+        buckets[s].append(i)
+    result = {}
+    for q in range(4):
+        d = dd[q]
+        probe = [sig[q]]
+        one = sorted(
+            (abs(d[j]), sig[q] ^ (1 << (bits - 1 - j))) for j in range(bits)
+        )
+        probe += [s for _, s in one[:min(probes, bits)]]
+        if probes > bits:
+            two = sorted(
+                (abs(d[i]) + abs(d[j]),
+                 sig[q] ^ (1 << (bits - 1 - i)) ^ (1 << (bits - 1 - j)))
+                for i in range(bits) for j in range(i + 1, bits)
+            )
+            probe += [s for _, s in two[:probes - bits]]
+        cands = {c for s in probe for c in buckets.get(s, [])}
+        qv = np.array(vecs[q])
+        scored = []
+        for c in cands:
+            cv = np.array(vecs[c])
+            cs = float(qv @ cv / (np.linalg.norm(qv) * np.linalg.norm(cv)))
+            scored.append((-round(cs, 6), c))
+        scored.sort()
+        result[q] = [(c, -ncs) for ncs, c in scored[:k]]
+    return result
+
+
+def test_lsh_multiprobe_topk_matches_python(spark, sf_dir):
+    want = _lsh_multiprobe_python(sf_dir)
+    got = defaultdict(list)
+    for r in (_fn("lsh_multiprobe_topk")(spark, sf_dir)
+              .orderBy("query_id", "vec_id").collect()):
+        got[r["query_id"]].append((r["vec_id"], r["cos_sim"]))
+    assert set(got) == set(want)
+    for q in want:
+        assert sorted(got[q]) == sorted(want[q]), q
+
+
+def test_lsh_multiprobe_recall_monotone(spark, sf_dir):
+    """The recall knob must be monotone: candidates probed at depth 16
+    superset depth 8, so top-k cosine at 16 probes is >= at 8 probes,
+    query by query (comparing the k-th best similarity)."""
+    from pyspark.sql import functions as F
+
+    from gan_deeplearning4j_spark.operators.similarity import (
+        lsh_bucketed_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def kth(probes):
+        rows = lsh_bucketed_topk(
+            emb, q, "embedding", "vec_id", "query_id",
+            dim=64, k=5, bits=8, probes=probes,
+        ).collect()
+        per = defaultdict(list)
+        for r in rows:
+            per[r["query_id"]].append(r["cos_sim"])
+        return {qq: sorted(v)[0] for qq, v in per.items()}
+
+    k8, k16 = kth(8), kth(16)
+    for qq in k8:
+        assert k16[qq] >= k8[qq] - 1e-12, qq
+
+
+def test_lsh_multiprobe_rejects_overdeep_probing(spark):
+    from pyspark.sql import functions as F
+
+    from gan_deeplearning4j_spark.operators.similarity import (
+        lsh_bucketed_topk,
+    )
+
+    df = spark.range(4).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.rand(7)] * 8).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="perturbation space"):
+        lsh_bucketed_topk(df, df.withColumnRenamed("vec_id", "query_id"),
+                          "embedding", "vec_id", "query_id",
+                          dim=8, k=2, bits=4, probes=11)
+
+
+# ---------------------------------------------------------------------------
+# salted two-phase agg + halo RANGE frame
+# ---------------------------------------------------------------------------
+
+def test_salted_agg_user_value_matches_python(spark, sf_dir):
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "value"])
+    cents = np.floor(ev["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+    g = pd.DataFrame({"u": ev["user_id"], "c": cents}).groupby("u")
+    want = {int(u): (int(gg["c"].sum()), len(gg)) for u, gg in g}
+    out = {r["user_id"]: (r["cents"], r["n"])
+           for r in _fn("salted_agg_user_value")(spark, sf_dir).collect()}
+    assert out == want
+
+
+def test_salted_agg_plan_has_two_phase_pairs(spark, sf_dir):
+    """The salted demo must actually run TWO aggregations (pre-agg under
+    (key, salt), re-agg by key): 4 HashAggregate nodes (partial+final x2)
+    and an exchange on the salted key."""
+    df = _fn("salted_agg_user_value")(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") == 4, plan
+    assert "__salt" in plan, plan
+
+
+def test_range_frame_halo_equals_plain_window(spark, sf_dir):
+    """Exact equivalence: halo-chunked trailing-frame sums == the plain
+    single-partition-per-key window, row for row (integer cents)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from gan_deeplearning4j_spark.operators.relational import (
+        range_frame_sum_halo,
+    )
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .withColumn("ts_sec", F.unix_micros(
+            F.col("ts").cast("timestamp")) / F.lit(1_000_000))
+        .withColumn("ts_sec", F.col("ts_sec").cast("long"))
+    )
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    halo = range_frame_sum_halo(
+        ev, "user_id", "ts_sec", cents, frame=3600, chunk=3600,
+        out_col="c1h",
+    ).select("event_id", "c1h")
+    w = (Window.partitionBy("user_id").orderBy("ts_sec")
+         .rangeBetween(-3599, Window.currentRow))
+    plain = ev.select(
+        "event_id", F.sum(cents).over(w).alias("c1h_plain")
+    )
+    joined = halo.join(plain, "event_id")
+    n_total = joined.count()
+    n_eq = joined.filter("c1h = c1h_plain").count()
+    assert n_total == ev.count() and n_eq == n_total
+
+
+def test_range_frame_halo_rejects_small_chunk(spark):
+    from pyspark.sql import functions as F
+
+    from gan_deeplearning4j_spark.operators.relational import (
+        range_frame_sum_halo,
+    )
+
+    df = spark.range(10).select(
+        F.lit(1).alias("k"), F.col("id").alias("t"), F.lit(1).alias("v")
+    )
+    with pytest.raises(ValueError, match="chunk"):
+        range_frame_sum_halo(df, "k", "t", F.col("v"), frame=100, chunk=50)
+
+
+def test_range_frame_halo_1h_matches_python(spark, sf_dir):
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "value"])
+    ts = (ev["ts"].astype("datetime64[us]").astype(np.int64)
+          // 1_000_000).to_numpy()
+    cents = np.floor(ev["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+    want = {}
+    df = pd.DataFrame({"u": ev["user_id"], "t": ts, "c": cents})
+    for u, g in df.groupby("u"):
+        g = g.sort_values("t").reset_index(drop=True)
+        peak, lo = None, 0
+        tv, cv = g["t"].to_numpy(), g["c"].to_numpy()
+        run = 0
+        for hi in range(len(g)):
+            run += cv[hi]
+            while tv[lo] < tv[hi] - 3599:
+                run -= cv[lo]
+                lo += 1
+            # RANGE frame: all same-ts peers aggregate identically — the
+            # two-pointer must include every row with t == tv[hi]
+            j = hi
+            extra = 0
+            while j + 1 < len(g) and tv[j + 1] == tv[hi]:
+                j += 1
+                extra += cv[j]
+            peak = max(peak or 0, run + extra)
+        want[int(u)] = (int(peak), len(g))
+    out = {r["user_id"]: (r["peak_1h_cents"], r["n_events"])
+           for r in _fn("range_frame_halo_1h")(spark, sf_dir).collect()}
+    assert out == want
+
+
+# ---------------------------------------------------------------------------
+# incremental minhash resume
+# ---------------------------------------------------------------------------
+
+def test_minhash_incremental_resume_matches_python(spark, sf_dir):
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    grams = {int(r.doc_id): _grams3(r.text)
+             for r in docs.itertuples(index=False)}
+    want = {}
+    for a, ga in grams.items():
+        if a % 5 != 0:
+            continue
+        hits = []
+        for b, gb in grams.items():
+            if b == a:
+                continue
+            inter = len(ga & gb)
+            if not inter:
+                continue
+            j = inter / len(ga | gb)
+            if j >= 0.7:
+                hits.append((j, b))
+        if hits:
+            hits.sort(key=lambda t: (-t[0], t[1]))
+            bj, bb = hits[0]
+            want[a] = (len(hits), bb, math.floor(bj * 1e6))
+    out = {r["doc_id"]: (r["n_dups"], r["best_match_id"], r["best_j_e6"])
+           for r in _fn("minhash_incremental_resume")(spark,
+                                                      sf_dir).collect()}
+    assert out == want
+    assert out, "vacuous: no cross-split dup families at this SF"
+
+
+# ---------------------------------------------------------------------------
+# novelty, lateness, cdc, advisors
+# ---------------------------------------------------------------------------
+
+def test_ngram_novelty_by_batch_matches_python(spark, sf_dir):
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    per_batch = defaultdict(set)
+    for r in docs.itertuples(index=False):
+        per_batch[int(r.doc_id) % 10] |= _grams3(r.text)
+    first = {}
+    for b in sorted(per_batch):
+        for g in per_batch[b]:
+            first.setdefault(g, b)
+    want = {}
+    for b, gs in per_batch.items():
+        new = sum(1 for g in gs if first[g] == b)
+        want[b] = (len(gs), new, math.floor(new * 1e6 / len(gs)))
+    out = {r["batch"]: (r["n_grams"], r["n_new"], r["novelty_ppm"])
+           for r in _fn("ngram_novelty_by_batch")(spark, sf_dir).collect()}
+    assert out == want
+
+
+def test_watermark_lateness_audit_matches_python(spark, sf_dir):
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts"])
+    ev = ev.sort_values("event_id")
+    us = ev["ts"].astype("datetime64[us]").astype(np.int64).to_numpy()
+    late = np.maximum.accumulate(us) - us
+    bins = [(0, "a_on_time"), (60_000_000, "b_1min"),
+            (600_000_000, "c_10min"), (1_800_000_000, "d_30min")]
+    want = defaultdict(int)
+    for v in late:
+        for lim, name in bins:
+            if v <= lim:
+                want[name] += 1
+                break
+        else:
+            want["e_dropped_at_30min"] += 1
+    out = {r["bucket"]: r["n"]
+           for r in _fn("watermark_lateness_audit")(spark,
+                                                    sf_dir).collect()}
+    assert out == dict(want)
+
+
+def test_cdc_net_effect_compact_matches_python(spark, sf_dir):
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_totalprice"])
+    k = o["o_orderkey"].to_numpy()
+    cents = np.floor(o["o_totalprice"].to_numpy() * 100 + 0.5).astype(
+        np.int64)
+    want = defaultdict(lambda: [0, 0, 0])
+    for kk, cc in zip(k, cents):
+        shard = int(kk) % 10
+        if kk % 7 == 0:
+            want[shard][1] += 1
+        else:
+            fc = int(cc) if kk % 3 == 0 else int(cc) * 9 // 10
+            want[shard][0] += 1
+            want[shard][2] += fc
+    out = {r["shard"]: [r["n_live"], r["n_tombstones"],
+                        r["sum_final_cents"]]
+           for r in _fn("cdc_net_effect_compact")(spark, sf_dir).collect()}
+    assert out == {s: v for s, v in want.items()}
+
+
+def test_partition_size_advisor_matches_python(spark, sf_dir):
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    dc = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    est = {
+        "lineitem": int((8 * 4 + 4 + 8 * 4 + 8) * len(li)
+                        + li["l_returnflag"].str.len().sum()
+                        + li["l_linestatus"].str.len().sum()),
+        "orders": int((8 * 2 + 8 + 8) * len(o)
+                      + o["o_orderstatus"].str.len().sum()
+                      + o["o_orderpriority"].str.len().sum()),
+        "events": int((8 * 2 + 8 + 8) * len(ev)
+                      + ev["event_type"].str.len().sum()
+                      + ev["props"].str.len().sum()),
+        "documents": int(8 * 2 * len(dc) + dc["text"].str.len().sum()
+                         + dc["lang"].str.len().sum()
+                         + dc["source"].str.len().sum()),
+    }
+    want = {
+        t: (b, max(1, -(-b // (128 << 20))),
+            min(2000, max(32, -(-b // (64 << 20)))))
+        for t, b in est.items()
+    }
+    out = {r["tbl"]: (r["est_bytes"], r["scan_partitions"],
+                      r["shuffle_partitions"])
+           for r in _fn("partition_size_advisor")(spark, sf_dir).collect()}
+    assert out == want
+
+
+def test_rendezvous_hash_routing_matches_python(spark, sf_dir):
+    c = pd.read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey"])["c_custkey"]
+    per_node = defaultdict(lambda: [0, 0])
+    for kk in c:
+        scores = [(_h60(f"{kk}|{n}"), n) for n in range(8)]
+        n8 = max(scores)[1]
+        n7 = max(s for s in scores if s[1] < 7)[1]
+        per_node[n8][0] += 1
+        if n8 != n7:
+            per_node[n8][1] += 1
+    out = {r["node"]: [r["n_keys"], r["n_moved"]]
+           for r in _fn("rendezvous_hash_routing")(spark, sf_dir).collect()}
+    assert out == {n: v for n, v in per_node.items()}
+    # HRW minimal disruption: only node 7's keys move
+    for n, (nk, nm) in out.items():
+        assert nm == (nk if n == 7 else 0), (n, nk, nm)
