@@ -720,6 +720,140 @@ def q_rendezvous_hash_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# LSH observability + sessionization tuning study
+# ---------------------------------------------------------------------------
+
+def _hot_bucket_oracle() -> str:
+    from .operators.dedup import simhash_portable_oracle
+
+    inner = simhash_portable_oracle()
+    return f"""
+    WITH sig AS ({inner}),
+    stacked AS (
+      SELECT CAST(0 AS BIGINT) AS band_id, band15_0 AS val FROM sig
+      UNION ALL SELECT 1, band15_1 FROM sig
+      UNION ALL SELECT 2, band15_2 FROM sig
+      UNION ALL SELECT 3, band15_3 FROM sig
+    ), buckets AS (
+      SELECT band_id, val, COUNT(*) AS n
+      FROM stacked GROUP BY band_id, val
+    )
+    SELECT band_id,
+           COUNT(*) AS n_buckets,
+           CAST(MAX(n) AS BIGINT) AS max_bucket,
+           CAST(SUM(CASE WHEN n > 8 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_over_cap8,
+           CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS est_pairs
+    FROM buckets GROUP BY band_id ORDER BY band_id
+    """
+
+
+@_stage(
+    "hot_bucket_cap_audit",
+    oracle=None,  # bound below (generator wraps simhash_portable_oracle)
+    doc="LSH bucket observability — the study behind every max_bucket cap "
+        "in the dedup family: SimHash 15-bit band buckets are profiled "
+        "per band (bucket count, max size, count past the cap, exact "
+        "candidate-pair mass sum n*(n-1)/2). est_pairs IS the verify-join "
+        "cost the banded plan pays, so this audit is how a pipeline "
+        "decides caps BEFORE the quadratic bucket bites at 100 TB. "
+        "Oracled end-to-end by wrapping the portable-simhash SQL replay. "
+        "Shape: the two simhash aggregations + one (band, val) count — "
+        "all map-side combinable",
+)
+def q_hot_bucket_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash_portable
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = simhash_portable(docs, "text", "doc_id")
+    stacked = sig.select(
+        F.posexplode(
+            F.array(*[F.col(f"band15_{i}") for i in range(4)])
+        ).alias("band_id", "val")
+    ).select(F.col("band_id").cast("long").alias("band_id"), "val")
+    buckets = stacked.groupBy("band_id", "val").agg(
+        F.count("*").alias("n")
+    )
+    return (
+        buckets.groupBy("band_id")
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.max("n").alias("max_bucket"),
+            F.sum((F.col("n") > 8).cast("long")).alias("n_over_cap8"),
+            F.sum(F.expr("n * (n - 1) div 2")).cast("long")
+            .alias("est_pairs"),
+        )
+        .orderBy("band_id")
+    )
+
+
+STAGED["hot_bucket_cap_audit"] = (
+    q_hot_bucket_cap_audit, _hot_bucket_oracle(),
+    STAGED["hot_bucket_cap_audit"][2], STAGED["hot_bucket_cap_audit"][3],
+)
+
+
+@_stage(
+    "session_gap_histogram",
+    oracle="""
+    WITH g AS (
+      SELECT epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) AS gap_us
+      FROM events
+    ), b AS (
+      SELECT CASE WHEN gap_us <= 60000000 THEN 'a_under_1m'
+                  WHEN gap_us <= 300000000 THEN 'b_1_5m'
+                  WHEN gap_us <= 1800000000 THEN 'c_5_30m'
+                  WHEN gap_us <= 7200000000 THEN 'd_30m_2h'
+                  ELSE 'e_over_2h' END AS bucket
+      FROM g WHERE gap_us IS NOT NULL
+    )
+    SELECT bucket, COUNT(*) AS n,
+           CAST(floor(COUNT(*) * 1000000.0 /
+                      (SELECT COUNT(*) FROM b)) AS BIGINT) AS share_ppm
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+    doc="Per-user inter-event gap histogram — the tuning study behind "
+        "sessionize's 30-minute rule (and any session-window watermark): "
+        "gaps bucket into the candidate thresholds, with ppm shares. The "
+        "c/d boundary at 30 min IS the sessionize cut — the histogram "
+        "shows how much session structure moves if it shifts. Shape: one "
+        "user-keyed shuffle for the lag window, then a 5-row rollup; the "
+        "share denominator is a 1-row broadcast scalar",
+)
+def q_session_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    gaps = ev.select(
+        (F.col("tus") - F.lag("tus").over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    bucket = (
+        F.when(F.col("gap_us") <= 60_000_000, "a_under_1m")
+        .when(F.col("gap_us") <= 300_000_000, "b_1_5m")
+        .when(F.col("gap_us") <= 1_800_000_000, "c_5_30m")
+        .when(F.col("gap_us") <= 7_200_000_000, "d_30m_2h")
+        .otherwise("e_over_2h")
+    )
+    counts = gaps.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n")
+    )
+    total = gaps.agg(F.count("*").alias("tot"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "bucket", "n",
+            F.floor(F.col("n") * 1e6 / F.col("tot")).cast("long")
+            .alias("share_ppm"),
+        )
+        .orderBy("bucket")
+    )
+
+
 # Self-register ONLY under the round-11 gate (this module is imported both
 # by queries.py under the gate and directly by tests without it).
 import os as _os

@@ -403,3 +403,60 @@ def test_rendezvous_hash_routing_matches_python(spark, sf_dir):
     # HRW minimal disruption: only node 7's keys move
     for n, (nk, nm) in out.items():
         assert nm == (nk if n == 7 else 0), (n, nk, nm)
+
+
+def test_hot_bucket_cap_audit_matches_python(spark, sf_dir):
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    per_band = defaultdict(lambda: defaultdict(int))
+    for r in docs.itertuples(index=False):
+        toks = re.split(r"\s+", r.text.strip().lower())
+        votes = [0] * 60
+        from collections import Counter
+        for tok, w in Counter(toks).items():
+            h = _h60(tok)
+            for b in range(60):
+                votes[b] += w if (h >> b) & 1 else -w
+        for i in range(4):
+            val = sum(
+                (1 << j) for j in range(15) if votes[i * 15 + j] > 0
+            )
+            per_band[i][val] += 1
+    want = {}
+    for i, bmap in per_band.items():
+        ns = list(bmap.values())
+        want[i] = (len(ns), max(ns),
+                   sum(1 for n in ns if n > 8),
+                   sum(n * (n - 1) // 2 for n in ns))
+    out = {r["band_id"]: (r["n_buckets"], r["max_bucket"],
+                          r["n_over_cap8"], r["est_pairs"])
+           for r in _fn("hot_bucket_cap_audit")(spark, sf_dir).collect()}
+    assert out == want
+
+
+def test_session_gap_histogram_matches_python(spark, sf_dir):
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_id", "ts"])
+    ev["tus"] = ev["ts"].astype("datetime64[us]").astype(np.int64)
+    want = defaultdict(int)
+    total = 0
+    for _, g in ev.groupby("user_id"):
+        g = g.sort_values(["tus", "event_id"])
+        gaps = g["tus"].diff().dropna().astype(np.int64)
+        for v in gaps:
+            total += 1
+            if v <= 60_000_000:
+                want["a_under_1m"] += 1
+            elif v <= 300_000_000:
+                want["b_1_5m"] += 1
+            elif v <= 1_800_000_000:
+                want["c_5_30m"] += 1
+            elif v <= 7_200_000_000:
+                want["d_30m_2h"] += 1
+            else:
+                want["e_over_2h"] += 1
+    expect = {b: (n, math.floor(n * 1e6 / total))
+              for b, n in want.items()}
+    out = {r["bucket"]: (r["n"], r["share_ppm"])
+           for r in _fn("session_gap_histogram")(spark, sf_dir).collect()}
+    assert out == expect
