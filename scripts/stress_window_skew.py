@@ -89,14 +89,34 @@ def run_range_frame(ev) -> int:
     es = (F.col("ts_us") / F.lit(1_000_000)).cast("long")
     w = (Window.partitionBy("user_id").orderBy(es)
          .rangeBetween(-3599, Window.currentRow))
+    cents = F.round(F.col("value") * 100, 0).cast("long")
     out = ev.select(
         "event_id", "user_id",
-        F.round(F.sum("value").over(w), 2).alias("sum_1h"),
+        F.sum(cents).over(w).alias("sum_1h"),
     )
     # aggregate THROUGH the window column: a bare count(*) lets Catalyst
     # prune sum_1h and drop the WindowExec entirely (measured 0.4 s for
     # 10M rows — benchmarking the scan, not the frame)
     return out.agg(F.count("sum_1h")).collect()[0][0]
+
+
+def run_range_frame_halo(ev) -> int:
+    """The same trailing-1h RANGE sum through range_frame_sum_halo
+    (frame-width halo chunking, chunk=2h) — the measured answer to the
+    zipf topology's straggler."""
+    from gan_deeplearning4j_spark.operators.relational import (
+        range_frame_sum_halo,
+    )
+
+    ev2 = ev.withColumn(
+        "ts_sec", (F.col("ts_us") / F.lit(1_000_000)).cast("long")
+    )
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    out = range_frame_sum_halo(
+        ev2, "user_id", "ts_sec", cents, frame=3600, chunk=7200,
+        out_col="sum_1h_c",
+    )
+    return out.agg(F.count("sum_1h_c")).collect()[0][0]
 
 
 def main() -> int:
@@ -116,7 +136,8 @@ def main() -> int:
           f"({100.0 * hot / n:.1f}%)", flush=True)
 
     for label, fn in [("sessionize", run_sessionize),
-                      ("range_frame", run_range_frame)]:
+                      ("range_frame", run_range_frame),
+                      ("range_frame_halo", run_range_frame_halo)]:
         t0 = time.perf_counter()
         k = fn(ev)
         dt = time.perf_counter() - t0
