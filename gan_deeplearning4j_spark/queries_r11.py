@@ -401,6 +401,11 @@ def q_ngram_novelty_by_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("batch", "gram")
         .agg(F.lit(1))
         .select("batch", "gram")
+        # two plan branches consume bg (first_seen + the join-back); an
+        # unmaterialized bg re-runs the gram explode + distinct aggregate
+        # per branch (2x the corpus scan). The type table is Heaps'-law
+        # small, so one local materialization beats the second scan.
+        .localCheckpoint(eager=True)
     )
     first_seen = bg.groupBy("gram").agg(F.min("batch").alias("fb"))
     return (
@@ -842,13 +847,16 @@ def q_session_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = gaps.groupBy(bucket.alias("bucket")).agg(
         F.count("*").alias("n")
     )
-    total = gaps.agg(F.count("*").alias("tot"))
+    # the denominator comes from the 5-row counts relation itself (a
+    # bounded window), NOT a second aggregate over gaps — a separate
+    # total branch re-scans events and re-runs the lag window
+    from .functions.windows import bounded_window
     return (
-        counts.crossJoin(F.broadcast(total))
-        .select(
+        counts.select(
             "bucket", "n",
-            F.floor(F.col("n") * 1e6 / F.col("tot")).cast("long")
-            .alias("share_ppm"),
+            F.floor(
+                F.col("n") * 1e6 / F.sum("n").over(bounded_window())
+            ).cast("long").alias("share_ppm"),
         )
         .orderBy("bucket")
     )
