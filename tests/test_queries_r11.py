@@ -460,3 +460,50 @@ def test_session_gap_histogram_matches_python(spark, sf_dir):
     out = {r["bucket"]: (r["n"], r["share_ppm"])
            for r in _fn("session_gap_histogram")(spark, sf_dir).collect()}
     assert out == expect
+
+
+def test_embedding_batch_drift_matches_python(spark, sf_dir):
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    sums = defaultdict(lambda: defaultdict(int))
+    ns = defaultdict(int)
+    for r in emb.itertuples(index=False):
+        b = int(r.vec_id) % 8
+        ns[b] += 1
+        for d, x in enumerate(r.embedding):
+            sums[b][d] += math.floor(float(x) * 1048576)
+
+    def tdiv(a, b):
+        return -((-a) // b) if (a < 0) != (b < 0) else a // b
+
+    dims = range(64)
+    sg = {d: sum(sums[b][d] for b in sums) for d in dims}
+    ng = sum(ns.values())
+    want = {}
+    for b in sums:
+        drift = sum(
+            (tdiv(sums[b][d], ns[b]) - tdiv(sg[d], ng)) ** 2 for d in dims
+        )
+        want[b] = (ns[b], drift)
+    out = {r["batch"]: (r["n_vecs"], r["drift_q"])
+           for r in _fn("embedding_batch_drift")(spark, sf_dir).collect()}
+    assert out == want
+
+
+def test_snapshot_diff_audit_matches_python(spark, sf_dir):
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_totalprice",
+                                 "o_orderdate"])
+    cents = np.floor(o["o_totalprice"].to_numpy() * 100 + 0.5).astype(
+        np.int64)
+    early = o["o_orderdate"] < pd.Timestamp("1995-07-01")
+    n_added_01 = int((~early).sum())
+    added_cents_01 = int(cents[~early].sum())
+    n_removed_12 = int((early & (o["o_orderkey"] % 3 == 0)).sum())
+    want = [(0, 1, n_added_01, 0, added_cents_01),
+            (1, 2, 0, n_removed_12, 0)]
+    out = [(r["from_v"], r["to_v"], r["n_added"], r["n_removed"],
+            r["added_cents"])
+           for r in _fn("snapshot_diff_audit")(spark, sf_dir)
+           .orderBy("from_v").collect()]
+    assert out == want
