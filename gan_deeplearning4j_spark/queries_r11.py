@@ -448,7 +448,9 @@ def q_ngram_novelty_by_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "watermark delay): lateness of each event = high-watermark of "
         "event time over arrival order (event_id) minus its own event "
         "time, bucketed into the candidate delays; the last bucket is "
-        "what a 30-min watermark would DROP. The running max is computed "
+        "the UPPER BOUND on what a 30-min watermark drops (Spark "
+        "advances watermarks per micro-batch, not per row, so real "
+        "drops are at most this idealized per-row count). The running max is computed "
         "two-level (per-1024-block max, tiny block-prefix table joined "
         "back, then an in-block window) so no fact-scale relation ever "
         "serializes through one ordered partition — the oracle's plain "
