@@ -1022,6 +1022,223 @@ def q_snapshot_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# b-bit MinHash compression + Merkle-style range diff
+# ---------------------------------------------------------------------------
+
+_BB_P = (1 << 31) - 1
+_BB_K = 16
+
+
+def _bbit_minhash_oracle() -> str:
+    mins = ",\n             ".join(
+        f"CAST(MIN((h * {2 * j + 1} + {9973 * (j + 1)}) % {_BB_P}) % 2"
+        f" AS BIGINT) AS b{j}"
+        for j in range(_BB_K)
+    )
+    bitsum = " + ".join(
+        f"(CASE WHEN a.b{j} = b.b{j} THEN 1 ELSE 0 END)"
+        for j in range(_BB_K)
+    )
+    return f"""
+    WITH sample AS (
+      SELECT doc_id, lower(trim(text)) AS t FROM documents
+      WHERE doc_id % 11 = 0
+    ), th AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % {_BB_P} AS h
+      FROM (SELECT doc_id,
+                   unnest(list_distinct(
+                     regexp_split_to_array(t, '\\s+'))) AS tok
+            FROM sample)
+    ), sig AS (
+      SELECT doc_id,
+             {mins}
+      FROM th GROUP BY doc_id
+    ), toksets AS (
+      SELECT doc_id,
+             list_distinct(regexp_split_to_array(t, '\\s+')) AS s
+      FROM sample
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST({bitsum} AS BIGINT) AS n_match_bits
+      FROM sig a JOIN sig b ON b.doc_id > a.doc_id
+    )
+    SELECT p.id_a, p.id_b, p.n_match_bits,
+           CAST(GREATEST(0, (2 * p.n_match_bits - {_BB_K}) * 1000000
+                            // {_BB_K}) AS BIGINT) AS est_j_e6,
+           CAST(floor(len(list_intersect(ta.s, tb.s)) * 1000000.0 /
+                      len(list_distinct(list_concat(ta.s, tb.s))))
+                AS BIGINT) AS exact_j_e6
+    FROM pairs p
+    JOIN toksets ta ON ta.doc_id = p.id_a
+    JOIN toksets tb ON tb.doc_id = p.id_b
+    """
+
+
+@_stage(
+    "bbit_minhash_estimate",
+    oracle=None,  # bound below
+    doc="b-bit MinHash (Li & Koenig, WWW'10): 16 one-bit minwise hashes "
+        "pack a resemblance sketch into TWO BYTES per doc — 128x smaller "
+        "than the 32-long signature the store persists — at the cost of "
+        "estimator variance. Each sampled doc pair emits matched-bit "
+        "count, the unbiased-at-r=0.5 estimate max(0, 2m/k - 1), and the "
+        "exact token-set Jaccard, all integer fixed-point; the oracle "
+        "replays the md5-60 token hashes, the (2j+1)h + 9973(j+1) mod "
+        "2^31-1 minwise family, and the bit packing exactly. The "
+        "est-vs-exact pairing IS the storage-tradeoff study a pipeline "
+        "runs before shrinking its signature store. Shape: one "
+        "(doc, token)-distinct aggregate with 16 min-combiners (map-side "
+        "combinable), pair join only over the bounded sample",
+)
+def q_bbit_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import portable_hash60
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 11 == 0
+    ).select("doc_id", F.lower(F.trim(F.col("text"))).alias("t"))
+    th = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.col("t"), r"\s+"))
+        ).alias("tok"),
+    ).select(
+        "doc_id", (portable_hash60(F.col("tok")) % _BB_P).alias("h")
+    )
+    sig = th.groupBy("doc_id").agg(*[
+        (F.min((F.col("h") * (2 * j + 1) + 9973 * (j + 1)) % _BB_P) % 2)
+        .cast("long").alias(f"b{j}")
+        for j in range(_BB_K)
+    ])
+    toksets = docs.select(
+        "doc_id", F.array_distinct(F.split(F.col("t"), r"\s+")).alias("s")
+    )
+    a = sig.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"b{j}").alias(f"a{j}") for j in range(_BB_K)],
+    )
+    b = sig.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"b{j}").alias(f"bb{j}") for j in range(_BB_K)],
+    )
+    nm = None
+    for j in range(_BB_K):
+        term = (F.col(f"a{j}") == F.col(f"bb{j}")).cast("long")
+        nm = term if nm is None else nm + term
+    pairs = (
+        a.join(b, F.col("id_b") > F.col("id_a"))
+        .select("id_a", "id_b", nm.alias("n_match_bits"))
+    )
+    ta = toksets.select(F.col("doc_id").alias("id_a"),
+                        F.col("s").alias("sa"))
+    tb = toksets.select(F.col("doc_id").alias("id_b"),
+                        F.col("s").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+    union = F.size(F.array_union("sa", "sb")).cast("double")
+    return (
+        pairs.join(ta, "id_a").join(tb, "id_b")
+        .select(
+            "id_a", "id_b", "n_match_bits",
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.expr(f"(2 * n_match_bits - {_BB_K}) * 1000000"
+                       f" div {_BB_K}"),
+            ).alias("est_j_e6"),
+            F.floor(inter * 1e6 / union).cast("long").alias("exact_j_e6"),
+        )
+    )
+
+
+STAGED["bbit_minhash_estimate"] = (
+    q_bbit_minhash_estimate, _bbit_minhash_oracle(),
+    STAGED["bbit_minhash_estimate"][2], STAGED["bbit_minhash_estimate"][3],
+)
+
+
+@_stage(
+    "merkle_range_diff",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey AS k, o_orderkey // 500 AS rng,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS c
+      FROM orders
+    ), b AS (
+      SELECT k, rng,
+             CASE WHEN k % 997 = 0 THEN c + 1 ELSE c END AS c
+      FROM a WHERE k % 1009 <> 0
+    ), da AS (
+      SELECT rng, COUNT(*) AS n_a,
+             CAST(SUM(CAST('0x' || substr(md5(
+               CAST(k AS VARCHAR) || '|' || CAST(c AS VARCHAR)), 1, 15)
+               AS BIGINT) % 9007199254740993) % 9007199254740993
+               AS BIGINT) AS dg_a
+      FROM a GROUP BY rng
+    ), db AS (
+      SELECT rng, COUNT(*) AS n_b,
+             CAST(SUM(CAST('0x' || substr(md5(
+               CAST(k AS VARCHAR) || '|' || CAST(c AS VARCHAR)), 1, 15)
+               AS BIGINT) % 9007199254740993) % 9007199254740993
+               AS BIGINT) AS dg_b
+      FROM b GROUP BY rng
+    )
+    SELECT da.rng AS rng, da.n_a,
+           CAST(COALESCE(db.n_b, 0) AS BIGINT) AS n_b
+    FROM da LEFT JOIN db USING (rng)
+    WHERE db.rng IS NULL OR da.dg_a <> db.dg_b
+    ORDER BY rng
+    """,
+    doc="Merkle-style range diff — the anti-entropy primitive that "
+        "LOCALIZES replica divergence (table_content_digest only says "
+        "whether two replicas differ; this says WHERE): per-500-key range "
+        "digests (order-invariant pre-modded md5-60 sums, int64-safe at "
+        "any range width) computed on replica A (orders) and replica B "
+        "(a planted corruption: keys %%997 bit-rotted +1 cent, keys "
+        "%%1009 lost), divergent ranges emitted with both row counts. "
+        "Repair then re-ships only those ranges — at 100 TB the exchange "
+        "is |ranges| x 16 bytes instead of the table. The oracle plants "
+        "the identical corruption analytically; hash match proves the "
+        "digest localizes exactly the mutated/lost ranges and no others",
+)
+def q_merkle_range_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.text import portable_hash60
+
+    prime = 9007199254740993
+    a = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.expr("o_orderkey div 500").alias("rng"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("c"),
+    )
+    b = a.filter(F.col("k") % 1009 != 0).select(
+        "k", "rng",
+        F.when(F.col("k") % 997 == 0, F.col("c") + 1)
+        .otherwise(F.col("c")).alias("c"),
+    )
+
+    def digest(df, n_name, d_name):
+        ser = F.concat_ws("|", F.col("k").cast("string"),
+                          F.col("c").cast("string"))
+        return df.groupBy("rng").agg(
+            F.count("*").alias(n_name),
+            (F.sum(portable_hash60(ser) % prime) % prime)
+            .cast("long").alias(d_name),
+        )
+
+    da = digest(a, "n_a", "dg_a")
+    db = digest(b, "n_b", "dg_b")
+    return (
+        da.join(db, "rng", "left")
+        .filter(
+            F.col("dg_b").isNull() | (F.col("dg_a") != F.col("dg_b"))
+        )
+        .select(
+            "rng", "n_a",
+            F.coalesce("n_b", F.lit(0)).cast("long").alias("n_b"),
+        )
+        .orderBy("rng")
+    )
+
+
 # Self-register ONLY under the round-11 gate (this module is imported both
 # by queries.py under the gate and directly by tests without it).
 import os as _os

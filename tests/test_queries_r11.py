@@ -507,3 +507,62 @@ def test_snapshot_diff_audit_matches_python(spark, sf_dir):
            for r in _fn("snapshot_diff_audit")(spark, sf_dir)
            .orderBy("from_v").collect()]
     assert out == want
+
+
+def test_bbit_minhash_estimate_matches_python(spark, sf_dir):
+    P = (1 << 31) - 1
+    K = 16
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    docs = docs[docs["doc_id"] % 11 == 0]
+    toksets, bits = {}, {}
+    for r in docs.itertuples(index=False):
+        toks = set(re.split(r"\s+", r.text.strip().lower()))
+        toksets[int(r.doc_id)] = toks
+        hs = [_h60(t) % P for t in toks]
+        bits[int(r.doc_id)] = [
+            min((h * (2 * j + 1) + 9973 * (j + 1)) % P for h in hs) % 2
+            for j in range(K)
+        ]
+    want = {}
+    ids = sorted(toksets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            m = sum(1 for j in range(K) if bits[a][j] == bits[b][j])
+            est = max(0, (2 * m - K) * 1_000_000 // K)
+            ex = math.floor(
+                len(toksets[a] & toksets[b]) * 1e6
+                / len(toksets[a] | toksets[b])
+            )
+            want[(a, b)] = (m, est, ex)
+    out = {(r["id_a"], r["id_b"]): (r["n_match_bits"], r["est_j_e6"],
+                                    r["exact_j_e6"])
+           for r in _fn("bbit_minhash_estimate")(spark, sf_dir).collect()}
+    assert out == want
+
+
+def test_merkle_range_diff_matches_python(spark, sf_dir):
+    PRIME = 9007199254740993
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_totalprice"])
+    k = o["o_orderkey"].to_numpy()
+    cents = np.floor(o["o_totalprice"].to_numpy() * 100 + 0.5).astype(
+        np.int64)
+    da, db = defaultdict(lambda: [0, 0]), defaultdict(lambda: [0, 0])
+    for kk, cc in zip(k, cents):
+        rng = int(kk) // 500
+        da[rng][0] += 1
+        da[rng][1] = (da[rng][1] + _h60(f"{kk}|{cc}") % PRIME) % PRIME
+        if kk % 1009 != 0:
+            c2 = cc + 1 if kk % 997 == 0 else cc
+            db[rng][0] += 1
+            db[rng][1] = (db[rng][1] + _h60(f"{kk}|{c2}") % PRIME) % PRIME
+    want = {}
+    for rng, (na, dga) in da.items():
+        nb, dgb = db.get(rng, (0, None))
+        if dgb is None or dga != dgb:
+            want[rng] = (na, nb)
+    out = {r["rng"]: (r["n_a"], r["n_b"])
+           for r in _fn("merkle_range_diff")(spark, sf_dir).collect()}
+    assert out == want
+    assert out, "vacuous: no divergent ranges planted at this SF"
