@@ -1239,6 +1239,186 @@ def q_merkle_range_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Max-min fair share + CBO cardinality feedback
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "fair_share_waterfill",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, COUNT(*) AS demand FROM events GROUP BY user_id
+    ), cap AS (
+      SELECT CAST(SUM(demand) // 2 AS BIGINT) AS c, COUNT(*) AS nu FROM d
+    ), r AS (
+      SELECT user_id, demand,
+             ROW_NUMBER() OVER (ORDER BY demand, user_id) AS rn,
+             CAST(SUM(demand) OVER (ORDER BY demand, user_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM d
+    ), lvl AS (
+      -- the last user whose full demand fits under progressive filling:
+      -- cum_k + demand_k * (nu - rn_k) <= C  ->  everyone after rank k is
+      -- capped at level = (C - cum_k) div (nu - rn_k)
+      SELECT MAX(rn) AS k FROM r, cap
+      WHERE cum + demand * (nu - rn) <= c
+    ), level AS (
+      SELECT CASE WHEN lvl.k IS NULL THEN (SELECT c // nu FROM cap)
+                  ELSE (SELECT (c - r2.cum) // (cap.nu - lvl.k)
+                        FROM r r2, cap WHERE r2.rn = lvl.k)
+             END AS lv
+      FROM lvl
+    )
+    SELECT CAST(SUM(CASE WHEN demand <= lv THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_satisfied,
+           CAST(SUM(CASE WHEN demand > lv THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_capped,
+           CAST(MAX(lv) AS BIGINT) AS fair_level,
+           CAST(SUM(LEAST(demand, lv)) AS BIGINT) AS allocated
+    FROM d, level
+    """,
+    doc="Max-min fair share (waterfilling) — the multi-tenant quota "
+        "allocator: per-user event demand against a capacity of half the "
+        "total, solved EXACTLY via the sorted-prefix closed form (the "
+        "largest rank k whose full demand fits under progressive filling "
+        "fixes the water level as (C - cum_k) div (n - k); no iteration). "
+        "Emits satisfied/capped tenant counts, the integer fair level, "
+        "and total allocation. Shape: one demand aggregate, one window "
+        "over the |users| relation, constant-size output — the ordered "
+        "pass runs over per-user rows, never events",
+)
+def q_fair_share_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.windows import bounded_window
+
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy("user_id").agg(F.count("*").alias("demand"))
+    cap = d.agg(
+        F.expr("CAST(SUM(demand) div 2 AS LONG)").alias("c"),
+        F.count("*").alias("nu"),
+    )
+    w = bounded_window("demand", "user_id")
+    r = d.select(
+        "demand",
+        F.row_number().over(w).alias("rn"),
+        F.sum("demand").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("long").alias("cum"),
+    ).crossJoin(F.broadcast(cap))
+    fits = r.filter(
+        F.col("cum") + F.col("demand") * (F.col("nu") - F.col("rn"))
+        <= F.col("c")
+    )
+    # always one row, nulls when NO rank fits (every tenant capped):
+    # max_by keeps the cum at the largest fitting rank
+    lastfit = fits.agg(
+        F.max("rn").alias("k"), F.max_by("cum", "rn").alias("cum_k")
+    )
+    lv = (
+        cap.crossJoin(F.broadcast(lastfit))
+        .select(
+            F.when(
+                F.col("k").isNull(), F.expr("c div nu")
+            ).otherwise(
+                F.expr("(c - cum_k) div (nu - k)")
+            ).cast("long").alias("lv")
+        )
+    )
+    return d.crossJoin(F.broadcast(lv)).agg(
+        F.sum((F.col("demand") <= F.col("lv")).cast("long"))
+        .alias("n_satisfied"),
+        F.sum((F.col("demand") > F.col("lv")).cast("long"))
+        .alias("n_capped"),
+        F.max("lv").alias("fair_level"),
+        F.sum(F.least("demand", "lv")).cast("long").alias("allocated"),
+    )
+
+
+@_stage(
+    "join_cardinality_qerror",
+    oracle="""
+    WITH stats AS (
+      SELECT
+        (SELECT COUNT(*) FROM lineitem) AS n_l,
+        (SELECT COUNT(*) FROM orders) AS n_o,
+        (SELECT COUNT(*) FROM customer) AS n_c,
+        (SELECT COUNT(*) FROM part) AS n_p,
+        (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem) AS d_l_ok,
+        (SELECT COUNT(DISTINCT o_orderkey) FROM orders) AS d_o_ok,
+        (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS d_o_ck,
+        (SELECT COUNT(DISTINCT c_custkey) FROM customer) AS d_c_ck,
+        (SELECT COUNT(DISTINCT l_partkey) FROM lineitem) AS d_l_pk,
+        (SELECT COUNT(DISTINCT p_partkey) FROM part) AS d_p_pk
+    ), act AS (
+      SELECT
+        (SELECT COUNT(*) FROM lineitem l JOIN orders o
+           ON l.l_orderkey = o.o_orderkey) AS a_lo,
+        (SELECT COUNT(*) FROM orders o JOIN customer c
+           ON o.o_custkey = c.c_custkey) AS a_oc,
+        (SELECT COUNT(*) FROM lineitem l JOIN part p
+           ON l.l_partkey = p.p_partkey) AS a_lp
+    ), rows_out AS (
+      SELECT 'lineitem_orders' AS edge,
+             CAST(n_l * n_o // GREATEST(d_l_ok, d_o_ok) AS BIGINT) AS est,
+             CAST(a_lo AS BIGINT) AS actual
+      FROM stats, act
+      UNION ALL
+      SELECT 'orders_customer',
+             CAST(n_o * n_c // GREATEST(d_o_ck, d_c_ck) AS BIGINT),
+             CAST(a_oc AS BIGINT)
+      FROM stats, act
+      UNION ALL
+      SELECT 'lineitem_part',
+             CAST(n_l * n_p // GREATEST(d_l_pk, d_p_pk) AS BIGINT),
+             CAST(a_lp AS BIGINT)
+      FROM stats, act
+    )
+    SELECT edge, est, actual,
+           CAST(GREATEST(est * 1000 // GREATEST(actual, 1),
+                         actual * 1000 // GREATEST(est, 1))
+                AS BIGINT) AS qerror_e3
+    FROM rows_out ORDER BY edge
+    """,
+    doc="CBO cardinality feedback — the validation loop behind "
+        "join_order_advisor: for each TPC-H join edge, the System R "
+        "independence estimate |A|x|B| / max(ndv_A, ndv_B) is computed "
+        "from exact catalog stats and compared to the ACTUAL join "
+        "cardinality; the q-error (max of the two ratios, milli-scale) "
+        "is the standard planner-quality metric (Leis et al., 'How Good "
+        "Are Query Optimizers, Really?', PVLDB'15). On FK joins the "
+        "estimate is exact (q-error 1.000) — emitted, not asserted, so "
+        "any stats drift or estimator bug surfaces as a hash change. "
+        "Shape: count-distinct aggregates per table + three key-only "
+        "joins; at 100 TB the ndv side becomes an HLL sketch and THIS "
+        "query is how you measure what that approximation costs",
+)
+def q_join_cardinality_qerror(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    p = _t(spark, sf_dir, "part")
+
+    def one(name, a, b, ka, kb):
+        n_a = a.count()
+        n_b = b.count()
+        d_a = a.select(ka).distinct().count()
+        d_b = b.select(kb).distinct().count()
+        actual = a.select(F.col(ka).alias("__k")).join(
+            b.select(F.col(kb).alias("__k")), "__k"
+        ).count()
+        est = n_a * n_b // max(d_a, d_b)
+        q = max(est * 1000 // max(actual, 1), actual * 1000 // max(est, 1))
+        return (name, est, actual, q)
+
+    rows = [
+        one("lineitem_orders", li, o, "l_orderkey", "o_orderkey"),
+        one("orders_customer", o, c, "o_custkey", "c_custkey"),
+        one("lineitem_part", li, p, "l_partkey", "p_partkey"),
+    ]
+    return spark.createDataFrame(
+        rows, "edge string, est long, actual long, qerror_e3 long"
+    ).orderBy("edge")
+
+
 # Self-register ONLY under the round-11 gate (this module is imported both
 # by queries.py under the gate and directly by tests without it).
 import os as _os

@@ -566,3 +566,53 @@ def test_merkle_range_diff_matches_python(spark, sf_dir):
            for r in _fn("merkle_range_diff")(spark, sf_dir).collect()}
     assert out == want
     assert out, "vacuous: no divergent ranges planted at this SF"
+
+
+def test_fair_share_waterfill_matches_python(spark, sf_dir):
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    d = sorted(ev.groupby("user_id").size().to_numpy().tolist())
+    total = sum(d)
+    cap = total // 2
+    nu = len(d)
+    # progressive filling: find the largest k whose full demand fits
+    cum, k, cum_k = 0, None, 0
+    for i, dem in enumerate(d, start=1):
+        cum += dem
+        if cum + dem * (nu - i) <= cap:
+            k, cum_k = i, cum
+    lv = (cap - cum_k) // (nu - k) if k is not None else cap // nu
+    want = (sum(1 for x in d if x <= lv), sum(1 for x in d if x > lv),
+            lv, sum(min(x, lv) for x in d))
+    r = _fn("fair_share_waterfill")(spark, sf_dir).collect()[0]
+    assert (r["n_satisfied"], r["n_capped"], r["fair_level"],
+            r["allocated"]) == want
+    # allocation never exceeds capacity, and fills it when demand allows
+    assert r["allocated"] <= cap
+
+
+def test_join_cardinality_qerror_matches_python(spark, sf_dir):
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey"])
+    c = pd.read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey"])
+    p = pd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey"])
+
+    def edge(a, b, ka, kb):
+        est = len(a) * len(b) // max(a[ka].nunique(), b[kb].nunique())
+        actual = len(a.merge(b, left_on=ka, right_on=kb))
+        q = max(est * 1000 // max(actual, 1), actual * 1000 // max(est, 1))
+        return (est, actual, q)
+
+    want = {
+        "lineitem_orders": edge(li, o, "l_orderkey", "o_orderkey"),
+        "orders_customer": edge(o, c, "o_custkey", "c_custkey"),
+        "lineitem_part": edge(li, p, "l_partkey", "p_partkey"),
+    }
+    out = {r["edge"]: (r["est"], r["actual"], r["qerror_e3"])
+           for r in _fn("join_cardinality_qerror")(spark,
+                                                   sf_dir).collect()}
+    assert out == want
+    # FK joins: the independence estimate is exact -> q-error 1.000
+    assert out["lineitem_orders"][2] == 1000
