@@ -1786,9 +1786,9 @@ def q_weighted_interval_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT plan, CAST(est_intermediate AS BIGINT) AS est_intermediate,
            CAST(est_final AS BIGINT) AS est_final,
            CAST(est_intermediate + est_final AS BIGINT) AS est_cost,
-           CASE WHEN est_intermediate + est_final = (
+           CAST(CASE WHEN est_intermediate + est_final = (
                   SELECT MIN(est_intermediate + est_final) FROM plans)
-                THEN 1 ELSE 0 END AS is_winner
+                THEN 1 ELSE 0 END AS BIGINT) AS is_winner
     FROM plans ORDER BY plan
     """,
     doc="Selinger join-order advisor (System R, Selinger et al. "
