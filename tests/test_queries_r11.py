@@ -616,3 +616,50 @@ def test_join_cardinality_qerror_matches_python(spark, sf_dir):
     assert out == want
     # FK joins: the independence estimate is exact -> q-error 1.000
     assert out["lineitem_orders"][2] == 1000
+
+
+def test_range_frame_halo_boundary_cases(spark):
+    """Adversarial timestamps for halo chunking: rows exactly ON block
+    boundaries, exactly at the halo cutoff, same-ts peers straddling a
+    boundary, and a frame reaching exactly one full block back. Equivalence
+    with the plain window must hold row for row."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from gan_deeplearning4j_spark.operators.relational import (
+        range_frame_sum_halo,
+    )
+
+    frame, chunk = 100, 100   # chunk == frame: the tightest legal setting
+    ts = [0, 1, 99, 100, 101, 199, 200, 201, 299, 300,
+          100, 100, 199, 200,          # duplicate timestamps at boundaries
+          399, 400, 499, 500]
+    rows = [(1, t, i + 1) for i, t in enumerate(ts)]
+    df = spark.createDataFrame(rows, "k long, t long, v long")
+    halo = range_frame_sum_halo(
+        df, "k", "t", F.col("v"), frame=frame, chunk=chunk, out_col="s"
+    )
+    w = (Window.partitionBy("k").orderBy("t")
+         .rangeBetween(-(frame - 1), Window.currentRow))
+    plain = df.withColumn("s2", F.sum("v").over(w))
+    got = sorted((r["t"], r["s"]) for r in halo.collect())
+    want = sorted((r["t"], r["s2"]) for r in plain.collect())
+    assert got == want
+    # every input row appears exactly once in the output
+    assert halo.count() == len(ts)
+
+
+def test_partition_size_advisor_prunes_to_string_columns(spark, sf_dir):
+    """The advisor's scans must read ONLY the string columns (fixed-width
+    contributions are constants folded into the expression) — a scan
+    pulling all of lineitem for a byte estimate would be the exact
+    anti-pattern the advisor exists to prevent."""
+    df = _fn("partition_size_advisor")(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas, plan
+    for s in schemas:
+        cols = [c.split(":")[0] for c in s.split(",") if c]
+        for c in cols:
+            assert "string" in s.split(c + ":")[1][:12], (c, s)
