@@ -663,3 +663,36 @@ def test_partition_size_advisor_prunes_to_string_columns(spark, sf_dir):
         cols = [c.split(":")[0] for c in s.split(",") if c]
         for c in cols:
             assert "string" in s.split(c + ":")[1][:12], (c, s)
+
+
+def test_salted_twophase_agg_model_check(spark):
+    """Seeded random model check: for skewed key distributions (one hot
+    key holding most rows), salted_twophase_agg must equal the plain
+    groupBy exactly — counts and integer sums, any salt factor."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from gan_deeplearning4j_spark.operators.relational import (
+        salted_twophase_agg,
+    )
+
+    for seed in range(4):
+        rng = random.Random(seed)
+        rows = []
+        for i in range(rng.randint(50, 300)):
+            key = 0 if rng.random() < 0.6 else rng.randint(1, 8)
+            rows.append((key, rng.randint(-1000, 1000)))
+        df = spark.createDataFrame(rows, "k long, v long")
+        got = {
+            (r["k"]): (r["sv"], r["n"])
+            for r in salted_twophase_agg(
+                df, ["k"], {"sv": F.sum("v")},
+                salt=rng.choice([2, 8, 32]), count_col="n",
+            ).collect()
+        }
+        want = {}
+        for k, v in rows:
+            s, n = want.get(k, (0, 0))
+            want[k] = (s + v, n + 1)
+        assert got == want, seed
