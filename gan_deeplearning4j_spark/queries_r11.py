@@ -1250,22 +1250,25 @@ def q_merkle_range_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, COUNT(*) AS demand FROM events GROUP BY user_id
     ), cap AS (
       SELECT CAST(SUM(demand) // 2 AS BIGINT) AS c, COUNT(*) AS nu FROM d
+    ), dv AS (
+      SELECT demand, COUNT(*) AS cnt FROM d GROUP BY demand
     ), r AS (
-      SELECT user_id, demand,
-             ROW_NUMBER() OVER (ORDER BY demand, user_id) AS rn,
-             CAST(SUM(demand) OVER (ORDER BY demand, user_id
-                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
-      FROM d
+      SELECT demand,
+             CAST(SUM(cnt) OVER (ORDER BY demand
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_u,
+             CAST(SUM(demand * cnt) OVER (ORDER BY demand
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_d
+      FROM dv
     ), lvl AS (
-      -- the last user whose full demand fits under progressive filling:
-      -- cum_k + demand_k * (nu - rn_k) <= C  ->  everyone after rank k is
-      -- capped at level = (C - cum_k) div (nu - rn_k)
-      SELECT MAX(rn) AS k FROM r, cap
-      WHERE cum + demand * (nu - rn) <= c
+      -- the largest distinct demand fully satisfiable under progressive
+      -- filling: cum_d_k + demand_k * (nu - cum_u_k) <= C -> everyone
+      -- above is capped at level = (C - cum_d_k) div (nu - cum_u_k)
+      SELECT MAX(demand) AS vk FROM r, cap
+      WHERE cum_d + demand * (nu - cum_u) <= c
     ), level AS (
-      SELECT CASE WHEN lvl.k IS NULL THEN (SELECT c // nu FROM cap)
-                  ELSE (SELECT (c - r2.cum) // (cap.nu - lvl.k)
-                        FROM r r2, cap WHERE r2.rn = lvl.k)
+      SELECT CASE WHEN lvl.vk IS NULL THEN (SELECT c // nu FROM cap)
+                  ELSE (SELECT (c - r2.cum_d) // (cap.nu - r2.cum_u)
+                        FROM r r2, cap WHERE r2.demand = lvl.vk)
              END AS lv
       FROM lvl
     )
@@ -1283,9 +1286,9 @@ def q_merkle_range_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "largest rank k whose full demand fits under progressive filling "
         "fixes the water level as (C - cum_k) div (n - k); no iteration). "
         "Emits satisfied/capped tenant counts, the integer fair level, "
-        "and total allocation. Shape: one demand aggregate, one window "
-        "over the |users| relation, constant-size output — the ordered "
-        "pass runs over per-user rows, never events",
+        "and total allocation. Shape: one demand aggregate, then the "
+        "ordered pass runs over DISTINCT demand values (Zipf-bounded) — "
+        "never per-user rows, never events; constant-size output",
 )
 def q_fair_share_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.windows import bounded_window
@@ -1296,30 +1299,38 @@ def q_fair_share_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(SUM(demand) div 2 AS LONG)").alias("c"),
         F.count("*").alias("nu"),
     )
-    w = bounded_window("demand", "user_id")
-    r = d.select(
+    # the ordered pass runs over DISTINCT demand values (the house
+    # percentile-family shape), never per-user rows: at 100 TB |users|
+    # is fact-scale but distinct per-user counts are Zipf-bounded
+    dv = d.groupBy("demand").agg(F.count("*").alias("cnt"))
+    w = bounded_window("demand").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    r = dv.select(
         "demand",
-        F.row_number().over(w).alias("rn"),
-        F.sum("demand").over(
-            w.rowsBetween(Window.unboundedPreceding, 0)
-        ).cast("long").alias("cum"),
+        F.sum("cnt").over(w).cast("long").alias("cum_u"),
+        F.sum(F.col("demand") * F.col("cnt")).over(w)
+        .cast("long").alias("cum_d"),
     ).crossJoin(F.broadcast(cap))
     fits = r.filter(
-        F.col("cum") + F.col("demand") * (F.col("nu") - F.col("rn"))
+        F.col("cum_d") + F.col("demand") * (F.col("nu") - F.col("cum_u"))
         <= F.col("c")
     )
-    # always one row, nulls when NO rank fits (every tenant capped):
-    # max_by keeps the cum at the largest fitting rank
+    # always one row, nulls when NO value fits (every tenant capped);
+    # division by (nu - cum_u) is safe: capacity = total div 2 < total,
+    # so the largest demand value can never fully fit (cum_u < nu)
     lastfit = fits.agg(
-        F.max("rn").alias("k"), F.max_by("cum", "rn").alias("cum_k")
+        F.max_by("cum_d", "demand").alias("cum_k"),
+        F.max_by("cum_u", "demand").alias("u_k"),
+        F.max("demand").alias("vk"),
     )
     lv = (
         cap.crossJoin(F.broadcast(lastfit))
         .select(
             F.when(
-                F.col("k").isNull(), F.expr("c div nu")
+                F.col("vk").isNull(), F.expr("c div nu")
             ).otherwise(
-                F.expr("(c - cum_k) div (nu - k)")
+                F.expr("(c - cum_k) div (nu - u_k)")
             ).cast("long").alias("lv")
         )
     )
