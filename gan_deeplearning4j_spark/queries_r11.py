@@ -535,7 +535,9 @@ def q_watermark_lateness_audit(spark: SparkSession,
         "changelog shuffles once on key for the row_number window; "
         "compacting BEFORE merge_upsert turns K ops/key into 1 and is "
         "what keeps the downstream full-outer merge join linear in KEYS "
-        "rather than ops at 100 TB",
+        "rather than ops at 100 TB — the exact collapse "
+        "streaming/cdc.apply_cdc_batch performs as step 1 of every "
+        "micro-batch; this query is its hash-graded batch twin",
 )
 def q_cdc_net_effect_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").select(
