@@ -3,9 +3,11 @@
 Staged behind ``SPARK_GRAFT_R10=1`` during round 9 (same lifecycle as
 queries_r7/r8/r9); CORRECTNESS_r09 came back 50/50 hash-green, so round 10
 flipped the gate and this module now self-registers unconditionally at its
-bottom. All 17 entries are oracled and were certified at 3 SFs + 3
+bottom. All 17 wave entries are oracled and were certified at 3 SFs + 3
 perturbations with python-replay pins before the flip
-(tests/test_queries_r10.py).
+(tests/test_queries_r10.py). A "Round-10 LIVE additions" banner below
+appends further queries registered mid-round (same certification bar;
+same lifecycle as the round-9 live additions in queries_r9.py).
 """
 
 from __future__ import annotations
@@ -1861,6 +1863,437 @@ def q_join_order_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("is_winner"),
         )
         .orderBy("plan")
+    )
+
+
+# ===========================================================================
+# Round-10 LIVE additions — written mid-round after the wave flip, registered
+# unconditionally alongside the wave (same lifecycle as the round-9 live
+# additions in queries_r9.py). Focus: Spark 4 SQL/API surfaces the engine had
+# not yet exercised (native recursive CTE, SQL scalar UDFs, LATERAL
+# correlated subqueries, UDTF TABLE arguments, collations) plus
+# pipeline-pull operators (entity resolution, weighted SSSP, temperature
+# mixture weights, span/chunk alignment). Each is certified the house way
+# before registration: 3 SFs + strict parity + shuffle3/noaqe/noansi +
+# python-replay pin.
+# ===========================================================================
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 native recursive CTE — hierarchy walk without a driver loop
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "recursive_cte_part_hierarchy",
+    oracle="""
+    WITH RECURSIVE walk(node, depth, cents) AS (
+      SELECT CAST(p_partkey AS BIGINT),
+             0,
+             CAST(round(p_retailprice * 100) AS BIGINT)
+      FROM part WHERE p_partkey = 0
+      UNION ALL
+      SELECT p.p_partkey, w.depth + 1,
+             CAST(round(p.p_retailprice * 100) AS BIGINT)
+      FROM walk w JOIN part p
+        ON (p.p_partkey - 1) // 4 = w.node AND p.p_partkey > 0
+    )
+    SELECT CAST(depth AS BIGINT) AS depth,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST(SUM(node) AS BIGINT) AS sum_key
+    FROM walk GROUP BY depth ORDER BY depth
+    """,
+    doc="Spark 4 NATIVE recursive CTE (WITH RECURSIVE reached GA in Spark "
+        "4.0; every other iterative query in this engine runs a driver "
+        "loop with localCheckpoint because pre-4.0 Spark had no "
+        "fixpoint operator — this entry pins the new planner path end to "
+        "end): walk the implicit part quad-tree parent(k)=(k-1) div 4 "
+        "from root 0, carrying depth and exact retail cents, then census "
+        "each level (count, cents, id-sum). The recursion is "
+        "data-terminated (each part has exactly one parent, so the walk "
+        "visits every key once and the frontier empties at the leaf "
+        "level ~log4(N)). Scale: each recursive step is one equi-join of "
+        "the previous frontier against the static dimension — the same "
+        "O(depth) shuffle schedule the hand-rolled BFS loop produces, "
+        "but planned by Catalyst's UnionLoop with no Python round-trips. "
+        "The oracle replays the identical recursion in DuckDB "
+        "(// = div).",
+)
+def q_recursive_cte_part_hierarchy(
+    spark: SparkSession, sf_dir: str,
+) -> DataFrame:
+    from .sql import register_tables
+
+    register_tables(spark, sf_dir)
+    return spark.sql("""
+        WITH RECURSIVE walk(node, depth, cents) AS (
+          SELECT CAST(p_partkey AS BIGINT) AS node,
+                 0 AS depth,
+                 CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+          FROM part WHERE p_partkey = 0
+          UNION ALL
+          SELECT p.p_partkey, w.depth + 1,
+                 CAST(round(p.p_retailprice * 100) AS BIGINT)
+          FROM walk w JOIN part p
+            ON (p.p_partkey - 1) div 4 = w.node AND p.p_partkey > 0
+        )
+        SELECT CAST(depth AS BIGINT) AS depth,
+               CAST(COUNT(*) AS BIGINT) AS n_parts,
+               CAST(SUM(cents) AS BIGINT) AS sum_cents,
+               CAST(SUM(node) AS BIGINT) AS sum_key
+        FROM walk GROUP BY depth ORDER BY depth
+    """)
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 SQL scalar UDF — macro-inlined, stays inside codegen
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "sql_udf_quality_score",
+    oracle="""
+    WITH scored AS (
+      SELECT lang,
+             100 * (length(text) - length(replace(text, ' ', '')) + 1)
+             - 17 * (length(text) - length(replace(text, ',', '')))
+             - 23 * (length(text) - length(replace(text, '.', '')))
+             + n_chars AS score
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(score) AS BIGINT) AS sum_score,
+           CAST(MIN(score) AS BIGINT) AS min_score,
+           CAST(MAX(score) AS BIGINT) AS max_score
+    FROM scored GROUP BY lang ORDER BY lang
+    """,
+    doc="Spark 4 SQL scalar UDF (CREATE TEMPORARY FUNCTION ... RETURN "
+        "expr — the declarative UDF surface added in Spark 4.0, distinct "
+        "from the Python UDF / pandas UDF / UDTF rows this engine "
+        "already pins): a document quality score written ONCE as a named "
+        "SQL function (word count minus punctuation penalties plus "
+        "n_chars, all exact int64) and applied per document, aggregated "
+        "per language. The point the plan pin enforces: a SQL UDF is "
+        "macro-expanded by the analyzer, so the scoring expression "
+        "lands INSIDE WholeStageCodegen with no BatchEvalPython / "
+        "Arrow-exchange node — the zero-cost abstraction path for shared "
+        "business logic at 100 TB. Oracle inlines the same expression.",
+)
+def q_sql_udf_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sql import register_tables
+
+    register_tables(spark, sf_dir)
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION r10_doc_score(
+            t STRING, nc BIGINT) RETURNS BIGINT
+        RETURN 100 * (length(t) - length(replace(t, ' ', '')) + 1)
+             - 17 * (length(t) - length(replace(t, ',', '')))
+             - 23 * (length(t) - length(replace(t, '.', '')))
+             + nc
+    """)
+    return spark.sql("""
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(r10_doc_score(text, n_chars)) AS BIGINT)
+                 AS sum_score,
+               CAST(MIN(r10_doc_score(text, n_chars)) AS BIGINT)
+                 AS min_score,
+               CAST(MAX(r10_doc_score(text, n_chars)) AS BIGINT)
+                 AS max_score
+        FROM documents GROUP BY lang ORDER BY lang
+    """)
+
+
+# ---------------------------------------------------------------------------
+# LATERAL correlated subquery with ORDER BY ... LIMIT (decorrelation path)
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "lateral_topk_acctbal",
+    oracle="""
+    SELECT n.n_name, c.c_custkey, c.bal_cents
+    FROM nation n, LATERAL (
+      SELECT c_custkey,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+      FROM customer WHERE c_nationkey = n.n_nationkey
+      ORDER BY bal_cents DESC, c_custkey LIMIT 3
+    ) c
+    ORDER BY n.n_name, c.bal_cents DESC, c.c_custkey
+    """,
+    doc="SQL LATERAL correlated subquery with per-row ORDER BY ... LIMIT "
+        "(top-3 account balances per nation, ties pinned by custkey): the "
+        "decorrelation surface — Spark's analyzer must rewrite the "
+        "correlated limit into a DomainJoin/window form rather than "
+        "re-executing the inner query per outer row, which is exactly "
+        "the property that makes LATERAL usable against a 100 TB fact "
+        "(one exchange on the correlation key, same physical shape as "
+        "the engine's top_k_per_group operator — this entry pins that "
+        "the SQL-standard spelling reaches the same plan family). "
+        "DuckDB runs the identical LATERAL text.",
+)
+def q_lateral_topk_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sql import register_tables
+
+    register_tables(spark, sf_dir)
+    return spark.sql("""
+        SELECT n.n_name, c.c_custkey, c.bal_cents
+        FROM nation n, LATERAL (
+          SELECT c_custkey,
+                 CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+          FROM customer WHERE c_nationkey = n.n_nationkey
+          ORDER BY bal_cents DESC, c_custkey LIMIT 3
+        ) c
+        ORDER BY n.n_name, c.bal_cents DESC, c.c_custkey
+    """)
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 collations — case-insensitive grouping without lower() rewrites
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "collation_lcase_grouping",
+    oracle="""
+    WITH v AS (
+      SELECT CASE CAST(p_partkey % 3 AS INT)
+               WHEN 0 THEN p_type || ' ' || p_brand
+               WHEN 1 THEN upper(p_type || ' ' || p_brand)
+               ELSE lower(p_type || ' ' || p_brand)
+             END AS s
+      FROM part
+    )
+    SELECT lower(min(s)) AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT s) AS BIGINT) AS n_variants
+    FROM v GROUP BY lower(s) ORDER BY grp
+    """,
+    doc="Spark 4 collated-string grouping (COLLATE UTF8_LCASE, the "
+        "collation support added in Spark 4.0): part type+brand labels "
+        "are deterministically re-cased three ways (as-is / upper / "
+        "lower by partkey mod 3), then grouped by the value CAST to "
+        "STRING COLLATE UTF8_LCASE — the declarative alternative to "
+        "sprinkling lower() around every comparison, and the planner "
+        "path (collation-aware hash/compare inside codegen) is distinct "
+        "from an expression rewrite, which is why it gets its own pin. "
+        "Output per case-insensitive class: binary-min representative "
+        "(lowered — deterministic), row count, and the count of DISTINCT "
+        "binary variants collapsed into the class. The oracle replays "
+        "with lower()-grouping, which is semantically identical for "
+        "these ASCII labels. Scale: one exchange on the collation key, "
+        "same as any groupBy.",
+)
+def q_collation_lcase_grouping(
+    spark: SparkSession, sf_dir: str,
+) -> DataFrame:
+    from .sql import register_tables
+
+    register_tables(spark, sf_dir)
+    return spark.sql("""
+        WITH v AS (
+          SELECT CASE CAST(p_partkey % 3 AS INT)
+                   WHEN 0 THEN p_type || ' ' || p_brand
+                   WHEN 1 THEN upper(p_type || ' ' || p_brand)
+                   ELSE lower(p_type || ' ' || p_brand)
+                 END AS s
+          FROM part
+        )
+        SELECT lower(min(s)) AS grp,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT s) AS BIGINT) AS n_variants
+        FROM v GROUP BY CAST(s AS STRING COLLATE UTF8_LCASE)
+        ORDER BY grp
+    """)
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 UDTF TABLE argument with PARTITION BY / ORDER BY
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "udtf_table_partition_sessions",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events
+    ), o AS (
+      SELECT user_id, us,
+             CASE WHEN us - lag(us) OVER w > 1800000000
+                  OR lag(us) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM u
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ), s AS (
+      SELECT user_id, us,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    ), per AS (
+      SELECT user_id, sid, COUNT(*) AS n, MAX(us) - MIN(us) AS span
+      FROM s GROUP BY user_id, sid
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(MAX(n) AS BIGINT) AS max_session_events,
+           CAST(MAX(span) AS BIGINT) AS max_session_span_us
+    FROM per GROUP BY user_id ORDER BY user_id
+    """,
+    doc="Spark 4 UDTF TABLE argument with PARTITION BY ... ORDER BY (the "
+        "polymorphic-table-function surface added in Spark 4.0 — the "
+        "existing token_rle_udtf entry pins only the LATERAL scalar-arg "
+        "form): a per-user 30-minute-gap sessionizer written as a Python "
+        "UDTF that receives each user's events AS A PARTITION in "
+        "timestamp order and emits one summary row (sessions, events, "
+        "max session size, max session span). Semantically a twin of the "
+        "JVM-side ★sessionize window query — registered to pin the API "
+        "path (partition routing, intra-partition ordering, terminate() "
+        "emission), not as the scale recommendation: the engine's hot "
+        "path for this stays the Catalyst window form; a UDTF partition "
+        "is the escape hatch for state machines windows cannot express. "
+        "Scale: one exchange on user_id; per-partition state is O(1). "
+        "Ties on us are span/count-invariant, so the output is "
+        "order-stable. Oracle replays the gap logic with lag/cumsum.",
+)
+def q_udtf_table_partition_sessions(
+    spark: SparkSession, sf_dir: str,
+) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    from .sql import register_tables
+
+    @udtf(returnType="user_id bigint, n_sessions bigint, n_events bigint, "
+                      "max_session_events bigint, max_session_span_us bigint")
+    class GapSessions:
+        GAP_US = 1_800_000_000
+
+        def __init__(self):
+            self.uid = None
+            self.prev = None
+            self.start = None
+            self.cur_n = 0
+            self.sessions = 0
+            self.events = 0
+            self.max_n = 0
+            self.max_span = 0
+
+        def _close(self):
+            if self.cur_n:
+                self.sessions += 1
+                self.max_n = max(self.max_n, self.cur_n)
+                self.max_span = max(self.max_span, self.prev - self.start)
+
+        def eval(self, row):
+            self.uid = row["user_id"]
+            us = row["us"]
+            if self.prev is not None and us - self.prev > self.GAP_US:
+                self._close()
+                self.cur_n = 0
+            if self.cur_n == 0:
+                self.start = us
+            self.cur_n += 1
+            self.events += 1
+            self.prev = us
+
+        def terminate(self):
+            self._close()
+            if self.uid is not None:
+                yield (self.uid, self.sessions, self.events,
+                       self.max_n, self.max_span)
+
+    register_tables(spark, sf_dir)
+    spark.udtf.register("__r10_gap_sessions", GapSessions)
+    return spark.sql("""
+        SELECT * FROM __r10_gap_sessions(
+          TABLE(SELECT user_id, unix_micros(ts) AS us, event_id
+                FROM events)
+          PARTITION BY user_id ORDER BY (us, event_id)
+        ) ORDER BY user_id
+    """)
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled source mixing weights (UniMax/T5-style, tau = 2)
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "temperature_mixture_weights",
+    oracle="""
+    WITH counts AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY lang
+    ), isq AS (
+      SELECT lang, n_docs,
+             CAST(floor(sqrt(n_docs)) AS BIGINT)
+             + CASE WHEN (CAST(floor(sqrt(n_docs)) AS BIGINT) + 1)
+                         * (CAST(floor(sqrt(n_docs)) AS BIGINT) + 1)
+                         <= n_docs THEN 1 ELSE 0 END
+             - CASE WHEN CAST(floor(sqrt(n_docs)) AS BIGINT)
+                         * CAST(floor(sqrt(n_docs)) AS BIGINT)
+                         > n_docs THEN 1 ELSE 0 END AS s
+      FROM counts
+    ), tot AS (
+      SELECT SUM(s) AS ts FROM isq
+    ), base AS (
+      SELECT lang, n_docs, s,
+             (1000000 * s) // (SELECT ts FROM tot) AS w0,
+             (1000000 * s) % (SELECT ts FROM tot) AS rem
+      FROM isq
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS rk,
+             (SELECT 1000000 - SUM(w0) FROM base) AS leftover
+      FROM base
+    )
+    SELECT lang, n_docs, CAST(s AS BIGINT) AS isqrt_n,
+           CAST(w0 + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS w_ppm
+    FROM ranked ORDER BY lang
+    """,
+    doc="Temperature-scaled mixture weights for multi-source training "
+        "data (the tau-sampling rule from multilingual T5/UniMax: "
+        "w_i proportional to n_i^(1/tau), tau=2 → sqrt), computed in "
+        "EXACT integer arithmetic: isqrt via float sqrt plus a ±1 "
+        "integer correction (exact for all int64 counts, both engines), "
+        "weights as floor-ppm with Hamilton largest-remainder top-up so "
+        "they sum to exactly 1,000,000 (remainder ties pinned by lang). "
+        "This is the allocation a 100 TB curation job feeds its "
+        "per-source samplers — upweighting tail languages against the "
+        "head without the starvation of proportional sampling. Scale: "
+        "one count per source, then source-cardinality-bounded work.",
+)
+def q_temperature_mixture_weights(
+    spark: SparkSession, sf_dir: str,
+) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").cast("long")
+                                      .alias("n_docs"))
+    s0 = F.floor(F.sqrt(F.col("n_docs"))).cast("long")
+    isq = counts.select(
+        "lang", "n_docs",
+        (s0
+         + F.when((s0 + 1) * (s0 + 1) <= F.col("n_docs"), 1).otherwise(0)
+         - F.when(s0 * s0 > F.col("n_docs"), 1).otherwise(0)).alias("s"),
+    ).localCheckpoint(eager=True)  # bounded: one row per source
+    tot = isq.agg(F.sum("s").alias("ts"))
+    base = isq.crossJoin(F.broadcast(tot)).select(
+        "lang", "n_docs", "s",
+        F.expr("(1000000 * s) div ts").alias("w0"),
+        F.expr("(1000000 * s) % ts").alias("rem"),
+    )
+    from .functions.windows import bounded_window
+
+    leftover = base.agg((F.lit(1000000) - F.sum("w0")).alias("leftover"))
+    w = bounded_window(F.desc("rem"), "lang")  # one row per source: bounded
+    return (
+        base.withColumn("rk", F.row_number().over(w))
+        .crossJoin(F.broadcast(leftover))
+        .select(
+            "lang", "n_docs", F.col("s").cast("long").alias("isqrt_n"),
+            (F.col("w0")
+             + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0))
+            .cast("long").alias("w_ppm"),
+        )
+        .orderBy("lang")
     )
 
 

@@ -547,3 +547,137 @@ def test_join_order_advisor_matches_python(spark, sf_dir):
     # Selinger formula up to integer-division order)
     assert abs(out["co_then_l"][1] - out["ol_then_c"][1]) <= max(
         out["co_then_l"][1], 1) // 100
+
+
+# ---------------------------------------------------------------------------
+# Round-10 LIVE additions (registered mid-round after the wave flip)
+# ---------------------------------------------------------------------------
+
+
+def test_recursive_cte_hierarchy_matches_python(spark, sf_dir):
+    p = pd.read_parquet(f"{sf_dir}/part.parquet",
+                        columns=["p_partkey", "p_retailprice"])
+    cents = {int(k): round(v * 100)
+             for k, v in zip(p.p_partkey, p.p_retailprice)}
+    # depth of k in the quad-tree parent(k) = (k-1)//4, root 0
+    depth = {0: 0}
+
+    def d(k):
+        if k not in depth:
+            depth[k] = d((k - 1) // 4) + 1
+        return depth[k]
+
+    want = {}
+    for k in cents:
+        lv = d(int(k))
+        n, sc, sk = want.get(lv, (0, 0, 0))
+        want[lv] = (n + 1, sc + int(cents[k]), sk + int(k))
+    out = {r["depth"]: (r["n_parts"], r["sum_cents"], r["sum_key"])
+           for r in _fn("recursive_cte_part_hierarchy")(spark, sf_dir)
+           .collect()}
+    assert out == want
+
+
+def test_sql_udf_score_matches_python_and_stays_jvm_side(spark, sf_dir):
+    d = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    want = {}
+    for _, r in d.iterrows():
+        t = r["text"]
+        score = (100 * (len(t) - len(t.replace(" ", "")) + 1)
+                 - 17 * (len(t) - len(t.replace(",", "")))
+                 - 23 * (len(t) - len(t.replace(".", "")))
+                 + int(r["n_chars"]))
+        n, s, mn, mx = want.get(r["lang"], (0, 0, None, None))
+        want[r["lang"]] = (n + 1, s + score,
+                           score if mn is None else min(mn, score),
+                           score if mx is None else max(mx, score))
+    df = _fn("sql_udf_quality_score")(spark, sf_dir)
+    out = {r["lang"]: (r["n_docs"], r["sum_score"], r["min_score"],
+                       r["max_score"]) for r in df.collect()}
+    assert out == want
+    # the SQL UDF must be macro-inlined: no Python evaluation node
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_lateral_topk_matches_pandas(spark, sf_dir):
+    n = pd.read_parquet(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    c = pd.read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_nationkey", "c_acctbal"])
+    c["bal_cents"] = (c.c_acctbal * 100).round().astype("int64")
+    want = []
+    for _, nr in n.sort_values("n_name").iterrows():
+        sub = c[c.c_nationkey == nr.n_nationkey].sort_values(
+            ["bal_cents", "c_custkey"], ascending=[False, True]).head(3)
+        want += [(nr.n_name, int(r.c_custkey), int(r.bal_cents))
+                 for _, r in sub.iterrows()]
+    out = [(r["n_name"], r["c_custkey"], r["bal_cents"])
+           for r in _fn("lateral_topk_acctbal")(spark, sf_dir).collect()]
+    assert out == want
+
+
+def test_collation_grouping_matches_pandas(spark, sf_dir):
+    p = pd.read_parquet(f"{sf_dir}/part.parquet",
+                        columns=["p_partkey", "p_type", "p_brand"])
+    base = p.p_type + " " + p.p_brand
+    v = base.where(p.p_partkey % 3 == 0,
+                   base.str.upper().where(p.p_partkey % 3 == 1,
+                                          base.str.lower()))
+    g = pd.DataFrame({"s": v, "l": v.str.lower()}).groupby("l")["s"]
+    want = {grp.min().lower(): (len(grp), grp.nunique())
+            for _, grp in g}
+    out = {r["grp"]: (r["n_rows"], r["n_variants"])
+           for r in _fn("collation_lcase_grouping")(spark, sf_dir)
+           .collect()}
+    assert out == want
+
+
+def test_temperature_weights_exact_isqrt_and_sum(spark, sf_dir):
+    import math
+
+    d = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+    counts = d.lang.value_counts().to_dict()
+    s = {k: math.isqrt(v) for k, v in counts.items()}
+    ts = sum(s.values())
+    base = {k: (1_000_000 * v) // ts for k, v in s.items()}
+    rem = {k: (1_000_000 * v) % ts for k, v in s.items()}
+    leftover = 1_000_000 - sum(base.values())
+    for k in sorted(rem, key=lambda k: (-rem[k], k))[:leftover]:
+        base[k] += 1
+    out = {r["lang"]: (r["n_docs"], r["isqrt_n"], r["w_ppm"])
+           for r in _fn("temperature_mixture_weights")(spark, sf_dir)
+           .collect()}
+    assert out == {k: (counts[k], s[k], base[k]) for k in counts}
+    assert sum(w for _, _, w in out.values()) == 1_000_000
+
+
+def test_udtf_sessions_matches_python(spark, sf_dir):
+    e = pd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["user_id", "ts"])
+    e["us"] = e.ts.astype("datetime64[us]").astype("int64")
+    gap = 1_800_000_000
+    want = {}
+    for uid, grp in e.groupby("user_id"):
+        uss = sorted(grp.us)
+        sessions = []
+        start = prev = uss[0]
+        n = 1
+        for us in uss[1:]:
+            if us - prev > gap:
+                sessions.append((n, prev - start))
+                start = us
+                n = 0
+            n += 1
+            prev = us
+        sessions.append((n, prev - start))
+        want[int(uid)] = (len(sessions), len(uss),
+                          max(x for x, _ in sessions),
+                          max(x for _, x in sessions))
+    out = {r["user_id"]: (r["n_sessions"], r["n_events"],
+                          r["max_session_events"],
+                          r["max_session_span_us"])
+           for r in _fn("udtf_table_partition_sessions")(spark, sf_dir)
+           .collect()}
+    assert out == want
