@@ -2297,6 +2297,259 @@ def q_temperature_mixture_weights(
     )
 
 
+# ---------------------------------------------------------------------------
+# Entity resolution: blocking → bounded pair match → CC → golden record
+# ---------------------------------------------------------------------------
+
+_ER_DIRTY_SQL = """
+  SELECT p_partkey AS k,
+         CAST(round(p_retailprice * 100) AS BIGINT) AS cents,
+         CASE WHEN p_partkey % 7 = 0 THEN
+           substr(s, 1, 1 + ({h} % length(s)) - 1)
+           || substr(s, 1 + ({h} % length(s)) + 1)
+         ELSE s END AS d
+  FROM (SELECT *, p_name || ' ' || p_brand AS s FROM part)
+"""
+
+
+@_stage(
+    "entity_resolution_golden",
+    oracle="""
+    WITH dirty AS ({dirty}
+    ), keyed AS (
+      SELECT *, split_part(d, ' ', 1) || '|'
+                || substr(d, length(d) - 1, 2) AS bk
+      FROM dirty
+    ), pairs AS (
+      SELECT a.k AS ka, b.k AS kb
+      FROM keyed a JOIN keyed b
+        ON a.bk = b.bk AND b.k > a.k AND levenshtein(a.d, b.d) <= 2
+    ), und AS (
+      SELECT ka AS a, kb AS b FROM pairs UNION SELECT kb, ka FROM pairs
+    ), reach AS (
+      WITH RECURSIVE r(a, b) AS (
+        SELECT a, b FROM und
+        UNION
+        SELECT r.a, u.b FROM r JOIN und u ON r.b = u.a
+      ) SELECT * FROM r
+    ), mem AS (
+      SELECT a AS node, MIN(b) AS comp FROM reach GROUP BY a
+    ), j AS (
+      SELECT m.comp, k.k, k.cents, k.d
+      FROM mem m JOIN keyed k ON k.k = m.node
+    ), agg AS (
+      SELECT comp AS cluster_id,
+             CAST(COUNT(*) AS BIGINT) AS n_members,
+             CAST(COUNT(DISTINCT d) AS BIGINT) AS n_variants
+      FROM j GROUP BY comp
+    ), g AS (
+      SELECT comp, k AS golden_partkey, cents AS golden_cents,
+             ROW_NUMBER() OVER (PARTITION BY comp
+                                ORDER BY cents DESC, k) AS rn
+      FROM j
+    )
+    SELECT a.cluster_id, a.n_members, a.n_variants,
+           g.golden_partkey, CAST(g.golden_cents AS BIGINT) AS golden_cents
+    FROM agg a JOIN g ON g.comp = a.cluster_id AND g.rn = 1
+    ORDER BY a.n_members DESC, a.cluster_id LIMIT 25
+    """.format(dirty=_ER_DIRTY_SQL.format(
+        h="CAST('0x' || substr(md5(s || '#' || p_partkey), 1, 15) AS BIGINT)"
+    )),
+    doc="Entity resolution end to end — the master-data pipeline the "
+        "dedup family's doc-level ops don't cover: part name+brand "
+        "strings (a deterministic md5-positioned single-char deletion "
+        "dirties every 7th record, replayed identically by the oracle) "
+        "are BLOCKED on (first token, last-2-chars) so candidate "
+        "generation is per-block quadratic instead of corpus-quadratic "
+        "(~200 bounded blocks — the classic ER scale move), matched with "
+        "levenshtein <= 2, clustered with the engine's "
+        "connected-components operator, and each cluster elects a GOLDEN "
+        "record (max retail cents, tie -> min partkey). Output: top-25 "
+        "clusters (members, distinct dirty variants, golden id+cents). "
+        "Scale: blocking bounds pairs, CC is O(diameter) edge-keyed "
+        "shuffles with escalation; no all-pairs anywhere. Oracle replays "
+        "blocking+match and walks the pair graph with a recursive CTE.",
+)
+def q_entity_resolution_golden(
+    spark: SparkSession, sf_dir: str,
+) -> DataFrame:
+    from .operators.dedup import connected_components
+    from .sql import register_tables
+
+    register_tables(spark, sf_dir)
+    h = "CAST(conv(substr(md5(concat(s, '#', CAST(p_partkey AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+    keyed = spark.sql(f"""
+        SELECT *, split_part(d, ' ', 1) || '|'
+                  || substr(d, length(d) - 1, 2) AS bk
+        FROM ({_ER_DIRTY_SQL.format(h=h).replace("p_name || ' ' || p_brand",
+                                                 "concat(p_name, ' ', p_brand)")})
+    """).localCheckpoint(eager=True)  # consumed by both self-join sides + member join
+    a = keyed.select(F.col("k").alias("ka"), F.col("d").alias("da"),
+                     F.col("bk").alias("bka"))
+    b = keyed.select(F.col("k").alias("kb"), F.col("d").alias("db"),
+                     F.col("bk").alias("bkb"))
+    pairs = a.join(
+        b,
+        (F.col("bka") == F.col("bkb")) & (F.col("kb") > F.col("ka"))
+        & (F.levenshtein("da", "db") <= 2),
+    ).select("ka", "kb")
+    cc = connected_components(pairs, src="ka", dst="kb")
+    j = cc.join(keyed, cc["node"] == keyed["k"]).select(
+        "comp", "k", "cents", "d"
+    )
+    agg = j.groupBy("comp").agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.countDistinct("d").cast("long").alias("n_variants"),
+        F.max(F.struct(F.col("cents"), (-F.col("k")).alias("neg")))
+        .alias("best"),
+    )
+    return agg.select(
+        F.col("comp").cast("long").alias("cluster_id"),
+        "n_members", "n_variants",
+        (-F.col("best.neg")).cast("long").alias("golden_partkey"),
+        F.col("best.cents").cast("long").alias("golden_cents"),
+    ).orderBy(F.desc("n_members"), "cluster_id").limit(25)
+
+
+# ---------------------------------------------------------------------------
+# Weighted single-source shortest paths (8-round Bellman-Ford relaxation)
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "sssp_weighted_hub",
+    oracle="""
+    WITH RECURSIVE
+    b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS pa, c.l_partkey AS pb,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey
+                        AND c.l_partkey > a.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    und AS (
+      SELECT pa AS node, pb AS nb, 1 + 1000 // cnt AS w FROM e
+      UNION ALL SELECT pb, pa, 1 + 1000 // cnt FROM e
+    ),
+    hub AS (
+      SELECT node FROM und GROUP BY node
+      ORDER BY COUNT(*) DESC, node LIMIT 1
+    ),
+    walk(node, dist, r) AS (
+      SELECT node, CAST(0 AS BIGINT), 0 FROM hub
+      UNION ALL
+      SELECT u.nb, MIN(w.dist + u.w), w.r + 1
+      FROM walk w JOIN und u ON u.node = w.node
+      WHERE w.r < 8 GROUP BY u.nb, w.r + 1
+    )
+    SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
+    FROM walk GROUP BY node ORDER BY dist, node LIMIT 20
+    """,
+    doc="Weighted single-source shortest paths — the weighted member the "
+        "graph family was missing (bfs_hops_from_hub is hop-count only): "
+        "edge weight 1 + 1000 div common_orders makes strongly "
+        "co-purchased parts CLOSER, and an 8-round Bellman-Ford "
+        "relaxation from the co-purchase hub computes exact min distance "
+        "over all paths of <= 8 edges (every weight is a positive "
+        "integer, so pruned relaxation — only re-expand nodes whose best "
+        "distance improved — yields the identical closed form the "
+        "oracle's per-round recursive CTE computes unpruned; the classic "
+        "BF invariant). Output: the 20 nearest nodes (dist, then id). "
+        "Scale: O(rounds) frontier-to-edge-list equi-join shuffles, "
+        "frontier shrinks as distances settle, localCheckpoint per round "
+        "truncates lineage — the pagerank/BFS loop shape, never "
+        "all-pairs.",
+)
+def q_sssp_weighted_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    bd = li.select("l_orderkey", "l_partkey").distinct()
+    a, c = bd.alias("a"), bd.alias("c")
+    e = (
+        a.join(c, (F.col("c.l_orderkey") == F.col("a.l_orderkey"))
+               & (F.col("c.l_partkey") > F.col("a.l_partkey")))
+        .groupBy(F.col("a.l_partkey").alias("pa"),
+                 F.col("c.l_partkey").alias("pb"))
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .select("pa", "pb", F.expr("1 + 1000 div cnt").alias("w"))
+    )
+    und = e.select(F.col("pa").alias("node"), F.col("pb").alias("nb"), "w") \
+        .union(e.select(F.col("pb"), F.col("pa"), "w")) \
+        .localCheckpoint(eager=True)  # joined every relaxation round
+    hub = (
+        und.groupBy("node").agg(F.count("*").alias("deg"))
+        .orderBy(F.desc("deg"), "node").limit(1).select("node")
+    )
+    best = hub.select("node", F.lit(0).cast("long").alias("dist")) \
+        .localCheckpoint(eager=True)
+    frontier = best
+    for _ in range(8):
+        nxt = (
+            frontier.join(und, "node")
+            .select(F.col("nb").alias("node"),
+                    (F.col("dist") + F.col("w")).alias("dist"))
+            .groupBy("node").agg(F.min("dist").alias("dist"))
+        )
+        improved = (
+            nxt.join(best.select("node", F.col("dist").alias("old")),
+                     "node", "left")
+            .filter(F.col("old").isNull() | (F.col("dist") < F.col("old")))
+            .select("node", "dist")
+            .localCheckpoint(eager=True)
+        )
+        if improved.isEmpty():
+            break
+        best = (
+            best.unionByName(improved)
+            .groupBy("node").agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved
+    return best.select("node", F.col("dist").cast("long").alias("dist")) \
+        .orderBy("dist", "node").limit(20)
+
+
+# ---------------------------------------------------------------------------
+# SQL:2016 LISTAGG ... WITHIN GROUP (new aggregate surface in Spark 4)
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "listagg_region_nations",
+    oracle="""
+    SELECT r.r_name,
+           CAST(COUNT(*) AS BIGINT) AS n_nations,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations_csv
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name ORDER BY r.r_name
+    """,
+    doc="SQL:2016 LISTAGG ... WITHIN GROUP (ORDER BY ...) — the ordered "
+        "string-aggregation surface added to Spark in 4.0 (previously "
+        "only expressible as collect_list -> array_sort -> array_join, "
+        "the spelling ★collect_sorted_years pins): nations per region as "
+        "an ordered CSV plus the group count. Deterministic because the "
+        "WITHIN GROUP order is total (unique names). The oracle uses "
+        "DuckDB's string_agg with ORDER BY, the same ANSI semantics. "
+        "Scale: ordered-list aggregation concentrates each group on one "
+        "reducer — correct for dimension-sized groups like these; for "
+        "fact-sized groups the engine's guidance stays the sorted-array "
+        "form with explicit length caps.",
+)
+def q_listagg_region_nations(
+    spark: SparkSession, sf_dir: str,
+) -> DataFrame:
+    from .sql import register_tables
+
+    register_tables(spark, sf_dir)
+    return spark.sql("""
+        SELECT r.r_name,
+               CAST(COUNT(*) AS BIGINT) AS n_nations,
+               listagg(n.n_name, ',')
+                 WITHIN GROUP (ORDER BY n.n_name) AS nations_csv
+        FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name ORDER BY r.r_name
+    """)
+
+
 # Self-register unconditionally (round 10: the gate was flipped after
 # CORRECTNESS_r09 came back 50/50 green — same lifecycle as queries_r7/r8/r9).
 # register_all() is idempotent, so the historical double-import path

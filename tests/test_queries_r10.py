@@ -681,3 +681,125 @@ def test_udtf_sessions_matches_python(spark, sf_dir):
            for r in _fn("udtf_table_partition_sessions")(spark, sf_dir)
            .collect()}
     assert out == want
+
+
+def _lev(a, b):
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_entity_resolution_matches_python(spark, sf_dir):
+    p = pd.read_parquet(f"{sf_dir}/part.parquet",
+                        columns=["p_partkey", "p_name", "p_brand",
+                                 "p_retailprice"])
+    rows = {}
+    for _, r in p.iterrows():
+        k = int(r.p_partkey)
+        s = f"{r.p_name} {r.p_brand}"
+        d = s
+        if k % 7 == 0:
+            pos = 1 + _h60(f"{s}#{k}") % len(s)
+            d = s[:pos - 1] + s[pos:]
+        rows[k] = (d, round(r.p_retailprice * 100))
+    from collections import defaultdict
+
+    blocks = defaultdict(list)
+    for k, (d, _) in rows.items():
+        blocks[d.split(" ")[0] + "|" + d[-2:]].append(k)
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    def union(x, y):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+
+    matched = set()
+    for ks in blocks.values():
+        ks.sort()
+        for i, ka in enumerate(ks):
+            for kb in ks[i + 1:]:
+                if _lev(rows[ka][0], rows[kb][0]) <= 2:
+                    union(ka, kb)
+                    matched |= {ka, kb}
+    clusters = defaultdict(list)
+    for k in matched:
+        clusters[find(k)].append(k)
+    want = []
+    for comp, ks in clusters.items():
+        golden = max(ks, key=lambda k: (rows[k][1], -k))
+        want.append((comp, len(ks), len({rows[k][0] for k in ks}),
+                     golden, rows[golden][1]))
+    want.sort(key=lambda t: (-t[1], t[0]))
+    out = [(r["cluster_id"], r["n_members"], r["n_variants"],
+            r["golden_partkey"], r["golden_cents"])
+           for r in _fn("entity_resolution_golden")(spark, sf_dir)
+           .collect()]
+    assert out == want[:25]
+
+
+def test_sssp_weighted_matches_python_bf(spark, sf_dir):
+    und = _copurchase_und(sf_dir)  # adjacency sets (cnt >= 2)
+    # recompute weights: need pair counts again
+    from collections import Counter, defaultdict
+    from itertools import combinations
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+    per_order = li.drop_duplicates().groupby("l_orderkey")["l_partkey"]
+    pc = Counter()
+    for _, parts in per_order:
+        for x, y in combinations(sorted(parts), 2):
+            pc[(x, y)] += 1
+    adj = defaultdict(dict)
+    for (x, y), cnt in pc.items():
+        if cnt >= 2:
+            w = 1 + 1000 // cnt
+            adj[x][y] = w
+            adj[y][x] = w
+    hub = min(adj, key=lambda n: (-len(adj[n]), n))
+    dist = {hub: 0}
+    frontier = {hub: 0}
+    for _ in range(8):
+        nxt = {}
+        for u, du in frontier.items():
+            for v, w in adj[u].items():
+                nd = du + w
+                if nd < nxt.get(v, float("inf")):
+                    nxt[v] = nd
+        improved = {v: d for v, d in nxt.items()
+                    if d < dist.get(v, float("inf"))}
+        if not improved:
+            break
+        dist.update(improved)
+        frontier = improved
+    want = sorted(dist.items(), key=lambda kv: (kv[1], kv[0]))[:20]
+    out = [(r["node"], r["dist"])
+           for r in _fn("sssp_weighted_hub")(spark, sf_dir).collect()]
+    assert out == [(n, d) for n, d in want]
+
+
+def test_listagg_matches_pandas(spark, sf_dir):
+    r = pd.read_parquet(f"{sf_dir}/region.parquet")
+    n = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    j = n.merge(r, left_on="n_regionkey", right_on="r_regionkey")
+    want = {}
+    for rn, grp in j.groupby("r_name"):
+        want[rn] = (len(grp), ",".join(sorted(grp.n_name)))
+    out = {row["r_name"]: (row["n_nations"], row["nations_csv"])
+           for row in _fn("listagg_region_nations")(spark, sf_dir)
+           .collect()}
+    assert out == want
