@@ -1171,3 +1171,46 @@ def test_streaming_token_bucket_equals_batch_fold(spark, sf_dir, tmp_path):
     for col in ("user_id", "n_events", "n_admitted", "n_denied",
                 "tokens_left_micro"):
         assert (got[col].to_numpy() == want[col].to_numpy()).all(), col
+
+
+def test_statestore_reader_exposes_groupstate(spark, sf_dir, tmp_path):
+    """Spark 4 state-store data source: after an applyInPandasWithState
+    query commits, format('state-metadata') must list the stateful
+    operator and format('statestore') must decode the python GroupState
+    struct — per-key (n, total) equal to the batch aggregate. This is
+    the operational debugging surface for 100 TB streaming state (state
+    inspection without replaying the stream)."""
+    from gan_deeplearning4j_spark.streaming.stateful import (
+        running_user_totals,
+    )
+
+    ev = load_events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    src = str(tmp_path / "ss_src")
+    ckpt = str(tmp_path / "ss_ckpt")
+    ev.repartition(2).write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    out = running_user_totals(stream)
+    q = (out.writeStream.format("memory").queryName("ss_reader_probe")
+         .outputMode("update").trigger(availableNow=True)
+         .option("checkpointLocation", ckpt).start())
+    q.awaitTermination(180)
+
+    meta = spark.read.format("state-metadata").load(ckpt).collect()
+    assert len(meta) == 1
+    assert meta[0]["operatorId"] == 0
+
+    st = spark.read.format("statestore").load(ckpt)
+    got = {
+        r["key"]["user_id"]: (r["value"]["groupState"]["n"],
+                              round(r["value"]["groupState"]["total"], 6))
+        for r in st.collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], round(r["s"], 6))
+        for r in ev.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert got == want
