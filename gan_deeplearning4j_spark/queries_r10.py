@@ -2550,6 +2550,65 @@ def q_listagg_region_nations(
     """)
 
 
+# ---------------------------------------------------------------------------
+# mapInArrow — the Arrow-native batch path (no pandas materialization)
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "arrow_argmax_profile",
+    oracle="""
+    SELECT CAST(list_indexof(embedding, list_max(embedding)) AS BIGINT)
+             AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CAST(floor(CAST(list_max(embedding) AS DOUBLE)
+                                * 1048576) AS BIGINT)) AS BIGINT)
+             AS sum_max_q20
+    FROM embeddings GROUP BY 1 ORDER BY dim
+    """,
+    doc="mapInArrow surface pin — the one Python batch API the engine "
+        "had not yet exercised (mapInPandas/applyInPandas/cogroup/UDTF/"
+        "pandas-UDAF all have rows): per-embedding argmax dimension and "
+        "fixed-point max value computed directly on pyarrow RecordBatches "
+        "(ListArray offsets -> one numpy view, zero pandas "
+        "materialization — the cheapest Python escape hatch when even "
+        "Arrow->pandas conversion is too much), then a JVM-side groupBy "
+        "profiles which dimension dominates (count + sum of "
+        "floor(max*2^20), exact because a power-of-two scale is lossless "
+        "on doubles). Ties break to the FIRST maximal index in both "
+        "engines (numpy argmax / DuckDB list_indexof). Scale: the Arrow "
+        "pass is embarrassingly parallel and shuffle-free; the profile "
+        "aggregate is 64-row bounded.",
+)
+def q_arrow_argmax_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def per_batch(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            col = batch.column(batch.schema.get_field_index("embedding"))
+            n = len(col)
+            if n == 0:
+                continue
+            flat = col.values.to_numpy(zero_copy_only=False)
+            mat = flat.reshape(n, -1)  # uniform-length lists (64-dim)
+            am = (mat.argmax(axis=1) + 1).astype(np.int64)
+            mx = np.floor(mat.max(axis=1).astype(np.float64)
+                          * 1048576.0).astype(np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(am), pa.array(mx)],
+                names=["dim", "max_q20"],
+            )
+
+    emb = _t(spark, sf_dir, "embeddings").select("embedding")
+    per_vec = emb.mapInArrow(per_batch, "dim long, max_q20 long")
+    return (
+        per_vec.groupBy("dim")
+        .agg(F.count("*").cast("long").alias("n_vecs"),
+             F.sum("max_q20").cast("long").alias("sum_max_q20"))
+        .orderBy("dim")
+    )
+
+
 # Self-register unconditionally (round 10: the gate was flipped after
 # CORRECTNESS_r09 came back 50/50 green — same lifecycle as queries_r7/r8/r9).
 # register_all() is idempotent, so the historical double-import path

@@ -167,8 +167,55 @@ try:  # pyspark >= 4.0
             if self.overwrite:
                 self._sweep_tmp()
 
+    from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+    class SynthQuadraticStreamSource(DataSource):
+        """``spark.readStream.format("synth_quadratic_stream")`` — the
+        SAME deterministic rows as the batch source, delivered as a
+        STREAM in fixed offset chunks (Spark 4 Python streaming data
+        source, SPARK-45525). The offset is a plain row position, so
+        exactly-once replay (``readBetweenOffsets``) is a slice — the
+        contract a real cursor/paginated-API source must honor for
+        checkpoint recovery: a re-read between committed offsets must
+        return the identical rows."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "synth_quadratic_stream"
+
+        def schema(self) -> str:
+            return "id BIGINT, val BIGINT"
+
+        def simpleStreamReader(self, schema) -> "SynthQuadraticStreamReader":
+            return SynthQuadraticStreamReader()
+
+    class SynthQuadraticStreamReader(SimpleDataSourceStreamReader):
+        BATCH = 2_500  # 4 micro-batches over the 10k synthetic rows
+
+        @staticmethod
+        def _rows(lo: int, hi: int):
+            # a LIST iterator, not a generator: the prefetch cache
+            # copy.copy()s the iterator it hands to each micro-batch
+            # (datasource_internal.py), and generators are not copyable
+            return iter([(i, (i * i) % MOD) for i in range(lo, hi)])
+
+        def initialOffset(self) -> dict:
+            return {"pos": 0}
+
+        def read(self, start: dict):
+            pos = int(start["pos"])
+            end = min(pos + self.BATCH, N_ROWS)
+            return self._rows(pos, end), {"pos": end}
+
+        def readBetweenOffsets(self, start: dict, end: dict):
+            return self._rows(int(start["pos"]), int(end["pos"]))
+
+        def commit(self, end: dict) -> None:
+            pass  # nothing to release: the synthetic cursor is stateless
+
     HAVE_PY_DATASOURCE = True
 except ImportError:  # pragma: no cover - pyspark < 4 fallback
     SynthQuadraticSource = None  # type: ignore[assignment]
+    SynthQuadraticStreamSource = None  # type: ignore[assignment]
     ShardedJsonlSink = None  # type: ignore[assignment]
     HAVE_PY_DATASOURCE = False

@@ -193,3 +193,47 @@ def test_sharded_jsonl_sink_overwrite_removes_stale_shards(spark, tmp_path):
     back = spark.read.json(os.path.join(out, "*.jsonl"))
     assert back.count() == 100                   # glob readers see new only
     assert back.selectExpr("sum(v) sv").collect()[0].sv == 9900
+
+
+def test_python_streaming_datasource_matches_batch(spark, tmp_path):
+    """Python STREAMING DataSource (Spark 4 SimpleDataSourceStreamReader):
+    the offset-cursor source must deliver exactly the batch source's rows
+    across multiple micro-batches, and a replay between committed offsets
+    (readBetweenOffsets — the checkpoint-recovery contract) must return
+    the identical slice."""
+    from gan_deeplearning4j_spark.sources.pydatasource import (
+        HAVE_PY_DATASOURCE,
+        N_ROWS,
+        SynthQuadraticStreamReader,
+        SynthQuadraticStreamSource,
+    )
+
+    if not HAVE_PY_DATASOURCE:
+        import pytest
+
+        pytest.skip("pyspark < 4: no Python DataSource API")
+
+    spark.dataSource.register(SynthQuadraticStreamSource)
+    stream = spark.readStream.format("synth_quadratic_stream").load()
+    assert stream.isStreaming
+    q = (stream.writeStream.format("memory").queryName("pyds_stream")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt")).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql(
+        "select count(*) n, sum(id) si, sum(val) sv from pyds_stream"
+    ).collect()[0]
+    want_sv = sum((i * i) % 97 for i in range(N_ROWS))
+    assert (got.n, got.si, got.sv) == (N_ROWS, N_ROWS * (N_ROWS - 1) // 2,
+                                       want_sv)
+    # more than one micro-batch actually ran (offset pagination worked)
+    assert q.lastProgress is not None
+    assert int(q.lastProgress["batchId"]) >= 2
+    # exactly-once replay contract: a re-read of a committed offset range
+    # returns the identical slice
+    rd = SynthQuadraticStreamReader()
+    replay = list(rd.readBetweenOffsets({"pos": 2500}, {"pos": 5000}))
+    assert replay == [(i, (i * i) % 97) for i in range(2500, 5000)]

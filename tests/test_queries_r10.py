@@ -803,3 +803,21 @@ def test_listagg_matches_pandas(spark, sf_dir):
            for row in _fn("listagg_region_nations")(spark, sf_dir)
            .collect()}
     assert out == want
+
+
+def test_arrow_argmax_matches_numpy(spark, sf_dir):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["embedding"])
+    col = t.column("embedding").combine_chunks()
+    mat = col.values.to_numpy(zero_copy_only=False).reshape(len(col), -1)
+    am = mat.argmax(axis=1) + 1
+    mx = np.floor(mat.max(axis=1).astype(np.float64)
+                  * 1048576.0).astype(np.int64)
+    g = pd.DataFrame({"dim": am, "q": mx}).groupby("dim")["q"] \
+        .agg(["size", "sum"])
+    out = {r["dim"]: (r["n_vecs"], r["sum_max_q20"])
+           for r in _fn("arrow_argmax_profile")(spark, sf_dir).collect()}
+    assert out == {int(d): (int(r["size"]), int(r["sum"]))
+                   for d, r in g.iterrows()}
