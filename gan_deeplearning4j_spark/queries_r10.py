@@ -2301,6 +2301,44 @@ def q_temperature_mixture_weights(
 # Entity resolution: blocking → bounded pair match → CC → golden record
 # ---------------------------------------------------------------------------
 
+def er_resolve(keyed: DataFrame, top_n: int = 25) -> DataFrame:
+    """The ER core shared by the registered query and the stress harness
+    (SCALE.md round-10): given a checkpointed ``keyed`` relation
+    (k BIGINT, cents BIGINT, d STRING dirty entity string, bk STRING
+    blocking key), emit the top clusters with their golden records.
+    Block-keyed self-join (never corpus-quadratic), levenshtein <= 2
+    match, connected components, one grouped pass for census + golden
+    election (max cents, tie -> min k via struct max)."""
+    from .operators.dedup import connected_components
+
+    a = keyed.select(F.col("k").alias("ka"), F.col("d").alias("da"),
+                     F.col("bk").alias("bka"))
+    b = keyed.select(F.col("k").alias("kb"), F.col("d").alias("db"),
+                     F.col("bk").alias("bkb"))
+    pairs = a.join(
+        b,
+        (F.col("bka") == F.col("bkb")) & (F.col("kb") > F.col("ka"))
+        & (F.levenshtein("da", "db") <= 2),
+    ).select("ka", "kb")
+    cc = connected_components(pairs, src="ka", dst="kb")
+    j = cc.join(keyed, cc["node"] == keyed["k"]).select(
+        "comp", "k", "cents", "d"
+    )
+    agg = j.groupBy("comp").agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.countDistinct("d").cast("long").alias("n_variants"),
+        F.max(F.struct(F.col("cents"), (-F.col("k")).alias("neg")))
+        .alias("best"),
+    )
+    return agg.select(
+        F.col("comp").cast("long").alias("cluster_id"),
+        "n_members", "n_variants",
+        (-F.col("best.neg")).cast("long").alias("golden_partkey"),
+        F.col("best.cents").cast("long").alias("golden_cents"),
+    ).orderBy(F.desc("n_members"), "cluster_id").limit(top_n)
+
+
+
 _ER_DIRTY_SQL = """
   SELECT p_partkey AS k,
          CAST(round(p_retailprice * 100) AS BIGINT) AS cents,
@@ -2373,7 +2411,6 @@ _ER_DIRTY_SQL = """
 def q_entity_resolution_golden(
     spark: SparkSession, sf_dir: str,
 ) -> DataFrame:
-    from .operators.dedup import connected_components
     from .sql import register_tables
 
     register_tables(spark, sf_dir)
@@ -2384,31 +2421,7 @@ def q_entity_resolution_golden(
         FROM ({_ER_DIRTY_SQL.format(h=h).replace("p_name || ' ' || p_brand",
                                                  "concat(p_name, ' ', p_brand)")})
     """).localCheckpoint(eager=True)  # consumed by both self-join sides + member join
-    a = keyed.select(F.col("k").alias("ka"), F.col("d").alias("da"),
-                     F.col("bk").alias("bka"))
-    b = keyed.select(F.col("k").alias("kb"), F.col("d").alias("db"),
-                     F.col("bk").alias("bkb"))
-    pairs = a.join(
-        b,
-        (F.col("bka") == F.col("bkb")) & (F.col("kb") > F.col("ka"))
-        & (F.levenshtein("da", "db") <= 2),
-    ).select("ka", "kb")
-    cc = connected_components(pairs, src="ka", dst="kb")
-    j = cc.join(keyed, cc["node"] == keyed["k"]).select(
-        "comp", "k", "cents", "d"
-    )
-    agg = j.groupBy("comp").agg(
-        F.count("*").cast("long").alias("n_members"),
-        F.countDistinct("d").cast("long").alias("n_variants"),
-        F.max(F.struct(F.col("cents"), (-F.col("k")).alias("neg")))
-        .alias("best"),
-    )
-    return agg.select(
-        F.col("comp").cast("long").alias("cluster_id"),
-        "n_members", "n_variants",
-        (-F.col("best.neg")).cast("long").alias("golden_partkey"),
-        F.col("best.cents").cast("long").alias("golden_cents"),
-    ).orderBy(F.desc("n_members"), "cluster_id").limit(25)
+    return er_resolve(keyed)
 
 
 # ---------------------------------------------------------------------------
