@@ -2622,6 +2622,174 @@ def q_arrow_argmax_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# SQL pipe syntax (|>, Spark 4.0) — linear dataflow spelling of a rollup
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "pipe_syntax_pricing",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS gross_cents,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * CAST(round(l_discount * 100) AS BIGINT))
+                AS BIGINT) AS disc_weighted,
+           CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+    FROM lineitem
+    WHERE l_quantity < 40
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="SQL pipe syntax (the |> operator chain added in Spark 4.0, "
+        "SPARK-49555 — a linear dataflow spelling where each stage "
+        "consumes the previous relation, eliminating subquery nesting): "
+        "a pricing rollup written as FROM |> WHERE |> EXTEND |> "
+        "AGGREGATE ... GROUP BY |> ORDER BY. The planner must produce "
+        "the identical logical plan as the nested spelling (the oracle "
+        "is the standard-SQL form), so this pins parser+analyzer "
+        "equivalence, not new semantics: per-row exact cents are "
+        "EXTENDed before the SUM (order-free money math, the engine "
+        "house rule), discount-weighted cents exercise an integer "
+        "product aggregate. Scale: identical plan to any filtered "
+        "rollup — scan with pushed predicate, partial agg, one "
+        "exchange.",
+)
+def q_pipe_syntax_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sql import register_tables
+
+    register_tables(spark, sf_dir)
+    return spark.sql("""
+        FROM lineitem
+        |> WHERE l_quantity < 40
+        |> EXTEND CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+                  CAST(round(l_discount * 100) AS BIGINT) AS disc_c
+        |> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n_items,
+                     CAST(SUM(price_c) AS BIGINT) AS gross_cents,
+                     CAST(SUM(price_c * disc_c) AS BIGINT) AS disc_weighted,
+                     CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+           GROUP BY l_returnflag
+        |> ORDER BY l_returnflag
+        |> SELECT l_returnflag, n_items, gross_cents, disc_weighted,
+                  sum_qty
+    """)
+
+
+# ---------------------------------------------------------------------------
+# Parameterized SQL (named parameter markers, Spark 4 spark.sql(args=))
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "parameterized_sql_binding",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders
+    WHERE o_orderstatus = 'F'
+      AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="Named parameter markers (spark.sql(query, args={...}), the "
+        "parameterized-SQL API that reached GA in Spark 4): the status "
+        "and cutoff date arrive as BOUND PARAMETERS (:status, :cutoff), "
+        "not string-interpolated literals — the injection-safe template "
+        "path every SQL-facing service should use, and a distinct "
+        "analyzer codepath (parameter substitution happens post-parse, "
+        "so the plan must still constant-fold and push the predicates "
+        "exactly as the inlined oracle text does). Output: order count "
+        "+ exact cents per priority for finalized orders before the "
+        "cutoff. Scale: parameters do not block predicate pushdown — "
+        "that equivalence is the point of the pin.",
+)
+def q_parameterized_sql_binding(
+    spark: SparkSession, sf_dir: str,
+) -> DataFrame:
+    import datetime
+
+    from .sql import register_tables
+
+    register_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders
+        WHERE o_orderstatus = :status
+          AND CAST(o_orderdate AS DATE) < :cutoff
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        args={"status": "F", "cutoff": datetime.date(1997, 1, 1)},
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL scripting (BEGIN..END procedural blocks, Spark 4.0)
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "sql_scripting_compound",
+    oracle="""
+    SELECT CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)
+                    * (1 << (4 - quarter(CAST(o_orderdate AS DATE)))))
+                AS BIGINT) AS folded_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_orders_1995
+    FROM orders
+    WHERE year(CAST(o_orderdate AS DATE)) = 1995
+    """,
+    doc="SQL scripting (BEGIN..END compound statements with DECLARE / "
+        "WHILE / SET, added in Spark 4.0 behind "
+        "spark.sql.scripting.enabled): a procedural loop walks the four "
+        "quarters of 1995, each iteration DOUBLING the accumulator "
+        "before adding that quarter's exact order cents — a "
+        "deliberately order-sensitive fold (total = 2*total + q_k), so "
+        "the pin proves the script executed the iterations in sequence, "
+        "not as a foldable constant. The oracle evaluates the closed "
+        "form sum(cents_k * 2^(4-k)) in one scan. Scale: each iteration "
+        "is one pushed-predicate aggregate; scripting is driver-side "
+        "control flow over full Spark jobs — the same shape as the "
+        "engine's python-side iterative loops, now expressible in pure "
+        "SQL.",
+)
+def q_sql_scripting_compound(
+    spark: SparkSession, sf_dir: str,
+) -> DataFrame:
+    from .sql import register_tables
+
+    register_tables(spark, sf_dir)
+    old = spark.conf.get("spark.sql.scripting.enabled", None)
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    try:
+        return spark.sql("""
+            BEGIN
+              DECLARE folded BIGINT DEFAULT 0;
+              DECLARE q INT DEFAULT 1;
+              WHILE q <= 4 DO
+                SET folded = 2 * folded + (
+                  SELECT COALESCE(SUM(CAST(round(o_totalprice * 100)
+                                           AS BIGINT)), 0)
+                  FROM orders
+                  WHERE year(CAST(o_orderdate AS DATE)) = 1995
+                    AND quarter(CAST(o_orderdate AS DATE)) = q
+                );
+                SET q = q + 1;
+              END WHILE;
+              SELECT folded AS folded_cents,
+                     (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+                      WHERE year(CAST(o_orderdate AS DATE)) = 1995)
+                       AS n_orders_1995;
+            END
+        """)
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.scripting.enabled")
+        else:
+            spark.conf.set("spark.sql.scripting.enabled", old)
+
+
 # Self-register unconditionally (round 10: the gate was flipped after
 # CORRECTNESS_r09 came back 50/50 green — same lifecycle as queries_r7/r8/r9).
 # register_all() is idempotent, so the historical double-import path

@@ -821,3 +821,55 @@ def test_arrow_argmax_matches_numpy(spark, sf_dir):
            for r in _fn("arrow_argmax_profile")(spark, sf_dir).collect()}
     assert out == {int(d): (int(r["size"]), int(r["sum"]))
                    for d, r in g.iterrows()}
+
+
+def test_pipe_syntax_matches_pandas(spark, sf_dir):
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_quantity",
+                                  "l_extendedprice", "l_discount"])
+    li = li[li.l_quantity < 40]
+    pc = (li.l_extendedprice * 100).round().astype("int64")
+    dc = (li.l_discount * 100).round().astype("int64")
+    g = pd.DataFrame({"f": li.l_returnflag, "pc": pc, "w": pc * dc,
+                      "q": li.l_quantity.astype("int64")}).groupby("f")
+    want = {f: (len(gg), int(gg.pc.sum()), int(gg.w.sum()),
+                int(gg.q.sum())) for f, gg in g}
+    out = {r["l_returnflag"]: (r["n_items"], r["gross_cents"],
+                               r["disc_weighted"], r["sum_qty"])
+           for r in _fn("pipe_syntax_pricing")(spark, sf_dir).collect()}
+    assert out == want
+
+
+def test_parameterized_sql_matches_pandas(spark, sf_dir):
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderpriority", "o_orderstatus",
+                                 "o_orderdate", "o_totalprice"])
+    o = o[(o.o_orderstatus == "F")
+          & (o.o_orderdate < pd.Timestamp("1997-01-01"))]
+    cents = (o.o_totalprice * 100).round().astype("int64")
+    g = pd.DataFrame({"p": o.o_orderpriority, "c": cents}).groupby("p")
+    want = {p: (len(gg), int(gg.c.sum())) for p, gg in g}
+    out = {r["o_orderpriority"]: (r["n_orders"], r["cents"])
+           for r in _fn("parameterized_sql_binding")(spark, sf_dir)
+           .collect()}
+    assert out == want
+
+
+def test_sql_scripting_fold_is_order_sensitive(spark, sf_dir):
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderdate", "o_totalprice"])
+    o = o[o.o_orderdate.dt.year == 1995]
+    cents = (o.o_totalprice * 100).round().astype("int64")
+    q = o.o_orderdate.dt.quarter
+    per_q = {k: int(cents[q == k].sum()) for k in (1, 2, 3, 4)}
+    folded = 0
+    for k in (1, 2, 3, 4):  # the loop order IS the semantics
+        folded = 2 * folded + per_q[k]
+    row = _fn("sql_scripting_compound")(spark, sf_dir).collect()[0]
+    assert (row["folded_cents"], row["n_orders_1995"]) == (folded, len(o))
+    # order sensitivity: any other quarter order disagrees (unless all
+    # quarters are empty, which no SF exhibits)
+    alt = 0
+    for k in (4, 3, 2, 1):
+        alt = 2 * alt + per_q[k]
+    assert folded != alt
