@@ -682,3 +682,34 @@ def test_bounded_window_probe_rejects_unbounded_relation(spark):
     spec = bounded_window("v", "id", probe=small, max_rows=1_000)
     rn = small.withColumn("rn", F.row_number().over(spec))
     assert rn.agg(F.sum("rn")).collect()[0][0] == 50 * 51 // 2
+
+
+def test_observation_metrics_ride_the_action(spark, sf_dir):
+    """pyspark Observation API: pipeline audit counters (rows seen, exact
+    cents, null count) collected DURING the action — no second scan. At
+    100 TB a separate validation pass doubles the read; df.observe rides
+    the existing job, which is why the engine's ETL guidance prefers it
+    for row-count / checksum reconciliation."""
+    from pyspark.sql import Observation
+
+    from gan_deeplearning4j_spark.io import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    obs = Observation("orders_audit")
+    audited = orders.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .alias("cents"),
+        F.count_if(F.col("o_custkey").isNull()).alias("null_cust"),
+    )
+    # one real aggregate job consumes the relation; metrics come for free
+    got = audited.groupBy("o_orderstatus").count().collect()
+    assert len(got) >= 1
+    want = orders.agg(
+        F.count(F.lit(1)),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")),
+    ).collect()[0]
+    assert obs.get["n_rows"] == want[0]
+    assert obs.get["cents"] == want[1]
+    assert obs.get["null_cust"] == 0
