@@ -2117,15 +2117,18 @@ def q_collation_lcase_grouping(
              epoch_us(CAST(ts AS TIMESTAMP)) AS us
       FROM events
     ), o AS (
-      SELECT user_id, us,
+      SELECT user_id, event_id, us,
              CASE WHEN us - lag(us) OVER w > 1800000000
                   OR lag(us) OVER w IS NULL
                   THEN 1 ELSE 0 END AS new_s
       FROM u
       WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
     ), s AS (
+      -- event_id tiebreak here too: on a us tie the new_s=1 flag sits on
+      -- the (us,event_id)-first row, so the running sum must frame peers
+      -- in the same order or a tied row could inherit the prior session
       SELECT user_id, us,
-             SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
                               ROWS UNBOUNDED PRECEDING) AS sid
       FROM o
     ), per AS (
@@ -2339,15 +2342,39 @@ def er_resolve(keyed: DataFrame, top_n: int = 25) -> DataFrame:
 
 
 
+# Engine-portable ER SQL fragments: concat()/substr()/split_part() parse
+# identically in Spark SQL and DuckDB, so the SAME text builds the dirty
+# corpus and blocking keys in the registered query, its DuckDB oracle, and
+# the stress harness (scripts/stress_entity_resolution.py) — only the
+# md5->int60 hash expression differs per engine and arrives via {h}.
 _ER_DIRTY_SQL = """
   SELECT p_partkey AS k,
          CAST(round(p_retailprice * 100) AS BIGINT) AS cents,
          CASE WHEN p_partkey % 7 = 0 THEN
-           substr(s, 1, 1 + ({h} % length(s)) - 1)
-           || substr(s, 1 + ({h} % length(s)) + 1)
+           concat(substr(s, 1, 1 + ({h} % length(s)) - 1),
+                  substr(s, 1 + ({h} % length(s)) + 1))
          ELSE s END AS d
-  FROM (SELECT *, p_name || ' ' || p_brand AS s FROM part)
+  FROM (SELECT *, concat(p_name, ' ', p_brand) AS s FROM part)
 """
+
+_ER_BLOCK_SQL = "concat(split_part(d, ' ', 1), '|', substr(d, length(d) - 1, 2))"
+
+_ER_SPARK_H = ("CAST(conv(substr(md5(concat(s, '#', CAST(p_partkey AS STRING"
+               "))), 1, 15), 16, 10) AS BIGINT)")
+
+_ER_DUCK_H = ("CAST('0x' || substr(md5(concat(s, '#', CAST(p_partkey AS "
+              "VARCHAR))), 1, 15) AS BIGINT)")
+
+
+def er_keyed(spark: SparkSession) -> DataFrame:
+    """Spark-side keyed ER relation (k, cents, d, bk) over whatever
+    relation is currently registered as the ``part`` view — shared by the
+    registered query and the stress harness so the certified pipeline and
+    the measured one cannot drift."""
+    return spark.sql(f"""
+        SELECT *, {_ER_BLOCK_SQL} AS bk
+        FROM ({_ER_DIRTY_SQL.format(h=_ER_SPARK_H)})
+    """)
 
 
 @_stage(
@@ -2355,8 +2382,7 @@ _ER_DIRTY_SQL = """
     oracle="""
     WITH dirty AS ({dirty}
     ), keyed AS (
-      SELECT *, split_part(d, ' ', 1) || '|'
-                || substr(d, length(d) - 1, 2) AS bk
+      SELECT *, {block} AS bk
       FROM dirty
     ), pairs AS (
       SELECT a.k AS ka, b.k AS kb
@@ -2390,9 +2416,8 @@ _ER_DIRTY_SQL = """
            g.golden_partkey, CAST(g.golden_cents AS BIGINT) AS golden_cents
     FROM agg a JOIN g ON g.comp = a.cluster_id AND g.rn = 1
     ORDER BY a.n_members DESC, a.cluster_id LIMIT 25
-    """.format(dirty=_ER_DIRTY_SQL.format(
-        h="CAST('0x' || substr(md5(s || '#' || p_partkey), 1, 15) AS BIGINT)"
-    )),
+    """.format(dirty=_ER_DIRTY_SQL.format(h=_ER_DUCK_H),
+               block=_ER_BLOCK_SQL),
     doc="Entity resolution end to end — the master-data pipeline the "
         "dedup family's doc-level ops don't cover: part name+brand "
         "strings (a deterministic md5-positioned single-char deletion "
@@ -2414,13 +2439,8 @@ def q_entity_resolution_golden(
     from .sql import register_tables
 
     register_tables(spark, sf_dir)
-    h = "CAST(conv(substr(md5(concat(s, '#', CAST(p_partkey AS STRING))), 1, 15), 16, 10) AS BIGINT)"
-    keyed = spark.sql(f"""
-        SELECT *, split_part(d, ' ', 1) || '|'
-                  || substr(d, length(d) - 1, 2) AS bk
-        FROM ({_ER_DIRTY_SQL.format(h=h).replace("p_name || ' ' || p_brand",
-                                                 "concat(p_name, ' ', p_brand)")})
-    """).localCheckpoint(eager=True)  # consumed by both self-join sides + member join
+    # consumed by both self-join sides + the member join
+    keyed = er_keyed(spark).localCheckpoint(eager=True)
     return er_resolve(keyed)
 
 
@@ -2602,7 +2622,9 @@ def q_arrow_argmax_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             n = len(col)
             if n == 0:
                 continue
-            flat = col.values.to_numpy(zero_copy_only=False)
+            # flatten() (not .values): applies any list/slice offsets, so
+            # a sliced batch cannot silently misalign the reshape windows
+            flat = col.flatten().to_numpy(zero_copy_only=False)
             mat = flat.reshape(n, -1)  # uniform-length lists (64-dim)
             am = (mat.argmax(axis=1) + 1).astype(np.int64)
             mx = np.floor(mat.max(axis=1).astype(np.float64)

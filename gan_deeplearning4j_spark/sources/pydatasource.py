@@ -217,5 +217,6 @@ try:  # pyspark >= 4.0
 except ImportError:  # pragma: no cover - pyspark < 4 fallback
     SynthQuadraticSource = None  # type: ignore[assignment]
     SynthQuadraticStreamSource = None  # type: ignore[assignment]
+    SynthQuadraticStreamReader = None  # type: ignore[assignment]
     ShardedJsonlSink = None  # type: ignore[assignment]
     HAVE_PY_DATASOURCE = False

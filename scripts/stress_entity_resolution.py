@@ -42,7 +42,7 @@ def main() -> int:
     spark = ensure_engine_conf(get_spark("stress-er", master="local[32]"))
     spark.sparkContext.setLogLevel("ERROR")
 
-    from gan_deeplearning4j_spark.queries_r10 import er_resolve
+    from gan_deeplearning4j_spark.queries_r10 import er_keyed, er_resolve
 
     part = spark.read.parquet(f"{sf_dir}/part.parquet")
     n_base = part.count()
@@ -62,22 +62,9 @@ def main() -> int:
     )
     scaled.createOrReplaceTempView("part")
 
-    h = ("CAST(conv(substr(md5(concat(s, '#', CAST(p_partkey AS STRING))),"
-         " 1, 15), 16, 10) AS BIGINT)")
-    dirty = f"""
-      SELECT p_partkey AS k,
-             CAST(round(p_retailprice * 100) AS BIGINT) AS cents,
-             CASE WHEN p_partkey % 7 = 0 THEN
-               substr(s, 1, 1 + ({h} % length(s)) - 1)
-               || substr(s, 1 + ({h} % length(s)) + 1)
-             ELSE s END AS d
-      FROM (SELECT *, concat(p_name, ' ', p_brand) AS s FROM part)
-    """
-    keyed = spark.sql(f"""
-        SELECT *, split_part(d, ' ', 1) || '|'
-                  || substr(d, length(d) - 1, 2) AS bk
-        FROM ({dirty})
-    """).localCheckpoint(eager=True)
+    # the SAME dirty/blocking SQL the registered query certifies — shared
+    # via er_keyed so the measured pipeline cannot drift from the query
+    keyed = er_keyed(spark).localCheckpoint(eager=True)
     n_rows = keyed.count()
     n_blocks, max_block = keyed.groupBy("bk").count().agg(
         F.count("*"), F.max("count")).collect()[0]

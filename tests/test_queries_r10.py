@@ -752,8 +752,6 @@ def test_entity_resolution_matches_python(spark, sf_dir):
 
 
 def test_sssp_weighted_matches_python_bf(spark, sf_dir):
-    und = _copurchase_und(sf_dir)  # adjacency sets (cnt >= 2)
-    # recompute weights: need pair counts again
     from collections import Counter, defaultdict
     from itertools import combinations
 
