@@ -363,3 +363,48 @@ def katz_scores(
             .localCheckpoint(eager=True)
         )
     return x
+
+
+def sssp_weighted(
+    und: DataFrame, seeds: DataFrame, rounds: int = 8,
+) -> DataFrame:
+    """Weighted single/multi-source shortest paths by pruned Bellman-Ford:
+    ``und`` is an undirected weighted edge list (node, nb, w — positive
+    integer weights, pre-localCheckpointed by the caller since every
+    round joins it), ``seeds`` one column ``node`` of distance-0 sources.
+    Returns (node, dist) = exact min distance over all paths of
+    <= ``rounds`` edges — pruned relaxation (only re-expand nodes whose
+    best distance improved) computes the same closed form an unpruned
+    per-round recursion does; that equivalence is what the DuckDB
+    recursive-CTE oracle of ★sssp_weighted_hub hash-checks. Single
+    definition shared by the registered query and the stress harness
+    (scripts/stress_graph.py sssp) so the certified and the stressed
+    code paths cannot drift. Scale shape: O(rounds) frontier-to-edge
+    equi-join shuffles; the frontier shrinks as distances settle;
+    localCheckpoint per round truncates lineage."""
+    best = seeds.select("node", F.lit(0).cast("long").alias("dist")) \
+        .localCheckpoint(eager=True)
+    frontier = best
+    for _ in range(rounds):
+        nxt = (
+            frontier.join(und, "node")
+            .select(F.col("nb").alias("node"),
+                    (F.col("dist") + F.col("w")).alias("dist"))
+            .groupBy("node").agg(F.min("dist").alias("dist"))
+        )
+        improved = (
+            nxt.join(best.select("node", F.col("dist").alias("old")),
+                     "node", "left")
+            .filter(F.col("old").isNull() | (F.col("dist") < F.col("old")))
+            .select("node", "dist")
+            .localCheckpoint(eager=True)
+        )
+        if improved.isEmpty():
+            break
+        best = (
+            best.unionByName(improved)
+            .groupBy("node").agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved
+    return best

@@ -2509,35 +2509,13 @@ def q_sssp_weighted_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = e.select(F.col("pa").alias("node"), F.col("pb").alias("nb"), "w") \
         .union(e.select(F.col("pb"), F.col("pa"), "w")) \
         .localCheckpoint(eager=True)  # joined every relaxation round
+    from .operators.graph import sssp_weighted
+
     hub = (
         und.groupBy("node").agg(F.count("*").alias("deg"))
         .orderBy(F.desc("deg"), "node").limit(1).select("node")
     )
-    best = hub.select("node", F.lit(0).cast("long").alias("dist")) \
-        .localCheckpoint(eager=True)
-    frontier = best
-    for _ in range(8):
-        nxt = (
-            frontier.join(und, "node")
-            .select(F.col("nb").alias("node"),
-                    (F.col("dist") + F.col("w")).alias("dist"))
-            .groupBy("node").agg(F.min("dist").alias("dist"))
-        )
-        improved = (
-            nxt.join(best.select("node", F.col("dist").alias("old")),
-                     "node", "left")
-            .filter(F.col("old").isNull() | (F.col("dist") < F.col("old")))
-            .select("node", "dist")
-            .localCheckpoint(eager=True)
-        )
-        if improved.isEmpty():
-            break
-        best = (
-            best.unionByName(improved)
-            .groupBy("node").agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
-        )
-        frontier = improved
+    best = sssp_weighted(und, hub, rounds=8)
     return best.select("node", F.col("dist").cast("long").alias("dist")) \
         .orderBy("dist", "node").limit(20)
 

@@ -116,6 +116,46 @@ def main() -> int:
         dt = time.perf_counter() - t0
         print(f"hits x{copies_n} (bc_max={bc_max}): edges={n} -> "
               f"scored nodes={rows} in {dt:.1f} s")
+    elif which == "sssp":
+        # multi-source weighted SSSP over the replicated co-purchase
+        # graph: one hub per copy seeds the frontier, so frontier AND
+        # edge list both scale with copies (seeding only copy-0's hub
+        # would explore one disconnected copy and measure nothing)
+        from gan_deeplearning4j_spark.operators.graph import sssp_weighted
+
+        b = li.select("l_orderkey", "l_partkey").distinct()
+        a2, c2 = b.alias("a"), b.alias("c")
+        e = (
+            a2.join(c2, (F.col("c.l_orderkey") == F.col("a.l_orderkey"))
+                    & (F.col("c.l_partkey") > F.col("a.l_partkey")))
+            .groupBy(F.col("a.l_partkey").alias("p1"),
+                     F.col("c.l_partkey").alias("p2"))
+            .agg(F.count("*").alias("cnt"))
+            .filter(F.col("cnt") >= 2)
+            .select("p1", "p2", F.expr("1 + 1000 div cnt").alias("w"))
+        )
+        und1 = e.select(F.col("p1").alias("node"), F.col("p2").alias("nb"),
+                        "w").union(e.select("p2", "p1", "w"))
+        big = und1.crossJoin(copies).select(
+            (F.col("node") + F.col("rep") * 10_000_000).alias("node"),
+            (F.col("nb") + F.col("rep") * 10_000_000).alias("nb"),
+            "w",
+        ).localCheckpoint(eager=True)
+        n = big.count()
+        hub0 = (
+            und1.groupBy("node").agg(F.count("*").alias("deg"))
+            .orderBy(F.desc("deg"), "node").limit(1).select("node")
+        )
+        seeds = hub0.crossJoin(copies).select(
+            (F.col("node") + F.col("rep") * 10_000_000).alias("node")
+        )
+        t0 = time.perf_counter()
+        # the SAME operator the registered query certifies — no inline copy
+        best = sssp_weighted(big, seeds, rounds=8)
+        rows = best.count()
+        dt = time.perf_counter() - t0
+        print(f"sssp x{copies_n}: edges={n} -> reached nodes={rows} "
+              f"in {dt:.1f} s")
     elif which == "ppr":
         from gan_deeplearning4j_spark.operators.graph import (
             co_purchase_pairs,
