@@ -2790,6 +2790,123 @@ def q_sql_scripting_compound(
             spark.conf.set("spark.sql.scripting.enabled", old)
 
 
+# ---------------------------------------------------------------------------
+# Deletion-cascade impact plan (GDPR/right-to-erasure propagation audit)
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "deletion_cascade_impact",
+    oracle="""
+    WITH cohort AS (
+      SELECT c_custkey, c_nationkey FROM customer
+      WHERE CAST('0x' || substr(md5('del|' || CAST(c_custkey AS VARCHAR)),
+                 1, 15) AS BIGINT) % 50 = 0
+    ), o AS (
+      SELECT c.c_nationkey, o.o_orderkey,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM cohort c JOIN orders o ON o.o_custkey = c.c_custkey
+    ), l AS (
+      SELECT o.c_nationkey, COUNT(*) AS n_li
+      FROM o JOIN lineitem li ON li.l_orderkey = o.o_orderkey
+      GROUP BY o.c_nationkey
+    ), ev AS (
+      SELECT c.c_nationkey, COUNT(*) AS n_ev
+      FROM cohort c JOIN events e ON e.user_id = c.c_custkey
+      GROUP BY c.c_nationkey
+    ), oagg AS (
+      SELECT c_nationkey, COUNT(*) AS n_o, SUM(cents) AS cents
+      FROM o GROUP BY c_nationkey
+    ), cagg AS (
+      SELECT c_nationkey, COUNT(*) AS n_customers
+      FROM cohort GROUP BY c_nationkey
+    )
+    SELECT n.n_name,
+           CAST(cg.n_customers AS BIGINT) AS n_customers,
+           CAST(COALESCE(oa.n_o, 0) AS BIGINT) AS n_orders,
+           CAST(COALESCE(l.n_li, 0) AS BIGINT) AS n_lineitems,
+           CAST(COALESCE(ev.n_ev, 0) AS BIGINT) AS n_events,
+           CAST(COALESCE(oa.cents, 0) AS BIGINT) AS frozen_cents
+    FROM cagg cg
+    JOIN nation n ON n.n_nationkey = cg.c_nationkey
+    LEFT JOIN oagg oa ON oa.c_nationkey = cg.c_nationkey
+    LEFT JOIN l ON l.c_nationkey = cg.c_nationkey
+    LEFT JOIN ev ON ev.c_nationkey = cg.c_nationkey
+    ORDER BY n.n_name
+    """,
+    doc="Right-to-erasure cascade impact plan — the compliance query a "
+        "warehouse runs BEFORE executing a deletion batch: a "
+        "deterministic 2% customer cohort (portable md5 hash, the "
+        "engine's replayable sampling family) is traced through the "
+        "foreign-key graph (orders -> lineitems, plus the events stream "
+        "keyed by user id) and the blast radius is reported per nation: "
+        "customers, orders, line items, events, and the exact cents of "
+        "order value frozen by the deletion. Scale: each hop is one "
+        "key-equi-join off the cohort (which stays small by "
+        "construction — broadcast-able at any corpus size); no scan "
+        "ever touches more than the FK chain. Distinct from "
+        "★data_quality_report (violation detection) — this PLANS a "
+        "mutation's footprint.",
+)
+def q_deletion_cascade_impact(
+    spark: SparkSession, sf_dir: str,
+) -> DataFrame:
+    from .functions.text import portable_hash60
+
+    cust = _t(spark, sf_dir, "customer")
+    cohort = cust.filter(
+        portable_hash60(
+            F.concat(F.lit("del|"), F.col("c_custkey").cast("string"))
+        ) % 50 == 0
+    ).select("c_custkey", "c_nationkey").localCheckpoint(eager=True)
+    orders = _t(spark, sf_dir, "orders")
+    o = (
+        F.broadcast(cohort)
+        .join(orders, orders["o_custkey"] == cohort["c_custkey"])
+        .select("c_nationkey", "o_orderkey",
+                F.round(F.col("o_totalprice") * 100).cast("long")
+                .alias("cents"))
+        .localCheckpoint(eager=True)  # consumed by the agg AND the lineitem hop
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    l_cnt = (
+        F.broadcast(o.select("c_nationkey", "o_orderkey"))
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("c_nationkey").agg(F.count("*").alias("n_li"))
+    )
+    ev = _t(spark, sf_dir, "events")
+    e_cnt = (
+        F.broadcast(cohort)
+        .join(ev, ev["user_id"] == cohort["c_custkey"])
+        .groupBy("c_nationkey").agg(F.count("*").alias("n_ev"))
+    )
+    per_nat = (
+        cohort.groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_customers"))
+        .join(o.groupBy("c_nationkey")
+              .agg(F.count("*").alias("n_orders"),
+                   F.sum("cents").alias("frozen_cents")),
+              "c_nationkey", "left")
+        .join(l_cnt, "c_nationkey", "left")
+        .join(e_cnt, "c_nationkey", "left")
+    )
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        per_nat.join(F.broadcast(nation),
+                     per_nat["c_nationkey"] == nation["n_nationkey"])
+        .select(
+            "n_name",
+            F.col("n_customers").cast("long").alias("n_customers"),
+            F.coalesce("n_orders", F.lit(0)).cast("long")
+            .alias("n_orders"),
+            F.coalesce("n_li", F.lit(0)).cast("long").alias("n_lineitems"),
+            F.coalesce("n_ev", F.lit(0)).cast("long").alias("n_events"),
+            F.coalesce("frozen_cents", F.lit(0)).cast("long")
+            .alias("frozen_cents"),
+        )
+        .orderBy("n_name")
+    )
+
+
 # Self-register unconditionally (round 10: the gate was flipped after
 # CORRECTNESS_r09 came back 50/50 green — same lifecycle as queries_r7/r8/r9).
 # register_all() is idempotent, so the historical double-import path

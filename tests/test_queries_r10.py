@@ -871,3 +871,33 @@ def test_sql_scripting_fold_is_order_sensitive(spark, sf_dir):
     for k in (4, 3, 2, 1):
         alt = 2 * alt + per_q[k]
     assert folded != alt
+
+
+def test_deletion_cascade_matches_pandas(spark, sf_dir):
+    c = pd.read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_nationkey"])
+    cohort = c[[_h60(f"del|{k}") % 50 == 0 for k in c.c_custkey]]
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_custkey", "o_orderkey", "o_totalprice"])
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey"])
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    n = pd.read_parquet(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    oo = cohort.merge(o, left_on="c_custkey", right_on="o_custkey")
+    oo["cents"] = (oo.o_totalprice * 100).round().astype("int64")
+    ll = oo.merge(li, left_on="o_orderkey", right_on="l_orderkey")
+    ee = cohort.merge(ev, left_on="c_custkey", right_on="user_id")
+    want = {}
+    for nk, grp in cohort.groupby("c_nationkey"):
+        name = n[n.n_nationkey == nk].n_name.iloc[0]
+        og = oo[oo.c_nationkey == nk]
+        want[name] = (len(grp), len(og),
+                      len(ll[ll.c_nationkey == nk]),
+                      len(ee[ee.c_nationkey == nk]),
+                      int(og.cents.sum()))
+    out = {r["n_name"]: (r["n_customers"], r["n_orders"], r["n_lineitems"],
+                         r["n_events"], r["frozen_cents"])
+           for r in _fn("deletion_cascade_impact")(spark, sf_dir)
+           .collect()}
+    assert out == want
