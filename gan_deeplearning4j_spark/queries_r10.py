@@ -2907,6 +2907,127 @@ def q_deletion_cascade_impact(
     )
 
 
+# ---------------------------------------------------------------------------
+# Bitmap aggregate family (exact distinct counting via RLE bitmaps)
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "bitmap_distinct_users",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Spark bitmap aggregate family (bitmap_bucket_number / "
+        "bitmap_bit_position / bitmap_construct_agg / bitmap_count — the "
+        "exact-distinct acceleration pattern where dense integer keys "
+        "are folded into per-bucket roaring-style bitmaps instead of a "
+        "shuffled distinct): per event type, exact distinct users "
+        "computed as sum(bitmap_count(per-bucket bitmap)). The oracle is "
+        "plain COUNT(DISTINCT) — the equality IS the pin. Scale: the "
+        "bitmap form replaces the two-phase distinct's full key shuffle "
+        "with a (type, bucket)-keyed aggregate whose state is a fixed "
+        "4 KB bitmap per bucket — the same aggregate-state win "
+        "materialized-view engines use for COUNT(DISTINCT) rollups, and "
+        "the bitmaps are MERGEABLE, so incremental refresh unions "
+        "bitmaps instead of re-scanning history.",
+)
+def q_bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sql import register_tables
+
+    register_tables(spark, sf_dir)
+    return spark.sql("""
+        SELECT event_type,
+               CAST(SUM(n_ev) AS BIGINT) AS n_events,
+               CAST(SUM(bitmap_count(bm)) AS BIGINT) AS n_users
+        FROM (
+          SELECT event_type,
+                 bitmap_bucket_number(user_id) AS bucket,
+                 COUNT(*) AS n_ev,
+                 bitmap_construct_agg(bitmap_bit_position(user_id)) AS bm
+          FROM events GROUP BY event_type, bucket
+        )
+        GROUP BY event_type ORDER BY event_type
+    """)
+
+
+# ---------------------------------------------------------------------------
+# Luhn checksum audit (data-quality validation of identifier columns)
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "luhn_checksum_audit",
+    oracle="""
+    WITH acct AS (
+      SELECT c_nationkey,
+             lpad(CAST(c_custkey * 37 + (c_custkey % 10) AS VARCHAR),
+                  12, '0') AS a
+      FROM customer
+    ), scored AS (
+      SELECT c_nationkey,
+             list_sum(list_transform(range(1, 13), i ->
+               CASE WHEN (12 - i) % 2 = 0
+                    THEN CAST(substr(a, CAST(i AS INT), 1) AS INT)
+                    ELSE CASE WHEN 2 * CAST(substr(a, CAST(i AS INT), 1)
+                                            AS INT) > 9
+                              THEN 2 * CAST(substr(a, CAST(i AS INT), 1)
+                                            AS INT) - 9
+                              ELSE 2 * CAST(substr(a, CAST(i AS INT), 1)
+                                            AS INT) END
+               END)) % 10 AS rem
+      FROM acct
+    )
+    SELECT c_nationkey AS nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_accounts,
+           CAST(COUNT(*) FILTER (WHERE rem = 0) AS BIGINT) AS n_valid,
+           CAST(SUM(rem) AS BIGINT) AS sum_rem
+    FROM scored GROUP BY c_nationkey ORDER BY nationkey
+    """,
+    doc="Luhn checksum audit (ISO/IEC 7812 mod-10, the card/IMEI/member "
+        "id integrity check; Spark ships luhn_check since 3.5): synthetic "
+        "12-digit account numbers derived deterministically from custkey "
+        "are validated per nation — valid count via the BUILT-IN "
+        "luhn_check, plus the full mod-10 remainder distribution (sum of "
+        "remainders) computed as an expression so the oracle can replay "
+        "the exact digit-doubling sum with a list_transform lambda. "
+        "Pins that the builtin agrees with the from-scratch arithmetic "
+        "on every row (n_valid == rows where the replayed remainder is "
+        "0). Scale: pure per-row codegen expression work, one exchange "
+        "on the group key.",
+)
+def q_luhn_checksum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sql import register_tables
+
+    register_tables(spark, sf_dir)
+    return spark.sql("""
+        WITH acct AS (
+          SELECT c_nationkey,
+                 lpad(CAST(c_custkey * 37 + (c_custkey % 10) AS STRING),
+                      12, '0') AS a
+          FROM customer
+        ), scored AS (
+          SELECT c_nationkey,
+                 luhn_check(a) AS ok,
+                 aggregate(transform(sequence(1, 12), i ->
+                   CASE WHEN (12 - i) % 2 = 0
+                        THEN CAST(substr(a, i, 1) AS INT)
+                        ELSE CASE WHEN 2 * CAST(substr(a, i, 1) AS INT) > 9
+                                  THEN 2 * CAST(substr(a, i, 1) AS INT) - 9
+                                  ELSE 2 * CAST(substr(a, i, 1) AS INT)
+                             END
+                   END), 0, (s, x) -> s + x) % 10 AS rem
+          FROM acct
+        )
+        SELECT c_nationkey AS nationkey,
+               CAST(COUNT(*) AS BIGINT) AS n_accounts,
+               CAST(COUNT(CASE WHEN ok THEN 1 END) AS BIGINT) AS n_valid,
+               CAST(SUM(rem) AS BIGINT) AS sum_rem
+        FROM scored
+        GROUP BY c_nationkey ORDER BY nationkey
+    """)
+
+
 # Self-register unconditionally (round 10: the gate was flipped after
 # CORRECTNESS_r09 came back 50/50 green — same lifecycle as queries_r7/r8/r9).
 # register_all() is idempotent, so the historical double-import path

@@ -901,3 +901,41 @@ def test_deletion_cascade_matches_pandas(spark, sf_dir):
            for r in _fn("deletion_cascade_impact")(spark, sf_dir)
            .collect()}
     assert out == want
+
+
+def test_bitmap_distinct_matches_pandas(spark, sf_dir):
+    e = pd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["event_type", "user_id"])
+    g = e.groupby("event_type")["user_id"]
+    want = {t: (len(gg), gg.nunique()) for t, gg in g}
+    out = {r["event_type"]: (r["n_events"], r["n_users"])
+           for r in _fn("bitmap_distinct_users")(spark, sf_dir).collect()}
+    assert out == want
+
+
+def _luhn_rem(acct):
+    total = 0
+    for i, ch in enumerate(acct):          # i = 0-based, position 12-i
+        d = int(ch)
+        if (12 - (i + 1)) % 2 == 0:
+            total += d
+        else:
+            total += 2 * d - 9 if 2 * d > 9 else 2 * d
+    return total % 10
+
+
+def test_luhn_audit_matches_python(spark, sf_dir):
+    c = pd.read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_nationkey"])
+    want = {}
+    for _, r in c.iterrows():
+        acct = str(r.c_custkey * 37 + r.c_custkey % 10).zfill(12)
+        rem = _luhn_rem(acct)
+        n, v, s = want.get(r.c_nationkey, (0, 0, 0))
+        want[int(r.c_nationkey)] = (n + 1, v + (rem == 0), s + rem)
+    out = {r["nationkey"]: (r["n_accounts"], r["n_valid"], r["sum_rem"])
+           for r in _fn("luhn_checksum_audit")(spark, sf_dir).collect()}
+    assert out == want
+    # cross-check: the builtin luhn_check agreed with the replayed
+    # remainder on every row (n_valid counts ok=true, sum_rem counts the
+    # arithmetic) — a disagreement would break the equality above
