@@ -3023,11 +3023,8 @@ from . import queries_r9  # noqa: E402,F401  (side effect: registration)
 # bottom (same both-import-orders rationale as above).
 from . import queries_r10  # noqa: E402,F401  (side effect: registration)
 
-# Round-11 staging: same pattern — new queries written during round 10 stay
-# behind SPARK_GRAFT_R11 until CORRECTNESS_r10 lands, so the round-10 driver
-# window stays exactly the current never-green set. queries_r11 gates its
-# own self-registration on the env var.
-import os as _os  # noqa: E402
-
-if _os.environ.get("SPARK_GRAFT_R11"):
-    from . import queries_r11  # noqa: F401  (side effect: registration)
+# Round-11 wave: staged during round 10 behind SPARK_GRAFT_R11, registered
+# unconditionally now that CORRECTNESS_r10 confirmed the full round-10
+# window green (50/50 hash-match). queries_r11 SELF-registers at its module
+# bottom (same both-import-orders rationale as above).
+from . import queries_r11  # noqa: E402,F401  (side effect: registration)

@@ -2304,15 +2304,42 @@ def q_temperature_mixture_weights(
 # Entity resolution: blocking → bounded pair match → CC → golden record
 # ---------------------------------------------------------------------------
 
-def er_resolve(keyed: DataFrame, top_n: int = 25) -> DataFrame:
+def er_resolve(
+    keyed: DataFrame, top_n: int = 25, max_block: int | None = 10_000,
+) -> DataFrame:
     """The ER core shared by the registered query and the stress harness
     (SCALE.md round-10): given a checkpointed ``keyed`` relation
     (k BIGINT, cents BIGINT, d STRING dirty entity string, bk STRING
     blocking key), emit the top clusters with their golden records.
     Block-keyed self-join (never corpus-quadratic), levenshtein <= 2
     match, connected components, one grouped pass for census + golden
-    election (max cents, tie -> min k via struct max)."""
+    election (max cents, tie -> min k via struct max).
+
+    ``max_block`` is the hot-block guard (r10 verdict ask #3): a
+    degenerate blocking key — many identical strings swelling one block —
+    makes the per-block self-join quadratic (measured knee: 3x rows ->
+    9x pairs, SCALE.md round-10 ER stress). Before joining, one
+    map-side-combinable count on ``bk`` finds any block past the cap and
+    the operator FAILS LOUDLY naming the hottest block instead of going
+    quadratic silently; ``hot_bucket_cap_audit`` is the planning query
+    for picking the cap. ``None`` disables the guard (stress harness
+    only)."""
     from .operators.dedup import connected_components
+
+    if max_block is not None:
+        hot = (
+            keyed.groupBy("bk").agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_block)
+            .orderBy(F.desc("__n")).limit(1).collect()  # bounded: 1 row
+        )
+        if hot:
+            raise ValueError(
+                f"er_resolve: blocking key {hot[0]['bk']!r} has "
+                f"{hot[0]['__n']} members (> max_block={max_block}) — the "
+                "per-block self-join would be quadratic on it. Re-block "
+                "with a finer key, pre-dedup exact duplicates, or raise "
+                "max_block deliberately (see hot_bucket_cap_audit)."
+            )
 
     a = keyed.select(F.col("k").alias("ka"), F.col("d").alias("da"),
                      F.col("bk").alias("bka"))
@@ -2841,9 +2868,13 @@ def q_sql_scripting_compound(
         "keyed by user id) and the blast radius is reported per nation: "
         "customers, orders, line items, events, and the exact cents of "
         "order value frozen by the deletion. Scale: each hop is one "
-        "key-equi-join off the cohort (which stays small by "
-        "construction — broadcast-able at any corpus size); no scan "
-        "ever touches more than the FK chain. Distinct from "
+        "key-equi-join off the cohort — but the cohort is a constant "
+        "FRACTION (2%) of customers, so it grows with the corpus: no "
+        "forced broadcast hints (r10 advice); AQE broadcasts while the "
+        "cohort fits under the threshold and falls back to shuffle "
+        "joins beyond it, instead of blowing the broadcast limit at "
+        "100 TB. No scan ever touches more than the FK chain. "
+        "Distinct from "
         "★data_quality_report (violation detection) — this PLANS a "
         "mutation's footprint.",
 )
@@ -2859,8 +2890,11 @@ def q_deletion_cascade_impact(
         ) % 50 == 0
     ).select("c_custkey", "c_nationkey").localCheckpoint(eager=True)
     orders = _t(spark, sf_dir, "orders")
+    # No broadcast hints on the cohort side: it is a constant 2% fraction
+    # of customers, so it scales with the corpus — AQE picks broadcast
+    # only while it actually fits (r10 advice).
     o = (
-        F.broadcast(cohort)
+        cohort
         .join(orders, orders["o_custkey"] == cohort["c_custkey"])
         .select("c_nationkey", "o_orderkey",
                 F.round(F.col("o_totalprice") * 100).cast("long")
@@ -2869,13 +2903,13 @@ def q_deletion_cascade_impact(
     )
     li = _t(spark, sf_dir, "lineitem")
     l_cnt = (
-        F.broadcast(o.select("c_nationkey", "o_orderkey"))
+        o.select("c_nationkey", "o_orderkey")
         .join(li, li["l_orderkey"] == o["o_orderkey"])
         .groupBy("c_nationkey").agg(F.count("*").alias("n_li"))
     )
     ev = _t(spark, sf_dir, "events")
     e_cnt = (
-        F.broadcast(cohort)
+        cohort
         .join(ev, ev["user_id"] == cohort["c_custkey"])
         .groupBy("c_nationkey").agg(F.count("*").alias("n_ev"))
     )
@@ -2962,12 +2996,12 @@ def q_bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH acct AS (
       SELECT c_nationkey,
              lpad(CAST(c_custkey * 37 + (c_custkey % 10) AS VARCHAR),
-                  12, '0') AS a
+                  16, '0') AS a
       FROM customer
     ), scored AS (
       SELECT c_nationkey,
-             list_sum(list_transform(range(1, 13), i ->
-               CASE WHEN (12 - i) % 2 = 0
+             list_sum(list_transform(range(1, 17), i ->
+               CASE WHEN (16 - i) % 2 = 0
                     THEN CAST(substr(a, CAST(i AS INT), 1) AS INT)
                     ELSE CASE WHEN 2 * CAST(substr(a, CAST(i AS INT), 1)
                                             AS INT) > 9
@@ -2986,7 +3020,10 @@ def q_bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Luhn checksum audit (ISO/IEC 7812 mod-10, the card/IMEI/member "
         "id integrity check; Spark ships luhn_check since 3.5): synthetic "
-        "12-digit account numbers derived deterministically from custkey "
+        "16-digit account numbers derived deterministically from custkey "
+        "(lossless for c_custkey up to ~2.7e14 — past that lpad would "
+        "silently truncate low-order digits, r10 advice; 12 digits "
+        "capped out at ~2.7e10, inside a plausible 100 TB keyspace) "
         "are validated per nation — valid count via the BUILT-IN "
         "luhn_check, plus the full mod-10 remainder distribution (sum of "
         "remainders) computed as an expression so the oracle can replay "
@@ -3004,13 +3041,13 @@ def q_luhn_checksum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH acct AS (
           SELECT c_nationkey,
                  lpad(CAST(c_custkey * 37 + (c_custkey % 10) AS STRING),
-                      12, '0') AS a
+                      16, '0') AS a
           FROM customer
         ), scored AS (
           SELECT c_nationkey,
                  luhn_check(a) AS ok,
-                 aggregate(transform(sequence(1, 12), i ->
-                   CASE WHEN (12 - i) % 2 = 0
+                 aggregate(transform(sequence(1, 16), i ->
+                   CASE WHEN (16 - i) % 2 = 0
                         THEN CAST(substr(a, i, 1) AS INT)
                         ELSE CASE WHEN 2 * CAST(substr(a, i, 1) AS INT) > 9
                                   THEN 2 * CAST(substr(a, i, 1) AS INT) - 9

@@ -1,15 +1,11 @@
-"""Round-11 staged queries — written during round 10, registered in round 11.
+"""Round-11 wave — written during round 10, registered in round 11.
 
 Same staging pattern as queries_r7/r8/r9/r10 (see their module docstrings):
-the round-10 driver window is pinned to the current never-green prefix
-(the 17 flipped round-10 entries plus round-10 live additions), so anything
-new written this round stays behind ``SPARK_GRAFT_R11=1`` until
-CORRECTNESS_r10 lands and round 11 makes registration unconditional.
-
-Local verification (identical gates to registered queries):
-
-    SPARK_GRAFT_R11=1 python scripts/driver_replica.py <names...>
-    SPARK_GRAFT_R11=1 python scripts/check_parity.py <names...>
+these queries stayed behind ``SPARK_GRAFT_R11=1`` through round 10 so the
+round-10 driver window stayed pinned to its never-green prefix; once
+CORRECTNESS_r10 came back 50/50 green, round 11 made registration
+unconditional (module bottom). Round-12 staging continues in
+queries_r12.py behind ``SPARK_GRAFT_R12``.
 """
 
 from __future__ import annotations
@@ -22,8 +18,8 @@ from pyspark.sql import functions as F
 from .queries import _t
 
 # name -> (fn, oracle, headline, doc); materialized into the real registry
-# by register_all() (round 11) or under SPARK_GRAFT_R11=1 (round-10 local
-# verification).
+# by register_all() at the module bottom (kept as a dict so the integrity
+# tests can enumerate the wave independently of the registry).
 STAGED: dict[str, tuple] = {}
 
 
@@ -275,10 +271,11 @@ def q_range_frame_halo_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new-vs-all ground truth — a hash match pins BOTH that the "
         "resume path loses nothing vs recompute AND that banding at "
         "these parameters has recall 1 on real dups (same 2e-5 miss "
-        "bound as ngram_jaccard_verify). The bounded dup-family summary "
-        "is collected before the scratch store is removed (same "
-        "lifecycle as snapshot_time_travel_audit); at production scale "
-        "the store is a real table and the collect disappears",
+        "bound as ngram_jaccard_verify). The summary is "
+        "localCheckpoint-ed on the executors before the scratch store "
+        "is removed — no result row ever transits the driver; at "
+        "production scale the store is a real table and even the "
+        "checkpoint disappears",
 )
 def q_minhash_incremental_resume(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
@@ -334,19 +331,20 @@ def q_minhash_incremental_resume(spark: SparkSession,
             verified.groupBy("id_a").agg(F.count("*").alias("n_dups"))
             .join(ranked.filter("rn = 1"), "id_a")
             .select(
-                F.col("id_a").alias("doc_id"), "n_dups",
-                F.col("id_b").alias("best_match_id"),
+                F.col("id_a").cast("long").alias("doc_id"),
+                F.col("n_dups").cast("long").alias("n_dups"),
+                F.col("id_b").cast("long").alias("best_match_id"),
                 F.floor(F.col("jaccard") * 1e6).cast("long")
                 .alias("best_j_e6"),
             )
         )
-        rows = summary.collect()
+        # Materialize on the EXECUTORS before the scratch store vanishes
+        # (r10 verdict: result rows must never transit the driver) —
+        # localCheckpoint severs the lineage back to the deleted parquet.
+        out = summary.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(d, ignore_errors=True)
-    return spark.createDataFrame(
-        rows,
-        "doc_id long, n_dups long, best_match_id long, best_j_e6 long",
-    )
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -1432,9 +1430,8 @@ def q_join_cardinality_qerror(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("edge")
 
 
-# Self-register ONLY under the round-11 gate (this module is imported both
-# by queries.py under the gate and directly by tests without it).
-import os as _os
-
-if _os.environ.get("SPARK_GRAFT_R11"):
-    register_all()
+# Self-register unconditionally (round 11: the gate was flipped after
+# CORRECTNESS_r10 came back 50/50 green — same lifecycle as
+# queries_r7/r8/r9/r10). register_all() is idempotent, so the historical
+# double-import path (queries.py import + direct test import) stays safe.
+register_all()

@@ -70,7 +70,10 @@ def main() -> int:
         F.count("*"), F.max("count")).collect()[0]
 
     t0 = time.time()
-    out = er_resolve(keyed).collect()
+    # max_block=None: the stress harness deliberately measures past the
+    # guard (hot mode EXISTS to characterize the quadratic knee the
+    # default cap now refuses).
+    out = er_resolve(keyed, max_block=None).collect()
     wall = time.time() - t0
     print(f"mode={'hot' if hot else 'scaled'} copies={copies_n} "
           f"rows={n_rows} blocks={n_blocks} max_block={max_block} "

@@ -751,6 +751,27 @@ def test_entity_resolution_matches_python(spark, sf_dir):
     assert out == want[:25]
 
 
+def test_er_resolve_hot_block_guard(spark):
+    """r10 verdict ask #3: a degenerate blocking key must fail loudly
+    instead of going silently quadratic; under the cap the operator runs."""
+    import pytest
+
+    from gan_deeplearning4j_spark.queries_r10 import er_resolve
+
+    keyed = spark.createDataFrame(
+        [(i, 100 + i, "dup entity aa", "dup|aa") for i in range(8)]
+        + [(100, 1, "solo thing zz", "solo|zz")],
+        "k long, cents long, d string, bk string",
+    ).localCheckpoint(eager=True)
+    with pytest.raises(ValueError, match="max_block=4"):
+        er_resolve(keyed, max_block=4)
+    # under the cap: the hot block resolves into one 8-member cluster
+    out = er_resolve(keyed, max_block=8).collect()
+    assert out[0]["n_members"] == 8 and out[0]["golden_partkey"] == 7
+    # guard disabled: identical result (the stress-harness path)
+    assert er_resolve(keyed, max_block=None).collect() == out
+
+
 def test_sssp_weighted_matches_python_bf(spark, sf_dir):
     from collections import Counter, defaultdict
     from itertools import combinations
