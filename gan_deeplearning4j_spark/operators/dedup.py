@@ -216,6 +216,32 @@ def minhash_signatures_df(
     )
 
 
+def banded_sig_keys(
+    sigs: DataFrame, idname: str, id_col: str = "doc_id",
+    num_hashes: int = 32, bands: int = 16,
+) -> DataFrame:
+    """Explode a ``(id, __sig)`` relation into ``(idname, band_id,
+    band_val)`` LSH bucket keys — the banding stage shared by the batch
+    ★minhash_incremental_resume query and its streaming twin
+    (``streaming.dedup.incremental_neardup_stream``), factored out so the
+    certified banding and the streamed one cannot drift. ``band_val`` is
+    the comma-joined string of the band's rows (num_hashes/bands
+    signature slots)."""
+    rows = num_hashes // bands
+    return sigs.select(
+        F.col(id_col).alias(idname),
+        F.posexplode(
+            F.array(*[
+                F.concat_ws(",", *[
+                    F.element_at("__sig", b * rows + r + 1).cast("string")
+                    for r in range(rows)
+                ])
+                for b in range(bands)
+            ])
+        ).alias("band_id", "band_val"),
+    )
+
+
 def minhash_features(
     df: DataFrame, text_col: str, id_col: str,
     num_hashes: int = 32, shingle_n: int = 3,

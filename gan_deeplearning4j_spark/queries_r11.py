@@ -281,26 +281,21 @@ def q_minhash_incremental_resume(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
+    from functools import partial
 
-    from .operators.dedup import minhash_signatures_df, ngram_jaccard
+    from .operators.dedup import (
+        banded_sig_keys,
+        minhash_signatures_df,
+        ngram_jaccard,
+    )
 
     docs = _t(spark, sf_dir, "documents")
     new = docs.filter(F.col("doc_id") % 5 == 0)
     old = docs.filter(F.col("doc_id") % 5 != 0)
 
-    def banded(sigs: DataFrame, idname: str) -> DataFrame:
-        return sigs.select(
-            F.col("doc_id").alias(idname),
-            F.posexplode(
-                F.array(*[
-                    F.concat_ws(",", *[
-                        F.element_at("__sig", b * 2 + r + 1).cast("string")
-                        for r in range(2)
-                    ])
-                    for b in range(16)
-                ])
-            ).alias("band_id", "band_val"),
-        )
+    # the banding stage is SHARED with the streaming twin
+    # (streaming.dedup.incremental_neardup_stream) via operators.dedup
+    banded = partial(banded_sig_keys, num_hashes=32, bands=16)
 
     d = tempfile.mkdtemp(prefix="sigstore_")
     try:

@@ -180,3 +180,134 @@ def neardup_flags_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def seed_signature_store(
+    old_docs: DataFrame, store_dir: str,
+    num_hashes: int = 32,
+) -> None:
+    """One-time backfill of the persisted signature store the incremental
+    stream resumes against: (doc_id, __sig, is_new=false). In production
+    this table already exists — it is the batch resume query's store
+    (★minhash_incremental_resume) promoted to a real location."""
+    from ..operators.dedup import minhash_signatures_df
+
+    (
+        minhash_signatures_df(old_docs, "text", "doc_id", num_hashes)
+        .withColumn("is_new", F.lit(False))
+        .write.mode("overwrite").parquet(store_dir)
+    )
+
+
+def incremental_neardup_stream(
+    new_docs_stream: DataFrame,
+    docs_batch: DataFrame,
+    store_dir: str,
+    pairs_dir: str,
+    num_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.7,
+    timeout_sec: int = 300,
+    checkpoint_dir: str | None = None,
+) -> None:
+    """Streaming twin of ★minhash_incremental_resume (r10 verdict ask #8):
+    the persisted signature store is the stream's state. Each micro-batch
+    of arriving documents is DELTA-ONLY signed (old corpus never
+    recomputed — the measured 5.2x of the batch resume), band-joined
+    against store + its own signatures, survivors get the exact n-gram
+    Jaccard verify against the static corpus relation, and the batch then
+    APPENDS its verified pairs to ``pairs_dir`` and its signatures
+    (is_new=true) to the store — so later batches see earlier arrivals.
+
+    Pair orientation matches the batch twin exactly: every arriving doc
+    emits (arrival, match) pairs; when the stored match is itself a NEW
+    doc from an earlier batch, the reverse (match, arrival) pair is also
+    emitted — that is the pair the batch form finds because all new docs
+    band-join at once. Old-corpus ids never appear on the id_a side.
+    Each oriented pair is emitted exactly once (when its later endpoint
+    arrives), so availableNow + checkpoint gives exactly-once pairs.
+
+    Scale: per-batch work is delta signing + one band-keyed join against
+    a bucketed store table; state is the store itself (a real table, not
+    executor memory), so restarts resume from disk for free.
+    ``incremental_resume_summary`` folds the accumulated pairs into the
+    batch query's exact output shape."""
+    from ..operators.dedup import (
+        banded_sig_keys,
+        minhash_signatures_df,
+        ngram_jaccard,
+    )
+
+    spark = new_docs_stream.sparkSession
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        sigs_new = minhash_signatures_df(
+            batch_df, "text", "doc_id", num_hashes
+        ).localCheckpoint(eager=True)
+        store = spark.read.parquet(store_dir)
+        known = store.select("doc_id", "__sig").unionByName(sigs_new)
+        fwd = (
+            banded_sig_keys(sigs_new, "id_a",
+                            num_hashes=num_hashes, bands=bands)
+            .join(
+                banded_sig_keys(known, "id_b",
+                                num_hashes=num_hashes, bands=bands),
+                ["band_id", "band_val"],
+            )
+            .filter(F.col("id_b") != F.col("id_a"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        stored_new = store.filter("is_new").select(
+            F.col("doc_id").alias("id_b")
+        )
+        rev = (
+            fwd.join(stored_new, "id_b")  # reverse only toward NEW stored docs
+            .select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+        )
+        pairs = fwd.unionByName(rev).distinct()
+        verified = ngram_jaccard(pairs, docs_batch, "text", "doc_id").filter(
+            F.col("jaccard") >= threshold
+        ).select("id_a", "id_b", "jaccard")
+        verified.write.mode("append").parquet(pairs_dir)
+        sigs_new.withColumn("is_new", F.lit(True)).write.mode(
+            "append"
+        ).parquet(store_dir)
+
+    writer = new_docs_stream.writeStream.foreachBatch(_apply).trigger(
+        availableNow=True
+    )
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    drained = q.awaitTermination(timeout_sec)
+    q.stop()
+    if not drained:
+        raise TimeoutError(
+            "incremental_neardup_stream: availableNow pass exceeded "
+            f"{timeout_sec}s before draining; pairs at {pairs_dir!r} are "
+            "partial"
+        )
+
+
+def incremental_resume_summary(spark, pairs_dir: str) -> DataFrame:
+    """Fold the stream's accumulated verified pairs into the EXACT output
+    shape of ★minhash_incremental_resume: per new doc, its dup count,
+    best match (max jaccard, tie -> min id) and floor-e6 jaccard."""
+    from pyspark.sql import Window
+
+    verified = spark.read.parquet(pairs_dir)
+    w = Window.partitionBy("id_a").orderBy(F.desc("jaccard"), F.col("id_b"))
+    ranked = verified.withColumn("rn", F.row_number().over(w))
+    return (
+        verified.groupBy("id_a").agg(F.count("*").alias("n_dups"))
+        .join(ranked.filter("rn = 1"), "id_a")
+        .select(
+            F.col("id_a").cast("long").alias("doc_id"),
+            F.col("n_dups").cast("long").alias("n_dups"),
+            F.col("id_b").cast("long").alias("best_match_id"),
+            F.floor(F.col("jaccard") * 1e6).cast("long").alias("best_j_e6"),
+        )
+    )

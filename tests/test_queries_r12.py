@@ -1,0 +1,326 @@
+"""Round-12 staged-query pins: pure-python replays (hash parity is covered
+by the gated replica runs; these pin the SEMANTICS against an independent
+reimplementation) for the engine-surface wave — map higher-order
+functions, GROUP BY ALL, calendar month clamping, the ntile/percent_rank/
+cume_dist family, DataFrame.transpose, the _metadata compaction plan, and
+the near-dup quality election."""
+
+from __future__ import annotations
+
+import calendar
+import math
+import re
+from collections import defaultdict
+
+import pandas as pd
+
+# import order matters: queries modules are re-entered by queries.py
+import gan_deeplearning4j_spark.queries  # noqa: F401
+from gan_deeplearning4j_spark.queries_r12 import STAGED
+
+
+def _fn(name):
+    return STAGED[name][0]
+
+
+def test_map_transform_audit_matches_pandas(spark, sf_dir):
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type"])
+    ev = ev[ev.event_type.isin(["click", "purchase"])]
+    counts = defaultdict(lambda: defaultdict(int))
+    for r in ev.itertuples(index=False):
+        counts[r.event_type][r.ts.hour] += 1
+    c, p = counts["click"], counts["purchase"]
+    thr = sum(c.values()) // len(c)
+    want = []
+    for h in sorted(set(c) | set(p)):
+        ch, ph = c.get(h, 0), p.get(h, 0)
+        want.append((h, ch, ph, ch - ph, ch * 10,
+                     1 if (h in c and ch >= thr) else 0))
+    out = [(r["h"], r["clicks"], r["purchases"],
+            r["click_minus_purchase"], r["clicks_x10"], r["is_busy"])
+           for r in _fn("map_transform_audit")(spark, sf_dir).collect()]
+    assert out == want
+
+
+def test_group_by_all_pricing_matches_pandas(spark, sf_dir):
+    li = pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_discount",
+                 "l_extendedprice"])
+    agg = defaultdict(lambda: [0, 0, 0])
+    for r in li.itertuples(index=False):
+        a = agg[(r.l_returnflag, r.l_linestatus)]
+        a[0] += 1
+        a[1] += 1 if r.l_discount >= 0.05 else 0
+        # SQL round is half-away-from-zero; python round is banker's
+        a[2] += math.floor(r.l_extendedprice * 100 + 0.5)
+    want = sorted((k[0], k[1], v[0], v[1], v[2])
+                  for k, v in agg.items())
+    out = [(r["l_returnflag"], r["l_linestatus"], r["n_rows"],
+            r["n_discounted"], r["gross_cents"])
+           for r in _fn("group_by_all_pricing")(spark, sf_dir).collect()]
+    assert out == want
+
+
+def _add_months_clamped(d, k):
+    y, m = divmod((d.year * 12 + d.month - 1) + k, 12)
+    m += 1
+    day = min(d.day, calendar.monthrange(y, m)[1])
+    return d.replace(year=y, month=m, day=day)
+
+
+def test_calendar_month_clamp_matches_python(spark, sf_dir):
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_orderdate",
+                                 "o_orderpriority"])
+    agg = defaultdict(lambda: [0, 0, 0, 0])
+    for r in o.itertuples(index=False):
+        d = r.o_orderdate.date()
+        k = int(r.o_orderkey) % 25 - 12
+        s = _add_months_clamped(d, k)
+        a = agg[r.o_orderpriority]
+        a[0] += 1
+        a[1] += 1 if s.day != d.day else 0
+        a[2] += 1 if s.day == calendar.monthrange(s.year, s.month)[1] else 0
+        a[3] += (s - d).days
+    want = sorted((k, *v) for k, v in agg.items())
+    out = [(r["pri"], r["n_orders"], r["n_clamped"], r["n_on_month_end"],
+            r["sum_shift_days"])
+           for r in _fn("calendar_month_clamp_audit")(spark, sf_dir)
+           .collect()]
+    assert out == want
+    # the clamp must actually fire somewhere (non-vacuous)
+    assert sum(r[2] for r in out) > 0
+
+
+def test_window_rank_family_matches_python(spark, sf_dir):
+    cu = pd.read_parquet(f"{sf_dir}/customer.parquet",
+                         columns=["c_nationkey", "c_custkey", "c_acctbal"])
+    per_nat = defaultdict(list)
+    for r in cu.itertuples(index=False):
+        cents = math.floor(abs(r.c_acctbal) * 100 + 0.5)
+        cents = cents if r.c_acctbal >= 0 else -cents
+        per_nat[int(r.c_nationkey)].append((cents, int(r.c_custkey)))
+    want = {}
+    for nk, rows in per_nat.items():
+        rows.sort()
+        n = len(rows)
+        base, extra = divmod(n, 4)
+        for i, (cents, _ck) in enumerate(rows):
+            # SQL NTILE: first `extra` tiles get base+1 rows
+            boundary = extra * (base + 1)
+            tile = (i // (base + 1) + 1 if i < boundary
+                    else extra + (i - boundary) // base + 1) if base else i + 1
+            pr = 0 if n == 1 else math.floor(i / (n - 1) * 1_000_000)
+            cd = math.floor((i + 1) / n * 1_000_000)
+            key = (nk, tile)
+            st = want.setdefault(key, [0, None, None, 0, 0])
+            st[0] += 1
+            st[1] = cents if st[1] is None else min(st[1], cents)
+            st[2] = cents if st[2] is None else max(st[2], cents)
+            st[3] = max(st[3], pr)
+            st[4] = max(st[4], cd)
+    wrows = sorted((nk, t, *v) for (nk, t), v in want.items())
+    out = [(r["nationkey"], r["tile"], r["n"], r["min_cents"],
+            r["max_cents"], r["max_pr_ppm"], r["max_cd_ppm"])
+           for r in _fn("window_rank_family")(spark, sf_dir).collect()]
+    assert out == wrows
+
+
+def test_transpose_region_metrics_shape(spark, sf_dir):
+    out = _fn("transpose_region_metrics")(spark, sf_dir)
+    rows = out.collect()
+    # 3 metric rows; columns = key + the five region names
+    assert sorted(r["key"] for r in rows) == [
+        "bal_cents", "n_customers", "n_nations"]
+    assert out.columns[0] == "key"
+    assert sorted(out.columns[1:]) == [
+        "AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+    # cross-check one cell against pandas
+    cu = pd.read_parquet(f"{sf_dir}/customer.parquet",
+                         columns=["c_nationkey", "c_custkey"])
+    na = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    re_ = pd.read_parquet(f"{sf_dir}/region.parquet")
+    j = cu.merge(na, left_on="c_nationkey", right_on="n_nationkey").merge(
+        re_, left_on="n_regionkey", right_on="r_regionkey")
+    n_by_region = j.groupby("r_name")["c_custkey"].count().to_dict()
+    got = next(r for r in rows if r["key"] == "n_customers")
+    for name, n in n_by_region.items():
+        assert got[name] == n
+
+
+def test_compaction_plan_matches_python(spark, sf_dir):
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    sizes = sorted(
+        (int(pt), int(n))
+        for pt, n in (o.o_custkey % 32).value_counts().items()
+    )
+    total = sum(n for _, n in sizes)
+    target = max(1, total // 10)
+    plans, binid, acc, cur = [], 1, 0, [0, 0]  # (files, rows)
+    for _pt, n in sizes:
+        if acc > 0 and acc + n > target:
+            plans.append((binid, *cur))
+            binid, acc, cur = binid + 1, n, [1, n]
+        else:
+            acc += n
+            cur[0] += 1
+            cur[1] += n
+    plans.append((binid, *cur))
+    want = [(b, f, r, r * 1_000_000 // target) for b, f, r in plans]
+    out = [(r["bin_id"], r["n_src_files"], r["bin_rows"], r["fill_ppm"])
+           for r in _fn("compaction_plan_audit")(spark, sf_dir).collect()]
+    assert out == want
+    # every bucket produced exactly one physical file
+    assert sum(r[1] for r in out) == len(sizes)
+
+
+def _union_find_elect(docs, thresh=0.8):
+    grams, toks = {}, {}
+    for r in docs.itertuples(index=False):
+        t = [x for x in re.split(r"\s+", r.text.strip().lower()) if x]
+        toks[int(r.doc_id)] = t
+        grams[int(r.doc_id)] = {
+            " ".join(t[i:i + 3]) for i in range(max(len(t) - 2, 1))
+        }
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    ids = sorted(grams)
+    matched = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            ga, gb = grams[a], grams[b]
+            if len(ga & gb) / len(ga | gb) >= thresh:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+                matched |= {a, b}
+    clusters = defaultdict(list)
+    for d in matched:
+        clusters[find(d)].append(d)
+    return clusters, toks
+
+
+def test_neardup_quality_elect_matches_python(spark, sf_dir):
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "n_chars"])
+    clusters, toks = _union_find_elect(docs)
+    nchars = {int(r.doc_id): int(r.n_chars)
+              for r in docs.itertuples(index=False)}
+
+    def score(d):
+        return len(set(toks[d])) * 1_000_000 + nchars[d]
+
+    want = []
+    for comp, members in clusters.items():
+        kept = max(members, key=lambda d: (score(d), -d))
+        want.append((comp, len(members), kept, score(kept)))
+    want.sort(key=lambda t: (-t[1], t[0]))
+    out = [(r["cluster_id"], r["n_docs"], r["kept_doc_id"],
+            r["kept_score"])
+           for r in _fn("neardup_quality_elect")(spark, sf_dir).collect()]
+    assert out == want[:25]
+    assert out, "no near-dup clusters at this SF — vacuous"
+
+
+def _h60(s):
+    import hashlib
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_session_variable_pricing_matches_pandas(spark, sf_dir):
+    cu = pd.read_parquet(f"{sf_dir}/customer.parquet",
+                         columns=["c_nationkey", "c_acctbal"])
+
+    def cents(x):
+        c = math.floor(abs(x) * 100 + 0.5)
+        return c if x >= 0 else -c
+
+    vals = [(int(r.c_nationkey), cents(r.c_acctbal))
+            for r in cu.itertuples(index=False)]
+    # python // floors; Spark div truncates — identical for the
+    # positive-sum case, asserted here so a sign flip can't hide
+    total = sum(c for _, c in vals)
+    assert total >= 0
+    thr = total // len(vals)
+    agg = defaultdict(lambda: [0, 0])
+    for nk, c in vals:
+        if c >= thr:
+            agg[nk][0] += 1
+            agg[nk][1] += c
+    want = sorted((nk, v[0], v[1]) for nk, v in agg.items())
+    out = [(r["nationkey"], r["n_above"], r["cents_above"])
+           for r in _fn("session_variable_pricing")(spark, sf_dir)
+           .collect()]
+    assert out == want
+
+
+def test_hll_sketch_union_bracket_flags_true(spark, sf_dir):
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+    want = sorted(
+        (t, g.user_id.nunique(), 1)
+        for t, g in ev.groupby("event_type")
+    )
+    out = [(r["event_type"], r["n_exact"], r["est_within_5pct"])
+           for r in _fn("hll_sketch_union_bracket")(spark, sf_dir)
+           .collect()]
+    assert out == want
+
+
+def test_sql_table_udf_tiers_matches_pandas(spark, sf_dir):
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderpriority", "o_totalprice"])
+    agg = defaultdict(lambda: [0, 0])
+    for r in o.itertuples(index=False):
+        c = math.floor(r.o_totalprice * 100 + 0.5)
+        for part, amt in (("base", c), ("fee", c // 50),
+                          ("rebate", -(c // 200))):
+            a = agg[(r.o_orderpriority, part)]
+            a[0] += 1
+            a[1] += amt
+    want = sorted((k[0], k[1], v[0], v[1]) for k, v in agg.items())
+    out = [(r["pri"], r["part"], r["n_rows"], r["total_amount"])
+           for r in _fn("sql_table_udf_tiers")(spark, sf_dir).collect()]
+    assert out == want
+
+
+def test_split_leakage_audit_matches_python(spark, sf_dir):
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "n_chars"])
+    grams = {}
+    for r in docs.itertuples(index=False):
+        t = [x for x in re.split(r"\s+", r.text.strip().lower()) if x]
+        grams[int(r.doc_id)] = {
+            " ".join(t[i:i + 3]) for i in range(max(len(t) - 2, 1))
+        }
+
+    def split_of(d):
+        b = _h60(str(d)) % 100
+        return "train" if b < 80 else ("val" if b < 90 else "test")
+
+    ids = sorted(grams)
+    leaks = defaultdict(list)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            ga, gb = grams[a], grams[b]
+            if len(ga & gb) / len(ga | gb) >= 0.8:
+                sa, sb = split_of(a), split_of(b)
+                if sa != sb:
+                    leaks[(min(sa, sb), max(sa, sb))].append((a, b))
+    want = sorted(
+        (lo, hi, len(ps), min(ps)[0], min(ps)[1])
+        for (lo, hi), ps in leaks.items()
+    )
+    out = [(r["split_lo"], r["split_hi"], r["n_leaks"], r["example_a"],
+            r["example_b"])
+           for r in _fn("split_leakage_audit")(spark, sf_dir).collect()]
+    assert out == want
+    assert out, "no straddling near-dup pairs at this SF — vacuous"

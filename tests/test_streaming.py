@@ -1214,3 +1214,78 @@ def test_statestore_reader_exposes_groupstate(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_incremental_neardup_stream_equals_batch_resume(spark, sf_dir,
+                                                        tmp_path):
+    """The foreachBatch incremental near-dup stream (persisted signature
+    store as state, delta-only signing per micro-batch) must reproduce the
+    EXACT output of the batch ★minhash_incremental_resume query — same
+    store split (doc_id % 5), same banding (shared banded_sig_keys), same
+    verify threshold — regardless of how the new arrivals are chopped into
+    micro-batches."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from gan_deeplearning4j_spark.queries_r11 import STAGED as R11
+    from gan_deeplearning4j_spark.streaming.dedup import (
+        incremental_neardup_stream,
+        incremental_resume_summary,
+        seed_signature_store,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+
+    store_dir = str(tmp_path / "sig_store")
+    pairs_dir = str(tmp_path / "pairs")
+    seed_signature_store(old, store_dir)
+
+    # 3 micro-batches of new arrivals in doc_id order, pinned mtimes
+    src = str(tmp_path / "new_stream")
+    os.makedirs(src)
+    bounds = [(0, 150), (150, 300), (300, 10**9)]
+    files = []
+    for i, (lo, hi) in enumerate(bounds):
+        part = new.filter((F.col("doc_id") >= lo)
+                          & (F.col("doc_id") < hi)).coalesce(1)
+        part.write.parquet(f"{src}/b{i}")
+        for f in sorted(os.listdir(f"{src}/b{i}")):
+            if f.endswith(".parquet"):
+                dst = f"{src}/{i}_{f}"
+                os.rename(f"{src}/b{i}/{f}", dst)
+                files.append(dst)
+    for i, f in enumerate(files):
+        os.utime(f, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    incremental_neardup_stream(
+        stream, docs, store_dir, pairs_dir,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+
+    got = sorted(
+        tuple(r) for r in
+        incremental_resume_summary(spark, pairs_dir).collect()
+    )
+    want = sorted(
+        tuple(r) for r in R11["minhash_incremental_resume"][0](
+            spark, sf_dir).collect()
+    )
+    assert got == want and got, "stream != batch resume (or vacuous)"
+    # the store accumulated exactly the new signatures on top of the seed
+    store = spark.read.parquet(store_dir)
+    assert store.filter("is_new").count() == new.count()
+    assert store.count() == docs.count()
