@@ -3029,12 +3029,8 @@ from . import queries_r10  # noqa: E402,F401  (side effect: registration)
 # bottom (same both-import-orders rationale as above).
 from . import queries_r11  # noqa: E402,F401  (side effect: registration)
 
-# Round-12 staging: new queries written during round 11 stay behind
-# SPARK_GRAFT_R12 until certified (3 SFs + perturbations + parity), after
-# which they register live if the driver window has room (the r10
-# precedent) or wait for round 12. queries_r12 gates its own
-# self-registration on the env var.
-import os as _os  # noqa: E402
-
-if _os.environ.get("SPARK_GRAFT_R12"):
-    from . import queries_r12  # noqa: F401  (side effect: registration)
+# Round-11 live additions: written and certified during round 11 (3 SFs +
+# perturbations + strict parity under the SPARK_GRAFT_R12 gate), then
+# registered LIVE mid-round because the driver window had room (the
+# queries_r10 precedent). queries_r12 SELF-registers at its module bottom.
+from . import queries_r12  # noqa: E402,F401  (side effect: registration)

@@ -10,9 +10,13 @@ Wave focus (r10 verdict ask #8 — remaining ENGINE surfaces over more
 statistics): the ``_metadata`` hidden-column file audit feeding a
 compaction plan, map-typed-column higher-order functions, GROUP BY ALL /
 ORDER BY ALL / aggregate FILTER syntax parity, calendar month arithmetic
-clamping, the ntile/percent_rank/cume_dist window family, and the
-near-dup-cluster quality election (the keep-best-of-cluster LLM-curation
-op composing MinHash candidates + CC + golden election).
+clamping, and the near-dup-cluster quality election (the
+keep-best-of-cluster LLM-curation op composing MinHash candidates + CC +
+golden election). A first draft also carried an ntile/percent_rank/
+cume_dist query — dropped on the pre-registration name sweep: the
+registered ★window_rank_family (queries.py) already pins that surface.
+A late twelfth entry (width_bucket_histogram) joined after the first
+certification pass; the registered wave is 11 queries.
 
 Local verification (identical gates to registered queries):
 
@@ -251,57 +255,6 @@ def q_calendar_month_clamp_audit(
 
 
 # ---------------------------------------------------------------------------
-# Window rank family: ntile / percent_rank / cume_dist — one SQL text
-# ---------------------------------------------------------------------------
-
-_RANK_FAMILY_SQL = """
-WITH b AS (
-  SELECT c_nationkey, c_custkey,
-         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
-  FROM customer
-), r AS (
-  SELECT c_nationkey, c_custkey, cents,
-         ntile(4) OVER w AS tile,
-         CAST(floor(percent_rank() OVER w * 1000000) AS BIGINT) AS pr_ppm,
-         CAST(floor(cume_dist() OVER w * 1000000) AS BIGINT) AS cd_ppm
-  FROM b
-  WINDOW w AS (PARTITION BY c_nationkey ORDER BY cents, c_custkey)
-)
-SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
-       CAST(tile AS BIGINT) AS tile,
-       CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(MIN(cents) AS BIGINT) AS min_cents,
-       CAST(MAX(cents) AS BIGINT) AS max_cents,
-       CAST(MAX(pr_ppm) AS BIGINT) AS max_pr_ppm,
-       CAST(MAX(cd_ppm) AS BIGINT) AS max_cd_ppm
-FROM r GROUP BY nationkey, tile ORDER BY nationkey, tile
-"""
-
-
-@_stage(
-    "window_rank_family",
-    oracle=_RANK_FAMILY_SQL,
-    doc="The distribution-rank window family the registry had not yet "
-        "exercised — ntile(4) (equal-height quartile assignment, the "
-        "balance-band segmentation move), percent_rank ((rank-1)/(n-1)) "
-        "and cume_dist (rows <= current / n) — over per-nation account "
-        "balances. ntile is order-DEPENDENT on ties, so the window "
-        "orders by (cents, custkey): fully deterministic tile "
-        "boundaries. The two ratio functions floor to ppm (the (rank-1) "
-        "and n ints cast exactly to double; one division is identical "
-        "IEEE cross-engine). One SQL text is both query and oracle; "
-        "DuckDB ntile is BIGINT and Spark's is INT, so the output casts "
-        "explicitly. Scale: single window pass, one exchange on the "
-        "nation key, then a map-side-combinable rollup per tile.",
-)
-def q_window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .sql import register_tables
-
-    register_tables(spark, sf_dir)
-    return spark.sql(_RANK_FAMILY_SQL)
-
-
-# ---------------------------------------------------------------------------
 # DataFrame.transpose() — the Spark 4 pivot-to-wide API, bounded input
 # ---------------------------------------------------------------------------
 
@@ -529,8 +482,13 @@ def q_compaction_plan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS g
       FROM toks
     ), pairs AS (
+      -- exact length-band prune: J >= 0.8 implies min(|A|,|B|)/max >= 0.8
+      -- (|inter| <= min, |union| >= max), so the band keeps a SUPERSET of
+      -- the >= 0.8 pairs and the expensive intersect runs on ~24% of them
       SELECT a.doc_id AS ia, b.doc_id AS ib
-      FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+      FROM sh a JOIN sh b
+        ON b.doc_id > a.doc_id
+       AND len(b.g) * 5 >= len(a.g) * 4 AND len(a.g) * 5 >= len(b.g) * 4
       WHERE len(list_intersect(a.g, b.g)) * 1.0 /
             len(list_distinct(list_concat(a.g, b.g))) >= 0.8
     ), und AS (
@@ -823,8 +781,11 @@ def _split_leakage_oracle() -> str:
                    regexp_split_to_array(lower(trim(text)), '\\s+') AS t
             FROM documents)
     ), pairs AS (
+      -- exact length-band prune (see neardup_quality_elect oracle)
       SELECT a.doc_id AS ia, b.doc_id AS ib
-      FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+      FROM sh a JOIN sh b
+        ON b.doc_id > a.doc_id
+       AND len(b.g) * 5 >= len(a.g) * 4 AND len(a.g) * 5 >= len(b.g) * 4
       WHERE len(list_intersect(a.g, b.g)) * 1.0 /
             len(list_distinct(list_concat(a.g, b.g))) >= 0.8
     ), sp AS (
@@ -858,11 +819,12 @@ def _split_leakage_oracle() -> str:
 
 
 @_stage(
-    "split_leakage_audit",
+    "neardup_split_leakage",
     oracle=None,  # bound below (generator wraps portable_hash60_sql)
-    doc="Split-leakage audit — the INTERNAL counterpart of "
-        "★contamination_overlap (which checks against an external "
-        "benchmark): near-duplicate pairs that STRADDLE the engine's own "
+    doc="Near-dup TEXT leakage across split borders — distinct from BOTH "
+        "★contamination_overlap (external benchmark overlap) and "
+        "★split_leakage_audit (ENTITY leakage: one customer's rows in "
+        "two splits): near-duplicate pairs that STRADDLE the engine's own "
         "deterministic 80/10/10 train/val/test split "
         "(★train_val_test_split's md5 assignment, replayed bit-exact) "
         "leak training text into evaluation and silently inflate eval "
@@ -921,15 +883,71 @@ def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-STAGED["split_leakage_audit"] = (
+STAGED["neardup_split_leakage"] = (
     q_split_leakage_audit, _split_leakage_oracle(),
-    STAGED["split_leakage_audit"][2], STAGED["split_leakage_audit"][3],
+    STAGED["neardup_split_leakage"][2], STAGED["neardup_split_leakage"][3],
 )
 
 
-# Self-register ONLY under the round-12 gate (this module is imported both
-# by queries.py under the gate and directly by tests without it).
-import os as _os
+# ---------------------------------------------------------------------------
+# width_bucket equi-width histogram (with under/overflow buckets)
+# ---------------------------------------------------------------------------
 
-if _os.environ.get("SPARK_GRAFT_R12"):
-    register_all()
+@_stage(
+    "width_bucket_histogram",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), b AS (
+      SELECT cents,
+             CASE WHEN cents < 5000000 THEN 0
+                  WHEN cents >= 35000000 THEN 11
+                  ELSE (cents - 5000000) // 3000000 + 1 END AS bucket
+      FROM c
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MIN(cents) AS BIGINT) AS min_cents,
+           CAST(MAX(cents) AS BIGINT) AS max_cents
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+    doc="SQL:2016 width_bucket — the equi-width histogram assignment the "
+        "registry's quantile family (equi-HEIGHT) does not cover, "
+        "including its under/overflow semantics: order totals in integer "
+        "cents bucket into 10 equal widths over [50k$, 350k$), with "
+        "bucket 0 catching values below the range and bucket 11 at-or-"
+        "above it (both populated at every SF — the semantics the pin is "
+        "FOR). The oracle replays the assignment arithmetically "
+        "((x-lo) // width + 1 with the two clamps); integer cents and a "
+        "width whose quotients sit far from double-rounding boundaries "
+        "(< 2^26) make floor(double-div) == integer-div exact, so the "
+        "builtin's internal double math cannot drift from the integer "
+        "replay. Scale: pure per-row codegen + one 12-group exchange.",
+)
+def q_width_bucket_histogram(
+    spark: SparkSession, sf_dir: str,
+) -> DataFrame:
+    from .sql import register_tables
+
+    register_tables(spark, sf_dir)
+    return spark.sql("""
+        WITH c AS (
+          SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders
+        )
+        SELECT CAST(width_bucket(cents, 5000000, 35000000, 10) AS BIGINT)
+                 AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(MIN(cents) AS BIGINT) AS min_cents,
+               CAST(MAX(cents) AS BIGINT) AS max_cents
+        FROM c GROUP BY bucket ORDER BY bucket
+    """)
+
+
+# Self-register unconditionally (round 11: the wave was certified at 3 SFs
+# + 3 perturbations + strict parity and registered LIVE mid-round — the
+# queries_r10 precedent — because the driver window had room: 17 r11 + 11
+# here = 28 never-green entries, inside the ~50-entry window).
+# register_all() is idempotent, so the double-import path stays safe.
+register_all()

@@ -1,9 +1,8 @@
 """Round-12 staged-query pins: pure-python replays (hash parity is covered
 by the gated replica runs; these pin the SEMANTICS against an independent
 reimplementation) for the engine-surface wave — map higher-order
-functions, GROUP BY ALL, calendar month clamping, the ntile/percent_rank/
-cume_dist family, DataFrame.transpose, the _metadata compaction plan, and
-the near-dup quality election."""
+functions, GROUP BY ALL, calendar month clamping, DataFrame.transpose,
+the _metadata compaction plan, and the near-dup quality election."""
 
 from __future__ import annotations
 
@@ -92,40 +91,6 @@ def test_calendar_month_clamp_matches_python(spark, sf_dir):
     assert out == want
     # the clamp must actually fire somewhere (non-vacuous)
     assert sum(r[2] for r in out) > 0
-
-
-def test_window_rank_family_matches_python(spark, sf_dir):
-    cu = pd.read_parquet(f"{sf_dir}/customer.parquet",
-                         columns=["c_nationkey", "c_custkey", "c_acctbal"])
-    per_nat = defaultdict(list)
-    for r in cu.itertuples(index=False):
-        cents = math.floor(abs(r.c_acctbal) * 100 + 0.5)
-        cents = cents if r.c_acctbal >= 0 else -cents
-        per_nat[int(r.c_nationkey)].append((cents, int(r.c_custkey)))
-    want = {}
-    for nk, rows in per_nat.items():
-        rows.sort()
-        n = len(rows)
-        base, extra = divmod(n, 4)
-        for i, (cents, _ck) in enumerate(rows):
-            # SQL NTILE: first `extra` tiles get base+1 rows
-            boundary = extra * (base + 1)
-            tile = (i // (base + 1) + 1 if i < boundary
-                    else extra + (i - boundary) // base + 1) if base else i + 1
-            pr = 0 if n == 1 else math.floor(i / (n - 1) * 1_000_000)
-            cd = math.floor((i + 1) / n * 1_000_000)
-            key = (nk, tile)
-            st = want.setdefault(key, [0, None, None, 0, 0])
-            st[0] += 1
-            st[1] = cents if st[1] is None else min(st[1], cents)
-            st[2] = cents if st[2] is None else max(st[2], cents)
-            st[3] = max(st[3], pr)
-            st[4] = max(st[4], cd)
-    wrows = sorted((nk, t, *v) for (nk, t), v in want.items())
-    out = [(r["nationkey"], r["tile"], r["n"], r["min_cents"],
-            r["max_cents"], r["max_pr_ppm"], r["max_cd_ppm"])
-           for r in _fn("window_rank_family")(spark, sf_dir).collect()]
-    assert out == wrows
 
 
 def test_transpose_region_metrics_shape(spark, sf_dir):
@@ -292,7 +257,7 @@ def test_sql_table_udf_tiers_matches_pandas(spark, sf_dir):
     assert out == want
 
 
-def test_split_leakage_audit_matches_python(spark, sf_dir):
+def test_neardup_split_leakage_matches_python(spark, sf_dir):
     docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text", "n_chars"])
     grams = {}
@@ -321,6 +286,27 @@ def test_split_leakage_audit_matches_python(spark, sf_dir):
     )
     out = [(r["split_lo"], r["split_hi"], r["n_leaks"], r["example_a"],
             r["example_b"])
-           for r in _fn("split_leakage_audit")(spark, sf_dir).collect()]
+           for r in _fn("neardup_split_leakage")(spark, sf_dir).collect()]
     assert out == want
     assert out, "no straddling near-dup pairs at this SF — vacuous"
+
+
+def test_width_bucket_histogram_matches_python(spark, sf_dir):
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_totalprice"])
+    agg = defaultdict(lambda: [0, None, None])
+    for x in o.o_totalprice:
+        c = math.floor(x * 100 + 0.5)
+        b = (0 if c < 5_000_000 else
+             11 if c >= 35_000_000 else (c - 5_000_000) // 3_000_000 + 1)
+        a = agg[b]
+        a[0] += 1
+        a[1] = c if a[1] is None else min(a[1], c)
+        a[2] = c if a[2] is None else max(a[2], c)
+    want = sorted((b, *v) for b, v in agg.items())
+    out = [(r["bucket"], r["n_orders"], r["min_cents"], r["max_cents"])
+           for r in _fn("width_bucket_histogram")(spark, sf_dir).collect()]
+    assert out == want
+    # under/overflow buckets must both be populated (the semantics pinned)
+    buckets = {r[0] for r in out}
+    assert 0 in buckets and 11 in buckets

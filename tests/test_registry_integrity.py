@@ -323,6 +323,41 @@ def test_r11_driver_window_covers_every_unverified_entry():
         assert name in ev or name in never[:50], name
 
 
+def test_r12_wave_is_registered():
+    """The round-11 live additions (queries_r12.py, certified under the
+    SPARK_GRAFT_R12 gate then flipped mid-round): every STAGED name is
+    live with its EXACT oracle attached — `register_all` silently skips
+    colliding names, so the oracle equality check is what catches a
+    name collision with an older query (it caught two in round 11)."""
+    from gan_deeplearning4j_spark import queries_r12
+    from gan_deeplearning4j_spark.queries import REGISTRY
+
+    staged = set(queries_r12.STAGED)
+    assert staged and staged <= set(REGISTRY)
+    for name, (fn, oracle, headline, doc) in queries_r12.STAGED.items():
+        assert oracle, name
+        assert REGISTRY[name].oracle == oracle, name
+        assert REGISTRY[name].fn is fn, name
+
+
+def test_r12_driver_window_covers_every_unverified_entry():
+    """Round-11 window contract after the live additions: never-green =
+    17 r11 + 11 r12 = 28 entries, all inside the first 50 positions."""
+    from gan_deeplearning4j_spark import queries_r12
+    from gan_deeplearning4j_spark.queries import (
+        _verification_evidence,
+        queries,
+    )
+
+    ordered = list(queries())
+    ev = _verification_evidence()
+    never = [n for n in ordered if n not in ev]
+    assert len(never) <= 50
+    assert ordered[: len(never)] == never
+    for name in queries_r12.STAGED:
+        assert name in ev or name in never[:50], name
+
+
 def test_r11_staged_oracles_bind_in_duckdb(sf_dir):
     """Staged round-11 oracles must keep binding in DuckDB (EXPLAIN only)
     even though they are not yet in the live registry — catches SQL
