@@ -3034,3 +3034,12 @@ from . import queries_r11  # noqa: E402,F401  (side effect: registration)
 # registered LIVE mid-round because the driver window had room (the
 # queries_r10 precedent). queries_r12 SELF-registers at its module bottom.
 from . import queries_r12  # noqa: E402,F401  (side effect: registration)
+
+# Round-12 staging: queries written after the round-11 flips stay behind
+# SPARK_GRAFT_R13 until CORRECTNESS_r11 lands, so the round-11 driver
+# window stays exactly the current never-green set. queries_r13 gates its
+# own self-registration on the env var.
+import os as _os  # noqa: E402
+
+if _os.environ.get("SPARK_GRAFT_R13"):
+    from . import queries_r13  # noqa: F401  (side effect: registration)
