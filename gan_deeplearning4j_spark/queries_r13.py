@@ -10,7 +10,8 @@ the driver's ~50-entry window).
 Wave focus: parser/scripting surfaces not yet exercised (SQL UNPIVOT
 keyword incl. INCLUDE NULLS, lateral column aliases, SQL-scripting FOR
 cursor), the regex position/count family, the mask() redaction builtin,
-and ISO-week calendar boundary semantics.
+ISO-week calendar boundary semantics, banker's-rounding ties, and
+try_sum overflow-to-NULL.
 
 Local verification (identical gates to registered queries):
 
@@ -399,6 +400,124 @@ def q_regexp_position_family(
                CAST(COUNT(*) AS BIGINT) AS n_parts,
                CAST(SUM(first_pos) AS BIGINT) AS sum_first_pos
         FROM m GROUP BY n_vv ORDER BY n_vv
+    """)
+
+
+# ---------------------------------------------------------------------------
+# bround (banker's rounding) vs round — the half-even semantics pin
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "bround_half_even_audit",
+    oracle="""
+    WITH h AS (
+      SELECT c_nationkey,
+             CAST(round(c_acctbal * 100) AS BIGINT) / 2.0 AS x
+      FROM customer
+    )
+    SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CASE WHEN x = floor(x) + 0.5 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_exact_halves,
+           CAST(SUM(CAST(round_even(x, 0) AS BIGINT)) AS BIGINT)
+             AS sum_bankers,
+           CAST(SUM(CAST(round(x) AS BIGINT)) AS BIGINT) AS sum_half_away
+    FROM h GROUP BY c_nationkey ORDER BY nationkey
+    """,
+    doc="Banker's rounding (bround, IEEE 754 roundTiesToEven — the "
+        "accounting aggregate rule that removes the systematic upward "
+        "bias half-away-from-zero accumulates) pinned against plain "
+        "round on EXACT tie inputs: integer cents divided by 2.0 are "
+        "exactly representable doubles, so odd cents sit precisely on "
+        ".5 and the two rules MUST diverge there (n_exact_halves counts "
+        "the battleground rows; the two sums differ by the odd-even "
+        "split). DuckDB replays bround with its round_even builtin — a "
+        "hash match pins both engines' tie tables against each other, "
+        "negative halves included (acctbal < 0 exists: -2.5 -> -2). "
+        "Scale: per-row codegen arithmetic, one exchange on the nation "
+        "key.",
+)
+def q_bround_half_even_audit(
+    spark: SparkSession, sf_dir: str,
+) -> DataFrame:
+    from .sql import register_tables
+
+    register_tables(spark, sf_dir)
+    return spark.sql("""
+        WITH h AS (
+          SELECT c_nationkey,
+                 CAST(round(c_acctbal * 100) AS BIGINT) / 2.0 AS x
+          FROM customer
+        )
+        SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(CASE WHEN x = floor(x) + 0.5 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_exact_halves,
+               CAST(SUM(CAST(bround(x) AS BIGINT)) AS BIGINT)
+                 AS sum_bankers,
+               CAST(SUM(CAST(round(x) AS BIGINT)) AS BIGINT)
+                 AS sum_half_away
+        FROM h GROUP BY c_nationkey ORDER BY nationkey
+    """)
+
+
+# ---------------------------------------------------------------------------
+# try_sum overflow semantics (NULL, not wraparound, not a crash)
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "try_sum_overflow_audit",
+    oracle="""
+    WITH v AS (
+      SELECT o_orderpriority AS pri,
+             CAST(round(o_totalprice * 100) AS BIGINT)
+               * CASE WHEN o_orderpriority = '1-URGENT'
+                      THEN 100000000000 ELSE 1 END AS x
+      FROM orders
+    ), agg AS (
+      SELECT pri, CAST(COUNT(*) AS BIGINT) AS n_orders,
+             SUM(CAST(x AS HUGEINT)) AS s
+      FROM v GROUP BY pri
+    )
+    SELECT pri, n_orders,
+           CAST(CASE WHEN s > 9223372036854775807 THEN NULL
+                     ELSE s END AS BIGINT) AS total,
+           CAST(CASE WHEN s > 9223372036854775807 THEN 1 ELSE 0 END
+                AS BIGINT) AS overflowed
+    FROM agg ORDER BY pri
+    """,
+    doc="try_sum — the overflow-tolerant aggregate (Spark 3.5 try_* "
+        "family): the '1-URGENT' group's cents are scaled by 1e11 "
+        "(per-row products stay under 2^63; every value POSITIVE, so "
+        "partial sums are monotone and the overflow decision is "
+        "partition-layout-INDEPENDENT — the property that makes this "
+        "query certifiable under the shuffle3 perturbation), its group "
+        "sum crosses 2^63 at every SF and try_sum returns NULL instead "
+        "of wrapping or throwing (plain SUM under ANSI mode THROWS "
+        "ARITHMETIC_OVERFLOW here); the other four groups stay exact. "
+        "The oracle computes the same sums in HUGEINT and applies the "
+        "int64 bound explicitly. Scale: map-side-combinable aggregate, "
+        "one exchange on the 5-value priority key.",
+)
+def q_try_sum_overflow_audit(
+    spark: SparkSession, sf_dir: str,
+) -> DataFrame:
+    from .sql import register_tables
+
+    register_tables(spark, sf_dir)
+    return spark.sql("""
+        WITH v AS (
+          SELECT o_orderpriority AS pri,
+                 CAST(round(o_totalprice * 100) AS BIGINT)
+                   * CASE WHEN o_orderpriority = '1-URGENT'
+                          THEN 100000000000L ELSE 1L END AS x
+          FROM orders
+        )
+        SELECT pri, CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(try_sum(x) AS BIGINT) AS total,
+               CAST(CASE WHEN try_sum(x) IS NULL THEN 1 ELSE 0 END
+                    AS BIGINT) AS overflowed
+        FROM v GROUP BY pri ORDER BY pri
     """)
 
 

@@ -171,3 +171,48 @@ def test_r13_staged_queries_disjoint_and_gated():
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert out.stdout.strip() == str(len(staged))
+
+
+def test_bround_half_even_matches_python(spark, sf_dir):
+    cu = pd.read_parquet(f"{sf_dir}/customer.parquet",
+                         columns=["c_nationkey", "c_acctbal"])
+    agg = defaultdict(lambda: [0, 0, 0, 0])
+    for r in cu.itertuples(index=False):
+        x = _cents(r.c_acctbal) / 2.0
+        a = agg[int(r.c_nationkey)]
+        a[0] += 1
+        is_half = x == math.floor(x) + 0.5
+        a[1] += 1 if is_half else 0
+        # python round() IS banker's — exactly bround here
+        a[2] += round(x)
+        # half-away-from-zero
+        a[3] += (math.floor(x + 0.5) if x >= 0 else -math.floor(-x + 0.5))
+    want = sorted((k, *v) for k, v in agg.items())
+    out = [(r["nationkey"], r["n_customers"], r["n_exact_halves"],
+            r["sum_bankers"], r["sum_half_away"])
+           for r in _fn("bround_half_even_audit")(spark, sf_dir).collect()]
+    assert out == want
+    # the tie rows exist and the two rules actually diverge somewhere
+    assert sum(r[2] for r in out) > 0
+    assert any(r[3] != r[4] for r in out)
+
+
+def test_try_sum_overflow_matches_python(spark, sf_dir):
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderpriority", "o_totalprice"])
+    agg = defaultdict(lambda: [0, 0])
+    for r in o.itertuples(index=False):
+        mult = 100_000_000_000 if r.o_orderpriority == "1-URGENT" else 1
+        a = agg[r.o_orderpriority]
+        a[0] += 1
+        a[1] += _cents(r.o_totalprice) * mult  # python int: no overflow
+    want = []
+    for pri in sorted(agg):
+        n, s = agg[pri]
+        over = s > 2**63 - 1
+        want.append((pri, n, None if over else s, 1 if over else 0))
+    out = [(r["pri"], r["n_orders"], r["total"], r["overflowed"])
+           for r in _fn("try_sum_overflow_audit")(spark, sf_dir).collect()]
+    assert out == want
+    # exactly the scaled group overflows
+    assert [r[0] for r in out if r[3]] == ["1-URGENT"]
