@@ -380,8 +380,12 @@ def q_transpose_region_metrics(
         "bucket breaks parity) and (b) the fold. The engine's actual "
         "rewriter is ``sources.layouts.compact_parquet``; this query is "
         "the PLANNER a 100 TB table runs first. Scale: file listing is "
-        "metadata-sized, the fold runs over one bucket-count-bounded "
-        "array via a Catalyst aggregate() — never a driver loop; the "
+        "metadata-sized; the Catalyst aggregate() fold is bounded-array "
+        "ONLY (array_append copies the accumulator per element — "
+        "measured O(n^2), 56 s at 50k buckets; fine for the fixed 32 "
+        "here) — production bucket counts use the linear "
+        "sources.layouts.greedy_bin_plan applyInPandas twin, "
+        "equivalence-pinned in tests/test_layouts.py; the "
         "scratch summary is localCheckpoint-ed before cleanup (the "
         "engine's scratch lifecycle rule).",
 )

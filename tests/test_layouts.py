@@ -198,3 +198,39 @@ def test_compact_parquet_reduces_files_and_preserves_rows(spark, tmp_path):
     da = a.agg(F.expr("bit_xor(xxhash64(id, v))")).collect()[0][0]
     db = b.agg(F.expr("bit_xor(xxhash64(id, v))")).collect()[0][0]
     assert da == db
+
+
+def test_greedy_bin_plan_matches_query_fold(spark, sf_dir):
+    """The O(n) applyInPandas compaction planner must assign exactly the
+    bins the registered ★compaction_plan_audit's Catalyst fold assigns
+    (same greedy recurrence), and the grouped mode must plan each group
+    independently."""
+    from pyspark.sql import functions as F
+
+    from gan_deeplearning4j_spark.queries_r12 import STAGED
+    from gan_deeplearning4j_spark.sources.layouts import greedy_bin_plan
+
+    # replicate the query's bucket relation (o_custkey % 32 row counts)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    buckets = (orders.groupBy((F.col("o_custkey") % 32).alias("pt"))
+               .agg(F.count("*").cast("long").alias("n_rows")))
+    total = buckets.agg(F.sum("n_rows")).collect()[0][0]
+    plan = greedy_bin_plan(buckets, target=max(1, total // 10))
+    got = (plan.groupBy("bin_id")
+           .agg(F.count("*").alias("n_src_files"),
+                F.sum("n_rows").alias("bin_rows"))
+           .orderBy("bin_id").collect())
+    want = {(r["bin_id"], r["n_src_files"], r["bin_rows"])
+            for r in STAGED["compaction_plan_audit"][0](spark, sf_dir)
+            .collect()}
+    assert {(r["bin_id"], r["n_src_files"], r["bin_rows"])
+            for r in got} == want
+
+    # grouped mode: two disjoint groups plan independently (bin ids
+    # restart per group)
+    two = buckets.withColumn("grp", (F.col("pt") % 2).cast("long"))
+    gp = greedy_bin_plan(two, target=max(1, total // 10),
+                         group_cols=["grp"])
+    per = {r["grp"]: r["mn"] for r in
+           gp.groupBy("grp").agg(F.min("bin_id").alias("mn")).collect()}
+    assert per == {0: 1, 1: 1}
