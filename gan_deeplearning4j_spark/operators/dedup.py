@@ -216,6 +216,32 @@ def minhash_signatures_df(
     )
 
 
+def neardup_dup_summary(verified: DataFrame) -> DataFrame:
+    """Fold a verified near-dup pair relation ``(id_a, id_b, jaccard)``
+    into the per-new-doc dup summary ``(doc_id, n_dups, best_match_id,
+    best_j_e6)`` — best match = max jaccard, tie -> min id, jaccard
+    floored to e6. ONE shared implementation for the batch
+    ★minhash_incremental_resume query and its streaming twin
+    (``streaming.dedup.incremental_resume_summary``) so the certified
+    fold and the streamed one cannot drift (same rationale as
+    ``banded_sig_keys``)."""
+    from pyspark.sql import Window
+
+    verified = verified.select("id_a", "id_b", "jaccard")
+    w = Window.partitionBy("id_a").orderBy(F.desc("jaccard"), F.col("id_b"))
+    ranked = verified.withColumn("rn", F.row_number().over(w))
+    return (
+        verified.groupBy("id_a").agg(F.count("*").alias("n_dups"))
+        .join(ranked.filter("rn = 1"), "id_a")
+        .select(
+            F.col("id_a").cast("long").alias("doc_id"),
+            F.col("n_dups").cast("long").alias("n_dups"),
+            F.col("id_b").cast("long").alias("best_match_id"),
+            F.floor(F.col("jaccard") * 1e6).cast("long").alias("best_j_e6"),
+        )
+    )
+
+
 def banded_sig_keys(
     sigs: DataFrame, idname: str, id_col: str = "doc_id",
     num_hashes: int = 32, bands: int = 16,

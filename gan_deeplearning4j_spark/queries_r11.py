@@ -286,6 +286,7 @@ def q_minhash_incremental_resume(spark: SparkSession,
     from .operators.dedup import (
         banded_sig_keys,
         minhash_signatures_df,
+        neardup_dup_summary,
         ngram_jaccard,
     )
 
@@ -318,24 +319,16 @@ def q_minhash_incremental_resume(spark: SparkSession,
         verified = ngram_jaccard(cands, docs, "text", "doc_id").filter(
             F.col("jaccard") >= 0.7
         )
-        w = Window.partitionBy("id_a").orderBy(
-            F.desc("jaccard"), F.col("id_b")
-        )
-        ranked = verified.withColumn("rn", F.row_number().over(w))
-        summary = (
-            verified.groupBy("id_a").agg(F.count("*").alias("n_dups"))
-            .join(ranked.filter("rn = 1"), "id_a")
-            .select(
-                F.col("id_a").cast("long").alias("doc_id"),
-                F.col("n_dups").cast("long").alias("n_dups"),
-                F.col("id_b").cast("long").alias("best_match_id"),
-                F.floor(F.col("jaccard") * 1e6).cast("long")
-                .alias("best_j_e6"),
-            )
-        )
+        # the summary fold is SHARED with the streaming twin
+        # (streaming.dedup.incremental_resume_summary) via operators.dedup
+        summary = neardup_dup_summary(verified)
         # Materialize on the EXECUTORS before the scratch store vanishes
         # (r10 verdict: result rows must never transit the driver) —
         # localCheckpoint severs the lineage back to the deleted parquet.
+        # Local-mode contract caveat: checkpoint blocks are unreplicated,
+        # so on a cluster with executor churn the result must be consumed
+        # (collected/written) before executors recycle; at production
+        # scale the store is a real table and this lifecycle disappears.
         out = summary.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(d, ignore_errors=True)

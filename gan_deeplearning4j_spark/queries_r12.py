@@ -18,10 +18,6 @@ registered ★window_rank_family (queries.py) already pins that surface.
 A late twelfth entry (width_bucket_histogram) joined after the first
 certification pass; the registered wave is 11 queries.
 
-Local verification (identical gates to registered queries):
-
-    SPARK_GRAFT_R12=1 python scripts/driver_replica.py <names...>
-    SPARK_GRAFT_R12=1 python scripts/check_parity.py <names...>
 """
 
 from __future__ import annotations
@@ -34,8 +30,8 @@ from pyspark.sql import functions as F
 from .queries import _t
 
 # name -> (fn, oracle, headline, doc); materialized into the real registry
-# by register_all() (gate flip) or under SPARK_GRAFT_R12=1 (round-11 local
-# verification).
+# by register_all() at the module bottom (kept as a dict so the integrity
+# tests can enumerate the wave independently of the registry).
 STAGED: dict[str, tuple] = {}
 
 
@@ -387,7 +383,10 @@ def q_transpose_region_metrics(
         "sources.layouts.greedy_bin_plan applyInPandas twin, "
         "equivalence-pinned in tests/test_layouts.py; the "
         "scratch summary is localCheckpoint-ed before cleanup (the "
-        "engine's scratch lifecycle rule).",
+        "engine's scratch lifecycle rule; caveat as in "
+        "minhash_incremental_resume: checkpoint blocks are "
+        "unreplicated, so consume the result before executors "
+        "recycle).",
 )
 def q_compaction_plan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil

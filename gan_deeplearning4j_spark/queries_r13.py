@@ -268,8 +268,10 @@ def q_sql_scripting_for_cursor(
     from .sql import register_tables
 
     register_tables(spark, sf_dir)
+    old = spark.conf.get("spark.sql.scripting.enabled", None)
     spark.conf.set("spark.sql.scripting.enabled", "true")
-    return spark.sql("""
+    try:
+        return spark.sql("""
         BEGIN
           DECLARE acc BIGINT DEFAULT 0;
           DECLARE n_steps BIGINT DEFAULT 0;
@@ -288,7 +290,14 @@ def q_sql_scripting_for_cursor(
           END FOR;
           SELECT n_steps, acc AS fold_acc;
         END
-    """)
+        """)
+    finally:
+        # restore the shared session (the ★sql_scripting_compound
+        # pattern): a later query must not inherit scripting mode
+        if old is None:
+            spark.conf.unset("spark.sql.scripting.enabled")
+        else:
+            spark.conf.set("spark.sql.scripting.enabled", old)
 
 
 # ---------------------------------------------------------------------------

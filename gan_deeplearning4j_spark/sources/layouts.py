@@ -209,7 +209,6 @@ def greedy_bin_plan(
 
     spark = buckets.sparkSession
     gcols = list(group_cols or [])
-    tgt_by_group = target is None
 
     def plan(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values(order_col).reset_index(drop=True)
@@ -238,5 +237,4 @@ def greedy_bin_plan(
     one = buckets.withColumn("__g", F.lit(0))
     out = one.groupBy("__g").applyInPandas(
         lambda pdf: plan(pdf.drop(columns="__g")), schema=schema)
-    del tgt_by_group
     return out

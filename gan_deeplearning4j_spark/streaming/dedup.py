@@ -195,7 +195,7 @@ def seed_signature_store(
     (
         minhash_signatures_df(old_docs, "text", "doc_id", num_hashes)
         .withColumn("is_new", F.lit(False))
-        .write.mode("overwrite").parquet(store_dir)
+        .write.mode("overwrite").parquet(f"{store_dir}/ingest_batch=-1")
     )
 
 
@@ -224,8 +224,18 @@ def incremental_neardup_stream(
     doc from an earlier batch, the reverse (match, arrival) pair is also
     emitted — that is the pair the batch form finds because all new docs
     band-join at once. Old-corpus ids never appear on the id_a side.
-    Each oriented pair is emitted exactly once (when its later endpoint
-    arrives), so availableNow + checkpoint gives exactly-once pairs.
+
+    Restart safety: foreachBatch is AT-LEAST-ONCE, so (a) every batch
+    write is an idempotent OVERWRITE of a batch_id-keyed partition
+    directory (``pairs_dir/batch_id=N``, ``store_dir/ingest_batch=N``,
+    seed at ``ingest_batch=-1``), and (b) every batch reads the store
+    FILTERED to ``ingest_batch < batch_id`` — its view at original
+    processing time — so a replay after later batches have landed
+    reproduces the identical pairs instead of discovering future docs.
+    Both halves are required (self-review fix: plain appends doubled
+    pairs on replay, and an unversioned store read then produced
+    different pairs entirely); the replay-idempotency test pins the
+    whole property.
 
     Scale: per-batch work is delta signing + one band-keyed join against
     a bucketed store table; state is the store itself (a real table, not
@@ -243,10 +253,17 @@ def incremental_neardup_stream(
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
             return
+        # localCheckpoint: consumed fully inside this batch (transient,
+        # so the unreplicated-block caveat of the batch query's
+        # checkpoint-then-cleanup lifecycle does not apply here)
         sigs_new = minhash_signatures_df(
             batch_df, "text", "doc_id", num_hashes
         ).localCheckpoint(eager=True)
-        store = spark.read.parquet(store_dir)
+        # the store AS OF this batch's first processing: replays must not
+        # see partitions later batches wrote (at-least-once correctness)
+        store = spark.read.parquet(store_dir).filter(
+            F.col("ingest_batch") < batch_id
+        )
         known = store.select("doc_id", "__sig").unionByName(sigs_new)
         fwd = (
             banded_sig_keys(sigs_new, "id_a",
@@ -271,10 +288,12 @@ def incremental_neardup_stream(
         verified = ngram_jaccard(pairs, docs_batch, "text", "doc_id").filter(
             F.col("jaccard") >= threshold
         ).select("id_a", "id_b", "jaccard")
-        verified.write.mode("append").parquet(pairs_dir)
+        # idempotent per-batch OVERWRITE partitions (see docstring)
+        verified.write.mode("overwrite").parquet(
+            f"{pairs_dir}/batch_id={batch_id}")
         sigs_new.withColumn("is_new", F.lit(True)).write.mode(
-            "append"
-        ).parquet(store_dir)
+            "overwrite"
+        ).parquet(f"{store_dir}/ingest_batch={batch_id}")
 
     writer = new_docs_stream.writeStream.foreachBatch(_apply).trigger(
         availableNow=True
@@ -294,20 +313,10 @@ def incremental_neardup_stream(
 
 def incremental_resume_summary(spark, pairs_dir: str) -> DataFrame:
     """Fold the stream's accumulated verified pairs into the EXACT output
-    shape of ★minhash_incremental_resume: per new doc, its dup count,
-    best match (max jaccard, tie -> min id) and floor-e6 jaccard."""
-    from pyspark.sql import Window
+    shape of ★minhash_incremental_resume — via the SAME
+    ``operators.dedup.neardup_dup_summary`` fold the batch query uses
+    (self-review fix: the fold was previously duplicated here, the exact
+    drift risk ``banded_sig_keys`` was factored out to prevent)."""
+    from ..operators.dedup import neardup_dup_summary
 
-    verified = spark.read.parquet(pairs_dir)
-    w = Window.partitionBy("id_a").orderBy(F.desc("jaccard"), F.col("id_b"))
-    ranked = verified.withColumn("rn", F.row_number().over(w))
-    return (
-        verified.groupBy("id_a").agg(F.count("*").alias("n_dups"))
-        .join(ranked.filter("rn = 1"), "id_a")
-        .select(
-            F.col("id_a").cast("long").alias("doc_id"),
-            F.col("n_dups").cast("long").alias("n_dups"),
-            F.col("id_b").cast("long").alias("best_match_id"),
-            F.floor(F.col("jaccard") * 1e6).cast("long").alias("best_j_e6"),
-        )
-    )
+    return neardup_dup_summary(spark.read.parquet(pairs_dir))

@@ -300,8 +300,8 @@ def test_r11_driver_window_covers_every_unverified_entry():
     ~50/round, so this guarantees CORRECTNESS_r11 gives the whole tail a
     row. Unverified entries = the 17 newly registered round-11 queries plus
     any round-11 live additions. Fails if a new query lands ahead of the
-    tail or the tail outgrows the window (stage behind SPARK_GRAFT_R12
-    instead)."""
+    tail or the tail outgrows the window (stage behind the CURRENT
+    staging gate — SPARK_GRAFT_R13 as of round 11 — instead)."""
     from gan_deeplearning4j_spark import queries_r11
     from gan_deeplearning4j_spark.queries import (
         _verification_evidence,

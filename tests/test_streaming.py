@@ -1289,3 +1289,24 @@ def test_incremental_neardup_stream_equals_batch_resume(spark, sf_dir,
     store = spark.read.parquet(store_dir)
     assert store.filter("is_new").count() == new.count()
     assert store.count() == docs.count()
+
+    # REPLAY idempotency (foreachBatch is at-least-once): a full second
+    # pass with a fresh checkpoint re-processes every batch against the
+    # already-populated store; the batch_id-keyed OVERWRITE partitions
+    # must leave pairs, store, and summary byte-identical instead of
+    # appending duplicates that would inflate every dup count.
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    incremental_neardup_stream(
+        stream2, docs, store_dir, pairs_dir,
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    again = sorted(
+        tuple(r) for r in
+        incremental_resume_summary(spark, pairs_dir).collect()
+    )
+    assert again == want
+    assert spark.read.parquet(store_dir).count() == docs.count()
