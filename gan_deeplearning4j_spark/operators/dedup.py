@@ -252,7 +252,15 @@ def banded_sig_keys(
     (``streaming.dedup.incremental_neardup_stream``), factored out so the
     certified banding and the streamed one cannot drift. ``band_val`` is
     the comma-joined string of the band's rows (num_hashes/bands
-    signature slots)."""
+    signature slots). ``num_hashes`` must divide evenly into ``bands`` —
+    a truncating split would silently band on a PREFIX of the signature,
+    weakening LSH recall with no signal (r11 advice)."""
+    if num_hashes % bands:
+        raise ValueError(
+            f"banded_sig_keys: num_hashes={num_hashes} is not divisible "
+            f"by bands={bands}; {num_hashes % bands} trailing signature "
+            "slots would be silently ignored"
+        )
     rows = num_hashes // bands
     return sigs.select(
         F.col(id_col).alias(idname),

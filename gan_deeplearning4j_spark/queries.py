@@ -649,16 +649,114 @@ def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_quantiles",
-    oracle=None,
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+      FROM lineitem
+    ), r AS (
+      SELECT l_returnflag, c,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY c) AS r
+      FROM c
+    ), n AS (
+      SELECT l_returnflag, COUNT(*) AS n FROM c GROUP BY l_returnflag
+    ), k AS (
+      SELECT l_returnflag, n,
+             GREATEST(1, (498 * n) // 1000)           AS lo50r,
+             LEAST(n, (502 * n + 999) // 1000)        AS hi50r,
+             GREATEST(1, (948 * n) // 1000)           AS lo95r,
+             LEAST(n, (952 * n + 999) // 1000)        AS hi95r,
+             GREATEST(1, (988 * n) // 1000)           AS lo99r,
+             LEAST(n, (992 * n + 999) // 1000)        AS hi99r
+      FROM n
+    )
+    SELECT l_returnflag,
+           MIN(CASE WHEN r.r = k.lo50r THEN r.c END) AS lo50_c,
+           MIN(CASE WHEN r.r = k.hi50r THEN r.c END) AS hi50_c,
+           TRUE AS within50,
+           MIN(CASE WHEN r.r = k.lo95r THEN r.c END) AS lo95_c,
+           MIN(CASE WHEN r.r = k.hi95r THEN r.c END) AS hi95_c,
+           TRUE AS within95,
+           MIN(CASE WHEN r.r = k.lo99r THEN r.c END) AS lo99_c,
+           MIN(CASE WHEN r.r = k.hi99r THEN r.c END) AS hi99_c,
+           TRUE AS within99
+    FROM r JOIN k USING (l_returnflag)
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
     doc="approx_percentile (t-digest-family sketch) — the 100 TB form of the "
-        "exact `quantiles` query: sketches merge map-side, one narrow shuffle. "
-        "Accuracy pinned vs exact in tests/test_operators.py",
+        "exact `quantiles` query: sketches merge map-side, one narrow "
+        "shuffle. Guarantee-bracket oracle (round-12 promotion of the last "
+        "rows-only slots; house pattern of ★approx_quantile_bracket / "
+        "★hll_sketch_union_bracket): the accuracy=1000 sketch at p50/p95/p99 "
+        "of price-cents is checked IN-ENGINE against the exact order "
+        "statistics at ranks (p ± 2*eps)*N (eps = 1/accuracy, integer "
+        "cross-multiplied, 2x guarantee slop), and only the deterministic "
+        "exact bracket values + boolean verdicts are emitted — hash-match "
+        "iff the sketch honors its published rank-error contract. "
+        "Complements the ★ r6 twin, which pins the accuracy=100 contract at "
+        "p50/p90; this entry pins the tighter-accuracy tail quantiles "
+        "(p95/p99 — the production latency-SLO shape). Accuracy also pinned "
+        "vs exact in tests/test_operators.py",
 )
 def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.expr("approx_percentile(l_extendedprice, 0.5D, 1000)").alias("p50"),
-        F.expr("approx_percentile(l_extendedprice, 0.9D, 1000)").alias("p90"),
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("c"),
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("c")
+    r = li.withColumn("r", F.row_number().over(w))
+    n = li.groupBy("l_returnflag").agg(F.count("*").alias("n"))
+    k = n.select(
+        "l_returnflag", "n",
+        F.greatest(F.lit(1).cast("long"),
+                   F.expr("(498 * n) div 1000")).alias("lo50r"),
+        F.least(F.col("n"), F.expr("(502 * n + 999) div 1000")).alias("hi50r"),
+        F.greatest(F.lit(1).cast("long"),
+                   F.expr("(948 * n) div 1000")).alias("lo95r"),
+        F.least(F.col("n"), F.expr("(952 * n + 999) div 1000")).alias("hi95r"),
+        F.greatest(F.lit(1).cast("long"),
+                   F.expr("(988 * n) div 1000")).alias("lo99r"),
+        F.least(F.col("n"), F.expr("(992 * n + 999) div 1000")).alias("hi99r"),
+    )
+    brackets = (
+        r.join(k, "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.min(F.when(F.col("r") == F.col("lo50r"), F.col("c")))
+            .alias("lo50_c"),
+            F.min(F.when(F.col("r") == F.col("hi50r"), F.col("c")))
+            .alias("hi50_c"),
+            F.min(F.when(F.col("r") == F.col("lo95r"), F.col("c")))
+            .alias("lo95_c"),
+            F.min(F.when(F.col("r") == F.col("hi95r"), F.col("c")))
+            .alias("hi95_c"),
+            F.min(F.when(F.col("r") == F.col("lo99r"), F.col("c")))
+            .alias("lo99_c"),
+            F.min(F.when(F.col("r") == F.col("hi99r"), F.col("c")))
+            .alias("hi99_c"),
+        )
+    )
+    approx = li.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(c, 0.5D, 1000)").alias("a50"),
+        F.expr("approx_percentile(c, 0.95D, 1000)").alias("a95"),
+        F.expr("approx_percentile(c, 0.99D, 1000)").alias("a99"),
+    )
+    return (
+        brackets.join(approx, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "lo50_c", "hi50_c",
+            F.col("a50").between(F.col("lo50_c"), F.col("hi50_c"))
+            .alias("within50"),
+            "lo95_c", "hi95_c",
+            F.col("a95").between(F.col("lo95_c"), F.col("hi95_c"))
+            .alias("within95"),
+            "lo99_c", "hi99_c",
+            F.col("a99").between(F.col("lo99_c"), F.col("hi99_c"))
+            .alias("within99"),
+        )
+        .orderBy("l_returnflag")
     )
 
 
@@ -1488,9 +1586,25 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "gan_grid_inference",
-    oracle=None,
-    doc="O5/K10/R3/W3: latent grid → generator forward via distributed mapInPandas, "
-        "row-major order preserved (java:550-570)",
+    oracle="""
+    SELECT CAST(range AS BIGINT) AS grid_id,
+           CAST(16 AS BIGINT) AS n_px,
+           TRUE AS px_in_unit
+    FROM range(100)
+    ORDER BY grid_id
+    """,
+    doc="O5/K10/R3/W3: latent grid → generator forward via distributed "
+        "mapInPandas, row-major order preserved (java:550-570). "
+        "Shape/range-bracket oracle (round-12 promotion of the last "
+        "rows-only slots): the forward pass runs for real, and the "
+        "deterministic contract is emitted — exactly side*side=100 grid "
+        "rows (grid_id 0..99, the W3 row-major order), feature_dim=16 "
+        "pixels each, every pixel inside the sigmoid output range [0,1]. "
+        "The exact generated VALUES are hash-graded by the ★ fixed twin "
+        "gan_grid_inference_fixed (queries_r5.py), whose oracle replays "
+        "the forward math in SQL; this entry keeps the full seeded "
+        "GanPipeline (seed=666 weight init, java:100-130 analogue) in the "
+        "driver window without exposing float-replay fragility.",
 )
 def q_gan_grid_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline import GanPipeline
@@ -1499,10 +1613,13 @@ def q_gan_grid_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
                     gen_hidden=[16], n_classes=10, seed=666)
     out = p.generate_grid(spark, side=10)
     return out.select(
-        "grid_id",
-        F.round(F.element_at("output", 1).cast("double"), 6).alias("px0"),
-        F.round(F.element_at("output", 2).cast("double"), 6).alias("px1"),
-    )
+        F.col("grid_id").cast("long").alias("grid_id"),
+        F.size("output").cast("long").alias("n_px"),
+        F.expr(
+            "forall(output, x -> CAST(x AS DOUBLE) >= 0.0D"
+            " AND CAST(x AS DOUBLE) <= 1.0D)"
+        ).alias("px_in_unit"),
+    ).orderBy("grid_id")
 
 
 @register(
@@ -2045,16 +2162,50 @@ def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_distinct",
-    oracle=None,
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS within_parts,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS exact_supps,
+           TRUE AS within_supps,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           TRUE AS within_orders
+    FROM lineitem
+    """,
     doc="HyperLogLog++ approx_count_distinct — the 100 TB-scale form of "
-        "distinct_agg (sketches merge map-side; no expand, rsd=0.02). "
-        "Accuracy pinned vs exact in tests/test_operators.py",
+        "distinct_agg (sketches merge map-side; no expand, rsd=0.01). "
+        "Guarantee-bracket oracle (round-12 promotion of the last "
+        "rows-only slots): the UNGROUPED rsd=0.01 estimates over three "
+        "cardinality regimes (l_partkey ~N/30, l_suppkey ~N/600, "
+        "l_orderkey ~N/4) are checked IN-ENGINE at 5-sigma + slack "
+        "tolerance (20*|approx - exact| <= exact + 50, pure integer math) "
+        "and only the exact counts + boolean verdicts are emitted. HLL++ "
+        "is deterministic for a dataset (fixed hash), so the verdict is "
+        "layout-stable (perturbation sweeps re-check). Complements the ★ "
+        "r6 twin, which pins the grouped rsd=0.02 contract per return "
+        "flag; this entry pins the global tighter-rsd contract across "
+        "cardinality regimes. Accuracy also pinned vs exact in "
+        "tests/test_operators.py",
 )
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-        F.approx_count_distinct("l_suppkey", rsd=0.02).alias("approx_supps"),
+    agg = li.agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("ap"),
+        F.countDistinct("l_suppkey").alias("exact_supps"),
+        F.approx_count_distinct("l_suppkey", rsd=0.01).alias("asup"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("aord"),
+    )
+    return agg.select(
+        "exact_parts",
+        (F.abs(F.col("ap") - F.col("exact_parts")) * 20
+         <= F.col("exact_parts") + 50).alias("within_parts"),
+        "exact_supps",
+        (F.abs(F.col("asup") - F.col("exact_supps")) * 20
+         <= F.col("exact_supps") + 50).alias("within_supps"),
+        "exact_orders",
+        (F.abs(F.col("aord") - F.col("exact_orders")) * 20
+         <= F.col("exact_orders") + 50).alias("within_orders"),
     )
 
 
@@ -2548,17 +2699,59 @@ def q_heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "heavy_hitters_approx",
-    oracle=None,  # single-pass approximate; membership checked by test
+    oracle="""
+    WITH n AS (SELECT COUNT(*) AS n FROM lineitem),
+    top AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY l_partkey
+      ORDER BY cnt DESC, l_partkey LIMIT 20
+    )
+    SELECT t.l_partkey, t.cnt,
+           (200 * t.cnt > n.n) AS guaranteed,
+           TRUE AS covered
+    FROM top t, n
+    ORDER BY t.cnt DESC, t.l_partkey
+    """,
     doc="Approximate heavy hitters in ONE pass: stat.freqItems "
         "(Karp-Shenker-Papadimitriou counters per partition, merged). At "
         "100 TB this replaces the full groupBy when only 'which items are "
-        "frequent' matters; tests pin that true top items are recalled",
+        "frequent' matters. Guarantee-bracket oracle (round-12 promotion "
+        "of the last rows-only slots): the exact top-20 partkeys (count "
+        "desc, key tiebreak — deterministic) are emitted with the KSP "
+        "no-false-negative verdict `covered` = item is below the "
+        "support*N=N/200 threshold (guarantee does not bind) OR present "
+        "in the sketch's candidate array. False POSITIVES in the "
+        "candidate array ARE layout-dependent but never reach the output, "
+        "so the hash is repartition-stable; `guaranteed` marks which rows "
+        "the contract actually binds for. Complements the ★ r6 twin "
+        "(events.user_id at a threshold-straddling support); this entry "
+        "keeps the original fact-table key. Recall also pinned in "
+        "tests/test_operators.py",
 )
 def q_heavy_hitters_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    out = li.stat.freqItems(["l_partkey"], support=0.005)
-    return out.select(
-        F.explode(F.col("l_partkey_freqItems")).alias("l_partkey")
+    cands = li.stat.freqItems(["l_partkey"], support=0.005).select(
+        F.col("l_partkey_freqItems").alias("cands")
+    )
+    tot = li.agg(F.count("*").alias("n"))
+    top = (
+        li.groupBy("l_partkey")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "l_partkey")
+        .limit(20)
+    )
+    return (
+        top.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(cands))
+        .select(
+            "l_partkey", "cnt",
+            (F.col("cnt") * 200 > F.col("n")).alias("guaranteed"),
+            (
+                (F.col("cnt") * 200 <= F.col("n"))
+                | F.array_contains(F.col("cands"), F.col("l_partkey"))
+            ).alias("covered"),
+        )
+        .orderBy(F.desc("cnt"), "l_partkey")
     )
 
 
@@ -2929,9 +3122,13 @@ def _verification_evidence() -> dict[str, int]:
     """Map query name -> latest round with a green driver row.
 
     Green = hash_match (oracled) or a recorded row count with err in
-    (None, 'no_oracle') (rows-only queries, which the driver checks more
-    weakly by design).  Missing/unreadable verdict files contribute nothing,
-    so a fresh checkout degrades to plain registration order.
+    (None, 'no_oracle') for a query that is STILL rows-only (the weaker
+    evidence stops counting the moment a query is promoted to an oracle —
+    r12: the last five rows-only entries got bracket oracles, and this
+    rule pushes them back into the never-green front of the window so the
+    driver hash-grades the new shape).  Missing/unreadable verdict files
+    contribute nothing, so a fresh checkout degrades to plain
+    registration order.
     """
     import glob
     import json
@@ -2959,6 +3156,8 @@ def _verification_evidence() -> dict[str, int]:
                 row.get("spark_rows") is not None
                 and row.get("err") in (None, "no_oracle")
                 and row.get("hash_match") is None
+                and name in REGISTRY
+                and REGISTRY[name].oracle is None
             )
             if green and rnd > latest.get(name, -1):
                 latest[name] = rnd
@@ -3035,11 +3234,18 @@ from . import queries_r11  # noqa: E402,F401  (side effect: registration)
 # queries_r10 precedent). queries_r12 SELF-registers at its module bottom.
 from . import queries_r12  # noqa: E402,F401  (side effect: registration)
 
-# Round-12 staging: queries written after the round-11 flips stay behind
-# SPARK_GRAFT_R13 until CORRECTNESS_r11 lands, so the round-11 driver
-# window stays exactly the current never-green set. queries_r13 gates its
+# Round-12 flip (r11 verdict ask #2): the 8 queries staged during round 11
+# (certified at 3 SFs + 3 perturbations + strict parity under the
+# SPARK_GRAFT_R13 gate) register unconditionally.
+from . import queries_r13  # noqa: E402,F401  (side effect via register_all)
+
+queries_r13.register_all()
+
+# Round-13 staging: queries written after the round-12 flips stay behind
+# SPARK_GRAFT_R14 until CORRECTNESS_r12 lands, so the round-12 driver
+# window stays exactly the current never-green set. queries_r14 gates its
 # own self-registration on the env var.
 import os as _os  # noqa: E402
 
-if _os.environ.get("SPARK_GRAFT_R13"):
-    from . import queries_r13  # noqa: F401  (side effect: registration)
+if _os.environ.get("SPARK_GRAFT_R14"):
+    from . import queries_r14  # noqa: F401  (side effect: registration)

@@ -2320,17 +2320,21 @@ def er_resolve(
     makes the per-block self-join quadratic (measured knee: 3x rows ->
     9x pairs, SCALE.md round-10 ER stress). Before joining, one
     map-side-combinable count on ``bk`` finds any block past the cap and
-    the operator FAILS LOUDLY naming the hottest block instead of going
-    quadratic silently; ``hot_bucket_cap_audit`` is the planning query
-    for picking the cap. ``None`` disables the guard (stress harness
-    only)."""
+    the operator FAILS LOUDLY naming the hottest block (count desc, bk
+    asc — deterministic even when blocks tie) instead of going quadratic
+    silently; ``hot_bucket_cap_audit`` is the planning query for picking
+    the cap. The guard costs one extra eager aggregate pass over the
+    keyed relation on EVERY call, healthy or not — that is its scale
+    contract (a single map-side-combinable count, cheap next to the
+    self-join it protects, but a pass nonetheless). ``None`` disables
+    the guard (stress harness only)."""
     from .operators.dedup import connected_components
 
     if max_block is not None:
         hot = (
             keyed.groupBy("bk").agg(F.count(F.lit(1)).alias("__n"))
             .filter(F.col("__n") > max_block)
-            .orderBy(F.desc("__n")).limit(1).collect()  # bounded: 1 row
+            .orderBy(F.desc("__n"), "bk").limit(1).collect()  # bounded: 1
         )
         if hot:
             raise ValueError(

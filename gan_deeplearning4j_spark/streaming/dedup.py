@@ -209,6 +209,7 @@ def incremental_neardup_stream(
     threshold: float = 0.7,
     timeout_sec: int = 300,
     checkpoint_dir: str | None = None,
+    allow_fresh_reprocess: bool = False,
 ) -> None:
     """Streaming twin of ★minhash_incremental_resume (r10 verdict ask #8):
     the persisted signature store is the stream's state. Each micro-batch
@@ -241,7 +242,22 @@ def incremental_neardup_stream(
     a bucketed store table; state is the store itself (a real table, not
     executor memory), so restarts resume from disk for free.
     ``incremental_resume_summary`` folds the accumulated pairs into the
-    batch query's exact output shape."""
+    batch query's exact output shape.
+
+    Fresh-checkpoint guard (r11 advice): the replay safety above holds
+    only under the ORIGINAL ``checkpoint_dir`` — a reprocess with a fresh
+    checkpoint restarts batch_id at 0 and may chop arrivals differently,
+    leaving stale higher-numbered partitions from the earlier run that
+    ``incremental_resume_summary`` would double-count. Every batch
+    therefore fails loudly if store/pairs partitions with an id GREATER
+    than the current batch_id exist (impossible in a legitimate
+    same-checkpoint run: a replayed batch means no later batch ever
+    committed). Reprocessing from scratch requires clearing the
+    non-seed store partitions and ``pairs_dir`` first — or passing
+    ``allow_fresh_reprocess=True``, which is safe ONLY when the new run
+    chops arrivals identically (same source files, same
+    maxFilesPerTrigger; the replay-idempotency test is the one
+    legitimate user)."""
     from ..operators.dedup import (
         banded_sig_keys,
         minhash_signatures_df,
@@ -250,7 +266,35 @@ def incremental_neardup_stream(
 
     spark = new_docs_stream.sparkSession
 
+    def _stale_ids_beyond(path: str, col: str, current: int) -> list[int]:
+        """Partition ids > current at ``path`` (empty if path absent) —
+        one file-listing-scale pass per batch, the price of the guard."""
+        try:
+            df = spark.read.parquet(path)
+        except Exception:  # noqa: BLE001  (dir absent on first batch)
+            return []
+        return sorted(
+            r[0]
+            for r in df.select(col).where(F.col(col) > current)
+            .distinct().limit(5).collect()
+        )
+
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        stale = [] if allow_fresh_reprocess else (
+            _stale_ids_beyond(store_dir, "ingest_batch", batch_id)
+            + _stale_ids_beyond(pairs_dir, "batch_id", batch_id)
+        )
+        if stale:
+            raise ValueError(
+                "incremental_neardup_stream: store/pairs partitions with "
+                f"ids beyond the current batch_id={batch_id} exist "
+                f"({stale}) — this run uses a FRESH checkpoint over dirs "
+                "written by an earlier run, and a different micro-batch "
+                "chopping would leave those stale partitions to be "
+                "double-counted. Reprocess with the original "
+                "checkpointLocation, or clear pairs_dir and the non-seed "
+                "store partitions first."
+            )
         if not batch_df.take(1):
             return
         # localCheckpoint: consumed fully inside this batch (transient,

@@ -202,8 +202,11 @@ def test_compact_parquet_reduces_files_and_preserves_rows(spark, tmp_path):
 
 def test_greedy_bin_plan_matches_query_fold(spark, sf_dir):
     """The O(n) applyInPandas compaction planner must assign exactly the
-    bins the registered ★compaction_plan_audit's Catalyst fold assigns
-    (same greedy recurrence), and the grouped mode must plan each group
+    bins the Catalyst ``aggregate()`` fold assigns (the bounded-array
+    form ★compaction_plan_audit registered before round 12 re-pointed it
+    at greedy_bin_plan — the fold lives HERE now, as the independent
+    implementation the equivalence is pinned against), the registered
+    query must agree, and the grouped mode must plan each group
     independently."""
     from pyspark.sql import functions as F
 
@@ -215,22 +218,66 @@ def test_greedy_bin_plan_matches_query_fold(spark, sf_dir):
     buckets = (orders.groupBy((F.col("o_custkey") % 32).alias("pt"))
                .agg(F.count("*").cast("long").alias("n_rows")))
     total = buckets.agg(F.sum("n_rows")).collect()[0][0]
-    plan = greedy_bin_plan(buckets, target=max(1, total // 10))
-    got = (plan.groupBy("bin_id")
+    target = max(1, total // 10)
+    plan = greedy_bin_plan(buckets, target=target)
+    got = {(r["bin_id"], r["n_src_files"], r["bin_rows"])
+           for r in plan.groupBy("bin_id")
            .agg(F.count("*").alias("n_src_files"),
                 F.sum("n_rows").alias("bin_rows"))
-           .orderBy("bin_id").collect())
-    want = {(r["bin_id"], r["n_src_files"], r["bin_rows"])
-            for r in STAGED["compaction_plan_audit"][0](spark, sf_dir)
-            .collect()}
-    assert {(r["bin_id"], r["n_src_files"], r["bin_rows"])
-            for r in got} == want
+           .collect()}
+
+    # the independent implementation: the Catalyst aggregate() fold
+    # (bounded arrays ONLY — array_append copies the accumulator per
+    # element, O(n^2); exactly why the registered query swapped to the
+    # linear path)
+    folded = buckets.agg(
+        F.array_sort(F.collect_list(F.struct("pt", "n_rows"))).alias("bs"),
+    ).select(
+        F.explode(F.expr(f"""
+            aggregate(
+              bs,
+              named_struct(
+                'bin', CAST(1 AS BIGINT), 'acc', CAST(0 AS BIGINT),
+                'out', CAST(array() AS
+                  array<struct<pt:bigint,n_rows:bigint,bin:bigint>>)),
+              (st, b) -> IF(
+                st.acc > 0 AND st.acc + b.n_rows > {int(target)},
+                named_struct(
+                  'bin', st.bin + CAST(1 AS BIGINT), 'acc', b.n_rows,
+                  'out', array_append(st.out, named_struct(
+                    'pt', b.pt, 'n_rows', b.n_rows,
+                    'bin', st.bin + CAST(1 AS BIGINT)))),
+                named_struct(
+                  'bin', st.bin, 'acc', st.acc + b.n_rows,
+                  'out', array_append(st.out, named_struct(
+                    'pt', b.pt, 'n_rows', b.n_rows, 'bin', st.bin)))),
+              st -> st.out)
+        """)).alias("a")
+    )
+    want_fold = {(r["bin_id"], r["n_src_files"], r["bin_rows"])
+                 for r in folded.groupBy(F.col("a.bin").alias("bin_id"))
+                 .agg(F.count("*").alias("n_src_files"),
+                      F.sum("a.n_rows").alias("bin_rows"))
+                 .collect()}
+    assert got == want_fold
+
+    # the registered query (one physical file per bucket) agrees
+    want_query = {(r["bin_id"], r["n_src_files"], r["bin_rows"])
+                  for r in STAGED["compaction_plan_audit"][0](spark, sf_dir)
+                  .collect()}
+    assert got == want_query
 
     # grouped mode: two disjoint groups plan independently (bin ids
     # restart per group)
     two = buckets.withColumn("grp", (F.col("pt") % 2).cast("long"))
-    gp = greedy_bin_plan(two, target=max(1, total // 10),
-                         group_cols=["grp"])
+    gp = greedy_bin_plan(two, target=target, group_cols=["grp"])
     per = {r["grp"]: r["mn"] for r in
            gp.groupBy("grp").agg(F.min("bin_id").alias("mn")).collect()}
     assert per == {0: 1, 1: 1}
+
+    # grouped mode REQUIRES an explicit target (r11 advice): a silently
+    # derived per-group target would diverge from the global default
+    import pytest
+
+    with pytest.raises(ValueError, match="target is required"):
+        greedy_bin_plan(two, group_cols=["grp"])

@@ -42,6 +42,44 @@ def test_map_transform_audit_matches_pandas(spark, sf_dir):
     assert out == want
 
 
+def test_map_transform_audit_degenerate_one_sided(spark, sf_dir, tmp_path):
+    """r11 advice: a corpus with one event type entirely absent must still
+    emit the non-empty side's hours (the empty side becomes map(), not a
+    0-row crossJoin input that collapses the result)."""
+    import shutil
+
+    import duckdb
+
+    from gan_deeplearning4j_spark.queries import REGISTRY
+
+    q = REGISTRY["map_transform_audit"]
+    for missing in ("purchase", "click"):
+        d = tmp_path / f"no_{missing}"
+        d.mkdir()
+        shutil.copy(f"{sf_dir}/lineitem.parquet", d / "lineitem.parquet")
+        con = duckdb.connect()
+        con.execute(
+            f"COPY (SELECT * FROM '{sf_dir}/events.parquet' "
+            f"WHERE event_type != '{missing}') "
+            f"TO '{d}/events.parquet' (FORMAT PARQUET)"
+        )
+        sdf = q.fn(spark, str(d)).toPandas()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'"
+        )
+        odf = con.sql(q.oracle).df()
+        assert len(sdf) == len(odf) > 0, (missing, len(sdf), len(odf))
+        cols = sorted(sdf.columns)
+
+        def canon(df):
+            return sorted(
+                tuple(str(x) for x in r)
+                for r in df[cols].itertuples(index=False)
+            )
+
+        assert canon(sdf) == canon(odf), missing
+
+
 def test_group_by_all_pricing_matches_pandas(spark, sf_dir):
     li = pd.read_parquet(
         f"{sf_dir}/lineitem.parquet",

@@ -40,19 +40,19 @@ def test_rows_only_queries_are_the_documented_set():
     # bpe_train_merges / bpe_tokenize_stats retired in r9 (rows-only
     # shadows of the hash-grade *_fixed twins; r8 verdict ask #7).
     # r10 (r9 verdict ask #7): pq_topk/ivfpq_topk retired (coverage folded
-    # into the hash-grade fixed twins + operator recall tests; recall
-    # brackets rejected as unpinnable on near-equidistant synthetics),
+    # into the hash-grade fixed twins + operator recall tests),
     # multimodal_features/audio_features promoted to golden fixed-point
-    # oracles. Each remaining entry is approximate-by-nature with a
-    # hash-grade bracket or fixed twin: approx_distinct/approx_quantiles/
-    # hll_mergeable_daily_users -> *_bracket queries, heavy_hitters_approx
-    # -> heavy_hitters_guarantee + heavy_hitters_exact, gan_grid_inference
-    # -> gan_grid_inference_fixed.
-    assert rows_only == {
-        "approx_distinct", "approx_quantiles",
-        "gan_grid_inference", "heavy_hitters_approx",
-        "hll_mergeable_daily_users",
-    }
+    # oracles. r12 (r11 verdict ask #1): the final five promoted to
+    # guarantee-bracket / shape-bracket oracles in place (the
+    # ★hll_sketch_union_bracket house pattern) — approx_quantiles
+    # (accuracy=1000 rank-error band at p50/p95/p99), approx_distinct
+    # (global rsd=0.01 5-sigma band), hll_mergeable_daily_users (weekly
+    # re-union 5% band), heavy_hitters_approx (KSP superset-recall flag
+    # over the exact top-20), gan_grid_inference (shape/range/order
+    # bracket; exact values stay pinned by the ★ fixed twin). The
+    # registry is now 100% oracled: no driver window can record an
+    # `err: no_oracle` row.
+    assert rows_only == set()
 
 
 def test_queries_ordering_contract():
@@ -378,3 +378,47 @@ def test_r11_staged_oracles_bind_in_duckdb(sf_dir):
         except Exception as exc:  # noqa: BLE001
             bad.append((name, str(exc)[:120]))
     assert not bad, bad
+
+
+def test_r13_wave_is_registered():
+    """The round-12 flip (r11 verdict ask #2): every queries_r13 STAGED
+    name is live with its EXACT oracle attached — `register_all` silently
+    skips colliding names, so the oracle equality check is what catches a
+    name collision with an older query."""
+    from gan_deeplearning4j_spark import queries_r13
+    from gan_deeplearning4j_spark.queries import REGISTRY
+
+    staged = set(queries_r13.STAGED)
+    assert staged and staged <= set(REGISTRY)
+    for name, (fn, oracle, headline, doc) in queries_r13.STAGED.items():
+        assert oracle, name
+        assert REGISTRY[name].oracle == oracle, name
+        assert REGISTRY[name].fn is fn, name
+
+
+def test_r13_driver_window_covers_every_unverified_entry():
+    """Round-12 window contract after the flips: never-green = 8 r13
+    queries + the 5 round-12 bracket-oracle promotions (whose old
+    rows-only evidence stops counting once promoted), all inside the
+    first 50 positions."""
+    from gan_deeplearning4j_spark import queries_r13
+    from gan_deeplearning4j_spark.queries import (
+        REGISTRY,
+        _verification_evidence,
+        queries,
+    )
+
+    ordered = list(queries())
+    ev = _verification_evidence()
+    never = [n for n in ordered if n not in ev]
+    assert len(never) <= 50
+    assert ordered[: len(never)] == never
+    for name in queries_r13.STAGED:
+        assert name in ev or name in never[:50], name
+    # the 5 promotions must be re-drawn: rows-only evidence no longer
+    # counts for an oracled query
+    for name in ("approx_quantiles", "approx_distinct",
+                 "heavy_hitters_approx", "hll_mergeable_daily_users",
+                 "gan_grid_inference"):
+        assert REGISTRY[name].oracle is not None, name
+        assert name in ev or name in never[:50], name

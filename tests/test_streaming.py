@@ -1290,11 +1290,31 @@ def test_incremental_neardup_stream_equals_batch_resume(spark, sf_dir,
     assert store.filter("is_new").count() == new.count()
     assert store.count() == docs.count()
 
+    # Fresh-checkpoint guard (r11 advice): a reprocess with a NEW
+    # checkpoint over already-populated dirs fails loudly by default —
+    # batch 0 sees store/pairs partitions beyond its id and cannot know
+    # the new chopping matches the old one.
+    import pytest
+
+    stream_guard = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    with pytest.raises(Exception, match="FRESH checkpoint"):
+        incremental_neardup_stream(
+            stream_guard, docs, store_dir, pairs_dir,
+            checkpoint_dir=str(tmp_path / "ckpt_guard"),
+        )
+    # the guard fired before any write: dirs unchanged
+    assert spark.read.parquet(store_dir).count() == docs.count()
+
     # REPLAY idempotency (foreachBatch is at-least-once): a full second
-    # pass with a fresh checkpoint re-processes every batch against the
-    # already-populated store; the batch_id-keyed OVERWRITE partitions
-    # must leave pairs, store, and summary byte-identical instead of
-    # appending duplicates that would inflate every dup count.
+    # pass re-processing every batch with IDENTICAL chopping against the
+    # already-populated store (allow_fresh_reprocess, the one legitimate
+    # use); the batch_id-keyed OVERWRITE partitions + versioned store
+    # read must leave pairs, store, and summary byte-identical instead
+    # of appending duplicates that would inflate every dup count.
     stream2 = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -1303,6 +1323,7 @@ def test_incremental_neardup_stream_equals_batch_resume(spark, sf_dir,
     incremental_neardup_stream(
         stream2, docs, store_dir, pairs_dir,
         checkpoint_dir=str(tmp_path / "ckpt2"),
+        allow_fresh_reprocess=True,
     )
     again = sorted(
         tuple(r) for r in
