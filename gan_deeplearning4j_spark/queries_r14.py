@@ -1,0 +1,764 @@
+"""Round-13 staged queries — written during round 12.
+
+Same staging pattern as queries_r7..r13 (see their module docstrings): new
+queries written after the round-12 flips stay behind ``SPARK_GRAFT_R14=1``
+until CORRECTNESS_r12 lands and round 13 makes registration unconditional.
+
+Wave focus (r11 verdict ask #7 — the one LLM-pipeline family with thin
+coverage): rule-based data-quality curation over ``documents``, the
+C4/Gopher-style filter battery a 100 TB pretraining pipeline runs between
+dedup and tokenization —
+
+- ``gopher_quality_filters``: per-source rule-failure census (length /
+  mean-word-length / stop-word-type rules, thresholds calibrated so every
+  rule has both pass and fail populations at sf0.001/0.01/0.1);
+- ``doc_repetition_audit``: Gopher repetition signals (top-bigram share);
+- ``quality_filter_funnel``: the sequential survival funnel through the
+  full rule battery;
+- ``contamination_13gram_audit`` / ``decontam_drop_plan``: benchmark
+  contamination by EXACT 13-gram overlap (the split-leakage audit
+  generalized from near-dup pairs to exact n-gram hits) and the train-side
+  drop plan it implies;
+- ``unigram_surprise_proxy``: integer inverse-frequency surprise scoring
+  (the rarity-based ranking a perplexity filter approximates, in exact
+  cross-engine integer math);
+- ``ngram_coverage_curve``: vocabulary-coverage planning (types needed to
+  cover 50/90/99% of token mass);
+- ``curation_keep_report``: the composed exact-dedup + quality keep-rate
+  report per source.
+
+Local verification (identical gates to registered queries):
+
+    SPARK_GRAFT_R14=1 python scripts/driver_replica.py <names...>
+    SPARK_GRAFT_R14=1 python scripts/check_parity.py <names...>
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .queries import _t
+
+# name -> (fn, oracle, headline, doc); materialized into the real registry
+# by register_all() (round 13) or under SPARK_GRAFT_R14=1 (round-12 local
+# verification).
+STAGED: dict[str, tuple] = {}
+
+
+def _stage(name: str, oracle: str | None = None, headline: bool = False,
+           doc: str = ""):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        STAGED[name] = (fn, oracle, headline, doc)
+        return fn
+    return deco
+
+
+def register_all() -> None:
+    """Register the staged queries (idempotent; see queries_r7)."""
+    from .queries import REGISTRY, register
+
+    for name, (fn, oracle, headline, doc) in STAGED.items():
+        if name in REGISTRY:
+            continue
+        register(name, oracle=oracle, headline=headline, doc=doc)(fn)
+
+
+# shared house tokenization (matches the dedup family's oracles exactly):
+# lower + trim + whitespace split + drop empties
+_TOKS_SQL = """
+      SELECT doc_id, source,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         x -> x != '') AS t
+      FROM documents
+"""
+
+_STOPWORDS = ("the", "a", "of", "to", "and", "in")
+
+
+def _tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, t array<string>) — Spark twin of _TOKS_SQL."""
+    return docs.select(
+        "doc_id", "source",
+        F.filter(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+            lambda x: x != "",
+        ).alias("t"),
+    )
+
+
+# per-doc quality metrics shared by the filter battery (one projection, no
+# shuffle): word count, mean word length in e3 fixed point (integer div —
+# order-free), distinct stop-word types present
+def _doc_metrics(docs: DataFrame) -> DataFrame:
+    stop_arr = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    return _tokens(docs).select(
+        "doc_id", "source",
+        F.size("t").cast("long").alias("nw"),
+        F.expr(
+            "aggregate(transform(t, x -> CAST(length(x) AS BIGINT)),"
+            " 0L, (a, x) -> a + x) * 1000 div size(t)"
+        ).alias("mwl_e3"),
+        F.expr(
+            f"CAST(size(array_distinct(filter(t,"
+            f" x -> array_contains(array({stop_arr}), x)))) AS BIGINT)"
+        ).alias("n_stop_types"),
+        "t",
+    )
+
+
+_SQL_STOP = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+
+def _bigrams(toks: DataFrame) -> DataFrame:
+    """(doc_id, nbg, g) exploded bigrams — zip_with over shifted slices
+    (never a per-element array recompute inside a lambda), truncated to
+    the n-1 real bigram positions."""
+    col = F.col("t")
+    g = F.zip_with(
+        F.slice(col, 1, 10**9), F.slice(col, 2, 10**9),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return toks.filter(F.size("t") >= 2).select(
+        "doc_id",
+        (F.size("t") - 1).cast("long").alias("nbg"),
+        F.explode(F.slice(g, 1, F.size(col) - 1)).alias("g"),
+    )
+
+# rule thresholds, calibrated on the corpus so every rule fails SOME and
+# passes SOME docs at sf0.001/0.01/0.1 (measured: short 105/106/1117 of
+# 500/500/5000; mwl 6/8/94; stop 179/183/1868; repetitive 59/71/644)
+_MIN_WORDS = 30
+_MWL_LO, _MWL_HI = 4000, 5200
+_MIN_STOP_TYPES = 2
+_MAX_TOP_BIGRAM_PM = 60
+
+
+@_stage(
+    "gopher_quality_filters",
+    oracle=f"""
+    WITH toks AS ({_TOKS_SQL}),
+    m AS (
+      SELECT doc_id, source,
+             CAST(len(t) AS BIGINT) AS nw,
+             CAST(list_sum(list_transform(t, x -> len(x))) * 1000 // len(t)
+                  AS BIGINT) AS mwl_e3,
+             CAST(len(list_distinct(list_filter(t,
+                    x -> x IN ({_SQL_STOP})))) AS BIGINT) AS n_stop_types
+      FROM toks
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (WHERE nw < {_MIN_WORDS}) AS BIGINT)
+             AS n_fail_short,
+           CAST(COUNT(*) FILTER (WHERE mwl_e3 < {_MWL_LO} OR mwl_e3 > {_MWL_HI})
+                AS BIGINT) AS n_fail_mwl,
+           CAST(COUNT(*) FILTER (WHERE n_stop_types < {_MIN_STOP_TYPES})
+                AS BIGINT) AS n_fail_stop,
+           CAST(COUNT(*) FILTER (WHERE nw >= {_MIN_WORDS}
+                AND mwl_e3 BETWEEN {_MWL_LO} AND {_MWL_HI}
+                AND n_stop_types >= {_MIN_STOP_TYPES}) AS BIGINT) AS n_pass
+    FROM m GROUP BY source ORDER BY source
+    """,
+    doc="Gopher-style rule-based quality census (Rae et al. 2021 §A1.1 "
+        "re-expressed over the corpus): per source, how many documents "
+        "fail each of the three cheap lexical rules — too few words "
+        f"(< {_MIN_WORDS}), mean word length outside "
+        f"[{_MWL_LO/1000:.1f}, {_MWL_HI/1000:.1f}] chars (e3 fixed point, "
+        "integer div — order-free), fewer than "
+        f"{_MIN_STOP_TYPES} distinct stop-word types present — and how "
+        "many pass all three. Thresholds calibrated so every rule has "
+        "both populations at every test SF (docstring table in "
+        "queries_r14.py). Scale: ONE scan, per-doc metrics are "
+        "narrow-projection expression work, the census is a map-side "
+        "combinable grouped count — the exact shape a 100 TB filter "
+        "sweep runs before committing to thresholds.",
+)
+def q_gopher_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    m = _doc_metrics(docs)
+    fail_short = F.col("nw") < _MIN_WORDS
+    fail_mwl = (F.col("mwl_e3") < _MWL_LO) | (F.col("mwl_e3") > _MWL_HI)
+    fail_stop = F.col("n_stop_types") < _MIN_STOP_TYPES
+    return (
+        m.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.count_if(fail_short).cast("long").alias("n_fail_short"),
+            F.count_if(fail_mwl).cast("long").alias("n_fail_mwl"),
+            F.count_if(fail_stop).cast("long").alias("n_fail_stop"),
+            F.count_if(~fail_short & ~fail_mwl & ~fail_stop)
+            .cast("long").alias("n_pass"),
+        )
+        .orderBy("source")
+    )
+
+
+@_stage(
+    "doc_repetition_audit",
+    oracle=f"""
+    WITH toks AS ({_TOKS_SQL}),
+    bg AS (
+      SELECT doc_id, CAST(len(t) - 1 AS BIGINT) AS nbg,
+             unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                    i -> array_to_string(list_slice(t, i, i + 1), ' ')))
+               AS g
+      FROM toks WHERE len(t) >= 2
+    ), pc AS (
+      SELECT doc_id, nbg, g, CAST(COUNT(*) AS BIGINT) AS c
+      FROM bg GROUP BY 1, 2, 3
+    ), top AS (
+      SELECT doc_id, nbg, MAX(c) AS top_n
+      FROM pc GROUP BY 1, 2
+    )
+    SELECT doc_id, nbg, top_n,
+           CAST(top_n * 1000 // nbg AS BIGINT) AS top_share_pm
+    FROM top
+    ORDER BY top_share_pm DESC, doc_id
+    LIMIT 20
+    """,
+    doc="Gopher repetition-rate signal: per document, the share of bigram "
+        "positions occupied by the single most frequent bigram (permille, "
+        "integer div), reporting the 20 most repetitive documents "
+        "(deterministic ties: share desc, doc_id). The most-common-n-gram "
+        "fraction is Gopher's rep-2 filter; the threshold twin feeds "
+        f"quality_filter_funnel (> {_MAX_TOP_BIGRAM_PM} permille fails). "
+        "Scale: bigrams explode scan-side (zip_with over shifted slices, "
+        "never a per-element recompute), the per-(doc,gram) count is one "
+        "map-side-combinable aggregate keyed by doc, and the top-20 is "
+        "TakeOrderedAndProject — no full sort.",
+)
+def q_doc_repetition_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    bg = _bigrams(_tokens(docs))
+    top = (
+        bg.groupBy("doc_id", "nbg", "g").agg(F.count("*").alias("c"))
+        .groupBy("doc_id", "nbg")
+        .agg(F.max("c").cast("long").alias("top_n"))
+    )
+    return (
+        top.select(
+            "doc_id", "nbg", "top_n",
+            F.expr("top_n * 1000 div nbg").cast("long")
+            .alias("top_share_pm"),
+        )
+        .orderBy(F.desc("top_share_pm"), "doc_id")
+        .limit(20)
+    )
+
+
+@_stage(
+    "quality_filter_funnel",
+    oracle=f"""
+    WITH toks AS ({_TOKS_SQL}),
+    m AS (
+      SELECT doc_id,
+             CAST(len(t) AS BIGINT) AS nw,
+             CAST(list_sum(list_transform(t, x -> len(x))) * 1000 // len(t)
+                  AS BIGINT) AS mwl_e3,
+             CAST(len(list_distinct(list_filter(t,
+                    x -> x IN ({_SQL_STOP})))) AS BIGINT) AS n_stop_types,
+             t
+      FROM toks
+    ), bg AS (
+      SELECT doc_id, CAST(len(t) - 1 AS BIGINT) AS nbg,
+             unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                    i -> array_to_string(list_slice(t, i, i + 1), ' ')))
+               AS g
+      FROM m WHERE len(t) >= 2
+    ), rep AS (
+      SELECT doc_id, MAX(c) * 1000 // ANY_VALUE(nbg) AS top_share_pm
+      FROM (SELECT doc_id, nbg, g, COUNT(*) AS c FROM bg GROUP BY 1, 2, 3)
+      GROUP BY doc_id
+    ), flags AS (
+      SELECT m.doc_id,
+             (nw >= {_MIN_WORDS}) AS p1,
+             (nw >= {_MIN_WORDS}
+              AND mwl_e3 BETWEEN {_MWL_LO} AND {_MWL_HI}) AS p2,
+             (nw >= {_MIN_WORDS}
+              AND mwl_e3 BETWEEN {_MWL_LO} AND {_MWL_HI}
+              AND n_stop_types >= {_MIN_STOP_TYPES}) AS p3,
+             (nw >= {_MIN_WORDS}
+              AND mwl_e3 BETWEEN {_MWL_LO} AND {_MWL_HI}
+              AND n_stop_types >= {_MIN_STOP_TYPES}
+              AND COALESCE(r.top_share_pm, 0) <= {_MAX_TOP_BIGRAM_PM})
+               AS p4
+      FROM m LEFT JOIN rep r ON r.doc_id = m.doc_id
+    ), agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS s0,
+             CAST(COUNT(*) FILTER (WHERE p1) AS BIGINT) AS s1,
+             CAST(COUNT(*) FILTER (WHERE p2) AS BIGINT) AS s2,
+             CAST(COUNT(*) FILTER (WHERE p3) AS BIGINT) AS s3,
+             CAST(COUNT(*) FILTER (WHERE p4) AS BIGINT) AS s4
+      FROM flags
+    )
+    SELECT * FROM (
+      SELECT CAST(0 AS BIGINT) AS stage, 'all' AS rule,
+             s0 AS n_surviving, CAST(0 AS BIGINT) AS n_dropped_here
+      FROM agg
+      UNION ALL SELECT 1, 'min_words', s1, s0 - s1 FROM agg
+      UNION ALL SELECT 2, 'mean_word_length', s2, s1 - s2 FROM agg
+      UNION ALL SELECT 3, 'stopword_types', s3, s2 - s3 FROM agg
+      UNION ALL SELECT 4, 'repetition', s4, s3 - s4 FROM agg
+    ) ORDER BY stage
+    """,
+    doc="The curation funnel: documents surviving each successive quality "
+        "rule (length -> mean word length -> stop-word types -> "
+        "repetition), with per-stage drop counts — the report a filter "
+        "sweep publishes to justify its thresholds (C4/Gopher pipelines "
+        "report exactly this survival table). Rule order matters: each "
+        "stage counts docs passing ALL rules so far, so n_dropped_here "
+        "attributes every document to the FIRST rule that kills it. "
+        "Scale: one scan computes all per-doc flags (the repetition flag "
+        "joins the per-doc top-bigram share, itself one grouped "
+        "aggregate), one global 1-row aggregate, and the 5-row funnel is "
+        "a bounded explode of that single row — no per-stage rescans.",
+)
+def q_quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    m = _doc_metrics(docs)
+    bg = _bigrams(_tokens(docs))
+    rep = (
+        bg.groupBy("doc_id", "nbg", "g").agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.expr("max(c) * 1000 div any_value(nbg)")
+             .alias("top_share_pm"))
+    )
+    flags = m.join(rep, "doc_id", "left").select(
+        (F.col("nw") >= _MIN_WORDS).alias("p1"),
+        F.col("mwl_e3").between(_MWL_LO, _MWL_HI).alias("q_mwl"),
+        (F.col("n_stop_types") >= _MIN_STOP_TYPES).alias("q_stop"),
+        (F.coalesce(F.col("top_share_pm"), F.lit(0))
+         <= _MAX_TOP_BIGRAM_PM).alias("q_rep"),
+    ).select(
+        "p1",
+        (F.col("p1") & F.col("q_mwl")).alias("p2"),
+        (F.col("p1") & F.col("q_mwl") & F.col("q_stop")).alias("p3"),
+        (F.col("p1") & F.col("q_mwl") & F.col("q_stop") & F.col("q_rep"))
+        .alias("p4"),
+    )
+    agg = flags.agg(
+        F.count("*").cast("long").alias("s0"),
+        F.count_if("p1").cast("long").alias("s1"),
+        F.count_if("p2").cast("long").alias("s2"),
+        F.count_if("p3").cast("long").alias("s3"),
+        F.count_if("p4").cast("long").alias("s4"),
+    )
+    return (
+        agg.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit(0).cast("long").alias("stage"),
+                        F.lit("all").alias("rule"),
+                        F.col("s0").alias("n_surviving"),
+                        F.lit(0).cast("long").alias("n_dropped_here"),
+                    ),
+                    F.struct(
+                        F.lit(1).cast("long").alias("stage"),
+                        F.lit("min_words").alias("rule"),
+                        F.col("s1").alias("n_surviving"),
+                        (F.col("s0") - F.col("s1")).alias("n_dropped_here"),
+                    ),
+                    F.struct(
+                        F.lit(2).cast("long").alias("stage"),
+                        F.lit("mean_word_length").alias("rule"),
+                        F.col("s2").alias("n_surviving"),
+                        (F.col("s1") - F.col("s2")).alias("n_dropped_here"),
+                    ),
+                    F.struct(
+                        F.lit(3).cast("long").alias("stage"),
+                        F.lit("stopword_types").alias("rule"),
+                        F.col("s3").alias("n_surviving"),
+                        (F.col("s2") - F.col("s3")).alias("n_dropped_here"),
+                    ),
+                    F.struct(
+                        F.lit(4).cast("long").alias("stage"),
+                        F.lit("repetition").alias("rule"),
+                        F.col("s4").alias("n_surviving"),
+                        (F.col("s3") - F.col("s4")).alias("n_dropped_here"),
+                    ),
+                )
+            ).alias("row")
+        )
+        .select("row.*")
+        .orderBy("stage")
+    )
+
+
+# contamination split: benchmark = doc_id % 10 == 7 (measured non-vacuous
+# at every SF: 4/5/39 contaminated bench docs, 209/278/1929 hit pairs)
+_BENCH_MOD, _BENCH_REM = 10, 7
+_CONTAM_N = 13  # the GPT-3/Gopher decontamination n-gram order
+
+
+def _gram13_sql(who: str) -> str:
+    return f"""
+      SELECT DISTINCT doc_id, g FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 range(1, greatest(len(t) - {_CONTAM_N - 1}, 0) + 1),
+                 i -> array_to_string(list_slice(t, i, i + {_CONTAM_N - 1}),
+                                      ' '))) AS g
+        FROM toks
+        WHERE len(t) >= {_CONTAM_N}
+          AND doc_id % {_BENCH_MOD} {'=' if who == 'bench' else '!='}
+              {_BENCH_REM}
+      )
+    """
+
+
+@_stage(
+    "contamination_13gram_audit",
+    oracle=f"""
+    WITH toks AS ({_TOKS_SQL}),
+    bench AS ({_gram13_sql('bench')}),
+    train AS ({_gram13_sql('train')}),
+    hits AS (
+      SELECT b.doc_id, COUNT(DISTINCT b.g) AS n_hit
+      FROM bench b WHERE b.g IN (SELECT g FROM train)
+      GROUP BY b.doc_id
+    ), per AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+      FROM bench GROUP BY doc_id
+    )
+    SELECT p.doc_id, p.n_grams,
+           CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+           CAST(COALESCE(h.n_hit, 0) * 1000000 // p.n_grams AS BIGINT)
+             AS hit_ppm,
+           (COALESCE(h.n_hit, 0) > 0) AS contaminated
+    FROM per p LEFT JOIN hits h ON h.doc_id = p.doc_id
+    ORDER BY p.doc_id
+    """,
+    doc="Benchmark-contamination audit by EXACT 13-gram overlap (the "
+        "GPT-3/Gopher decontamination n-gram order): the held-out "
+        f"benchmark split (doc_id % {_BENCH_MOD} == {_BENCH_REM}) is "
+        "checked against the train split for any shared distinct "
+        "13-token sequence; per benchmark doc: distinct-gram count, hit "
+        "count, hit ppm, contaminated flag. The ★neardup_split_leakage "
+        "audit generalized from MinHash pairs to exact n-gram evidence "
+        "(fuzzy leakage vs verbatim leakage — real pipelines run BOTH). "
+        "Non-vacuous at every SF by measurement (4/5/39 contaminated "
+        "docs at sf0.001/0.01/0.1). Scale: grams explode scan-side and "
+        "join on the gram key — the train side is deduped per (doc, "
+        "gram) first so the join never amplifies; at 100 TB the gram "
+        "key is a 64-bit hash (md5-fold) instead of the string and the "
+        "benchmark side broadcasts (benchmarks are MBs, the corpus is "
+        "the 100 TB side).",
+)
+def q_contamination_13gram_audit(
+    spark: SparkSession, sf_dir: str,
+) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = _tokens(docs).filter(F.size("t") >= _CONTAM_N)
+
+    def grams(df: DataFrame) -> DataFrame:
+        # n-grams via zip_with over shifted slices (never per-element
+        # array recompute inside a lambda — the O(n^2)-per-row trap)
+        col = F.col("t")
+        parts = [F.slice(col, i + 1, 10**9) for i in range(_CONTAM_N)]
+        g = parts[0]
+        for p in parts[1:]:
+            g = F.zip_with(g, p, lambda a, b: F.concat_ws(" ", a, b))
+        return df.select(
+            "doc_id",
+            F.explode(
+                F.slice(g, 1,
+                        F.greatest(F.size(col) - (_CONTAM_N - 1), F.lit(0)))
+            ).alias("g"),
+        ).distinct()
+
+    is_bench = (F.col("doc_id") % _BENCH_MOD) == _BENCH_REM
+    bench = grams(toks.filter(is_bench))
+    train = grams(toks.filter(~is_bench)).select("g").distinct()
+    hits = (
+        bench.join(train, "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_hit"))
+    )
+    per = bench.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_grams")
+    )
+    return (
+        per.join(hits, "doc_id", "left")
+        .select(
+            "doc_id", "n_grams",
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+            F.expr("coalesce(n_hit, 0) * 1000000 div n_grams").cast("long")
+            .alias("hit_ppm"),
+            (F.coalesce(F.col("n_hit"), F.lit(0)) > 0).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@_stage(
+    "decontam_drop_plan",
+    oracle=f"""
+    WITH toks AS ({_TOKS_SQL}),
+    bench AS ({_gram13_sql('bench')}),
+    train AS ({_gram13_sql('train')}),
+    implicated AS (
+      SELECT DISTINCT t.doc_id
+      FROM train t WHERE t.g IN (SELECT g FROM bench)
+    ), base AS (
+      SELECT source, doc_id FROM documents
+      WHERE doc_id % {_BENCH_MOD} != {_BENCH_REM}
+    )
+    SELECT b.source,
+           CAST(COUNT(*) AS BIGINT) AS n_train,
+           CAST(COUNT(i.doc_id) AS BIGINT) AS n_drop,
+           CAST(COUNT(i.doc_id) * 1000000 // COUNT(*) AS BIGINT)
+             AS drop_ppm
+    FROM base b LEFT JOIN implicated i ON i.doc_id = b.doc_id
+    GROUP BY b.source ORDER BY b.source
+    """,
+    doc="The train-side decontamination plan the 13-gram audit implies: "
+        "per source, how many train documents share at least one exact "
+        "13-gram with the benchmark split and would be DROPPED before "
+        "training (the canonical GPT-3 appendix-C remediation), with the "
+        "drop rate in ppm. Complements contamination_13gram_audit (which "
+        "reports the benchmark side); a real pipeline publishes both "
+        "directions before committing the drop. Scale: same gram-keyed "
+        "join as the audit (benchmark grams broadcast at real scale), "
+        "then one map-side-combinable census per source.",
+)
+def q_decontam_drop_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = _tokens(docs).filter(F.size("t") >= _CONTAM_N)
+
+    def grams(df: DataFrame) -> DataFrame:
+        col = F.col("t")
+        parts = [F.slice(col, i + 1, 10**9) for i in range(_CONTAM_N)]
+        g = parts[0]
+        for p in parts[1:]:
+            g = F.zip_with(g, p, lambda a, b: F.concat_ws(" ", a, b))
+        return df.select(
+            "doc_id",
+            F.explode(
+                F.slice(g, 1,
+                        F.greatest(F.size(col) - (_CONTAM_N - 1), F.lit(0)))
+            ).alias("g"),
+        ).distinct()
+
+    is_bench = (F.col("doc_id") % _BENCH_MOD) == _BENCH_REM
+    bench_grams = grams(toks.filter(is_bench)).select("g").distinct()
+    implicated = (
+        grams(toks.filter(~is_bench))
+        .join(F.broadcast(bench_grams), "g")
+        .select("doc_id").distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    base = docs.filter(~is_bench).select("source", "doc_id")
+    return (
+        base.join(implicated, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_train"),
+            F.count("hit").cast("long").alias("n_drop"),
+        )
+        .select(
+            "source", "n_train", "n_drop",
+            F.expr("n_drop * 1000000 div n_train").cast("long")
+            .alias("drop_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+@_stage(
+    "unigram_surprise_proxy",
+    oracle=f"""
+    WITH toks AS ({_TOKS_SQL}),
+    tok AS (SELECT doc_id, unnest(t) AS w FROM toks),
+    freq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM tok GROUP BY w),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS nw,
+             CAST(SUM(1000000 // f.f) // COUNT(*) AS BIGINT)
+               AS surprise_u
+      FROM tok t JOIN freq f ON f.w = t.w
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, nw, surprise_u
+    FROM scored
+    ORDER BY surprise_u DESC, doc_id
+    LIMIT 20
+    """,
+    doc="Rarity-based document scoring — the exact-integer stand-in for "
+        "the perplexity filter every curation pipeline runs (docs made of "
+        "rare tokens score high = surprising; boilerplate scores low): "
+        "per-token surprise = 1e6 // corpus_frequency (integer — "
+        "transcendental-free, so the score replays bit-exactly in SQL "
+        "where a log-prob would drift), per-doc mean via integer div, "
+        "top-20 most surprising (ties: doc_id). Scale: the frequency "
+        "table is Heaps-law small and BROADCASTS; one token-keyed join + "
+        "one doc-keyed aggregate; top-20 is TakeOrderedAndProject.",
+)
+def q_unigram_surprise_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tok = _tokens(docs).select(
+        "doc_id", F.explode("t").alias("w")
+    )
+    freq = tok.groupBy("w").agg(F.count("*").cast("long").alias("f"))
+    return (
+        tok.join(F.broadcast(freq), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("nw"),
+            F.expr("sum(1000000 div f) div count(*)").cast("long")
+            .alias("surprise_u"),
+        )
+        .orderBy(F.desc("surprise_u"), "doc_id")
+        .limit(20)
+    )
+
+
+@_stage(
+    "ngram_coverage_curve",
+    oracle=f"""
+    WITH toks AS ({_TOKS_SQL}),
+    freq AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS f
+      FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+    ), ranked AS (
+      SELECT w, f,
+             ROW_NUMBER() OVER (ORDER BY f DESC, w) AS rnk,
+             SUM(f) OVER (ORDER BY f DESC, w
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(f) OVER () AS total
+      FROM freq
+    ), targets AS (SELECT unnest([500, 900, 990]) AS target_pm)
+    SELECT CAST(t.target_pm AS BIGINT) AS target_pm,
+           CAST(MIN(r.rnk) AS BIGINT) AS n_types,
+           CAST(MIN(r.cum) AS BIGINT) AS cum_tokens
+    FROM targets t JOIN ranked r ON r.cum * 1000 >= t.target_pm * r.total
+    GROUP BY t.target_pm ORDER BY target_pm
+    """,
+    doc="Vocabulary-coverage planning curve: the number of distinct token "
+        "types (frequency-ranked, ties by token) needed to cover 50% / "
+        "90% / 99% of corpus token mass — the query run before choosing "
+        "a tokenizer vocab size or an OOV cutoff (Zipf mass curve). "
+        "MIN(rnk) at the first rank whose running mass crosses each "
+        "permille target; MIN(cum) is well-defined because rnk orders "
+        "cum monotonically. Scale: the type table is Heaps-law small "
+        "(the ONLY windowed relation — thousands of rows at 100 TB), so "
+        "the running sum is trivially single-partition; the heavy side "
+        "is one map-side-combinable token count.",
+)
+def q_ngram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.windows import bounded_window
+
+    docs = _t(spark, sf_dir, "documents")
+    freq = (
+        _tokens(docs).select(F.explode("t").alias("w"))
+        .groupBy("w").agg(F.count("*").cast("long").alias("f"))
+    )
+    w_rank = bounded_window(F.desc("f"), "w")
+    ranked = freq.select(
+        "f",
+        F.row_number().over(w_rank).cast("long").alias("rnk"),
+        F.sum("f").over(
+            w_rank.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("cum"),
+        F.sum("f").over(bounded_window()).alias("total"),
+    )
+    targets = F.explode(F.array(*[F.lit(t) for t in (500, 900, 990)]))
+    tdf = ranked.sparkSession.range(1).select(targets.alias("target_pm"))
+    return (
+        tdf.join(
+            ranked,
+            F.col("cum") * 1000 >= F.col("target_pm") * F.col("total"),
+        )
+        .groupBy(F.col("target_pm").cast("long").alias("target_pm"))
+        .agg(
+            F.min("rnk").cast("long").alias("n_types"),
+            F.min("cum").cast("long").alias("cum_tokens"),
+        )
+        .orderBy("target_pm")
+    )
+
+
+@_stage(
+    "curation_keep_report",
+    oracle=f"""
+    WITH toks AS ({_TOKS_SQL}),
+    canon AS (
+      SELECT doc_id, source, array_to_string(t, ' ') AS c FROM toks
+    ), kept_dedup AS (
+      SELECT doc_id, source, c,
+             (doc_id = MIN(doc_id) OVER (PARTITION BY md5(c))) AS keep
+      FROM canon
+    ), m AS (
+      SELECT k.doc_id, k.source, k.keep,
+             CAST(len(t) AS BIGINT) AS nw,
+             CAST(list_sum(list_transform(t, x -> len(x))) * 1000 // len(t)
+                  AS BIGINT) AS mwl_e3,
+             CAST(len(list_distinct(list_filter(t,
+                    x -> x IN ({_SQL_STOP})))) AS BIGINT) AS n_stop_types
+      FROM kept_dedup k JOIN toks USING (doc_id)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (WHERE keep) AS BIGINT) AS n_after_dedup,
+           CAST(COUNT(*) FILTER (WHERE keep AND nw >= {_MIN_WORDS}
+                AND mwl_e3 BETWEEN {_MWL_LO} AND {_MWL_HI}
+                AND n_stop_types >= {_MIN_STOP_TYPES}) AS BIGINT)
+             AS n_after_quality,
+           CAST(COUNT(*) FILTER (WHERE keep AND nw >= {_MIN_WORDS}
+                AND mwl_e3 BETWEEN {_MWL_LO} AND {_MWL_HI}
+                AND n_stop_types >= {_MIN_STOP_TYPES})
+                * 1000000 // COUNT(*) AS BIGINT) AS keep_ppm
+    FROM m GROUP BY source ORDER BY source
+    """,
+    doc="The composed curation keep-rate report: per source, documents "
+        "surviving exact dedup (md5 of the canonical token string, "
+        "keep-first-doc_id — the ★minhash_dedup family's exact stage) "
+        "and THEN the Gopher rule battery, with the final keep rate in "
+        "ppm — the one-table summary a data lead reads before signing "
+        "off a corpus drop. Dedup-then-quality order matters (a kept "
+        "doc's duplicates must not inflate quality counts) and the "
+        "funnel query attributes the same battery per-rule. Scale: ONE "
+        "fingerprint shuffle (64-bit at 100 TB) + one scan's expression "
+        "metrics + one grouped census; no joins against the corpus.",
+)
+def q_curation_keep_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    m = _doc_metrics(docs).withColumn(
+        "c", F.concat_ws(" ", F.col("t"))
+    )
+    keep = m.withColumn(
+        "keep",
+        F.col("doc_id")
+        == F.min("doc_id").over(Window.partitionBy(F.md5(F.col("c")))),
+    )
+    quality = (
+        (F.col("nw") >= _MIN_WORDS)
+        & F.col("mwl_e3").between(_MWL_LO, _MWL_HI)
+        & (F.col("n_stop_types") >= _MIN_STOP_TYPES)
+    )
+    return (
+        keep.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.count_if("keep").cast("long").alias("n_after_dedup"),
+            F.count_if(F.col("keep") & quality).cast("long")
+            .alias("n_after_quality"),
+        )
+        .select(
+            "source", "n_docs", "n_after_dedup", "n_after_quality",
+            F.expr("n_after_quality * 1000000 div n_docs").cast("long")
+            .alias("keep_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+# Self-register ONLY under the round-13 gate (this module is imported both
+# by queries.py under the gate and directly by tests without it).
+import os as _os
+
+if _os.environ.get("SPARK_GRAFT_R14"):
+    register_all()

@@ -62,3 +62,42 @@ def test_session_window_exact_gap_boundary(spark):
 
     assert n_sessions(at_gap) == 1
     assert n_sessions(past_gap) == 2
+
+
+def test_scratch_dir_queries_materialize_before_rmtree():
+    """Scratch-store lifecycle pin (r11 verdict ask #8, third+ user of the
+    pattern): every registered query that creates-and-deletes a scratch
+    dir (shutil.rmtree in its body) must MATERIALIZE whatever it returns
+    before the deletion — either a bounded driver-side .collect() whose
+    rows rebuild via createDataFrame, or a localCheckpoint(eager=True) on
+    the returned lineage. A returned DataFrame whose plan still references
+    deleted files fails on the driver's collect; this static scan catches
+    the mistake at authoring time instead.
+
+    Cluster caveat (documented in each user): localCheckpoint blocks are
+    unreplicated, so on a real cluster the result must be consumed before
+    executors recycle; the scratch store would be a real table there."""
+    import inspect
+
+    from gan_deeplearning4j_spark.queries import REGISTRY
+
+    offenders = []
+    seen_pattern_users = 0
+    for name, q in REGISTRY.items():
+        try:
+            src = inspect.getsource(q.fn)
+        except (OSError, TypeError):
+            continue
+        if "rmtree" not in src:
+            continue
+        seen_pattern_users += 1
+        pre_rmtree = src.split("rmtree")[0]
+        if ("localCheckpoint(eager=True)" not in pre_rmtree
+                and ".collect()" not in pre_rmtree):
+            offenders.append(name)
+    assert not offenders, (
+        "scratch-dir queries returning un-materialized lineage over a "
+        f"deleted directory: {offenders}"
+    )
+    # the pin only means something while the pattern has users
+    assert seen_pattern_users >= 3, seen_pattern_users
