@@ -3241,11 +3241,20 @@ from . import queries_r13  # noqa: E402,F401  (side effect via register_all)
 
 queries_r13.register_all()
 
+# Round-12 live additions: the data-quality curation wave was written and
+# certified during round 12 (3 SFs + perturbations + strict parity under
+# the SPARK_GRAFT_R14 gate), then registered LIVE mid-round because the
+# driver window has room (13 + 8 = 21 never-green of ~50 — the r10/r11
+# precedent). queries_r14 registers here.
+from . import queries_r14  # noqa: E402,F401
+
+queries_r14.register_all()
+
 # Round-13 staging: queries written after the round-12 flips stay behind
-# SPARK_GRAFT_R14 until CORRECTNESS_r12 lands, so the round-12 driver
-# window stays exactly the current never-green set. queries_r14 gates its
+# SPARK_GRAFT_R15 until CORRECTNESS_r12 lands, so the round-12 driver
+# window stays exactly the current never-green set. queries_r15 gates its
 # own self-registration on the env var.
 import os as _os  # noqa: E402
 
-if _os.environ.get("SPARK_GRAFT_R14"):
-    from . import queries_r14  # noqa: F401  (side effect: registration)
+if _os.environ.get("SPARK_GRAFT_R15"):
+    from . import queries_r15  # noqa: F401  (side effect: registration)

@@ -1,8 +1,7 @@
-"""Round-13 staged queries — written during round 12.
-
-Same staging pattern as queries_r7..r13 (see their module docstrings): new
-queries written after the round-12 flips stay behind ``SPARK_GRAFT_R14=1``
-until CORRECTNESS_r12 lands and round 13 makes registration unconditional.
+"""Round-12 live-addition queries — written and certified during round 12,
+registered LIVE mid-round (the r10/r11 precedent: certification under the
+``SPARK_GRAFT_R14`` gate — 3 SFs + perturbations + strict parity — then
+unconditional registration because the driver window had room).
 
 Wave focus (r11 verdict ask #7 — the one LLM-pipeline family with thin
 coverage): rule-based data-quality curation over ``documents``, the
@@ -756,8 +755,9 @@ def q_curation_keep_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Self-register ONLY under the round-13 gate (this module is imported both
-# by queries.py under the gate and directly by tests without it).
+# Since the mid-round-12 live flip, queries.py calls register_all() after
+# importing this module; the env-gated call below is kept so pre-flip
+# transcripts (SPARK_GRAFT_R14=1 python scripts/...) replay unchanged.
 import os as _os
 
 if _os.environ.get("SPARK_GRAFT_R14"):
