@@ -132,13 +132,25 @@ def main() -> None:
             "embedding_neardup_lsh", "heavy_hitters_exact", "bigram_top20",
             "dedup_clusters", "ivfpq_fixed_topk",
         ),
-        # + pagerank_fixed_topk (added r8) — the full current headline set
+        # + pagerank_fixed_topk (added r8) — the 16-query set benched
+        # unchanged through r9-r11 (the judge's cross-round anchor)
         "r8_16q": (
             "argmax_accuracy", "param_average", "topk_per_group",
             "tpch_q1_pricing", "tpch_q3_shipping", "tpch_q5_volume",
             "events_tumbling", "doc_stats", "cosine_topk", "minhash_dedup",
             "embedding_neardup_lsh", "heavy_hitters_exact", "bigram_top20",
             "dedup_clusters", "ivfpq_fixed_topk", "pagerank_fixed_topk",
+        ),
+        # + quality_filter_funnel + contamination_13gram_audit (added r12:
+        # the curation-wave scan battery and the 13-gram decontam join) —
+        # the full current headline set
+        "r12_18q": (
+            "argmax_accuracy", "param_average", "topk_per_group",
+            "tpch_q1_pricing", "tpch_q3_shipping", "tpch_q5_volume",
+            "events_tumbling", "doc_stats", "cosine_topk", "minhash_dedup",
+            "embedding_neardup_lsh", "heavy_hitters_exact", "bigram_top20",
+            "dedup_clusters", "ivfpq_fixed_topk", "pagerank_fixed_topk",
+            "quality_filter_funnel", "contamination_13gram_audit",
         ),
     }
     out["subtotals_median"] = {
