@@ -3236,19 +3236,19 @@ from . import queries_r12  # noqa: E402,F401  (side effect: registration)
 
 # Round-12 flip (r11 verdict ask #2): the 8 queries staged during round 11
 # (certified at 3 SFs + 3 perturbations + strict parity under the
-# SPARK_GRAFT_R13 gate) register unconditionally.
-from . import queries_r13  # noqa: E402,F401  (side effect via register_all)
-
-queries_r13.register_all()
+# SPARK_GRAFT_R13 gate) register unconditionally. queries_r13
+# SELF-registers at its module bottom (NOT via a register_all() call
+# here — an attribute access on the module breaks the direct-import
+# order through the circular import; the queries_r7 lesson).
+from . import queries_r13  # noqa: E402,F401  (side effect: registration)
 
 # Round-12 live additions: the data-quality curation wave was written and
 # certified during round 12 (3 SFs + perturbations + strict parity under
 # the SPARK_GRAFT_R14 gate), then registered LIVE mid-round because the
 # driver window has room (13 + 8 = 21 never-green of ~50 — the r10/r11
-# precedent). queries_r14 registers here.
-from . import queries_r14  # noqa: E402,F401
-
-queries_r14.register_all()
+# precedent). queries_r14 SELF-registers at its module bottom (see the
+# queries_r13 note above on why not register_all() here).
+from . import queries_r14  # noqa: E402,F401  (side effect: registration)
 
 # Round-13 staging: queries written after the round-12 flips stay behind
 # SPARK_GRAFT_R15 until CORRECTNESS_r12 lands, so the round-12 driver

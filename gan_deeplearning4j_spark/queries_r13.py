@@ -529,10 +529,9 @@ def q_try_sum_overflow_audit(
     """)
 
 
-# Since the round-12 flip, queries.py calls register_all() after importing
-# this module; the env-gated call below is kept so pre-flip transcripts
-# (SPARK_GRAFT_R13=1 python scripts/...) replay unchanged.
-import os as _os
-
-if _os.environ.get("SPARK_GRAFT_R13"):
-    register_all()
+# Round-12 flip: SELF-register unconditionally at the module bottom (the
+# queries_r7 pattern — both import orders work because queries.py only
+# IMPORTS this module and never touches its attributes; a direct import
+# of this module first would otherwise hit a partially-initialized
+# module through the circular import).
+register_all()

@@ -761,10 +761,7 @@ def q_curation_keep_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Since the mid-round-12 live flip, queries.py calls register_all() after
-# importing this module; the env-gated call below is kept so pre-flip
-# transcripts (SPARK_GRAFT_R14=1 python scripts/...) replay unchanged.
-import os as _os
-
-if _os.environ.get("SPARK_GRAFT_R14"):
-    register_all()
+# Mid-round-12 live flip: SELF-register unconditionally at the module
+# bottom (the queries_r7 pattern — both import orders work because
+# queries.py only IMPORTS this module and never touches its attributes).
+register_all()

@@ -422,3 +422,39 @@ def test_r13_driver_window_covers_every_unverified_entry():
                  "gan_grid_inference"):
         assert REGISTRY[name].oracle is not None, name
         assert name in ev or name in never[:50], name
+
+
+def test_direct_import_of_any_query_module_works():
+    """Import-order regression (round-12 catch): importing ANY queries_r*
+    module directly — before gan_deeplearning4j_spark.queries — must fully
+    populate the registry. The flip pattern that breaks this is queries.py
+    calling <module>.register_all() (an attribute access on a
+    partially-initialized module through the circular import); the safe
+    pattern is unconditional self-registration at each module's bottom."""
+    import subprocess
+    import sys
+
+    from gan_deeplearning4j_spark.queries import REGISTRY
+
+    full = len(REGISTRY)
+    # queries_ext and queries_r7 are excluded BY DESIGN: queries_r8
+    # consumes names from BOTH at registration time
+    # (queries_ext._pq_fixed_oracle, queries_r7._BPE_FIX_BEST...), so an
+    # ext- or r7-FIRST import cannot complete (the provider is still
+    # partially initialized when r8 registers). The documented rule for
+    # those two is "import the package (or queries) first"; every module
+    # nothing name-imports from must support BOTH orders.
+    mods = ["queries_r4", "queries_r5", "queries_r6",
+            "queries_r8", "queries_r9", "queries_r10",
+            "queries_r11", "queries_r12", "queries_r13", "queries_r14"]
+    for mod in mods:
+        out = subprocess.run(
+            [sys.executable, "-c",
+             f"import gan_deeplearning4j_spark.{mod};"
+             "from gan_deeplearning4j_spark.queries import REGISTRY;"
+             "print(len(REGISTRY))"],
+            env={"PATH": "/usr/bin:/bin", "HOME": "/root"},
+            cwd="/root/repo", capture_output=True, text=True, timeout=120,
+        )
+        assert out.returncode == 0, (mod, out.stderr[-1500:])
+        assert out.stdout.strip() == str(full), (mod, out.stdout)
