@@ -40,16 +40,12 @@ def _grams(df, key_expr):
         F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
                  lambda x: x != "").alias("t"),
     ).filter(F.size("t") >= _N)
-    col = F.col("t")
-    parts = [F.slice(col, i + 1, 10**9) for i in range(_N)]
-    g = parts[0]
-    for p in parts[1:]:
-        g = F.zip_with(g, p, lambda a, b: F.concat_ws(" ", a, b))
     exploded = toks.select(
         "doc_id",
-        F.explode(
-            F.slice(g, 1, F.greatest(F.size(col) - (_N - 1), F.lit(0)))
-        ).alias("g"),
+        F.explode(F.expr(
+            f"transform(sequence(1, size(t) - {_N - 1}),"
+            f" i -> array_join(slice(t, i, {_N}), ' '))"
+        )).alias("g"),
     )
     return exploded.select("doc_id", key_expr.alias("k")).distinct()
 
