@@ -630,6 +630,165 @@ def q_xml_xpath_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# corr / covar_pop / stddev_pop, bracketed against exact-moment closed forms
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "corr_covar_bracket",
+    oracle="""
+    WITH p AS (
+      SELECT l_returnflag,
+             CAST(l_quantity AS BIGINT) AS x,
+             CAST(round(l_discount * 10000) AS BIGINT) AS y
+      FROM lineitem
+    ), mo AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM p GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           CAST(floor((n * sxy - sx * sy) * 1.0 /
+                      (sqrt((n * sxx - sx * sx) * 1.0) *
+                       sqrt((n * syy - sy * sy) * 1.0)) * 1000000000)
+                AS BIGINT) AS corr_e9,
+           TRUE AS corr_ok,
+           CAST(floor((n * sxy - sx * sy) * 1.0 / n / n * 1000000)
+                AS BIGINT) AS covar_pop_e6,
+           TRUE AS covar_ok,
+           CAST(floor(sqrt((n * syy - sy * sy) * 1.0) / n * 1000000)
+                AS BIGINT) AS stddev_pop_y_e6,
+           TRUE AS stddev_ok
+    FROM mo ORDER BY l_returnflag
+    """,
+    doc="Pearson correlation / population covariance / population stddev "
+        "natives, bracketed against exact-moment closed forms — the "
+        "regr_native_bracket recipe applied to the OTHER SQL statistics "
+        "family (corr, covar_pop, stddev_pop are distinct aggregate "
+        "implementations in Spark, each with its own order-dependent "
+        "incremental accumulation): x = quantity, y = discount bp, so "
+        "all six moments are exact int64 (< 2^53, so the int->double "
+        "casts are lossless) and the closed forms are one identical IEEE "
+        "expression per engine (sqrt/divide correctly rounded). Native "
+        "values surface only as within-1e-6-relative verdicts. Scale: "
+        "one map-side-combinable moment pass carries everything.",
+)
+def q_corr_covar_bracket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = li.select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_discount") * 10000, 0).cast("long").alias("y"),
+    )
+    mo = p.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.corr(F.col("y").cast("double"), F.col("x").cast("double"))
+        .alias("ncorr"),
+        F.covar_pop(F.col("y").cast("double"), F.col("x").cast("double"))
+        .alias("ncovar"),
+        F.stddev_pop(F.col("y").cast("double")).alias("nstd"),
+    )
+    c_num = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        * F.lit(1.0)
+    )
+    closed_corr = c_num / (
+        F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+               * F.lit(1.0))
+        * F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+                 * F.lit(1.0))
+    )
+    closed_covar = c_num / F.col("n") / F.col("n")
+    closed_std = (
+        F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+               * F.lit(1.0)) / F.col("n")
+    )
+    return mo.select(
+        "l_returnflag", "n",
+        F.floor(closed_corr * 1e9).cast("long").alias("corr_e9"),
+        (F.abs(F.col("ncorr") - closed_corr) * 1e6
+         <= F.abs(closed_corr) + F.lit(1e-9)).alias("corr_ok"),
+        F.floor(closed_covar * 1e6).cast("long").alias("covar_pop_e6"),
+        (F.abs(F.col("ncovar") - closed_covar) * 1e6
+         <= F.abs(closed_covar) + F.lit(1e-9)).alias("covar_ok"),
+        F.floor(closed_std * 1e6).cast("long").alias("stddev_pop_y_e6"),
+        (F.abs(F.col("nstd") - closed_std) * 1e6
+         <= F.abs(closed_std) + F.lit(1e-9)).alias("stddev_ok"),
+    ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# histogram_numeric: the streaming adaptive-bin sketch, invariant bracket
+# ---------------------------------------------------------------------------
+
+@_stage(
+    "histogram_numeric_bracket",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(8 AS BIGINT) AS n_bins,
+           TRUE AS weights_sum_to_n,
+           TRUE AS centroids_in_range,
+           TRUE AS centroids_sorted
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="histogram_numeric (the Ben-Haim/Tom-Tov streaming histogram "
+        "behind Hive/Spark's adaptive binning) graded by its INVARIANTS "
+        "— centroid positions are merge-order-dependent, so the values "
+        "never reach the hash; what the sketch guarantees regardless of "
+        "layout is (a) total weight is conserved through merges (sum of "
+        "bin weights == exact row count: integer-valued doubles < 2^53 "
+        "add exactly), (b) every centroid is a convex combination of "
+        "data points, hence inside [min, max] of the column, (c) "
+        "centroids are emitted sorted. The exact-binning twin is "
+        "★width_bucket_histogram (fixed bounds); this entry pins the "
+        "ADAPTIVE sketch a profiling pass uses when bounds are unknown. "
+        "Scale: mergeable fixed-size state (8 bins), one "
+        "map-side-combinable pass.",
+)
+def q_histogram_numeric_bracket(
+    spark: SparkSession, sf_dir: str,
+) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = li.select(
+        "l_returnflag",
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("c"),
+    )
+    agg = p.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.expr("histogram_numeric(c, 8)").alias("h"),
+        F.min("c").alias("lo"),
+        F.max("c").alias("hi"),
+    )
+    return agg.select(
+        "l_returnflag", "n",
+        F.size("h").cast("long").alias("n_bins"),
+        (F.expr("aggregate(h, 0.0D, (a, b) -> a + b.y)")
+         == F.col("n").cast("double")).alias("weights_sum_to_n"),
+        F.expr(
+            "forall(h, b -> CAST(b.x AS DOUBLE) >= CAST(lo AS DOUBLE)"
+            " AND CAST(b.x AS DOUBLE) <= CAST(hi AS DOUBLE))"
+        ).alias("centroids_in_range"),
+        F.expr(
+            "aggregate(slice(h, 2, size(h)),"
+            " named_struct('prev', CAST(h[0].x AS DOUBLE), 'ok', true),"
+            " (st, b) -> named_struct('prev', CAST(b.x AS DOUBLE),"
+            "   'ok', st.ok AND CAST(b.x AS DOUBLE) >= st.prev),"
+            " st -> st.ok)"
+        ).alias("centroids_sorted"),
+    ).orderBy("l_returnflag")
+
+
 # Self-register ONLY under the round-13 gate (this module is imported both
 # by queries.py under the gate and directly by tests without it).
 import os as _os

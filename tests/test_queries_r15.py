@@ -252,3 +252,48 @@ def test_r15_staged_oracles_bind_in_duckdb(sf_dir):
         except Exception as exc:  # noqa: BLE001
             bad.append((name, str(exc)[:120]))
     assert not bad, bad
+
+
+def test_corr_covar_bracket_matches_python(spark, sf_dir):
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_quantity",
+                                  "l_discount"])
+    mo = defaultdict(lambda: [0, 0, 0, 0, 0, 0])
+    for r in li.itertuples(index=False):
+        x = int(r.l_quantity)
+        y = math.floor(r.l_discount * 10000 + 0.5)
+        a = mo[r.l_returnflag]
+        a[0] += 1
+        a[1] += x
+        a[2] += y
+        a[3] += x * y
+        a[4] += x * x
+        a[5] += y * y
+    want = []
+    for flag in sorted(mo):
+        n, sx, sy, sxy, sxx, syy = mo[flag]
+        num = (n * sxy - sx * sy) * 1.0
+        corr = num / (math.sqrt((n * sxx - sx * sx) * 1.0)
+                      * math.sqrt((n * syy - sy * sy) * 1.0))
+        covar = num / n / n
+        std = math.sqrt((n * syy - sy * sy) * 1.0) / n
+        want.append((flag, n, math.floor(corr * 1e9), True,
+                     math.floor(covar * 1e6), True,
+                     math.floor(std * 1e6), True))
+    out = [(r["l_returnflag"], r["n"], r["corr_e9"], r["corr_ok"],
+            r["covar_pop_e6"], r["covar_ok"], r["stddev_pop_y_e6"],
+            r["stddev_ok"])
+           for r in _fn("corr_covar_bracket")(spark, sf_dir).collect()]
+    assert out == want
+
+
+def test_histogram_numeric_bracket_invariants(spark, sf_dir):
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag"])
+    want = sorted((f, int(n), 8, True, True, True)
+                  for f, n in li.l_returnflag.value_counts().items())
+    out = [(r["l_returnflag"], r["n"], r["n_bins"], r["weights_sum_to_n"],
+            r["centroids_in_range"], r["centroids_sorted"])
+           for r in _fn("histogram_numeric_bracket")(spark, sf_dir)
+           .collect()]
+    assert out == want
