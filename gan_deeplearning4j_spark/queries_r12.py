@@ -438,7 +438,10 @@ def q_compaction_plan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select(
                 "bin_id", "n_src_files", "bin_rows",
-                (F.col("bin_rows") * 1000000 / F.lit(target))
+                # exact integer div, NOT double / then cast: past 2^53
+                # rows*1e6 the IEEE quotient can round up across an
+                # integer while the oracle's // floors (r12 review)
+                F.expr(f"bin_rows * 1000000 div {int(target)}")
                 .cast("long").alias("fill_ppm"),
             )
             .orderBy("bin_id")

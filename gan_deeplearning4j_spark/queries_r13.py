@@ -3,8 +3,10 @@
 Same staging pattern as queries_r7..r12 (see their module docstrings): new
 queries written after the round-11 live-addition flip stayed behind
 ``SPARK_GRAFT_R13=1`` until CORRECTNESS_r11 landed; round 12 flipped the
-gate (queries.py calls ``register_all()`` unconditionally — r11 verdict
-ask #2).
+gate to unconditional SELF-registration at this module's bottom (r11
+verdict ask #2 — queries.py only imports this module; calling
+``register_all()`` from queries.py is the import-order anti-pattern
+``test_direct_import_of_any_query_module_works`` pins against).
 
 Wave focus: parser/scripting surfaces not yet exercised (SQL UNPIVOT
 keyword incl. INCLUDE NULLS, lateral column aliases, SQL-scripting FOR

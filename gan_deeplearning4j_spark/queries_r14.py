@@ -96,9 +96,15 @@ def _doc_metrics(docs: DataFrame) -> DataFrame:
     return _tokens(docs).select(
         "doc_id", "source",
         F.size("t").cast("long").alias("nw"),
+        # NULL (not a 0 div 0 ANSI error) for a zero-token document —
+        # matching the oracle, where list_sum over an empty list is NULL:
+        # NULL metrics fail no band predicate, and nw=0 already fails the
+        # length rule (r12 review; degenerate-corpus edge, zero such docs
+        # at the test SFs today)
         F.expr(
-            "aggregate(transform(t, x -> CAST(length(x) AS BIGINT)),"
-            " 0L, (a, x) -> a + x) * 1000 div size(t)"
+            "IF(size(t) = 0, CAST(NULL AS BIGINT),"
+            " aggregate(transform(t, x -> CAST(length(x) AS BIGINT)),"
+            " 0L, (a, x) -> a + x) * 1000 div size(t))"
         ).alias("mwl_e3"),
         F.expr(
             f"CAST(size(array_distinct(filter(t,"
@@ -461,8 +467,10 @@ def _gram13_expr():
         "broadcasts (benchmarks are MBs, the corpus is the 100 TB "
         "side). Measured linear 50k->200k docs (20.6->72.8 s, "
         "scripts/stress_contamination.py). On a NETWORK-bound cluster "
-        "swap the string key for a 64-bit md5-fold (collision-free at "
-        "these cardinalities — stress found identical hit counts); "
+        "swap the string key for a 60-bit md5-fold (15 hex chars — the "
+        "int64-ANSI-safe house fold; birthday bound ~2^30 distinct "
+        "grams, so widen to two folded columns past billions of "
+        "grams — stress found identical hit counts at test scale); "
         "locally the fold costs ~7% extra compute for nothing because "
         "the shuffle is memory-local.",
 )
@@ -478,8 +486,11 @@ def q_contamination_13gram_audit(
     is_bench = (F.col("doc_id") % _BENCH_MOD) == _BENCH_REM
     bench = grams(toks.filter(is_bench))
     train = grams(toks.filter(~is_bench)).select("g").distinct()
+    # benchmark grams BROADCAST into the (huge) train side — the doc's
+    # 100 TB contract made explicit instead of left to the threshold
+    # (benchmarks are MBs; train grams are the corpus-scale relation)
     hits = (
-        bench.join(train, "g")
+        train.join(F.broadcast(bench), "g")
         .groupBy("doc_id")
         .agg(F.countDistinct("g").alias("n_hit"))
     )

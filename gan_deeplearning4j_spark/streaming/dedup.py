@@ -268,11 +268,18 @@ def incremental_neardup_stream(
 
     def _stale_ids_beyond(path: str, col: str, current: int) -> list[int]:
         """Partition ids > current at ``path`` (empty if path absent) —
-        one file-listing-scale pass per batch, the price of the guard."""
+        one file-listing-scale pass per batch, the price of the guard.
+        ONLY the path-missing error is tolerated: any other read failure
+        (corrupt footer, transient FS error) must propagate — a swallowed
+        error here would silently disable the double-count guard."""
+        from pyspark.errors import AnalysisException
+
         try:
             df = spark.read.parquet(path)
-        except Exception:  # noqa: BLE001  (dir absent on first batch)
-            return []
+        except AnalysisException as exc:
+            if "PATH_NOT_FOUND" in str(exc):  # dir absent on first batch
+                return []
+            raise
         return sorted(
             r[0]
             for r in df.select(col).where(F.col(col) > current)

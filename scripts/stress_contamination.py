@@ -5,7 +5,7 @@ tokens) with a per-copy suffix token — so every copy contributes its own
 near-identical gram stream and the distinct-gram relation grows with the
 corpus — and times the decontam join (the registered
 ``decontam_drop_plan`` shape) end-to-end at increasing corpus sizes,
-comparing the STRING gram key against the 64-bit md5-fold HASH key the
+comparing the STRING gram key against the 60-bit md5-fold HASH key the
 query docstrings prescribe for 100 TB:
 
     python scripts/stress_contamination.py            # 10x / 20x / 40x
@@ -16,7 +16,8 @@ source doc's split membership (doc_id = orig * copies + c preserves
 nothing, so the split is re-derived from the ORIGINAL id to keep the
 bench share at 10%). Reported per size: wall seconds for string-keyed vs
 hash-keyed join, implicated-train-doc count (must be equal for both
-keys at these sizes — a 64-bit collision would need ~2^32 grams).
+keys at these sizes — the 60-bit fold's birthday bound is ~2^30
+distinct grams, far above these corpora).
 """
 
 from __future__ import annotations
@@ -53,7 +54,7 @@ def _grams(df, key_expr):
 def _run(docs, key: str) -> tuple[float, int]:
     if key == "string":
         kexpr = F.col("g")
-    else:  # 64-bit md5-fold: the 100 TB gram key
+    else:  # 60-bit md5-fold (15 hex chars, int64-ANSI-safe house trick)
         kexpr = F.expr("CAST(conv(substr(md5(g), 1, 15), 16, 10) AS BIGINT)")
     is_bench = F.col("orig_id") % 10 == 7
     bench = _grams(docs.filter(is_bench), kexpr).select("k").distinct()

@@ -287,3 +287,37 @@ def test_r14_staged_oracles_bind_in_duckdb(sf_dir):
         except Exception as exc:  # noqa: BLE001
             bad.append((name, str(exc)[:120]))
     assert not bad, bad
+
+
+def test_quality_queries_survive_zero_token_docs(spark, sf_dir, tmp_path):
+    """r12 review: a zero-token document (empty/whitespace text) must not
+    ANSI-crash the metric battery — mwl_e3 becomes NULL (matching the
+    oracle's NULL list_sum over an empty list), the length rule already
+    fails the doc, and every quality query still hash-matches."""
+    import duckdb
+
+    from gan_deeplearning4j_spark.queries import REGISTRY
+
+    d = tmp_path / "with_empty"
+    d.mkdir()
+    con = duckdb.connect()
+    con.execute(f"""COPY (
+      SELECT * FROM '{sf_dir}/documents.parquet'
+      UNION ALL SELECT 9999, '   ', 'en', 'src0', 3
+      UNION ALL SELECT 9998, '', 'en', 'src1', 0
+    ) TO '{d}/documents.parquet' (FORMAT PARQUET)""")
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'"
+    )
+    for name in ("gopher_quality_filters", "quality_filter_funnel",
+                 "curation_keep_report"):
+        q = REGISTRY[name]
+        sdf = q.fn(spark, str(d)).toPandas()
+        odf = con.sql(q.oracle).df()
+        cols = sorted(sdf.columns)
+
+        def canon(df):
+            return sorted(tuple(str(x) for x in r)
+                          for r in df[cols].itertuples(index=False))
+
+        assert canon(sdf) == canon(odf), name
