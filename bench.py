@@ -181,6 +181,18 @@ def main() -> None:
         jvm_gc = spark.sparkContext._jvm.java.lang.System.gc
         iso: dict[str, float] = {}
         iso_sigmas: dict[str, float] = {}
+        # Exec-only decomposition (r12 verdict ask #1, made permanent):
+        # each isolated repeat is timed twice — (a) wall as before
+        # (driver-side DataFrame construction + analysis + execution) and
+        # (b) exec-only (the DataFrame is BUILT un-timed, then only the
+        # noop action is timed). The r12 SCALE.md decomposition showed
+        # driver-box drift (argmax_accuracy 0.26 s wall vs 0.143 s
+        # exec-only) lives almost entirely in the Python-side
+        # construction/analysis half, which scales with REGISTRY size and
+        # box load, not with the engine. The exec-only series is the
+        # cross-round engine number; wall stays for continuity.
+        exc_only: dict[str, float] = {}
+        exc_sigmas: dict[str, float] = {}
         for name, q in headliners.items():
             if name in errors:
                 continue
@@ -188,25 +200,31 @@ def main() -> None:
             jvm_gc()
             time.sleep(0.3)
             runs = []
+            eruns = []
             try:
                 for _ in range(iso_repeats):
                     t0 = time.perf_counter()
-                    q.fn(spark, sf_dir).write.format("noop").mode(
-                        "overwrite"
-                    ).save()
-                    runs.append(time.perf_counter() - t0)
+                    df = q.fn(spark, sf_dir)
+                    t1 = time.perf_counter()
+                    df.write.format("noop").mode("overwrite").save()
+                    t2 = time.perf_counter()
+                    runs.append(t2 - t0)
+                    eruns.append(t2 - t1)
             except Exception as exc:  # noqa: BLE001
                 errors[name] = f"isolated: {type(exc).__name__}: {exc}"[:300]
                 continue
-            runs.sort()
-            med = runs[len(runs) // 2] if len(runs) % 2 else (
-                runs[len(runs) // 2 - 1] + runs[len(runs) // 2]
-            ) / 2
-            iso[name] = round(med, 3)
-            mean = sum(runs) / len(runs)
-            iso_sigmas[name] = round(
-                (sum((r - mean) ** 2 for r in runs) / len(runs)) ** 0.5, 3
-            )
+
+            def _med_sig(xs: list[float]) -> tuple[float, float]:
+                xs = sorted(xs)
+                med = xs[len(xs) // 2] if len(xs) % 2 else (
+                    xs[len(xs) // 2 - 1] + xs[len(xs) // 2]
+                ) / 2
+                mean = sum(xs) / len(xs)
+                sig = (sum((r - mean) ** 2 for r in xs) / len(xs)) ** 0.5
+                return round(med, 3), round(sig, 3)
+
+            iso[name], iso_sigmas[name] = _med_sig(runs)
+            exc_only[name], exc_sigmas[name] = _med_sig(eruns)
         out["queries_isolated_median"] = iso
         out["sigma_isolated"] = iso_sigmas
         out["iso_repeats"] = iso_repeats
@@ -215,6 +233,22 @@ def main() -> None:
             label: round(sum(iso[n] for n in names), 3)
             for label, names in _SUBSETS.items()
             if all(n in iso for n in names)
+        }
+        out["queries_exec_only_median"] = exc_only
+        out["sigma_exec_only"] = exc_sigmas
+        out["total_exec_only_median"] = round(sum(exc_only.values()), 3)
+        out["subtotals_exec_only_median"] = {
+            label: round(sum(exc_only[n] for n in names), 3)
+            for label, names in _SUBSETS.items()
+            if all(n in exc_only for n in names)
+        }
+        # construction share per query: (wall - exec) / wall — a high
+        # share means the query's cross-round wall drift is driver-side
+        # plan building, not engine execution
+        out["construction_share"] = {
+            n: round((iso[n] - exc_only[n]) / iso[n], 2)
+            for n in exc_only
+            if n in iso and iso[n] > 0
         }
         # Per-query in-suite/isolated ratio (r9 verdict ask #4): on a busy
         # box the in-suite series inflates up to 13x (r9 driver run:
@@ -232,7 +266,12 @@ def main() -> None:
         if ratios:
             out["noise_ratio_median"] = ratios[len(ratios) // 2]
             out["noise_ratio_max"] = ratios[-1]
-        out["quote_this_series"] = "queries_isolated_median"
+        # exec-only is the engine series: it excludes the driver-side
+        # construction/analysis half whose cost tracks REGISTRY size and
+        # box load (r12 drift postmortem). Readers comparing rounds
+        # before r13 should use queries_isolated_median (wall), which is
+        # still emitted above.
+        out["quote_this_series"] = "queries_exec_only_median"
 
     if errors:
         out["errors"] = errors

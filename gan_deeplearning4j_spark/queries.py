@@ -3250,11 +3250,10 @@ from . import queries_r13  # noqa: E402,F401  (side effect: registration)
 # queries_r13 note above on why not register_all() here).
 from . import queries_r14  # noqa: E402,F401  (side effect: registration)
 
-# Round-13 staging: queries written after the round-12 flips stay behind
-# SPARK_GRAFT_R15 until CORRECTNESS_r12 lands, so the round-12 driver
-# window stays exactly the current never-green set. queries_r15 gates its
-# own self-registration on the env var.
-import os as _os  # noqa: E402
-
-if _os.environ.get("SPARK_GRAFT_R15"):
-    from . import queries_r15  # noqa: F401  (side effect: registration)
+# Round-13 flip (r12 verdict ask #2): the 10 queries staged during round
+# 12 (certified at 3 SFs + 3 perturbations + strict parity under the
+# SPARK_GRAFT_R15 gate; bracket tolerances re-scaled per ADVICE r12 and
+# re-certified) register unconditionally. queries_r15 SELF-registers at
+# its module bottom (see the queries_r13 note above on why not
+# register_all() here).
+from . import queries_r15  # noqa: E402,F401  (side effect: registration)

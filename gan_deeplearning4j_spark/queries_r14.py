@@ -56,12 +56,19 @@ def _stage(name: str, oracle: str | None = None, headline: bool = False,
 
 
 def register_all() -> None:
-    """Register the staged queries (idempotent; see queries_r7)."""
+    """Register the staged queries — idempotent by fn identity;
+    raises on a name collision with a DIFFERENT query (see queries_r7)."""
     from .queries import REGISTRY, register
 
     for name, (fn, oracle, headline, doc) in STAGED.items():
         if name in REGISTRY:
-            continue
+            if REGISTRY[name].fn is fn:
+                continue  # repeat register_all() under both import orders
+            raise ValueError(
+                f"register_all: staged query name {name!r} already "
+                "registered by a different module — a silent skip would "
+                "ship the OLD query under this wave's name"
+            )
         register(name, oracle=oracle, headline=headline, doc=doc)(fn)
 
 

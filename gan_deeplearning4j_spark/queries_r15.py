@@ -46,12 +46,19 @@ def _stage(name: str, oracle: str | None = None, headline: bool = False,
 
 
 def register_all() -> None:
-    """Register the staged queries (idempotent; see queries_r7)."""
+    """Register the staged queries — idempotent by fn identity;
+    raises on a name collision with a DIFFERENT query (see queries_r7)."""
     from .queries import REGISTRY, register
 
     for name, (fn, oracle, headline, doc) in STAGED.items():
         if name in REGISTRY:
-            continue
+            if REGISTRY[name].fn is fn:
+                continue  # repeat register_all() under both import orders
+            raise ValueError(
+                f"register_all: staged query name {name!r} already "
+                "registered by a different module — a silent skip would "
+                "ship the OLD query under this wave's name"
+            )
         register(name, oracle=oracle, headline=headline, doc=doc)(fn)
 
 
@@ -98,7 +105,9 @@ def register_all() -> None:
         "engines; the Spearman/Welch house rule). Spark's native "
         "regr_slope uses an incremental co-moment accumulation whose "
         "rounding is ORDER-dependent, so the native value is emitted "
-        "only as a verdict (within 1e-6 relative of the closed form — "
+        "only as a verdict (within 1e-9 of the closed form, scaled to "
+        "the statistic's natural magnitude sd_y/sd_x — NOT to the "
+        "near-zero closed value, which would collapse the tolerance; "
         "the bracket the perturbation sweeps re-check under shuffle3); "
         "the hashed columns are the deterministic moments + closed "
         "forms. Scale: one map-side-combinable moment pass; the native "
@@ -117,6 +126,8 @@ def q_regr_native_bracket(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("y").cast("long").alias("sy"),
         F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
         F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        # syy feeds only the verdict tolerance scale, never the hash
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
         F.expr("regr_slope(CAST(y AS DOUBLE), CAST(x AS DOUBLE))")
         .alias("nslope"),
         F.expr("regr_intercept(CAST(y AS DOUBLE), CAST(x AS DOUBLE))")
@@ -130,14 +141,32 @@ def q_regr_native_bracket(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed_icept = (
         (F.col("sy") - closed_slope * F.col("sx")) / F.col("n")
     )
+    # Verdict tolerances scale to each statistic's NATURAL magnitude
+    # (sd_y/sd_x for slope, sd_y*(1+|mean_x|/sd_x) for intercept), not to
+    # the possibly-near-zero closed value itself — quantity vs discount is
+    # essentially uncorrelated, so |closed_slope| is tiny and a
+    # closed-value-relative tolerance would collapse to ~absolute 1e-15
+    # and flip on accumulation order (ADVICE r12). The 1e-12 additive
+    # floor keeps a degenerate constant-column group from zeroing the
+    # scale entirely.
+    sd_x = (
+        F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+               * F.lit(1.0)) / F.col("n")
+    )
+    sd_y = (
+        F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+               * F.lit(1.0)) / F.col("n")
+    )
+    mean_x_abs = F.abs(F.col("sx") * F.lit(1.0) / F.col("n"))
     return mo.select(
         "l_returnflag", "n", "sx", "sy",
         F.floor(closed_slope * 1e9).cast("long").alias("slope_e9"),
-        (F.abs(F.col("nslope") - closed_slope) * 1e6
-         <= F.abs(closed_slope) + F.lit(1e-9)).alias("slope_ok"),
+        (F.abs(F.col("nslope") - closed_slope)
+         <= F.lit(1e-9) * (sd_y / sd_x) + F.lit(1e-12)).alias("slope_ok"),
         F.floor(closed_icept * 1e6).cast("long").alias("icept_e6"),
-        (F.abs(F.col("nicept") - closed_icept) * 1e6
-         <= F.abs(closed_icept) + F.lit(1e-9)).alias("icept_ok"),
+        (F.abs(F.col("nicept") - closed_icept)
+         <= F.lit(1e-9) * sd_y * (F.lit(1.0) + mean_x_abs / sd_x)
+         + F.lit(1e-12)).alias("icept_ok"),
     ).orderBy("l_returnflag")
 
 
@@ -675,8 +704,11 @@ def q_xml_xpath_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "all six moments are exact int64 (< 2^53, so the int->double "
         "casts are lossless) and the closed forms are one identical IEEE "
         "expression per engine (sqrt/divide correctly rounded). Native "
-        "values surface only as within-1e-6-relative verdicts. Scale: "
-        "one map-side-combinable moment pass carries everything.",
+        "values surface only as verdicts with magnitude-scaled 1e-9 "
+        "tolerances (1.0 for bounded corr, sd_x*sd_y for covariance, "
+        "the statistic itself for stddev — never the near-cancelling "
+        "closed value). Scale: one map-side-combinable moment pass "
+        "carries everything.",
 )
 def q_corr_covar_bracket(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -713,17 +745,28 @@ def q_corr_covar_bracket(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
                * F.lit(1.0)) / F.col("n")
     )
+    # Tolerances scale to each statistic's natural magnitude (corr is
+    # bounded in [-1,1] so scale 1; covariance scales as sd_x*sd_y;
+    # stddev scales as itself) — NOT to the near-cancelling closed value,
+    # which is ~0 for uncorrelated quantity/discount and would collapse
+    # the tolerance to ~1e-15 absolute (ADVICE r12). 1e-12 floor guards
+    # a degenerate constant-column group.
+    sd_x = (
+        F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+               * F.lit(1.0)) / F.col("n")
+    )
     return mo.select(
         "l_returnflag", "n",
         F.floor(closed_corr * 1e9).cast("long").alias("corr_e9"),
-        (F.abs(F.col("ncorr") - closed_corr) * 1e6
-         <= F.abs(closed_corr) + F.lit(1e-9)).alias("corr_ok"),
+        (F.abs(F.col("ncorr") - closed_corr)
+         <= F.lit(1e-9)).alias("corr_ok"),
         F.floor(closed_covar * 1e6).cast("long").alias("covar_pop_e6"),
-        (F.abs(F.col("ncovar") - closed_covar) * 1e6
-         <= F.abs(closed_covar) + F.lit(1e-9)).alias("covar_ok"),
+        (F.abs(F.col("ncovar") - closed_covar)
+         <= F.lit(1e-9) * sd_x * closed_std + F.lit(1e-12))
+        .alias("covar_ok"),
         F.floor(closed_std * 1e6).cast("long").alias("stddev_pop_y_e6"),
-        (F.abs(F.col("nstd") - closed_std) * 1e6
-         <= F.abs(closed_std) + F.lit(1e-9)).alias("stddev_ok"),
+        (F.abs(F.col("nstd") - closed_std)
+         <= F.lit(1e-9) * closed_std + F.lit(1e-12)).alias("stddev_ok"),
     ).orderBy("l_returnflag")
 
 
@@ -734,13 +777,19 @@ def q_corr_covar_bracket(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_stage(
     "histogram_numeric_bracket",
     oracle="""
+    WITH p AS (
+      SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+      FROM lineitem
+    )
     SELECT l_returnflag,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(8 AS BIGINT) AS n_bins,
+           LEAST(CAST(8 AS BIGINT), CAST(COUNT(DISTINCT c) AS BIGINT))
+             AS n_bins,
            TRUE AS weights_sum_to_n,
            TRUE AS centroids_in_range,
            TRUE AS centroids_sorted
-    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    FROM p GROUP BY l_returnflag ORDER BY l_returnflag
     """,
     doc="histogram_numeric (the Ben-Haim/Tom-Tov streaming histogram "
         "behind Hive/Spark's adaptive binning) graded by its INVARIANTS "
@@ -775,9 +824,13 @@ def q_histogram_numeric_bracket(
         F.size("h").cast("long").alias("n_bins"),
         (F.expr("aggregate(h, 0.0D, (a, b) -> a + b.y)")
          == F.col("n").cast("double")).alias("weights_sum_to_n"),
+        # 1-cent epsilon: a centroid is a double-precision weighted mean
+        # of in-range points and can land 1 ulp outside [min, max] on a
+        # degenerate layout; the invariant graded is "convex combination
+        # of the data", not bit-exact clamping (ADVICE r12)
         F.expr(
-            "forall(h, b -> CAST(b.x AS DOUBLE) >= CAST(lo AS DOUBLE)"
-            " AND CAST(b.x AS DOUBLE) <= CAST(hi AS DOUBLE))"
+            "forall(h, b -> CAST(b.x AS DOUBLE) >= CAST(lo AS DOUBLE) - 1.0"
+            " AND CAST(b.x AS DOUBLE) <= CAST(hi AS DOUBLE) + 1.0)"
         ).alias("centroids_in_range"),
         F.expr(
             "aggregate(slice(h, 2, size(h)),"
@@ -789,9 +842,7 @@ def q_histogram_numeric_bracket(
     ).orderBy("l_returnflag")
 
 
-# Self-register ONLY under the round-13 gate (this module is imported both
-# by queries.py under the gate and directly by tests without it).
-import os as _os
-
-if _os.environ.get("SPARK_GRAFT_R15"):
-    register_all()
+# Round-13 flip: SELF-register unconditionally at the module bottom (the
+# queries_r7 pattern — both import orders work because queries.py only
+# IMPORTS this module and never touches its attributes).
+register_all()

@@ -48,8 +48,15 @@ def register_all() -> None:
     from .queries import REGISTRY, register
 
     for name, (fn, oracle, headline, doc) in STAGED.items():
-        if name not in REGISTRY:
-            register(name, oracle=oracle, headline=headline, doc=doc)(fn)
+        if name in REGISTRY:
+            if REGISTRY[name].fn is fn:
+                continue  # repeat register_all() under both import orders
+            raise ValueError(
+                f"register_all: staged query name {name!r} already "
+                "registered by a different module — a silent skip would "
+                "ship the OLD query under this wave's name"
+            )
+        register(name, oracle=oracle, headline=headline, doc=doc)(fn)
 
 
 # ---------------------------------------------------------------------------

@@ -267,24 +267,35 @@ def incremental_neardup_stream(
     spark = new_docs_stream.sparkSession
 
     def _stale_ids_beyond(path: str, col: str, current: int) -> list[int]:
-        """Partition ids > current at ``path`` (empty if path absent) —
-        one file-listing-scale pass per batch, the price of the guard.
-        ONLY the path-missing error is tolerated: any other read failure
-        (corrupt footer, transient FS error) must propagate — a swallowed
-        error here would silently disable the double-count guard."""
-        from pyspark.errors import AnalysisException
-
-        try:
-            df = spark.read.parquet(path)
-        except AnalysisException as exc:
-            if "PATH_NOT_FOUND" in str(exc):  # dir absent on first batch
-                return []
-            raise
-        return sorted(
-            r[0]
-            for r in df.select(col).where(F.col(col) > current)
-            .distinct().limit(5).collect()
+        """Partition ids > current at ``path`` (empty if path absent).
+        Reads NO data files: the store/pairs tables are Hive-partitioned
+        by ``col``, so the ids live in the top-level ``col=N`` directory
+        names — one Hadoop FS listStatus per batch instead of the r12
+        spark.read.parquet (which opened every accumulated footer, a
+        per-batch cost growing linearly with state; ADVICE r12). Only
+        the path-missing case is tolerated: any other FS failure must
+        propagate — a swallowed error would silently disable the
+        double-count guard."""
+        jvm = spark.sparkContext._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(
+            spark.sparkContext._jsc.hadoopConfiguration()
         )
+        if not fs.exists(jpath):  # dir absent on first batch
+            return []
+        prefix = col + "="
+        stale = []
+        for st in fs.listStatus(jpath):
+            name = st.getPath().getName()
+            if not (st.isDirectory() and name.startswith(prefix)):
+                continue
+            try:
+                pid = int(name[len(prefix):])
+            except ValueError:
+                continue  # __HIVE_DEFAULT_PARTITION__ etc.
+            if pid > current:
+                stale.append(pid)
+        return sorted(stale)[:5]
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         stale = [] if allow_fresh_reprocess else (

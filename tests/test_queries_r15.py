@@ -1,7 +1,7 @@
-"""Round-13 staged-query pins (queries_r15.py): pure-python replays for
-the Spark-4-surface + embedding-audit wave — hash parity is covered by
-the gated replica runs; these pin the SEMANTICS against an independent
-reimplementation (numpy/stdlib)."""
+"""Round-13 wave pins (queries_r15.py, flipped LIVE in round 13):
+pure-python replays for the Spark-4-surface + embedding-audit wave —
+hash parity is covered by the driver replica; these pin the SEMANTICS
+against an independent reimplementation (numpy/stdlib)."""
 
 from __future__ import annotations
 
@@ -200,39 +200,44 @@ def test_matryoshka_truncation_matches_python(spark, sf_dir):
     assert want[0][4] > 0, "zero drift everywhere — vacuous"
 
 
-def test_r15_staged_queries_disjoint_and_gated():
-    """queries_r15 is staged, not registered: its names must not collide
-    with live registry entries (by NAME and by registered-object identity),
-    must not appear in queries() without the gate, and must register
-    cleanly in a gated subprocess."""
-    import subprocess
-    import sys
-
+def test_r15_wave_is_registered_live():
+    """The round-13 flip: every queries_r15 entry is LIVE in the
+    registry — registered by NAME, by object identity, and with its
+    EXACT oracle (register_all now RAISES on foreign collisions, but the
+    identity assertions stay as the belt to that suspender)."""
     from gan_deeplearning4j_spark import queries_r15
     from gan_deeplearning4j_spark.queries import REGISTRY
 
     staged = set(queries_r15.STAGED)
-    assert staged and not staged & set(REGISTRY)
+    assert staged and staged <= set(REGISTRY)
     for name, (fn, oracle, headline, doc) in queries_r15.STAGED.items():
         assert oracle, name
-    out = subprocess.run(
-        [sys.executable, "-c",
-         "from gan_deeplearning4j_spark.queries import REGISTRY;"
-         "from gan_deeplearning4j_spark import queries_r15;"
-         "assert all(REGISTRY[n].fn is f and REGISTRY[n].oracle == o"
-         "           for n, (f, o, h, d) in queries_r15.STAGED.items());"
-         "print(len(set(queries_r15.STAGED) & set(REGISTRY)))"],
-        env={"SPARK_GRAFT_R15": "1", "PATH": "/usr/bin:/bin",
-             "HOME": "/root"},
-        cwd="/root/repo", capture_output=True, text=True, timeout=120,
+        assert REGISTRY[name].fn is fn, name
+        assert REGISTRY[name].oracle == oracle, name
+
+
+def test_r15_driver_window_covers_every_unverified_entry():
+    """Round-13 window contract after the flip: every never-green entry
+    (the 10 r15 queries plus any r16 wave registered later this round)
+    sorts to the front of queries() and fits the driver's 50 slots."""
+    from gan_deeplearning4j_spark import queries_r15
+    from gan_deeplearning4j_spark.queries import (
+        _verification_evidence,
+        queries,
     )
-    assert out.returncode == 0, out.stderr[-2000:]
-    assert out.stdout.strip() == str(len(staged))
+
+    ordered = list(queries())
+    ev = _verification_evidence()
+    never = [n for n in ordered if n not in ev]
+    assert len(never) <= 50
+    assert ordered[: len(never)] == never
+    for name in queries_r15.STAGED:
+        assert name in ev or name in never[:50], name
 
 
 def test_r15_staged_oracles_bind_in_duckdb(sf_dir):
-    """Staged round-13 oracles must keep binding in DuckDB (EXPLAIN only)
-    even though they are not yet in the live registry."""
+    """Round-13 wave oracles must keep binding in DuckDB (EXPLAIN
+    only) — catches SQL bitrot without running anything."""
     import duckdb
 
     from gan_deeplearning4j_spark import queries_r15

@@ -431,6 +431,8 @@ def test_direct_import_of_any_query_module_works():
     calling <module>.register_all() (an attribute access on a
     partially-initialized module through the circular import); the safe
     pattern is unconditional self-registration at each module's bottom."""
+    import os
+    import pathlib
     import subprocess
     import sys
 
@@ -446,15 +448,18 @@ def test_direct_import_of_any_query_module_works():
     # nothing name-imports from must support BOTH orders.
     mods = ["queries_r4", "queries_r5", "queries_r6",
             "queries_r8", "queries_r9", "queries_r10",
-            "queries_r11", "queries_r12", "queries_r13", "queries_r14"]
+            "queries_r11", "queries_r12", "queries_r13", "queries_r14",
+            "queries_r15"]
     for mod in mods:
         out = subprocess.run(
             [sys.executable, "-c",
              f"import gan_deeplearning4j_spark.{mod};"
              "from gan_deeplearning4j_spark.queries import REGISTRY;"
              "print(len(REGISTRY))"],
-            env={"PATH": "/usr/bin:/bin", "HOME": "/root"},
-            cwd="/root/repo", capture_output=True, text=True, timeout=120,
+            env={k: v for k, v in os.environ.items()
+                 if not k.startswith("SPARK_GRAFT_R")},
+            cwd=str(pathlib.Path(__file__).resolve().parents[1]),
+            capture_output=True, text=True, timeout=120,
         )
         assert out.returncode == 0, (mod, out.stderr[-1500:])
         assert out.stdout.strip() == str(full), (mod, out.stdout)
