@@ -3257,3 +3257,12 @@ from . import queries_r14  # noqa: E402,F401  (side effect: registration)
 # its module bottom (see the queries_r13 note above on why not
 # register_all() here).
 from . import queries_r15  # noqa: E402,F401  (side effect: registration)
+
+# Round-14 staging: queries written after the round-13 flip stay behind
+# SPARK_GRAFT_R16 until CORRECTNESS_r13 lands, so the round-13 driver
+# window stays exactly the current never-green set. queries_r16 gates its
+# own self-registration on the env var.
+import os as _os  # noqa: E402
+
+if _os.environ.get("SPARK_GRAFT_R16"):
+    from . import queries_r16  # noqa: F401  (side effect: registration)
