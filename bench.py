@@ -271,7 +271,21 @@ def main() -> None:
         # box load (r12 drift postmortem). Readers comparing rounds
         # before r13 should use queries_isolated_median (wall), which is
         # still emitted above.
+        #
+        # EXCEPTION — eager-iterative queries: a fn() that runs
+        # localCheckpoint rounds (CC label propagation, pagerank power
+        # iterations) executes its heavy jobs DURING construction, so
+        # its exec-only number covers only the final stage (r13
+        # measurement: dedup_clusters 2.49 s wall / 0.17 s exec,
+        # construction_share 0.93; pagerank 0.99). For those, quote the
+        # WALL. The set is curated with the headline set itself; a
+        # misclassified entry shows up immediately as construction_share
+        # > 0.85 at sf0.1 (declarative headliners sit at 0.16-0.68).
+        _EAGER_ITERATIVE = {"dedup_clusters", "pagerank_fixed_topk"}
         out["quote_this_series"] = "queries_exec_only_median"
+        out["quote_wall_for_eager_iterative"] = sorted(
+            _EAGER_ITERATIVE & set(exc_only)
+        )
 
     if errors:
         out["errors"] = errors

@@ -78,10 +78,12 @@ def test_scratch_dir_queries_materialize_before_rmtree():
     unreplicated, so on a real cluster the result must be consumed before
     executors recycle; the scratch store would be a real table there."""
     import inspect
+    import re
 
     from gan_deeplearning4j_spark.queries import REGISTRY
 
     offenders = []
+    unconsumed = []
     seen_pattern_users = 0
     for name, q in REGISTRY.items():
         try:
@@ -95,9 +97,31 @@ def test_scratch_dir_queries_materialize_before_rmtree():
         if ("localCheckpoint(eager=True)" not in pre_rmtree
                 and ".collect()" not in pre_rmtree):
             offenders.append(name)
+            continue
+        # r12 verdict ask #8 extension: materializing is not enough —
+        # the CHECKPOINTED lineage must be what survives past the
+        # deletion. For each assignment `x = ...localCheckpoint(
+        # eager=True)` before the rmtree, the bound name must appear
+        # again AFTER the rmtree (it feeds the returned DataFrame);
+        # a checkpoint whose result is never consumed post-delete means
+        # the query returns some OTHER, un-materialized lineage.
+        post_rmtree = src.split("rmtree", 1)[1]
+        for m in re.finditer(
+            r"(\w+)\s*=\s*[^\n]*localCheckpoint\(eager=True\)",
+            pre_rmtree,
+        ):
+            var = m.group(1)
+            if ".collect()" in pre_rmtree:
+                continue  # bounded rows already left the lineage
+            if not re.search(rf"\b{var}\b", post_rmtree):
+                unconsumed.append((name, var))
     assert not offenders, (
         "scratch-dir queries returning un-materialized lineage over a "
         f"deleted directory: {offenders}"
+    )
+    assert not unconsumed, (
+        "checkpointed lineage never consumed after the scratch-dir "
+        f"deletion (the query returns something else): {unconsumed}"
     )
     # the pin only means something while the pattern has users
     assert seen_pattern_users >= 3, seen_pattern_users
