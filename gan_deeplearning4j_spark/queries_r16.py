@@ -115,25 +115,13 @@ _SPANS_CTE = r"""
 
 
 def _spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", "source", _n_tokens().alias("nt"))
-    w = (
-        Window.partitionBy("source")
-        .orderBy((F.col("doc_id") * 48271) % 65537, F.col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    # /512 then cast: the sums stay < 2^53, and 512 is a power of two,
-    # so the double division is EXACT and truncation == integer div
-    return toks.select(
-        "doc_id", "source", "nt",
-        F.sum("nt").over(w).cast("long").alias("s_end"),
-    ).select(
-        "doc_id", "source", "nt", "s_end",
-        (F.col("s_end") - F.col("nt")).alias("s_start"),
-        ((F.col("s_end") - F.col("nt")) / 512).cast("long")
-        .alias("first_w"),
-        ((F.col("s_end") - 1) / 512).cast("long").alias("last_w"),
-    )
+    # operators/packing.token_spans in its single-window form (20 small
+    # sources at test SFs); the two-level shards= form is the 100 TB
+    # path, output-identical (equivalence-pinned in test_operators.py,
+    # measured in scripts/stress_packing.py)
+    from .operators.packing import token_spans
+
+    return token_spans(_t(spark, sf_dir, "documents"), budget=512)
 
 
 # Shared oracle CTE: the rotating epoch schedule — docs rank

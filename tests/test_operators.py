@@ -1247,3 +1247,43 @@ def test_connected_components_prop_escalates_past_max_iter(spark):
     assert prop == logn
     assert {c for _, c in prop} == {0, 300, 400}
     assert len(prop) == 260
+
+
+def test_token_spans_two_level_equivalence(spark, sf_dir):
+    """The two-level prefix-merge form (shards=k) must produce spans
+    IDENTICAL to the single-window form — the global running sum
+    decomposes exactly into per-shard local sum + exclusive shard
+    offset. Pinned at several shard counts including shards > number of
+    distinct Lehmer values per source (empty shards must be harmless)."""
+    from gan_deeplearning4j_spark.io import load_table
+    from gan_deeplearning4j_spark.operators.packing import (
+        packing_summary,
+        token_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = sorted(
+        map(tuple, token_spans(docs, budget=512).collect())
+    )
+    for k in (1, 3, 8, 64):
+        two = sorted(
+            map(tuple, token_spans(docs, budget=512, shards=k).collect())
+        )
+        assert two == base, f"shards={k} diverged"
+    # the summary operator agrees with the registered query's aggregate
+    summ = {r.source: r for r in packing_summary(
+        token_spans(docs, budget=512, shards=8)).collect()}
+    assert all(r.n_windows == (r.total_tokens + 511) // 512
+               for r in summ.values())
+    assert any(r.n_split_docs > 0 for r in summ.values())
+
+
+def test_token_spans_rejects_bad_shards(spark, sf_dir):
+    import pytest
+
+    from gan_deeplearning4j_spark.io import load_table
+    from gan_deeplearning4j_spark.operators.packing import token_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    with pytest.raises(ValueError, match="shards"):
+        token_spans(docs, shards=0)
