@@ -152,6 +152,17 @@ def main() -> None:
             "dedup_clusters", "ivfpq_fixed_topk", "pagerank_fixed_topk",
             "quality_filter_funnel", "contamination_13gram_audit",
         ),
+        # + token_window_packing (added r13: the packing-wave headline) —
+        # the full current headline set
+        "r13_19q": (
+            "argmax_accuracy", "param_average", "topk_per_group",
+            "tpch_q1_pricing", "tpch_q3_shipping", "tpch_q5_volume",
+            "events_tumbling", "doc_stats", "cosine_topk", "minhash_dedup",
+            "embedding_neardup_lsh", "heavy_hitters_exact", "bigram_top20",
+            "dedup_clusters", "ivfpq_fixed_topk", "pagerank_fixed_topk",
+            "quality_filter_funnel", "contamination_13gram_audit",
+            "token_window_packing",
+        ),
     }
     out["subtotals_median"] = {
         label: round(sum(timings[n] for n in names), 3)

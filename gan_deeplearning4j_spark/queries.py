@@ -3258,11 +3258,11 @@ from . import queries_r14  # noqa: E402,F401  (side effect: registration)
 # register_all() here).
 from . import queries_r15  # noqa: E402,F401  (side effect: registration)
 
-# Round-14 staging: queries written after the round-13 flip stay behind
-# SPARK_GRAFT_R16 until CORRECTNESS_r13 lands, so the round-13 driver
-# window stays exactly the current never-green set. queries_r16 gates its
-# own self-registration on the env var.
-import os as _os  # noqa: E402
-
-if _os.environ.get("SPARK_GRAFT_R16"):
-    from . import queries_r16  # noqa: F401  (side effect: registration)
+# Round-13 live additions: the packing/ordering wave was written and
+# certified during round 13 (3 SFs + 3 perturbations + strict parity
+# under the SPARK_GRAFT_R16 gate, twice — before and after the
+# operators/packing swap), then registered LIVE mid-round because the
+# driver window has room (10 r15 + 6 r16 = 16 never-green of ~50 — the
+# r10/r12/r14 precedent). queries_r16 SELF-registers at its module
+# bottom (see the queries_r13 note above on why not register_all() here).
+from . import queries_r16  # noqa: E402,F401  (side effect: registration)

@@ -139,6 +139,33 @@ def _bigrams(toks: DataFrame) -> DataFrame:
         F.explode(F.slice(g, 1, F.size(col) - 1)).alias("g"),
     )
 
+
+# A doc's most-repeated-bigram count as a MAP-SIDE column expression
+# (r13 perf pass): sort the doc's bigram array and take the longest
+# equal-run — identical to the grouped max count because bigram strings
+# are collision-free (tokens carry no whitespace, so tok1+' '+tok2 is
+# injective). Replaces the explode -> (doc,gram) shuffle -> doc shuffle
+# -> join-back path with zero exchanges; the Catalyst aggregate carries a
+# fixed-size (prev, run, best) struct — constant state per element, not
+# the O(n^2) array_append trap. NULL for docs with < 2 tokens (no
+# bigrams), matching the old left-join miss.
+_TOP_BIGRAM_RUN = """
+  IF(size(t) < 2, CAST(NULL AS BIGINT),
+    aggregate(
+      array_sort(slice(zip_with(slice(t, 1, 1000000000),
+                                slice(t, 2, 1000000000),
+                                (a, b) -> concat_ws(' ', a, b)),
+                       1, size(t) - 1)),
+      named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),
+      (st, x) -> named_struct(
+        'prev', x,
+        'run', IF(st.prev IS NOT NULL AND x = st.prev, st.run + 1L, 1L),
+        'best', greatest(st.best,
+                         IF(st.prev IS NOT NULL AND x = st.prev,
+                            st.run + 1L, 1L))),
+      st -> st.best))
+"""
+
 # rule thresholds, calibrated on the corpus so every rule fails SOME and
 # passes SOME docs at sf0.001/0.01/0.1 (measured: short 105/106/1117 of
 # 500/500/5000; mwl 6/8/94; stop 179/183/1868; repetitive 59/71/644)
@@ -244,11 +271,14 @@ def q_gopher_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_doc_repetition_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    bg = _bigrams(_tokens(docs))
     top = (
-        bg.groupBy("doc_id", "nbg", "g").agg(F.count("*").alias("c"))
-        .groupBy("doc_id", "nbg")
-        .agg(F.max("c").cast("long").alias("top_n"))
+        _tokens(docs)
+        .filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            (F.size("t") - 1).cast("long").alias("nbg"),
+            F.expr(_TOP_BIGRAM_RUN).alias("top_n"),
+        )
     )
     return (
         top.select(
@@ -331,15 +361,14 @@ def q_doc_repetition_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    m = _doc_metrics(docs)
-    bg = _bigrams(_tokens(docs))
-    rep = (
-        bg.groupBy("doc_id", "nbg", "g").agg(F.count("*").alias("c"))
-        .groupBy("doc_id")
-        .agg(F.expr("max(c) * 1000 div any_value(nbg)")
-             .alias("top_share_pm"))
+    # the repetition signal rides the metrics projection as a map-side
+    # array fold (see _TOP_BIGRAM_RUN) — no explode, no (doc,gram)
+    # shuffle, no join-back: the whole funnel is one scan + a 1-row agg
+    m = _doc_metrics(docs).withColumn(
+        "top_share_pm",
+        F.expr(f"({_TOP_BIGRAM_RUN}) * 1000 div (size(t) - 1)"),
     )
-    flags = m.join(rep, "doc_id", "left").select(
+    flags = m.select(
         (F.col("nw") >= _MIN_WORDS).alias("p1"),
         F.col("mwl_e3").between(_MWL_LO, _MWL_HI).alias("q_mwl"),
         (F.col("n_stop_types") >= _MIN_STOP_TYPES).alias("q_stop"),

@@ -592,9 +592,9 @@ def q_mix_schedule_drift_audit(
     ).orderBy("epoch", "source")
 
 
-# Self-register ONLY under the round-14 gate (this module is imported both
-# by queries.py under the gate and directly by tests without it).
-import os as _os
-
-if _os.environ.get("SPARK_GRAFT_R16"):
-    register_all()
+# Mid-round-13 live flip: SELF-register unconditionally at the module
+# bottom (the queries_r7 pattern — both import orders work because
+# queries.py only IMPORTS this module and never touches its attributes).
+# Precedent: queries_r10/r12/r14 all registered live mid-round when the
+# driver's never-green window had room (here 10 r15 + 6 r16 = 16 of ~50).
+register_all()

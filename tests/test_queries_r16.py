@@ -1,4 +1,5 @@
-"""Round-14 staged-query pins (queries_r16.py): pure-python replays for
+"""Round-14-wave pins (queries_r16.py, flipped LIVE mid-round 13):
+pure-python replays for
 the packing/ordering wave — hash parity is covered by the gated replica
 runs; these pin the SEMANTICS against an independent reimplementation
 (hashlib/stdlib). NOTE on signed modular arithmetic: the queries use the
@@ -196,43 +197,43 @@ def test_repack_delta_matches_python(spark, sf_dir):
     assert any(r.n_docs_kept < r.n_docs_all for r in got.values())
 
 
-def test_r16_staged_queries_disjoint_and_gated():
-    """queries_r16 is staged, not registered: its names must not collide
-    with live registry entries, must not appear in queries() without the
-    gate, and must register cleanly in a gated subprocess."""
-    import os
-    import pathlib
-    import subprocess
-    import sys
-
+def test_r16_wave_is_registered_live():
+    """The mid-round-13 flip (the r10/r12/r14 live-addition precedent):
+    every queries_r16 entry is LIVE in the registry — by NAME, by object
+    identity, and with its EXACT oracle (register_all raises on foreign
+    collisions; the identity asserts stay as the belt)."""
     from gan_deeplearning4j_spark import queries_r16
     from gan_deeplearning4j_spark.queries import REGISTRY
 
     staged = set(queries_r16.STAGED)
-    assert staged and not staged & set(REGISTRY)
+    assert staged and staged <= set(REGISTRY)
     for name, (fn, oracle, headline, doc) in queries_r16.STAGED.items():
         assert oracle, name
-    out = subprocess.run(
-        [sys.executable, "-c",
-         "from gan_deeplearning4j_spark.queries import REGISTRY;"
-         "from gan_deeplearning4j_spark import queries_r16;"
-         "assert all(REGISTRY[n].fn is f and REGISTRY[n].oracle == o"
-         "           for n, (f, o, h, d) in queries_r16.STAGED.items());"
-         "print(len(set(queries_r16.STAGED) & set(REGISTRY)))"],
-        env={**{k: v for k, v in os.environ.items()
-                if not k.startswith("SPARK_GRAFT_R")},
-             "SPARK_GRAFT_R16": "1"},
-        cwd=str(pathlib.Path(__file__).resolve().parents[1]),
-        capture_output=True, text=True, timeout=120,
+        assert REGISTRY[name].fn is fn, name
+        assert REGISTRY[name].oracle == oracle, name
+
+
+def test_r16_driver_window_covers_every_unverified_entry():
+    """Window contract after the live addition: never-green = 10 r15 +
+    6 r16 = 16 entries, all inside the driver's first 50 positions."""
+    from gan_deeplearning4j_spark import queries_r15, queries_r16
+    from gan_deeplearning4j_spark.queries import (
+        _verification_evidence,
+        queries,
     )
-    assert out.returncode == 0, out.stderr[-2000:]
-    assert out.stdout.strip() == str(len(staged))
+
+    ordered = list(queries())
+    ev = _verification_evidence()
+    never = [n for n in ordered if n not in ev]
+    assert len(never) <= 50
+    assert ordered[: len(never)] == never
+    for name in list(queries_r15.STAGED) + list(queries_r16.STAGED):
+        assert name in ev or name in never[:50], name
 
 
 def test_r16_staged_oracles_bind_in_duckdb(sf_dir):
-    """Staged round-14 oracles must keep binding in DuckDB (EXPLAIN only)
-    even though they are not yet in the live registry — catches SQL
-    bitrot a round early."""
+    """Round-14-wave oracles must keep binding in DuckDB (EXPLAIN
+    only) — catches SQL bitrot without running anything."""
     import duckdb
 
     from gan_deeplearning4j_spark import queries_r16

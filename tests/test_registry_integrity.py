@@ -449,7 +449,7 @@ def test_direct_import_of_any_query_module_works():
     mods = ["queries_r4", "queries_r5", "queries_r6",
             "queries_r8", "queries_r9", "queries_r10",
             "queries_r11", "queries_r12", "queries_r13", "queries_r14",
-            "queries_r15"]
+            "queries_r15", "queries_r16"]
     for mod in mods:
         out = subprocess.run(
             [sys.executable, "-c",
