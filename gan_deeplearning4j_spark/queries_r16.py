@@ -1,9 +1,10 @@
-"""Round-14 staged queries — written during round 13.
+"""Round-13 packing/ordering wave — written, certified, and registered
+LIVE during round 13.
 
-Same staging pattern as queries_r7..r15 (see their module docstrings):
-new queries written after the round-13 flip stay behind
-``SPARK_GRAFT_R16=1`` until CORRECTNESS_r13 lands and round 14 makes
-registration unconditional.
+Staged behind ``SPARK_GRAFT_R16=1`` through certification (the
+queries_r7..r15 pattern), then registered live mid-round because the
+driver's never-green window had room (10 r15 + 6 r16 = 16 of ~50 — the
+r10/r12/r14 precedent).
 
 Wave focus (r12 verdict ask #4): training-data PACKING and ORDERING —
 the pretraining-pipeline stage between curation (queries_r14) and the
