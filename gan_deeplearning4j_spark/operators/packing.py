@@ -31,8 +31,13 @@ from pyspark.sql import functions as F
 _LEHMER_MOD = 65537
 
 
-def _n_tokens_col() -> "F.Column":
-    """House tokenization: trim + whitespace split + drop empties."""
+def n_tokens_col() -> "F.Column":
+    """House tokenization: trim + whitespace split + drop empties.
+
+    The single definition shared by the packing operators AND the
+    queries_r16 schedule/repack queries — one source of truth so the
+    operator and the registered queries cannot drift tokenizations.
+    """
     return F.size(
         F.filter(
             F.split(F.trim(F.col("text")), r"\s+"),
@@ -65,7 +70,7 @@ def token_spans(
     """
     lehmer = (F.col(id_col) * 48271) % _LEHMER_MOD
     toks = docs.select(
-        id_col, group_col, _n_tokens_col().alias("nt"),
+        id_col, group_col, n_tokens_col().alias("nt"),
         lehmer.alias("__lk"),
     )
     if shards is None:
@@ -153,8 +158,12 @@ def packing_summary(spans: DataFrame, budget: int = 512,
             .alias("n_split_docs"),
             F.sum(F.col("last_w") - F.col("first_w")).cast("long")
             .alias("boundary_crossings"),
-            F.expr(f"sum(nt) - ((sum(nt) + {b - 1}) div {b} - 1) * {b}")
-            .cast("long").alias("tail_fill_tokens"),
+            # a zero-token group has no windows — report 0 fill, not a
+            # phantom full tail (sum - (0-1)*b would say b)
+            F.expr(
+                f"CASE WHEN sum(nt) = 0 THEN 0 ELSE "
+                f"sum(nt) - ((sum(nt) + {b - 1}) div {b} - 1) * {b} END"
+            ).cast("long").alias("tail_fill_tokens"),
         )
         .orderBy(group_col)
     )

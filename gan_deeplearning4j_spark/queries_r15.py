@@ -62,6 +62,21 @@ def register_all() -> None:
         register(name, oracle=oracle, headline=headline, doc=doc)(fn)
 
 
+def _agree_or_both_undefined(cmp: "F.Column", native: "F.Column",
+                             closed: "F.Column") -> "F.Column":
+    """NULL-safe bracket verdict: the within-tolerance comparison, except
+    that a group whose closed form is undefined (NULL — e.g. a
+    constant-column group zeroes the variance and non-ANSI division
+    yields NULL, in Spark AND DuckDB 1.0 alike) counts as agreeing iff
+    the native aggregate is ALSO undefined (NULL or NaN). Without this,
+    the comparison itself goes NULL on a degenerate corpus while the
+    oracle emits literal TRUE, failing the hash even though the native
+    is behaving correctly."""
+    return F.coalesce(
+        cmp, closed.isNull() & (native.isNull() | F.isnan(native))
+    )
+
+
 # ---------------------------------------------------------------------------
 # regr_* linear-regression aggregates, guarantee-bracketed against the
 # exact-integer-moment closed form
@@ -161,12 +176,18 @@ def q_regr_native_bracket(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mo.select(
         "l_returnflag", "n", "sx", "sy",
         F.floor(closed_slope * 1e9).cast("long").alias("slope_e9"),
-        (F.abs(F.col("nslope") - closed_slope)
-         <= F.lit(1e-9) * (sd_y / sd_x) + F.lit(1e-12)).alias("slope_ok"),
+        _agree_or_both_undefined(
+            F.abs(F.col("nslope") - closed_slope)
+            <= F.lit(1e-9) * (sd_y / sd_x) + F.lit(1e-12),
+            F.col("nslope"), closed_slope,
+        ).alias("slope_ok"),
         F.floor(closed_icept * 1e6).cast("long").alias("icept_e6"),
-        (F.abs(F.col("nicept") - closed_icept)
-         <= F.lit(1e-9) * sd_y * (F.lit(1.0) + mean_x_abs / sd_x)
-         + F.lit(1e-12)).alias("icept_ok"),
+        _agree_or_both_undefined(
+            F.abs(F.col("nicept") - closed_icept)
+            <= F.lit(1e-9) * sd_y * (F.lit(1.0) + mean_x_abs / sd_x)
+            + F.lit(1e-12),
+            F.col("nicept"), closed_icept,
+        ).alias("icept_ok"),
     ).orderBy("l_returnflag")
 
 
@@ -758,15 +779,22 @@ def q_corr_covar_bracket(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mo.select(
         "l_returnflag", "n",
         F.floor(closed_corr * 1e9).cast("long").alias("corr_e9"),
-        (F.abs(F.col("ncorr") - closed_corr)
-         <= F.lit(1e-9)).alias("corr_ok"),
+        _agree_or_both_undefined(
+            F.abs(F.col("ncorr") - closed_corr) <= F.lit(1e-9),
+            F.col("ncorr"), closed_corr,
+        ).alias("corr_ok"),
         F.floor(closed_covar * 1e6).cast("long").alias("covar_pop_e6"),
-        (F.abs(F.col("ncovar") - closed_covar)
-         <= F.lit(1e-9) * sd_x * closed_std + F.lit(1e-12))
-        .alias("covar_ok"),
+        _agree_or_both_undefined(
+            F.abs(F.col("ncovar") - closed_covar)
+            <= F.lit(1e-9) * sd_x * closed_std + F.lit(1e-12),
+            F.col("ncovar"), closed_covar,
+        ).alias("covar_ok"),
         F.floor(closed_std * 1e6).cast("long").alias("stddev_pop_y_e6"),
-        (F.abs(F.col("nstd") - closed_std)
-         <= F.lit(1e-9) * closed_std + F.lit(1e-12)).alias("stddev_ok"),
+        _agree_or_both_undefined(
+            F.abs(F.col("nstd") - closed_std)
+            <= F.lit(1e-9) * closed_std + F.lit(1e-12),
+            F.col("nstd"), closed_std,
+        ).alias("stddev_ok"),
     ).orderBy("l_returnflag")
 
 

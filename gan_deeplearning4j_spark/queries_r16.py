@@ -78,15 +78,10 @@ def register_all() -> None:
 
 
 # house tokenization (identical to length_bucket_batches / queries_r14):
-# trim + whitespace split + drop empties
-
-def _n_tokens() -> "F.Column":
-    return F.size(
-        F.filter(
-            F.split(F.trim(F.col("text")), r"\s+"),
-            lambda t: F.length(t) > 0,
-        )
-    ).cast("long")
+# trim + whitespace split + drop empties — the ONE definition lives with
+# the packing operator so queries and operator cannot drift
+from .operators.packing import n_tokens_col as _n_tokens
+from .operators.packing import packing_summary as _packing_summary
 
 
 # Shared oracle CTE: per-doc token spans under contiguous per-source
@@ -190,7 +185,8 @@ def _schedule_taken(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) FILTER (WHERE last_w > first_w) AS BIGINT)
              AS n_split_docs,
            CAST(SUM(last_w - first_w) AS BIGINT) AS boundary_crossings,
-           CAST(SUM(nt) - ((SUM(nt) + 511) // 512 - 1) * 512 AS BIGINT)
+           CAST(CASE WHEN SUM(nt) = 0 THEN 0 ELSE
+                SUM(nt) - ((SUM(nt) + 511) // 512 - 1) * 512 END AS BIGINT)
              AS tail_fill_tokens
     FROM sp GROUP BY source ORDER BY source
     """,
@@ -215,23 +211,10 @@ def _schedule_taken(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prefix-merge pattern (SCALE.md round 10).",
 )
 def q_token_window_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sp = _spans(spark, sf_dir)
-    return (
-        sp.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum("nt").cast("long").alias("total_tokens"),
-            ((F.sum("nt") + 511) / 512).cast("long").alias("n_windows"),
-            F.count_if(F.col("last_w") > F.col("first_w")).cast("long")
-            .alias("n_split_docs"),
-            F.sum(F.col("last_w") - F.col("first_w")).cast("long")
-            .alias("boundary_crossings"),
-            (F.sum("nt")
-             - (((F.sum("nt") + 511) / 512).cast("long") - 1) * 512)
-            .cast("long").alias("tail_fill_tokens"),
-        )
-        .orderBy("source")
-    )
+    # the aggregate IS operators/packing.packing_summary — one
+    # implementation for the registered query, the stress harness, and
+    # the two-level scale path
+    return _packing_summary(_spans(spark, sf_dir), budget=512)
 
 
 # ---------------------------------------------------------------------------

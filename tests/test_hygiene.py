@@ -77,10 +77,14 @@ def test_scratch_dir_queries_materialize_before_rmtree():
     Cluster caveat (documented in each user): localCheckpoint blocks are
     unreplicated, so on a real cluster the result must be consumed before
     executors recycle; the scratch store would be a real table there."""
+    import ast
     import inspect
-    import re
+    import textwrap
 
     from gan_deeplearning4j_spark.queries import REGISTRY
+
+    def _names(node) -> set:
+        return {n.id for n in ast.walk(node) if isinstance(n, ast.Name)}
 
     offenders = []
     unconsumed = []
@@ -99,21 +103,59 @@ def test_scratch_dir_queries_materialize_before_rmtree():
             offenders.append(name)
             continue
         # r12 verdict ask #8 extension: materializing is not enough —
-        # the CHECKPOINTED lineage must be what survives past the
-        # deletion. For each assignment `x = ...localCheckpoint(
-        # eager=True)` before the rmtree, the bound name must appear
-        # again AFTER the rmtree (it feeds the returned DataFrame);
-        # a checkpoint whose result is never consumed post-delete means
-        # the query returns some OTHER, un-materialized lineage.
-        post_rmtree = src.split("rmtree", 1)[1]
-        for m in re.finditer(
-            r"(\w+)\s*=\s*[^\n]*localCheckpoint\(eager=True\)",
-            pre_rmtree,
-        ):
-            var = m.group(1)
-            if ".collect()" in pre_rmtree:
-                continue  # bounded rows already left the lineage
-            if not re.search(rf"\b{var}\b", post_rmtree):
+        # the CHECKPOINTED lineage must be what the query hands back.
+        # AST taint check (the first cut was a single-line regex, which
+        # was blind to multi-line assignments and vacuous for any body
+        # containing one .collect()): for each assignment whose value
+        # contains a .localCheckpoint() call, the bound name — or a
+        # variable transitively ASSIGNED FROM it — must reach a return
+        # statement or a driver-side drain (collect/first/toPandas).
+        # A checkpoint whose taint never reaches either means the query
+        # returns some OTHER, un-materialized lineage.
+        tree = ast.parse(textwrap.dedent(src))
+        assigns = [n for n in ast.walk(tree) if isinstance(n, ast.Assign)]
+        assigns.sort(key=lambda n: n.lineno)
+        ckpt_vars = []
+        for a in assigns:
+            if any(isinstance(c, ast.Call)
+                   and isinstance(c.func, ast.Attribute)
+                   and c.func.attr == "localCheckpoint"
+                   for c in ast.walk(a.value)):
+                ckpt_vars.extend(
+                    t.id for t in a.targets if isinstance(t, ast.Name)
+                )
+        n_ckpt_calls = sum(
+            1 for c in ast.walk(tree)
+            if isinstance(c, ast.Call) and isinstance(c.func, ast.Attribute)
+            and c.func.attr == "localCheckpoint"
+        )
+        if len(ckpt_vars) != n_ckpt_calls:
+            # a checkpoint not attributable to a simple assignment
+            # fails LOUDLY instead of being silently exempted
+            unconsumed.append((name, "<unattributable localCheckpoint>"))
+        returns = [n for n in ast.walk(tree) if isinstance(n, ast.Return)
+                   and n.value is not None]
+        drains = [c for c in ast.walk(tree)
+                  if isinstance(c, ast.Call)
+                  and isinstance(c.func, ast.Attribute)
+                  and c.func.attr in ("collect", "first", "toPandas")]
+        for var in ckpt_vars:
+            tainted = {var}
+            for _ in range(len(assigns)):  # fixpoint over assignment chains
+                grew = False
+                for a in assigns:
+                    if _names(a.value) & tainted:
+                        for t in a.targets:
+                            if isinstance(t, ast.Name) and t.id not in tainted:
+                                tainted.add(t.id)
+                                grew = True
+                if not grew:
+                    break
+            consumed = (
+                any(_names(r.value) & tainted for r in returns)
+                or any(_names(c) & tainted for c in drains)
+            )
+            if not consumed:
                 unconsumed.append((name, var))
     assert not offenders, (
         "scratch-dir queries returning un-materialized lineage over a "
