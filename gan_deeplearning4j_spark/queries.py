@@ -3266,3 +3266,13 @@ from . import queries_r15  # noqa: E402,F401  (side effect: registration)
 # r10/r12/r14 precedent). queries_r16 SELF-registers at its module
 # bottom (see the queries_r13 note above on why not register_all() here).
 from . import queries_r16  # noqa: E402,F401  (side effect: registration)
+
+# Round-13 live additions, second wave: the binary-quantization /
+# truncation / dataloader-manifest queries were certified under the
+# SPARK_GRAFT_R17 gate (3 SFs + 3 perturbations + strict parity,
+# SCALE.md round 13), then registered LIVE mid-round because the driver
+# window still has room (10 r15 + 6 r16 + 4 r17 = 20 never-green of ~50
+# — the r10/r12/r14/r16 precedent). queries_r17 SELF-registers at its
+# module bottom (see the queries_r13 note above on why not
+# register_all() here).
+from . import queries_r17  # noqa: E402,F401  (side effect: registration)
