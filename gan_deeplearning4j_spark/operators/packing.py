@@ -142,6 +142,90 @@ def token_spans(
     )
 
 
+def rank_manifest(docs: DataFrame, budget: int = 512, ranks: int = 4,
+                  workers: int = 2,
+                  group_col: str = "source") -> DataFrame:
+    """Dataloader shard manifest over the packed token windows — the
+    ★dataloader_rank_manifest pipeline as a reusable operator.
+
+    Each group's stream packs into ``ceil(tokens/budget)`` windows (the
+    tail window carries the remainder); every window gets a GLOBAL index
+    g = per-group ordinal + an exclusive prefix offset over the
+    per-group window counts (a metadata-scale window over one row per
+    group — the two-level prefix shape, never a global sort), and lands
+    on the (g % ranks, (g div ranks) % workers) shard. Output: one row
+    per shard with window/token/tail counts and the token share in ppm.
+
+    Scale: the explode is linear in windows (tokens/budget); the only
+    non-map steps are the |groups|-row offset window and the
+    ranks*workers-row final aggregate. Measured in
+    scripts/stress_manifest.py (SCALE.md round 13)."""
+    from ..functions.windows import bounded_window
+
+    b, nr, nw_ = int(budget), int(ranks), int(workers)
+    if nr < 1 or nw_ < 1:
+        raise ValueError(f"rank_manifest: ranks/workers must be >= 1, "
+                         f"got {ranks}/{workers}")
+    agg = (
+        docs.select(group_col, n_tokens_col().alias("nt"))
+        .groupBy(group_col)
+        .agg(
+            F.sum("nt").cast("long").alias("total"),
+            F.expr(f"(sum(nt) + {b - 1}) div {b}").cast("long")
+            .alias("nw"),
+        )
+    )
+    woff = bounded_window(group_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    off = agg.select(
+        group_col, "total", "nw",
+        (F.sum("nw").over(woff) - F.col("nw")).cast("long").alias("off0"),
+    )
+    win = (
+        off.filter(F.col("nw") > 0)   # sequence(0, -1) would DESCEND
+        .select(
+            "off0", "nw", "total",
+            F.explode(F.expr("sequence(CAST(0 AS BIGINT), nw - 1)"))
+            .alias("w"),
+        )
+    )
+    wt = win.select(
+        (F.col("off0") + F.col("w")).alias("gidx"),
+        F.when(F.col("w") == F.col("nw") - 1,
+               F.col("total") - (F.col("nw") - 1) * b)
+        .otherwise(F.lit(b)).cast("long").alias("wtok"),
+    )
+    sh = wt.select(
+        (F.col("gidx") % nr).cast("long").alias("dl_rank"),
+        F.expr(f"(gidx div {nr}) % {nw_}").cast("long").alias("dl_worker"),
+        "wtok",
+    )
+    per = sh.groupBy("dl_rank", "dl_worker").agg(
+        F.count(F.lit(1)).cast("long").alias("n_windows"),
+        F.sum("wtok").cast("long").alias("n_tokens"),
+        F.count_if(F.col("wtok") < b).cast("long").alias("n_tail_windows"),
+    )
+    # total tokens derived from the ranks*workers-row shard summary
+    # itself, never a second aggregate branch over the fact table
+    wtot = bounded_window()
+    return (
+        per.select(
+            "dl_rank", "dl_worker", "n_windows", "n_tokens",
+            "n_tail_windows",
+            F.sum("n_tokens").over(wtot).cast("long").alias("t"),
+        )
+        .select(
+            "dl_rank", "dl_worker", "n_windows", "n_tokens",
+            "n_tail_windows",
+            F.expr("CASE WHEN t = 0 THEN 0 ELSE "
+                   "n_tokens * 1000000 div t END")
+            .cast("long").alias("token_share_ppm"),
+        )
+        .orderBy("dl_rank", "dl_worker")
+    )
+
+
 def packing_summary(spans: DataFrame, budget: int = 512,
                     group_col: str = "source") -> DataFrame:
     """Per-group window accounting over ``token_spans`` output — the

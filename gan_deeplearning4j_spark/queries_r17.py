@@ -485,70 +485,13 @@ _WORKERS = 2
         f"offset window.",
 )
 def q_dataloader_rank_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .functions.windows import bounded_window
-    from .operators.packing import n_tokens_col
+    # the pipeline IS operators/packing.rank_manifest — one
+    # implementation for the registered query and the stress harness
+    from .operators.packing import rank_manifest
 
-    docs = _t(spark, sf_dir, "documents")
-    agg = (
-        docs.select("source", n_tokens_col().alias("nt"))
-        .groupBy("source")
-        .agg(
-            F.sum("nt").cast("long").alias("total"),
-            F.expr("(sum(nt) + 511) div 512").cast("long").alias("nw"),
-        )
-    )
-    # exclusive prefix offsets over ONE ROW PER SOURCE (metadata-scale;
-    # the bounded_window helper suppresses the single-partition warning
-    # and this relation is |sources| rows by construction)
-    woff = bounded_window("source").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    off = agg.select(
-        "source", "total", "nw",
-        (F.sum("nw").over(woff) - F.col("nw")).cast("long").alias("off0"),
-    )
-    win = (
-        off.filter(F.col("nw") > 0)   # sequence(0, -1) would DESCEND
-        .select(
-            "off0", "nw", "total",
-            F.explode(F.expr("sequence(CAST(0 AS BIGINT), nw - 1)"))
-            .alias("w"),
-        )
-    )
-    wt = win.select(
-        (F.col("off0") + F.col("w")).alias("gidx"),
-        F.when(F.col("w") == F.col("nw") - 1,
-               F.col("total") - (F.col("nw") - 1) * 512)
-        .otherwise(F.lit(512)).cast("long").alias("wtok"),
-    )
-    sh = wt.select(
-        (F.col("gidx") % _RANKS).cast("long").alias("dl_rank"),
-        F.expr(f"(gidx div {_RANKS}) % {_WORKERS}").cast("long")
-        .alias("dl_worker"),
-        "wtok",
-    )
-    per = sh.groupBy("dl_rank", "dl_worker").agg(
-        F.count(F.lit(1)).cast("long").alias("n_windows"),
-        F.sum("wtok").cast("long").alias("n_tokens"),
-        F.count_if(F.col("wtok") < 512).cast("long").alias("n_tail_windows"),
-    )
-    # total tokens derived from the 8-row shard summary itself (never a
-    # second aggregate branch over the fact table — the round-10 lesson)
-    wtot = bounded_window()
-    return (
-        per.select(
-            "dl_rank", "dl_worker", "n_windows", "n_tokens",
-            "n_tail_windows",
-            F.sum("n_tokens").over(wtot).cast("long").alias("t"),
-        )
-        .select(
-            "dl_rank", "dl_worker", "n_windows", "n_tokens",
-            "n_tail_windows",
-            F.expr("CASE WHEN t = 0 THEN 0 ELSE "
-                   "n_tokens * 1000000 div t END")
-            .cast("long").alias("token_share_ppm"),
-        )
-        .orderBy("dl_rank", "dl_worker")
+    return rank_manifest(
+        _t(spark, sf_dir, "documents"),
+        budget=512, ranks=_RANKS, workers=_WORKERS,
     )
 
 
