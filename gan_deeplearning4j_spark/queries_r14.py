@@ -458,10 +458,23 @@ def _gram13_expr():
     slice is O(13), not the computed-array O(n^2) trap (t is the raw
     column, not a lambda-local computed array); measured 2x faster than
     the 13-step zip_with chain at sf0.1 (1.2 s vs 2.4 s for the full
-    explode+distinct, identical 210,855 distinct grams)."""
+    explode+distinct, identical 210,855 distinct grams).
+
+    The ``size(t) >= 13`` guard lives INSIDE the expression (short docs
+    yield ``array()`` and die in the explode) instead of a separate
+    ``.filter``: the pushed-down filter form made Catalyst evaluate the
+    whole tokenizer twice per row — once in the Filter for the size
+    check, once in the Project that materializes ``t`` (r13 optimization
+    pass, guide §2.3/§7.2: the before-plan's Filter(2)+Project(3) both
+    carried the full ``filter(split(lower(trim(text))))`` expression).
+    ``sequence(1, size-12)`` must never see a stop below its start —
+    sequence() generates DESCENDING sequences for stop < start, which is
+    why the guard cannot simply be dropped."""
     return F.explode(F.expr(
+        f"IF(size(t) >= {_CONTAM_N}, "
         f"transform(sequence(1, size(t) - {_CONTAM_N - 1}),"
-        f" i -> array_join(slice(t, i, {_CONTAM_N}), ' '))"
+        f" i -> array_join(slice(t, i, {_CONTAM_N}), ' ')), "
+        "array())"
     ))
 
 
@@ -514,19 +527,38 @@ def q_contamination_13gram_audit(
     spark: SparkSession, sf_dir: str,
 ) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    toks = _tokens(docs).filter(F.size("t") >= _CONTAM_N)
-
-    def grams(df: DataFrame) -> DataFrame:
-        return df.select("doc_id", _gram13_expr().alias("g")).distinct()
+    toks = _tokens(docs)
 
     is_bench = (F.col("doc_id") % _BENCH_MOD) == _BENCH_REM
-    bench = grams(toks.filter(is_bench))
-    train = grams(toks.filter(~is_bench)).select("g").distinct()
+    # (doc_id, g) distinct on the BENCHMARK side only. The isnotnull(g)
+    # filter is a semantic no-op (array_join never yields NULL here) that
+    # keeps this subtree byte-identical to the copy under the broadcast
+    # join below — the join pushes IsNotNull onto its build side, and
+    # without the explicit filter the two bench subtrees differ by that
+    # one node and ReuseExchange cannot fire (the r12 plan scanned +
+    # tokenized + exploded the bench split twice for exactly this reason).
+    bench = (
+        toks.filter(is_bench)
+        .select("doc_id", _gram13_expr().alias("g"))
+        .filter(F.col("g").isNotNull())
+        .distinct()
+    )
+    # train side: RAW exploded grams, no distinct. The r12 form paid the
+    # query's only corpus-scale shuffle here (a full g-distinct exchange
+    # of every train gram) to keep the join from amplifying — but the
+    # countDistinct(g) below already collapses duplicate matches in its
+    # map-side partial aggregate, so the join result is identical and the
+    # train side now flows scan -> explode -> broadcast-probe -> partial
+    # distinct-agg with ZERO exchanges (guide §2.3 "aggregate before you
+    # shuffle" / §2.4 "remove shuffles outright"). At 100 TB this deletes
+    # the one shuffle that scaled with the corpus; what crosses the wire
+    # is only the per-map-partition-distinct (bench_doc, g) matches.
+    train_raw = toks.filter(~is_bench).select(_gram13_expr().alias("g"))
     # benchmark grams BROADCAST into the (huge) train side — the doc's
     # 100 TB contract made explicit instead of left to the threshold
     # (benchmarks are MBs; train grams are the corpus-scale relation)
     hits = (
-        train.join(F.broadcast(bench), "g")
+        train_raw.join(F.broadcast(bench), "g")
         .groupBy("doc_id")
         .agg(F.countDistinct("g").alias("n_hit"))
     )
@@ -579,15 +611,22 @@ def q_contamination_13gram_audit(
 )
 def q_decontam_drop_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    toks = _tokens(docs).filter(F.size("t") >= _CONTAM_N)
-
-    def grams(df: DataFrame) -> DataFrame:
-        return df.select("doc_id", _gram13_expr().alias("g")).distinct()
+    toks = _tokens(docs)
 
     is_bench = (F.col("doc_id") % _BENCH_MOD) == _BENCH_REM
-    bench_grams = grams(toks.filter(is_bench)).select("g").distinct()
+    # one distinct on g only (the old (doc_id, g)-distinct + g-distinct
+    # pair collapsed to this in the optimized plan anyway); the size
+    # guard lives inside _gram13_expr now — see the audit query
+    bench_grams = (
+        toks.filter(is_bench).select(_gram13_expr().alias("g")).distinct()
+    )
+    # train side RAW (no pre-join (doc_id, g) distinct): the post-join
+    # .select("doc_id").distinct() absorbs duplicate matches in its
+    # map-side partial aggregate, so the corpus-scale distinct exchange
+    # disappears — same restructure as contamination_13gram_audit
     implicated = (
-        grams(toks.filter(~is_bench))
+        toks.filter(~is_bench)
+        .select("doc_id", _gram13_expr().alias("g"))
         .join(F.broadcast(bench_grams), "g")
         .select("doc_id").distinct()
         .withColumn("hit", F.lit(1))
