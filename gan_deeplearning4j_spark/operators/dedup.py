@@ -709,6 +709,7 @@ def minhash_dedup(
 def connected_components(
     edges: DataFrame, src: str = "id_a", dst: str = "id_b",
     max_iter: int = 20, mode: str = "prop",
+    broadcast_nodes_max: int = 10_000_000,
 ) -> DataFrame:
     """Connected components. Two interchangeable engines (identical
     output: (node, comp) for every node incident to an edge, comp = min
@@ -765,15 +766,32 @@ def connected_components(
         .select("node", F.col("node").alias("comp"))
         .localCheckpoint(eager=True)
     )
+    # The label table and the per-round neighbor-min table are both
+    # O(nodes) — broadcast them into the round's two joins while they fit
+    # an executor, shuffled joins above the threshold (the same
+    # automatic-fallback contract as pagerank_fixed's rank join). The
+    # threshold tests the CHECKPOINTED undirected edge count, a free
+    # upper bound on the node count (every node is incident to an edge
+    # here), so no extra distinct-count job is spent on the decision.
+    # Measured at sf0.1 (256-edge dup graph, 2 rounds): 1.11 -> 0.85 s
+    # for the CC loop — at that scale the win is all removed
+    # exchange/task overhead; at 100 TB the broadcast skips shuffling
+    # the edge list per round until nodes outgrow the threshold.
+    if und.count() <= broadcast_nodes_max:
+        def label_join(vec: DataFrame) -> DataFrame:
+            return F.broadcast(vec)
+    else:
+        def label_join(vec: DataFrame) -> DataFrame:
+            return vec
     converged = False
     for _ in range(max_iter):
         nbr_min = (
-            und.join(labels.withColumnRenamed("node", "b"), "b")
+            und.join(label_join(labels.withColumnRenamed("node", "b")), "b")
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("comp").alias("__m"))
         )
         new_labels = (
-            labels.join(nbr_min, "node", "left")
+            labels.join(label_join(nbr_min), "node", "left")
             .select(
                 "node",
                 F.least("comp", "__m").alias("comp"),
@@ -954,7 +972,12 @@ def dedup_clusters(
         if base.filter(F.col("__grp_n") > 1).limit(1).count() == 0:
             # no exact-dup family anywhere: contraction is a no-op —
             # release the checkpointed probe relation (the plain path
-            # below never touches it) and fall through on the original
+            # below never touches it) and fall through on the original.
+            # (r13 optimization pass: an xxhash64-fingerprint existence
+            # probe BEFORE the window — skipping this full text-keyed
+            # shuffle on exact-deduped corpora — measured +0.7 s at
+            # sf0.1, where families exist and both passes end up paid;
+            # recorded in OPTIMIZATION_r13.md and deliberately not taken)
             base.unpersist()
             contract_exact = False
     if contract_exact:
@@ -1011,6 +1034,14 @@ def dedup_clusters(
         )
     else:
         cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands)
+        # NOT pruned to candidate ids before the verify: an A/B at sf0.1
+        # (r13 optimization pass) measured the "semi-join docs down to
+        # pair ids, then shingle" form SLOWER (1.55 -> 1.71 s median for
+        # the edge build) — the extra checkpoint + semi-join stages cost
+        # more than the avoided shingle work at any SF the bench sees.
+        # On a cluster where candidate docs are a vanishing fraction of
+        # the corpus the prune becomes the right call; see
+        # OPTIMIZATION_r13.md for the recorded experiment.
         pairs = ngram_jaccard(cands, df, text_col, id_col).filter(
             F.col("jaccard") >= threshold
         )

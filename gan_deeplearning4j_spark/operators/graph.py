@@ -18,7 +18,7 @@ PR_DAMP_NUM, PR_DAMP_DEN = 85, 100   # damping 0.85 as an exact ratio
 
 def pagerank_fixed(
     edges: DataFrame, src: str = "src", dst: str = "dst", iters: int = 3,
-    broadcast_nodes_max: int = 10_000_000,
+    broadcast_nodes_max: int = 10_000_000, checkpoint_every: int = 8,
 ) -> DataFrame:
     """Fixed-point PageRank over an UNDIRECTED view of ``edges``.
 
@@ -27,34 +27,46 @@ def pagerank_fixed(
     deg(u))) — all arithmetic int64 (floor div + integer sums), so the
     result is bit-identical across engines, partitionings, and re-runs.
     Undirecting guarantees deg ≥ 1 (no dangling-mass correction needed).
+    Duplicate input edges are tolerated (the undirected edge list is
+    deduplicated here) — callers need no pre-``distinct``.
 
-    Scale shape: one degree aggregate up front, then per iteration one
-    src-keyed join + one dst-keyed aggregate — the canonical O(iters)
-    shuffle pattern (same as connected_components); nothing touches the
-    driver. The edge+degree relations are materialized ONCE and the rank
-    table per round: an iterative consumer with an unmaterialized input
-    re-executes the input's whole subtree every round, and an
-    unmaterialized rank table stacks k joins of lineage by round k (the
-    r6 dense-dedup stress measured this class of bug at 4x wall-clock).
-    """
+    Scale shape (r13 optimization pass, guide §2.4): the undirected edge
+    list pays ONE exchange total — ``repartition("s")`` establishes the
+    node-keyed clustering, and both the (s, d) dedup and the degree
+    window reuse it (HashPartitioning(s) satisfies the dedup's
+    ClusteredDistribution(s, d) by the subset rule). The r12 shape paid
+    three full-size exchanges for the same relation: a caller-side edge
+    distinct, an (s, d)-keyed dedup exchange, then the window's s-keyed
+    exchange (measured 2.0 -> 1.1 s at sf0.1 for the prep half). Skew
+    note: a hot node serializes its dedup+window task in EITHER shape
+    (window partitions are never split — SCALE.md round 10); per-node
+    state here is one count, so the hot task is scan-bound, not
+    memory-bound.
+
+    Iterations: rank_{k} is broadcast into the edge join while the node
+    count fits ``broadcast_nodes_max`` (exact count, checkpoint-local),
+    and the per-iteration lineage is left UNmaterialized between
+    checkpoints — each broadcast build materializes its level exactly
+    once inside the single final job chain, so intermediate
+    ``localCheckpoint`` rounds (one extra job + RDD write each) are pure
+    overhead at small ``iters`` (measured 3.0 -> 2.3 s for the 3-iter
+    headline). ``checkpoint_every`` bounds the nested-plan depth for
+    large ``iters``; the shuffled-join fallback above the broadcast
+    threshold checkpoints EVERY round (an unmaterialized shuffled-join
+    chain re-derives every prior round — the r6 dense-dedup stress
+    measured that class of bug at 4x wall-clock)."""
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     und = e.union(
         e.select(F.col("d").alias("s"), F.col("s").alias("d"))
-    ).distinct()
-    # fold the out-degree into the edge list ONCE (one window over the
-    # src-keyed shuffle the distinct above already paid for) — the old
-    # shape re-joined deg against und inside every iteration
+    ).repartition("s").dropDuplicates(["s", "d"])
     und_deg = und.withColumn(
         "deg", F.count("*").over(Window.partitionBy("s"))
     ).localCheckpoint(eager=True)
-    nodes = und_deg.select(
-        F.col("s").alias("node")
-    ).distinct().localCheckpoint(eager=True)
+    nodes = und_deg.select(F.col("s").alias("node")).distinct()
     ranks = nodes.withColumn("rank", F.lit(PR_SCALE).cast("long"))
     # the rank table is O(nodes) — broadcast it into the per-iteration
-    # edge join while it fits an executor (exact count, checkpoint-local),
-    # plain shuffled join above the threshold (same automatic-fallback
-    # contract as hits_fixed)
+    # edge join while it fits an executor, plain shuffled join above the
+    # threshold (same automatic-fallback contract as hits_fixed)
     n_nodes = nodes.count()
     if n_nodes <= broadcast_nodes_max:
         def rank_join(vec: DataFrame) -> DataFrame:
@@ -62,8 +74,9 @@ def pagerank_fixed(
     else:
         def rank_join(vec: DataFrame) -> DataFrame:
             return vec
+        checkpoint_every = 1
     base = (PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM)) // PR_DAMP_DEN
-    for _ in range(iters):
+    for it in range(iters):
         contrib = und_deg.join(
             rank_join(ranks), und_deg.s == ranks.node
         ).select(F.col("d"), F.expr("rank div deg").alias("c"))
@@ -72,9 +85,11 @@ def pagerank_fixed(
                 F.lit(base)
                 + F.expr(f"({PR_DAMP_NUM} * sum(c)) div {PR_DAMP_DEN}")
             ).alias("rank")
-        ).select(F.col("d").alias("node"), "rank").localCheckpoint(
-            eager=True
-        )
+        ).select(F.col("d").alias("node"), "rank")
+        # final round always materializes (the eager-iterative contract:
+        # callers receive a lineage-truncated relation)
+        if (it + 1) % checkpoint_every == 0 or it == iters - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 
@@ -103,9 +118,11 @@ def ppr_fixed(
     its restart mass even in rounds where nothing flows into it).
     """
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    # one exchange for dedup + degree (repartition("s") satisfies both the
+    # (s, d) dedup's clustering and the window's — see pagerank_fixed)
     und = e.union(
         e.select(F.col("d").alias("s"), F.col("s").alias("d"))
-    ).distinct()
+    ).repartition("s").dropDuplicates(["s", "d"])
     und_deg = und.withColumn(
         "deg", F.count("*").over(Window.partitionBy("s"))
     ).localCheckpoint(eager=True)
@@ -122,16 +139,18 @@ def ppr_fixed(
     if n_nodes <= broadcast_nodes_max:
         def rank_join(vec: DataFrame) -> DataFrame:
             return F.broadcast(vec)
+        checkpoint_every = 8
     else:
         def rank_join(vec: DataFrame) -> DataFrame:
             return vec
+        checkpoint_every = 1
     base = (PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM)) // PR_DAMP_DEN
     ranks = nodes.crossJoin(F.broadcast(seed)).select(
         "node",
         F.when(F.col("node") == F.col("seed_node"), F.lit(PR_SCALE))
         .otherwise(F.lit(0)).cast("long").alias("rank"),
     )
-    for _ in range(iters):
+    for it in range(iters):
         contrib = und_deg.join(
             rank_join(ranks), und_deg.s == ranks.node
         ).select(F.col("d"), F.expr("rank div deg").alias("c"))
@@ -139,8 +158,12 @@ def ppr_fixed(
             F.expr(f"({PR_DAMP_NUM} * sum(c)) div {PR_DAMP_DEN}")
             .alias("flow")
         )
+        # inflow is O(nodes) — broadcast it into the left join under the
+        # same threshold as the rank join (removes both of the join's
+        # shuffles per iteration); intermediate checkpoints are deferred
+        # under broadcast mode exactly as in pagerank_fixed
         ranks = (
-            nodes.join(inflow, nodes.node == inflow.d, "left")
+            nodes.join(rank_join(inflow), nodes.node == inflow.d, "left")
             .crossJoin(F.broadcast(seed))
             .select(
                 "node",
@@ -150,8 +173,9 @@ def ppr_fixed(
                     + F.coalesce(F.col("flow"), F.lit(0))
                 ).cast("long").alias("rank"),
             )
-            .localCheckpoint(eager=True)
         )
+        if (it + 1) % checkpoint_every == 0 or it == iters - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 

@@ -2013,7 +2013,10 @@ def q_pagerank_fixed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_custkey") * 2).alias("src"),
             (F.col("l_suppkey") * 2 + 1).alias("dst"),
         )
-        .distinct()
+        # no .distinct() here: pagerank_fixed dedups its undirected edge
+        # list in the same single exchange that establishes the node
+        # clustering — a caller-side distinct was one extra full-size
+        # shuffle of the edge list for nothing (r13 optimization pass)
     )
     ranks = pagerank_fixed(edges, iters=3)
     return ranks.orderBy(F.desc("rank"), "node").limit(20)
