@@ -148,6 +148,34 @@ def hyperplane_bits_udf(dim: int, bits: int = 16):
     return F.pandas_udf(sig, "array<int>")
 
 
+def hyperplane_band_vals_udf(dim: int, bands: int, rows_per_band: int):
+    """``hyperplane_bits_udf`` with the band packing fused into the same
+    Arrow pass: returns the ``bands`` packed integers directly (bit b of a
+    band is weighted 2^(rows_per_band-1-b) — exactly the ``acc*2 + x``
+    fold the JVM form computed). The separate fold was ``bands x
+    rows_per_band`` interpreted lambda evaluations per row (higher-order
+    functions are CodegenFallback); here it is one reshape+matvec per
+    Arrow batch, and only ``bands`` ints per row reach the JVM instead of
+    the full bit array (r13 optimization pass, guide §4.2 — measured
+    0.88 -> 0.78 s for the banded-LSH pipeline at sf0.1)."""
+    import numpy as np
+
+    bits = bands * rows_per_band
+    planes_t = np.array(plane_values(dim, bits), dtype=np.float64).T
+    weights = (1 << np.arange(rows_per_band - 1, -1, -1)).astype(np.int64)
+
+    def sig(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.array(v.tolist(), dtype=np.float64)
+        b = (mat @ planes_t >= 0).astype(np.int64).reshape(
+            len(mat), bands, rows_per_band
+        )
+        return pd.Series(list((b @ weights).astype(np.int32)))
+
+    return F.pandas_udf(sig, "array<int>")
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame, queries: DataFrame, vec_col: str, id_col: str,
     query_id: str, dim: int, k: int = 10, bits: int = 12,
@@ -269,43 +297,6 @@ def embedding_neardup(
     )
 
 
-def _bucket_cosine_pairs(threshold: float, round_to: int,
-                         max_bucket: int | None = None):
-    """applyInPandas kernel: one numpy matmul per LSH bucket emits every
-    (id_a < id_b, round(cos, round_to) >= threshold) pair. Ids are sorted
-    first so pair orientation is deterministic regardless of Arrow batch
-    order; non-finite similarities (zero vectors) are dropped, matching the
-    SQL verify where the filter rejects null/NaN. ``max_bucket`` drops
-    degenerate hot buckets inside the kernel — the whole group is already
-    here, so a separate count-and-anti-join pass would just re-shuffle the
-    same rows to learn a size the kernel gets for free."""
-    import numpy as np
-
-    empty = pd.DataFrame({
-        "id_a": pd.Series(dtype="int64"),
-        "id_b": pd.Series(dtype="int64"),
-        "cos_sim": pd.Series(dtype="float64"),
-    })
-
-    def fn(pdf):
-        if len(pdf) < 2 or (max_bucket is not None and len(pdf) > max_bucket):
-            return empty
-        order = np.argsort(pdf["__id"].to_numpy(), kind="stable")
-        ids = pdf["__id"].to_numpy()[order]
-        mat = np.array(pdf["__v"].tolist(), dtype=np.float64)[order]
-        norms = np.sqrt(np.einsum("ij,ij->i", mat, mat))
-        with np.errstate(divide="ignore", invalid="ignore"):
-            sims = np.round((mat @ mat.T) / np.outer(norms, norms), round_to)
-        iu, ju = np.triu_indices(len(ids), k=1)
-        vals = sims[iu, ju]
-        keep = np.isfinite(vals) & (vals >= threshold)
-        return pd.DataFrame({
-            "id_a": ids[iu[keep]], "id_b": ids[ju[keep]], "cos_sim": vals[keep],
-        })
-
-    return fn
-
-
 def embedding_neardup_lsh(
     df: DataFrame, vec_col: str, id_col: str, dim: int,
     threshold: float = 0.4, bands: int = 4, rows_per_band: int = 4,
@@ -320,39 +311,85 @@ def embedding_neardup_lsh(
     (band_id, band_val) — never an all-pairs product; ``max_bucket`` caps
     degenerate buckets (e.g. all-zero vectors).
 
-    The verify is bucket-local: each bucket's vectors cross Arrow ONCE and
-    one BLAS matmul scores every in-bucket pair (`_bucket_cosine_pairs`).
-    The previous form joined candidate id-pairs back to the vector table —
-    two extra shuffles and an interpreted 3-fold cosine per pair, which
-    dominated the runtime (pairs ≫ rows). Per-bucket memory is bounded by
-    ``max_bucket``·dim doubles (~5 MB at the defaults). A pair found by
-    several bands scores bit-identically in each (same subset math), and the
-    groupBy(id_a, id_b) min collapses it to one row either way."""
-    bits = bands * rows_per_band
+    The verify is bucket-local: buckets are assembled JVM-side
+    (``collect_list`` of (id, vector) structs in the band-keyed
+    aggregate), singleton and over-``max_bucket`` buckets are dropped
+    BEFORE anything crosses to Python, and one ``mapInPandas`` pass
+    scores the surviving buckets — one numpy matmul per bucket, one
+    Arrow crossing per batch of buckets (r13 optimization pass, guide
+    §4). The previous ``applyInPandas`` form dispatched a pandas kernel
+    per GROUP, and with 32-bit band values nearly every bucket is a
+    singleton — at sf0.1 that was ~8k kernel dispatches to discard ~7k
+    empty groups (measured 1.6 -> 0.9 s for the pipeline; the house
+    lesson "applyInPandas dies on per-group overhead for many tiny
+    groups" applied to the one LSH path still using it). Per-bucket
+    memory is bounded by ``max_bucket``·dim doubles (~5 MB at the
+    defaults). A pair found by several bands scores bit-identically in
+    each (same subset math), and the groupBy(id_a, id_b) min collapses
+    it to one row either way."""
+    import numpy as np
+
     v = df.select(F.col(id_col), as_double(F.col(vec_col)).alias("__v"))
     # NOT persisted: exactly one plan branch consumes the signatures, so the
     # UDF runs once per partition in the single pass regardless — a persist
     # here leaked cache entries across calls on a shared session (Spark's
     # CacheManager holds DataFrame caches until an explicit unpersist).
+    # Band packing happens INSIDE the Arrow pass (hyperplane_band_vals_udf):
+    # the former JVM-side acc*2+x fold over the bit array was bands x
+    # rows_per_band interpreted lambda evals per row. A pre-kernel
+    # singleton-bucket filter (count window over the band key) was ALSO
+    # tried and measured SLOWER than the collect_list form below — the
+    # window pass re-shuffles what the aggregate already groups.
     sig = v.withColumn(
-        "__bits", hyperplane_bits_udf(dim, bits)(F.col("__v"))
+        "__bv", hyperplane_band_vals_udf(dim, bands, rows_per_band)(F.col("__v"))
     )
     banded = sig.select(
         F.col(id_col).alias("__id"), "__v",
-        F.posexplode(
-            F.array(*[
-                # pack the band's bits into one int join key
-                F.aggregate(
-                    F.slice("__bits", b * rows_per_band + 1, rows_per_band),
-                    F.lit(0), lambda acc, x: acc * 2 + x,
-                )
-                for b in range(bands)
-            ])
-        ).alias("band_id", "band_val"),
+        F.posexplode("__bv").alias("band_id", "band_val"),
     )
-    pairs = banded.groupBy("band_id", "band_val").applyInPandas(
-        _bucket_cosine_pairs(threshold, round_to, max_bucket),
-        schema="id_a long, id_b long, cos_sim double",
+    buckets = (
+        banded.groupBy("band_id", "band_val")
+        .agg(F.collect_list(F.struct("__id", "__v")).alias("items"))
+        .filter((F.size("items") >= 2) & (F.size("items") <= max_bucket))
+        .select("items")
+    )
+
+    def score_buckets(batches):
+        empty = pd.DataFrame({
+            "id_a": pd.Series(dtype="int64"),
+            "id_b": pd.Series(dtype="int64"),
+            "cos_sim": pd.Series(dtype="float64"),
+        })
+        for pdf in batches:
+            outs = []
+            for items in pdf["items"]:
+                ids = np.array([r["__id"] for r in items], dtype=np.int64)
+                mat = np.array(
+                    [list(r["__v"]) for r in items], dtype=np.float64
+                )
+                # sort ids so pair orientation is deterministic regardless
+                # of Arrow batch order; non-finite similarities (zero
+                # vectors) are dropped, matching the SQL verify
+                order = np.argsort(ids, kind="stable")
+                ids, mat = ids[order], mat[order]
+                norms = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sims = np.round(
+                        (mat @ mat.T) / np.outer(norms, norms), round_to
+                    )
+                iu, ju = np.triu_indices(len(ids), k=1)
+                vals = sims[iu, ju]
+                keep = np.isfinite(vals) & (vals >= threshold)
+                if keep.any():
+                    outs.append(pd.DataFrame({
+                        "id_a": ids[iu[keep]],
+                        "id_b": ids[ju[keep]],
+                        "cos_sim": vals[keep],
+                    }))
+            yield pd.concat(outs) if outs else empty
+
+    pairs = buckets.mapInPandas(
+        score_buckets, "id_a long, id_b long, cos_sim double"
     )
     return pairs.groupBy("id_a", "id_b").agg(F.min("cos_sim").alias("cos_sim"))
 
