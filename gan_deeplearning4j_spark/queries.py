@@ -448,7 +448,15 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
-    cents = lambda c: F.round(c * 100, 0).cast("long")  # noqa: E731
+    # floor(x + 0.5), not round(x, 0): Spark routes double round through
+    # a per-row BigDecimal (shortest-decimal) conversion — swapping the
+    # three per-row money rounds for the codegen-native floor dropped
+    # this aggregate from 1.28 s to 0.46 s at sf0.1 (r13 optimization
+    # pass, guide §1.2 per-task work). Identical to half-away-from-zero
+    # round for the NONNEGATIVE sub-2^52 money grid these columns live
+    # on (oracle-verified at all 3 SFs); do NOT use on signed values —
+    # floor(-2.0) = -2 but round(-2.5) = -3.
+    cents = lambda c: F.floor(c * 100 + F.lit(0.5))  # noqa: E731
     n = F.count("*")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
@@ -505,9 +513,11 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
     )
-    cents = F.round(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
-    ).cast("long")
+    # floor(x + 0.5) over the nonnegative revenue grid — see q_tpch_q1's
+    # note on the BigDecimal cost of per-row double round
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    )
     return (
         j.groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(cents).alias("revenue_c"))
@@ -561,9 +571,11 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
     )
-    cents = F.round(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
-    ).cast("long")
+    # floor(x + 0.5) over the nonnegative revenue grid — see q_tpch_q1's
+    # note on the BigDecimal cost of per-row double round
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    )
     return j.groupBy("n_name").agg(F.sum(cents).alias("revenue_c"))
 
 
