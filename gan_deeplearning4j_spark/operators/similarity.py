@@ -1065,29 +1065,6 @@ def ivfpq_topk_fixed(
     xq = corpus.select(
         F.col(id_col), quantize_fixed_expr(F.col(vec_col)).alias("__xq")
     )
-    code_schema = f"{id_col} long, centroid_id long, __code array<smallint>"
-
-    def encode(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            x = np.asarray(list(pdf["__xq"]), dtype=np.int64)
-            dc = ((x[:, None, :] - coarse[None, :, :]) ** 2).sum(axis=2)
-            cid = dc.argmin(axis=1)
-            r = x - coarse[cid]
-            codes = np.empty((len(x), m), dtype=np.int16)
-            for j in range(m):
-                xs = r[:, j * sub:(j + 1) * sub]
-                d = ((xs[:, None, :] - cents[j][None, :, :]) ** 2).sum(axis=2)
-                codes[:, j] = d.argmin(axis=1).astype(np.int16)
-            yield pd.DataFrame({
-                id_col: pdf[id_col].to_numpy(),
-                "centroid_id": cid.astype(np.int64),
-                "__code": list(codes),
-            })
-
-    index = xq.mapInPandas(encode, code_schema)
-
     qrows = queries.select(query_id, vec_col).orderBy(query_id).toPandas()
     qids = qrows[query_id].to_numpy()
     qvq = np.asarray(
@@ -1109,34 +1086,51 @@ def ivfpq_topk_fixed(
 
     out_schema = f"{query_id} long, {id_col} long, adc_dist long"
 
-    def score(batches):
+    def score_arrays(ids, cids, c):
+        # ADC over one batch of (id, centroid_id, code) arrays
+        for qid, plist in probe_sets.items():
+            mask = np.isin(cids, plist)
+            if not mask.any():
+                continue
+            sel_ids, sel_c, sel_cid = ids[mask], c[mask], cids[mask]
+            d = np.empty(len(sel_ids), dtype=np.int64)
+            for cid in plist:
+                cmask = sel_cid == cid
+                if not cmask.any():
+                    continue
+                lut = luts[(qid, cid)]
+                d[cmask] = lut[
+                    np.arange(m)[None, :], sel_c[cmask]
+                ].sum(axis=1)
+            yield pd.DataFrame({
+                query_id: np.full(int(mask.sum()), qid, dtype=np.int64),
+                id_col: sel_ids,
+                "adc_dist": d,
+            })
+
+    # encode and ADC-scan fused into ONE Python pass (r13 optimization
+    # pass, guide §4): the two-stage form ran back-to-back mapInPandas
+    # operators, shipping the (id, centroid_id, code) relation
+    # JVM -> Python -> JVM -> Python for no reason — the codes are
+    # consumed immediately by the scorer and never needed JVM-side.
+    def encode_score(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            c = np.asarray(list(pdf["__code"]), dtype=np.int64)
-            cids = pdf["centroid_id"].to_numpy()
-            ids = pdf[id_col].to_numpy()
-            for qid, plist in probe_sets.items():
-                mask = np.isin(cids, plist)
-                if not mask.any():
-                    continue
-                sel_ids, sel_c, sel_cid = ids[mask], c[mask], cids[mask]
-                d = np.empty(len(sel_ids), dtype=np.int64)
-                for cid in plist:
-                    cmask = sel_cid == cid
-                    if not cmask.any():
-                        continue
-                    lut = luts[(qid, cid)]
-                    d[cmask] = lut[
-                        np.arange(m)[None, :], sel_c[cmask]
-                    ].sum(axis=1)
-                yield pd.DataFrame({
-                    query_id: np.full(int(mask.sum()), qid, dtype=np.int64),
-                    id_col: sel_ids,
-                    "adc_dist": d,
-                })
+            x = np.asarray(list(pdf["__xq"]), dtype=np.int64)
+            dc = ((x[:, None, :] - coarse[None, :, :]) ** 2).sum(axis=2)
+            cid = dc.argmin(axis=1)
+            r = x - coarse[cid]
+            codes = np.empty((len(x), m), dtype=np.int64)
+            for j in range(m):
+                xs = r[:, j * sub:(j + 1) * sub]
+                d = ((xs[:, None, :] - cents[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d.argmin(axis=1)
+            yield from score_arrays(
+                pdf[id_col].to_numpy(), cid.astype(np.int64), codes
+            )
 
-    scored = index.mapInPandas(score, out_schema)
+    scored = xq.mapInPandas(encode_score, out_schema)
     w = Window.partitionBy(query_id).orderBy("adc_dist", F.col(id_col))
     return (
         scored.withColumn("rn", F.row_number().over(w))
