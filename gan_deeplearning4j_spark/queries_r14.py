@@ -291,6 +291,63 @@ def q_doc_repetition_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _funnel_metrics_arrow(docs: DataFrame) -> DataFrame:
+    """The funnel's four per-doc metrics in ONE Arrow pass (r13
+    optimization pass, guide §4.2): the SQL battery's higher-order folds
+    (mean-word-length aggregate, stop-word filter+distinct, the sorted
+    bigram-run fold) are CodegenFallback — interpreted per array element,
+    measured 0.55 s of the funnel's 0.68 s exec at sf0.1; this kernel
+    computes the same exact integers in plain Python per batch (0.07 s
+    for the whole corpus single-threaded) and ships 4 ints per doc back.
+
+    Exactness contract (same discipline as the minhash featurize kernel,
+    which has hash-matched the oracles since r2): Python
+    ``.strip().lower().split()`` mirrors the house tokenization
+    ``filter(split(lower(trim(text)), '\\s+'), x != '')`` on this corpus
+    (ASCII, space-separated — pinned by the funnel's own oracle gates at
+    all 3 SFs); all downstream math is exact int (// on nonnegative ==
+    SQL div), NULLs where the SQL forms yield NULL (nw = 0 -> mwl NULL;
+    nw < 2 -> top_share NULL)."""
+    import pandas as pd
+
+    stop = set(_STOPWORDS)
+
+    def gen(batches):
+        from collections import Counter
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            nws, mwls, stops, shares = [], [], [], []
+            for s in pdf["text"]:
+                toks = (s or "").strip().lower().split()
+                nw = len(toks)
+                nws.append(nw)
+                if nw == 0:
+                    mwls.append(None)
+                else:
+                    mwls.append(sum(len(t) for t in toks) * 1000 // nw)
+                stops.append(len(stop.intersection(toks)))
+                if nw < 2:
+                    shares.append(None)
+                else:
+                    top = max(Counter(
+                        a + " " + b for a, b in zip(toks, toks[1:])
+                    ).values())
+                    shares.append(top * 1000 // (nw - 1))
+            yield pd.DataFrame({
+                "nw": pd.Series(nws, dtype="int64"),
+                "mwl_e3": pd.Series(mwls, dtype="Int64"),
+                "n_stop_types": pd.Series(stops, dtype="int64"),
+                "top_share_pm": pd.Series(shares, dtype="Int64"),
+            })
+
+    return docs.select("text").mapInPandas(
+        gen, "nw long, mwl_e3 long, n_stop_types long, top_share_pm long"
+    )
+
+
+
 @_stage(
     "quality_filter_funnel",
     oracle=f"""
@@ -361,13 +418,11 @@ def q_doc_repetition_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    # the repetition signal rides the metrics projection as a map-side
-    # array fold (see _TOP_BIGRAM_RUN) — no explode, no (doc,gram)
-    # shuffle, no join-back: the whole funnel is one scan + a 1-row agg
-    m = _doc_metrics(docs).withColumn(
-        "top_share_pm",
-        F.expr(f"({_TOP_BIGRAM_RUN}) * 1000 div (size(t) - 1)"),
-    )
+    # the repetition signal rides the same Arrow pass as the other three
+    # metrics — no explode, no (doc,gram) shuffle, no join-back: the
+    # whole funnel is one scan + a 1-row agg (the r13-build map-side
+    # form, with the interpreted array folds swapped for a batch kernel)
+    m = _funnel_metrics_arrow(docs)
     flags = m.select(
         (F.col("nw") >= _MIN_WORDS).alias("p1"),
         F.col("mwl_e3").between(_MWL_LO, _MWL_HI).alias("q_mwl"),
