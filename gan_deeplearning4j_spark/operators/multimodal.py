@@ -133,7 +133,13 @@ def decode_features(
                 feats.append(flat.reshape(-1, out_dim).mean(axis=0))
             yield pd.DataFrame({id_col: pdf[id_col], "feature": [list(map(float, f)) for f in feats]})
 
-    return df.mapInPandas(run, schema=out_schema)
+    # project to only the columns the kernel reads BEFORE the Python
+    # boundary: an opaque mapInPandas defeats Catalyst's column pruning,
+    # so without this every caller column (and its storage read) ships to
+    # the worker (guide §4.1 / r13 optimization pass)
+    return df.select(id_col, "content", "width", "height").mapInPandas(
+        run, schema=out_schema
+    )
 
 
 def resize_images(df: DataFrame, out_w: int = 8, out_h: int = 8,
@@ -168,7 +174,10 @@ def resize_images(df: DataFrame, out_w: int = 8, out_h: int = 8,
                 }
             )
 
-    return df.mapInPandas(run, schema=out_schema)
+    # column-prune before the Python boundary (see decode_features)
+    return df.select("media_id", "content", "width", "height").mapInPandas(
+        run, schema=out_schema
+    )
 
 
 def sample_frames(df: DataFrame, every: int = 2) -> DataFrame:
@@ -242,4 +251,9 @@ def audio_frame_energy(
                 rms.extend(float(v) for v in e)
             yield pd.DataFrame({"media_id": ids, "frame_no": frames, "rms": rms})
 
-    return df.filter(F.col("kind") == "audio").mapInPandas(run, schema=out_schema)
+    # column-prune before the Python boundary (see decode_features)
+    return (
+        df.filter(F.col("kind") == "audio")
+        .select("media_id", "content", "sample_rate")
+        .mapInPandas(run, schema=out_schema)
+    )

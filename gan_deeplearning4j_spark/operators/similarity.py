@@ -738,28 +738,17 @@ def ivfpq_topk(
         books.append(cb)
 
     # encode residuals (map-side; centroids + codebooks ride as literals)
-    code_schema = f"{id_col} long, centroid_id long, __code array<smallint>"
-
-    def encode(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            x = np.asarray([np.asarray(v, dtype=np.float64)
-                            for v in pdf["__cv"]])
-            cs = pdf["centroid_id"].to_numpy()
-            r = x - np.asarray([cent_of[int(c)] for c in cs])
-            codes = np.empty((len(x), m), dtype=np.int16)
-            for j in range(m):
-                xs = r[:, j * sub:(j + 1) * sub]
-                d = ((xs[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
-                codes[:, j] = d.argmin(axis=1).astype(np.int16)
-            yield pd.DataFrame({
-                id_col: pdf[id_col].to_numpy(),
-                "centroid_id": cs,
-                "__code": list(codes),
-            })
-
-    index = assigned.mapInPandas(encode, code_schema)
+    def encode_batch(pdf):
+        x = np.asarray([np.asarray(v, dtype=np.float64)
+                        for v in pdf["__cv"]])
+        cs = pdf["centroid_id"].to_numpy()
+        r = x - np.asarray([cent_of[int(c)] for c in cs])
+        codes = np.empty((len(x), m), dtype=np.int64)
+        for j in range(m):
+            xs = r[:, j * sub:(j + 1) * sub]
+            d = ((xs[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = d.argmin(axis=1)
+        return pdf[id_col].to_numpy(), cs, codes
 
     # query side: nprobe nearest centroids, LUT per (query, centroid) from
     # the query residual against that centroid
@@ -788,13 +777,15 @@ def ivfpq_topk(
 
     out_schema = f"{query_id} long, {id_col} long, adc_dist double"
 
-    def score(batches):
+    # encode + ADC-scan fused into ONE Python pass (guide §4, same
+    # restructure as ivfpq_topk_fixed): the two-stage form shipped the
+    # (id, centroid_id, code) index JVM -> Python -> JVM -> Python inside
+    # the same task for nothing
+    def encode_score(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            c = np.asarray(list(pdf["__code"]), dtype=np.int64)
-            cids = pdf["centroid_id"].to_numpy()
-            ids = pdf[id_col].to_numpy()
+            ids, cids, c = encode_batch(pdf)
             for qid, cset in probe_sets.items():
                 mask = np.isin(cids, list(cset))
                 if not mask.any():
@@ -813,7 +804,9 @@ def ivfpq_topk(
                     "adc_dist": d,
                 })
 
-    scored = index.mapInPandas(score, out_schema)
+    scored = assigned.select(id_col, "__cv", "centroid_id").mapInPandas(
+        encode_score, out_schema
+    )
     w = Window.partitionBy(query_id).orderBy("adc_dist", F.col(id_col))
     return (
         scored.withColumn("rn", F.row_number().over(w))
@@ -950,22 +943,6 @@ def pq_topk_fixed(
     xq = corpus.select(
         F.col(id_col), quantize_fixed_expr(F.col(vec_col)).alias("__xq")
     )
-    code_schema = f"{id_col} long, __code array<smallint>"
-
-    def encode(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            x = np.asarray(list(pdf["__xq"]), dtype=np.int64)
-            codes = np.empty((len(x), m), dtype=np.int16)
-            for j in range(m):
-                xs = x[:, j * sub:(j + 1) * sub]
-                d = ((xs[:, None, :] - cents[j][None, :, :]) ** 2).sum(axis=2)
-                codes[:, j] = d.argmin(axis=1).astype(np.int16)
-            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(),
-                                "__code": list(codes)})
-
-    codes = xq.mapInPandas(encode, code_schema)
 
     qrows = queries.select(query_id, vec_col).orderBy(query_id).toPandas()
     qids = qrows[query_id].to_numpy()
@@ -979,21 +956,29 @@ def pq_topk_fixed(
 
     out_schema = f"{query_id} long, {id_col} long, adc_dist long"
 
-    def score(batches):
+    # encode + ADC-scan fused into ONE Python pass (guide §4, same
+    # restructure as ivfpq_topk_fixed): codes are consumed immediately by
+    # the scorer and never needed JVM-side
+    def encode_score(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            c = np.asarray(list(pdf["__code"]), dtype=np.int64)
+            x = np.asarray(list(pdf["__xq"]), dtype=np.int64)
+            codes = np.empty((len(x), m), dtype=np.int64)
+            for j in range(m):
+                xs = x[:, j * sub:(j + 1) * sub]
+                d = ((xs[:, None, :] - cents[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d.argmin(axis=1)
             ids = pdf[id_col].to_numpy()
             for qi, qid in enumerate(qids):
-                d = luts[qi][np.arange(m)[None, :], c].sum(axis=1)
+                d = luts[qi][np.arange(m)[None, :], codes].sum(axis=1)
                 yield pd.DataFrame({
                     query_id: np.full(len(ids), qid, dtype=np.int64),
                     id_col: ids,
                     "adc_dist": d,
                 })
 
-    scored = codes.mapInPandas(score, out_schema)
+    scored = xq.mapInPandas(encode_score, out_schema)
     w = Window.partitionBy(query_id).orderBy("adc_dist", F.col(id_col))
     return (
         scored.withColumn("rn", F.row_number().over(w))
