@@ -66,9 +66,12 @@ def pagerank_fixed(
     ranks = nodes.withColumn("rank", F.lit(PR_SCALE).cast("long"))
     # the rank table is O(nodes) — broadcast it into the per-iteration
     # edge join while it fits an executor, plain shuffled join above the
-    # threshold (same automatic-fallback contract as hits_fixed)
-    n_nodes = nodes.count()
-    if n_nodes <= broadcast_nodes_max:
+    # threshold (same automatic-fallback contract as hits_fixed). The
+    # threshold tests the CHECKPOINTED undirected edge count — a free
+    # upper bound on the node count (every node appears as `s` in the
+    # undirected list), so no distinct-count job is spent on the
+    # decision (same discipline as connected_components).
+    if und_deg.count() <= broadcast_nodes_max:
         def rank_join(vec: DataFrame) -> DataFrame:
             return F.broadcast(vec)
     else:
