@@ -1287,3 +1287,76 @@ def test_token_spans_rejects_bad_shards(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     with pytest.raises(ValueError, match="shards"):
         token_spans(docs, shards=0)
+
+
+def test_connected_components_broadcast_fallback_identical(spark):
+    """r13 optimization pin: the propagation rounds broadcast the label
+    and neighbor-min tables under the edge-count threshold; above it
+    (forced here with broadcast_nodes_max=0) the shuffled-join fallback
+    must produce IDENTICAL (node, comp) labels."""
+    import random
+
+    from gan_deeplearning4j_spark.operators.dedup import connected_components
+
+    rng = random.Random(13)
+    edges = spark.createDataFrame(
+        [(rng.randrange(80), rng.randrange(80)) for _ in range(90)],
+        "id_a long, id_b long",
+    )
+    bcast = {(r["node"], r["comp"])
+             for r in connected_components(edges).collect()}
+    shuffled = {(r["node"], r["comp"])
+                for r in connected_components(
+                    edges, broadcast_nodes_max=0).collect()}
+    assert bcast == shuffled and len(bcast) > 0
+
+
+def test_pagerank_checkpoint_cadence_invariant(spark):
+    """r13 optimization pin: ranks are invariant to the checkpoint
+    cadence — the deferred-materialization chain (checkpoint_every=8
+    default) must equal per-round checkpointing (checkpoint_every=1)
+    bit-for-bit (int64 arithmetic is materialization-invariant)."""
+    from gan_deeplearning4j_spark.operators.graph import pagerank_fixed
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1), (2, 5)], "src long, dst long"
+    )
+    deferred = {r["node"]: r["rank"]
+                for r in pagerank_fixed(edges, iters=4).collect()}
+    eager = {r["node"]: r["rank"]
+             for r in pagerank_fixed(
+                 edges, iters=4, checkpoint_every=1).collect()}
+    assert deferred == eager and len(deferred) == 5
+
+
+def test_hyperplane_band_vals_pack_matches_bits_fold(spark):
+    """r13 optimization pin: hyperplane_band_vals_udf (band packing fused
+    into the Arrow pass) must equal the acc*2+x fold over
+    hyperplane_bits_udf's bit array for every band."""
+    from pyspark.sql import functions as F
+
+    from gan_deeplearning4j_spark.operators.similarity import (
+        hyperplane_band_vals_udf, hyperplane_bits_udf,
+    )
+
+    dim, bands, rpb = 8, 3, 4
+    rows = [(i, [((i * 7 + j * 13) % 19 - 9) / 3.0 for j in range(dim)])
+            for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    packed = df.select(
+        "id", hyperplane_band_vals_udf(dim, bands, rpb)(F.col("v")).alias("bv")
+    )
+    folded = df.select(
+        "id",
+        F.array(*[
+            F.aggregate(
+                F.slice(hyperplane_bits_udf(dim, bands * rpb)(F.col("v")),
+                        b * rpb + 1, rpb),
+                F.lit(0), lambda acc, x: acc * 2 + x,
+            )
+            for b in range(bands)
+        ]).alias("bv"),
+    )
+    a = {r["id"]: list(r["bv"]) for r in packed.collect()}
+    b = {r["id"]: list(r["bv"]) for r in folded.collect()}
+    assert a == b
