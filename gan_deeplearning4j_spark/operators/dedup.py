@@ -19,7 +19,7 @@ from __future__ import annotations
 
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint64, portable_hash60
@@ -300,12 +300,21 @@ def minhash_features(
     hash j — the same universal family as the SQL form (values differ only
     through the token hash; every consumer is hash-agnostic: Jaccard over
     any injective-enough gram hash equals Jaccard over gram strings)."""
+    import re
     import zlib
 
     import numpy as np
 
     n, P = shingle_n, _P
     schema = f"{id_col} long, __sig array<long>, __sh array<long>"
+    # the EXACT Java \s class: mirrors split(trim(lower(text)), '\s+')
+    # for ANY input, not just ASCII corpora (r13 advice applied to every
+    # oracle-mirroring kernel: Python str.split() also splits on Unicode
+    # whitespace such as \xa0, which Java \s+ does not match). The SQL
+    # form keeps empty tokens (no x != '' filter here, and trim strips
+    # ASCII spaces only), so the mirror does too — re.split never
+    # returns [], making the old `or [hash("")]` fallback structural.
+    java_ws = re.compile(r"[ \t\n\x0b\f\r]+")
 
     def gen(batches):
         for pdf in batches:
@@ -320,7 +329,7 @@ def minhash_features(
                 return h
 
             tok_rows = [
-                [th(t) for t in (s or "").lower().strip().split()] or [th("")]
+                [th(t) for t in java_ws.split((s or "").lower().strip(" "))]
                 for s in pdf[text_col]
             ]
             lens = np.array([len(r) for r in tok_rows], dtype=np.int64)
@@ -758,48 +767,73 @@ def connected_components(
     # its whole upstream subtree (LSH candidates + Jaccard verify in the
     # dedup pipeline) per round — measured 836 s vs ~150 s at the 100x
     # dense stress (27M edges, ~5 rounds re-running a 114 s verify)
+    n_und = Observation()
     und = e.union(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint(eager=True)
-    labels = (
-        und.select(F.col("a").alias("node")).distinct()
-        .select("node", F.col("node").alias("comp"))
-        .localCheckpoint(eager=True)
-    )
+    ).observe(n_und, F.count(F.lit(1)).alias("n")).localCheckpoint(eager=True)
     # The label table and the per-round neighbor-min table are both
     # O(nodes) — broadcast them into the round's two joins while they fit
     # an executor, shuffled joins above the threshold (the same
     # automatic-fallback contract as pagerank_fixed's rank join). The
-    # threshold tests the CHECKPOINTED undirected edge count, a free
+    # threshold tests the CHECKPOINTED undirected edge count (observed
+    # during the checkpoint job itself — no separate count job), a free
     # upper bound on the node count (every node is incident to an edge
     # here), so no extra distinct-count job is spent on the decision.
+    # Note the conservative side of that bound: a dense graph whose
+    # NODES fit the threshold but whose edges exceed it silently takes
+    # the shuffled path — correct, just not broadcast-fast.
     # Measured at sf0.1 (256-edge dup graph, 2 rounds): 1.11 -> 0.85 s
     # for the CC loop — at that scale the win is all removed
     # exchange/task overhead; at 100 TB the broadcast skips shuffling
     # the edge list per round until nodes outgrow the threshold.
-    if und.count() <= broadcast_nodes_max:
+    if n_und.get["n"] <= broadcast_nodes_max:
         def label_join(vec: DataFrame) -> DataFrame:
             return F.broadcast(vec)
     else:
         def label_join(vec: DataFrame) -> DataFrame:
             return vec
     converged = False
+    labels: DataFrame | None = None
     for _ in range(max_iter):
-        nbr_min = (
-            und.join(label_join(labels.withColumnRenamed("node", "b")), "b")
-            .groupBy(F.col("a").alias("node"))
-            .agg(F.min("comp").alias("__m"))
-        )
-        new_labels = (
-            labels.join(label_join(nbr_min), "node", "left")
-            .select(
+        if labels is None:
+            # Round 1 fused (r14): labels_0 is the identity (comp ==
+            # node), so nbr_min is just min-neighbor-id and the label
+            # update needs no join at all — one aggregate replaces the
+            # initial label checkpoint, the round-1 broadcast build and
+            # the label join. Every node of und appears as `a` (the
+            # list is bidirectional), so the aggregate covers the full
+            # node set; the initial distinct-labels table is subsumed.
+            new_labels = und.groupBy(F.col("a").alias("node")).agg(
+                F.min("b").alias("__m")
+            ).select(
                 "node",
-                F.least("comp", "__m").alias("comp"),
-                (F.col("__m") < F.col("comp")).alias("__ch"),
+                F.least("node", "__m").alias("comp"),
+                (F.col("__m") < F.col("node")).alias("__ch"),
             )
-            .localCheckpoint(eager=True)
-        )
-        changed = new_labels.filter("__ch").limit(1).count()
+        else:
+            nbr_min = (
+                und.join(
+                    label_join(labels.withColumnRenamed("node", "b")), "b"
+                )
+                .groupBy(F.col("a").alias("node"))
+                .agg(F.min("comp").alias("__m"))
+            )
+            new_labels = (
+                labels.join(label_join(nbr_min), "node", "left")
+                .select(
+                    "node",
+                    F.least("comp", "__m").alias("comp"),
+                    (F.col("__m") < F.col("comp")).alias("__ch"),
+                )
+            )
+        # convergence detection rides the checkpoint job as an observed
+        # metric (r14): the separate filter/limit/count probe was two
+        # extra jobs per round of pure scheduling overhead
+        ch_obs = Observation()
+        new_labels = new_labels.observe(
+            ch_obs, F.count_if(F.col("__ch")).alias("ch")
+        ).localCheckpoint(eager=True)
+        changed = ch_obs.get["ch"]
         labels = new_labels.drop("__ch")
         if changed == 0:
             converged = True
@@ -815,7 +849,7 @@ def connected_components(
         # propagation already paid instead of from scratch. (The label
         # edges ALONE would not be safe: node->min-of-t-ball pointers
         # can drop connectivity on adversarial shapes.)
-        aug = und.union(
+        aug = und if labels is None else und.union(
             labels.filter(F.col("node") != F.col("comp"))
             .select(F.col("node").alias("a"), F.col("comp").alias("b"))
         )
@@ -847,10 +881,12 @@ def _cc_star_contraction(
     Convergence = the (checkpointed, bounded) edge set is a fixed point,
     detected EXACTLY via count + one-sided exceptAll — no hash-signature
     shortcut that could stop early on a collision."""
+    n_obs = Observation()
     E = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .observe(n_obs, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
     # contract parity with mode="prop": a node whose ONLY edges are
@@ -868,7 +904,9 @@ def _cc_star_contraction(
         )
         .select("node", F.col("node").alias("comp"))
     )
-    n_prev = E.count()
+    # edge-set cardinality rides each checkpoint job as an observed
+    # metric (r14): the separate count jobs were pure scheduling overhead
+    n_prev = n_obs.get["n"]
     converged = False
     for _ in range(max_iter):
         # ---- large-star: ∀u, m = min(Γ(u) ∪ {u}); emit (v, m) ∀v∈Γ(u), v>u
@@ -890,15 +928,17 @@ def _cc_star_contraction(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )
         smin = dirhl.groupBy("u").agg(F.min("v").alias("__m"))
+        rn_obs = Observation()
         E_new = (
             dirhl.join(smin, "u")
             .select(F.col("v").alias("u"), F.col("__m").alias("v"))
             .union(smin.select("u", F.col("__m").alias("v")))
             .filter(F.col("u") != F.col("v"))
             .distinct()
+            .observe(rn_obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
-        n_new = E_new.count()
+        n_new = rn_obs.get["n"]
         # exact fixed-point test: same cardinality + no edge of E_new
         # outside E (both are distinct sets, so this implies equality)
         if n_new == n_prev and E_new.exceptAll(E).limit(1).count() == 0:
@@ -963,13 +1003,18 @@ def dedup_clusters(
         # that the old groupBy+join-back pair spent two text-keyed
         # exchanges on
         wt = Window.partitionBy(text_col)
+        # the family-existence probe rides the checkpoint job as an
+        # observed metric (r14): the separate filter/limit/count probe
+        # was two extra jobs of scheduling overhead per call
+        fam_obs = Observation()
         base = (
             df.select(id_col, text_col)
             .withColumn("__rep", F.min(id_col).over(wt))
             .withColumn("__grp_n", F.count("*").over(wt))
+            .observe(fam_obs, F.count_if(F.col("__grp_n") > 1).alias("fam"))
             .localCheckpoint(eager=True)
         )
-        if base.filter(F.col("__grp_n") > 1).limit(1).count() == 0:
+        if fam_obs.get["fam"] == 0:
             # no exact-dup family anywhere: contraction is a no-op —
             # release the checkpointed probe relation (the plain path
             # below never touches it) and fall through on the original.
@@ -984,9 +1029,13 @@ def dedup_clusters(
         reps = base.filter(F.col(id_col) == F.col("__rep")).select(
             F.col("__rep").alias(id_col), text_col
         )
-        # checkpoint: the recursive dedup result feeds the membership join
-        # below; without it the whole LSH+verify+CC subtree (itself many
-        # jobs) would re-run lazily inside that join's plan
+        # NOT checkpointed (r14): the recursive result's lineage is
+        # already truncated at its own materialization points — CC labels
+        # are checkpointed every round, and the only lazy tail above them
+        # is the small cluster-size window — so the membership join below
+        # re-derives a few cheap operators over checkpointed relations,
+        # not the LSH+verify+CC subtree. The former checkpoint here was
+        # one full extra materialization job of the cluster relation.
         rep_clusters = dedup_clusters(
             reps, text_col, id_col, threshold,
             exact_pairs=exact_pairs, num_hashes=num_hashes, bands=bands,
@@ -994,7 +1043,7 @@ def dedup_clusters(
             contract_exact=False, cc_mode=cc_mode,
         ).select(
             F.col(id_col).alias("__rep"), "cluster_id"
-        ).localCheckpoint(eager=True)
+        )
         # ONE left join resolves every membership case: members of
         # clustered reps inherit the rep's cluster; exact-dup groups whose
         # rep is in NO near-dup cluster still form their own cluster when

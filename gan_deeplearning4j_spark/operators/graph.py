@@ -9,7 +9,7 @@ PageRank sums diverge across engines at the ulp level after one iteration.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 PR_SCALE = 1_000_000          # rank fixed-point scale (ppm)
@@ -44,7 +44,11 @@ def pagerank_fixed(
     memory-bound.
 
     Iterations: rank_{k} is broadcast into the edge join while the node
-    count fits ``broadcast_nodes_max`` (exact count, checkpoint-local),
+    count fits ``broadcast_nodes_max`` (exact count, collected as an
+    ``observe`` metric DURING the prep checkpoint job — no separate
+    count job; note the threshold is tested against the undirected
+    EDGE count, a free conservative upper bound on the node count, so
+    dense graphs fall back earlier than the parameter name suggests),
     and the per-iteration lineage is left UNmaterialized between
     checkpoints — each broadcast build materializes its level exactly
     once inside the single final job chain, so intermediate
@@ -52,18 +56,31 @@ def pagerank_fixed(
     overhead at small ``iters`` (measured 3.0 -> 2.3 s for the 3-iter
     headline). ``checkpoint_every`` bounds the nested-plan depth for
     large ``iters``; the shuffled-join fallback above the broadcast
-    threshold checkpoints EVERY round (an unmaterialized shuffled-join
-    chain re-derives every prior round — the r6 dense-dedup stress
-    measured that class of bug at 4x wall-clock)."""
+    threshold OVERRIDES it and checkpoints EVERY round (an
+    unmaterialized shuffled-join chain re-derives every prior round —
+    the r6 dense-dedup stress measured that class of bug at 4x
+    wall-clock).
+
+    Round 1 is join-free (r14 optimization pass): rank_0 is the
+    constant PR_SCALE for every node, so the first rank join is the
+    identity — contrib_1 = PR_SCALE div deg straight off the
+    checkpointed edge list, and no initial O(nodes) rank table (with
+    its distinct + broadcast build) is ever constructed. Every node
+    appears as ``d`` in the undirected list, so the round-1 aggregate
+    already covers the full node set."""
+    if iters < 1:
+        raise ValueError(f"pagerank_fixed: iters must be >= 1, got {iters}")
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     und = e.union(
         e.select(F.col("d").alias("s"), F.col("s").alias("d"))
     ).repartition("s").dropDuplicates(["s", "d"])
+    # the undirected edge count decides the join strategy below; it is
+    # observed inside the checkpoint job itself (r14: the separate
+    # count-on-checkpointed job was pure scheduling overhead)
+    n_und = Observation()
     und_deg = und.withColumn(
         "deg", F.count("*").over(Window.partitionBy("s"))
-    ).localCheckpoint(eager=True)
-    nodes = und_deg.select(F.col("s").alias("node")).distinct()
-    ranks = nodes.withColumn("rank", F.lit(PR_SCALE).cast("long"))
+    ).observe(n_und, F.count(F.lit(1)).alias("n")).localCheckpoint(eager=True)
     # the rank table is O(nodes) — broadcast it into the per-iteration
     # edge join while it fits an executor, plain shuffled join above the
     # threshold (same automatic-fallback contract as hits_fixed). The
@@ -71,18 +88,28 @@ def pagerank_fixed(
     # upper bound on the node count (every node appears as `s` in the
     # undirected list), so no distinct-count job is spent on the
     # decision (same discipline as connected_components).
-    if und_deg.count() <= broadcast_nodes_max:
+    ckpt_every = checkpoint_every
+    if n_und.get["n"] <= broadcast_nodes_max:
         def rank_join(vec: DataFrame) -> DataFrame:
             return F.broadcast(vec)
     else:
         def rank_join(vec: DataFrame) -> DataFrame:
             return vec
-        checkpoint_every = 1
+        # the caller's cadence is deliberately ignored here: every
+        # shuffled round MUST materialize (see docstring)
+        ckpt_every = 1
     base = (PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM)) // PR_DAMP_DEN
+    ranks: DataFrame | None = None
     for it in range(iters):
-        contrib = und_deg.join(
-            rank_join(ranks), und_deg.s == ranks.node
-        ).select(F.col("d"), F.expr("rank div deg").alias("c"))
+        if ranks is None:
+            # rank_0 == PR_SCALE everywhere: the rank join is the identity
+            contrib = und_deg.select(
+                F.col("d"), F.expr(f"{PR_SCALE} div deg").alias("c")
+            )
+        else:
+            contrib = und_deg.join(
+                rank_join(ranks), und_deg.s == ranks.node
+            ).select(F.col("d"), F.expr("rank div deg").alias("c"))
         ranks = contrib.groupBy("d").agg(
             (
                 F.lit(base)
@@ -91,7 +118,7 @@ def pagerank_fixed(
         ).select(F.col("d").alias("node"), "rank")
         # final round always materializes (the eager-iterative contract:
         # callers receive a lineage-truncated relation)
-        if (it + 1) % checkpoint_every == 0 or it == iters - 1:
+        if (it + 1) % ckpt_every == 0 or it == iters - 1:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
@@ -119,7 +146,14 @@ def ppr_fixed(
     the node-count threshold. The nodes table rides along so zero-mass
     nodes persist (a left join, not an inner one: the seed must receive
     its restart mass even in rounds where nothing flows into it).
+
+    Round 1 is O(seed-degree) (r14 optimization pass): rank_0 is zero
+    everywhere except the seed, so the first rank join degenerates to a
+    1-row broadcast filter of the seed's edges — the O(nodes) rank_0
+    table (and its broadcast build) is never constructed.
     """
+    if iters < 1:
+        raise ValueError(f"ppr_fixed: iters must be >= 1, got {iters}")
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     # one exchange for dedup + degree (repartition("s") satisfies both the
     # (s, d) dedup's clustering and the window's — see pagerank_fixed)
@@ -129,17 +163,21 @@ def ppr_fixed(
     und_deg = und.withColumn(
         "deg", F.count("*").over(Window.partitionBy("s"))
     ).localCheckpoint(eager=True)
-    nodes = und_deg.select(
-        F.col("s").alias("node")
-    ).distinct().localCheckpoint(eager=True)
+    # node count observed during the nodes checkpoint job itself (r14:
+    # no separate count job — same discipline as pagerank_fixed)
+    n_obs = Observation()
+    nodes = (
+        und_deg.select(F.col("s").alias("node")).distinct()
+        .observe(n_obs, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
     seed = (
         und_deg.groupBy("s").agg(F.max("deg").alias("dg"))
         .orderBy(F.desc("dg"), "s").limit(1)
         .select(F.col("s").alias("seed_node"))
         .localCheckpoint(eager=True)
     )
-    n_nodes = nodes.count()
-    if n_nodes <= broadcast_nodes_max:
+    if n_obs.get["n"] <= broadcast_nodes_max:
         def rank_join(vec: DataFrame) -> DataFrame:
             return F.broadcast(vec)
         checkpoint_every = 8
@@ -148,15 +186,21 @@ def ppr_fixed(
             return vec
         checkpoint_every = 1
     base = (PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM)) // PR_DAMP_DEN
-    ranks = nodes.crossJoin(F.broadcast(seed)).select(
-        "node",
-        F.when(F.col("node") == F.col("seed_node"), F.lit(PR_SCALE))
-        .otherwise(F.lit(0)).cast("long").alias("rank"),
-    )
+    ranks: DataFrame | None = None
     for it in range(iters):
-        contrib = und_deg.join(
-            rank_join(ranks), und_deg.s == ranks.node
-        ).select(F.col("d"), F.expr("rank div deg").alias("c"))
+        if ranks is None:
+            # rank_0 is zero everywhere except the seed: the first rank
+            # join degenerates to a 1-row broadcast filter on the seed's
+            # edges — no O(nodes) rank_0 table is ever built (r14)
+            contrib = und_deg.join(
+                F.broadcast(seed), und_deg.s == F.col("seed_node")
+            ).select(
+                F.col("d"), F.expr(f"{PR_SCALE} div deg").alias("c")
+            )
+        else:
+            contrib = und_deg.join(
+                rank_join(ranks), und_deg.s == ranks.node
+            ).select(F.col("d"), F.expr("rank div deg").alias("c"))
         inflow = contrib.groupBy("d").agg(
             F.expr(f"({PR_DAMP_NUM} * sum(c)) div {PR_DAMP_DEN}")
             .alias("flow")
@@ -277,17 +321,20 @@ def hits_fixed(
     before graphs that large."""
     if rounds < 1:
         raise ValueError(f"hits_fixed: rounds must be >= 1, got {rounds}")
+    # the probe (weight validity + the per-side node counts that decide
+    # the join strategy below) rides the edge-materialization job as an
+    # observed metric set (r14) — no separate probe job
+    probe_obs = Observation()
     e = edges.select(
         F.col(src).alias("c"), F.col(dst).alias("s"),
         F.col(weight).cast("long").alias("w"),
-    ).localCheckpoint(eager=True)
-    # one probe job over the checkpointed edges: weight validity + the
-    # per-side node counts that decide the join strategy below
-    probe = e.agg(
+    ).observe(
+        probe_obs,
         F.count_if(F.col("w").isNull() | (F.col("w") <= 0)).alias("bad"),
         F.approx_count_distinct("c").alias("nc"),
         F.approx_count_distinct("s").alias("ns"),
-    ).collect()[0]
+    ).localCheckpoint(eager=True)
+    probe = probe_obs.get
     if probe["bad"]:
         raise ValueError(
             f"hits_fixed: {probe['bad']} edges have null/zero/negative "
@@ -419,14 +466,18 @@ def sssp_weighted(
                     (F.col("dist") + F.col("w")).alias("dist"))
             .groupBy("node").agg(F.min("dist").alias("dist"))
         )
+        imp_obs = Observation()
         improved = (
             nxt.join(best.select("node", F.col("dist").alias("old")),
                      "node", "left")
             .filter(F.col("old").isNull() | (F.col("dist") < F.col("old")))
             .select("node", "dist")
+            .observe(imp_obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
-        if improved.isEmpty():
+        # frontier emptiness observed during the checkpoint job (r14) —
+        # the separate isEmpty probe was an extra job per round
+        if imp_obs.get["n"] == 0:
             break
         best = (
             best.unionByName(improved)

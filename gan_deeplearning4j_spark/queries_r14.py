@@ -301,16 +301,23 @@ def _funnel_metrics_arrow(docs: DataFrame) -> DataFrame:
     for the whole corpus single-threaded) and ships 4 ints per doc back.
 
     Exactness contract (same discipline as the minhash featurize kernel,
-    which has hash-matched the oracles since r2): Python
-    ``.strip().lower().split()`` mirrors the house tokenization
-    ``filter(split(lower(trim(text)), '\\s+'), x != '')`` on this corpus
-    (ASCII, space-separated — pinned by the funnel's own oracle gates at
-    all 3 SFs); all downstream math is exact int (// on nonnegative ==
-    SQL div), NULLs where the SQL forms yield NULL (nw = 0 -> mwl NULL;
-    nw < 2 -> top_share NULL)."""
+    which has hash-matched the oracles since r2): tokenization splits on
+    the EXACT Java ``\\s`` class ``[ \\t\\n\\x0b\\f\\r]`` and drops empty
+    tokens, which equals the house SQL tokenization
+    ``filter(split(lower(trim(text)), '\\s+'), x != '')`` for ANY input
+    — not just ASCII corpora (r13 advice: the former ``str.split()``
+    also split on Unicode whitespace like \\xa0, so engine/oracle parity
+    was corpus-conditional; the only residual corpus-conditional piece
+    is ``str.lower()`` vs SQL ``lower`` on exotic case mappings, both
+    identity on ASCII). All downstream math is exact int (// on
+    nonnegative == SQL div), NULLs where the SQL forms yield NULL
+    (nw = 0 -> mwl NULL; nw < 2 -> top_share NULL)."""
+    import re
+
     import pandas as pd
 
     stop = set(_STOPWORDS)
+    java_ws = re.compile(r"[ \t\n\x0b\f\r]+")
 
     def gen(batches):
         from collections import Counter
@@ -320,7 +327,7 @@ def _funnel_metrics_arrow(docs: DataFrame) -> DataFrame:
                 continue
             nws, mwls, stops, shares = [], [], [], []
             for s in pdf["text"]:
-                toks = (s or "").strip().lower().split()
+                toks = [x for x in java_ws.split((s or "").lower()) if x]
                 nw = len(toks)
                 nws.append(nw)
                 if nw == 0:

@@ -38,6 +38,7 @@ def _full_record(n_queries: int) -> dict:
         # diagnostics series that must NOT leak into the compact line
         "queries_isolated_median": timings,
         "queries_exec_only_median": timings,
+        "total_exec_only_median": round(sum(timings.values()), 3),
         "sigma": timings,
         "subtotals_median": {"r5_13q": 1.0},
         "noise_ratio": timings,
@@ -59,12 +60,14 @@ def test_compact_line_field_contract():
     out = _full_record(19)
     out["errors"] = {"broken_query": "ValueError: something long " * 20}
     c = bench.compact_line(out)
-    # exactly the r01-r08 driver-parsed surface (+ repeats/errors)
+    # exactly the r01-r08 driver-parsed surface (+ repeats/errors, and
+    # since r14 the contention-robust exec-only total)
     assert set(c) == {"metric", "value", "unit", "queries", "sf",
-                      "repeats", "errors"}
+                      "repeats", "errors", "total_exec_only_median"}
     assert c["value"] == out["value"]
     assert c["queries"] == out["queries"]
     assert c["sf"] == out["sf"]
+    assert c["total_exec_only_median"] == out["total_exec_only_median"]
     # error NAMES only — messages stay in the full record
     assert c["errors"] == ["broken_query"]
     # json round-trip (the driver does json.loads on the line)

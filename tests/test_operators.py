@@ -586,6 +586,71 @@ def test_minhash_features_consistent_with_sql_signatures(spark, sf_dir):
     assert (joined["n"] == joined["n_sql"]).all()
 
 
+def test_kernel_tokenization_matches_sql_on_non_ascii_whitespace(spark):
+    """r13 advice pin: the Python kernels mirror the house SQL
+    tokenization for ANY input, not just ASCII corpora. Java \\s+ (the
+    SQL split class) does NOT match Unicode whitespace like \\xa0 or
+    \\u2028, while Python str.split() does — the kernels must side with
+    the SQL form, so a document like 'a\\xa0b' is ONE token."""
+    from gan_deeplearning4j_spark.operators.dedup import (
+        minhash_features,
+        shingle_hashes,
+    )
+    from gan_deeplearning4j_spark.queries_r14 import _funnel_metrics_arrow
+
+    tricky = [
+        (1, "a\xa0b c"),            # nbsp: one java token "a\xa0b"
+        (2, "a\u2028b"),           # line separator: one token
+        (3, "x\tY\x0bz\r\nw"),      # every java \s char splits
+        (4, ""),                    # empty doc
+        (5, "   "),                 # spaces only
+        (6, "\tpad\t"),             # java-ws padding beyond trim's spaces
+        (7, None),                  # null text
+        (8, "Ça VA\xa0É"),          # non-ascii case + nbsp
+    ]
+    docs = spark.createDataFrame(tricky, "doc_id long, text string")
+
+    # funnel kernel nw == the SQL battery's token count, row for row.
+    # (NULL text: the kernel maps it to "" — nw 0 — while raw SQL yields
+    # NULL; both fail every funnel stage identically since count_if
+    # treats a NULL predicate as false, so the comparison coalesces.)
+    sql_nw = {
+        r["doc_id"]: r["nw"]
+        for r in docs.select(
+            "doc_id",
+            F.size(F.filter(
+                F.split(F.lower(F.trim(F.coalesce("text", F.lit("")))),
+                        r"\s+"),
+                lambda x: x != "",
+            )).cast("long").alias("nw"),
+        ).collect()
+    }
+    kern = _funnel_metrics_arrow(
+        docs.orderBy("doc_id").coalesce(1)
+    ).collect()
+    assert [r["nw"] for r in kern] == [
+        sql_nw[i] for i, _ in tricky
+    ], (kern, sql_nw)
+
+    # minhash featurize gram-set size == the SQL twin's, row for row
+    # (hash families differ by design; the tokenization must not)
+    np_sizes = {
+        r["doc_id"]: r["n"]
+        for r in minhash_features(docs, "text", "doc_id", num_hashes=4)
+        .select("doc_id", F.size("__sh").alias("n")).collect()
+    }
+    sql_sizes = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id",
+            F.size(shingle_hashes(
+                F.coalesce("text", F.lit(""))  # kernel maps NULL -> ""
+            )).alias("n"),
+        ).collect()
+    }
+    assert np_sizes == sql_sizes
+
+
 def test_minhash_features_deterministic_across_partitionings(spark, sf_dir):
     """crc32 token hashing is process- and layout-independent (Python's str
     hash would NOT be) — signatures must not change under repartition."""
