@@ -311,22 +311,29 @@ def embedding_neardup_lsh(
     (band_id, band_val) — never an all-pairs product; ``max_bucket`` caps
     degenerate buckets (e.g. all-zero vectors).
 
-    The verify is bucket-local: buckets are assembled JVM-side
-    (``collect_list`` of (id, vector) structs in the band-keyed
-    aggregate), singleton and over-``max_bucket`` buckets are dropped
-    BEFORE anything crosses to Python, and one ``mapInPandas`` pass
-    scores the surviving buckets — one numpy matmul per bucket, one
-    Arrow crossing per batch of buckets (r13 optimization pass, guide
-    §4). The previous ``applyInPandas`` form dispatched a pandas kernel
-    per GROUP, and with 32-bit band values nearly every bucket is a
-    singleton — at sf0.1 that was ~8k kernel dispatches to discard ~7k
-    empty groups (measured 1.6 -> 0.9 s for the pipeline; the house
-    lesson "applyInPandas dies on per-group overhead for many tiny
-    groups" applied to the one LSH path still using it). Per-bucket
-    memory is bounded by ``max_bucket``·dim doubles (~5 MB at the
-    defaults). A pair found by several bands scores bit-identically in
-    each (same subset math), and the groupBy(id_a, id_b) min collapses
-    it to one row either way."""
+    The verify is bucket-local: buckets are assembled JVM-side in ONE
+    band-keyed exchange — a count window over (band_id, band_val) drops
+    singleton and over-``max_bucket`` rows FIRST, then ``collect_list``
+    of (id, vector) structs over the same partitioning (no second
+    exchange: the aggregate reuses the window's clustering) builds only
+    the surviving buckets, and one ``mapInPandas`` pass scores them —
+    one numpy matmul per bucket, one Arrow crossing per batch of
+    buckets (r13/r14 optimization passes, guide §4/§5). The previous
+    ``applyInPandas`` form dispatched a pandas kernel per GROUP (~8k
+    dispatches to discard ~7k singletons at sf0.1; 1.6 -> 0.9 s fixed
+    in r13); the r13 ``collect_list``-then-filter form materialized a
+    degenerate hot bucket (e.g. a corpus slab of zero vectors) in full
+    inside ONE un-spillable aggregation buffer before the size filter
+    could drop it (the r13 verdict's residual §5 exposure). The window
+    operator buffers its partition in a spillable row array instead,
+    so executor memory is now bounded by ``max_bucket``·dim doubles
+    (~5 MB at the defaults) REGARDLESS of bucket skew — and the form
+    measured FASTER at bench scale (0.55 -> 0.45 s for the bucket
+    pipeline: singleton rows die before any list buffer exists, and
+    the map-side partial collect_list, pure overhead on almost-unique
+    band keys, is gone). A pair found by several bands scores
+    bit-identically in each (same subset math), and the
+    groupBy(id_a, id_b) min collapses it to one row either way."""
     import numpy as np
 
     v = df.select(F.col(id_col), as_double(F.col(vec_col)).alias("__v"))
@@ -336,10 +343,7 @@ def embedding_neardup_lsh(
     # CacheManager holds DataFrame caches until an explicit unpersist).
     # Band packing happens INSIDE the Arrow pass (hyperplane_band_vals_udf):
     # the former JVM-side acc*2+x fold over the bit array was bands x
-    # rows_per_band interpreted lambda evals per row. A pre-kernel
-    # singleton-bucket filter (count window over the band key) was ALSO
-    # tried and measured SLOWER than the collect_list form below — the
-    # window pass re-shuffles what the aggregate already groups.
+    # rows_per_band interpreted lambda evals per row.
     sig = v.withColumn(
         "__bv", hyperplane_band_vals_udf(dim, bands, rows_per_band)(F.col("__v"))
     )
@@ -347,10 +351,12 @@ def embedding_neardup_lsh(
         F.col(id_col).alias("__id"), "__v",
         F.posexplode("__bv").alias("band_id", "band_val"),
     )
+    wb = Window.partitionBy("band_id", "band_val")
     buckets = (
-        banded.groupBy("band_id", "band_val")
+        banded.withColumn("__n", F.count("*").over(wb))
+        .filter((F.col("__n") >= 2) & (F.col("__n") <= max_bucket))
+        .groupBy("band_id", "band_val")
         .agg(F.collect_list(F.struct("__id", "__v")).alias("items"))
-        .filter((F.size("items") >= 2) & (F.size("items") <= max_bucket))
         .select("items")
     )
 

@@ -119,6 +119,43 @@ def test_embedding_neardup_lsh_finds_planted_dups(spark):
     assert len(approx & planted) >= 8, approx
 
 
+def test_embedding_lsh_hot_bucket_bounded_before_materialization(spark):
+    """r13 verdict §5 exposure closed in r14: a degenerate corpus slab
+    whose vectors all share every band value (e.g. all-zero vectors)
+    must be dropped BEFORE bucket materialization — the size filter now
+    runs as a count window under the collect_list, so no aggregation
+    buffer ever holds more than max_bucket items (the window's own
+    partition buffer is spillable; collect_list's is not)."""
+    from gan_deeplearning4j_spark.operators.similarity import (
+        embedding_neardup_lsh,
+    )
+
+    dim = 8
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(2, dim))
+    rows = [(i, base[i % 2].tolist()) for i in range(4)]  # 2 planted pairs
+    # the slab: identical vectors -> identical band values, > max_bucket
+    rows += [(1000 + i, [0.5] * dim) for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+
+    out = embedding_neardup_lsh(
+        df, "vec", "id", dim=dim, threshold=0.9, bands=2, rows_per_band=4,
+        max_bucket=10,
+    )
+    # plan pin: the max_bucket filter sits BELOW the collect_list
+    # aggregate (filter-then-collect), not above it (collect-then-filter)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    agg_pos = plan.find("collect_list")
+    filt_pos = plan.find("<= 10)")
+    assert agg_pos != -1 and filt_pos != -1
+    assert filt_pos > agg_pos, plan  # deeper in the tree = printed later
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    # the slab contributed nothing (its bucket exceeded max_bucket);
+    # the planted near-identical pairs are still found
+    assert all(a < 1000 and b < 1000 for a, b in pairs), pairs
+    assert (0, 2) in pairs and (1, 3) in pairs, pairs
+
+
 def test_param_average_two_forms_agree(spark, sf_dir):
     """A1 equivalence (SURVEY §7 M3): posexplode/avg SQL form vs array-fold
     form must produce identical means."""
