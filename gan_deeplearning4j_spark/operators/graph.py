@@ -405,6 +405,7 @@ def co_purchase_pairs(lineitem: DataFrame, min_orders: int = 2) -> DataFrame:
 
 def katz_scores(
     pairs: DataFrame, a: str = "p1", b: str = "p2", iters: int = 3,
+    broadcast_nodes_max: int = 10_000_000, checkpoint_every: int = 8,
 ) -> DataFrame:
     """Katz centrality scores (Katz 1953) over one-directional pairs:
     score = 1e6 + (sum of neighbor scores) div 2 per iteration, exact
@@ -412,30 +413,61 @@ def katz_scores(
     Single definition shared by the registered query
     ``katz_centrality_fixed`` and the stress harness
     (scripts/stress_graph.py katz) so the certified and the stressed
-    code paths cannot drift. Scale shape: the undirected edge list is
-    materialized once; each iteration is one edge-keyed join + one
-    map-side-combinable aggregate."""
+    code paths cannot drift.
+
+    Scale shape (r14: the pagerank_fixed contract propagated — r13
+    verdict ask #8): the undirected edge list is materialized once,
+    its count observed during that job deciding the join strategy;
+    the O(nodes) score vector is broadcast into the per-iteration edge
+    join under ``broadcast_nodes_max`` (edge-count-tested — a free
+    conservative bound on nodes) with lineage left unmaterialized
+    between ``checkpoint_every`` rounds, and falls back to a shuffled
+    join with per-round checkpoints above it (an unmaterialized
+    shuffled-join chain re-derives prior rounds — the r6 4x lesson).
+    Round 1 is join-free: score_0 is the constant 1e6, so
+    score_1(u) = 1e6 + (deg(u)*1e6) div 2 straight off the edge list
+    (deg*1e6 is even, so div 2 is exact — identical to the summed
+    form)."""
     pr = pairs.select(F.col(a).alias("p1"), F.col(b).alias("p2"))
+    n_obs = Observation()
     e = pr.select(F.col("p1").alias("u"), F.col("p2").alias("v")).unionByName(
         pr.select(F.col("p2").alias("u"), F.col("p1").alias("v"))
-    ).localCheckpoint(eager=True)
-    x = e.select(F.col("u").alias("node")).distinct().withColumn(
-        "score", F.lit(1_000_000).cast("long")
-    )
-    for _ in range(iters):
-        x = (
-            e.join(x, e.v == x.node)
-            .groupBy(F.col("u").alias("node"))
-            .agg(
-                (F.lit(1_000_000) + F.expr("sum(score) div 2"))
+    ).observe(n_obs, F.count(F.lit(1)).alias("n")).localCheckpoint(eager=True)
+    if iters < 1:
+        return e.select(F.col("u").alias("node")).distinct().withColumn(
+            "score", F.lit(1_000_000).cast("long")
+        )
+    ckpt_every = checkpoint_every
+    if n_obs.get["n"] <= broadcast_nodes_max:
+        def score_join(vec: DataFrame) -> DataFrame:
+            return F.broadcast(vec)
+    else:
+        def score_join(vec: DataFrame) -> DataFrame:
+            return vec
+        ckpt_every = 1
+    x: DataFrame | None = None
+    for it in range(iters):
+        if x is None:
+            # score_0 == 1e6 everywhere: the neighbor-score sum is
+            # deg * 1e6, so round 1 is one aggregate over the edges
+            x = e.groupBy(F.col("u").alias("node")).agg(
+                (F.lit(1_000_000)
+                 + F.expr("(count(*) * 1000000) div 2"))
                 .cast("long").alias("score")
             )
-            # truncate lineage per round (same discipline as
-            # pagerank_fixed): without this, round k's plan carries k
-            # stacked joins and re-derives every prior round per action
-            # — r6 measured 4x wall-clock on exactly this shape
-            .localCheckpoint(eager=True)
-        )
+        else:
+            x = (
+                e.join(score_join(x), e.v == x.node)
+                .groupBy(F.col("u").alias("node"))
+                .agg(
+                    (F.lit(1_000_000) + F.expr("sum(score) div 2"))
+                    .cast("long").alias("score")
+                )
+            )
+        # truncate lineage on cadence (final round always materializes —
+        # same eager-iterative contract as pagerank_fixed)
+        if (it + 1) % ckpt_every == 0 or it == iters - 1:
+            x = x.localCheckpoint(eager=True)
     return x
 
 

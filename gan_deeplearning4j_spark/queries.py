@@ -26,6 +26,8 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .functions.money import cents_nonneg, cents_signed
+
 from .session import ensure_engine_conf
 from .io import load_table
 from .functions.elementwise import clip, sigmoid
@@ -448,15 +450,14 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
-    # floor(x + 0.5), not round(x, 0): Spark routes double round through
-    # a per-row BigDecimal (shortest-decimal) conversion — swapping the
-    # three per-row money rounds for the codegen-native floor dropped
-    # this aggregate from 1.28 s to 0.46 s at sf0.1 (r13 optimization
-    # pass, guide §1.2 per-task work). Identical to half-away-from-zero
-    # round for the NONNEGATIVE sub-2^52 money grid these columns live
-    # on (oracle-verified at all 3 SFs); do NOT use on signed values —
-    # floor(-2.0) = -2 but round(-2.5) = -3.
-    cents = lambda c: F.floor(c * 100 + F.lit(0.5))  # noqa: E731
+    # cents_nonneg = floor(x*100 + 0.5), not round(x*100, 0): Spark
+    # routes double round through a per-row BigDecimal (shortest-decimal)
+    # conversion — swapping the three per-row money rounds for the
+    # codegen-native floor dropped this aggregate from 1.28 s to 0.46 s
+    # at sf0.1 (r13 optimization pass, guide §1.2 per-task work; shared
+    # sign-guarded helper since r14 — see functions/money.py for the
+    # exact equivalence contract and the half-ulp caveat).
+    cents = cents_nonneg
     n = F.count("*")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
@@ -513,10 +514,10 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
     )
-    # floor(x + 0.5) over the nonnegative revenue grid — see q_tpch_q1's
-    # note on the BigDecimal cost of per-row double round
-    cents = F.floor(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    # sign-guarded codegen floor over the nonnegative revenue grid — see
+    # q_tpch_q1's note on the BigDecimal cost of per-row double round
+    cents = cents_nonneg(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
     )
     return (
         j.groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
@@ -571,10 +572,10 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
     )
-    # floor(x + 0.5) over the nonnegative revenue grid — see q_tpch_q1's
-    # note on the BigDecimal cost of per-row double round
-    cents = F.floor(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    # sign-guarded codegen floor over the nonnegative revenue grid — see
+    # q_tpch_q1's note on the BigDecimal cost of per-row double round
+    cents = cents_nonneg(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
     )
     return j.groupBy("n_name").agg(F.sum(cents).alias("revenue_c"))
 
@@ -797,8 +798,8 @@ def q_tpch_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.sum(
-                F.round(F.col("l_extendedprice") * F.col("l_discount") * 100, 0)
-                .cast("long")
+                cents_nonneg(
+                    F.col("l_extendedprice") * F.col("l_discount"))
             ).alias("revenue_c")
         )
     )
@@ -1215,7 +1216,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the r01 driver-red that "didn't reproduce" locally
     return sess.groupBy("user_id", "session_seq").agg(
         F.count("*").alias("n_events"),
-        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+        F.sum(cents_nonneg(F.col("value"))).alias(
             "sum_value_c"
         ),
     )

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .functions.money import cents_nonneg, cents_signed
+
 from .functions.windows import bounded_window
 from .functions.text import portable_hash60_sql
 from .operators.dedup import _P, shingle_hashes
@@ -213,7 +215,7 @@ def q_tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     small = li_b.join(lim, "l_partkey").filter(  # per-partkey agg grows with SF
         F.col("l_quantity") < F.col("qty_lim")
     )
-    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    cents = cents_nonneg(F.col("l_extendedprice"))
     return small.agg(
         F.floor(F.sum(cents) / 7.0).cast("long").alias("avg_yearly_cents")
     )
@@ -262,7 +264,7 @@ def q_tpch_q22_idle_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         # ~2-decimal so round(x*100) is engine-invariant, and the bigint sum
         # is then exact and summation-order-free (a floor(SUM(double)*100)
         # surrogate hit an ulp boundary across engines at sf0.01)
-        F.sum(F.round(F.col("c_acctbal") * 100, 0).cast("long")).alias(
+        F.sum(cents_signed(F.col("c_acctbal"))).alias(
             "totbal_cents"
         ),
     )
@@ -746,7 +748,7 @@ def q_salted_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey", "l_suppkey"
     )
     j = salted_join(li, sup, "l_suppkey", salt=8)
-    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    cents = cents_nonneg(F.col("l_extendedprice"))
     return j.groupBy("s_name").agg(
         F.count("*").alias("n_items"),
         F.sum(cents).alias("rev_cents"),
@@ -1023,7 +1025,7 @@ def q_tpch_q20_heavy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    cents = F.round(F.col("value") * 100, 0).cast("long")
+    cents = cents_nonneg(F.col("value"))
     return (
         ev.groupBy(
             "user_id", F.session_window("ts", "30 minutes").alias("w")
@@ -1219,7 +1221,7 @@ def q_events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", F.date_trunc("hour", F.col("ts")).alias("bar")
         )
         .agg(
-            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+            F.sum(cents_nonneg(F.col("value"))).alias(
                 "bar_value_c"
             )
         )
@@ -1288,7 +1290,7 @@ def q_events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stats_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     qty = F.col("l_quantity").cast("long")
-    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    cents = cents_nonneg(F.col("l_extendedprice"))
     s = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
         F.sum(qty).alias("sx"),
@@ -1929,7 +1931,7 @@ def q_merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Spark (BigDecimal) and DuckDB (numeric) round apart
     orders = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus",
-        F.round(F.col("o_totalprice") * 100, 0).cast("long")
+        cents_nonneg(F.col("o_totalprice"))
         .alias("o_total_c"),
     )
     bump = orders.filter(F.col("o_orderkey") % 7 == 0).select(
@@ -2084,7 +2086,7 @@ def q_interval_join_attribution_outer(
     out = purchase_click_attribution_outer(ev)
     return out.select(
         "purchase_id", "click_id", "user_id",
-        F.round(F.col("purchase_value") * 100, 0).cast("long")
+        cents_nonneg(F.col("purchase_value"))
         .alias("purchase_value_c"),
     )
 
@@ -2164,7 +2166,7 @@ def q_null_aware_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    cents = F.round(F.col("value") * 100, 0).cast("long")
+    cents = cents_nonneg(F.col("value"))
     seq = (
         ev.select(
             "user_id",
@@ -2662,7 +2664,7 @@ def q_twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select(
         "user_id", "event_id",
         F.expr("ts_nanos div 1000").alias("tus"),
-        F.round(F.col("value") * 100, 0).cast("long").alias("c"),
+        cents_nonneg(F.col("value")).alias("c"),
     )
     w = Window.partitionBy("user_id").orderBy("tus", "event_id")
     # weights in whole SECONDS: cents(1e4-scale) x seconds x 1e6 ppm stays
@@ -2722,7 +2724,7 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     ev = _t(spark, sf_dir, "events")
-    cents = F.round(F.col("value") * 100, 0).cast("long")
+    cents = cents_nonneg(F.col("value"))
     m = ev.groupBy("user_id").agg(
         F.max(F.expr("ts_nanos div 1000")).alias("last_us"),
         F.count("*").alias("freq"),
@@ -2837,7 +2839,7 @@ def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem").select(
         "l_returnflag",
-        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        cents_nonneg(F.col("l_extendedprice"))
         .alias("price_c"),
         F.col("l_quantity").cast("long").alias("qty"),
     )
@@ -2908,7 +2910,7 @@ def q_table_content_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     o_ser = F.concat_ws(
         "|",
         F.col("o_orderkey"), F.col("o_custkey"), F.col("o_orderstatus"),
-        F.round(F.col("o_totalprice") * 100, 0).cast("long"),
+        cents_nonneg(F.col("o_totalprice")),
     )
     c_ser = F.concat_ws(
         "|", F.col("c_custkey"), F.col("c_nationkey"), F.col("c_mktsegment")

@@ -15,6 +15,8 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .functions.money import cents_nonneg, cents_signed
+
 from .queries import _t
 
 # name -> (fn, oracle, headline, doc); materialized into the real registry
@@ -178,7 +180,7 @@ def q_salted_agg_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.relational import salted_twophase_agg
 
     ev = _t(spark, sf_dir, "events")
-    cents = F.round(F.col("value") * 100, 0).cast("long")
+    cents = cents_nonneg(F.col("value"))
     return salted_twophase_agg(
         ev, ["user_id"],
         {"cents": F.sum(cents)},
@@ -220,7 +222,7 @@ def q_range_frame_halo_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").withColumn(
         "ts_sec", F.expr("ts_nanos div 1000000000")
     )
-    cents = F.round(F.col("value") * 100, 0).cast("long")
+    cents = cents_nonneg(F.col("value"))
     framed = range_frame_sum_halo(
         ev, "user_id", "ts_sec", cents,
         frame=3600, chunk=7200, out_col="c1h",
@@ -535,7 +537,7 @@ def q_watermark_lateness_audit(spark: SparkSession,
 def q_cdc_net_effect_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("k"),
-        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        cents_nonneg(F.col("o_totalprice")).alias("cents"),
     )
     ins = orders.select(
         "k", F.lit(1).alias("seq"), F.lit("I").alias("op"),
@@ -977,7 +979,7 @@ def q_snapshot_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = _t(spark, sf_dir, "orders").select(
         "o_orderkey",
-        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("c"),
+        cents_nonneg(F.col("o_totalprice")).alias("c"),
         "o_orderdate",
     )
     early = orders.filter(F.col("o_orderdate") < "1995-07-01").drop(
@@ -1202,7 +1204,7 @@ def q_merkle_range_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = _t(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("k"),
         F.expr("o_orderkey div 500").alias("rng"),
-        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("c"),
+        cents_nonneg(F.col("o_totalprice")).alias("c"),
     )
     b = a.filter(F.col("k") % 1009 != 0).select(
         "k", "rng",

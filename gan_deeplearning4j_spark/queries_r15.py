@@ -32,6 +32,8 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .functions.money import cents_nonneg, cents_signed
+
 from .queries import _t
 
 STAGED: dict[str, tuple] = {}
@@ -599,7 +601,7 @@ def q_grouping_id_rollup_audit(
             F.grouping("l_linestatus").cast("long").alias("g_lstat"),
             F.expr("grouping_id()").cast("long").alias("gid"),
             F.count("*").cast("long").alias("n_rows"),
-            F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long"))
+            F.sum(cents_nonneg(F.col("l_extendedprice")))
             .cast("long").alias("cents"),
         )
         .select(
@@ -647,7 +649,7 @@ def q_xml_xpath_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     xml = F.concat(
         F.lit("<o><c>"),
-        F.round(F.col("o_totalprice") * 100, 0).cast("long").cast("string"),
+        cents_nonneg(F.col("o_totalprice")).cast("string"),
         F.lit("</c><s>"), F.col("o_orderstatus"), F.lit("</s></o>"),
     )
     parsed = o.select(

@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .functions.money import cents_nonneg, cents_signed
+
 from .functions.windows import bounded_window
 from .functions.text import portable_hash60, portable_hash60_sql
 from .queries import _t, register
@@ -127,7 +129,7 @@ def q_priority_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part").select(
         "p_partkey",
-        F.round(F.col("p_retailprice") * 100, 0).cast("long").alias("price_c"),
+        cents_nonneg(F.col("p_retailprice")).alias("price_c"),
         F.col("p_size").cast("long").alias("p_size"),
     )
     # -- stage 1: bucket prefilter (strictly-cheaper bucket => strictly
@@ -373,7 +375,7 @@ def q_segment_bitmask_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_zscore_outlier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select(
-        "event_type", F.round(F.col("value") * 100, 0).cast("long").alias("c")
+        "event_type", cents_nonneg(F.col("value")).alias("c")
     )
     s = ev.groupBy("event_type").agg(
         F.count("*").cast("decimal(38,0)").alias("n"),
@@ -543,7 +545,7 @@ def q_covariance_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_equi_depth_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").select(
         "o_orderpriority",
-        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("price_c"),
+        cents_nonneg(F.col("o_totalprice")).alias("price_c"),
     )
     # two-level cumulative decomposition (see mad_robust_scale): price
     # cents are near-unique, so a per-group cumsum over distinct values
@@ -931,7 +933,7 @@ def q_kneser_ney_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_running_balance_clamped(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    cents = F.round(F.col("value") * 100, 0).cast("long")
+    cents = cents_nonneg(F.col("value"))
     delta = F.when(
         F.col("event_type").isin("purchase", "signup"), cents
     ).otherwise(-cents)
@@ -1082,7 +1084,7 @@ def q_kn_doc_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    cents = F.round(F.col("value") * 100, 0).cast("long")
+    cents = cents_nonneg(F.col("value"))
     return (
         ev.select(
             (F.weekday("ts") + 1).cast("long").alias("dow"),
@@ -1374,7 +1376,7 @@ def q_gini_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey", "o_custkey")
         .agg(
             F.sum(
-                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+                cents_nonneg(F.col("o_totalprice"))
             ).alias("x")
         )
     )
@@ -1528,7 +1530,7 @@ def q_budget_allocation_hamilton(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(
             F.sum(
-                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+                cents_nonneg(F.col("o_totalprice"))
             ).alias("x")
         )
     )
@@ -1783,7 +1785,7 @@ def q_ses_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_winsorized_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").select(
         "o_orderpriority",
-        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("price_c"),
+        cents_nonneg(F.col("o_totalprice")).alias("price_c"),
     )
     # same two-level cumsum decomposition as equi_depth_boundaries
     agg = o.groupBy("o_orderpriority", "price_c").agg(
@@ -1882,7 +1884,7 @@ _BENFORD_PPM = [301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153,
 def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
     digit = F.substring(
-        F.round(F.col("o_totalprice") * 100, 0).cast("long").cast("string"),
+        cents_nonneg(F.col("o_totalprice")).cast("string"),
         1, 1,
     ).cast("long")
     c = o.select(digit.alias("digit")).groupBy("digit").agg(
@@ -2182,7 +2184,7 @@ _AGG_SPLIT = "TIMESTAMP '1997-01-01'"
 )
 def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
-    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    cents = cents_nonneg(F.col("o_totalprice"))
 
     def state(df):
         return df.groupBy("o_orderpriority").agg(
@@ -3022,7 +3024,7 @@ def q_phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_mad_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select(
         "l_returnflag",
-        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("x"),
+        cents_nonneg(F.col("l_extendedprice")).alias("x"),
     )
 
     def disc_median(df, val, out):
@@ -3196,7 +3198,7 @@ def q_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranked = o.select(
         "o_custkey", "o_orderkey",
-        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("price_c"),
+        cents_nonneg(F.col("o_totalprice")).alias("price_c"),
         F.row_number().over(w).alias("per_cust"),
     ).filter(F.col("per_cust") <= 3)
     return (
@@ -3404,7 +3406,7 @@ def q_events_resample_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = ev.groupBy(
         "user_id", F.date_trunc("hour", F.col("ts")).alias("bar")
     ).agg(
-        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("v")
+        F.sum(cents_nonneg(F.col("value"))).alias("v")
     )
     bounds = ev.groupBy("user_id").agg(
         F.date_trunc("hour", F.min("ts")).alias("t0"),
@@ -4170,7 +4172,7 @@ def q_hierarchical_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.sum(
-                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+                cents_nonneg(F.col("o_totalprice"))
             ).alias("rev_c")
         )
     )
@@ -4237,7 +4239,7 @@ def q_discounted_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("w0").alias("cohort_week"),
             (wk - F.col("w0")).alias("k"),
-            F.round(F.col("value") * 100, 0).cast("long").alias("c"),
+            cents_nonneg(F.col("value")).alias("c"),
         )
     )
     byk = spend.groupBy("cohort_week", "k").agg(
@@ -5427,7 +5429,7 @@ def q_lorenz_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     rev = o.groupBy("o_custkey").agg(
         F.sum(
-            F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            cents_nonneg(F.col("o_totalprice"))
         ).alias("x")
     )
     # two-level rank/cumsum decomposition (same trick as mad_robust_scale):

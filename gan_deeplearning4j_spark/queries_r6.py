@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .functions.money import cents_nonneg, cents_signed
+
 from .queries import _t, register
 
 # ---------------------------------------------------------------------------
@@ -569,7 +571,7 @@ def q_bom_explosion_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     part = _t(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("part"),
-        F.round(F.col("p_retailprice") * 100, 0).cast("long").alias("cost_c"),
+        cents_nonneg(F.col("p_retailprice")).alias("cost_c"),
     )
     edges = part.where(F.col("part") >= 10).select(
         "part", F.expr("part DIV 10").alias("parent"), "cost_c"

@@ -25,6 +25,8 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .functions.money import cents_nonneg, cents_signed
+
 from .functions.windows import bounded_window
 from .queries import _t
 
@@ -215,7 +217,7 @@ def q_target_encode_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     oc = _t(spark, sf_dir, "orders").select(
         "o_custkey",
-        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        cents_nonneg(F.col("o_totalprice")).alias("cents"),
     )
     per = (
         oc.join(cust, oc.o_custkey == cust.c_custkey)
@@ -494,7 +496,7 @@ def q_gap_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_null_safe_join_eqnullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer").select(
         F.expr("nullif(c_mktsegment, 'BUILDING')").alias("k"),
-        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("cents"),
+        cents_signed(F.col("c_acctbal")).alias("cents"),
     )
     dim = spark.createDataFrame(
         [("AUTOMOBILE", "automobile"), ("MACHINERY", "machinery"),
@@ -708,7 +710,7 @@ def q_changepoint_single_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
         .alias("day")
     ).agg(
-        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        F.sum(cents_nonneg(F.col("o_totalprice")))
         .cast("long").alias("c"))
     w = bounded_window("day")
     cum = daily.select(
@@ -788,7 +790,7 @@ def q_bootstrap_ci_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     B = _BOOT_B
     oc = _t(spark, sf_dir, "orders").select(
         "o_orderkey",
-        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"))
+        cents_nonneg(F.col("o_totalprice")).alias("cents"))
     res = (
         oc.withColumn("b", F.explode(F.sequence(F.lit(0), F.lit(B - 1))))
         .where(
@@ -1287,7 +1289,7 @@ def q_xml_roundtrip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("<o><k>"), F.col("o_orderkey").cast("string"),
             F.lit("</k><p>"), F.col("o_orderpriority"),
             F.lit("</p><t>"),
-            F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            cents_nonneg(F.col("o_totalprice"))
             .cast("string"),
             F.lit("</t></o>"),
         ).alias("xml"))
@@ -1477,7 +1479,7 @@ def q_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.col("o_orderdate").cast("date"),
                    F.lit("1970-01-01").cast("date")).alias("day")
     ).agg(
-        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        F.sum(cents_nonneg(F.col("o_totalprice")))
         .cast("long").alias("cents")
     )
     a = d.select(F.col("day").alias("da"), F.col("cents").alias("ca"))
@@ -1633,7 +1635,7 @@ def q_iso_week_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").cast("long").alias("n_orders"),
-            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            F.sum(cents_nonneg(F.col("o_totalprice")))
             .cast("long").alias("cents"),
         )
         .select(
@@ -2268,26 +2270,36 @@ def q_k_core_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p1", "p2")
         .localCheckpoint(eager=True)
     )
+    # per round, the peel-set emptiness and the edge-set emptiness ride
+    # their checkpoint jobs as observed metrics (r14: the separate
+    # limit/count probes were 4 extra jobs per peeling round — ~40 jobs
+    # over the data-driven ~10 rounds at sf0.1)
+    from pyspark.sql import Observation
+
     for _ in range(100):  # safety cap far above the data-driven ~10 rounds
         und = edges.select(F.col("p1").alias("node")).union(
             edges.select(F.col("p2").alias("node"))
         )
+        n_bad = Observation()
         bad = (
             und.groupBy("node").agg(F.count("*").alias("deg"))
             .filter(F.col("deg") < _KCORE_K)
             .select("node")
+            .observe(n_bad, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
-        if bad.limit(1).count() == 0:
+        if n_bad.get["n"] == 0:
             break
+        n_edges = Observation()
         edges = (
             edges.join(
                 bad.withColumnRenamed("node", "p1"), "p1", "left_anti"
             )
             .join(bad.withColumnRenamed("node", "p2"), "p2", "left_anti")
+            .observe(n_edges, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
-        if edges.limit(1).count() == 0:
+        if n_edges.get["n"] == 0:
             break
     und = edges.select(F.col("p1").alias("node")).union(
         edges.select(F.col("p2").alias("node"))
@@ -2844,7 +2856,7 @@ def q_weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "customer").select("c_mktsegment", "c_custkey",
                                              "c_acctbal"),
         "c_custkey",
-        F.round(F.col("c_acctbal") * 100, 0).cast("long") + 100001,
+        cents_signed(F.col("c_acctbal")) + 100001,
     )
     r = k.withColumn(
         "rank",
@@ -3072,7 +3084,7 @@ def q_lang_source_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "orders").select(
         F.substring(
-            F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            cents_nonneg(F.col("o_totalprice"))
             .cast("string"), 1, 1
         ).cast("long").alias("digit")
     )
@@ -3228,7 +3240,7 @@ def q_snapshot_time_travel_audit(spark: SparkSession,
             agg = t.read(spark, h["version"]).agg(
                 F.count("*").cast("long").alias("n"),
                 F.sum(
-                    F.round(F.col("o_totalprice") * 100, 0).cast("long")
+                    cents_nonneg(F.col("o_totalprice"))
                 ).cast("long").alias("cents"),
             ).collect()[0]
             rows.append(

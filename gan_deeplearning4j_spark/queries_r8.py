@@ -14,6 +14,8 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .functions.money import cents_nonneg, cents_signed
+
 from .queries import _t
 
 # name -> (fn, oracle, headline, doc); materialized into the real registry
@@ -817,7 +819,7 @@ def q_gap_fill_locf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count("*").cast("long").alias("n_orders"),
         F.sum(
-            F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            cents_nonneg(F.col("o_totalprice"))
         ).cast("long").alias("cents"),
     )
     bounds = d.agg(
@@ -977,7 +979,7 @@ def q_percentile_cont_quartiles(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "lineitem").select(
         "l_returnflag",
-        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        cents_nonneg(F.col("l_extendedprice"))
         .alias("cents"),
     )
     pct = F.percentile(F.col("cents"), F.array(
@@ -1407,7 +1409,7 @@ def q_cuped_variance_reduction(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     split = F.lit("2024-01-16").cast("timestamp")
-    cents = F.round(F.col("value") * 100, 0).cast("long")
+    cents = cents_nonneg(F.col("value"))
     u = ev.groupBy("user_id").agg(
         F.sum(F.when(F.col("ts") < split, cents).otherwise(0)).cast("long")
         .alias("x"),
@@ -2343,7 +2345,7 @@ def q_stl_lite_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = o.groupBy(
         F.col("o_orderdate").cast("date").alias("day")
     ).agg(
-        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        F.sum(cents_nonneg(F.col("o_totalprice")))
         .cast("long").alias("cents")
     )
     w7 = bounded_window().orderBy("day").rowsBetween(-3, 3)
@@ -2934,7 +2936,7 @@ def q_price_index_fisher(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").alias("part"),
         F.year(F.col("l_shipdate").cast("date")).cast("long").alias("y"),
     ).agg(
-        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long"))
+        F.sum(cents_nonneg(F.col("l_extendedprice")))
         .cast("long").alias("c"),
         F.sum(F.round(F.col("l_quantity"), 0).cast("long")).cast("long")
         .alias("q"),
@@ -3141,7 +3143,7 @@ def q_ransac_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.col("o_orderdate").cast("date"),
                    F.lit("1970-01-01").cast("date")).cast("long").alias("x")
     ).agg(
-        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        F.sum(cents_nonneg(F.col("o_totalprice")))
         .cast("long").alias("y")
     )
     w = bounded_window().orderBy("x")
@@ -3506,7 +3508,7 @@ def q_max_drawdown_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.col("o_orderdate").cast("date"),
                    F.lit("1970-01-01").cast("date")).alias("day")
     ).agg(
-        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        F.sum(cents_nonneg(F.col("o_totalprice")))
         .cast("long").alias("cents")
     )
     wc = bounded_window(F.col("day")).rowsBetween(
@@ -3573,7 +3575,7 @@ def q_ordinal_pattern_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.col("o_orderdate").cast("date"),
                    F.lit("1970-01-01").cast("date")).alias("day")
     ).agg(
-        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        F.sum(cents_nonneg(F.col("o_totalprice")))
         .cast("long").alias("r0")
     )
     bw = bounded_window(F.col("day"))
@@ -3697,7 +3699,7 @@ def q_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderpriority") == "1-URGENT").cast("long").alias("treat"),
         (F.col("o_orderdate") >= "1996-01-01").cast("long").alias("post"),
     ).agg(
-        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        F.sum(cents_nonneg(F.col("o_totalprice")))
         .cast("long").alias("cents"),
         F.count("*").cast("long").alias("n"),
     )

@@ -16,6 +16,8 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .functions.money import cents_nonneg, cents_signed
+
 from .queries import _t
 
 # name -> (fn, oracle, headline, doc); materialized into the real registry
@@ -274,7 +276,7 @@ def q_stratified_ate_adjustment(
     c = _t(spark, sf_dir, "customer").select(
         F.col("c_nationkey").alias("stratum"),
         (F.col("c_mktsegment") == "BUILDING").cast("long").alias("treat"),
-        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("y_cents"),
+        cents_signed(F.col("c_acctbal")).alias("y_cents"),
     )
     cell = c.groupBy("stratum", "treat").agg(
         F.count("*").cast("long").alias("n"),
@@ -2786,8 +2788,8 @@ def q_ljung_box_whiteness(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_decision_stump_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select(
         F.col("l_quantity").alias("qty"),
-        F.round(F.col("l_discount") * 100, 0).cast("long").alias("disc_c"),
-        F.round(F.col("l_tax") * 100, 0).cast("long").alias("tax_c"),
+        cents_nonneg(F.col("l_discount")).alias("disc_c"),
+        cents_nonneg(F.col("l_tax")).alias("tax_c"),
         F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
     )
     cand = spark.createDataFrame(
