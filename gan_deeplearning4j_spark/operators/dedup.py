@@ -804,18 +804,19 @@ def connected_components(
     n_und = Observation()
     und = e.union(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).observe(n_und, F.count(F.lit(1)).alias("n")).localCheckpoint(eager=True)
+    ).observe(
+        n_und, F.approx_count_distinct("a").alias("n")
+    ).localCheckpoint(eager=True)
     # The label table and the per-round neighbor-min table are both
     # O(nodes) — broadcast them into the round's two joins while they fit
     # an executor, shuffled joins above the threshold (the same
     # automatic-fallback contract as pagerank_fixed's rank join). The
-    # threshold tests the CHECKPOINTED undirected edge count (observed
-    # during the checkpoint job itself — no separate count job), a free
-    # upper bound on the node count (every node is incident to an edge
-    # here), so no extra distinct-count job is spent on the decision.
-    # Note the conservative side of that bound: a dense graph whose
-    # NODES fit the threshold but whose edges exceed it silently takes
-    # the shuffled path — correct, just not broadcast-fast.
+    # threshold tests the NODE count (approx_count_distinct observed
+    # during the checkpoint job itself — no separate job): r13 tested
+    # the edge count as a free conservative bound, and the r14 sf1 spot
+    # bench showed that conservatism is a cliff on dense graphs (edges
+    # past the threshold with nodes far below it silently fell onto the
+    # shuffled path — pagerank measured 27 s vs ~4 s for exactly this).
     # Measured at sf0.1 (256-edge dup graph, 2 rounds): 1.11 -> 0.85 s
     # for the CC loop — at that scale the win is all removed
     # exchange/task overhead; at 100 TB the broadcast skips shuffling

@@ -44,11 +44,10 @@ def pagerank_fixed(
     memory-bound.
 
     Iterations: rank_{k} is broadcast into the edge join while the node
-    count fits ``broadcast_nodes_max`` (exact count, collected as an
-    ``observe`` metric DURING the prep checkpoint job — no separate
-    count job; note the threshold is tested against the undirected
-    EDGE count, a free conservative upper bound on the node count, so
-    dense graphs fall back earlier than the parameter name suggests),
+    count fits ``broadcast_nodes_max`` (approx_count_distinct collected
+    as an ``observe`` metric DURING the prep checkpoint job — no
+    separate count job, and no dense-graph cliff: the r13 edge-count
+    bound silently shuffled graphs whose nodes fit the threshold),
     and the per-iteration lineage is left UNmaterialized between
     checkpoints — each broadcast build materializes its level exactly
     once inside the single final job chain, so intermediate
@@ -74,20 +73,22 @@ def pagerank_fixed(
     und = e.union(
         e.select(F.col("d").alias("s"), F.col("s").alias("d"))
     ).repartition("s").dropDuplicates(["s", "d"])
-    # the undirected edge count decides the join strategy below; it is
-    # observed inside the checkpoint job itself (r14: the separate
-    # count-on-checkpointed job was pure scheduling overhead)
+    # the NODE count decides the join strategy below (the rank table
+    # being broadcast is O(nodes)); approx_count_distinct rides the
+    # checkpoint job as an observed metric, so the decision costs no
+    # job AND no longer falls off a cliff on dense graphs. (r13 tested
+    # the edge count as a free upper bound on nodes — the r14 sf1 spot
+    # bench caught the cliff that conservatism hides: a 10x scale-up
+    # pushed 12M edges past the 10M threshold with only ~1.1M nodes,
+    # silently taking the shuffled + checkpoint-every-round path at
+    # 27 s vs ~4 s broadcast. ±2% HLL error is irrelevant against an
+    # order-of-magnitude memory threshold.)
     n_und = Observation()
     und_deg = und.withColumn(
         "deg", F.count("*").over(Window.partitionBy("s"))
-    ).observe(n_und, F.count(F.lit(1)).alias("n")).localCheckpoint(eager=True)
-    # the rank table is O(nodes) — broadcast it into the per-iteration
-    # edge join while it fits an executor, plain shuffled join above the
-    # threshold (same automatic-fallback contract as hits_fixed). The
-    # threshold tests the CHECKPOINTED undirected edge count — a free
-    # upper bound on the node count (every node appears as `s` in the
-    # undirected list), so no distinct-count job is spent on the
-    # decision (same discipline as connected_components).
+    ).observe(
+        n_und, F.approx_count_distinct("s").alias("n")
+    ).localCheckpoint(eager=True)
     ckpt_every = checkpoint_every
     if n_und.get["n"] <= broadcast_nodes_max:
         def rank_join(vec: DataFrame) -> DataFrame:
@@ -160,21 +161,28 @@ def ppr_fixed(
     und = e.union(
         e.select(F.col("d").alias("s"), F.col("s").alias("d"))
     ).repartition("s").dropDuplicates(["s", "d"])
+    # the seed (max-degree node, ties by node asc) rides the prep
+    # checkpoint as an observed lexicographic max over (deg, -s) — the
+    # former groupBy + orderBy + limit(1) + checkpoint seed job chain
+    # was pure scheduling overhead (r14; node ids are nonnegative in
+    # every caller, and an exotic negative id would fail loudly in the
+    # ANSI negation rather than mis-seed)
+    seed_obs = Observation()
     und_deg = und.withColumn(
         "deg", F.count("*").over(Window.partitionBy("s"))
+    ).observe(
+        seed_obs,
+        F.max(F.struct(F.col("deg").alias("dg"),
+                       (-F.col("s")).alias("ns"))).alias("mx"),
     ).localCheckpoint(eager=True)
+    seed_node = -seed_obs.get["mx"]["ns"]
+    seed = F.lit(seed_node).cast("long")
     # node count observed during the nodes checkpoint job itself (r14:
     # no separate count job — same discipline as pagerank_fixed)
     n_obs = Observation()
     nodes = (
         und_deg.select(F.col("s").alias("node")).distinct()
         .observe(n_obs, F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=True)
-    )
-    seed = (
-        und_deg.groupBy("s").agg(F.max("deg").alias("dg"))
-        .orderBy(F.desc("dg"), "s").limit(1)
-        .select(F.col("s").alias("seed_node"))
         .localCheckpoint(eager=True)
     )
     if n_obs.get["n"] <= broadcast_nodes_max:
@@ -190,11 +198,9 @@ def ppr_fixed(
     for it in range(iters):
         if ranks is None:
             # rank_0 is zero everywhere except the seed: the first rank
-            # join degenerates to a 1-row broadcast filter on the seed's
-            # edges — no O(nodes) rank_0 table is ever built (r14)
-            contrib = und_deg.join(
-                F.broadcast(seed), und_deg.s == F.col("seed_node")
-            ).select(
+            # join degenerates to a filter on the seed's edges — no
+            # O(nodes) rank_0 table is ever built (r14)
+            contrib = und_deg.filter(F.col("s") == seed).select(
                 F.col("d"), F.expr(f"{PR_SCALE} div deg").alias("c")
             )
         else:
@@ -211,11 +217,10 @@ def ppr_fixed(
         # under broadcast mode exactly as in pagerank_fixed
         ranks = (
             nodes.join(rank_join(inflow), nodes.node == inflow.d, "left")
-            .crossJoin(F.broadcast(seed))
             .select(
                 "node",
                 (
-                    F.when(F.col("node") == F.col("seed_node"),
+                    F.when(F.col("node") == seed,
                            F.lit(base)).otherwise(F.lit(0))
                     + F.coalesce(F.col("flow"), F.lit(0))
                 ).cast("long").alias("rank"),
@@ -429,10 +434,15 @@ def katz_scores(
     (deg*1e6 is even, so div 2 is exact — identical to the summed
     form)."""
     pr = pairs.select(F.col(a).alias("p1"), F.col(b).alias("p2"))
+    # node count (the broadcast vector is O(nodes)), observed during the
+    # materialization job — see pagerank_fixed on why the threshold must
+    # test nodes, not the conservative edge-count bound
     n_obs = Observation()
     e = pr.select(F.col("p1").alias("u"), F.col("p2").alias("v")).unionByName(
         pr.select(F.col("p2").alias("u"), F.col("p1").alias("v"))
-    ).observe(n_obs, F.count(F.lit(1)).alias("n")).localCheckpoint(eager=True)
+    ).observe(
+        n_obs, F.approx_count_distinct("u").alias("n")
+    ).localCheckpoint(eager=True)
     if iters < 1:
         return e.select(F.col("u").alias("node")).distinct().withColumn(
             "score", F.lit(1_000_000).cast("long")
