@@ -175,7 +175,11 @@ def ppr_fixed(
         F.max(F.struct(F.col("deg").alias("dg"),
                        (-F.col("s")).alias("ns"))).alias("mx"),
     ).localCheckpoint(eager=True)
-    seed_node = -seed_obs.get["mx"]["ns"]
+    mx = seed_obs.get["mx"]
+    # empty edge list: no seed exists — the NULL literal makes every
+    # seed comparison false, reproducing the pre-r14 empty-result
+    # behavior (empty nodes table -> empty ranks) instead of crashing
+    seed_node = -mx["ns"] if mx is not None else None
     seed = F.lit(seed_node).cast("long")
     # node count observed during the nodes checkpoint job itself (r14:
     # no separate count job — same discipline as pagerank_fixed)

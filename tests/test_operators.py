@@ -119,6 +119,29 @@ def test_embedding_neardup_lsh_finds_planted_dups(spark):
     assert len(approx & planted) >= 8, approx
 
 
+def test_iterative_graph_ops_tolerate_empty_edge_lists(spark):
+    """r14 pin: the observed-metric rewrites (seed/threshold/convergence
+    riding checkpoint jobs) must keep the pre-r14 empty-input contract —
+    empty result, no crash (ppr's observed seed max is NULL on an empty
+    edge list)."""
+    from gan_deeplearning4j_spark.operators.dedup import connected_components
+    from gan_deeplearning4j_spark.operators.graph import (
+        katz_scores,
+        pagerank_fixed,
+        ppr_fixed,
+    )
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert ppr_fixed(empty).count() == 0
+    assert pagerank_fixed(empty).count() == 0
+    assert katz_scores(
+        spark.createDataFrame([], "p1 long, p2 long")
+    ).count() == 0
+    assert connected_components(
+        spark.createDataFrame([], "id_a long, id_b long")
+    ).count() == 0
+
+
 def test_embedding_lsh_hot_bucket_bounded_before_materialization(spark):
     """r13 verdict §5 exposure closed in r14: a degenerate corpus slab
     whose vectors all share every band value (e.g. all-zero vectors)
