@@ -15,7 +15,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .functions.money import cents_nonneg, cents_signed
+from .functions.money import cents_nonneg
 
 from .queries import _t
 

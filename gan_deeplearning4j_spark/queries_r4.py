@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .functions.money import cents_nonneg, cents_signed
+from .functions.money import cents_nonneg
 
 from .functions.windows import bounded_window
 from .functions.text import portable_hash60, portable_hash60_sql
