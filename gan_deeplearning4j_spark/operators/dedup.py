@@ -1117,18 +1117,40 @@ def dedup_clusters(
             .filter(F.col("jaccard") >= threshold)
         )
     else:
-        cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands)
-        # NOT pruned to candidate ids before the verify: an A/B at sf0.1
-        # (r13 optimization pass) measured the "semi-join docs down to
-        # pair ids, then shingle" form SLOWER (1.55 -> 1.71 s median for
-        # the edge build) — the extra checkpoint + semi-join stages cost
-        # more than the avoided shingle work at any SF the bench sees.
-        # On a cluster where candidate docs are a vanishing fraction of
-        # the corpus the prune becomes the right call; see
-        # OPTIMIZATION_r13.md for the recorded experiment.
-        pairs = ngram_jaccard(cands, df, text_col, id_col).filter(
-            F.col("jaccard") >= threshold
+        # ONE featurize pass serves candidate generation AND the verify
+        # (r14, the minhash_dedup shape adopted): the former form
+        # re-shingled the corpus with STRING shingles for the Jaccard
+        # verify — a second pass of interpreted zip_with chains over
+        # text — while the featurize kernel had already computed each
+        # doc's distinct gram-hash set. Jaccard over the hashed sets is
+        # value-identical up to hash collisions (~n²/2³¹ per pair;
+        # verified exactly equal — sets AND values — at sf0.1, and the
+        # full oracle replica pins the cluster output at 3 SFs). Edge
+        # build measured 1.57 -> 1.23 s at sf0.1.
+        # Still NOT pruned to candidate ids before the verify: the r13
+        # A/B measured the semi-join prune slower at every bench SF
+        # (1.55 -> 1.71 s); on a cluster where candidate docs are a
+        # vanishing fraction of the corpus the prune becomes the right
+        # call — see OPTIMIZATION_r13.md for the recorded experiment.
+        feats = minhash_features(
+            df, text_col, id_col, num_hashes
+        ).localCheckpoint(eager=True)
+        cands = minhash_lsh_candidates(
+            df, text_col, id_col, num_hashes, bands, features=feats
         )
+        sh = feats.select(F.col(id_col).alias("__id"), "__sh")
+        j = (
+            cands
+            .join(sh.withColumnsRenamed({"__id": "id_a", "__sh": "sh_a"}),
+                  "id_a")
+            .join(sh.withColumnsRenamed({"__id": "id_b", "__sh": "sh_b"}),
+                  "id_b")
+        )
+        inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+        pairs = j.select(
+            "id_a", "id_b", (inter / union).alias("jaccard")
+        ).filter(F.col("jaccard") >= threshold)
     comp = connected_components(pairs, "id_a", "id_b", max_iter, mode=cc_mode)
     # size via a count window: one comp-keyed shuffle instead of a
     # groupBy + join-back pair over the same key
