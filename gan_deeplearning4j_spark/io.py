@@ -29,6 +29,31 @@ TABLES = (
     "embeddings",
 )
 
+# Inferred parquet schema per (sf_dir, table) — METADATA only, never data.
+# A bare ``spark.read.parquet(path)`` runs a schema-inference job (a footer
+# read through the executor pool) on EVERY call; each query fn() loads 1-3
+# tables, so that job was paid once per table per query construction — the
+# bulk of the bench's measured construction_share on declarative queries
+# (~0.6 s/call under load, guide §5: the driver should do almost no work).
+# The first load of a table still infers from the parquet footers (nothing
+# is assumed about the input); later loads pass the schema explicitly,
+# which skips only the re-inference of bytes that cannot have changed
+# (the corpus dirs are immutable inputs). Keyed by the sf_dir string so
+# different scale factors / scratch corpora never share an entry. Schemas
+# are session-independent Python objects, so a foreign session (the
+# verification driver's) hits the same cache safely.
+_SCHEMA_CACHE: dict[tuple[str, str], T.StructType] = {}
+
+
+def _read_parquet(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (sf_dir, name)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        _SCHEMA_CACHE[key] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(f"{sf_dir}/{name}.parquet")
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """S1/S2-equivalent scan: columnar Parquet with pushdown-friendly layout.
@@ -43,7 +68,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_engine_conf(spark)
     if name == "events":
         return load_events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _read_parquet(spark, sf_dir, name)
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -61,8 +86,10 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .session import ensure_engine_conf
 
     ensure_engine_conf(spark)
+    # set BEFORE the first (schema-inferring) read: the cached schema must
+    # be the one this conf produces (TIMESTAMP(NANOS) reads as long)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = _read_parquet(spark, sf_dir, "events")
     ts_type = df.schema["ts"].dataType.typeName()
     if ts_type in ("long", "bigint"):
         # integer div, not /1000: double division of ~1.7e18-ns longs exceeds

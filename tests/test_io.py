@@ -237,3 +237,30 @@ def test_python_streaming_datasource_matches_batch(spark, tmp_path):
     rd = SynthQuadraticStreamReader()
     replay = list(rd.readBetweenOffsets({"pos": 2500}, {"pos": 5000}))
     assert replay == [(i, (i * i) % 97) for i in range(2500, 5000)]
+
+
+def test_schema_cache_skips_reinference_and_stays_value_identical(spark, sf_dir):
+    """The per-(sf_dir, table) schema memo (io._SCHEMA_CACHE) must change
+    NOTHING about what load_table returns: same schema, same rows, and a
+    fresh DataFrame object per call (two loads of one table must stay
+    join-compatible, never one shared plan node). The cache's effect is
+    driver-side only — a warm entry removes the schema-inference job that
+    a bare spark.read.parquet runs per call (guide §5)."""
+    import gan_deeplearning4j_spark.io as io
+
+    for name in ("lineitem", "events"):
+        io._SCHEMA_CACHE.pop((sf_dir, name), None)
+        a = io.load_table(spark, sf_dir, name)      # infers + populates
+        assert (sf_dir, name) in io._SCHEMA_CACHE
+        b = io.load_table(spark, sf_dir, name)      # cached-schema path
+        assert a is not b
+        assert a.schema == b.schema
+        key = a.columns[0]
+        ra = a.orderBy(key).limit(25).collect()
+        rb = b.orderBy(key).limit(25).collect()
+        assert ra == rb
+
+    # two loads of the same table must still self-join without ambiguity
+    x = io.load_table(spark, sf_dir, "nation")
+    y = io.load_table(spark, sf_dir, "nation")
+    assert x.join(y, x.n_nationkey == y.n_nationkey).count() == x.count()
