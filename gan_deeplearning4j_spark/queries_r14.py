@@ -514,6 +514,85 @@ def _gram13_sql(who: str) -> str:
     """
 
 
+def _gram13_train_kernel(with_doc: bool):
+    """``mapInArrow`` generator emitting the corpus side's raw 13-grams —
+    the vectorized twin of ``explode(_gram13_expr())`` over ``_tokens``,
+    RELATION-IDENTICAL to it (same multiset of rows, pinned by the A/B
+    and the oracle gates), for the train split that scales with the
+    corpus (guide §4.2: the higher-order ``transform(sequence, i ->
+    array_join(slice(t, i, 13)))`` chain is CodegenFallback — interpreted
+    per position, ~40-55% of the audit's exec at sf0.1).
+
+    Inside one batch: trim + RE2 split on the exact Java ``\\s`` class
+    (the class-split parity with the JVM regex is pinned by the funnel
+    kernel's property test), empty tokens dropped (= the ``x != ''``
+    filter), tokens lowercased per DISTINCT token via
+    ``dictionary_encode`` with Python ``str.lower`` — equivalent to
+    lowering the whole string first, since Unicode lowercase never
+    produces or consumes a split-class or trim-class character — then
+    every 13-gram string built in ONE ``binary_join_element_wise`` over
+    13 shifted slices of the flat token buffer, masked at document
+    boundaries. Raw grams out (no per-batch dedup): bit-identical to the
+    explode, and the post-join distinct aggregates absorb duplicates
+    exactly as before. The bench split stays on the JVM expression —
+    it is small by contract and its two consumers must stay
+    byte-identical subtrees for the runtime ReusedExchange."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = _CONTAM_N
+
+    def gen(batches):
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            txt = pc.fill_null(batch.column(1 if with_doc else 0), "")
+            toks = pc.split_pattern_regex(
+                pc.utf8_trim(txt, " "), "[ \t\n\x0b\f\r]+"
+            )
+            lens = pc.list_value_length(toks).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            flat = pc.list_flatten(toks)
+            nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+            doc_of_all = np.repeat(np.arange(len(lens)), lens)
+            new_lens = np.bincount(
+                doc_of_all[nonempty], minlength=len(lens)
+            ).astype(np.int64)
+            flat = flat.filter(pa.array(nonempty))
+            m = len(flat)
+            if m < n:
+                continue
+            enc = flat.dictionary_encode()
+            low = pa.array(
+                [t.lower() for t in enc.dictionary.to_pylist()],
+                type=pa.string(),
+            )
+            flat = low.take(enc.indices)
+            starts = np.zeros(len(new_lens), dtype=np.int64)
+            np.cumsum(new_lens[:-1], out=starts[1:])
+            doc_of = np.repeat(np.arange(len(new_lens)), new_lens)
+            parts = [flat.slice(k, m - n + 1) for k in range(n)]
+            grams = pc.binary_join_element_wise(*parts, " ")
+            pos = np.arange(m - n + 1)
+            d = doc_of[: m - n + 1]
+            # keep position i iff the whole window sits inside doc d
+            # (docs shorter than n have len-n < 0 and keep no position)
+            keep = (pos - starts[d]) <= (new_lens[d] - n)
+            kept = grams.filter(pa.array(keep))
+            if with_doc:
+                ids = batch.column(0).to_numpy(zero_copy_only=False)[d[keep]]
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(ids, type=pa.int64()), kept],
+                    names=["doc_id", "g"],
+                )
+            else:
+                yield pa.RecordBatch.from_arrays([kept], names=["g"])
+
+    return gen
+
+
 def _gram13_expr():
     """Exploded 13-gram column over ``t`` — transform over an index
     sequence with a BOUNDED slice(t, i, 13) per element. The per-element
@@ -605,17 +684,24 @@ def q_contamination_13gram_audit(
         .filter(F.col("g").isNotNull())
         .distinct()
     )
-    # train side: RAW exploded grams, no distinct. The r12 form paid the
+    # train side: RAW grams, no distinct. The r12 form paid the
     # query's only corpus-scale shuffle here (a full g-distinct exchange
     # of every train gram) to keep the join from amplifying — but the
     # countDistinct(g) below already collapses duplicate matches in its
     # map-side partial aggregate, so the join result is identical and the
-    # train side now flows scan -> explode -> broadcast-probe -> partial
+    # train side flows scan -> gram kernel -> broadcast-probe -> partial
     # distinct-agg with ZERO exchanges (guide §2.3 "aggregate before you
     # shuffle" / §2.4 "remove shuffles outright"). At 100 TB this deletes
     # the one shuffle that scaled with the corpus; what crosses the wire
     # is only the per-map-partition-distinct (bench_doc, g) matches.
-    train_raw = toks.filter(~is_bench).select(_gram13_expr().alias("g"))
+    # Gram construction itself is the vectorized Arrow kernel (r14,
+    # guide §4.2) — relation-identical to explode(_gram13_expr());
+    # the doc_id split filter stays ABOVE the scan so pushdown is kept,
+    # and only `text` crosses the Python boundary.
+    train_raw = (
+        docs.filter(~is_bench).select("text")
+        .mapInArrow(_gram13_train_kernel(with_doc=False), "g string")
+    )
     # benchmark grams BROADCAST into the (huge) train side — the doc's
     # 100 TB contract made explicit instead of left to the threshold
     # (benchmarks are MBs; train grams are the corpus-scale relation)
@@ -685,10 +771,11 @@ def q_decontam_drop_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # train side RAW (no pre-join (doc_id, g) distinct): the post-join
     # .select("doc_id").distinct() absorbs duplicate matches in its
     # map-side partial aggregate, so the corpus-scale distinct exchange
-    # disappears — same restructure as contamination_13gram_audit
+    # disappears — same restructure as contamination_13gram_audit, with
+    # the same vectorized Arrow gram kernel on the corpus side (r14)
     implicated = (
-        toks.filter(~is_bench)
-        .select("doc_id", _gram13_expr().alias("g"))
+        docs.filter(~is_bench).select("doc_id", "text")
+        .mapInArrow(_gram13_train_kernel(with_doc=True), "doc_id long, g string")
         .join(F.broadcast(bench_grams), "g")
         .select("doc_id").distinct()
         .withColumn("hit", F.lit(1))
