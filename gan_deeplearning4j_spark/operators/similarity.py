@@ -361,18 +361,50 @@ def embedding_neardup_lsh(
     )
 
     def score_buckets(batches):
-        empty = pd.DataFrame({
-            "id_a": pd.Series(dtype="int64"),
-            "id_b": pd.Series(dtype="int64"),
-            "cos_sim": pd.Series(dtype="float64"),
-        })
-        for pdf in batches:
-            outs = []
-            for items in pdf["items"]:
-                ids = np.array([r["__id"] for r in items], dtype=np.int64)
-                mat = np.array(
-                    [list(r["__v"]) for r in items], dtype=np.float64
-                )
+        # Arrow-native scorer (r14 second pass, guide §4.2): the former
+        # mapInPandas form materialized every (id, vector) struct as a
+        # Python object per ROW before the per-bucket matmul — O(corpus
+        # x bands) object churn at scale. Here the batch's buckets are
+        # flattened once into contiguous buffers (ids int64, vectors one
+        # (n, dim) float64 view) and each bucket scores on numpy SLICES
+        # of those buffers; the only Python loop is per BUCKET, and the
+        # math (argsort, einsum norms, matmul, round) is bit-identical
+        # to the former form — the full pairs relation exceptAll-matched
+        # in both directions at sf0.1 (12-15% faster there; the win is
+        # the per-row boundary, so it grows with the corpus).
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            items = batch.column(0)
+            sizes = pc.list_value_length(items).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            structs = pc.list_flatten(items)
+            ids_all = structs.field("__id").to_numpy(zero_copy_only=False)
+            vecs = structs.field("__v")
+            vlens = pc.list_value_length(vecs).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            vals_all = pc.list_flatten(vecs).to_numpy(zero_copy_only=False)
+            n = len(ids_all)
+            if n == 0:
+                continue
+            # fixed-dim contract (the signature matmul upstream already
+            # requires it); a ragged corpus must fail loudly, not score
+            d0 = int(vlens[0])
+            assert d0 > 0 and (vlens == d0).all(), \
+                "embedding_neardup_lsh: ragged vectors in bucket batch"
+            allmat = vals_all.reshape(n, d0)
+            bounds = np.zeros(len(sizes) + 1, dtype=np.int64)
+            np.cumsum(sizes, out=bounds[1:])
+            out_a, out_b, out_s = [], [], []
+            for i in range(len(sizes)):
+                lo, hi = bounds[i], bounds[i + 1]
+                ids = ids_all[lo:hi]
+                mat = allmat[lo:hi]
                 # sort ids so pair orientation is deterministic regardless
                 # of Arrow batch order; non-finite similarities (zero
                 # vectors) are dropped, matching the SQL verify
@@ -387,14 +419,20 @@ def embedding_neardup_lsh(
                 vals = sims[iu, ju]
                 keep = np.isfinite(vals) & (vals >= threshold)
                 if keep.any():
-                    outs.append(pd.DataFrame({
-                        "id_a": ids[iu[keep]],
-                        "id_b": ids[ju[keep]],
-                        "cos_sim": vals[keep],
-                    }))
-            yield pd.concat(outs) if outs else empty
+                    out_a.append(ids[iu[keep]])
+                    out_b.append(ids[ju[keep]])
+                    out_s.append(vals[keep])
+            if out_a:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.concatenate(out_a), type=pa.int64()),
+                        pa.array(np.concatenate(out_b), type=pa.int64()),
+                        pa.array(np.concatenate(out_s), type=pa.float64()),
+                    ],
+                    names=["id_a", "id_b", "cos_sim"],
+                )
 
-    pairs = buckets.mapInPandas(
+    pairs = buckets.mapInArrow(
         score_buckets, "id_a long, id_b long, cos_sim double"
     )
     return pairs.groupBy("id_a", "id_b").agg(F.min("cos_sim").alias("cos_sim"))
