@@ -711,6 +711,55 @@ def test_kernel_tokenization_matches_sql_on_non_ascii_whitespace(spark):
     assert np_sizes == sql_sizes
 
 
+def test_funnel_kernel_metrics_match_row_replay(spark):
+    """r14 §15 pin: the vectorized funnel kernel's canonical-code design
+    (str.lower once per DISTINCT raw token; bigram identity = lowered
+    code pair; stop types = distinct lowered codes) must reproduce the
+    per-row reference semantics exactly — especially where distinct raw
+    spellings COLLIDE after lowering (The/the/THE are one bigram token)
+    and on the NULL regimes (nw=0 -> mwl NULL, nw<2 -> top_share NULL)."""
+    import re
+    from collections import Counter
+
+    from gan_deeplearning4j_spark.queries_r14 import (
+        _STOPWORDS, _funnel_metrics_arrow,
+    )
+
+    rows = [
+        (1, "Aa aa AA aa"),          # one lowered token; bigram run 3
+        (2, "x Y x Y x"),            # alternating pair, run 2
+        (3, "the The THE of OF"),    # stop types collapse to {the, of}
+        (4, None),                   # nw 0: mwl/top NULL
+        (5, "solo"),                 # nw 1: top NULL, mwl defined
+        (6, "  pad  pad  "),         # empty tokens dropped
+        (7, "a b a b a b c"),        # run 3 among 6 bigrams
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    java_ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    stop = set(_STOPWORDS)
+
+    def replay(s):
+        toks = [x for x in java_ws.split((s or "").lower()) if x]
+        nw = len(toks)
+        mwl = sum(len(t) for t in toks) * 1000 // nw if nw else None
+        nst = len(stop.intersection(toks))
+        top = (
+            max(Counter(zip(toks, toks[1:])).values()) * 1000 // (nw - 1)
+            if nw >= 2 else None
+        )
+        return (nw, mwl, nst, top)
+
+    got = [
+        (r["nw"], r["mwl_e3"], r["n_stop_types"], r["top_share_pm"])
+        for r in _funnel_metrics_arrow(
+            docs.orderBy("doc_id").coalesce(1)
+        ).collect()
+    ]
+    want = [replay(s) for _, s in rows]
+    assert got == want, (got, want)
+
+
 def test_minhash_features_deterministic_across_partitionings(spark, sf_dir):
     """crc32 token hashing is process- and layout-independent (Python's str
     hash would NOT be) — signatures must not change under repartition."""
